@@ -1,0 +1,124 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S5).
+
+The reference reads CSVs eagerly with manual column pruning and manual
+filename-based partition pruning (covid_data_transform.py:58-67,139-152;
+weather_pred.py:141-162). Here every read is a lazy scan: Catalyst pushes
+column pruning + predicate pushdown into the file source, and a
+partitioned directory layout (``year=YYYY/``) gives real partition
+pruning instead of filename string-matching.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver testdata table (TESTDATA.md).
+
+    The testdata writes TIMESTAMP(NANOS) columns, which Spark's parquet
+    reader rejects by default; we read them as longs
+    (``nanosAsLong``) and rebuild microsecond timestamps with exact
+    integer division (nanos exceed 2^53, so float division would lose
+    precision). DuckDB's reader truncates nanos→micros the same way, so
+    oracle comparisons agree.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for field in _nano_ts_fields(path):
+        df = df.withColumn(
+            field, F.expr(f"timestamp_micros({field} div 1000)")
+        )
+    return df
+
+
+def _nano_ts_fields(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    key = path
+    if key not in _NANO_CACHE:
+        schema = pq.read_schema(path)
+        _NANO_CACHE[key] = [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    return _NANO_CACHE[key]
+
+
+_NANO_CACHE: dict[str, list[str]] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    columns: Sequence[str] | None = None,
+    drop: Sequence[str] | None = None,
+    schema=None,
+) -> DataFrame:
+    """CSV scan with header (S1) + optional include/exclude projection (S3, P1, P2).
+
+    Reference: `pd.read_csv` + `[INCLUDE_COL]` / `~columns.isin(EXCLUDE)`
+    (covid_data_transform.py:58-70). In Spark the ``.select``/``.drop``
+    collapses into the scan via Catalyst column pruning.
+    """
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(list(paths) if not isinstance(paths, str) else paths)
+    if columns:
+        df = df.select(*columns)
+    if drop:
+        df = df.drop(*drop)
+    return df
+
+
+def read_csv_glob(spark: SparkSession, pattern: str, **kw) -> DataFrame:
+    """Multi-file CSV scan with a filename filter (S2).
+
+    Reference filters filenames by year then concats
+    (covid_data_transform.py:139-152). ``pathGlobFilter`` keeps the
+    pruning at the source listing; the union is implicit in the
+    multi-file scan (U1).
+    """
+    base, _, glob = pattern.rpartition("/")
+    reader = spark.read.option("header", True).option("inferSchema", True)
+    return read_csv(spark, base, **kw) if not glob else reader.option(
+        "pathGlobFilter", glob
+    ).csv(base)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Parquet sink (S4); partitioned append replaces the reference's
+    rewrite-whole-CSV-per-group loop (S5, weather_pred.py:407-409)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,217 @@
+"""Aggregations (SURVEY.md §2.4, A1-A12).
+
+All hash aggregates with map-side partial aggregation — at scale the
+shuffle carries only per-group partials, never raw rows. Z-scores and
+normalizations use window aggregates over the group rather than a
+collect-and-rejoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engage_spark.io import table
+from engage_spark.registry import query
+
+
+@query(
+    "a1_groupby_mean_all_numeric",
+    oracle="""
+    SELECT c_mktsegment,
+           round(avg(c_acctbal) + 1e-9, 4) AS avg_acctbal,
+           round(avg(c_nationkey) + 1e-9, 4) AS avg_nationkey
+    FROM customer GROUP BY c_mktsegment
+    """,
+    covers=["A1"],
+)
+def a1_groupby_mean_all_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by mean of all numeric columns (`groupby(...).mean()`,
+    covid_data_transform.py:28,167)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal") + 1e-9, 4).alias("avg_acctbal"),
+        F.round(F.avg("c_nationkey") + 1e-9, 4).alias("avg_nationkey"),
+    )
+
+
+@query(
+    "a2_a3_groupby_sum_max",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(max(l_extendedprice), 2) AS max_price,
+           count(*)::BIGINT AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    covers=["A2", "A3", "A6"],
+)
+def a2_a3_groupby_sum_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by sum/max/count (covid_data_transform.py:43,77,241)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "a5_global_min_max_mean",
+    oracle="""
+    SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_date,
+           round(avg(o_totalprice) + 1e-9, 4) AS avg_price,
+           count(*)::BIGINT AS n
+    FROM orders
+    """,
+    covers=["A5"],
+)
+def a5_global_min_max_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max/mean (`min(date)`, covid_data_transform.py:127;
+    `np.max(population)`, covid_simulator.py:187)."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+        F.round(F.avg("o_totalprice") + 1e-9, 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "a6_group_size_gate",
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY user_id
+    HAVING count(*) >= 50
+    """,
+    covers=["A6", "J8"],
+)
+def a6_group_size_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size + freshness gate (`len(temp_df2) < 365*2` and stale
+    last-date checks, weather_pred.py:187-189) → HAVING, not a loop."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        )
+        .filter(F.col("n_events") >= 50)
+    )
+
+
+@query(
+    "a8_maxabs_normalize",
+    oracle="""
+    WITH denom AS (
+        SELECT user_id, max(abs(value)) AS max_abs FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round(e.value / d.max_abs + 1e-9, 6) AS value_norm
+    FROM events e JOIN denom d ON e.user_id = d.user_id
+    """,
+    covers=["A8"],
+)
+def a8_maxabs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-abs normalization per group (weather_pred.py:231-233):
+    group agg + broadcast-join back + divide."""
+    ev = table(spark, sf_dir, "events")
+    denom = ev.groupBy("user_id").agg(F.max(F.abs(F.col("value"))).alias("max_abs"))
+    return (
+        ev.join(F.broadcast(denom), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") / F.col("max_abs") + 1e-9, 6).alias("value_norm"),
+        )
+    )
+
+
+@query(
+    "a9_distinct_values",
+    oracle="SELECT DISTINCT event_type FROM events",
+    covers=["A9"],
+)
+def a9_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct values of a column (`drop_duplicates()` on a Series,
+    covid_simulator.py:35,171)."""
+    return table(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@query(
+    "a10_row_dedup_subset",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, count(*)::BIGINT AS n
+    FROM (
+        SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+    ) GROUP BY o_custkey, o_orderstatus
+    """,
+    covers=["A10"],
+)
+def a10_row_dedup_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row dedup on a column subset (covid_data_transform.py:110;
+    covid_simulator.py:372)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_orderstatus")
+        .dropDuplicates()
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a11_zscore_standardize",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type) + 1e-9, 6) AS value_z
+    FROM events
+    """,
+    covers=["A11"],
+)
+def a11_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score standardization (covid_simulator.py:72,82,89,102) as a
+    window aggregate — no second pass, no join."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+            + 1e-9,
+            6,
+        ).alias("value_z"),
+    )
+
+
+@query(
+    "a12_rmse_metric",
+    oracle="""
+    WITH m AS (SELECT user_id, avg(value) AS mu FROM events GROUP BY user_id)
+    SELECT e.user_id,
+           round(sqrt(avg(power(e.value - m.mu, 2))) + 1e-9, 6) AS rmse
+    FROM events e JOIN m ON e.user_id = m.user_id
+    GROUP BY e.user_id
+    """,
+    covers=["A12", "M9"],
+)
+def a12_rmse_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSE metric aggregate (weather_pred.py:83-84,338): per-group RMSE
+    of value against the group-mean predictor."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(F.avg("value").alias("mu"))
+    return (
+        ev.join(F.broadcast(m), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sqrt(F.avg(F.pow(F.col("value") - F.col("mu"), 2))) + 1e-9, 6).alias(
+                "rmse"
+            )
+        )
+    )
