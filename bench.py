@@ -1,0 +1,95 @@
+"""Headline benchmark — driver contract.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the noop sink (full plan
+runs distributed; nothing collects to the driver), after a single
+warm-up of the flagship to exclude JVM/session start-up from
+per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+# Headline set: one per major operator family. Kept deliberately small
+# and stable round-over-round so BENCH_r{N}.json is comparable.
+HEADLINE = [
+    "q1_pricing_summary",      # scan → hash agg (TPC-H Q1 shape)
+    "j1_inner_join_multikey",  # large join
+    "j6_broadcast_dim_join",   # broadcast join
+    "w2_w3_lag_and_diff",      # window lag/diff
+    "w8_sliding_feature_window",  # window frames + collect_list
+    "sql2_causal_features",    # SQL surface (CASE bands, concat, dedup)
+    "ev_tumbling_window_agg",  # event-time tumbling agg
+    "a8_maxabs_normalize",     # agg + rejoin normalization
+]
+# Added as modules land (guarded: only run if registered).
+OPTIONAL = [
+    "x1_exact_dedup",
+    "x2_minhash_lsh_dedup",
+    "x3_topk_cosine_search",
+    "x4_text_quality",
+    "k_w9_interpolate",
+    "k_m4_sir_simulate",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .appName("engage-spark-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from engage_spark.registry import load_all
+
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in OPTIONAL if n in registry]
+
+    def run(name: str) -> float:
+        df = registry[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q1_pricing_summary")  # warm-up: JVM, codegen, parquet footer cache
+
+    timings: dict[str, float] = {}
+    for name in names:
+        try:
+            timings[name] = round(run(name), 3)
+        except Exception as e:  # noqa: BLE001 — report, don't abort the bench
+            print(f"bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
