@@ -37,9 +37,10 @@ OPTIONAL = [
     "x1_exact_dedup",
     "x2_minhash_lsh_dedup",
     "x3_topk_cosine_search",
-    "x4_text_quality",
+    "x_text_quality",
     "k_w9_interpolate",
     "k_m4_sir_simulate",
+    "k_w11_ar_forecast",
 ]
 
 

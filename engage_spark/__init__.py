@@ -19,3 +19,25 @@ Design stance (SURVEY.md §7.0):
 __version__ = "0.1.0"
 
 from engage_spark.session import get_spark  # noqa: F401
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this package's code inside cloudpickle payloads.
+
+    applyInPandas/mapInPandas kernels defined in these modules reach the
+    Python workers via cloudpickle, which serializes module-level
+    functions BY REFERENCE — workers would then need `engage_spark` on
+    their own sys.path, which isn't true when the driving process runs
+    from another cwd (the round driver does). Registering the package
+    for pickle-by-value makes every kernel payload self-contained.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+    except ImportError:  # pragma: no cover - vendored path moved
+        import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+_register_pickle_by_value()

@@ -15,4 +15,5 @@ from engage_spark.queries import (  # noqa: F401
     llm_dedup,
     llm_similarity,
     llm_text,
+    multimodal,
 )

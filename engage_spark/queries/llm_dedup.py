@@ -1,1 +1,366 @@
-"""Placeholder — filled in later this round."""
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2.12 X1-X2).
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup over the `documents` / `embeddings` tables. Everything except
+the (intrinsically pairwise) verify step is a map-side expression
+pipeline built from Spark higher-order array functions + xxhash64 —
+no Python UDFs, so signatures codegen and the only shuffles are the
+LSH bucket join and the final pair dedup.
+
+Scale notes (the 100 TB story):
+  - MinHash/SimHash signatures are computed in one map stage; candidate
+    generation is a groupBy on (band, band_key) whose fan-in is bounded
+    by banding, not by corpus size. No all-pairs anywhere.
+  - The all-pairs variants (`x_ngram_jaccard_pairs`, cosine near-dup)
+    deliberately block on a key (lang / label) so the join is a
+    bounded self-join — they exist as the oracle-checkable semantic
+    ground truth for the LSH paths, not as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engage_spark.io import table
+from engage_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Shared shingling expressions (identical semantics Spark-side & DuckDB-side)
+
+# word tokens, lowercased; `\\s` survives Spark's string-literal unescape
+_TOKS_SPARK = r"split(lower(trim(text)), '\\s+')"
+_TOKS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _shingles_spark(n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> column."""
+    return F.expr(
+        f"""
+        CASE WHEN size({_TOKS_SPARK}) < {n} THEN array(concat_ws(' ', {_TOKS_SPARK}))
+        ELSE array_distinct(transform(
+            sequence(1, size({_TOKS_SPARK}) - {n - 1}),
+            i -> concat_ws(' ', {", ".join(f"element_at({_TOKS_SPARK}, i + {j})" for j in range(n))})
+        )) END
+        """
+    )
+
+
+def _shingles_duck(n: int = 3) -> str:
+    concat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+        CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(toks) - {n - 2}), i -> {concat}))
+        END
+    """
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+
+
+@query(
+    "x1_exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id)::BIGINT AS keeper_doc_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    covers=["X1", "A10"],
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized-text fingerprint, keep
+    the lowest doc_id. One shuffle on a 128-bit key; at 100 TB the
+    partial aggregation collapses duplicates map-side before the
+    exchange, so shuffle volume is ~one row per distinct document."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — MinHash + LSH banding
+
+# 32 hash functions h_j(x) = (a_j * x + b_j) mod p over xxhash64 shingle
+# hashes; 8 bands x 4 rows. Coefficients are fixed (generated once from
+# a seeded RNG and inlined) so signatures are stable across runs/nodes.
+_MERSENNE_P = (1 << 61) - 1
+_N_HASHES = 32
+_BAND_ROWS = 4
+
+
+def _coefs() -> list[tuple[int, int]]:
+    # xorshift-style deterministic sequence; no RNG import needed
+    # a fits in 28 bits and shingle hashes are folded to 32 bits, so
+    # a*h + b < 2^61 + 2^61 < 2^63 — no BIGINT overflow under ANSI mode.
+    out, x = [], 0x9E3779B97F4A7C15
+    for _ in range(_N_HASHES):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x % ((1 << 28) - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % _MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+_COEFS = _coefs()
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """array<bigint> MinHash signature from an array<bigint> of shingle
+    hashes (xxhash64). One aggregate() per hash function, all JVM-side.
+    pmod against a Mersenne prime keeps values positive; BIGINT
+    multiplication wraps — acceptable for a hash family (wrapping is
+    itself a fixed deterministic function)."""
+
+    def _minhash(a: int, b: int) -> Column:
+        def step(acc: Column, h: Column) -> Column:
+            return F.least(
+                acc, F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+            )
+
+        return F.aggregate(hashes, F.lit(_MERSENNE_P).cast("long"), step)
+
+    return F.array(*[_minhash(a, b) for a, b in _COEFS])
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+
+    plan: map (shingle+sign) → explode 8 band keys → shuffle on
+    (band, key) → self-join within buckets → distinct pairs → verify.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .select("doc_id", _shingles_spark(n).alias("__sh"))
+        .withColumn("__h", F.expr("transform(__sh, s -> pmod(xxhash64(s), 4294967296))"))
+        .withColumn("sig", minhash_signature(F.col("__h")))
+    )
+
+    bands = base.select(
+        "doc_id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(bi),
+                        *[
+                            F.element_at("sig", bi * _BAND_ROWS + r + 1)
+                            for r in range(_BAND_ROWS)
+                        ],
+                    )
+                    for bi in range(_N_HASHES // _BAND_ROWS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+    left = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"),
+                        F.col("__sh").alias("sh_a"))
+    right = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"),
+                         F.col("__sh").alias("sh_b"))
+    cand = (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("x2_minhash_lsh_dedup", oracle=None, covers=["X2"])
+def x2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over `documents` (trigram shingles,
+    32 perms, 8x4 banding, Jaccard >= 0.5 verify). Not SQL-expressible
+    (xxhash64 family) → rows-only driver check; exactness is covered by
+    planted-duplicate pytest cases and the oracle-checked
+    `x_ngram_jaccard_pairs` ground-truth query."""
+    return minhash_candidate_pairs(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# X2b — SimHash (64-bit, JVM bit ops)
+
+
+def with_simhash64(docs: DataFrame, text_toks_expr: str = _TOKS_SPARK) -> DataFrame:
+    """Add a 64-bit `simhash` column, pure Spark expressions: per-token
+    xxhash64, then for each bit position the sign of the +1/-1 vote sum,
+    packed into a bigint. O(64·tokens) JVM work per doc, no shuffle.
+    Two explicit columns so the vote array is computed once, not per bit."""
+    votes = f"""
+        transform(sequence(0, 63), b ->
+            aggregate(transform({text_toks_expr}, t -> xxhash64(t)), 0,
+                      (acc, h) -> acc + CASE WHEN shiftright(h, b) % 2 != 0
+                                        THEN 1 ELSE -1 END))
+    """
+    pack = """
+        aggregate(sequence(0, 63), cast(0 as bigint),
+                  (acc, b) -> CASE WHEN element_at(__votes, b + 1) > 0
+                              THEN acc + shiftleft(cast(1 as bigint), b)
+                              ELSE acc END)
+    """
+    return docs.withColumn("__votes", F.expr(votes)).withColumn(
+        "simhash", F.expr(pack)
+    ).drop("__votes")
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4x16-bit
+    chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk; wider
+    radii caught probabilistically), bucket-join, verify with
+    bit_count(a^b). Returns (doc_a, doc_b, hamming)."""
+    sh = with_simhash64(docs).select("doc_id", "simhash")
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * k)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select("chunk_idx", "chunk", F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = chunks.select("chunk_idx", "chunk", F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+@query("x2b_simhash_dedup", oracle=None, covers=["X2"])
+def x2b_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over `documents` (hamming <= 8 via 16-bit
+    chunk banding). xxhash64-based → rows-only driver check + planted
+    pytest cases."""
+    return simhash_near_pairs(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# X2c — n-gram Jaccard ground truth (oracle-checked)
+
+
+@query(
+    "x_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, lang, {_shingles_duck(3)} AS sh FROM t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.02
+    """,
+    covers=["X2"],
+)
+def x_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard pairs within a lang block — the
+    oracle-checkable ground truth for the MinHash path. The lang
+    blocking keeps the self-join bounded; the scale path for unblocked
+    corpora is x2_minhash_lsh_dedup."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select("doc_id", "lang", _shingles_spark(3).alias("sh"))
+    a = s.select(F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.02)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — embedding-cosine near-dup (oracle-checked, double math both sides)
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array<float> columns in double precision."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(F.col(a), F.col(b)) / (
+        F.sqrt(dot(F.col(a), F.col(a))) * F.sqrt(dot(F.col(b), F.col(b)))
+    )
+
+
+_COS_DUCK = """
+    list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+
+@query(
+    "x_cosine_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_DUCK}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_DUCK} >= 0.35
+    """,
+    covers=["X2", "X3"],
+)
+def x_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label block, double-
+    precision dot products on both engines. Blocked self-join = the
+    semantic ground truth; the unblocked scale path is the LSH-bucketed
+    ANN in llm_similarity."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), "label",
+                 F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label",
+                 F.col("embedding").alias("emb_b"))
+    cos = cosine_expr("emb_a", "emb_b")
+    return (
+        a.join(b, on="label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(cos >= 0.35)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,1 +1,187 @@
-"""Placeholder — filled in later this round."""
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §2.12 X4).
+
+No reference counterpart (the reference is a COVID pipeline); these are
+the standard pre-training corpus hygiene passes — token counting,
+quality scoring, language ID, fingerprinting — expressed entirely with
+JVM-side built-ins (split / regexp / higher-order array functions), so
+they whole-stage-codegen and scale linearly with no Python in the path.
+
+All four are oracle-checked against DuckDB with identical tokenization
+semantics on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engage_spark.io import table
+from engage_spark.registry import query
+
+# Whitespace tokenizer — identical semantics in Spark `split` and DuckDB
+# `string_split_regex` for the corpus at hand (single-space word salad).
+_TOKS = r"split(lower(trim(text)), '\\s+')"
+_TOKS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# BPE-ish lexer: runs of letters, runs of digits, or single other glyph.
+# Spark SQL string literals consume one level of backslash escaping, so
+# the Spark variant doubles the backslash; DuckDB takes it verbatim.
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+_BPE_RE_SPARK = r"[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "x_text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS_DUCK})::BIGINT AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_RE}'))::BIGINT AS bpe_tokens,
+           (n_chars / 4.0) AS approx_llm_tokens
+    FROM documents
+    """,
+    covers=["X4"],
+)
+def x_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, a BPE-ish regex lexer, and the
+    chars/4 LLM-token estimate. All codegen'd string ops — at 100 TB this
+    is a single map stage with no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({_TOKS})").cast("long").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE_SPARK}', 0)"))
+        .cast("long")
+        .alias("bpe_tokens"),
+        (F.col("n_chars") / 4.0).alias("approx_llm_tokens"),
+    )
+
+
+@query(
+    "x_text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, text, {_TOKS_DUCK} AS toks FROM documents
+    )
+    SELECT doc_id,
+           round(len(regexp_extract_all(text, '[[:punct:]]')) / n_chars::DOUBLE, 6)
+               AS punct_ratio,
+           round(len(list_filter(toks, x -> list_contains([{_sql_list(_STOPWORDS)}], x)))
+                 / len(toks)::DOUBLE, 6) AS stopword_ratio,
+           round(list_sum(list_transform(toks, x -> len(x))) / len(toks)::DOUBLE, 6)
+               AS mean_word_len,
+           CASE WHEN n_chars BETWEEN 100 AND 20000
+                 AND len(list_filter(toks, x -> list_contains([{_sql_list(_STOPWORDS)}], x)))
+                     / len(toks)::DOUBLE >= 0.01
+                THEN 1 ELSE 0 END AS quality_keep
+    FROM t
+    """,
+    covers=["X4"],
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (Gopher/C4-style heuristics): punctuation ratio,
+    stopword ratio, mean word length, and a keep/drop gate. Pure
+    expression pipeline — filters like `quality_keep=1` push down to the
+    scan when this feeds a downstream training job."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_toks = F.size(toks).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = stop_hits / n_toks
+    return d.select(
+        "doc_id",
+        F.round(
+            F.size(F.expr(r"regexp_extract_all(text, '[\\p{Punct}]', 0)"))
+            / F.col("n_chars").cast("double"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_toks, 6
+        ).alias("mean_word_len"),
+        F.when(
+            F.col("n_chars").between(100, 20000) & (stop_ratio >= 0.01), 1
+        )
+        .otherwise(0)
+        .alias("quality_keep"),
+    )
+
+
+# Marker vocabularies for the n-gram/stopword language-ID heuristic.
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "is", "data", "value"),
+    "es": ("el", "la", "de", "que", "los", "una", "por"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ein", "nicht", "mit"),
+}
+
+
+@query(
+    "x_text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+           {", ".join(
+               f"len(list_filter(toks, x -> list_contains([{_sql_list(ws)}], x)))"
+               f" AS s_{lg}" for lg, ws in _LANG_MARKERS.items())}
+        FROM t
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM s
+    """,
+    covers=["X4"],
+)
+def x_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-word hits with a fixed precedence order
+    (en > es > fr > de) for ties — deterministic on any corpus. A real
+    deployment swaps the marker lists for char-n-gram profiles; the
+    plan shape (map-only, no shuffle) is the point."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+
+    def _marker_hits(ws):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lg: _marker_hits(ws) for lg, ws in _LANG_MARKERS.items()}
+    s = d.select("doc_id", F.col("lang").alias("actual_lang"),
+                 *[v.alias(f"s_{k}") for k, v in scores.items()])
+    c = {k: F.col(f"s_{k}") for k in _LANG_MARKERS}
+    pred = (
+        F.when((c["en"] == 0) & (c["es"] == 0) & (c["fr"] == 0) & (c["de"] == 0),
+               "unknown")
+        .when((c["en"] >= c["es"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["de"]), "en")
+        .when((c["es"] >= c["fr"]) & (c["es"] >= c["de"]), "es")
+        .when(c["fr"] >= c["de"], "fr")
+        .otherwise("de")
+    )
+    return s.select("doc_id", "actual_lang", pred.alias("pred_lang"))
+
+
+@query(
+    "x_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    covers=["X4"],
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    The canonical exact-dedup key; identical bytes on both engines."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
