@@ -1,0 +1,313 @@
+"""EP3 — causal simulation (reference: covid_simulator.py:334-651).
+
+dataset_full → SQL feature engineering → mixed-effects coefficient fit
+→ per-state SIR simulation → bias correction → before/after scenario
+compare.
+
+The reference's one genuine SQL query (pandasql→SQLite,
+covid_simulator.py:359-372) runs here through spark.sql with the
+dialect deltas handled inline: `ifnull`→Spark supports it natively,
+`julianday(a) > julianday(b)`→date comparison, `||` concat→concat.
+The CASE WHEN temperature bands keep the reference's unit quirk (raw
+tenths-of-°C TAVG compared against °C thresholds after dividing only
+in the projection, covid_simulator.py:361-367) — parity over polish.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from engage_spark.queries.kernels import sir_simulate
+
+_W = Window.partitionBy("state").orderBy("dateval")
+
+
+def causal_features(spark: SparkSession, dataset_full: DataFrame,
+                    gov_date: int = 20200323) -> DataFrame:
+    """The reference SQL (covid_simulator.py:359-372) on spark.sql +
+    dropDuplicates (A10). Bands keep the reference's TAVG unit mix."""
+    dataset_full.createOrReplaceTempView("data")
+    df = spark.sql(
+        f"""
+        SELECT date AS dateval,
+               confirmed, recovered, death, population,
+               TAVG / 10 AS TAVG,
+               concat(country_region, '-', province_state) AS state,
+               CASE WHEN TAVG <= 0 THEN 1 ELSE 0 END AS is_freezing,
+               CASE WHEN TAVG > 0  AND TAVG <= 10 THEN 1 ELSE 0 END AS is_cold,
+               CASE WHEN TAVG > 10 AND TAVG <= 20 THEN 1 ELSE 0 END AS is_mild,
+               CASE WHEN TAVG > 20 AND TAVG <= 30 THEN 1 ELSE 0 END AS is_warm,
+               CASE WHEN TAVG > 30 THEN 1 ELSE 0 END AS is_hot,
+               CASE WHEN date >= {gov_date} THEN 1 ELSE 0 END AS gov_action,
+               ifnull(date_idx, -1) AS date_idx
+        FROM data
+        """
+    )
+    return df.dropDuplicates()
+
+
+def holdout_flag(df: DataFrame, cutoff: int) -> DataFrame:
+    """M7: rows at/after the cutoff are holdout (covid_simulator.py:377)."""
+    return df.withColumn(
+        "holdout", F.when(F.col("dateval") >= cutoff, 1).otherwise(0)
+    )
+
+
+def trim_and_lag(df: DataFrame) -> DataFrame:
+    """Per-state: trim leading zero-confirmed prefix (W4), then lag /
+    diff features with 0.0 first-row defaults (W2/W3,
+    covid_simulator.py:392,411-438)."""
+    wcum = _W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = (
+        df.withColumn(
+            "seen", F.max(F.when(F.col("confirmed") != 0, 1).otherwise(0)).over(wcum)
+        )
+        .filter(F.col("seen") == 1)
+        .drop("seen")
+    )
+    df = df.withColumn("removed", F.col("recovered") + F.col("death"))  # P5
+    for c in ["confirmed", "removed"]:
+        df = df.withColumn(
+            f"lag_{c}", F.coalesce(F.lag(c, 1).over(_W), F.lit(0.0))
+        ).withColumn(f"d_{c}", F.col(c) - F.col(f"lag_{c}"))
+    return df
+
+
+def estimate_r0(df: DataFrame) -> DataFrame:
+    """M5 (covid_simulator.py:384-446): per-state ratio of positive
+    increases over the first 30 infected days; zero/undefined filled
+    with the global mean of positive estimates."""
+    w = _W
+    d = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 30)
+    per = d.groupBy("state").agg(
+        F.sum(F.when(F.col("d_confirmed") > 0, F.col("d_confirmed")).otherwise(0.0))
+        .alias("pos"),
+        F.sum(F.when(F.col("d_removed") > 0, F.col("d_removed")).otherwise(0.0))
+        .alias("neg"),
+    )
+    raw = per.select(
+        "state",
+        F.when(F.col("neg") > 0, F.col("pos") / F.col("neg"))
+        .otherwise(0.0)
+        .alias("r0_raw"),
+    )
+    fill = raw.filter(F.col("r0_raw") > 0).agg(F.avg("r0_raw").alias("fill"))
+    return raw.crossJoin(F.broadcast(fill)).select(
+        "state",
+        F.when(F.col("r0_raw") > 0, F.col("r0_raw"))
+        .otherwise(F.col("fill"))
+        .alias("r0"),
+    )
+
+
+def fit_recover_coefs(train: DataFrame) -> DataFrame:
+    """M2: endog d_removed ~ Intercept + gov_action + TAVG + lag_confirmed
+    with random intercept+slope by state (covid_simulator.py:456-502).
+    Fixed effects from distributed normal equations; per-state ridge
+    random effects in a kernel. Output schema = recover_coefs.csv."""
+    feats = ["gov_action", "TAVG", "lag_confirmed"]
+    d = train.select("state", F.col("d_removed").alias("y"),
+                     *[F.col(c).cast("double") for c in feats])
+    # distributed X'X / X'y moments (4x4 incl. intercept)
+    cols = ["__one"] + feats
+    d = d.withColumn("__one", F.lit(1.0))
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"xx_{a}_{b}"))
+        aggs.append(F.sum(F.col(a) * F.col("y")).alias(f"xy_{a}"))
+    m = d.agg(*aggs).collect()[0].asDict()
+    k = len(cols)
+    xtx = np.zeros((k, k))
+    xty = np.zeros(k)
+    for i, a in enumerate(cols):
+        for j in range(i, k):
+            xtx[i, j] = xtx[j, i] = m[f"xx_{a}_{cols[j]}"]
+        xty[i] = m[f"xy_{a}"]
+    fe = np.linalg.solve(xtx + 1e-9 * np.eye(k), xty)
+    fe_int, fe_gov, fe_tavg, fe_lag = (float(v) for v in fe)
+
+    schema = T.StructType(
+        [
+            T.StructField("state", T.StringType()),
+            T.StructField("coef_name", T.StringType()),
+            T.StructField("coef_value", T.DoubleType()),
+            T.StructField("re_lag_confirmed", T.DoubleType()),
+            T.StructField("fe_Intercept", T.DoubleType()),
+            T.StructField("Intercept", T.DoubleType()),
+            T.StructField("lag_confirmed", T.DoubleType()),
+            T.StructField("gov_action", T.DoubleType()),
+            T.StructField("TAVG", T.DoubleType()),
+        ]
+    )
+    lam = 10.0
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["lag_confirmed"].to_numpy("float64")
+        resid = pdf["y"].to_numpy("float64") - (
+            fe_int
+            + fe_gov * pdf["gov_action"].to_numpy("float64")
+            + fe_tavg * pdf["TAVG"].to_numpy("float64")
+            + fe_lag * x
+        )
+        X = np.column_stack([np.ones_like(x), x])
+        re = np.linalg.solve(X.T @ X + lam * np.eye(2), X.T @ resid)
+        return pd.DataFrame(
+            [
+                {
+                    "state": pdf["state"].iloc[0],
+                    "coef_name": "Intercept",
+                    "coef_value": float(re[0]),
+                    "re_lag_confirmed": float(re[1]),
+                    "fe_Intercept": fe_int,
+                    "Intercept": fe_int + float(re[0]),
+                    "lag_confirmed": fe_lag + float(re[1]),
+                    "gov_action": fe_gov,
+                    "TAVG": fe_tavg,
+                }
+            ]
+        )
+
+    return d.groupBy("state").applyInPandas(kernel, schema)
+
+
+_SIM_SCHEMA = T.StructType(
+    [
+        T.StructField("state", T.StringType()),
+        T.StructField("dateval", T.IntegerType()),
+        T.StructField("pred_confirmed", T.DoubleType()),
+        T.StructField("pred_removed", T.DoubleType()),
+    ]
+)
+
+
+def simulate(df: DataFrame, coefs: DataFrame, r0: DataFrame,
+             zero_gov_after: int | None = None) -> DataFrame:
+    """M4/M8: per-state SIR recurrence driven by the fitted recovery
+    coefficients (broadcast-joined, J6 — replacing the reference's
+    per-state filter loop covid_simulator.py:264-284). Optionally zero
+    the gov_action signal after a date (scenario M8)."""
+    gamma_base = 0.1
+    data = df.join(F.broadcast(coefs.select(
+        "state", "Intercept",
+        F.col("lag_confirmed").alias("c_lag"),
+        F.col("gov_action").alias("c_gov"),
+        F.col("TAVG").alias("c_tavg"))), on="state")
+    data = data.join(F.broadcast(r0), on="state")
+    if zero_gov_after is not None:
+        data = data.withColumn(
+            "gov_action",
+            F.when(F.col("dateval") >= zero_gov_after, 0).otherwise(
+                F.col("gov_action")
+            ),
+        )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dateval")
+        pop = float(pdf["population"].dropna().iloc[0]) if pdf["population"].notna().any() else 1e6
+        i0 = max(float(pdf["confirmed"].iloc[0]), 1.0)
+        r0v = float(pdf["r0"].iloc[0])
+        # exogenous recovery-rate signal from the mixed-effects fit:
+        # gamma_t = clip(base + coef·covariates scaled into rate space)
+        z = (
+            pdf["Intercept"].iloc[0]
+            + pdf["c_gov"].iloc[0] * pdf["gov_action"].to_numpy("float64")
+            + pdf["c_tavg"].iloc[0] * pdf["TAVG"].to_numpy("float64")
+        )
+        denom = max(pop, 1.0)
+        gamma_t = np.clip(gamma_base + z / denom, 0.01, 1.0)
+        beta = float(np.clip(r0v, 0.1, 10.0)) * gamma_base
+        n = len(pdf)
+        s, i, r = denom - i0, i0, 0.0
+        pred_c = np.empty(n)
+        pred_r = np.empty(n)
+        for t in range(n):
+            pred_c[t] = i + r
+            pred_r[t] = r
+            new_inf = beta * s * i / denom
+            new_rec = float(gamma_t[t]) * i
+            s, i, r = s - new_inf, i + new_inf - new_rec, r + new_rec
+        return pd.DataFrame(
+            {
+                "state": pdf["state"].to_numpy(),
+                "dateval": pdf["dateval"].to_numpy(),
+                "pred_confirmed": pred_c,
+                "pred_removed": pred_r,
+            }
+        )
+
+    return data.groupBy("state").applyInPandas(kernel, _SIM_SCHEMA)
+
+
+def bias_correct(sim: DataFrame, actual: DataFrame) -> DataFrame:
+    """M6 (covid_simulator.py:520-561): mean residual per state moved
+    back into predictions, reference branch semantics preserved."""
+    j = sim.join(
+        actual.select("state", "dateval", "confirmed"), on=["state", "dateval"]
+    )
+    b = j.groupBy("state").agg(
+        F.avg(F.col("pred_confirmed") - F.col("confirmed")).alias("bias")
+    )
+    return (
+        sim.join(b, on="state")
+        .withColumn(
+            "pred_confirmed_adj",
+            F.when(F.col("bias") > 0, F.col("pred_confirmed") - F.col("bias"))
+            .when(F.col("bias") < 0, F.col("pred_confirmed") + F.abs("bias"))
+            .otherwise(F.col("pred_confirmed")),
+        )
+        .drop("bias")
+    )
+
+
+def scenario_compare(before: DataFrame, after: DataFrame) -> DataFrame:
+    """M8/J5: self-join of the two scenario runs with suffixes + diff
+    (covid_simulator.py:622-628)."""
+    b = before.select(
+        "state", "dateval",
+        F.col("pred_confirmed").alias("pred_confirmed_before"),
+    )
+    a = after.select(
+        "state", "dateval",
+        F.col("pred_confirmed").alias("pred_confirmed_after"),
+    )
+    return b.join(a, on=["state", "dateval"]).withColumn(
+        "gov_effect",
+        F.col("pred_confirmed_after") - F.col("pred_confirmed_before"),
+    )
+
+
+def run(spark: SparkSession, dataset_full: DataFrame,
+        holdout_cutoff: int = 20200501, gov_date: int = 20200323
+        ) -> dict[str, DataFrame]:
+    """EP3 end-to-end → coefficient table, holdout simulation, bias-
+    corrected predictions, and the before/after scenario compare."""
+    feats = causal_features(spark, dataset_full, gov_date)
+    feats = holdout_flag(feats, holdout_cutoff)
+    # cache: feats feeds four downstream consumers (coef fit, r0, two
+    # scenario runs). Beyond avoiding recompute, this pins ONE set of
+    # float values — re-executed aggregations can legally reorder FP
+    # sums, and the SIR recurrence amplifies ulp-level input noise into
+    # visible before/after divergence that isn't scenario effect.
+    feats = trim_and_lag(feats).cache()
+    train = feats.filter((F.col("holdout") == 0) & F.col("d_removed").isNotNull())
+
+    coefs = fit_recover_coefs(train).cache()
+    r0 = estimate_r0(feats).cache()
+    coefs.count(), r0.count()  # force materialization before the twin runs
+
+    sim_before = simulate(feats, coefs, r0)
+    sim_after = simulate(feats, coefs, r0, zero_gov_after=gov_date)
+    corrected = bias_correct(sim_before, feats.filter(F.col("holdout") == 0))
+    compare = scenario_compare(sim_before, sim_after)
+    return {
+        "recover_coefs": coefs,
+        "simulation": sim_before,
+        "simulation_corrected": corrected,
+        "scenario_compare": compare,
+    }
