@@ -1,0 +1,95 @@
+"""Streaming == batch on the same data (the Structured Streaming
+contract the module is built on)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from engage_spark.io import table
+from engage_spark.streaming import (
+    sessionize_stream,
+    stream_events_from_parquet,
+    tumbling_counts_stream,
+)
+from engage_spark.streaming.jobs import run_available_now
+
+
+def _drain(spark, stream_df, tmp_path, name) -> pd.DataFrame:
+    run_available_now(stream_df, str(tmp_path), name)
+    return spark.read.parquet(f"{tmp_path}/{name}").toPandas()
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
+    stream = tumbling_counts_stream(stream_events_from_parquet(spark, sf_dir))
+    got = _drain(spark, stream, tmp_path, "tumbling").sort_values(
+        ["win_start", "event_type"]
+    ).reset_index(drop=True)
+
+    ev = table(spark, sf_dir, "events")
+    exp = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"), "event_type",
+            "n_events", "sum_value",
+        )
+        .toPandas()
+        .sort_values(["win_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    # append-mode watermark semantics: windows not yet closed when the
+    # stream drains stay in state. Every EMITTED row must match batch
+    # exactly; anything withheld must be within the watermark horizon
+    # of the stream's end.
+    merged = got.merge(exp, on=list(got.columns), how="left", indicator=True)
+    assert (merged._merge == "both").all(), "streamed row not in batch result"
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    horizon = pd.Timestamp(max_ts) - pd.Timedelta(hours=2)  # watermark+window
+    missing = exp.merge(got, on=list(got.columns), how="left", indicator=True)
+    held_back = missing[missing._merge != "both"]
+    assert (pd.to_datetime(held_back.win_start) >= horizon).all()
+    assert len(got) >= len(exp) - 4  # only the tail is withheld
+
+
+def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
+    stream = sessionize_stream(stream_events_from_parquet(spark, sf_dir))
+    got = _drain(spark, stream, tmp_path, "sessions")
+
+    ev = table(spark, sf_dir, "events")
+    exp = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+        .toPandas()
+    )
+    # emitted sessions match the batch twin exactly; withheld ones are
+    # only those still open within the watermark horizon at stream end
+    merged = got.merge(exp, on=list(got.columns), how="left", indicator=True)
+    assert (merged._merge == "both").all(), "streamed session not in batch result"
+    max_ts = pd.Timestamp(ev.agg(F.max("ts")).collect()[0][0])
+    horizon = max_ts - pd.Timedelta(hours=1)
+    missing = exp.merge(got, on=list(got.columns), how="left", indicator=True)
+    held_back = missing[missing._merge != "both"]
+    assert (pd.to_datetime(held_back.session_end) >= horizon).all()
+    # sessions are per-user, disjoint in time
+    g = got.sort_values(["user_id", "session_start"])
+    for _, u in g.groupby("user_id"):
+        starts = u.session_start.to_numpy()
+        ends = u.session_end.to_numpy()
+        assert (starts[1:] >= ends[:-1]).all()
+
+
+def test_watermark_present_in_plan(spark, sf_dir):
+    stream = tumbling_counts_stream(stream_events_from_parquet(spark, sf_dir))
+    assert stream.isStreaming
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
