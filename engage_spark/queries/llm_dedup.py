@@ -19,6 +19,8 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,14 +35,19 @@ _TOKS_SPARK = r"split(lower(trim(text)), '\\s+')"
 _TOKS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
 
 
-def _shingles_spark(n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> column."""
+def _shingles_spark(n: int = 3, toks: str = _TOKS_SPARK) -> Column:
+    """Distinct word n-gram shingles as an array<string> column.
+
+    `toks` should reference a MATERIALIZED token-array column when the
+    input is large: subexpressions inside a `transform` lambda are
+    re-evaluated per element, so an inline split() here would tokenize
+    the document once per shingle — O(tokens²) per document."""
     return F.expr(
         f"""
-        CASE WHEN size({_TOKS_SPARK}) < {n} THEN array(concat_ws(' ', {_TOKS_SPARK}))
+        CASE WHEN size({toks}) < {n} THEN array(concat_ws(' ', {toks}))
         ELSE array_distinct(transform(
-            sequence(1, size({_TOKS_SPARK}) - {n - 1}),
-            i -> concat_ws(' ', {", ".join(f"element_at({_TOKS_SPARK}, i + {j})" for j in range(n))})
+            sequence(1, size({toks}) - {n - 1}),
+            i -> concat_ws(' ', {", ".join(f"element_at({toks}, i + {j})" for j in range(n))})
         )) END
         """
     )
@@ -116,21 +123,32 @@ _COEFS = _coefs()
 
 
 def minhash_signature(hashes: Column) -> Column:
-    """array<bigint> MinHash signature from an array<bigint> of shingle
-    hashes (xxhash64). One aggregate() per hash function, all JVM-side.
-    pmod against a Mersenne prime keeps values positive; BIGINT
-    multiplication wraps — acceptable for a hash family (wrapping is
-    itself a fixed deterministic function)."""
+    """array<bigint> MinHash signature from an array<bigint> of 32-bit
+    shingle hashes (pmod'd xxhash64).
 
-    def _minhash(a: int, b: int) -> Column:
-        def step(acc: Column, h: Column) -> Column:
-            return F.least(
-                acc, F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
-            )
+    The arithmetic — min over shingles of (a_j*h + b_j) mod p for 32
+    hash functions — is a single numpy broadcast per document, run as
+    an Arrow-batched pandas UDF. The earlier all-JVM formulation (one
+    higher-order aggregate() per hash function) evaluated 32·|shingles|
+    interpreted expression nodes per row and was ~20x slower at sf0.1;
+    higher-order functions don't enter whole-stage codegen, so numpy
+    is the fast path here, not the slow one."""
+    from pyspark.sql.pandas.functions import pandas_udf
 
-        return F.aggregate(hashes, F.lit(_MERSENNE_P).cast("long"), step)
+    a_arr = np.array([a for a, _ in _COEFS], dtype=np.uint64)[:, None]
+    b_arr = np.array([b for _, b in _COEFS], dtype=np.uint64)[:, None]
 
-    return F.array(*[_minhash(a, b) for a, b in _COEFS])
+    @pandas_udf("array<long>")
+    def _sig(col: pd.Series) -> pd.Series:
+        out = []
+        for h in col:
+            hv = np.asarray(h, dtype=np.uint64)[None, :]
+            # uint64 wrap-around is deterministic; % p restores range
+            sig = ((a_arr * hv + b_arr) % _MERSENNE_P).min(axis=1)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _sig(hashes)
 
 
 def minhash_candidate_pairs(
@@ -143,16 +161,22 @@ def minhash_candidate_pairs(
     (band, key) → self-join within buckets → distinct pairs → verify.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    base = (
+    shingled = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .select("doc_id", _shingles_spark(n).alias("__sh"))
-        .withColumn("__h", F.expr("transform(__sh, s -> pmod(xxhash64(s), 4294967296))"))
-        .withColumn("sig", minhash_signature(F.col("__h")))
+        .select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
+        .select("doc_id", _shingles_spark(n, "__toks").alias("__sh"))
     )
 
-    bands = base.select(
+    # Shuffle hygiene at scale: the banding explode and the bucket
+    # self-join move ONLY (doc_id, band, band_key) — 24 bytes/row —
+    # never the shingle arrays. Shingles rejoin just for the candidate
+    # pairs that survive banding (orders of magnitude fewer than docs).
+    sigs = shingled.withColumn(
+        "__h", F.expr("transform(__sh, s -> pmod(xxhash64(s), 4294967296))")
+    ).select("doc_id", minhash_signature(F.col("__h")).alias("sig"))
+
+    bands = sigs.select(
         "doc_id",
-        "__sh",
         F.posexplode(
             F.array(
                 *[
@@ -169,21 +193,23 @@ def minhash_candidate_pairs(
         ).alias("band", "band_key"),
     )
 
-    left = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"),
-                        F.col("__sh").alias("sh_a"))
-    right = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"),
-                         F.col("__sh").alias("sh_b"))
+    left = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    right = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     cand = (
         left.join(right, on=["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     ).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        cand.join(sh_a, on="doc_a")
+        .join(sh_b, on="doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -207,10 +233,13 @@ def with_simhash64(docs: DataFrame, text_toks_expr: str = _TOKS_SPARK) -> DataFr
     """Add a 64-bit `simhash` column, pure Spark expressions: per-token
     xxhash64, then for each bit position the sign of the +1/-1 vote sum,
     packed into a bigint. O(64·tokens) JVM work per doc, no shuffle.
-    Two explicit columns so the vote array is computed once, not per bit."""
-    votes = f"""
+
+    Token hashes and votes materialize as intermediate columns —
+    subexpressions inside transform/aggregate lambdas re-evaluate per
+    element, so inlining them would re-tokenize per bit (O(64·tokens²))."""
+    votes = """
         transform(sequence(0, 63), b ->
-            aggregate(transform({text_toks_expr}, t -> xxhash64(t)), 0,
+            aggregate(__th, 0,
                       (acc, h) -> acc + CASE WHEN shiftright(h, b) % 2 != 0
                                         THEN 1 ELSE -1 END))
     """
@@ -220,9 +249,12 @@ def with_simhash64(docs: DataFrame, text_toks_expr: str = _TOKS_SPARK) -> DataFr
                               THEN acc + shiftleft(cast(1 as bigint), b)
                               ELSE acc END)
     """
-    return docs.withColumn("__votes", F.expr(votes)).withColumn(
-        "simhash", F.expr(pack)
-    ).drop("__votes")
+    return (
+        docs.withColumn("__th", F.expr(f"transform({text_toks_expr}, t -> xxhash64(t))"))
+        .withColumn("__votes", F.expr(votes))
+        .withColumn("simhash", F.expr(pack))
+        .drop("__th", "__votes")
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
@@ -294,7 +326,9 @@ def x_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keeps the self-join bounded; the scale path for unblocked
     corpora is x2_minhash_lsh_dedup."""
     d = table(spark, sf_dir, "documents")
-    s = d.select("doc_id", "lang", _shingles_spark(3).alias("sh"))
+    s = d.select("doc_id", "lang", F.expr(_TOKS_SPARK).alias("__toks")).select(
+        "doc_id", "lang", _shingles_spark(3, "__toks").alias("sh")
+    )
     a = s.select(F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a"))
     b = s.select(F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
