@@ -16,4 +16,5 @@ from engage_spark.queries import (  # noqa: F401
     llm_similarity,
     llm_text,
     multimodal,
+    sinks,
 )

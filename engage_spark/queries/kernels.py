@@ -80,9 +80,12 @@ def _interp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@query("k_w9_interpolate", oracle=None, covers=["W9"])
+@query("k_w9_interpolate", oracle=None, covers=["W9", "U3"])
 def k_w9_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap interpolation over per-user event series. Gaps are synthesized
+    """Gap interpolation over per-user event series. The kernel output
+    IS the union the reference builds by appending per-group results in
+    a loop (U3, covid_data_transform.py:233) — accumulate-union is
+    eliminated, not ported. Gaps are synthesized
     deterministically (every event_id ≡ 0 mod 7 masked) so the kernel
     has real work; the recurrence itself matches the reference exactly
     (see interpolate_series)."""

@@ -1,0 +1,77 @@
+"""Sink / multi-file-scan operators (SURVEY.md §2.1 S2, S4, S5).
+
+The sinks are exercised as a round trip: write → read back → aggregate,
+oracle-checked against the source table (disk round trips must be
+lossless, which makes the sink itself hash-verifiable).
+
+S6 (matplotlib PNG sinks) is out of engine scope per SURVEY §2.1 —
+plots are a driver-side convenience over `.toPandas()`.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engage_spark.io import read_csv_glob, table, write_parquet
+from engage_spark.registry import query
+
+
+@query(
+    "s4_s5_parquet_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    covers=["S4", "S5"],
+)
+def s4_s5_parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + scan-back (S4; S5 = partitionBy
+    replaces the reference's rewrite-whole-CSV-per-group loop,
+    weather_pred.py:407-409). The oracle checks the round trip is
+    lossless. Partition directories (`event_type=...`) are also what
+    gives partition pruning on the read side at scale."""
+    ev = table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="engage_sink_"), "events_by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+    )
+
+
+@query(
+    "s2_multifile_csv_glob_scan",
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS n
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY user_id
+    """,
+    covers=["S2", "U1"],
+)
+def s2_multifile_csv_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-file CSV scan with a filename filter (S2): the reference
+    picks weather files by year-in-filename then concats
+    (covid_data_transform.py:139-152); here per-type CSV files are
+    written once, then a pathGlobFilter scan reads only the matching
+    subset — source-listing-time pruning, with the concat implicit in
+    the multi-file scan (U1)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    base = os.path.join(tempfile.mkdtemp(prefix="engage_glob_"), "by_type")
+    for et in ["click", "view", "purchase"]:
+        (
+            ev.filter(F.col("event_type") == et)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(os.path.join(base, f"events_{et}"))
+        )
+    # glob keeps only click/view files out of the listing
+    clicks_views = read_csv_glob(spark, f"{base}/events_{{click,view}}/*.csv")
+    return clicks_views.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
