@@ -17,4 +17,5 @@ from engage_spark.queries import (  # noqa: F401
     llm_text,
     multimodal,
     sinks,
+    extensions,
 )

@@ -1,0 +1,248 @@
+"""Engine extensions beyond the reference surface — the operators
+SURVEY.md §2 marks "available free in Spark if we extend" (§2.4
+grouping sets / sketches, §2.5 rank/ntile/RANGE frames) plus the
+scale patterns a 100 TB deployment leans on (salted skew joins,
+MLlib TF-IDF). No reference counterpart; cited as extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from engage_spark.io import table
+from engage_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (§2.4 extension)
+
+
+@query(
+    "ext_rollup_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)::BIGINT AS n,
+           round(sum(l_extendedprice) + 1e-9, 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    covers=["A1"],
+)
+def ext_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals in one pass — Spark expands the grouping
+    sets into a single shuffle (one exchange, not one per level)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "ext_cube_order_stats",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*)::BIGINT AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    covers=["A1"],
+)
+def ext_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one shuffle."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking / RANGE frames (§2.5 extension)
+
+
+@query(
+    "ext_rank_dense_ntile",
+    oracle="""
+    SELECT user_id, event_id,
+           rank() OVER w::BIGINT AS rnk,
+           dense_rank() OVER w::BIGINT AS drnk,
+           ntile(4) OVER w::BIGINT AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    covers=["W1"],
+)
+def ext_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over a per-user value ordering."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "ext_range_frame_sum",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY value
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+           ) + 1e-9, 4) AS near_sum
+    FROM events
+    """,
+    covers=["W1"],
+)
+def ext_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): sum of all rows whose
+    value lies within 5 below the current row's value."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value").rangeBetween(-5, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.sum("value").over(w) + 1e-9, 4).alias("near_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / sketches (§2.4 extension)
+
+
+@query(
+    "ext_exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+           round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
+           round(quantile_cont(value, 0.99) + 1e-9, 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    covers=["A5"],
+)
+def ext_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per group — Spark `percentile`
+    matches SQL-standard continuous quantiles. At 100 TB you'd switch
+    to percentile_approx (t-digest sketch, see ext_approx_sketches)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})") + 1e-9, 4).alias(f"p{int(q*100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+@query("ext_approx_sketches", oracle=None, covers=["A5", "A9"])
+def ext_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct /
+    quantiles: HLL++ approx_count_distinct (fixed-size state, no
+    distinct shuffle) and approximate percentiles. Sketch internals
+    differ from DuckDB's → rows-only; pytest bounds the error vs exact."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling: salted join (SURVEY §7.3 "skew")
+
+
+@query(
+    "ext_salted_skew_join",
+    oracle="""
+    SELECT e.event_type, count(*)::BIGINT AS n,
+           round(sum(e.value * d.weight) + 1e-9, 4) AS weighted
+    FROM events e
+    JOIN (SELECT 'click' AS event_type, 2.0 AS weight UNION ALL
+          SELECT 'view', 1.0 UNION ALL
+          SELECT 'purchase', 5.0 UNION ALL
+          SELECT 'scroll', 0.5 UNION ALL
+          SELECT 'hover', 0.25) d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    covers=["J6"],
+)
+def ext_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting demo: a low-cardinality hot join key (event_type — every
+    row hits one of 5 keys) is exploded with a salt on the small side
+    and salted on the fact side, spreading each hot key over 8
+    partitions instead of 1. AQE's skew-join split handles moderate
+    skew automatically; explicit salting is the belt-and-braces form
+    for pathological keys, verified here against the unsalted oracle."""
+    n_salt = 8
+    ev = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
+    )
+    dim = spark.createDataFrame(
+        [("click", 2.0), ("view", 1.0), ("purchase", 5.0),
+         ("scroll", 0.5), ("hover", 0.25)],
+        ["event_type", "weight"],
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    joined = ev.join(dim, on=["event_type", "salt"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")) + 1e-9, 4).alias("weighted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MLlib TF-IDF (§2.12 X4)
+
+
+@query("x4_tfidf_pipeline", oracle=None, covers=["X4"])
+def x4_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib text pipeline: Tokenizer → StopWordsRemover → HashingTF →
+    IDF. Returns (doc_id, n_terms, top_weight) — scalar summaries of the
+    vector column so the output survives Arrow. Deterministic (hashing
+    TF has no RNG); rows-only since DuckDB has no TF-IDF."""
+    from pyspark.ml.feature import IDF, HashingTF, StopWordsRemover, Tokenizer
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    filtered = StopWordsRemover(inputCol="words", outputCol="terms").transform(toks)
+    tf = HashingTF(inputCol="terms", outputCol="tf", numFeatures=1 << 12).transform(
+        filtered
+    )
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf_model.transform(tf)
+
+    def _summary(v):
+        arr = v.toArray()
+        return float(arr.max()) if arr.size else 0.0
+
+    from pyspark.sql.types import DoubleType
+
+    top_weight = F.udf(_summary, DoubleType())
+    return out.select(
+        "doc_id",
+        F.size("terms").cast("long").alias("n_terms"),
+        F.round(top_weight("tfidf"), 6).alias("top_tfidf"),
+    )
