@@ -18,4 +18,5 @@ from engage_spark.queries import (  # noqa: F401
     multimodal,
     sinks,
     extensions,
+    custom_joins,
 )

@@ -151,3 +151,70 @@ def x3b_lsh_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (coarse-quantizer scale path)
+
+_N_PROBE = 3  # closest centroids searched per query
+
+
+@query("x3c_ivf_ann_search", oracle=None, covers=["X3"])
+def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the label column's per-cluster mean vectors act as
+    the coarse quantizer (a k-means pass would produce them in the
+    unlabeled case); every corpus vector lives in its nearest-centroid
+    list, and each query probes only its _N_PROBE closest lists before
+    exact cosine ranking. The centroid table is tiny (k × dim) and
+    broadcasts; corpus fan-out per query is ~n_probe/k of the data —
+    the IVF complement to the hash-based x3b LSH path."""
+    e = table(spark, sf_dir, "embeddings")
+    dim = e.selectExpr("size(embedding) d").first()["d"]
+    # centroids: per-label mean (deterministic; stand-in for k-means)
+    sums = e.groupBy("label").agg(
+        F.array(*[
+            F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)
+        ]).alias("centroid")
+    )
+    centroids = [(r.label, r.centroid) for r in sums.collect()]
+
+    def nearest_lists(emb_col: str, n: int) -> F.Column:
+        """array of the n nearest centroid labels (by dot product —
+        centroids are near-isotropic so dot ≈ cosine ranking here)."""
+        scored = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(emb_col),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dot"),
+                F.lit(lbl).alias("label"),
+            )
+            for lbl, c in centroids
+        ])
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("label")
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        nearest_lists("embedding", 1)[0].alias("list_id"),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(nearest_lists("embedding", _N_PROBE)).alias("list_id"),
+    )
+    cand = q.join(corpus, on="list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cos", cosine_expr("q_emb", "c_emb"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

@@ -116,3 +116,53 @@ def run_available_now(stream_df: DataFrame, out_dir: str, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_stats_stream(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count and EWMA of `value`, carried in the state store
+    across micro-batches (the streaming form of a per-group recurrence —
+    the same family as the reference's cumulative kernels W10/W11, but
+    with state that outlives any single batch).
+
+    State is O(1) per user (count, ewma); the state store shuffles on
+    user_id exactly like a batch groupBy, so a 100 TB backfill and the
+    live stream have the same partitioning story.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, ewma = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                n += 1
+                ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -95,3 +95,18 @@ def test_exact_dedup_collapses_identical_docs(spark, planted):
     by_n = sorted((r.n, r.keeper) for r in out)
     assert by_n[-1] == (2, 0)  # docs 0 and 1 collapse, keeper is 0
     assert len(out) == 4
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    from engage_spark.registry import load_all
+
+    reg = load_all()
+    exact = reg["x3_topk_cosine_search"].fn(spark, sf_dir).collect()
+    ivf = reg["x3c_ivf_ann_search"].fn(spark, sf_dir).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    # probing 3 of 10 lists scans ~30% of a label-random corpus; on
+    # clustered real embeddings the same probe count recalls far more
+    assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
+    assert all(r.rank <= 5 for r in ivf)

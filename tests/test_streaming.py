@@ -93,3 +93,47 @@ def test_watermark_present_in_plan(spark, sf_dir):
     assert stream.isStreaming
     plan = stream._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stateful_running_stats_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: final per-user (count, ewma) after
+    draining the whole stream equals a batch computation of the same
+    recurrence."""
+    from engage_spark.streaming import running_user_stats_stream
+
+    stream = running_user_stats_stream(stream_events_from_parquet(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM user_stats")
+        .toPandas()
+        .sort_values("user_id")
+        .drop_duplicates("user_id", keep="last")  # update mode re-emits per batch
+        .reset_index(drop=True)
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    alpha = 0.2
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        ewma = None
+        for v in g["value"]:
+            ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+        rows.append((uid, len(g), ewma))
+    exp = pd.DataFrame(rows, columns=["user_id", "n_events", "ewma_value"])
+    merged = got.merge(exp, on="user_id", suffixes=("_got", "_exp"))
+    assert len(merged) == len(exp)
+    assert (merged.n_events_got == merged.n_events_exp).all()
+    assert (merged.ewma_value_got - merged.ewma_value_exp).abs().max() < 1e-9
