@@ -24,7 +24,10 @@ from pyspark.sql.window import Window
 
 from engage_spark.queries.kernels import sir_simulate
 
-_W = Window.partitionBy("state").orderBy("dateval")
+def _win():
+    """Per-state date ordering (lazy: WindowSpec construction needs a
+    live SparkContext, so module import must not build it)."""
+    return Window.partitionBy("state").orderBy("dateval")
 
 
 def causal_features(spark: SparkSession, dataset_full: DataFrame,
@@ -62,7 +65,7 @@ def trim_and_lag(df: DataFrame) -> DataFrame:
     """Per-state: trim leading zero-confirmed prefix (W4), then lag /
     diff features with 0.0 first-row defaults (W2/W3,
     covid_simulator.py:392,411-438)."""
-    wcum = _W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wcum = _win().rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df = (
         df.withColumn(
             "seen", F.max(F.when(F.col("confirmed") != 0, 1).otherwise(0)).over(wcum)
@@ -73,7 +76,7 @@ def trim_and_lag(df: DataFrame) -> DataFrame:
     df = df.withColumn("removed", F.col("recovered") + F.col("death"))  # P5
     for c in ["confirmed", "removed"]:
         df = df.withColumn(
-            f"lag_{c}", F.coalesce(F.lag(c, 1).over(_W), F.lit(0.0))
+            f"lag_{c}", F.coalesce(F.lag(c, 1).over(_win()), F.lit(0.0))
         ).withColumn(f"d_{c}", F.col(c) - F.col(f"lag_{c}"))
     return df
 
@@ -82,7 +85,7 @@ def estimate_r0(df: DataFrame) -> DataFrame:
     """M5 (covid_simulator.py:384-446): per-state ratio of positive
     increases over the first 30 infected days; zero/undefined filled
     with the global mean of positive estimates."""
-    w = _W
+    w = _win()
     d = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 30)
     per = d.groupBy("state").agg(
         F.sum(F.when(F.col("d_confirmed") > 0, F.col("d_confirmed")).otherwise(0.0))
