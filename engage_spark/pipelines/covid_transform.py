@@ -70,9 +70,24 @@ def rename_locations(df: DataFrame, mapping: DataFrame) -> DataFrame:
 
 def join_jhu(conf: DataFrame, rec: DataFrame, death: DataFrame) -> DataFrame:
     """3-key inner join of the three melted JHU tables (J1,
-    covid_data_transform.py:95-96)."""
+    covid_data_transform.py:95-96).
+
+    NULL-SAFE on the keys: pandas `merge` matches NaN==NaN, and the
+    reference depends on it — JHU country-level rows carry NaN
+    province_state and must still join across the three tables. Spark's
+    plain equi-join would silently drop every country-level row."""
     keys = ["province_state", "country_region", "date"]
-    return conf.join(rec, on=keys, how="inner").join(death, on=keys, how="inner")
+
+    def nsjoin(a: DataFrame, b: DataFrame) -> DataFrame:
+        cond = [a[k].eqNullSafe(b[k]) for k in keys]
+        joined = a.join(b, on=cond, how="inner")
+        return joined.select(
+            *[a[k] for k in keys],
+            *[a[c] for c in a.columns if c not in keys],
+            *[b[c] for c in b.columns if c not in keys],
+        )
+
+    return nsjoin(nsjoin(conf, rec), death)
 
 
 def collapse_non_us(df: DataFrame, agg: str = "sum") -> DataFrame:
