@@ -108,10 +108,19 @@ def read_csv_glob(spark: SparkSession, pattern: str, **kw) -> DataFrame:
     multi-file scan (U1).
     """
     base, _, glob = pattern.rpartition("/")
-    reader = spark.read.option("header", True).option("inferSchema", True)
-    return read_csv(spark, base, **kw) if not glob else reader.option(
-        "pathGlobFilter", glob
-    ).csv(base)
+    if not glob:
+        return read_csv(spark, base, **kw)
+    schema = kw.pop("schema", None)
+    reader = spark.read.option("header", True)
+    reader = reader.schema(schema) if schema is not None else reader.option(
+        "inferSchema", True
+    )
+    df = reader.option("pathGlobFilter", glob).csv(base)
+    if kw.get("columns"):
+        df = df.select(*kw["columns"])
+    if kw.get("drop"):
+        df = df.drop(*kw["drop"])
+    return df
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] | None = None,

@@ -91,14 +91,17 @@ def join_jhu(conf: DataFrame, rec: DataFrame, death: DataFrame) -> DataFrame:
 
 
 def collapse_non_us(df: DataFrame, agg: str = "sum") -> DataFrame:
-    """Replace-group pattern (U4, covid_data_transform.py:25-52): non-US
-    countries collapse to country level with province 'UNK' — a re-key +
-    one aggregation pass instead of the reference's delete+insert loop."""
+    """Replace-group pattern (U4, covid_data_transform.py:25-52):
+    every country except 'United States' collapses to country level
+    with province 'UNK' (the reference removes exactly "United States"
+    from its collapse list, :26/:42 — the US→'United States' rename at
+    :98-99 runs first) — a re-key + one aggregation pass instead of the
+    reference's delete+insert loop."""
     rekeyed = df.withColumn(
         "province_state",
-        F.when(F.col("country_region") == "US", F.col("province_state")).otherwise(
-            F.lit("UNK")
-        ),
+        F.when(
+            F.col("country_region") == "United States", F.col("province_state")
+        ).otherwise(F.lit("UNK")),
     )
     nums = [
         f.name
@@ -127,7 +130,7 @@ def us_states_covid(us_daily: DataFrame, county_pop: DataFrame) -> DataFrame:
     )
     return (
         us.join(pop, on="province_state", how="inner")
-        .withColumn("country_region", F.lit("US"))
+        .withColumn("country_region", F.lit("United States"))  # :72
     )
 
 
@@ -268,16 +271,30 @@ def run(
     rec = melt_wide_covid(jhu_recovered, "recovered")
     death = melt_wide_covid(jhu_death, "death")
     covid = join_jhu(conf, rec, death)
+    # US → 'United States' BEFORE mapping + collapse (reference :98-99;
+    # the collapse exempts 'United States', and the GHCN country dim
+    # maps code US to 'United States', so this rename is what keeps US
+    # per-state rows alive through the weather join)
+    covid = covid.withColumn(
+        "country_region",
+        F.when(F.col("country_region") == "US", "United States").otherwise(
+            F.col("country_region")
+        ),
+    )
     covid = rename_locations(covid, location_match)
     covid = collapse_non_us(covid, agg="sum")
 
     us = us_states_covid(us_daily, county_pop)
     covid = covid.unionByName(us.drop("population"), allowMissingColumns=True)
+    covid = covid.na.fill({"province_state": "UNK"})  # :118
 
     first_date = covid.agg(F.min("date")).collect()[0][0]  # A5
     wx = weather_tavg(weather, stations, countries, first_date)
-    wx = collapse_non_us(wx, agg="avg")
+    # reference order (:176-187): union with forecast first, THEN
+    # rename + collapse, then interpolate
     wx = union_with_forecast(wx, future_pred)
+    wx = rename_locations(wx, location_match)  # :185
+    wx = collapse_non_us(wx, agg="avg")
     wx = interpolate_weather(wx)
 
     pops = country_population(jhu_countries).withColumn(

@@ -31,9 +31,12 @@ def _win():
 
 
 def causal_features(spark: SparkSession, dataset_full: DataFrame,
-                    gov_date: int = 20200323) -> DataFrame:
+                    gov_date: int = 20200320) -> DataFrame:
     """The reference SQL (covid_simulator.py:359-372) on spark.sql +
-    dropDuplicates (A10). Bands keep the reference's TAVG unit mix."""
+    dropDuplicates (A10). Band predicates are verbatim — including the
+    reference's raw-tenths vs /10 unit mix, which makes is_cold and
+    is_warm OVERLAP for raw TAVG in [20, 200) — and gov_action is the
+    strict julianday comparison against 2020-03-20 (:369)."""
     dataset_full.createOrReplaceTempView("data")
     df = spark.sql(
         f"""
@@ -42,11 +45,11 @@ def causal_features(spark: SparkSession, dataset_full: DataFrame,
                TAVG / 10 AS TAVG,
                concat(country_region, '-', province_state) AS state,
                CASE WHEN TAVG <= 0 THEN 1 ELSE 0 END AS is_freezing,
-               CASE WHEN TAVG > 0  AND TAVG <= 10 THEN 1 ELSE 0 END AS is_cold,
-               CASE WHEN TAVG > 10 AND TAVG <= 20 THEN 1 ELSE 0 END AS is_mild,
-               CASE WHEN TAVG > 20 AND TAVG <= 30 THEN 1 ELSE 0 END AS is_warm,
-               CASE WHEN TAVG > 30 THEN 1 ELSE 0 END AS is_hot,
-               CASE WHEN date >= {gov_date} THEN 1 ELSE 0 END AS gov_action,
+               CASE WHEN TAVG > 0  AND TAVG / 10 < 20 THEN 1 ELSE 0 END AS is_cold,
+               CASE WHEN TAVG >= 20 AND TAVG / 10 < 35 THEN 1 ELSE 0 END AS is_warm,
+               CASE WHEN TAVG >= 35 THEN 1 ELSE 0 END AS is_hot,
+               CASE WHEN TAVG >= 20 THEN 1 ELSE 0 END AS temp_th,
+               CASE WHEN date > {gov_date} THEN 1 ELSE 0 END AS gov_action,
                ifnull(date_idx, -1) AS date_idx
         FROM data
         """
@@ -62,40 +65,65 @@ def holdout_flag(df: DataFrame, cutoff: int) -> DataFrame:
 
 
 def trim_and_lag(df: DataFrame) -> DataFrame:
-    """Per-state: trim leading zero-confirmed prefix (W4), then lag /
-    diff features with 0.0 first-row defaults (W2/W3,
-    covid_simulator.py:392,411-438)."""
+    """Per-state: fillna(0) (:388), trim the leading zero-confirmed
+    prefix (W4, :392 — `idxmax` keeps everything when the series is
+    all-zero), then lag / diff features whose FIRST row stays at the
+    0.0 initialization (covid_simulator.py:411-438: the t>0 guard never
+    writes row 0)."""
+    df = df.na.fill(0)
     wcum = _win().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("state")
     df = (
         df.withColumn(
             "seen", F.max(F.when(F.col("confirmed") != 0, 1).otherwise(0)).over(wcum)
         )
-        .filter(F.col("seen") == 1)
-        .drop("seen")
+        .withColumn("any_nonzero", F.max(F.col("seen")).over(wall))
+        .filter((F.col("seen") == 1) | (F.col("any_nonzero") == 0))
+        .drop("seen", "any_nonzero")
     )
     df = df.withColumn("removed", F.col("recovered") + F.col("death"))  # P5
-    for c in ["confirmed", "removed"]:
+    for c in ["confirmed", "recovered", "death", "removed"]:
+        lag = F.lag(c, 1).over(_win())
         df = df.withColumn(
-            f"lag_{c}", F.coalesce(F.lag(c, 1).over(_win()), F.lit(0.0))
-        ).withColumn(f"d_{c}", F.col(c) - F.col(f"lag_{c}"))
+            f"lag_{c}", F.coalesce(lag, F.lit(0.0))
+        ).withColumn(
+            f"d_{c}",
+            F.when(lag.isNull(), 0.0).otherwise(F.col(c) - lag),  # row 0 → 0.0
+        )
     return df
 
 
 def estimate_r0(df: DataFrame) -> DataFrame:
-    """M5 (covid_simulator.py:384-446): per-state ratio of positive
-    increases over the first 30 infected days; zero/undefined filled
-    with the global mean of positive estimates."""
-    w = _win()
-    d = df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 30)
+    """M5 (covid_simulator.py:393-446), reference formula verbatim:
+    over the first 30 rows with confirmed > 0 (:393-394), sum the
+    POSITIVE day-over-day increases of confirmed (zz1), recovered (zz2)
+    and death (zz3) separately, with the first row contributing nothing
+    (:396-409, s>0 guard); rho = (zz1+zz2+zz3)/(zz2+zz3) when zz2+zz3>0
+    else 0 (:411-413); zero rhos fill with the global mean of positive
+    ones (:445-446)."""
+    w = Window.partitionBy("state").orderBy("dateval")
+    d = (
+        df.filter(F.col("confirmed") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+    )
+    # within-window diffs: the s>0 guard means diffs are taken against
+    # the previous row INSIDE the 30-row window, not the pre-window lag
+    for c, zz in [("confirmed", "zz1"), ("recovered", "zz2"), ("death", "zz3")]:
+        dv = F.col(c) - F.lag(c, 1).over(w)
+        d = d.withColumn(zz, F.when(dv > 0, dv).otherwise(0.0))
     per = d.groupBy("state").agg(
-        F.sum(F.when(F.col("d_confirmed") > 0, F.col("d_confirmed")).otherwise(0.0))
-        .alias("pos"),
-        F.sum(F.when(F.col("d_removed") > 0, F.col("d_removed")).otherwise(0.0))
-        .alias("neg"),
+        F.sum("zz1").alias("zz1"),
+        F.sum("zz2").alias("zz2"),
+        F.sum("zz3").alias("zz3"),
     )
     raw = per.select(
         "state",
-        F.when(F.col("neg") > 0, F.col("pos") / F.col("neg"))
+        F.when(
+            F.col("zz2") + F.col("zz3") > 0,
+            (F.col("zz1") + F.col("zz2") + F.col("zz3"))
+            / (F.col("zz2") + F.col("zz3")),
+        )
         .otherwise(0.0)
         .alias("r0_raw"),
     )
@@ -248,8 +276,11 @@ def simulate(df: DataFrame, coefs: DataFrame, r0: DataFrame,
 
 
 def bias_correct(sim: DataFrame, actual: DataFrame) -> DataFrame:
-    """M6 (covid_simulator.py:520-561): mean residual per state moved
-    back into predictions, reference branch semantics preserved."""
+    """M6 (covid_simulator.py:526-536): mean residual per state,
+    reference branches verbatim — bias>0 → pred - bias; bias<0 →
+    pred + bias. Both branches therefore SUBTRACT |bias| (the negative
+    branch moves predictions further below actuals, not toward them —
+    a reference quirk preserved for parity)."""
     j = sim.join(
         actual.select("state", "dateval", "confirmed"), on=["state", "dateval"]
     )
@@ -261,7 +292,7 @@ def bias_correct(sim: DataFrame, actual: DataFrame) -> DataFrame:
         .withColumn(
             "pred_confirmed_adj",
             F.when(F.col("bias") > 0, F.col("pred_confirmed") - F.col("bias"))
-            .when(F.col("bias") < 0, F.col("pred_confirmed") + F.abs("bias"))
+            .when(F.col("bias") < 0, F.col("pred_confirmed") + F.col("bias"))
             .otherwise(F.col("pred_confirmed")),
         )
         .drop("bias")

@@ -71,9 +71,11 @@ def prepare_series(
 
 
 def normalize_maxabs(df: DataFrame) -> DataFrame:
-    """Max-abs normalization per group (A8, weather_pred.py:231-233):
-    one agg + broadcast-back join, divide."""
-    denom = df.groupBy(*GROUP_KEYS).agg(F.max(F.abs(F.col("TAVG"))).alias("maxabs"))
+    """Per-group normalization (A8, weather_pred.py:231-233): one agg +
+    broadcast-back join, divide. The reference's denominator is
+    abs-of-max (`abs(temp_df2[f].max())`, :231), not max-of-abs —
+    reproduced here; the declarative twin of the in-kernel scaling."""
+    denom = df.groupBy(*GROUP_KEYS).agg(F.abs(F.max(F.col("TAVG"))).alias("maxabs"))
     return (
         df.join(denom, on=GROUP_KEYS)
         .withColumn(
@@ -106,8 +108,10 @@ def _train_forecast_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("date")
     country, state = pdf["country"].iloc[0], pdf["state"].iloc[0]
     vals = interpolate_series(pdf["TAVG"]).to_numpy()
-    maxabs = np.abs(vals).max()
-    scale = maxabs if maxabs > 0 else 1.0
+    # reference scale is abs-of-max, NOT max-of-abs
+    # (weather_pred.py:231: `abs_max_value = abs(temp_df2[f].max())`)
+    absmax = abs(vals.max()) if len(vals) else 0.0
+    scale = absmax if absmax > 0 else 1.0
     norm = vals / scale
 
     train, test = norm[:-N_TEST], norm[-N_TEST:]

@@ -33,26 +33,32 @@ from engage_spark.registry import query
 
 
 def interpolate_series(vals: pd.Series) -> pd.Series:
-    """Reference interpolation recurrence, exact semantics
-    (covid_data_transform.py:218-231; duplicated weather_pred.py:200-235):
+    """Reference 'interpolation' recurrence, exact semantics
+    (covid_data_transform.py:204-237; duplicated weather_pred.py:210-235).
 
-      - NaN at either endpoint → 0.0
-      - interior NaN → (prev_filled + next_raw) / 2, where prev_filled
-        is the ALREADY-INTERPOLATED previous value (left-to-right
-        recurrence, not symmetric interpolation)
-      - interior NaN whose next raw value is also NaN → prev_filled / 2
+    NOTE it is really a smoothing pass: the reference's interior branch
+    has NO NaN guard on the current value, so EVERY interior value is
+    overwritten, left to right:
+
+      - all-NaN series → all zeros
+      - endpoints: NaN → 0.0, else kept raw
+      - every interior i: v[i] = (v[i-1] + next_raw) / 2, where v[i-1]
+        is the ALREADY-REWRITTEN previous value and next_raw is the
+        untouched original right neighbour; if next_raw is NaN,
+        v[i] = v[i-1] / 2
     """
     v = vals.to_numpy(dtype="float64", copy=True)
     n = len(v)
     if n == 0:
         return pd.Series(v)
-    if np.isnan(v[0]):
-        v[0] = 0.0
-    if n > 1 and np.isnan(v[-1]):
-        v[-1] = 0.0
-    for i in range(1, n - 1):
-        if np.isnan(v[i]):
-            nxt = vals.iloc[i + 1]  # raw next, may be NaN
+    if np.isnan(v).all():
+        return pd.Series(np.zeros(n))
+    for i in range(n):
+        if i == 0 or i == n - 1:
+            if np.isnan(v[i]):
+                v[i] = 0.0
+        else:
+            nxt = vals.iloc[i + 1]  # raw right neighbour, may be NaN
             if pd.isna(nxt):
                 v[i] = v[i - 1] / 2.0
             else:
@@ -193,11 +199,24 @@ def ar_fit_forecast(series: np.ndarray, order: int, horizon: int) -> np.ndarray:
     for j in range(order):
         X[:, j + 1] = x[j : j + rows]
     y = x[order:]
-    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    # tiny RELATIVE ridge: noise-free periodic series make X'X exactly
+    # singular, where plain lstsq can return a min-norm solution whose
+    # recursion diverges; 1e-8-scale shrinkage is invisible on real
+    # data but pins the solution deterministically
+    xtx = X.T @ X
+    lam = 1e-8 * (np.trace(xtx) / xtx.shape[0] + 1.0)
+    coef = np.linalg.solve(xtx + lam * np.eye(xtx.shape[0]), X.T @ y)
+    # recursion guard: the reference's tanh LSTM output is bounded by
+    # construction; bound the AR recursion to a generous envelope of
+    # the observed range so a marginal root can't overflow 180 steps out
+    lo, hi = float(x.min()), float(x.max())
+    span = max(hi - lo, 1.0)
+    lo_b, hi_b = lo - 5 * span, hi + 5 * span
     hist = list(x[-order:])
     out = np.empty(horizon)
     for t in range(horizon):
         pred = coef[0] + float(np.dot(coef[1:], hist))
+        pred = min(max(pred, lo_b), hi_b)
         out[t] = pred
         hist = hist[1:] + [pred]  # recursive: prediction feeds the window
     return out

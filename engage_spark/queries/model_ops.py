@@ -49,7 +49,7 @@ def _w(*keys):
         FROM d WHERE rn <= 30 GROUP BY user_id
     ), raw AS (
         SELECT user_id,
-               CASE WHEN neg > 0 THEN pos / neg ELSE 0.0 END AS r0_raw
+               CASE WHEN neg > 0 THEN (pos + neg) / neg ELSE 0.0 END AS r0_raw
         FROM per_grp
     )
     SELECT user_id,
@@ -61,10 +61,12 @@ def _w(*keys):
     covers=["M5", "W7"],
 )
 def m5_r0_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R0 per group: ratio of summed positive increases over the first
-    30 rows; zero/undefined ratios filled with the global mean of the
-    positive ones (covid_simulator.py:445-446). The global mean joins
-    back as a broadcast scalar — no second shuffle of the big table."""
+    """R0 per group, reference formula shape (covid_simulator.py:
+    411-413): rho = (numerator + denominator) / denominator over the
+    positive increases of the first 30 rows; zero/undefined ratios
+    filled with the global mean of the positive ones (:445-446). The
+    global mean joins back as a broadcast scalar — no second shuffle
+    of the big table."""
     ev = table(spark, sf_dir, "events")
     w = _w("user_id")
     d = ev.select(
@@ -78,7 +80,7 @@ def m5_r0_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = per_grp.select(
         "user_id",
-        F.when(F.col("neg") > 0, F.col("pos") / F.col("neg"))
+        F.when(F.col("neg") > 0, (F.col("pos") + F.col("neg")) / F.col("neg"))
         .otherwise(0.0)
         .alias("r0_raw"),
     )
@@ -109,18 +111,18 @@ def m5_r0_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.user_id, p.event_id,
            round((CASE WHEN b.bias > 0 THEN p.pred - b.bias
-                      WHEN b.bias < 0 THEN p.pred + abs(b.bias)
+                      WHEN b.bias < 0 THEN p.pred + b.bias
                       ELSE p.pred END) + 1e-9, 6) AS pred_adj
     FROM p JOIN b ON p.user_id = b.user_id
     """,
     covers=["M6", "A4"],
 )
 def m6_bias_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean-residual bias per group subtracted from predictions, with
-    the reference's two explicit branches preserved (they are
-    algebraically both `pred - bias`, covid_simulator.py:549-561 —
-    kept branchy for parity). Naive lag-1 prediction stands in for the
-    simulator output."""
+    """Mean-residual bias per group, reference branches verbatim
+    (covid_simulator.py:526-536): bias>0 → pred-bias, bias<0 →
+    pred+bias — both branches subtract |bias| (the negative branch
+    moves predictions AWAY from actuals; reference quirk preserved).
+    Naive lag-1 prediction stands in for the simulator output."""
     ev = table(spark, sf_dir, "events")
     p = ev.select(
         "user_id",
@@ -134,7 +136,7 @@ def m6_bias_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(
             F.when(F.col("bias") > 0, F.col("pred") - F.col("bias"))
-            .when(F.col("bias") < 0, F.col("pred") + F.abs(F.col("bias")))
+            .when(F.col("bias") < 0, F.col("pred") + F.col("bias"))
             .otherwise(F.col("pred"))
             + 1e-9,  # nudge off exact .5 ulp boundaries (rounding-mode parity)
             6,

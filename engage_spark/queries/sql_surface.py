@@ -26,7 +26,7 @@ from engage_spark.registry import query
     covers=["A7", "SQL1"],
 )
 def sql1_ordinal_groupby_ifnull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replica of the reference's first embedded-SQL query (`test_covid`,
+    """Shape-replica (on the events analog) of the reference's first embedded-SQL query (`test_covid`,
     covid_simulator.py:63-69): projection + `avg(ifnull(c,0))` +
     GROUP BY ordinals (Spark supports ordinal group-by natively)."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
@@ -58,7 +58,7 @@ def sql1_ordinal_groupby_ifnull(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=["SQL2", "F8", "F15", "F14", "A10"],
 )
 def sql2_causal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replica of the reference's second embedded-SQL query
+    """Shape-replica (on the events analog) of the reference's second embedded-SQL query
     (`causal_simulation`, covid_simulator.py:359-372): column aliasing,
     arithmetic (`TAVG/10`), `||` string concat, five CASE WHEN bands, a
     julianday-style date comparison, then `dropDuplicates` on the result.

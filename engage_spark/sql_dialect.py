@@ -51,8 +51,12 @@ def translate_sqlite(sql: str) -> str:
     # or mid-identifier — a chain must begin at a fresh token boundary
     chain = re.compile(rf"(?<!['\"\w.])({token}(?:\s*\|\|\s*{token})+)")
 
+    token_re = re.compile(token)
+
     def _fold(m: re.Match) -> str:
-        parts = re.split(r"\s*\|\|\s*", m.group(1))
+        # re-tokenize the chain rather than splitting on '||', which
+        # would split inside quoted operands like ' || '
+        parts = token_re.findall(m.group(1))
         return "concat(" + ", ".join(parts) + ")"
 
     return chain.sub(_fold, out)

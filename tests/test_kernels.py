@@ -20,31 +20,59 @@ from engage_spark.queries.kernels import (
 # W9 interpolation — exact reference semantics
 
 
-def test_interp_all_nan_first_becomes_zero_then_halves():
-    # endpoints → 0; interior NaNs halve the running value (next also NaN)
+def test_interp_all_nan_becomes_zeros():
     out = interpolate_series(pd.Series([np.nan, np.nan, np.nan, np.nan]))
     assert out.tolist() == [0.0, 0.0, 0.0, 0.0]
 
 
-def test_interp_no_nan_is_identity():
-    s = pd.Series([1.0, 2.0, 3.0])
-    assert interpolate_series(s).tolist() == [1.0, 2.0, 3.0]
+def test_interp_is_a_smoothing_pass_not_nan_fill():
+    # reference interior branch has no NaN guard: [10, 20, 10] → v1
+    # overwritten with (10+10)/2 even though it wasn't missing
+    out = interpolate_series(pd.Series([10.0, 20.0, 10.0]))
+    assert out.tolist() == [10.0, 10.0, 10.0]
 
 
-def test_interp_interior_single_gap_uses_prev_filled_and_next_raw():
+def test_interp_interior_gap_uses_prev_rewritten_and_next_raw():
     out = interpolate_series(pd.Series([2.0, np.nan, 4.0]))
     assert out.tolist() == [2.0, 3.0, 4.0]
 
 
-def test_interp_consecutive_gaps_are_a_left_to_right_recurrence():
-    # [8, NaN, NaN, 4]: v1 = v0/2 = 4 (next raw is NaN), v2 = (4+4)/2 = 4
+def test_interp_left_to_right_recurrence_on_consecutive_values():
+    # [8, NaN, NaN, 4]: v1 = 8/2 = 4 (next raw NaN), v2 = (4+4)/2 = 4
     out = interpolate_series(pd.Series([8.0, np.nan, np.nan, 4.0]))
     assert out.tolist() == [8.0, 4.0, 4.0, 4.0]
+    # prev is the REWRITTEN value: [4, 1, 1, 8] → v1=(4+1)/2=2.5,
+    # v2=(2.5+8)/2=5.25 — not the raw 1
+    out2 = interpolate_series(pd.Series([4.0, 1.0, 1.0, 8.0]))
+    assert out2.tolist() == [4.0, 2.5, 5.25, 8.0]
 
 
 def test_interp_nan_endpoints_zeroed():
     out = interpolate_series(pd.Series([np.nan, 2.0, np.nan]))
-    assert out.tolist() == [0.0, 2.0, 0.0]
+    # v1 is interior: next raw is NaN → v0/2 = 0.0
+    assert out.tolist() == [0.0, 0.0, 0.0]
+
+
+def _reference_interp_oracle(vals: pd.Series) -> list[float]:
+    """Literal transcription of the reference loop semantics
+    (covid_data_transform.py:217-231) for property comparison."""
+    import math
+
+    col = vals.copy().reset_index(drop=True)
+    if col.isnull().all():
+        return col.fillna(0).tolist()
+    for i in range(len(col)):
+        if i == 0 or i == len(col) - 1:
+            if math.isnan(col[i]):
+                col.iloc[i] = 0
+        else:
+            previous_v = col.iloc[i - 1]
+            next_v = col.iloc[i + 1]
+            if math.isnan(next_v):
+                col.iloc[i] = previous_v / 2
+            else:
+                col.iloc[i] = (previous_v + next_v) / 2
+    return col.tolist()
 
 
 @settings(max_examples=200, deadline=None)
@@ -55,19 +83,16 @@ def test_interp_nan_endpoints_zeroed():
         max_size=40,
     )
 )
-def test_interp_properties(vals):
+def test_interp_matches_reference_loop(vals):
     s = pd.Series([np.nan if v is None else v for v in vals], dtype="float64")
     out = interpolate_series(s)
-    # no NaN survives
-    assert not out.isna().any()
-    # non-NaN inputs pass through untouched
-    mask = ~s.isna()
-    assert (out[mask] == s[mask]).all()
-    # endpoints that were NaN are exactly 0
+    exp = _reference_interp_oracle(s)
+    assert out.tolist() == pytest.approx(exp, nan_ok=True)
+    # endpoints that were NaN are exactly 0; endpoints that weren't are raw
     if np.isnan(s.iloc[0]):
         assert out.iloc[0] == 0.0
-    if len(s) > 1 and np.isnan(s.iloc[-1]):
-        assert out.iloc[-1] == 0.0
+    else:
+        assert out.iloc[0] == s.iloc[0]
 
 
 # ---------------------------------------------------------------------------

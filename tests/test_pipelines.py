@@ -68,14 +68,15 @@ def ep1_inputs(spark):
     stations = spark.createDataFrame(station_meta, ["id", "state"])
     countries = spark.createDataFrame(
         [("AL", "Albania "), ("AG", "Algeria"), ("NC", "New Country"),
-         ("US", "US")],
+         ("US", "United States")],  # real GHCN maps US -> United States
         ["code", "name"],
     )
     # complete 180-day forecast for every location (date_idx 0..179)
     frows = []
     start = _DATES[-1]
     for country, st in [("Albania", "UNK"), ("Algeria", "UNK"),
-                        ("New Country", "UNK"), ("US", "NY"), ("US", "CA")]:
+                        ("New Country", "UNK"),
+                        ("United States", "NY"), ("United States", "CA")]:
         for i in range(180):
             d = int((start + pd.Timedelta(days=i + 1)).strftime("%Y%m%d"))
             frows.append((float(RNG.randint(-50, 300)), st, d, country, i))
@@ -111,10 +112,11 @@ def test_ep1_covid_transform(spark, ep1_inputs):
     # location_name is 'country : state' (F8)
     sample = pdf.iloc[0]
     assert sample.location_name == f"{sample.country_region} : {sample.province_state}"
-    # US keeps per-state rows; others collapse to UNK (U4)
-    us_states = set(pdf[pdf.country_region == "US"].province_state)
+    # US (renamed 'United States', reference :98-99) keeps per-state
+    # rows; others collapse to UNK (U4)
+    us_states = set(pdf[pdf.country_region == "United States"].province_state)
     assert us_states == {"NY", "CA"}
-    assert set(pdf[pdf.country_region != "US"].province_state) == {"UNK"}
+    assert set(pdf[pdf.country_region != "United States"].province_state) == {"UNK"}
 
 
 @pytest.fixture(scope="module")

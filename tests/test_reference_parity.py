@@ -44,6 +44,8 @@ def _pandas_oracle():
     dth = melt(f"{COVID}/jhu_death_covid.csv", "death")
     keys = ["province_state", "country_region", "date"]
     j = conf.merge(rec, on=keys).merge(dth, on=keys)
+    # US → United States (covid_data_transform.py:98-99)
+    j.loc[j["country_region"] == "US", "country_region"] = "United States"
 
     m = pd.read_csv(f"{COVID}/location_match.csv")
     m.columns = [c.lstrip("﻿") for c in m.columns]
@@ -59,9 +61,10 @@ def _pandas_oracle():
     j2["province_state"] = j2["province_state_new"].fillna(j2["province_state"])
     j2 = j2[keys + ["confirmed", "recovered", "death"]]
 
-    # collapse non-US to country level (covid_data_transform.py:40-52)
+    # collapse to country level, 'United States' exempt
+    # (covid_data_transform.py:40-52)
     j2["province_state"] = j2["province_state"].where(
-        j2["country_region"] == "US", "UNK"
+        j2["country_region"] == "United States", "UNK"
     )
     return (
         j2.groupby(["country_region", "province_state", "date"], dropna=False)[
@@ -88,7 +91,15 @@ def spark_covid(spark):
         read_csv(spark, f"{COVID}/jhu_recovered_covid.csv"), "recovered")
     dth = melt_wide_covid(
         read_csv(spark, f"{COVID}/jhu_death_covid.csv"), "death")
+    from pyspark.sql import functions as F
+
     covid = join_jhu(conf, rec, dth)
+    covid = covid.withColumn(
+        "country_region",
+        F.when(F.col("country_region") == "US", "United States").otherwise(
+            F.col("country_region")
+        ),
+    )
     covid = rename_locations(covid, read_csv(spark, f"{COVID}/location_match.csv"))
     return collapse_non_us(covid, agg="sum").toPandas()
 
@@ -144,3 +155,36 @@ def test_real_future_pred_completeness_gate(spark):
     rows = gates.collect()
     assert len(rows) == 250  # BASELINE.md: 250 locations scored
     assert all(r.max_idx == 179 and r.n == 180 for r in rows)
+
+
+def test_ep2_output_schemas_match_shipped_outputs(spark, ep2_min):
+    """Our EP2 table contracts carry the reference's shipped output
+    columns (output/weather_output/*.csv headers — the index column is
+    a pandas artifact we don't reproduce)."""
+    out = ep2_min
+    real = {
+        "future_pred": ["TAVG_pred", "state", "date", "country", "date_idx"],
+        "pred_actual": ["TAVG_actual", "TAVG_pred", "state", "date", "country"],
+        "rsme_score": ["TAVG_rmse", "country", "state"],
+    }
+    for name, cols in real.items():
+        have = set(out[name].columns)
+        assert set(cols) <= have, (name, cols, have)
+
+
+import numpy as np  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ep2_min(spark):
+    """Tiny EP2 run (one qualifying location) for schema contracts."""
+    from engage_spark.pipelines import weather_forecast
+
+    dates = pd.date_range("2018-01-01", "2020-04-15")
+    rows = [("ALW00000001", d.strftime("%Y-%m-%d"), "TAVG",
+             float(100 + 100 * np.sin(2 * np.pi * d.dayofyear / 365.0)))
+            for d in dates]
+    weather = spark.createDataFrame(rows, ["id", "date", "element", "value"])
+    stations = spark.createDataFrame([("ALW00000001", "")], ["id", "state"])
+    countries = spark.createDataFrame([("AL", "Albania")], ["code", "name"])
+    return weather_forecast.run(spark, weather, stations, countries)
