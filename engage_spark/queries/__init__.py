@@ -12,6 +12,7 @@ from engage_spark.queries import (  # noqa: F401
     events_ts,
     model_ops,
     kernels,
+    llm_curation,
     llm_dedup,
     llm_similarity,
     llm_text,

@@ -1,0 +1,326 @@
+"""Corpus-curation operators for LLM training-data pipelines (SURVEY.md §2.12).
+
+No reference counterpart (the reference is a COVID pipeline); these are
+the cluster-scale curation passes a pre-training corpus needs beyond
+pairwise dedup (llm_dedup): near-dup *clustering* via connected
+components, PII redaction, deterministic hash-based stratified
+sampling, mixture/token-budget planning, and length histograms.
+
+Scale notes (the 100 TB story):
+  - Connected components is iterative min-label propagation — each
+    round is one shuffle on node id, O(diameter) rounds (near-dup
+    clusters are shallow; 3-5 rounds in practice). Lineage is cut with
+    localCheckpoint per round so the plan doesn't grow unboundedly.
+  - Sampling/redaction/histograms are map-only expression pipelines —
+    no shuffle, whole-stage codegen, no Python in the path.
+  - The sampler is HASH-deterministic (md5 threshold), not rand():
+    re-running on the same corpus selects the same rows on any cluster
+    layout — reproducible training mixes, resumable jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engage_spark.io import table
+from engage_spark.queries.llm_dedup import _shingles_duck, _shingles_spark, _TOKS_DUCK, _TOKS_SPARK
+from engage_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup clustering)
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, node_col: str = "node",
+    src: str = "src", dst: str = "dst", max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation connected components.
+
+    nodes: one column `node_col`; edges: (`src`, `dst`) undirected.
+    Returns (node, component) where component = min node id reachable.
+
+    Each iteration: join labels onto symmetric edges, take the min
+    neighbor label, keep the smaller of (own, neighbor-min). Stops when
+    no label changes. One shuffle per round keyed on node id; rounds =
+    graph diameter. For billion-edge graphs swap in the large-star/
+    small-star variant (same contract); for dedup clusters (shallow,
+    star-like around a keeper) plain propagation converges in a few
+    rounds, so it is the default.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint()
+
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_CC_EDGE_THRESHOLD = 0.5
+
+
+@query(
+    "x_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {_shingles_duck(3)} AS sh FROM t),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(a.sh || b.sh))::DOUBLE >= {_CC_EDGE_THRESHOLD}
+    ),
+    sym AS (SELECT doc_a s, doc_b d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.node, e.d FROM walk w JOIN sym e ON e.s = w.reach
+    )
+    SELECT node AS doc_id, min(reach)::BIGINT AS component_id,
+           CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS is_keeper
+    FROM walk GROUP BY node
+    """,
+    covers=["X2"],
+)
+def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: trigram-Jaccard >= 0.5 pairs (lang-blocked,
+    same ground truth as x_ngram_jaccard_pairs) become edges; connected
+    components assigns every document a cluster id = min doc_id
+    reachable; `is_keeper` marks the canonical survivor per cluster.
+    This is the dedup decision step the pairwise queries feed at scale
+    (there the edges come from MinHash-LSH instead of the exact join).
+    Oracle = DuckDB recursive CTE transitive closure."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select("doc_id", "lang", F.expr(_TOKS_SPARK).alias("__toks")).select(
+        "doc_id", "lang", _shingles_spark(3, "__toks").alias("sh")
+    )
+    a = s.select(F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a"))
+    b = s.select(F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    edges = (
+        a.join(b, on="lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= _CC_EDGE_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(d.select("doc_id"), edges, node_col="doc_id")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("is_keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+# The corpus is synthetic word salad with no PII, so both sides plant
+# deterministic PII on every third document before redacting — the
+# operator is exercised on real matches, and the oracle plants the
+# identical bytes.
+_PLANT_DUCK = """
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' contact user' || doc_id::VARCHAR
+              || '@example.com from 10.' || (doc_id % 200)::VARCHAR
+              || '.0.' || (doc_id % 250)::VARCHAR
+         ELSE text END
+"""
+
+
+@query(
+    "x_pii_redact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_PLANT_DUCK} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{_IP_RE.replace(chr(92), chr(92))}'))::BIGINT AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_IP_RE}', '<IP>', 'g')) AS redacted_md5
+    FROM t
+    """,
+    covers=["X4"],
+)
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and mask emails and IPv4 addresses with
+    regex (RE2-compatible patterns so Spark's Java regex and DuckDB's
+    RE2 agree). Map-only, codegen'd; at 100 TB this is a pure scan →
+    project stage. Output carries md5 of the redacted text so the hash
+    compare covers the full rewritten payload."""
+    d = table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    t = d.select("doc_id", planted.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_IP_RE), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-based stratified sampling
+
+# Keep a row iff the first 8 hex chars of md5(doc_id) fall below the
+# stratum's threshold — identical selection on any engine, any cluster.
+_RATE_THRESH = {0.5: "80000000", 0.125: "20000000"}
+
+
+@query(
+    "x_hash_sample_stratified",
+    oracle="""
+    SELECT source, count(*)::BIGINT AS n_total,
+           sum(CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) <
+                    CASE WHEN substr(source, 4)::INT % 2 = 0
+                         THEN '80000000' ELSE '20000000' END
+               THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM documents GROUP BY source
+    """,
+    covers=["X4"],
+)
+def x_hash_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: even-numbered sources keep
+    50%, odd keep 12.5%, selected by an md5-threshold on doc_id rather
+    than rand() — the sample is reproducible across runs, engines, and
+    cluster layouts (unlike sampleBy, whose selection depends on rng
+    seeding per partition). Map-side expression + one partial-agg
+    shuffle on source."""
+    d = table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    thresh = F.when(src_num % 2 == 0, _RATE_THRESH[0.5]).otherwise(
+        _RATE_THRESH[0.125]
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thresh
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture / token-budget planning
+
+
+@query(
+    "x_mixture_plan",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len({_TOKS_DUCK})) AS BIGINT) AS tokens,
+               (substr(source, 4)::INT % 4) + 1 AS weight
+        FROM documents GROUP BY source
+    ), tot AS (SELECT sum(tokens) AS all_tokens, sum(weight) AS all_w FROM per_src)
+    SELECT source, tokens, weight,
+           round(weight / all_w::DOUBLE, 6) AS share,
+           CAST(round(all_tokens * weight / all_w::DOUBLE, 0) AS BIGINT)
+               AS planned_tokens
+    FROM per_src, tot
+    """,
+    covers=["X4"],
+)
+def x_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: per-source token counts joined with
+    mixture weights → each source's share of the total token budget.
+    The totals come from a single-row aggregate broadcast-cross-joined
+    back (no window-over-all-rows shuffle); per-source tokenization is
+    map-side."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.expr(_TOKS_SPARK))).cast("long").alias("tokens"),
+        F.first((F.substring("source", 4, 10).cast("int") % 4) + 1).alias("weight"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").alias("all_tokens"), F.sum("weight").alias("all_w")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "weight",
+        F.round(F.col("weight") / F.col("all_w").cast("double"), 6).alias("share"),
+        F.round(
+            F.col("all_tokens") * F.col("weight") / F.col("all_w").cast("double"), 0
+        )
+        .cast("long")
+        .alias("planned_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length / token histograms
+
+
+@query(
+    "x_length_histogram",
+    oracle="""
+    SELECT (n_chars // 100)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_docs,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    covers=["X4", "A5"],
+)
+def x_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram (100-char buckets): the standard first
+    look at a new crawl dump. Partial aggregation collapses each
+    mapper's rows to one row per bucket before the exchange, so shuffle
+    volume is O(buckets), not O(docs)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.expr("n_chars div 100").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -46,6 +46,42 @@ def s4_s5_parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @query(
+    "s4b_json_orc_roundtrip",
+    oracle="""
+    SELECT fmt, event_type, count(*)::BIGINT AS n,
+           round(sum(value) + 1e-9, 4) AS sum_value
+    FROM (SELECT 'json' AS fmt, event_type, value FROM events
+          UNION ALL
+          SELECT 'orc' AS fmt, event_type, value FROM events)
+    GROUP BY fmt, event_type
+    """,
+    covers=["S4"],
+)
+def s4b_json_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines and ORC sinks + scan-back (S4 beyond the reference's
+    CSV-only surface): write `events` in both formats, read each back,
+    aggregate — the oracle checks both round trips are lossless against
+    the source table. JSONL is the interchange format crawl/annotation
+    pipelines actually emit; ORC covers the columnar-format matrix
+    beyond parquet. Timestamps are dropped before the JSON leg (JSON has
+    no native timestamp type; value fidelity there is a schema-mapping
+    policy, not a sink property)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="engage_fmt_")
+    ev.write.mode("overwrite").json(os.path.join(base, "events_json"))
+    ev.write.mode("overwrite").orc(os.path.join(base, "events_orc"))
+    back_json = spark.read.json(os.path.join(base, "events_json"))
+    back_orc = spark.read.orc(os.path.join(base, "events_orc"))
+    agg = lambda df, fmt: (  # noqa: E731
+        df.groupBy(F.lit(fmt).alias("fmt"), "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+        )
+    )
+    return agg(back_json, "json").unionByName(agg(back_orc, "orc"))
+
+
+@query(
     "s2_multifile_csv_glob_scan",
     oracle="""
     SELECT user_id, count(*)::BIGINT AS n
