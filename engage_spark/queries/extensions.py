@@ -234,15 +234,13 @@ def x4_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = idf_model.transform(tf)
 
-    def _summary(v):
-        arr = v.toArray()
-        return float(arr.max()) if arr.size else 0.0
+    # vector -> array stays JVM-side (no Python round trip); array_max of
+    # an empty vector's array is NULL, coalesced to 0.0 like the old UDF.
+    from pyspark.ml.functions import vector_to_array
 
-    from pyspark.sql.types import DoubleType
-
-    top_weight = F.udf(_summary, DoubleType())
+    top = F.coalesce(F.array_max(vector_to_array("tfidf")), F.lit(0.0))
     return out.select(
         "doc_id",
         F.size("terms").cast("long").alias("n_terms"),
-        F.round(top_weight("tfidf"), 6).alias("top_tfidf"),
+        F.round(top, 6).alias("top_tfidf"),
     )

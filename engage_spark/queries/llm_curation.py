@@ -81,6 +81,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: {max_iter} iterations exhausted with "
+            f"{changed} labels still changing — components may be "
+            "under-merged (graph diameter exceeds max_iter). Raise "
+            "max_iter or switch to large-star/small-star.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -142,6 +153,31 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x_dedup_components_lsh", oracle=None, covers=["X2"])
+def x_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for near-dup clustering: edges come from MinHash-
+    LSH banding (llm_dedup.minhash_candidate_pairs — bucketed, never
+    all-pairs) instead of the exact lang-blocked O(n²) join that backs
+    the oracle query above. Same decision contract: (doc_id,
+    component_id, is_keeper). At 100 TB the exact join is quadratic
+    within a lang block (`en` ≈ most of a crawl); this variant's edge
+    cost is bounded by banding fan-in. Jaccard threshold matches the
+    exact query, so on corpora where LSH recall is 1.0 (e.g. the
+    planted-duplicate tests) the components are identical."""
+    from engage_spark.queries.llm_dedup import minhash_candidate_pairs
+
+    d = table(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(
+        d, jaccard_threshold=_CC_EDGE_THRESHOLD
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(d.select("doc_id"), edges, node_col="doc_id")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.when(F.col("node") == F.col("component"), 1).otherwise(0).alias("is_keeper"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 
@@ -167,7 +203,7 @@ _PLANT_DUCK = """
     WITH t AS (SELECT doc_id, {_PLANT_DUCK} AS text FROM documents)
     SELECT doc_id,
            len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
-           len(regexp_extract_all(text, '{_IP_RE.replace(chr(92), chr(92))}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(text, '{_IP_RE}'))::BIGINT AS n_ips,
            md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                               '{_IP_RE}', '<IP>', 'g')) AS redacted_md5
     FROM t

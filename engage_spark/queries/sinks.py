@@ -10,7 +10,9 @@ plots are a driver-side convenience over `.toPandas()`.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +20,21 @@ from pyspark.sql import functions as F
 
 from engage_spark.io import read_csv_glob, table, write_parquet
 from engage_spark.registry import query
+
+# One process-scoped scratch root, reused by every sink query run
+# (mode=overwrite -> repeated runs replace, never accumulate) and
+# removed at interpreter exit. The returned DataFrames are lazy, so
+# per-query `finally` cleanup would delete the data before the caller
+# collects it.
+_SCRATCH: str | None = None
+
+
+def _scratch(sub: str) -> str:
+    global _SCRATCH
+    if _SCRATCH is None:
+        _SCRATCH = tempfile.mkdtemp(prefix="engage_sinks_")
+        atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
+    return os.path.join(_SCRATCH, sub)
 
 
 @query(
@@ -36,7 +53,7 @@ def s4_s5_parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> Dat
     lossless. Partition directories (`event_type=...`) are also what
     gives partition pruning on the read side at scale."""
     ev = table(spark, sf_dir, "events")
-    out = os.path.join(tempfile.mkdtemp(prefix="engage_sink_"), "events_by_type")
+    out = _scratch("events_by_type")
     write_parquet(ev, out, partition_by=["event_type"])
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
@@ -67,7 +84,7 @@ def s4b_json_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     no native timestamp type; value fidelity there is a schema-mapping
     policy, not a sink property)."""
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    base = tempfile.mkdtemp(prefix="engage_fmt_")
+    base = _scratch("fmt_roundtrip")
     ev.write.mode("overwrite").json(os.path.join(base, "events_json"))
     ev.write.mode("overwrite").orc(os.path.join(base, "events_orc"))
     back_json = spark.read.json(os.path.join(base, "events_json"))
@@ -99,7 +116,7 @@ def s2_multifile_csv_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset — source-listing-time pruning, with the concat implicit in
     the multi-file scan (U1)."""
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    base = os.path.join(tempfile.mkdtemp(prefix="engage_glob_"), "by_type")
+    base = _scratch("by_type")
     for et in ["click", "view", "purchase"]:
         (
             ev.filter(F.col("event_type") == et)

@@ -110,3 +110,45 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     # clustered real embeddings the same probe count recalls far more
     assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
     assert all(r.rank <= 5 for r in ivf)
+
+
+def test_lsh_components_match_exact_on_planted_dups(spark, planted):
+    """The LSH-fed clustering must find the same components as the
+    exact-pair path wherever banding recall is 1.0 — true for planted
+    exact/near duplicates."""
+    from engage_spark.queries.llm_curation import connected_components
+
+    edges = minhash_candidate_pairs(planted, jaccard_threshold=0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            planted.select("doc_id"), edges, node_col="doc_id"
+        ).collect()
+    }
+    # docs 0/1/2 form one cluster keyed by min id 0; 3 and 4 are singletons
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+
+
+def test_registered_lsh_components_agree_with_exact_query(spark, sf_dir):
+    from engage_spark.registry import load_all
+
+    reg = load_all()
+    exact = {
+        (r.doc_id, r.component_id, r.is_keeper)
+        for r in reg["x_dedup_components"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_id, r.component_id, r.is_keeper)
+        for r in reg["x_dedup_components_lsh"].fn(spark, sf_dir).collect()
+    }
+    # identical node set; component assignments differ only where
+    # MinHash banding misses a pair — at the 0.5 threshold the 8x4
+    # banding S-curve detects a borderline pair with prob
+    # 1-(1-0.5^4)^8 ~ 0.40, so some divergence on threshold-straddling
+    # synthetic pairs is expected; far-above-threshold (true) dups are
+    # caught with prob -> 1 (covered by the planted test above)
+    assert {d for d, _, _ in exact} == {d for d, _, _ in lsh}
+    agreement = len(exact & lsh) / len(exact)
+    assert agreement >= 0.9, f"LSH clustering agreement {agreement:.3f}"
