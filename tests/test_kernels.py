@@ -146,7 +146,7 @@ def test_ar_deterministic():
 # Spark-side: kernels through applyInPandas match local pandas execution
 
 
-@pytest.mark.parametrize("qname", ["k_w9_interpolate", "k_m4_sir_simulate",
+@pytest.mark.parametrize("qname", ["k_w9_interpolate", "k_m4_sir_simulate", "k_m4b_sir_continuous",
                                    "k_w11_ar_forecast"])
 def test_kernel_queries_run_and_are_deterministic(spark, sf_dir, qname):
     from engage_spark.registry import load_all
@@ -188,3 +188,125 @@ def test_spark_interp_matches_local_pandas(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# M4b continuous SIR (odeint semantics; RK4 fallback without scipy)
+
+
+def _euler_transcription(n_steps, pop, i0, r0, alpha, beta, z, substeps=20000):
+    """Literal tiny-step Euler integration of the reference's mysysfunc
+    RHS (covid_simulator.py:124-143) — the independent oracle for the
+    RK4 path."""
+    from engage_spark.queries.kernels import sir_rhs
+
+    y = np.empty((n_steps, 3))
+    cur = np.array([pop - i0 - r0, i0, r0], dtype="float64")
+    y[0] = cur
+    for k in range(1, n_steps):
+        h = 1.0 / substeps
+        s = float(k - 1)
+        for _ in range(substeps):
+            cur = cur + h * np.asarray(sir_rhs(cur, s, alpha, beta, pop, z))
+            s += h
+        y[k] = cur
+    return np.where(y < 0, 0, y)
+
+
+def test_continuous_sir_matches_euler_transcription():
+    from engage_spark.queries.kernels import sir_solve_continuous
+
+    z = np.concatenate([np.zeros(5), np.full(15, 2.0)])  # step forcing
+    got = sir_solve_continuous(20, 10_000.0, 50.0, 0.0, 0.35, 0.1, z)
+    want = _euler_transcription(20, 10_000.0, 50.0, 0.0, 0.35, 0.1, z)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_continuous_sir_conserves_population_before_clamp():
+    from engage_spark.queries.kernels import sir_solve_continuous
+
+    z = np.zeros(30)
+    y = sir_solve_continuous(30, 10_000.0, 10.0, 0.0, 0.3, 0.1, z)
+    # with zero forcing nothing goes negative, so conservation is exact
+    assert np.allclose(y.sum(axis=1), 10_000.0, rtol=1e-9)
+
+
+def test_continuous_sir_forcing_suppresses_epidemic():
+    from engage_spark.queries.kernels import sir_solve_continuous
+
+    z0 = sir_solve_continuous(30, 10_000.0, 100.0, 0.0, 0.3, 0.1, np.zeros(30))
+    zf = sir_solve_continuous(30, 10_000.0, 100.0, 0.0, 0.3, 0.1, np.full(30, 1.0))
+    # the z1 term drains infected directly (the reference's intervention
+    # covariate), damping transmission: more susceptibles never infected
+    assert zf[-1, 1] < z0[-1, 1]
+    assert zf[-1, 0] > z0[-1, 0]
+
+
+def test_continuous_sir_clamps_negative_to_zero():
+    from engage_spark.queries.kernels import odeint_compat, sir_rhs, sir_solve_continuous
+
+    # forcing larger than the infected pool drives I negative in the raw
+    # integration (the reference's RHS has no floor; only the post-hoc
+    # np.where clamp fixes signs, covid_simulator.py:152)
+    z = np.full(15, 2.0)
+    t = np.arange(15, dtype="float64")
+    raw = odeint_compat(
+        lambda h, s: sir_rhs(h, s, 0.2, 0.1, 1000.0, z), [995.0, 5.0, 0.0], t
+    )
+    assert raw.min() < 0  # the quirk is real...
+    y = sir_solve_continuous(15, 1_000.0, 5.0, 0.0, 0.2, 0.1, z)
+    assert (y >= 0).all() and np.isfinite(y).all()  # ...and clamped
+
+
+# ---------------------------------------------------------------------------
+# M3 LSTM stub: the guarded optional-dependency path
+
+
+def test_lstm_kernel_raises_cleanly_without_tensorflow():
+    from engage_spark.queries.kernels import lstm_fit_forecast
+
+    try:
+        import tensorflow  # noqa: F401
+
+        pytest.skip("tensorflow present; stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="tensorflow"):
+        lstm_fit_forecast(np.arange(50.0), 7, 5)
+
+
+def test_forecast_kernel_factory_default_is_ar():
+    from engage_spark.queries.kernels import forecast_kernel_fn
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.ones(40, dtype="int64"),
+            "event_id": np.arange(40),
+            "ts": pd.date_range("2024-01-01", periods=40),
+            "value": np.linspace(1, 40, 40),
+        }
+    )
+    out = forecast_kernel_fn(use_lstm=False)(pdf)
+    assert list(out.columns) == ["user_id", "step", "pred"]
+    assert len(out) == 30
+    direct = ar_fit_forecast(pdf["value"].to_numpy(), 7, 30)
+    assert np.allclose(out["pred"].to_numpy(), direct)
+
+
+def test_batch_integrator_matches_scalar_solver():
+    """sir_integrate_batch (the vectorized mapInPandas core) must agree
+    with sir_solve_continuous (the scalar odeint-compat twin) system by
+    system."""
+    from engage_spark.queries.kernels import sir_integrate_batch, sir_solve_continuous
+
+    alpha = np.array([0.2, 0.35, 0.01])
+    beta = np.array([0.1, 0.1, 0.1])
+    i0 = np.array([5.0, 100.0, 1.0])
+    z = np.array([0.0, 2.0, 5.0])
+    batch = sir_integrate_batch(alpha, beta, i0, z, 10_000.0, 25)
+    for b in range(3):
+        scalar = sir_solve_continuous(
+            25, 10_000.0, float(i0[b]), 0.0, float(alpha[b]), float(beta[b]),
+            np.full(25, z[b]),
+        )
+        assert np.allclose(batch[b], scalar, rtol=1e-9, atol=1e-9), b

@@ -46,3 +46,20 @@ def test_mixed_effects_pooled_fit_matches_numpy(spark, sf_dir):
     fe, *_ = np.linalg.lstsq(X, ev["value"].to_numpy(), rcond=None)
     assert abs(out.fe_intercept.iloc[0] - fe[0]) < 1e-6
     assert abs(out.fe_lag.iloc[0] - fe[1]) < 1e-6
+
+
+def test_govflags_glm_fits_all_eight_regressors(spark, sf_dir):
+    from engage_spark.registry import load_all
+
+    out = load_all()["m1b_glm_poisson_govflags"].fn(spark, sf_dir).toPandas()
+    coefs = dict(zip(out.coef_name, out.coef_value))
+    # intercept + d_temp + period_group + six policy flags
+    assert set(coefs) == {
+        "Intercept", "d_temp", "period_group", "CS", "ED", "GP", "NEBC", "OTH", "SAH"
+    }
+    assert all(np.isfinite(v) for v in coefs.values())
+    # y = ceil(value+0.5), d_temp = value-50: strong positive covariate
+    assert coefs["d_temp"] > 0
+    # flags are independent hash bits uncorrelated with y -> near zero
+    for fl in ["CS", "ED", "GP", "NEBC", "OTH", "SAH"]:
+        assert abs(coefs[fl]) < 0.2, (fl, coefs[fl])
