@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engage_spark.io import table
+from engage_spark.io import spread_small_scan, table
 from engage_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -222,7 +222,8 @@ def x2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64 family) → rows-only driver check; exactness is covered by
     planted-duplicate pytest cases and the oracle-checked
     `x_ngram_jaccard_pairs` ground-truth query."""
-    return minhash_candidate_pairs(table(spark, sf_dir, "documents"))
+    docs = spread_small_scan(spark, table(spark, sf_dir, "documents"))
+    return minhash_candidate_pairs(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +305,8 @@ def x2b_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over `documents` (hamming <= 8 via 16-bit
     chunk banding). xxhash64-based → rows-only driver check + planted
     pytest cases."""
-    return simhash_near_pairs(table(spark, sf_dir, "documents"))
+    docs = spread_small_scan(spark, table(spark, sf_dir, "documents"))
+    return simhash_near_pairs(docs)
 
 
 # ---------------------------------------------------------------------------
