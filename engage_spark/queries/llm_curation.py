@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engage_spark.io import table
+from engage_spark.io import spread_small_scan, table
 from engage_spark.queries.llm_dedup import _shingles_duck, _shingles_spark, _TOKS_DUCK, _TOKS_SPARK
 from engage_spark.registry import query
 
@@ -329,6 +329,92 @@ def x_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("planned_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+
+_DECON_N = 8  # n-gram width; 8-13 words is the usual decontamination range
+_EVAL_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" slice (~1%)
+# The corpus is synthetic word salad with no natural 8-gram overlap, so
+# both sides plant one canonical sentence on every 31st document — the
+# overlap path gets exercised on real hits (planted eval doc 0 puts the
+# sentence's n-grams into the benchmark set), and the oracle plants the
+# identical bytes.
+_DECON_SENT = (
+    "the quick benchmark sentence planted for decontamination parity checks here"
+)
+_DECON_PLANT_DUCK = f"""
+    CASE WHEN doc_id % 31 = 0 THEN text || ' {_DECON_SENT}' ELSE text END
+"""
+
+
+@query(
+    "x_decontaminate",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_DECON_PLANT_DUCK} AS text FROM documents),
+    t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM p),
+    s AS (SELECT doc_id, {_shingles_duck(_DECON_N)} AS sh FROM t),
+    eval_ng AS (
+        SELECT DISTINCT unnest(sh) AS ng FROM s WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    train AS (
+        SELECT doc_id, unnest(sh) AS ng FROM s WHERE doc_id % {_EVAL_MOD} != 0
+    ),
+    hits AS (
+        SELECT train.doc_id, count(*)::BIGINT AS n_hits
+        FROM train JOIN eval_ng USING (ng) GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_eval_ngram_hits,
+           CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {_EVAL_MOD} != 0
+    """,
+    covers=["X4", "X1"],
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word {_DECON_N}-gram with a held-out eval slice (doc_id %
+    {_EVAL_MOD} == 0 stands in for the benchmark set). The eval n-gram
+    set is tiny relative to the corpus (benchmarks always are), so it
+    BROADCASTS and the train side stays map-local: explode n-grams →
+    broadcast-hash join → per-doc partial-agg count. The train corpus
+    itself never shuffles — the only exchange is the per-doc hit count
+    (one row per contaminated doc). No reference counterpart; standard
+    pre-training hygiene at 100 TB."""
+    d = spread_small_scan(spark, table(spark, sf_dir, "documents"))
+    planted = F.when(
+        F.col("doc_id") % 31 == 0,
+        F.concat(F.col("text"), F.lit(" " + _DECON_SENT)),
+    ).otherwise(F.col("text"))
+    sh = d.select(
+        "doc_id", planted.alias("text")
+    ).select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("__toks")
+    ).select("doc_id", _shingles_spark(_DECON_N, "__toks").alias("sh"))
+    eval_ng = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("sh").alias("ng"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    train_ng = train.select("doc_id", F.explode("sh").alias("ng"))
+    hits = (
+        train_ng.join(F.broadcast(eval_ng), on="ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_eval_ngram_hits"),
+            F.when(F.coalesce("n_hits", F.lit(0)) > 0, 1).otherwise(0).alias(
+                "contaminated"
+            ),
+        )
     )
 
 

@@ -152,3 +152,21 @@ def test_registered_lsh_components_agree_with_exact_query(spark, sf_dir):
     assert {d for d, _, _ in exact} == {d for d, _, _ in lsh}
     agreement = len(exact & lsh) / len(exact)
     assert agreement >= 0.9, f"LSH clustering agreement {agreement:.3f}"
+
+
+def test_decontaminate_flags_planted_docs_only(spark, sf_dir):
+    from engage_spark.registry import load_all
+
+    out = load_all()["x_decontaminate"].fn(spark, sf_dir).toPandas()
+    # eval slice (doc_id % 97 == 0) must not appear in the train output
+    assert not (out.doc_id % 97 == 0).any()
+    flagged = set(out[out.contaminated == 1].doc_id)
+    planted = {d for d in out.doc_id if d % 31 == 0}
+    # every planted train doc shares the canonical sentence's 8-grams
+    # with planted eval doc 0 -> all flagged (naturally-overlapping
+    # word-salad docs may legitimately be flagged too)
+    assert planted <= flagged
+    # the 10-word planted sentence contributes 3 pure-sentence 8-grams,
+    # all present in eval doc 0's shingle set
+    by_id = out.set_index("doc_id").n_eval_ngram_hits
+    assert all(by_id[d] >= 3 for d in planted)
