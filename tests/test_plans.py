@@ -1,0 +1,79 @@
+"""Physical-plan shape assertions — the scale contract, pinned.
+
+Correctness tests prove the numbers match; these prove the PLAN is the
+one that survives 100 TB: filters reach the parquet scan, small dims
+broadcast instead of shuffling, aggregates combine map-side, candidate
+generation never degenerates to a cross product. A regression here is
+invisible at test scale and fatal at cluster scale, which is exactly
+why it's asserted mechanically.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(spark, sf_dir, qname: str) -> str:
+    from engage_spark.registry import load_all
+
+    df = load_all()[qname].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "s1_scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # pushdown is real, not an empty list
+    assert "PushedFilters: []" not in plan
+    # column pruning: the unused comment/address columns never leave parquet
+    assert "l_comment" not in plan
+
+
+def test_dim_join_broadcasts_not_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "j6_broadcast_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_aggregates_partially_before_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_topk_search_reduces_before_the_window_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x3_topk_cosine_search")
+    # the map-side partial top-k must sit between scoring and ranking
+    assert "MapInPandas" in plan
+    # query set broadcasts; corpus side never sort-merge-joins
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_never_degenerates_to_cross_product(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x2_minhash_lsh_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_broadcasts_the_eval_ngrams(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_plan_broadcasts_the_totals_row(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x_mixture_plan")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q1_pricing_summary", "j1_inner_join_multikey", "a2_a3_groupby_sum_max"],
+)
+def test_no_python_in_relational_hot_paths(spark, sf_dir, qname):
+    plan = _plan(spark, sf_dir, qname)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{qname} plan contains {marker}"
