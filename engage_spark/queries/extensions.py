@@ -244,3 +244,92 @@ def x4_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("terms").cast("long").alias("n_terms"),
         F.round(top, 6).alias("top_tfidf"),
     )
+
+# ---------------------------------------------------------------------------
+# MLlib LSH twins (§2.12: the SURVEY-named primitives, as cross-checks
+# of the hand-built banding/hyperplane paths)
+
+
+@query("x2c_mllib_minhash_join", oracle=None, covers=["X2"])
+def x2c_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MLlib MinHashLSH.approxSimilarityJoin — the
+    primitive SURVEY §2.12 X2 names. Pipeline: Tokenizer → NGram(3) →
+    HashingTF (binary; MinHash needs set semantics) → MinHashLSH join at
+    Jaccard distance <= 0.5. Cross-checks the hand-built banding path
+    (x2_minhash_lsh_dedup): pytest asserts every exact-Jaccard >= 0.7
+    pair is found by both. Returns (doc_a, doc_b, jaccard_distance).
+    Seeded → deterministic; rows-only driver check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+
+    from engage_spark.io import spread_small_scan
+
+    docs = spread_small_scan(
+        spark,
+        table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text")),
+    )
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    grams = NGram(n=3, inputCol="words", outputCol="grams").transform(toks)
+    # binary=True: presence/absence vector — MinHash is defined on sets
+    tf = HashingTF(
+        inputCol="grams", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(grams).filter(F.expr("aggregate(grams, 0, (a, x) -> a + 1) > 0"))
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(tf)
+    joined = model.approxSimilarityJoin(tf, tf, 0.5, distCol="jaccard_distance")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_distance", 6).alias("jaccard_distance"),
+        )
+    )
+
+
+@query("x3d_mllib_brp_ann", oracle=None, covers=["X3"])
+def x3d_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via MLlib BucketedRandomProjectionLSH (the SURVEY §2.12 X3
+    scale primitive): embeddings are L2-normalized so Euclidean
+    bucketing orders like cosine (||a-b||² = 2-2cos on the unit
+    sphere), then approxNearestNeighbors per query vector. Seeded →
+    deterministic; rows-only driver check; recall vs exact top-k is
+    pytest-asserted. Complements the hand-built sign-bit LSH (x3b) and
+    IVF (x3c) paths."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+    )
+    normed = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(e)
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=4, seed=42,
+    ).fit(normed)
+    queries = normed.filter(F.col("vec_id") < 10).select(
+        "vec_id", vector_to_array("features").alias("qv")
+    ).collect()
+    # approxNearestNeighbors is per-key (the MLlib API contract); the
+    # query set is tiny by construction, so the driver loop is over
+    # queries, never over the corpus
+    from functools import reduce
+
+    from pyspark.ml.linalg import Vectors
+
+    outs = []
+    for row in queries:
+        knn = model.approxNearestNeighbors(
+            normed.filter(F.col("vec_id") != row.vec_id),
+            Vectors.dense(row.qv),
+            5,
+            distCol="dist",
+        )
+        outs.append(
+            knn.select(
+                F.lit(row.vec_id).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(1.0 - F.pow(F.col("dist"), 2) / 2.0, 6).alias("cosine"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -170,3 +170,45 @@ def test_decontaminate_flags_planted_docs_only(spark, sf_dir):
     # all present in eval doc 0's shingle set
     by_id = out.set_index("doc_id").n_eval_ngram_hits
     assert all(by_id[d] >= 3 for d in planted)
+
+
+def test_mllib_minhash_agrees_with_custom_banding(spark, sf_dir):
+    """MLlib MinHashLSH.approxSimilarityJoin and the hand-built banding
+    path must both surface every strong near-dup pair (exact trigram
+    Jaccard >= 0.9: the 8x4 banding S-curve detects those with prob
+    1-(1-0.9^4)^8 ~ 0.9998, so a miss means a bug, not banding luck —
+    at 0.7 the same curve misses ~11% of pairs by design)."""
+    from engage_spark.registry import load_all
+
+    reg = load_all()
+    strong = {
+        (r.doc_a, r.doc_b)
+        for r in reg["x_ngram_jaccard_pairs"].fn(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    if not strong:
+        pytest.skip("no strong pairs at this sf")
+    custom = {
+        (r.doc_a, r.doc_b)
+        for r in reg["x2_minhash_lsh_dedup"].fn(spark, sf_dir).collect()
+    }
+    mllib = {
+        (r.doc_a, r.doc_b)
+        for r in reg["x2c_mllib_minhash_join"].fn(spark, sf_dir).collect()
+    }
+    assert strong <= custom, f"custom misses {strong - custom}"
+    assert strong <= mllib, f"mllib misses {strong - mllib}"
+
+
+def test_mllib_brp_ann_recall_vs_brute_force(spark, sf_dir):
+    from engage_spark.registry import load_all
+
+    reg = load_all()
+    exact = reg["x3_topk_cosine_search"].fn(spark, sf_dir).collect()
+    brp = reg["x3d_mllib_brp_ann"].fn(spark, sf_dir).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    brp_set = {(r.query_id, r.neighbor_id) for r in brp}
+    recall = len(exact_set & brp_set) / len(exact_set)
+    assert recall >= 0.2, f"BRP-LSH recall {recall:.2f} too low"
+    # cosine reconstructed from unit-sphere euclidean: 1 - d^2/2
+    assert all(-1.0 - 1e-6 <= r.cosine <= 1.0 + 1e-6 for r in brp)
