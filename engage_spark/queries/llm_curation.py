@@ -62,23 +62,22 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
+        # one materializing job per round: the checkpointed frame carries
+        # the new label AND a per-row changed flag, so convergence
+        # detection is a cheap scan of the checkpoint instead of a second
+        # join of old vs new labels (which doubled the per-round cost)
+        new_comp = F.least(F.col("component"), F.coalesce("nbr_min", "component"))
+        staged = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
+                new_comp.alias("new_component"),
+                (new_comp < F.col("component")).cast("int").alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = staged.agg(F.sum("__chg")).first()[0] or 0
+        labels = staged.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
     else:

@@ -161,19 +161,30 @@ def minhash_candidate_pairs(
     (band, key) → self-join within buckets → distinct pairs → verify.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    shingled = (
+    # Everything downstream works on 32-bit shingle HASHES, never the
+    # shingle strings: signatures are hash math anyway, and the verify
+    # join then moves array<long> (8 B/shingle) instead of word trigrams
+    # (~20-30 B each) — the strings never leave the first map stage.
+    # Hash-Jaccard equals string-Jaccard except on 32-bit collisions
+    # (P ~ |union|²/2³³ per pair — negligible); the string-exact ground
+    # truth lives in x_ngram_jaccard_pairs, which is oracle-checked.
+    hashed = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         .select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
         .select("doc_id", _shingles_spark(n, "__toks").alias("__sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(__sh, s -> pmod(xxhash64(s), 4294967296)))"
+            ).alias("__h"),
+        )
     )
 
     # Shuffle hygiene at scale: the banding explode and the bucket
     # self-join move ONLY (doc_id, band, band_key) — 24 bytes/row —
-    # never the shingle arrays. Shingles rejoin just for the candidate
+    # never the hash arrays. Hashes rejoin just for the candidate
     # pairs that survive banding (orders of magnitude fewer than docs).
-    sigs = shingled.withColumn(
-        "__h", F.expr("transform(__sh, s -> pmod(xxhash64(s), 4294967296))")
-    ).select("doc_id", minhash_signature(F.col("__h")).alias("sig"))
+    sigs = hashed.select("doc_id", minhash_signature(F.col("__h")).alias("sig"))
 
     bands = sigs.select(
         "doc_id",
@@ -201,8 +212,8 @@ def minhash_candidate_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("sh_b"))
+    sh_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("sh_a"))
+    sh_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     ).cast("double")

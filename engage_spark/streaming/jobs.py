@@ -104,6 +104,22 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup — the exactly-once guard an at-least-once
+    event log needs (re-delivered rows collapse to one). The streaming
+    twin of x1_exact_dedup's hash-groupBy shape, keyed on event_id.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-correct form: plain
+    streaming dropDuplicates keeps EVERY seen key in the state store
+    forever (unbounded at 100 TB/day); the watermark variant evicts keys
+    once they age past the horizon, bounding state to one key per event
+    inside the window while still catching any duplicate delivered
+    within it."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_dir: str, name: str) -> None:
     """Drain the stream with Trigger.AvailableNow into a parquet sink —
     the batch-of-a-stream execution mode (used by tests and backfills)."""

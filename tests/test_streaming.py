@@ -137,3 +137,40 @@ def test_stateful_running_stats_matches_batch(spark, sf_dir, tmp_path):
     assert len(merged) == len(exp)
     assert (merged.n_events_got == merged.n_events_exp).all()
     assert (merged.ewma_value_got - merged.ewma_value_exp).abs().max() < 1e-9
+
+
+def test_streaming_dedup_collapses_redelivered_events(spark, sf_dir, tmp_path):
+    """Feed the same events file twice (an at-least-once redelivery) —
+    the watermarked streaming dedup must emit each event_id once."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from engage_spark.io import _nano_ts_fields
+    from engage_spark.streaming import dedup_events_stream
+
+    src = f"{sf_dir}/events.parquet"
+    redelivered = tmp_path / "redelivered"
+    redelivered.mkdir()
+    shutil.copy(src, redelivered / "delivery_1.parquet")
+    shutil.copy(src, redelivered / "delivery_2.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = table(spark, sf_dir, "events").schema
+    nano = set(_nano_ts_fields(src))
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name in nano else f.dataType)
+            for f in batch_schema.fields
+        ]
+    )
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(
+        str(redelivered)
+    )
+    for name in nano:
+        stream = stream.withColumn(name, F.expr(f"timestamp_micros({name} div 1000)"))
+
+    got = _drain(spark, dedup_events_stream(stream), tmp_path, "dedup")
+    n_unique = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert len(got) == n_unique
+    assert got.event_id.is_unique
