@@ -212,3 +212,70 @@ def test_mllib_brp_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"BRP-LSH recall {recall:.2f} too low"
     # cosine reconstructed from unit-sphere euclidean: 1 - d^2/2
     assert all(-1.0 - 1e-6 <= r.cosine <= 1.0 + 1e-6 for r in brp)
+
+
+def test_star_cc_matches_propagation_on_planted(spark, planted):
+    from engage_spark.queries.llm_curation import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = minhash_candidate_pairs(planted, jaccard_threshold=0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = planted.select("doc_id")
+    prop = {
+        r.node: r.component
+        for r in connected_components(nodes, edges, node_col="doc_id").collect()
+    }
+    star = {
+        r.node: r.component
+        for r in connected_components_star(nodes, edges, node_col="doc_id").collect()
+    }
+    assert star == prop == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+
+
+def test_star_cc_handles_high_diameter_paths(spark):
+    """A 60-node path graph has diameter 59 — min-label propagation
+    needs 59 rounds (its documented weakness); large-star/small-star
+    converges in O(log² n) rounds and must still find one component."""
+    from engage_spark.queries.llm_curation import connected_components_star
+
+    n = 60
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    edges = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    out = connected_components_star(nodes, edges)
+    comps = {r.node: r.component for r in out.collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == n
+
+
+def test_star_cc_on_random_graph_matches_propagation(spark):
+    import random
+
+    from engage_spark.queries.llm_curation import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 80
+    edge_list = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(50)
+    ]
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame(
+        [e for e in edge_list if e[0] != e[1]], ["src", "dst"]
+    )
+    prop = {
+        r.node: r.component
+        for r in connected_components(nodes, edges, max_iter=80).collect()
+    }
+    star = {
+        r.node: r.component
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert star == prop
