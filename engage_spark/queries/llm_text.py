@@ -185,3 +185,66 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Lexicon sentiment (the "simple sentiment scoring" SURVEY §2.12 X4 names)
+
+# Lexicons picked to intersect the synthetic corpus vocabulary (it's
+# database word salad — "fast"/"slow" are its polarity axis) so the
+# operator is exercised on real hits; a deployment swaps in VADER/AFINN.
+_POS_WORDS = ("fast", "small", "good", "great", "excellent", "happy",
+              "love", "best", "wonderful", "clear")
+_NEG_WORDS = ("slow", "bad", "terrible", "awful", "sad", "hate",
+              "worst", "gloomy", "dark", "broken")
+
+
+@query(
+    "x_text_sentiment",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+    SELECT doc_id,
+           len(list_filter(toks, w -> w IN ({_sql_list(_POS_WORDS)})))::BIGINT
+               AS n_pos,
+           len(list_filter(toks, w -> w IN ({_sql_list(_NEG_WORDS)})))::BIGINT
+               AS n_neg,
+           round((len(list_filter(toks, w -> w IN ({_sql_list(_POS_WORDS)})))
+                  - len(list_filter(toks, w -> w IN ({_sql_list(_NEG_WORDS)}))))
+                 / greatest(len(toks), 1)::DOUBLE + 1e-9, 6) AS sentiment
+    FROM t
+    """,
+    covers=["X4"],
+)
+def x_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring (SURVEY §2.12 X4's 'simple sentiment
+    scoring'): per-document positive/negative lexicon hit counts and a
+    length-normalized polarity in [-1, 1]. Pure higher-order array
+    filters over the token array — map-only, codegen'd, no shuffle; at
+    100 TB this is a scan-project stage like the other text metrics.
+    Real deployments swap the 10-word lexicons for VADER/AFINN-scale
+    ones — the plan shape is identical (IN-list over tokens)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    pos_arr = F.array(*[F.lit(w) for w in _POS_WORDS])
+    neg_arr = F.array(*[F.lit(w) for w in _NEG_WORDS])
+    d2 = d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda w: F.array_contains(pos_arr, w)))
+        .cast("long")
+        .alias("n_pos"),
+        F.size(F.filter(toks, lambda w: F.array_contains(neg_arr, w)))
+        .cast("long")
+        .alias("n_neg"),
+        F.size(toks).alias("__n"),
+    )
+    return d2.select(
+        "doc_id",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("n_pos") - F.col("n_neg"))
+            / F.greatest(F.col("__n"), F.lit(1)).cast("double")
+            + 1e-9,
+            6,
+        ).alias("sentiment"),
+    )
