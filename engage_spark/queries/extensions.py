@@ -333,3 +333,54 @@ def x3d_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# Pivot — wide reshape (long -> one column per category value)
+
+
+@query(
+    "ext_pivot_wide",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) + 1e-9, 2)
+               AS status_F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) + 1e-9, 2)
+               AS status_O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) + 1e-9, 2)
+               AS status_P,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    covers=["A2"],
+)
+def ext_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide: revenue per order priority broken out by order
+    status (`groupBy().pivot(values).agg`). The value list is passed
+    EXPLICITLY — without it Spark runs an extra distinct-scan job over
+    the pivot column to discover categories before planning, a full
+    corpus pass at 100 TB. With explicit values this is one scan and
+    one shuffle of (priorities x statuses) partial aggregates, same
+    cost as the equivalent conditional-aggregation form the oracle
+    uses. Cells with no rows stay NULL on both engines."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.round(F.col("F_rev") + 1e-9, 2).alias("status_F"),
+        F.round(F.col("O_rev") + 1e-9, 2).alias("status_O"),
+        F.round(F.col("P_rev") + 1e-9, 2).alias("status_P"),
+        (
+            F.coalesce(F.col("F_n"), F.lit(0))
+            + F.coalesce(F.col("O_n"), F.lit(0))
+            + F.coalesce(F.col("P_n"), F.lit(0))
+        ).alias("n_orders"),
+    )

@@ -252,3 +252,100 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: int8 scalar quantization (the standard storage
+# / memory-bandwidth lever for vector search at corpus scale — a 64-dim
+# float32 embedding shrinks 4x; IVF/LSH probing then scans int8).
+
+
+@query(
+    "x_embed_quantize",
+    oracle="""
+    WITH t AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, e,
+               greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0
+                   AS scale
+        FROM t
+    ),
+    q AS (
+        SELECT vec_id, e, scale,
+               list_transform(e, x -> round(x / scale)::INT) AS qv
+        FROM s
+    ),
+    d AS (
+        SELECT vec_id, e, scale, qv,
+               list_transform(qv, v -> v * scale) AS dq
+        FROM q
+    )
+    SELECT vec_id,
+           round(scale + 1e-9, 6) AS scale,
+           list_sum(qv)::BIGINT AS q_sum,
+           list_sum(list_transform(qv, v -> abs(v)))::BIGINT AS q_l1,
+           round(list_max(list_transform(range(1, len(e) + 1),
+                                         i -> abs(e[i] - dq[i]))) + 1e-9, 6)
+               AS max_abs_err,
+           round(list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * dq[i]))
+                 / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(dq, x -> x * x)))) + 1e-9, 6)
+               AS cos_q
+    FROM d
+    """,
+    covers=["X3"],
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column with exact
+    integer checksums (q_sum, q_l1) and reconstruction metrics
+    (max_abs_err <= scale/2 by construction, cosine vs the original).
+
+    Map-only codegen'd higher-order expressions — no shuffle, no
+    Python; at 100 TB this runs at scan speed and the quantized
+    arrays feed the ANN paths (x3b/x3c) at 1/4 the memory bandwidth.
+    The dequantized array is materialized as a column ONCE and both
+    metrics read it, so Spark and the oracle share the identical
+    floating-point evaluation order (a*(v*scale), summed left to
+    right) — bit-equal doubles, not just close ones."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    s = e.select(
+        "vec_id",
+        "e",
+        (
+            F.greatest(
+                F.array_max(F.transform("e", lambda x: F.abs(x))), F.lit(1e-30)
+            )
+            / 127.0
+        ).alias("scale"),
+    )
+    q = s.select(
+        "vec_id",
+        "e",
+        "scale",
+        F.expr("transform(e, x -> cast(round(x / scale) as int))").alias("qv"),
+    )
+    d = q.select(
+        "vec_id",
+        "e",
+        "scale",
+        "qv",
+        F.expr("transform(qv, v -> v * scale)").alias("dq"),
+    )
+    dot = F.expr("aggregate(zip_with(e, dq, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)")
+    norm_e = F.sqrt(F.expr("aggregate(transform(e, x -> x * x), 0.0D, (acc, x) -> acc + x)"))
+    norm_d = F.sqrt(F.expr("aggregate(transform(dq, x -> x * x), 0.0D, (acc, x) -> acc + x)"))
+    return d.select(
+        "vec_id",
+        F.round(F.col("scale") + 1e-9, 6).alias("scale"),
+        F.expr("aggregate(qv, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        F.expr("aggregate(qv, 0L, (acc, v) -> acc + abs(v))").alias("q_l1"),
+        F.round(
+            F.array_max(F.expr("zip_with(e, dq, (a, b) -> abs(a - b))")) + 1e-9, 6
+        ).alias("max_abs_err"),
+        F.round(dot / (norm_e * norm_d) + 1e-9, 6).alias("cos_q"),
+    )

@@ -12,7 +12,7 @@ semantics on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engage_spark.io import table
@@ -247,4 +247,125 @@ def x_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1e-9,
             6,
         ).alias("sentiment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition ratios (Rae et al. 2021 §A1.1 "repetition"
+# filters — the duplicate-n-gram family, applied at word/bigram level
+# because the synthetic corpus has no line or sentence structure).
+
+
+def _run_stats(sorted_arr: Column) -> Column:
+    """struct(maxrun, dup) over a SORTED string array: `maxrun` is the
+    count of the most frequent element, `dup` the total number of
+    elements whose value occurs more than once. One O(n) left fold —
+    per-document work, map-only, no shuffle; the explode → groupBy
+    formulation would shuffle one row per corpus token (trillions at
+    100 TB) to compute a per-document statistic."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("dup"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        new_dup = F.when(~same & (acc["run"] > 1), acc["dup"] + acc["run"]).otherwise(
+            acc["dup"]
+        )
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["maxrun"], new_run).alias("maxrun"),
+            new_dup.alias("dup"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            acc["maxrun"].alias("maxrun"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, merge, finish)
+
+
+@query(
+    "x_gopher_repetition",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    base AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS bg
+        FROM t
+    ),
+    wc AS (SELECT doc_id, w, count(*) AS c
+           FROM (SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY doc_id, w),
+    ws AS (SELECT doc_id, max(c) AS maxw, count(*) AS dw,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupw
+           FROM wc GROUP BY doc_id),
+    bc AS (SELECT doc_id, b, count(*) AS c
+           FROM (SELECT doc_id, unnest(bg) AS b FROM base) GROUP BY doc_id, b),
+    bs AS (SELECT doc_id, max(c) AS maxb,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb
+           FROM bc GROUP BY doc_id)
+    SELECT base.doc_id,
+           round(ws.dw / base.n::DOUBLE + 1e-9, 6) AS ttr,
+           round(ws.maxw / base.n::DOUBLE + 1e-9, 6) AS top_word_frac,
+           round(coalesce(ws.dupw, 0) / base.n::DOUBLE + 1e-9, 6) AS dup_word_frac,
+           round(coalesce(bs.maxb, 0) / greatest(len(base.bg), 1)::DOUBLE + 1e-9, 6)
+               AS top_bigram_frac,
+           round(coalesce(bs.dupb, 0) / greatest(len(base.bg), 1)::DOUBLE + 1e-9, 6)
+               AS dup_bigram_frac
+    FROM base JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+    """,
+    covers=["X4"],
+)
+def x_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratios per document (the Gopher duplicate-n-gram
+    filter family): type-token ratio, most-frequent-word fraction,
+    repeated-word token fraction, and the bigram analogues.
+
+    Everything is a per-document fold over the (sorted) token / bigram
+    arrays — a single codegen'd map stage with zero shuffle. The oracle
+    computes the same statistics relationally (unnest → GROUP BY),
+    which is the formulation this plan deliberately avoids at scale:
+    it would shuffle one row per corpus token."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    d2 = d.select("doc_id", toks.alias("__toks")).select(
+        "doc_id",
+        "__toks",
+        F.expr(
+            "zip_with(slice(__toks, 1, size(__toks) - 1),"
+            "         slice(__toks, 2, size(__toks) - 1),"
+            "         (a, b) -> concat_ws(' ', a, b))"
+        ).alias("__bg"),
+    )
+    n = F.size("__toks").cast("double")
+    nb = F.greatest(F.size("__bg"), F.lit(1)).cast("double")
+    wstats = _run_stats(F.array_sort("__toks"))
+    bstats = _run_stats(F.array_sort("__bg"))
+    d3 = d2.select(
+        "doc_id",
+        n.alias("__n"),
+        nb.alias("__nb"),
+        F.size(F.array_distinct("__toks")).alias("__dw"),
+        wstats.alias("__w"),
+        bstats.alias("__b"),
+    )
+    return d3.select(
+        "doc_id",
+        F.round(F.col("__dw") / F.col("__n") + 1e-9, 6).alias("ttr"),
+        F.round(F.col("__w")["maxrun"] / F.col("__n") + 1e-9, 6).alias("top_word_frac"),
+        F.round(F.col("__w")["dup"] / F.col("__n") + 1e-9, 6).alias("dup_word_frac"),
+        F.round(F.col("__b")["maxrun"] / F.col("__nb") + 1e-9, 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.col("__b")["dup"] / F.col("__nb") + 1e-9, 6).alias("dup_bigram_frac"),
     )

@@ -279,3 +279,84 @@ def test_star_cc_on_random_graph_matches_propagation(spark):
         for r in connected_components_star(nodes, edges).collect()
     }
     assert star == prop
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition ratios
+
+
+def test_gopher_repetition_planted_values(spark):
+    import engage_spark.queries.llm_text as lt
+
+    docs = spark.createDataFrame(
+        [
+            # "a a a b": 4 toks, 2 distinct, top word a=3, dup tokens 3;
+            # bigrams [a a, a a, a b]: top "a a"=2, dup 2
+            (1, "a a a b", "en", "t", 7),
+            # all distinct: ttr 1, top 1/3, no dups
+            (2, "x y z", "en", "t", 5),
+            # single token: bigram list empty -> bigram fracs 0
+            (3, "solo", "en", "t", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = lt.table
+    lt.table = lambda s, d, n: docs  # noqa: E731
+    try:
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in lt.x_gopher_repetition(spark, "ignored").collect()
+        }
+    finally:
+        lt.table = orig
+    assert got[1]["ttr"] == 0.5
+    assert got[1]["top_word_frac"] == 0.75
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["top_bigram_frac"] == round(2 / 3 + 1e-9, 6)
+    assert got[1]["dup_bigram_frac"] == round(2 / 3 + 1e-9, 6)
+    assert got[2]["ttr"] == 1.0
+    assert got[2]["top_word_frac"] == round(1 / 3 + 1e-9, 6)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0
+    assert got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_embed_quantize_invariants(spark, sf_dir):
+    from engage_spark.queries.llm_similarity import x_embed_quantize
+
+    rows = x_embed_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # reconstruction error bounded by half a quantization step
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-6
+        # int8 range respected => L1 of 64 dims bounded by 64*127
+        assert r["q_l1"] <= 64 * 127
+        assert abs(r["q_sum"]) <= r["q_l1"]
+        # 8-bit quantization of a 64-dim vector barely moves cosine
+        assert r["cos_q"] >= 0.999
+
+
+def test_pivot_wide_matches_conditional_agg(spark, sf_dir):
+    from engage_spark.queries.extensions import ext_pivot_wide
+    from engage_spark.io import table
+    import pyspark.sql.functions as F
+
+    piv = {r["o_orderpriority"]: r for r in ext_pivot_wide(spark, sf_dir).collect()}
+    o = table(spark, sf_dir, "orders")
+    flat = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")))
+                + 1e-9,
+                2,
+            ).alias("status_F"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+    assert set(piv) == set(flat)
+    for k in piv:
+        assert piv[k]["status_F"] == flat[k]["status_F"]
+        assert piv[k]["n_orders"] == flat[k]["n_orders"]
