@@ -13,6 +13,7 @@ from engage_spark.queries import (  # noqa: F401
     llm_text,
     llm_curation,
     multimodal,
+    streaming_twins,
     sinks,
     extensions,
     custom_joins,

@@ -1,0 +1,110 @@
+"""Structured-Streaming twins registered as driver-checked queries.
+
+The streaming transformations live in `engage_spark.streaming.jobs`;
+pytest already drains them with Trigger.AvailableNow and compares to
+the batch forms. These two queries put that same execution path under
+the DRIVER's hash-compare signal: each runs a real streaming query
+(readStream → watermark/window/state → memory sink, AvailableNow
+trigger), then returns the sink table, which must hash-match the same
+DuckDB oracle the batch twin uses. Streaming correctness stops being
+"trust the pytest" and becomes a green CORRECTNESS row.
+
+Scale notes: AvailableNow is the backfill execution mode — the same
+declaration runs unbounded with a real sink; the memory sink here holds
+only the aggregated/deduped result at check scale (windows x types, or
+one row per unique event), never the raw stream. Watermarks bound the
+state store exactly as in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engage_spark.registry import query
+from engage_spark.streaming.jobs import (
+    stream_events_from_parquet,
+    tumbling_counts_stream,
+)
+
+# memory-sink names must be unique per started query within a session
+_SINK_SEQ = {"n": 0}
+
+
+def _drain_to_memory(stream_df: DataFrame, prefix: str, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink and return the sink table."""
+    _SINK_SEQ["n"] += 1
+    name = f"{prefix}_{_SINK_SEQ['n']}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "st_tumbling_window_agg",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    covers=["STREAM-T"],
+)
+def st_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tumbling-window aggregate, executed as an actual
+    streaming query (readStream → watermark → window agg → memory sink,
+    AvailableNow) and checked against the SAME oracle as its batch twin
+    ev_tumbling_window_agg. Complete output mode: with AvailableNow the
+    watermark only advances at batch end, so append would withhold the
+    final open windows; complete emits every window, which is what the
+    batch-equivalence check needs."""
+    ev = stream_events_from_parquet(spark, sf_dir)
+    out = _drain_to_memory(tumbling_counts_stream(ev), "st_tumbling", "complete")
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "st_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+    covers=["STREAM-T", "X1"],
+)
+def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery, driver-checked:
+    the event stream is unioned with ITSELF (every event delivered
+    twice — the redelivery pattern an at-least-once log produces), then
+    `dropDuplicatesWithinWatermark` on event_id collapses the copies.
+    The oracle is simply the original events table: dedup must restore
+    exactly-once. Both delivered copies are byte-identical, so the
+    output is deterministic regardless of which copy wins the state
+    race. State stays bounded: keys evict once they age past the
+    watermark horizon (see streaming.jobs.dedup_events_stream)."""
+    ev = stream_events_from_parquet(spark, sf_dir)
+    redelivered = ev.union(ev)
+    deduped = redelivered.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _drain_to_memory(deduped, "st_dedup", "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
