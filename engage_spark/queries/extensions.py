@@ -384,3 +384,36 @@ def ext_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("P_n"), F.lit(0))
         ).alias("n_orders"),
     )
+
+
+@query(
+    "ext_unpivot_long",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS status,
+           round(sum(o_totalprice) + 1e-9, 2) AS revenue
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+    covers=["A2"],
+)
+def ext_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) back to long: the wide pivot output reshaped with
+    `DataFrame.unpivot`, which must round-trip to the plain two-key
+    groupBy the oracle computes. Absent (priority, status) cells are
+    NULL in the wide form and dropped here, matching the groupBy's
+    absent rows. Unpivot is a zero-shuffle projection (each wide row
+    explodes to <= 3 long rows map-side)."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice") + 1e-9, 2))
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["F", "O", "P"],
+            variableColumnName="status",
+            valueColumnName="revenue",
+        )
+        .filter(F.col("revenue").isNotNull())
+    )
