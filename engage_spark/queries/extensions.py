@@ -292,12 +292,22 @@ def x3d_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via MLlib BucketedRandomProjectionLSH (the SURVEY §2.12 X3
     scale primitive): embeddings are L2-normalized so Euclidean
     bucketing orders like cosine (||a-b||² = 2-2cos on the unit
-    sphere), then approxNearestNeighbors per query vector. Seeded →
-    deterministic; rows-only driver check; recall vs exact top-k is
-    pytest-asserted. Complements the hand-built sign-bit LSH (x3b) and
-    IVF (x3c) paths."""
+    sphere), then ONE distributed `approxSimilarityJoin` of the query
+    subset against the corpus and a per-query top-k window over the
+    bucket-pruned candidates. Seeded → deterministic; rows-only driver
+    check; recall vs exact top-k is pytest-asserted. Complements the
+    hand-built sign-bit LSH (x3b) and IVF (x3c) paths.
+
+    Earlier form looped `approxNearestNeighbors` per query vector on
+    the driver — 10 sequential Spark jobs, and a shape that degrades
+    linearly with query count. The similarity join is a single plan for
+    any number of queries: both sides hash, candidates pair only
+    within matching buckets (never all-pairs), and the ranking
+    exchange carries only bucket-pruned candidate rows. The distance
+    threshold (cos >= 0.0 ⇒ d <= sqrt(2)) only prunes pairs the top-k
+    could never keep."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
@@ -307,32 +317,25 @@ def x3d_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="features", outputCol="hashes", bucketLength=0.5,
         numHashTables=4, seed=42,
     ).fit(normed)
-    queries = normed.filter(F.col("vec_id") < 10).select(
-        "vec_id", vector_to_array("features").alias("qv")
-    ).collect()
-    # approxNearestNeighbors is per-key (the MLlib API contract); the
-    # query set is tiny by construction, so the driver loop is over
-    # queries, never over the corpus
-    from functools import reduce
-
-    from pyspark.ml.linalg import Vectors
-
-    outs = []
-    for row in queries:
-        knn = model.approxNearestNeighbors(
-            normed.filter(F.col("vec_id") != row.vec_id),
-            Vectors.dense(row.qv),
-            5,
-            distCol="dist",
+    queries = normed.filter(F.col("vec_id") < 10)
+    joined = model.approxSimilarityJoin(
+        queries, normed, threshold=1.4142135, distCol="dist"
+    ).filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        joined.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("dist"),
         )
-        outs.append(
-            knn.select(
-                F.lit(row.vec_id).cast("long").alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                F.round(1.0 - F.pow(F.col("dist"), 2) / 2.0, 6).alias("cosine"),
-            )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(1.0 - F.pow(F.col("dist"), 2) / 2.0, 6).alias("cosine"),
         )
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    )
 
 
 # ---------------------------------------------------------------------------
