@@ -77,3 +77,32 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir, qname):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, f"{qname} plan contains {marker}"
+
+
+def test_repetition_metrics_are_map_only(spark, sf_dir):
+    # per-doc fold: no shuffle, no Python — the whole point vs the
+    # oracle's explode->groupBy (one shuffled row per corpus token)
+    plan = _plan(spark, sf_dir, "x_gopher_repetition")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_quantization_is_map_only_jvm(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x_embed_quantize")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_pivot_is_one_exchange_with_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ext_pivot_wide")
+    # explicit value list => no hidden distinct-scan discovery job.
+    # Spark plans pivot as two-phase: (key, pivot-col) agg, then
+    # pivotfirst by key — the second exchange carries only
+    # (priorities x statuses) rows. Both phases combine map-side.
+    assert plan.count("Exchange") == 2
+    assert plan.count("partial_") >= 2
+
+
+def test_brp_similarity_join_never_cross_products(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x3d_mllib_brp_ann")
+    assert "CartesianProduct" not in plan
