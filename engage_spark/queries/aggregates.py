@@ -215,3 +215,57 @@ def a12_rmse_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "x_profile_columns",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name, count({c})::BIGINT AS n,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               min({c})::DOUBLE AS min_v, max({c})::DOUBLE AS max_v,
+               round(avg({c}) + 1e-9, 4) AS mean_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+    covers=["A5", "A9"],
+)
+def x_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the `ANALYZE`/data-quality pass a pipeline runs
+    before training): per-column non-null count, null count, exact
+    distinct count, min/max/mean — one row per column.
+
+    One aggregation pass computes every metric; the multi-column exact
+    DISTINCT makes Catalyst plan an Expand (one row copy per distinct
+    aggregate) before the shuffle — exact profiling is a deliberate
+    luxury. At 100 TB swap `countDistinct` for
+    `approx_count_distinct` (HLL++, fixed state, no Expand) — the
+    sketch variant of this query is ext_approx_sketches. The wide
+    single row unpivots to long via `stack` (map-side, no shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.round(F.avg(c) + 1e-9, 4).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n, n_null, n_distinct, min_v, max_v, mean_v)"
+        )
+    )

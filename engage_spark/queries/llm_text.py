@@ -12,10 +12,12 @@ semantics on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from engage_spark.io import table
+from engage_spark.io import spread_small_scan, table
 from engage_spark.registry import query
 
 # Whitespace tokenizer — identical semantics in Spark `split` and DuckDB
@@ -256,42 +258,40 @@ def x_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # because the synthetic corpus has no line or sentence structure).
 
 
-def _run_stats(sorted_arr: Column) -> Column:
-    """struct(maxrun, dup) over a SORTED string array: `maxrun` is the
-    count of the most frequent element, `dup` the total number of
-    elements whose value occurs more than once. One O(n) left fold —
-    per-document work, map-only, no shuffle; the explode → groupBy
-    formulation would shuffle one row per corpus token (trillions at
-    100 TB) to compute a per-document statistic."""
-    acc0 = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("maxrun"),
-        F.lit(0).alias("dup"),
-    )
+def _rep_counts_udf():
+    """Arrow-batched kernel: per-document integer repetition counts
+    from the token array — distinct words (dw), most-frequent-word
+    count (maxw), tokens belonging to repeated words (dupw), and the
+    bigram analogues (maxb, dupb, nb). Integers only: every fraction
+    and its rounding stays JVM-side, so the oracle comparison never
+    touches Python float semantics.
 
-    def merge(acc: Column, x: Column) -> Column:
-        same = (acc["run"] > 0) & (x == acc["prev"])
-        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
-        new_dup = F.when(~same & (acc["run"] > 1), acc["dup"] + acc["run"]).otherwise(
-            acc["dup"]
-        )
-        return F.struct(
-            x.alias("prev"),
-            new_run.alias("run"),
-            F.greatest(acc["maxrun"], new_run).alias("maxrun"),
-            new_dup.alias("dup"),
-        )
+    This replaces an all-JVM `aggregate()` fold over the sorted
+    arrays: higher-order lambdas never enter whole-stage codegen, and
+    the interpreted fold (~10 expression nodes x tokens x 2 arrays)
+    measured 4.9 s at sf0.1 vs ~0.5 s for numpy `np.unique` per doc —
+    the same trade minhash signatures (commit 2cccb31) and simhash
+    made. Still map-only: per-document work, no shuffle; the explode →
+    groupBy formulation would shuffle one row per corpus token
+    (trillions at 100 TB) to compute a per-document statistic."""
+    from pyspark.sql.pandas.functions import pandas_udf
 
-    def finish(acc: Column) -> Column:
-        return F.struct(
-            acc["maxrun"].alias("maxrun"),
-            F.when(acc["run"] > 1, acc["dup"] + acc["run"])
-            .otherwise(acc["dup"])
-            .alias("dup"),
-        )
+    @pandas_udf("struct<dw:int, maxw:int, dupw:int, nb:int, maxb:int, dupb:int>")
+    def _rep_counts(toks: pd.Series) -> pd.DataFrame:
+        out = np.zeros((len(toks), 6), dtype=np.int32)
+        for i, words in enumerate(toks):
+            w = np.asarray(words)
+            _, wc = np.unique(w, return_counts=True)
+            if len(w) >= 2:
+                bg = np.char.add(np.char.add(w[:-1].astype(str), " "), w[1:].astype(str))
+                _, bc = np.unique(bg, return_counts=True)
+                nb, maxb, dupb = len(bg), int(bc.max()), int(bc[bc > 1].sum())
+            else:
+                nb, maxb, dupb = 0, 0, 0
+            out[i] = (len(wc), int(wc.max()), int(wc[wc > 1].sum()), nb, maxb, dupb)
+        return pd.DataFrame(out, columns=["dw", "maxw", "dupw", "nb", "maxb", "dupb"])
 
-    return F.aggregate(sorted_arr, acc0, merge, finish)
+    return _rep_counts
 
 
 @query(
@@ -331,41 +331,25 @@ def x_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter family): type-token ratio, most-frequent-word fraction,
     repeated-word token fraction, and the bigram analogues.
 
-    Everything is a per-document fold over the (sorted) token / bigram
-    arrays — a single codegen'd map stage with zero shuffle. The oracle
-    computes the same statistics relationally (unnest → GROUP BY),
-    which is the formulation this plan deliberately avoids at scale:
-    it would shuffle one row per corpus token."""
-    d = table(spark, sf_dir, "documents")
+    Tokenization is JVM `split` (identical semantics to the oracle's
+    `string_split_regex`); the integer counting runs in one
+    Arrow-batched numpy kernel (see _rep_counts_udf for why not a JVM
+    fold); fractions and rounding are JVM expressions. Map-only, zero
+    shuffle. The oracle computes the same statistics relationally
+    (unnest → GROUP BY) — the formulation this plan deliberately
+    avoids at scale: it would shuffle one row per corpus token."""
+    d = spread_small_scan(spark, table(spark, sf_dir, "documents"))
     toks = F.expr(_TOKS)
+    stats = _rep_counts_udf()(F.col("__toks"))
     d2 = d.select("doc_id", toks.alias("__toks")).select(
-        "doc_id",
-        "__toks",
-        F.expr(
-            "zip_with(slice(__toks, 1, size(__toks) - 1),"
-            "         slice(__toks, 2, size(__toks) - 1),"
-            "         (a, b) -> concat_ws(' ', a, b))"
-        ).alias("__bg"),
+        "doc_id", F.size("__toks").cast("double").alias("__n"), stats.alias("__s")
     )
-    n = F.size("__toks").cast("double")
-    nb = F.greatest(F.size("__bg"), F.lit(1)).cast("double")
-    wstats = _run_stats(F.array_sort("__toks"))
-    bstats = _run_stats(F.array_sort("__bg"))
-    d3 = d2.select(
+    nb = F.greatest(F.col("__s")["nb"], F.lit(1)).cast("double")
+    return d2.select(
         "doc_id",
-        n.alias("__n"),
-        nb.alias("__nb"),
-        F.size(F.array_distinct("__toks")).alias("__dw"),
-        wstats.alias("__w"),
-        bstats.alias("__b"),
-    )
-    return d3.select(
-        "doc_id",
-        F.round(F.col("__dw") / F.col("__n") + 1e-9, 6).alias("ttr"),
-        F.round(F.col("__w")["maxrun"] / F.col("__n") + 1e-9, 6).alias("top_word_frac"),
-        F.round(F.col("__w")["dup"] / F.col("__n") + 1e-9, 6).alias("dup_word_frac"),
-        F.round(F.col("__b")["maxrun"] / F.col("__nb") + 1e-9, 6).alias(
-            "top_bigram_frac"
-        ),
-        F.round(F.col("__b")["dup"] / F.col("__nb") + 1e-9, 6).alias("dup_bigram_frac"),
+        F.round(F.col("__s")["dw"] / F.col("__n") + 1e-9, 6).alias("ttr"),
+        F.round(F.col("__s")["maxw"] / F.col("__n") + 1e-9, 6).alias("top_word_frac"),
+        F.round(F.col("__s")["dupw"] / F.col("__n") + 1e-9, 6).alias("dup_word_frac"),
+        F.round(F.col("__s")["maxb"] / nb + 1e-9, 6).alias("top_bigram_frac"),
+        F.round(F.col("__s")["dupb"] / nb + 1e-9, 6).alias("dup_bigram_frac"),
     )

@@ -80,11 +80,17 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir, qname):
 
 
 def test_repetition_metrics_are_map_only(spark, sf_dir):
-    # per-doc fold: no shuffle, no Python — the whole point vs the
-    # oracle's explode->groupBy (one shuffled row per corpus token)
+    # per-doc counting: no shuffle beyond the small-scan spread — the
+    # whole point vs the oracle's explode->groupBy (one shuffled row
+    # per corpus token). Python IS expected: one Arrow-batched numpy
+    # kernel (interpreted JVM folds measured 6x slower, llm_text.py).
     plan = _plan(spark, sf_dir, "x_gopher_repetition")
-    assert "Exchange" not in plan
-    assert "Python" not in plan and "MapInPandas" not in plan
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+    # the only exchange allowed is the round-robin small-scan spread —
+    # never a hash/range repartition of per-doc data
+    import re
+
+    assert not re.search(r"Exchange (hash|range)partitioning", plan)
 
 
 def test_quantization_is_map_only_jvm(spark, sf_dir):
