@@ -33,7 +33,8 @@ HEADLINE = [
     "ev_tumbling_window_agg",  # event-time tumbling agg
     "a8_maxabs_normalize",     # agg + rejoin normalization
 ]
-# Added as modules land (guarded: only run if registered).
+# Added as modules land (guarded: only run if registered). The original
+# 15 keys stay stable round-over-round; later additions only append.
 OPTIONAL = [
     "x1_exact_dedup",
     "x2_minhash_lsh_dedup",
@@ -42,6 +43,11 @@ OPTIONAL = [
     "k_w9_interpolate",
     "k_m4_sir_simulate",
     "k_w11_ar_forecast",
+    # round 2 additions
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "x_gopher_repetition",
+    "x_embed_quantize",
 ]
 
 

@@ -2,7 +2,7 @@
 
 The streaming transformations live in `engage_spark.streaming.jobs`;
 pytest already drains them with Trigger.AvailableNow and compares to
-the batch forms. These two queries put that same execution path under
+the batch forms. These queries put that same execution path under
 the DRIVER's hash-compare signal: each runs a real streaming query
 (readStream → watermark/window/state → memory sink, AvailableNow
 trigger), then returns the sink table, which must hash-match the same
@@ -107,4 +107,52 @@ def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
+@query(
+    "st_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    )) >= 1800 OR lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*)::BIGINT AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    covers=["STREAM-SESS"],
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows executed as a real streaming query
+    (`session_window` merging in the state store), hash-checked against
+    the batch gap-sessionization oracle. Boundary semantics differ by
+    design between the two formulations: `session_window` closes a
+    session when the next event is >= gap away (window is [ts, ts+gap)),
+    while the batch lag-formulation in ev_sessionize_gap splits on
+    strictly >; the oracle here uses >= to match the streaming
+    operator exactly — the driver hash-compare would catch a
+    boundary-semantics regression on either side."""
+    from engage_spark.streaming.jobs import sessionize_stream
+
+    ev = stream_events_from_parquet(spark, sf_dir)
+    out = _drain_to_memory(sessionize_stream(ev), "st_session", "complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
     )
