@@ -174,3 +174,44 @@ def f17_f18_math_null_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("tax_is_null"),
     )
+
+
+@query(
+    "f_collection_ops",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_toks,
+           array_to_string(list_slice(toks, 1, 3), ',') AS first3,
+           list_sort(toks)[len(toks)] AS max_tok,
+           len(list_distinct(toks))::BIGINT AS n_unique,
+           CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS has_the,
+           len(flatten([toks, toks]))::BIGINT AS n_doubled,
+           list_reverse(toks)[1] AS last_tok
+    FROM t
+    """,
+    covers=["F1", "F5"],
+)
+def f_collection_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function battery over the token arrays: slice +
+    array_join, array_sort + element_at, array_distinct, array_contains,
+    flatten, reverse — each projected to a scalar so the cross-engine
+    hash compare is representation-independent. All codegen'd JVM array
+    ops, map-only, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(r"split(lower(trim(text)), '\\s+')")
+    t = d.select("doc_id", toks.alias("__toks"))
+    return t.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_toks"),
+        F.array_join(F.slice("__toks", 1, 3), ",").alias("first3"),
+        F.element_at(F.array_sort("__toks"), -1).alias("max_tok"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_unique"),
+        F.when(F.array_contains("__toks", "the"), 1).otherwise(0).alias("has_the"),
+        F.size(F.flatten(F.array("__toks", "__toks"))).cast("long").alias("n_doubled"),
+        F.element_at(F.reverse("__toks"), 1).alias("last_tok"),
+    )
