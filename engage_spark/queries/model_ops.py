@@ -284,7 +284,11 @@ def m2_mixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"),
         F.coalesce(F.lag("value").over(_w("user_id")), F.lit(0.0)).alias("x"),
     )
-    # stage 1: pooled OLS via distributed moment sums
+    # stage 1: pooled OLS via distributed moment sums. The collect below
+    # is bounded by construction: a global agg returns EXACTLY ONE row of
+    # five doubles no matter the input size (the 100 TB table reduces
+    # map-side; only partials cross the wire) — this is a scalar fetch,
+    # not a table collect.
     m = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from engage_spark.registry import query
 from engage_spark.streaming.jobs import (
+    click_purchase_join_stream,
+    sliding_counts_stream,
     stream_events_from_parquet,
     tumbling_counts_stream,
 )
@@ -73,6 +75,66 @@ def st_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "sum_value",
+    )
+
+
+@query(
+    "st_sliding_window_agg",
+    oracle="""
+    WITH offs(off) AS (VALUES (0), (1))
+    SELECT strftime(
+               time_bucket(INTERVAL 30 MINUTE, ts) - off * INTERVAL 30 MINUTE,
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*)::BIGINT AS n_events
+    FROM events, offs
+    GROUP BY 1
+    """,
+    covers=["STREAM-S"],
+)
+def st_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts as an actual streaming query, same oracle
+    as the batch twin ev_sliding_window_agg (1-hour window / 30-minute
+    slide: every event lands in exactly two windows). Complete output
+    mode for the same reason as st_tumbling_window_agg — the
+    batch-equivalence check needs the final open windows too."""
+    ev = stream_events_from_parquet(spark, sf_dir)
+    out = _drain_to_memory(sliding_counts_stream(ev), "st_sliding", "complete")
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+    )
+
+
+@query(
+    "st_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    covers=["STREAM-J"],
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase attributed to the same
+    user's clicks within the preceding hour) executed as a real
+    streaming self-join with watermarks on both sides, hash-checked
+    against the plain SQL interval join. Append mode: inner-join matches
+    emit as both rows arrive; the watermark+interval bound is what keeps
+    the two buffers finite (see streaming.jobs.click_purchase_join_stream)."""
+    ev = stream_events_from_parquet(spark, sf_dir)
+    out = _drain_to_memory(click_purchase_join_stream(ev), "st_ssjoin", "append")
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
     )
 
 

@@ -12,10 +12,12 @@ that makes a 100 TB backfill and the live stream share one code path).
 """
 
 from engage_spark.streaming.jobs import (  # noqa: F401
+    click_purchase_join_stream,
     dedup_events_stream,
     running_user_stats_stream,
     sessionize_stream,
     sliding_counts_stream,
     stream_events_from_parquet,
+    stream_parquet,
     tumbling_counts_stream,
 )

@@ -33,27 +33,61 @@ def stream_events_from_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source wants a directory, so the scan targets sf_dir with
     a pathGlobFilter. The testdata writes TIMESTAMP(NANOS), which the
     reader surfaces as long under the legacy flag (same handling as
-    io.table); microsecond timestamps are rebuilt in the stream."""
+    io.table); microsecond timestamps are rebuilt in the stream.
+
+    Event-time typing: parquet TIMESTAMP(isAdjustedToUTC=false) columns
+    surface as TIMESTAMP_NTZ, which ``withWatermark`` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). We cast NTZ event-time fields
+    to TIMESTAMP here, and pin the session timezone to UTC first so the
+    NTZ->LTZ cast maps wall-clock to the identical UTC instant — window
+    boundaries and formatted output then agree exactly with the batch
+    twins (which compute on NTZ) regardless of the host timezone."""
+    path = f"{sf_dir}/events.parquet"
+    batch_schema = table(spark, sf_dir, "events").schema
+    return stream_parquet(
+        spark, sf_dir, batch_schema, schema_src=path, glob="events.parquet"
+    )
+
+
+def stream_parquet(
+    spark: SparkSession,
+    directory: str,
+    batch_schema: T.StructType,
+    schema_src: str,
+    glob: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Parquet file-source readStream with the engine's event-time typing
+    rules applied (shared by the sf_dir reader and tests feeding their
+    own delivery directories).
+
+    ``schema_src`` is one representative file used to detect
+    TIMESTAMP(NANOS) columns (read as long + rebuilt, as in io.table).
+    NTZ fields are cast to TIMESTAMP under a UTC-pinned session so the
+    cast is an exact wall-clock == UTC-instant mapping (see module
+    docstring / stream_events_from_parquet)."""
     from engage_spark.io import _nano_ts_fields
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = f"{sf_dir}/events.parquet"
-    batch_schema = table(spark, sf_dir, "events").schema
-    nano_fields = set(_nano_ts_fields(path))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nano_fields = set(_nano_ts_fields(schema_src))
     raw_schema = T.StructType(
         [
             T.StructField(f.name, T.LongType() if f.name in nano_fields else f.dataType)
             for f in batch_schema.fields
         ]
     )
-    df = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(directory)
     for name in nano_fields:
         df = df.withColumn(name, F.expr(f"timestamp_micros({name} div 1000)"))
+    for f in raw_schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
@@ -76,15 +110,57 @@ def tumbling_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def sliding_counts_stream(events: DataFrame) -> DataFrame:
-    """6-hour window sliding every hour — streaming twin of
-    ev_sliding_window_agg."""
+def sliding_counts_stream(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window counts — streaming twin of ev_sliding_window_agg
+    (defaults match its 1-hour window / 30-minute slide, so the two
+    share one oracle). Each event lands in window/slide state rows; the
+    watermark evicts windows as they close."""
     return (
         events.withWatermark("ts", WATERMARK)
-        .groupBy(F.window("ts", "6 hours", "1 hour"))
+        .groupBy(F.window("ts", window, slide))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").alias("win_start"), "n_events")
     )
+
+
+def click_purchase_join_stream(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream interval self-join: every purchase matched to the
+    same user's clicks in the preceding `horizon` (the attribution-join
+    shape). Both sides carry a watermark and the join condition bounds
+    purchase_ts to [click_ts, click_ts + horizon], so each side's buffer
+    state evicts once the other side's watermark passes the interval —
+    bounded state on an unbounded stream, which is what makes this join
+    runnable on the live feed and as an AvailableNow backfill alike.
+    Inner join: matches emit as soon as both rows have arrived."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {horizon}"""
+        ),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
 
 
 def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
@@ -165,11 +241,18 @@ def running_user_stats_stream(events: DataFrame, alpha: float = 0.2) -> DataFram
 
     def update(key, pdfs, state: GroupState):
         n, ewma = state.get if state.exists else (0, None)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
-                n += 1
-                ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+        # one concat+sort per micro-batch (chunks of one group may arrive
+        # split, so event-time order must be established across them),
+        # then the recurrence in closed form: ewm(adjust=False) IS
+        # y_i = a*x_i + (1-a)*y_{i-1}; seeding the series with the
+        # carried state makes the batch update exact — no per-row loop.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+        vals = pdf["value"].astype(float)
+        if len(vals):
+            n += len(vals)
+            seed = pd.Series([] if ewma is None else [ewma], dtype=float)
+            series = pd.concat([seed, vals], ignore_index=True)
+            ewma = float(series.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
         state.update((n, ewma))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]}

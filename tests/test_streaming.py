@@ -144,10 +144,7 @@ def test_streaming_dedup_collapses_redelivered_events(spark, sf_dir, tmp_path):
     the watermarked streaming dedup must emit each event_id once."""
     import shutil
 
-    from pyspark.sql import types as T
-
-    from engage_spark.io import _nano_ts_fields
-    from engage_spark.streaming import dedup_events_stream
+    from engage_spark.streaming import dedup_events_stream, stream_parquet
 
     src = f"{sf_dir}/events.parquet"
     redelivered = tmp_path / "redelivered"
@@ -155,22 +152,77 @@ def test_streaming_dedup_collapses_redelivered_events(spark, sf_dir, tmp_path):
     shutil.copy(src, redelivered / "delivery_1.parquet")
     shutil.copy(src, redelivered / "delivery_2.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = table(spark, sf_dir, "events").schema
-    nano = set(_nano_ts_fields(src))
-    raw_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name in nano else f.dataType)
-            for f in batch_schema.fields
-        ]
-    )
-    stream = spark.readStream.schema(raw_schema).format("parquet").load(
-        str(redelivered)
-    )
-    for name in nano:
-        stream = stream.withColumn(name, F.expr(f"timestamp_micros({name} div 1000)"))
+    stream = stream_parquet(spark, str(redelivered), batch_schema, schema_src=src)
 
     got = _drain(spark, dedup_events_stream(stream), tmp_path, "dedup")
     n_unique = table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert len(got) == n_unique
     assert got.event_id.is_unique
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, sf_dir, tmp_path):
+    """The watermark contract as tested behavior, not prose: a row
+    arriving in a later micro-batch whose window closed before the
+    current watermark must NOT re-open or modify the emitted window.
+
+    Three parquet "deliveries" processed as separate micro-batches
+    (maxFilesPerTrigger=1): delivery 1 spans hours 0 and 10; delivery 2
+    is a fresh hour-20 row (Spark's late-event filter uses the watermark
+    committed BEFORE the previous batch — SPARK-24634's two-phase
+    late-filter/eviction split — so a spacer batch is needed for the
+    watermark to take effect); delivery 3 is one ~19.5-hours-late row
+    for hour 0, far beyond the 1-hour horizon -> dropped. In append
+    mode the hour-0 window emits with exactly its on-time count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engage_spark.streaming import stream_parquet, tumbling_counts_stream
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(rows):
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+        return pa.Table.from_pandas(
+            df.astype({"event_id": "int64", "user_id": "int64", "value": "float64"}),
+            preserve_index=False,
+        )
+
+    on_time = [
+        (i, base + pd.Timedelta(minutes=i), 1, "a", 1.0, "{}") for i in range(50)
+    ] + [
+        (100 + i, base + pd.Timedelta(hours=10, minutes=i), 1, "a", 1.0, "{}")
+        for i in range(50)
+    ]
+    fresh = [(901, base + pd.Timedelta(hours=20), 1, "a", 1.0, "{}")]
+    late = [(900, base + pd.Timedelta(minutes=30), 1, "a", 1.0, "{}")]  # hour-0: LATE
+    f1 = src_dir / "delivery_1.parquet"
+    f2 = src_dir / "delivery_2.parquet"
+    f3 = src_dir / "delivery_3.parquet"
+    pq.write_table(mk(on_time), f1)
+    pq.write_table(mk(fresh), f2)
+    pq.write_table(mk(late), f3)
+    # file source orders micro-batches by modification time
+    now = os.path.getmtime(f3)
+    os.utime(f1, (now - 20, now - 20))
+    os.utime(f2, (now - 10, now - 10))
+
+    batch_schema = table(spark, sf_dir, "events").schema
+    stream = stream_parquet(
+        spark, str(src_dir), batch_schema, schema_src=str(f1), maxFilesPerTrigger="1"
+    )
+    got = _drain(spark, tumbling_counts_stream(stream), tmp_path, "late")
+
+    h0 = got[got.win_start == base]
+    assert len(h0) == 1, f"hour-0 window rows: {h0}"
+    # 50 on-time rows; the late row must have been dropped, not merged
+    assert int(h0.n_events.iloc[0]) == 50
+    # hour-10 window also closed (watermark reached 19:00 via the fresh row)
+    h10 = got[got.win_start == base + pd.Timedelta(hours=10)]
+    assert len(h10) == 1 and int(h10.n_events.iloc[0]) == 50
+    # the still-open hour-20 window is withheld in append mode
+    assert (got.win_start != base + pd.Timedelta(hours=20)).all()
