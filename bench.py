@@ -48,6 +48,12 @@ OPTIONAL = [
     "q5_local_supplier_volume",
     "x_gopher_repetition",
     "x_embed_quantize",
+    # round 4 additions. Streaming (st_*) queries are deliberately NOT
+    # benched here: their wall time is dominated by micro-batch
+    # orchestration (checkpoint dir + state-store setup, ~10s fixed at
+    # any sf), which would swamp the throughput signal this headline
+    # total exists to track round-over-round.
+    "x_curation_pipeline",
 ]
 
 
@@ -72,8 +78,12 @@ def main() -> None:
     names += [n for n in OPTIONAL if n in registry]
 
     def run(name: str) -> float:
-        df = registry[name].fn(spark, sf_dir)
+        # fn() is inside the timed region: for streaming (st_*) queries
+        # the AvailableNow drain executes there, and for batch queries
+        # plan construction is millisecond noise against the min-of-two
+        # pass policy — this times what a user actually waits for.
         t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 

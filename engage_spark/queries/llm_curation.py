@@ -20,11 +20,12 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engage_spark.io import spread_small_scan, table
 from engage_spark.queries.llm_dedup import _shingles_duck, _shingles_spark, _TOKS_DUCK, _TOKS_SPARK
+from engage_spark.queries.llm_text import _LANG_MARKERS, _STOPWORDS, _sql_list
 from engage_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -556,3 +557,170 @@ def x_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel: the composition story. One query chains the
+# hygiene passes a pre-training corpus goes through — language ID ->
+# quality gate -> exact dedup -> deterministic sample — and reports the
+# per-stage attrition (docs + tokens surviving each stage).
+
+_SAMPLE_THRESH = "80000000"  # md5-prefix < this = keep ~50%
+
+
+@query(
+    "x_curation_pipeline",
+    oracle=None,  # assigned below (built from the shared lexicon constants)
+    covers=["X4", "X1"],
+)
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel over `documents`: predicted-English
+    filter -> Gopher/C4-style quality gate -> exact dedup (first copy
+    per fingerprint wins) -> deterministic md5-threshold 50% sample,
+    reported as a 5-row attrition table (stage, n_docs, n_tokens).
+
+    The naive formulation — materialize each stage and count it — scans
+    the corpus once per stage. This plan computes all four survival
+    flags in a SINGLE pass: map-side expressions for lang/quality/
+    fingerprint, ONE window shuffle (partition by fingerprint) for the
+    first-copy flag, then one tiny aggregate and a stack() unpivot. At
+    100 TB: one scan + one shuffle + O(1) result, vs four scans and a
+    distinct per stage. Flags compose monotonically (each stage ANDs
+    the previous), exactly like a real curation DAG's lineage columns.
+    """
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "n_chars", "text", F.expr(_TOKS_SPARK).alias("__toks")
+    )
+
+    def hits(words) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x)))
+
+    s = {lg: hits(ws) for lg, ws in _LANG_MARKERS.items()}
+    any_marker = (s["en"] + s["es"] + s["fr"] + s["de"]) > 0
+    f_lang = (
+        any_marker
+        & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"])
+    ).cast("int")
+    n_toks = F.size("__toks").cast("long")
+    stop_ratio = hits(_STOPWORDS) / n_toks.cast("double")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+
+    flagged = base.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        f_lang.alias("f_lang"),
+        (
+            (f_lang == 1)
+            & F.col("n_chars").between(100, 20000)
+            & (stop_ratio >= 0.01)
+        )
+        .cast("int")
+        .alias("f_q"),
+        fp.alias("__fp"),
+    )
+    w = (
+        Window.partitionBy("__fp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = flagged.select(
+        "doc_id",
+        "n_toks",
+        "f_lang",
+        "f_q",
+        ((F.col("f_q") == 1) & (F.sum("f_q").over(w) == 1)).cast("int").alias("f_d"),
+    ).select(
+        "*",
+        (
+            (F.col("f_d") == 1)
+            & (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+                < _SAMPLE_THRESH
+            )
+        )
+        .cast("int")
+        .alias("f_s"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("n_toks").cast("long").alias("t0"),
+        F.sum("f_lang").cast("long").alias("n1"),
+        F.sum(F.col("f_lang") * F.col("n_toks")).cast("long").alias("t1"),
+        F.sum("f_q").cast("long").alias("n2"),
+        F.sum(F.col("f_q") * F.col("n_toks")).cast("long").alias("t2"),
+        F.sum("f_d").cast("long").alias("n3"),
+        F.sum(F.col("f_d") * F.col("n_toks")).cast("long").alias("t3"),
+        F.sum("f_s").cast("long").alias("n4"),
+        F.sum(F.col("f_s") * F.col("n_toks")).cast("long").alias("t4"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+            0L, 'raw',     n0, t0,
+            1L, 'lang_en', n1, t1,
+            2L, 'quality', n2, t2,
+            3L, 'dedup',   n3, t3,
+            4L, 'sample',  n4, t4
+        ) AS (stage_idx, stage, n_docs, n_tokens)"""
+    )
+
+
+_MARKER_COLS = ",\n           ".join(
+    f"len(list_filter(toks, x -> list_contains([{_sql_list(ws)}], x))) AS s_{lg}"
+    for lg, ws in _LANG_MARKERS.items()
+)
+
+x_curation_pipeline.__wrapped_oracle__ = None  # doc aid; real oracle set below
+
+from engage_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["x_curation_pipeline"].oracle = rf"""
+    WITH t AS (
+        SELECT doc_id, n_chars, text, {_TOKS_DUCK} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, n_chars, text, len(toks)::BIGINT AS n_toks,
+           {_MARKER_COLS},
+           len(list_filter(toks, x -> list_contains([{_sql_list(_STOPWORDS)}], x)))
+               AS s_stop
+        FROM t
+    ), g AS (
+        SELECT doc_id, n_toks, n_chars, s_stop,
+               CASE WHEN s_en + s_es + s_fr + s_de > 0
+                     AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+                    THEN 1 ELSE 0 END AS f_lang,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM s
+    ), q AS (
+        SELECT doc_id, n_toks, f_lang, fp,
+               CASE WHEN f_lang = 1 AND n_chars BETWEEN 100 AND 20000
+                     AND s_stop / n_toks::DOUBLE >= 0.01
+                    THEN 1 ELSE 0 END AS f_q
+        FROM g
+    ), dd AS (
+        SELECT doc_id, n_toks, f_lang, f_q,
+               CASE WHEN f_q = 1 AND sum(f_q) OVER (
+                        PARTITION BY fp ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                    THEN 1 ELSE 0 END AS f_d
+        FROM q
+    ), fl AS (
+        SELECT doc_id, n_toks, f_lang, f_q, f_d,
+               CASE WHEN f_d = 1
+                     AND substr(md5(doc_id::VARCHAR), 1, 8) < '{_SAMPLE_THRESH}'
+                    THEN 1 ELSE 0 END AS f_s
+        FROM dd
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n0, sum(n_toks)::BIGINT AS t0,
+               sum(f_lang)::BIGINT AS n1, sum(f_lang * n_toks)::BIGINT AS t1,
+               sum(f_q)::BIGINT AS n2, sum(f_q * n_toks)::BIGINT AS t2,
+               sum(f_d)::BIGINT AS n3, sum(f_d * n_toks)::BIGINT AS t3,
+               sum(f_s)::BIGINT AS n4, sum(f_s * n_toks)::BIGINT AS t4
+        FROM fl
+    )
+    SELECT 0::BIGINT AS stage_idx, 'raw' AS stage, n0 AS n_docs, t0 AS n_tokens FROM agg
+    UNION ALL SELECT 1, 'lang_en', n1, t1 FROM agg
+    UNION ALL SELECT 2, 'quality', n2, t2 FROM agg
+    UNION ALL SELECT 3, 'dedup', n3, t3 FROM agg
+    UNION ALL SELECT 4, 'sample', n4, t4 FROM agg
+"""

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from engage_spark.registry import query
 from engage_spark.streaming.jobs import (
     click_purchase_join_stream,
+    running_user_stats_stream,
     sliding_counts_stream,
     stream_events_from_parquet,
     tumbling_counts_stream,
@@ -217,4 +218,23 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         "n_events",
+    )
+
+
+@query("st_stateful_running_stats", oracle=None, covers=["STREAM-STATE"])
+def st_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState operator under the driver's signal:
+    per-user running event count + EWMA of `value`, state carried in
+    the state store across micro-batches. Rows-only by design — the
+    cross-batch recurrence isn't ANSI-SQL-expressible — but
+    tests/test_streaming.py asserts exact parity against a batch
+    computation of the same recurrence. Update output mode re-emits a
+    user's row per batch; the AvailableNow drain over the single-file
+    source runs one batch, so the sink holds the final state per user."""
+    ev = stream_events_from_parquet(spark, sf_dir)
+    out = _drain_to_memory(
+        running_user_stats_stream(ev), "st_userstats", "update"
+    )
+    return out.select(
+        "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
     )

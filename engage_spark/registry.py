@@ -63,6 +63,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 4
     "st_sliding_window_agg",
     "st_stream_stream_join",
+    "st_stateful_running_stats",
+    "x_curation_pipeline",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",

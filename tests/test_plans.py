@@ -112,3 +112,14 @@ def test_pivot_is_one_exchange_with_partial_agg(spark, sf_dir):
 def test_brp_similarity_join_never_cross_products(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x3d_mllib_brp_ann")
     assert "CartesianProduct" not in plan
+
+
+def test_curation_funnel_is_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x_curation_pipeline")
+    # the 5-stage attrition table must come from ONE corpus scan — a
+    # per-stage count would show one FileScan per stage
+    assert plan.count("FileScan") == 1
+    # exactly two exchanges: the fingerprint window + the final 1-row agg
+    assert plan.count("Exchange") == 2
+    # column pruning: text/doc_id/n_chars only — embeddings etc. never read
+    assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in plan
