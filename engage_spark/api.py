@@ -1,0 +1,215 @@
+"""Public DataFrame-in -> DataFrame-out API for the engine's
+training-data operators.
+
+The `engage_spark.queries.*` modules bind every operator to the driver
+testdata tables for the correctness gate; this facade exposes the same
+plans over ARBITRARY DataFrames and column names — what a user migrating
+off the reference pipeline actually calls. Each function delegates to
+(or mirrors exactly) an oracle-checked query implementation, so the
+facade adds column plumbing, never new semantics.
+
+All functions are lazy: they return unevaluated DataFrames/Columns and
+inherit the scale properties documented in SCALE.md (map-side
+signatures, banded candidate generation, bounded-state top-k, hash
+deterministic sampling).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from engage_spark.queries.llm_dedup import (
+    cosine_expr,
+    minhash_candidate_pairs,
+    simhash_near_pairs,
+    with_simhash64,
+)
+from engage_spark.queries.llm_curation import (
+    connected_components,
+    connected_components_star,
+)
+
+__all__ = [
+    "normalized_fingerprint",
+    "exact_dedup_stats",
+    "exact_dedup_keepers",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "near_dup_components",
+    "topk_cosine_search",
+    "hash_sample",
+    "token_stats",
+    "cosine_expr",
+]
+
+
+def normalized_fingerprint(text_col: str = "text") -> Column:
+    """md5 of whitespace-normalized lowercase text — the canonical
+    exact-dedup key (same expression as x_text_fingerprint /
+    x1_exact_dedup, oracle-checked there)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
+def exact_dedup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-fingerprint duplicate statistics: (fingerprint, keeper_id,
+    n_copies). One hash-groupBy; duplicates collapse map-side before the
+    exchange (the x1_exact_dedup plan)."""
+    return (
+        df.select(normalized_fingerprint(text_col).alias("fingerprint"), id_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keepers(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The deduplicated corpus itself: keep the lowest-id row per
+    fingerprint, preserving every input column. One window shuffle on
+    the fingerprint (same exchange as the stats form; the row_number
+    formulation avoids a join back)."""
+    w = Window.partitionBy(normalized_fingerprint(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify
+    (x2_minhash_lsh_dedup's plan). Returns (doc_a, doc_b, jaccard),
+    doc_a < doc_b."""
+    return minhash_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, n=n,
+        jaccard_threshold=jaccard_threshold,
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs via 64-bit SimHash + 16-bit-chunk banding
+    (x2b_simhash_dedup's plan). Returns (doc_a, doc_b, hamming)."""
+    renamed = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return simhash_near_pairs(renamed, max_hamming=max_hamming)
+
+
+def near_dup_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    algorithm: str = "propagation",
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, component) where
+    component is the minimum reachable id (the cluster keeper).
+    `algorithm`: 'propagation' (min-label, O(diameter) rounds — the
+    default for shallow dedup clusters) or 'star' (large-star/small-star,
+    O(log^2 n) rounds for high-diameter graphs)."""
+    nodes = ids.select(F.col(id_col).alias("node"))
+    fn = connected_components if algorithm == "propagation" else connected_components_star
+    return fn(nodes, pairs, node_col="node", src=src_col, dst=dst_col)
+
+
+def topk_cosine_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_emb_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector
+    (x3_topk_cosine_search's plan): broadcast the query set, score
+    JVM-side, per-partition partial top-k (mapInPandas, state bounded by
+    queries x k), final rank over the reduced set. The corpus never
+    shuffles; the exchange is partitions x queries x k rows. Returns
+    (query_id, neighbor_id, rank, cosine). Self-matches (equal ids) are
+    excluded."""
+    query_id_col = query_id_col or id_col
+    query_emb_col = query_emb_col or emb_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_emb_col).alias("q_emb"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr("q_emb", "c_emb"))
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+    def partial_topk(batches):
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf])
+            cur = cur.sort_values(
+                ["query_id", "cos", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    reduced = scored.mapInPandas(
+        partial_topk, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic sample: keep a row iff the first 8 hex chars of
+    md5(id) fall below rate * 16^8. Unlike df.sample(), selection is a
+    pure function of the id — reproducible across runs, engines and
+    cluster layouts, and NESTED: the rate-r1 sample is a strict subset
+    of the rate-r2 sample whenever r1 < r2, so shrinking a training mix
+    never introduces unseen rows. (Samples at different rates share one
+    hash, so rates don't multiply — re-sampling a 0.5 sample at 0.5
+    returns the same 0.5 sample; use a salted id for independent
+    draws.) The x_hash_sample_stratified primitive with a caller-chosen
+    rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thresh = format(int(rate * (1 << 32)), "08x")
+    return df.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(thresh)
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append token statistics columns: ws_tokens (whitespace tokens),
+    approx_llm_tokens (chars/4). Map-only, codegen'd (the
+    x_text_token_count expressions over an arbitrary column)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return df.withColumn("ws_tokens", F.size(toks).cast("long")).withColumn(
+        "approx_llm_tokens", F.length(text_col) / F.lit(4.0)
+    )

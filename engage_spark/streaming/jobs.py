@@ -265,3 +265,75 @@ def running_user_stats_stream(events: DataFrame, alpha: float = 0.2) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats_tws(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """The running count/EWMA operator on Spark 4's StatefulProcessor
+    API (``transformWithStateInPandas``) — the successor to
+    applyInPandasWithState with typed state handles, timers and TTL.
+    Semantics are identical to running_user_stats_stream (the pytest
+    asserts both against the same batch recurrence); state is one
+    ValueState row (n, ewma) per user, and the closed-form
+    ``ewm(adjust=False)`` batch update is the same.
+
+    Why both exist: applyInPandasWithState is the widely-deployed API;
+    transformWithState is where Spark streaming state is headed
+    (composable state variables, per-key timers, state TTL) — an engine
+    claiming the streaming surface should speak both.
+
+    Environment note: executing this operator needs (a) the RocksDB
+    state store provider (`spark.sql.streaming.stateStore.providerClass`)
+    and (b) the `protobuf` package for the TWS state-server protocol.
+    This container ships neither protobuf nor pip access, so the parity
+    test skips when `google.protobuf` is absent — the same guarded-
+    capability policy as the TF/scipy kernels (SURVEY §7.3). The plan
+    builds and analyzes without protobuf; only execution needs it."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("ewma_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, ewma = self._stats.get() if self._stats.exists() else (0, None)
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            vals = pdf["value"].astype(float)
+            if len(vals):
+                n += len(vals)
+                seed = pd.Series([] if ewma is None else [ewma], dtype=float)
+                series = pd.concat([seed, vals], ignore_index=True)
+                ewma = float(series.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+            self._stats.update((n, ewma))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

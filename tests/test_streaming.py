@@ -226,3 +226,65 @@ def test_late_data_beyond_watermark_is_dropped(spark, sf_dir, tmp_path):
     assert len(h10) == 1 and int(h10.n_events.iloc[0]) == 50
     # the still-open hour-20 window is withheld in append mode
     assert (got.win_start != base + pd.Timedelta(hours=20)).all()
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(
+    spark, sf_dir, tmp_path
+):
+    """The StatefulProcessor (transformWithStateInPandas) twin computes
+    the same per-user (count, ewma) as the applyInPandasWithState
+    operator and the batch recurrence. Executing TWS needs the protobuf
+    package (state-server protocol) and the RocksDB state store
+    provider; absent protobuf we still assert the plan ANALYZES (the
+    declaration is valid) and skip execution."""
+    import pytest
+
+    from engage_spark.streaming.jobs import running_user_stats_tws
+
+    stream = running_user_stats_tws(stream_events_from_parquet(spark, sf_dir))
+    assert stream.isStreaming  # declaration analyzes without protobuf
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf unavailable in container — TWS execution gated")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("user_stats_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM user_stats_tws")
+        .toPandas()
+        .sort_values("user_id")
+        .drop_duplicates("user_id", keep="last")
+        .reset_index(drop=True)
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    alpha = 0.2
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        ewma = None
+        for v in g["value"]:
+            ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+        rows.append((uid, len(g), ewma))
+    exp = pd.DataFrame(rows, columns=["user_id", "n_events", "ewma_value"])
+    merged = got.merge(exp, on="user_id", suffixes=("_got", "_exp"))
+    assert len(merged) == len(exp)
+    assert (merged.n_events_got == merged.n_events_exp).all()
+    assert (merged.ewma_value_got - merged.ewma_value_exp).abs().max() < 1e-9
