@@ -38,6 +38,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
     "near_dup_components",
+    "embed_lsh_near_dup_pairs",
     "topk_cosine_search",
     "hash_sample",
     "token_stats",
@@ -129,6 +130,43 @@ def near_dup_components(
     nodes = ids.select(F.col(id_col).alias("node"))
     fn = connected_components if algorithm == "propagation" else connected_components_star
     return fn(nodes, pairs, node_col="node", src=src_col, dst=dst_col)
+
+
+def embed_lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs without a blocking key: banded
+    hyperplane LSH candidates + exact cosine verify
+    (x_embed_lsh_neardup_pairs's plan — the banding shuffle carries
+    only (id, band, key); embeddings rejoin for survivors). Returns
+    (vec_a, vec_b, cosine), vec_a < vec_b."""
+    from engage_spark.queries.llm_similarity import _nd_band_keys
+
+    e = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    banded = e.select(
+        "vec_id",
+        F.posexplode(F.array(*_nd_band_keys("embedding"))).alias("band", "key"),
+    )
+    left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
+    right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    emb_a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    emb_b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(emb_a, on="vec_a")
+        .join(emb_b, on="vec_b")
+        .withColumn("cosine", F.round(cosine_expr("emb_a", "emb_b"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
 
 
 def topk_cosine_search(

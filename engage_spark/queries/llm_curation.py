@@ -671,8 +671,6 @@ _MARKER_COLS = ",\n           ".join(
     for lg, ws in _LANG_MARKERS.items()
 )
 
-x_curation_pipeline.__wrapped_oracle__ = None  # doc aid; real oracle set below
-
 from engage_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["x_curation_pipeline"].oracle = rf"""

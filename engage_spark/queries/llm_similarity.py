@@ -102,13 +102,13 @@ _N_PLANES = 8
 _DIM = 64
 
 
-def _planes() -> list[list[float]]:
+def _planes(n: int = _N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG over a fixed seed;
     values in [-1, 1)). Inlined as literals so every executor agrees
     without a broadcast variable."""
     x = 0x853C49E6748FEA9B
     out = []
-    for _ in range(_N_PLANES):
+    for _ in range(n):
         row = []
         for _ in range(_DIM):
             x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
@@ -364,4 +364,73 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.expr("zip_with(e, dq, (a, b) -> abs(a - b))")) + 1e-9, 6
         ).alias("max_abs_err"),
         F.round(dot / (norm_e * norm_d) + 1e-9, 6).alias("cos_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs, LSH-banded (the unblocked scale path that
+# complements the label-blocked exact ground truth x_cosine_neardup_pairs)
+
+_ND_BANDS = 4  # independent hash tables
+_ND_ROWS = 4  # hyperplanes per table (16-bucket keys per band)
+_ND_COS = 0.35  # verify threshold, matching the exact ground truth
+
+
+def _nd_band_keys(emb_col: str) -> list[F.Column]:
+    """One bucket key per band: the sign-bit pattern of that band's
+    hyperplanes. A pair collides if ANY band key matches — the
+    multi-table (banding) form of hyperplane LSH, the cosine analogue
+    of MinHash banding: P(candidate) = 1 - (1 - p^rows)^bands with
+    p = 1 - theta/pi."""
+    planes = _planes(_ND_BANDS * _ND_ROWS)
+    keys = []
+    for b in range(_ND_BANDS):
+        key = F.lit(0)
+        for r in range(_ND_ROWS):
+            p = F.array(*[F.lit(v) for v in planes[b * _ND_ROWS + r]])
+            dot = F.aggregate(
+                F.zip_with(F.col(emb_col), p, lambda a, pv: a.cast("double") * pv),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            key = key + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        keys.append(key)
+    return keys
+
+
+@query("x_embed_lsh_neardup_pairs", oracle=None, covers=["X2", "X3"])
+def x_embed_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs WITHOUT a blocking key: banded
+    hyperplane LSH (4 tables x 4 planes) generates candidates, exact
+    cosine verifies at the same 0.35 threshold as the ground-truth
+    query. The banding shuffle carries only (vec_id, band, key) — the
+    embedding arrays never leave the first map stage and rejoin only
+    for surviving candidates, exactly the MinHash-LSH shuffle-hygiene
+    story (llm_dedup.minhash_candidate_pairs). Per-bucket fan-in is
+    corpus/16 per band here; production tunes rows/bands to the corpus
+    (more planes -> smaller buckets, more bands -> recall). Recall vs
+    the exact pairs is asserted in pytest; rows-only under the driver
+    (hash family not SQL-expressible)."""
+    e = table(spark, sf_dir, "embeddings")
+    banded = e.select(
+        "vec_id",
+        F.posexplode(F.array(*_nd_band_keys("embedding"))).alias("band", "key"),
+    )
+    left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
+    right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    emb_a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    emb_b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = cosine_expr("emb_a", "emb_b")
+    return (
+        cand.join(emb_a, on="vec_a")
+        .join(emb_b, on="vec_b")
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= _ND_COS)
+        .select("vec_a", "vec_b", "cosine")
     )

@@ -65,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "st_stream_stream_join",
     "st_stateful_running_stats",
     "x_curation_pipeline",
+    "x_embed_lsh_neardup_pairs",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",

@@ -114,3 +114,18 @@ def test_token_stats_appends_columns(corpus):
     assert {"ws_tokens", "approx_llm_tokens"} <= set(out.columns)
     row1 = out[out.uid == 1].iloc[0]
     assert int(row1.ws_tokens) == 9
+
+
+def test_embed_lsh_near_dup_pairs_on_custom_columns(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 64).astype("float32")
+    vecs = list(base)
+    vecs.append(base[0] + rng.randn(64).astype("float32") * 0.01)  # near-dup of 0
+    pdf = pd.DataFrame({"eid": range(21), "vec": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    pairs = api.embed_lsh_near_dup_pairs(
+        df, id_col="eid", emb_col="vec", threshold=0.9
+    ).toPandas()
+    found = {tuple(r) for r in pairs[["vec_a", "vec_b"]].itertuples(index=False)}
+    assert (0, 20) in found  # a 0.999-cosine pair collides in every band
+    assert (pairs.cosine >= 0.9).all()

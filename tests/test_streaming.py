@@ -288,3 +288,59 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
     assert len(merged) == len(exp)
     assert (merged.n_events_got == merged.n_events_exp).all()
     assert (merged.ewma_value_got - merged.ewma_value_exp).abs().max() < 1e-9
+
+
+def test_checkpoint_recovery_preserves_dedup_state(spark, sf_dir, tmp_path):
+    """Exactly-once across a restart: a drained query's checkpoint
+    carries both source offsets and dedup state, so a second run over
+    the same checkpoint (1) does not reprocess delivery 1, and (2)
+    still recognizes delivery 2's rows as duplicates via the persisted
+    state store. All events sit inside one watermark horizon so no key
+    is evicted between runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engage_spark.streaming import dedup_events_stream, stream_parquet
+
+    src_dir = tmp_path / "ckpt_src"
+    src_dir.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        (i, base + pd.Timedelta(seconds=i), 1, "a", 1.0, "{}") for i in range(100)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).astype({"event_id": "int64", "user_id": "int64", "value": "float64"})
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    f1 = src_dir / "delivery_1.parquet"
+    pq.write_table(tbl, f1)
+
+    batch_schema = table(spark, sf_dir, "events").schema
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = stream_parquet(spark, str(src_dir), batch_schema, schema_src=str(f1))
+        q = (
+            dedup_events_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+    assert len(first) == 100 and first.event_id.is_unique
+
+    # "restart": same checkpoint, delivery 2 = byte-identical redelivery
+    pq.write_table(tbl, src_dir / "delivery_2.parquet")
+    run_once()
+    second = spark.read.parquet(out).toPandas()
+    assert len(second) == 100, (
+        f"restart re-emitted rows: {len(second)} (state or offsets lost)"
+    )
+    assert second.event_id.is_unique
