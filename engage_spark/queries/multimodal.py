@@ -153,3 +153,116 @@ def decode_image(blob: bytes):  # pragma: no cover - codec not in container
         raise NotImplementedError(
             "image decode needs PIL; container ships no codecs"
         ) from e
+
+
+# ---------------------------------------------------------------------------
+# Resize: plan (oracle-checked arithmetic) + execution kernel (mapInPandas)
+
+_MAX_SIDE = 32  # target bounding box for the synthetic "images"
+
+
+@query(
+    "mm_resize_plan",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id,
+               (16 + octet_length(encode(text)) % 64)::BIGINT AS src_w,
+               (16 + (octet_length(encode(text)) * 7) % 48)::BIGINT AS src_h
+        FROM documents
+    )
+    SELECT doc_id, src_w, src_h,
+           greatest(1, floor(src_w * least({_MAX_SIDE}.0 / src_w,
+                                           {_MAX_SIDE}.0 / src_h, 1.0)))::BIGINT
+               AS out_w,
+           greatest(1, floor(src_h * least({_MAX_SIDE}.0 / src_w,
+                                           {_MAX_SIDE}.0 / src_h, 1.0)))::BIGINT
+               AS out_h
+    FROM dims
+    """,
+    covers=["X4"],
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over media metadata: source
+    dims (a deterministic synthetic decode stand-in — real pipelines
+    read them from the codec header) -> the largest size fitting a
+    {_MAX_SIDE}x{_MAX_SIDE} box without upscaling. Pure JVM arithmetic,
+    map-only; the metadata-level half of a resize stage, which at
+    100 TB is what lets you PRUNE (skip already-small media) before
+    paying for any pixel work."""
+    media = with_media_columns(table(spark, sf_dir, "documents"))
+    src_w = (F.lit(16) + F.col("media_meta.n_bytes") % 64).cast("long")
+    src_h = (F.lit(16) + (F.col("media_meta.n_bytes") * 7) % 48).cast("long")
+    scale = F.least(
+        F.lit(float(_MAX_SIDE)) / src_w, F.lit(float(_MAX_SIDE)) / src_h, F.lit(1.0)
+    )
+    return media.select(
+        "doc_id",
+        src_w.alias("src_w"),
+        src_h.alias("src_h"),
+        F.greatest(F.lit(1), F.floor(src_w * scale)).cast("long").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(src_h * scale)).cast("long").alias("out_h"),
+    )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_bytes_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor 'resize' over the synthetic byte buffer: treat
+    the blob as a src_h x src_w byte image (row-major, truncated/padded)
+    and gather the out_h x out_w nearest-neighbor grid — the exact
+    batch shape of a torchvision/PIL resize kernel, minus the codec.
+    Vectorized numpy gather per image; Arrow moves the bytes."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, ws, hs, bufs = [], [], [], []
+        for doc_id, blob, sw, sh, ow, oh in zip(
+            pdf["doc_id"], pdf["media"], pdf["src_w"], pdf["src_h"],
+            pdf["out_w"], pdf["out_h"],
+        ):
+            img = np.frombuffer(blob, dtype=np.uint8)
+            img = np.resize(img, (sh, sw))  # truncate/cycle to H x W
+            ys = (np.arange(oh) * sh) // oh
+            xs = (np.arange(ow) * sw) // ow
+            out = img[np.ix_(ys, xs)]
+            ids.append(doc_id)
+            ws.append(ow)
+            hs.append(oh)
+            bufs.append(out.tobytes())
+        yield pd.DataFrame(
+            {"doc_id": ids, "out_w": ws, "out_h": hs, "pixels": bufs}
+        )
+
+
+@query("mm_resize_bytes", oracle=None, covers=["X4"])
+def mm_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pixel half of the resize stage: mapInPandas gather over the
+    binary column at the planned output dims. The plan columns are
+    computed INLINE in the same projection as the media bytes (they
+    derive from the same row — a join back to mm_resize_plan would
+    manufacture a shuffle for column-level information). One map stage,
+    no shuffle. Rows-only under the driver (binary output); the pytest
+    checks buffer sizes equal out_w*out_h and a known gather."""
+    media = with_media_columns(table(spark, sf_dir, "documents"))
+    src_w = (F.lit(16) + F.col("media_meta.n_bytes") % 64).cast("long")
+    src_h = (F.lit(16) + (F.col("media_meta.n_bytes") * 7) % 48).cast("long")
+    scale = F.least(
+        F.lit(float(_MAX_SIDE)) / src_w, F.lit(float(_MAX_SIDE)) / src_h, F.lit(1.0)
+    )
+    src = media.select(
+        "doc_id",
+        "media",
+        src_w.alias("src_w"),
+        src_h.alias("src_h"),
+        F.greatest(F.lit(1), F.floor(src_w * scale)).cast("long").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(src_h * scale)).cast("long").alias("out_h"),
+    )
+    return src.mapInPandas(resize_bytes_batches, schema=_RESIZE_SCHEMA)

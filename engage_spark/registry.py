@@ -66,6 +66,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "st_stateful_running_stats",
     "x_curation_pipeline",
     "x_embed_lsh_neardup_pairs",
+    "mm_resize_plan",
+    "mm_resize_bytes",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",

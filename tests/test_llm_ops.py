@@ -392,3 +392,31 @@ def test_embed_lsh_neardup_recall_and_precision(spark, sf_dir):
 
     recall = len(lsh_same & exact_set) / max(len(exact_set), 1)
     assert recall >= 0.3, f"LSH near-dup recall {recall:.2f} below banding curve"
+
+
+def test_resize_bytes_gather_is_exact(spark, sf_dir):
+    """The mapInPandas resize kernel performs the exact nearest-neighbor
+    gather: recompute one document's output buffer with numpy from the
+    raw media bytes and compare byte-for-byte; every buffer must be
+    out_w * out_h bytes."""
+    import numpy as np
+
+    from engage_spark.registry import load_all
+
+    rb = load_all()["mm_resize_bytes"].fn(spark, sf_dir).toPandas()
+    assert (rb.pixels.map(len) == rb.out_w * rb.out_h).all()
+
+    from engage_spark.io import table
+    from engage_spark.queries.multimodal import _MAX_SIDE
+
+    doc = table(spark, sf_dir, "documents").filter("doc_id = 0").toPandas().iloc[0]
+    blob = doc.text.encode("utf-8")
+    n = len(blob)
+    sw, sh = 16 + n % 64, 16 + (n * 7) % 48
+    scale = min(_MAX_SIDE / sw, _MAX_SIDE / sh, 1.0)
+    ow, oh = max(1, int(sw * scale)), max(1, int(sh * scale))
+    img = np.resize(np.frombuffer(blob, dtype=np.uint8), (sh, sw))
+    expect = img[np.ix_((np.arange(oh) * sh) // oh, (np.arange(ow) * sw) // ow)]
+    got = rb[rb.doc_id == 0].iloc[0]
+    assert (int(got.out_w), int(got.out_h)) == (ow, oh)
+    assert bytes(got.pixels) == expect.tobytes()
