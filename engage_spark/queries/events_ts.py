@@ -145,3 +145,103 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
     )
+
+
+@query(
+    "ev_conversion_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT 1::BIGINT AS step, 'view' AS step_name,
+           (SELECT count(*) FROM v)::BIGINT AS n_users
+    UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+    covers=["STREAM-T", "A1"],
+)
+def ev_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    counts at step N only with an event strictly after their step-N-1
+    time. Each stage is an aggregate-then-join on user_id: the stage
+    tables carry ONE row per qualifying user (not per event), so every
+    join input is user-cardinality — the exchange never scales with
+    event volume, only with users. The event-analytics staple the
+    events surface was missing."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("n_users"),
+        )
+
+    return step(1, "view", v).unionAll(step(2, "click", c)).unionAll(
+        step(3, "purchase", p)
+    )
+
+
+@query(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           datediff('day', cohort, day)::BIGINT AS day_offset,
+           count(*)::BIGINT AS n_users
+    FROM activity JOIN firstday USING (user_id)
+    GROUP BY 1, 2
+    """,
+    covers=["STREAM-T", "A1"],
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day, and
+    for each (cohort, day-offset) the count of users active that day.
+    Two aggregations on user/day keys — the distinct-activity table is
+    one row per (user, active day), so the join is bounded by users x
+    active-days, not events. The other event-analytics staple."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firstday = ev.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        activity.join(firstday, on="user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

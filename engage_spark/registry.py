@@ -68,6 +68,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_embed_lsh_neardup_pairs",
     "mm_resize_plan",
     "mm_resize_bytes",
+    "ev_conversion_funnel",
+    "ev_retention_cohorts",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",
