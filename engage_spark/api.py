@@ -137,18 +137,28 @@ def embed_lsh_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.35,
+    bands: int = 4,
+    rows: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs without a blocking key: banded
     hyperplane LSH candidates + exact cosine verify
     (x_embed_lsh_neardup_pairs's plan — the banding shuffle carries
     only (id, band, key); embeddings rejoin for survivors). Returns
-    (vec_a, vec_b, cosine), vec_a < vec_b."""
+    (vec_a, vec_b, cosine), vec_a < vec_b.
+
+    Size `rows` ~ log2(corpus) and raise `bands` alongside: per-bucket
+    candidate volume is occupancy², so the 4x4 default that fits test
+    scale goes quadratic on a large corpus (measured 7.8x wall-clock at
+    10x data; 1.6x with bands=6, rows=7 — see SCALE.md and the
+    `_nd_band_keys` sizing rule)."""
     from engage_spark.queries.llm_similarity import _nd_band_keys
 
     e = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
     banded = e.select(
         "vec_id",
-        F.posexplode(F.array(*_nd_band_keys("embedding"))).alias("band", "key"),
+        F.posexplode(F.array(*_nd_band_keys("embedding", bands, rows))).alias(
+            "band", "key"
+        ),
     )
     left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
     right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))

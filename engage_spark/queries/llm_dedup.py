@@ -419,3 +419,30 @@ def x_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.35)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+@query(
+    "x1b_exact_dedup_keepers",
+    oracle="""
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    covers=["X1", "A10"],
+)
+def x1b_exact_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself (not the stats): lowest-doc_id row
+    per normalized-text fingerprint, full rows preserved — what a
+    training pipeline actually feeds downstream. One window shuffle on
+    the fingerprint; same plan as api.exact_dedup_keepers."""
+    from engage_spark.api import exact_dedup_keepers
+
+    d = table(spark, sf_dir, "documents")
+    return exact_dedup_keepers(d, id_col="doc_id", text_col="text").select(
+        "doc_id", "source", "lang"
+    )

@@ -376,18 +376,31 @@ _ND_ROWS = 4  # hyperplanes per table (16-bucket keys per band)
 _ND_COS = 0.35  # verify threshold, matching the exact ground truth
 
 
-def _nd_band_keys(emb_col: str) -> list[F.Column]:
+def _nd_band_keys(
+    emb_col: str, bands: int = _ND_BANDS, rows: int = _ND_ROWS
+) -> list[F.Column]:
     """One bucket key per band: the sign-bit pattern of that band's
     hyperplanes. A pair collides if ANY band key matches — the
     multi-table (banding) form of hyperplane LSH, the cosine analogue
     of MinHash banding: P(candidate) = 1 - (1 - p^rows)^bands with
-    p = 1 - theta/pi."""
-    planes = _planes(_ND_BANDS * _ND_ROWS)
+    p = 1 - theta/pi.
+
+    SIZING RULE (the 100 TB story): candidate volume per band is
+    ~ sum over buckets of occupancy², and occupancy = n / 2^rows, so
+    at FIXED rows the candidate count grows QUADRATICALLY with corpus
+    size — measured 7.8x wall-clock for a 10x density-preserving
+    corpus at rows=4. `rows` must grow with log2(n) — each extra plane
+    halves bucket occupancy and quarters per-bucket pair count — with
+    `bands` raised alongside to buy back the recall the sharper
+    buckets cost: at 10x, (bands=6, rows=7) measures 1.6x wall-clock
+    (SCALE.md). The 4x4 default fits the driver-testdata scale the
+    registered query and its recall pytest are calibrated to."""
+    planes = _planes(bands * rows)
     keys = []
-    for b in range(_ND_BANDS):
+    for b in range(bands):
         key = F.lit(0)
-        for r in range(_ND_ROWS):
-            p = F.array(*[F.lit(v) for v in planes[b * _ND_ROWS + r]])
+        for r in range(rows):
+            p = F.array(*[F.lit(v) for v in planes[b * rows + r]])
             dot = F.aggregate(
                 F.zip_with(F.col(emb_col), p, lambda a, pv: a.cast("double") * pv),
                 F.lit(0.0),
