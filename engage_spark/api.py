@@ -127,9 +127,16 @@ def near_dup_components(
     `algorithm`: 'propagation' (min-label, O(diameter) rounds — the
     default for shallow dedup clusters) or 'star' (large-star/small-star,
     O(log^2 n) rounds for high-diameter graphs)."""
+    algorithms = {
+        "propagation": connected_components,
+        "star": connected_components_star,
+    }
+    if algorithm not in algorithms:
+        raise ValueError(
+            f"algorithm must be one of {sorted(algorithms)}, got {algorithm!r}"
+        )
     nodes = ids.select(F.col(id_col).alias("node"))
-    fn = connected_components if algorithm == "propagation" else connected_components_star
-    return fn(nodes, pairs, node_col="node", src=src_col, dst=dst_col)
+    return algorithms[algorithm](nodes, pairs, node_col="node", src=src_col, dst=dst_col)
 
 
 def embed_lsh_near_dup_pairs(
@@ -139,24 +146,27 @@ def embed_lsh_near_dup_pairs(
     threshold: float = 0.35,
     bands: int = 4,
     rows: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs without a blocking key: banded
-    hyperplane LSH candidates + exact cosine verify
-    (x_embed_lsh_neardup_pairs's plan — the banding shuffle carries
-    only (id, band, key); embeddings rejoin for survivors). Returns
-    (vec_a, vec_b, cosine), vec_a < vec_b.
+    hyperplane LSH candidates + exact cosine verify (the single
+    implementation behind x_embed_lsh_neardup_pairs — the banding
+    shuffle carries only (id, band, key); embeddings rejoin for
+    survivors). Returns (vec_a, vec_b, cosine), vec_a < vec_b.
 
-    Size `rows` ~ log2(corpus) and raise `bands` alongside: per-bucket
-    candidate volume is occupancy², so the 4x4 default that fits test
-    scale goes quadratic on a large corpus (measured 7.8x wall-clock at
-    10x data; 1.6x with bands=6, rows=7 — see SCALE.md and the
-    `_nd_band_keys` sizing rule)."""
+    `dim` is the embedding dimensionality (hyperplanes are generated at
+    this width; a mismatch degrades to prefix-dimension hashing, see
+    `_nd_band_keys`). Size `rows` ~ log2(corpus) and raise `bands`
+    alongside: per-bucket candidate volume is occupancy², so the 4x4
+    default that fits test scale goes quadratic on a large corpus
+    (measured 7.8x wall-clock at 10x data; 1.6x with bands=6, rows=7 —
+    see SCALE.md and the `_nd_band_keys` sizing rule)."""
     from engage_spark.queries.llm_similarity import _nd_band_keys
 
     e = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
     banded = e.select(
         "vec_id",
-        F.posexplode(F.array(*_nd_band_keys("embedding", bands, rows))).alias(
+        F.posexplode(F.array(*_nd_band_keys("embedding", bands, rows, dim))).alias(
             "band", "key"
         ),
     )
@@ -223,8 +233,12 @@ def topk_cosine_search(
         if best is not None:
             yield best
 
+    # id columns keep their INPUT types (string doc ids are the common
+    # case) — a hardcoded `long` here would crash at Arrow serialization
+    qid_t = q.schema["query_id"].dataType.simpleString()
+    nid_t = c.schema["neighbor_id"].dataType.simpleString()
     reduced = scored.mapInPandas(
-        partial_topk, schema="query_id long, neighbor_id long, cos double"
+        partial_topk, schema=f"query_id {qid_t}, neighbor_id {nid_t}, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
@@ -247,7 +261,14 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame
     rate."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    thresh = format(int(rate * (1 << 32)), "08x")
+    scaled = int(rate * (1 << 32))
+    if scaled >= (1 << 32):
+        # rate == 1.0: the threshold would format to the 9-char
+        # '100000000' and the lexicographic compare against the 8-char
+        # md5 prefix would keep only hashes starting with '0' (~1/16 of
+        # rows) — a full-rate sample is the identity, short-circuit it
+        return df
+    thresh = format(scaled, "08x")
     return df.filter(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(thresh)
     )

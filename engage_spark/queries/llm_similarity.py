@@ -59,39 +59,15 @@ def x3_topk_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order (cos desc, neighbor_id asc) as the final rank, so the
     result is exactly the global top-k, not an approximation."""
 
+    from engage_spark.api import topk_cosine_search
+
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"),
-                 F.col("embedding").alias("c_emb"))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr("q_emb", "c_emb"))
-        .select("query_id", "neighbor_id", "cos")
-    )
-
-    def partial_topk(batches):
-        best = None
-        for pdf in batches:
-            cur = pdf if best is None else pd.concat([best, pdf])
-            cur = cur.sort_values(
-                ["query_id", "cos", "neighbor_id"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            best = cur.groupby("query_id", sort=False).head(_TOP_K)
-        if best is not None:
-            yield best
-
-    reduced = scored.mapInPandas(
-        partial_topk, schema="query_id long, neighbor_id long, cos double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
-    return (
-        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    return topk_cosine_search(
+        e,
+        e.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOP_K,
+        id_col="vec_id",
+        emb_col="embedding",
     )
 
 
@@ -102,7 +78,7 @@ _N_PLANES = 8
 _DIM = 64
 
 
-def _planes(n: int = _N_PLANES) -> list[list[float]]:
+def _planes(n: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG over a fixed seed;
     values in [-1, 1)). Inlined as literals so every executor agrees
     without a broadcast variable."""
@@ -110,7 +86,7 @@ def _planes(n: int = _N_PLANES) -> list[list[float]]:
     out = []
     for _ in range(n):
         row = []
-        for _ in range(_DIM):
+        for _ in range(dim):
             x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
             row.append((x >> 11) / float(1 << 52) - 1.0)
         out.append(row)
@@ -377,7 +353,7 @@ _ND_COS = 0.35  # verify threshold, matching the exact ground truth
 
 
 def _nd_band_keys(
-    emb_col: str, bands: int = _ND_BANDS, rows: int = _ND_ROWS
+    emb_col: str, bands: int = _ND_BANDS, rows: int = _ND_ROWS, dim: int = _DIM
 ) -> list[F.Column]:
     """One bucket key per band: the sign-bit pattern of that band's
     hyperplanes. A pair collides if ANY band key matches — the
@@ -394,8 +370,16 @@ def _nd_band_keys(
     `bands` raised alongside to buy back the recall the sharper
     buckets cost: at 10x, (bands=6, rows=7) measures 1.6x wall-clock
     (SCALE.md). The 4x4 default fits the driver-testdata scale the
-    registered query and its recall pytest are calibrated to."""
-    planes = _planes(bands * rows)
+    registered query and its recall pytest are calibrated to.
+
+    `dim` must match the embedding dimensionality: zip_with null-pads
+    the shorter array, and without the coalesce below a single null
+    would poison the whole dot product, collapsing every vector into
+    bucket 0 of every band — a silent full cross product. The coalesce
+    makes a dim mismatch degrade to hashing the common prefix of
+    dimensions (still a valid LSH; the exact-cosine verify keeps
+    precision exact) instead of degenerating."""
+    planes = _planes(bands * rows, dim)
     keys = []
     for b in range(bands):
         key = F.lit(0)
@@ -404,7 +388,7 @@ def _nd_band_keys(
             dot = F.aggregate(
                 F.zip_with(F.col(emb_col), p, lambda a, pv: a.cast("double") * pv),
                 F.lit(0.0),
-                lambda acc, v: acc + v,
+                lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
             )
             key = key + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0))
         keys.append(key)
@@ -424,26 +408,10 @@ def x_embed_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (more planes -> smaller buckets, more bands -> recall). Recall vs
     the exact pairs is asserted in pytest; rows-only under the driver
     (hash family not SQL-expressible)."""
+    from engage_spark.api import embed_lsh_near_dup_pairs
+
     e = table(spark, sf_dir, "embeddings")
-    banded = e.select(
-        "vec_id",
-        F.posexplode(F.array(*_nd_band_keys("embedding"))).alias("band", "key"),
-    )
-    left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
-    right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))
-    cand = (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    emb_a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    emb_b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = cosine_expr("emb_a", "emb_b")
-    return (
-        cand.join(emb_a, on="vec_a")
-        .join(emb_b, on="vec_b")
-        .withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= _ND_COS)
-        .select("vec_a", "vec_b", "cosine")
+    return embed_lsh_near_dup_pairs(
+        e, id_col="vec_id", emb_col="embedding", threshold=_ND_COS,
+        bands=_ND_BANDS, rows=_ND_ROWS, dim=_DIM,
     )

@@ -161,6 +161,24 @@ def decode_image(blob: bytes):  # pragma: no cover - codec not in container
 _MAX_SIDE = 32  # target bounding box for the synthetic "images"
 
 
+def _resize_dim_cols() -> dict[str, F.Column]:
+    """The synthetic decode stand-in + aspect-preserving target dims as
+    named Columns, shared by mm_resize_plan (the oracle-checked
+    metadata half) and mm_resize_bytes (the pixel kernel) so the plan,
+    the kernel's inputs, and the SQL oracle can only drift together."""
+    src_w = (F.lit(16) + F.col("media_meta.n_bytes") % 64).cast("long")
+    src_h = (F.lit(16) + (F.col("media_meta.n_bytes") * 7) % 48).cast("long")
+    scale = F.least(
+        F.lit(float(_MAX_SIDE)) / src_w, F.lit(float(_MAX_SIDE)) / src_h, F.lit(1.0)
+    )
+    return {
+        "src_w": src_w,
+        "src_h": src_h,
+        "out_w": F.greatest(F.lit(1), F.floor(src_w * scale)).cast("long"),
+        "out_h": F.greatest(F.lit(1), F.floor(src_h * scale)).cast("long"),
+    }
+
+
 @query(
     "mm_resize_plan",
     oracle=f"""
@@ -190,17 +208,9 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB is what lets you PRUNE (skip already-small media) before
     paying for any pixel work."""
     media = with_media_columns(table(spark, sf_dir, "documents"))
-    src_w = (F.lit(16) + F.col("media_meta.n_bytes") % 64).cast("long")
-    src_h = (F.lit(16) + (F.col("media_meta.n_bytes") * 7) % 48).cast("long")
-    scale = F.least(
-        F.lit(float(_MAX_SIDE)) / src_w, F.lit(float(_MAX_SIDE)) / src_h, F.lit(1.0)
-    )
+    dims = _resize_dim_cols()
     return media.select(
-        "doc_id",
-        src_w.alias("src_w"),
-        src_h.alias("src_h"),
-        F.greatest(F.lit(1), F.floor(src_w * scale)).cast("long").alias("out_w"),
-        F.greatest(F.lit(1), F.floor(src_h * scale)).cast("long").alias("out_h"),
+        "doc_id", *[col.alias(name) for name, col in dims.items()]
     )
 
 
@@ -252,17 +262,8 @@ def mm_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle. Rows-only under the driver (binary output); the pytest
     checks buffer sizes equal out_w*out_h and a known gather."""
     media = with_media_columns(table(spark, sf_dir, "documents"))
-    src_w = (F.lit(16) + F.col("media_meta.n_bytes") % 64).cast("long")
-    src_h = (F.lit(16) + (F.col("media_meta.n_bytes") * 7) % 48).cast("long")
-    scale = F.least(
-        F.lit(float(_MAX_SIDE)) / src_w, F.lit(float(_MAX_SIDE)) / src_h, F.lit(1.0)
-    )
+    dims = _resize_dim_cols()
     src = media.select(
-        "doc_id",
-        "media",
-        src_w.alias("src_w"),
-        src_h.alias("src_h"),
-        F.greatest(F.lit(1), F.floor(src_w * scale)).cast("long").alias("out_w"),
-        F.greatest(F.lit(1), F.floor(src_h * scale)).cast("long").alias("out_h"),
+        "doc_id", "media", *[col.alias(name) for name, col in dims.items()]
     )
     return src.mapInPandas(resize_bytes_batches, schema=_RESIZE_SCHEMA)

@@ -65,7 +65,15 @@ def stream_parquet(
     TIMESTAMP(NANOS) columns (read as long + rebuilt, as in io.table).
     NTZ fields are cast to TIMESTAMP under a UTC-pinned session so the
     cast is an exact wall-clock == UTC-instant mapping (see module
-    docstring / stream_events_from_parquet)."""
+    docstring / stream_events_from_parquet).
+
+    Note the session-conf writes below are DELIBERATE engine-wide
+    invariants, not a local hack: engage_spark pins session.timeZone to
+    UTC everywhere (session.py does the same at build time), because
+    every timestamp-formatting oracle and every NTZ<->LTZ boundary in
+    the engine assumes it. Calling this from a foreign session adopts
+    that invariant for the rest of the session — by design, so batch
+    queries before and after a streaming reader agree."""
     from engage_spark.io import _nano_ts_fields
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -129,3 +129,67 @@ def test_embed_lsh_near_dup_pairs_on_custom_columns(spark):
     found = {tuple(r) for r in pairs[["vec_a", "vec_b"]].itertuples(index=False)}
     assert (0, 20) in found  # a 0.999-cosine pair collides in every band
     assert (pairs.cosine >= 0.9).all()
+
+
+def test_hash_sample_rate_one_is_identity(spark):
+    """Regression: rate=1.0 used to format a 9-char threshold whose
+    lexicographic compare against the 8-char md5 prefix kept only ~1/16
+    of rows."""
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    assert api.hash_sample(df, 1.0, id_col="k").count() == 500
+    assert api.hash_sample(df, 0.0, id_col="k").count() == 0
+
+
+def test_topk_cosine_works_with_string_ids(spark):
+    """Regression: the partial top-k schema used to hardcode long ids."""
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(12, 8).astype("float32")
+    pdf = pd.DataFrame(
+        {"name": [f"doc-{i}" for i in range(12)], "emb": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("name") == "doc-0")
+    got = api.topk_cosine_search(df, queries, k=3, id_col="name", emb_col="emb").toPandas()
+    assert len(got) == 3
+    assert (got.query_id == "doc-0").all()
+    assert "doc-0" not in set(got.neighbor_id)
+
+
+def test_embed_lsh_pairs_survive_non_default_dimension(spark):
+    """Regression: a dim mismatch used to null-poison every hyperplane
+    dot product (zip_with null-pads), collapsing all vectors into one
+    bucket — a silent cross product. Now mismatches degrade to
+    prefix-dim hashing and an explicit dim parameter exists."""
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16).astype("float32")
+    vecs = list(base)
+    vecs.append(base[7] + rng.randn(16).astype("float32") * 0.01)
+    pdf = pd.DataFrame({"vid": range(41), "v": [x.tolist() for x in vecs]})
+    df = spark.createDataFrame(pdf)
+
+    from engage_spark.queries.llm_similarity import _nd_band_keys
+
+    # bucketing must actually discriminate: >1 distinct key per band
+    keyed = df.select(F.array(*_nd_band_keys("v", dim=16)).alias("ks")).toPandas()
+    per_band = list(zip(*keyed.ks))
+    assert all(len(set(band)) > 1 for band in per_band)
+
+    got = api.embed_lsh_near_dup_pairs(
+        df, id_col="vid", emb_col="v", threshold=0.9, dim=16
+    ).toPandas()
+    found = {tuple(r) for r in got[["vec_a", "vec_b"]].itertuples(index=False)}
+    assert (7, 40) in found
+    # default dim=64 on 16-dim vectors: prefix-dim hashing, no crash,
+    # planted pair still found (identical prefixes collide in every band)
+    got64 = api.embed_lsh_near_dup_pairs(
+        df, id_col="vid", emb_col="v", threshold=0.9
+    ).toPandas()
+    found64 = {tuple(r) for r in got64[["vec_a", "vec_b"]].itertuples(index=False)}
+    assert (7, 40) in found64
+
+
+def test_near_dup_components_rejects_unknown_algorithm(spark):
+    df = spark.range(3).withColumnRenamed("id", "n")
+    pairs = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    with pytest.raises(ValueError):
+        api.near_dup_components(df, pairs, id_col="n", algorithm="propogation")
