@@ -40,6 +40,7 @@ __all__ = [
     "near_dup_components",
     "embed_lsh_near_dup_pairs",
     "topk_cosine_search",
+    "curation_funnel",
     "hash_sample",
     "token_stats",
     "cosine_expr",
@@ -271,6 +272,110 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame
     thresh = format(scaled, "08x")
     return df.filter(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(thresh)
+    )
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_chars_col: str | None = None,
+    sample_rate: float = 0.5,
+) -> DataFrame:
+    """End-to-end curation funnel (predicted-English filter ->
+    Gopher/C4-style quality gate -> exact dedup, first copy wins ->
+    deterministic hash sample) as a 5-row attrition table
+    (stage_idx, stage, n_docs, n_tokens) — the single implementation
+    behind x_curation_pipeline.
+
+    All four survival flags are computed in ONE corpus pass: map-side
+    expressions for lang/quality/fingerprint, one window shuffle
+    (partition by fingerprint) for the first-copy flag, one tiny
+    aggregate, a stack() unpivot. Flags compose monotonically (each
+    stage ANDs the previous), like a real curation DAG's lineage
+    columns. `n_chars_col` defaults to length(text)."""
+    from engage_spark.queries.llm_text import _LANG_MARKERS, _STOPWORDS
+
+    if not 0.0 < sample_rate <= 1.0:
+        raise ValueError(f"sample_rate must be in (0, 1], got {sample_rate}")
+    scaled = int(sample_rate * (1 << 32))
+    keep_all = scaled >= (1 << 32)
+    thresh = None if keep_all else format(scaled, "08x")
+
+    n_chars = F.col(n_chars_col) if n_chars_col else F.length(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        F.col(text_col).alias("text"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+
+    def hits(words) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x)))
+
+    s = {lg: hits(ws) for lg, ws in _LANG_MARKERS.items()}
+    any_marker = (s["en"] + s["es"] + s["fr"] + s["de"]) > 0
+    f_lang = (
+        any_marker
+        & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"])
+    ).cast("int")
+    n_toks = F.size("__toks").cast("long")
+    stop_ratio = hits(_STOPWORDS) / n_toks.cast("double")
+
+    flagged = base.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        f_lang.alias("f_lang"),
+        (
+            (f_lang == 1)
+            & F.col("n_chars").between(100, 20000)
+            & (stop_ratio >= 0.01)
+        )
+        .cast("int")
+        .alias("f_q"),
+        normalized_fingerprint("text").alias("__fp"),
+    )
+    w = (
+        Window.partitionBy("__fp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sampled = (
+        F.lit(True)
+        if keep_all
+        else F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thresh
+    )
+    staged = flagged.select(
+        "doc_id",
+        "n_toks",
+        "f_lang",
+        "f_q",
+        ((F.col("f_q") == 1) & (F.sum("f_q").over(w) == 1)).cast("int").alias("f_d"),
+    ).select(
+        "*",
+        ((F.col("f_d") == 1) & sampled).cast("int").alias("f_s"),
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("n_toks").cast("long").alias("t0"),
+        F.sum("f_lang").cast("long").alias("n1"),
+        F.sum(F.col("f_lang") * F.col("n_toks")).cast("long").alias("t1"),
+        F.sum("f_q").cast("long").alias("n2"),
+        F.sum(F.col("f_q") * F.col("n_toks")).cast("long").alias("t2"),
+        F.sum("f_d").cast("long").alias("n3"),
+        F.sum(F.col("f_d") * F.col("n_toks")).cast("long").alias("t3"),
+        F.sum("f_s").cast("long").alias("n4"),
+        F.sum(F.col("f_s") * F.col("n_toks")).cast("long").alias("t4"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+            0L, 'raw',     n0, t0,
+            1L, 'lang_en', n1, t1,
+            2L, 'quality', n2, t2,
+            3L, 'dedup',   n3, t3,
+            4L, 'sample',  n4, t4
+        ) AS (stage_idx, stage, n_docs, n_tokens)"""
     )
 
 

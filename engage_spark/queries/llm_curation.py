@@ -20,7 +20,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engage_spark.io import spread_small_scan, table
@@ -588,81 +588,12 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct per stage. Flags compose monotonically (each stage ANDs
     the previous), exactly like a real curation DAG's lineage columns.
     """
+    from engage_spark.api import curation_funnel
+
     d = table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", "n_chars", "text", F.expr(_TOKS_SPARK).alias("__toks")
-    )
-
-    def hits(words) -> F.Column:
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(F.col("__toks"), lambda x: F.array_contains(arr, x)))
-
-    s = {lg: hits(ws) for lg, ws in _LANG_MARKERS.items()}
-    any_marker = (s["en"] + s["es"] + s["fr"] + s["de"]) > 0
-    f_lang = (
-        any_marker
-        & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"])
-    ).cast("int")
-    n_toks = F.size("__toks").cast("long")
-    stop_ratio = hits(_STOPWORDS) / n_toks.cast("double")
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-
-    flagged = base.select(
-        "doc_id",
-        n_toks.alias("n_toks"),
-        f_lang.alias("f_lang"),
-        (
-            (f_lang == 1)
-            & F.col("n_chars").between(100, 20000)
-            & (stop_ratio >= 0.01)
-        )
-        .cast("int")
-        .alias("f_q"),
-        fp.alias("__fp"),
-    )
-    w = (
-        Window.partitionBy("__fp")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    staged = flagged.select(
-        "doc_id",
-        "n_toks",
-        "f_lang",
-        "f_q",
-        ((F.col("f_q") == 1) & (F.sum("f_q").over(w) == 1)).cast("int").alias("f_d"),
-    ).select(
-        "*",
-        (
-            (F.col("f_d") == 1)
-            & (
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
-                < _SAMPLE_THRESH
-            )
-        )
-        .cast("int")
-        .alias("f_s"),
-    )
-    agg = staged.agg(
-        F.count(F.lit(1)).cast("long").alias("n0"),
-        F.sum("n_toks").cast("long").alias("t0"),
-        F.sum("f_lang").cast("long").alias("n1"),
-        F.sum(F.col("f_lang") * F.col("n_toks")).cast("long").alias("t1"),
-        F.sum("f_q").cast("long").alias("n2"),
-        F.sum(F.col("f_q") * F.col("n_toks")).cast("long").alias("t2"),
-        F.sum("f_d").cast("long").alias("n3"),
-        F.sum(F.col("f_d") * F.col("n_toks")).cast("long").alias("t3"),
-        F.sum("f_s").cast("long").alias("n4"),
-        F.sum(F.col("f_s") * F.col("n_toks")).cast("long").alias("t4"),
-    )
-    return agg.selectExpr(
-        """stack(5,
-            0L, 'raw',     n0, t0,
-            1L, 'lang_en', n1, t1,
-            2L, 'quality', n2, t2,
-            3L, 'dedup',   n3, t3,
-            4L, 'sample',  n4, t4
-        ) AS (stage_idx, stage, n_docs, n_tokens)"""
+    return curation_funnel(
+        d, id_col="doc_id", text_col="text", n_chars_col="n_chars",
+        sample_rate=0.5,  # threshold '80000000', matching the oracle
     )
 
 

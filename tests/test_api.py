@@ -193,3 +193,25 @@ def test_near_dup_components_rejects_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
     with pytest.raises(ValueError):
         api.near_dup_components(df, pairs, id_col="n", algorithm="propogation")
+
+
+def test_curation_funnel_on_custom_columns(spark):
+    """The generic funnel runs on arbitrary columns with derived
+    n_chars and produces a monotone 5-stage attrition table."""
+    rows = [
+        (i, "the data value is " + ("fast " * 30) + f"doc{i}") for i in range(40)
+    ]
+    rows.append((100, rows[0][1]))  # exact duplicate of doc 0
+    df = spark.createDataFrame(rows, ["uid", "body"])
+    out = (
+        api.curation_funnel(df, id_col="uid", text_col="body")
+        .toPandas()
+        .sort_values("stage_idx")
+        .reset_index(drop=True)
+    )
+    assert list(out.stage) == ["raw", "lang_en", "quality", "dedup", "sample"]
+    assert out.n_docs.iloc[0] == 41
+    assert (out.n_docs.diff().dropna() <= 0).all()  # monotone attrition
+    assert out.n_docs.iloc[3] == out.n_docs.iloc[2] - 1  # dup removed
+    with pytest.raises(ValueError):
+        api.curation_funnel(df, id_col="uid", text_col="body", sample_rate=0.0)
