@@ -41,6 +41,7 @@ __all__ = [
     "embed_lsh_near_dup_pairs",
     "topk_cosine_search",
     "curation_funnel",
+    "sequence_packing",
     "hash_sample",
     "token_stats",
     "cosine_expr",
@@ -376,6 +377,43 @@ def curation_funnel(
             3L, 'dedup',   n3, t3,
             4L, 'sample',  n4, t4
         ) AS (stage_idx, stage, n_docs, n_tokens)"""
+    )
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str | None = None,
+    budget: int = 2048,
+) -> DataFrame:
+    """Greedy sequential sequence packing: documents fill
+    `budget`-token packs in deterministic (strata, id) order;
+    pack_id = floor(exclusive_running_token_sum / budget). Returns one
+    row per document: (doc_id[, strata_col], n_toks, pack_id).
+
+    The greedy sequential fill is the streaming-friendly standard for
+    pretraining batch construction — no cross-corpus bin-packing
+    shuffle, one window cumsum per stratum, deterministic on any
+    cluster layout (a resumed job continues the same packs). An
+    oversize document spills its pack rather than being split."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long")
+    part = [strata_col] if strata_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = [id_col] + ([strata_col] if strata_col else [])
+    return (
+        df.select(*keep, toks.alias("n_toks"))
+        .withColumn(
+            "pack_id",
+            ((F.sum("n_toks").over(w) - F.col("n_toks")) / budget)
+            .cast("long"),
+        )
     )
 
 

@@ -653,3 +653,53 @@ _REG["x_curation_pipeline"].oracle = rf"""
     UNION ALL SELECT 3, 'dedup', n3, t3 FROM agg
     UNION ALL SELECT 4, 'sample', n4, t4 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (pretraining batch construction)
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@query(
+    "x_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_TOKS_DUCK})::BIGINT AS n_toks
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, n_toks,
+               ((sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_toks) // {_PACK_BUDGET})::BIGINT AS pack_id
+        FROM t
+    )
+    SELECT source, pack_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS pack_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+    covers=["X4"],
+)
+def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents fill {_PACK_BUDGET}-token
+    packs greedily in deterministic (source, doc_id) order — pack_id =
+    floor(start_offset / budget), where start_offset is the exclusive
+    running token sum. Greedy sequential fill is the streaming-friendly
+    standard (an oversize doc spills its pack; no bin-packing shuffle
+    of documents across the corpus); the assignment is one window
+    cumsum per source partition — a single shuffle on source, no
+    Python. Deterministic: the same corpus packs identically on any
+    cluster layout, so a resumed job continues the same packs."""
+    from engage_spark.api import sequence_packing
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = sequence_packing(
+        d, id_col="doc_id", text_col="text", strata_col="source",
+        budget=_PACK_BUDGET,
+    )
+    return per_doc.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("pack_tokens"),
+    )

@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ev_conversion_funnel",
     "ev_retention_cohorts",
     "x1b_exact_dedup_keepers",
+    "x_sequence_packing",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",

@@ -215,3 +215,26 @@ def test_curation_funnel_on_custom_columns(spark):
     assert out.n_docs.iloc[3] == out.n_docs.iloc[2] - 1  # dup removed
     with pytest.raises(ValueError):
         api.curation_funnel(df, id_col="uid", text_col="body", sample_rate=0.0)
+
+
+def test_sequence_packing_fills_budget_greedily(spark):
+    rows = [(i, "w " * 100) for i in range(10)]  # 100 tokens each
+    df = spark.createDataFrame(rows, ["uid", "body"])
+    out = (
+        api.sequence_packing(df, id_col="uid", text_col="body", budget=250)
+        .toPandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    # 100-token docs into 250-token packs: pack = floor(100*i / 250)
+    assert list(out.pack_id) == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # deterministic: same input packs identically
+    again = (
+        api.sequence_packing(df, id_col="uid", text_col="body", budget=250)
+        .toPandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    assert list(again.pack_id) == list(out.pack_id)
+    with pytest.raises(ValueError):
+        api.sequence_packing(df, id_col="uid", text_col="body", budget=0)
