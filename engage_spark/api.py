@@ -250,6 +250,40 @@ def topk_cosine_search(
     )
 
 
+def _ws_tokens(text_col: str) -> Column:
+    """The engine's canonical whitespace tokenizer as a Column — ONE
+    definition on the Spark side so every consumer (funnel, packing,
+    token stats, and the oracle-checked queries built on them) drifts
+    together with the DuckDB `_TOKS_DUCK` twin or not at all."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _hash_keep_expr(id_col: str, rate: float) -> Column:
+    """Boolean keep-predicate of the deterministic md5-threshold sample
+    — the single implementation behind hash_sample and the funnel's
+    sample stage. Raises on rates the 2^-32 hash granularity cannot
+    express (quietly returning an empty sample for a tiny-but-positive
+    rate would look like data loss)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate == 0.0:
+        return F.lit(False)
+    scaled = int(rate * (1 << 32))
+    if scaled >= (1 << 32):
+        # rate == 1.0: the threshold would format to the 9-char
+        # '100000000' and the lexicographic compare against the 8-char
+        # md5 prefix would keep only hashes starting with '0' (~1/16 of
+        # rows) — a full-rate sample is the identity
+        return F.lit(True)
+    if scaled == 0:
+        raise ValueError(
+            f"rate {rate} is below the sampler's 2^-32 hash granularity — "
+            "it would silently select nothing; sample in stages or salt ids"
+        )
+    thresh = format(scaled, "08x")
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(thresh)
+
+
 def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
     """Deterministic sample: keep a row iff the first 8 hex chars of
     md5(id) fall below rate * 16^8. Unlike df.sample(), selection is a
@@ -261,19 +295,7 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame
     returns the same 0.5 sample; use a salted id for independent
     draws.) The x_hash_sample_stratified primitive with a caller-chosen
     rate."""
-    if not 0.0 <= rate <= 1.0:
-        raise ValueError(f"rate must be in [0, 1], got {rate}")
-    scaled = int(rate * (1 << 32))
-    if scaled >= (1 << 32):
-        # rate == 1.0: the threshold would format to the 9-char
-        # '100000000' and the lexicographic compare against the 8-char
-        # md5 prefix would keep only hashes starting with '0' (~1/16 of
-        # rows) — a full-rate sample is the identity, short-circuit it
-        return df
-    thresh = format(scaled, "08x")
-    return df.filter(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.lit(thresh)
-    )
+    return df.filter(_hash_keep_expr(id_col, rate))
 
 
 def curation_funnel(
@@ -297,18 +319,16 @@ def curation_funnel(
     columns. `n_chars_col` defaults to length(text)."""
     from engage_spark.queries.llm_text import _LANG_MARKERS, _STOPWORDS
 
-    if not 0.0 < sample_rate <= 1.0:
-        raise ValueError(f"sample_rate must be in (0, 1], got {sample_rate}")
-    scaled = int(sample_rate * (1 << 32))
-    keep_all = scaled >= (1 << 32)
-    thresh = None if keep_all else format(scaled, "08x")
+    if sample_rate == 0.0:
+        raise ValueError("sample_rate 0 would empty the funnel's last stage")
+    sampled = _hash_keep_expr("doc_id", sample_rate)  # validates the rate
 
     n_chars = F.col(n_chars_col) if n_chars_col else F.length(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
         F.col(text_col).alias("text"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+        _ws_tokens(text_col).alias("__toks"),
     )
 
     def hits(words) -> Column:
@@ -341,11 +361,6 @@ def curation_funnel(
         Window.partitionBy("__fp")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sampled = (
-        F.lit(True)
-        if keep_all
-        else F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thresh
     )
     staged = flagged.select(
         "doc_id",
@@ -396,17 +411,22 @@ def sequence_packing(
     pretraining batch construction — no cross-corpus bin-packing
     shuffle, one window cumsum per stratum, deterministic on any
     cluster layout (a resumed job continues the same packs). An
-    oversize document spills its pack rather than being split."""
+    oversize document spills its pack rather than being split.
+
+    Determinism requires a total order: the window sorts by (id,
+    n_toks), so even duplicate ids within a stratum produce the same
+    offsets on any layout — two rows tied on BOTH keys are
+    interchangeable (equal token counts shift offsets identically)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    toks = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).cast("long")
+    toks = F.size(_ws_tokens(text_col)).cast("long")
     part = [strata_col] if strata_col else []
+    keep = [id_col] + ([strata_col] if strata_col else [])
     w = (
         Window.partitionBy(*part)
-        .orderBy(id_col)
+        .orderBy(id_col, "n_toks")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    keep = [id_col] + ([strata_col] if strata_col else [])
     return (
         df.select(*keep, toks.alias("n_toks"))
         .withColumn(
@@ -421,7 +441,6 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append token statistics columns: ws_tokens (whitespace tokens),
     approx_llm_tokens (chars/4). Map-only, codegen'd (the
     x_text_token_count expressions over an arbitrary column)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return df.withColumn("ws_tokens", F.size(toks).cast("long")).withColumn(
-        "approx_llm_tokens", F.length(text_col) / F.lit(4.0)
-    )
+    return df.withColumn(
+        "ws_tokens", F.size(_ws_tokens(text_col)).cast("long")
+    ).withColumn("approx_llm_tokens", F.length(text_col) / F.lit(4.0))

@@ -683,7 +683,7 @@ _PACK_BUDGET = 512  # tokens per packed sequence
     covers=["X4"],
 )
 def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for pretraining: documents fill {_PACK_BUDGET}-token
+    """Sequence packing for pretraining: documents fill 512-token
     packs greedily in deterministic (source, doc_id) order — pack_id =
     floor(start_offset / budget), where start_offset is the exclusive
     running token sum. Greedy sequential fill is the streaming-friendly

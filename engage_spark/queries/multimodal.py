@@ -203,7 +203,7 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize planning over media metadata: source
     dims (a deterministic synthetic decode stand-in — real pipelines
     read them from the codec header) -> the largest size fitting a
-    {_MAX_SIDE}x{_MAX_SIDE} box without upscaling. Pure JVM arithmetic,
+    32x32 (_MAX_SIDE) box without upscaling. Pure JVM arithmetic,
     map-only; the metadata-level half of a resize stage, which at
     100 TB is what lets you PRUNE (skip already-small media) before
     paying for any pixel work."""

@@ -238,3 +238,12 @@ def test_sequence_packing_fills_budget_greedily(spark):
     assert list(again.pack_id) == list(out.pack_id)
     with pytest.raises(ValueError):
         api.sequence_packing(df, id_col="uid", text_col="body", budget=0)
+
+
+def test_hash_sample_rejects_subgranularity_rate(spark):
+    """Regression: a positive rate below 2^-32 used to silently select
+    nothing; it now raises instead of looking like data loss."""
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="granularity"):
+        api.hash_sample(df, 1e-12, id_col="id")
+    assert api.hash_sample(df, 0.0, id_col="id").count() == 0  # explicit 0 is fine
