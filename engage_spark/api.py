@@ -44,6 +44,9 @@ __all__ = [
     "sequence_packing",
     "hash_sample",
     "token_stats",
+    "vocab_topk",
+    "chunk_documents",
+    "training_shards",
     "cosine_expr",
 ]
 
@@ -444,3 +447,106 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "ws_tokens", F.size(_ws_tokens(text_col)).cast("long")
     ).withColumn("approx_llm_tokens", F.length(text_col) / F.lit(4.0))
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 10000, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus tokens by term frequency with document frequency
+    (tokenizer-training statistics; the x_vocab_topk plan over arbitrary
+    columns). Explode is map-side, counts partial-aggregate before the
+    one shuffle on token, top-k is TakeOrderedAndProject (K rows per
+    partition cross the wire, never the full vocabulary); ties at the
+    boundary break by token so the cut is deterministic."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(_ws_tokens(text_col)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("__id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks
+    (context-window preparation; the x_doc_chunking plan). Chunk starts
+    are 0, stride, 2*stride, ...; a short document yields exactly one
+    chunk and the last chunk may run short. Returns
+    (id_col, chunk_idx, n_chunk_toks, chunk_text).
+
+    Entirely map-side (sequence + explode + slice inside codegen): no
+    shuffle, no Python, output partitioning inherits the input's."""
+    stride = size if stride is None else stride
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size and stride must be positive, got {size}, {stride}")
+    if stride > size:
+        raise ValueError(
+            f"stride {stride} > size {size} would skip tokens between chunks"
+        )
+    t = df.select(
+        F.col(id_col), _ws_tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks").cast("long"))
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("__n") - size) / F.lit(float(stride))) + 1,
+    )
+    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
+    return (
+        t.select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(piece).cast("long").alias("n_chunk_toks"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+def training_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuf-v1",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data delivery: append
+    a shuffle key md5(salt:id) and shard_id = key mod n_shards, then
+    materialize shards via repartition + sortWithinPartitions — reading
+    shard files in order visits the corpus in a fixed pseudo-random
+    order, reproducible on any cluster layout (unlike rand() or
+    repartition order), resumable mid-epoch, re-drawable by bumping the
+    salt.
+
+    The per-shard sort is sortWithinPartitions (a distributed sort of
+    each shard's partition), NOT a row_number window over shard_id —
+    the window formulation funnels each shard through one task, which
+    dies at 100 TB. Audit the assignment with the x_shard_manifest
+    query (same key scheme)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    skey = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    keyed = df.withColumn("skey", skey).withColumn(
+        "shard_id",
+        F.pmod(F.conv(F.substring("skey", 1, 8), 16, 10).cast("long"), n_shards),
+    )
+    return keyed.repartition(n_shards, "shard_id").sortWithinPartitions(
+        "shard_id", "skey"
+    )

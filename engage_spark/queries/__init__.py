@@ -12,6 +12,7 @@ from engage_spark.queries import (  # noqa: F401
     llm_similarity,
     llm_text,
     llm_curation,
+    llm_corpus,
     multimodal,
     streaming_twins,
     sinks,

@@ -1,0 +1,222 @@
+"""Corpus-statistics and training-data-layout operators (SURVEY.md §2.12).
+
+No reference counterpart; these are the remaining passes a pre-training
+corpus needs between curation (llm_curation) and batch construction
+(x_sequence_packing): vocabulary statistics for tokenizer training,
+long-document chunking to a context window, and deterministic shard
+assignment for training-data delivery.
+
+Scale notes (the 100 TB story):
+  - Vocabulary counting is explode -> groupBy: the explode is map-side
+    (no materialized token table), partial aggregation combines counts
+    before the one shuffle on token, and the top-K is
+    TakeOrderedAndProject (per-partition heaps, K rows per partition
+    cross the wire — never the full vocabulary).
+  - Chunking is map-only: sequence()+explode fan-out inside codegen,
+    no shuffle, output partitioning inherits the scan.
+  - Shard assignment is map-only hashing; the MANIFEST aggregates it
+    into n_shards rows. Delivery itself (api.training_shards) uses
+    repartition(shard) + sortWithinPartitions, never a single-task
+    per-shard window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engage_spark.io import table
+from engage_spark.queries.llm_dedup import _TOKS_DUCK, _TOKS_SPARK
+from engage_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Vocabulary top-K (tokenizer-training statistics)
+
+_VOCAB_K = 100
+
+
+@query(
+    "x_vocab_topk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, unnest({_TOKS_DUCK}) AS token FROM documents
+    )
+    SELECT token,
+           count(*)::BIGINT AS tf,
+           count(DISTINCT doc_id)::BIGINT AS df
+    FROM t GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT {_VOCAB_K}
+    """,
+    covers=["X4"],
+)
+def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 (_VOCAB_K) tokens by term frequency with
+    document frequency — the first pass of tokenizer/BPE training and
+    of stopword discovery.
+
+    Plan: explode(tokens) is generated map-side inside codegen (the
+    token stream is never materialized), partial aggregation combines
+    (tf, partial-df) before the single shuffle on token, and the final
+    top-K is TakeOrderedAndProject — each partition keeps a K-row heap,
+    so only partitions*K rows reach the driver-side merge, not the full
+    vocabulary. df uses count(DISTINCT doc_id), which Spark plans as a
+    two-phase distinct-then-count aggregate on the same token key (one
+    extra exchange of (token, doc_id) pairs — unavoidable for exact df;
+    the approx_count_distinct variant drops it at scale). Ties at the
+    K boundary are broken by token, so the cut is total-ordered and
+    deterministic on any cluster layout."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(_VOCAB_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Long-document chunking (context-window preparation)
+
+_CHUNK_SIZE = 64  # tokens per chunk
+_CHUNK_STRIDE = 48  # start-to-start distance => 16-token overlap
+
+
+@query(
+    "x_doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), n AS (
+        SELECT doc_id, toks, len(toks)::BIGINT AS n_toks FROM t
+    ), c AS (
+        SELECT doc_id, n_toks, toks,
+               unnest(generate_series(
+                   0,
+                   greatest(
+                       1,
+                       ceil((n_toks - {_CHUNK_SIZE}) / {_CHUNK_STRIDE}.0)::BIGINT + 1
+                   ) - 1
+               )) AS chunk_idx
+        FROM n
+    )
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           len(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                    chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}])::BIGINT
+               AS n_chunk_toks,
+           array_to_string(
+               toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                    chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' '
+           ) AS chunk_text
+    FROM c
+    """,
+    covers=["X4"],
+)
+def x_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token chunks
+    (size 64, stride 48 => 16-token overlap) — how
+    long documents are fitted to a model context window while keeping
+    boundary context. Chunk starts are 0, stride, 2*stride, ...;
+    n_chunks = max(1, ceil((n_toks - size) / stride) + 1), so every
+    token is covered, a short doc yields exactly one chunk, and the
+    last chunk may run short rather than spilling past the end.
+
+    Plan: entirely map-side — tokenize, sequence(0, n_chunks-1) +
+    explode fan-out, slice + array_join, all inside whole-stage
+    codegen. No shuffle, no Python; output partitioning inherits the
+    scan, so chunking 100 TB is a single pass at scan speed. The
+    fan-out factor is bounded (~n_toks/stride per doc), and AQE can
+    rebalance downstream if chunk sizes skew."""
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
+    ).withColumn("n_toks", F.size("toks").cast("long"))
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("n_toks") - size) / F.lit(float(stride))) + 1,
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, size)
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).cast("long").alias("n_chunk_toks"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training shards (delivery-order manifest)
+
+_N_SHARDS = 16
+_SHUF_SALT = "shuf-v1"  # bump to draw an independent shuffle
+
+
+@query(
+    "x_shard_manifest",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5('{_SHUF_SALT}:' || doc_id::VARCHAR) AS skey,
+               len({_TOKS_DUCK})::BIGINT AS n_toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, skey, n_toks,
+               (('0x' || substr(skey, 1, 8))::BIGINT % {_N_SHARDS})::BIGINT
+                   AS shard_id
+        FROM k
+    )
+    SELECT shard_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS n_tokens,
+           min(skey) AS min_key,
+           max(skey) AS max_key
+    FROM s GROUP BY shard_id
+    """,
+    covers=["X4"],
+)
+def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data delivery, audited
+    as a 16-row (_N_SHARDS) shard manifest. Each doc gets a shuffle key
+    md5(salt:doc_id) and shard = (value of the key's first 8 hex chars)
+    mod 16 — the exact scheme api.training_shards uses for delivery;
+    reading shards in order, each sorted by key, visits the corpus in a
+    fixed pseudo-random order — reproducible on any cluster layout
+    (unlike rand() or repartition-order), resumable mid-epoch, and
+    re-drawable by bumping the salt.
+
+    Plan: key + shard are map-only codegen'd expressions; the manifest
+    is one partial-agg'd shuffle on shard_id producing 16 rows. The
+    DELIVERY op (api.training_shards) materializes
+    repartition(n, shard) + sortWithinPartitions(key) — a distributed
+    per-shard sort, NOT a row_number window over shard (which would
+    funnel each shard through a single task at 100 TB)."""
+    d = table(spark, sf_dir, "documents")
+    skey = F.md5(F.concat_ws(":", F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
+    k = d.select(
+        "doc_id",
+        skey.alias("skey"),
+        F.size(F.expr(_TOKS_SPARK)).cast("long").alias("n_toks"),
+    ).withColumn(
+        "shard_id",
+        F.pmod(
+            F.conv(F.substring("skey", 1, 8), 16, 10).cast("long"), _N_SHARDS
+        ).cast("long"),
+    )
+    return k.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.min("skey").alias("min_key"),
+        F.max("skey").alias("max_key"),
+    )

@@ -72,6 +72,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ev_retention_cohorts",
     "x1b_exact_dedup_keepers",
     "x_sequence_packing",
+    "x_vocab_topk",
+    "x_doc_chunking",
+    "x_shard_manifest",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",

@@ -247,3 +247,47 @@ def test_hash_sample_rejects_subgranularity_rate(spark):
     with pytest.raises(ValueError, match="granularity"):
         api.hash_sample(df, 1e-12, id_col="id")
     assert api.hash_sample(df, 0.0, id_col="id").count() == 0  # explicit 0 is fine
+
+
+def test_vocab_topk_counts_and_ties(corpus):
+    out = api.vocab_topk(corpus, k=3, id_col="uid", text_col="body").toPandas()
+    assert list(out.columns) == ["token", "tf", "df"]
+    assert len(out) == 3
+    # 'the' appears twice in docs 1-3 (and once more via 'THE' lowercased)
+    assert out.token.iloc[0] == "the"
+    assert out.tf.iloc[0] == 6 and out.df.iloc[0] == 3
+    # deterministic tie-break: tf desc, then token asc
+    assert list(out.tf) == sorted(out.tf, reverse=True)
+    with pytest.raises(ValueError):
+        api.vocab_topk(corpus, k=0, id_col="uid", text_col="body")
+
+
+def test_chunk_documents_covers_every_token_once_per_stride(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], ["uid", "body"])
+    out = (
+        api.chunk_documents(df, size=4, stride=3, id_col="uid", text_col="body")
+        .toPandas()
+        .sort_values(["uid", "chunk_idx"])
+    )
+    d1 = out[out.uid == 1]
+    # n_chunks = ceil((10-4)/3)+1 = 3, starts 0,3,6 -> last covers t6..t9
+    assert list(d1.chunk_idx) == [0, 1, 2]
+    assert d1.chunk_text.iloc[0] == "t0 t1 t2 t3"
+    assert d1.chunk_text.iloc[2] == "t6 t7 t8 t9"
+    assert list(d1.n_chunk_toks) == [4, 4, 4]
+    d2 = out[out.uid == 2]  # short doc -> exactly one (short) chunk
+    assert len(d2) == 1 and d2.chunk_text.iloc[0] == "short doc"
+    with pytest.raises(ValueError):
+        api.chunk_documents(df, size=4, stride=5, id_col="uid", text_col="body")
+
+
+def test_training_shards_deterministic_and_complete(corpus):
+    a = api.training_shards(corpus, n_shards=4, id_col="uid").toPandas()
+    b = api.training_shards(corpus, n_shards=4, id_col="uid").toPandas()
+    assert sorted(a.uid) == [1, 2, 3, 4, 5]  # a permutation, nothing lost
+    assert list(a.uid) == list(b.uid)  # same layout -> same order
+    assert a.shard_id.between(0, 3).all()
+    salted = api.training_shards(corpus, n_shards=4, id_col="uid", salt="v2").toPandas()
+    assert set(salted.uid) == set(a.uid)
+    assert list(salted.skey) != list(a.skey)  # new salt -> new draw
