@@ -54,6 +54,10 @@ OPTIONAL = [
     # any sf), which would swamp the throughput signal this headline
     # total exists to track round-over-round.
     "x_curation_pipeline",
+    "x_sequence_packing",
+    "x_vocab_topk",
+    "x_doc_chunking",
+    "x_shard_manifest",
 ]
 
 
