@@ -123,3 +123,27 @@ def test_curation_funnel_is_single_pass(spark, sf_dir):
     assert plan.count("Exchange") == 2
     # column pruning: text/doc_id/n_chars only — embeddings etc. never read
     assert "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>" in plan
+
+
+def test_doc_chunking_is_map_only_jvm(spark, sf_dir):
+    # sequence + explode + slice all inside codegen: chunking 100 TB is
+    # one pass at scan speed — no shuffle, no Python
+    plan = _plan(spark, sf_dir, "x_doc_chunking")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_vocab_topk_takes_ordered_not_global_sort(spark, sf_dir):
+    # the top-K cut must be TakeOrderedAndProject (per-partition heaps,
+    # K rows per partition cross the wire) — a global Sort+Limit would
+    # range-shuffle the whole vocabulary
+    plan = _plan(spark, sf_dir, "x_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan  # counts combine map-side before the shuffle
+
+
+def test_shard_manifest_is_one_aggregation_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x_shard_manifest")
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan
+    assert "Python" not in plan
