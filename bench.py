@@ -58,6 +58,7 @@ OPTIONAL = [
     "x_vocab_topk",
     "x_doc_chunking",
     "x_shard_manifest",
+    "x_span_dedup",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "token_stats",
     "vocab_topk",
     "chunk_documents",
+    "span_dedup",
     "training_shards",
     "cosine_expr",
 ]
@@ -517,6 +518,71 @@ def chunk_documents(
             "chunk_idx",
             F.size(piece).cast("long").alias("n_chunk_toks"),
             F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    span_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-document span dedup: split each doc into
+    non-overlapping `span_tokens`-token spans, keep only the FIRST
+    occurrence of each distinct span corpus-wide (first = lowest
+    (id, span_idx)), and reassemble each document from its surviving
+    spans. Returns (id_col, n_spans, n_kept, cleaned_text).
+
+    Scale design — the span TEXT never shuffles: the dedup decision
+    runs on (id, span_idx, md5(span)) rows (~40 B), one window shuffle
+    on the fingerprint + one groupBy id to collect kept indices; then
+    ONE join back to the source rows re-derives the spans map-side from
+    the text that arrived with the join. Total: two small shuffles +
+    one text shuffle (the join) — vs. two full-text shuffles for the
+    naive partition-by-span formulation. Dedup keys are full md5
+    (128-bit), so accidental collision loss is negligible at any
+    corpus size."""
+    if span_tokens <= 0:
+        raise ValueError(f"span_tokens must be positive, got {span_tokens}")
+    t = df.select(
+        F.col(id_col), _ws_tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks").cast("long"))
+    n_spans = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("__n") - span_tokens) / F.lit(float(span_tokens))) + 1,
+    )
+    span_of = lambda ci: F.array_join(  # noqa: E731
+        F.slice(F.col("__toks"), ci * span_tokens + 1, F.lit(span_tokens)), " "
+    )
+    small = t.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_spans - 1)).alias("ci"),
+    ).select(id_col, "ci", F.md5(span_of(F.col("ci"))).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(id_col, "ci")
+    per_doc = (
+        small.withColumn("rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("rn") == 1, F.col("ci")))
+            ).alias("__kept"),
+        )
+    )
+    return (
+        df.select(id_col, text_col)
+        .join(per_doc, id_col)
+        .withColumn("__toks", _ws_tokens(text_col))
+        .select(
+            id_col,
+            "n_spans",
+            "n_kept",
+            F.array_join(
+                F.transform(F.col("__kept"), lambda ci: span_of(ci)), " "
+            ).alias("cleaned_text"),
         )
     )
 

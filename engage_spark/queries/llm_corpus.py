@@ -157,6 +157,72 @@ def x_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document span dedup (C4-style)
+
+_SPAN_TOKENS = 16
+
+
+@query(
+    "x_span_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), n AS (
+        SELECT doc_id, toks, len(toks)::BIGINT AS n_toks FROM t
+    ), c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(
+                   0,
+                   greatest(
+                       1,
+                       ceil((n_toks - {_SPAN_TOKENS}) / {_SPAN_TOKENS}.0)::BIGINT + 1
+                   ) - 1
+               )) AS ci
+        FROM n
+    ), s AS (
+        SELECT doc_id, ci,
+               array_to_string(
+                   toks[ci * {_SPAN_TOKENS} + 1 : ci * {_SPAN_TOKENS} + {_SPAN_TOKENS}],
+                   ' '
+               ) AS span
+        FROM c
+    ), f AS (
+        SELECT doc_id, ci, span,
+               row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, ci)
+                   AS rn
+        FROM s
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(
+               string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY ci), ''
+           ) AS cleaned_text
+    FROM f GROUP BY doc_id
+    """,
+    covers=["X1", "X2"],
+)
+def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup over `documents`:
+    non-overlapping 16-token spans, first corpus-wide occurrence of
+    each distinct span wins (ordered by doc_id, span index), documents
+    reassembled from their surviving spans — exact dedup at
+    SUB-document granularity, catching boilerplate repeated across
+    otherwise-distinct pages that whole-doc fingerprints miss.
+
+    Plan (api.span_dedup): span text never shuffles — the keep/drop
+    decision moves only (doc_id, span_idx, md5) rows through one
+    fingerprint window + one per-doc collect, and reassembly re-derives
+    spans map-side after a single join back to the source text. The
+    naive partition-by-span-text formulation (what the oracle does)
+    would shuffle the full corpus text twice."""
+    from engage_spark.api import span_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return span_dedup(d, span_tokens=_SPAN_TOKENS)
+
+
+# ---------------------------------------------------------------------------
 # Deterministic training shards (delivery-order manifest)
 
 _N_SHARDS = 16

@@ -75,6 +75,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_vocab_topk",
     "x_doc_chunking",
     "x_shard_manifest",
+    "x_span_dedup",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",

@@ -291,3 +291,26 @@ def test_training_shards_deterministic_and_complete(corpus):
     salted = api.training_shards(corpus, n_shards=4, id_col="uid", salt="v2").toPandas()
     assert set(salted.uid) == set(a.uid)
     assert list(salted.skey) != list(a.skey)  # new salt -> new draw
+
+
+def test_span_dedup_drops_repeated_span_keeps_first(spark):
+    boiler = " ".join(f"b{i}" for i in range(4))  # a shared 4-token span
+    rows = [
+        (1, boiler + " " + "u1a u1b u1c u1d"),
+        (2, boiler + " " + "u2a u2b u2c u2d"),  # same leading span as 1
+        (3, "v1 v2 v3 v4"),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "body"])
+    out = (
+        api.span_dedup(df, span_tokens=4, id_col="uid", text_col="body")
+        .toPandas()
+        .set_index("uid")
+        .sort_index()
+    )
+    assert list(out.n_spans) == [2, 2, 1]
+    assert list(out.n_kept) == [2, 1, 1]  # doc 2 loses the boilerplate span
+    assert out.loc[1, "cleaned_text"] == boiler + " u1a u1b u1c u1d"
+    assert out.loc[2, "cleaned_text"] == "u2a u2b u2c u2d"
+    assert out.loc[3, "cleaned_text"] == "v1 v2 v3 v4"
+    with pytest.raises(ValueError):
+        api.span_dedup(df, span_tokens=0, id_col="uid", text_col="body")

@@ -147,3 +147,14 @@ def test_shard_manifest_is_one_aggregation_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "partial_" in plan
     assert "Python" not in plan
+
+
+def test_span_dedup_never_shuffles_span_text(spark, sf_dir):
+    # the dedup decision moves (doc_id, ci, md5) rows; the only
+    # exchange that may carry text is the final join back to source.
+    # Mechanically: every hashpartitioning exchange on fp/doc_id, no
+    # cartesian, no span-text partitioning key
+    plan = _plan(spark, sf_dir, "x_span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(span" not in plan
+    assert "Python" not in plan
