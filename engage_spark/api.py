@@ -451,24 +451,38 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def vocab_topk(
-    df: DataFrame, k: int = 10000, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    k: int = 10000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_df: bool = True,
 ) -> DataFrame:
     """Top-k corpus tokens by term frequency with document frequency
     (tokenizer-training statistics; the x_vocab_topk plan over arbitrary
     columns). Explode is map-side, counts partial-aggregate before the
     one shuffle on token, top-k is TakeOrderedAndProject (K rows per
     partition cross the wire, never the full vocabulary); ties at the
-    boundary break by token so the cut is deterministic."""
+    boundary break by token so the cut is deterministic.
+
+    exact_df=True computes df as count(DISTINCT id) — a two-phase
+    distinct aggregate that exchanges (token, id) pairs. At corpus
+    scale pass exact_df=False: approx_count_distinct (HLL++, default
+    ~2% rse) keeps fixed-size state per token and drops that exchange
+    entirely — df then only ranks/filters tokens, where 2% is
+    immaterial."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     toks = df.select(
         F.col(id_col).alias("__id"), F.explode(_ws_tokens(text_col)).alias("token")
     )
+    df_agg = (
+        F.countDistinct("__id") if exact_df else F.approx_count_distinct("__id")
+    )
     return (
         toks.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("tf"),
-            F.countDistinct("__id").alias("df"),
+            df_agg.alias("df"),
         )
         .orderBy(F.desc("tf"), "token")
         .limit(k)

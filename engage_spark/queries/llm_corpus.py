@@ -66,17 +66,10 @@ def x_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approx_count_distinct variant drops it at scale). Ties at the
     K boundary are broken by token, so the cut is total-ordered and
     deterministic on any cluster layout."""
+    from engage_spark.api import vocab_topk
+
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.expr(_TOKS_SPARK)).alias("token"))
-    return (
-        toks.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
-        )
-        .orderBy(F.desc("tf"), "token")
-        .limit(_VOCAB_K)
-    )
+    return vocab_topk(d, k=_VOCAB_K)
 
 
 # ---------------------------------------------------------------------------
@@ -131,29 +124,10 @@ def x_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, so chunking 100 TB is a single pass at scan speed. The
     fan-out factor is bounded (~n_toks/stride per doc), and AQE can
     rebalance downstream if chunk sizes skew."""
-    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    from engage_spark.api import chunk_documents
+
     d = table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.expr(_TOKS_SPARK).alias("toks")
-    ).withColumn("n_toks", F.size("toks").cast("long"))
-    n_chunks = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil((F.col("n_toks") - size) / F.lit(float(stride))) + 1,
-    )
-    c = t.select(
-        "doc_id",
-        "toks",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
-            "chunk_idx"
-        ),
-    )
-    piece = F.slice(F.col("toks"), F.col("chunk_idx") * stride + 1, size)
-    return c.select(
-        "doc_id",
-        "chunk_idx",
-        F.size(piece).cast("long").alias("n_chunk_toks"),
-        F.array_join(piece, " ").alias("chunk_text"),
-    )
+    return chunk_documents(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE)
 
 
 # ---------------------------------------------------------------------------

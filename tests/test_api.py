@@ -314,3 +314,30 @@ def test_span_dedup_drops_repeated_span_keeps_first(spark):
     assert out.loc[3, "cleaned_text"] == "v1 v2 v3 v4"
     with pytest.raises(ValueError):
         api.span_dedup(df, span_tokens=0, id_col="uid", text_col="body")
+
+
+def test_vocab_topk_approx_df_close_to_exact(corpus):
+    exact = api.vocab_topk(corpus, k=5, id_col="uid", text_col="body").toPandas()
+    approx = api.vocab_topk(
+        corpus, k=5, id_col="uid", text_col="body", exact_df=False
+    ).toPandas()
+    assert list(exact.token) == list(approx.token)  # tf ranking unchanged
+    assert list(exact.tf) == list(approx.tf)
+    # HLL at tiny cardinalities is exact in practice; allow 1 either way
+    assert (exact.df - approx.df).abs().max() <= 1
+
+
+def test_example_pipeline_composes_end_to_end(spark):
+    """The examples/ script's stages compose over real testdata."""
+    from examples.curate_pretraining_corpus import curate
+
+    stages = curate(spark, "/root/testdata/sf0.001")
+    n_raw = stages["raw"].count()
+    n_dedup = stages["deduped"].count()
+    n_sampled = stages["sampled"].count()
+    assert 0 < n_dedup <= n_raw
+    assert 0 < n_sampled <= n_dedup
+    packed = stages["packed"]
+    assert packed.agg(F.max("pack_id")).first()[0] >= 0
+    shard_rows = stages["shards"].count()
+    assert shard_rows == n_sampled  # delivery is a permutation
