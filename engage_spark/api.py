@@ -255,11 +255,53 @@ def topk_cosine_search(
 
 
 def _ws_tokens(text_col: str) -> Column:
-    """The engine's canonical whitespace tokenizer as a Column — ONE
-    definition on the Spark side so every consumer (funnel, packing,
-    token stats, and the oracle-checked queries built on them) drifts
-    together with the DuckDB `_TOKS_DUCK` twin or not at all."""
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    """The engine's canonical whitespace tokenizer as a Column — the
+    single definition behind every facade consumer (funnel, packing,
+    token stats, vocab, chunking, span dedup) so they drift together
+    with the DuckDB `_TOKS_DUCK` twin or not at all.
+    (llm_dedup._TOKS_SPARK is the same expression in SQL-string form
+    for expr() composition; semantic parity is pinned by test.)
+
+    NULL text tokenizes like empty text (one '' token): without the
+    coalesce, size(split(NULL)) = -1 under Spark's default
+    legacy.sizeOfNull and every window-count formula downstream would
+    silently produce nonsense rows."""
+    return F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+
+
+def _n_token_windows(n_toks: Column, size: int, stride: int) -> Column:
+    """Window count max(1, ceil((n - size) / stride) + 1) for windows
+    starting at 0, stride, 2*stride, ...: every token covered, a short
+    doc yields exactly one window, the last may run short. Shared by
+    chunk_documents and span_dedup (their DuckDB oracles repeat the
+    formula in SQL)."""
+    return F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((n_toks - size) / F.lit(float(stride))) + 1,
+    )
+
+
+def _token_window_text(toks: Column, idx: Column, size: int, stride: int) -> Column:
+    """The text of token-window `idx` (1-based slice + space join) —
+    the shared extraction for chunk_documents and span_dedup."""
+    return F.array_join(F.slice(toks, idx * stride + 1, F.lit(size)), " ")
+
+
+def _shard_key_cols(
+    id_col: str, salt: str, n_shards: int
+) -> tuple[Column, Column]:
+    """(shuffle_key, shard_id) for deterministic training delivery:
+    md5(salt:id), and (value of the key's first 8 hex chars) mod
+    n_shards. THE single definition of the delivery key scheme —
+    training_shards materializes it and x_shard_manifest audits it, so
+    the audit can never drift from what delivery actually does."""
+    skey = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(skey, 1, 8), 16, 10).cast("long"), n_shards
+    ).cast("long")
+    return skey, shard
 
 
 def _hash_keep_expr(id_col: str, rate: float) -> Column:
@@ -514,10 +556,7 @@ def chunk_documents(
     t = df.select(
         F.col(id_col), _ws_tokens(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks").cast("long"))
-    n_chunks = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil((F.col("__n") - size) / F.lit(float(stride))) + 1,
-    )
+    n_chunks = _n_token_windows(F.col("__n"), size, stride)
     piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
     return (
         t.select(
@@ -556,28 +595,34 @@ def span_dedup(
     one text shuffle (the join) — vs. two full-text shuffles for the
     naive partition-by-span formulation. Dedup keys are full md5
     (128-bit), so accidental collision loss is negligible at any
-    corpus size."""
+    corpus size.
+
+    Duplicate ids with DISTINCT texts are handled: a text fingerprint
+    rides along as a secondary key, so each (id, text) pair dedups and
+    reassembles against its own spans (first-occurrence order breaks id
+    ties by text fingerprint). Exact duplicate (id, text) ROWS are a
+    precondition violation — their identical spans double-count; run
+    exact_dedup_keepers first."""
     if span_tokens <= 0:
         raise ValueError(f"span_tokens must be positive, got {span_tokens}")
+    tfp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     t = df.select(
-        F.col(id_col), _ws_tokens(text_col).alias("__toks")
+        F.col(id_col), tfp.alias("__tfp"), _ws_tokens(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks").cast("long"))
-    n_spans = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil((F.col("__n") - span_tokens) / F.lit(float(span_tokens))) + 1,
-    )
-    span_of = lambda ci: F.array_join(  # noqa: E731
-        F.slice(F.col("__toks"), ci * span_tokens + 1, F.lit(span_tokens)), " "
+    n_spans = _n_token_windows(F.col("__n"), span_tokens, span_tokens)
+    span_of = lambda ci: _token_window_text(  # noqa: E731
+        F.col("__toks"), ci, span_tokens, span_tokens
     )
     small = t.select(
         id_col,
+        "__tfp",
         "__toks",
         F.explode(F.sequence(F.lit(0).cast("long"), n_spans - 1)).alias("ci"),
-    ).select(id_col, "ci", F.md5(span_of(F.col("ci"))).alias("fp"))
-    w = Window.partitionBy("fp").orderBy(id_col, "ci")
+    ).select(id_col, "__tfp", "ci", F.md5(span_of(F.col("ci"))).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(id_col, "__tfp", "ci")
     per_doc = (
         small.withColumn("rn", F.row_number().over(w))
-        .groupBy(id_col)
+        .groupBy(id_col, "__tfp")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
@@ -588,7 +633,8 @@ def span_dedup(
     )
     return (
         df.select(id_col, text_col)
-        .join(per_doc, id_col)
+        .withColumn("__tfp", tfp)
+        .join(per_doc, [id_col, "__tfp"])
         .withColumn("__toks", _ws_tokens(text_col))
         .select(
             id_col,
@@ -609,24 +655,27 @@ def training_shards(
 ) -> DataFrame:
     """Deterministic global shuffle for training-data delivery: append
     a shuffle key md5(salt:id) and shard_id = key mod n_shards, then
-    materialize shards via repartition + sortWithinPartitions — reading
-    shard files in order visits the corpus in a fixed pseudo-random
-    order, reproducible on any cluster layout (unlike rand() or
-    repartition order), resumable mid-epoch, re-drawable by bumping the
-    salt.
+    cluster and sort — each shard's rows land wholly in one output
+    partition as a contiguous skey-sorted run, so reading shards in
+    shard_id order visits the corpus in a fixed pseudo-random order,
+    reproducible on any cluster layout (unlike rand() or repartition
+    order), resumable mid-epoch, re-drawable by bumping the salt.
 
-    The per-shard sort is sortWithinPartitions (a distributed sort of
-    each shard's partition), NOT a row_number window over shard_id —
-    the window formulation funnels each shard through one task, which
-    dies at 100 TB. Audit the assignment with the x_shard_manifest
-    query (same key scheme)."""
+    Output PARTITIONS are hash-clustered, not shard-aligned: partition
+    i is NOT shard i — shards can share a partition and some partitions
+    may be empty. For file-per-shard delivery, write with
+    `.write.partitionBy("shard_id")` (directory per shard; the sort
+    keeps each shard's file skey-ordered). The per-shard sort is
+    sortWithinPartitions (distributed), NOT a row_number window over
+    shard_id — the window formulation funnels each shard through one
+    task, which dies at 100 TB. Audit the assignment with the
+    x_shard_manifest query (same `_shard_key_cols` scheme)."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    skey = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
-    keyed = df.withColumn("skey", skey).withColumn(
-        "shard_id",
-        F.pmod(F.conv(F.substring("skey", 1, 8), 16, 10).cast("long"), n_shards),
-    )
-    return keyed.repartition(n_shards, "shard_id").sortWithinPartitions(
-        "shard_id", "skey"
+    skey, shard = _shard_key_cols(id_col, salt, n_shards)
+    return (
+        df.withColumn("skey", skey)
+        .withColumn("shard_id", shard)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "skey")
     )

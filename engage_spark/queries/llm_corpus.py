@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engage_spark.io import table
-from engage_spark.queries.llm_dedup import _TOKS_DUCK, _TOKS_SPARK
+from engage_spark.queries.llm_dedup import _TOKS_DUCK
 from engage_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -242,17 +242,15 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition(n, shard) + sortWithinPartitions(key) — a distributed
     per-shard sort, NOT a row_number window over shard (which would
     funnel each shard through a single task at 100 TB)."""
+    from engage_spark.api import _shard_key_cols, _ws_tokens
+
     d = table(spark, sf_dir, "documents")
-    skey = F.md5(F.concat_ws(":", F.lit(_SHUF_SALT), F.col("doc_id").cast("string")))
+    skey, shard = _shard_key_cols("doc_id", _SHUF_SALT, _N_SHARDS)
     k = d.select(
         "doc_id",
         skey.alias("skey"),
-        F.size(F.expr(_TOKS_SPARK)).cast("long").alias("n_toks"),
-    ).withColumn(
-        "shard_id",
-        F.pmod(
-            F.conv(F.substring("skey", 1, 8), 16, 10).cast("long"), _N_SHARDS
-        ).cast("long"),
+        shard.alias("shard_id"),
+        F.size(_ws_tokens("text")).cast("long").alias("n_toks"),
     )
     return k.groupBy("shard_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

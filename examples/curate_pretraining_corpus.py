@@ -8,9 +8,10 @@ one Catalyst plan per output and nothing materializes driver-side:
       -> exact dedup (first copy per md5 fingerprint wins)
       -> cross-doc span dedup (strip 16-token boilerplate, C4-style)
       -> deterministic 50% hash sample (reproducible on any layout)
-      -> context-window chunking (size 64, stride 48)
-      -> greedy sequence packing (512-token packs per source)
-      -> deterministic training shards (md5-keyed delivery order)
+      -> then three independent consumers of the cleaned sample:
+         chunks — context-window chunking (size 64, stride 48)
+         packs  — greedy sequence packing (512-token packs per source)
+         shards — deterministic md5-keyed delivery order
 
 Run:  python examples/curate_pretraining_corpus.py [sf_dir]
 """

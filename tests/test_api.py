@@ -341,3 +341,58 @@ def test_example_pipeline_composes_end_to_end(spark):
     assert packed.agg(F.max("pack_id")).first()[0] >= 0
     shard_rows = stages["shards"].count()
     assert shard_rows == n_sampled  # delivery is a permutation
+
+
+def test_null_text_tokenizes_as_empty_not_minus_one(spark):
+    """Regression: size(split(NULL)) = -1 under legacy.sizeOfNull used
+    to manufacture n_chunk_toks=-1 rows; NULL now behaves like ''. """
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c")], ["uid", "body"]
+    )
+    chunks = api.chunk_documents(
+        df, size=2, stride=2, id_col="uid", text_col="body"
+    ).toPandas()
+    d1 = chunks[chunks.uid == 1]
+    assert len(d1) == 1 and int(d1.n_chunk_toks.iloc[0]) == 1  # one '' token
+    stats = api.token_stats(df, text_col="body").toPandas()
+    assert stats.ws_tokens.min() >= 1  # never -1
+
+
+def test_span_dedup_handles_duplicate_ids_with_distinct_texts(spark):
+    df = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4"), (1, "b1 b2 b3 b4"), (2, "a1 a2 a3 a4")],
+        ["uid", "body"],
+    )
+    out = api.span_dedup(df, span_tokens=4, id_col="uid", text_col="body").toPandas()
+    assert len(out) == 3  # no fan-out row inflation
+    by = {(r.uid, r.cleaned_text) for r in out.itertuples()}
+    # both id=1 rows keep their own (distinct) spans; id=2 loses its
+    # span to the first occurrence at id=1
+    assert (1, "a1 a2 a3 a4") in by and (1, "b1 b2 b3 b4") in by
+    assert (2, "") in by
+
+
+def test_training_shards_cluster_each_shard_in_one_partition(corpus):
+    from pyspark.sql import functions as SF
+
+    out = api.training_shards(corpus, n_shards=4, id_col="uid")
+    pid = out.withColumn("pid", SF.spark_partition_id())
+    spread = (
+        pid.groupBy("shard_id")
+        .agg(SF.countDistinct("pid").alias("n_pids"))
+        .toPandas()
+    )
+    assert (spread.n_pids == 1).all()  # a shard never splits across partitions
+
+
+def test_ws_tokens_matches_toks_spark_sql_twin(spark):
+    from engage_spark.api import _ws_tokens
+    from engage_spark.queries.llm_dedup import _TOKS_SPARK
+
+    df = spark.createDataFrame(
+        [(" Mixed  CASE text ",), ("one",), ("",)], ["text"]
+    )
+    out = df.select(
+        _ws_tokens("text").alias("a"), F.expr(_TOKS_SPARK).alias("b")
+    ).toPandas()
+    assert all(list(r.a) == list(r.b) for r in out.itertuples())
