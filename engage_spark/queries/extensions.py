@@ -245,6 +245,66 @@ def x4_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top, 6).alias("top_tfidf"),
     )
 
+@query("x4b_quality_classifier", oracle=None, covers=["X4"])
+def x4b_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier stage of CC-style
+    curation, bootstrapped exactly the way production quality
+    classifiers are: weak labels from a heuristic rule (here the
+    funnel's length + stopword-density gate), a linear model trained to
+    DISTILL the rule into a smooth score from correlated-but-held-out
+    features (the rule's direct inputs, n_chars and stopword ratio, are
+    excluded from the feature vector), then corpus-wide scoring. The
+    score ranks borderline documents instead of the rule's hard cut.
+    Returns (doc_id, quality_score, quality_pred).
+
+    Scale: feature assembly is codegen'd expressions; LogisticRegression
+    fits via distributed L-BFGS (each iteration one treeAggregate pass —
+    gradient partials combine map-side, driver state is just the
+    coefficient vector); scoring is a map-only transform. Deterministic
+    (no sampling, fixed init); rows-only driver check with an AUC-bound
+    pytest."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from engage_spark.api import _ws_tokens
+    from engage_spark.queries.llm_text import _LANG_MARKERS, _STOPWORDS
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    toks = _ws_tokens("text")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+
+    def hit_ratio(words) -> F.Column:
+        hits = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(words)]))
+        )
+        return (hits / n_toks).cast("double")
+
+    marker_cols = {f"r_{lg}": hit_ratio(ws) for lg, ws in _LANG_MARKERS.items()}
+    stop_ratio = hit_ratio(_STOPWORDS)
+    rule = (F.col("n_chars").between(100, 20000)) & (stop_ratio >= 0.01)
+    feats = d.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("n_toks"),
+        (F.length("text") / n_toks).cast("double").alias("mean_tok_len"),
+        *[c.alias(name) for name, c in marker_cols.items()],
+        rule.cast("double").alias("label"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["n_toks", "mean_tok_len", *marker_cols],
+        outputCol="features",
+    ).transform(feats)
+    model = LogisticRegression(
+        maxIter=25, regParam=0.01, featuresCol="features", labelCol="label"
+    ).fit(assembled)
+    from pyspark.ml.functions import vector_to_array
+
+    return model.transform(assembled).select(
+        "doc_id",
+        F.round(vector_to_array("probability")[1], 6).alias("quality_score"),
+        F.col("prediction").cast("long").alias("quality_pred"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MLlib LSH twins (§2.12: the SURVEY-named primitives, as cross-checks
 # of the hand-built banding/hyperplane paths)

@@ -76,6 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_doc_chunking",
     "x_shard_manifest",
     "x_span_dedup",
+    "x4b_quality_classifier",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",
