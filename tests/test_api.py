@@ -396,3 +396,15 @@ def test_ws_tokens_matches_toks_spark_sql_twin(spark):
         _ws_tokens("text").alias("a"), F.expr(_TOKS_SPARK).alias("b")
     ).toPandas()
     assert all(list(r.a) == list(r.b) for r in out.itertuples())
+
+
+def test_span_dedup_identity_when_all_spans_unique(spark):
+    """Property: with no cross-doc repetition, every span survives and
+    cleaned_text is the token-normalized original."""
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(8)]
+    df = spark.createDataFrame(rows, ["uid", "body"])
+    out = api.span_dedup(df, span_tokens=3, id_col="uid", text_col="body").toPandas()
+    assert (out.n_kept == out.n_spans).all()
+    by = out.set_index("uid").cleaned_text.to_dict()
+    for i in range(8):
+        assert by[i] == f"w{i}a w{i}b w{i}c w{i}d w{i}e"
