@@ -131,11 +131,21 @@ def main() -> None:
                 timings.setdefault(name, -1.0)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # The r1 baseline (BENCH_r01: 22.396 s) timed exactly these 15
+    # queries; OPTIONAL has grown since, so `value` alone is not
+    # comparable round-over-round. This subtotal is the
+    # apples-to-apples number against BASELINE.md.
+    r1_set = HEADLINE[:8] + OPTIONAL[:7]
+    baseline_subset = round(
+        sum(t for n, t in timings.items() if n in r1_set and t >= 0), 3
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "baseline_subset_total": baseline_subset,
+        "baseline_subset_n": len(r1_set),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
