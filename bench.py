@@ -136,16 +136,17 @@ def main() -> None:
     # comparable round-over-round. This subtotal is the
     # apples-to-apples number against BASELINE.md.
     r1_set = HEADLINE[:8] + OPTIONAL[:7]
-    baseline_subset = round(
-        sum(t for n, t in timings.items() if n in r1_set and t >= 0), 3
-    )
+    r1_ok = [n for n in r1_set if timings.get(n, -1.0) >= 0]
+    baseline_subset = round(sum(timings[n] for n in r1_ok), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        # n < 15 means an r1 query FAILED and the subtotal is not
+        # comparable — never read the subtotal without checking n
         "baseline_subset_total": baseline_subset,
-        "baseline_subset_n": len(r1_set),
+        "baseline_subset_n": len(r1_ok),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -260,12 +260,16 @@ def _ws_tokens(text_col: str) -> Column:
     token stats, vocab, chunking, span dedup) so they drift together
     with the DuckDB `_TOKS_DUCK` twin or not at all.
     (llm_dedup._TOKS_SPARK is the same expression in SQL-string form
-    for expr() composition; semantic parity is pinned by test.)
+    for expr() composition; parity on non-NULL text is pinned by test.)
 
     NULL text tokenizes like empty text (one '' token): without the
     coalesce, size(split(NULL)) = -1 under Spark's default
     legacy.sizeOfNull and every window-count formula downstream would
-    silently produce nonsense rows."""
+    silently produce nonsense rows. This NULL guard is facade-only
+    robustness BEYOND the oracle-checked domain — the `_TOKS_SPARK` /
+    `_TOKS_DUCK` twins both propagate NULL, so a corpus with NULL text
+    would diverge from the DuckDB oracles (the driver testdata has
+    none; callers with NULLs get sane engine behavior instead of -1s)."""
     return F.split(
         F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
     )
@@ -283,10 +287,17 @@ def _n_token_windows(n_toks: Column, size: int, stride: int) -> Column:
     )
 
 
+def _token_window_slice(toks: Column, idx: Column, size: int, stride: int) -> Column:
+    """The token array of window `idx` (1-based slice) — the single
+    definition of the window-slice arithmetic, consumed by both
+    chunk_documents (which also needs the slice's size) and span_dedup
+    (via _token_window_text)."""
+    return F.slice(toks, idx * stride + 1, F.lit(size))
+
+
 def _token_window_text(toks: Column, idx: Column, size: int, stride: int) -> Column:
-    """The text of token-window `idx` (1-based slice + space join) —
-    the shared extraction for chunk_documents and span_dedup."""
-    return F.array_join(F.slice(toks, idx * stride + 1, F.lit(size)), " ")
+    """The text of token-window `idx` (slice + space join)."""
+    return F.array_join(_token_window_slice(toks, idx, size, stride), " ")
 
 
 def _shard_key_cols(
@@ -557,7 +568,7 @@ def chunk_documents(
         F.col(id_col), _ws_tokens(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks").cast("long"))
     n_chunks = _n_token_windows(F.col("__n"), size, stride)
-    piece = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, size)
+    piece = _token_window_slice(F.col("__toks"), F.col("chunk_idx"), size, stride)
     return (
         t.select(
             id_col,

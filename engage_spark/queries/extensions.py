@@ -269,23 +269,34 @@ def x4b_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engage_spark.api import _ws_tokens
     from engage_spark.queries.llm_text import _LANG_MARKERS, _STOPWORDS
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    toks = _ws_tokens("text")
-    n_toks = F.greatest(F.size(toks), F.lit(1))
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        # tokenize ONCE; the ratio expressions below all read this
+        # materialized column instead of re-splitting text per feature
+        .withColumn("__toks", _ws_tokens("text"))
+    )
+    n_toks = F.greatest(F.size("__toks"), F.lit(1))
 
     def hit_ratio(words) -> F.Column:
-        hits = F.size(
-            F.array_intersect(toks, F.array(*[F.lit(w) for w in sorted(words)]))
-        )
+        # occurrence count WITH multiplicity — the same counting the
+        # funnel's gate uses (distinct-coverage via array_intersect
+        # saturates at len(lexicon) and goes structurally to 0 for
+        # long docs)
+        hits = F.size(F.filter(F.col("__toks"), lambda t: t.isin(*sorted(words))))
         return (hits / n_toks).cast("double")
 
     marker_cols = {f"r_{lg}": hit_ratio(ws) for lg, ws in _LANG_MARKERS.items()}
-    stop_ratio = hit_ratio(_STOPWORDS)
-    rule = (F.col("n_chars").between(100, 20000)) & (stop_ratio >= 0.01)
+    rule = (
+        F.coalesce(F.col("n_chars"), F.lit(0)).between(100, 20000)
+        & (hit_ratio(_STOPWORDS) >= 0.01)
+    )
     feats = d.select(
         "doc_id",
-        F.size(toks).cast("double").alias("n_toks"),
-        (F.length("text") / n_toks).cast("double").alias("mean_tok_len"),
+        F.size("__toks").cast("double").alias("n_toks"),
+        (F.length(F.coalesce(F.col("text"), F.lit(""))) / n_toks)
+        .cast("double")
+        .alias("mean_tok_len"),
         *[c.alias(name) for name, c in marker_cols.items()],
         rule.cast("double").alias("label"),
     )
