@@ -703,3 +703,64 @@ def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("long").alias("pack_tokens"),
     )
+
+
+@query(
+    "x_packed_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, text, len({_TOKS_DUCK})::BIGINT AS n_toks
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, text, n_toks,
+               ((sum(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id, n_toks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_toks) // {_PACK_BUDGET})::BIGINT AS pack_id
+        FROM t
+    )
+    SELECT source, pack_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS pack_tokens,
+           string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+    FROM packed GROUP BY source, pack_id
+    """,
+    covers=["X4"],
+)
+def x_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized training records: each 512-token pack's member
+    documents concatenated in deterministic doc_id order — what
+    actually gets written as a pretraining batch after
+    x_sequence_packing decides membership. Same assignment as the
+    packing query (delegating to api.sequence_packing), then text joins
+    on and one groupBy(source, pack_id) builds the record.
+
+    Scale: pack assignment moves only (doc_id, source, n_toks); text
+    crosses the wire exactly twice — the doc_id join and the pack
+    groupBy — which is the floor for any formulation that must
+    physically co-locate a pack's documents (they start scattered
+    across the corpus). collect_list state per task is bounded by one
+    pack's budget of tokens times docs-per-pack, independent of corpus
+    size."""
+    from engage_spark.api import sequence_packing
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = sequence_packing(
+        d, id_col="doc_id", text_col="text", strata_col="source",
+        budget=_PACK_BUDGET,
+    )
+    return (
+        per_doc.join(d.select("doc_id", "text"), "doc_id")
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("pack_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.text,
+                ),
+                " ",
+            ).alias("packed_text"),
+        )
+    )

@@ -77,6 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_shard_manifest",
     "x_span_dedup",
     "x4b_quality_classifier",
+    "x_packed_sequences",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",
