@@ -22,7 +22,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engage_spark.io import table
@@ -257,4 +257,76 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("n_tokens"),
         F.min("skey").alias("min_key"),
         F.max("skey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-id encoding (the tokenize step of training-data preparation)
+
+_ENC_VOCAB_K = 100
+
+
+@query(
+    "x_token_encode",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(toks) AS token FROM t
+    ), vc AS (
+        SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY token ORDER BY tf DESC, token LIMIT {_ENC_VOCAB_K}
+    ), vid AS (
+        SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS tid
+        FROM vc
+    ), c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS i
+        FROM t
+    ), e AS (
+        SELECT c.doc_id, c.i, coalesce(v.tid, 0)::BIGINT AS tid
+        FROM c LEFT JOIN vid v ON v.token = c.toks[c.i]
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_toks,
+           sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_unk,
+           string_agg(tid, ' ' ORDER BY i) AS ids
+    FROM e GROUP BY doc_id
+    """,
+    covers=["X4"],
+)
+def x_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-id encoding — the tokenize step that turns curated
+    text into the integer streams a trainer consumes: ids 1..K assigned
+    by corpus frequency rank (the x_vocab_topk cut), 0 = UNK, each
+    document emitted as its ordered id sequence plus UNK accounting.
+
+    Plan: the K-row vocab gets ranked by one single-task window (K rows
+    — trivial by construction) and BROADCASTS to the token join, so the
+    corpus-side token stream never shuffles for the lookup; the only
+    full shuffle is the groupBy(doc_id) reassembly, whose collect_list
+    state is bounded by one document's tokens. At real vocab sizes
+    (50k-200k) the broadcast is a few MB — still the right plan."""
+    from engage_spark.api import _ws_tokens, vocab_topk
+
+    d = table(spark, sf_dir, "documents")
+    vocab = vocab_topk(d, k=_ENC_VOCAB_K)
+    wv = Window.orderBy(F.desc("tf"), "token")
+    vids = vocab.select("token", F.row_number().over(wv).alias("tid"))
+    toks = d.select(
+        "doc_id", F.posexplode(_ws_tokens("text")).alias("pos", "token")
+    )
+    enc = toks.join(F.broadcast(vids), "token", "left").select(
+        "doc_id", "pos", F.coalesce("tid", F.lit(0)).cast("long").alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_unk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s.tid.cast("string"),
+            ),
+            " ",
+        ).alias("ids"),
     )

@@ -78,6 +78,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_span_dedup",
     "x4b_quality_classifier",
     "x_packed_sequences",
+    "x_token_encode",
     # never received any driver CORRECTNESS row (sat at positions 50+)
     "ext_exact_percentiles",
     "ext_approx_sketches",
