@@ -310,7 +310,9 @@ def x_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engage_spark.api import _ws_tokens, vocab_topk
 
     d = table(spark, sf_dir, "documents")
-    vocab = vocab_topk(d, k=_ENC_VOCAB_K)
+    # df is unused here (ranking is by tf, token) — approx df drops the
+    # exact-distinct exchange per vocab_topk's own scale guidance
+    vocab = vocab_topk(d, k=_ENC_VOCAB_K, exact_df=False)
     wv = Window.orderBy(F.desc("tf"), "token")
     vids = vocab.select("token", F.row_number().over(wv).alias("tid"))
     toks = d.select(

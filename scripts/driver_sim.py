@@ -34,10 +34,10 @@ def canon_hash(pdf: pd.DataFrame) -> str:
                 lambda x: round(x, 6) if isinstance(x, float) else x
             )
     s = pdf.astype(str)
-    if len(s):
-        key = s.agg("|".join, axis=1).sort_values(kind="mergesort")
-        s = s.loc[key.index]
-    return hashlib.sha256("\n".join(s.agg("|".join, axis=1)).encode()).hexdigest()
+    if not len(s):
+        return hashlib.sha256(b"").hexdigest()
+    key = s.agg("|".join, axis=1).sort_values(kind="mergesort")
+    return hashlib.sha256("\n".join(key).encode()).hexdigest()
 
 
 def main() -> int:
