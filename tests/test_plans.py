@@ -158,3 +158,19 @@ def test_span_dedup_never_shuffles_span_text(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(span" not in plan
     assert "Python" not in plan
+
+
+def test_token_encode_broadcasts_the_vocab(spark, sf_dir):
+    # the corpus token stream must never shuffle for the id lookup —
+    # the K-row vocab broadcasts; the only full shuffle is the per-doc
+    # reassembly groupBy
+    plan = _plan(spark, sf_dir, "x_token_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_packed_sequences_no_cartesian_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x_packed_sequences")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
