@@ -61,6 +61,27 @@ OPTIONAL = [
     "x_span_dedup",
 ]
 
+# The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline
+# subset. FROZEN: never edit this tuple; it defines what
+# baseline_subset_total means against BASELINE.md.
+R1_BASELINE = (
+    "q1_pricing_summary",
+    "j1_inner_join_multikey",
+    "j6_broadcast_dim_join",
+    "w2_w3_lag_and_diff",
+    "w8_sliding_feature_window",
+    "sql2_causal_features",
+    "ev_tumbling_window_agg",
+    "a8_maxabs_normalize",
+    "x1_exact_dedup",
+    "x2_minhash_lsh_dedup",
+    "x3_topk_cosine_search",
+    "x_text_quality",
+    "k_w9_interpolate",
+    "k_m4_sir_simulate",
+    "k_w11_ar_forecast",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,8 +155,10 @@ def main() -> None:
     # The r1 baseline (BENCH_r01: 22.396 s) timed exactly these 15
     # queries; OPTIONAL has grown since, so `value` alone is not
     # comparable round-over-round. This subtotal is the
-    # apples-to-apples number against BASELINE.md.
-    r1_set = HEADLINE[:8] + OPTIONAL[:7]
+    # apples-to-apples number against BASELINE.md. Frozen by NAME (not
+    # positional slices of the live lists) so inserts/reorders above
+    # can never silently change the subset's composition.
+    r1_set = R1_BASELINE
     r1_ok = [n for n in r1_set if timings.get(n, -1.0) >= 0]
     baseline_subset = round(sum(timings[n] for n in r1_ok), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -203,14 +203,19 @@ def topk_cosine_search(
     emb_col: str = "embedding",
     query_id_col: str | None = None,
     query_emb_col: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector
     (x3_topk_cosine_search's plan): broadcast the query set, score
     JVM-side, per-partition partial top-k (mapInPandas, state bounded by
     queries x k), final rank over the reduced set. The corpus never
     shuffles; the exchange is partitions x queries x k rows. Returns
-    (query_id, neighbor_id, rank, cosine). Self-matches (equal ids) are
-    excluded."""
+    (query_id, neighbor_id, rank, cosine).
+
+    `exclude_self=True` (default, the self-search case) drops rows
+    where neighbor_id == query_id. When queries come from a DIFFERENT
+    id namespace than the corpus, pass exclude_self=False — otherwise a
+    coincidental id collision silently drops a legitimate neighbor."""
     query_id_col = query_id_col or id_col
     query_emb_col = query_emb_col or emb_col
     q = queries.select(
@@ -220,8 +225,11 @@ def topk_cosine_search(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
     )
+    join_cond = (
+        F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        c.join(F.broadcast(q), join_cond)
         .withColumn("cos", cosine_expr("q_emb", "c_emb"))
         .select("query_id", "neighbor_id", "cos")
     )

@@ -670,7 +670,7 @@ _PACK_BUDGET = 512  # tokens per packed sequence
     ), packed AS (
         SELECT source, doc_id, n_toks,
                ((sum(n_toks) OVER (
-                   PARTITION BY source ORDER BY doc_id
+                   PARTITION BY source ORDER BY doc_id, n_toks
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) - n_toks) // {_PACK_BUDGET})::BIGINT AS pack_id
         FROM t

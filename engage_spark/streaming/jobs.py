@@ -254,7 +254,16 @@ def running_user_stats_stream(events: DataFrame, alpha: float = 0.2) -> DataFram
         # then the recurrence in closed form: ewm(adjust=False) IS
         # y_i = a*x_i + (1-a)*y_{i-1}; seeding the series with the
         # carried state makes the batch update exact — no per-row loop.
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+        # timed-out keys (under a timeout conf) deliver an EMPTY chunk
+        # iterator — guard it; pd.concat([]) raises
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((n, ewma))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]}
+            )
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         vals = pdf["value"].astype(float)
         if len(vals):
             n += len(vals)
@@ -322,7 +331,15 @@ def running_user_stats_tws(events: DataFrame, alpha: float = 0.2) -> DataFrame:
 
         def handleInputRows(self, key, rows, timer_values):
             n, ewma = self._stats.get() if self._stats.exists() else (0, None)
-            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+            # empty chunk iterator (timed-out key) — pd.concat([]) raises
+            chunks = [p for p in rows if len(p)]
+            if not chunks:
+                self._stats.update((n, ewma))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]}
+                )
+                return
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
             vals = pdf["value"].astype(float)
