@@ -466,11 +466,14 @@ def sequence_packing(
     text_col: str = "text",
     strata_col: str | None = None,
     budget: int = 2048,
+    n_shards: int | None = None,
+    shard_salt: str = "pack-v1",
 ) -> DataFrame:
     """Greedy sequential sequence packing: documents fill
     `budget`-token packs in deterministic (strata, id) order;
     pack_id = floor(exclusive_running_token_sum / budget). Returns one
-    row per document: (doc_id[, strata_col], n_toks, pack_id).
+    row per document: (doc_id[, strata_col][, shard_id], n_toks,
+    pack_id).
 
     The greedy sequential fill is the streaming-friendly standard for
     pretraining batch construction — no cross-corpus bin-packing
@@ -481,12 +484,30 @@ def sequence_packing(
     Determinism requires a total order: the window sorts by (id,
     n_toks), so even duplicate ids within a stratum produce the same
     offsets on any layout — two rows tied on BOTH keys are
-    interchangeable (equal token counts shift offsets identically)."""
+    interchangeable (equal token counts shift offsets identically).
+
+    SCALE: with `n_shards=None` the cumsum window has one partition
+    per stratum — a handful of sources means a handful of tasks each
+    sequentially scanning its whole stratum, which dies at 100 TB.
+    Pass `n_shards` to pack hierarchically within (strata, shard_id),
+    where shard_id is the deterministic `_shard_key_cols` hash of the
+    id (the same scheme training_shards delivers by): parallelism
+    multiplies by n_shards, determinism is preserved (the shard is a
+    pure function of the id), and each shard's packs are independently
+    resumable. Pack identity then is (strata, shard_id, pack_id) —
+    pack_id stays local to its shard. The cost is at most one
+    under-filled trailing pack per shard instead of per stratum."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     toks = F.size(_ws_tokens(text_col)).cast("long")
-    part = [strata_col] if strata_col else []
-    keep = [id_col] + ([strata_col] if strata_col else [])
+    part: list = [strata_col] if strata_col else []
+    keep = [F.col(id_col)] + ([F.col(strata_col)] if strata_col else [])
+    if n_shards is not None:
+        if n_shards <= 0:
+            raise ValueError(f"n_shards must be positive, got {n_shards}")
+        _, shard = _shard_key_cols(id_col, shard_salt, n_shards)
+        keep.append(shard.alias("shard_id"))
+        part.append("shard_id")
     w = (
         Window.partitionBy(*part)
         .orderBy(id_col, "n_toks")

@@ -764,3 +764,72 @@ def x_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("packed_text"),
         )
     )
+
+
+_PACK_SHARDS = 8
+_PACK_SALT = "pack-v1"
+
+
+@query(
+    "x_packed_sequences_sharded",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, text, len({_TOKS_DUCK})::BIGINT AS n_toks,
+               (('0x' || substr(
+                   md5('{_PACK_SALT}:' || doc_id::VARCHAR), 1, 8
+               ))::BIGINT % {_PACK_SHARDS})::BIGINT AS shard_id
+        FROM documents
+    ), packed AS (
+        SELECT source, shard_id, doc_id, text, n_toks,
+               ((sum(n_toks) OVER (
+                   PARTITION BY source, shard_id ORDER BY doc_id, n_toks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_toks) // {_PACK_BUDGET})::BIGINT AS pack_id
+        FROM t
+    )
+    SELECT source, shard_id, pack_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS pack_tokens,
+           string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+    FROM packed GROUP BY source, shard_id, pack_id
+    """,
+    covers=["X4"],
+)
+def x_packed_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe form of x_packed_sequences: packs are built
+    within (source, shard_id), where shard_id = md5-hash of the doc_id
+    mod 8 (the `_shard_key_cols` delivery scheme). The flat form's
+    cumsum window partitions by source only — a handful of sources
+    means a handful of tasks, each sequentially scanning its WHOLE
+    stratum; hierarchical packing multiplies window parallelism by
+    n_shards while staying fully deterministic (the shard is a pure
+    function of the id, so the same corpus packs identically on any
+    cluster layout and each shard resumes independently). Pack
+    identity is (source, shard_id, pack_id); the cost is at most one
+    under-filled trailing pack per shard instead of per source.
+
+    Plan: one window cumsum over (source, shard_id) — the exchange is
+    hashpartitioning on BOTH keys (pinned by plan test) — then the
+    same text join + groupBy record assembly as x_packed_sequences."""
+    from engage_spark.api import sequence_packing
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = sequence_packing(
+        d, id_col="doc_id", text_col="text", strata_col="source",
+        budget=_PACK_BUDGET, n_shards=_PACK_SHARDS, shard_salt=_PACK_SALT,
+    )
+    return (
+        per_doc.join(d.select("doc_id", "text"), "doc_id")
+        .groupBy("source", "shard_id", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("pack_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.text,
+                ),
+                " ",
+            ).alias("packed_text"),
+        )
+    )

@@ -50,50 +50,71 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 
 
 # The driver's per-round correctness sweep checks the FIRST 50 registry
-# entries. Cumulative record so far: the relational core went green in
-# round 1, kernels/model/LLM ops in round 3. This list front-loads the
-# queries that still need a first (or first-green) driver row — the 14
-# never-checked entries, the 3 streaming twins fixed this round, and any
-# new round-4 queries — so every registered query has a driver signal.
+# entries. Cumulative record: r1 greened the relational core, r3 the
+# kernels/model/LLM block, r4 the streaming/ext/corpus block — all 131
+# r4-era entries have a driver row. Round 5 rotation: (a) queries that
+# are NEW or whose ORACLE changed this round, then (b) the r1-era core,
+# which hasn't had a fresh driver row since round 1 (a regression there
+# would be invisible to the hard signal). Entries past position 50 roll
+# to the next round's window.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # fixed this round (TIMESTAMP_NTZ watermark bug) — need green rows
-    "st_tumbling_window_agg",
-    "st_dedup_events",
-    "st_session_window",
-    # new in round 4
-    "st_sliding_window_agg",
-    "st_stream_stream_join",
-    "st_stateful_running_stats",
-    "x_curation_pipeline",
-    "x_embed_lsh_neardup_pairs",
-    "mm_resize_plan",
-    "mm_resize_bytes",
-    "ev_conversion_funnel",
-    "ev_retention_cohorts",
-    "x1b_exact_dedup_keepers",
-    "x_sequence_packing",
-    "x_vocab_topk",
-    "x_doc_chunking",
-    "x_shard_manifest",
-    "x_span_dedup",
-    "x4b_quality_classifier",
-    "x_packed_sequences",
-    "x_token_encode",
-    # never received any driver CORRECTNESS row (sat at positions 50+)
-    "ext_exact_percentiles",
-    "ext_approx_sketches",
-    "ext_salted_skew_join",
-    "ext_pivot_wide",
-    "ext_unpivot_long",
-    "ext_asof_join",
-    "ext_range_join_binned",
-    "ev_json_extract",
-    "ev_sessionize_gap",
-    "f_collection_ops",
-    "x_profile_columns",
-    "x2c_mllib_minhash_join",
-    "x3d_mllib_brp_ann",
-    "x4_tfidf_pipeline",
+    # new in round 5 / oracle added or changed in round 5
+    "x_packed_sequences_sharded",  # new: shard-parallel packing
+    "st_stateful_running_stats",   # EWMA oracle added (was rows-only)
+    "x4_tfidf_terms",              # new: SQL-expressible TF-IDF split
+    "x_sequence_packing",          # oracle ORDER BY tiebreak fixed
+    # r1-era core — last driver row was round 1; re-green it
+    "s1_scan_filter_project",
+    "p2_projection_exclude",
+    "p3_p4_rename_literal",
+    "p5_arith_derived",
+    "p7_compound_filter",
+    "p8_conditional_column",
+    "p9_mapping_join_coalesce",
+    "p10_cast",
+    "p11_null_fill",
+    "p13_first_value_per_group",
+    "p12_drop_allnull_columns",
+    "j1_inner_join_multikey",
+    "j3_left_outer_join",
+    "j4_right_outer_join",
+    "j5_self_join_suffixes",
+    "j6_broadcast_dim_join",
+    "j7_semi_join_membership",
+    "j8_anti_join_dropgroups",
+    "a1_groupby_mean_all_numeric",
+    "a2_a3_groupby_sum_max",
+    "a5_global_min_max_mean",
+    "a6_group_size_gate",
+    "a8_maxabs_normalize",
+    "a9_distinct_values",
+    "a10_row_dedup_subset",
+    "a11_zscore_standardize",
+    "a12_rmse_metric",
+    "w2_w3_lag_and_diff",
+    "w4_trim_leading_prefix",
+    "w5_head_n_per_group",
+    "w6_tail_n_per_group",
+    "w7_conditional_increase_sum",
+    "w8_sliding_feature_window",
+    "w12_rownumber_index",
+    "o2_sorted_distinct",
+    "o3_first_row_after_sort",
+    "u1_union_homogeneous",
+    "u2_union_missing_columns",
+    "u4_rekey_collapse_aggregate",
+    "u5_intersect_except",
+    "f_string_ops",
+    "f_date_ops",
+    "f13_date_range_explode",
+    "f15_case_banding",
+    "f17_f18_math_null_tests",
+    "sql1_ordinal_groupby_ifnull",
+    "sql2_causal_features",
+    "ev_tumbling_window_agg",
+    "ev_sliding_window_agg",
+    # position 51+: rolls to the round-6 window (r3/r4 signal is fresh)
+    "x_embed_lsh_neardup_pairs",   # banding auto-scaled in round 5
 )
 
 

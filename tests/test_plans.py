@@ -174,3 +174,25 @@ def test_packed_sequences_no_cartesian_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x_packed_sequences")
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_sharded_packing_window_partitions_by_shard(spark, sf_dir):
+    # the 100 TB contract of x_packed_sequences_sharded: the pack-
+    # assignment cumsum window must partition by (source, shard_id) —
+    # n_sources x n_shards concurrent tasks — never by source alone
+    # (which funnels each source's whole corpus through one task)
+    import re
+
+    plan = _plan(spark, sf_dir, "x_packed_sequences_sharded")
+    assert re.search(
+        r"hashpartitioning\(source#\d+, shard_id#\d+", plan
+    ), "pack-assignment exchange must hash on BOTH source and shard_id"
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+    # and the hash scheme actually spreads: every shard id materializes
+    from engage_spark.registry import load_all
+
+    df = load_all()["x_packed_sequences_sharded"].fn(spark, sf_dir)
+    n_shards = df.select("shard_id").distinct().count()
+    assert n_shards == 8
