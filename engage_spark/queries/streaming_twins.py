@@ -221,20 +221,51 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st_stateful_running_stats", oracle=None, covers=["STREAM-STATE"])
+@query(
+    "st_stateful_running_stats",
+    # The EWMA recurrence y_0 = x_0, y_i = a*x_i + (1-a)*y_{i-1}
+    # (pandas ewm(adjust=False) seeded per applyInPandasWithState's
+    # carried state) is deterministic and has the closed form
+    # y_{n-1} = (1-a)^{n-1} x_0 + sum_{i>=1} a (1-a)^{n-1-i} x_i —
+    # a pow-weighted window sum DuckDB can compute exactly. The 1e-9
+    # nudge before round() keeps binary-exact .5 boundaries from
+    # hashing apart between the recurrence and the expanded sum.
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - 1 AS i,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           max(n)::BIGINT AS n_events,
+           round(sum(
+               CASE WHEN i = 0 THEN pow(0.8, n - 1) * value
+                    ELSE 0.2 * pow(0.8, n - 1 - i) * value END
+           ) + 1e-9, 6) AS ewma_value
+    FROM ordered GROUP BY user_id
+    """,
+    covers=["STREAM-STATE"],
+)
 def st_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState operator under the driver's signal:
-    per-user running event count + EWMA of `value`, state carried in
-    the state store across micro-batches. Rows-only by design — the
-    cross-batch recurrence isn't ANSI-SQL-expressible — but
-    tests/test_streaming.py asserts exact parity against a batch
-    computation of the same recurrence. Update output mode re-emits a
-    user's row per batch; the AvailableNow drain over the single-file
-    source runs one batch, so the sink holds the final state per user."""
+    per-user running event count + EWMA of `value` (alpha=0.2), state
+    carried in the state store across micro-batches. The cross-batch
+    recurrence is deterministic, so it IS oracle-able in closed form:
+    the final EWMA equals the pow((1-a), n-1-i)-weighted sum of the
+    user's event-time-ordered values (see the oracle). Update output
+    mode re-emits a user's row per batch; the AvailableNow drain over
+    the single-file source runs one batch, so the sink holds exactly
+    the final state per user. tests/test_streaming.py additionally
+    asserts multi-batch parity against the same batch recurrence."""
     ev = stream_events_from_parquet(spark, sf_dir)
     out = _drain_to_memory(
         running_user_stats_stream(ev), "st_userstats", "update"
     )
     return out.select(
-        "user_id", "n_events", F.round("ewma_value", 6).alias("ewma_value")
+        "user_id",
+        "n_events",
+        F.round(F.col("ewma_value") + F.lit(1e-9), 6).alias("ewma_value"),
     )
