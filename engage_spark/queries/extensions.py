@@ -245,6 +245,88 @@ def x4_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top, 6).alias("top_tfidf"),
     )
 
+
+# MLlib's default English stop-word list (StopWordsRemover
+# .loadDefaultStopWords("english"), 181 words) frozen here so the
+# x4_tfidf_terms DuckDB oracle reproduces the removal without a JVM.
+_MLLIB_EN_STOPWORDS: tuple[str, ...] = (
+    'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves',
+    'you', 'your', 'yours', 'yourself', 'yourselves', 'he', 'him', 'his',
+    'himself', 'she', 'her', 'hers', 'herself', 'it', 'its', 'itself',
+    'they', 'them', 'their', 'theirs', 'themselves', 'what', 'which', 'who',
+    'whom', 'this', 'that', 'these', 'those', 'am', 'is', 'are',
+    'was', 'were', 'be', 'been', 'being', 'have', 'has', 'had',
+    'having', 'do', 'does', 'did', 'doing', 'a', 'an', 'the',
+    'and', 'but', 'if', 'or', 'because', 'as', 'until', 'while',
+    'of', 'at', 'by', 'for', 'with', 'about', 'against', 'between',
+    'into', 'through', 'during', 'before', 'after', 'above', 'below', 'to',
+    'from', 'up', 'down', 'in', 'out', 'on', 'off', 'over',
+    'under', 'again', 'further', 'then', 'once', 'here', 'there', 'when',
+    'where', 'why', 'how', 'all', 'any', 'both', 'each', 'few',
+    'more', 'most', 'other', 'some', 'such', 'no', 'nor', 'not',
+    'only', 'own', 'same', 'so', 'than', 'too', 'very', 's',
+    't', 'can', 'will', 'just', 'don', 'should', 'now', "i'll",
+    "you'll", "he'll", "she'll", "we'll", "they'll", "i'd", "you'd", "he'd",
+    "she'd", "we'd", "they'd", "i'm", "you're", "he's", "she's", "it's",
+    "we're", "they're", "i've", "we've", "you've", "they've", "isn't", "aren't",
+    "wasn't", "weren't", "haven't", "hasn't", "hadn't", "don't", "doesn't", "didn't",
+    "won't", "wouldn't", "shan't", "shouldn't", "mustn't", "can't", "couldn't", 'cannot',
+    'could', "here's", "how's", "let's", 'ought', "that's", "there's", "what's",
+    "when's", "where's", "who's", "why's", 'would',
+)
+
+_MLLIB_SW_SQL = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in _MLLIB_EN_STOPWORDS
+)
+
+
+@query(
+    "x4_tfidf_terms",
+    # Exact SQL twin of Tokenizer + StopWordsRemover term COUNTING:
+    # Java's split("\\s") keeps interior empty tokens but drops
+    # trailing ones — equivalently, right-trim the whitespace before a
+    # keep-empties split; the split class is written out because
+    # RE2's \\s lacks \\x0B, which Java's \\s includes (rtrim's char
+    # set is the same Java class:
+    # space \t \n \x0B \f \r). Empty tokens are not stopwords, so
+    # they count as terms on both sides. One residue: Java maps an
+    # all-separator NON-empty string to [] but the empty string to
+    # [''] — the CASE guard reproduces that asymmetry.
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               rtrim(lower(text),
+                     ' ' || chr(9) || chr(10) || chr(11)
+                         || chr(12) || chr(13)) AS rt
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(text) > 0 AND length(rt) = 0 THEN 0
+                ELSE len(list_filter(
+                    regexp_split_to_array(rt, '[ \\t\\n\\x0b\\f\\r]'),
+                    tok -> tok NOT IN ({_MLLIB_SW_SQL})
+                ))
+           END::BIGINT AS n_terms
+    FROM t
+    """,
+    covers=["X4"],
+)
+def x4_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible half of x4_tfidf_pipeline, split out so the
+    tokenize -> stopword-removal stage gets a full driver hash check
+    (the hashed TF-IDF weights themselves stay rows-only in the parent
+    query — DuckDB has no hashing-TF twin). Same MLlib Tokenizer +
+    StopWordsRemover stages; returns (doc_id, n_terms)."""
+    from pyspark.ml.feature import StopWordsRemover, Tokenizer
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    filtered = StopWordsRemover(inputCol="words", outputCol="terms").transform(toks)
+    return filtered.select(
+        "doc_id", F.size("terms").cast("long").alias("n_terms")
+    )
+
+
 @query("x4b_quality_classifier", oracle=None, covers=["X4"])
 def x4b_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering — the classifier stage of CC-style
