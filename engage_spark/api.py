@@ -30,6 +30,7 @@ from engage_spark.queries.llm_curation import (
     connected_components,
     connected_components_star,
 )
+from engage_spark.queries.llm_similarity import lsh_banding_params
 
 __all__ = [
     "normalized_fingerprint",
@@ -39,6 +40,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "near_dup_components",
     "embed_lsh_near_dup_pairs",
+    "lsh_banding_params",
     "topk_cosine_search",
     "curation_funnel",
     "sequence_packing",
@@ -162,19 +164,23 @@ def embed_lsh_near_dup_pairs(
 
     `dim` is the embedding dimensionality (hyperplanes are generated at
     this width; a mismatch degrades to prefix-dimension hashing, see
-    `_nd_band_keys`). Size `rows` ~ log2(corpus) and raise `bands`
-    alongside: per-bucket candidate volume is occupancy², so the 4x4
-    default that fits test scale goes quadratic on a large corpus
-    (measured 7.8x wall-clock at 10x data; 1.6x with bands=6, rows=7 —
-    see SCALE.md and the `_nd_band_keys` sizing rule)."""
-    from engage_spark.queries.llm_similarity import _nd_band_keys
+    `nd_band_keys_column`). Size `rows` ~ log2(corpus) and raise
+    `bands` alongside: per-bucket candidate volume is occupancy², so
+    the 4x4 default that fits test scale goes quadratic on a large
+    corpus (measured 7.8x wall-clock at 10x data; ~2x once the banding
+    scales — see SCALE.md). Pass the output of `lsh_banding_params(n)`
+    (the calibrated log2 rule the registered query uses) when the
+    corpus row count is known. The key-hashing kernel auto-selects:
+    JVM codegen expressions at the small floor config, one Arrow-batch
+    BLAS gemm per batch for scaled-up plane counts."""
+    from engage_spark.queries.llm_similarity import nd_band_keys_column
 
     e = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
     banded = e.select(
         "vec_id",
-        F.posexplode(F.array(*_nd_band_keys("embedding", bands, rows, dim))).alias(
-            "band", "key"
-        ),
+        F.posexplode(
+            nd_band_keys_column(e, "embedding", bands, rows, dim)
+        ).alias("band", "key"),
     )
     left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
     right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))

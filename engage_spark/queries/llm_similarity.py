@@ -347,9 +347,50 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding near-dup pairs, LSH-banded (the unblocked scale path that
 # complements the label-blocked exact ground truth x_cosine_neardup_pairs)
 
-_ND_BANDS = 4  # independent hash tables
-_ND_ROWS = 4  # hyperplanes per table (16-bucket keys per band)
+_ND_BANDS = 4  # independent hash tables (floor; see lsh_banding_params)
+_ND_ROWS = 4  # hyperplanes per table (floor; 16-bucket keys per band)
 _ND_COS = 0.35  # verify threshold, matching the exact ground truth
+_ND_TARGET_OCCUPANCY = 96  # target rows per bucket per band
+
+
+def lsh_banding_params(n_rows: int) -> tuple[int, int]:
+    """(bands, rows) sized to the corpus: rows = log2(n / target
+    occupancy) clamped to the calibrated floor, bands raised alongside
+    to buy back recall. Per-bucket candidate volume is occupancy² and
+    occupancy = n / 2^rows, so FIXED rows go quadratic as the corpus
+    grows (measured 7.8× wall-clock at 10× data with rows=4); each
+    extra plane halves occupancy and quarters per-bucket pairs. The
+    key-hashing stage itself costs O(n · bands · rows · dim), so bands
+    trails rows by 2 rather than growing 1:1 — the measured total-cost
+    minimum on a 10× blow-up (scripts/measure_lsh_scaling.py: (6,8)
+    1.9×, (6,7) 2.8×, fixed (4,4) 7.8×; SCALE.md). Calibration: the
+    recall-pytest domain (n ≤ ~1000) stays at the measured (4, 4).
+    Deterministic: a pure function of the count, so the same corpus
+    bands identically on any cluster layout."""
+    import math
+
+    rows = max(
+        _ND_ROWS, round(math.log2(max(n_rows, 1) / _ND_TARGET_OCCUPANCY))
+    )
+    bands = max(_ND_BANDS, rows - 2)
+    return bands, rows
+
+
+_NROWS_CACHE: dict[str, int] = {}
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    """Embeddings-table row count from the parquet footer (driver-side
+    pyarrow peek, cached — same rationale as _embedding_dim: a Spark
+    count() job just to size LSH parameters costs a scan; the footer
+    already knows. In production this is a catalog statistic)."""
+    if sf_dir not in _NROWS_CACHE:
+        import pyarrow.parquet as pq
+
+        _NROWS_CACHE[sf_dir] = pq.ParquetFile(
+            f"{sf_dir}/embeddings.parquet"
+        ).metadata.num_rows
+    return _NROWS_CACHE[sf_dir]
 
 
 def _nd_band_keys(
@@ -395,23 +436,77 @@ def _nd_band_keys(
     return keys
 
 
+# beyond this many planes per vector the interpreted higher-order-
+# function hashing loses to one Arrow-batched BLAS gemm (measured ~2x
+# end-to-end at 10x corpus); at or below it the all-JVM expression path
+# keeps the plan Python-free
+_ND_JVM_PLANE_BUDGET = 16
+
+
+def nd_band_keys_column(df, emb_col: str, bands: int, rows: int, dim: int):
+    """array<int> Column of per-band bucket keys, choosing the physical
+    kernel by total plane count:
+
+    - bands*rows <= _ND_JVM_PLANE_BUDGET: pure JVM codegen expressions
+      (`_nd_band_keys`) — no Python workers in the plan, right for the
+      calibrated small-corpus floor config.
+    - larger: a vectorized pandas_udf computing ALL keys per Arrow
+      batch as ONE matrix product ((batch x dim) @ (dim x bands*rows)
+      BLAS gemm, then sign-bit packing) — the per-plane interpreted
+      aggregate/zip_with cost grows O(bands*rows*dim) per row and
+      dominates once banding scales with log2(n).
+
+    Key parity between the two kernels is exact for non-boundary dot
+    products and pinned by test (sign flips need |dot| at float64
+    summation-order noise, ~1e-16 — and a flipped near-zero plane bit
+    only moves a CANDIDATE between buckets; the exact-cosine verify
+    keeps emitted pairs correct either way). Dim mismatches degrade to
+    prefix-dimension hashing in both kernels."""
+    if bands * rows <= _ND_JVM_PLANE_BUDGET:
+        return F.array(*_nd_band_keys(emb_col, bands, rows, dim))
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(_planes(bands * rows, dim), dtype=np.float64)
+    weights = (1 << np.arange(rows)).astype(np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((planes, weights))
+
+    @pandas_udf("array<int>")
+    def _band_keys(emb: pd.Series) -> pd.Series:
+        mat_planes, wts = bc.value
+        m = np.stack([np.asarray(v, dtype=np.float64)[:dim] for v in emb])
+        if m.shape[1] < dim:  # short vectors: prefix-hash like zip_with
+            m = np.pad(m, ((0, 0), (0, dim - m.shape[1])))
+        signs = (m @ mat_planes.T) > 0
+        keys = signs.reshape(len(m), bands, rows) @ wts
+        return pd.Series([k.astype(np.int32) for k in keys])
+
+    return _band_keys(emb_col)
+
+
 @query("x_embed_lsh_neardup_pairs", oracle=None, covers=["X2", "X3"])
 def x_embed_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs WITHOUT a blocking key: banded
-    hyperplane LSH (4 tables x 4 planes) generates candidates, exact
-    cosine verifies at the same 0.35 threshold as the ground-truth
-    query. The banding shuffle carries only (vec_id, band, key) — the
-    embedding arrays never leave the first map stage and rejoin only
-    for surviving candidates, exactly the MinHash-LSH shuffle-hygiene
-    story (llm_dedup.minhash_candidate_pairs). Per-bucket fan-in is
-    corpus/16 per band here; production tunes rows/bands to the corpus
-    (more planes -> smaller buckets, more bands -> recall). Recall vs
-    the exact pairs is asserted in pytest; rows-only under the driver
-    (hash family not SQL-expressible)."""
+    hyperplane LSH generates candidates, exact cosine verifies at the
+    same 0.35 threshold as the ground-truth query. The banding shuffle
+    carries only (vec_id, band, key) — the embedding arrays never
+    leave the first map stage and rejoin only for surviving
+    candidates, exactly the MinHash-LSH shuffle-hygiene story
+    (llm_dedup.minhash_candidate_pairs).
+
+    Banding AUTO-SCALES with the corpus (lsh_banding_params over the
+    parquet-footer row count): per-bucket candidate volume is
+    occupancy², so the fixed 4×4 that fits test scale measured 7.8×
+    wall-clock at 10× data, vs 1.6× once rows grows with log2(n)
+    (SCALE.md). At the recall-pytest scale the derived params equal
+    the calibrated (4, 4). Recall vs the exact pairs is asserted in
+    pytest; rows-only under the driver (hash family not
+    SQL-expressible)."""
     from engage_spark.api import embed_lsh_near_dup_pairs
 
     e = table(spark, sf_dir, "embeddings")
+    bands, rows = lsh_banding_params(_corpus_rows(sf_dir))
     return embed_lsh_near_dup_pairs(
         e, id_col="vec_id", emb_col="embedding", threshold=_ND_COS,
-        bands=_ND_BANDS, rows=_ND_ROWS, dim=_DIM,
+        bands=bands, rows=rows, dim=_DIM,
     )

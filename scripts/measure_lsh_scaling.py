@@ -1,0 +1,114 @@
+"""Measure embed-LSH near-dup scaling on a density-preserving 10x
+corpus blow-up (the SCALE.md methodology, now committed).
+
+Builds a 10x copy of sf0.1/embeddings.parquet where each extra copy's
+vector is cyclically rotated by a copy-dependent shift — norms are
+preserved and a random-ish vector is near-orthogonal to its rotation,
+so the TRUE near-dup pair density stays that of the base corpus and
+growth comes from corpus size alone. Then times the REGISTERED
+x_embed_lsh_neardup_pairs plan (auto-scaled banding via
+lsh_banding_params over the parquet footer count) at 1x and 10x,
+min-of-two, noop sink.
+
+Usage: python scripts/measure_lsh_scaling.py [sf_dir] [factor]
+Prints one JSON line {"t1": ..., "t10": ..., "growth": ..., "params_1x":
+[b, r], "params_10x": [b, r]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .appName("lsh-scaling")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from engage_spark.api import embed_lsh_near_dup_pairs, lsh_banding_params
+    from engage_spark.queries.llm_similarity import _embedding_dim
+
+    dim = _embedding_dim(sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n1 = base.count()
+
+    # 10x corpus: copy c of vector v is v rotated left by c*7+1 slots
+    # (c=0 keeps the original). Rotation preserves the norm and is
+    # near-orthogonal to the original for non-degenerate vectors, so
+    # copies are NOT planted near-dups of their source.
+    big_dir = "/tmp/lsh_scale_embeddings"
+    shutil.rmtree(big_dir, ignore_errors=True)
+    copies = []
+    for c in range(factor):
+        shift = (c * 7 + 1) % dim if c else 0
+        rotated = (
+            F.concat(
+                F.slice("embedding", shift + 1, dim - shift),
+                F.slice("embedding", 1, shift),
+            )
+            if shift
+            else F.col("embedding")
+        )
+        copies.append(
+            base.select(
+                (F.col("vec_id") + F.lit(c * 10_000_000)).alias("vec_id"),
+                rotated.alias("embedding"),
+            )
+        )
+    bigger = copies[0]
+    for df in copies[1:]:
+        bigger = bigger.unionByName(df)
+    bigger.write.mode("overwrite").parquet(big_dir)
+
+    def run(df, n_rows: int) -> tuple[float, tuple[int, int]]:
+        bands, rows = lsh_banding_params(n_rows)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = embed_lsh_near_dup_pairs(
+                df, id_col="vec_id", emb_col="embedding",
+                threshold=0.35, bands=bands, rows=rows, dim=dim,
+            )
+            pairs.write.format("noop").mode("overwrite").save()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3), (bands, rows)
+
+    big = spark.read.parquet(big_dir)
+    n10 = big.count()
+    # warm the JVM/codegen on the small run first
+    t1, p1 = run(base.select("vec_id", "embedding"), n1)
+    t10, p10 = run(big, n10)
+    print(
+        json.dumps(
+            {
+                "n1": n1, "n10": n10,
+                "t1": t1, "t10": t10,
+                "growth": round(t10 / t1, 2),
+                "params_1x": list(p1), "params_10x": list(p10),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -420,3 +420,33 @@ def test_resize_bytes_gather_is_exact(spark, sf_dir):
     got = rb[rb.doc_id == 0].iloc[0]
     assert (int(got.out_w), int(got.out_h)) == (ow, oh)
     assert bytes(got.pixels) == expect.tobytes()
+
+
+def test_lsh_band_key_kernels_agree(spark, sf_dir):
+    """The Arrow/BLAS band-key kernel (used when bands*rows exceeds the
+    JVM plane budget) must produce byte-identical bucket keys to the
+    JVM expression kernel on the same planes — the two are physical
+    strategies for ONE logical hash family."""
+    import pandas as pd
+
+    from engage_spark.io import table
+    from engage_spark.queries.llm_similarity import (
+        _nd_band_keys,
+        nd_band_keys_column,
+    )
+
+    bands, rows, dim = 6, 8, 64  # above the JVM budget -> Arrow path
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    jvm = e.select(
+        "vec_id", F.array(*_nd_band_keys("embedding", bands, rows, dim)).alias("k")
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    arrow = e.select(
+        "vec_id", nd_band_keys_column(e, "embedding", bands, rows, dim).alias("k")
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(jvm) == len(arrow) > 0
+    mism = sum(1 for a, b in zip(jvm.k, arrow.k) if list(a) != list(b))
+    assert mism == 0, f"{mism} key vectors differ between kernels"
+    # and the small floor config stays on the Python-free JVM path
+    col = nd_band_keys_column(e, "embedding", 4, 4, dim)
+    plan = e.select(col.alias("k"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
