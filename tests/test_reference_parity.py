@@ -188,3 +188,228 @@ def ep2_min(spark):
     stations = spark.createDataFrame([("ALW00000001", "")], ["id", "state"])
     countries = spark.createDataFrame([("AL", "Albania")], ["code", "name"])
     return weather_forecast.run(spark, weather, stations, countries)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: full-stage golden parity — every EP1 boundary runnable on
+# REAL reference inputs value-compared against an independent pandas
+# transcription, plus the EP3 SQL feature stage on those real rows.
+
+
+def _real_us_block_pandas():
+    """covid_data_transform.py:70-78 (+ the :76-78 population sum and
+    :114 state merge) transcribed in pandas on the real CSVs."""
+    us = pd.read_csv(f"{COVID}/daily_covid_usstates.csv")[
+        ["date", "state", "positive", "recovered", "death"]
+    ].rename(columns={"state": "province_state", "positive": "confirmed"})
+    us["country_region"] = "United States"
+    us = us.fillna(0)
+    pop = pd.read_csv(f"{COVID}/covid_county_population_usafacts.csv")
+    pop.columns = [c.lstrip("\ufeff") for c in pop.columns]
+    p = (
+        pop.groupby("State")["population"].sum().reset_index()
+        .rename(columns={"State": "province_state"})
+    )
+    return us.merge(p, on="province_state", how="inner")
+
+
+def test_us_states_population_block_matches_pandas_on_real_data(spark):
+    """EP1 boundary: the US per-state covid+population block
+    (covid_data_transform.py:70-78,:76-78,:114) on the real CSVs."""
+    from engage_spark.io import read_csv
+    from engage_spark.pipelines.covid_transform import us_states_covid
+
+    got = us_states_covid(
+        read_csv(spark, f"{COVID}/daily_covid_usstates.csv"),
+        read_csv(spark, f"{COVID}/covid_county_population_usafacts.csv"),
+    ).toPandas().sort_values(["province_state", "date"]).reset_index(drop=True)
+    exp = _real_us_block_pandas().sort_values(
+        ["province_state", "date"]
+    ).reset_index(drop=True)
+    assert len(got) == len(exp) > 2000
+    for c in ["confirmed", "recovered", "death", "population"]:
+        pd.testing.assert_series_equal(
+            got[c].astype(float), exp[c].astype(float), check_names=False
+        )
+
+
+def test_us_population_matches_shipped_golden_pop_dataset(spark):
+    """Golden cross-check: the shipped data/simulation_data/
+    pop_dataset.csv carries the SAME county-summed population our
+    us_states_covid computes — 100% value parity on every joinable
+    (date, state) row. (The covid counts themselves differ on ~4% of
+    rows: the golden file was cut from an earlier snapshot of the
+    daily feed, so they are not asserted.)"""
+    from engage_spark.io import read_csv
+    from engage_spark.pipelines.covid_transform import us_states_covid
+
+    got = us_states_covid(
+        read_csv(spark, f"{COVID}/daily_covid_usstates.csv"),
+        read_csv(spark, f"{COVID}/covid_county_population_usafacts.csv"),
+    ).toPandas()
+    gold = pd.read_csv(f"{REF}/data/simulation_data/pop_dataset.csv")
+    m = got.merge(
+        gold.rename(columns={"state": "province_state"}),
+        on=["date", "province_state"],
+        suffixes=("", "_gold"),
+    )
+    assert len(m) > 2000
+    assert (m.population == m.population_gold).all()
+
+
+def test_country_population_dim_matches_pandas_on_real_data(spark):
+    """EP1 boundary: the country population dim
+    (covid_data_transform.py:105-110) on the real jhu countries CSV."""
+    from engage_spark.io import read_csv
+    from engage_spark.pipelines.covid_transform import country_population
+
+    got = country_population(
+        read_csv(spark, f"{COVID}/jhu_countries_with_code.csv")
+    ).toPandas().sort_values(["country_region", "population"]).reset_index(drop=True)
+
+    j = pd.read_csv(f"{COVID}/jhu_countries_with_code.csv")
+    j["countries_and_territories"] = [
+        x.replace("_", " ") for x in j["countries_and_territories"]
+    ]
+    exp = (
+        j[["countries_and_territories", "pop_data_2018"]]
+        .rename(columns={
+            "countries_and_territories": "country_region",
+            "pop_data_2018": "population",
+        })
+        .drop_duplicates()
+        .sort_values(["country_region", "population"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 100
+    pd.testing.assert_series_equal(
+        got.country_region, exp.country_region, check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got.population.astype(float), exp.population.astype(float),
+        check_names=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def pre_weather_real(spark, spark_covid):
+    """The EP1 pre-weather-join boundary on real data
+    (covid_data_transform.py:113-124): collapsed world covid ⋈ country
+    population (inner), ∪ US block, fillna, strip — as BOTH the Spark
+    composition and a pandas transcription."""
+    from engage_spark.io import read_csv
+    from engage_spark.pipelines.covid_transform import (
+        country_population,
+        us_states_covid,
+    )
+    from pyspark.sql import functions as F
+
+    world = spark.createDataFrame(spark_covid)  # collapsed covid (module fixture)
+    cpop = country_population(read_csv(spark, f"{COVID}/jhu_countries_with_code.csv"))
+    us = us_states_covid(
+        read_csv(spark, f"{COVID}/daily_covid_usstates.csv"),
+        read_csv(spark, f"{COVID}/covid_county_population_usafacts.csv"),
+    )
+    got = (
+        world.join(cpop, on="country_region", how="inner")
+        .unionByName(us)
+        .na.fill({"province_state": "UNK"})
+        .na.fill(0)
+        .withColumn("date", F.col("date").cast("int"))
+        .withColumn("country_region", F.trim("country_region"))
+    ).toPandas()
+
+    exp_world = _pandas_oracle()
+    j = pd.read_csv(f"{COVID}/jhu_countries_with_code.csv")
+    j["countries_and_territories"] = [
+        x.replace("_", " ") for x in j["countries_and_territories"]
+    ]
+    cpop_pd = (
+        j[["countries_and_territories", "pop_data_2018"]]
+        .rename(columns={
+            "countries_and_territories": "country_region",
+            "pop_data_2018": "population",
+        })
+        .drop_duplicates()
+    )
+    exp = pd.concat(
+        [exp_world.merge(cpop_pd, on="country_region", how="inner"),
+         _real_us_block_pandas()],
+        ignore_index=True,
+    )
+    exp["province_state"] = exp["province_state"].fillna("UNK")
+    exp = exp.fillna(0)
+    exp["date"] = exp["date"].astype(int)
+    exp["country_region"] = exp["country_region"].str.strip()
+    return got, exp
+
+
+def test_pre_weather_assembly_matches_pandas_on_real_data(pre_weather_real):
+    got, exp = pre_weather_real
+    keys = ["country_region", "province_state", "date"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    assert len(got) == len(exp) > 10000
+    for c in ["confirmed", "recovered", "death", "population"]:
+        pd.testing.assert_series_equal(
+            got[c].astype(float), exp[c].astype(float), check_names=False
+        )
+
+
+def test_causal_features_stage_matches_transcription_on_real_rows(
+    spark, pre_weather_real
+):
+    """EP3 boundary: the SQL feature stage (covid_simulator.py:359-372)
+    over the REAL pre-weather table with a deterministic synthetic TAVG
+    column (raw tenths spanning every band and both unit-quirk overlap
+    regions), value-compared against a pandas transcription of the
+    SQLite query — including the raw-vs-/10 band mix and the strict
+    julianday gov_action comparison."""
+    import numpy as np
+
+    from engage_spark.pipelines.simulator import causal_features
+
+    got_pre, _ = pre_weather_real
+    base = got_pre.copy()
+    # deterministic raw-tenths TAVG in [-150, 400): hits is_freezing,
+    # the [20, 200) is_cold/is_warm overlap, is_hot, and temp_th edges
+    h = pd.util.hash_pandas_object(
+        base[["country_region", "province_state", "date"]].astype(str).agg(
+            ":".join, axis=1
+        ),
+        index=False,
+    )
+    base["TAVG"] = ((h % 550).astype(np.int64) - 150).astype(float)
+    base["date_idx"] = -1.0
+
+    sdf = spark.createDataFrame(base)
+    got = causal_features(spark, sdf).toPandas()
+
+    exp = base.copy()
+    exp["dateval"] = exp["date"]
+    exp["state"] = exp["country_region"] + "-" + exp["province_state"]
+    t = exp["TAVG"]
+    exp["is_freezing"] = (t <= 0).astype(int)
+    exp["is_cold"] = ((t > 0) & (t / 10 < 20)).astype(int)
+    exp["is_warm"] = ((t >= 20) & (t / 10 < 35)).astype(int)
+    exp["is_hot"] = (t >= 35).astype(int)
+    exp["temp_th"] = (t >= 20).astype(int)
+    exp["gov_action"] = (exp["date"] > 20200320).astype(int)
+    exp["TAVG"] = t / 10
+    exp = exp[
+        ["dateval", "confirmed", "recovered", "death", "population", "TAVG",
+         "state", "is_freezing", "is_cold", "is_warm", "is_hot", "temp_th",
+         "gov_action", "date_idx"]
+    ].drop_duplicates()
+
+    keys = ["state", "dateval"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    exp = exp.sort_values(keys).reset_index(drop=True)
+    assert len(got) == len(exp) > 10000
+    # the unit quirk must actually be exercised: overlap rows exist
+    assert ((got.is_cold == 1) & (got.is_warm == 1)).any()
+    for c in ["TAVG", "is_freezing", "is_cold", "is_warm", "is_hot",
+              "temp_th", "gov_action", "confirmed", "population"]:
+        pd.testing.assert_series_equal(
+            got[c].astype(float), exp[c].astype(float), check_names=False
+        )
