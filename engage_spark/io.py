@@ -59,7 +59,12 @@ def _nano_ts_fields(path: str) -> list[str]:
 
     key = path
     if key not in _NANO_CACHE:
-        schema = pq.read_schema(path)
+        try:
+            schema = pq.read_schema(path)
+        except OSError:
+            # Spark-written datasets are DIRECTORIES of part files;
+            # read_schema only takes a single file
+            schema = pq.ParquetDataset(path).schema
         _NANO_CACHE[key] = [
             f.name
             for f in schema

@@ -265,6 +265,7 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token-id encoding (the tokenize step of training-data preparation)
 
 _ENC_VOCAB_K = 100
+_ENC_CHUNK = 8192  # tokens per reassembly chunk (bounds agg state)
 
 
 @query(
@@ -304,10 +305,17 @@ def x_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the K-row vocab gets ranked by one single-task window (K rows
     — trivial by construction) and BROADCASTS to the token join, so the
-    corpus-side token stream never shuffles for the lookup; the only
-    full shuffle is the groupBy(doc_id) reassembly, whose collect_list
-    state is bounded by one document's tokens. At real vocab sizes
-    (50k-200k) the broadcast is a few MB — still the right plan."""
+    corpus-side token stream never shuffles for the lookup. Reassembly
+    is CHUNKED against adversarial giant documents: a flat
+    groupBy(doc_id) collect_list would hold one buffer of the whole
+    doc's tokens (a 10⁶-token doc ⇒ tens of MB in a single agg state),
+    so tokens aggregate first per (doc_id, pos/_ENC_CHUNK) — state ≤
+    _ENC_CHUNK structs — then chunks concatenate per doc_id, whose
+    state is n_toks/_ENC_CHUNK strings totalling the bytes of the
+    final ids string the op must emit anyway. Output is byte-identical
+    to the flat form (oracle unchanged); the cost is one extra
+    exchange of the same total bytes. At real vocab sizes (50k-200k)
+    the broadcast is a few MB — still the right plan."""
     from engage_spark.api import _ws_tokens, vocab_topk
 
     d = table(spark, sf_dir, "documents")
@@ -322,13 +330,28 @@ def x_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = toks.join(F.broadcast(vids), "token", "left").select(
         "doc_id", "pos", F.coalesce("tid", F.lit(0)).cast("long").alias("tid")
     )
-    return enc.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks"),
-        F.sum((F.col("tid") == 0).cast("long")).alias("n_unk"),
+    per_chunk = (
+        enc.withColumn("chunk", (F.col("pos") / _ENC_CHUNK).cast("long"))
+        .groupBy("doc_id", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("c_toks"),
+            F.sum((F.col("tid") == 0).cast("long")).alias("c_unk"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s.tid.cast("string"),
+                ),
+                " ",
+            ).alias("c_ids"),
+        )
+    )
+    return per_chunk.groupBy("doc_id").agg(
+        F.sum("c_toks").alias("n_toks"),
+        F.sum("c_unk").alias("n_unk"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s.tid.cast("string"),
+                F.array_sort(F.collect_list(F.struct("chunk", "c_ids"))),
+                lambda s: s.c_ids,
             ),
             " ",
         ).alias("ids"),

@@ -450,3 +450,63 @@ def test_lsh_band_key_kernels_agree(spark, sf_dir):
     col = nd_band_keys_column(e, "embedding", 4, 4, dim)
     plan = e.select(col.alias("k"))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_giant_document_survives_reassembly_ops(spark, tmp_path):
+    """Skew guard: a single adversarial 10⁶-token document must flow
+    through the groupBy(doc_id) reassembly ops without concentrating
+    unbounded state in one aggregation buffer — x_token_encode
+    reassembles in _ENC_CHUNK-token chunks (two-level agg, byte-
+    identical output), and span_dedup's per-doc state is n_spans ≈
+    n_toks/16 longs. Output exactness for the giant doc is checked
+    against an independent pandas encoding."""
+    import pandas as pd
+
+    from engage_spark.registry import load_all
+
+    n_giant = 1_000_000
+    vocab_words = [f"w{i:03d}" for i in range(300)]
+    giant_tokens = [vocab_words[i % 300] for i in range(n_giant)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join(giant_tokens),
+                "alpha beta gamma",
+                "beta gamma delta epsilon",
+            ],
+            "source": ["web", "web", "book"],
+        }
+    )
+    spark.createDataFrame(docs).repartition(2).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    reg = load_all()
+
+    enc = (
+        reg["x_token_encode"].fn(spark, str(tmp_path))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    giant = enc.loc[1]
+    assert giant.n_toks == n_giant
+
+    # independent pandas oracle for the giant doc's encoding: vocab is
+    # top-100 tokens by (tf desc, token asc) over the WHOLE corpus
+    all_tokens = giant_tokens + docs.text[1].split() + docs.text[2].split()
+    tf = pd.Series(all_tokens).value_counts()
+    ranked = sorted(tf.index, key=lambda t: (-tf[t], t))[:100]
+    tid = {t: i + 1 for i, t in enumerate(ranked)}
+    exp_ids = [tid.get(t, 0) for t in giant_tokens]
+    assert giant.n_unk == sum(1 for i in exp_ids if i == 0) > 0
+    got_ids = [int(x) for x in giant.ids.split(" ")]
+    assert got_ids == exp_ids
+
+    sd = (
+        reg["x_span_dedup"].fn(spark, str(tmp_path))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert sd.loc[1].n_spans == n_giant // 16
+    # the 300-token cycle means spans repeat: dedup must keep only the
+    # distinct alignments (lcm(300,16)/16 = 75 distinct spans)
+    assert sd.loc[1].n_kept == 75
+    assert len(sd.loc[1].cleaned_text.split(" ")) == 75 * 16
