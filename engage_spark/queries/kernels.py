@@ -133,7 +133,48 @@ def _interp_batches(batches):
             yield pd.concat(outs)
 
 
-@query("k_w9_interpolate", oracle=None, covers=["W9", "U3"])
+@query(
+    "k_w9_interpolate",
+    # The W9 recurrence is LINEAR (y_i = (y_{i-1} + nxt_i)/2 with
+    # nxt_i = coalesce(x_{i+1}, 0); endpoints coalesce(x, 0) raw), so
+    # like the EWMA it has a closed form a SQL window can compute:
+    #   y_i = y_1·2^{-(i-1)} + 2^{-(i+1)} · Σ_{j=2..i} nxt_j·2^j
+    # The 2^j/2^-i split keeps the inner term a plain prefix sum; the
+    # dynamic range stays far inside float64 for driver-testdata
+    # series lengths (≤ ~90 events/user at sf0.01; 2^92 ≪ 1e308), and
+    # terms that underflow the sum are exactly the ones the sequential
+    # recurrence has already rounded away relative to y_i. Both sides
+    # nudge+round to 6dp (binary-exact .5 boundaries).
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS x
+        FROM events
+    ), o AS (
+        SELECT user_id, event_id, ts, x,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               coalesce(first_value(x) OVER w, 0.0) AS y1,
+               coalesce(lead(x) OVER w, 0.0) AS nxt
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, event_id, x, rn, n, y1,
+               sum(CASE WHEN rn >= 2 THEN nxt * pow(2.0, rn) ELSE 0.0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS s2
+        FROM o
+    )
+    SELECT user_id, event_id,
+           round(CASE
+               WHEN rn = 1 OR rn = n THEN coalesce(x, 0.0)
+               ELSE y1 * pow(0.5, rn - 1) + s2 * pow(0.5, rn + 1)
+           END + 1e-9, 6) AS value_filled
+    FROM s
+    """,
+    covers=["W9", "U3"],
+)
 def k_w9_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap interpolation over per-user event series. The kernel output
     IS the union the reference builds by appending per-group results in
@@ -141,8 +182,11 @@ def k_w9_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eliminated, not ported. Gaps are synthesized
     deterministically (every event_id ≡ 0 mod 7 masked) so the kernel
     has real work; the recurrence itself matches the reference exactly
-    (see interpolate_series). Series are batched via grouped_series →
-    mapInPandas (many groups per Python call; see grouped_series)."""
+    (see interpolate_series) and is EXECUTED by the kernel — the
+    closed-form oracle above exists because the recurrence is linear,
+    giving this kernel a full driver hash check instead of rows-only.
+    Series are batched via grouped_series → mapInPandas (many groups
+    per Python call; see grouped_series)."""
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -151,8 +195,13 @@ def k_w9_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value"))
         .alias("value_gapped"),
     )
-    return grouped_series(ev, "user_id", ["value_gapped"]).mapInPandas(
+    out = grouped_series(ev, "user_id", ["value_gapped"]).mapInPandas(
         _interp_batches, _INTERP_SCHEMA
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value_filled") + F.lit(1e-9), 6).alias("value_filled"),
     )
 
 

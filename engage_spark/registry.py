@@ -63,6 +63,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "st_stateful_running_stats",   # EWMA oracle added (was rows-only)
     "x4_tfidf_terms",              # new: SQL-expressible TF-IDF split
     "x_sequence_packing",          # oracle ORDER BY tiebreak fixed
+    "k_w9_interpolate",            # closed-form oracle added (was rows-only)
     # r1-era core — last driver row was round 1; re-green it
     "s1_scan_filter_project",
     "p2_projection_exclude",
