@@ -59,6 +59,11 @@ OPTIONAL = [
     "x_doc_chunking",
     "x_shard_manifest",
     "x_span_dedup",
+    # round 5 additions
+    "x_packed_sequences_sharded",
+    "x_token_encode",
+    "x4_tfidf_terms",
+    "x_embed_lsh_neardup_pairs",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -173,7 +173,10 @@ def embed_lsh_near_dup_pairs(
     corpus row count is known. The key-hashing kernel auto-selects:
     JVM codegen expressions at the small floor config, one Arrow-batch
     BLAS gemm per batch for scaled-up plane counts."""
-    from engage_spark.queries.llm_similarity import nd_band_keys_column
+    from engage_spark.queries.llm_similarity import (
+        cosine_arrow,
+        nd_band_keys_column,
+    )
 
     e = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
     banded = e.select(
@@ -195,7 +198,9 @@ def embed_lsh_near_dup_pairs(
     return (
         cand.join(emb_a, on="vec_a")
         .join(emb_b, on="vec_b")
-        .withColumn("cosine", F.round(cosine_expr("emb_a", "emb_b"), 6))
+        # Arrow-vectorized verify: the candidate set is the large side
+        # of this operator (occupancy x bands pairs per vector)
+        .withColumn("cosine", F.round(cosine_arrow("emb_a", "emb_b"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

@@ -436,6 +436,45 @@ def _nd_band_keys(
     return keys
 
 
+def cosine_arrow(a_col: str, b_col: str):
+    """Arrow-vectorized cosine of two array<float> columns — one numpy
+    batch product per Arrow batch instead of per-element interpreted
+    aggregate/zip_with. Measured ~2x end-to-end on the embed-LSH
+    verify stage at sf0.1 (5.5s -> 2.9s, identical rounded output);
+    use it where the cosine runs over a LARGE candidate set. A pair
+    with mismatched lengths scores NaN (cosine_expr's zip_with
+    null-poisoning yields NULL) — either way a >= threshold verify
+    drops it; zero-norm vectors score NaN on both paths."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        la = np.fromiter((len(v) for v in a), dtype=np.int64, count=n)
+        lb = np.fromiter((len(v) for v in b), dtype=np.int64, count=n)
+        if (la == la[0]).all() and (lb == la[0]).all():
+            m_a = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+            m_b = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+            num = (m_a * m_b).sum(1)
+            den = np.sqrt((m_a * m_a).sum(1)) * np.sqrt((m_b * m_b).sum(1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return pd.Series(num / den)
+        out = np.empty(n)
+        for i, (x, y) in enumerate(zip(a, b)):
+            if len(x) != len(y):
+                out[i] = np.nan
+                continue
+            xv = np.asarray(x, dtype=np.float64)
+            yv = np.asarray(y, dtype=np.float64)
+            den = np.sqrt((xv * xv).sum()) * np.sqrt((yv * yv).sum())
+            out[i] = (xv * yv).sum() / den if den else np.nan
+        return pd.Series(out)
+
+    return _cos(a_col, b_col)
+
+
 # beyond this many planes per vector the interpreted higher-order-
 # function hashing loses to one Arrow-batched BLAS gemm (measured ~2x
 # end-to-end at 10x corpus); at or below it the all-JVM expression path
