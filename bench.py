@@ -64,6 +64,7 @@ OPTIONAL = [
     "x_token_encode",
     "x4_tfidf_terms",
     "x_embed_lsh_neardup_pairs",
+    "x_bigram_perplexity",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

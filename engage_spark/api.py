@@ -43,6 +43,7 @@ __all__ = [
     "lsh_banding_params",
     "topk_cosine_search",
     "curation_funnel",
+    "bigram_perplexity",
     "sequence_packing",
     "hash_sample",
     "token_stats",
@@ -531,6 +532,72 @@ def sequence_packing(
             ((F.sum("n_toks").over(w) - F.col("n_toks")) / budget)
             .cast("long"),
         )
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram language-model perplexity per document —
+    the KenLM/CCNet-style quality signal: documents whose token
+    transitions are improbable under the corpus's own bigram statistics
+    (boilerplate, gibberish, wrong-language) score high perplexity and
+    can be filtered or bucketed. Returns (id_col, n_bigrams, avg_logp,
+    ppl) for every document with at least one bigram.
+
+    Model: add-k smoothed bigram MLE, P(w2|w1) = (c(w1,w2) + k) /
+    (c(w1,·) + k·V), with context counts c(w1,·) derived FROM the
+    bigram table (so probabilities sum to 1 over the vocabulary) and V
+    = corpus distinct-token count. Scoring the training corpus itself
+    (the curation use) needs no backoff: every document bigram exists
+    in the counts.
+
+    Scale: bigrams are derived MAP-SIDE from the token array (two
+    slices zipped — no explode+window per doc); counts partial-
+    aggregate before their one shuffle; the V scalar broadcasts; the
+    probability lookup is a shuffle join on (w1, w2) — the bigram
+    table is O(vocab²) worst case and only AQE should decide to
+    broadcast it; the final score is one groupBy(id). Everything is
+    expressions — no Python."""
+    if k <= 0:
+        raise ValueError(f"smoothing k must be positive, got {k}")
+    t = df.select(F.col(id_col).alias("__id"), _ws_tokens(text_col).alias("tk"))
+    pairs = t.select(
+        "__id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(tk, 1, size(tk) - 1)").alias("w1"),
+                F.expr("slice(tk, 2, size(tk) - 1)").alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bgc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = t.select(F.explode("tk").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    probs = (
+        bgc.join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.log((F.col("c12") + k) / (F.col("c1") + k * F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        pairs.join(probs, ["w1", "w2"])
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp") + 1e-9, 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg("logp")) + 1e-9, 4).alias("ppl"),
+        )
+        .withColumnRenamed("__id", id_col)
     )
 
 

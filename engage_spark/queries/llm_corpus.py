@@ -356,3 +356,55 @@ def x_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity (KenLM/CCNet-style quality signal)
+
+_PPL_K = 0.5  # add-k smoothing
+
+
+@query(
+    "x_bigram_perplexity",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
+    ), p AS (
+        SELECT doc_id,
+               tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM t)
+    ), bgc AS (
+        SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2
+    ), ctx AS (
+        SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY w1
+    ), voc AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(tk) AS tok FROM t)
+    ), probs AS (
+        SELECT b.w1, b.w2,
+               ln((b.c12 + {_PPL_K}) / (c.c1 + {_PPL_K} * voc.v)) AS logp
+        FROM bgc b JOIN ctx c ON b.w1 = c.w1, voc
+    )
+    SELECT p.doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(pr.logp) + 1e-9, 6) AS avg_logp,
+           round(exp(-avg(pr.logp)) + 1e-9, 4) AS ppl
+    FROM p JOIN probs pr ON p.w1 = pr.w1 AND p.w2 = pr.w2
+    GROUP BY p.doc_id
+    """,
+    covers=["X4"],
+)
+def x_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM
+    trained on the corpus itself — the KenLM/CCNet quality signal
+    (high-ppl documents are boilerplate/gibberish/wrong-language
+    candidates). Delegates to api.bigram_perplexity; see its docstring
+    for the 100 TB plan (map-side bigram derivation, partial-agg'd
+    count shuffles, broadcast V scalar, shuffle-join probability
+    lookup, one groupBy(doc_id) score)."""
+    from engage_spark.api import bigram_perplexity
+
+    d = table(spark, sf_dir, "documents")
+    return bigram_perplexity(d, id_col="doc_id", text_col="text", k=_PPL_K)

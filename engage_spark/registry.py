@@ -64,6 +64,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x4_tfidf_terms",              # new: SQL-expressible TF-IDF split
     "x_sequence_packing",          # oracle ORDER BY tiebreak fixed
     "k_w9_interpolate",            # closed-form oracle added (was rows-only)
+    "x_bigram_perplexity",         # new: bigram-LM quality signal
     # r1-era core — last driver row was round 1; re-green it
     "s1_scan_filter_project",
     "p2_projection_exclude",

@@ -176,6 +176,17 @@ def test_packed_sequences_no_cartesian_no_python(spark, sf_dir):
     assert "Python" not in plan
 
 
+def test_bigram_perplexity_is_all_jvm_with_partial_aggs(spark, sf_dir):
+    # bigrams derive map-side from the token array (no per-doc window),
+    # counts partial-aggregate before their shuffles, the V scalar
+    # broadcasts, and nothing drops to Python or a cross product
+    plan = _plan(spark, sf_dir, "x_bigram_perplexity")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_sharded_packing_window_partitions_by_shard(spark, sf_dir):
     # the 100 TB contract of x_packed_sequences_sharded: the pack-
     # assignment cumsum window must partition by (source, shard_id) —
