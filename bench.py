@@ -65,6 +65,7 @@ OPTIONAL = [
     "x4_tfidf_terms",
     "x_embed_lsh_neardup_pairs",
     "x_bigram_perplexity",
+    "x_quality_decile_gate",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

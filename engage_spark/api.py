@@ -44,6 +44,7 @@ __all__ = [
     "topk_cosine_search",
     "curation_funnel",
     "bigram_perplexity",
+    "percentile_gate",
     "sequence_packing",
     "hash_sample",
     "token_stats",
@@ -598,6 +599,50 @@ def bigram_perplexity(
             F.round(F.exp(-F.avg("logp")) + 1e-9, 4).alias("ppl"),
         )
         .withColumnRenamed("__id", id_col)
+    )
+
+
+def percentile_gate(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Percentile bucketing of a quality score — the "keep the top X%
+    by score" curation step. Appends a `bucket` column (1..n_buckets,
+    1 = lowest scores): bucket = 1 + #(thresholds below the row's
+    score), with thresholds the k/n-quantiles of the score.
+
+    Scale design: a global ntile() would sort the whole corpus through
+    ONE task — instead the n-1 thresholds reduce to a single tiny row
+    that BROADCASTS, and bucket assignment is map-side. `exact=True`
+    (driver-testdata scale; oracle-comparable) buffers all scores in
+    one aggregator — at 100 TB pass exact=False for
+    approx_percentile's fixed-size sketch (bucket boundaries then
+    carry the sketch's rank error, immaterial for gating). Thresholds
+    and scores compare at a 6dp rounding so engines agree on boundary
+    rows."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = ", ".join(str(k / n_buckets) for k in range(1, n_buckets))
+    fn = "percentile" if exact else "approx_percentile"
+    s = F.round(F.col(score_col) + F.lit(1e-9), 6)
+    scored = df.withColumn("__s", s)
+    th = scored.agg(F.expr(f"{fn}(__s, array({qs}))").alias("__ths"))
+    return (
+        scored.join(F.broadcast(th))
+        .withColumn(
+            "bucket",
+            1
+            + F.aggregate(
+                F.col("__ths"),
+                F.lit(0),
+                lambda acc, t: acc
+                + (F.col("__s") > F.round(t + F.lit(1e-9), 6)).cast("int"),
+            ),
+        )
+        .drop("__ths")
+        .withColumnRenamed("__s", f"{score_col}_rounded")
     )
 
 

@@ -833,3 +833,69 @@ def x_packed_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("packed_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile quality gating ("keep the top X% by score")
+
+_GATE_BUCKETS = 10
+
+
+@query(
+    "x_quality_decile_gate",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               round(
+                   len(list_filter({_TOKS_DUCK},
+                       x -> list_contains([{_sql_list(_STOPWORDS)}], x)))
+                   / len({_TOKS_DUCK})::DOUBLE + 1e-9, 6
+               ) AS sc
+        FROM documents
+    ), th AS (
+        SELECT list_transform(
+                   quantile_cont(sc, [{", ".join(str(k / _GATE_BUCKETS)
+                                                  for k in range(1, _GATE_BUCKETS))}]),
+                   t -> round(t + 1e-9, 6)
+               ) AS ths
+        FROM s
+    )
+    SELECT (1 + list_sum(list_transform(th.ths,
+                t -> CASE WHEN s.sc > t THEN 1 ELSE 0 END)))::BIGINT AS decile,
+           count(*)::BIGINT AS n_docs,
+           round(min(s.sc), 6) AS min_score,
+           round(max(s.sc), 6) AS max_score
+    FROM s, th
+    GROUP BY decile
+    """,
+    covers=["X4"],
+)
+def x_quality_decile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gating of the stopword-ratio quality score — the "keep
+    the top X% by quality" curation step, summarized as per-decile
+    (n_docs, min_score, max_score). Ties collapse deciles (a score
+    equal to several thresholds lands in the lowest), so sparse score
+    distributions may realize fewer than 10 rows — deterministic
+    either way.
+
+    Scale (api.percentile_gate): no global ntile sort — the 9
+    thresholds reduce to one broadcast row and bucketing is map-side;
+    the registered query uses the EXACT percentile (oracle-comparable,
+    one-aggregator buffering), the facade's exact=False swaps in
+    approx_percentile's fixed-size sketch for corpus scale."""
+    from engage_spark.api import _ws_tokens, percentile_gate
+
+    d = table(spark, sf_dir, "documents")
+    toks = _ws_tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    score = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        / F.size(toks).cast("double")
+    )
+    scored = d.select("doc_id", score.alias("q"))
+    g = percentile_gate(scored, "q", n_buckets=_GATE_BUCKETS, exact=True)
+    return g.groupBy(F.col("bucket").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("q_rounded"), 6).alias("min_score"),
+        F.round(F.max("q_rounded"), 6).alias("max_score"),
+    )

@@ -65,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_sequence_packing",          # oracle ORDER BY tiebreak fixed
     "k_w9_interpolate",            # closed-form oracle added (was rows-only)
     "x_bigram_perplexity",         # new: bigram-LM quality signal
+    "x_quality_decile_gate",       # new: percentile quality gating
     # r1-era core — last driver row was round 1; re-green it
     "s1_scan_filter_project",
     "p2_projection_exclude",
