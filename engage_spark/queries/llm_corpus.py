@@ -313,9 +313,17 @@ def x_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ENC_CHUNK structs — then chunks concatenate per doc_id, whose
     state is n_toks/_ENC_CHUNK strings totalling the bytes of the
     final ids string the op must emit anyway. Output is byte-identical
-    to the flat form (oracle unchanged); the cost is one extra
-    exchange of the same total bytes. At real vocab sizes (50k-200k)
-    the broadcast is a few MB — still the right plan."""
+    to the flat form (oracle unchanged).
+
+    The chunk guard costs NO extra exchange: one explicit
+    repartition(doc_id) satisfies the ClusteredDistribution of BOTH
+    aggregations (hash on a subset of the grouping keys), so the token
+    stream crosses the wire once — pinned by the plan test. Worst-case
+    concentration moves from agg state to partition bytes (a 10⁶-token
+    doc is ~30 MB in one task's input — fine; the sort-based
+    aggregation fallback streams its chunk groups). At real vocab
+    sizes (50k-200k) the broadcast is a few MB — still the right
+    plan."""
     from engage_spark.api import _ws_tokens, vocab_topk
 
     d = table(spark, sf_dir, "documents")
@@ -331,7 +339,8 @@ def x_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "pos", F.coalesce("tid", F.lit(0)).cast("long").alias("tid")
     )
     per_chunk = (
-        enc.withColumn("chunk", (F.col("pos") / _ENC_CHUNK).cast("long"))
+        enc.repartition("doc_id")
+        .withColumn("chunk", (F.col("pos") / _ENC_CHUNK).cast("long"))
         .groupBy("doc_id", "chunk")
         .agg(
             F.count(F.lit(1)).alias("c_toks"),

@@ -163,11 +163,16 @@ def test_span_dedup_never_shuffles_span_text(spark, sf_dir):
 def test_token_encode_broadcasts_the_vocab(spark, sf_dir):
     # the corpus token stream must never shuffle for the id lookup —
     # the K-row vocab broadcasts; the only full shuffle is the per-doc
-    # reassembly groupBy
+    # reassembly, and the chunked two-level aggregation must REUSE the
+    # one repartition(doc_id) (exactly one doc_id exchange, not one
+    # per aggregation level)
+    import re
+
     plan = _plan(spark, sf_dir, "x_token_encode")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id", plan)) == 1
 
 
 def test_packed_sequences_no_cartesian_no_python(spark, sf_dir):
