@@ -66,6 +66,7 @@ OPTIONAL = [
     "x_embed_lsh_neardup_pairs",
     "x_bigram_perplexity",
     "x_quality_decile_gate",
+    "x_bpe_merges",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

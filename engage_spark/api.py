@@ -44,6 +44,7 @@ __all__ = [
     "topk_cosine_search",
     "curation_funnel",
     "bigram_perplexity",
+    "bpe_train",
     "percentile_gate",
     "sequence_packing",
     "hash_sample",
@@ -643,6 +644,140 @@ def percentile_gate(
         )
         .drop("__ths")
         .withColumnRenamed("__s", f"{score_col}_rounded")
+    )
+
+
+def _bpe_merge_word(s: list, left: str, right: str) -> tuple:
+    """One BPE merge applied to one symbol sequence, left-to-right
+    non-overlapping — shared by the driver-side loop and the
+    distributed pandas kernel so the two paths cannot drift."""
+    res, i = [], 0
+    n = len(s)
+    while i < n:
+        if i + 1 < n and s[i] == left and s[i + 1] == right:
+            res.append(left + right)
+            i += 2
+        else:
+            res.append(s[i])
+            i += 1
+    return tuple(res)
+
+
+def bpe_train(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 16,
+    min_freq: int = 2,
+    distributed_rounds: bool = False,
+) -> DataFrame:
+    """Byte-pair-encoding merge training — the tokenizer-training pass
+    itself (vocab_topk is its first-pass statistic). Returns the
+    learned merge table (rank, left, right, pair_freq), rank 0 = first
+    merge. Deterministic: frequency ties break lexicographically on
+    (left, right), so the same corpus learns the same merges on any
+    cluster layout. Stops early when the best pair drops below
+    `min_freq`.
+
+    Scale design — the classic BPE factorization (what HF tokenizers /
+    SentencePiece do): the CORPUS-sized work is the word-frequency
+    count — ONE distributed shuffle; merge learning then operates on
+    the WORD-FREQUENCY table, which is |distinct words|-sized
+    (millions of rows, MBs — many orders below the corpus). Default
+    path: collect that table (the collect's bound IS |vocab| rows —
+    stated here like every other bounded collect in this engine) and
+    run the merge loop at driver memory speed; per-merge Spark jobs
+    would pay seconds of scheduling latency per round for work that
+    takes microseconds.
+
+    `distributed_rounds=True` keeps every round on the cluster for
+    vocabularies too large to collect: per round, adjacent pairs
+    explode map-side weighted by freq, one partial-agg'd shuffle ranks
+    them (driver sees exactly 1 row), and the merge applies in an
+    Arrow-batched pandas kernel with localCheckpoint cutting lineage —
+    the connected_components iteration shape. Both paths share
+    `_bpe_merge_word`, and parity between them is pinned by pytest."""
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    spark = df.sparkSession
+    word_freq = (
+        df.select(F.explode(_ws_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+
+    if not distributed_rounds:
+        # bounded collect: |distinct words| rows (vocab-sized, never
+        # corpus-sized)
+        words: dict[tuple, int] = {
+            tuple(r["w"]): r["freq"] for r in word_freq.collect()
+        }
+        for rank in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for syms, f in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            (left, right), pf = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if pf < min_freq:
+                break
+            merges.append((rank, left, right, pf))
+            merged: dict[tuple, int] = {}
+            for syms, f in words.items():
+                res = _bpe_merge_word(list(syms), left, right)
+                merged[res] = merged.get(res, 0) + f
+            words = merged
+        return spark.createDataFrame(
+            merges, "rank long, left string, right string, pair_freq long"
+        )
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    wtab = word_freq.select(F.split("w", "").alias("syms"), "freq").localCheckpoint()
+    for rank in range(n_merges):
+        pairs = wtab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.desc("pf"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pf"] < min_freq:
+            break
+        left, right, pf = best[0]["l"], best[0]["r"], int(best[0]["pf"])
+        merges.append((rank, left, right, pf))
+
+        def _merge_udf(ml: str, mr: str):
+            @pandas_udf("array<string>")
+            def _merge(syms: pd.Series) -> pd.Series:
+                return pd.Series(
+                    [list(_bpe_merge_word(list(s), ml, mr)) for s in syms]
+                )
+
+            return _merge
+
+        wtab = wtab.select(
+            _merge_udf(left, right)("syms").alias("syms"), "freq"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_freq long"
     )
 
 

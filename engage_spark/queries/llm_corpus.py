@@ -417,3 +417,30 @@ def x_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bigram_perplexity(d, id_col="doc_id", text_col="text", k=_PPL_K)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge learning)
+
+_BPE_MERGES = 12
+
+
+@query("x_bpe_merges", oracle=None, covers=["X4"])
+def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training over the documents corpus —
+    the tokenizer-training pass itself (api.bpe_train; vocab_topk is
+    its first-pass statistic). Output: the learned merge table
+    (rank, left, right, pair_freq), fully deterministic (frequency
+    ties break lexicographically).
+
+    Scale: the corpus is touched ONCE (word-frequency count); the 12
+    merge rounds iterate on the vocabulary-sized word table with a
+    driver collect of exactly one row per round — the same iterative
+    shape as connected_components (localCheckpoint per round). Not
+    SQL-expressible in one query (iterative), so rows-only under the
+    driver; exactness is pinned by a pytest against an independent
+    plain-Python BPE on the same corpus."""
+    from engage_spark.api import bpe_train
+
+    d = table(spark, sf_dir, "documents")
+    return bpe_train(d, n_merges=_BPE_MERGES, min_freq=2)

@@ -510,3 +510,62 @@ def test_giant_document_survives_reassembly_ops(spark, tmp_path):
     # distinct alignments (lcm(300,16)/16 = 75 distinct spans)
     assert sd.loc[1].n_kept == 75
     assert len(sd.loc[1].cleaned_text.split(" ")) == 75 * 16
+
+
+def test_bpe_train_matches_independent_python_reference(spark, sf_dir):
+    """api.bpe_train must learn the exact merge sequence a plain-Python
+    BPE derives from the same word-frequency table (same lowercased
+    whitespace pre-tokenization, same lexicographic tie-break)."""
+    from collections import Counter
+
+    from engage_spark import api
+    from engage_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").select("text").toPandas()
+    n_merges = 10
+
+    got = api.bpe_train(
+        table(spark, sf_dir, "documents"), n_merges=n_merges, min_freq=2
+    ).toPandas()
+
+    wf = Counter()
+    for t in docs.text:
+        for w in t.lower().strip().split():
+            if w:
+                wf[w] += 1
+    words = {tuple(w): f for w, f in wf.items()}
+    ref = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), pf = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pf < 2:
+            break
+        ref.append((rank, left, right, pf))
+        merged = {}
+        for syms, fr in words.items():
+            s, res, i = list(syms), [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            merged[tuple(res)] = merged.get(tuple(res), 0) + fr
+        words = merged
+
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
+
+    # the distributed-rounds path must learn the identical sequence
+    got_dist = api.bpe_train(
+        table(spark, sf_dir, "documents"),
+        n_merges=4, min_freq=2, distributed_rounds=True,
+    ).toPandas()
+    assert [tuple(r) for r in got_dist.itertuples(index=False)] == ref[:4]
