@@ -781,6 +781,72 @@ def bpe_train(
     )
 
 
+def bpe_segment(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment documents with a learned BPE merge table (bpe_train's
+    output): each whitespace token splits to characters, then every
+    merge applies in rank order. Returns (id_col, n_ws_tokens,
+    n_bpe_tokens, bpe_per_word) — the corpus-level statistic a
+    tokenizer evaluation needs (lower bpe_per_word = the merges
+    compress this corpus better).
+
+    Scale: the merge table is K rows — it COLLECTS (bound stated: K =
+    n_merges) and ships to an Arrow-batched pandas kernel as a Spark
+    broadcast; the corpus maps through once, no shuffle before the
+    final per-doc counts (which aggregate map-side). Segmentation
+    shares `_bpe_merge_word` with training, so encode cannot drift
+    from what training learned."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # bounded collect: K merge rows
+    mlist = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    bc = df.sparkSession.sparkContext.broadcast(mlist)
+
+    @pandas_udf("long")
+    def _n_bpe(text: pd.Series) -> pd.Series:
+        ms = bc.value
+        cache: dict[str, int] = {}
+        out = []
+        for t in text:
+            total = 0
+            for w in (t or "").lower().strip().split():
+                n = cache.get(w)
+                if n is None:
+                    syms = tuple(w)
+                    for left, right in ms:
+                        if len(syms) < 2:
+                            break
+                        syms = _bpe_merge_word(list(syms), left, right)
+                    n = len(syms)
+                    cache[w] = n
+                total += n
+            out.append(total)
+        return pd.Series(out)
+
+    toks = _ws_tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda x: x != F.lit(""))).cast("long").alias(
+            "n_ws_tokens"
+        ),
+        _n_bpe(F.col(text_col)).alias("n_bpe_tokens"),
+    ).withColumn(
+        "bpe_per_word",
+        F.round(
+            F.col("n_bpe_tokens")
+            / F.greatest(F.col("n_ws_tokens"), F.lit(1)).cast("double"),
+            4,
+        ),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append token statistics columns: ws_tokens (whitespace tokens),
     approx_llm_tokens (chars/4). Map-only, codegen'd (the

@@ -444,3 +444,20 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bpe_train(d, n_merges=_BPE_MERGES, min_freq=2)
+
+
+@query("x_bpe_encode", oracle=None, covers=["X4"])
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE over the corpus: learn 12 merges
+    (x_bpe_merges' table) and segment every document with them,
+    emitting per-doc (n_ws_tokens, n_bpe_tokens, bpe_per_word) — the
+    tokenizer-evaluation statistic (how well the learned merges
+    compress this corpus). Merges broadcast (K rows); segmentation is
+    one Arrow-batched map pass with a per-worker word cache; no
+    shuffle. Rows-only (the merge table is learned iteratively);
+    exactness pinned by pytest vs an independent Python BPE."""
+    from engage_spark.api import bpe_segment, bpe_train
+
+    d = table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=_BPE_MERGES, min_freq=2)
+    return bpe_segment(d, merges)

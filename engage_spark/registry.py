@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_bigram_perplexity",         # new: bigram-LM quality signal
     "x_quality_decile_gate",       # new: percentile quality gating
     "x_bpe_merges",                # new: BPE tokenizer merge training
+    "x_bpe_encode",                # new: BPE corpus segmentation stats
     # r1-era core — last driver row was round 1; re-green it
     "s1_scan_filter_project",
     "p2_projection_exclude",

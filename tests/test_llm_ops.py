@@ -569,3 +569,32 @@ def test_bpe_train_matches_independent_python_reference(spark, sf_dir):
         n_merges=4, min_freq=2, distributed_rounds=True,
     ).toPandas()
     assert [tuple(r) for r in got_dist.itertuples(index=False)] == ref[:4]
+
+
+def test_bpe_segment_matches_python_reference(spark, sf_dir):
+    """bpe_segment applied with the learned merges must produce the
+    same per-doc BPE token counts as segmenting with a plain-Python
+    application of the same merge list."""
+    from engage_spark import api
+    from engage_spark.io import table
+    from engage_spark.api import _bpe_merge_word
+
+    d = table(spark, sf_dir, "documents")
+    merges = api.bpe_train(d, n_merges=8, min_freq=2)
+    got = (
+        api.bpe_segment(d, merges)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    mlist = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    docs = d.select("doc_id", "text").toPandas()
+    for _, row in docs.sample(n=25, random_state=7).iterrows():
+        total = 0
+        for w in row.text.lower().strip().split():
+            syms = tuple(w)
+            for left, right in mlist:
+                syms = _bpe_merge_word(list(syms), left, right)
+            total += len(syms)
+        assert got.loc[row.doc_id].n_bpe_tokens == total
+        assert (
+            got.loc[row.doc_id].n_bpe_tokens >= got.loc[row.doc_id].n_ws_tokens
+        )
