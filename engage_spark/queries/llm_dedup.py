@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engage_spark.io import spread_small_scan, table
@@ -445,4 +445,61 @@ def x1b_exact_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return exact_dedup_keepers(d, id_col="doc_id", text_col="text").select(
         "doc_id", "source", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingestion dedup (new batch vs existing fingerprint store)
+
+
+@query(
+    "x_incremental_dedup",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), old AS (
+        SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0
+    ), batch AS (
+        SELECT doc_id, source, fp FROM f WHERE doc_id % 5 = 0
+    ), firsts AS (
+        SELECT doc_id, source, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM batch
+    )
+    SELECT n.doc_id, n.source, n.fp AS fingerprint
+    FROM firsts n
+    WHERE n.rn = 1 AND NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = n.fp)
+    """,
+    covers=["X1"],
+)
+def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup — the snapshot-update pattern of a
+    production corpus: a NEW batch of documents (stand-in split:
+    doc_id ≡ 0 mod 5) is admitted only if (a) its normalized
+    fingerprint is absent from the EXISTING corpus (the other 80%) and
+    (b) it is the first occurrence within the batch. Returns the
+    accepted rows (doc_id, source, fingerprint).
+
+    Scale: the existing corpus contributes only its FINGERPRINT SET —
+    in production that is the persisted 16-byte-per-doc store written
+    by the previous run, read without touching any text; here it is
+    derived map-side from the same table. Admission is one window on
+    the batch's fingerprints plus one LEFT ANTI join against the store
+    (shuffles carry fingerprints, never text). Appending the accepted
+    fingerprints back to the store closes the incremental loop."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    f = d.select("doc_id", "source", F.md5(norm).alias("fingerprint"))
+    old = f.filter(F.pmod("doc_id", F.lit(5)) != 0).select("fingerprint").distinct()
+    batch = f.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    firsts = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return firsts.join(old, "fingerprint", "left_anti").select(
+        "doc_id", "source", "fingerprint"
     )

@@ -64,9 +64,10 @@ def x_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x_text_quality",
-    oracle=f"""
+# the quality oracle — shared verbatim by the batch query and its
+# streaming twin (st_doc_quality_stream): a map-only transform has ONE
+# truth regardless of execution mode
+QUALITY_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, n_chars, text, {_TOKS_DUCK} AS toks FROM documents
     )
@@ -82,15 +83,14 @@ def x_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / len(toks)::DOUBLE >= 0.01
                 THEN 1 ELSE 0 END AS quality_keep
     FROM t
-    """,
-    covers=["X4"],
-)
-def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (Gopher/C4-style heuristics): punctuation ratio,
-    stopword ratio, mean word length, and a keep/drop gate. Pure
-    expression pipeline — filters like `quality_keep=1` push down to the
-    scan when this feeds a downstream training job."""
-    d = table(spark, sf_dir, "documents")
+    """
+
+
+def quality_select(d: DataFrame) -> DataFrame:
+    """The quality-scoring projection over a (doc_id, text, n_chars)
+    frame — shared by the batch query and its streaming twin
+    (st_doc_quality_stream): entirely map-side expressions, so the
+    SAME select applies to a static scan or a readStream source."""
     toks = F.expr(_TOKS)
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_toks = F.size(toks).cast("double")
@@ -113,6 +113,15 @@ def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("quality_keep"),
     )
+
+
+@query("x_text_quality", oracle=QUALITY_ORACLE, covers=["X4"])
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (Gopher/C4-style heuristics): punctuation ratio,
+    stopword ratio, mean word length, and a keep/drop gate. Pure
+    expression pipeline — filters like `quality_keep=1` push down to the
+    scan when this feeds a downstream training job."""
+    return quality_select(table(spark, sf_dir, "documents"))
 
 
 # Marker vocabularies for the n-gram/stopword language-ID heuristic.

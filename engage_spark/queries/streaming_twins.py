@@ -269,3 +269,35 @@ def st_stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("ewma_value") + F.lit(1e-9), 6).alias("ewma_value"),
     )
+
+
+@query(
+    "st_doc_quality_stream",
+    oracle=None,  # set below — shares llm_text.QUALITY_ORACLE verbatim
+    covers=["STREAM-MAP", "X4"],
+)
+def st_doc_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation quality gate as a STREAMING ingestion transform:
+    readStream over the documents parquet → the exact quality_select
+    projection the batch query uses → append-mode memory sink,
+    AvailableNow. A map-only transform has one truth regardless of
+    execution mode, so this streaming query hash-checks against the
+    SAME DuckDB oracle as x_text_quality — the pattern for scoring
+    documents AS THEY ARRIVE in a streaming ingestion pipeline (no
+    state store, no watermark; output rate = input rate)."""
+    from engage_spark.queries.llm_text import quality_select
+    from engage_spark.streaming.jobs import stream_parquet
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = stream_parquet(
+        spark, sf_dir, schema, schema_src=path, glob="documents.parquet"
+    )
+    return _drain_to_memory(quality_select(stream), "st_docq", "append")
+
+
+# a map-only streaming twin shares its batch oracle verbatim
+from engage_spark.queries.llm_text import QUALITY_ORACLE as _QO  # noqa: E402
+from engage_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["st_doc_quality_stream"].oracle = _QO
