@@ -899,3 +899,64 @@ def x_quality_decile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("q_rounded"), 6).alias("min_score"),
         F.round(F.max("q_rounded"), 6).alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (multilingual/source rebalancing)
+
+_MIX_TEMP = 0.7  # T < 1 upsamples the tail, the multilingual standard
+
+
+@query(
+    "x_mixture_temperature",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len({_TOKS_DUCK})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), tot AS (SELECT sum(tokens) AS all_tokens FROM per_src),
+    scaled AS (
+        SELECT source, tokens,
+               pow(tokens / all_tokens::DOUBLE, {_MIX_TEMP}) AS t_mass
+        FROM per_src, tot
+    ), norm AS (SELECT sum(t_mass) AS z FROM scaled)
+    SELECT s.source, s.tokens,
+           round(s.tokens / tot.all_tokens::DOUBLE + 1e-9, 6) AS natural_share,
+           round(s.t_mass / norm.z + 1e-9, 6) AS temp_share,
+           round((s.t_mass / norm.z)
+                 / (s.tokens / tot.all_tokens::DOUBLE) + 1e-9, 4)
+               AS sampling_factor
+    FROM scaled s, tot, norm
+    """,
+    covers=["X4"],
+)
+def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (p_i ∝ natural_share^T,
+    T=0.7): the standard multilingual/source rebalancing — T < 1
+    flattens the distribution, upsampling tail sources without
+    discarding head data. Emits per-source natural vs temperature
+    share and the sampling_factor (>1 = upsample) that a repetition-
+    aware sampler (hash_sample with per-source rates) consumes.
+
+    Plan: per-source token counts are one partial-agg'd shuffle on
+    source; both normalizers are single-row aggregates broadcast back
+    — no window over all rows, no second corpus pass."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.expr(_TOKS_SPARK))).cast("long").alias("tokens")
+    )
+    tot = per_src.agg(F.sum("tokens").alias("all_tokens"))
+    scaled = per_src.crossJoin(F.broadcast(tot)).withColumn(
+        "t_mass",
+        F.pow(F.col("tokens") / F.col("all_tokens").cast("double"), _MIX_TEMP),
+    )
+    norm = scaled.agg(F.sum("t_mass").alias("z"))
+    nat = F.col("tokens") / F.col("all_tokens").cast("double")
+    tmp = F.col("t_mass") / F.col("z")
+    return scaled.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "tokens",
+        F.round(nat + F.lit(1e-9), 6).alias("natural_share"),
+        F.round(tmp + F.lit(1e-9), 6).alias("temp_share"),
+        F.round(tmp / nat + F.lit(1e-9), 4).alias("sampling_factor"),
+    )
