@@ -960,3 +960,100 @@ def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tmp + F.lit(1e-9), 6).alias("temp_share"),
         F.round(tmp / nat + F.lit(1e-9), 4).alias("sampling_factor"),
     )
+
+
+_MIX_SALT = "mix-v1"  # bump for an independent remainder draw
+
+
+@query(
+    "x_mixture_materialize",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, CAST(sum(len({_TOKS_DUCK})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), tot AS (SELECT sum(tokens) AS all_tokens FROM per_src),
+    scaled AS (
+        SELECT source, pow(tokens / all_tokens::DOUBLE, {_MIX_TEMP}) AS t_mass,
+               tokens / all_tokens::DOUBLE AS nat
+        FROM per_src, tot
+    ), norm AS (SELECT sum(t_mass) AS z FROM scaled),
+    factors AS (
+        SELECT source, (t_mass / norm.z) / nat AS factor
+        FROM scaled, norm
+    ), planned AS (
+        SELECT d.doc_id, d.source,
+               (floor(f.factor)
+                + CASE WHEN ('0x' || substr(
+                        md5('{_MIX_SALT}:' || d.doc_id::VARCHAR), 1, 8
+                    ))::BIGINT / 4294967296.0 < f.factor - floor(f.factor)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_copies
+        FROM documents d JOIN factors f ON d.source = f.source
+    )
+    SELECT doc_id, source, unnest(generate_series(1, n_copies))::BIGINT AS copy_idx
+    FROM planned WHERE n_copies > 0
+    """,
+    covers=["X4"],
+)
+def x_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture (x_mixture_temperature's
+    sampling factors) into an actual resampled corpus: every document
+    repeats floor(factor) times plus one more with probability
+    factor - floor(factor), decided by a deterministic md5 threshold —
+    so upsampled sources gain whole epochs + a reproducible fractional
+    draw, downsampled sources thin to `factor`, and the SAME corpus
+    materializes the SAME mix on any cluster layout (resumable,
+    re-drawable by bumping the salt). Returns one row per emitted copy
+    (doc_id, source, copy_idx).
+
+    Plan: factors reduce to a per-source table derived from broadcast
+    single-row aggregates; the per-doc join is a broadcast join on
+    source; the copy fan-out is sequence()+explode inside codegen —
+    the only corpus-sized work is one map pass. This is the
+    missing half of mixture PLANNING: the op that actually builds the
+    training mix a sampler delivers."""
+    d = table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.expr(_TOKS_SPARK))).cast("long").alias("tokens")
+    )
+    tot = per_src.agg(F.sum("tokens").alias("all_tokens"))
+    scaled = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (F.col("tokens") / F.col("all_tokens").cast("double")).alias("nat"),
+        F.pow(
+            F.col("tokens") / F.col("all_tokens").cast("double"), _MIX_TEMP
+        ).alias("t_mass"),
+    )
+    norm = scaled.agg(F.sum("t_mass").alias("z"))
+    factors = scaled.crossJoin(F.broadcast(norm)).select(
+        "source", ((F.col("t_mass") / F.col("z")) / F.col("nat")).alias("factor")
+    )
+    frac = F.col("factor") - F.floor("factor")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(_MIX_SALT), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    planned = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(factors), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.floor("factor") + F.when(draw < frac, 1).otherwise(0))
+            .cast("long")
+            .alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+    return planned.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+            "copy_idx"
+        ),
+    )

@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "st_doc_quality_stream",       # new: streaming quality gate (full oracle)
     "x_incremental_dedup",         # new: snapshot-update dedup (full oracle)
     "x_mixture_temperature",       # new: temperature rebalancing (full oracle)
+    "x_mixture_materialize",       # new: resampled-mix materialization
     # r1-era core — last driver row was round 1; re-green it
     "s1_scan_filter_project",
     "p2_projection_exclude",

@@ -598,3 +598,53 @@ def test_bpe_segment_matches_python_reference(spark, sf_dir):
         assert (
             got.loc[row.doc_id].n_bpe_tokens >= got.loc[row.doc_id].n_ws_tokens
         )
+
+
+def test_percentile_gate_buckets_are_monotone_and_complete(spark):
+    """Property: percentile_gate partitions rows completely, buckets
+    are ordered by score (max of bucket k <= min of bucket k+1 on the
+    rounded score), and every row keeps its original columns."""
+    import numpy as np
+    import pandas as pd
+
+    from engage_spark import api
+
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame({"doc_id": range(400), "s": rng.lognormal(size=400)})
+    out = api.percentile_gate(
+        spark.createDataFrame(pdf), "s", n_buckets=8
+    ).toPandas()
+    assert len(out) == 400
+    assert set(out.bucket) <= set(range(1, 9))
+    g = out.groupby("bucket")["s_rounded"].agg(["min", "max"]).sort_index()
+    for (b1, r1), (b2, r2) in zip(g.iterrows(), list(g.iterrows())[1:]):
+        assert r1["max"] <= r2["min"], (b1, b2)
+
+
+def test_bigram_perplexity_orders_gibberish_above_repetition(spark):
+    """Property: under a corpus-trained bigram LM, a document made of
+    the corpus's dominant repeated transitions scores LOWER perplexity
+    than a document of one-off transitions."""
+    import pandas as pd
+
+    from engage_spark import api
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b a b a b a b a b a b",
+                "a b a b a b a b",
+                "q w e r t y u i o p",
+                "a b a b a b",
+            ],
+        }
+    )
+    out = (
+        api.bigram_perplexity(spark.createDataFrame(docs))
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[3].ppl > out.loc[1].ppl
+    assert out.loc[3].ppl > out.loc[2].ppl
+    # repeated-transition docs score identically per-token
+    assert abs(out.loc[1].avg_logp - out.loc[4].avg_logp) < 0.2
