@@ -475,10 +475,10 @@ def cosine_arrow(a_col: str, b_col: str):
     return _cos(a_col, b_col)
 
 
-# beyond this many planes per vector the interpreted higher-order-
-# function hashing loses to one Arrow-batched BLAS gemm (measured ~2x
-# end-to-end at 10x corpus); at or below it the all-JVM expression path
-# keeps the plan Python-free
+# below this many planes per vector the all-JVM expression path keeps
+# the plan Python-free at negligible cost; at the (4,4)=16-plane floor
+# and above, one Arrow-batched BLAS gemm per batch measured ~2x faster
+# end-to-end (same-session A/B at 1x and 10x corpus)
 _ND_JVM_PLANE_BUDGET = 16
 
 
@@ -486,14 +486,15 @@ def nd_band_keys_column(df, emb_col: str, bands: int, rows: int, dim: int):
     """array<int> Column of per-band bucket keys, choosing the physical
     kernel by total plane count:
 
-    - bands*rows <= _ND_JVM_PLANE_BUDGET: pure JVM codegen expressions
-      (`_nd_band_keys`) — no Python workers in the plan, right for the
-      calibrated small-corpus floor config.
-    - larger: a vectorized pandas_udf computing ALL keys per Arrow
-      batch as ONE matrix product ((batch x dim) @ (dim x bands*rows)
-      BLAS gemm, then sign-bit packing) — the per-plane interpreted
-      aggregate/zip_with cost grows O(bands*rows*dim) per row and
-      dominates once banding scales with log2(n).
+    - bands*rows < _ND_JVM_PLANE_BUDGET: pure JVM codegen expressions
+      (`_nd_band_keys`) — no Python workers in the plan, for
+      small custom configs where the interpreted cost is negligible.
+    - at the calibrated floor (4x4) and larger: a vectorized
+      pandas_udf computing ALL keys per Arrow batch as ONE matrix
+      product ((batch x dim) @ (dim x bands*rows) BLAS gemm, then
+      sign-bit packing) — the per-plane interpreted aggregate/zip_with
+      cost grows O(bands*rows*dim) per row and loses ~2x even at the
+      floor config, more once banding scales with log2(n).
 
     Key parity between the two kernels is exact for non-boundary dot
     products and pinned by test (sign flips need |dot| at float64
@@ -501,7 +502,7 @@ def nd_band_keys_column(df, emb_col: str, bands: int, rows: int, dim: int):
     only moves a CANDIDATE between buckets; the exact-cosine verify
     keeps emitted pairs correct either way). Dim mismatches degrade to
     prefix-dimension hashing in both kernels."""
-    if bands * rows <= _ND_JVM_PLANE_BUDGET:
+    if bands * rows < _ND_JVM_PLANE_BUDGET:
         return F.array(*_nd_band_keys(emb_col, bands, rows, dim))
 
     from pyspark.sql.pandas.functions import pandas_udf

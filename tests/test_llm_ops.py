@@ -446,10 +446,14 @@ def test_lsh_band_key_kernels_agree(spark, sf_dir):
     assert len(jvm) == len(arrow) > 0
     mism = sum(1 for a, b in zip(jvm.k, arrow.k) if list(a) != list(b))
     assert mism == 0, f"{mism} key vectors differ between kernels"
-    # and the small floor config stays on the Python-free JVM path
-    col = nd_band_keys_column(e, "embedding", 4, 4, dim)
+    # sub-floor custom configs stay on the Python-free JVM path; the
+    # (4,4) floor and up take the Arrow gemm (measured ~2x faster)
+    col = nd_band_keys_column(e, "embedding", 3, 4, dim)
     plan = e.select(col.alias("k"))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+    col16 = nd_band_keys_column(e, "embedding", 4, 4, dim)
+    plan16 = e.select(col16.alias("k"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" in plan16
 
 
 def test_giant_document_survives_reassembly_ops(spark, tmp_path):
