@@ -3,9 +3,10 @@
 No reference counterpart; these are the remaining passes a pre-training
 corpus needs between curation (llm_curation) and batch construction
 (x_sequence_packing): vocabulary statistics for tokenizer training,
-long-document chunking to a context window, C4-style cross-document
-span dedup, deterministic shard assignment for training-data delivery,
-and vocabulary-id token encoding.
+BPE merge training + corpus segmentation, long-document chunking to a
+context window, C4-style cross-document span dedup, deterministic
+shard assignment for training-data delivery, vocabulary-id token
+encoding, and bigram-LM perplexity scoring.
 
 Scale notes (the 100 TB story):
   - Vocabulary counting is explode -> groupBy: the explode is map-side

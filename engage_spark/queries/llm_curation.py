@@ -4,7 +4,9 @@ No reference counterpart (the reference is a COVID pipeline); these are
 the cluster-scale curation passes a pre-training corpus needs beyond
 pairwise dedup (llm_dedup): near-dup *clustering* via connected
 components, PII redaction, deterministic hash-based stratified
-sampling, mixture/token-budget planning, and length histograms.
+sampling, mixture/token-budget planning (natural, temperature-scaled,
+and materialized into resampled corpora), percentile quality gating,
+sequence packing (flat and shard-parallel), and length histograms.
 
 Scale notes (the 100 TB story):
   - Connected components is iterative min-label propagation — each

@@ -7,6 +7,7 @@ Exit 1 on any FAIL.
 """
 
 import hashlib
+import os
 import sys
 import traceback
 
@@ -17,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVER_SIM_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

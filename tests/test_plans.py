@@ -212,3 +212,25 @@ def test_sharded_packing_window_partitions_by_shard(spark, sf_dir):
     df = load_all()["x_packed_sequences_sharded"].fn(spark, sf_dir)
     n_shards = df.select("shard_id").distinct().count()
     assert n_shards == 8
+
+
+def test_incremental_dedup_anti_join_carries_fingerprints_only(spark, sf_dir):
+    # admission = window + LEFT ANTI against the fingerprint store:
+    # no cartesian/BNL degeneration, no Python, and the anti join must
+    # stay a hash join (broadcast or shuffled) on the md5 key
+    plan = _plan(spark, sf_dir, "x_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_mixture_materialize_broadcasts_factors(spark, sf_dir):
+    # per-source factors derive from single-row aggregates and join
+    # back by BROADCAST; the copy fan-out is codegen explode — one
+    # corpus-sized map pass, no sort-merge join, no Python
+    plan = _plan(spark, sf_dir, "x_mixture_materialize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
