@@ -67,6 +67,8 @@ OPTIONAL = [
     "x_bigram_perplexity",
     "x_quality_decile_gate",
     "x_bpe_merges",
+    "x_incremental_dedup",
+    "x_mixture_materialize",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -94,7 +94,62 @@ def main() -> None:
         ),
         "token_encode (chunked reassembly)": lambda d: _token_encode(d),
         "tfidf_terms": lambda d: _tfidf_terms(d),
+        "incremental_dedup": lambda d: _incremental_dedup(d),
+        "mixture_materialize": lambda d: _mixture_materialize(d),
     }
+
+    def _incremental_dedup(d):
+        # mirror x_incremental_dedup's plan
+        from pyspark.sql import Window
+
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        f = d.select("doc_id", "source", F.md5(norm).alias("fingerprint"))
+        old_fp = (
+            f.filter(F.pmod("doc_id", F.lit(5)) != 0)
+            .select("fingerprint").distinct()
+        )
+        batch = f.filter(F.pmod("doc_id", F.lit(5)) == 0)
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        firsts = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        return firsts.join(old_fp, "fingerprint", "left_anti")
+
+    def _mixture_materialize(d):
+        from engage_spark.registry import load_all  # noqa: F401
+
+        from engage_spark.queries.llm_curation import x_mixture_materialize  # noqa
+
+        # reuse the facade-shaped plan over the arbitrary frame
+        per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("tokens"))
+        tot = per_src.agg(F.sum("tokens").alias("all_tokens"))
+        scaled = per_src.crossJoin(F.broadcast(tot)).select(
+            "source",
+            (F.col("tokens") / F.col("all_tokens").cast("double")).alias("nat"),
+            F.pow(F.col("tokens") / F.col("all_tokens").cast("double"), 0.7).alias("t_mass"),
+        )
+        norm2 = scaled.agg(F.sum("t_mass").alias("z"))
+        factors = scaled.crossJoin(F.broadcast(norm2)).select(
+            "source", ((F.col("t_mass") / F.col("z")) / F.col("nat")).alias("factor")
+        )
+        frac = F.col("factor") - F.floor("factor")
+        draw = (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("mix-v1"),
+                F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+            / F.lit(float(1 << 32))
+        )
+        planned = (
+            d.select("doc_id", "source").join(F.broadcast(factors), "source")
+            .select("doc_id", "source",
+                    (F.floor("factor") + F.when(draw < frac, 1).otherwise(0))
+                    .cast("long").alias("n_copies"))
+            .filter(F.col("n_copies") > 0)
+        )
+        return planned.select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias("copy_idx"),
+        )
 
     def _token_encode(d):
         # mirror x_token_encode's plan over an arbitrary frame
