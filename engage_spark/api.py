@@ -174,8 +174,8 @@ def embed_lsh_near_dup_pairs(
     scales — see SCALE.md). Pass the output of `lsh_banding_params(n)`
     (the calibrated log2 rule the registered query uses) when the
     corpus row count is known. The key-hashing kernel auto-selects:
-    JVM codegen expressions at the small floor config, one Arrow-batch
-    BLAS gemm per batch for scaled-up plane counts."""
+    one Arrow-batch BLAS gemm per batch from the (4,4) floor config
+    up, JVM codegen expressions for smaller custom configs."""
     from engage_spark.queries.llm_similarity import (
         cosine_arrow,
         nd_band_keys_column,

@@ -369,7 +369,13 @@ def x_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cosine_expr(a: str, b: str) -> Column:
-    """Cosine similarity of two array<float> columns in double precision."""
+    """Cosine similarity of two array<float> columns in double
+    precision. Zero-norm vectors score NULL (the denominator is
+    null-guarded — under ANSI mode a bare division would THROW
+    DIVIDE_BY_ZERO and kill the job on one degenerate row); mismatched
+    lengths also yield NULL via zip_with null-padding. Either way a
+    `>= threshold` filter drops the pair, matching cosine_arrow's NaN
+    behavior."""
     def dot(x, y):
         return F.aggregate(
             F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
@@ -377,9 +383,8 @@ def cosine_expr(a: str, b: str) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return dot(F.col(a), F.col(b)) / (
-        F.sqrt(dot(F.col(a), F.col(a))) * F.sqrt(dot(F.col(b), F.col(b)))
-    )
+    den = F.sqrt(dot(F.col(a), F.col(a))) * F.sqrt(dot(F.col(b), F.col(b)))
+    return dot(F.col(a), F.col(b)) / F.when(den != 0, den)
 
 
 _COS_DUCK = """

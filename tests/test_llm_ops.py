@@ -652,3 +652,36 @@ def test_bigram_perplexity_orders_gibberish_above_repetition(spark):
     assert out.loc[3].ppl > out.loc[2].ppl
     # repeated-transition docs score identically per-token
     assert abs(out.loc[1].avg_logp - out.loc[4].avg_logp) < 0.2
+
+
+def test_cosine_arrow_handles_ragged_and_zero_norm(spark):
+    """The Arrow cosine's per-row fallback: pairs with mismatched
+    lengths or zero-norm vectors score NaN (dropped by any threshold
+    filter), uniform batches take the vectorized path with the same
+    values as the JVM expression."""
+    import math
+
+    import pandas as pd
+
+    from engage_spark.queries.llm_dedup import cosine_expr
+    from engage_spark.queries.llm_similarity import cosine_arrow
+
+    pdf = pd.DataFrame(
+        {
+            "pid": [1, 2, 3],
+            "a": [[1.0, 0.0], [1.0, 2.0, 3.0], [0.0, 0.0]],
+            "b": [[1.0, 0.0], [1.0, 2.0], [1.0, 1.0]],  # row 2 mismatched
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select("pid", cosine_arrow("a", "b").alias("c"))
+        .toPandas().set_index("pid").c
+    )
+    assert abs(got[1] - 1.0) < 1e-12
+    assert math.isnan(got[2])  # mismatched lengths
+    assert math.isnan(got[3])  # zero norm
+    # threshold filter drops NaN rows on both kernels
+    n_arrow = df.filter(cosine_arrow("a", "b") >= 0.5).count()
+    n_jvm = df.filter(cosine_expr("a", "b") >= 0.5).count()
+    assert n_arrow == n_jvm == 1
