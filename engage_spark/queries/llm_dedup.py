@@ -508,3 +508,66 @@ def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.join(old, "fingerprint", "left_anti").select(
         "doc_id", "source", "fingerprint"
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (corpus-diversity scoring)
+
+_NOV_N = 8  # n-gram width, the decontamination/C4 span scale
+
+
+@query(
+    "x_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, md5(s) AS fp
+        FROM (SELECT doc_id, unnest({_shingles_duck(_NOV_N)}) AS s FROM t)
+    ), f AS (
+        SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS first_doc
+        FROM sh
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_ngrams,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+           round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE + 1e-9, 6) AS novelty
+    FROM f GROUP BY doc_id
+    """,
+    covers=["X1", "X4"],
+)
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the corpus-diversity signal: the
+    fraction of a document's distinct 8-grams that it INTRODUCES to
+    the corpus (owner = lowest doc_id). Low-novelty documents are
+    boilerplate/near-dup candidates; the corpus-level novelty curve is
+    the standard diminishing-returns diagnostic for scraping more of
+    the same source. Returns (doc_id, n_ngrams, n_novel, novelty).
+
+    Scale (the span-dedup shuffle-hygiene story): n-gram TEXT never
+    shuffles — ownership is decided on (doc_id, md5) rows through one
+    fingerprint window, then one groupBy(doc_id) reduces to three
+    numbers per document. Shingling is map-side (array_distinct per
+    doc caps the fan-out at distinct n-grams)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
+    # md5 applies INSIDE the array transform (a generator can't nest
+    # under an expression), so only 16-byte fingerprints ever explode
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(_shingles_spark(_NOV_N, "__toks"), F.md5)
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    f = sh.withColumn("first_doc", F.min("doc_id").over(w))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(novel).alias("n_novel"),
+        F.round(
+            F.sum(novel) / F.count(F.lit(1)).cast("double") + F.lit(1e-9), 6
+        ).alias("novelty"),
+    )

@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_incremental_dedup",         # new: snapshot-update dedup (full oracle)
     "x_mixture_temperature",       # new: temperature rebalancing (full oracle)
     "x_mixture_materialize",       # new: resampled-mix materialization
+    "x_ngram_novelty",             # new: corpus-diversity scoring
     # r1-era core — last driver row was round 1; re-green it
     "s1_scan_filter_project",
     "p2_projection_exclude",
