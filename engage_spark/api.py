@@ -669,6 +669,8 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 16,
     min_freq: int = 2,
+    word_min_freq: int = 1,
+    max_vocab_words: int | None = 2_000_000,
     distributed_rounds: bool = False,
 ) -> DataFrame:
     """Byte-pair-encoding merge training — the tokenizer-training pass
@@ -682,21 +684,28 @@ def bpe_train(
     Scale design — the classic BPE factorization (what HF tokenizers /
     SentencePiece do): the CORPUS-sized work is the word-frequency
     count — ONE distributed shuffle; merge learning then operates on
-    the WORD-FREQUENCY table, which is |distinct words|-sized
-    (millions of rows, MBs — many orders below the corpus). Default
-    path: collect that table (the collect's bound IS |vocab| rows —
-    stated here like every other bounded collect in this engine) and
-    run the merge loop at driver memory speed; per-merge Spark jobs
-    would pay seconds of scheduling latency per round for work that
-    takes microseconds.
+    the WORD-FREQUENCY table. That table is then PRUNED before any
+    driver materialization — `word_min_freq` drops hapax/rare words
+    (SentencePiece's --vocabulary_threshold) and `max_vocab_words`
+    takes a deterministic top-N by (freq desc, word asc) via
+    TakeOrderedAndProject, so the default path's collect is bounded by
+    construction at ≤ max_vocab_words rows NO MATTER the corpus size
+    (100 TB of multilingual web text has billions of distinct
+    whitespace tokens — URLs, typos, code — an unpruned collect dies).
+    Pruning happens before the collected/distributed branch, so both
+    paths learn from the identical table and stay in parity. The merge
+    loop then runs at driver memory speed; per-merge Spark jobs would
+    pay seconds of scheduling latency per round for work that takes
+    microseconds.
 
     `distributed_rounds=True` keeps every round on the cluster for
-    vocabularies too large to collect: per round, adjacent pairs
-    explode map-side weighted by freq, one partial-agg'd shuffle ranks
-    them (driver sees exactly 1 row), and the merge applies in an
-    Arrow-batched pandas kernel with localCheckpoint cutting lineage —
-    the connected_components iteration shape. Both paths share
-    `_bpe_merge_word`, and parity between them is pinned by pytest."""
+    vocabularies too large to collect even pruned: per round, adjacent
+    pairs explode map-side weighted by freq, one partial-agg'd shuffle
+    ranks them (driver sees exactly 1 row), and the merge applies in
+    an Arrow-batched pandas kernel with localCheckpoint cutting
+    lineage — the connected_components iteration shape. Both paths
+    share `_bpe_merge_word`, and parity between them is pinned by
+    pytest."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     spark = df.sparkSession
@@ -706,12 +715,21 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if word_min_freq > 1:
+        word_freq = word_freq.filter(F.col("freq") >= word_min_freq)
+    if max_vocab_words is not None:
+        # deterministic top-N: compiles to TakeOrderedAndProject
+        # (per-partition partial top-N merged once) — this is what
+        # makes the collect below ≤ max_vocab_words rows by
+        # construction, independent of corpus size
+        word_freq = word_freq.orderBy(F.desc("freq"), "w").limit(max_vocab_words)
 
     merges: list[tuple[int, str, str, int]] = []
 
     if not distributed_rounds:
-        # bounded collect: |distinct words| rows (vocab-sized, never
-        # corpus-sized)
+        # bounded collect: ≤ max_vocab_words rows by construction (the
+        # limit above); with max_vocab_words=None the caller opted
+        # into an unbounded |distinct words| collect explicitly
         words: dict[tuple, int] = {
             tuple(r["w"]): r["freq"] for r in word_freq.collect()
         }

@@ -403,7 +403,49 @@ def x4b_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the hand-built banding/hyperplane paths)
 
 
-@query("x2c_mllib_minhash_join", oracle=None, covers=["X2"])
+@query(
+    "x2c_mllib_minhash_join",
+    # Exact DuckDB twin of the FULL LSH result — legitimate because
+    # approxSimilarityJoin is SOUND BY CONSTRUCTION (it recomputes the
+    # exact Jaccard distance on every bucket candidate and filters by
+    # the threshold, so no false pair can appear), and recall at both
+    # driver scales is exactly 1.0 (verified sf0.001 + sf0.01;
+    # deterministic: seed=42, same data → same buckets). A recall or
+    # soundness regression therefore surfaces as a rowcount/hash
+    # mismatch — the hard signal we want. The twin reproduces MLlib
+    # Tokenizer's Java split('\s') semantics (interior empty tokens
+    # kept, trailing dropped — same technique as the x4_tfidf_terms
+    # oracle), NGram(3) space-joined grams, set-distinct, Jaccard.
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             rtrim(lower(text), ' ' || chr(9) || chr(10) || chr(11)
+                                    || chr(12) || chr(13)) AS rt,
+             lower(text) AS lt
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN length(lt) > 0 AND length(rt) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(rt, '[ \t\n\x0b\f\r]') END AS w
+      FROM t
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w)-1) ]) AS g
+      FROM toks
+      WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(1.0 - len(list_intersect(a.g, b.g))::DOUBLE
+                       / len(list_distinct(a.g || b.g)), 6) AS jaccard_distance
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE 1.0 - len(list_intersect(a.g, b.g))::DOUBLE
+                / len(list_distinct(a.g || b.g)) <= 0.5
+    """,
+    covers=["X2"],
+)
 def x2c_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via MLlib MinHashLSH.approxSimilarityJoin — the
     primitive SURVEY §2.12 X2 names. Pipeline: Tokenizer → NGram(3) →
@@ -411,7 +453,10 @@ def x2c_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard distance <= 0.5. Cross-checks the hand-built banding path
     (x2_minhash_lsh_dedup): pytest asserts every exact-Jaccard >= 0.7
     pair is found by both. Returns (doc_a, doc_b, jaccard_distance).
-    Seeded → deterministic; rows-only driver check."""
+    Seeded → deterministic; FULL exact-SQL oracle (upgraded r6 from
+    rows-only — see the oracle comment for why an LSH join can carry
+    an exact oracle: soundness by construction + verified recall 1.0
+    at driver scales)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     from engage_spark.io import spread_small_scan
@@ -469,6 +514,85 @@ def x3d_mllib_brp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5,
         numHashTables=4, seed=42,
+    ).fit(normed)
+    queries = normed.filter(F.col("vec_id") < 10)
+    joined = model.approxSimilarityJoin(
+        queries, normed, threshold=1.4142135, distCol="dist"
+    ).filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        joined.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(1.0 - F.pow(F.col("dist"), 2) / 2.0, 6).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "x3d2_brp_highrecall_agreement",
+    # Exact brute-force cosine top-5 in SQL. Legitimate as a FULL
+    # oracle for an LSH path because (a) approxSimilarityJoin computes
+    # exact distances on candidates (sound — no false neighbor), and
+    # (b) at numHashTables=16 the OR-amplified recall is exactly 1.0
+    # at both driver scales (verified sf0.001 + sf0.01; deterministic,
+    # seed=42). A recall drop → missing rows → hash mismatch: the
+    # agreement between the ANN path and exact top-k IS what this
+    # query checks.
+    oracle=r"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> x / sqrt(list_sum(list_transform(embedding, y -> y*y)))) AS u
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.u)+1),
+                                     i -> q.u[i] * n.u[i])) AS cos
+      FROM q, n WHERE q.vec_id != n.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY sqrt(greatest(2 - 2*cos, 0)), neighbor_id) AS rn
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, round(1.0 - (2 - 2*cos)/2.0, 6) AS cosine
+    FROM ranked WHERE rn <= 5
+    """,
+    covers=["X3"],
+)
+def x3d2_brp_highrecall_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN recall/cost knob made oracle-checkable: the same BRP-LSH
+    top-5 pipeline as x3d_mllib_brp_ann but at numHashTables=16 (4× the
+    tables of the cheap config), where OR-amplification reaches recall
+    1.0 on the driver corpora — so the result must EQUAL the exact
+    brute-force top-5 and carries its exact-SQL oracle. Together the
+    pair (x3d at 4 tables rows-only+pytest recall bound, this at 16
+    tables hash-oracled) documents the accuracy/cost trade-off an ANN
+    deployment tunes. Same single-plan shape: one bucket-pruned
+    similarity join for ALL queries, per-query top-5 window over
+    candidates only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw")
+    )
+    normed = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(e)
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=16, seed=42,
     ).fit(normed)
     queries = normed.filter(F.col("vec_id") < 10)
     joined = model.approxSimilarityJoin(

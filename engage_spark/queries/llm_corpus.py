@@ -434,17 +434,22 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank, left, right, pair_freq), fully deterministic (frequency
     ties break lexicographically).
 
-    Scale: the corpus is touched ONCE (word-frequency count); the 12
-    merge rounds iterate on the vocabulary-sized word table with a
-    driver collect of exactly one row per round — the same iterative
-    shape as connected_components (localCheckpoint per round). Not
-    SQL-expressible in one query (iterative), so rows-only under the
-    driver; exactness is pinned by a pytest against an independent
-    plain-Python BPE on the same corpus."""
+    Scale: the corpus is touched ONCE (word-frequency count); the
+    word table is then pruned — freq >= 2 (word_min_freq) plus a
+    deterministic 500k-row top-N cap (TakeOrderedAndProject) — BEFORE
+    the driver collect, so the collect is ≤ 500,000 rows by
+    construction no matter the corpus size; the 12 merge rounds then
+    run driver-side on that bounded table. Not SQL-expressible in one
+    query (iterative), so rows-only under the driver; exactness is
+    pinned by a pytest against an independent plain-Python BPE with
+    identical pruning."""
     from engage_spark.api import bpe_train
 
     d = table(spark, sf_dir, "documents")
-    return bpe_train(d, n_merges=_BPE_MERGES, min_freq=2)
+    return bpe_train(
+        d, n_merges=_BPE_MERGES, min_freq=2,
+        word_min_freq=2, max_vocab_words=500_000,
+    )
 
 
 @query("x_bpe_encode", oracle=None, covers=["X4"])
@@ -460,5 +465,42 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engage_spark.api import bpe_segment, bpe_train
 
     d = table(spark, sf_dir, "documents")
-    merges = bpe_train(d, n_merges=_BPE_MERGES, min_freq=2)
+    merges = bpe_train(
+        d, n_merges=_BPE_MERGES, min_freq=2,
+        word_min_freq=2, max_vocab_words=500_000,
+    )
     return bpe_segment(d, merges)
+
+
+@query(
+    "x_bpe_encode_wscount",
+    # DuckDB twin of bpe_segment's n_ws_tokens column: the canonical
+    # whitespace tokenizer (_ws_tokens / _TOKS_DUCK) with empty tokens
+    # dropped — SQL-expressible even though the sibling n_bpe_tokens
+    # column (iteratively learned merges) is not.
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               t -> t != ''
+           ))::BIGINT AS n_ws_tokens
+    FROM documents
+    """,
+    covers=["X4"],
+)
+def x_bpe_encode_wscount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled projection of the x_bpe_encode pipeline: runs the
+    SAME train-then-segment path (12 merges, pruned vocab) and emits
+    its (doc_id, n_ws_tokens) columns, which ARE SQL-expressible —
+    giving the BPE encode pipeline a hard driver signal on the columns
+    an oracle can reach (n_bpe_tokens stays pytest-pinned in the
+    rows-only x_bpe_encode twin). Same tokenizer-twin technique as
+    x4_tfidf_terms."""
+    from engage_spark.api import bpe_segment, bpe_train
+
+    d = table(spark, sf_dir, "documents")
+    merges = bpe_train(
+        d, n_merges=_BPE_MERGES, min_freq=2,
+        word_min_freq=2, max_vocab_words=500_000,
+    )
+    return bpe_segment(d, merges).select("doc_id", "n_ws_tokens")

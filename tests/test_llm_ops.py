@@ -575,6 +575,69 @@ def test_bpe_train_matches_independent_python_reference(spark, sf_dir):
     assert [tuple(r) for r in got_dist.itertuples(index=False)] == ref[:4]
 
 
+def test_bpe_train_pruned_vocab_matches_python_reference(spark, sf_dir):
+    """The production configuration (word_min_freq + max_vocab_words —
+    what x_bpe_merges registers) must learn exactly the merges a
+    plain-Python BPE derives from the identically pruned word table:
+    drop words with freq < word_min_freq, keep the top-N by
+    (freq desc, word asc). This is the config whose driver collect is
+    bounded by construction (≤ max_vocab_words rows)."""
+    from collections import Counter
+
+    from engage_spark import api
+    from engage_spark.io import table
+
+    docs = table(spark, sf_dir, "documents").select("text").toPandas()
+    n_merges, word_min_freq, cap = 8, 2, 300
+
+    got = api.bpe_train(
+        table(spark, sf_dir, "documents"),
+        n_merges=n_merges, min_freq=2,
+        word_min_freq=word_min_freq, max_vocab_words=cap,
+    ).toPandas()
+
+    wf = Counter()
+    for t in docs.text:
+        for w in t.lower().strip().split():
+            if w:
+                wf[w] += 1
+    pruned = sorted(
+        ((w, f) for w, f in wf.items() if f >= word_min_freq),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:cap]
+    words = {tuple(w): f for w, f in pruned}
+    ref = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (left, right), pf = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pf < 2:
+            break
+        ref.append((rank, left, right, pf))
+        merged = {}
+        for syms, fr in words.items():
+            res = api._bpe_merge_word(list(syms), left, right)
+            merged[res] = merged.get(res, 0) + fr
+        words = merged
+
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
+
+    # and the distributed path under the same pruning learns the same
+    got_dist = api.bpe_train(
+        table(spark, sf_dir, "documents"),
+        n_merges=3, min_freq=2,
+        word_min_freq=word_min_freq, max_vocab_words=cap,
+        distributed_rounds=True,
+    ).toPandas()
+    assert [tuple(r) for r in got_dist.itertuples(index=False)] == ref[:3]
+
+
 def test_bpe_segment_matches_python_reference(spark, sf_dir):
     """bpe_segment applied with the learned merges must produce the
     same per-doc BPE token counts as segmenting with a plain-Python
