@@ -39,12 +39,31 @@ def prepare_series(
     """Scan→pivot→join→mean→gate (weather_pred.py:141-194):
     per-(country,state,date) mean TAVG, keeping only groups with >= 730
     rows and fresh data. The gate is an agg + semi join (J8), not a
-    Python loop."""
+    Python loop.
+
+    Pivot fidelity (weather_pred.py:157-159): the reference's
+    `pd.pivot_table(values='value', index=['id','date'],
+    columns='element')[['TAVG']]` has two consequences a naive
+    element filter misses, both reproduced here:
+      1. duplicate (id, date, element) rows are MEANED per station
+         (pivot_table's default aggfunc) BEFORE the cross-station
+         mean — a mean of means, not one flat mean;
+      2. every (id, date) pair present for ANY element yields a row —
+         TAVG is NaN when that station/day has only e.g. PRCP — and
+         those NaN rows survive the location groupby (pandas mean →
+         NaN row kept), COUNTING toward the >= 730-row gate.
+    `avg(when(element='TAVG', value))` over a groupBy(id, date) gives
+    exactly that: per-station daily mean, NULL when absent, one row
+    per (id, date) pair."""
     w = (
         weather.select("id", "date", "element", "value")
         .withColumn("date", F.regexp_replace("date", "-", "").cast("int"))
-        .filter(F.col("element") == "TAVG")
-        .withColumnRenamed("value", "TAVG")
+        .groupBy("id", "date")
+        .agg(
+            F.avg(
+                F.when(F.col("element") == "TAVG", F.col("value"))
+            ).alias("TAVG")
+        )
     )
     st = stations.select(
         "id",

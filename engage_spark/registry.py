@@ -51,65 +51,22 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 
 # The driver's per-round correctness sweep checks the FIRST 50 registry
 # entries. Cumulative record: r1 greened the relational core, r3 the
-# kernels/model/LLM block, r4 the streaming/ext/corpus block — all 131
-# r4-era entries have a driver row. Round 5 rotation: (a) queries that
-# are NEW or whose ORACLE changed this round, then (b) the r1-era core,
-# which hasn't had a fresh driver row since round 1 (a regression there
-# would be invisible to the hard signal). Entries past position 50 roll
-# to the next round's window.
+# kernels/model/LLM block, r4 the streaming/ext/corpus block, r5 the
+# round-5 additions plus most of the r1-era core. Round 6 rotation:
+# (a) queries that are NEW or whose code/oracle CHANGED this round,
+# (b) the 13 queries whose only driver row is round 1 (they rolled past
+# position 50 in r5 — SQL1/SQL2 are the reference's entire SQL surface)
+# plus x_embed_lsh_neardup_pairs (changed r5, rolled), then (c) the
+# r3-era block, now the oldest remaining signal. Entries past position
+# 50 roll to the round-7 window.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # new in round 5 / oracle added or changed in round 5
-    "x_packed_sequences_sharded",  # new: shard-parallel packing
-    "st_stateful_running_stats",   # EWMA oracle added (was rows-only)
-    "x4_tfidf_terms",              # new: SQL-expressible TF-IDF split
-    "x_sequence_packing",          # oracle ORDER BY tiebreak fixed
-    "k_w9_interpolate",            # closed-form oracle added (was rows-only)
-    "x_bigram_perplexity",         # new: bigram-LM quality signal
-    "x_quality_decile_gate",       # new: percentile quality gating
-    "x_bpe_merges",                # new: BPE tokenizer merge training
-    "x_bpe_encode",                # new: BPE corpus segmentation stats
-    "st_doc_quality_stream",       # new: streaming quality gate (full oracle)
-    "x_incremental_dedup",         # new: snapshot-update dedup (full oracle)
-    "x_mixture_temperature",       # new: temperature rebalancing (full oracle)
-    "x_mixture_materialize",       # new: resampled-mix materialization
-    "x_ngram_novelty",             # new: corpus-diversity scoring
-    # r1-era core — last driver row was round 1; re-green it
-    "s1_scan_filter_project",
-    "p2_projection_exclude",
-    "p3_p4_rename_literal",
-    "p5_arith_derived",
-    "p7_compound_filter",
-    "p8_conditional_column",
-    "p9_mapping_join_coalesce",
-    "p10_cast",
-    "p11_null_fill",
-    "p13_first_value_per_group",
-    "p12_drop_allnull_columns",
-    "j1_inner_join_multikey",
-    "j3_left_outer_join",
-    "j4_right_outer_join",
-    "j5_self_join_suffixes",
-    "j6_broadcast_dim_join",
-    "j7_semi_join_membership",
-    "j8_anti_join_dropgroups",
-    "a1_groupby_mean_all_numeric",
-    "a2_a3_groupby_sum_max",
-    "a5_global_min_max_mean",
-    "a6_group_size_gate",
-    "a8_maxabs_normalize",
-    "a9_distinct_values",
-    "a10_row_dedup_subset",
-    "a11_zscore_standardize",
-    "a12_rmse_metric",
-    "w2_w3_lag_and_diff",
-    "w4_trim_leading_prefix",
-    "w5_head_n_per_group",
-    "w6_tail_n_per_group",
-    "w7_conditional_increase_sum",
-    "w8_sliding_feature_window",
-    "w12_rownumber_index",
-    "o2_sorted_distinct",
-    "o3_first_row_after_sort",
+    # (a) new / changed in round 6
+    "x_bpe_encode_wscount",          # new: oracled projection of BPE encode
+    "x3d2_brp_highrecall_agreement", # new: BRP@16 tables vs exact top-5 oracle
+    "x2c_mllib_minhash_join",        # oracle added (was rows-only)
+    "x_bpe_merges",                  # pruned-vocab bounded-collect config
+    "x_bpe_encode",                  # same config change
+    # (b) only driver row is round 1 — rolled past 50 in round 5
     "u1_union_homogeneous",
     "u2_union_missing_columns",
     "u4_rekey_collapse_aggregate",
@@ -123,8 +80,41 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql2_causal_features",
     "ev_tumbling_window_agg",
     "ev_sliding_window_agg",
-    # position 51+: rolls to the round-6 window (r3/r4 signal is fresh)
-    "x_embed_lsh_neardup_pairs",   # banding auto-scaled in round 5
+    "x_embed_lsh_neardup_pairs",     # banding auto-scaled r5; rolled past 50
+    # (c) r3-era block — oldest remaining driver signal
+    "x2_minhash_lsh_dedup",
+    "x2b_simhash_dedup",
+    "x_ngram_jaccard_pairs",
+    "x_cosine_neardup_pairs",
+    "x3_topk_cosine_search",
+    "x3b_lsh_ann_search",
+    "x3c_ivf_ann_search",
+    "x_embed_quantize",
+    "x_text_token_count",
+    "x_text_quality",
+    "x_text_lang_id",
+    "x_text_fingerprint",
+    "x_text_sentiment",
+    "x_gopher_repetition",
+    "x_dedup_components",
+    "x_dedup_components_lsh",
+    "x_dedup_components_star",
+    "x_pii_redact",
+    "x_hash_sample_stratified",
+    "x_mixture_plan",
+    "x_decontaminate",
+    "x_length_histogram",
+    "mm_byte_histogram",
+    "mm_frame_sample",
+    "mm_media_metadata",
+    "s4_s5_parquet_partitioned_roundtrip",
+    "s4b_json_orc_roundtrip",
+    "s2_multifile_csv_glob_scan",
+    "ext_rollup_revenue",
+    "ext_cube_order_stats",
+    "ext_rank_dense_ntile",
+    # position 51+: rolls to the round-7 window
+    "ext_range_frame_sum",
 )
 
 

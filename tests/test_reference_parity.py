@@ -413,3 +413,203 @@ def test_causal_features_stage_matches_transcription_on_real_rows(
         pd.testing.assert_series_equal(
             got[c].astype(float), exp[c].astype(float), check_names=False
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: EP2 (weather_pred.py) assembly golden parity. The raw GHCN
+# weather CSVs are LFS-missing, so the REAL input here is
+# ghcnd_countries.csv (code -> trailing-space names); the weather /
+# station slices are real-schema and exercise every branch of the
+# :141-194 assembly: pivot_table duplicate-meaning, TAVG-absent
+# station-days (NaN rows that still count toward the gate), left-join
+# station misses, padded/blank states -> UNK, the >=730-row and
+# >=20200401 freshness gates, and the countries inner join. Parity is
+# against an independent pandas transcription of the reference loop.
+# Domain note: genuinely-missing (NaN) station states can't occur in
+# the fixed-width-derived real file (blank states are space-padded), so
+# the slice uses padded/empty strings only — FIXTURES.md §6.
+
+WEATHER_META = f"{REF}/data/weather_meta_data"
+
+
+def _ep2_slice_rows():
+    """Deterministic real-schema weather + station slices."""
+    import numpy as np
+
+    weather, idx = [], 0
+
+    def tavg(i):
+        return float(100.0 + 50.0 * np.sin(i / 11.0) + (i % 7))
+
+    # US/NY: two stations, exactly 730 distinct dates, last >= 20200401.
+    # Day 5 is PRCP-only for BOTH stations: the reference pivot keeps it
+    # as a NaN-TAVG row and it COUNTS toward the 730 gate — dropping it
+    # (a naive element filter) leaves 729 rows and kills the group.
+    for i, d in enumerate(pd.date_range("2018-04-20", periods=730)):
+        ds = d.strftime("%Y-%m-%d")
+        if i == 5:
+            weather += [("USW00000001", ds, "PRCP", 10.0),
+                        ("USW00000002", ds, "PRCP", 3.0)]
+            continue
+        weather.append(("USW00000001", ds, "TAVG", tavg(i)))
+        if i % 3 == 0:
+            # duplicate (id, date, element): pivot_table MEANS these
+            # per-station before the cross-station mean (mean of means)
+            weather.append(("USW00000001", ds, "TAVG", tavg(i) + 30.0))
+        if i % 2 == 0:
+            weather.append(("USW00000002", ds, "TAVG", tavg(i) - 15.0))
+        else:
+            # station-day with only PRCP: NaN TAVG row for this station,
+            # but the day's group mean comes from station 1 alone
+            weather.append(("USW00000002", ds, "PRCP", 1.0))
+
+    # SZ (padded blank state -> UNK): 735 days but stale (< 20200401)
+    for i, d in enumerate(pd.date_range(end="2020-03-15", periods=735)):
+        weather.append(("SZ000000003", d.strftime("%Y-%m-%d"), "TAVG", tavg(i)))
+
+    # AG (empty state -> UNK): 740 days, fresh -> qualifies
+    for i, d in enumerate(pd.date_range(end="2020-05-01", periods=740)):
+        weather.append(("AG000000004", d.strftime("%Y-%m-%d"), "TAVG", tavg(i) + 7.0))
+
+    # EZ: NO station row -> left-join miss -> dropped (pandas: NaN state
+    # falls out of the groupby; engine: no countries key)
+    for i, d in enumerate(pd.date_range(end="2020-06-01", periods=800)):
+        weather.append(("EZ000000005", d.strftime("%Y-%m-%d"), "TAVG", tavg(i)))
+
+    # QQ: station exists but code absent from ghcnd_countries -> inner
+    # join drops it
+    for i, d in enumerate(pd.date_range(end="2020-05-05", periods=750)):
+        weather.append(("QQ000000006", d.strftime("%Y-%m-%d"), "TAVG", tavg(i)))
+
+    # US/CA: fresh but only 200 days -> fails the 730 gate
+    for i, d in enumerate(pd.date_range(end="2020-04-10", periods=200)):
+        weather.append(("USW00000008", d.strftime("%Y-%m-%d"), "TAVG", tavg(i)))
+
+    stations = [
+        ("USW00000001", "NY"),
+        ("USW00000002", "NY "),   # trailing pad -> trimmed
+        ("SZ000000003", "  "),    # padded blank -> UNK
+        ("AG000000004", ""),      # empty -> UNK
+        ("QQ000000006", "  "),
+        ("USW00000008", "CA"),
+    ]
+    return weather, stations
+
+
+def _ep2_pandas_assembly(weather_rows, station_rows):
+    """Independent transcription of weather_pred.py:141-194 (pandas
+    semantics re-expressed, not copied): per-file select -> date
+    de-dash -> pivot_table on element -> id[:2] country code -> station
+    left merge -> location groupby mean -> countries inner merge ->
+    name strip -> per-(country, state) >=730-row & fresh-date gate."""
+    wsl = pd.DataFrame(station_rows, columns=["id", "state"])
+    wsl["state"] = wsl["state"].str.strip()
+    wsl["state"] = wsl["state"].replace("", "UNK")
+
+    wcl = pd.read_csv(f"{WEATHER_META}/ghcnd_countries.csv").rename(
+        columns={"code": "country_region", "name": "country_name"}
+    )
+
+    df = pd.DataFrame(weather_rows, columns=["id", "date", "element", "value"])
+    df["date"] = df["date"].astype(str).str.replace("-", "").astype(int)
+    df = pd.pivot_table(df, values="value", index=["id", "date"], columns="element")
+    df = df[["TAVG"]]
+    df.reset_index(drop=False, inplace=True)
+    df["country_region"] = df["id"].str[:2]
+
+    wf = df.merge(wsl, on=["id"], how="left")
+    wf = wf[["date", "country_region", "state", "TAVG"]]
+    wf = wf.groupby(["date", "country_region", "state"]).mean().reset_index(drop=False)
+    wf = wf.merge(wcl, on=["country_region"])
+    wf = wf[["date", "country_name", "state", "TAVG"]]
+    wf = wf.rename(columns={"country_name": "country_region", "state": "province_state"})
+    wf["country_region"] = wf["country_region"].str.strip()
+
+    kept = []
+    for country in set(wf["country_region"]):
+        td = wf.loc[wf["country_region"] == country, :]
+        for state in set(td["province_state"]):
+            td2 = (
+                td.loc[td["province_state"] == state, :]
+                .sort_values(by=["date"], ascending=True)
+                .reset_index(drop=True)
+            )
+            if len(td2) < (365 * 2):
+                continue
+            if td2["date"].iloc[-1] < 20200401:
+                continue
+            kept.append(td2)
+    return pd.concat(kept, ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def ep2_assembly(spark):
+    from engage_spark.io import read_csv
+    from engage_spark.pipelines.weather_forecast import prepare_series
+
+    weather_rows, station_rows = _ep2_slice_rows()
+    weather = spark.createDataFrame(weather_rows, ["id", "date", "element", "value"])
+    stations = spark.createDataFrame(station_rows, ["id", "state"])
+    countries = read_csv(spark, f"{WEATHER_META}/ghcnd_countries.csv")
+    got = prepare_series(
+        weather, stations, countries, min_last_date=20200401
+    ).toPandas()
+    exp = _ep2_pandas_assembly(weather_rows, station_rows)
+    return got, exp
+
+
+def test_ep2_assembly_matches_pandas_transcription(ep2_assembly):
+    """Boundary table 1: the full :141-194 assembly, value-compared."""
+    import numpy as np
+
+    got, exp = ep2_assembly
+    g = got.rename(columns={"country": "country_region", "state": "province_state"})
+    key = ["country_region", "province_state", "date"]
+    g = g.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e), (len(g), len(e))
+    for k in key:
+        assert (g[k].to_numpy() == e[k].to_numpy()).all(), k
+    gv, ev = g["TAVG"].to_numpy(float), e["TAVG"].to_numpy(float)
+    both_nan = np.isnan(gv) & np.isnan(ev)
+    assert (np.isclose(gv, ev, rtol=1e-9, atol=1e-9) | both_nan).all()
+    # the NaN-TAVG day survived and is NaN on both sides
+    assert both_nan.sum() == 1
+
+
+def test_ep2_gate_membership(ep2_assembly):
+    """The gate keeps exactly {US/NY (730 rows incl. the NaN day),
+    Algeria/UNK} and drops stale-SZ, short-CA, station-less EZ, and
+    countries-miss QQ."""
+    got, _ = ep2_assembly
+    groups = set(zip(got.country, got.state))
+    assert groups == {("United States", "NY"), ("Algeria", "UNK")}
+    assert (got.country.str[-1] != " ").all()  # names stripped
+    n_ny = len(got[(got.country == "United States") & (got.state == "NY")])
+    assert n_ny == 730
+
+
+def test_ep2_normalize_matches_pandas_absmax(ep2_assembly, spark):
+    """Boundary table 2: max-abs normalization over the gated series —
+    the reference's abs-of-max denominator (weather_pred.py:231),
+    value-compared per row against a pandas transcription."""
+    import numpy as np
+
+    from engage_spark.pipelines.weather_forecast import normalize_maxabs
+
+    got, _ = ep2_assembly
+    series = spark.createDataFrame(got)
+    norm = normalize_maxabs(series).toPandas()
+
+    exp = got.copy()
+    exp["maxabs_ref"] = exp.groupby(["country", "state"])["TAVG"].transform(
+        lambda s: abs(s.max())
+    )
+    exp["norm_ref"] = exp["TAVG"] / exp["maxabs_ref"]
+
+    key = ["country", "state", "date"]
+    n = norm.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    gv, ev = n["TAVG_norm"].to_numpy(float), e["norm_ref"].to_numpy(float)
+    both_nan = np.isnan(gv) & np.isnan(ev)
+    assert (np.isclose(gv, ev, rtol=1e-9, atol=1e-9) | both_nan).all()
