@@ -69,6 +69,11 @@ OPTIONAL = [
     "x_bpe_merges",
     "x_incremental_dedup",
     "x_mixture_materialize",
+    # round 6 additions
+    "x_semdedup_prune",
+    "x3b_lsh_ann_search",
+    "x3c_ivf_ann_search",
+    "mm_resize_digest",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -107,15 +107,79 @@ def lsh_bucket(emb_col: str) -> F.Column:
     return bucket
 
 
-@query("x3b_lsh_ann_search", oracle=None, covers=["X3"])
+# x3b's full oracle (added r6 — the "probe expansion isn't SQL" claim
+# was wrong): the hyperplanes are deterministic literals, so the oracle
+# inlines the SAME 8x64 plane table, recomputes every vector's sign-bit
+# bucket, expands the identical 37-flip multiprobe set with xor(), and
+# ranks candidates by exact cosine. Bucket sign tests compare the same
+# double-precision dots on both engines (boundary dot == 0.0 would be
+# ambiguous, but cannot occur with continuous float data).
+_X3B_PLANE_ROWS = ",\n".join(
+    "({}, [{}])".format(j, ", ".join(repr(v) for v in row))
+    for j, row in enumerate(_planes())
+)
+_X3B_FLIPS = [0] + [1 << j for j in range(_N_PLANES)] + [
+    (1 << i) | (1 << j)
+    for i in range(_N_PLANES)
+    for j in range(i + 1, _N_PLANES)
+]
+
+
+@query(
+    "x3b_lsh_ann_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    planes(j, p) AS (VALUES {_X3B_PLANE_ROWS}),
+    b AS (
+      SELECT t.vec_id,
+             sum(CASE WHEN list_sum(list_transform(range(1, len(t.e)+1),
+                          i -> t.e[i] * planes.p[i])) > 0
+                      THEN 1 << planes.j ELSE 0 END)::BIGINT AS bucket
+      FROM t, planes GROUP BY t.vec_id
+    ),
+    q AS (
+      SELECT b.vec_id AS query_id, t.e AS qe, xor(b.bucket, f.flip) AS bucket
+      FROM b JOIN t ON t.vec_id = b.vec_id,
+           (SELECT unnest([{", ".join(map(str, _X3B_FLIPS))}]) AS flip) f
+      WHERE b.vec_id < {_N_QUERIES}
+    ),
+    c AS (
+      SELECT b.vec_id AS neighbor_id, t.e AS ce, b.bucket
+      FROM b JOIN t ON t.vec_id = b.vec_id
+    ),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(q.qe)+1),
+                                     i -> q.qe[i]*c.ce[i]))
+             / (sqrt(list_sum(list_transform(q.qe, x->x*x)))
+                * sqrt(list_sum(list_transform(c.ce, x->x*x)))) AS cos
+      FROM q JOIN c ON q.bucket = c.bucket AND c.neighbor_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+    covers=["X3"],
+)
 def x3b_lsh_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: corpus and queries hash to
     sign-bit buckets; candidates are corpus vectors in the query's
-    bucket or any bucket at hamming distance 1 (multiprobe), then exact
-    cosine rank within candidates. Join fan-out is corpus/2^planes per
-    probe instead of the whole corpus. Not SQL-expressible in DuckDB
-    (probe expansion) → rows-only; recall vs the exact top-k is
-    asserted in pytest."""
+    bucket or any bucket at hamming distance <= 2 (multiprobe), then
+    exact cosine rank within candidates. Join fan-out is
+    corpus/2^planes per probe instead of the whole corpus. FULL DuckDB
+    oracle (upgraded r6): the plane table is a deterministic literal,
+    so the twin recomputes buckets, probe expansion, and ranking
+    end-to-end — the whole ANN path is now under a hard hash check;
+    the recall-vs-brute-force pytest remains as the semantic bound."""
     e = table(spark, sf_dir, "embeddings")
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -177,7 +241,62 @@ def _embedding_dim(sf_dir: str) -> int:
     return _DIM_CACHE[sf_dir]
 
 
-@query("x3c_ivf_ann_search", oracle=None, covers=["X3"])
+@query(
+    "x3c_ivf_ann_search",
+    # Full oracle (added r6): the coarse quantizer is deterministic
+    # (per-label mean centroids; nearest lists ranked by DOT product,
+    # ties by ascending label — numpy's stable argsort over pre-sorted
+    # labels on the Spark side, explicit ORDER BY here), so the twin
+    # recomputes list assignment, the 3-list probe set, and the exact
+    # cosine ranking end-to-end. Assumes the dot-product ranking
+    # margins exceed float summation-order noise (verified at both
+    # driver scales; same class of assumption as every float oracle).
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    cd AS (
+      SELECT label, i, avg(e[i]) AS m
+      FROM t, range(1, {_DIM}+1) r(i) GROUP BY label, i
+    ),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM cd GROUP BY label),
+    dots AS (
+      SELECT t.vec_id, t.e, cent.label,
+             row_number() OVER (PARTITION BY t.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(t.e)+1),
+                          i -> t.e[i]*cent.c[i])) DESC, cent.label) AS rn
+      FROM t, cent
+    ),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, e AS ce, label AS list_id
+      FROM dots WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, e AS qe, label AS list_id
+      FROM dots WHERE rn <= {_N_PROBE} AND vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(p.qe)+1),
+                                     i -> p.qe[i]*c.ce[i]))
+             / (sqrt(list_sum(list_transform(p.qe, x->x*x)))
+                * sqrt(list_sum(list_transform(c.ce, x->x*x)))) AS cos
+      FROM probes p JOIN corpus c ON p.list_id = c.list_id
+      WHERE c.neighbor_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           round(cos, 6) AS cosine
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+    covers=["X3"],
+)
 def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the label column's per-cluster mean vectors act as
     the coarse quantizer (a k-means pass would produce them in the
@@ -185,7 +304,8 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     list, and each query probes only its _N_PROBE closest lists before
     exact cosine ranking. The centroid table is tiny (k × dim) and
     broadcasts; corpus fan-out per query is ~n_probe/k of the data —
-    the IVF complement to the hash-based x3b LSH path."""
+    the IVF complement to the hash-based x3b LSH path. FULL DuckDB
+    oracle (upgraded r6) — see the oracle comment."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     e = table(spark, sf_dir, "embeddings")
@@ -243,6 +363,141 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# cluster embeddings around centroids, then prune within-cluster pairs
+# whose cosine exceeds a threshold — the embedding-space complement of
+# the lexical MinHash/SimHash family, catching paraphrases and
+# translations that share no n-grams.
+
+_SEMD_COS = 0.35  # within-cluster prune threshold (matches _ND_COS)
+
+
+@query(
+    "x_semdedup_prune",
+    # Full-value oracle: per-label mean centroids, cosine argmax
+    # assignment (ties break by ascending label on both sides), EXISTS
+    # smaller-id within-cluster partner above the threshold -> pruned.
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    cd AS (
+      SELECT label, i, avg(e[i]) AS m
+      FROM t, range(1, {_DIM}+1) r(i) GROUP BY label, i
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS c FROM cd GROUP BY label
+    ),
+    asg AS (
+      SELECT vec_id, e, label AS cluster_id, cos, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, label) AS rn
+      FROM (
+        SELECT t.vec_id, t.e, cent.label,
+               list_sum(list_transform(range(1, {_DIM}+1), i -> t.e[i]*cent.c[i]))
+               / (sqrt(list_sum(list_transform(t.e, x->x*x)))
+                  * sqrt(list_sum(list_transform(cent.c, x->x*x)))) AS cos
+        FROM t, cent
+      )
+    ),
+    a AS (SELECT vec_id, e, cluster_id, cos FROM asg WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM a b JOIN a s ON s.cluster_id = b.cluster_id AND s.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, {_DIM}+1), i -> s.e[i]*b.e[i]))
+            / (sqrt(list_sum(list_transform(s.e, x->x*x)))
+               * sqrt(list_sum(list_transform(b.e, x->x*x)))) >= {_SEMD_COS}
+    )
+    SELECT a.vec_id, a.cluster_id, round(a.cos + 1e-9, 6) AS cos_c,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+    FROM a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    """,
+    covers=["X2", "X3"],
+)
+def x_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pruning: assign every embedding to
+    its nearest centroid (per-label mean vectors as the deterministic
+    k-means stand-in, as in x3c_ivf_ann_search), then within each
+    cluster drop any vector that has a SMALLER-id partner at cosine >=
+    0.35 — keep-first semantic dedup. Output: (vec_id, cluster_id,
+    cos_c to the centroid, is_kept).
+
+    Scale design (the SemDeDup point): clustering is what makes
+    semantic dedup tractable — pair generation is a self-join on
+    cluster_id, never all-pairs, so candidate volume is sum_k(n_k²) ≈
+    n²/k; production picks k ∝ n/target_cluster_size, keeping
+    per-cluster occupancy (and therefore pairs per cluster) constant
+    as the corpus grows. Plan: the k×dim centroid table collects once
+    (bounded: k rows) and ships as a broadcast read by an Arrow-batched
+    assignment kernel (one gemm per batch — same shape as x3c); the
+    corpus then shuffles ONCE on cluster_id for the pair join and once
+    on vec_id for the keep-mark join. Ties in the argmax break by
+    ascending label on both engines (labels pre-sorted, argmax takes
+    the first maximum)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    e = table(spark, sf_dir, "embeddings")
+    dim = _embedding_dim(sf_dir)
+    sums = e.groupBy("label").agg(
+        F.array(*[
+            F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)
+        ]).alias("centroid")
+    )
+    # bounded collect: k centroid rows (k = label cardinality)
+    cents = sorted((r.label, r.centroid) for r in sums.collect())
+    c_labels = np.array([lbl for lbl, _ in cents], dtype=np.int64)
+    c_mat = np.array([c for _, c in cents], dtype=np.float64)
+    c_norm = np.sqrt((c_mat ** 2).sum(axis=1))
+    bc = spark.sparkContext.broadcast((c_labels, c_mat, c_norm))
+
+    @pandas_udf("struct<cluster_id: long, cos_c: double>")
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        labels, mat, cn = bc.value
+        cl, cc = [], []
+        for v in emb:
+            v = np.asarray(v, dtype=np.float64)
+            vn = np.sqrt((v * v).sum())
+            cos = (mat @ v) / (cn * vn) if vn > 0 else np.zeros(len(cn))
+            i = int(np.argmax(cos))
+            cl.append(int(labels[i]))
+            cc.append(float(cos[i]))
+        return pd.DataFrame({"cluster_id": cl, "cos_c": cc})
+
+    # materialize the assignment ONCE: three consumers (both pair-join
+    # sides + the final keep-mark) would otherwise each re-run the
+    # gemm kernel over the corpus — localCheckpoint is the same
+    # share-a-subplan idiom the clustering rounds use
+    a = (
+        e.select("vec_id", "embedding", assign("embedding").alias("s"))
+        .select("vec_id", "embedding", "s.cluster_id", "s.cos_c")
+        .localCheckpoint()
+    )
+    lhs = a.select(
+        F.col("vec_id").alias("vb"), F.col("cluster_id").alias("cb"),
+        F.col("embedding").alias("eb"),
+    )
+    rhs = a.select(
+        F.col("vec_id").alias("va"), F.col("cluster_id").alias("ca"),
+        F.col("embedding").alias("ea"),
+    )
+    drops = (
+        lhs.join(rhs, (F.col("cb") == F.col("ca")) & (F.col("va") < F.col("vb")))
+        .filter(cosine_expr("ea", "eb") >= _SEMD_COS)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.join(drops.withColumn("d", F.lit(1)), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round(F.col("cos_c") + 1e-9, 6).alias("cos_c"),
+            F.when(F.col("d").isNull(), 1).otherwise(0).alias("is_kept"),
+        )
     )
 
 

@@ -69,11 +69,37 @@ def byte_histogram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         yield pd.DataFrame(out)
 
 
-@query("mm_byte_histogram", oracle=None, covers=["X4"])
+# DuckDB CAN oracle the byte kernels after all (upgraded round 6 from
+# rows-only): hex(encode(text)) exposes the media blob as a hex string
+# whose ODD positions are each byte's high nibble — exactly the
+# `byte >> 4` bin of the histogram kernel — and fixed-stride frame
+# slices are substrings of that hex string. Both kernels' outputs are
+# therefore fully hash-checkable without any byte iteration in SQL.
+_HIST_BINS_DUCK = ", ".join(
+    f"len(list_filter(hi, c -> c = '{b:X}'))::BIGINT AS bin_{b}"
+    for b in range(_N_BINS)
+)
+
+
+@query(
+    "mm_byte_histogram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+    n AS (
+      SELECT doc_id,
+             list_transform(range(1, length(h)+1, 2), i -> h[i]) AS hi
+      FROM t
+    )
+    SELECT doc_id, {_HIST_BINS_DUCK} FROM n
+    """,
+    covers=["X4"],
+)
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media feature extraction through mapInPandas: binary column in,
     fixed-width feature row out. One map stage, no shuffle; batch size
-    bounded by spark.sql.execution.arrow.maxRecordsPerBatch."""
+    bounded by spark.sql.execution.arrow.maxRecordsPerBatch. FULL
+    oracle (upgraded r6): the 16 bins are high-nibble counts, which the
+    DuckDB twin reads off the odd positions of the blob's hex dump."""
     media = with_media_columns(table(spark, sf_dir, "documents"))
     return media.select("doc_id", "media").mapInPandas(
         byte_histogram_batches, schema=_HIST_SCHEMA
@@ -109,10 +135,50 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 @query("mm_frame_sample", oracle=None, covers=["X4"])
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary media via mapInPandas (row-expanding)."""
+    """Frame sampling over binary media via mapInPandas (row-expanding).
+    Rows-only because the output column is raw BINARY (engines disagree
+    on binary rendering in the hash compare); the hex-projected twin
+    mm_frame_digest carries the full content oracle."""
     media = with_media_columns(table(spark, sf_dir, "documents"))
     return media.select("doc_id", "media").mapInPandas(
         frame_sample_batches, schema=_FRAME_SCHEMA
+    )
+
+
+@query(
+    "mm_frame_digest",
+    # the frame kernel's output, content-checked byte for byte: each
+    # sampled frame is a 64-byte slice = a 128-char substring of the
+    # blob's hex dump (both engines emit uppercase hex)
+    oracle=f"""
+    WITH t AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+    f AS (
+      SELECT doc_id,
+             unnest(range(0, (length(h)//2) // {_FRAME_BYTES},
+                          {_FRAME_STRIDE})) AS frame_idx,
+             h
+      FROM t WHERE (length(h)//2) // {_FRAME_BYTES} > 0
+    )
+    SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+           substring(h, frame_idx*{_FRAME_BYTES * 2}+1,
+                     {_FRAME_BYTES * 2}) AS frame_hex
+    FROM f
+    """,
+    covers=["X4"],
+)
+def mm_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled projection of the SAME frame-sampling kernel
+    (mm_frame_sample's mapInPandas path, unchanged): every sampled
+    frame's bytes rendered as hex so the driver can value-compare the
+    full frame CONTENT against the DuckDB hex-dump twin — the
+    byte-slicing plumbing a real keyframe extractor sits on, now under
+    a hard signal (upgraded r6)."""
+    media = with_media_columns(table(spark, sf_dir, "documents"))
+    frames = media.select("doc_id", "media").mapInPandas(
+        frame_sample_batches, schema=_FRAME_SCHEMA
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
     )
 
 
@@ -259,11 +325,69 @@ def mm_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed INLINE in the same projection as the media bytes (they
     derive from the same row — a join back to mm_resize_plan would
     manufacture a shuffle for column-level information). One map stage,
-    no shuffle. Rows-only under the driver (binary output); the pytest
-    checks buffer sizes equal out_w*out_h and a known gather."""
+    no shuffle. Rows-only under the driver (raw BINARY output); the
+    hex-projected twin mm_resize_digest carries the pixel-exact
+    oracle, and the pytest checks buffer sizes and a known gather."""
     media = with_media_columns(table(spark, sf_dir, "documents"))
     dims = _resize_dim_cols()
     src = media.select(
         "doc_id", "media", *[col.alias(name) for name, col in dims.items()]
     )
     return src.mapInPandas(resize_bytes_batches, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "mm_resize_digest",
+    # Pixel-exact SQL twin of the resize kernel. np.resize CYCLES the
+    # source buffer to sh*sw, so out[i,j] = blob[((i*sh//oh)*sw +
+    # j*sw//ow) % n] — each output pixel is one 2-char slice of the
+    # blob's hex dump, reassembled in row-major order. Domain: n > 0
+    # (documents are non-empty; np.resize of an EMPTY buffer
+    # zero-fills, while % 0 is undefined in SQL).
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n,
+             (16 + octet_length(encode(text)) % 64)::BIGINT AS src_w,
+             (16 + (octet_length(encode(text)) * 7) % 48)::BIGINT AS src_h
+      FROM documents
+    ),
+    d2 AS (
+      SELECT *,
+             greatest(1, floor(src_w * least({_MAX_SIDE}.0/src_w,
+                 {_MAX_SIDE}.0/src_h, 1.0)))::BIGINT AS out_w,
+             greatest(1, floor(src_h * least({_MAX_SIDE}.0/src_w,
+                 {_MAX_SIDE}.0/src_h, 1.0)))::BIGINT AS out_h
+      FROM dims
+    ),
+    ri AS (SELECT *, unnest(range(0, out_h)) AS i FROM d2),
+    rij AS (SELECT *, unnest(range(0, out_w)) AS j FROM ri),
+    px AS (
+      SELECT doc_id, out_w, out_h, i, j,
+             substring(h, (((i*src_h//out_h)*src_w + (j*src_w//out_w))
+                           % n)*2 + 1, 2) AS pp
+      FROM rij
+    )
+    SELECT doc_id, out_w, out_h,
+           string_agg(pp, '' ORDER BY i, j) AS px_hex
+    FROM px GROUP BY doc_id, out_w, out_h
+    """,
+    covers=["X4"],
+)
+def mm_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracled projection of the SAME nearest-neighbor resize
+    kernel (mm_resize_bytes' mapInPandas path, unchanged): the gathered
+    pixel buffer rendered as hex so the driver value-compares every
+    output pixel against the DuckDB cyclic-gather twin (upgraded r6 —
+    the multimodal family's pixel path now has a hard signal
+    end-to-end: plan dims, frame slices, and resize gathers are all
+    oracle-checked)."""
+    media = with_media_columns(table(spark, sf_dir, "documents"))
+    dims = _resize_dim_cols()
+    src = media.select(
+        "doc_id", "media", *[col.alias(name) for name, col in dims.items()]
+    )
+    out = src.mapInPandas(resize_bytes_batches, schema=_RESIZE_SCHEMA)
+    return out.select(
+        "doc_id", "out_w", "out_h", F.hex("pixels").alias("px_hex")
+    )

@@ -61,6 +61,12 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 # 50 roll to the round-7 window.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new / changed in round 6
+    "x_semdedup_prune",              # new: SemDeDup semantic dedup (full oracle)
+    "mm_frame_digest",               # new: frame content oracle (hex twin)
+    "mm_resize_digest",              # new: pixel-exact resize oracle (hex twin)
+    "mm_byte_histogram",             # oracle added (was rows-only)
+    "x3b_lsh_ann_search",            # oracle added (was rows-only)
+    "x3c_ivf_ann_search",            # oracle added (was rows-only)
     "x_bpe_encode_wscount",          # new: oracled projection of BPE encode
     "x3d2_brp_highrecall_agreement", # new: BRP@16 tables vs exact top-5 oracle
     "x2c_mllib_minhash_join",        # oracle added (was rows-only)
@@ -87,8 +93,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ngram_jaccard_pairs",
     "x_cosine_neardup_pairs",
     "x3_topk_cosine_search",
-    "x3b_lsh_ann_search",
-    "x3c_ivf_ann_search",
     "x_embed_quantize",
     "x_text_token_count",
     "x_text_quality",
@@ -104,7 +108,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_mixture_plan",
     "x_decontaminate",
     "x_length_histogram",
-    "mm_byte_histogram",
     "mm_frame_sample",
     "mm_media_metadata",
     "s4_s5_parquet_partitioned_roundtrip",

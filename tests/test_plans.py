@@ -234,3 +234,17 @@ def test_mixture_materialize_broadcasts_factors(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_is_clustered_equi_join(spark, sf_dir):
+    # SemDeDup's tractability claim, pinned: within-cluster pair
+    # generation must be an equi-join on cluster_id (shuffled or
+    # broadcast hash), NEVER a cartesian/BNL all-pairs expansion. The
+    # Arrow-batched assignment kernel runs ONCE (localCheckpoint) —
+    # its three consumers read the materialized result, so no Python
+    # appears in the final plan at all (pair scoring is JVM
+    # higher-order expressions)
+    plan = _plan(spark, sf_dir, "x_semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
