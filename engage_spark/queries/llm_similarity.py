@@ -226,6 +226,21 @@ _N_PROBE = 3  # closest centroids searched per query
 _DIM_CACHE: dict[str, int] = {}
 
 
+def _parquet_parts(path: str) -> list[str]:
+    """The part files of `path`, which may be a single parquet file or a
+    Spark-written dataset DIRECTORY (same directory handling as
+    io._nano_ts_fields; a lone file returns itself)."""
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
 def _embedding_dim(sf_dir: str) -> int:
     """Embedding dimensionality via a driver-side one-row parquet peek
     (the list<float> schema carries no length, and launching a Spark job
@@ -235,7 +250,8 @@ def _embedding_dim(sf_dir: str) -> int:
     if sf_dir not in _DIM_CACHE:
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        part = _parquet_parts(f"{sf_dir}/embeddings.parquet")[0]
+        pf = pq.ParquetFile(part)
         batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
         _DIM_CACHE[sf_dir] = len(batch.column(0)[0])
     return _DIM_CACHE[sf_dir]
@@ -373,31 +389,56 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the lexical MinHash/SimHash family, catching paraphrases and
 # translations that share no n-grams.
 
-_SEMD_COS = 0.35  # within-cluster prune threshold (matches _ND_COS)
+_SEMD_COS = 0.35   # within-cluster prune threshold (matches _ND_COS)
+_SEMD_OCC = 96     # target rows per cluster (k auto-scales from n)
+
+
+def semdedup_params(n_rows: int) -> tuple[int, int]:
+    """(k, seed_stride) for n corpus vectors: k = ceil(n / _SEMD_OCC)
+    clusters (floor 4) keeps per-cluster occupancy CONSTANT as the
+    corpus grows — the SemDeDup tractability claim is sum_k(n_k**2) =
+    k * occ**2 = n * occ pair candidates, linear in n — and the
+    centroids are the corpus vectors whose vec_id is a multiple of
+    seed_stride = n // k (deterministic, reproducible on any cluster
+    layout, same rule the DuckDB oracle applies). The same
+    derive-params-from-corpus-size pattern as lsh_banding_params:
+    a FIXED k is the occupancy**2 blow-up the LSH family had before
+    round 5. Broadcast budget: k*dim doubles ~ n/96*512 B stays
+    broadcastable to ~10**7 vectors per shard; beyond that the
+    assignment itself becomes an ANN join (two-level IVF, cf. x3c) and
+    production k-means centroids replace hash seeds."""
+    import math
+
+    k = max(4, math.ceil(n_rows / _SEMD_OCC))
+    return k, max(1, n_rows // k)
 
 
 @query(
     "x_semdedup_prune",
-    # Full-value oracle: per-label mean centroids, cosine argmax
-    # assignment (ties break by ascending label on both sides), EXISTS
-    # smaller-id within-cluster partner above the threshold -> pruned.
+    # Full-value oracle: the seed rule (vec_id % stride == 0, stride
+    # derived from count(*) exactly as semdedup_params derives it),
+    # cosine argmax assignment (ties break toward the smaller seed id
+    # on both sides), EXISTS smaller-id within-cluster partner above
+    # the threshold -> pruned.
     oracle=f"""
     WITH t AS (
-      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
       FROM embeddings
     ),
-    cd AS (
-      SELECT label, i, avg(e[i]) AS m
-      FROM t, range(1, {_DIM}+1) r(i) GROUP BY label, i
+    params AS (
+      SELECT greatest(1, count(*) // greatest(4, ceil(count(*) / {_SEMD_OCC}.0)::BIGINT))
+                 AS stride
+      FROM t
     ),
     cent AS (
-      SELECT label, list(m ORDER BY i) AS c FROM cd GROUP BY label
+      SELECT t.vec_id AS seed_id, t.e AS c
+      FROM t, params WHERE t.vec_id % params.stride = 0
     ),
     asg AS (
-      SELECT vec_id, e, label AS cluster_id, cos, row_number() OVER (
-          PARTITION BY vec_id ORDER BY cos DESC, label) AS rn
+      SELECT vec_id, e, seed_id AS cluster_id, cos, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
       FROM (
-        SELECT t.vec_id, t.e, cent.label,
+        SELECT t.vec_id, t.e, cent.seed_id,
                list_sum(list_transform(range(1, {_DIM}+1), i -> t.e[i]*cent.c[i]))
                / (sqrt(list_sum(list_transform(t.e, x->x*x)))
                   * sqrt(list_sum(list_transform(cent.c, x->x*x)))) AS cos
@@ -420,36 +461,41 @@ _SEMD_COS = 0.35  # within-cluster prune threshold (matches _ND_COS)
 )
 def x_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dup pruning: assign every embedding to
-    its nearest centroid (per-label mean vectors as the deterministic
-    k-means stand-in, as in x3c_ivf_ann_search), then within each
-    cluster drop any vector that has a SMALLER-id partner at cosine >=
-    0.35 — keep-first semantic dedup. Output: (vec_id, cluster_id,
-    cos_c to the centroid, is_kept).
+    its nearest centroid, then within each cluster drop any vector
+    that has a SMALLER-id partner at cosine >= 0.35 — keep-first
+    semantic dedup. Output: (vec_id, cluster_id = seed vec_id, cos_c
+    to the centroid, is_kept).
 
     Scale design (the SemDeDup point): clustering is what makes
     semantic dedup tractable — pair generation is a self-join on
-    cluster_id, never all-pairs, so candidate volume is sum_k(n_k²) ≈
-    n²/k; production picks k ∝ n/target_cluster_size, keeping
-    per-cluster occupancy (and therefore pairs per cluster) constant
-    as the corpus grows. Plan: the k×dim centroid table collects once
-    (bounded: k rows) and ships as a broadcast read by an Arrow-batched
-    assignment kernel (one gemm per batch — same shape as x3c); the
-    corpus then shuffles ONCE on cluster_id for the pair join and once
-    on vec_id for the keep-mark join. Ties in the argmax break by
-    ascending label on both engines (labels pre-sorted, argmax takes
-    the first maximum)."""
+    cluster_id, never all-pairs — and k AUTO-SCALES from the corpus
+    row count (semdedup_params: k = n/96, hash-stride seed centroids)
+    so per-cluster occupancy, and therefore pair volume per row, stays
+    CONSTANT as the corpus grows; a fixed k (the first cut of this
+    operator used the 10-label quantizer) re-grows occupancy linearly
+    and the pair join quadratically. Plan: the k x dim centroid table
+    collects once (bounded: k rows, stated budget in semdedup_params)
+    and ships as a broadcast read by an Arrow-batched assignment
+    kernel (one gemm per batch); the assignment materializes ONCE
+    (localCheckpoint) for its three consumers; the pair verify runs
+    through the Arrow-vectorized cosine (cosine_arrow — the large
+    candidate set is exactly its use case); the corpus shuffles once
+    on cluster_id and once on vec_id. Ties in the argmax break toward
+    the smaller seed id on both engines (seeds pre-sorted, argmax
+    takes the first maximum)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     e = table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(sf_dir)
-    sums = e.groupBy("label").agg(
-        F.array(*[
-            F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)
-        ]).alias("centroid")
+    _, stride = semdedup_params(_corpus_rows(sf_dir))
+    # bounded collect: k = ceil(n/_SEMD_OCC) seed rows (budget in
+    # semdedup_params docstring)
+    cents = sorted(
+        (r.vec_id, r.embedding)
+        for r in e.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "embedding").collect()
     )
-    # bounded collect: k centroid rows (k = label cardinality)
-    cents = sorted((r.label, r.centroid) for r in sums.collect())
-    c_labels = np.array([lbl for lbl, _ in cents], dtype=np.int64)
+    c_labels = np.array([sid for sid, _ in cents], dtype=np.int64)
     c_mat = np.array([c for _, c in cents], dtype=np.float64)
     c_norm = np.sqrt((c_mat ** 2).sum(axis=1))
     bc = spark.sparkContext.broadcast((c_labels, c_mat, c_norm))
@@ -457,15 +503,16 @@ def x_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("struct<cluster_id: long, cos_c: double>")
     def assign(emb: pd.Series) -> pd.DataFrame:
         labels, mat, cn = bc.value
-        cl, cc = [], []
-        for v in emb:
-            v = np.asarray(v, dtype=np.float64)
-            vn = np.sqrt((v * v).sum())
-            cos = (mat @ v) / (cn * vn) if vn > 0 else np.zeros(len(cn))
-            i = int(np.argmax(cos))
-            cl.append(int(labels[i]))
-            cc.append(float(cos[i]))
-        return pd.DataFrame({"cluster_id": cl, "cos_c": cc})
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb]) \
+            if len(emb) else np.zeros((0, mat.shape[1]))
+        vn = np.sqrt((m * m).sum(axis=1))
+        vn[vn == 0] = 1.0
+        cos = (m @ mat.T) / np.outer(vn, cn)
+        idx = np.argmax(cos, axis=1)  # ties: first = smallest seed id
+        return pd.DataFrame({
+            "cluster_id": labels[idx],
+            "cos_c": cos[np.arange(len(idx)), idx],
+        })
 
     # materialize the assignment ONCE: three consumers (both pair-join
     # sides + the final keep-mark) would otherwise each re-run the
@@ -486,7 +533,7 @@ def x_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drops = (
         lhs.join(rhs, (F.col("cb") == F.col("ca")) & (F.col("va") < F.col("vb")))
-        .filter(cosine_expr("ea", "eb") >= _SEMD_COS)
+        .filter(cosine_arrow("ea", "eb") >= _SEMD_COS)
         .select(F.col("vb").alias("vec_id"))
         .distinct()
     )
@@ -642,9 +689,10 @@ def _corpus_rows(sf_dir: str) -> int:
     if sf_dir not in _NROWS_CACHE:
         import pyarrow.parquet as pq
 
-        _NROWS_CACHE[sf_dir] = pq.ParquetFile(
-            f"{sf_dir}/embeddings.parquet"
-        ).metadata.num_rows
+        _NROWS_CACHE[sf_dir] = sum(
+            pq.ParquetFile(part).metadata.num_rows
+            for part in _parquet_parts(f"{sf_dir}/embeddings.parquet")
+        )
     return _NROWS_CACHE[sf_dir]
 
 

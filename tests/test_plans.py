@@ -241,10 +241,10 @@ def test_semdedup_pair_join_is_clustered_equi_join(spark, sf_dir):
     # generation must be an equi-join on cluster_id (shuffled or
     # broadcast hash), NEVER a cartesian/BNL all-pairs expansion. The
     # Arrow-batched assignment kernel runs ONCE (localCheckpoint) —
-    # its three consumers read the materialized result, so no Python
-    # appears in the final plan at all (pair scoring is JVM
-    # higher-order expressions)
+    # its three consumers read the materialized result — so the only
+    # Python in the final plan is the single Arrow-vectorized cosine
+    # verify over the bucket-bounded candidate set
     plan = _plan(spark, sf_dir, "x_semdedup_prune")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Python" not in plan
+    assert plan.count("ArrowEvalPython") == 1
