@@ -1,10 +1,14 @@
-"""Similarity search over embeddings (SURVEY.md §2.12 X3).
+"""Similarity search + semantic dedup over embeddings (SURVEY.md §2.12
+X3, plus SemDeDup on the X2 side).
 
-Brute-force cosine top-k is the oracle-checked baseline; a
-random-hyperplane LSH bucketed variant is the scale path (bucket
-cardinality bounds the join fan-out instead of corpus size). Dot
-products run as JVM higher-order expressions in double precision —
-no Python in the scoring loop.
+Brute-force cosine top-k is the oracle-checked baseline; hyperplane-LSH
+and IVF bucketed variants are the scale paths (bucket/list cardinality
+bounds the join fan-out instead of corpus size) — both ALSO fully
+oracle-checked since round 6 (their quantizers are deterministic).
+Small candidate sets score through JVM higher-order expressions in
+double precision; LARGE candidate sets (embed-LSH verify, SemDeDup pair
+verify) go through the Arrow-vectorized cosine kernel — one numpy batch
+product per Arrow batch, never per-row Python.
 """
 
 from __future__ import annotations
