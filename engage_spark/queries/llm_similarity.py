@@ -226,7 +226,6 @@ def x3b_lsh_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-bucketed ANN (coarse-quantizer scale path)
 
-_N_PROBE = 3  # closest centroids searched per query
 _DIM_CACHE: dict[str, int] = {}
 
 
@@ -261,49 +260,80 @@ def _embedding_dim(sf_dir: str) -> int:
     return _DIM_CACHE[sf_dir]
 
 
+def ivf_params(n_rows: int) -> tuple[int, int, int]:
+    """(nlist, nprobe, seed_stride) for an n-vector corpus — the FAISS
+    IVF sizing rule, derived from corpus size like lsh_banding_params /
+    semdedup_params (round 6; the first cut used the 10-label quantizer
+    as a FIXED nlist, which probes a constant FRACTION of the corpus —
+    linear per-query work, brute force in disguise at 100x):
+      nlist  = ceil(sqrt(n)) (floor 4) -> occupancy ~ sqrt(n);
+      nprobe = ceil(log2(nlist)) (floor 3) -> candidates per query ~
+               log2(sqrt(n)) * sqrt(n), strongly sub-linear;
+      seeds  = corpus vectors with vec_id % seed_stride == 0
+               (deterministic random-sampling init — literally k-means
+               init; production replaces seeds with trained k-means
+               centroids, same plan shape).
+    Broadcast budget: nlist*dim doubles ~ sqrt(n)*512 B — trivially
+    broadcastable at any realistic n."""
+    import math
+
+    nlist = max(4, math.ceil(math.sqrt(n_rows)))
+    nprobe = max(3, math.ceil(math.log2(nlist)))
+    return nlist, nprobe, max(1, n_rows // nlist)
+
+
 @query(
     "x3c_ivf_ann_search",
-    # Full oracle (added r6): the coarse quantizer is deterministic
-    # (per-label mean centroids; nearest lists ranked by DOT product,
-    # ties by ascending label — numpy's stable argsort over pre-sorted
-    # labels on the Spark side, explicit ORDER BY here), so the twin
-    # recomputes list assignment, the 3-list probe set, and the exact
-    # cosine ranking end-to-end. Assumes the dot-product ranking
-    # margins exceed float summation-order noise (verified at both
-    # driver scales; same class of assumption as every float oracle).
+    # Full oracle (added r6): the coarse quantizer is deterministic —
+    # hash-stride seed centroids (vec_id % stride == 0, stride derived
+    # from count(*) exactly as ivf_params derives it), cosine-ranked
+    # list assignment (ties toward the smaller seed id on both sides) —
+    # so the twin recomputes list assignment, the nprobe probe set, and
+    # the exact cosine ranking end-to-end.
     oracle=f"""
     WITH t AS (
-      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
       FROM embeddings
     ),
-    cd AS (
-      SELECT label, i, avg(e[i]) AS m
-      FROM t, range(1, {_DIM}+1) r(i) GROUP BY label, i
+    p AS (
+      SELECT greatest(4, ceil(sqrt(count(*)))::BIGINT) AS nlist,
+             greatest(3, ceil(log2(greatest(4, ceil(sqrt(count(*)))::BIGINT)))::BIGINT)
+                 AS nprobe,
+             greatest(1, count(*) // greatest(4, ceil(sqrt(count(*)))::BIGINT))
+                 AS stride
+      FROM t
     ),
-    cent AS (SELECT label, list(m ORDER BY i) AS c FROM cd GROUP BY label),
-    dots AS (
-      SELECT t.vec_id, t.e, cent.label,
-             row_number() OVER (PARTITION BY t.vec_id
-                 ORDER BY list_sum(list_transform(range(1, len(t.e)+1),
-                          i -> t.e[i]*cent.c[i])) DESC, cent.label) AS rn
-      FROM t, cent
+    cent AS (
+      SELECT t.vec_id AS seed_id, t.e AS c
+      FROM t, p WHERE t.vec_id % p.stride = 0
+    ),
+    asg AS (
+      SELECT vec_id, e, seed_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+      FROM (
+        SELECT t.vec_id, t.e, cent.seed_id,
+               list_sum(list_transform(range(1, {_DIM}+1), i -> t.e[i]*cent.c[i]))
+               / (sqrt(list_sum(list_transform(t.e, x->x*x)))
+                  * sqrt(list_sum(list_transform(cent.c, x->x*x)))) AS cos
+        FROM t, cent
+      )
     ),
     corpus AS (
-      SELECT vec_id AS neighbor_id, e AS ce, label AS list_id
-      FROM dots WHERE rn = 1
+      SELECT vec_id AS neighbor_id, e AS ce, seed_id AS list_id
+      FROM asg WHERE rn = 1
     ),
     probes AS (
-      SELECT vec_id AS query_id, e AS qe, label AS list_id
-      FROM dots WHERE rn <= {_N_PROBE} AND vec_id < {_N_QUERIES}
+      SELECT vec_id AS query_id, e AS qe, seed_id AS list_id
+      FROM asg, p WHERE rn <= p.nprobe AND vec_id < {_N_QUERIES}
     ),
     cand AS (
-      SELECT p.query_id, c.neighbor_id,
-             list_sum(list_transform(range(1, len(p.qe)+1),
-                                     i -> p.qe[i]*c.ce[i]))
-             / (sqrt(list_sum(list_transform(p.qe, x->x*x)))
+      SELECT pr.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(pr.qe)+1),
+                                     i -> pr.qe[i]*c.ce[i]))
+             / (sqrt(list_sum(list_transform(pr.qe, x->x*x)))
                 * sqrt(list_sum(list_transform(c.ce, x->x*x)))) AS cos
-      FROM probes p JOIN corpus c ON p.list_id = c.list_id
-      WHERE c.neighbor_id != p.query_id
+      FROM probes pr JOIN corpus c ON pr.list_id = c.list_id
+      WHERE c.neighbor_id != pr.query_id
     ),
     ranked AS (
       SELECT query_id, neighbor_id, cos,
@@ -318,49 +348,47 @@ def _embedding_dim(sf_dir: str) -> int:
     covers=["X3"],
 )
 def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: the label column's per-cluster mean vectors act as
-    the coarse quantizer (a k-means pass would produce them in the
-    unlabeled case); every corpus vector lives in its nearest-centroid
-    list, and each query probes only its _N_PROBE closest lists before
-    exact cosine ranking. The centroid table is tiny (k × dim) and
-    broadcasts; corpus fan-out per query is ~n_probe/k of the data —
-    the IVF complement to the hash-based x3b LSH path. FULL DuckDB
-    oracle (upgraded r6) — see the oracle comment."""
+    """IVF-style ANN: hash-stride seed vectors act as the coarse
+    quantizer (deterministic k-means-init stand-in; see ivf_params for
+    the FAISS sizing rule — nlist, nprobe, AND the seed stride all
+    derive from the corpus row count, so per-query candidate volume is
+    ~ log2(sqrt(n))*sqrt(n), strongly sub-linear, instead of the
+    constant corpus FRACTION a fixed quantizer probes). Every corpus
+    vector lives in its nearest-seed list; each query probes only its
+    nprobe closest lists before exact cosine ranking. The seed table is
+    tiny (sqrt(n) x dim) and broadcasts; assignment is one Arrow gemm
+    per batch. FULL DuckDB oracle (upgraded r6) — the quantizer is
+    deterministic, so the twin recomputes everything from count(*)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     e = table(spark, sf_dir, "embeddings")
     dim = _embedding_dim(sf_dir)
-    # centroids: per-label mean (deterministic; stand-in for k-means)
-    sums = e.groupBy("label").agg(
-        F.array(*[
-            F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)
-        ]).alias("centroid")
+    _, nprobe, stride = ivf_params(_corpus_rows(sf_dir))
+    # bounded collect: nlist ~ sqrt(n) seed rows (budget in ivf_params)
+    cents = sorted(
+        (r.vec_id, r.embedding)
+        for r in e.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "embedding").collect()
     )
-    # Collect k x dim once and ship it as a Spark BROADCAST variable read
-    # by an Arrow-batched pandas UDF (one matrix-vector product per row).
-    # The earlier form inlined the collected centroids as k x dim literal
-    # expression trees evaluated per row per centroid — fine at this
-    # label cardinality, quadratic plan blow-up at a real k (>= 4096).
-    cents = sorted((r.label, r.centroid) for r in sums.collect())
-    c_labels = np.array([lbl for lbl, _ in cents], dtype=np.int32)
+    c_ids = np.array([sid for sid, _ in cents], dtype=np.int64)
     c_mat = np.array([c for _, c in cents], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((c_labels, c_mat))
+    c_norm = np.sqrt((c_mat ** 2).sum(axis=1))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
     def nearest_lists(emb_col: str, n: int) -> F.Column:
-        """array of the n nearest centroid labels (by dot product —
-        centroids are near-isotropic so dot ≈ cosine ranking here).
-        Ties break by ascending label (labels are pre-sorted, argsort
-        is stable), deterministic across runs."""
+        """array of the n nearest seed ids by cosine; ties break by
+        ascending seed id (ids pre-sorted, argsort is stable)."""
 
-        @pandas_udf("array<int>")
+        @pandas_udf("array<long>")
         def _nearest(emb: pd.Series) -> pd.Series:
-            labels, mat = bc.value
-            out = []
-            for v in emb:
-                dots = mat @ np.asarray(v, dtype=np.float64)
-                order = np.argsort(-dots, kind="stable")[:n]
-                out.append(labels[order])
-            return pd.Series(out)
+            ids, mat, cn = bc.value
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in emb]) \
+                if len(emb) else np.zeros((0, mat.shape[1]))
+            vn = np.sqrt((m * m).sum(axis=1))
+            vn[vn == 0] = 1.0
+            cos = (m @ mat.T) / np.outer(vn, cn)
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(ids[order]))
 
         return _nearest(F.col(emb_col))
 
@@ -372,7 +400,7 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.explode(nearest_lists("embedding", _N_PROBE)).alias("list_id"),
+        F.explode(nearest_lists("embedding", nprobe)).alias("list_id"),
     )
     cand = q.join(corpus, on="list_id").filter(
         F.col("neighbor_id") != F.col("query_id")

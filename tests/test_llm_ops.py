@@ -106,8 +106,11 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(exact_set & ivf_set) / len(exact_set)
-    # probing 3 of 10 lists scans ~30% of a label-random corpus; on
+    # ivf_params probes nprobe ~ log2(nlist) of nlist ~ sqrt(n) lists
+    # (~13-37% of this small corpus, a vanishing fraction at scale); on
     # clustered real embeddings the same probe count recalls far more
+    # (random-ish synthetic vectors are ANN's worst case). Measured
+    # 0.58 at sf0.001 / 0.44 at sf0.01.
     assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
     assert all(r.rank <= 5 for r in ivf)
 
