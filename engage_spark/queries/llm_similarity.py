@@ -78,14 +78,19 @@ def x3_topk_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 
-_N_PLANES = 8
+_MAX_PLANES = 24
+_N_PLANES = 8   # legacy fixed count (kept for _planes' default)
 _DIM = 64
+_SEARCH_OCC = 96  # target corpus rows per bucket (P auto-scales from n)
 
 
 def _planes(n: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG over a fixed seed;
     values in [-1, 1)). Inlined as literals so every executor agrees
-    without a broadcast variable."""
+    without a broadcast variable. The LCG runs sequentially, so
+    _planes(m)[:k] == _planes(k) — a prefix of the max plane table is
+    the same planes, which is what lets the plane COUNT scale with the
+    corpus while the oracle inlines one fixed table."""
     x = 0x853C49E6748FEA9B
     out = []
     for _ in range(n):
@@ -97,10 +102,34 @@ def _planes(n: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
     return out
 
 
-def lsh_bucket(emb_col: str) -> F.Column:
-    """Sign-bit bucket id (0..2^planes-1) of an array<float> column."""
+def search_planes_count(n_rows: int) -> int:
+    """Sign-bit plane count for an n-vector corpus: P =
+    clamp(ceil(log2(n / _SEARCH_OCC)), 4, _MAX_PLANES), i.e. 2^P
+    buckets targeting ~_SEARCH_OCC rows per bucket — the same
+    derive-params-from-corpus-size rule as lsh_banding_params /
+    ivf_params / semdedup_params (round 6; a FIXED plane count probes a
+    constant FRACTION of the corpus per query — linear per-query work,
+    brute force in disguise at 100x). With P ~ log2(n) the HD<=2
+    multiprobe set is 1 + P + C(P,2) buckets out of 2^P, so per-query
+    candidates ~ P**2 * occupancy — polylog x constant, strongly
+    sub-linear."""
+    import math
+
+    return max(4, min(_MAX_PLANES, math.ceil(math.log2(max(2, n_rows) / _SEARCH_OCC))))
+
+
+def _hd2_flips(p: int) -> list[int]:
+    """The hamming-distance<=2 multiprobe XOR masks over p planes."""
+    return [0] + [1 << j for j in range(p)] + [
+        (1 << i) | (1 << j) for i in range(p) for j in range(i + 1, p)
+    ]
+
+
+def lsh_bucket(emb_col: str, n_planes: int = _N_PLANES) -> F.Column:
+    """Sign-bit bucket id (0..2^n_planes-1) of an array<float> column,
+    over the first n_planes rows of the shared plane table."""
     bucket = F.lit(0)
-    for j, plane in enumerate(_planes()):
+    for j, plane in enumerate(_planes(_MAX_PLANES)[:n_planes]):
         p = F.array(*[F.lit(v) for v in plane])
         dot = F.aggregate(
             F.zip_with(F.col(emb_col), p, lambda a, b: a.cast("double") * b),
@@ -113,20 +142,17 @@ def lsh_bucket(emb_col: str) -> F.Column:
 
 # x3b's full oracle (added r6 — the "probe expansion isn't SQL" claim
 # was wrong): the hyperplanes are deterministic literals, so the oracle
-# inlines the SAME 8x64 plane table, recomputes every vector's sign-bit
-# bucket, expands the identical 37-flip multiprobe set with xor(), and
+# inlines the SAME _MAX_PLANES x 64 plane table, derives the ACTIVE
+# plane count P from count(*) exactly as search_planes_count does,
+# recomputes every vector's sign-bit bucket over the first P planes,
+# generates the identical HD<=2 multiprobe mask set from range(P), and
 # ranks candidates by exact cosine. Bucket sign tests compare the same
 # double-precision dots on both engines (boundary dot == 0.0 would be
 # ambiguous, but cannot occur with continuous float data).
 _X3B_PLANE_ROWS = ",\n".join(
     "({}, [{}])".format(j, ", ".join(repr(v) for v in row))
-    for j, row in enumerate(_planes())
+    for j, row in enumerate(_planes(_MAX_PLANES))
 )
-_X3B_FLIPS = [0] + [1 << j for j in range(_N_PLANES)] + [
-    (1 << i) | (1 << j)
-    for i in range(_N_PLANES)
-    for j in range(i + 1, _N_PLANES)
-]
 
 
 @query(
@@ -136,18 +162,32 @@ _X3B_FLIPS = [0] + [1 << j for j in range(_N_PLANES)] + [
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
       FROM embeddings
     ),
+    prm AS (
+      SELECT greatest(4, least({_MAX_PLANES},
+                 ceil(log2(greatest(2, count(*)) / {_SEARCH_OCC}.0))::BIGINT))
+                 AS np
+      FROM t
+    ),
     planes(j, p) AS (VALUES {_X3B_PLANE_ROWS}),
     b AS (
       SELECT t.vec_id,
              sum(CASE WHEN list_sum(list_transform(range(1, len(t.e)+1),
                           i -> t.e[i] * planes.p[i])) > 0
                       THEN 1 << planes.j ELSE 0 END)::BIGINT AS bucket
-      FROM t, planes GROUP BY t.vec_id
+      FROM t, planes, prm WHERE planes.j < prm.np
+      GROUP BY t.vec_id
+    ),
+    pidx AS (SELECT unnest(range(0, np)) AS i FROM prm),
+    flips AS (
+      SELECT 0 AS flip
+      UNION ALL
+      SELECT 1 << i FROM pidx
+      UNION ALL
+      SELECT (1 << a.i) | (1 << b.i) FROM pidx a, pidx b WHERE a.i < b.i
     ),
     q AS (
       SELECT b.vec_id AS query_id, t.e AS qe, xor(b.bucket, f.flip) AS bucket
-      FROM b JOIN t ON t.vec_id = b.vec_id,
-           (SELECT unnest([{", ".join(map(str, _X3B_FLIPS))}]) AS flip) f
+      FROM b JOIN t ON t.vec_id = b.vec_id, flips f
       WHERE b.vec_id < {_N_QUERIES}
     ),
     c AS (
@@ -176,34 +216,30 @@ _X3B_FLIPS = [0] + [1 << j for j in range(_N_PLANES)] + [
 )
 def x3b_lsh_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: corpus and queries hash to
-    sign-bit buckets; candidates are corpus vectors in the query's
-    bucket or any bucket at hamming distance <= 2 (multiprobe), then
-    exact cosine rank within candidates. Join fan-out is
-    corpus/2^planes per probe instead of the whole corpus. FULL DuckDB
-    oracle (upgraded r6): the plane table is a deterministic literal,
-    so the twin recomputes buckets, probe expansion, and ranking
-    end-to-end — the whole ANN path is now under a hard hash check;
+    sign-bit buckets over P planes, where P derives from the corpus row
+    count (search_planes_count: 2^P buckets at ~96-row target
+    occupancy — a fixed P probes a constant corpus fraction per query,
+    which is linear work in disguise); candidates are corpus vectors in
+    the query's bucket or any bucket at hamming distance <= 2
+    (multiprobe: 1 + P + C(P,2) buckets of 2^P — per-query candidates
+    ~ P² x occupancy, polylog), then exact cosine rank within
+    candidates. FULL DuckDB oracle (upgraded r6): the plane table is a
+    deterministic literal and P is recomputed from count(*), so the
+    twin reproduces buckets, probe expansion, and ranking end-to-end;
     the recall-vs-brute-force pytest remains as the semantic bound."""
     e = table(spark, sf_dir, "embeddings")
+    n_planes = search_planes_count(_corpus_rows(sf_dir))
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        lsh_bucket("embedding").alias("bucket"),
+        lsh_bucket("embedding", n_planes).alias("bucket"),
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        lsh_bucket("embedding").alias("qbucket"),
+        lsh_bucket("embedding", n_planes).alias("qbucket"),
     )
-    # multiprobe: own bucket + every bucket at hamming distance <= 2
-    # (37 of 256 buckets → ~14% of the corpus scanned per query; for a
-    # cosine-θ neighbor each plane flips with prob θ/π, so wider probing
-    # buys recall at a fan-out that stays fixed as the corpus grows)
-    flips = [0] + [1 << j for j in range(_N_PLANES)] + [
-        (1 << i) | (1 << j)
-        for i in range(_N_PLANES)
-        for j in range(i + 1, _N_PLANES)
-    ]
+    flips = _hd2_flips(n_planes)
     probes = q.select(
         "query_id",
         "q_emb",

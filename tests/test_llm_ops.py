@@ -74,9 +74,12 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     ann_set = {(r.query_id, r.neighbor_id) for r in ann}
     recall = len(exact_set & ann_set) / len(exact_set)
-    # multiprobe over 9 of 256 buckets scans ~3.5% of the corpus; on
-    # 64-dim random data sign-bit LSH is weak, so the bar is modest —
-    # the point is the plan shape (bounded fan-out) + determinism.
+    # search_planes_count sizes P from n (4-5 planes at test scale:
+    # HD<=2 multiprobe covers most of the 16-32 buckets, recall
+    # 0.74/0.82 measured; at corpus scale P ~ log2(n/96) keeps the
+    # probed FRACTION shrinking while occupancy stays ~96). On 64-dim
+    # random data sign-bit LSH is weak, so the bar stays modest — the
+    # point is the plan shape (bounded fan-out) + determinism.
     assert recall >= 0.2, f"ANN recall {recall:.2f} too low"
     # every ANN hit must be a real vector pair with a sane score
     assert all(-1.0 <= r.cosine <= 1.0 for r in ann)
