@@ -30,7 +30,7 @@ from engage_spark.queries.llm_curation import (
     connected_components,
     connected_components_star,
 )
-from engage_spark.queries.llm_similarity import lsh_banding_params
+from engage_spark.queries.llm_similarity import lsh_banding_params, semdedup_params
 
 __all__ = [
     "normalized_fingerprint",
@@ -41,6 +41,8 @@ __all__ = [
     "near_dup_components",
     "embed_lsh_near_dup_pairs",
     "lsh_banding_params",
+    "semdedup_prune",
+    "semdedup_params",
     "topk_cosine_search",
     "curation_funnel",
     "bigram_perplexity",
@@ -206,6 +208,94 @@ def embed_lsh_near_dup_pairs(
         .withColumn("cosine", F.round(cosine_arrow("emb_a", "emb_b"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.35,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup semantic near-dup pruning (Abbas et al. 2023,
+    arXiv:2303.09540) over an arbitrary DataFrame: assign every
+    embedding to its nearest centroid (hash-stride seed vectors; k and
+    the stride derive from the corpus row count via
+    `semdedup_params` — constant per-cluster occupancy, linear pair
+    volume), then within each cluster drop any row that has a
+    SMALLER-id partner at cosine >= threshold. Returns (id_col,
+    cluster_id = seed id, cos_c, is_kept). The single implementation
+    behind x_semdedup_prune.
+
+    `n_rows` should be the corpus row count (a catalog statistic in
+    production — the registered query reads the parquet footer); when
+    None, ONE count() job derives it. Requires a numeric id column
+    (the seed rule is id % stride == 0)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from engage_spark.queries.llm_similarity import cosine_arrow
+
+    spark = df.sparkSession
+    if n_rows is None:
+        n_rows = df.count()
+    _, stride = semdedup_params(n_rows)
+    # bounded collect: k = ceil(n/occupancy) seed rows (budget stated
+    # in semdedup_params' docstring)
+    cents = sorted(
+        (r[0], r[1])
+        for r in df.filter(F.col(id_col) % stride == 0)
+        .select(id_col, emb_col).collect()
+    )
+    c_ids = np.array([sid for sid, _ in cents], dtype=np.int64)
+    c_mat = np.array([c for _, c in cents], dtype=np.float64)
+    c_norm = np.sqrt((c_mat ** 2).sum(axis=1))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    @pandas_udf("struct<cluster_id: long, cos_c: double>")
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        ids, mat, cn = bc.value
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb]) \
+            if len(emb) else np.zeros((0, mat.shape[1]))
+        vn = np.sqrt((m * m).sum(axis=1))
+        vn[vn == 0] = 1.0
+        cos = (m @ mat.T) / np.outer(vn, cn)
+        idx = np.argmax(cos, axis=1)  # ties: first = smallest seed id
+        return pd.DataFrame({
+            "cluster_id": ids[idx],
+            "cos_c": cos[np.arange(len(idx)), idx],
+        })
+
+    # materialize the assignment ONCE for its three consumers
+    a = (
+        df.select(F.col(id_col), F.col(emb_col), assign(emb_col).alias("s"))
+        .select(id_col, emb_col, "s.cluster_id", "s.cos_c")
+        .localCheckpoint()
+    )
+    lhs = a.select(
+        F.col(id_col).alias("vb"), F.col("cluster_id").alias("cb"),
+        F.col(emb_col).alias("eb"),
+    )
+    rhs = a.select(
+        F.col(id_col).alias("va"), F.col("cluster_id").alias("ca"),
+        F.col(emb_col).alias("ea"),
+    )
+    drops = (
+        lhs.join(rhs, (F.col("cb") == F.col("ca")) & (F.col("va") < F.col("vb")))
+        .filter(cosine_arrow("ea", "eb") >= threshold)
+        .select(F.col("vb").alias(id_col))
+        .distinct()
+    )
+    return (
+        a.join(drops.withColumn("d", F.lit(1)), on=id_col, how="left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.round(F.col("cos_c") + 1e-9, 6).alias("cos_c"),
+            F.when(F.col("d").isNull(), 1).otherwise(0).alias("is_kept"),
+        )
     )
 
 

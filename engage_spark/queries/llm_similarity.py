@@ -127,7 +127,8 @@ def _hd2_flips(p: int) -> list[int]:
 
 def lsh_bucket(emb_col: str, n_planes: int = _N_PLANES) -> F.Column:
     """Sign-bit bucket id (0..2^n_planes-1) of an array<float> column,
-    over the first n_planes rows of the shared plane table."""
+    over the first n_planes rows of the shared plane table — pure JVM
+    codegen expressions (one interpreted dot per plane)."""
     bucket = F.lit(0)
     for j, plane in enumerate(_planes(_MAX_PLANES)[:n_planes]):
         p = F.array(*[F.lit(v) for v in plane])
@@ -138,6 +139,43 @@ def lsh_bucket(emb_col: str, n_planes: int = _N_PLANES) -> F.Column:
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_arrow(emb_col: str, n_planes: int) -> F.Column:
+    """The same sign-bit bucket as an Arrow-batched kernel: one
+    (batch x dim) @ (dim x P) BLAS gemm per Arrow batch, then sign-bit
+    packing — for plane counts where P interpreted aggregate/zip_with
+    dots per row lose to a single matrix product (same trade as
+    nd_band_keys_column). Kernel parity with the JVM path is
+    pytest-pinned (a sign flip would need a dot within float-epsilon
+    of 0.0, impossible on continuous data)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    mat = np.array(_planes(_MAX_PLANES)[:n_planes], dtype=np.float64).T
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("long")
+    def _bucket(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (m @ mat) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return _bucket(F.col(emb_col))
+
+
+def lsh_bucket_auto(emb_col: str, n_planes: int) -> F.Column:
+    """JVM expressions under the shared plane budget, Arrow gemm above
+    it — the same auto-switch nd_band_keys_column applies (the driver
+    corpora sit at P=4-5, so the oracle-checked path stays Python-free;
+    corpus-scale P approaches _MAX_PLANES and takes the gemm)."""
+    if n_planes <= _ND_JVM_PLANE_BUDGET_SEARCH:
+        return lsh_bucket(emb_col, n_planes)
+    return lsh_bucket_arrow(emb_col, n_planes)
+
+
+_ND_JVM_PLANE_BUDGET_SEARCH = 16  # mirrors _ND_JVM_PLANE_BUDGET
 
 
 # x3b's full oracle (added r6 — the "probe expansion isn't SQL" claim
@@ -232,12 +270,12 @@ def x3b_lsh_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        lsh_bucket("embedding", n_planes).alias("bucket"),
+        lsh_bucket_auto("embedding", n_planes).alias("bucket"),
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        lsh_bucket("embedding", n_planes).alias("qbucket"),
+        lsh_bucket_auto("embedding", n_planes).alias("qbucket"),
     )
     flips = _hd2_flips(n_planes)
     probes = q.select(
@@ -532,7 +570,9 @@ def x_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nearest centroid, then within each cluster drop any vector
     that has a SMALLER-id partner at cosine >= 0.35 — keep-first
     semantic dedup. Output: (vec_id, cluster_id = seed vec_id, cos_c
-    to the centroid, is_kept).
+    to the centroid, is_kept). Delegates to api.semdedup_prune (the
+    arbitrary-DataFrame facade) with the corpus row count read from
+    the parquet footer.
 
     Scale design (the SemDeDup point): clustering is what makes
     semantic dedup tractable — pair generation is a self-join on
@@ -541,78 +581,19 @@ def x_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     so per-cluster occupancy, and therefore pair volume per row, stays
     CONSTANT as the corpus grows; a fixed k (the first cut of this
     operator used the 10-label quantizer) re-grows occupancy linearly
-    and the pair join quadratically. Plan: the k x dim centroid table
-    collects once (bounded: k rows, stated budget in semdedup_params)
-    and ships as a broadcast read by an Arrow-batched assignment
-    kernel (one gemm per batch); the assignment materializes ONCE
-    (localCheckpoint) for its three consumers; the pair verify runs
-    through the Arrow-vectorized cosine (cosine_arrow — the large
-    candidate set is exactly its use case); the corpus shuffles once
-    on cluster_id and once on vec_id. Ties in the argmax break toward
-    the smaller seed id on both engines (seeds pre-sorted, argmax
-    takes the first maximum)."""
-    from pyspark.sql.pandas.functions import pandas_udf
+    and the pair join quadratically — the r6 bench measured 11.98 s
+    vs 1.3 s at sf0.1. Plan: k x dim seed table collects once
+    (bounded), broadcast to an Arrow gemm assignment kernel
+    materialized ONCE (localCheckpoint) for its three consumers; the
+    pair verify is the Arrow-vectorized cosine; the corpus shuffles
+    once on cluster_id and once on vec_id. Measured 1.42x at 10x /
+    9.9x at 100x (scripts/measure_semdedup_scaling.py)."""
+    from engage_spark.api import semdedup_prune
 
     e = table(spark, sf_dir, "embeddings")
-    dim = _embedding_dim(sf_dir)
-    _, stride = semdedup_params(_corpus_rows(sf_dir))
-    # bounded collect: k = ceil(n/_SEMD_OCC) seed rows (budget in
-    # semdedup_params docstring)
-    cents = sorted(
-        (r.vec_id, r.embedding)
-        for r in e.filter(F.col("vec_id") % stride == 0)
-        .select("vec_id", "embedding").collect()
-    )
-    c_labels = np.array([sid for sid, _ in cents], dtype=np.int64)
-    c_mat = np.array([c for _, c in cents], dtype=np.float64)
-    c_norm = np.sqrt((c_mat ** 2).sum(axis=1))
-    bc = spark.sparkContext.broadcast((c_labels, c_mat, c_norm))
-
-    @pandas_udf("struct<cluster_id: long, cos_c: double>")
-    def assign(emb: pd.Series) -> pd.DataFrame:
-        labels, mat, cn = bc.value
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in emb]) \
-            if len(emb) else np.zeros((0, mat.shape[1]))
-        vn = np.sqrt((m * m).sum(axis=1))
-        vn[vn == 0] = 1.0
-        cos = (m @ mat.T) / np.outer(vn, cn)
-        idx = np.argmax(cos, axis=1)  # ties: first = smallest seed id
-        return pd.DataFrame({
-            "cluster_id": labels[idx],
-            "cos_c": cos[np.arange(len(idx)), idx],
-        })
-
-    # materialize the assignment ONCE: three consumers (both pair-join
-    # sides + the final keep-mark) would otherwise each re-run the
-    # gemm kernel over the corpus — localCheckpoint is the same
-    # share-a-subplan idiom the clustering rounds use
-    a = (
-        e.select("vec_id", "embedding", assign("embedding").alias("s"))
-        .select("vec_id", "embedding", "s.cluster_id", "s.cos_c")
-        .localCheckpoint()
-    )
-    lhs = a.select(
-        F.col("vec_id").alias("vb"), F.col("cluster_id").alias("cb"),
-        F.col("embedding").alias("eb"),
-    )
-    rhs = a.select(
-        F.col("vec_id").alias("va"), F.col("cluster_id").alias("ca"),
-        F.col("embedding").alias("ea"),
-    )
-    drops = (
-        lhs.join(rhs, (F.col("cb") == F.col("ca")) & (F.col("va") < F.col("vb")))
-        .filter(cosine_arrow("ea", "eb") >= _SEMD_COS)
-        .select(F.col("vb").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        a.join(drops.withColumn("d", F.lit(1)), on="vec_id", how="left")
-        .select(
-            "vec_id",
-            "cluster_id",
-            F.round(F.col("cos_c") + 1e-9, 6).alias("cos_c"),
-            F.when(F.col("d").isNull(), 1).otherwise(0).alias("is_kept"),
-        )
+    return semdedup_prune(
+        e, id_col="vec_id", emb_col="embedding",
+        threshold=_SEMD_COS, n_rows=_corpus_rows(sf_dir),
     )
 
 

@@ -408,3 +408,37 @@ def test_span_dedup_identity_when_all_spans_unique(spark):
     by = out.set_index("uid").cleaned_text.to_dict()
     for i in range(8):
         assert by[i] == f"w{i}a w{i}b w{i}c w{i}d w{i}e"
+
+
+def test_semdedup_prune_custom_columns(spark):
+    """api.semdedup_prune on an arbitrary frame: two planted identical
+    vectors (cosine 1.0) must collapse to the smaller id within their
+    cluster; orthogonal vectors survive. Custom id/embedding names."""
+    import math
+
+    from engage_spark import api
+
+    dim = 8
+    def unit(axis):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+    rows = [
+        (0, unit(0)),
+        (1, unit(0)),               # identical to 0 -> pruned
+        (2, unit(1)),               # orthogonal -> kept
+        (3, [x / math.sqrt(dim) for x in [1.0] * dim]),  # diffuse -> kept
+    ]
+    df = spark.createDataFrame(rows, ["item_id", "vec"])
+    out = {
+        r.item_id: (r.is_kept, r.cluster_id)
+        for r in api.semdedup_prune(
+            df, id_col="item_id", emb_col="vec", threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0][0] == 1            # keeper of the identical pair
+    # 0 and 1 share a cluster (identical vectors -> same nearest seed);
+    # 1 has the smaller-id partner 0 above threshold -> pruned
+    assert out[1] == (0, out[0][1])
+    assert out[2][0] == 1 and out[3][0] == 1

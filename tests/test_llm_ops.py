@@ -754,3 +754,24 @@ def test_cosine_arrow_handles_ragged_and_zero_norm(spark):
     n_arrow = df.filter(cosine_arrow("a", "b") >= 0.5).count()
     n_jvm = df.filter(cosine_expr("a", "b") >= 0.5).count()
     assert n_arrow == n_jvm == 1
+
+
+def test_search_lsh_bucket_kernels_agree(spark, sf_dir):
+    """The JVM-expression and Arrow-gemm sign-bit bucket kernels must
+    produce identical buckets at any plane count (lsh_bucket_auto
+    switches between them on the plane budget; a divergence would split
+    the bucket space between corpus and queries silently)."""
+    from engage_spark.io import table
+    from engage_spark.queries.llm_similarity import (
+        lsh_bucket,
+        lsh_bucket_arrow,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    for p in (5, 16, 24):
+        both = e.select(
+            "vec_id",
+            lsh_bucket("embedding", p).alias("jvm"),
+            lsh_bucket_arrow("embedding", p).alias("arrow"),
+        ).collect()
+        assert all(r.jvm == r.arrow for r in both), f"divergence at P={p}"
