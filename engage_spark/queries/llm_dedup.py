@@ -241,7 +241,11 @@ def x2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X2b — SimHash (64-bit, JVM bit ops)
 
 
-def with_simhash64(docs: DataFrame, text_toks_expr: str = _TOKS_SPARK) -> DataFrame:
+def with_simhash64(
+    docs: DataFrame,
+    text_toks_expr: str = _TOKS_SPARK,
+    token_hash_sql: str = "xxhash64(t)",
+) -> DataFrame:
     """Add a 64-bit `simhash` column: per-token xxhash64 (JVM, codegen),
     then per-bit +1/-1 vote sums and sign-packing as one numpy broadcast
     per document in an Arrow-batched pandas UDF. No shuffle.
@@ -271,18 +275,26 @@ def with_simhash64(docs: DataFrame, text_toks_expr: str = _TOKS_SPARK) -> DataFr
         return pd.Series(out)
 
     return (
-        docs.withColumn("__th", F.expr(f"transform({text_toks_expr}, t -> xxhash64(t))"))
+        docs.withColumn(
+            "__th", F.expr(f"transform({text_toks_expr}, t -> {token_hash_sql})")
+        )
         .withColumn("simhash", _simhash(F.col("__th")))
         .drop("__th")
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    token_hash_sql: str = "xxhash64(t)",
+) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into 4x16-bit
     chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk; wider
     radii caught probabilistically), bucket-join, verify with
     bit_count(a^b). Returns (doc_a, doc_b, hamming)."""
-    sh = with_simhash64(docs).select("doc_id", "simhash")
+    sh = with_simhash64(docs, token_hash_sql=token_hash_sql).select(
+        "doc_id", "simhash"
+    )
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -318,6 +330,67 @@ def x2b_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest cases."""
     docs = spread_small_scan(spark, table(spark, sf_dir, "documents"))
     return simhash_near_pairs(docs)
+
+
+# The md5-hash twin of x2b: same voting/banding/verify pipeline, but
+# the token hash is a 60-bit value DuckDB can also compute
+# (('0x' || substr(md5(tk),1,15))::BIGINT), which makes the ENTIRE
+# SimHash family hash-oracle-able — per-bit votes, sign packing,
+# 16-bit-chunk pigeonhole banding, and the bit_count verify are all
+# reproduced in SQL. 60-bit hashes leave bits 60-63 voting all -1
+# (always unset), so the packed value stays int64-positive on both
+# engines. xxhash64 stays the registered fast path (x2b): one codegen
+# call per token vs md5 + hex parse (~2-3x the hash cost) — this twin
+# exists to pin the family's semantics, the way x3d2 pins BRP.
+_SIMHASH_MD5_TOKEN_SQL = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+
+
+@query(
+    "x2b2_simhash_md5",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, b.b,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th, (SELECT unnest(range(0, 64)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN vote > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+                 AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
+         OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+         OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+         OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+    """,
+    covers=["X2"],
+)
+def x2b2_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5-60bit token hash — the
+    oracle-checkable twin of x2b_simhash_dedup (identical voting,
+    sign-packing, 16-bit-chunk pigeonhole banding, and bit_count
+    verify; only the token hash function differs). The oracle
+    reproduces the full pipeline INCLUDING the banding's lossiness
+    (pairs at hamming 4-8 sharing no chunk are excluded on both
+    sides), so the hash check pins exactly what the banded plan
+    computes, not an idealized all-pairs variant."""
+    docs = spread_small_scan(spark, table(spark, sf_dir, "documents"))
+    return simhash_near_pairs(docs, token_hash_sql=_SIMHASH_MD5_TOKEN_SQL).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,7 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new / changed in round 6
     "x_semdedup_prune",              # new: SemDeDup semantic dedup (full oracle)
+    "x2b2_simhash_md5",              # new: oracle-checkable SimHash twin
     "mm_frame_digest",               # new: frame content oracle (hex twin)
     "mm_resize_digest",              # new: pixel-exact resize oracle (hex twin)
     "mm_byte_histogram",             # oracle added (was rows-only)
