@@ -775,3 +775,24 @@ def test_search_lsh_bucket_kernels_agree(spark, sf_dir):
             lsh_bucket_arrow("embedding", p).alias("arrow"),
         ).collect()
         assert all(r.jvm == r.arrow for r in both), f"divergence at P={p}"
+
+
+def test_simhash_md5_twin_matches_family_semantics(spark, planted):
+    """The md5-hash SimHash twin (x2b2's pipeline) must behave like the
+    xxhash64 family on planted duplicates: identical text -> identical
+    simhash (hamming 0), near-dup within radius, unrelated text apart.
+    Hash values differ across families; the SEMANTICS may not."""
+    from engage_spark.queries.llm_dedup import (
+        _SIMHASH_MD5_TOKEN_SQL,
+        simhash_near_pairs,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(
+            planted, max_hamming=8, token_hash_sql=_SIMHASH_MD5_TOKEN_SQL
+        ).collect()
+    }
+    assert pairs.get((0, 1)) == 0   # identical text, identical hash
+    assert (0, 2) in pairs          # near dup within radius
+    assert (0, 3) not in pairs      # unrelated far apart
