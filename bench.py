@@ -71,6 +71,7 @@ OPTIONAL = [
     "x_mixture_materialize",
     # round 6 additions
     "x_semdedup_prune",
+    "x_line_dedup",
     "x3b_lsh_ann_search",
     "x3c_ivf_ann_search",
     "mm_resize_digest",

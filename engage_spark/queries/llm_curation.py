@@ -359,6 +359,93 @@ def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4-style corpus-frequency line dedup ("remove any line that occurs
+# >= 3 times in the corpus" — the boilerplate filter C4/FineWeb run
+# before span dedup). The synthetic corpus has no newlines, so both
+# sides plant deterministic boilerplate (the x_pii_redact technique):
+# a header line on every doc_id % 4 == 0 and a footer on % 3 == 0 —
+# corpus frequencies far above the threshold — so the operator is
+# exercised on real matches and the oracle plants identical bytes.
+
+_LINE_FREQ_MIN = 3
+_LINE_HEADER = "subscribe to our newsletter for daily updates"
+_LINE_FOOTER = "all rights reserved see legal notice for terms"
+
+
+@query(
+    "x_line_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 4 = 0 THEN '{_LINE_HEADER}' || chr(10)
+                   ELSE '' END)
+             || text
+             || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_LINE_FOOTER}'
+                      ELSE '' END) AS pt
+      FROM documents
+    ),
+    base AS (SELECT doc_id, string_split(pt, chr(10)) AS lines FROM t),
+    lf AS (
+      SELECT line, count(*) AS freq
+      FROM (SELECT unnest(lines) AS line FROM base) GROUP BY line
+    ),
+    blocked AS (SELECT list(line) AS bl FROM lf WHERE freq >= {_LINE_FREQ_MIN}),
+    o AS (
+      SELECT doc_id, len(lines)::BIGINT AS n_lines,
+             list_filter(lines, l -> NOT list_contains(bl, l)) AS kept
+      FROM base, blocked
+    )
+    SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+    FROM o
+    """,
+    covers=["X1", "X4"],
+)
+def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line dedup: split every document into lines,
+    count each distinct line's corpus frequency, strip lines occurring
+    >= 3 times (web boilerplate: navigation, cookie banners,
+    legal footers), and emit per-doc (n_lines, n_kept, cleaned_md5 of
+    the reassembled text) — the C4 boilerplate filter that runs before
+    span-level dedup.
+
+    Scale design: the only corpus-sized shuffle is the line-frequency
+    count, which partial-aggregates map-side (distinct boilerplate
+    lines, not corpus rows, cross the exchange). The blocklist (lines
+    at freq >= 3) reduces to ONE collect_list row that joins
+    back by BROADCAST, and removal + reassembly is a map-only
+    higher-order array filter — document text never shuffles, and no
+    explode of the corpus ever reaches an exchange. The blocklist is
+    bounded by distinct-boilerplate cardinality; for a corpus whose
+    blocklist outgrows a broadcast (hundreds of millions of distinct
+    repeated lines), the fallback is the explode + anti-join form —
+    same result, one more corpus-sized shuffle."""
+    d = table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(_LINE_HEADER), F.lit("\n")))
+        .otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), F.lit(_LINE_FOOTER)))
+        .otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", F.split(planted, "\n").alias("lines"))
+    blocklist = (
+        base.select(F.explode("lines").alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= _LINE_FREQ_MIN)
+        .agg(F.collect_list("line").alias("blocked"))
+    )
+    kept = F.filter("lines", lambda l: ~F.array_contains(F.col("blocked"), l))
+    return base.crossJoin(F.broadcast(blocklist)).select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws("\n", kept)).alias("cleaned_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash-based stratified sampling
 
 # Keep a row iff the first 8 hex chars of md5(doc_id) fall below the

@@ -248,3 +248,16 @@ def test_semdedup_pair_join_is_clustered_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_line_dedup_blocklist_broadcasts(spark, sf_dir):
+    # the C4 line filter's scale contract: the only corpus-sized
+    # exchange is the partial-agg'd line-frequency count; the blocklist
+    # reduces to ONE row that joins back by BROADCAST, and removal +
+    # reassembly is a higher-order array filter — document text never
+    # shuffles and nothing degenerates to a sort-merge or cartesian
+    plan = _plan(spark, sf_dir, "x_line_dedup")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
