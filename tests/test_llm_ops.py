@@ -796,3 +796,79 @@ def test_simhash_md5_twin_matches_family_semantics(spark, planted):
     assert pairs.get((0, 1)) == 0   # identical text, identical hash
     assert (0, 2) in pairs          # near dup within radius
     assert (0, 3) not in pairs      # unrelated far apart
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the derive-params-from-corpus-size rules (the
+# engine-wide pattern every bucketing family uses; SCALE.md). These run
+# driver-side only — no Spark session needed.
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12))
+def test_semdedup_params_bounds(n):
+    from engage_spark.queries.llm_similarity import semdedup_params
+
+    k, stride = semdedup_params(n)
+    assert k >= 4 and stride >= 1
+    # occupancy target: k never undershoots n/96 (pair volume per row
+    # stays bounded by ~96 once past the floor)
+    assert k * 96 >= n
+    # the seed rule yields roughly k seeds: n // stride within a
+    # factor-2 band of k (integer floors)
+    if n >= 4 * 96:
+        assert k <= n // stride + 1 <= 2 * k + 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12))
+def test_ivf_params_bounds(n):
+    import math
+
+    from engage_spark.queries.llm_similarity import ivf_params
+
+    nlist, nprobe, stride = ivf_params(n)
+    assert nlist >= 4 and nprobe >= 3 and stride >= 1
+    assert nlist >= math.isqrt(n)  # never coarser than sqrt(n)
+    assert nprobe <= max(3, math.ceil(math.log2(nlist)))
+    # probed fraction nprobe/nlist shrinks with n: sub-linear per-query
+    # candidates once past the floors
+    if n >= 10**6:
+        assert nprobe / nlist < 0.02
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12))
+def test_search_planes_count_bounds(n):
+    from engage_spark.queries.llm_similarity import search_planes_count
+
+    p = search_planes_count(n)
+    assert 4 <= p <= 24
+    # bucket space tracks n/96 between the clamps: occupancy stays
+    # within a factor-2 band of the target
+    if 96 * 2**4 <= n <= 96 * 2**24:
+        assert 2 ** (p - 1) < n / 96 <= 2 ** p
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=10**11))
+def test_param_rules_monotone(n):
+    """All four rules are monotone non-decreasing in n — a larger
+    corpus never gets a coarser configuration."""
+    from engage_spark.queries.llm_similarity import (
+        ivf_params,
+        lsh_banding_params,
+        search_planes_count,
+        semdedup_params,
+    )
+
+    n2 = n * 2
+    assert semdedup_params(n2)[0] >= semdedup_params(n)[0]
+    assert ivf_params(n2)[0] >= ivf_params(n)[0]
+    assert search_planes_count(n2) >= search_planes_count(n)
+    b1, r1 = lsh_banding_params(n)
+    b2, r2 = lsh_banding_params(n2)
+    assert (b2, r2) >= (b1, r1)
