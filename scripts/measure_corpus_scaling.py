@@ -96,7 +96,35 @@ def main() -> None:
         "tfidf_terms": lambda d: _tfidf_terms(d),
         "incremental_dedup": lambda d: _incremental_dedup(d),
         "mixture_materialize": lambda d: _mixture_materialize(d),
+        "line_dedup (C4 corpus-line filter)": lambda d: _line_dedup(d),
     }
+
+    def _line_dedup(d):
+        # mirror x_line_dedup's plan (planted boilerplate + broadcast
+        # blocklist + map-only array filter)
+        header = "subscribe to our newsletter for daily updates"
+        footer = "all rights reserved see legal notice for terms"
+        planted = F.concat(
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(header), F.lit("\n"))).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("\n"), F.lit(footer))).otherwise(F.lit("")),
+        )
+        base = d.select("doc_id", F.split(planted, "\n").alias("lines"))
+        blk = (
+            base.select(F.explode("lines").alias("line"))
+            .groupBy("line").agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") >= 3)
+            .agg(F.collect_list("line").alias("blocked"))
+        )
+        kept = F.filter("lines", lambda l: ~F.array_contains(F.col("blocked"), l))
+        return base.crossJoin(F.broadcast(blk)).select(
+            "doc_id",
+            F.size("lines").cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.md5(F.concat_ws("\n", kept)).alias("cleaned_md5"),
+        )
 
     def _incremental_dedup(d):
         # mirror x_incremental_dedup's plan
