@@ -876,7 +876,72 @@ def nd_band_keys_column(df, emb_col: str, bands: int, rows: int, dim: int):
     return _band_keys(emb_col)
 
 
-@query("x_embed_lsh_neardup_pairs", oracle=None, covers=["X2", "X3"])
+# x_embed_lsh_neardup_pairs' full oracle (added r6 — the flagship
+# near-dup operator's hash family turned out to be SQL-expressible
+# after all, with the x3b techniques): the banding planes are the same
+# prefix-stable LCG literal table, and lsh_banding_params is a pure
+# function of the corpus row count, so the twin derives (bands, rows)
+# from count(*), recomputes every per-band sign-bit key over the
+# inlined plane table, bucket-joins per band, dedupes candidate pairs,
+# and applies the same round-then-threshold exact-cosine verify.
+# ORACLE DOMAIN: the inlined table carries 48 planes = enough for
+# bands*rows at any corpus below ~35k vectors (rows=8, bands=6);
+# driver (500) and pytest (50) scales sit far inside. The Spark side
+# is unlimited (planes generate on demand). Python round() is
+# banker's vs DuckDB's half-away-from-zero — they differ only when
+# log2(n/96) lands EXACTLY on .5, which no integer n produces.
+_ND_ORACLE_PLANES = 48
+_ND_PLANE_ROWS = ",\n".join(
+    "({}, [{}])".format(j, ", ".join(repr(v) for v in row))
+    for j, row in enumerate(_planes(_ND_ORACLE_PLANES))
+)
+
+
+@query(
+    "x_embed_lsh_neardup_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    prm AS (
+      SELECT greatest({_ND_ROWS}, round(log2(count(*) / {_ND_TARGET_OCCUPANCY}.0))::BIGINT)
+                 AS rws,
+             greatest({_ND_BANDS},
+                 greatest({_ND_ROWS}, round(log2(count(*) / {_ND_TARGET_OCCUPANCY}.0))::BIGINT) - 2)
+                 AS bnds
+      FROM t
+    ),
+    planes(j, p) AS (VALUES {_ND_PLANE_ROWS}),
+    keys AS (
+      SELECT t.vec_id, (planes.j // prm.rws) AS band,
+             sum(CASE WHEN list_sum(list_transform(range(1, len(t.e)+1),
+                          i -> t.e[i]*planes.p[i])) > 0
+                      THEN 1 << (planes.j % prm.rws) ELSE 0 END)::BIGINT AS key
+      FROM t, planes, prm
+      WHERE planes.j < prm.bnds * prm.rws
+      GROUP BY t.vec_id, (planes.j // prm.rws)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM keys a JOIN keys b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             round(list_sum(list_transform(range(1, len(ea.e)+1),
+                                           i -> ea.e[i]*eb.e[i]))
+                   / (sqrt(list_sum(list_transform(ea.e, x->x*x)))
+                      * sqrt(list_sum(list_transform(eb.e, x->x*x)))), 6)
+                 AS cosine
+      FROM cand c
+      JOIN t ea ON ea.vec_id = c.vec_a
+      JOIN t eb ON eb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {_ND_COS}
+    """,
+    covers=["X2", "X3"],
+)
 def x_embed_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs WITHOUT a blocking key: banded
     hyperplane LSH generates candidates, exact cosine verifies at the
@@ -892,8 +957,10 @@ def x_embed_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall-clock at 10× data, vs 1.6× once rows grows with log2(n)
     (SCALE.md). At the recall-pytest scale the derived params equal
     the calibrated (4, 4). Recall vs the exact pairs is asserted in
-    pytest; rows-only under the driver (hash family not
-    SQL-expressible)."""
+    pytest; FULL DuckDB oracle since r6 (the hash family IS
+    SQL-expressible — see the oracle comment; banding params derive
+    from count(*) on both sides, candidate sets and rounded cosines
+    match exactly at both driver scales)."""
     from engage_spark.api import embed_lsh_near_dup_pairs
 
     e = table(spark, sf_dir, "embeddings")
