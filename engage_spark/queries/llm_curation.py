@@ -187,10 +187,11 @@ def connected_components_star(
 
 _CC_EDGE_THRESHOLD = 0.5
 
-
-@query(
-    "x_dedup_components",
-    oracle=f"""
+# shared by x_dedup_components (min-label propagation) and
+# x_dedup_components_star (large/small-star): both run on the SAME
+# exact trigram-Jaccard edge set and must produce the SAME components,
+# so one recursive-CTE transitive closure oracles both algorithms.
+_CC_EXACT_ORACLE = f"""
     WITH RECURSIVE
     t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
     s AS (SELECT doc_id, lang, {_shingles_duck(3)} AS sh FROM t),
@@ -209,9 +210,29 @@ _CC_EDGE_THRESHOLD = 0.5
     SELECT node AS doc_id, min(reach)::BIGINT AS component_id,
            CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS is_keeper
     FROM walk GROUP BY node
-    """,
-    covers=["X2"],
-)
+    """
+
+
+def _exact_trigram_edges(d: DataFrame) -> DataFrame:
+    """Lang-blocked exact trigram-Jaccard >= threshold edge set — the
+    ground-truth edges both clustering-algorithm queries consume."""
+    sdf = d.select("doc_id", "lang", F.expr(_TOKS_SPARK).alias("__toks")).select(
+        "doc_id", "lang", _shingles_spark(3, "__toks").alias("sh")
+    )
+    a = sdf.select(F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a"))
+    b = sdf.select(F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= _CC_EDGE_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+@query("x_dedup_components", oracle=_CC_EXACT_ORACLE, covers=["X2"])
 def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: trigram-Jaccard >= 0.5 pairs (lang-blocked,
     same ground truth as x_ngram_jaccard_pairs) become edges; connected
@@ -221,20 +242,7 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (there the edges come from MinHash-LSH instead of the exact join).
     Oracle = DuckDB recursive CTE transitive closure."""
     d = table(spark, sf_dir, "documents")
-    s = d.select("doc_id", "lang", F.expr(_TOKS_SPARK).alias("__toks")).select(
-        "doc_id", "lang", _shingles_spark(3, "__toks").alias("sh")
-    )
-    a = s.select(F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a"))
-    b = s.select(F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    ).cast("double")
-    edges = (
-        a.join(b, on="lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(jac >= _CC_EDGE_THRESHOLD)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    edges = _exact_trigram_edges(d)
     comp = connected_components(d.select("doc_id"), edges, node_col="doc_id")
     return comp.select(
         F.col("node").alias("doc_id"),
@@ -268,21 +276,21 @@ def x_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_dedup_components_star", oracle=None, covers=["X2"])
+@query("x_dedup_components_star", oracle=_CC_EXACT_ORACLE, covers=["X2"])
 def x_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering via large-star/small-star over MinHash-LSH
-    candidate edges — the variant whose round count is O(log² n)
-    instead of O(graph diameter), for corpora whose duplicate graphs
-    chain (forum quotes, boilerplate mutations) rather than cluster
-    star-shaped. Same contract as the other clustering queries;
-    agreement with min-label propagation is pytest-asserted on planted,
-    path, and random graphs."""
-    from engage_spark.queries.llm_dedup import minhash_candidate_pairs
-
+    """Near-dup clustering via large-star/small-star — the variant
+    whose round count is O(log² n) instead of O(graph diameter), for
+    corpora whose duplicate graphs chain (forum quotes, boilerplate
+    mutations) rather than cluster star-shaped. Runs on the SAME exact
+    trigram-Jaccard edges as x_dedup_components (upgraded r6 from
+    rows-only-on-LSH-edges): components are edge-set + algorithm
+    functions, so both algorithm queries share ONE recursive-CTE
+    oracle and the STAR ALGORITHM itself now has a hard hash check
+    (previously only pytest parity on planted/path/random graphs —
+    those remain). The LSH-fed scale path stays registered as
+    x_dedup_components_lsh."""
     d = table(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(
-        d, jaccard_threshold=_CC_EDGE_THRESHOLD
-    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = _exact_trigram_edges(d)
     comp = connected_components_star(d.select("doc_id"), edges, node_col="doc_id")
     return comp.select(
         F.col("node").alias("doc_id"),

@@ -64,6 +64,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_semdedup_prune",              # new: SemDeDup semantic dedup (full oracle)
     "x2b2_simhash_md5",              # new: oracle-checkable SimHash twin
     "x_line_dedup",                  # new: C4 corpus-frequency line dedup
+    "x_dedup_components_star",       # oracle added (star algo on exact edges)
     "mm_frame_digest",               # new: frame content oracle (hex twin)
     "mm_resize_digest",              # new: pixel-exact resize oracle (hex twin)
     "mm_byte_histogram",             # oracle added (was rows-only)
@@ -104,7 +105,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_gopher_repetition",
     "x_dedup_components",
     "x_dedup_components_lsh",
-    "x_dedup_components_star",
     "x_pii_redact",
     "x_hash_sample_stratified",
     "x_mixture_plan",
