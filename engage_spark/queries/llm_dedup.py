@@ -393,6 +393,146 @@ def x2b2_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The md5-hash twin of x2: MinHash banding whose ENTIRE pipeline —
+# shingle hashing, the 32-permutation signature, 8x4 banding, bucket
+# join, and the exact hash-set-Jaccard verify — is reproducible in
+# DuckDB SQL. Two deliberate differences from the xxhash fast path,
+# both for SQL exactness: (1) shingle hashes are md5-32bit
+# (('0x'||substr(md5,1,8))::BIGINT); (2) the permutation family uses
+# OVERFLOW-FREE coefficients a,b < 2^31 over p = 2^61-1 (a*h+b < 2^63
+# fits BIGINT exactly on both engines — the fast path's uint64
+# wrap-around multiply has no DuckDB equivalent), and band keys are
+# the plain '|'-joined signature tuples instead of an xxhash of them
+# (hashing band keys only compresses bytes, never changes semantics).
+# xxhash64 stays the registered fast path (x2); this twin pins the
+# MinHash family the way x2b2 pins SimHash and the r6 oracles pin the
+# hyperplane family — every hash family now has a hash-checked member.
+
+_MH32_P = (1 << 61) - 1
+_MH32_BAND_ROWS = 4
+_MH32_BANDS = 8
+
+
+def _mh32_coefs(k: int = 32) -> list[tuple[int, int]]:
+    """Deterministic LCG-drawn permutation coefficients, a odd < 2^31,
+    b < 2^31 — inlined as literals in the oracle SQL."""
+    x = 0x2545F4914F6CDD1D
+    out = []
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x >> 33) | 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x >> 33
+        out.append((a, b))
+    return out
+
+
+_MH32_COEFS = _mh32_coefs()
+_MH32_SIG_SQL = ",\n           ".join(
+    f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MH32_P})) AS s{j}"
+    for j, (a, b) in enumerate(_MH32_COEFS)
+)
+_MH32_KEY_SQL = ",\n           ".join(
+    "concat_ws('|', "
+    + ", ".join(f"s{bi*_MH32_BAND_ROWS+r}" for r in range(_MH32_BAND_ROWS))
+    + f") AS k{bi}"
+    for bi in range(_MH32_BANDS)
+)
+_MH32_KEYS_LIST = "[" + ", ".join(f"k{bi}" for bi in range(_MH32_BANDS)) + "]"
+
+
+@query(
+    "x2d_minhash_md5",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (SELECT doc_id, {_shingles_duck(3)} AS sh FROM t),
+    h AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh,
+                 x -> ('0x' || substr(md5(x),1,8))::BIGINT)) AS hs
+      FROM s
+    ),
+    sg AS (SELECT doc_id, hs, {_MH32_SIG_SQL} FROM h),
+    bk AS (SELECT doc_id, hs, {_MH32_KEY_SQL} FROM sg),
+    bands AS (
+      SELECT doc_id, hs, i - 1 AS band, {_MH32_KEYS_LIST}[i] AS key
+      FROM bk, range(1, {_MH32_BANDS}+1) r(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(ha.hs, hb.hs))
+                   / len(list_distinct(ha.hs || hb.hs))::DOUBLE, 6) AS jaccard
+      FROM cand c
+      JOIN h ha ON ha.doc_id = c.doc_a
+      JOIN h hb ON hb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
+    """,
+    covers=["X2"],
+)
+def x2d_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the md5-32bit hash family — the
+    oracle-checkable twin of x2_minhash_lsh_dedup (identical shingling,
+    banding shape, bucket join, and exact-Jaccard verify; only the hash
+    functions differ — see the module comment above for why). The
+    signature arithmetic runs as 32 JVM array_min/transform
+    expressions: interpreted, which is fine at the oracle-checked
+    scales this twin exists for; the xxhash fast path keeps the numpy
+    signature kernel for corpus-scale throughput."""
+    d = spread_small_scan(spark, table(spark, sf_dir, "documents"))
+    hashed = (
+        d.select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
+        .select("doc_id", _shingles_spark(3, "__toks").alias("__sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(__sh, "
+                "s -> cast(conv(substr(md5(s),1,8),16,10) as bigint)))"
+            ).alias("__h"),
+        )
+    )
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(__h, h -> (h * {a}L + {b}L) % {_MH32_P}L)")
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(_MH32_COEFS)
+    ]
+    sigs = hashed.select("doc_id", *sig_cols)
+    band_keys = F.array(*[
+        F.concat_ws("|", *[
+            F.col(f"s{bi*_MH32_BAND_ROWS+r}").cast("string")
+            for r in range(_MH32_BAND_ROWS)
+        ])
+        for bi in range(_MH32_BANDS)
+    ])
+    bands = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    left = bands.select("band", "key", F.col("doc_id").alias("doc_a"))
+    right = bands.select("band", "key", F.col("doc_id").alias("doc_b"))
+    cand = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("ha"))
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("hb"))
+    jac = F.size(F.array_intersect("ha", "hb")) / F.size(
+        F.array_union("ha", "hb")
+    ).cast("double")
+    return (
+        cand.join(ha, on="doc_a")
+        .join(hb, on="doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2c — n-gram Jaccard ground truth (oracle-checked)
 

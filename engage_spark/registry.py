@@ -63,6 +63,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new / changed in round 6
     "x_semdedup_prune",              # new: SemDeDup semantic dedup (full oracle)
     "x2b2_simhash_md5",              # new: oracle-checkable SimHash twin
+    "x2d_minhash_md5",               # new: oracle-checkable MinHash twin
     "x_line_dedup",                  # new: C4 corpus-frequency line dedup
     "x_dedup_components_star",       # oracle added (star algo on exact edges)
     "mm_frame_digest",               # new: frame content oracle (hex twin)
