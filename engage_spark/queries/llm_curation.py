@@ -251,21 +251,30 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH-fed clustering (upgraded r6 from rows-only): the edge set is the
+# md5-family MinHash banding pipeline — itself fully SQL-expressible
+# (llm_dedup._MH32_PAIRS_SQL, the x2d oracle) — so the twin composes
+# that pair SELECT as a CTE and runs the same recursive transitive
+# closure over it (attached at module end, after the llm_dedup
+# import). This oracles the REAL LSH-fed pipeline including the
+# banding's recall misses, not an idealized exact-edge stand-in.
 @query("x_dedup_components_lsh", oracle=None, covers=["X2"])
 def x_dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE path for near-dup clustering: edges come from MinHash-
-    LSH banding (llm_dedup.minhash_candidate_pairs — bucketed, never
-    all-pairs) instead of the exact lang-blocked O(n²) join that backs
-    the oracle query above. Same decision contract: (doc_id,
-    component_id, is_keeper). At 100 TB the exact join is quadratic
-    within a lang block (`en` ≈ most of a crawl); this variant's edge
-    cost is bounded by banding fan-in. Jaccard threshold matches the
-    exact query, so on corpora where LSH recall is 1.0 (e.g. the
-    planted-duplicate tests) the components are identical."""
-    from engage_spark.queries.llm_dedup import minhash_candidate_pairs
+    """The SCALE path for near-dup clustering: edges come from
+    MinHash-LSH banding (bucketed, never all-pairs) instead of the
+    exact lang-blocked O(n²) join that backs the exact-edge queries.
+    Same decision contract: (doc_id, component_id, is_keeper). At
+    100 TB the exact join is quadratic within a lang block (`en` ≈
+    most of a crawl); this variant's edge cost is bounded by banding
+    fan-in. Since r6 the edges use the md5 hash family
+    (llm_dedup.minhash_md5_pairs) so the WHOLE pipeline — banding,
+    verify, closure — carries a full DuckDB oracle; the xxhash fast
+    path remains available via api.minhash_near_dup_pairs for
+    corpus-scale hashing throughput."""
+    from engage_spark.queries.llm_dedup import minhash_md5_pairs
 
     d = table(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(
+    edges = minhash_md5_pairs(
         d, jaccard_threshold=_CC_EDGE_THRESHOLD
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(d.select("doc_id"), edges, node_col="doc_id")
@@ -1154,3 +1163,27 @@ def x_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "copy_idx"
         ),
     )
+
+
+# x_dedup_components_lsh's oracle: the md5-MinHash pair SELECT (shared
+# with x2d_minhash_md5) composed under the same recursive transitive
+# closure the exact-edge clustering queries use.
+from engage_spark.queries.llm_dedup import _MH32_PAIRS_SQL as _MH32_SQL  # noqa: E402
+from engage_spark.registry import REGISTRY as _REG2  # noqa: E402
+
+_REG2["x_dedup_components_lsh"].oracle = f"""
+    WITH RECURSIVE
+    lshp AS ({_MH32_SQL}),
+    sym AS (
+        SELECT doc_a s, doc_b d FROM lshp
+        UNION SELECT doc_b, doc_a FROM lshp
+    ),
+    walk(node, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.node, e.d FROM walk w JOIN sym e ON e.s = w.reach
+    )
+    SELECT node AS doc_id, min(reach)::BIGINT AS component_id,
+           CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS is_keeper
+    FROM walk GROUP BY node
+"""

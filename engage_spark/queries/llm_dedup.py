@@ -440,10 +440,7 @@ _MH32_KEY_SQL = ",\n           ".join(
 )
 _MH32_KEYS_LIST = "[" + ", ".join(f"k{bi}" for bi in range(_MH32_BANDS)) + "]"
 
-
-@query(
-    "x2d_minhash_md5",
-    oracle=f"""
+_MH32_PAIRS_SQL = f"""
     WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
     s AS (SELECT doc_id, {_shingles_duck(3)} AS sh FROM t),
     h AS (
@@ -472,19 +469,15 @@ _MH32_KEYS_LIST = "[" + ", ".join(f"k{bi}" for bi in range(_MH32_BANDS)) + "]"
       JOIN h hb ON hb.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
-    """,
-    covers=["X2"],
-)
-def x2d_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with the md5-32bit hash family — the
-    oracle-checkable twin of x2_minhash_lsh_dedup (identical shingling,
-    banding shape, bucket join, and exact-Jaccard verify; only the hash
-    functions differ — see the module comment above for why). The
-    signature arithmetic runs as 32 JVM array_min/transform
-    expressions: interpreted, which is fine at the oracle-checked
-    scales this twin exists for; the xxhash fast path keeps the numpy
-    signature kernel for corpus-scale throughput."""
-    d = spread_small_scan(spark, table(spark, sf_dir, "documents"))
+    """
+
+
+
+
+def minhash_md5_pairs(d: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """The md5-family MinHash banding pipeline as a reusable edge
+    source (consumed by x2d_minhash_md5 and the LSH-fed clustering
+    twin). Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
     hashed = (
         d.select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
         .select("doc_id", _shingles_spark(3, "__toks").alias("__sh"))
@@ -528,9 +521,27 @@ def x2d_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ha, on="doc_a")
         .join(hb, on="doc_b")
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@query(
+    "x2d_minhash_md5",
+    oracle=_MH32_PAIRS_SQL,
+    covers=["X2"],
+)
+def x2d_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the md5-32bit hash family — the
+    oracle-checkable twin of x2_minhash_lsh_dedup (identical shingling,
+    banding shape, bucket join, and exact-Jaccard verify; only the hash
+    functions differ — see the module comment above for why). The
+    signature arithmetic runs as 32 JVM array_min/transform
+    expressions: interpreted, which is fine at the oracle-checked
+    scales this twin exists for; the xxhash fast path keeps the numpy
+    signature kernel for corpus-scale throughput."""
+    d = spread_small_scan(spark, table(spark, sf_dir, "documents"))
+    return minhash_md5_pairs(d)
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_semdedup_prune",              # new: SemDeDup semantic dedup (full oracle)
     "x2b2_simhash_md5",              # new: oracle-checkable SimHash twin
     "x2d_minhash_md5",               # new: oracle-checkable MinHash twin
+    "x_dedup_components_lsh",        # oracle added (md5-LSH edges + closure)
     "x_line_dedup",                  # new: C4 corpus-frequency line dedup
     "x_dedup_components_star",       # oracle added (star algo on exact edges)
     "mm_frame_digest",               # new: frame content oracle (hex twin)
@@ -105,7 +106,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_text_sentiment",
     "x_gopher_repetition",
     "x_dedup_components",
-    "x_dedup_components_lsh",
     "x_pii_redact",
     "x_hash_sample_stratified",
     "x_mixture_plan",
