@@ -280,6 +280,105 @@ _MLLIB_SW_SQL = ", ".join(
 )
 
 
+_TFIDF_NF = 1 << 12  # HashingTF bucket count (shared with the md5 twin)
+
+
+@query(
+    "x4c_tfidf_md5",
+    # The weighting half of the TF-IDF pipeline made oracle-checkable
+    # (x4_tfidf_terms already pins the tokenize/stopword half): the
+    # murmur3 hashing trick is swapped for md5-mod-N buckets, which
+    # DuckDB computes too, and everything else — term counting into
+    # buckets, MLlib's idf = ln((n+1)/(df+1)), tf*idf, per-doc max —
+    # is exact double arithmetic on both engines. Oracle = the full
+    # pipeline in SQL over the same Java-split/stopword twin as
+    # x4_tfidf_terms.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             rtrim(lower(text), ' ' || chr(9) || chr(10) || chr(11)
+                                    || chr(12) || chr(13)) AS rt
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN length(text) > 0 AND length(rt) = 0 THEN []::VARCHAR[]
+                  ELSE list_filter(
+                      regexp_split_to_array(rt, '[ \t\n\x0b\f\r]'),
+                      tok -> tok NOT IN ({_MLLIB_SW_SQL})) END AS terms
+      FROM t
+    ),
+    base AS (SELECT doc_id, terms, len(terms)::BIGINT AS n_terms FROM toks),
+    n AS (SELECT count(*) AS nd FROM base),
+    tb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term),1,8))::BIGINT % {_TFIDF_NF} AS bucket
+      FROM (SELECT doc_id, unnest(terms) AS term FROM base)
+    ),
+    tf AS (SELECT doc_id, bucket, count(*) AS tf FROM tb GROUP BY doc_id, bucket),
+    dfx AS (SELECT bucket, count(DISTINCT doc_id) AS df FROM tf GROUP BY bucket),
+    w AS (
+      SELECT tf.doc_id, tf.tf * ln((n.nd + 1.0)/(dfx.df + 1.0)) AS w
+      FROM tf JOIN dfx USING (bucket), n
+    ),
+    agg AS (SELECT doc_id, max(w) AS topw FROM w GROUP BY doc_id)
+    SELECT b.doc_id, b.n_terms,
+           round(coalesce(a.topw, 0.0) + 1e-9, 6) AS top_tfidf
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    """,
+    covers=["X4"],
+)
+def x4c_tfidf_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with md5-mod-N bucket hashing — the oracle-checkable twin
+    of x4_tfidf_pipeline (real MLlib Tokenizer + StopWordsRemover feed
+    a hand-rolled-but-equivalent hashing-TF-IDF whose bucket hash both
+    engines can compute; murmur3 stays the registered MLlib fast
+    path). Same output contract: (doc_id, n_terms, top_tfidf).
+
+    Scale shape: term->bucket is map-side; the tf count and df count
+    partial-aggregate; idf needs ONE scalar (the doc count — a catalog
+    statistic at scale, one count job here) broadcast into the weight
+    expression; per-doc max is the final partial-agg'd shuffle. No
+    Python anywhere."""
+    from pyspark.ml.feature import StopWordsRemover, Tokenizer
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    filtered = StopWordsRemover(inputCol="words", outputCol="terms").transform(toks)
+    base = filtered.select(
+        "doc_id", "terms", F.size("terms").cast("long").alias("n_terms")
+    )
+    # bounded driver scalar: the corpus doc count (catalog statistic)
+    n_docs = base.count()
+    tb = base.select(
+        "doc_id", "n_terms", F.explode_outer("terms").alias("term")
+    ).withColumn(
+        "bucket",
+        F.when(
+            F.col("term").isNotNull(),
+            F.expr(
+                f"cast(conv(substr(md5(term),1,8),16,10) as bigint) % {_TFIDF_NF}"
+            ),
+        ),
+    )
+    tf = tb.groupBy("doc_id", "n_terms", "bucket").agg(
+        F.count(F.when(F.col("bucket").isNotNull(), 1)).alias("tf")
+    )
+    df_tab = (
+        tf.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    w = tf.join(df_tab, "bucket", "left").withColumn(
+        "w", F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1))
+    )
+    return w.groupBy("doc_id", "n_terms").agg(
+        F.round(F.coalesce(F.max("w"), F.lit(0.0)) + 1e-9, 6).alias("top_tfidf")
+    ).select("doc_id", "n_terms", "top_tfidf")
+
+
+
+
 @query(
     "x4_tfidf_terms",
     # Exact SQL twin of Tokenizer + StopWordsRemover term COUNTING:

@@ -65,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x2b2_simhash_md5",              # new: oracle-checkable SimHash twin
     "x2d_minhash_md5",               # new: oracle-checkable MinHash twin
     "x_dedup_components_lsh",        # oracle added (md5-LSH edges + closure)
+    "x4c_tfidf_md5",                 # new: oracle-checkable hashing-TF-IDF twin
     "x_line_dedup",                  # new: C4 corpus-frequency line dedup
     "x_dedup_components_star",       # oracle added (star algo on exact edges)
     "mm_frame_digest",               # new: frame content oracle (hex twin)
