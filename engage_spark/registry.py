@@ -113,6 +113,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_decontaminate",
     "x_length_histogram",
     "mm_frame_sample",
+    # position 51+: rolls to the round-7 window (r3-era rows, re-green
+    # them next round along with the r4-era block)
     "mm_media_metadata",
     "s4_s5_parquet_partitioned_roundtrip",
     "s4b_json_orc_roundtrip",
@@ -120,7 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_rollup_revenue",
     "ext_cube_order_stats",
     "ext_rank_dense_ntile",
-    # position 51+: rolls to the round-7 window
     "ext_range_frame_sum",
 )
 
