@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from engage_spark.io import table
 from engage_spark.registry import query
@@ -254,54 +255,151 @@ def _sir_fit_params(v: np.ndarray) -> tuple[float, float, float]:
     return beta, gamma, i0
 
 
-def _sir_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "event_id"])
-    beta, gamma, i0 = _sir_fit_params(pdf["value"].to_numpy(dtype="float64"))
-    sim = sir_simulate(_SIR_STEPS, _SIR_POP, i0, beta, gamma)
-    uid = pdf["user_id"].iloc[0]
-    return pd.DataFrame(
-        {
-            "user_id": np.full(_SIR_STEPS, uid),
-            "step": np.arange(_SIR_STEPS, dtype="int32"),
-            "susceptible": sim[:, 0],
-            "infected": sim[:, 1],
-            "removed": sim[:, 2],
-        }
-    )
+def sir_discrete_batch(
+    beta: np.ndarray, gamma: float, i0: np.ndarray, pop: float, n_steps: int
+) -> np.ndarray:
+    """Vectorized discrete SIR over B systems at once: state is (B,)
+    arrays, each step one numpy broadcast — interpreter cost O(n_steps)
+    regardless of group count (same batching argument as
+    sir_integrate_batch). Per system BIT-IDENTICAL to sir_simulate
+    (pytest-pinned): every update is the same left-to-right elementwise
+    expression, so IEEE evaluation order per element is unchanged.
+    Returns (B, n_steps, 3) of [S, I, R]."""
+    s = pop - i0.astype("float64")
+    i = i0.astype("float64")
+    r = np.zeros(len(i))
+    out = np.empty((len(i), n_steps, 3))
+    for t in range(n_steps):
+        out[:, t, 0], out[:, t, 1], out[:, t, 2] = s, i, r
+        new_inf = beta * s * i / pop
+        new_rec = gamma * i
+        s, i, r = s - new_inf, i + new_inf - new_rec, r + new_rec
+    return out
 
 
-def _sir_batches(batches):
+def _sir_discrete_param_batches(batches):
     for pdf in batches:
-        outs = []
-        for uid, series in zip(pdf["user_id"], pdf["series"]):
-            v = np.fromiter((s["value"] for s in series), dtype="float64")
-            beta, gamma, i0 = _sir_fit_params(v)
-            sim = sir_simulate(_SIR_STEPS, _SIR_POP, i0, beta, gamma)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "user_id": np.full(_SIR_STEPS, uid),
-                        "step": np.arange(_SIR_STEPS, dtype="int32"),
-                        "susceptible": sim[:, 0],
-                        "infected": sim[:, 1],
-                        "removed": sim[:, 2],
-                    }
-                )
-            )
-        if outs:
-            yield pd.concat(outs)
+        if not len(pdf):
+            continue
+        sim = sir_discrete_batch(
+            pdf["beta"].to_numpy("float64"),
+            0.1,
+            pdf["i0"].to_numpy("float64"),
+            _SIR_POP,
+            _SIR_STEPS,
+        )
+        B = len(pdf)
+        yield pd.DataFrame(
+            {
+                "user_id": np.repeat(pdf["user_id"].to_numpy(), _SIR_STEPS),
+                "step": np.tile(np.arange(_SIR_STEPS, dtype="int32"), B),
+                "susceptible": sim[:, :, 0].ravel(),
+                "infected": sim[:, :, 1].ravel(),
+                "removed": sim[:, :, 2].ravel(),
+            }
+        )
 
 
-@query("k_m4_sir_simulate", oracle=None, covers=["W10", "M4"])
+@query(
+    "k_m4_sir_simulate",
+    # Full oracle (round 7; was rows-only): the discrete SIR step is
+    # DETERMINISTIC ARITHMETIC per t, so a DuckDB recursive CTE replays
+    # the exact recurrence — the same technique as the transitive-
+    # closure oracle (llm_curation.py) and the W9 closed form. The
+    # fitted beta is rounded to 6dp on BOTH sides before the recurrence
+    # (float-sum order across engines differs at ~1e-12; rounding pins
+    # the recurrence inputs bit-identically, after which both engines
+    # run the same IEEE-double expression left-to-right), i0 is a raw
+    # parquet value (exact in both engines). 60 steps * n_groups rows.
+    oracle=f"""
+    WITH RECURSIVE o AS (
+        SELECT user_id, value,
+               row_number() OVER w AS rn,
+               value - lag(value) OVER w AS dv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), p AS (
+        SELECT user_id,
+               sum(CASE WHEN rn <= 30 AND dv > 0 THEN dv ELSE 0.0 END) AS pos,
+               sum(CASE WHEN rn <= 30 AND dv < 0 THEN -dv ELSE 0.0 END) AS neg,
+               max(CASE WHEN rn = 1 THEN value END) AS v0
+        FROM o GROUP BY user_id
+    ), params AS (
+        SELECT user_id,
+               round(least(greatest(
+                   CASE WHEN neg > 0 THEN pos / neg ELSE 2.0 END * 0.1,
+                   0.01), 1.0) + 1e-9, 6) AS beta,
+               greatest(coalesce(v0, 1.0), 1.0) AS i0
+        FROM p
+    ), sim AS (
+        SELECT user_id, 0 AS step,
+               {_SIR_POP} - i0 AS s, i0 AS i, 0.0::DOUBLE AS r, beta
+        FROM params
+        UNION ALL
+        SELECT user_id, step + 1,
+               s - beta * s * i / {_SIR_POP},
+               i + beta * s * i / {_SIR_POP} - 0.1 * i,
+               r + 0.1 * i,
+               beta
+        FROM sim WHERE step < {_SIR_STEPS - 1}
+    )
+    SELECT user_id, step,
+           round(s + 1e-9, 6) AS susceptible,
+           round(i + 1e-9, 6) AS infected,
+           round(r + 1e-9, 6) AS removed
+    FROM sim
+    """,
+    covers=["W10", "M4"],
+)
 def k_m4_sir_simulate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group discrete SIR simulation: parameters fitted from each
-    user's series, 60-step recurrence inside the kernel — the
-    reference's serial `for state:` loop (covid_simulator.py:261-330)
-    parallelized across executors, batched via grouped_series →
-    mapInPandas (many groups per Python call)."""
+    """Per-group discrete SIR simulation — the reference's serial
+    `for state:` loop (covid_simulator.py:261-330) over the discrete
+    recurrence it ships at covid_simulator.py:198-212, parallelized.
+
+    Two stages, both scale-shaped (restructured round 7 to earn a full
+    driver hash check): (1) parameter fitting is pure JVM — one window
+    pass computes first-value / positive-increase sums per user
+    (_sir_fit_params semantics: beta = clip(r0*gamma, 0.01, 1), gamma
+    0.1, i0 = max(v0, 1)), reducing the event table to one 3-double row
+    per group, with beta ROUNDED to 6dp so the oracle's recurrence
+    starts from bit-identical inputs; (2) the 60-step recurrence runs
+    batch-vectorized in mapInPandas (sir_discrete_batch: every step one
+    numpy broadcast over all groups in the Arrow batch — interpreter
+    cost independent of group count). sir_simulate/_sir_fit_params
+    remain the scalar semantic reference (pipelines + parity pytest)."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    return grouped_series(ev, "user_id", ["value"]).mapInPandas(
-        _sir_batches, _SIR_SCHEMA
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+    )
+    p = seq.groupBy("user_id").agg(
+        F.sum(
+            F.when((F.col("rn") <= 30) & (F.col("dv") > 0), F.col("dv")).otherwise(0.0)
+        ).alias("pos"),
+        F.sum(
+            F.when((F.col("rn") <= 30) & (F.col("dv") < 0), -F.col("dv")).otherwise(0.0)
+        ).alias("neg"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v0"),
+    )
+    r0 = F.when(F.col("neg") > 0, F.col("pos") / F.col("neg")).otherwise(F.lit(2.0))
+    params = p.select(
+        "user_id",
+        F.round(
+            F.least(F.greatest(r0 * F.lit(0.1), F.lit(0.01)), F.lit(1.0)) + F.lit(1e-9),
+            6,
+        ).alias("beta"),
+        F.greatest(F.coalesce(F.col("v0"), F.lit(1.0)), F.lit(1.0)).alias("i0"),
+    )
+    out = params.mapInPandas(_sir_discrete_param_batches, _SIR_SCHEMA)
+    return out.select(
+        "user_id",
+        "step",
+        F.round(F.col("susceptible") + F.lit(1e-9), 6).alias("susceptible"),
+        F.round(F.col("infected") + F.lit(1e-9), 6).alias("infected"),
+        F.round(F.col("removed") + F.lit(1e-9), 6).alias("removed"),
     )
 
 
@@ -556,11 +654,6 @@ _FC_ORDER = 7
 _FC_HORIZON = 30
 
 
-# default kernel (AR); the LSTM twin comes from forecast_kernel_fn below
-def _forecast_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    return forecast_kernel_fn(use_lstm=False)(pdf)
-
-
 def lstm_fit_forecast(
     series: np.ndarray, order: int, horizon: int
 ) -> np.ndarray:  # pragma: no cover - TF not in container
@@ -619,34 +712,258 @@ def forecast_kernel_fn(use_lstm: bool = False):
     return _kernel
 
 
-def _forecast_batches(batches):
+def levinson_durbin_batch(r: np.ndarray, k_clip: float = 0.9999) -> np.ndarray:
+    """Yule-Walker AR(p) coefficients from autocovariances, Levinson-
+    Durbin recursion VECTORIZED across B groups: r is (B, p+1) with
+    r[:, 0] the zero-lag sum; returns (B, p) where column j-1 is the
+    coefficient of the j-th most recent value. Every operation is a
+    fixed left-to-right elementwise expression, so given bit-identical
+    r both engines (this kernel and the unrolled SQL twin from
+    _levinson_sql) produce bit-identical coefficients:
+
+      E_0 = r_0 * 1.000001 + 1e-9          (keeps E > 0 for r_0 >= 0)
+      k_m = clip((r_m - sum_{j<m} a_j r_{m-j}) / E_{m-1}, +-k_clip)
+      a'_j = a_j - k_m a_{m-j};  a'_m = k_m;  E_m = E_{m-1} (1 - k_m^2)
+
+    The reflection-coefficient clip bounds the recursion when rounding
+    makes the (sum-based, unnormalized) autocovariance sequence
+    slightly non-PSD — deterministic on both sides, so it cannot break
+    parity."""
+    B, p1 = r.shape
+    p = p1 - 1
+    a = np.zeros((B, p + 1))
+    e = r[:, 0] * 1.000001 + 1e-9
+    for m in range(1, p + 1):
+        acc = np.zeros(B)
+        for j in range(1, m):
+            acc = acc + a[:, j] * r[:, m - j]
+        k = (r[:, m] - acc) / e
+        k = np.minimum(np.maximum(k, -k_clip), k_clip)
+        new_a = a.copy()
+        for j in range(1, m):
+            new_a[:, j] = a[:, j] - k * a[:, m - j]
+        new_a[:, m] = k
+        a = new_a
+        e = e * (1.0 - k * k)
+    return a[:, 1:]
+
+
+def ar_forecast_recursion_batch(
+    a: np.ndarray,
+    h: np.ndarray,
+    mu: np.ndarray,
+    lo_b: np.ndarray,
+    hi_b: np.ndarray,
+    horizon: int,
+) -> np.ndarray:
+    """Recursive multi-step AR forecast, vectorized across B groups:
+    a is (B, p) coefficients, h is (B, p) the most-recent-first
+    DEVIATIONS from mu, each prediction clamps to [lo_b, hi_b] and
+    feeds back into the window (the reference's loop shape,
+    weather_pred.py:352-374). Fixed left-to-right expression order —
+    the bit-exact twin of the recursive-CTE oracle."""
+    B, p = a.shape
+    out = np.empty((B, horizon))
+    for t in range(horizon):
+        d = a[:, 0] * h[:, 0]
+        for j in range(1, p):
+            d = d + a[:, j] * h[:, j]
+        pred = np.minimum(np.maximum(mu + d, lo_b), hi_b)
+        out[:, t] = pred
+        h = np.concatenate([(pred - mu)[:, None], h[:, :-1]], axis=1)
+    return out
+
+
+def _yw_forecast_batches(batches):
     for pdf in batches:
-        outs = []
-        for uid, series in zip(pdf["user_id"], pdf["series"]):
-            v = np.fromiter((s["value"] for s in series), dtype="float64")
-            preds = ar_fit_forecast(v, _FC_ORDER, _FC_HORIZON)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "user_id": np.full(_FC_HORIZON, uid),
-                        "step": np.arange(_FC_HORIZON, dtype="int32"),
-                        "pred": preds,
-                    }
-                )
-            )
-        if outs:
-            yield pd.concat(outs)
+        if not len(pdf):
+            continue
+        r = np.stack(
+            [pdf[f"r{k}"].to_numpy("float64") for k in range(_FC_ORDER + 1)], axis=1
+        )
+        h = np.stack(
+            [pdf[f"h{j}"].to_numpy("float64") for j in range(1, _FC_ORDER + 1)], axis=1
+        )
+        a = levinson_durbin_batch(r)
+        preds = ar_forecast_recursion_batch(
+            a,
+            h,
+            pdf["mu"].to_numpy("float64"),
+            pdf["lo_b"].to_numpy("float64"),
+            pdf["hi_b"].to_numpy("float64"),
+            _FC_HORIZON,
+        )
+        B = len(pdf)
+        yield pd.DataFrame(
+            {
+                "user_id": np.repeat(pdf["user_id"].to_numpy(), _FC_HORIZON),
+                "step": np.tile(np.arange(_FC_HORIZON, dtype="int32"), B),
+                "pred": preds.ravel(),
+            }
+        )
 
 
-@query("k_w11_ar_forecast", oracle=None, covers=["W11", "M3"])
+def _levinson_sql(p: int) -> str:
+    """The unrolled-CTE twin of levinson_durbin_batch: p chained CTE
+    pairs (k_m, then the coefficient/E update), every expression the
+    same left-to-right order as the numpy kernel."""
+    parts = [
+        "lv0 AS (SELECT *, r0 * 1.000001 + 1e-9 AS e0 FROM bounds)",
+        "lv1 AS (SELECT *, least(greatest(r1 / e0, -0.9999), 0.9999) AS k1 FROM lv0)",
+        "cf1 AS (SELECT *, k1 AS a1_1, e0 * (1.0 - k1 * k1) AS e1 FROM lv1)",
+    ]
+    for m in range(2, p + 1):
+        acc = " + ".join(f"a{m-1}_{j} * r{m-j}" for j in range(1, m))
+        parts.append(
+            f"lv{m} AS (SELECT *, least(greatest((r{m} - ({acc})) / e{m-1}, "
+            f"-0.9999), 0.9999) AS k{m} FROM cf{m-1})"
+        )
+        upd = ", ".join(
+            f"a{m-1}_{j} - k{m} * a{m-1}_{m-j} AS a{m}_{j}" for j in range(1, m)
+        )
+        parts.append(
+            f"cf{m} AS (SELECT *, {upd}, k{m} AS a{m}_{m}, "
+            f"e{m-1} * (1.0 - k{m} * k{m}) AS e{m} FROM lv{m})"
+        )
+    return ",\n    ".join(parts)
+
+
+def _yw_oracle_sql(p: int, horizon: int) -> str:
+    """Full DuckDB oracle for k_w11_ar_forecast: windowed stats →
+    unrolled Levinson-Durbin → recursive-CTE forecast recursion."""
+    lags = ", ".join(f"lag(value, {k}) OVER w AS l{k}" for k in range(1, p + 1))
+    rs = ", ".join(
+        f"round(coalesce(sum((value - mu) * (l{k} - mu)), 0.0) + 1e-9, 6) AS r{k}"
+        for k in range(1, p + 1)
+    )
+    hs = ", ".join(
+        f"coalesce(max(CASE WHEN rnd = {j} THEN value END) - max(mu), 0.0) AS h{j}"
+        for j in range(1, p + 1)
+    )
+    a = [f"a{p}_{j}" for j in range(1, p + 1)]
+    hcols = [f"h{j}" for j in range(1, p + 1)]
+    base_dot = " + ".join(f"{aj} * {hj}" for aj, hj in zip(a, hcols))
+    step_terms = [f"{a[0]} * (pred - mu)"] + [
+        f"{a[j]} * h{j}" for j in range(1, p)
+    ]
+    step_dot = " + ".join(step_terms)
+    new_h = ", ".join(
+        ["pred - mu AS h1"] + [f"h{j - 1} AS h{j}" for j in range(2, p + 1)]
+    )
+    carry = "mu, lo_b, hi_b, " + ", ".join(a)
+    return f"""
+    WITH RECURSIVE o AS (
+        SELECT user_id, value,
+               row_number() OVER wd AS rnd,
+               round(avg(value) OVER (PARTITION BY user_id) + 1e-9, 6) AS mu,
+               {lags}
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wd AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+    ), stats AS (
+        SELECT user_id, max(mu) AS mu,
+               round(sum((value - mu) * (value - mu)) + 1e-9, 6) AS r0,
+               {rs},
+               min(value) AS lo, max(value) AS hi,
+               {hs}
+        FROM o GROUP BY user_id
+    ), bounds AS (
+        SELECT *, lo - 5.0 * greatest(hi - lo, 1.0) AS lo_b,
+                  hi + 5.0 * greatest(hi - lo, 1.0) AS hi_b
+        FROM stats
+    ),
+    {_levinson_sql(p)},
+    fc AS (
+        SELECT user_id, {carry}, {", ".join(hcols)},
+               0 AS step,
+               least(greatest(mu + ({base_dot}), lo_b), hi_b) AS pred
+        FROM cf{p}
+        UNION ALL
+        SELECT user_id, {carry}, {new_h},
+               step + 1,
+               least(greatest(mu + ({step_dot}), lo_b), hi_b) AS pred
+        FROM fc WHERE step < {horizon - 1}
+    )
+    SELECT user_id, step, round(pred + 1e-9, 6) AS pred FROM fc
+    """
+
+
+@query(
+    "k_w11_ar_forecast",
+    # Full oracle (round 7; was rows-only). The fit is Yule-Walker
+    # AR(7) solved by Levinson-Durbin — chosen over the OLS fit of
+    # ar_fit_forecast precisely because its linear algebra is a FIXED
+    # sequence of +-*/ steps that unrolls into SQL (an 8x8 lstsq solve
+    # does not). The autocovariance SUMS and the series mean are the
+    # only float-order-sensitive quantities; both sides round them to
+    # 6dp, after which Levinson-Durbin and the 30-step recursion are
+    # bit-identical deterministic arithmetic (same left-to-right order
+    # in the numpy kernel and the generated SQL).
+    oracle=_yw_oracle_sql(_FC_ORDER, _FC_HORIZON),
+    covers=["W11", "M3"],
+)
 def k_w11_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group train → recursive-forecast kernel (the reference's
-    per-location LSTM stage re-expressed): AR(7) fit per user, 30-step
-    recursive forecast, batched via grouped_series → mapInPandas (many
-    groups per Python call). The Keras model itself is available behind
-    forecast_kernel_fn(use_lstm=True) in a TF environment
-    (lstm_fit_forecast)."""
+    per-location LSTM stage, weather_pred.py:352-374, re-expressed;
+    SURVEY §7.3 M3: the model is a hermetic deterministic stand-in —
+    here Yule-Walker AR(7), fully oracle-checkable; ar_fit_forecast
+    keeps the OLS variant for the pipelines and
+    forecast_kernel_fn(use_lstm=True) the Keras model for TF
+    environments).
+
+    Scale shape: (1) sufficient statistics are pure JVM — one window
+    pass (lags 1..7 share a single Window operator) plus one group agg
+    reduces the event table to ONE ~18-double row per group, the only
+    shuffle; autocovariances and the mean are rounded to 6dp so the
+    oracle recurses from bit-identical inputs; (2) Levinson-Durbin +
+    the 30-step recursive forecast run batch-vectorized in mapInPandas
+    (every step one numpy broadcast over all groups in the Arrow
+    batch — interpreter cost O(p^2 + horizon*p) per batch regardless
+    of group count)."""
+    p, horizon = _FC_ORDER, _FC_HORIZON
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    return grouped_series(ev, "user_id", ["value"]).mapInPandas(
-        _forecast_batches, _FC_SCHEMA
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wall = Window.partitionBy("user_id")
+    o = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(wd).alias("rnd"),
+        F.round(F.avg("value").over(wall) + F.lit(1e-9), 6).alias("mu"),
+        *[F.lag("value", k).over(w).alias(f"l{k}") for k in range(1, p + 1)],
+    )
+    dev = F.col("value") - F.col("mu")
+    stats = o.groupBy("user_id").agg(
+        F.max("mu").alias("mu"),
+        F.round(F.sum(dev * dev) + F.lit(1e-9), 6).alias("r0"),
+        *[
+            F.round(
+                F.coalesce(F.sum(dev * (F.col(f"l{k}") - F.col("mu"))), F.lit(0.0))
+                + F.lit(1e-9),
+                6,
+            ).alias(f"r{k}")
+            for k in range(1, p + 1)
+        ],
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("rnd") == j, F.col("value"))) - F.max("mu"),
+                F.lit(0.0),
+            ).alias(f"h{j}")
+            for j in range(1, p + 1)
+        ],
+    )
+    span = F.greatest(F.col("hi") - F.col("lo"), F.lit(1.0))
+    params = stats.select(
+        "user_id",
+        "mu",
+        *[f"r{k}" for k in range(p + 1)],
+        (F.col("lo") - F.lit(5.0) * span).alias("lo_b"),
+        (F.col("hi") + F.lit(5.0) * span).alias("hi_b"),
+        *[f"h{j}" for j in range(1, p + 1)],
+    )
+    out = params.mapInPandas(_yw_forecast_batches, _FC_SCHEMA)
+    return out.select(
+        "user_id", "step", F.round(F.col("pred") + F.lit(1e-9), 6).alias("pred")
     )

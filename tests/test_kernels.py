@@ -143,6 +143,69 @@ def test_ar_deterministic():
 
 
 # ---------------------------------------------------------------------------
+# Batch-vectorized kernel twins (the mapInPandas cores of the oracled
+# registered queries — must match the scalar semantic references)
+
+
+def test_sir_discrete_batch_matches_scalar_bitwise():
+    from engage_spark.queries.kernels import sir_discrete_batch
+
+    beta = np.array([0.3, 0.05, 1.0])
+    i0 = np.array([10.0, 1.0, 250.0])
+    batch = sir_discrete_batch(beta, 0.1, i0, 10_000.0, 60)
+    for b in range(3):
+        scalar = sir_simulate(60, 10_000.0, float(i0[b]), float(beta[b]), 0.1)
+        # bit-identical, not just close: the batch form is the same
+        # left-to-right expression per element (the oracle-parity claim)
+        assert (batch[b] == scalar).all(), b
+
+
+def test_levinson_matches_toeplitz_solve():
+    from engage_spark.queries.kernels import levinson_durbin_batch
+
+    # WELL-CONDITIONED autocovariance sequence (geometric decay, the
+    # AR(1) shape; cond(T) ~ 9): Levinson-Durbin must agree with a
+    # direct Toeplitz solve to within the deterministic 1e-6 E0
+    # stabilizer's effect (which scales with cond(T) — a near-singular
+    # T legitimately diverges from the unstabilized solve)
+    r = np.array([[100.0 * 0.5**k for k in range(8)]])
+    a = levinson_durbin_batch(r)[0]
+    T = np.array([[r[0, abs(i - j)] for j in range(7)] for i in range(7)])
+    direct = np.linalg.solve(T, r[0, 1:8])
+    assert np.allclose(a, direct, rtol=1e-4, atol=1e-6)
+
+
+def test_yw_constant_series_forecasts_mean():
+    from engage_spark.queries.kernels import (
+        ar_forecast_recursion_batch,
+        levinson_durbin_batch,
+    )
+
+    # constant series: all deviations 0 → all autocovariances 0 →
+    # coefficients 0 → the forecast is exactly mu
+    r = np.zeros((1, 8))
+    a = levinson_durbin_batch(r)
+    assert (a == 0).all()
+    h = np.zeros((1, 7))
+    preds = ar_forecast_recursion_batch(
+        a, h, np.array([7.5]), np.array([2.5]), np.array([12.5]), 10
+    )
+    assert (preds == 7.5).all()
+
+
+def test_ar_forecast_recursion_clamps_to_bounds():
+    from engage_spark.queries.kernels import ar_forecast_recursion_batch
+
+    # explosive coefficient: predictions must saturate at hi_b, not blow up
+    a = np.array([[2.0, 0, 0, 0, 0, 0, 0]], dtype="float64")
+    h = np.array([[5.0, 0, 0, 0, 0, 0, 0]], dtype="float64")
+    preds = ar_forecast_recursion_batch(
+        a, h, np.array([10.0]), np.array([0.0]), np.array([40.0]), 30
+    )
+    assert preds.max() <= 40.0 and np.isfinite(preds).all()
+
+
+# ---------------------------------------------------------------------------
 # Spark-side: kernels through applyInPandas match local pandas execution
 
 
