@@ -54,7 +54,9 @@ OPTIONAL = [
     # any sf), which would swamp the throughput signal this headline
     # total exists to track round-over-round.
     "x_curation_pipeline",
-    "x_sequence_packing",
+    # renamed r7 (was x_sequence_packing): the flat exact-order variant
+    # was demoted; the sharded form is the registered primary
+    "x_sequence_packing_exact_order",
     "x_vocab_topk",
     "x_doc_chunking",
     "x_shard_manifest",

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from engage_spark.checkpointing import iter_checkpoint
 from engage_spark.queries.llm_dedup import (
     cosine_expr,
     minhash_candidate_pairs,
@@ -269,10 +270,11 @@ def semdedup_prune(
         })
 
     # materialize the assignment ONCE for its three consumers
-    a = (
+    # (iter_checkpoint: reliable-checkpoint conf flips this to a
+    # fault-tolerant checkpoint-dir write on a real cluster)
+    a = iter_checkpoint(
         df.select(F.col(id_col), F.col(emb_col), assign(emb_col).alias("s"))
         .select(id_col, emb_col, "s.cluster_id", "s.cos_c")
-        .localCheckpoint()
     )
     lhs = a.select(
         F.col(id_col).alias("vb"), F.col("cluster_id").alias("cb"),
@@ -792,8 +794,9 @@ def bpe_train(
     vocabularies too large to collect even pruned: per round, adjacent
     pairs explode map-side weighted by freq, one partial-agg'd shuffle
     ranks them (driver sees exactly 1 row), and the merge applies in
-    an Arrow-batched pandas kernel with localCheckpoint cutting
-    lineage — the connected_components iteration shape. Both paths
+    an Arrow-batched pandas kernel with iter_checkpoint cutting
+    lineage — the connected_components iteration shape (the reliable-
+    checkpoint conf makes each round executor-loss-safe). Both paths
     share `_bpe_merge_word`, and parity between them is pinned by
     pytest."""
     if n_merges <= 0:
@@ -847,7 +850,7 @@ def bpe_train(
 
     from pyspark.sql.pandas.functions import pandas_udf
 
-    wtab = word_freq.select(F.split("w", "").alias("syms"), "freq").localCheckpoint()
+    wtab = iter_checkpoint(word_freq.select(F.split("w", "").alias("syms"), "freq"))
     for rank in range(n_merges):
         pairs = wtab.select(
             "freq",
@@ -880,9 +883,9 @@ def bpe_train(
 
             return _merge
 
-        wtab = wtab.select(
-            _merge_udf(left, right)("syms").alias("syms"), "freq"
-        ).localCheckpoint()
+        wtab = iter_checkpoint(
+            wtab.select(_merge_udf(left, right)("syms").alias("syms"), "freq")
+        )
 
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_freq long"

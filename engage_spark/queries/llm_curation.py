@@ -12,7 +12,9 @@ Scale notes (the 100 TB story):
   - Connected components is iterative min-label propagation — each
     round is one shuffle on node id, O(diameter) rounds (near-dup
     clusters are shallow; 3-5 rounds in practice). Lineage is cut with
-    localCheckpoint per round so the plan doesn't grow unboundedly.
+    iter_checkpoint per round so the plan doesn't grow unboundedly
+    (executor-local by default; the reliable-checkpoint conf writes
+    rounds to a checkpoint dir so 100 TB runs survive executor loss).
   - Sampling/redaction/histograms are map-only expression pipelines —
     no shuffle, whole-stage codegen, no Python in the path.
   - The sampler is HASH-deterministic (md5 threshold), not rand():
@@ -25,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from engage_spark.checkpointing import iter_checkpoint
 from engage_spark.io import spread_small_scan, table
 from engage_spark.queries.llm_dedup import _shingles_duck, _shingles_spark, _TOKS_DUCK, _TOKS_SPARK
 from engage_spark.queries.llm_text import _LANG_MARKERS, _STOPWORDS, _sql_list
@@ -37,6 +40,7 @@ from engage_spark.registry import query
 def connected_components(
     nodes: DataFrame, edges: DataFrame, node_col: str = "node",
     src: str = "src", dst: str = "dst", max_iter: int = 25,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Min-label propagation connected components.
 
@@ -50,14 +54,23 @@ def connected_components(
     small-star variant (same contract); for dedup clusters (shallow,
     star-like around a keeper) plain propagation converges in a few
     rounds, so it is the default.
+
+    Per-round lineage cuts go through iter_checkpoint:
+    reliable_checkpoint=True (or the spark.engage_spark.checkpoint.
+    reliable conf) writes each round to the configured checkpoint dir
+    so a multi-hour 100 TB run survives executor loss; the default
+    localCheckpoint is executor-local (faster, not fault-tolerant).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint()
+    sym = iter_checkpoint(sym.distinct(), reliable_checkpoint)
 
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    ).localCheckpoint()
+    labels = iter_checkpoint(
+        nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("component")
+        ),
+        reliable_checkpoint,
+    )
 
     for _ in range(max_iter):
         nbr_min = (
@@ -70,14 +83,13 @@ def connected_components(
         # detection is a cheap scan of the checkpoint instead of a second
         # join of old vs new labels (which doubled the per-round cost)
         new_comp = F.least(F.col("component"), F.coalesce("nbr_min", "component"))
-        staged = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
+        staged = iter_checkpoint(
+            labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
                 "node",
                 new_comp.alias("new_component"),
                 (new_comp < F.col("component")).cast("int").alias("__chg"),
-            )
-            .localCheckpoint()
+            ),
+            reliable_checkpoint,
         )
         changed = staged.agg(F.sum("__chg")).first()[0] or 0
         labels = staged.select("node", F.col("new_component").alias("component"))
@@ -100,6 +112,7 @@ def connected_components(
 def connected_components_star(
     nodes: DataFrame, edges: DataFrame, node_col: str = "node",
     src: str = "src", dst: str = "dst", max_iter: int = 50,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components — the
     O(log² n)-round algorithm for graphs whose diameter defeats plain
@@ -117,11 +130,11 @@ def connected_components_star(
     propagation variant's while the round count drops from O(diameter)
     to O(log² n). Returns (node, component) like connected_components.
     """
-    e = (
+    e = iter_checkpoint(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable_checkpoint,
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -153,7 +166,7 @@ def connected_components_star(
 
     prev_sig = None
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        e = iter_checkpoint(small_star(large_star(e)), reliable_checkpoint)
         # fixed point: the edge multiset stops changing once every edge
         # is (node -> component root); (count, sum) is a cheap signature
         # and sum(a+b) strictly decreases while any merge remains
@@ -768,7 +781,7 @@ _PACK_BUDGET = 512  # tokens per packed sequence
 
 
 @query(
-    "x_sequence_packing",
+    "x_sequence_packing_exact_order",
     oracle=f"""
     WITH t AS (
         SELECT doc_id, source, len({_TOKS_DUCK})::BIGINT AS n_toks
@@ -788,16 +801,23 @@ _PACK_BUDGET = 512  # tokens per packed sequence
     """,
     covers=["X4"],
 )
-def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for pretraining: documents fill 512-token
-    packs greedily in deterministic (source, doc_id) order — pack_id =
+def x_sequence_packing_exact_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, EXACT-GLOBAL-ORDER variant (renamed from
+    x_sequence_packing in round 7 so nobody mistakes it for the
+    default — the sharded form, x_packed_sequences_sharded, is the
+    primary/scale path): documents fill 512-token packs greedily in
+    deterministic (source, doc_id) order — pack_id =
     floor(start_offset / budget), where start_offset is the exclusive
     running token sum. Greedy sequential fill is the streaming-friendly
     standard (an oversize doc spills its pack; no bin-packing shuffle
     of documents across the corpus); the assignment is one window
     cumsum per source partition — a single shuffle on source, no
     Python. Deterministic: the same corpus packs identically on any
-    cluster layout, so a resumed job continues the same packs."""
+    cluster layout, so a resumed job continues the same packs.
+    THE HAZARD this variant keeps (and the sharded default removes):
+    the cumsum window is one task per source — a handful of sources
+    means a handful of sequential scans, fine for exact-order
+    requirements at modest strata, wrong as the default at 100 TB."""
     from engage_spark.api import sequence_packing
 
     d = table(spark, sf_dir, "documents")
@@ -812,7 +832,7 @@ def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x_packed_sequences",
+    "x_packed_sequences_exact_order",
     oracle=f"""
     WITH t AS (
         SELECT doc_id, source, text, len({_TOKS_DUCK})::BIGINT AS n_toks
@@ -833,13 +853,17 @@ def x_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     covers=["X4"],
 )
-def x_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The materialized training records: each 512-token pack's member
-    documents concatenated in deterministic doc_id order — what
-    actually gets written as a pretraining batch after
-    x_sequence_packing decides membership. Same assignment as the
-    packing query (delegating to api.sequence_packing), then text joins
-    on and one groupBy(source, pack_id) builds the record.
+def x_packed_sequences_exact_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized training records, EXACT-GLOBAL-ORDER variant
+    (renamed from x_packed_sequences in round 7; the sharded form
+    x_packed_sequences_sharded is the primary/scale path — this one
+    keeps the per-source single-task cumsum for exact-order needs):
+    each 512-token pack's member documents concatenated in
+    deterministic doc_id order — what actually gets written as a
+    pretraining batch after the packing assignment decides membership.
+    Same assignment as the packing query (delegating to
+    api.sequence_packing), then text joins on and one
+    groupBy(source, pack_id) builds the record.
 
     Scale: pack assignment moves only (doc_id, source, n_toks); text
     crosses the wire exactly twice — the doc_id join and the pack
@@ -902,7 +926,9 @@ _PACK_SALT = "pack-v1"
     covers=["X4"],
 )
 def x_packed_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB-safe form of x_packed_sequences: packs are built
+    """Sequence packing, THE PRIMARY (100 TB-safe) form since round 7
+    (the exact-global-order variants keep the *_exact_order suffix):
+    packs are built
     within (source, shard_id), where shard_id = md5-hash of the doc_id
     mod 8 (the `_shard_key_cols` delivery scheme). The flat form's
     cumsum window partitions by source only — a handful of sources

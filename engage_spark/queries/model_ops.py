@@ -1,23 +1,22 @@
 """ML / statistical operators (SURVEY.md §2.10, M1-M2, M5-M8).
 
-M5-M7 are pure window/agg pipelines → oracle-checked. M1 (GLM) runs on
-MLlib's GeneralizedLinearRegression. M2 (mixed effects) has no MLlib
+M5-M8 are pure window/agg pipelines → oracle-checked. M1 (GLM) runs on
+MLlib's GeneralizedLinearRegression (rows-only — IRLS is iterative),
+with its distributed data path hash-checked via the
+m1c_glm_design_stats moment twin. M2 (mixed effects) has no MLlib
 equivalent and statsmodels is absent from this container, so it is a
-two-stage estimator whose heavy pass is fully distributed: fixed
-effects from normal equations (X'X, X'y accumulated as Spark
-aggregates — one shuffle of a handful of doubles regardless of row
-count), then per-group ridge-shrunk random effects via applyInPandas.
-Output contract matches the reference's per-state coefficient table
-(recover_coefs.csv; covid_simulator.py:488-502).
+two-stage estimator done entirely in closed form (both stages are 2x2
+solves → Cramer's rule as JVM expressions, full DuckDB oracle): fixed
+effects from pooled moment means, then per-group ridge-shrunk random
+effects from per-group residual moments. Output contract matches the
+reference's per-state coefficient table (recover_coefs.csv;
+covid_simulator.py:488-502).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from engage_spark.io import table
@@ -253,78 +252,213 @@ def m1b_glm_poisson_govflags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M1 (data path) — the GLM design-matrix moments, hash-checked
+
+_M1_STATS = """
+    count(*)::BIGINT AS n,
+    round(avg(l_discount) + 1e-9, 6) AS m_disc,
+    round(avg(l_tax) + 1e-9, 6) AS m_tax,
+    round(avg(rf_a) + 1e-9, 6) AS m_rfa,
+    round(avg(rf_n) + 1e-9, 6) AS m_rfn,
+    round(avg(qty) + 1e-9, 6) AS m_y,
+    round(avg(l_discount * l_discount) + 1e-9, 6) AS m_disc2,
+    round(avg(l_tax * l_tax) + 1e-9, 6) AS m_tax2,
+    round(avg(l_discount * l_tax) + 1e-9, 6) AS m_disc_tax,
+    round(avg(l_discount * rf_a) + 1e-9, 6) AS m_disc_rfa,
+    round(avg(l_discount * rf_n) + 1e-9, 6) AS m_disc_rfn,
+    round(avg(l_tax * rf_a) + 1e-9, 6) AS m_tax_rfa,
+    round(avg(l_tax * rf_n) + 1e-9, 6) AS m_tax_rfn,
+    round(avg(qty * qty) + 1e-9, 6) AS m_y2,
+    round(avg(qty * l_discount) + 1e-9, 6) AS m_y_disc,
+    round(avg(qty * l_tax) + 1e-9, 6) AS m_y_tax,
+    round(avg(qty * rf_a) + 1e-9, 6) AS m_y_rfa,
+    round(avg(qty * rf_n) + 1e-9, 6) AS m_y_rfn
+"""
+
+
+@query(
+    "m1c_glm_design_stats",
+    oracle=f"""
+    WITH d AS (
+        SELECT l_quantity::DOUBLE AS qty, l_discount, l_tax,
+               CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS rf_a,
+               CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS rf_n
+        FROM lineitem
+    )
+    SELECT {_M1_STATS} FROM d
+    """,
+    covers=["M1"],
+)
+def m1c_glm_design_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED DATA PATH of the M1 GLM, hash-checked: the full
+    cross-moment table of the Poisson regression's design matrix
+    (qty ~ 1 + l_discount + l_tax + returnflag one-hot, R as the
+    reference level) — every X'X / X'y entry IRLS consumes, as MEANS
+    (cross-engine discrepancy ~eps*mean*polylog(n) at any row count;
+    sums would drift with n), rounded 6dp on both sides. Indicator
+    self-products are derivable (rf*rf = rf, rf_a*rf_n = 0) and
+    omitted. The IRLS solve itself stays in m1_glm_poisson (rows-only
+    by design — iterative reweighting isn't one SQL query); this twin
+    pins everything the cluster computes before the driver-side solve,
+    the same projection technique as x_bpe_encode_wscount."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("qty"),
+        "l_discount",
+        "l_tax",
+        F.when(F.col("l_returnflag") == "A", 1.0).otherwise(0.0).alias("rf_a"),
+        F.when(F.col("l_returnflag") == "N", 1.0).otherwise(0.0).alias("rf_n"),
+    )
+
+    def m(expr: F.Column, name: str) -> F.Column:
+        return F.round(F.avg(expr) + F.lit(1e-9), 6).alias(name)
+
+    qty, disc, tax = F.col("qty"), F.col("l_discount"), F.col("l_tax")
+    rfa, rfn = F.col("rf_a"), F.col("rf_n")
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        m(disc, "m_disc"),
+        m(tax, "m_tax"),
+        m(rfa, "m_rfa"),
+        m(rfn, "m_rfn"),
+        m(qty, "m_y"),
+        m(disc * disc, "m_disc2"),
+        m(tax * tax, "m_tax2"),
+        m(disc * tax, "m_disc_tax"),
+        m(disc * rfa, "m_disc_rfa"),
+        m(disc * rfn, "m_disc_rfn"),
+        m(tax * rfa, "m_tax_rfa"),
+        m(tax * rfn, "m_tax_rfn"),
+        m(qty * qty, "m_y2"),
+        m(qty * disc, "m_y_disc"),
+        m(qty * tax, "m_y_tax"),
+        m(qty * rfa, "m_y_rfa"),
+        m(qty * rfn, "m_y_rfn"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # M2 — mixed-effects (random intercept + slope by group)
 
-_COEF_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("fe_intercept", T.DoubleType()),
-        T.StructField("fe_lag", T.DoubleType()),
-        T.StructField("re_intercept", T.DoubleType()),
-        T.StructField("re_lag", T.DoubleType()),
-        T.StructField("intercept", T.DoubleType()),
-        T.StructField("lag_coef", T.DoubleType()),
-    ]
+
+_M2_LAM = 10.0  # ridge shrinkage toward the fixed effect
+
+# Both estimator stages are 2x2 linear solves, so the whole model is
+# CLOSED-FORM (Cramer's rule) — no driver-side solve, no Python kernel,
+# and a complete DuckDB oracle (round 7; was rows-only). The only
+# float-order-sensitive quantities are the moment aggregates; the
+# global ones enter as MEANS (their cross-engine discrepancy is
+# ~eps*mean*polylog(n) regardless of row count — sums would drift with
+# n) and both sides round them to 6dp, after which every downstream
+# expression is bit-identical deterministic arithmetic.
+_M2_ORACLE = f"""
+WITH d AS (
+    SELECT user_id, value AS y,
+           coalesce(lag(value) OVER (PARTITION BY user_id {_ORD}), 0.0) AS x
+    FROM events
+), g AS (
+    SELECT round(avg(x) + 1e-9, 6) AS mx,
+           round(avg(x * x) + 1e-9, 6) AS mxx,
+           round(avg(y) + 1e-9, 6) AS my,
+           round(avg(x * y) + 1e-9, 6) AS mxy
+    FROM d
+), fe AS (
+    SELECT (mxy - mx * my) / (mxx - mx * mx) AS fe_l,
+           my - (mxy - mx * my) / (mxx - mx * mx) * mx AS fe_i
+    FROM g
+), r AS (
+    SELECT d.user_id,
+           count(*)::DOUBLE AS ng,
+           round(sum(d.x) + 1e-9, 6) AS sxg,
+           round(sum(d.x * d.x) + 1e-9, 6) AS sxxg,
+           round(sum(d.y - (fe.fe_i + fe.fe_l * d.x)) + 1e-9, 6) AS sr,
+           round(sum(d.x * (d.y - (fe.fe_i + fe.fe_l * d.x))) + 1e-9, 6) AS sxr,
+           max(fe.fe_i) AS fe_i, max(fe.fe_l) AS fe_l
+    FROM d, fe GROUP BY d.user_id
+), re AS (
+    SELECT user_id, fe_i, fe_l,
+           (sr * (sxxg + {_M2_LAM}) - sxg * sxr)
+               / ((ng + {_M2_LAM}) * (sxxg + {_M2_LAM}) - sxg * sxg) AS re_i,
+           ((ng + {_M2_LAM}) * sxr - sxg * sr)
+               / ((ng + {_M2_LAM}) * (sxxg + {_M2_LAM}) - sxg * sxg) AS re_l
+    FROM r
 )
+SELECT user_id,
+       round(fe_i + 1e-9, 6) AS fe_intercept,
+       round(fe_l + 1e-9, 6) AS fe_lag,
+       round(re_i + 1e-9, 6) AS re_intercept,
+       round(re_l + 1e-9, 6) AS re_lag,
+       round(fe_i + re_i + 1e-9, 6) AS intercept,
+       round(fe_l + re_l + 1e-9, 6) AS lag_coef
+FROM re
+"""
 
 
-@query("m2_mixed_effects", oracle=None, covers=["M2"])
+@query("m2_mixed_effects", oracle=_M2_ORACLE, covers=["M2"])
 def m2_mixed_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage mixed-effects estimator (endog value ~ 1 + lag_value,
     random intercept+slope by user): statsmodels MixedLM is unavailable
-    here, so stage 1 gets the fixed effects from normal equations whose
-    X'X / X'y sums are Spark aggregates (the 100 TB-safe pass: the big
-    table reduces to five doubles), and stage 2 fits ridge-shrunk
-    per-group OLS on residuals inside applyInPandas. Output schema
-    mirrors recover_coefs.csv (covid_simulator.py:488-502):
-    total coefficient = fixed + random per group."""
+    here, so stage 1 gets the fixed effects from pooled normal
+    equations and stage 2 fits ridge-shrunk per-group OLS on the
+    residuals. Output schema mirrors recover_coefs.csv
+    (covid_simulator.py:488-502): total coefficient = fixed + random.
+
+    Both stages are 2x2 systems, solved in CLOSED FORM (Cramer's rule)
+    as JVM expressions — restructured round 7 from the driver-side
+    np.linalg.solve + applyInPandas kernel. That buys three things at
+    once: no collect at all (the one-row global moment agg broadcasts
+    back as a crossJoin scalar), no Python in the pipeline (whole-stage
+    codegen end to end), and a full DuckDB oracle (the closed form is
+    deterministic arithmetic over moment statistics both engines round
+    identically). The 100 TB shape is unchanged: the big table reduces
+    map-side to one 4-double global row plus one 5-double row per
+    group."""
     ev = table(spark, sf_dir, "events")
     d = ev.select(
         "user_id",
         F.col("value").alias("y"),
         F.coalesce(F.lag("value").over(_w("user_id")), F.lit(0.0)).alias("x"),
     )
-    # stage 1: pooled OLS via distributed moment sums. The collect below
-    # is bounded by construction: a global agg returns EXACTLY ONE row of
-    # five doubles no matter the input size (the 100 TB table reduces
-    # map-side; only partials cross the wire) — this is a scalar fetch,
-    # not a table collect.
-    m = d.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    ).collect()[0]
-    xtx = np.array([[m.n, m.sx], [m.sx, m.sxx]], dtype="float64")
-    xty = np.array([m.sy, m.sxy], dtype="float64")
-    fe = np.linalg.solve(xtx, xty)  # [intercept, lag coef]
-    fe_i, fe_l = float(fe[0]), float(fe[1])
-
-    lam = 10.0  # ridge shrinkage toward the fixed effect
-
-    def _re_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["x"].to_numpy("float64")
-        resid = pdf["y"].to_numpy("float64") - (fe_i + fe_l * x)
-        X = np.column_stack([np.ones_like(x), x])
-        A = X.T @ X + lam * np.eye(2)
-        re = np.linalg.solve(A, X.T @ resid)
-        uid = pdf["user_id"].iloc[0]
-        return pd.DataFrame(
-            [
-                {
-                    "user_id": uid,
-                    "fe_intercept": fe_i,
-                    "fe_lag": fe_l,
-                    "re_intercept": float(re[0]),
-                    "re_lag": float(re[1]),
-                    "intercept": fe_i + float(re[0]),
-                    "lag_coef": fe_l + float(re[1]),
-                }
-            ]
+    # stage 1: pooled moments as MEANS (see _M2_ORACLE comment), rounded
+    g = d.agg(
+        F.round(F.avg("x") + F.lit(1e-9), 6).alias("mx"),
+        F.round(F.avg(F.col("x") * F.col("x")) + F.lit(1e-9), 6).alias("mxx"),
+        F.round(F.avg("y") + F.lit(1e-9), 6).alias("my"),
+        F.round(F.avg(F.col("x") * F.col("y")) + F.lit(1e-9), 6).alias("mxy"),
+    )
+    fe_l = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    fe = g.select(
+        fe_l.alias("fe_l"), (F.col("my") - fe_l * F.col("mx")).alias("fe_i")
+    )
+    # stage 2: per-group residual moments -> closed-form ridge solve
+    resid = F.col("y") - (F.col("fe_i") + F.col("fe_l") * F.col("x"))
+    r = (
+        d.crossJoin(F.broadcast(fe))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("ng"),
+            F.round(F.sum("x") + F.lit(1e-9), 6).alias("sxg"),
+            F.round(F.sum(F.col("x") * F.col("x")) + F.lit(1e-9), 6).alias("sxxg"),
+            F.round(F.sum(resid) + F.lit(1e-9), 6).alias("sr"),
+            F.round(F.sum(F.col("x") * resid) + F.lit(1e-9), 6).alias("sxr"),
+            F.max("fe_i").alias("fe_i"),
+            F.max("fe_l").alias("fe_l"),
         )
-
-    return d.groupBy("user_id").applyInPandas(_re_kernel, _COEF_SCHEMA)
+    )
+    lam = F.lit(_M2_LAM)
+    det = (F.col("ng") + lam) * (F.col("sxxg") + lam) - F.col("sxg") * F.col("sxg")
+    re_i = (F.col("sr") * (F.col("sxxg") + lam) - F.col("sxg") * F.col("sxr")) / det
+    re_l = ((F.col("ng") + lam) * F.col("sxr") - F.col("sxg") * F.col("sr")) / det
+    return r.select(
+        "user_id",
+        F.round(F.col("fe_i") + F.lit(1e-9), 6).alias("fe_intercept"),
+        F.round(F.col("fe_l") + F.lit(1e-9), 6).alias("fe_lag"),
+        F.round(re_i + F.lit(1e-9), 6).alias("re_intercept"),
+        F.round(re_l + F.lit(1e-9), 6).alias("re_lag"),
+        F.round(F.col("fe_i") + re_i + F.lit(1e-9), 6).alias("intercept"),
+        F.round(F.col("fe_l") + re_l + F.lit(1e-9), 6).alias("lag_coef"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -113,8 +113,9 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     # (~13-37% of this small corpus, a vanishing fraction at scale); on
     # clustered real embeddings the same probe count recalls far more
     # (random-ish synthetic vectors are ANN's worst case). Measured
-    # 0.58 at sf0.001 / 0.44 at sf0.01.
-    assert recall >= 0.2, f"IVF recall {recall:.2f} too low"
+    # with the r7 Lloyd-refined quantizer: 0.64 at sf0.001 / 0.68 at
+    # sf0.01 (up from 0.58 / 0.44 with raw hash seeds).
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
     assert all(r.rank <= 5 for r in ivf)
 
 
@@ -218,6 +219,62 @@ def test_mllib_brp_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"BRP-LSH recall {recall:.2f} too low"
     # cosine reconstructed from unit-sphere euclidean: 1 - d^2/2
     assert all(-1.0 - 1e-6 <= r.cosine <= 1.0 + 1e-6 for r in brp)
+
+
+def test_corpus_stats_spark_native_match_parquet_footer(spark, sf_dir):
+    """_corpus_rows/_embedding_dim are Spark-native since r7 (any
+    Hadoop-FS URI); they must agree with the parquet footer the old
+    driver-local implementation read, so every derived LSH/IVF/SemDeDup
+    parameter is unchanged."""
+    import pyarrow.parquet as pq
+
+    from engage_spark.queries.llm_similarity import (
+        _DIM_CACHE,
+        _NROWS_CACHE,
+        _corpus_rows,
+        _embedding_dim,
+        _parquet_parts,
+    )
+
+    _NROWS_CACHE.pop(sf_dir, None)
+    _DIM_CACHE.pop(sf_dir, None)
+    n = _corpus_rows(sf_dir)
+    d = _embedding_dim(sf_dir)
+    footer_n = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in _parquet_parts(f"{sf_dir}/embeddings.parquet")
+    )
+    assert n == footer_n and n > 0
+    assert d == 64
+
+
+def test_reliable_checkpoint_requires_dir_then_works(spark, tmp_path):
+    """The fault-tolerant iteration path: without a checkpoint dir the
+    reliable variant fails with a clear error; with one, every round
+    physically lands in the dir and the result is unchanged."""
+    import os
+
+    from engage_spark.checkpointing import iter_checkpoint
+    from engage_spark.queries.llm_curation import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src long, dst long"
+    )
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            iter_checkpoint(nodes, reliable=True)
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    out = {
+        (r.node, r.component)
+        for r in connected_components(
+            nodes, edges, reliable_checkpoint=True
+        ).collect()
+    }
+    assert out == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)}
+    # rounds actually hit the reliable store
+    assert any(os.scandir(ckpt))
 
 
 def test_star_cc_matches_propagation_on_planted(spark, planted):

@@ -176,7 +176,7 @@ def test_token_encode_broadcasts_the_vocab(spark, sf_dir):
 
 
 def test_packed_sequences_no_cartesian_no_python(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "x_packed_sequences")
+    plan = _plan(spark, sf_dir, "x_packed_sequences_exact_order")
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
 
