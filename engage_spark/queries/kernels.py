@@ -15,9 +15,16 @@ group ordering, SURVEY.md §4.3); groups here are single-user event
 series — thousands of rows at most — so per-task memory is bounded
 regardless of corpus scale.
 
-These recurrences are not SQL-expressible → no DuckDB oracle
-(rows-only driver check); exact-parity pytest + hypothesis property
-tests in tests/test_kernels.py are the correctness gate.
+Every registered kernel query carries a FULL DuckDB oracle as of
+round 7: each recurrence is a fixed sequence of +-*/ steps per
+iteration, so a recursive CTE (or, for W9, a closed form) replays it
+exactly once the float-order-sensitive fitted parameters are rounded
+identically on both sides. The structure that makes this work is
+two-stage: (1) parameter fitting / sufficient statistics in pure JVM
+expressions, rounded 6dp; (2) the recurrence batch-vectorized in
+mapInPandas with the same left-to-right IEEE expression order as the
+generated SQL. Exact-parity pytest + hypothesis property tests in
+tests/test_kernels.py additionally pin the scalar semantic references.
 """
 
 from __future__ import annotations
@@ -550,7 +557,91 @@ def _sir_batch_integrator(batches):
         )
 
 
-@query("k_m4b_sir_continuous", oracle=None, covers=["M4", "W10"])
+def _rk4_oracle_sql(n_steps: int, substeps: int, pop: float) -> str:
+    """Full DuckDB oracle for k_m4b_sir_continuous: the fixed-step RK4
+    integrator replayed as a recursive CTE at SUBSTEP granularity
+    (n_steps-1 x substeps iterations), the four stage derivatives
+    computed in nested derived tables with the exact left-to-right
+    expression order of sir_integrate_batch. h = 1/substeps is binary-
+    exact (1/64), so every scalar literal folds to the same double the
+    numpy kernel uses."""
+    h = 1.0 / substeps
+    assert h == 0.015625, "substeps must keep h binary-exact (see docstring)"
+
+    def rhs(tag: str, sv: str, iv: str) -> str:
+        return (
+            f"-((alpha / {pop}) * {sv} * {iv}) AS ds{tag}, "
+            f"(alpha / {pop}) * {sv} * {iv} - 0.1 * {iv} - z AS di{tag}, "
+            f"z + 0.1 * {iv} AS dr{tag}"
+        )
+
+    return f"""
+    WITH RECURSIVE o AS (
+        SELECT user_id, value,
+               row_number() OVER w AS rn,
+               value - lag(value) OVER w AS dv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), p AS (
+        SELECT user_id,
+               sum(CASE WHEN rn <= 30 AND dv > 0 THEN dv ELSE 0.0 END) AS pos,
+               sum(CASE WHEN rn <= 30 AND dv < 0 THEN -dv ELSE 0.0 END) AS neg,
+               max(CASE WHEN rn = 1 THEN value END) AS v0,
+               avg(value) AS vmean
+        FROM o GROUP BY user_id
+    ), params AS (
+        SELECT user_id,
+               round(least(greatest(
+                   CASE WHEN neg > 0 THEN pos / neg ELSE 2.0 END * 0.1,
+                   0.01), 1.0) + 1e-9, 6) AS alpha,
+               greatest(coalesce(v0, 1.0), 1.0) AS i0,
+               round(least(greatest(vmean, 0.0), 5.0) + 1e-9, 6) AS z
+        FROM p
+    ), sim AS (
+        SELECT user_id, alpha, z, 0 AS t, 0 AS k,
+               {pop} - i0 AS s, i0 AS i, 0.0::DOUBLE AS r
+        FROM params
+        UNION ALL
+        SELECT user_id, alpha, z,
+               CASE WHEN k = {substeps - 1} THEN t + 1 ELSE t END,
+               CASE WHEN k = {substeps - 1} THEN 0 ELSE k + 1 END,
+               s + ({h} / 6.0) * (ds1 + 2.0 * ds2 + 2.0 * ds3 + ds4),
+               i + ({h} / 6.0) * (di1 + 2.0 * di2 + 2.0 * di3 + di4),
+               r + ({h} / 6.0) * (dr1 + 2.0 * dr2 + 2.0 * dr3 + dr4)
+        FROM (
+          SELECT *, {rhs("4", "s4", "i4")} FROM (
+            SELECT *, s + {h} * ds3 AS s4, i + {h} * di3 AS i4 FROM (
+              SELECT *, {rhs("3", "s3", "i3")} FROM (
+                SELECT *, s + 0.5 * {h} * ds2 AS s3, i + 0.5 * {h} * di2 AS i3
+                FROM (
+                  SELECT *, {rhs("2", "s2", "i2")} FROM (
+                    SELECT *, s + 0.5 * {h} * ds1 AS s2,
+                           i + 0.5 * {h} * di1 AS i2 FROM (
+                      SELECT *, {rhs("1", "s", "i")}
+                      FROM sim WHERE t < {n_steps - 1}
+        ))))))) stages
+    )
+    SELECT user_id, t AS step,
+           round(CASE WHEN s < 0 THEN 0.0 ELSE s END + 1e-9, 6) AS susceptible,
+           round(CASE WHEN i < 0 THEN 0.0 ELSE i END + 1e-9, 6) AS infected,
+           round(CASE WHEN r < 0 THEN 0.0 ELSE r END + 1e-9, 6) AS removed
+    FROM sim WHERE k = 0
+    """
+
+
+@query(
+    "k_m4b_sir_continuous",
+    # Full oracle (round 7; was rows-only — the last convertible one):
+    # fixed-step RK4 is a FINITE sequence of +-*/ per substep, so the
+    # whole integration unrolls into a recursive CTE the same way the
+    # discrete k_m4 recurrence does; only the stage count differs
+    # (59 x 64 substep iterations, 4 nested derived tables computing
+    # the RK stages per iteration). Fitted alpha / z round to 6dp on
+    # both sides; i0 is exact; after that both engines run the same
+    # IEEE-double expressions left-to-right.
+    oracle=_rk4_oracle_sql(_SIR_STEPS, 64, _SIR_POP),
+    covers=["M4", "W10"],
+)
 def k_m4b_sir_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-time SIR via odeint semantics (the reference's LIVE
     runSimulator path, covid_simulator.py:123-154 + :244-330).
@@ -589,13 +680,29 @@ def k_m4b_sir_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     r0 = F.when(F.col("neg") > 0, F.col("pos") / F.col("neg")).otherwise(F.lit(2.0))
     fitted = params.select(
         "user_id",
-        F.least(F.greatest(r0 * beta, F.lit(0.01)), F.lit(1.0)).alias("alpha"),
+        # alpha and z_level derive from float SUMS (order-sensitive
+        # across engines) — rounded 6dp on both sides so the RK4
+        # recursion starts from bit-identical inputs; i0 is a raw
+        # parquet value (exact in both engines)
+        F.round(
+            F.least(F.greatest(r0 * beta, F.lit(0.01)), F.lit(1.0)) + F.lit(1e-9), 6
+        ).alias("alpha"),
         beta.alias("beta"),
         F.greatest(F.coalesce(F.col("v0"), F.lit(1.0)), F.lit(1.0)).alias("i0"),
         # deterministic stand-in for the reference's gov-action forcing
-        F.least(F.greatest(F.col("vmean"), F.lit(0.0)), F.lit(5.0)).alias("z_level"),
+        F.round(
+            F.least(F.greatest(F.col("vmean"), F.lit(0.0)), F.lit(5.0)) + F.lit(1e-9),
+            6,
+        ).alias("z_level"),
     )
-    return fitted.mapInPandas(_sir_batch_integrator, _SIR_SCHEMA)
+    out = fitted.mapInPandas(_sir_batch_integrator, _SIR_SCHEMA)
+    return out.select(
+        "user_id",
+        "step",
+        F.round(F.col("susceptible") + F.lit(1e-9), 6).alias("susceptible"),
+        F.round(F.col("infected") + F.lit(1e-9), 6).alias("infected"),
+        F.round(F.col("removed") + F.lit(1e-9), 6).alias("removed"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -923,12 +1030,17 @@ def k_w11_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, horizon = _FC_ORDER, _FC_HORIZON
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     wall = Window.partitionBy("user_id")
+    # rnd (rank from the END) comes from count - row_number + 1 rather
+    # than a descending-ordered window: exact integer arithmetic, and it
+    # keeps every window function on ONE sort order (a desc window would
+    # add a second sort to the stats pass — measured +0.2 s at sf0.1)
     o = ev.select(
         "user_id",
         "value",
-        F.row_number().over(wd).alias("rnd"),
+        (
+            F.count(F.lit(1)).over(wall) - F.row_number().over(w) + F.lit(1)
+        ).alias("rnd"),
         F.round(F.avg("value").over(wall) + F.lit(1e-9), 6).alias("mu"),
         *[F.lag("value", k).over(w).alias(f"l{k}") for k in range(1, p + 1)],
     )

@@ -54,9 +54,10 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 # kernels/model/LLM block, r4 the streaming/ext/corpus block, r5 the
 # round-5 additions plus most of the r1-era core, r6 the r6 additions,
 # the r1-stale rollover and the r3-era LLM block. Round 7 rotation:
-# (a) queries NEW or whose code/oracle CHANGED this round (the two
-# kernel-oracle conversions, the closed-form M2, the M1 stats twin,
-# the Lloyd-refined IVF, the packing renames), (b) the 8 queries whose
+# (a) queries NEW or whose code/oracle CHANGED this round (the three
+# kernel-oracle conversions — k_m4b sits in block (c) below, also
+# changed — the closed-form M2, the M1 stats twin, the Lloyd-refined
+# IVF, the packing renames), (b) the 8 queries whose
 # only driver row is r3 — the oldest signal, scheduled for this round
 # by the r6 comment — then (c) the r4-signal block. Six rows-only
 # r4-signal queries (their hash twins are all green and a rows-only
