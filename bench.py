@@ -77,6 +77,9 @@ OPTIONAL = [
     "x3b_lsh_ann_search",
     "x3c_ivf_ann_search",
     "mm_resize_digest",
+    # round 7 additions
+    "x3e_pq_encode",
+    "x3e2_pq_adc_search",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -92,10 +92,16 @@ def main() -> None:
             best = t if best is None else min(best, t)
         return round(best, 3)
 
+    from engage_spark.queries.llm_similarity import pq_params
+
     for qname, params in [
         ("x3b_lsh_ann_search", lambda n: {"planes": search_planes_count(n)}),
         ("x3c_ivf_ann_search", lambda n: dict(
             zip(("nlist", "nprobe", "stride"), ivf_params(n)))),
+        # PQ: codebook size is FIXED by design (bits per code), so the
+        # expected growth driver is the code-table scan volume, linear
+        # in n but 32x smaller than raw floats
+        ("x3e2_pq_adc_search", lambda n: {"stride": pq_params(n)}),
     ]:
         t1 = run(qname, sf_dir)
         tN = run(qname, big_dir)

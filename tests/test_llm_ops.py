@@ -221,6 +221,45 @@ def test_mllib_brp_ann_recall_vs_brute_force(spark, sf_dir):
     assert all(-1.0 - 1e-6 <= r.cosine <= 1.0 + 1e-6 for r in brp)
 
 
+def test_pq_adc_rerank_recall_vs_brute_force(spark, sf_dir):
+    from engage_spark.registry import load_all
+
+    reg = load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["x3_topk_cosine_search"].fn(spark, sf_dir).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["x3e2_pq_adc_search"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    # measured r7 on worst-case random vectors: 0.80 at sf0.001 /
+    # 0.74 at sf0.01 (ADC shortlist@50 + exact cosine re-rank; the
+    # pure-ADC ranking alone sits near 0.2 — quantization noise
+    # dominates random data, which is why re-rank is the standard)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} too low"
+
+
+def test_pq_encode_compresses_and_is_deterministic(spark, sf_dir):
+    from engage_spark.queries.llm_similarity import _PQ_M
+    from engage_spark.registry import load_all
+
+    enc = load_all()["x3e_pq_encode"]
+    a = enc.fn(spark, sf_dir).toPandas().sort_values(["vec_id", "m"])
+    b = enc.fn(spark, sf_dir).toPandas().sort_values(["vec_id", "m"])
+    assert (a.to_numpy() == b.to_numpy()).all()
+    n_vec = a["vec_id"].nunique()
+    assert len(a) == n_vec * _PQ_M  # exactly M codes per vector
+    # the whole point: code cardinality per subspace is tiny (the
+    # codebook: ~n/stride seeds, target _PQ_KSUB), so codes pack into
+    # a few bits each
+    from engage_spark.queries.llm_similarity import _corpus_rows, pq_params
+
+    n_seeds = (_corpus_rows(sf_dir) - 1) // pq_params(_corpus_rows(sf_dir)) + 1
+    assert a.groupby("m")["cid"].nunique().max() <= n_seeds
+
+
 def test_corpus_stats_spark_native_match_parquet_footer(spark, sf_dir):
     """_corpus_rows/_embedding_dim are Spark-native since r7 (any
     Hadoop-FS URI); they must agree with the parquet footer the old
