@@ -261,3 +261,15 @@ def test_line_dedup_blocklist_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_pq_adc_scan_broadcasts_lookup_table_no_cartesian(spark, sf_dir):
+    # PQ-ADC's scale contract: the corpus-sized side of the search is
+    # the CODE table; the query lookup table (queries x M x K rows)
+    # joins onto it by BROADCAST hash on (m, cid) — never sort-merge,
+    # never a cartesian — and the shortlist re-rank joins raw vectors
+    # by id only for queries x C rows
+    plan = _plan(spark, sf_dir, "x3e2_pq_adc_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
