@@ -31,7 +31,11 @@ from engage_spark.queries.llm_curation import (
     connected_components,
     connected_components_star,
 )
-from engage_spark.queries.llm_similarity import lsh_banding_params, semdedup_params
+from engage_spark.queries.llm_similarity import (
+    lsh_banding_params,
+    pq_params,
+    semdedup_params,
+)
 
 __all__ = [
     "normalized_fingerprint",
@@ -45,6 +49,9 @@ __all__ = [
     "semdedup_prune",
     "semdedup_params",
     "topk_cosine_search",
+    "pq_encode",
+    "pq_topk_search",
+    "pq_params",
     "curation_funnel",
     "bigram_perplexity",
     "bpe_train",
@@ -363,6 +370,140 @@ def topk_cosine_search(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
         reduced.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Product-quantization codes for every vector: (id, m, cid) — M=8
+    codes per vector, each the nearest per-subspace centroid of the
+    L2-normalized vector (x3e_pq_encode's implementation; see that
+    docstring for the determinism/oracle story). The code table is the
+    32x-compressed structure pq_topk_search scans instead of raw
+    floats. Codebooks: hash-stride seeds + one Lloyd step
+    (llm_similarity._pq_codebooks), sized by pq_params(n_rows);
+    n_rows=None runs a count() (pass a catalog statistic in
+    production)."""
+    from engage_spark.queries.llm_similarity import (
+        _pq_codebooks,
+        _pq_encode_batches,
+    )
+
+    e = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    if n_rows is None:
+        n_rows = e.count()
+    cb = _pq_codebooks(e.sparkSession, e, n_rows)
+    codes = e.mapInPandas(_pq_encode_batches(cb), "vec_id long, m int, cid long")
+    return codes.select(F.col("vec_id").alias(id_col), "m", "cid")
+
+
+def pq_topk_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_emb_col: str | None = None,
+    exclude_self: bool = True,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """PQ-compressed top-k cosine search (x3e2_pq_adc_search's
+    implementation): ADC over the code table — per-(query, vector)
+    distance is a sum of M codebook-table lookups, combined map-side
+    because a vector's M code rows share a partition — with a
+    partition-local top-`rerank` reduce bounding the ranking exchange
+    at partitions x queries x rerank rows, then exact-cosine re-rank
+    of the shortlist (only queries x rerank raw vectors are fetched).
+    Returns (query_id, neighbor_id, rank, cosine), directly comparable
+    with topk_cosine_search. The query set collects driver-side to
+    build the lookup table — bounded by the query count, the same
+    budget as the broadcast in topk_cosine_search."""
+    import numpy as np
+    import pandas as pd
+
+    from engage_spark.queries.llm_similarity import (
+        _PQ_M,
+        _PQ_SUBDIM,
+        _pq_codebooks,
+        _pq_encode_batches,
+        _pq_normalize,
+        _pq_subdist_seq,
+    )
+
+    query_id_col = query_id_col or id_col
+    query_emb_col = query_emb_col or emb_col
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    if n_rows is None:
+        n_rows = e.count()
+    cb = _pq_codebooks(e.sparkSession, e, n_rows)
+    codes = e.mapInPandas(_pq_encode_batches(cb), "vec_id long, m int, cid long")
+    qrows = sorted(
+        (r[0], _pq_normalize(np.asarray(r[1], dtype=np.float64)[None])[0])
+        for r in queries.select(query_id_col, query_emb_col).collect()
+    )
+    qd_rows = []
+    for qid, qv in qrows:
+        for m in range(_PQ_M):
+            vs = qv[None, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]
+            ids_m, mat_m = cb[m]
+            for kk in range(len(ids_m)):
+                dq = float(_pq_subdist_seq(vs, mat_m[kk])[0])
+                qd_rows.append((int(qid), m, int(ids_m[kk]), dq))
+    spark = e.sparkSession
+    qd = spark.createDataFrame(qd_rows, "query_id long, m int, cid long, dq double")
+    self_filter = (
+        F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
+    )
+    adc = (
+        codes.join(F.broadcast(qd), on=["m", "cid"])
+        .filter(self_filter)
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dq").alias("approx"))
+    )
+
+    def partial_topc(batches):
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf])
+            cur = cur.sort_values(
+                ["query_id", "approx", "neighbor_id"], kind="mergesort"
+            )
+            best = cur.groupby("query_id", sort=False).head(rerank)
+        if best is not None:
+            yield best
+
+    reduced = adc.mapInPandas(
+        partial_topc, "query_id long, neighbor_id long, approx double"
+    )
+    ws = Window.partitionBy("query_id").orderBy("approx", "neighbor_id")
+    shortlist = (
+        reduced.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qe = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_emb_col).alias("q_emb"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .withColumn("cos", cosine_expr("q_emb", "c_emb"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )

@@ -710,15 +710,16 @@ def _pq_encode_batches(cb: dict, emit_sub: bool = False):
     return gen
 
 
-def _pq_codebooks(spark: SparkSession, e: DataFrame, sf_dir: str) -> dict:
+def _pq_codebooks(spark: SparkSession, e: DataFrame, n_rows: int) -> dict:
     """Build the per-subspace codebooks: hash-stride seed subvectors
     (bounded collect, ~_PQ_KSUB rows) refined by ONE Lloyd step — the
     corpus assigns to its nearest seed per subspace (Arrow pass), each
     occupied cell recenters on the elementwise mean rounded to 6dp
     (the only float-order-sensitive quantity; rounding pins the
-    codebook bit-identically across engines). Returns
+    codebook bit-identically across engines). e must carry
+    (vec_id, embedding). Returns
     {m: (sorted cid array, (K_m, SUBDIM) float64 matrix)}."""
-    stride = pq_params(_corpus_rows(sf_dir))
+    stride = pq_params(n_rows)
     seeds = sorted(
         (r.vec_id, r.embedding)
         for r in e.filter(F.col("vec_id") % stride == 0)
@@ -778,12 +779,11 @@ def x3e_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, nothing corpus-sized shuffles. FULL DuckDB oracle: seeding
     derives from count(*), the Lloyd means round to 6dp on both sides,
     and both engines evaluate the same left-associated 8-term distance
-    sums."""
+    sums. Delegates to api.pq_encode (the public facade)."""
+    from engage_spark.api import pq_encode
+
     e = table(spark, sf_dir, "embeddings")
-    cb = _pq_codebooks(spark, e, sf_dir)
-    return e.select("vec_id", "embedding").mapInPandas(
-        _pq_encode_batches(cb), "vec_id long, m int, cid long"
-    )
+    return pq_encode(e, n_rows=_corpus_rows(sf_dir))
 
 
 @query(
@@ -843,65 +843,17 @@ def x3e2_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bounded-exchange pattern as topk_cosine_search — and the
     re-rank joins the corpus by id for the shortlist only. FULL DuckDB
     oracle end to end (codes + Lloyd codebooks + lookup table +
-    shortlist + re-rank)."""
+    shortlist + re-rank). Delegates to api.pq_topk_search (the public
+    facade)."""
+    from engage_spark.api import pq_topk_search
+
     e = table(spark, sf_dir, "embeddings")
-    cb = _pq_codebooks(spark, e, sf_dir)
-    codes = e.select("vec_id", "embedding").mapInPandas(
-        _pq_encode_batches(cb), "vec_id long, m int, cid long"
-    )
-    queries = sorted(
-        (r.vec_id, _pq_normalize(np.asarray(r.embedding, dtype=np.float64)[None])[0])
-        for r in e.filter(F.col("vec_id") < _N_QUERIES)
-        .select("vec_id", "embedding").collect()
-    )
-    qd_rows = []
-    for qid, qv in queries:
-        for m in range(_PQ_M):
-            vs = qv[None, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]
-            ids_m, mat_m = cb[m]
-            for kk in range(len(ids_m)):
-                dq = float(_pq_subdist_seq(vs, mat_m[kk])[0])
-                qd_rows.append((int(qid), m, int(ids_m[kk]), dq))
-    qd = spark.createDataFrame(qd_rows, "query_id long, m int, cid long, dq double")
-    adc = (
-        codes.join(F.broadcast(qd), on=["m", "cid"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dq").alias("approx"))
-    )
-
-    def partial_topc(batches):
-        best = None
-        for pdf in batches:
-            cur = pdf if best is None else pd.concat([best, pdf])
-            cur = cur.sort_values(
-                ["query_id", "approx", "neighbor_id"], kind="mergesort"
-            )
-            best = cur.groupby("query_id", sort=False).head(_PQ_RERANK)
-        if best is not None:
-            yield best
-
-    reduced = adc.mapInPandas(
-        partial_topc, "query_id long, neighbor_id long, approx double"
-    )
-    ws = Window.partitionBy("query_id").orderBy("approx", "neighbor_id")
-    shortlist = (
-        reduced.withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= _PQ_RERANK)
-        .select("query_id", "neighbor_id")
-    )
-    qe = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
-    return (
-        shortlist.join(F.broadcast(qe), "query_id")
-        .join(ce, "neighbor_id")
-        .withColumn("cos", cosine_expr("q_emb", "c_emb"))
-        .withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    return pq_topk_search(
+        e,
+        e.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOP_K,
+        rerank=_PQ_RERANK,
+        n_rows=_corpus_rows(sf_dir),
     )
 
 
