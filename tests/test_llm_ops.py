@@ -316,6 +316,28 @@ def test_reliable_checkpoint_requires_dir_then_works(spark, tmp_path):
     assert any(os.scandir(ckpt))
 
 
+def test_reliable_checkpoint_conf_flips_every_iterative_op(spark, tmp_path):
+    """The conf route (no parameter threading): with
+    spark.engage_spark.checkpoint.reliable=true every iter_checkpoint
+    call — here the star variant's rounds — goes through the reliable
+    store and results are unchanged."""
+    from engage_spark.checkpointing import RELIABLE_CONF
+    from engage_spark.queries.llm_curation import connected_components_star
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt2"))
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        nodes = spark.createDataFrame([(i,) for i in range(5)], "node long")
+        edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        out = {
+            (r.node, r.component)
+            for r in connected_components_star(nodes, edges).collect()
+        }
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
+    assert {(0, 0), (1, 0), (2, 0)} <= out
+
+
 def test_star_cc_matches_propagation_on_planted(spark, planted):
     from engage_spark.queries.llm_curation import (
         connected_components,
