@@ -1,0 +1,56 @@
+"""Registry meta-guards: the driver reads the registry ORDER and the
+judge reads COVERAGE.md — both must stay mechanically in sync with the
+code, so drift is a test failure, not a round-later surprise."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from engage_spark.registry import DRIVER_PRIORITY, load_all
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_driver_priority_is_the_registry_prefix():
+    """The driver hash-checks the FIRST 50 registry entries; the
+    rotation contract is that DRIVER_PRIORITY is exactly that window."""
+    reg = load_all()
+    assert len(DRIVER_PRIORITY) == 50
+    missing = [n for n in DRIVER_PRIORITY if n not in reg]
+    assert not missing, f"DRIVER_PRIORITY names not registered: {missing}"
+    assert list(reg)[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
+
+
+def test_coverage_md_is_current():
+    """COVERAGE.md must be the generator's output for the registry at
+    HEAD (the generator also enforces that every rows-only query has a
+    documented reason — this test makes forgetting to re-run it fail)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "gen_coverage.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+        check=True,
+    ).stdout
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        on_disk = f.read()
+    assert out == on_disk, (
+        "COVERAGE.md is stale — regenerate with "
+        "`PYTHONPATH=. python scripts/gen_coverage.py > COVERAGE.md`"
+    )
+
+
+def test_bench_optional_names_are_registered():
+    """bench.py guards OPTIONAL entries with an is-registered check, so
+    a renamed query silently VANISHES from the bench — pin every listed
+    name instead."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    reg = load_all()
+    missing = [n for n in list(bench.OPTIONAL) + list(bench.R1_BASELINE)
+               if n not in reg]
+    assert not missing, f"bench names not registered: {missing}"
