@@ -17,7 +17,7 @@ driver-resident.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -361,4 +361,78 @@ def running_user_stats_tws(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingest with incremental dedup (the streaming form of
+# x_incremental_dedup: a document stream lands in a corpus only if its
+# normalized fingerprint is new — both within the micro-batch and
+# against everything ingested so far)
+
+
+def incremental_ingest_stream(
+    docs: DataFrame,
+    corpus_dir: str,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch corpus ingest: per micro-batch, admit only documents
+    whose normalized md5 fingerprint is (a) the first occurrence inside
+    the batch (smallest id wins, the x_incremental_dedup rule) and (b)
+    absent from the persisted fingerprint store, then append the
+    accepted documents to `corpus_dir` and their fingerprints to
+    `store_dir`. Returns the started StreamingQuery.
+
+    Scale/exactly-once shape:
+      - The store holds 16-byte fingerprints only — each batch reads it
+        WITHOUT touching any corpus text, and the admission anti-join
+        shuffles fingerprints, never documents.
+      - Both sinks write into a run=<tag>_batch=<n> subdirectory with
+        mode("overwrite"), where the tag derives from the checkpoint
+        location: a replayed micro-batch (failure between sink writes
+        and checkpoint commit) REWRITES its own partition with
+        identical deterministic content instead of appending
+        duplicates — idempotent without a transactional sink — while a
+        DIFFERENT stream feeding the same store (batch ids restart at
+        0 per checkpoint) gets its own partitions. (On a lakehouse,
+        Delta/Iceberg MERGE replaces this dance.)
+      - State never lives in the streaming state store; the
+        fingerprint parquet IS the state, so the stream restarts from
+        any checkpoint with no rehydration.
+    """
+    import hashlib
+
+    from engage_spark.api import normalized_fingerprint
+
+    spark = docs.sparkSession
+    store_schema = "fingerprint string"
+    ckpt = f"{corpus_dir}_ckpt"
+    run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            store = spark.read.schema(store_schema).parquet(store_dir)
+        except Exception:  # first batch: no store yet
+            store = spark.createDataFrame([], store_schema)
+        f = batch_df.withColumn("fingerprint", normalized_fingerprint(text_col))
+        w = Window.partitionBy("fingerprint").orderBy(id_col)
+        accepted = (
+            f.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .join(store.hint("broadcast"), "fingerprint", "left_anti")
+        )
+        part = f"run={run_tag}_batch={batch_id}"
+        accepted.write.mode("overwrite").parquet(f"{corpus_dir}/{part}")
+        accepted.select("fingerprint").distinct().write.mode("overwrite").parquet(
+            f"{store_dir}/{part}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
     )

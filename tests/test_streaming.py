@@ -344,3 +344,59 @@ def test_checkpoint_recovery_preserves_dedup_state(spark, sf_dir, tmp_path):
         f"restart re-emitted rows: {len(second)} (state or offsets lost)"
     )
     assert second.event_id.is_unique
+
+
+def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
+    """The foreachBatch corpus-ingest pattern: duplicates planted
+    WITHIN a micro-batch, ACROSS micro-batches, and ACROSS separate
+    stream runs must all collapse; the fingerprint store is the only
+    carried state."""
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    in1 = str(tmp_path / "in1")
+    # three single-row files -> three micro-batches with
+    # maxFilesPerTrigger=1; doc 2 duplicates doc 0's text cross-batch,
+    # doc 3 duplicates doc 1 within one batch
+    rows = [
+        (0, "alpha  beta"), (1, "gamma delta"),      # file A
+        (2, "Alpha Beta"), (3, "gamma delta"),       # file B (2 dups 0; 3 dups 1)
+        (4, "epsilon zeta"),                         # file C
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.filter("doc_id < 2").coalesce(1).write.parquet(f"{in1}/a.parquet")
+    df.filter("doc_id in (2, 3)").coalesce(1).write.parquet(f"{in1}/b.parquet")
+    df.filter("doc_id = 4").coalesce(1).write.parquet(f"{in1}/c.parquet")
+
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(in1)
+    )
+    q = incremental_ingest_stream(stream, corpus, store)
+    q.awaitTermination()
+
+    got = spark.read.parquet(corpus).toPandas()
+    # normalized fingerprints: "alpha beta" == "Alpha Beta"
+    assert sorted(got.doc_id) == [0, 1, 4]
+    assert got.fingerprint.nunique() == 3
+    assert spark.read.parquet(store).distinct().count() == 3
+
+    # a SECOND run (new input, same store): one seen doc, one new
+    in2 = str(tmp_path / "in2")
+    df2 = spark.createDataFrame(
+        [(10, "epsilon   zeta"), (11, "eta theta")], "doc_id long, text string"
+    )
+    df2.coalesce(1).write.parquet(f"{in2}/d.parquet")
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(in2)
+    )
+    corpus2 = str(tmp_path / "corpus2")
+    q2 = incremental_ingest_stream(stream2, corpus2, store)
+    q2.awaitTermination()
+    got2 = spark.read.parquet(corpus2).toPandas()
+    assert sorted(got2.doc_id) == [11]  # 10 was already in the store
+    assert spark.read.parquet(store).distinct().count() == 4
