@@ -373,3 +373,61 @@ def test_batch_integrator_matches_scalar_solver():
             np.full(25, z[b]),
         )
         assert np.allclose(batch[b], scalar, rtol=1e-9, atol=1e-9), b
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the oracled kernel math (round 7)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.floats(-1e3, 1e3, allow_nan=False), min_size=8, max_size=120)
+)
+def test_yw_pipeline_is_finite_and_clamped_on_any_series(vals):
+    """The registered W11 math end-to-end on arbitrary series: rounded
+    autocovariances -> Levinson-Durbin -> clamped recursion must stay
+    finite and inside the documented [lo-5*span, hi+5*span] envelope —
+    the guarantee that lets the forecast run unsupervised per group at
+    any corpus scale."""
+    from engage_spark.queries.kernels import (
+        ar_forecast_recursion_batch,
+        levinson_durbin_batch,
+    )
+
+    x = np.asarray(vals, dtype="float64")
+    mu = round(float(x.mean()) + 1e-9, 6)
+    dev = x - mu
+    r = np.array(
+        [[round(float((dev[: len(dev) - k] * dev[k:]).sum()) + 1e-9, 6)
+          for k in range(8)]]
+    )
+    a = levinson_durbin_batch(r)
+    assert np.isfinite(a).all()
+    lo, hi = float(x.min()), float(x.max())
+    span = max(hi - lo, 1.0)
+    h = np.array([[float(d) for d in dev[::-1][:7]]])
+    if h.shape[1] < 7:
+        h = np.pad(h, ((0, 0), (0, 7 - h.shape[1])))
+    preds = ar_forecast_recursion_batch(
+        a, h, np.array([mu]), np.array([lo - 5 * span]),
+        np.array([hi + 5 * span]), 30,
+    )
+    assert np.isfinite(preds).all()
+    assert (preds >= lo - 5 * span - 1e-9).all()
+    assert (preds <= hi + 5 * span + 1e-9).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    beta=st.floats(0.01, 1.0),
+    i0=st.floats(1.0, 5000.0),
+)
+def test_sir_discrete_batch_stays_finite(beta, i0):
+    from engage_spark.queries.kernels import sir_discrete_batch
+
+    sim = sir_discrete_batch(
+        np.array([beta]), 0.1, np.array([i0]), 10_000.0, 60
+    )
+    assert np.isfinite(sim).all()
+    # population is conserved exactly by the update's telescoping sums
+    assert np.allclose(sim.sum(axis=2), 10_000.0)
