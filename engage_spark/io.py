@@ -165,3 +165,41 @@ def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] | None =
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset as
+    ceil(total_bytes / target) right-sized files. Returns the file
+    count written toward.
+
+    This is the maintenance pass every long-running ingest needs —
+    per-micro-batch sinks (incremental_ingest_stream), frequent
+    partitioned appends, and retry debris all accumulate files far
+    below the HDFS/object-store sweet spot, and at 100 TB the
+    open-file overhead of a million 1 MB files dominates scan time.
+    Sizes come from the Hadoop FS API (works on any URI, not just
+    local paths); with `partition_by` the repartition hashes on the
+    partition columns so each hive partition is written by as few
+    tasks as its share of the data needs.
+    """
+    import math
+
+    df = spark.read.parquet(src)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n = max(1, math.ceil(total / target_file_bytes))
+    rep = (
+        df.repartition(n, *partition_by) if partition_by else df.repartition(n)
+    )
+    write_parquet(rep, dst, partition_by=partition_by)
+    return n

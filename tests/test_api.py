@@ -442,3 +442,26 @@ def test_semdedup_prune_custom_columns(spark):
     # 1 has the smaller-id partner 0 above threshold -> pruned
     assert out[1] == (0, out[0][1])
     assert out[2][0] == 1 and out[3][0] == 1
+
+
+def test_compact_dataset_rightsizes_small_files(spark, tmp_path):
+    from engage_spark.io import compact_dataset
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compact")
+    df = spark.range(2000).selectExpr("id", "id % 7 as k", "uuid() as pad")
+    df.repartition(40).write.parquet(src)  # 40 tiny files
+    import glob
+
+    n_small = len(glob.glob(f"{src}/*.parquet"))
+    assert n_small >= 40
+    total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(f"{src}/*.parquet")
+    )
+    n = compact_dataset(spark, src, dst, target_file_bytes=total // 3)
+    assert n <= 4
+    out_files = glob.glob(f"{dst}/*.parquet")
+    assert len(out_files) == n
+    # content identical
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).orderBy("id").toPandas()
+    assert (a.values == b.values).all()
