@@ -273,3 +273,14 @@ def test_pq_adc_scan_broadcasts_lookup_table_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_join_is_equi_join_no_cartesian(spark, sf_dir):
+    # IVF's tractability claim: query-probe to corpus-list matching is
+    # an equi-join on list_id over bounded candidate sets — never a
+    # cartesian/BNL expansion — and the only Python is the Arrow
+    # assignment/probe kernels (cosine ranking stays JVM)
+    plan = _plan(spark, sf_dir, "x3c_ivf_ann_search")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
