@@ -128,3 +128,32 @@ def s2_multifile_csv_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # glob keeps only click/view files out of the listing
     clicks_views = read_csv_glob(spark, f"{base}/events_{{click,view}}/*.csv")
     return clicks_views.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+@query(
+    "s7_compaction_roundtrip",
+    oracle="""
+    SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars
+    FROM documents GROUP BY source
+    """,
+    covers=["S4", "S5"],
+)
+def s7_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction + scan-back: fragment `documents` into 16
+    undersized files (the debris a per-micro-batch ingest or frequent
+    partitioned append leaves behind), compact with io.compact_dataset
+    (file count = ceil(total_bytes / target), sized via the Hadoop FS
+    API), read the compacted dataset back and aggregate — the oracle
+    checks the maintenance pass is lossless. The file-count contract
+    itself is pinned by tests/test_api.py."""
+    from engage_spark.io import compact_dataset
+
+    d = table(spark, sf_dir, "documents")
+    frag = _scratch("docs_fragmented")
+    comp = _scratch("docs_compacted")
+    d.repartition(16).write.mode("overwrite").parquet(frag)
+    compact_dataset(spark, frag, comp, target_file_bytes=32 * 1024 * 1024)
+    back = spark.read.parquet(comp)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
