@@ -53,6 +53,7 @@ __all__ = [
     "pq_topk_search",
     "pq_params",
     "curation_funnel",
+    "cluster_safe_split",
     "bigram_perplexity",
     "bpe_train",
     "percentile_gate",
@@ -608,6 +609,50 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame
     draws.) The x_hash_sample_stratified primitive with a caller-chosen
     rate."""
     return df.filter(_hash_keep_expr(id_col, rate))
+
+
+def _hex_thresh(rate: float) -> str:
+    """The md5-threshold convention's 8-hex-char cutoff for a rate."""
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def cluster_safe_split(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    salt: str = "split-v1",
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: documents connected by
+    near-duplicate edges form components, and the split is a pure
+    md5-threshold function of the COMPONENT id — so every member of a
+    duplicate cluster lands in the SAME split, and held-out evaluation
+    cannot leak into training through paraphrases or re-crawls the
+    row-level hash split would scatter across splits. Deterministic on
+    any cluster layout (the hash_sample discipline), salted so
+    different split schemes draw independently. Returns
+    (id, component_id, split)."""
+    comp = connected_components(
+        nodes.select(F.col(id_col)), edges, node_col=id_col, src=src, dst=dst,
+        reliable_checkpoint=reliable_checkpoint,
+    )
+    u = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("component").cast("string"))), 1, 8
+    )
+    split = (
+        F.when(u < F.lit(_hex_thresh(test_rate)), "test")
+        .when(u < F.lit(_hex_thresh(test_rate + val_rate)), "val")
+        .otherwise("train")
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("component_id"),
+        split.alias("split"),
+    )
 
 
 def curation_funnel(

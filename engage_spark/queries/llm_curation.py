@@ -264,6 +264,59 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_cluster_safe_split",
+    # same recursive-CTE transitive closure as _CC_EXACT_ORACLE, with
+    # the md5-threshold split applied to the COMPONENT id (thresholds
+    # are the 8-hex cutoffs of 5% / 10% of 2^32 — the hash_sample
+    # convention; md5 hex is lowercase in both engines)
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {_shingles_duck(3)} AS sh FROM t),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(a.sh || b.sh))::DOUBLE >= {_CC_EDGE_THRESHOLD}
+    ),
+    sym AS (SELECT doc_a s, doc_b d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.node, e.d FROM walk w JOIN sym e ON e.s = w.reach
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(reach)::BIGINT AS component_id
+        FROM walk GROUP BY node
+    )
+    SELECT doc_id, component_id,
+           CASE WHEN substr(md5('split-v1:' || component_id::VARCHAR), 1, 8)
+                     < '0ccccccc' THEN 'test'
+                WHEN substr(md5('split-v1:' || component_id::VARCHAR), 1, 8)
+                     < '19999999' THEN 'val'
+                ELSE 'train' END AS split
+    FROM comp
+    """,
+    covers=["X2", "M7"],
+)
+def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split (api.cluster_safe_split): the
+    split is a pure md5-threshold function of each document's near-dup
+    COMPONENT id (trigram-Jaccard >= 0.5 components, the
+    x_dedup_components ground truth), so paraphrases and re-crawls of
+    one document always share a split — a row-level hash split
+    scatters near-duplicate clusters across train AND test, leaking
+    held-out content into training. 90/5/5 by component; deterministic
+    on any cluster layout, nested-sample discipline as hash_sample."""
+    from engage_spark.api import cluster_safe_split
+
+    d = table(spark, sf_dir, "documents")
+    return cluster_safe_split(
+        d.select("doc_id"), _exact_trigram_edges(d), id_col="doc_id"
+    )
+
+
 # LSH-fed clustering (upgraded r6 from rows-only): the edge set is the
 # md5-family MinHash banding pipeline — itself fully SQL-expressible
 # (llm_dedup._MH32_PAIRS_SQL, the x2d oracle) — so the twin composes

@@ -221,6 +221,34 @@ def test_mllib_brp_ann_recall_vs_brute_force(spark, sf_dir):
     assert all(-1.0 - 1e-6 <= r.cosine <= 1.0 + 1e-6 for r in brp)
 
 
+def test_cluster_safe_split_keeps_near_dups_together(spark, planted, sf_dir):
+    """The leakage guarantee itself: every near-dup component shares
+    one split, and the assignment is deterministic."""
+    from engage_spark.api import cluster_safe_split
+    from engage_spark.queries.llm_curation import connected_components
+
+    edges = minhash_candidate_pairs(planted, jaccard_threshold=0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    out = cluster_safe_split(planted.select("doc_id"), edges).toPandas()
+    # docs 0,1,2 are the planted near-dup cluster: one component, one split
+    cluster = out[out.doc_id.isin([0, 1, 2])]
+    assert cluster.component_id.nunique() == 1
+    assert cluster.split.nunique() == 1
+    # deterministic across runs
+    again = cluster_safe_split(planted.select("doc_id"), edges).toPandas()
+    assert (
+        out.sort_values("doc_id").split.to_numpy()
+        == again.sort_values("doc_id").split.to_numpy()
+    ).all()
+    # registered query: no component straddles splits at sf scale
+    from engage_spark.registry import load_all
+
+    full = load_all()["x_cluster_safe_split"].fn(spark, sf_dir).toPandas()
+    per_comp = full.groupby("component_id")["split"].nunique()
+    assert (per_comp == 1).all()
+
+
 def test_pq_adc_rerank_recall_vs_brute_force(spark, sf_dir):
     from engage_spark.registry import load_all
 
