@@ -90,17 +90,6 @@ _INTERP_SCHEMA = T.StructType(
 )
 
 
-def _interp_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values(["ts", "event_id"])
-    return pd.DataFrame(
-        {
-            "user_id": pdf["user_id"].to_numpy(),
-            "event_id": pdf["event_id"].to_numpy(),
-            "value_filled": interpolate_series(pdf["value_gapped"]).to_numpy(),
-        }
-    )
-
-
 def grouped_series(df: DataFrame, key: str, payload: list[str]) -> DataFrame:
     """Collapse a (key, ts, event_id, payload...) event table to one row
     per group carrying the date-sorted series as an array<struct>.

@@ -375,6 +375,45 @@ def test_batch_integrator_matches_scalar_solver():
         assert np.allclose(batch[b], scalar, rtol=1e-9, atol=1e-9), b
 
 
+def test_sir_query_matches_scalar_reference_path(spark, sf_dir):
+    """End-to-end parity of the registered k_m4_sir_simulate against
+    the SCALAR reference path: fit per user with _sir_fit_params, round
+    beta like the query does, run sir_simulate — the JVM window fit +
+    batch-vectorized recurrence must reproduce it."""
+    from engage_spark.queries.kernels import _sir_fit_params
+    from engage_spark.registry import load_all
+
+    got = (
+        load_all()["k_m4_sir_simulate"].fn(spark, sf_dir).toPandas()
+        .sort_values(["user_id", "step"]).reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    exp = []
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        beta, gamma, i0 = _sir_fit_params(g["value"].to_numpy("float64"))
+        beta = round(beta + 1e-9, 6)
+        sim = sir_simulate(60, 10_000.0, i0, beta, gamma)
+        exp.append(
+            pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "step": np.arange(60, dtype="int32"),
+                    "susceptible": sim[:, 0],
+                    "infected": sim[:, 1],
+                    "removed": sim[:, 2],
+                }
+            )
+        )
+    expdf = (
+        pd.concat(exp).sort_values(["user_id", "step"]).reset_index(drop=True)
+    )
+    for c in ("susceptible", "infected", "removed"):
+        # 1e-5: JVM vs numpy float-sum order can nudge beta's pre-round
+        # value across a 6dp boundary in principle; values themselves
+        # are rounded to 6dp by the query
+        assert np.allclose(got[c], expdf[c].round(6), atol=1e-4), c
+
+
 # ---------------------------------------------------------------------------
 # Property tests for the oracled kernel math (round 7)
 
