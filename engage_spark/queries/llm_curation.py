@@ -24,7 +24,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engage_spark.checkpointing import iter_checkpoint
@@ -1017,6 +1017,72 @@ def x_packed_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("packed_text"),
         )
+    )
+
+
+@query(
+    "x_pack_boundaries",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_TOKS_DUCK})::BIGINT AS n_toks,
+               (('0x' || substr(
+                   md5('{_PACK_SALT}:' || doc_id::VARCHAR), 1, 8
+               ))::BIGINT % {_PACK_SHARDS})::BIGINT AS shard_id
+        FROM documents
+    ), packed AS (
+        SELECT source, shard_id, doc_id, n_toks,
+               ((sum(n_toks) OVER (
+                   PARTITION BY source, shard_id ORDER BY doc_id, n_toks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_toks) // {_PACK_BUDGET})::BIGINT AS pack_id
+        FROM t
+    )
+    SELECT source, shard_id, pack_id, doc_id,
+           (sum(n_toks) OVER (
+               PARTITION BY source, shard_id, pack_id
+               ORDER BY doc_id, n_toks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_toks)::BIGINT AS tok_start,
+           (sum(n_toks) OVER (
+               PARTITION BY source, shard_id, pack_id
+               ORDER BY doc_id, n_toks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ))::BIGINT AS tok_end
+    FROM packed
+    """,
+    covers=["X4"],
+)
+def x_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack DOCUMENT BOUNDARY OFFSETS — what cross-document
+    attention masking consumes at training time: for every document in
+    a pack, its [tok_start, tok_end) token span within the pack's
+    local coordinates (same sharded assignment as
+    x_packed_sequences_sharded; an oversize spill doc's tok_end may
+    exceed the budget, the documented greedy-fill semantics). Pure
+    integer window arithmetic over the packing cumsum — the
+    (source, shard_id) exchange is reused for the within-pack offsets
+    (same partitioning prefix, no second shuffle), and the output is
+    exactly the mask-index table a loader zips with packed_text."""
+    from engage_spark.api import sequence_packing
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = sequence_packing(
+        d, id_col="doc_id", text_col="text", strata_col="source",
+        budget=_PACK_BUDGET, n_shards=_PACK_SHARDS, shard_salt=_PACK_SALT,
+    )
+    w = (
+        Window.partitionBy("source", "shard_id", "pack_id")
+        .orderBy("doc_id", "n_toks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("n_toks").over(w)
+    return per_doc.select(
+        "source",
+        "shard_id",
+        "pack_id",
+        "doc_id",
+        (run - F.col("n_toks")).cast("long").alias("tok_start"),
+        run.cast("long").alias("tok_end"),
     )
 
 
