@@ -80,6 +80,7 @@ OPTIONAL = [
     # round 7 additions
     "x3e_pq_encode",
     "x3e2_pq_adc_search",
+    "x_pack_boundaries",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -308,7 +308,11 @@ def x_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     one document always share a split — a row-level hash split
     scatters near-duplicate clusters across train AND test, leaking
     held-out content into training. 90/5/5 by component; deterministic
-    on any cluster layout, nested-sample discipline as hash_sample."""
+    on any cluster layout, nested-sample discipline as hash_sample.
+    This registered form runs on the exact-edge ground truth (oracle-
+    checkable); at corpus scale feed api.cluster_safe_split the
+    MinHash-LSH edge set instead (api.minhash_near_dup_pairs — the
+    x_dedup_components_lsh path, banded, never all-pairs)."""
     from engage_spark.api import cluster_safe_split
 
     d = table(spark, sf_dir, "documents")
