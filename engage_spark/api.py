@@ -432,7 +432,6 @@ def pq_topk_search(
 
     from engage_spark.queries.llm_similarity import (
         _PQ_M,
-        _PQ_SUBDIM,
         _pq_codebooks,
         _pq_encode_batches,
         _pq_normalize,
@@ -454,8 +453,9 @@ def pq_topk_search(
     )
     qd_rows = []
     for qid, qv in qrows:
+        sd = len(qv) // _PQ_M  # subspace width follows the data
         for m in range(_PQ_M):
-            vs = qv[None, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]
+            vs = qv[None, m * sd:(m + 1) * sd]
             ids_m, mat_m = cb[m]
             for kk in range(len(ids_m)):
                 dq = float(_pq_subdist_seq(vs, mat_m[kk])[0])

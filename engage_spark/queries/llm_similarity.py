@@ -686,10 +686,11 @@ def _pq_encode_batches(cb: dict, emit_sub: bool = False):
                 np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
             )
             B = len(pdf)
+            sd = v.shape[1] // _PQ_M  # subspace width follows the data
             ms, cids, subs = [], [], []
             for m in range(_PQ_M):
                 ids_m, mat_m = cb[m]
-                vs = v[:, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]
+                vs = v[:, m * sd:(m + 1) * sd]
                 d = np.empty((B, len(ids_m)))
                 for kk in range(len(ids_m)):
                     d[:, kk] = _pq_subdist_seq(vs, mat_m[kk])
@@ -727,10 +728,13 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame, n_rows: int) -> dict:
     )
     s_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
     s_mat = _pq_normalize(np.array([c for _, c in seeds], dtype=np.float64))
-    cb0 = {
-        m: (s_ids, s_mat[:, m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM])
-        for m in range(_PQ_M)
-    }
+    dim = s_mat.shape[1]
+    if dim % _PQ_M:
+        raise ValueError(
+            f"embedding dim {dim} is not divisible by the {_PQ_M} PQ subspaces"
+        )
+    sd = dim // _PQ_M  # subspace width follows the data, not a constant
+    cb0 = {m: (s_ids, s_mat[:, m * sd:(m + 1) * sd]) for m in range(_PQ_M)}
     refined = (
         e.select("vec_id", "embedding")
         .mapInPandas(
@@ -742,11 +746,11 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame, n_rows: int) -> dict:
             F.array(
                 *[
                     F.round(F.avg(F.col("vs")[i]) + F.lit(1e-9), 6)
-                    for i in range(_PQ_SUBDIM)
+                    for i in range(sd)
                 ]
             ).alias("cs")
         )
-        .collect()  # bounded: at most M x K_SUB rows of SUBDIM doubles
+        .collect()  # bounded: at most M x K_SUB rows of subdim doubles
     )
     cb: dict = {}
     for m in range(_PQ_M):

@@ -465,3 +465,28 @@ def test_compact_dataset_rightsizes_small_files(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").toPandas()
     b = spark.read.parquet(dst).orderBy("id").toPandas()
     assert (a.values == b.values).all()
+
+
+def test_pq_search_on_generic_frame_and_other_dim(spark):
+    """The PQ facade must follow the data's dimensionality (subspace
+    width = dim / 8), not the testdata's 64 — and reject dims the
+    subspaces can't split evenly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from engage_spark import api
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "item long, vec array<double>")
+    out = api.pq_topk_search(
+        df, df.filter("item < 3"), k=4, rerank=20, id_col="item", emb_col="vec"
+    ).toPandas()
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "cosine"}
+    assert len(out) == 12 and out["rank"].max() == 4
+    bad = spark.createDataFrame(
+        [(i, rng.randn(10).tolist()) for i in range(64)],
+        "item long, vec array<double>",
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        api.pq_encode(bad, id_col="item", emb_col="vec")
