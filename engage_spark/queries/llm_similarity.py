@@ -1351,3 +1351,69 @@ def x_embed_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", emb_col="embedding", threshold=_ND_COS,
         bands=bands, rows=rows, dim=_DIM,
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-corpus statistics profile (pipeline monitoring: embedding
+# DRIFT — a model/version change upstream shifts norms and per-dim
+# means long before any downstream metric moves)
+
+
+@query(
+    "x_embed_profile",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+             sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                 AS nrm
+      FROM embeddings
+    )
+    SELECT count(*)::BIGINT AS n_vectors,
+           min(len(e))::BIGINT AS dim_min,
+           max(len(e))::BIGINT AS dim_max,
+           round(avg(nrm) + 1e-9, 6) AS norm_mean,
+           round(min(nrm) + 1e-9, 6) AS norm_min,
+           round(max(nrm) + 1e-9, 6) AS norm_max,
+           round(avg(e[1]) + 1e-9, 6) AS dim0_mean,
+           round(avg(e[{_DIM}]) + 1e-9, 6) AS dim_last_mean,
+           round(avg(list_sum(e) / len(e)) + 1e-9, 6) AS component_mean,
+           sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm
+    FROM t
+    """,
+    covers=["X3", "A5"],
+)
+def x_embed_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus statistics profile — the drift monitor an
+    embedding pipeline runs per shipment (an upstream model swap or a
+    broken normalization shifts norms/means before any downstream
+    dedup/search metric reacts): vector count, dim bounds (a ragged
+    dim is a corrupt shipment), norm mean/min/max, first/last-dim and
+    overall component means, and the zero-norm count (dead vectors
+    poison cosine). One map-only pass — every statistic is a JVM
+    higher-order expression over the array, partial-aggregated into a
+    single output row; nothing corpus-sized shuffles."""
+    e = table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    t = e.select(
+        ed.alias("e"),
+        nrm.alias("nrm"),
+        F.size("embedding").alias("d"),
+    )
+    comp_mean = F.aggregate("e", F.lit(0.0), lambda a, x: a + x) / F.col("d")
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("d").cast("long").alias("dim_min"),
+        F.max("d").cast("long").alias("dim_max"),
+        F.round(F.avg("nrm") + F.lit(1e-9), 6).alias("norm_mean"),
+        F.round(F.min("nrm") + F.lit(1e-9), 6).alias("norm_min"),
+        F.round(F.max("nrm") + F.lit(1e-9), 6).alias("norm_max"),
+        F.round(F.avg(F.col("e")[0]) + F.lit(1e-9), 6).alias("dim0_mean"),
+        F.round(F.avg(F.col("e")[_DIM - 1]) + F.lit(1e-9), 6).alias("dim_last_mean"),
+        F.round(F.avg(comp_mean) + F.lit(1e-9), 6).alias("component_mean"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+    )

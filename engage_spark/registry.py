@@ -64,11 +64,12 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 # driver row carries little signal) defer to the round-8 window:
 # ext_approx_sketches, m1b_glm_poisson_govflags, mm_resize_bytes,
 # x3d_mllib_brp_ann, x4_tfidf_pipeline, x4b_quality_classifier —
-# plus, to make room for this round's five new oracled queries (the PQ
-# pair, compaction roundtrip, cluster-safe split, pack boundaries),
-# five oracled-but-unchanged r4-signal queries with pytest+plan
-# coverage: mm_resize_plan, x_profile_columns, x_doc_chunking,
-# x_shard_manifest, ev_retention_cohorts.
+# plus, to make room for this round's six new oracled queries (the PQ
+# pair, compaction roundtrip, cluster-safe split, pack boundaries,
+# embed profile), six oracled-but-unchanged r4-signal queries with
+# pytest+plan coverage: mm_resize_plan, x_profile_columns,
+# x_doc_chunking, x_shard_manifest, ev_retention_cohorts,
+# ev_conversion_funnel.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) new / changed in round 7
     "k_m4_sir_simulate",             # recursive-CTE oracle added (was rows-only)
@@ -81,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s7_compaction_roundtrip",       # new: small-file compaction is lossless
     "x_cluster_safe_split",          # new: leakage-safe split by dup component
     "x_pack_boundaries",             # new: per-pack doc boundary offsets
+    "x_embed_profile",               # new: embedding drift/statistics profile
     "x_sequence_packing_exact_order",    # renamed (flat variant demoted)
     "x_packed_sequences_exact_order",    # renamed (flat variant demoted;
     # the sharded covers-primary only changed docstrings — r5 signal stands)
@@ -105,7 +107,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "k_m4b_sir_continuous",
     "ev_sessionize_gap",
     "ev_json_extract",
-    "ev_conversion_funnel",
     "f_collection_ops",
     "ext_asof_join",
     "ext_exact_percentiles",
