@@ -1018,3 +1018,25 @@ def test_param_rules_monotone(n):
     b1, r1 = lsh_banding_params(n)
     b2, r2 = lsh_banding_params(n2)
     assert (b2, r2) >= (b1, r1)
+
+
+def test_pack_boundaries_are_contiguous_and_conserve_tokens(spark, sf_dir):
+    """Structural invariants of x_pack_boundaries: every pack's spans
+    start at 0, tile contiguously with no gaps/overlaps, and sum to
+    exactly the pack_tokens the sharded packing query reports — the
+    properties a masking loader silently depends on."""
+    from engage_spark.registry import load_all
+
+    reg = load_all()
+    b = reg["x_pack_boundaries"].fn(spark, sf_dir).toPandas()
+    packs = reg["x_packed_sequences_sharded"].fn(spark, sf_dir).toPandas()
+    for (src, sh, pid), g in b.groupby(["source", "shard_id", "pack_id"]):
+        g = g.sort_values("tok_start")
+        assert g.tok_start.iloc[0] == 0, (src, sh, pid)
+        assert (g.tok_start.iloc[1:].to_numpy()
+                == g.tok_end.iloc[:-1].to_numpy()).all(), (src, sh, pid)
+    got = b.groupby(["source", "shard_id", "pack_id"])
+    spans = (got.tok_end.max() - 0).rename("span_total")
+    exp = packs.set_index(["source", "shard_id", "pack_id"]).pack_tokens
+    joined = spans.to_frame().join(exp)
+    assert (joined.span_total == joined.pack_tokens).all()
