@@ -726,6 +726,11 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame, n_rows: int) -> dict:
         for r in e.filter(F.col("vec_id") % stride == 0)
         .select("vec_id", "embedding").collect()
     )
+    if not seeds:
+        raise ValueError(
+            "PQ codebook seeding found no vectors (empty corpus, or no "
+            "id is a multiple of the stride) — nothing to quantize against"
+        )
     s_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
     s_mat = _pq_normalize(np.array([c for _, c in seeds], dtype=np.float64))
     dim = s_mat.shape[1]
