@@ -58,6 +58,8 @@ __all__ = [
     "bpe_train",
     "percentile_gate",
     "sequence_packing",
+    "pack_boundaries",
+    "snapshot_diff",
     "hash_sample",
     "token_stats",
     "vocab_topk",
@@ -609,6 +611,75 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame
     draws.) The x_hash_sample_stratified primitive with a caller-chosen
     rate."""
     return df.filter(_hash_keep_expr(id_col, rate))
+
+
+def pack_boundaries(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str | None = None,
+    budget: int = 2048,
+    n_shards: int | None = None,
+    shard_salt: str = "pack-v1",
+) -> DataFrame:
+    """Per-pack document boundary offsets — the [tok_start, tok_end)
+    span of every document inside its pack, the index table
+    cross-document attention masking consumes (x_pack_boundaries'
+    implementation). Same parameters and determinism as
+    sequence_packing; the within-pack window reuses the packing
+    exchange (same partitioning prefix), so the whole op is one
+    shuffle."""
+    per_doc = sequence_packing(
+        df, id_col=id_col, text_col=text_col, strata_col=strata_col,
+        budget=budget, n_shards=n_shards, shard_salt=shard_salt,
+    )
+    part = ([strata_col] if strata_col else []) + (
+        ["shard_id"] if n_shards is not None else []
+    ) + ["pack_id"]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(id_col, "n_toks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("n_toks").over(w)
+    keep = [c for c in per_doc.columns if c != "n_toks"]
+    return per_doc.select(
+        *keep,
+        (run - F.col("n_toks")).cast("long").alias("tok_start"),
+        run.cast("long").alias("tok_end"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning primitive behind
+    incremental retraining decisions: full outer join of two snapshots
+    on id, content compared by normalized fingerprint (16 B per doc;
+    text never shuffles). Returns (id, status) with status in
+    {added, removed, changed, unchanged}; aggregate it for the release
+    report, anti-join it for the incremental slice."""
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        normalized_fingerprint(text_col).alias("__fp_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        normalized_fingerprint(text_col).alias("__fp_new"),
+    )
+    status = (
+        F.when(F.col("__fp_old").isNull(), "added")
+        .when(F.col("__fp_new").isNull(), "removed")
+        .when(F.col("__fp_old") == F.col("__fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        o.join(n, on="__id", how="full_outer")
+        .select(F.col("__id").alias(id_col), status.alias("status"))
+    )
 
 
 def _hex_thresh(rate: float) -> str:

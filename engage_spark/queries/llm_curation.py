@@ -1066,28 +1066,15 @@ def x_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer window arithmetic over the packing cumsum — the
     (source, shard_id) exchange is reused for the within-pack offsets
     (same partitioning prefix, no second shuffle), and the output is
-    exactly the mask-index table a loader zips with packed_text."""
-    from engage_spark.api import sequence_packing
+    exactly the mask-index table a loader zips with packed_text.
+    Delegates to api.pack_boundaries (the public facade)."""
+    from engage_spark.api import pack_boundaries
 
     d = table(spark, sf_dir, "documents")
-    per_doc = sequence_packing(
+    return pack_boundaries(
         d, id_col="doc_id", text_col="text", strata_col="source",
         budget=_PACK_BUDGET, n_shards=_PACK_SHARDS, shard_salt=_PACK_SALT,
-    )
-    w = (
-        Window.partitionBy("source", "shard_id", "pack_id")
-        .orderBy("doc_id", "n_toks")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = F.sum("n_toks").over(w)
-    return per_doc.select(
-        "source",
-        "shard_id",
-        "pack_id",
-        "doc_id",
-        (run - F.col("n_toks")).cast("long").alias("tok_start"),
-        run.cast("long").alias("tok_end"),
-    )
+    ).select("source", "shard_id", "pack_id", "doc_id", "tok_start", "tok_end")
 
 
 # ---------------------------------------------------------------------------

@@ -490,3 +490,37 @@ def test_pq_search_on_generic_frame_and_other_dim(spark):
     )
     with _pytest.raises(ValueError, match="divisible"):
         api.pq_encode(bad, id_col="item", emb_col="vec")
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from engage_spark import api
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "Alpha   Beta"),      # normalized-equal -> unchanged
+            (2, "gamma delta PLUS"),  # changed
+            (4, "eta theta"),         # added
+        ],                            # 3 missing -> removed
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in api.snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_pack_boundaries_facade_matches_registered_query(spark, sf_dir):
+    from engage_spark import api
+    from engage_spark.registry import load_all
+
+    reg = load_all()["x_pack_boundaries"].fn(spark, sf_dir).toPandas()
+    fac = api.pack_boundaries(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        strata_col="source", budget=512, n_shards=8,
+    ).toPandas()
+    key = ["source", "shard_id", "pack_id", "doc_id"]
+    a = reg.sort_values(key).reset_index(drop=True)
+    b = fac[reg.columns].sort_values(key).reset_index(drop=True)
+    assert (a.values == b.values).all()
