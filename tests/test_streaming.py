@@ -400,3 +400,31 @@ def test_incremental_ingest_stream_dedups_across_batches(spark, tmp_path):
     got2 = spark.read.parquet(corpus2).toPandas()
     assert sorted(got2.doc_id) == [11]  # 10 was already in the store
     assert spark.read.parquet(store).distinct().count() == 4
+
+
+def test_incremental_ingest_restart_is_a_noop(spark, tmp_path):
+    """Restarting the ingest stream on the SAME checkpoint with no new
+    input must neither re-admit nor duplicate anything — the committed
+    batches are owned by the checkpoint, and the store is untouched."""
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "one two"), (2, "three four")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        incremental_ingest_stream(stream, corpus, store).awaitTermination()
+
+    run()
+    first = spark.read.parquet(corpus).toPandas()
+    run()  # restart, same checkpoint, nothing new
+    second = spark.read.parquet(corpus).toPandas()
+    assert sorted(first.doc_id) == sorted(second.doc_id) == [1, 2]
+    assert spark.read.parquet(store).select("fingerprint").distinct().count() == 2
