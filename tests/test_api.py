@@ -524,3 +524,20 @@ def test_pack_boundaries_facade_matches_registered_query(spark, sf_dir):
     a = reg.sort_values(key).reset_index(drop=True)
     b = fac[reg.columns].sort_values(key).reset_index(drop=True)
     assert (a.values == b.values).all()
+
+
+def test_compact_dataset_partitioned_writes_hive_dirs(spark, tmp_path):
+    import glob
+
+    from engage_spark.io import compact_dataset
+
+    src, dst = str(tmp_path / "psmall"), str(tmp_path / "pcompact")
+    df = spark.range(1000).selectExpr("id", "id % 3 as k")
+    df.repartition(20).write.parquet(src)
+    compact_dataset(spark, src, dst, target_file_bytes=1 << 30,
+                    partition_by=["k"])
+    parts = sorted(glob.glob(f"{dst}/k=*"))
+    assert [p.split("/")[-1] for p in parts] == ["k=0", "k=1", "k=2"]
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).select("id", "k").orderBy("id").toPandas()
+    assert (a.values == b[a.columns].values).all()
