@@ -471,7 +471,12 @@ def pq_topk_search(
         codes.join(F.broadcast(qd), on=["m", "cid"])
         .filter(self_filter)
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dq").alias("approx"))
+        # rounded 6dp BEFORE it feeds an ordering: the 8-term double sum
+        # is aggregation-order-sensitive, and an unrounded near-tie at
+        # the shortlist boundary would flip membership between runs (and
+        # vs the oracle's sum order) — same discipline as every other
+        # float-ordered quantity in the engine
+        .agg(F.round(F.sum("dq") + F.lit(1e-9), 6).alias("approx"))
     )
 
     def partial_topc(batches):

@@ -184,9 +184,17 @@ def compact_dataset(
     below the HDFS/object-store sweet spot, and at 100 TB the
     open-file overhead of a million 1 MB files dominates scan time.
     Sizes come from the Hadoop FS API (works on any URI, not just
-    local paths); with `partition_by` the repartition hashes on the
-    partition columns so each hive partition is written by as few
-    tasks as its share of the data needs.
+    local paths).
+
+    With `partition_by`, each hive partition gets a file count
+    PROPORTIONAL to its row share of the global target (floor 1): the
+    shuffle key is (partition columns, salt) where the salt is a
+    deterministic row hash mod that partition's file count. Hashing on
+    the partition columns alone would collapse every hive partition
+    into exactly one task regardless of target_file_bytes — a skew/OOM
+    hazard for large partitions, the very scale case compaction exists
+    for. The salt is xxhash64 over the row (not a random id), so a
+    retried stage re-places every row identically.
     """
     import math
 
@@ -198,8 +206,27 @@ def compact_dataset(
         p = jvm.org.apache.hadoop.fs.Path(f)
         total += p.getFileSystem(conf).getFileStatus(p).getLen()
     n = max(1, math.ceil(total / target_file_bytes))
-    rep = (
-        df.repartition(n, *partition_by) if partition_by else df.repartition(n)
-    )
+    if not partition_by:
+        rep = df.repartition(n)
+    else:
+        # per-partition file counts from row share (rows proxy bytes
+        # within one dataset); the agg partial-aggregates map-side and
+        # the plan joins it back broadcast, so the corpus shuffles once
+        total_rows = df.count() or 1  # parquet metadata count
+        fdf = df.groupBy(*partition_by).agg(
+            F.greatest(
+                F.lit(1),
+                F.round(
+                    F.count(F.lit(1)) * F.lit(float(n)) / F.lit(float(total_rows))
+                ).cast("int"),
+            ).alias("__files")
+        )
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__files"))
+        rep = (
+            df.join(F.broadcast(fdf), list(partition_by))
+            .withColumn("__salt", salt)
+            .repartition(n, *partition_by, F.col("__salt"))
+            .drop("__files", "__salt")
+        )
     write_parquet(rep, dst, partition_by=partition_by)
     return n

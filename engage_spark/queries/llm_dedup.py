@@ -95,6 +95,100 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hot-bucket short-circuit (shared by every LSH bucket self-join:
+# MinHash, SimHash, embedding-LSH)
+
+# Buckets larger than this emit STAR edges to their min-id member
+# instead of all C(m,2) pairs. Rationale: banding bounds EXPECTED
+# fan-in (the families target ~96-row occupancy), but a real crawl
+# guarantees degenerate buckets — boilerplate/template pages that
+# survive exact dedup (1-char diffs) share every band key, and one
+# 10M-member bucket is a 10^13-pair task AQE cannot split (single join
+# key). At the cap, C(256,2) ≈ 33k pairs per bucket is a trivial task;
+# above it, members are near-certain duplicates of each other, and the
+# star edges (min_id, member) preserve the connected components the
+# clustering queries consume whenever within-bucket members verify
+# against the hub — exactly the degenerate case that produces such
+# buckets. The trade: a >cap bucket whose members B, C pass the verify
+# pairwise but NOT against the hub loses the B—C edge (standard
+# recall/robustness trade; documented in SCALE.md).
+_HOT_BUCKET_CAP = 256
+
+
+def _capped_bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    cap: int = _HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Distinct candidate pairs (out_a < out_b) from bucket-membership
+    rows (key_cols..., id_col), with the hot-bucket short-circuit: a
+    bucket of size <= cap self-joins into all C(m,2) pairs; a LARGER
+    bucket emits m-1 star edges to its min-id member — O(m), which is
+    what lets the near-dup family survive a crawl's degenerate
+    template buckets. One window over the bucket key computes size and
+    hub in the same exchange the self-join shuffles on; the window
+    state is count/min over ~24-byte rows, so even a 10M-member bucket
+    streams through one task in ~240 MB."""
+    w = Window.partitionBy(*key_cols)
+    sized = buckets.withColumn("__bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "__hub", F.min(id_col).over(w)
+    )
+    small = sized.filter(F.col("__bsz") <= cap)
+    left = small.select(*key_cols, F.col(id_col).alias(out_a))
+    right = small.select(*key_cols, F.col(id_col).alias(out_b))
+    pairs = (
+        left.join(right, on=key_cols)
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b)
+    )
+    star = sized.filter(
+        (F.col("__bsz") > cap) & (F.col(id_col) != F.col("__hub"))
+    ).select(F.col("__hub").alias(out_a), F.col(id_col).alias(out_b))
+    return pairs.unionByName(star).dropDuplicates([out_a, out_b])
+
+
+def _capped_pairs_sql(
+    bucket_cte: str,
+    key_cols: str,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    cap: int = _HOT_BUCKET_CAP,
+) -> str:
+    """The DuckDB twin of _capped_bucket_pairs as a CTE fragment:
+    `bucket_cte` must expose (key_cols..., id_col); emits CTEs `bsz`
+    and `cand(out_a, out_b)`. Keeping the cap IN the oracle means the
+    hash check pins exactly what the capped plan computes — the twins
+    stay green whether or not any bucket exceeds the cap."""
+    keys = [k.strip() for k in key_cols.split(",")]
+    on_ab = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    on_sa = " AND ".join(f"s.{k} = a.{k}" for k in keys)
+    on_sb = " AND ".join(f"s.{k} = b.{k}" for k in keys)
+    return f"""
+    bsz AS (
+      SELECT {key_cols}, count(*) AS sz, min({id_col}) AS hub
+      FROM {bucket_cte} GROUP BY {key_cols}
+    ),
+    cand AS (
+      SELECT DISTINCT {out_a}, {out_b} FROM (
+        SELECT a.{id_col} AS {out_a}, b.{id_col} AS {out_b}
+        FROM {bucket_cte} a
+        JOIN {bucket_cte} b ON {on_ab} AND a.{id_col} < b.{id_col}
+        JOIN bsz s ON {on_sa} AND s.sz <= {cap}
+        UNION ALL
+        SELECT s.hub AS {out_a}, b.{id_col} AS {out_b}
+        FROM {bucket_cte} b
+        JOIN bsz s ON {on_sb}
+        WHERE s.sz > {cap} AND b.{id_col} != s.hub
+      )
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
 # X2 — MinHash + LSH banding
 
 # 32 hash functions h_j(x) = (a_j * x + b_j) mod p over xxhash64 shingle
@@ -154,11 +248,14 @@ def minhash_signature(hashes: Column) -> Column:
 def minhash_candidate_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, jaccard_threshold: float = 0.5,
+    hot_bucket_cap: int = _HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
     plan: map (shingle+sign) → explode 8 band keys → shuffle on
-    (band, key) → self-join within buckets → distinct pairs → verify.
+    (band, key) → self-join within SIZE-CAPPED buckets (buckets above
+    `hot_bucket_cap` short-circuit to star edges — see
+    _capped_bucket_pairs) → distinct pairs → verify.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     # Everything downstream works on 32-bit shingle HASHES, never the
@@ -204,13 +301,9 @@ def minhash_candidate_pairs(
         ).alias("band", "band_key"),
     )
 
-    left = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    right = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
-    cand = (
-        left.join(right, on=["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = _capped_bucket_pairs(
+        bands, ["band", "band_key"], "doc_id", "doc_a", "doc_b",
+        cap=hot_bucket_cap,
     )
     sh_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("sh_a"))
     sh_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("sh_b"))
@@ -287,17 +380,21 @@ def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 8,
     token_hash_sql: str = "xxhash64(t)",
+    hot_bucket_cap: int = _HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit hash into 4x16-bit
     chunks (pigeonhole: hamming<=3 pairs share >=1 exact chunk; wider
-    radii caught probabilistically), bucket-join, verify with
-    bit_count(a^b). Returns (doc_a, doc_b, hamming)."""
+    radii caught probabilistically), bucket-join within SIZE-CAPPED
+    chunk buckets (oversized buckets short-circuit to star edges —
+    _capped_bucket_pairs), verify with bit_count(a^b). The 8-byte
+    simhash rejoins only for surviving candidate pairs, so the bucket
+    shuffle carries (doc_id, chunk_idx, chunk) rows only.
+    Returns (doc_a, doc_b, hamming)."""
     sh = with_simhash64(docs, token_hash_sql=token_hash_sql).select(
         "doc_id", "simhash"
     )
     chunks = sh.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -309,16 +406,17 @@ def simhash_near_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.select("chunk_idx", "chunk", F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sh_a"))
-    b = chunks.select("chunk_idx", "chunk", F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("sh_b"))
+    cand = _capped_bucket_pairs(
+        chunks, ["chunk_idx", "chunk"], "doc_id", "doc_a", "doc_b",
+        cap=hot_bucket_cap,
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
-        a.join(b, on=["chunk_idx", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, on="doc_a")
+        .join(b, on="doc_b")
         .select("doc_a", "doc_b",
                 F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -365,14 +463,17 @@ _SIMHASH_MD5_TOKEN_SQL = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
                  AS simhash
       FROM bits GROUP BY doc_id
     ),
+    chunks AS (
+      SELECT doc_id, c.i AS chunk_idx, (simhash >> (16 * c.i)) & 65535 AS chunk
+      FROM sh, (SELECT unnest(range(0, 4)) AS i) c
+    ),
+    {_capped_pairs_sql("chunks", "chunk_idx, chunk", "doc_id", "doc_a", "doc_b")},
     pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT c.doc_a, c.doc_b,
              bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE ((a.simhash >> 0) & 65535) = ((b.simhash >> 0) & 65535)
-         OR ((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
-         OR ((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
-         OR ((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
     """,
@@ -452,14 +553,10 @@ _MH32_PAIRS_SQL = f"""
     sg AS (SELECT doc_id, hs, {_MH32_SIG_SQL} FROM h),
     bk AS (SELECT doc_id, hs, {_MH32_KEY_SQL} FROM sg),
     bands AS (
-      SELECT doc_id, hs, i - 1 AS band, {_MH32_KEYS_LIST}[i] AS key
+      SELECT doc_id, i - 1 AS band, {_MH32_KEYS_LIST}[i] AS key
       FROM bk, range(1, {_MH32_BANDS}+1) r(i)
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
+    {_capped_pairs_sql("bands", "band, key", "doc_id", "doc_a", "doc_b")},
     v AS (
       SELECT c.doc_a, c.doc_b,
              round(len(list_intersect(ha.hs, hb.hs))
@@ -474,10 +571,16 @@ _MH32_PAIRS_SQL = f"""
 
 
 
-def minhash_md5_pairs(d: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+def minhash_md5_pairs(
+    d: DataFrame,
+    jaccard_threshold: float = 0.5,
+    hot_bucket_cap: int = _HOT_BUCKET_CAP,
+) -> DataFrame:
     """The md5-family MinHash banding pipeline as a reusable edge
     source (consumed by x2d_minhash_md5 and the LSH-fed clustering
-    twin). Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    twin). Bucket self-joins are size-capped (star edges above
+    `hot_bucket_cap`, mirrored in the oracle by _capped_pairs_sql).
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
     hashed = (
         d.select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
         .select("doc_id", _shingles_spark(3, "__toks").alias("__sh"))
@@ -504,13 +607,8 @@ def minhash_md5_pairs(d: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame
         for bi in range(_MH32_BANDS)
     ])
     bands = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
-    left = bands.select("band", "key", F.col("doc_id").alias("doc_a"))
-    right = bands.select("band", "key", F.col("doc_id").alias("doc_b"))
-    cand = (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+    cand = _capped_bucket_pairs(
+        bands, ["band", "key"], "doc_id", "doc_a", "doc_b", cap=hot_bucket_cap
     )
     ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("ha"))
     hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("hb"))

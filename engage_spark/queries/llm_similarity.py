@@ -412,8 +412,12 @@ def _ivf_centroid_avg_sql(dim: int) -> str:
       FROM (
         SELECT t.vec_id, t.e, cent0.seed_id,
                list_sum(list_transform(range(1, {_DIM}+1), i -> t.e[i]*cent0.c[i]))
-               / (sqrt(list_sum(list_transform(t.e, x->x*x)))
-                  * sqrt(list_sum(list_transform(cent0.c, x->x*x)))) AS cos
+               / ((CASE WHEN sqrt(list_sum(list_transform(t.e, x->x*x))) = 0
+                        THEN 1.0 ELSE sqrt(list_sum(list_transform(t.e, x->x*x))) END)
+                  * (CASE WHEN sqrt(list_sum(list_transform(cent0.c, x->x*x))) = 0
+                          THEN 1.0
+                          ELSE sqrt(list_sum(list_transform(cent0.c, x->x*x))) END))
+                   AS cos
         FROM t, cent0
       )
     ),
@@ -427,8 +431,12 @@ def _ivf_centroid_avg_sql(dim: int) -> str:
       FROM (
         SELECT t.vec_id, t.e, cent.seed_id,
                list_sum(list_transform(range(1, {_DIM}+1), i -> t.e[i]*cent.c[i]))
-               / (sqrt(list_sum(list_transform(t.e, x->x*x)))
-                  * sqrt(list_sum(list_transform(cent.c, x->x*x)))) AS cos
+               / ((CASE WHEN sqrt(list_sum(list_transform(t.e, x->x*x))) = 0
+                        THEN 1.0 ELSE sqrt(list_sum(list_transform(t.e, x->x*x))) END)
+                  * (CASE WHEN sqrt(list_sum(list_transform(cent.c, x->x*x))) = 0
+                          THEN 1.0
+                          ELSE sqrt(list_sum(list_transform(cent.c, x->x*x))) END))
+                   AS cos
         FROM t, cent
       )
     ),
@@ -805,7 +813,8 @@ def x3e_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sub s JOIN cent c ON s.m = c.m WHERE s.vec_id < {_N_QUERIES}
     ),
     adc AS (
-      SELECT qd.query_id, codes.vec_id AS neighbor_id, sum(qd.dq) AS approx
+      SELECT qd.query_id, codes.vec_id AS neighbor_id,
+             round(sum(qd.dq) + 1e-9, 6) AS approx
       FROM codes JOIN qd ON codes.m = qd.m AND codes.cid = qd.cid
       WHERE codes.vec_id != qd.query_id
       GROUP BY qd.query_id, codes.vec_id

@@ -398,6 +398,15 @@ def incremental_ingest_stream(
         DIFFERENT stream feeding the same store (batch ids restart at
         0 per checkpoint) gets its own partitions. (On a lakehouse,
         Delta/Iceberg MERGE replaces this dance.)
+      - Replay reads EXCLUDE the batch's own store partition (and any
+        later batch of this run): a crash AFTER the store write but
+        BEFORE the checkpoint commit leaves the batch's fingerprints
+        in the store; without the exclusion the replayed anti-join
+        would see them, admit nothing, and overwrite the corpus
+        partition with empty data — silently losing the batch forever
+        (the fingerprints stay, so the documents could never re-enter).
+        Filtering run >= this (run_tag, batch_id) makes the replay
+        recompute the identical accepted set.
       - State never lives in the streaming state store; the
         fingerprint parquet IS the state, so the stream restarts from
         any checkpoint with no rehydration.
@@ -413,7 +422,18 @@ def incremental_ingest_stream(
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         try:
+            # the user schema omits the `run` partition column, so the
+            # reader appends it from the directory layout — needed to
+            # exclude this batch's own partition on replay (see above)
             store = spark.read.schema(store_schema).parquet(store_dir)
+            if "run" in store.columns:
+                own_batch = F.when(
+                    F.col("run").startswith(f"{run_tag}_batch="),
+                    F.split(F.col("run"), "_batch=").getItem(1).cast("long"),
+                )
+                store = store.filter(
+                    own_batch.isNull() | (own_batch < batch_id)
+                ).select("fingerprint")
         except Exception:  # first batch: no store yet
             store = spark.createDataFrame([], store_schema)
         f = batch_df.withColumn("fingerprint", normalized_fingerprint(text_col))

@@ -541,3 +541,34 @@ def test_compact_dataset_partitioned_writes_hive_dirs(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").toPandas()
     b = spark.read.parquet(dst).select("id", "k").orderBy("id").toPandas()
     assert (a.values == b[a.columns].values).all()
+
+
+def test_compact_dataset_partitioned_rightsizes_per_partition(spark, tmp_path):
+    """A skewed hive partition must be written as MULTIPLE files sized
+    toward the target — not collapsed into one file per partition value
+    (the pre-r8 behavior: repartition on the partition columns alone
+    put every hive partition in exactly one task)."""
+    import glob
+    import os
+
+    from engage_spark.io import compact_dataset
+
+    src, dst = str(tmp_path / "skew"), str(tmp_path / "skewc")
+    # k=0 holds ~90% of the rows; k=1..3 split the rest
+    df = spark.range(10000).selectExpr(
+        "id",
+        "case when id % 10 = 0 then id % 3 + 1 else 0 end as k",
+        "uuid() as pad",
+    )
+    df.repartition(20).write.parquet(src)
+    total = sum(os.path.getsize(p) for p in glob.glob(f"{src}/*.parquet"))
+    compact_dataset(
+        spark, src, dst, target_file_bytes=total // 8, partition_by=["k"]
+    )
+    big = glob.glob(f"{dst}/k=0/*.parquet")
+    small = [glob.glob(f"{dst}/k={i}/*.parquet") for i in (1, 2, 3)]
+    assert len(big) >= 4, f"skewed partition wrote only {len(big)} file(s)"
+    assert all(len(s) == 1 for s in small)
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).select("id", "k", "pad").orderBy("id").toPandas()
+    assert (a.values == b[a.columns].values).all()

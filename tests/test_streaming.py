@@ -428,3 +428,45 @@ def test_incremental_ingest_restart_is_a_noop(spark, tmp_path):
     second = spark.read.parquet(corpus).toPandas()
     assert sorted(first.doc_id) == sorted(second.doc_id) == [1, 2]
     assert spark.read.parquet(store).select("fingerprint").distinct().count() == 2
+
+
+def test_ingest_replay_after_store_write_recovers_batch(spark, tmp_path):
+    """Crash AFTER the fingerprint-store write but BEFORE the checkpoint
+    commit: the replayed batch must recompute the same accepted set —
+    not anti-join against its own half-committed fingerprints and
+    overwrite the corpus partition with empty data (which would lose
+    the documents forever: their fingerprints stay in the store)."""
+    import hashlib
+
+    from engage_spark.api import normalized_fingerprint
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "one two"), (2, "three four")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    run_tag = hashlib.md5(f"{corpus}_ckpt".encode()).hexdigest()[:12]
+
+    # simulate the half-committed state: batch 0's store partition
+    # already holds exactly what ingest will write; checkpoint is empty,
+    # so the stream will (re)process batch 0 against this store
+    (
+        spark.read.parquet(f"{src}/a.parquet")
+        .select(normalized_fingerprint("text").alias("fingerprint"))
+        .distinct()
+        .write.parquet(f"{store}/run={run_tag}_batch=0")
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    incremental_ingest_stream(stream, corpus, store).awaitTermination()
+    got = spark.read.parquet(corpus).toPandas()
+    assert sorted(got.doc_id) == [1, 2], (
+        "replay lost the batch: the anti-join saw the batch's own "
+        "half-committed fingerprints"
+    )
+    assert spark.read.parquet(store).select("fingerprint").distinct().count() == 2
