@@ -14,6 +14,21 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _xxhash64able(dt: T.DataType) -> bool:
+    """True iff xxhash64 accepts a column of this type: maps are
+    unhashable (AnalysisException), and containers are hashable only
+    when every nested type is."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhash64able(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhash64able(f.dataType) for f in dt.fields)
+    return True
+
 
 TESTDATA_TABLES = (
     "region",
@@ -186,15 +201,25 @@ def compact_dataset(
     Sizes come from the Hadoop FS API (works on any URI, not just
     local paths).
 
-    With `partition_by`, each hive partition gets a file count
-    PROPORTIONAL to its row share of the global target (floor 1): the
-    shuffle key is (partition columns, salt) where the salt is a
+    With `partition_by`, each hive partition gets a file count sized
+    BEST-EFFORT toward its row share of the global target (floor 1):
+    the shuffle key is (partition columns, salt) where the salt is a
     deterministic row hash mod that partition's file count. Hashing on
     the partition columns alone would collapse every hive partition
     into exactly one task regardless of target_file_bytes — a skew/OOM
     hazard for large partitions, the very scale case compaction exists
-    for. The salt is xxhash64 over the row (not a random id), so a
-    retried stage re-places every row identically.
+    for. The salt is xxhash64 over the row's hashable columns (not a
+    random id), so a retried stage re-places every row identically.
+    Best-effort because distinct (partition, salt) groups are hash-
+    placed into the n shuffle slots and can collide, so a skewed
+    partition's file count may land somewhat below its target; the
+    skew still splits across ~__files tasks rather than one.
+
+    Rows with NULL partition-column values are preserved (written to
+    __HIVE_DEFAULT_PARTITION__, as a plain partitioned write does):
+    the per-partition file-count lookup joins null-safely, so the NULL
+    group matches its own count row instead of vanishing through an
+    inner equi-join.
     """
     import math
 
@@ -212,6 +237,9 @@ def compact_dataset(
         # per-partition file counts from row share (rows proxy bytes
         # within one dataset); the agg partial-aggregates map-side and
         # the plan joins it back broadcast, so the corpus shuffles once
+        import functools
+        import operator
+
         total_rows = df.count() or 1  # parquet metadata count
         fdf = df.groupBy(*partition_by).agg(
             F.greatest(
@@ -221,12 +249,30 @@ def compact_dataset(
                 ).cast("int"),
             ).alias("__files")
         )
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__files"))
+        # xxhash64 rejects MapType (and any type nesting one); salt on
+        # the hashable columns only, falling back to the partition
+        # columns (always atomic in a hive layout) — degraded to one
+        # file per partition, but the compaction still completes.
+        hashable = [
+            f.name for f in df.schema.fields if _xxhash64able(f.dataType)
+        ] or list(partition_by)
+        salt = F.pmod(F.xxhash64(*[df[c] for c in hashable]), F.col("__files"))
+        # eqNullSafe, not `on=partition_by`: a plain inner equi-join
+        # never matches the NULL partition group, silently dropping
+        # every row with a NULL partition value from the output.
+        fkeys = {k: f"__pk_{k}" for k in partition_by}
+        fdf_k = fdf
+        for k, pk in fkeys.items():
+            fdf_k = fdf_k.withColumnRenamed(k, pk)
+        cond = functools.reduce(
+            operator.and_,
+            [df[k].eqNullSafe(fdf_k[pk]) for k, pk in fkeys.items()],
+        )
         rep = (
-            df.join(F.broadcast(fdf), list(partition_by))
+            df.join(F.broadcast(fdf_k), cond)
             .withColumn("__salt", salt)
             .repartition(n, *partition_by, F.col("__salt"))
-            .drop("__files", "__salt")
+            .drop("__files", "__salt", *fkeys.values())
         )
     write_parquet(rep, dst, partition_by=partition_by)
     return n

@@ -434,6 +434,23 @@ def incremental_ingest_stream(
                 store = store.filter(
                     own_batch.isNull() | (own_batch < batch_id)
                 ).select("fingerprint")
+            else:
+                # store exists but lacks the run=... hive layout (e.g.
+                # bootstrapped by an external flat writer): the self-
+                # exclusion above can't apply, so a crash-replay of a
+                # half-committed batch would see its own fingerprints
+                # and drop the batch. Degraded mode must be VISIBLE,
+                # not silent.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "fingerprint store %s has no 'run' partition column; "
+                    "replay protection is OFF for this ingest — a crash "
+                    "between the store write and the checkpoint commit "
+                    "can lose that batch. Rewrite the store with "
+                    "run=<tag>_batch=<id> hive partitions to re-enable.",
+                    store_dir,
+                )
         except Exception:  # first batch: no store yet
             store = spark.createDataFrame([], store_schema)
         f = batch_df.withColumn("fingerprint", normalized_fingerprint(text_col))

@@ -572,3 +572,43 @@ def test_compact_dataset_partitioned_rightsizes_per_partition(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").toPandas()
     b = spark.read.parquet(dst).select("id", "k", "pad").orderBy("id").toPandas()
     assert (a.values == b[a.columns].values).all()
+
+
+def test_compact_dataset_preserves_null_partition_rows(spark, tmp_path):
+    """Rows whose partition column is NULL must survive compaction
+    (written to __HIVE_DEFAULT_PARTITION__) — an inner equi-join on the
+    partition key would silently drop them."""
+    import glob
+
+    from engage_spark.io import compact_dataset
+
+    src, dst = str(tmp_path / "nulls"), str(tmp_path / "nullsc")
+    df = spark.range(300).selectExpr(
+        "id", "case when id % 5 = 0 then null else id % 3 end as k"
+    )
+    df.repartition(10).write.parquet(src)
+    compact_dataset(spark, src, dst, target_file_bytes=1 << 30,
+                    partition_by=["k"])
+    assert glob.glob(f"{dst}/k=__HIVE_DEFAULT_PARTITION__/*.parquet")
+    a = spark.read.parquet(src).orderBy("id").toPandas()
+    b = spark.read.parquet(dst).select("id", "k").orderBy("id").toPandas()
+    assert len(b) == 300
+    assert a["id"].tolist() == b["id"].tolist()
+    assert a["k"].fillna(-1).tolist() == b["k"].fillna(-1).tolist()
+
+
+def test_compact_dataset_handles_unhashable_map_columns(spark, tmp_path):
+    """xxhash64 rejects MapType; the salt must skip unhashable columns
+    instead of raising AnalysisException."""
+    from engage_spark.io import compact_dataset
+
+    src, dst = str(tmp_path / "maps"), str(tmp_path / "mapsc")
+    df = spark.range(200).selectExpr(
+        "id", "id % 2 as k", "map('a', id) as attrs"
+    )
+    df.repartition(8).write.parquet(src)
+    compact_dataset(spark, src, dst, target_file_bytes=1 << 30,
+                    partition_by=["k"])
+    b = spark.read.parquet(dst).orderBy("id").toPandas()
+    assert len(b) == 200
+    assert [m["a"] for m in b["attrs"]] == b["id"].tolist()

@@ -470,3 +470,36 @@ def test_ingest_replay_after_store_write_recovers_batch(spark, tmp_path):
         "half-committed fingerprints"
     )
     assert spark.read.parquet(store).select("fingerprint").distinct().count() == 2
+
+
+def test_ingest_warns_when_store_lacks_run_partitions(spark, tmp_path, caplog):
+    """A pre-existing FLAT fingerprint store (no run=... hive layout,
+    e.g. bootstrapped by an external writer) disables the replay
+    self-exclusion; that degraded mode must be logged, not silent."""
+    import logging
+
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    # flat store: fingerprints but no run partition column
+    spark.createDataFrame([("deadbeef",)], "fingerprint string").write.parquet(
+        store
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    with caplog.at_level(logging.WARNING, logger="engage_spark.streaming.jobs"):
+        incremental_ingest_stream(stream, corpus, store).awaitTermination()
+    assert any(
+        "replay protection is OFF" in r.message for r in caplog.records
+    ), "flat store must emit the unprotected-replay warning"
+    # ingest itself still works in degraded mode
+    got = spark.read.parquet(corpus).toPandas()
+    assert sorted(got.doc_id) == [1, 2]
