@@ -171,6 +171,7 @@ def embed_lsh_near_dup_pairs(
     bands: int = 4,
     rows: int = 4,
     dim: int = 64,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs without a blocking key: banded
     hyperplane LSH candidates + exact cosine verify (the single
@@ -188,7 +189,19 @@ def embed_lsh_near_dup_pairs(
     (the calibrated log2 rule the registered query uses) when the
     corpus row count is known. The key-hashing kernel auto-selects:
     one Arrow-batch BLAS gemm per batch from the (4,4) floor config
-    up, JVM codegen expressions for smaller custom configs."""
+    up, JVM codegen expressions for smaller custom configs.
+
+    Bucket self-joins are size-capped (`hot_bucket_cap`, default the
+    family-wide _HOT_BUCKET_CAP): a crawl's boilerplate/template pages
+    embed near-identically and share every band key, and an uncapped
+    bucket of m members is a C(m,2)-pair task AQE cannot split; above
+    the cap the bucket short-circuits to star edges on its min-id
+    member (component-preserving — see llm_dedup._capped_bucket_pairs),
+    mirrored in the registered query's DuckDB oracle."""
+    from engage_spark.queries.llm_dedup import (
+        _HOT_BUCKET_CAP,
+        _capped_bucket_pairs,
+    )
     from engage_spark.queries.llm_similarity import (
         cosine_arrow,
         nd_band_keys_column,
@@ -201,13 +214,9 @@ def embed_lsh_near_dup_pairs(
             nd_band_keys_column(e, "embedding", bands, rows, dim)
         ).alias("band", "key"),
     )
-    left = banded.select("band", "key", F.col("vec_id").alias("vec_a"))
-    right = banded.select("band", "key", F.col("vec_id").alias("vec_b"))
-    cand = (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+    cand = _capped_bucket_pairs(
+        banded, ["band", "key"], "vec_id", "vec_a", "vec_b",
+        cap=hot_bucket_cap if hot_bucket_cap is not None else _HOT_BUCKET_CAP,
     )
     emb_a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     emb_b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from engage_spark.io import table
-from engage_spark.queries.llm_dedup import cosine_expr
+from engage_spark.queries.llm_dedup import _capped_pairs_sql, cosine_expr
 from engage_spark.registry import query
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -353,8 +353,16 @@ def ivf_params(n_rows: int) -> tuple[int, int, int]:
     as a FIXED nlist, which probes a constant FRACTION of the corpus —
     linear per-query work, brute force in disguise at 100x):
       nlist  = ceil(sqrt(n)) (floor 4) -> occupancy ~ sqrt(n);
-      nprobe = ceil(log2(nlist)) (floor 3) -> candidates per query ~
-               log2(sqrt(n)) * sqrt(n), strongly sub-linear;
+      nprobe = ceil(1.5 * log2(nlist)) (floor 4) -> candidates per
+               query ~ 1.5 * log2(sqrt(n)) * sqrt(n), strongly
+               sub-linear. The 1.5 factor is the round-9 recall knob,
+               chosen by measurement on the synthetic worst case (near-
+               random vectors): recall@5 vs brute force 0.64 -> 0.74 at
+               sf0.001 and 0.68 -> 0.76 at sf0.01 (a SECOND Lloyd step
+               at the old nprobe was measured first and went BACKWARD,
+               0.68 -> 0.62 at sf0.01 — on near-random data the means
+               drift toward the global mean, so probing more lists
+               beats refining the quantizer again);
       seeds  = corpus vectors with vec_id % seed_stride == 0
                (deterministic random-sampling init — literally k-means
                init; production replaces seeds with trained k-means
@@ -364,8 +372,32 @@ def ivf_params(n_rows: int) -> tuple[int, int, int]:
     import math
 
     nlist = max(4, math.ceil(math.sqrt(n_rows)))
-    nprobe = max(3, math.ceil(math.log2(nlist)))
+    nprobe = max(4, math.ceil(1.5 * math.log2(nlist)))
     return nlist, nprobe, max(1, n_rows // nlist)
+
+
+def _elementwise_mean(
+    df: DataFrame, group_cols: list[str], vec_col: str, out_col: str = "c"
+) -> DataFrame:
+    """Per-group elementwise mean of an array column as ONE aggregate
+    expression regardless of dimensionality: posexplode -> avg keyed on
+    (group, pos) -> re-assemble ordered by pos. The explode happens
+    map-side and partial-aggregates before the exchange, so the shuffle
+    carries only k x dim scalar rows. The alternative — `dim` separate
+    F.avg(vec[i]) expressions — generates thousands of aggregates at
+    production dims (768-4096), blowing past Janino's 64 KB codegen
+    method limit into interpreted fallback. Means rounded 6dp (+1e-9
+    nudge) to pin cross-engine float-sum order, matching the oracles."""
+    return (
+        df.select(*group_cols, F.posexplode(vec_col).alias("__pos", "__v"))
+        .groupBy(*group_cols, "__pos")
+        .agg(F.round(F.avg("__v") + F.lit(1e-9), 6).alias("__cv"))
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__cv"))).alias("__pc"))
+        .select(
+            *group_cols, F.expr("transform(__pc, s -> s.__cv)").alias(out_col)
+        )
+    )
 
 
 def _ivf_centroid_avg_sql(dim: int) -> str:
@@ -396,7 +428,7 @@ def _ivf_centroid_avg_sql(dim: int) -> str:
     ),
     p AS (
       SELECT greatest(4, ceil(sqrt(count(*)))::BIGINT) AS nlist,
-             greatest(3, ceil(log2(greatest(4, ceil(sqrt(count(*)))::BIGINT)))::BIGINT)
+             greatest(4, ceil(1.5 * log2(greatest(4, ceil(sqrt(count(*)))::BIGINT)))::BIGINT)
                  AS nprobe,
              greatest(1, count(*) // greatest(4, ceil(sqrt(count(*)))::BIGINT))
                  AS stride
@@ -481,7 +513,8 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a k x dim partial agg — and moves the quantizer from arbitrary
     hash seeds toward actual density centers, which is what raises
     recall on clustered data (measured on the synthetic worst case:
-    sf0.001 0.58 -> 0.64, sf0.01 0.44 -> 0.68). Every corpus vector
+    sf0.001 0.58 -> 0.64, sf0.01 0.44 -> 0.68; the round-9 nprobe bump
+    — ivf_params — lifts those to 0.74 / 0.76). Every corpus vector
     lives in its nearest-centroid list; each query probes only its
     nprobe closest lists before exact cosine ranking. The centroid
     table is tiny (sqrt(n) x dim) and broadcasts; assignment is one
@@ -491,7 +524,6 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.pandas.functions import pandas_udf
 
     e = table(spark, sf_dir, "embeddings")
-    dim = _embedding_dim(sf_dir)
     _, nprobe, stride = ivf_params(_corpus_rows(sf_dir))
 
     def nearest_lists(bc, emb_col: str, n: int) -> F.Column:
@@ -525,24 +557,18 @@ def x3c_ivf_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding").collect()
     ))
     # one Lloyd step: nearest-seed assignment (Arrow gemm over the
-    # corpus), then per-list elementwise means — a k x dim agg that
-    # partial-aggregates map-side, rounded 6dp to pin cross-engine
-    # float-sum order. Collect is bounded: nlist rows of dim doubles.
-    refined = (
+    # corpus), then per-list elementwise means via _elementwise_mean —
+    # one aggregate expression at any dim, partial-aggregated map-side.
+    # Collect is bounded: nlist rows of dim doubles.
+    refined = _elementwise_mean(
         e.select(
             nearest_lists(bc0, "embedding", 1)[0].alias("list0"), "embedding"
-        )
-        .groupBy("list0")
-        .agg(
-            *[
-                F.round(F.avg(F.col("embedding")[i]) + F.lit(1e-9), 6).alias(f"c{i}")
-                for i in range(dim)
-            ]
-        )
+        ),
+        ["list0"],
+        "embedding",
     )
     bc = broadcast_cents(sorted(
-        (r["list0"], [r[f"c{i}"] for i in range(dim)])
-        for r in refined.collect()
+        (r["list0"], list(r["c"])) for r in refined.collect()
     ))
 
     corpus = e.select(
@@ -748,23 +774,15 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame, n_rows: int) -> dict:
         )
     sd = dim // _PQ_M  # subspace width follows the data, not a constant
     cb0 = {m: (s_ids, s_mat[:, m * sd:(m + 1) * sd]) for m in range(_PQ_M)}
-    refined = (
-        e.select("vec_id", "embedding")
-        .mapInPandas(
+    refined = _elementwise_mean(
+        e.select("vec_id", "embedding").mapInPandas(
             _pq_encode_batches(cb0, emit_sub=True),
             "vec_id long, m int, cid long, vs array<double>",
-        )
-        .groupBy("m", "cid")
-        .agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.col("vs")[i]) + F.lit(1e-9), 6)
-                    for i in range(sd)
-                ]
-            ).alias("cs")
-        )
-        .collect()  # bounded: at most M x K_SUB rows of subdim doubles
-    )
+        ),
+        ["m", "cid"],
+        "vs",
+        out_col="cs",
+    ).collect()  # bounded: at most M x K_SUB rows of subdim doubles
     cb: dict = {}
     for m in range(_PQ_M):
         rows = sorted((r.cid, r.cs) for r in refined if r.m == m)
@@ -1283,7 +1301,10 @@ def nd_band_keys_column(df, emb_col: str, bands: int, rows: int, dim: int):
 # ORACLE DOMAIN: the inlined table carries 48 planes = enough for
 # bands*rows at any corpus below ~35k vectors (rows=8, bands=6);
 # driver (500) and pytest (50) scales sit far inside. The Spark side
-# is unlimited (planes generate on demand). Python round() is
+# is unlimited (planes generate on demand). Round 9: the bucket
+# self-join is size-capped on BOTH sides (_capped_pairs_sql twin of
+# _capped_bucket_pairs — star edges above the cap), closing the last
+# uncapped member of the near-dup family. Python round() is
 # banker's vs DuckDB's half-away-from-zero — they differ only when
 # log2(n/96) lands EXACTLY on .5, which no integer n produces.
 _ND_ORACLE_PLANES = 48
@@ -1318,11 +1339,7 @@ _ND_PLANE_ROWS = ",\n".join(
       WHERE planes.j < prm.bnds * prm.rws
       GROUP BY t.vec_id, (planes.j // prm.rws)
     ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM keys a JOIN keys b
-        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-    ),
+    {_capped_pairs_sql("keys", "band, key", "vec_id", "vec_a", "vec_b")},
     scored AS (
       SELECT c.vec_a, c.vec_b,
              round(list_sum(list_transform(range(1, len(ea.e)+1),

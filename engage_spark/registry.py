@@ -52,79 +52,74 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 # The driver's per-round correctness sweep checks the FIRST 50 registry
 # entries. Cumulative record: r1 greened the relational core, r3 the
 # kernels/model/LLM block, r4 the streaming/ext/corpus block, r5 the
-# round-5 additions plus most of the r1-era core, r6 the r6 additions,
-# the r1-stale rollover and the r3-era LLM block. Round 7 rotation:
-# (a) queries NEW or whose code/oracle CHANGED this round (the three
-# kernel-oracle conversions — k_m4b sits in block (c) below, also
-# changed — the closed-form M2, the M1 stats twin, the Lloyd-refined
-# IVF, the packing renames), (b) the 8 queries whose
-# only driver row is r3 — the oldest signal, scheduled for this round
-# by the r6 comment — then (c) the r4-signal block. Six rows-only
-# r4-signal queries (their hash twins are all green and a rows-only
-# driver row carries little signal) defer to the round-8 window:
-# ext_approx_sketches, m1b_glm_poisson_govflags, mm_resize_bytes,
-# x3d_mllib_brp_ann, x4_tfidf_pipeline, x4b_quality_classifier —
-# plus, to make room for this round's six new oracled queries (the PQ
-# pair, compaction roundtrip, cluster-safe split, pack boundaries,
-# embed profile), six oracled-but-unchanged r4-signal queries with
-# pytest+plan coverage: mm_resize_plan, x_profile_columns,
-# x_doc_chunking, x_shard_manifest, ev_retention_cohorts,
-# ev_conversion_funnel.
+# round-5 additions plus most of the r1-era core, r6 the r6 additions
+# and the r3-era LLM block, r7+r8 the kernel-oracle conversions, the
+# PQ/compaction/split/packing additions and the r3 rollover (r8 ran
+# the unrotated r7 list). Round 9 rotation:
+# (a) queries whose CODE or ORACLE changed in r8/r9 without a
+# post-change driver row: the hot-bucket-capped LSH family (cap added
+# r8; x2*/components* never re-swept) plus the r9 embed-LSH cap, the
+# r9 nprobe/posexplode-centroid IVF + PQ rewrites, and the r9
+# null-safe-compaction s7;
+# (b) the 12 queries whose newest driver row is r4 — the deferral
+# block the r7 verdict scheduled for r8, now overdue;
+# (c) 26 of the 47 r5-signal queries (relational/agg/join/window
+# core); the remaining 21 r5-signal queries
+# (p7..x_quality_decile_gate) are the scheduled round-10 rollover.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) new / changed in round 7
-    "k_m4_sir_simulate",             # recursive-CTE oracle added (was rows-only)
-    "k_w11_ar_forecast",             # Yule-Walker fit + recursive-CTE oracle
-    "m2_mixed_effects",              # closed-form Cramer rewrite + full oracle
-    "m1c_glm_design_stats",          # new: GLM design-matrix moment twin
-    "x3c_ivf_ann_search",            # one deterministic Lloyd refinement step
-    "x3e_pq_encode",                 # new: product-quantization codes
-    "x3e2_pq_adc_search",            # new: ADC shortlist + exact re-rank
-    "s7_compaction_roundtrip",       # new: small-file compaction is lossless
-    "x_cluster_safe_split",          # new: leakage-safe split by dup component
-    "x_pack_boundaries",             # new: per-pack doc boundary offsets
-    "x_embed_profile",               # new: embedding drift/statistics profile
-    "x_sequence_packing_exact_order",    # renamed (flat variant demoted)
-    "x_packed_sequences_exact_order",    # renamed (flat variant demoted;
-    # the sharded covers-primary only changed docstrings — r5 signal stands)
-    # (b) only driver row is round 3 — the scheduled rollover block
-    "mm_media_metadata",
-    "s4_s5_parquet_partitioned_roundtrip",
-    "s4b_json_orc_roundtrip",
-    "s2_multifile_csv_glob_scan",
-    "ext_rollup_revenue",
-    "ext_cube_order_stats",
-    "ext_rank_dense_ntile",
-    "ext_range_frame_sum",
-    # (c) r4-signal block — now the oldest remaining
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "m1_glm_poisson",
-    "m5_r0_estimation",
-    "m6_bias_correction",
-    "m7_train_holdout_split",
-    "m8_scenario_compare",
-    "k_m4b_sir_continuous",
-    "ev_sessionize_gap",
-    "ev_json_extract",
-    "f_collection_ops",
-    "ext_asof_join",
-    "ext_exact_percentiles",
-    "ext_pivot_wide",
-    "ext_range_join_binned",
-    "ext_salted_skew_join",
-    "ext_unpivot_long",
-    "st_dedup_events",
-    "st_session_window",
-    "st_sliding_window_agg",
-    "st_stream_stream_join",
-    "st_tumbling_window_agg",
-    "x1_exact_dedup",
-    "x1b_exact_dedup_keepers",
-    "x_curation_pipeline",
-    "x_span_dedup",
-    "x_token_encode",
-    "x_vocab_topk",
+    # (a) changed in r8/r9 — need a post-change driver row
+    "x2_minhash_lsh_dedup",          # r8 hot-bucket cap (star edges)
+    "x2d_minhash_md5",               # r8 cap, oracle twin carries the cap
+    "x2b_simhash_dedup",             # r8 cap
+    "x2b2_simhash_md5",              # r8 cap, oracled
+    "x_embed_lsh_neardup_pairs",     # r9 cap (last uncapped family member)
+    "x_dedup_components",            # consumes capped edges
+    "x_dedup_components_lsh",        # consumes capped edges
+    "x_dedup_components_star",       # consumes capped edges
+    "x3c_ivf_ann_search",            # r9: nprobe=1.5*log2, posexplode centroids
+    "x3e_pq_encode",                 # r9: posexplode codebook recompute
+    "x3e2_pq_adc_search",            # r9: same codebook path
+    "s7_compaction_roundtrip",       # r9: null-safe partitioned compaction
+    # (b) newest driver row is r4 — the overdue deferral block
+    "ext_approx_sketches",
+    "m1b_glm_poisson_govflags",
+    "mm_resize_bytes",
+    "mm_resize_plan",
+    "x3d_mllib_brp_ann",
+    "x4_tfidf_pipeline",
+    "x4b_quality_classifier",
+    "x_doc_chunking",
+    "x_profile_columns",
+    "x_shard_manifest",
+    "ev_retention_cohorts",
+    "ev_conversion_funnel",
+    # (c) r5-signal rollover, part 1 of 2 (part 2 = round 10)
+    "a1_groupby_mean_all_numeric",
+    "a2_a3_groupby_sum_max",
+    "a5_global_min_max_mean",
+    "a6_group_size_gate",
+    "a8_maxabs_normalize",
+    "a9_distinct_values",
+    "a10_row_dedup_subset",
+    "a11_zscore_standardize",
+    "a12_rmse_metric",
+    "j1_inner_join_multikey",
+    "j3_left_outer_join",
+    "j4_right_outer_join",
+    "j5_self_join_suffixes",
+    "j6_broadcast_dim_join",
+    "j7_semi_join_membership",
+    "j8_anti_join_dropgroups",
+    "k_w9_interpolate",
+    "o2_sorted_distinct",
+    "o3_first_row_after_sort",
+    "p2_projection_exclude",
+    "p3_p4_rename_literal",
+    "p5_arith_derived",
+    "p10_cast",
+    "p11_null_fill",
+    "p12_drop_allnull_columns",
+    "p13_first_value_per_group",
 )
 
 

@@ -377,6 +377,7 @@ def incremental_ingest_stream(
     store_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    trigger: dict | None = None,
 ):
     """foreachBatch corpus ingest: per micro-batch, admit only documents
     whose normalized md5 fingerprint is (a) the first occurrence inside
@@ -410,6 +411,19 @@ def incremental_ingest_stream(
       - State never lives in the streaming state store; the
         fingerprint parquet IS the state, so the stream restarts from
         any checkpoint with no rehydration.
+
+    Throughput lever (measured, scripts/measure_streaming_throughput.py
+    + SCALE.md sweep table): per micro-batch cost is ~1.3 s FIXED
+    trigger/planning overhead plus a small row-linear term, so
+    sustained rows/s is nearly proportional to micro-batch size. Tune
+    the SOURCE batch sizing, not this sink: file source —
+    maxFilesPerTrigger / maxBytesPerTrigger on the readStream; Kafka —
+    maxOffsetsPerTrigger (with minPartitions to fan wide topics across
+    executors). `trigger` passes through to writeStream.trigger():
+    default {"availableNow": True} (drain-and-stop); use
+    {"processingTime": "30 seconds"} for a long-running ingest — longer
+    intervals amortize the fixed overhead into bigger batches at the
+    cost of latency.
     """
     import hashlib
 
@@ -470,6 +484,6 @@ def incremental_ingest_stream(
     return (
         docs.writeStream.foreachBatch(ingest)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

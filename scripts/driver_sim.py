@@ -82,6 +82,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{SF}/{t}.parquet')"
         )
 
+    # optional argv filters: run only queries whose name contains any
+    # of the given substrings (targeted re-checks while iterating)
+    pats = sys.argv[1:]
+    if pats:
+        qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
+        print(f"filtered to {len(qs)} queries: {sorted(qs)}")
+
     n_pass = n_rows_only = n_fail = 0
     for name, fn in qs.items():
         try:

@@ -109,13 +109,13 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
     recall = len(exact_set & ivf_set) / len(exact_set)
-    # ivf_params probes nprobe ~ log2(nlist) of nlist ~ sqrt(n) lists
-    # (~13-37% of this small corpus, a vanishing fraction at scale); on
-    # clustered real embeddings the same probe count recalls far more
-    # (random-ish synthetic vectors are ANN's worst case). Measured
-    # with the r7 Lloyd-refined quantizer: 0.64 at sf0.001 / 0.68 at
-    # sf0.01 (up from 0.58 / 0.44 with raw hash seeds).
-    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # ivf_params probes nprobe ~ 1.5*log2(nlist) of nlist ~ sqrt(n)
+    # lists (a vanishing fraction at scale); on clustered real
+    # embeddings the same probe count recalls far more (random-ish
+    # synthetic vectors are ANN's worst case). Measured with the r9
+    # nprobe rule + r7 Lloyd-refined quantizer: 0.74 at sf0.001 /
+    # 0.76 at sf0.01 (r7 rule: 0.64 / 0.68; raw seeds: 0.58 / 0.44).
+    assert recall >= 0.7, f"IVF recall {recall:.2f} too low"
     assert all(r.rank <= 5 for r in ivf)
 
 
@@ -977,9 +977,9 @@ def test_ivf_params_bounds(n):
     from engage_spark.queries.llm_similarity import ivf_params
 
     nlist, nprobe, stride = ivf_params(n)
-    assert nlist >= 4 and nprobe >= 3 and stride >= 1
+    assert nlist >= 4 and nprobe >= 4 and stride >= 1
     assert nlist >= math.isqrt(n)  # never coarser than sqrt(n)
-    assert nprobe <= max(3, math.ceil(math.log2(nlist)))
+    assert nprobe <= max(4, math.ceil(1.5 * math.log2(nlist)))
     # probed fraction nprobe/nlist shrinks with n: sub-linear per-query
     # candidates once past the floors
     if n >= 10**6:
@@ -1040,3 +1040,159 @@ def test_pack_boundaries_are_contiguous_and_conserve_tokens(spark, sf_dir):
     exp = packs.set_index(["source", "shard_id", "pack_id"]).pack_tokens
     joined = spans.to_frame().join(exp)
     assert (joined.span_total == joined.pack_tokens).all()
+
+
+def test_elementwise_mean_single_aggregate_at_wide_dim(spark):
+    """The centroid recompute must stay ONE aggregate expression at
+    production dims — a per-dimension F.avg fan-out generates `dim`
+    aggregates and blows past Janino's 64 KB codegen method limit at
+    768-4096. Correctness at dim=1024 plus a plan check that the
+    aggregate count is dimension-independent."""
+    import numpy as np
+
+    from engage_spark.queries.llm_similarity import _elementwise_mean
+
+    dim, rng = 1024, np.random.RandomState(3)
+    rows = [(int(i % 4), rng.randn(dim).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "g int, v array<double>")
+    out = _elementwise_mean(df, ["g"], "v").collect()
+    assert len(out) == 4
+    got = {r.g: np.asarray(r.c) for r in out}
+    arr = np.array([v for _, v in rows])
+    grp = np.array([g for g, _ in rows])
+    for g in range(4):
+        want = np.round(arr[grp == g].mean(axis=0) + 1e-9, 6)
+        assert np.allclose(got[g], want, atol=1e-9), f"group {g} mean wrong"
+    # dimension-independence of the plan: exactly one avg aggregate
+    plan = _elementwise_mean(df, ["g"], "v")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("avg(") <= 2, plan  # partial+final, not 1024
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-input properties for the near-dup family (round 9, VERDICT
+# r7 item 6): a real crawl guarantees template/boilerplate buckets that
+# survive exact dedup, so pair volume must stay O(n) — never C(m,2) —
+# and empty/single-token docs must not crash the shingle pipeline.
+
+
+def test_hot_bucket_cap_identical_corpus_stays_linear(spark):
+    """The planted degenerate bucket: m identical docs share all 8 band
+    keys, so an uncapped self-join would build C(600,2)=179,700 pairs;
+    the cap must short-circuit to exactly m-1 star edges on the min-id
+    hub (component-preserving)."""
+    from engage_spark.queries.llm_dedup import (
+        minhash_candidate_pairs,
+        simhash_near_pairs,
+    )
+
+    m = 600  # > _HOT_BUCKET_CAP = 256
+    ident = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(m)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_candidate_pairs(ident).collect()
+    assert len(pairs) == m - 1, f"{len(pairs)} pairs — quadratic blowup?"
+    assert all(r.doc_a == 0 for r in pairs)          # star on the hub
+    assert all(r.jaccard == 1.0 for r in pairs)
+    assert {r.doc_b for r in pairs} == set(range(1, m))
+    sim = simhash_near_pairs(ident).collect()
+    assert len(sim) == m - 1 and all(r.doc_a == 0 for r in sim)
+
+
+def test_hot_bucket_cap_identical_embeddings_stay_linear(spark):
+    """Same property for the embedding-LSH path (the last family member
+    capped in round 9): m identical vectors land in one bucket per
+    band; above the cap the pair volume must be m-1, not C(m,2)."""
+    from engage_spark import api
+
+    m = 600
+    vec = [0.1 * (j % 7 + 1) for j in range(16)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(m)], "vec_id long, embedding array<double>"
+    )
+    pairs = api.embed_lsh_near_dup_pairs(
+        df, threshold=0.9, bands=4, rows=4, dim=16
+    ).collect()
+    assert len(pairs) == m - 1, f"{len(pairs)} pairs — quadratic blowup?"
+    assert all(r.vec_a == 0 and r.cosine == 1.0 for r in pairs)
+
+
+def test_all_empty_docs_dedup_without_crash(spark):
+    """All-empty corpus: empty shingle sets must not crash the
+    signature UDFs; empty docs are mutual duplicates (identical
+    normalized text), full pairs under the cap, star edges above it."""
+    from engage_spark.queries.llm_dedup import minhash_candidate_pairs
+
+    small = spark.createDataFrame(
+        [(i, "") for i in range(20)], "doc_id long, text string"
+    )
+    got = minhash_candidate_pairs(small).count()
+    assert got == 20 * 19 // 2  # C(20,2): under the cap, all pairs
+    big = spark.createDataFrame(
+        [(i, "") for i in range(300)], "doc_id long, text string"
+    )
+    assert minhash_candidate_pairs(big).count() == 299  # star above cap
+
+
+def test_single_token_docs_produce_no_pairs(spark):
+    """Distinct single-token docs: no doc reaches shingle length, no
+    shared content — zero candidate pairs, zero crashes."""
+    from engage_spark.queries.llm_dedup import (
+        minhash_candidate_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}") for i in range(50)], "doc_id long, text string"
+    )
+    assert minhash_candidate_pairs(docs).count() == 0
+    assert simhash_near_pairs(docs, max_hamming=2).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 999)),
+        min_size=0, max_size=60, unique=True,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_capped_bucket_pairs_matches_reference(bucket_rows, cap):
+    """_capped_bucket_pairs == the spec on arbitrary bucket
+    memberships: per bucket, all C(m,2) pairs when m <= cap, else
+    star edges (min-id hub, m-1 edges); distinct across buckets."""
+    from itertools import combinations
+
+    from engage_spark.queries.llm_dedup import _capped_bucket_pairs
+
+    spark = _hyp_spark()
+    df = spark.createDataFrame(
+        [(b, i) for b, i in bucket_rows] or [(0, 0)],
+        "bkey int, doc_id int",
+    )
+    if not bucket_rows:
+        df = df.filter("doc_id < 0")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _capped_bucket_pairs(
+            df, ["bkey"], "doc_id", "doc_a", "doc_b", cap=cap
+        ).collect()
+    }
+    want = set()
+    by_bucket: dict[int, list[int]] = {}
+    for b, i in bucket_rows:
+        by_bucket.setdefault(b, []).append(i)
+    for members in by_bucket.values():
+        members = sorted(members)
+        if len(members) <= cap:
+            want |= set(combinations(members, 2))
+        else:
+            hub = members[0]
+            want |= {(hub, x) for x in members[1:]}
+    assert got == want
+
+
+def _hyp_spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()

@@ -503,3 +503,44 @@ def test_ingest_warns_when_store_lacks_run_partitions(spark, tmp_path, caplog):
     # ingest itself still works in degraded mode
     got = spark.read.parquet(corpus).toPandas()
     assert sorted(got.doc_id) == [1, 2]
+
+
+def test_ingest_trigger_knob_processing_time(spark, tmp_path):
+    """The trigger parameter must pass through to writeStream.trigger()
+    — a processingTime ingest keeps running (long-lived mode) and still
+    admits/dedups the delivered batch."""
+    import time
+
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "three")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = incremental_ingest_stream(
+        stream, corpus, store, trigger={"processingTime": "1 second"}
+    )
+    try:
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    r.doc_id for r in spark.read.parquet(corpus).collect()
+                )
+                if got == [1, 3]:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        assert got == [1, 3], f"processingTime ingest produced {got}"
+        assert q.isActive  # long-running mode: not self-terminating
+    finally:
+        q.stop()
