@@ -80,6 +80,7 @@ OPTIONAL = [
     # round 7 additions
     "x3e_pq_encode",
     "x3e2_pq_adc_search",
+    "x3f_ivfpq_residual_search",
     "x_pack_boundaries",
 ]
 

@@ -51,6 +51,7 @@ __all__ = [
     "topk_cosine_search",
     "pq_encode",
     "pq_topk_search",
+    "ivfpq_topk_search",
     "pq_params",
     "curation_funnel",
     "cluster_safe_split",
@@ -485,6 +486,163 @@ def pq_topk_search(
         # the shortlist boundary would flip membership between runs (and
         # vs the oracle's sum order) — same discipline as every other
         # float-ordered quantity in the engine
+        .agg(F.round(F.sum("dq") + F.lit(1e-9), 6).alias("approx"))
+    )
+
+    def partial_topc(batches):
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf])
+            cur = cur.sort_values(
+                ["query_id", "approx", "neighbor_id"], kind="mergesort"
+            )
+            best = cur.groupby("query_id", sort=False).head(rerank)
+        if best is not None:
+            yield best
+
+    reduced = adc.mapInPandas(
+        partial_topc, "query_id long, neighbor_id long, approx double"
+    )
+    ws = Window.partitionBy("query_id").orderBy("approx", "neighbor_id")
+    shortlist = (
+        reduced.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qe = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_emb_col).alias("q_emb"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .withColumn("cos", cosine_expr("q_emb", "c_emb"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def ivfpq_topk_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_emb_col: str | None = None,
+    exclude_self: bool = True,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """TRUE IVF-PQ top-k cosine search (x3f_ivfpq_residual_search's
+    implementation; FAISS IndexIVFPQ shape): a coarse quantizer
+    (hash-stride seeds + one Lloyd step in unit-norm space, nlist ~
+    sqrt(n) from ivf_params) routes every vector to an inverted list,
+    PQ encodes the RESIDUAL u - c(list), and each query scans only its
+    nprobe probed lists' codes via per-(query, list) ADC lookup
+    tables. Residual variance << raw variance, so the fixed codebook
+    budget quantizes tighter than flat PQ; probed-list scanning makes
+    per-query work sub-linear, unlike flat PQ's full code scan.
+
+    Scale shape: two bounded collects (nlist coarse centroids, M x K
+    residual codebook rows), two Arrow corpus passes (residual+assign,
+    encode), the lookup-table broadcast is queries x nprobe x M x K
+    rows, the ADC join is an equi-join on (lid, m, cid) combined
+    map-side, and the ranking exchange is capped by the same
+    partition-local top-C reduce as pq_topk_search. Only queries x
+    `rerank` raw vectors are fetched for the exact re-rank.
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    import numpy as np
+    import pandas as pd
+
+    from engage_spark.queries.llm_dedup import cosine_expr
+    from engage_spark.queries.llm_similarity import (
+        _PQ_M,
+        _ivfpq_coarse,
+        _ivfpq_residual_batches,
+        _pq_codebooks,
+        _pq_encode_batches,
+        _pq_normalize,
+        _pq_subdist_seq,
+    )
+
+    query_id_col = query_id_col or id_col
+    query_emb_col = query_emb_col or emb_col
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    spark = e.sparkSession
+    if n_rows is None:
+        n_rows = e.count()
+
+    c_ids, c_mat, nprobe = _ivfpq_coarse(spark, e, n_rows)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    residuals = e.mapInPandas(
+        _ivfpq_residual_batches(bc),
+        "vec_id long, lid long, embedding array<double>",
+    )
+    # residual codebooks: same seed rule as flat PQ, but normalize=False
+    # — the residual must quantize as-is. The seed collect reads a
+    # pre-filtered residual frame (filter pushes into the parquet scan
+    # BEFORE the Arrow kernel), so seeding costs a ~K-row scan, not a
+    # full corpus residual pass.
+    from engage_spark.queries.llm_similarity import pq_params
+
+    seed_residuals = e.filter(
+        F.col("vec_id") % pq_params(n_rows) == 0
+    ).mapInPandas(
+        _ivfpq_residual_batches(bc),
+        "vec_id long, lid long, embedding array<double>",
+    )
+    cb = _pq_codebooks(
+        spark,
+        residuals.select("vec_id", "embedding"),
+        n_rows,
+        normalize=False,
+        seed_source=seed_residuals.select("vec_id", "embedding"),
+    )
+    codes = residuals.mapInPandas(
+        _pq_encode_batches(cb, normalize=False, extra_cols=("lid",)),
+        "vec_id long, lid long, m int, cid long",
+    )
+
+    # driver-side: probe sets + per-(query, probed list) lookup tables
+    # — bounded by queries x nprobe x M x K rows, the ADC broadcast
+    qrows = sorted(
+        (r[0], _pq_normalize(np.asarray(r[1], dtype=np.float64)[None])[0])
+        for r in queries.select(query_id_col, query_emb_col).collect()
+    )
+    qd_rows = []
+    for qid, qv in qrows:
+        d = ((qv[None, :] - c_mat) ** 2).sum(-1)
+        # stable argsort over sorted ids = ORDER BY d, lid
+        probe_idx = np.argsort(d, kind="stable")[:nprobe]
+        sd = len(qv) // _PQ_M
+        for li in probe_idx:
+            qr = qv - c_mat[li]
+            for m in range(_PQ_M):
+                vs = qr[None, m * sd:(m + 1) * sd]
+                ids_m, mat_m = cb[m]
+                for kk in range(len(ids_m)):
+                    dq = float(_pq_subdist_seq(vs, mat_m[kk])[0])
+                    qd_rows.append(
+                        (int(qid), int(c_ids[li]), m, int(ids_m[kk]), dq)
+                    )
+    qd = spark.createDataFrame(
+        qd_rows, "query_id long, lid long, m int, cid long, dq double"
+    )
+    self_filter = (
+        F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
+    )
+    adc = (
+        codes.join(F.broadcast(qd), on=["lid", "m", "cid"])
+        .filter(self_filter)
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.round(F.sum("dq") + F.lit(1e-9), 6).alias("approx"))
     )
 

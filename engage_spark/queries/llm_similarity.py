@@ -703,22 +703,33 @@ def _pq_subdist_seq(vs: np.ndarray, cs: np.ndarray) -> np.ndarray:
     return t
 
 
-def _pq_encode_batches(cb: dict, emit_sub: bool = False):
+def _pq_encode_batches(
+    cb: dict,
+    emit_sub: bool = False,
+    normalize: bool = True,
+    extra_cols: tuple[str, ...] = (),
+):
     """mapInPandas generator factory: one Arrow batch in, the M code
     rows per vector out (all M rows of a vector stay in one output
     batch, so the downstream per-(query, vector) ADC sum combines
     map-side). cb maps m -> (sorted ids, (K_m, SUBDIM) matrix); argmin
     ties resolve to the FIRST minimum = smallest cid, mirroring the
     oracle's ORDER BY d, cid. emit_sub=True additionally carries the
-    normalized subvector (the Lloyd-step input)."""
+    encoded subvector (the Lloyd-step input). normalize=False skips
+    the unit-sphere projection — required when the input is a RESIDUAL
+    (x3f), which must quantize as-is. extra_cols are tiled through to
+    the output (e.g. the coarse list id, keeping codes and list
+    assignment in the same row without a corpus-sized rejoin)."""
 
     def gen(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = _pq_normalize(
-                np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
             )
+            if normalize:
+                v = _pq_normalize(v)
             B = len(pdf)
             sd = v.shape[1] // _PQ_M  # subspace width follows the data
             ms, cids, subs = [], [], []
@@ -735,6 +746,9 @@ def _pq_encode_batches(cb: dict, emit_sub: bool = False):
                     subs.append(vs)
             out = {
                 "vec_id": np.tile(pdf["vec_id"].to_numpy(), _PQ_M),
+                **{
+                    c: np.tile(pdf[c].to_numpy(), _PQ_M) for c in extra_cols
+                },
                 "m": np.concatenate(ms),
                 "cid": np.concatenate(cids),
             }
@@ -745,19 +759,33 @@ def _pq_encode_batches(cb: dict, emit_sub: bool = False):
     return gen
 
 
-def _pq_codebooks(spark: SparkSession, e: DataFrame, n_rows: int) -> dict:
+def _pq_codebooks(
+    spark: SparkSession,
+    e: DataFrame,
+    n_rows: int,
+    normalize: bool = True,
+    seed_source: DataFrame | None = None,
+) -> dict:
     """Build the per-subspace codebooks: hash-stride seed subvectors
     (bounded collect, ~_PQ_KSUB rows) refined by ONE Lloyd step — the
     corpus assigns to its nearest seed per subspace (Arrow pass), each
     occupied cell recenters on the elementwise mean rounded to 6dp
     (the only float-order-sensitive quantity; rounding pins the
     codebook bit-identically across engines). e must carry
-    (vec_id, embedding). Returns
-    {m: (sorted cid array, (K_m, SUBDIM) float64 matrix)}."""
+    (vec_id, embedding). normalize=False trains on the vectors AS-IS —
+    the residual-PQ path (x3f), where the input already lives in
+    residual space and a unit-sphere projection would corrupt it.
+    seed_source, when given, supplies the seed rows instead of e —
+    for inputs that are themselves a full-corpus computation (x3f's
+    residual frame), the caller passes a pre-filtered variant so the
+    ~K-row seed collect doesn't trigger a full corpus pass (the
+    mapInPandas boundary blocks the id-filter pushdown).
+    Returns {m: (sorted cid array, (K_m, SUBDIM) float64 matrix)}."""
     stride = pq_params(n_rows)
+    src = seed_source if seed_source is not None else e
     seeds = sorted(
         (r.vec_id, r.embedding)
-        for r in e.filter(F.col("vec_id") % stride == 0)
+        for r in src.filter(F.col("vec_id") % stride == 0)
         .select("vec_id", "embedding").collect()
     )
     if not seeds:
@@ -766,7 +794,9 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame, n_rows: int) -> dict:
             "id is a multiple of the stride) — nothing to quantize against"
         )
     s_ids = np.array([cid for cid, _ in seeds], dtype=np.int64)
-    s_mat = _pq_normalize(np.array([c for _, c in seeds], dtype=np.float64))
+    s_mat = np.array([c for _, c in seeds], dtype=np.float64)
+    if normalize:
+        s_mat = _pq_normalize(s_mat)
     dim = s_mat.shape[1]
     if dim % _PQ_M:
         raise ValueError(
@@ -776,7 +806,7 @@ def _pq_codebooks(spark: SparkSession, e: DataFrame, n_rows: int) -> dict:
     cb0 = {m: (s_ids, s_mat[:, m * sd:(m + 1) * sd]) for m in range(_PQ_M)}
     refined = _elementwise_mean(
         e.select("vec_id", "embedding").mapInPandas(
-            _pq_encode_batches(cb0, emit_sub=True),
+            _pq_encode_batches(cb0, emit_sub=True, normalize=normalize),
             "vec_id long, m int, cid long, vs array<double>",
         ),
         ["m", "cid"],
@@ -885,6 +915,281 @@ def x3e2_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return pq_topk_search(
+        e,
+        e.filter(F.col("vec_id") < _N_QUERIES),
+        k=_TOP_K,
+        rerank=_PQ_RERANK,
+        n_rows=_corpus_rows(sf_dir),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ with residual encoding (x3f) — the production composition of
+# the two families above (FAISS's IndexIVFPQ; Jegou et al. 2011 §IV):
+# a coarse quantizer routes every vector to one of nlist inverted
+# lists, and PQ encodes the RESIDUAL u - c(list) instead of the vector
+# itself. Residuals concentrate near 0 with far less variance than raw
+# vectors, so the same codebook budget quantizes them with much lower
+# error — more recall per byte than flat PQ — while search visits only
+# the nprobe probed lists (sub-linear, vs flat PQ's full code scan).
+
+
+def _ivfpq_coarse(spark: SparkSession, e: DataFrame, n_rows: int):
+    """Coarse quantizer for the residual-PQ path: hash-stride seeds on
+    the UNIT-SPHERE corpus refined by one Lloyd step (the x3c pattern,
+    but in normalized space and under squared-L2 — the metric the
+    residual ADC decomposes). Returns (sorted list ids, (nlist, dim)
+    centroid matrix, nprobe). Both collects are bounded at nlist rows;
+    the assignment pass is one Arrow gemm-shaped kernel; the means go
+    through _elementwise_mean (one aggregate at any dim), rounded 6dp
+    so both engines hold bit-identical centroids."""
+    nlist, nprobe, stride = ivf_params(n_rows)
+    seeds = sorted(
+        (r.vec_id, r.embedding)
+        for r in e.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "embedding").collect()
+    )
+    if not seeds:
+        raise ValueError("IVF-PQ coarse seeding found no vectors")
+    s_ids = np.array([i for i, _ in seeds], dtype=np.int64)
+    s_mat = _pq_normalize(np.array([v for _, v in seeds], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((s_ids, s_mat))
+
+    def assign0(batches):
+        ids, mat = bc.value
+        sq = (mat * mat).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = _pq_normalize(np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            ))
+            # gemm form of ||u-c||^2 (minus the constant ||u||^2): a
+            # BLAS product, not a (B, nlist, dim) broadcast intermediate
+            # — at nlist ~ sqrt(200k) the naive form allocates ~23 GB
+            # per 10k-row batch and was measured 10x slower
+            d = sq[None, :] - 2.0 * (u @ mat.T)
+            # argmin takes the FIRST minimum; ids are sorted ascending,
+            # so ties resolve to the smallest lid = ORDER BY d, lid
+            yield pd.DataFrame(
+                {"lid0": ids[np.argmin(d, axis=1)], "u": list(u)}
+            )
+
+    refined = _elementwise_mean(
+        e.select("vec_id", "embedding").mapInPandas(
+            assign0, "lid0 long, u array<double>"
+        ),
+        ["lid0"],
+        "u",
+    )
+    rows = sorted((r["lid0"], list(r["c"])) for r in refined.collect())
+    c_ids = np.array([i for i, _ in rows], dtype=np.int64)
+    c_mat = np.array([c for _, c in rows], dtype=np.float64)
+    return c_ids, c_mat, nprobe
+
+
+def _ivfpq_residual_batches(bc):
+    """mapInPandas factory: (vec_id, embedding) -> (vec_id, lid,
+    embedding=residual). One Arrow pass: normalize, nearest refined
+    centroid by squared-L2 (ties to the smaller lid via sorted ids +
+    first-min argmin), subtract. The residual column reuses the name
+    `embedding` so the PQ kernels apply unchanged (normalize=False)."""
+
+    def gen(batches):
+        ids, mat = bc.value
+        sq = (mat * mat).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = _pq_normalize(np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            ))
+            d = sq[None, :] - 2.0 * (u @ mat.T)  # gemm, see assign0
+            idx = np.argmin(d, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "lid": ids[idx],
+                "embedding": list(u - mat[idx]),
+            })
+
+    return gen
+
+
+def _full_l2_sql(a: str, b: str, dim: int = _DIM) -> str:
+    """Full-dimension squared-L2 between two list columns (oracle side
+    of the coarse assignment)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+# The x3f oracle recomputes the ENTIRE pipeline from count(*): unit
+# normalization, coarse seeding (vec_id % cstride), one coarse Lloyd
+# step (per-dim means rounded 6dp), squared-L2 list assignment (ties
+# to the smaller lid), residuals against the rounded centroids,
+# residual-PQ seeding (vec_id % pqstride) + one Lloyd step (subspace
+# means rounded 6dp), code assignment (sequential-sum L2, ties to the
+# smaller cid), per-(query, probed-list) lookup tables, the ADC sum
+# over probed lists only (rounded 6dp before ordering), the
+# top-{_PQ_RERANK} shortlist, and the exact-cosine re-rank. All float
+# aggregation points round at 6dp with the +1e-9 nudge on BOTH sides;
+# unrounded distance ORDERINGS (coarse/code argmins, computed
+# pairwise-sum by numpy vs sequential list_sum by DuckDB) agree except
+# on exact float ties between DISTINCT centroids — probability ~0 on
+# continuous data, same caveat as x3c.
+_X3F_ORACLE = f"""
+    WITH t0 AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e0
+      FROM embeddings
+    ),
+    t AS (
+      SELECT vec_id,
+             list_transform(e0, x -> x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END))
+                 AS e
+      FROM (SELECT vec_id, e0,
+                   sqrt(list_sum(list_transform(e0, x -> x * x))) AS nrm
+            FROM t0)
+    ),
+    cp AS (
+      SELECT greatest(4, ceil(sqrt(count(*)))::BIGINT) AS nlist,
+             greatest(4, ceil(1.5 * log2(greatest(4, ceil(sqrt(count(*)))::BIGINT)))::BIGINT)
+                 AS nprobe,
+             greatest(1, count(*) // greatest(4, ceil(sqrt(count(*)))::BIGINT))
+                 AS cstride,
+             greatest(1, count(*) // {_PQ_KSUB}) AS pqstride
+      FROM t
+    ),
+    cc0 AS (
+      SELECT t.vec_id AS lid, t.e AS c FROM t, cp WHERE t.vec_id % cp.cstride = 0
+    ),
+    ca0 AS (
+      SELECT vec_id, e, lid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, lid) AS rn
+      FROM (
+        SELECT t.vec_id, t.e, cc0.lid, {_full_l2_sql('t.e', 'cc0.c')} AS d
+        FROM t, cc0
+      )
+    ),
+    cc AS (
+      SELECT lid, [{_ivf_centroid_avg_sql(_DIM)}] AS c
+      FROM ca0 WHERE rn = 1 GROUP BY lid
+    ),
+    ca AS (
+      SELECT vec_id, e, lid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, lid) AS rn
+      FROM (
+        SELECT t.vec_id, t.e, cc.lid, {_full_l2_sql('t.e', 'cc.c')} AS d
+        FROM t, cc
+      )
+    ),
+    corp AS (
+      SELECT ca.vec_id, ca.lid,
+             list_transform(range(1, {_DIM} + 1), i -> ca.e[i] - cc.c[i]) AS r
+      FROM ca JOIN cc ON ca.lid = cc.lid WHERE ca.rn = 1
+    ),
+    rsub AS (
+      SELECT vec_id, lid, rr.m::INTEGER AS m,
+             list_slice(r, rr.m * {_PQ_SUBDIM} + 1,
+                        rr.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS vs
+      FROM corp, range({_PQ_M}) rr(m)
+    ),
+    rc0 AS (
+      SELECT s.vec_id AS cid, s.m, s.vs AS cs
+      FROM rsub s, cp WHERE s.vec_id % cp.pqstride = 0
+    ),
+    rs0 AS (
+      SELECT s.vec_id, s.m, s.vs, c.cid, row_number() OVER (
+          PARTITION BY s.vec_id, s.m
+          ORDER BY {_pq_l2_sql('s.vs', 'c.cs')}, c.cid) AS rn
+      FROM rsub s JOIN rc0 c ON s.m = c.m
+    ),
+    rc AS (
+      SELECT cid, m, [{_PQ_CENT_AVG}] AS cs
+      FROM rs0 WHERE rn = 1 GROUP BY cid, m
+    ),
+    rs AS (
+      SELECT s.vec_id, s.lid, s.m, c.cid, row_number() OVER (
+          PARTITION BY s.vec_id, s.m
+          ORDER BY {_pq_l2_sql('s.vs', 'c.cs')}, c.cid) AS rn
+      FROM rsub s JOIN rc c ON s.m = c.m
+    ),
+    rcodes AS (SELECT vec_id, lid, m, cid FROM rs WHERE rn = 1),
+    probes AS (
+      SELECT ca.vec_id AS query_id, ca.lid
+      FROM ca, cp WHERE ca.vec_id < {_N_QUERIES} AND ca.rn <= cp.nprobe
+    ),
+    qres AS (
+      SELECT p.query_id, p.lid,
+             list_transform(range(1, {_DIM} + 1), i -> t.e[i] - cc.c[i]) AS qr
+      FROM probes p
+      JOIN t ON t.vec_id = p.query_id
+      JOIN cc ON cc.lid = p.lid
+    ),
+    qsub AS (
+      SELECT query_id, lid, rr.m::INTEGER AS m,
+             list_slice(qr, rr.m * {_PQ_SUBDIM} + 1,
+                        rr.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS vs
+      FROM qres, range({_PQ_M}) rr(m)
+    ),
+    qd AS (
+      SELECT q.query_id, q.lid, q.m, c.cid,
+             {_pq_l2_sql('q.vs', 'c.cs')} AS dq
+      FROM qsub q JOIN rc c ON q.m = c.m
+    ),
+    adc AS (
+      SELECT qd.query_id, x.vec_id AS neighbor_id,
+             round(sum(qd.dq) + 1e-9, 6) AS approx
+      FROM rcodes x
+      JOIN qd ON qd.lid = x.lid AND qd.m = x.m AND qd.cid = x.cid
+      WHERE x.vec_id != qd.query_id
+      GROUP BY qd.query_id, x.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx, neighbor_id) AS srank
+      FROM adc
+    ),
+    rerank AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             list_sum(list_transform(range(1, len(q.e0) + 1),
+                                     i -> q.e0[i] * c.e0[i]))
+             / (sqrt(list_sum(list_transform(q.e0, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.e0, x -> x * x)))) AS cos,
+             row_number() OVER (
+                 PARTITION BY sl.query_id
+                 ORDER BY list_sum(list_transform(range(1, len(q.e0) + 1),
+                                                  i -> q.e0[i] * c.e0[i]))
+                          / (sqrt(list_sum(list_transform(q.e0, x -> x * x)))
+                             * sqrt(list_sum(list_transform(c.e0, x -> x * x))))
+                          DESC, sl.neighbor_id) AS rank
+      FROM shortlist sl
+      JOIN t0 q ON q.vec_id = sl.query_id
+      JOIN t0 c ON c.vec_id = sl.neighbor_id
+      WHERE sl.srank <= {_PQ_RERANK}
+    )
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cosine
+    FROM rerank WHERE rank <= {_TOP_K}
+"""
+
+
+@query("x3f_ivfpq_residual_search", oracle=_X3F_ORACLE, covers=["X3"])
+def x3f_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVF-PQ: coarse quantizer + PQ over RESIDUALS — the
+    production ANN shape (FAISS IndexIVFPQ). vs flat PQ (x3e2):
+    residuals u - c(list) have far less variance than raw vectors, so
+    the same {_PQ_KSUB}-entry codebooks quantize them with lower
+    error; vs IVF (x3c): the probed lists scan 8-byte codes instead of
+    raw floats. Search = per-query lookup tables against the PROBED
+    lists only (queries x nprobe x M x K rows, broadcast), ADC sum
+    combined map-side, partition-local top-C, exact re-rank of the
+    top-{_PQ_RERANK}. Sub-linear probes AND compressed scan — the
+    100 TB configuration. FULL DuckDB oracle end to end (see
+    _X3F_ORACLE comment). Delegates to api.ivfpq_topk_search."""
+    from engage_spark.api import ivfpq_topk_search
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivfpq_topk_search(
         e,
         e.filter(F.col("vec_id") < _N_QUERIES),
         k=_TOP_K,

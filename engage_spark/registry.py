@@ -79,6 +79,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x3c_ivf_ann_search",            # r9: nprobe=1.5*log2, posexplode centroids
     "x3e_pq_encode",                 # r9: posexplode codebook recompute
     "x3e2_pq_adc_search",            # r9: same codebook path
+    "x3f_ivfpq_residual_search",     # NEW r9: true IVF-PQ (residual codes)
     "s7_compaction_roundtrip",       # r9: null-safe partitioned compaction
     # (b) newest driver row is r4 — the overdue deferral block
     "ext_approx_sketches",
@@ -119,7 +120,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p10_cast",
     "p11_null_fill",
     "p12_drop_allnull_columns",
-    "p13_first_value_per_group",
+    # p13_first_value_per_group rolls to round 10 with the p7+ block
+    # (slot ceded to the new x3f)
 )
 
 

@@ -102,6 +102,10 @@ def main() -> None:
         # expected growth driver is the code-table scan volume, linear
         # in n but 32x smaller than raw floats
         ("x3e2_pq_adc_search", lambda n: {"stride": pq_params(n)}),
+        # IVF-PQ: probes scale like x3c, scan volume like x3e2 — the
+        # composition should grow the SLOWEST of the three
+        ("x3f_ivfpq_residual_search", lambda n: dict(
+            zip(("nlist", "nprobe", "stride"), ivf_params(n)))),
     ]:
         t1 = run(qname, sf_dir)
         tN = run(qname, big_dir)

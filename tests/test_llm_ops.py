@@ -1196,3 +1196,43 @@ def _hyp_spark():
     from pyspark.sql import SparkSession
 
     return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """True IVF-PQ (residual encoding): recall must track the IVF path
+    (same probe sets) despite scanning 8-byte codes — measured 0.74 at
+    sf0.001 / 0.72 at sf0.01 vs x3c's 0.74/0.74 and flat-PQ x3e2's
+    0.80/0.74 on worst-case random vectors (residuals of random data
+    are still random; the residual advantage materializes on clustered
+    real embeddings)."""
+    from engage_spark.registry import load_all
+
+    reg = load_all()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in reg["x3_topk_cosine_search"].fn(spark, sf_dir).collect()
+    }
+    got = reg["x3f_ivfpq_residual_search"].fn(spark, sf_dir).collect()
+    ivfpq = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & ivfpq) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ recall {recall:.2f} too low"
+    assert all(r.rank <= 5 for r in got)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in got)
+
+
+def test_ivfpq_search_on_generic_frame(spark):
+    """The IVF-PQ facade must follow the data's dimensionality and id
+    column names, like pq_topk_search."""
+    import numpy as np
+
+    from engage_spark import api
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "item long, vec array<double>")
+    out = api.ivfpq_topk_search(
+        df, df.filter("item < 3"), k=4, rerank=20, id_col="item", emb_col="vec"
+    ).toPandas()
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "cosine"}
+    assert len(out) == 12 and out["rank"].max() == 4
+    assert (out.groupby("query_id")["rank"].max() == 4).all()
