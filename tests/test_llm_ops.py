@@ -1236,3 +1236,24 @@ def test_ivfpq_search_on_generic_frame(spark):
     assert set(out.columns) == {"query_id", "neighbor_id", "rank", "cosine"}
     assert len(out) == 12 and out["rank"].max() == 4
     assert (out.groupby("query_id")["rank"].max() == 4).all()
+
+
+def test_pq_families_survive_degenerate_corpora(spark):
+    """Identical-vector and all-zero corpora must flow through both PQ
+    facades: zero-variance residuals, all-tied argmins, and zero-norm
+    normalization passthrough are the degenerate paths (ties resolve to
+    the smallest id on every ordering, so output stays deterministic)."""
+    from engage_spark import api
+
+    ident = spark.createDataFrame(
+        [(i, [0.25] * 16) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    zero = spark.createDataFrame(
+        [(i, [0.0] * 16) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    for fn in (api.pq_topk_search, api.ivfpq_topk_search):
+        out = fn(ident, ident.filter("vec_id < 2"), k=3, rerank=10).collect()
+        assert len(out) == 6 and all(r.cosine == 1.0 for r in out)
+        assert fn(zero, zero.filter("vec_id < 2"), k=3, rerank=10).count() == 6

@@ -284,3 +284,15 @@ def test_ivf_probe_join_is_equi_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_adc_scan_broadcasts_probed_tables_no_cartesian(spark, sf_dir):
+    # IVF-PQ's scale contract (x3f): the corpus-sized side is the
+    # residual CODE table; the per-(query, probed-list) lookup table
+    # (queries x nprobe x M x K rows) joins onto it by BROADCAST hash
+    # on (lid, m, cid) — never sort-merge, never a cartesian — so
+    # vectors in non-probed lists are dropped by the join itself
+    plan = _plan(spark, sf_dir, "x3f_ivfpq_residual_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
