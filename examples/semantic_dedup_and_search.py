@@ -20,6 +20,10 @@ count (see SCALE.md "derive-params-from-corpus-size"):
       -> the same search compressed: PQ codes + ADC shortlist + exact
          re-rank (api.pq_topk_search — the scan reads 8-byte codes,
          32x less than raw floats; recall printed vs the exact path)
+      -> and the production composition: true IVF-PQ
+         (api.ivfpq_topk_search — coarse quantizer routes vectors to
+         inverted lists, PQ encodes the residual, each query scans only
+         its probed lists' codes)
 
 Run:  python examples/semantic_dedup_and_search.py [sf_dir]
 """
@@ -68,11 +72,20 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         survivors, queries, k=5, rerank=50, id_col="vec_id",
         emb_col="embedding",
     )
+
+    # the production composition: coarse quantizer + PQ on residuals
+    # (FAISS IndexIVFPQ shape) — sub-linear probed-list scanning AND
+    # the 32x-compressed code scan in one index
+    ivfpq_neighbors = api.ivfpq_topk_search(
+        survivors, queries, k=5, rerank=50, id_col="vec_id",
+        emb_col="embedding",
+    )
     return {
         "semdedup": pruned,
         "residual_near_dups": residual_pairs,
         "topk_neighbors": neighbors,
         "pq_neighbors": pq_neighbors,
+        "ivfpq_neighbors": ivfpq_neighbors,
     }
 
 
@@ -97,6 +110,9 @@ def main() -> None:
     pq = {(r.query_id, r.neighbor_id) for r in out["pq_neighbors"].collect()}
     print(f"PQ (32x-compressed scan) recall vs exact: "
           f"{len(exact & pq) / max(len(exact), 1):.2f}")
+    ivfpq = {(r.query_id, r.neighbor_id) for r in out["ivfpq_neighbors"].collect()}
+    print(f"IVF-PQ (probed lists + residual codes) recall vs exact: "
+          f"{len(exact & ivfpq) / max(len(exact), 1):.2f}")
     spark.stop()
 
 

@@ -612,3 +612,15 @@ def test_compact_dataset_handles_unhashable_map_columns(spark, tmp_path):
     b = spark.read.parquet(dst).orderBy("id").toPandas()
     assert len(b) == 200
     assert [m["a"] for m in b["attrs"]] == b["id"].tolist()
+
+
+def test_semantic_example_composes_end_to_end(spark):
+    """The embedding-side examples/ script composes over real testdata,
+    including the round-9 IVF-PQ stage."""
+    from examples.semantic_dedup_and_search import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert out["semdedup"].count() > 0
+    for key in ("topk_neighbors", "pq_neighbors", "ivfpq_neighbors"):
+        pdf = out[key].toPandas()
+        assert len(pdf) > 0 and pdf["rank"].max() <= 5, key
