@@ -52,6 +52,9 @@ __all__ = [
     "pq_encode",
     "pq_topk_search",
     "ivfpq_topk_search",
+    "ivfpq_build",
+    "ivfpq_search",
+    "ivfpq_append",
     "pq_params",
     "curation_funnel",
     "cluster_safe_split",
@@ -527,58 +530,18 @@ def pq_topk_search(
     )
 
 
-def ivfpq_topk_search(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    rerank: int = 50,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    query_id_col: str | None = None,
-    query_emb_col: str | None = None,
-    exclude_self: bool = True,
-    n_rows: int | None = None,
-) -> DataFrame:
-    """TRUE IVF-PQ top-k cosine search (x3f_ivfpq_residual_search's
-    implementation; FAISS IndexIVFPQ shape): a coarse quantizer
-    (hash-stride seeds + one Lloyd step in unit-norm space, nlist ~
-    sqrt(n) from ivf_params) routes every vector to an inverted list,
-    PQ encodes the RESIDUAL u - c(list), and each query scans only its
-    nprobe probed lists' codes via per-(query, list) ADC lookup
-    tables. Residual variance << raw variance, so the fixed codebook
-    budget quantizes tighter than flat PQ; probed-list scanning makes
-    per-query work sub-linear, unlike flat PQ's full code scan.
-
-    Scale shape: two bounded collects (nlist coarse centroids, M x K
-    residual codebook rows), two Arrow corpus passes (residual+assign,
-    encode), the lookup-table broadcast is queries x nprobe x M x K
-    rows, the ADC join is an equi-join on (lid, m, cid) combined
-    map-side, and the ranking exchange is capped by the same
-    partition-local top-C reduce as pq_topk_search. Only queries x
-    `rerank` raw vectors are fetched for the exact re-rank.
-    Returns (query_id, neighbor_id, rank, cosine)."""
-    import numpy as np
-    import pandas as pd
-
-    from engage_spark.queries.llm_dedup import cosine_expr
+def _ivfpq_model(spark, e: DataFrame, n_rows: int):
+    """Train the two quantizers of the IVF-PQ index: coarse centroids
+    (hash-stride seeds + one Lloyd step in unit-norm space) and the
+    residual codebooks (frozen against those centroids). Returns
+    (c_ids, c_mat, nprobe, cb). Both collects are bounded (nlist rows;
+    M x K codebook rows)."""
     from engage_spark.queries.llm_similarity import (
-        _PQ_M,
         _ivfpq_coarse,
         _ivfpq_residual_batches,
         _pq_codebooks,
-        _pq_encode_batches,
-        _pq_normalize,
-        _pq_subdist_seq,
+        pq_params,
     )
-
-    query_id_col = query_id_col or id_col
-    query_emb_col = query_emb_col or emb_col
-    e = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
-    )
-    spark = e.sparkSession
-    if n_rows is None:
-        n_rows = e.count()
 
     c_ids, c_mat, nprobe = _ivfpq_coarse(spark, e, n_rows)
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
@@ -591,8 +554,6 @@ def ivfpq_topk_search(
     # pre-filtered residual frame (filter pushes into the parquet scan
     # BEFORE the Arrow kernel), so seeding costs a ~K-row scan, not a
     # full corpus residual pass.
-    from engage_spark.queries.llm_similarity import pq_params
-
     seed_residuals = e.filter(
         F.col("vec_id") % pq_params(n_rows) == 0
     ).mapInPandas(
@@ -606,13 +567,56 @@ def ivfpq_topk_search(
         normalize=False,
         seed_source=seed_residuals.select("vec_id", "embedding"),
     )
-    codes = residuals.mapInPandas(
+    return c_ids, c_mat, nprobe, cb
+
+
+def _ivfpq_codes(e: DataFrame, bc, cb) -> DataFrame:
+    """Encode a (vec_id, embedding) frame against a FROZEN model:
+    residual against the broadcast centroids, then per-subspace codes.
+    The two Arrow kernels chain narrowly — one corpus scan."""
+    from engage_spark.queries.llm_similarity import (
+        _ivfpq_residual_batches,
+        _pq_encode_batches,
+    )
+
+    return e.mapInPandas(
+        _ivfpq_residual_batches(bc),
+        "vec_id long, lid long, embedding array<double>",
+    ).mapInPandas(
         _pq_encode_batches(cb, normalize=False, extra_cols=("lid",)),
         "vec_id long, lid long, m int, cid long",
     )
 
-    # driver-side: probe sets + per-(query, probed list) lookup tables
-    # — bounded by queries x nprobe x M x K rows, the ADC broadcast
+
+def _ivfpq_rank(
+    spark,
+    codes: DataFrame,
+    queries: DataFrame,
+    corpus_e: DataFrame,
+    c_ids,
+    c_mat,
+    cb,
+    nprobe: int,
+    k: int,
+    rerank: int,
+    query_id_col: str,
+    query_emb_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """ADC search over a code table: per-(query, probed list) lookup
+    tables (bounded driver build + broadcast), map-side-combined ADC
+    sums, partition-local top-C, exact-cosine re-rank against
+    corpus_e (vec_id, embedding)."""
+    import numpy as np
+    import pandas as pd
+
+    from engage_spark.queries.llm_dedup import cosine_expr
+    from engage_spark.queries.llm_similarity import (
+        _PQ_M,
+        _pq_normalize,
+        _pq_subdist_seq,
+    )
+
     qrows = sorted(
         (r[0], _pq_normalize(np.asarray(r[1], dtype=np.float64)[None])[0])
         for r in queries.select(query_id_col, query_emb_col).collect()
@@ -670,7 +674,7 @@ def ivfpq_topk_search(
         F.col(query_id_col).alias("query_id"),
         F.col(query_emb_col).alias("q_emb"),
     )
-    ce = e.select(
+    ce = corpus_e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
@@ -682,6 +686,192 @@ def ivfpq_topk_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+def ivfpq_topk_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_emb_col: str | None = None,
+    exclude_self: bool = True,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """TRUE IVF-PQ top-k cosine search (x3f_ivfpq_residual_search's
+    implementation; FAISS IndexIVFPQ shape): a coarse quantizer
+    (hash-stride seeds + one Lloyd step in unit-norm space, nlist ~
+    sqrt(n) from ivf_params) routes every vector to an inverted list,
+    PQ encodes the RESIDUAL u - c(list), and each query scans only its
+    nprobe probed lists' codes via per-(query, list) ADC lookup
+    tables. Residual variance << raw variance, so the fixed codebook
+    budget quantizes tighter than flat PQ; probed-list scanning makes
+    per-query work sub-linear, unlike flat PQ's full code scan.
+
+    Scale shape: two bounded collects (nlist coarse centroids, M x K
+    residual codebook rows), two Arrow corpus passes (residual+assign,
+    encode), the lookup-table broadcast is queries x nprobe x M x K
+    rows, the ADC join is an equi-join on (lid, m, cid) combined
+    map-side, and the ranking exchange is capped by the same
+    partition-local top-C reduce as pq_topk_search. Only queries x
+    `rerank` raw vectors are fetched for the exact re-rank.
+    Returns (query_id, neighbor_id, rank, cosine).
+
+    This one-shot form retrains the quantizers per call — right for a
+    registered query, wrong for production reuse; ivfpq_build /
+    ivfpq_search / ivfpq_append persist the index once and search it
+    many times."""
+    query_id_col = query_id_col or id_col
+    query_emb_col = query_emb_col or emb_col
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    spark = e.sparkSession
+    if n_rows is None:
+        n_rows = e.count()
+    c_ids, c_mat, nprobe, cb = _ivfpq_model(spark, e, n_rows)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    codes = _ivfpq_codes(e, bc, cb)
+    return _ivfpq_rank(
+        spark, codes, queries, e, c_ids, c_mat, cb, nprobe, k, rerank,
+        query_id_col, query_emb_col, exclude_self,
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_rows: int | None = None,
+) -> dict:
+    """Build and PERSIST an IVF-PQ index — the production lifecycle
+    (train once, search many, append increments) that the one-shot
+    ivfpq_topk_search deliberately skips. Layout (all parquet, any
+    Hadoop-FS URI):
+
+      index_dir/centroids/  (lid, c array<double>)      ~ nlist rows
+      index_dir/codebooks/  (m, cid, cs array<double>)  ~ M x K rows
+      index_dir/codes/      (vec_id, lid, m, cid)       M rows/vector
+      index_dir/meta/       (nprobe, dim, n_rows)       1 row
+
+    The codes table is the only corpus-sized artifact — 8 small ints
+    per vector instead of dim floats, the 32x scan shrink made durable.
+    At 100 TB this is the difference between re-deriving quantizers on
+    every query job and amortizing one build across the fleet.
+    Returns {"n_vectors", "nlist", "nprobe"}."""
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    spark = e.sparkSession
+    if n_rows is None:
+        n_rows = e.count()
+    c_ids, c_mat, nprobe, cb = _ivfpq_model(spark, e, n_rows)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    codes = _ivfpq_codes(e, bc, cb)
+
+    dim = c_mat.shape[1]
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in zip(c_ids, c_mat)],
+        "lid long, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cb_rows = [
+        (m, int(cid), [float(x) for x in cs])
+        for m, (ids_m, mat_m) in cb.items()
+        for cid, cs in zip(ids_m, mat_m)
+    ]
+    spark.createDataFrame(
+        cb_rows, "m int, cid long, cs array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
+    spark.createDataFrame(
+        [(int(nprobe), int(dim), int(n_rows))], "nprobe int, dim int, n_rows long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    return {"n_vectors": n_rows, "nlist": len(c_ids), "nprobe": int(nprobe)}
+
+
+def _ivfpq_load(spark, index_dir: str):
+    """Load the bounded index artifacts (centroids, codebooks, meta)
+    back into driver arrays; the corpus-sized codes table stays a lazy
+    scan."""
+    import numpy as np
+
+    cent = sorted(
+        (r.lid, r.c) for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    )
+    c_ids = np.array([i for i, _ in cent], dtype=np.int64)
+    c_mat = np.array([c for _, c in cent], dtype=np.float64)
+    cb: dict = {}
+    cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    for m in sorted({r.m for r in cb_rows}):
+        rows = sorted((r.cid, r.cs) for r in cb_rows if r.m == m)
+        cb[m] = (
+            np.array([cid for cid, _ in rows], dtype=np.int64),
+            np.array([cs for _, cs in rows], dtype=np.float64),
+        )
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    return c_ids, c_mat, cb, int(meta.nprobe), int(meta.dim)
+
+
+def ivfpq_search(
+    index_dir: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_emb_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search a PERSISTED IVF-PQ index (ivfpq_build): loads the bounded
+    artifacts (centroids, codebooks, meta), builds the per-(query,
+    probed-list) lookup tables, and runs the ADC scan over the stored
+    codes — the corpus raw vectors are touched only to fetch the
+    queries x `rerank` shortlist for the exact re-rank. Identical
+    results to the one-shot ivfpq_topk_search on the same corpus
+    (pytest-pinned): the index just amortizes the quantizer build."""
+    spark = queries.sparkSession
+    query_id_col = query_id_col or id_col
+    query_emb_col = query_emb_col or emb_col
+    c_ids, c_mat, cb, nprobe, _dim = _ivfpq_load(spark, index_dir)
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    corpus_e = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    return _ivfpq_rank(
+        spark, codes, queries, corpus_e, c_ids, c_mat, cb, nprobe, k, rerank,
+        query_id_col, query_emb_col, exclude_self,
+    )
+
+
+def ivfpq_append(
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> int:
+    """Append new vectors to a persisted IVF-PQ index with FROZEN
+    quantizers: encode against the stored centroids + codebooks (one
+    Arrow pass over the increment only) and append the code rows —
+    the standard production maintenance path (FAISS add()); quantizer
+    drift is handled by periodic rebuilds, not per-batch retraining.
+    The append is a plain parquet append: wrap it in the caller's
+    retry discipline (or an incremental_ingest_stream-style per-batch
+    partition) if exactly-once matters. Returns the number of vectors
+    appended."""
+    spark = new_vectors.sparkSession
+    c_ids, c_mat, cb, _nprobe, dim = _ivfpq_load(spark, index_dir)
+    e = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    codes = _ivfpq_codes(e, bc, cb)
+    codes.write.mode("append").parquet(f"{index_dir}/codes")
+    return e.count()
 
 
 def _ws_tokens(text_col: str) -> Column:

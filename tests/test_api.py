@@ -624,3 +624,39 @@ def test_semantic_example_composes_end_to_end(spark):
     for key in ("topk_neighbors", "pq_neighbors", "ivfpq_neighbors"):
         pdf = out[key].toPandas()
         assert len(pdf) > 0 and pdf["rank"].max() <= 5, key
+
+
+def test_ivfpq_index_lifecycle_build_search_append(spark, sf_dir, tmp_path):
+    """The persisted-index path must (a) reproduce the one-shot search
+    EXACTLY on the same corpus — the index only amortizes the quantizer
+    build — and (b) accept appends encoded with frozen quantizers that
+    then surface in search results."""
+    from engage_spark import api
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter("vec_id < 5")
+    idx = str(tmp_path / "ivfpq_index")
+
+    stats = api.ivfpq_build(e, idx)
+    assert stats["nlist"] >= 4 and stats["nprobe"] >= 4
+
+    one_shot = api.ivfpq_topk_search(e, queries, k=5, rerank=50).toPandas()
+    from_index = api.ivfpq_search(idx, queries, e, k=5, rerank=50).toPandas()
+    key = ["query_id", "rank"]
+    a = one_shot.sort_values(key).reset_index(drop=True)
+    b = from_index.sort_values(key).reset_index(drop=True)
+    assert (a.values == b[a.columns].values).all(), "index search diverged"
+
+    # append: clones of the query vectors under fresh ids must become
+    # their own top neighbors (cosine 1.0) after the append
+    clones = queries.selectExpr("vec_id + 1000000 as vec_id", "embedding")
+    appended = api.ivfpq_append(idx, clones)
+    assert appended == clones.count()
+    full_corpus = e.select("vec_id", "embedding").unionByName(clones)
+    after = api.ivfpq_search(idx, queries, full_corpus, k=5, rerank=50).toPandas()
+    top1 = after[after["rank"] == 1].set_index("query_id")
+    for qid in [r.vec_id for r in queries.select("vec_id").collect()]:
+        assert top1.loc[qid, "neighbor_id"] == qid + 1000000, (
+            f"appended clone of query {qid} not found as top neighbor"
+        )
+        assert top1.loc[qid, "cosine"] == 1.0
