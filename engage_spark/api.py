@@ -55,6 +55,9 @@ __all__ = [
     "ivfpq_build",
     "ivfpq_search",
     "ivfpq_append",
+    "minhash_index_build",
+    "minhash_index_query",
+    "minhash_index_append",
     "pq_params",
     "curation_funnel",
     "cluster_safe_split",
@@ -79,6 +82,135 @@ def normalized_fingerprint(text_col: str = "text") -> Column:
     exact-dedup key (same expression as x_text_fingerprint /
     x1_exact_dedup, oracle-checked there)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> int:
+    """Build and PERSIST the near-dup LSH index — dedup-on-ingest at
+    the NEAR-dup level, completing the incremental story whose exact
+    half is the fingerprint store (incremental_ingest_stream /
+    x_incremental_dedup). Layout (parquet, any Hadoop-FS URI):
+
+      index_dir/bands/   (doc_id, band, band_key)   24 B/row, 8/doc
+      index_dir/hashes/  (doc_id, __h array<long>)  shingle hashes
+
+    The bands table is what queries join against (tiny rows); the
+    hashes table is fetched only for banding survivors (the exact-
+    Jaccard verify). Same expressions as minhash_candidate_pairs
+    (minhash_shingle_hashes / minhash_band_rows), so index matches are
+    exactly the pairs the batch query would emit. Returns the number
+    of documents indexed."""
+    from engage_spark.queries.llm_dedup import (
+        minhash_band_rows,
+        minhash_shingle_hashes,
+    )
+
+    hashed = minhash_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
+    minhash_band_rows(hashed).write.mode("overwrite").parquet(
+        f"{index_dir}/bands"
+    )
+    hashed.write.mode("overwrite").parquet(f"{index_dir}/hashes")
+    return docs.count()
+
+
+def minhash_index_query(
+    index_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Which indexed documents is each NEW document a near-dup of?
+    Returns (new_id, corpus_id, jaccard) for every pair >= threshold —
+    the admission check a near-dup-aware ingest runs per batch, without
+    re-scanning corpus text (the index holds band rows + hashes only).
+
+    Scale shape: the new batch's band rows equi-join the stored bands
+    on (band, band_key) — the corpus side of the join is 24-byte rows,
+    and HOT corpus buckets (template pages, > hot_bucket_cap members)
+    short-circuit to their min-id representative: matching ANY member
+    of a degenerate bucket means near-certain duplication with the
+    whole family, so the query returns the hub instead of fanning out
+    to m rows (the query-side translation of the star-edge cap).
+    Hashes are fetched for banding survivors only."""
+    from engage_spark.queries.llm_dedup import (
+        _HOT_BUCKET_CAP,
+        minhash_band_rows,
+        minhash_shingle_hashes,
+    )
+
+    cap = hot_bucket_cap if hot_bucket_cap is not None else _HOT_BUCKET_CAP
+    spark = new_docs.sparkSession
+    stored_bands = spark.read.parquet(f"{index_dir}/bands")
+    stored_hashes = spark.read.parquet(f"{index_dir}/hashes")
+
+    new_hashed = minhash_shingle_hashes(
+        new_docs, id_col=id_col, text_col=text_col, n=n
+    )
+    new_bands = minhash_band_rows(new_hashed).withColumnRenamed(
+        "doc_id", "new_id"
+    )
+
+    # bucket stats over 24-B rows (one cheap agg per query batch);
+    # buckets above the cap collapse to their min-id hub
+    w = Window.partitionBy("band", "band_key")
+    corpus_side = (
+        stored_bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .withColumn("__hub", F.min("doc_id").over(w))
+        .filter((F.col("__bsz") <= cap) | (F.col("doc_id") == F.col("__hub")))
+        .select("band", "band_key", F.col("doc_id").alias("corpus_id"))
+    )
+    cand = (
+        new_bands.join(corpus_side, on=["band", "band_key"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    nh = new_hashed.select(F.col("doc_id").alias("new_id"), F.col("__h").alias("nh"))
+    ch = stored_hashes.select(
+        F.col("doc_id").alias("corpus_id"), F.col("__h").alias("ch")
+    )
+    jac = F.size(F.array_intersect("nh", "ch")) / F.size(
+        F.array_union("nh", "ch")
+    ).cast("double")
+    return (
+        cand.join(nh, on="new_id")
+        .join(ch, on="corpus_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def minhash_index_append(
+    index_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> int:
+    """Append documents to a persisted near-dup index: one map pass
+    over the increment (shingle-hash + band rows), plain parquet
+    append — the maintenance path after an ingest batch is admitted.
+    Wrap in the caller's retry discipline (or per-batch partitions as
+    in incremental_ingest_stream) if exactly-once matters. Returns the
+    number of documents appended."""
+    from engage_spark.queries.llm_dedup import (
+        minhash_band_rows,
+        minhash_shingle_hashes,
+    )
+
+    hashed = minhash_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
+    minhash_band_rows(hashed).write.mode("append").parquet(f"{index_dir}/bands")
+    hashed.write.mode("append").parquet(f"{index_dir}/hashes")
+    return docs.count()
 
 
 def exact_dedup_stats(

@@ -245,6 +245,51 @@ def minhash_signature(hashes: Column) -> Column:
     return _sig(hashes)
 
 
+def minhash_shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, __h) — the distinct 32-bit shingle-hash array per doc,
+    the single representation every downstream MinHash stage consumes
+    (factored round 9 so the persisted near-dup index shares it
+    expression-for-expression with minhash_candidate_pairs)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
+        .select("doc_id", _shingles_spark(n, "__toks").alias("__sh"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(__sh, s -> pmod(xxhash64(s), 4294967296)))"
+            ).alias("__h"),
+        )
+    )
+
+
+def minhash_band_rows(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — the exploded LSH banding rows from a
+    minhash_shingle_hashes frame: 32-perm signature, 8 bands x 4 rows,
+    one xxhash64 key per band. 24 bytes/row; the hash arrays never
+    enter the banding shuffle."""
+    sigs = hashed.select("doc_id", minhash_signature(F.col("__h")).alias("sig"))
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(bi),
+                        *[
+                            F.element_at("sig", bi * _BAND_ROWS + r + 1)
+                            for r in range(_BAND_ROWS)
+                        ],
+                    )
+                    for bi in range(_N_HASHES // _BAND_ROWS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, jaccard_threshold: float = 0.5,
@@ -265,41 +310,13 @@ def minhash_candidate_pairs(
     # Hash-Jaccard equals string-Jaccard except on 32-bit collisions
     # (P ~ |union|²/2³³ per pair — negligible); the string-exact ground
     # truth lives in x_ngram_jaccard_pairs, which is oracle-checked.
-    hashed = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        .select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
-        .select("doc_id", _shingles_spark(n, "__toks").alias("__sh"))
-        .select(
-            "doc_id",
-            F.expr(
-                "array_distinct(transform(__sh, s -> pmod(xxhash64(s), 4294967296)))"
-            ).alias("__h"),
-        )
-    )
+    hashed = minhash_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
 
     # Shuffle hygiene at scale: the banding explode and the bucket
     # self-join move ONLY (doc_id, band, band_key) — 24 bytes/row —
     # never the hash arrays. Hashes rejoin just for the candidate
     # pairs that survive banding (orders of magnitude fewer than docs).
-    sigs = hashed.select("doc_id", minhash_signature(F.col("__h")).alias("sig"))
-
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(bi),
-                        *[
-                            F.element_at("sig", bi * _BAND_ROWS + r + 1)
-                            for r in range(_BAND_ROWS)
-                        ],
-                    )
-                    for bi in range(_N_HASHES // _BAND_ROWS)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    bands = minhash_band_rows(hashed)
 
     cand = _capped_bucket_pairs(
         bands, ["band", "band_key"], "doc_id", "doc_a", "doc_b",

@@ -1257,3 +1257,58 @@ def test_pq_families_survive_degenerate_corpora(spark):
         out = fn(ident, ident.filter("vec_id < 2"), k=3, rerank=10).collect()
         assert len(out) == 6 and all(r.cosine == 1.0 for r in out)
         assert fn(zero, zero.filter("vec_id < 2"), k=3, rerank=10).count() == 6
+
+
+def test_minhash_index_lifecycle_build_query_append(spark, tmp_path):
+    """Near-dup index: build on the planted corpus, query with a fresh
+    near-dup -> matches the planted family; unrelated text -> no match;
+    appended docs become queryable."""
+    from engage_spark import api
+
+    corpus = spark.createDataFrame(
+        [(0, _BASE), (1, _BASE), (2, _NEAR), (3, _OTHER)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "nd_index")
+    assert api.minhash_index_build(corpus, idx) == 4
+
+    probe = spark.createDataFrame(
+        [(100, _BASE.replace("quick brown", "swift brown")),
+         (101, "completely different words about databases and planes")],
+        "doc_id long, text string",
+    )
+    got = api.minhash_index_query(idx, probe).collect()
+    matches = {(r.new_id, r.corpus_id) for r in got}
+    assert (100, 0) in matches and (100, 1) in matches
+    assert all(r.new_id != 101 for r in got), "unrelated doc matched"
+    assert all(r.jaccard >= 0.5 for r in got)
+
+    # append doc 101's text, then an identical probe must match it
+    assert api.minhash_index_append(idx, probe.filter("doc_id = 101")) == 1
+    again = api.minhash_index_query(
+        idx, spark.createDataFrame([(200, "completely different words about "
+                                          "databases and planes")],
+                                   "doc_id long, text string"),
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in again} == {(200, 101)}
+    assert again[0].jaccard == 1.0
+
+
+def test_minhash_index_query_caps_hot_corpus_buckets(spark, tmp_path):
+    """A degenerate corpus bucket (300 identical template docs) must
+    answer a matching query with ONE representative (the min-id hub),
+    not 300 fan-out rows."""
+    from engage_spark import api
+
+    tmpl = "identical template page body repeated across the whole crawl today"
+    corpus = spark.createDataFrame(
+        [(i, tmpl) for i in range(300)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "hot_index")
+    api.minhash_index_build(corpus, idx)
+    got = api.minhash_index_query(
+        idx,
+        spark.createDataFrame([(999, tmpl)], "doc_id long, text string"),
+    ).collect()
+    assert len(got) == 1, f"hot bucket fanned out to {len(got)} rows"
+    assert got[0].corpus_id == 0 and got[0].jaccard == 1.0
