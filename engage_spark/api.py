@@ -146,11 +146,40 @@ def minhash_index_query(
         minhash_shingle_hashes,
     )
 
-    cap = hot_bucket_cap if hot_bucket_cap is not None else _HOT_BUCKET_CAP
     spark = new_docs.sparkSession
-    stored_bands = spark.read.parquet(f"{index_dir}/bands")
-    stored_hashes = spark.read.parquet(f"{index_dir}/hashes")
+    return _minhash_query_frames(
+        spark.read.parquet(f"{index_dir}/bands"),
+        spark.read.parquet(f"{index_dir}/hashes"),
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        jaccard_threshold=jaccard_threshold,
+        hot_bucket_cap=hot_bucket_cap,
+    )
 
+
+def _minhash_query_frames(
+    stored_bands: DataFrame,
+    stored_hashes: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """minhash_index_query's engine over ALREADY-LOADED index frames —
+    the streaming ingest passes replay-filtered frames here (excluding
+    its own half-committed batch partitions), batch callers pass the
+    raw parquet scans."""
+    from engage_spark.queries.llm_dedup import (
+        _HOT_BUCKET_CAP,
+        minhash_band_rows,
+        minhash_shingle_hashes,
+    )
+
+    cap = hot_bucket_cap if hot_bucket_cap is not None else _HOT_BUCKET_CAP
     new_hashed = minhash_shingle_hashes(
         new_docs, id_col=id_col, text_col=text_col, n=n
     )

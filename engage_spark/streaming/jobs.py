@@ -378,6 +378,8 @@ def incremental_ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger: dict | None = None,
+    near_dup_index: str | None = None,
+    near_dup_threshold: float = 0.5,
 ):
     """foreachBatch corpus ingest: per micro-batch, admit only documents
     whose normalized md5 fingerprint is (a) the first occurrence inside
@@ -424,6 +426,19 @@ def incremental_ingest_stream(
     {"processingTime": "30 seconds"} for a long-running ingest — longer
     intervals amortize the fixed overhead into bigger batches at the
     cost of latency.
+
+    `near_dup_index` (round 9) upgrades admission from exact-only to
+    NEAR-dup aware: after the fingerprint anti-join, the batch queries
+    the persisted MinHash index (api.minhash_index_query semantics,
+    >= `near_dup_threshold` Jaccard) and rejects documents that
+    near-dup anything ingested by PRIOR batches; admitted documents'
+    band rows + shingle hashes then append to the index under the same
+    run=<tag>_batch=<id> idempotent-partition discipline as the
+    fingerprint store, with the same own-batch replay exclusion.
+    Within-batch near-dups (two new paraphrases arriving together) are
+    both admitted — the index orders admission across batches, not
+    inside one; run the batch clustering queries for intra-batch
+    collapse. A missing index directory means "nothing indexed yet".
     """
     import hashlib
 
@@ -431,8 +446,26 @@ def incremental_ingest_stream(
 
     spark = docs.sparkSession
     store_schema = "fingerprint string"
+    bands_schema = "doc_id long, band int, band_key long"
+    hashes_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("__h", T.ArrayType(T.LongType())),
+        ]
+    )
     ckpt = f"{corpus_dir}_ckpt"
     run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+
+    def _replay_filtered(df: DataFrame, batch_id: int, cols: list[str]) -> DataFrame:
+        """Drop this run's own (and later) batch partitions — the same
+        half-committed-replay exclusion the fingerprint store uses."""
+        if "run" not in df.columns:
+            return df.select(*cols)
+        own_batch = F.when(
+            F.col("run").startswith(f"{run_tag}_batch="),
+            F.split(F.col("run"), "_batch=").getItem(1).cast("long"),
+        )
+        return df.filter(own_batch.isNull() | (own_batch < batch_id)).select(*cols)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         try:
@@ -475,11 +508,55 @@ def incremental_ingest_stream(
             .drop("__rn")
             .join(store.hint("broadcast"), "fingerprint", "left_anti")
         )
+        if near_dup_index is not None:
+            from engage_spark.api import _minhash_query_frames
+
+            try:
+                sb = _replay_filtered(
+                    spark.read.schema(bands_schema).parquet(
+                        f"{near_dup_index}/bands"
+                    ),
+                    batch_id,
+                    ["doc_id", "band", "band_key"],
+                )
+                sh = _replay_filtered(
+                    spark.read.schema(hashes_schema).parquet(
+                        f"{near_dup_index}/hashes"
+                    ),
+                    batch_id,
+                    ["doc_id", "__h"],
+                )
+                dup_ids = (
+                    _minhash_query_frames(
+                        sb, sh, accepted, id_col=id_col, text_col=text_col,
+                        jaccard_threshold=near_dup_threshold,
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                accepted = accepted.join(dup_ids, on=id_col, how="left_anti")
+            except Exception:  # no index yet: nothing to near-dup against
+                pass
         part = f"run={run_tag}_batch={batch_id}"
         accepted.write.mode("overwrite").parquet(f"{corpus_dir}/{part}")
         accepted.select("fingerprint").distinct().write.mode("overwrite").parquet(
             f"{store_dir}/{part}"
         )
+        if near_dup_index is not None:
+            from engage_spark.queries.llm_dedup import (
+                minhash_band_rows,
+                minhash_shingle_hashes,
+            )
+
+            hashed = minhash_shingle_hashes(
+                accepted, id_col=id_col, text_col=text_col
+            )
+            minhash_band_rows(hashed).write.mode("overwrite").parquet(
+                f"{near_dup_index}/bands/{part}"
+            )
+            hashed.write.mode("overwrite").parquet(
+                f"{near_dup_index}/hashes/{part}"
+            )
 
     return (
         docs.writeStream.foreachBatch(ingest)

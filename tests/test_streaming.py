@@ -544,3 +544,97 @@ def test_ingest_trigger_knob_processing_time(spark, tmp_path):
         assert q.isActive  # long-running mode: not self-terminating
     finally:
         q.stop()
+
+
+def test_ingest_near_dup_admission_across_batches(spark, tmp_path):
+    """near_dup_index upgrades streaming admission from exact-only to
+    near-dup aware: a later batch's paraphrase of an earlier batch's
+    document must be rejected even though its fingerprint differs,
+    while genuinely new text is admitted; the index grows with each
+    admitted batch."""
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "softly on the old tin roof of the farmhouse near the river"
+    )
+    near = base.replace("lazy dog", "sleepy dog")
+    fresh = (
+        "spark executes declarative plans through catalyst which optimizes "
+        "joins and projections before tungsten generates fast bytecode"
+    )
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, fresh)], "doc_id long, text string"
+    )
+    # batch 1: doc 1; batch 2: docs 2 (near-dup of 1) + 3 (fresh)
+    df.filter("doc_id = 1").coalesce(1).write.parquet(f"{src}/a.parquet")
+    df.filter("doc_id > 1").coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    idx = str(tmp_path / "nd_idx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    incremental_ingest_stream(
+        stream, corpus, store, near_dup_index=idx
+    ).awaitTermination()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 3], f"near-dup admission produced {got}"
+    # the index holds exactly the admitted docs
+    idx_ids = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/hashes").select("doc_id").collect()
+    )
+    assert idx_ids == [1, 3]
+
+
+def test_ingest_near_dup_replay_excludes_own_index_partition(spark, tmp_path):
+    """Crash AFTER the near-dup index append but BEFORE the checkpoint
+    commit: the replayed batch must not reject its own documents as
+    near-dups of their half-committed index rows (same own-partition
+    exclusion as the fingerprint store)."""
+    import hashlib
+
+    from engage_spark.queries.llm_dedup import (
+        minhash_band_rows,
+        minhash_shingle_hashes,
+    )
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    text = (
+        "one singular document about rivers and farmhouses and rain on "
+        "old tin roofs in the quiet valley beyond the bend"
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(7, text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    idx = str(tmp_path / "nd_idx")
+    run_tag = hashlib.md5(f"{corpus}_ckpt".encode()).hexdigest()[:12]
+
+    # simulate the half-committed state: batch 0's index partition
+    # already holds the batch's band/hash rows; checkpoint is empty
+    batch = spark.read.parquet(f"{src}/a.parquet")
+    hashed = minhash_shingle_hashes(batch)
+    part = f"run={run_tag}_batch=0"
+    minhash_band_rows(hashed).write.parquet(f"{idx}/bands/{part}")
+    hashed.write.parquet(f"{idx}/hashes/{part}")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    incremental_ingest_stream(
+        stream, corpus, store, near_dup_index=idx
+    ).awaitTermination()
+    got = spark.read.parquet(corpus).toPandas()
+    assert sorted(got.doc_id) == [7], (
+        "replay rejected the batch against its own half-committed index rows"
+    )
