@@ -58,6 +58,9 @@ __all__ = [
     "minhash_index_build",
     "minhash_index_query",
     "minhash_index_append",
+    "embed_index_build",
+    "embed_index_query",
+    "embed_index_append",
     "pq_params",
     "curation_funnel",
     "cluster_safe_split",
@@ -240,6 +243,149 @@ def minhash_index_append(
     minhash_band_rows(hashed).write.mode("append").parquet(f"{index_dir}/bands")
     hashed.write.mode("append").parquet(f"{index_dir}/hashes")
     return docs.count()
+
+
+def embed_index_build(
+    vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bands: int | None = None,
+    rows: int | None = None,
+    dim: int = 64,
+    n_rows: int | None = None,
+) -> dict:
+    """Build and PERSIST the semantic near-dup index — the embedding
+    sibling of minhash_index_build (paraphrases/translations sharing
+    no n-grams). Layout:
+
+      index_dir/bands/    (vec_id, band, key)           tiny rows
+      index_dir/vectors/  (vec_id, embedding)           for the verify
+      index_dir/meta/     (bands, rows, dim)            1 row
+
+    Banding defaults to lsh_banding_params(n) — and the CONFIG IS
+    PERSISTED in meta: a query hashed under different (bands, rows,
+    dim) would land in disjoint buckets and silently match nothing, so
+    embed_index_query always replays the stored config. Returns
+    {"n_vectors", "bands", "rows"}."""
+    from engage_spark.queries.llm_similarity import (
+        lsh_banding_params,
+        nd_band_keys_column,
+    )
+
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    spark = e.sparkSession
+    if bands is None or rows is None:
+        n = n_rows if n_rows is not None else e.count()
+        bands, rows = lsh_banding_params(n)
+    banded = e.select(
+        "vec_id",
+        F.posexplode(
+            nd_band_keys_column(e, "embedding", bands, rows, dim)
+        ).alias("band", "key"),
+    )
+    banded.write.mode("overwrite").parquet(f"{index_dir}/bands")
+    e.write.mode("overwrite").parquet(f"{index_dir}/vectors")
+    spark.createDataFrame(
+        [(int(bands), int(rows), int(dim))], "bands int, rows int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    return {"n_vectors": e.count(), "bands": bands, "rows": rows}
+
+
+def embed_index_query(
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.35,
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Which indexed vectors is each NEW vector a semantic near-dup
+    of? Returns (new_id, corpus_id, cosine) for pairs >= threshold.
+    The new batch hashes under the INDEX's stored banding config
+    (meta), its band rows equi-join the stored bands, hot corpus
+    buckets answer with their min-id representative (the
+    minhash_index_query cap), and the cosine verify fetches stored
+    vectors for banding survivors only (Arrow-vectorized)."""
+    from engage_spark.queries.llm_dedup import _HOT_BUCKET_CAP
+    from engage_spark.queries.llm_similarity import (
+        cosine_arrow,
+        nd_band_keys_column,
+    )
+
+    cap = hot_bucket_cap if hot_bucket_cap is not None else _HOT_BUCKET_CAP
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    stored_bands = spark.read.parquet(f"{index_dir}/bands")
+    stored_vecs = spark.read.parquet(f"{index_dir}/vectors")
+
+    q = new_vectors.select(
+        F.col(id_col).alias("new_id"), F.col(emb_col).alias("new_emb")
+    )
+    qn = q.withColumnRenamed("new_emb", "embedding")
+    new_bands = qn.select(
+        "new_id",
+        F.posexplode(
+            nd_band_keys_column(
+                qn, "embedding", int(meta.bands), int(meta.rows), int(meta.dim)
+            )
+        ).alias("band", "key"),
+    )
+    w = Window.partitionBy("band", "key")
+    corpus_side = (
+        stored_bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .withColumn("__hub", F.min("vec_id").over(w))
+        .filter((F.col("__bsz") <= cap) | (F.col("vec_id") == F.col("__hub")))
+        .select("band", "key", F.col("vec_id").alias("corpus_id"))
+    )
+    cand = (
+        new_bands.join(corpus_side, on=["band", "key"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    qe = q
+    ce = stored_vecs.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_emb")
+    )
+    return (
+        cand.join(qe, on="new_id")
+        .join(ce, on="corpus_id")
+        .withColumn("cosine", F.round(cosine_arrow("new_emb", "c_emb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", "corpus_id", "cosine")
+    )
+
+
+def embed_index_append(
+    index_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> int:
+    """Append vectors to a persisted semantic near-dup index under its
+    STORED banding config (one map pass over the increment). Plain
+    parquet append — wrap in the caller's retry discipline if
+    exactly-once matters. Returns the number of vectors appended."""
+    from engage_spark.queries.llm_similarity import nd_band_keys_column
+
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    e = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    )
+    e.select(
+        "vec_id",
+        F.posexplode(
+            nd_band_keys_column(
+                e, "embedding", int(meta.bands), int(meta.rows), int(meta.dim)
+            )
+        ).alias("band", "key"),
+    ).write.mode("append").parquet(f"{index_dir}/bands")
+    e.write.mode("append").parquet(f"{index_dir}/vectors")
+    return e.count()
 
 
 def exact_dedup_stats(

@@ -1312,3 +1312,66 @@ def test_minhash_index_query_caps_hot_corpus_buckets(spark, tmp_path):
     ).collect()
     assert len(got) == 1, f"hot bucket fanned out to {len(got)} rows"
     assert got[0].corpus_id == 0 and got[0].jaccard == 1.0
+
+
+def test_embed_index_lifecycle_build_query_append(spark, tmp_path):
+    """Semantic near-dup index: a perturbed copy of an indexed vector
+    matches it; an orthogonal-ish vector doesn't; appends hash under
+    the STORED banding config and become queryable."""
+    import numpy as np
+
+    from engage_spark import api
+
+    rng = np.random.RandomState(5)
+    base_vecs = [rng.randn(64) for _ in range(80)]
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base_vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "emb_index")
+    stats = api.embed_index_build(corpus, idx, dim=64)
+    assert stats["n_vectors"] == 80 and stats["bands"] >= 4
+
+    near = base_vecs[3] + 0.01 * rng.randn(64)   # ~cos 1.0 with vec 3
+    far = rng.randn(64)                           # random: ~cos 0
+    probe = spark.createDataFrame(
+        [(500, near.tolist()), (501, far.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    got = api.embed_index_query(idx, probe, threshold=0.8).collect()
+    assert {(r.new_id, r.corpus_id) for r in got} == {(500, 3)}
+    assert got[0].cosine > 0.95
+
+    # append the far vector; an identical re-probe must now match it
+    assert api.embed_index_append(idx, probe.filter("vec_id = 501")) == 1
+    again = api.embed_index_query(
+        idx,
+        spark.createDataFrame(
+            [(600, far.tolist())], "vec_id long, embedding array<double>"
+        ),
+        threshold=0.8,
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in again} == {(600, 501)}
+    assert again[0].cosine == 1.0
+
+
+def test_embed_index_query_caps_hot_corpus_buckets(spark, tmp_path):
+    """300 identical indexed vectors answer a matching probe with ONE
+    representative row, not 300."""
+    from engage_spark import api
+
+    vec = [0.3] * 64
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "emb_hot")
+    api.embed_index_build(corpus, idx, dim=64)
+    got = api.embed_index_query(
+        idx,
+        spark.createDataFrame(
+            [(999, vec)], "vec_id long, embedding array<double>"
+        ),
+        threshold=0.9,
+    ).collect()
+    assert len(got) == 1, f"hot bucket fanned out to {len(got)} rows"
+    assert got[0].corpus_id == 0 and got[0].cosine == 1.0
