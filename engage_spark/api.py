@@ -186,15 +186,31 @@ def _minhash_query_frames(
     new_hashed = minhash_shingle_hashes(
         new_docs, id_col=id_col, text_col=text_col, n=n
     )
-    new_bands = minhash_band_rows(new_hashed).withColumnRenamed(
-        "doc_id", "new_id"
+    # the batch's band rows feed BOTH the bucket-prune key set and the
+    # candidate join; localCheckpoint materializes them once (batch-
+    # sized, executor-local) instead of re-running the MinHash UDF per
+    # consumer
+    new_bands = (
+        minhash_band_rows(new_hashed)
+        .withColumnRenamed("doc_id", "new_id")
+        .localCheckpoint(eager=False)
     )
 
-    # bucket stats over 24-B rows (one cheap agg per query batch);
-    # buckets above the cap collapse to their min-id hub
+    # prune the index to the query batch's buckets FIRST: the batch's
+    # distinct (band, band_key) set is tiny (8/doc) and broadcasts, so
+    # per-query cost is O(matching buckets), not O(index) — without
+    # this, the bucket-stats pass below rescans the whole stored band
+    # table on every ingest batch
+    touched = stored_bands.join(
+        F.broadcast(new_bands.select("band", "band_key").distinct()),
+        on=["band", "band_key"],
+        how="left_semi",
+    )
+    # bucket stats over the touched 24-B rows; buckets above the cap
+    # collapse to their min-id hub
     w = Window.partitionBy("band", "band_key")
     corpus_side = (
-        stored_bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        touched.withColumn("__bsz", F.count(F.lit(1)).over(w))
         .withColumn("__hub", F.min("doc_id").over(w))
         .filter((F.col("__bsz") <= cap) | (F.col("doc_id") == F.col("__hub")))
         .select("band", "band_key", F.col("doc_id").alias("corpus_id"))
@@ -325,6 +341,8 @@ def embed_index_query(
         F.col(id_col).alias("new_id"), F.col(emb_col).alias("new_emb")
     )
     qn = q.withColumnRenamed("new_emb", "embedding")
+    # materialized once (batch-sized): feeds both the bucket-prune key
+    # set and the candidate join, like _minhash_query_frames
     new_bands = qn.select(
         "new_id",
         F.posexplode(
@@ -332,10 +350,18 @@ def embed_index_query(
                 qn, "embedding", int(meta.bands), int(meta.rows), int(meta.dim)
             )
         ).alias("band", "key"),
+    ).localCheckpoint(eager=False)
+    # prune to the probe's buckets first (broadcast semi-join): the
+    # bucket-stats window then touches O(matching buckets), not the
+    # whole stored band table — same discipline as _minhash_query_frames
+    touched = stored_bands.join(
+        F.broadcast(new_bands.select("band", "key").distinct()),
+        on=["band", "key"],
+        how="left_semi",
     )
     w = Window.partitionBy("band", "key")
     corpus_side = (
-        stored_bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        touched.withColumn("__bsz", F.count(F.lit(1)).over(w))
         .withColumn("__hub", F.min("vec_id").over(w))
         .filter((F.col("__bsz") <= cap) | (F.col("vec_id") == F.col("__hub")))
         .select("band", "key", F.col("vec_id").alias("corpus_id"))

@@ -296,3 +296,48 @@ def test_ivfpq_adc_scan_broadcasts_probed_tables_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_index_queries_join_buckets_never_cartesian(spark, tmp_path):
+    """The persisted near-dup indexes' query path must stay an
+    equi-join on the bucket key — a cartesian against the stored bands
+    would be the 100 TB failure mode."""
+    from engage_spark import api
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 5} with shared words")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    midx = str(tmp_path / "m_idx")
+    api.minhash_index_build(docs, midx)
+    mq = api.minhash_index_query(
+        midx,
+        spark.createDataFrame([(99, "document number 1 about topic 1 "
+                                     "with shared words")],
+                              "doc_id long, text string"),
+    )
+    mplan = mq._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in mplan
+    assert "BroadcastNestedLoopJoin" not in mplan
+
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    vecs = spark.createDataFrame(
+        [(i, rng.randn(64).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    eidx = str(tmp_path / "e_idx")
+    api.embed_index_build(vecs, eidx, dim=64)
+    # probe ids must be column expressions, not literals: a constant
+    # id lets Catalyst fold the equi-condition to TRUE and plan a
+    # harmless 1-row cartesian, which would false-flag this assert
+    eq = api.embed_index_query(
+        eidx,
+        vecs.filter("vec_id < 2").selectExpr("vec_id + 900 as vec_id",
+                                             "embedding"),
+    )
+    eplan = eq._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in eplan
+    assert "BroadcastNestedLoopJoin" not in eplan
