@@ -638,3 +638,14 @@ def test_ingest_near_dup_replay_excludes_own_index_partition(spark, tmp_path):
     assert sorted(got.doc_id) == [7], (
         "replay rejected the batch against its own half-committed index rows"
     )
+
+
+def test_ingest_example_composes_end_to_end(spark, tmp_path):
+    """The examples/ streaming ingest script runs over real testdata:
+    every delivered doc is either admitted (and indexed) or rejected
+    as an exact/near dup."""
+    from examples.incremental_near_dup_ingest import run
+
+    out = run(spark, "/root/testdata/sf0.001", str(tmp_path / "work"))
+    assert 0 < out["admitted"] <= out["delivered"]
+    assert out["indexed"] == out["admitted"]
