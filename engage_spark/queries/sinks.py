@@ -157,3 +157,52 @@ def s7_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
+
+
+@query(
+    "s8_partitioned_compaction_nulls",
+    # The oracle reproduces the null-injection rule and aggregates the
+    # SOURCE frame — the Spark side aggregates the compacted READ-BACK,
+    # so a hash match proves the partitioned maintenance pass is
+    # lossless INCLUDING the NULL-partition rows (the round-9
+    # ADVICE-high defect class: an inner equi-join on the partition key
+    # silently dropped them).
+    oracle="""
+    SELECT coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END,
+                    '__null__') AS lang_part,
+           count(*)::BIGINT AS n,
+           sum(n_chars)::BIGINT AS chars
+    FROM documents
+    GROUP BY 1
+    """,
+    covers=["S4", "S5"],
+)
+def s8_partitioned_compaction_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-PARTITIONED compaction with NULL partition values, driver
+    hash-checked: inject NULLs into a copy of the partition column
+    (every 7th doc), fragment, compact with partition_by, read the
+    compacted dataset back and aggregate per partition value. Rows
+    with a NULL partition value land in __HIVE_DEFAULT_PARTITION__ and
+    MUST survive the roundtrip — io.compact_dataset joins its
+    per-partition file counts null-safely (eqNullSafe) precisely so
+    this query hashes equal to the source-frame oracle."""
+    from engage_spark.io import compact_dataset
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "lang_part",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")),
+    )
+    frag = _scratch("docs_pfrag")
+    comp = _scratch("docs_pcompact")
+    d.repartition(8).write.mode("overwrite").parquet(frag)
+    compact_dataset(
+        spark, frag, comp, target_file_bytes=32 * 1024 * 1024,
+        partition_by=["lang_part"],
+    )
+    back = spark.read.parquet(comp)
+    return back.groupBy(
+        F.coalesce(F.col("lang_part"), F.lit("__null__")).alias("lang_part")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )

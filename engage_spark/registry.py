@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x3e2_pq_adc_search",            # r9: same codebook path
     "x3f_ivfpq_residual_search",     # NEW r9: true IVF-PQ (residual codes)
     "s7_compaction_roundtrip",       # r9: null-safe partitioned compaction
+    "s8_partitioned_compaction_nulls",  # NEW r9: NULL-partition roundtrip
     # (b) newest driver row is r4 — the overdue deferral block
     "ext_approx_sketches",
     "m1b_glm_poisson_govflags",
@@ -119,9 +120,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p5_arith_derived",
     "p10_cast",
     "p11_null_fill",
-    "p12_drop_allnull_columns",
-    # p13_first_value_per_group rolls to round 10 with the p7+ block
-    # (slot ceded to the new x3f)
+    # p12_drop_allnull_columns and p13_first_value_per_group roll to
+    # round 10 with the p7+ block (slots ceded to the new x3f and s8)
 )
 
 
