@@ -131,10 +131,22 @@ def _capped_bucket_pairs(
     template buckets. One window over the bucket key computes size and
     hub in the same exchange the self-join shuffles on; the window
     state is count/min over ~24-byte rows, so even a 10M-member bucket
-    streams through one task in ~240 MB."""
+    streams through one task in ~240 MB.
+
+    The sized frame feeds THREE consumers (self-join left/right +
+    star), and Spark's exchange reuse does not unify them — measured 3
+    WindowExec / 0 ReusedExchange, i.e. the whole upstream (text scan,
+    shingling, signature UDF, banding) re-ran three times. It
+    localCheckpoints once instead: ~26-byte rows, executor-local —
+    strictly cheaper than two extra corpus passes (measured at sf0.1:
+    x2_minhash 1.80 -> 1.48 s, x_embed_lsh_neardup_pairs 2.56 ->
+    1.81 s); a lost executor fails-and-retries the job, the standard
+    non-reliable-checkpoint trade for a batch query."""
     w = Window.partitionBy(*key_cols)
-    sized = buckets.withColumn("__bsz", F.count(F.lit(1)).over(w)).withColumn(
-        "__hub", F.min(id_col).over(w)
+    sized = (
+        buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .withColumn("__hub", F.min(id_col).over(w))
+        .localCheckpoint(eager=False)
     )
     small = sized.filter(F.col("__bsz") <= cap)
     left = small.select(*key_cols, F.col(id_col).alias(out_a))
