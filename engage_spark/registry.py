@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x3f_ivfpq_residual_search",     # NEW r9: true IVF-PQ (residual codes)
     "s7_compaction_roundtrip",       # r9: null-safe partitioned compaction
     "s8_partitioned_compaction_nulls",  # NEW r9: NULL-partition roundtrip
+    "m1d_glm_irls_step",             # NEW r9: one IRLS step, Cramer oracle
     # (b) newest driver row is r4 — the overdue deferral block
     "ext_approx_sketches",
     "m1b_glm_poisson_govflags",
@@ -119,9 +120,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p3_p4_rename_literal",
     "p5_arith_derived",
     "p10_cast",
-    "p11_null_fill",
-    # p12_drop_allnull_columns and p13_first_value_per_group roll to
-    # round 10 with the p7+ block (slots ceded to the new x3f and s8)
+    # p11_null_fill, p12_drop_allnull_columns and
+    # p13_first_value_per_group roll to round 10 with the p7+ block
+    # (slots ceded to the new x3f, s8 and m1d)
 )
 
 

@@ -63,3 +63,57 @@ def test_govflags_glm_fits_all_eight_regressors(spark, sf_dir):
     # flags are independent hash bits uncorrelated with y -> near zero
     for fl in ["CS", "ED", "GP", "NEBC", "OTH", "SAH"]:
         assert abs(coefs[fl]) < 0.2, (fl, coefs[fl])
+
+
+def test_m1d_matches_numpy_irls_step(spark, sf_dir):
+    """The Cramer-solved step must BE the IRLS step: from beta=0 the
+    Poisson/log update is OLS of (y-1) on the design, so numpy lstsq
+    over the raw (unrounded) data must agree to ~the moment-rounding
+    tolerance."""
+    import numpy as np
+
+    from engage_spark.io import table
+    from engage_spark.registry import load_all
+
+    got = {
+        r.coef_name: r.coef_value
+        for r in load_all()["m1d_glm_irls_step"].fn(spark, sf_dir).collect()
+    }
+    pdf = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_returnflag"
+    ).toPandas()
+    X = np.column_stack([
+        np.ones(len(pdf)),
+        pdf.l_discount.to_numpy(float),
+        pdf.l_tax.to_numpy(float),
+        (pdf.l_returnflag == "A").to_numpy(float),
+        (pdf.l_returnflag == "N").to_numpy(float),
+    ])
+    z = pdf.l_quantity.to_numpy(float) - 1.0
+    names = ["Intercept", "l_discount", "l_tax", "rf_a", "rf_n"]
+
+    # (1) solver correctness: numpy solve over the SAME 6dp-rounded
+    # moments must match the Cramer expansion almost exactly
+    A_r = np.round(X.T @ X / len(pdf) + 1e-9, 6)
+    b_r = np.round(X.T[:, :] @ z[:, None] / len(pdf) + 1e-9, 6).ravel()
+    # the query derives X'z means from rounded m_y* minus rounded m_*;
+    # rebuild them the same way for an apples-to-apples solve
+    y = pdf.l_quantity.to_numpy(float)
+    m = lambda v: float(np.round(v.mean() + 1e-9, 6))  # noqa: E731
+    b_r = np.array([
+        m(y) - 1.0,
+        m(y * X[:, 1]) - m(X[:, 1]),
+        m(y * X[:, 2]) - m(X[:, 2]),
+        m(y * X[:, 3]) - m(X[:, 3]),
+        m(y * X[:, 4]) - m(X[:, 4]),
+    ])
+    beta_r = np.linalg.solve(A_r, b_r)
+    for n, b in zip(names, beta_r):
+        assert abs(got[n] - b) < 1e-4, f"{n}: {got[n]} vs rounded-solve {b}"
+
+    # (2) raw-data sanity: the step IS the OLS of (y-1) on X — the 6dp
+    # moment rounding amplifies through the solve's conditioning, so
+    # the raw comparison is loose
+    beta, *_ = np.linalg.lstsq(X, z, rcond=None)
+    for n, b in zip(names, beta):
+        assert abs(got[n] - b) < 0.05, f"{n}: {got[n]} vs numpy {b}"
