@@ -276,3 +276,40 @@ def compact_dataset(
         )
     write_parquet(rep, dst, partition_by=partition_by)
     return n
+
+
+def compact_ingest_state(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Between-runs compaction for the streaming ingest's run-partitioned
+    state dirs (fingerprint store, near-dup index bands/hashes, corpus):
+    collapse every finished run's run=<tag>_batch=<n> partitions into a
+    single right-sized `run=history` partition.
+
+    The hive layout MUST survive: a flat rewrite would make the next
+    run's run=... appends fail Spark's partition discovery (mixed
+    partitioned/unpartitioned structure), while `run=history` keeps the
+    layout and the ingest's own-batch replay exclusion treats any
+    non-matching run value as committed history. Only compact BETWEEN
+    runs — a run in flight relies on its own partitions for replay
+    idempotence. Returns the file count targeted (compact_dataset's
+    contract)."""
+    df = spark.read.parquet(src).withColumn("run", F.lit("history"))
+    staging = f"{dst}__staging"
+    df.write.mode("overwrite").parquet(staging)
+    try:
+        n = compact_dataset(
+            spark, staging, dst, target_file_bytes=target_file_bytes,
+            partition_by=["run"],
+        )
+    finally:
+        # best-effort cleanup of the staging copy (works on any
+        # Hadoop FS URI, not just local paths)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(staging)
+        p.getFileSystem(conf).delete(p, True)
+    return n

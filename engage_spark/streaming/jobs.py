@@ -439,6 +439,15 @@ def incremental_ingest_stream(
     both admitted — the index orders admission across batches, not
     inside one; run the batch clustering queries for intra-batch
     collapse. A missing index directory means "nothing indexed yet".
+
+    Maintenance: every run=... partition is a separate small parquet
+    write, so long-lived corpora accumulate small files in the corpus,
+    store, and index directories. Compact BETWEEN runs with
+    io.compact_ingest_state: it collapses finished runs' partitions
+    into a single run=history partition (KEEPING the hive layout — a
+    flat rewrite would make later run=... appends fail partition
+    discovery), which the own-batch exclusion correctly treats as
+    committed history.
     """
     import hashlib
 

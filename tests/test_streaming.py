@@ -649,3 +649,49 @@ def test_ingest_example_composes_end_to_end(spark, tmp_path):
     out = run(spark, "/root/testdata/sf0.001", str(tmp_path / "work"))
     assert 0 < out["admitted"] <= out["delivered"]
     assert out["indexed"] == out["admitted"]
+
+
+def test_compact_ingest_state_between_runs(spark, tmp_path):
+    """Between-runs state compaction: finished runs' run=... partitions
+    collapse into run=history (layout preserved), and a SECOND stream
+    run against the compacted store still (a) rejects previously
+    ingested docs and (b) appends its own run=... partitions without a
+    partition-discovery conflict."""
+    import glob
+
+    from engage_spark.io import compact_ingest_state
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src1 = str(tmp_path / "in1")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src1}/a.parquet")
+    corpus1, store = str(tmp_path / "c1"), str(tmp_path / "store")
+    s1 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true").parquet(src1)
+    )
+    incremental_ingest_stream(s1, corpus1, store).awaitTermination()
+
+    compacted = str(tmp_path / "store_compacted")
+    compact_ingest_state(spark, store, compacted)
+    parts = sorted(p.split("/")[-1] for p in glob.glob(f"{compacted}/run=*"))
+    assert parts == ["run=history"], parts
+    assert spark.read.parquet(compacted).count() == 2
+
+    # second run, against the compacted store
+    src2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(3, "Alpha  Beta"), (4, "epsilon zeta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src2}/b.parquet")
+    corpus2 = str(tmp_path / "c2")
+    s2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true").parquet(src2)
+    )
+    incremental_ingest_stream(s2, corpus2, compacted).awaitTermination()
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus2).collect())
+    assert got == [4], f"history rejection failed: {got}"  # 3 dups doc 1
+    # the new run's partition coexists with run=history
+    parts2 = sorted(p.split("/")[-1] for p in glob.glob(f"{compacted}/run=*"))
+    assert "run=history" in parts2 and len(parts2) == 2, parts2
