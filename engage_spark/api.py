@@ -1170,7 +1170,13 @@ def ivfpq_search(
     spark = queries.sparkSession
     query_id_col = query_id_col or id_col
     query_emb_col = query_emb_col or emb_col
-    c_ids, c_mat, cb, nprobe, _dim = _ivfpq_load(spark, index_dir)
+    c_ids, c_mat, cb, nprobe, dim = _ivfpq_load(spark, index_dir)
+    probe = queries.select(query_emb_col).limit(1).collect()
+    if probe and len(probe[0][0]) != dim:
+        raise ValueError(
+            f"query dimensionality {len(probe[0][0])} != index dim {dim} "
+            f"({index_dir} was built on different embeddings)"
+        )
     codes = spark.read.parquet(f"{index_dir}/codes")
     corpus_e = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")

@@ -660,3 +660,25 @@ def test_ivfpq_index_lifecycle_build_search_append(spark, sf_dir, tmp_path):
             f"appended clone of query {qid} not found as top neighbor"
         )
         assert top1.loc[qid, "cosine"] == 1.0
+
+
+def test_ivfpq_search_rejects_dim_mismatch(spark, tmp_path):
+    """Searching an index with queries of a different dimensionality
+    must raise a clear ValueError, not a shape error deep in a kernel."""
+    import numpy as np
+    import pytest as _pytest
+
+    from engage_spark import api
+
+    rng = np.random.RandomState(13)
+    corpus = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "dim_idx")
+    api.ivfpq_build(corpus, idx)
+    bad = spark.createDataFrame(
+        [(0, rng.randn(32).tolist())], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="dimensionality"):
+        api.ivfpq_search(idx, bad, corpus)
