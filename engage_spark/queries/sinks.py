@@ -206,3 +206,92 @@ def s8_partitioned_compaction_nulls(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
+
+
+@query(
+    "s9_upsert_merge_roundtrip",
+    # The oracle replays the same MERGE in SQL over the SOURCE table:
+    # target rows whose key appears in the batch drop out, non-delete
+    # batch rows come in. The Spark side aggregates the post-merge
+    # TARGET READ-BACK, so a hash match proves the partial-rewrite
+    # machinery (touched-partition pruning, dynamic overwrite,
+    # partition-moving updates) is exactly MERGE INTO.
+    oracle="""
+    WITH src AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    upd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 30 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars + 1000 AS n_chars, false AS is_delete
+      FROM src WHERE doc_id % 10 = 0 AND doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, 'ins' AS source,
+             777::BIGINT AS n_chars, false AS is_delete
+      FROM src WHERE doc_id % 13 = 5
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars, true AS is_delete
+      FROM src WHERE doc_id % 17 = 3
+    ),
+    merged AS (
+      SELECT s.doc_id, s.lang, s.source, s.n_chars FROM src s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM upd)
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars FROM upd WHERE NOT is_delete
+    )
+    SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM merged GROUP BY lang
+    """,
+    covers=["S4", "S5"],
+)
+def s9_upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on a lang-partitioned parquet corpus (io.upsert_dataset)
+    — the CDC / re-crawl / takedown maintenance path: in-place metadata
+    updates, partition-MOVING updates (doc_id%30==0 re-classified to a
+    brand-new lang partition), fresh inserts, and key deletes, all in
+    one batch. Only the touched lang partitions are rewritten (dynamic
+    partition overwrite; untouched partitions' files survive
+    byte-identical — pinned by tests/test_api.py). The returned frame
+    aggregates the post-merge read-back per lang; the oracle recomputes
+    the merge in pure SQL over the source table."""
+    from engage_spark.io import upsert_dataset
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tgt = _scratch("docs_upsert_target")
+    import shutil
+
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    write_parquet(d, tgt, partition_by=["lang"])
+    changed = (
+        d.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 17 != 3))
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 30 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+        .withColumn("n_chars", (F.col("n_chars") + 1000).cast("long"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    ins = d.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.lit("ins").alias("source"),
+        F.lit(777).cast("long").alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+    )
+    dels = d.filter(F.col("doc_id") % 17 == 3).withColumn(
+        "is_delete", F.lit(True)
+    )
+    updates = changed.unionByName(ins).unionByName(dels)
+    upsert_dataset(
+        spark, tgt, updates, ["doc_id"], partition_by=["lang"],
+        delete_col="is_delete",
+    )
+    back = spark.read.parquet(tgt)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x3f_ivfpq_residual_search",     # NEW r9: true IVF-PQ (residual codes)
     "s7_compaction_roundtrip",       # r9: null-safe partitioned compaction
     "s8_partitioned_compaction_nulls",  # NEW r9: NULL-partition roundtrip
+    "s9_upsert_merge_roundtrip",     # NEW r9: MERGE INTO on parquet
     "m1d_glm_irls_step",             # NEW r9: one IRLS step, Cramer oracle
     # (b) newest driver row is r4 — the overdue deferral block
     "ext_approx_sketches",

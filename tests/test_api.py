@@ -682,3 +682,111 @@ def test_ivfpq_search_rejects_dim_mismatch(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="dimensionality"):
         api.ivfpq_search(idx, bad, corpus)
+
+
+def test_upsert_dataset_merge_semantics_partitioned(spark, tmp_path):
+    """MERGE on a partitioned target: matched keys replaced (including
+    a partition-moving update), new keys inserted, flagged keys
+    deleted — and the untouched partition's files are NOT rewritten."""
+    import glob
+
+    from engage_spark.io import upsert_dataset
+
+    tgt = str(tmp_path / "docs")
+    base = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"), i * 10)
+         for i in range(30)],
+        "doc_id long, lang string, n_chars long",
+    )
+    base.write.partitionBy("lang").parquet(tgt)
+    untouched_before = sorted(glob.glob(f"{tgt}/lang=fr/*.parquet"))
+
+    updates = spark.createDataFrame(
+        [
+            (0, "en", 999, False),    # in-place update (en stays en)
+            (3, "de", 333, False),    # partition move en -> de
+            (100, "en", 1, False),    # brand-new key
+            (6, "en", 0, True),       # delete
+        ],
+        "doc_id long, lang string, n_chars long, is_delete boolean",
+    )
+    stats = upsert_dataset(
+        spark, tgt, updates, ["doc_id"], partition_by=["lang"],
+        delete_col="is_delete",
+    )
+    back = spark.read.parquet(tgt).orderBy("doc_id").toPandas()
+    got = {r.doc_id: (r.lang, r.n_chars) for r in back.itertuples()}
+    assert 6 not in got                      # deleted
+    assert got[0] == ("en", 999)             # updated in place
+    assert got[3] == ("de", 333)             # moved partition, old row gone
+    assert got[100] == ("en", 1)             # inserted
+    assert got[9] == ("en", 90)              # unmatched row untouched
+    assert len(back) == 30 - 1 + 1           # one delete, one insert
+    # fr partition was never touched by the batch -> identical files
+    untouched_after = sorted(glob.glob(f"{tgt}/lang=fr/*.parquet"))
+    assert untouched_before == untouched_after
+    assert stats["touched_partitions"] == 2  # en, de
+    assert stats["emptied_partitions"] == 0
+
+
+def test_upsert_dataset_bootstrap_and_unpartitioned(spark, tmp_path):
+    from engage_spark.io import upsert_dataset
+
+    tgt = str(tmp_path / "flat")
+    first = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    stats = upsert_dataset(spark, tgt, first, ["k"])
+    assert stats["bootstrap"] is True
+    second = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string"
+    )
+    upsert_dataset(spark, tgt, second, ["k"])
+    back = spark.read.parquet(tgt).orderBy("k").toPandas()
+    assert back["k"].tolist() == [1, 2, 3]
+    assert back["v"].tolist() == ["a", "B", "c"]
+
+
+def test_upsert_dataset_empties_partition_and_null_partition(spark, tmp_path):
+    """Deleting every row of a hive partition must remove its directory
+    (dynamic overwrite cannot express emptiness), and NULL partition
+    values merge through __HIVE_DEFAULT_PARTITION__."""
+    import glob
+
+    from engage_spark.io import upsert_dataset
+
+    tgt = str(tmp_path / "pn")
+    base = spark.createDataFrame(
+        [(1, "solo", 1), (2, None, 2), (3, "keep", 3)],
+        "k long, part string, v long",
+    )
+    base.write.partitionBy("part").parquet(tgt)
+    updates = spark.createDataFrame(
+        [(1, "solo", 0, True),        # empties part=solo entirely
+         (2, None, 22, False)],       # updates the NULL partition
+        "k long, part string, v long, is_delete boolean",
+    )
+    stats = upsert_dataset(
+        spark, tgt, updates, ["k"], partition_by=["part"],
+        delete_col="is_delete",
+    )
+    assert stats["emptied_partitions"] == 1
+    assert not glob.glob(f"{tgt}/part=solo")
+    back = spark.read.parquet(tgt).orderBy("k").toPandas()
+    assert back["k"].tolist() == [2, 3]
+    assert back.loc[back["k"] == 2, "v"].iloc[0] == 22
+    assert back.loc[back["k"] == 2, "part"].isna().all()
+
+
+def test_upsert_dataset_rejects_duplicate_update_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from engage_spark.io import upsert_dataset
+
+    tgt = str(tmp_path / "dup")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(tgt)
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k long, v string"
+    )
+    with _pytest.raises(ValueError, match="one row per key"):
+        upsert_dataset(spark, tgt, dup, ["k"])
