@@ -278,6 +278,167 @@ def compact_dataset(
     return n
 
 
+def zorder_sql_fragment(scaled_names: Sequence[str], bits: int = 16) -> str:
+    """ANSI/DuckDB SQL expression interleaving the bits of the given
+    pre-scaled integer columns into one Z-value (Morton code) — the
+    exact mirror of ``zorder_column`` so the layout's key function is
+    oracle-checkable."""
+    n = len(scaled_names)
+    terms = [
+        f"((({c} >> {b}) & 1) << {n * b + i})"
+        for b in range(bits)
+        for i, c in enumerate(scaled_names)
+    ]
+    return " + ".join(terms)
+
+
+def zorder_column(scaled_cols, bits: int = 16):
+    """Spark Column interleaving pre-scaled integer columns into a
+    Z-value. Pure JVM integer arithmetic (shift/and/add) — whole-stage
+    codegen, no UDF."""
+    import functools
+    import operator
+
+    n = len(scaled_cols)
+    terms = [
+        F.shiftleft(
+            F.shiftright(c, b).bitwiseAND(F.lit(1)).cast("long"), n * b + i
+        )
+        for b in range(bits)
+        for i, c in enumerate(scaled_cols)
+    ]
+    return functools.reduce(operator.add, terms)
+
+
+def zorder_values(
+    df: DataFrame, cols: Sequence[str], bits: int = 16, scale: str = "minmax"
+) -> tuple[DataFrame, dict]:
+    """Append a ``__z`` Morton-code column over integer columns.
+
+    Each column is scaled to [0, 2^bits) with EXACT integer arithmetic
+    (no floats, so the DuckDB oracle twin computes bit-identical
+    values), then the bits are interleaved. Two scaling modes:
+
+    - ``minmax``: ``(x - lo) * (2^bits - 1) div span``. One aggregation
+      collecting 2·len(cols) scalars. Under a skewed distribution most
+      of the curve's resolution lands in empty value space, so per-file
+      rectangles get wide in the dense region — prefer ``rank`` there.
+    - ``rank``: equal-MASS scaling, ``(rank(x) - 1) * (2^bits - 1) div
+      (n - 1)`` with ties=min — exactly SQL ``rank() OVER (ORDER BY
+      x)``, so still oracle-able. Computed distributively as a
+      distinct-value CDF: groupBy(col) counts, a cumulative sum over
+      the DISTINCT frame (window bounded by column cardinality, not row
+      count), joined back. Each file then covers an equal-probability
+      rectangle regardless of skew — measured at sf0.1 this is the
+      difference between pruning 28% and 75% of files on a quantile
+      strip (scripts/measure_zorder_pruning.py). At extreme distinct
+      cardinality swap the CDF window for sampled range boundaries
+      (the Delta OPTIMIZE ZORDER approach) at the cost of oracle
+      exactness.
+
+    Quantize float columns to integers first (e.g. cents); non-integral
+    columns raise. Returns (df + __z, {col: (lo, hi)}).
+    """
+    from pyspark.sql import Window
+
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for f_ in df.schema.fields:
+        if f_.name in cols and not isinstance(f_.dataType, int_types):
+            raise TypeError(
+                f"zorder column {f_.name} is {f_.dataType.simpleString()}; "
+                "quantize to an integer type first (z-scaling is exact "
+                "integer arithmetic so the oracle can mirror it)"
+            )
+    if scale not in ("minmax", "rank"):
+        raise ValueError(f"unknown zorder scale mode: {scale}")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).collect()[0]  # bounded: 2*len(cols) scalars
+    out = df
+    scaled, tmp = [], []
+    stats = {}
+    if scale == "rank":
+        n_rows = df.count()
+        denom = max(1, n_rows - 1)
+    for i, c in enumerate(cols):
+        lo, hi = int(row[f"__lo_{c}"]), int(row[f"__hi_{c}"])
+        stats[c] = (lo, hi)
+        if scale == "minmax":
+            span = max(1, hi - lo)
+            out = out.withColumn(
+                f"__zn{i}",
+                ((F.col(c) - F.lit(lo)) * F.lit((1 << bits) - 1)).cast("long"),
+            ).withColumn(f"__zs{i}", F.expr(f"__zn{i} div {span}"))
+        else:
+            dv = (
+                df.groupBy(F.col(c).alias("__v"))
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .withColumn(
+                    "__before",
+                    F.coalesce(
+                        F.sum("__cnt").over(
+                            Window.orderBy("__v").rowsBetween(
+                                Window.unboundedPreceding, -1
+                            )
+                        ),
+                        F.lit(0),
+                    ).cast("long"),
+                )
+                .select("__v", "__before")
+            )
+            out = (
+                out.join(dv, out[c] == dv["__v"])
+                .drop("__v")
+                .withColumn(
+                    f"__zn{i}",
+                    (F.col("__before") * F.lit((1 << bits) - 1)).cast("long"),
+                )
+                .drop("__before")
+                .withColumn(f"__zs{i}", F.expr(f"__zn{i} div {denom}"))
+            )
+        scaled.append(F.col(f"__zs{i}"))
+        tmp += [f"__zn{i}", f"__zs{i}"]
+    out = out.withColumn("__z", zorder_column(scaled, bits)).drop(*tmp)
+    return out, stats
+
+
+def zorder_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    scale: str = "minmax",
+) -> dict:
+    """Write ``df`` Z-ordered on ``cols``: multi-dimensional clustering
+    so parquet row-group min/max stats prune on EVERY listed column,
+    not just a lexicographic-sort leader.
+
+    At 100 TB this is the scan-reduction lever for point/range lookups
+    on secondary dimensions: a linear sort on (a, b) gives tight stats
+    on `a` only; the Morton layout gives each file a small rectangle in
+    (a, b) space, so a predicate on either column skips most files via
+    footer stats alone — no index structure, no shuffle at read time.
+    ``repartitionByRange`` on the Z-value gives disjoint per-file
+    Z-ranges (one shuffle), ``sortWithinPartitions`` tightens row-group
+    stats inside each file. Returns the per-column (lo, hi) scaling
+    stats (persist them if you later append: appended files must scale
+    with the SAME bounds to share the curve).
+    """
+    out, stats = zorder_values(df, cols, bits, scale=scale)
+    n = num_files or spark.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return stats
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for any Hadoop-FS URI — the same API the
     compaction passes use, so every maintenance op works on object

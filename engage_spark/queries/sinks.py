@@ -295,3 +295,131 @@ def s9_upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("chars"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+from engage_spark.io import zorder_sql_fragment as _zfrag  # noqa: E402
+
+# The oracle mirrors zorder_values exactly: same integer min-max
+# scaling (// is DuckDB integer division; `div` on the Spark side —
+# identical on the non-negative operands scaling produces) and the
+# same generated bit-interleave expression (zorder_sql_fragment /
+# zorder_column are twins), so the layout's key function is
+# hash-verified end to end, through a disk roundtrip.
+_S10_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100 + 1e-9) AS BIGINT) AS v_cents
+  FROM events
+),
+mm AS (
+  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         min(v_cents) AS vlo, max(v_cents) AS vhi
+  FROM src
+),
+sc AS (
+  SELECT event_id,
+         ((user_id - ulo) * 65535)
+           // (CASE WHEN uhi = ulo THEN 1 ELSE uhi - ulo END) AS sx,
+         ((v_cents - vlo) * 65535)
+           // (CASE WHEN vhi = vlo THEN 1 ELSE vhi - vlo END) AS sy
+  FROM src, mm
+),
+z AS (SELECT event_id, {_zfrag(["sx", "sy"], 16)} AS zval FROM sc)
+SELECT (zval >> 24)::BIGINT AS z_bucket, count(*)::BIGINT AS n,
+       min(zval)::BIGINT AS z_lo, max(zval)::BIGINT AS z_hi,
+       sum(event_id)::BIGINT AS id_sum
+FROM z GROUP BY 1
+"""
+
+
+@query("s10_zorder_layout", oracle=_S10_ORACLE, covers=["S4", "S5"])
+def s10_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered write + scan-back (io.zorder_write):
+    events quantized to (user_id, value-cents) and laid out on the
+    interleaved-bit curve, so parquet footer stats prune point/range
+    predicates on BOTH columns — the multi-dimensional data-skipping
+    layout (scripts/measure_zorder_pruning.py records the measured
+    skip rates; SCALE.md the numbers). The query recomputes the
+    Z-value over the read-back and aggregates per curve bucket; the
+    oracle rebuilds the identical integer scaling + interleave in SQL
+    over the source table, so a hash match proves both the roundtrip
+    and the curve math."""
+    from engage_spark.io import zorder_values, zorder_write
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_zorder")
+    zorder_write(spark, ev, out, ["user_id", "v_cents"], bits=16, num_files=8)
+    back = spark.read.parquet(out)
+    zb, _ = zorder_values(back, ["user_id", "v_cents"], bits=16)
+    return zb.groupBy(
+        F.shiftright(F.col("__z"), 24).cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__z").cast("long").alias("z_lo"),
+        F.max("__z").cast("long").alias("z_hi"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
+# Rank (equal-mass) scaling twin: sx/sy are exactly SQL
+# `rank() OVER (ORDER BY col) - 1` scaled by (n-1) — ties=min, which is
+# what the distributed distinct-value-CDF join in io.zorder_values
+# computes — so the skew-robust mode is hash-verified too.
+_S10B_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100 + 1e-9) AS BIGINT) AS v_cents
+  FROM events
+),
+sc AS (
+  SELECT event_id,
+         ((rank() OVER (ORDER BY user_id) - 1) * 65535)
+           // greatest(1, (SELECT count(*) FROM src) - 1) AS sx,
+         ((rank() OVER (ORDER BY v_cents) - 1) * 65535)
+           // greatest(1, (SELECT count(*) FROM src) - 1) AS sy
+  FROM src
+),
+z AS (SELECT event_id, {_zfrag(["sx", "sy"], 16)} AS zval FROM sc)
+SELECT (zval >> 24)::BIGINT AS z_bucket, count(*)::BIGINT AS n,
+       min(zval)::BIGINT AS z_lo, max(zval)::BIGINT AS z_hi,
+       sum(event_id)::BIGINT AS id_sum
+FROM z GROUP BY 1
+"""
+
+
+@query("s10b_zorder_rank_layout", oracle=_S10B_ORACLE, covers=["S4", "S5"])
+def s10b_zorder_rank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write with RANK (equal-mass) scaling — the skew-robust
+    mode: `value` is right-skewed, so min-max scaling wastes most of
+    the curve's resolution on empty value space; rank scaling gives
+    each file an equal-probability rectangle instead. Measured at
+    sf0.1 that is the difference between keeping 23/32 and 11/32
+    files on a secondary-column quantile strip (SCALE.md). Same
+    roundtrip + recompute shape as s10; the oracle computes the
+    scaling as SQL window ranks."""
+    from engage_spark.io import zorder_values, zorder_write
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_zorder_rank")
+    zorder_write(
+        spark, ev, out, ["user_id", "v_cents"], bits=16, num_files=8,
+        scale="rank",
+    )
+    back = spark.read.parquet(out)
+    zb, _ = zorder_values(back, ["user_id", "v_cents"], bits=16, scale="rank")
+    return zb.groupBy(
+        F.shiftright(F.col("__z"), 24).cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__z").cast("long").alias("z_lo"),
+        F.max("__z").cast("long").alias("z_hi"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )

@@ -83,6 +83,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s7_compaction_roundtrip",       # r9: null-safe partitioned compaction
     "s8_partitioned_compaction_nulls",  # NEW r9: NULL-partition roundtrip
     "s9_upsert_merge_roundtrip",     # NEW r9: MERGE INTO on parquet
+    "s10_zorder_layout",             # NEW r9: Morton layout, minmax scale
+    "s10b_zorder_rank_layout",       # NEW r9: Morton layout, rank scale
     "m1d_glm_irls_step",             # NEW r9: one IRLS step, Cramer oracle
     # (b) newest driver row is r4 — the overdue deferral block
     "ext_approx_sketches",

@@ -790,3 +790,103 @@ def test_upsert_dataset_rejects_duplicate_update_keys(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="one row per key"):
         upsert_dataset(spark, tgt, dup, ["k"])
+
+
+def test_zorder_values_toy_interleave(spark):
+    """2-bit toy grid: the Morton code of (x, y) on 0..3 is the known
+    interleave (x bits even positions, y bits odd)."""
+    from engage_spark.io import zorder_values
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    out, stats = zorder_values(df, ["x", "y"], bits=2)
+    assert stats == {"x": (0, 3), "y": (0, 3)}
+    got = {(r["x"], r["y"]): r["__z"] for r in out.collect()}
+    for x in range(4):
+        for y in range(4):
+            expect = (
+                ((x >> 0) & 1) << 0 | ((y >> 0) & 1) << 1
+                | ((x >> 1) & 1) << 2 | ((y >> 1) & 1) << 3
+            )
+            assert got[(x, y)] == expect, (x, y)
+
+
+def test_zorder_write_disjoint_ranges_and_skipping(spark, tmp_path):
+    """Z-ordered files carry disjoint Z-ranges, and parquet footer
+    stats prune a 2-D rectangle predicate on BOTH columns far better
+    than a single-column linear sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engage_spark.io import zorder_values, zorder_write
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "cast(pmod(hash(id), 1024) as long) as a",
+        "cast(pmod(hash(id * 7 + 3), 1024) as long) as b",
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "lin")
+    zorder_write(spark, df, zpath, ["a", "b"], bits=10, num_files=16)
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(lpath)
+    )
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    # per-file Z-ranges from recomputed Z-values must not interleave
+    zb, _ = zorder_values(
+        back.withColumn("__file", F.input_file_name()), ["a", "b"], bits=10
+    )
+    ranges = sorted(
+        (r["lo"], r["hi"])
+        for r in zb.groupBy("__file")
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"))
+        .collect()
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file Z-ranges overlap"
+
+    def surviving_files(path, alo, ahi, blo, bhi):
+        keep = 0
+        for fp in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(fp).metadata
+            names = {c: i for i, c in enumerate(md.schema.names)}
+            overlaps = True
+            for col, qlo, qhi in (("a", alo, ahi), ("b", blo, bhi)):
+                smin = min(
+                    md.row_group(g).column(names[col]).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                smax = max(
+                    md.row_group(g).column(names[col]).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                if smax < qlo or smin > qhi:
+                    overlaps = False
+            keep += overlaps
+        return keep
+
+    # a strip on the SECONDARY column only (b in [0,128), a free): the
+    # a-sorted linear layout cannot prune it at all; the Z layout's
+    # per-file rectangles keep only the strip's share of files
+    z_keep = surviving_files(zpath, 0, 1023, 0, 127)
+    lin_keep = surviving_files(lpath, 0, 1023, 0, 127)
+    assert lin_keep == 16
+    assert z_keep < lin_keep, (z_keep, lin_keep)
+    assert z_keep <= 8
+
+
+def test_zorder_rank_scaling_is_tiesmin_rank(spark):
+    """Rank scaling must equal SQL rank()-1 (ties=min) scaled by n-1 —
+    the contract that makes the mode oracle-able."""
+    from engage_spark.io import zorder_values
+
+    df = spark.createDataFrame([(10,), (10,), (20,), (30,)], "x int")
+    out, _ = zorder_values(df, ["x"], bits=2, scale="rank")
+    got = sorted((r["x"], r["__z"]) for r in out.collect())
+    # n=4, denom=3; rank-1 = [0,0,2,3]; scaled = ((r-1)*3) div 3
+    assert got == [(10, 0), (10, 0), (20, 2), (30, 3)]
