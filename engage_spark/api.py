@@ -77,6 +77,7 @@ __all__ = [
     "span_dedup",
     "training_shards",
     "cosine_expr",
+    "validate_expectations",
 ]
 
 
@@ -2111,4 +2112,84 @@ def training_shards(
         .withColumn("shard_id", shard)
         .repartition(n_shards, "shard_id")
         .sortWithinPartitions("shard_id", "skey")
+    )
+
+
+def validate_expectations(df: DataFrame, rules) -> DataFrame:
+    """Data-quality gate: evaluate declarative expectations against a
+    DataFrame, returning one row per rule — ``rule_id``,
+    ``n_violations`` (long), ``passed`` (bool). The pre-training (or
+    pre-publish) contract check a pipeline runs on every batch.
+
+    Rule dicts (``id`` optional, defaults to ``kind:col``):
+      {"rule": "not_null", "col": c}
+      {"rule": "unique",   "col": c}              # among non-null values
+      {"rule": "in_range", "col": c, "lo": x, "hi": y}  # either bound optional
+      {"rule": "in_set",   "col": c, "values": [...]}
+      {"rule": "regex",    "col": c, "pattern": p}      # unanchored search
+      {"rule": "expr",     "id": i, "expr": sql_bool}   # cross-column checks
+
+    Scale shape: every row-predicate rule folds into ONE aggregation
+    over a single scan (partial aggregation map-side; the only shuffle
+    is the 1-row global agg). ``unique`` rules add exact distinct
+    counts to the same aggregation (Catalyst plans an Expand — one row
+    copy per distinct aggregate; at 100 TB trade exactness for
+    ``approx_count_distinct`` if the Expand dominates). The wide
+    result row unpivots via ``stack`` — no second pass. NULL handling:
+    range/set/regex rules don't count NULLs as violations (pair with
+    not_null to enforce presence); an ``expr`` rule that evaluates to
+    NULL counts as passing (wrap in coalesce() to change that).
+
+    Oracle-checked end to end by the x_expectations_check query
+    (engage_spark/queries/aggregates.py).
+    """
+    import functools
+    import operator
+
+    aggs, ids = [], []
+    for i, r in enumerate(rules):
+        kind = r["rule"]
+        col = r.get("col")
+        rid = r.get("id") or (f"{kind}:{col}" if col else f"{kind}:{i}")
+        c = F.col(col) if col else None
+        if kind == "not_null":
+            viol = c.isNull()
+        elif kind == "in_range":
+            bounds = []
+            if "lo" in r:
+                bounds.append(c < F.lit(r["lo"]))
+            if "hi" in r:
+                bounds.append(c > F.lit(r["hi"]))
+            if not bounds:
+                raise ValueError(f"in_range rule {rid} needs lo and/or hi")
+            viol = c.isNotNull() & functools.reduce(operator.or_, bounds)
+        elif kind == "in_set":
+            viol = c.isNotNull() & ~c.isin(list(r["values"]))
+        elif kind == "regex":
+            viol = c.isNotNull() & ~c.rlike(r["pattern"])
+        elif kind == "expr":
+            viol = ~F.expr(r["expr"])
+        elif kind == "unique":
+            aggs.append(
+                (F.count(c) - F.countDistinct(c)).cast("long").alias(f"__v{i}")
+            )
+            ids.append((i, rid))
+            continue
+        else:
+            raise ValueError(f"unknown expectation rule kind: {kind}")
+        aggs.append(
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+        )
+        ids.append((i, rid))
+    if not aggs:
+        raise ValueError("validate_expectations needs at least one rule")
+    stack_args = ", ".join(f"'{rid}', __v{i}" for i, rid in ids)
+    return (
+        df.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(ids)}, {stack_args}) AS (rule_id, n_violations)"
+            )
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
     )

@@ -269,3 +269,77 @@ def x_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n, n_null, n_distinct, min_v, max_v, mean_v)"
         )
     )
+
+
+@query(
+    "x_expectations_check",
+    # one CASE-sum per rule over the same table — the SQL spelling of
+    # the single-pass aggregation api.validate_expectations builds
+    oracle="""
+    WITH v AS (
+      SELECT 'not_null:text' AS rule_id,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_violations
+      FROM documents
+      UNION ALL
+      SELECT 'unique:doc_id',
+             (count(doc_id) - count(DISTINCT doc_id))::BIGINT
+      FROM documents
+      UNION ALL
+      SELECT 'in_range:n_chars',
+             sum(CASE WHEN n_chars IS NOT NULL
+                       AND (n_chars < 1 OR n_chars > 400)
+                 THEN 1 ELSE 0 END)::BIGINT
+      FROM documents
+      UNION ALL
+      SELECT 'in_set:lang',
+             sum(CASE WHEN lang IS NOT NULL
+                       AND lang NOT IN ('en', 'de', 'fr')
+                 THEN 1 ELSE 0 END)::BIGINT
+      FROM documents
+      UNION ALL
+      SELECT 'regex:source',
+             sum(CASE WHEN source IS NOT NULL
+                       AND NOT regexp_matches(source, '^src[0-9]$')
+                 THEN 1 ELSE 0 END)::BIGINT
+      FROM documents
+      UNION ALL
+      SELECT 'consistent:n_chars',
+             sum(CASE WHEN NOT (n_chars = length(text))
+                 THEN 1 ELSE 0 END)::BIGINT
+      FROM documents
+    )
+    SELECT rule_id, n_violations, n_violations = 0 AS passed FROM v
+    """,
+    covers=["A5", "A9"],
+)
+def x_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (api.validate_expectations) over
+    the documents table — the expectations pass a pipeline runs before
+    training or publishing a batch: presence, key uniqueness, numeric
+    range, categorical domain, format regex, and a CROSS-COLUMN
+    consistency expression (n_chars must equal length(text)). The rule
+    mix deliberately includes failing rules (zh/es docs violate the
+    lang domain; long docs violate the range; src10+ violate the
+    regex) and passing ones, so the hash pins exact violation counts,
+    not just zero/nonzero. Single scan: every row-predicate folds into
+    one aggregation; the unique rule rides the same agg as an exact
+    distinct count."""
+    from engage_spark import api
+
+    d = table(spark, sf_dir, "documents")
+    return api.validate_expectations(
+        d,
+        [
+            {"rule": "not_null", "col": "text"},
+            {"rule": "unique", "col": "doc_id"},
+            {"rule": "in_range", "col": "n_chars", "lo": 1, "hi": 400},
+            {"rule": "in_set", "col": "lang", "values": ["en", "de", "fr"]},
+            {"rule": "regex", "col": "source", "pattern": "^src[0-9]$"},
+            {
+                "rule": "expr",
+                "id": "consistent:n_chars",
+                "expr": "n_chars = length(text)",
+            },
+        ],
+    )

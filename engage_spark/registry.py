@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s9_upsert_merge_roundtrip",     # NEW r9: MERGE INTO on parquet
     "s10_zorder_layout",             # NEW r9: Morton layout, minmax scale
     "s10b_zorder_rank_layout",       # NEW r9: Morton layout, rank scale
+    "x_expectations_check",          # NEW r9: declarative quality gate
     "m1d_glm_irls_step",             # NEW r9: one IRLS step, Cramer oracle
     # (b) newest driver row is r4 — the overdue deferral block
     "ext_approx_sketches",
@@ -119,13 +120,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "k_w9_interpolate",
     "o2_sorted_distinct",
     "o3_first_row_after_sort",
-    "p2_projection_exclude",
-    "p3_p4_rename_literal",
-    "p5_arith_derived",
-    "p10_cast",
-    # p11_null_fill, p12_drop_allnull_columns and
+    # p2_projection_exclude, p3_p4_rename_literal, p5_arith_derived,
+    # p10_cast, p11_null_fill, p12_drop_allnull_columns and
     # p13_first_value_per_group roll to round 10 with the p7+ block
-    # (slots ceded to the new x3f, s8 and m1d)
+    # (slots ceded to the new x3f, s8, m1d, s9, s10, s10b and
+    # x_expectations_check — this tuple is exactly the 50-query
+    # window the driver checks)
 )
 
 

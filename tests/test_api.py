@@ -890,3 +890,72 @@ def test_zorder_rank_scaling_is_tiesmin_rank(spark):
     got = sorted((r["x"], r["__z"]) for r in out.collect())
     # n=4, denom=3; rank-1 = [0,0,2,3]; scaled = ((r-1)*3) div 3
     assert got == [(10, 0), (10, 0), (20, 2), (30, 3)]
+
+
+def test_validate_expectations_semantics(spark):
+    from engage_spark import api
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5),
+            (2, None, 50),
+            (2, "b", -1),
+            (3, "zz", None),
+        ],
+        "k long, s string, v long",
+    )
+    out = api.validate_expectations(
+        df,
+        [
+            {"rule": "not_null", "col": "s"},
+            {"rule": "unique", "col": "k"},
+            {"rule": "in_range", "col": "v", "lo": 0, "hi": 10},
+            {"rule": "in_set", "col": "s", "values": ["a", "b"]},
+            {"rule": "regex", "col": "s", "pattern": "^[a-z]$"},
+            {"rule": "expr", "id": "pos", "expr": "v >= 0"},
+        ],
+    ).toPandas().set_index("rule_id")
+    assert out.loc["not_null:s", "n_violations"] == 1
+    assert out.loc["unique:k", "n_violations"] == 1      # k=2 twice
+    # v=50 and v=-1 out of range; NULL v not a violation
+    assert out.loc["in_range:v", "n_violations"] == 2
+    assert out.loc["in_set:s", "n_violations"] == 1      # 'zz'
+    assert out.loc["regex:s", "n_violations"] == 1       # 'zz'
+    # expr NULL (v is NULL) passes; v=-1 fails
+    assert out.loc["pos", "n_violations"] == 1
+    assert bool(out.loc["unique:k", "passed"]) is False
+    assert (out["n_violations"] == 0).equals(out["passed"])
+
+
+def test_validate_expectations_single_scan_plan(spark, sf_dir):
+    """All row-predicate rules must fold into ONE aggregation over one
+    scan — no join, no union of per-rule subqueries."""
+    from engage_spark import api
+    from engage_spark.io import table
+
+    d = table(spark, sf_dir, "documents")
+    out = api.validate_expectations(
+        d,
+        [
+            {"rule": "not_null", "col": "text"},
+            {"rule": "in_range", "col": "n_chars", "lo": 1, "hi": 400},
+            {"rule": "regex", "col": "source", "pattern": "^src[0-9]$"},
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Union" not in plan
+
+
+def test_validate_expectations_rejects_bad_rules(spark):
+    import pytest as _pytest
+
+    from engage_spark import api
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="unknown expectation"):
+        api.validate_expectations(df, [{"rule": "nope", "col": "id"}])
+    with _pytest.raises(ValueError, match="lo and/or hi"):
+        api.validate_expectations(df, [{"rule": "in_range", "col": "id"}])
+    with _pytest.raises(ValueError, match="at least one rule"):
+        api.validate_expectations(df, [])
