@@ -796,3 +796,101 @@ def ext_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("revenue").isNotNull())
     )
+
+
+@query(
+    "ext_kmv_distinct_md5",
+    # same estimator in SQL: md5-60bit uniform hashes, k smallest per
+    # group, (k-1)/u_(k). 63.0 * 2^60 is exactly double-representable
+    # (6 mantissa bits), so both engines run identical IEEE ops; the
+    # +1e-9 nudge is the repo's round-tie convention.
+    oracle="""
+    WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM dv
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    g AS (
+      SELECT event_type, count(*)::BIGINT AS kept,
+             max(CASE WHEN rn = 64 THEN hv END) AS kth
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ),
+    x AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT g.event_type, g.kept,
+           CASE WHEN g.kept < 64 THEN g.kept
+                ELSE CAST(round(63.0 * 1152921504606846976 / g.kth + 1e-9)
+                          AS BIGINT) END AS est_distinct,
+           x.exact_distinct,
+           round(abs(CASE WHEN g.kept < 64 THEN g.kept
+                          ELSE CAST(round(63.0 * 1152921504606846976 / g.kth
+                                          + 1e-9) AS BIGINT) END
+                     - x.exact_distinct) * 1.0 / x.exact_distinct
+                 + 1e-9, 4) AS rel_err
+    FROM g JOIN x ON g.event_type = x.event_type
+    """,
+    covers=["A5", "A9"],
+)
+def ext_kmv_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, md5-deterministic —
+    the hash-verified twin of ext_approx_sketches' HLL++ (whose
+    register internals differ from DuckDB's, so that query is
+    rows-only; THIS one pins the sketch-estimator math end to end,
+    including each group's realized error vs the exact count).
+
+    Estimator: hash distinct values to uniform (0, 2^60) via the repo's
+    md5-60bit convention, keep each group's k=64 smallest, estimate
+    (k-1) / u_(k) (Bar-Yossef et al.'s KMV; groups with fewer than k
+    distinct values are exact by construction). The per-group k-smallest
+    is the w5 window idiom here; at 100 TB cardinalities, pre-reduce
+    with a deterministic salt (groupBy(group, hv % s) keeping k per
+    salt, then re-merge) so the sketch state partial-aggregates
+    map-side — or use approx_count_distinct, which IS that shape with
+    HLL registers."""
+    k = 64
+    ev = table(spark, sf_dir, "events")
+    dv = ev.select("event_type", "user_id").distinct()
+    hv = dv.withColumn(
+        "hv",
+        F.expr(
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10)"
+            " as bigint)"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    r = hv.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("kept"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("kth"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    est = F.when(F.col("kept") < k, F.col("kept")).otherwise(
+        F.round(
+            (k - 1) * F.lit(float(1 << 60)) / F.col("kth") + 1e-9
+        ).cast("long")
+    )
+    return (
+        g.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "kept",
+            est.alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                + 1e-9,
+                4,
+            ).alias("rel_err"),
+        )
+    )

@@ -119,13 +119,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j8_anti_join_dropgroups",
     "k_w9_interpolate",
     "o2_sorted_distinct",
-    "o3_first_row_after_sort",
-    # p2_projection_exclude, p3_p4_rename_literal, p5_arith_derived,
-    # p10_cast, p11_null_fill, p12_drop_allnull_columns and
-    # p13_first_value_per_group roll to round 10 with the p7+ block
-    # (slots ceded to the new x3f, s8, m1d, s9, s10, s10b and
-    # x_expectations_check — this tuple is exactly the 50-query
-    # window the driver checks)
+    "ext_kmv_distinct_md5",          # NEW r9: hash-gated sketch twin
+    # o3_first_row_after_sort, p2_projection_exclude,
+    # p3_p4_rename_literal, p5_arith_derived, p10_cast, p11_null_fill,
+    # p12_drop_allnull_columns and p13_first_value_per_group roll to
+    # round 10 with the p7+ block (slots ceded to the new x3f, s8,
+    # m1d, s9, s10, s10b, x_expectations_check and ext_kmv — this
+    # tuple is exactly the 50-query window the driver checks)
 )
 
 
