@@ -439,6 +439,37 @@ def zorder_write(
     return stats
 
 
+def optimize_dataset(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cols: Sequence[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 16,
+    scale: str = "minmax",
+) -> int:
+    """OPTIMIZE-shaped maintenance pass: right-size files AND Z-cluster
+    them in one rewrite (compact_dataset's byte-based sizing +
+    zorder_write's Morton layout). The periodic job a long-running
+    ingest schedules: micro-batch debris becomes
+    ceil(total_bytes / target) files, each covering a small rectangle
+    in the clustered columns' space, so footer stats prune on every
+    dimension. One shuffle total (the Z range partitioning doubles as
+    the compaction re-bucketing). Returns the file count targeted."""
+    import math
+
+    df = spark.read.parquet(src)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n = max(1, math.ceil(total / target_file_bytes))
+    zorder_write(spark, df, dst, cols, bits=bits, num_files=n, scale=scale)
+    return n
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for any Hadoop-FS URI — the same API the
     compaction passes use, so every maintenance op works on object

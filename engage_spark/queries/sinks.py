@@ -423,3 +423,58 @@ def s10b_zorder_rank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("__z").cast("long").alias("z_hi"),
         F.sum("event_id").cast("long").alias("id_sum"),
     )
+
+
+@query(
+    "s11_schema_evolution_roundtrip",
+    # the oracle replays the two-generation union with the old batch's
+    # missing column as NULL — exactly what mergeSchema must produce
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, lang, n_chars, NULL::DOUBLE AS quality
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars, (doc_id % 100)::DOUBLE / 100 AS quality
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
+           count(quality)::BIGINT AS n_scored,
+           round(avg(quality) + 1e-9, 4) AS avg_quality
+    FROM v GROUP BY lang
+    """,
+    covers=["S4", "S5"],
+)
+def s11_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a long-lived corpus: an early batch written
+    WITHOUT a column (pre-quality-scoring era), a later batch appended
+    WITH it, read back as one dataset via mergeSchema — old rows
+    surface NULL for the new column, new rows carry their scores. The
+    drift path every multi-year ingest hits; the per-file schema stays
+    what its writer knew, so old files never get rewritten. (Scale
+    note: mergeSchema footer-merging costs a pass over file footers at
+    planning time — production pins the merged schema explicitly via
+    .schema(...) once it stabilizes; semantics are identical, which is
+    what this hash pins.) Oracle replays the two-generation union in
+    SQL."""
+    d = table(spark, sf_dir, "documents")
+    out = _scratch("docs_evolving")
+    shutil.rmtree(out, ignore_errors=True)  # idempotent across reruns
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    v2 = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            ((F.col("doc_id") % 100).cast("double") / 100).alias("quality"),
+        )
+    )
+    v1.write.parquet(out)
+    v2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.count("quality").cast("long").alias("n_scored"),
+        F.round(F.avg("quality") + 1e-9, 4).alias("avg_quality"),
+    )

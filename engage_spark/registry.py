@@ -118,9 +118,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j7_semi_join_membership",
     "j8_anti_join_dropgroups",
     "k_w9_interpolate",
-    "o2_sorted_distinct",
     "ext_kmv_distinct_md5",          # NEW r9: hash-gated sketch twin
-    # o3_first_row_after_sort, p2_projection_exclude,
+    "s11_schema_evolution_roundtrip",  # NEW r9: mergeSchema drift path
+    # o2_sorted_distinct, o3_first_row_after_sort, p2_projection_exclude,
     # p3_p4_rename_literal, p5_arith_derived, p10_cast, p11_null_fill,
     # p12_drop_allnull_columns and p13_first_value_per_group roll to
     # round 10 with the p7+ block (slots ceded to the new x3f, s8,

@@ -959,3 +959,40 @@ def test_validate_expectations_rejects_bad_rules(spark):
         api.validate_expectations(df, [{"rule": "in_range", "col": "id"}])
     with _pytest.raises(ValueError, match="at least one rule"):
         api.validate_expectations(df, [])
+
+
+def test_optimize_dataset_sizes_and_clusters(spark, tmp_path):
+    """One rewrite must both right-size the fragment debris toward the
+    byte target AND leave each output file a clustered Z-range."""
+    import glob
+    import os
+
+    from engage_spark.io import optimize_dataset, zorder_values
+
+    src, dst = str(tmp_path / "debris"), str(tmp_path / "opt")
+    df = spark.range(30_000).selectExpr(
+        "id",
+        "cast(pmod(hash(id), 512) as long) as a",
+        "cast(pmod(hash(id * 11 + 5), 512) as long) as b",
+    )
+    df.repartition(40).write.parquet(src)  # 40 undersized files
+    total = sum(os.path.getsize(p) for p in glob.glob(f"{src}/*.parquet"))
+    n = optimize_dataset(
+        spark, src, dst, ["a", "b"], target_file_bytes=total // 8, bits=9
+    )
+    out_files = glob.glob(f"{dst}/*.parquet")
+    assert n == 8
+    assert len(out_files) <= 8
+    back = spark.read.parquet(dst)
+    assert back.count() == 30_000
+    zb, _ = zorder_values(
+        back.withColumn("__file", F.input_file_name()), ["a", "b"], bits=9
+    )
+    ranges = sorted(
+        (r["lo"], r["hi"])
+        for r in zb.groupBy("__file")
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"))
+        .collect()
+    )
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "optimized files' Z-ranges overlap"
