@@ -82,6 +82,11 @@ OPTIONAL = [
     "x3e2_pq_adc_search",
     "x3f_ivfpq_residual_search",
     "x_pack_boundaries",
+    # round 9 additions (storage maintenance + quality gate; the two
+    # sink roundtrips time a full write+read cycle, not just a scan)
+    "s9_upsert_merge_roundtrip",
+    "s10b_zorder_rank_layout",
+    "x_expectations_check",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline
