@@ -506,6 +506,7 @@ def upsert_dataset(
     delete_col: str | None = None,
     assume_partition_stable: bool = False,
     check_unique_keys: bool = True,
+    max_touched_partitions: int = 4096,
 ) -> dict:
     """MERGE INTO semantics on a plain parquet dataset (no table-format
     dependency): target rows whose key matches any `updates` key are
@@ -532,7 +533,12 @@ def upsert_dataset(
     - Touched-partition tuples are collected (bounded: the partitions
       one CDC batch touches, not the dataset's partition count) to
       build a static pruning filter — the survivors scan reads only
-      those directories.
+      those directories (the eqNullSafe OR lands entirely in the
+      scan's PartitionFilters; plan-pinned by tests/test_plans.py).
+      A batch touching more than `max_touched_partitions` is a
+      near-full rewrite anyway, so it falls back to merging the whole
+      dataset in one static overwrite instead of collecting an
+      unbounded tuple list.
     - A partition emptied by deletes is removed outright (dynamic
       overwrite cannot express "now empty"); directory names follow
       Hive escaping including __HIVE_DEFAULT_PARTITION__.
@@ -615,9 +621,34 @@ def upsert_dataset(
             .select(*partition_by)
         )
         touched_df = upd_parts.unionByName(matched).dropDuplicates()
-    touched = touched_df.collect()  # bounded: one batch's partitions
+    # bounded: one batch's partitions — but capped defensively; a batch
+    # touching more partitions than the cap is a near-full rewrite, so
+    # fall back to the whole-dataset merge instead of collecting an
+    # unbounded tuple list / building a degenerate pruning expression
+    touched = touched_df.limit(max_touched_partitions + 1).collect()
     stats["touched_partitions"] = len(touched)
     if not touched:
+        return stats
+    if len(touched) > max_touched_partitions:
+        stats["touched_partitions"] = None  # unknown: full-rewrite path
+        survivors = tgt.join(F.broadcast(ukeys), key_cond(tgt), "left_anti")
+        merged = survivors.unionByName(inserts.select(*survivors.columns))
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(
+            staging
+        )
+        sfs, sp = _hadoop_fs(spark, staging)
+        try:
+            back = spark.read.parquet(staging)
+            merged_types = {f.name: f.dataType for f in merged.schema.fields}
+            for c in partition_by:
+                back = back.withColumn(c, F.col(c).cast(merged_types[c]))
+            # full static overwrite: replaces every partition, so
+            # emptied partitions disappear without bookkeeping
+            back.write.mode("overwrite").partitionBy(*partition_by).parquet(
+                target
+            )
+        finally:
+            sfs.delete(sp, True)
         return stats
 
     def part_filter(df):

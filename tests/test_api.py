@@ -996,3 +996,110 @@ def test_optimize_dataset_sizes_and_clusters(spark, tmp_path):
     )
     for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "optimized files' Z-ranges overlap"
+
+
+def test_upsert_dataset_full_rewrite_fallback(spark, tmp_path):
+    """A batch touching more partitions than max_touched_partitions
+    must fall back to the whole-dataset merge and still produce exact
+    MERGE semantics (emptied partitions vanish with no bookkeeping)."""
+    from engage_spark.io import upsert_dataset
+
+    tgt = str(tmp_path / "fb")
+    base = spark.createDataFrame(
+        [(i, str(i % 4), i) for i in range(40)], "k long, part string, v long"
+    )
+    base.write.partitionBy("part").parquet(tgt)
+    updates = spark.createDataFrame(
+        # touches parts 0,1,2 (> cap of 1); deletes ALL of part 3
+        [(0, "0", 100, False), (1, "1", 101, False), (2, "2", 102, False)]
+        + [(i, str(i % 4), 0, True) for i in range(40) if i % 4 == 3],
+        "k long, part string, v long, is_delete boolean",
+    )
+    stats = upsert_dataset(
+        spark, tgt, updates, ["k"], partition_by=["part"],
+        delete_col="is_delete", max_touched_partitions=1,
+    )
+    assert stats["touched_partitions"] is None  # fallback path taken
+    back = spark.read.parquet(tgt).toPandas()
+    # (partition-dir type inference may read "0" back as int 0)
+    assert set(back["part"].astype(str)) == {"0", "1", "2"}  # part=3 gone
+    got = dict(zip(back["k"], back["v"]))
+    assert got[0] == 100 and got[1] == 101 and got[2] == 102
+    assert len(back) == 30
+
+
+def test_upsert_dataset_property_vs_pandas_model(spark, tmp_path):
+    """Randomized merge batches against a pandas MERGE model — the
+    semantics contract under arbitrary overlap of updates, inserts,
+    deletes, and partition moves."""
+    import numpy as np
+    import pandas as pd
+
+    from engage_spark.io import upsert_dataset
+
+    rng = np.random.RandomState(42)
+    for trial in range(3):
+        tgt = str(tmp_path / f"prop{trial}")
+        n = 120
+        base = pd.DataFrame(
+            {
+                "k": np.arange(n),
+                "part": (rng.randint(0, 5, n)).astype(str),
+                "v": rng.randint(0, 1000, n),
+            }
+        )
+        spark.createDataFrame(base).write.partitionBy("part").parquet(tgt)
+        # batch: 20 random keys (some existing, some new), unique
+        keys = rng.choice(np.arange(n + 40), size=20, replace=False)
+        upd = pd.DataFrame(
+            {
+                "k": keys,
+                "part": (rng.randint(0, 6, 20)).astype(str),  # may move
+                "v": rng.randint(1000, 2000, 20),
+                "is_delete": rng.rand(20) < 0.3,
+            }
+        )
+        upsert_dataset(
+            spark,
+            tgt,
+            spark.createDataFrame(upd),
+            ["k"],
+            partition_by=["part"],
+            delete_col="is_delete",
+        )
+        got = (
+            spark.read.parquet(tgt)
+            .toPandas()
+            .astype({"k": "int64", "v": "int64", "part": str})
+            .sort_values("k")
+            .reset_index(drop=True)[["k", "part", "v"]]
+        )
+        # pandas model: drop matched keys, append non-delete batch rows
+        model = base[~base["k"].isin(upd["k"])]
+        model = pd.concat(
+            [model, upd.loc[~upd["is_delete"], ["k", "part", "v"]]]
+        )
+        model = (
+            model.astype({"k": "int64", "v": "int64"})
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, model, check_like=True)
+
+
+def test_zorder_three_columns(spark):
+    """The interleave generalizes beyond 2 columns: 3-column toy grid
+    matches the manual Morton code."""
+    from engage_spark.io import zorder_values
+
+    rows = [(x, y, z) for x in range(4) for y in range(4) for z in range(4)]
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    out, _ = zorder_values(df, ["x", "y", "z"], bits=2)
+    got = {(r["x"], r["y"], r["z"]): r["__z"] for r in out.collect()}
+    for x, y, z in rows:
+        expect = 0
+        for b in range(2):
+            expect |= ((x >> b) & 1) << (3 * b + 0)
+            expect |= ((y >> b) & 1) << (3 * b + 1)
+            expect |= ((z >> b) & 1) << (3 * b + 2)
+        assert got[(x, y, z)] == expect, (x, y, z)

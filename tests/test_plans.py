@@ -341,3 +341,55 @@ def test_index_queries_join_buckets_never_cartesian(spark, tmp_path):
     eplan = eq._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in eplan
     assert "BroadcastNestedLoopJoin" not in eplan
+
+
+def test_upsert_survivor_scan_prunes_to_touched_partitions(spark, tmp_path):
+    """The merge's survivors scan must read ONLY the partitions the
+    batch touches: the null-safe tuple filter lands in the parquet
+    scan's PartitionFilters, so at 100 TB the batch cost is
+    O(touched partitions), not a full-corpus read."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    tgt = str(tmp_path / "pruned")
+    df = spark.range(2000).selectExpr(
+        "id", "cast(id % 20 as string) as part"
+    )
+    df.write.partitionBy("part").parquet(tgt)
+    t = spark.read.parquet(tgt)
+    touched = [{"part": "3"}, {"part": "7"}]
+    cond = functools.reduce(
+        operator.or_,
+        [t["part"].eqNullSafe(F.lit(r["part"])) for r in touched],
+    )
+    plan = t.filter(cond)._jdf.queryExecution().executedPlan().toString()
+    # the null-safe equality is a partition filter, not a post-scan one
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "<=>" in pf.group(1)
+    assert "DataFilters: []" in plan
+
+
+def test_upsert_key_antijoin_broadcasts(spark, tmp_path):
+    """The survivors anti-join must broadcast the (small) update-key
+    side — never shuffle the corpus slice on the key."""
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import upsert_dataset  # noqa: F401  (shape twin)
+
+    tgt = str(tmp_path / "bc")
+    spark.range(5000).selectExpr(
+        "id", "cast(id % 4 as string) as part"
+    ).write.partitionBy("part").parquet(tgt)
+    t = spark.read.parquet(tgt)
+    ukeys = spark.range(10).withColumnRenamed("id", "__u_id")
+    sliced = t.filter(t["part"].eqNullSafe(F.lit("1")))
+    surv = sliced.join(
+        F.broadcast(ukeys), sliced["id"].eqNullSafe(ukeys["__u_id"]), "left_anti"
+    )
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
