@@ -2178,7 +2178,11 @@ def validate_expectations(df: DataFrame, rules) -> DataFrame:
         else:
             raise ValueError(f"unknown expectation rule kind: {kind}")
         aggs.append(
-            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+            # coalesce: F.sum over zero rows is NULL — an empty batch
+            # must report 0 violations / passed=true, not NULL/NULL
+            F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__v{i}")
         )
         ids.append((i, rid))
     if not aggs:

@@ -324,20 +324,26 @@ def zorder_values(
       of the curve's resolution lands in empty value space, so per-file
       rectangles get wide in the dense region — prefer ``rank`` there.
     - ``rank``: equal-MASS scaling, ``(rank(x) - 1) * (2^bits - 1) div
-      (n - 1)`` with ties=min — exactly SQL ``rank() OVER (ORDER BY
-      x)``, so still oracle-able. Computed distributively as a
-      distinct-value CDF: groupBy(col) counts, a cumulative sum over
-      the DISTINCT frame (window bounded by column cardinality, not row
-      count), joined back. Each file then covers an equal-probability
-      rectangle regardless of skew — measured at sf0.1 this is the
-      difference between pruning 28% and 75% of files on a quantile
-      strip (scripts/measure_zorder_pruning.py). At extreme distinct
-      cardinality swap the CDF window for sampled range boundaries
-      (the Delta OPTIMIZE ZORDER approach) at the cost of oracle
-      exactness.
+      (n - 1)`` with ties=min — exactly SQL ``rank() OVER (ORDER BY x
+      NULLS FIRST)``, so still oracle-able. Computed as a FULLY
+      DISTRIBUTED distinct-value CDF with no single-task stage:
+      groupBy(col) counts (map-side combine), ``repartitionByRange``
+      over the distinct values (ascending ranges land on ascending
+      partition ids), a per-partition cumulative sum (each window task
+      holds cardinality/P values, never the whole column), then a
+      bounded P-row collect of per-partition totals whose prefix sums
+      are broadcast back as offsets. Exact SQL ``rank()-1`` at any
+      cardinality — including distinct≈rows columns like timestamps or
+      doc ids, where the old single ``Window.orderBy`` formulation was
+      a one-task global sort (SCALE.md records the measured blow-up).
+      The join back to the data is null-safe, so NULL rows keep their
+      rank-0 slot instead of being dropped; when the distinct frame is
+      small it is broadcast, so the 100 TB side never shuffles for it.
 
     Quantize float columns to integers first (e.g. cents); non-integral
-    columns raise. Returns (df + __z, {col: (lo, hi)}).
+    columns raise. Wide-range columns whose scaled product would
+    overflow a long (span > 2^63/2^bits) raise instead of silently
+    corrupting the curve. Returns (df + __z, {col: (lo, hi)}).
     """
     from pyspark.sql import Window
 
@@ -358,37 +364,94 @@ def zorder_values(
     out = df
     scaled, tmp = [], []
     stats = {}
-    if scale == "rank":
-        n_rows = df.count()
-        denom = max(1, n_rows - 1)
+    max_scaled_input = (2**63 - 1) // ((1 << bits) - 1)
+    denom = None  # rank mode: derived from the first column's CDF totals
+    spark = df.sparkSession
     for i, c in enumerate(cols):
-        lo, hi = int(row[f"__lo_{c}"]), int(row[f"__hi_{c}"])
+        lo = row[f"__lo_{c}"]
+        hi = row[f"__hi_{c}"]
+        lo, hi = (0, 0) if lo is None else (int(lo), int(hi))  # all-NULL col
         stats[c] = (lo, hi)
         if scale == "minmax":
             span = max(1, hi - lo)
+            if span > max_scaled_input:
+                raise ValueError(
+                    f"zorder column {c} spans {span} (> 2^63/2^{bits}); "
+                    f"(x-lo)*(2^{bits}-1) would overflow long and corrupt "
+                    "the curve — reduce bits, coarsen the quantization, or "
+                    "use scale='rank'"
+                )
             out = out.withColumn(
                 f"__zn{i}",
                 ((F.col(c) - F.lit(lo)) * F.lit((1 << bits) - 1)).cast("long"),
             ).withColumn(f"__zs{i}", F.expr(f"__zn{i} div {span}"))
         else:
+            # Distributed exact CDF. RangePartitioner assigns ascending
+            # value ranges to ascending partition ids, so a partition's
+            # global prefix = sum of totals of lower-id partitions.
+            # localCheckpoint pins the (sampled) range boundaries and
+            # partition ids so the totals collect and the window read
+            # the SAME assignment.
+            n_parts = max(2, spark.sparkContext.defaultParallelism)
             dv = (
                 df.groupBy(F.col(c).alias("__v"))
                 .agg(F.count(F.lit(1)).alias("__cnt"))
-                .withColumn(
-                    "__before",
-                    F.coalesce(
-                        F.sum("__cnt").over(
-                            Window.orderBy("__v").rowsBetween(
-                                Window.unboundedPreceding, -1
-                            )
-                        ),
-                        F.lit(0),
-                    ).cast("long"),
-                )
-                .select("__v", "__before")
+                .repartitionByRange(n_parts, F.col("__v").asc_nulls_first())
+                .withColumn("__pid", F.spark_partition_id())
+                .localCheckpoint()
             )
+            # bounded: one row per range partition (≤ n_parts)
+            totals = sorted(
+                (r["__pid"], int(r["__t"]), int(r["__nv"]))
+                for r in dv.groupBy("__pid")
+                .agg(
+                    F.sum("__cnt").alias("__t"),
+                    F.count(F.lit(1)).alias("__nv"),
+                )
+                .collect()
+            )
+            acc, offs, n_distinct = 0, [], 0
+            for pid, t, nv in totals:
+                offs.append((pid, acc))
+                acc += t
+                n_distinct += nv
+            if denom is None:
+                # every column's counts sum to the row count — reuse the
+                # first CDF's totals instead of a separate df.count() pass
+                if acc - 1 > max_scaled_input:
+                    raise ValueError(
+                        f"zorder rank scaling over {acc} rows would "
+                        f"overflow long at bits={bits}; reduce bits"
+                    )
+                denom = max(1, acc - 1)
+            off_df = F.broadcast(
+                spark.createDataFrame(
+                    offs or [(0, 0)], schema="__pid int, __off long"
+                )
+            )
+            w = (
+                Window.partitionBy("__pid")
+                .orderBy(F.col("__v").asc_nulls_first())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            cdf = (
+                dv.withColumn(
+                    "__local",
+                    F.coalesce(F.sum("__cnt").over(w), F.lit(0)).cast("long"),
+                )
+                .join(off_df, "__pid")
+                .select(
+                    "__v", (F.col("__local") + F.col("__off")).alias("__before")
+                )
+            )
+            if n_distinct <= 500_000:
+                # the CDF fits an executor: broadcast it so the big side
+                # never shuffles for this join
+                cdf = F.broadcast(cdf)
+            # eqNullSafe: the NULL group carries rank 0 (NULLS FIRST);
+            # a plain equi-join would silently drop every NULL row
             out = (
-                out.join(dv, out[c] == dv["__v"])
+                out.join(cdf, out[c].eqNullSafe(cdf["__v"]))
                 .drop("__v")
                 .withColumn(
                     f"__zn{i}",
@@ -604,10 +667,17 @@ def upsert_dataset(
         merged = survivors.unionByName(inserts.select(*survivors.columns))
         merged.write.mode("overwrite").parquet(staging)
         sfs, sp = _hadoop_fs(spark, staging)
+        # the overwrite deletes target first — staging is the ONLY full
+        # copy while it runs, so only drop it after the write succeeds;
+        # on failure leave it and name it in the error for recovery
         try:
             spark.read.parquet(staging).write.mode("overwrite").parquet(target)
-        finally:
-            sfs.delete(sp, True)
+        except BaseException as e:
+            raise RuntimeError(
+                f"upsert overwrite of {target} failed mid-write; the "
+                f"merged recovery copy is preserved at {staging}"
+            ) from e
+        sfs.delete(sp, True)
         return stats
 
     upd_parts = inserts.select(*partition_by)
@@ -647,8 +717,14 @@ def upsert_dataset(
             back.write.mode("overwrite").partitionBy(*partition_by).parquet(
                 target
             )
-        finally:
-            sfs.delete(sp, True)
+        except BaseException as e:
+            # see the unpartitioned path: keep the staging copy when
+            # the destructive overwrite fails partway
+            raise RuntimeError(
+                f"upsert overwrite of {target} failed mid-write; the "
+                f"merged recovery copy is preserved at {staging}"
+            ) from e
+        sfs.delete(sp, True)
         return stats
 
     def part_filter(df):
@@ -696,8 +772,14 @@ def upsert_dataset(
             efs, ep = _hadoop_fs(spark, f"{target}/{sub}")
             efs.delete(ep, True)
         stats["emptied_partitions"] = len(emptied)
-    finally:
-        sfs.delete(sp, True)
+    except BaseException as e:
+        # dynamic overwrite deletes each touched partition before
+        # rewriting it — keep the staging slice for recovery
+        raise RuntimeError(
+            f"upsert dynamic overwrite of {target} failed mid-write; the "
+            f"merged partition slice is preserved at {staging}"
+        ) from e
+    sfs.delete(sp, True)
     return stats
 
 

@@ -377,9 +377,9 @@ WITH src AS (
 ),
 sc AS (
   SELECT event_id,
-         ((rank() OVER (ORDER BY user_id) - 1) * 65535)
+         ((rank() OVER (ORDER BY user_id NULLS FIRST) - 1) * 65535)
            // greatest(1, (SELECT count(*) FROM src) - 1) AS sx,
-         ((rank() OVER (ORDER BY v_cents) - 1) * 65535)
+         ((rank() OVER (ORDER BY v_cents NULLS FIRST) - 1) * 65535)
            // greatest(1, (SELECT count(*) FROM src) - 1) AS sy
   FROM src
 ),

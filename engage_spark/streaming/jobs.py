@@ -477,7 +477,16 @@ def incremental_ingest_stream(
         return df.filter(own_batch.isNull() | (own_batch < batch_id)).select(*cols)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        from engage_spark.io import _hadoop_fs
+
+        # probe existence EXPLICITLY instead of catching Exception
+        # around the read: "no store yet" is the only condition that
+        # may silently disable dedup — a real failure (schema drift,
+        # transient FS error) must propagate, not admit duplicates
+        sfs, sp = _hadoop_fs(spark, store_dir)
+        if not sfs.exists(sp):
+            store = spark.createDataFrame([], store_schema)
+        else:
             # the user schema omits the `run` partition column, so the
             # reader appends it from the directory layout — needed to
             # exclude this batch's own partition on replay (see above)
@@ -507,8 +516,6 @@ def incremental_ingest_stream(
                     "run=<tag>_batch=<id> hive partitions to re-enable.",
                     store_dir,
                 )
-        except Exception:  # first batch: no store yet
-            store = spark.createDataFrame([], store_schema)
         f = batch_df.withColumn("fingerprint", normalized_fingerprint(text_col))
         w = Window.partitionBy("fingerprint").orderBy(id_col)
         accepted = (
@@ -520,7 +527,22 @@ def incremental_ingest_stream(
         if near_dup_index is not None:
             from engage_spark.api import _minhash_query_frames
 
-            try:
+            # same discipline as the fingerprint store: probe existence
+            # explicitly. A bare except here would silently turn off
+            # near-dup admission on ANY error (partial index, schema
+            # drift, transient FS failure) and admit duplicates.
+            bfs, bp = _hadoop_fs(spark, f"{near_dup_index}/bands")
+            hfs, hp = _hadoop_fs(spark, f"{near_dup_index}/hashes")
+            b_exists, h_exists = bfs.exists(bp), hfs.exists(hp)
+            if b_exists != h_exists:
+                raise RuntimeError(
+                    f"near-dup index at {near_dup_index} is partial "
+                    f"(bands={'present' if b_exists else 'missing'}, "
+                    f"hashes={'present' if h_exists else 'missing'}); "
+                    "repair or remove it before ingesting — proceeding "
+                    "would admit near-duplicates"
+                )
+            if b_exists:
                 sb = _replay_filtered(
                     spark.read.schema(bands_schema).parquet(
                         f"{near_dup_index}/bands"
@@ -544,8 +566,6 @@ def incremental_ingest_stream(
                     .distinct()
                 )
                 accepted = accepted.join(dup_ids, on=id_col, how="left_anti")
-            except Exception:  # no index yet: nothing to near-dup against
-                pass
         part = f"run={run_tag}_batch={batch_id}"
         accepted.write.mode("overwrite").parquet(f"{corpus_dir}/{part}")
         accepted.select("fingerprint").distinct().write.mode("overwrite").parquet(

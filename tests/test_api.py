@@ -792,6 +792,42 @@ def test_upsert_dataset_rejects_duplicate_update_keys(spark, tmp_path):
         upsert_dataset(spark, tgt, dup, ["k"])
 
 
+def test_upsert_preserves_staging_on_target_write_failure(
+    spark, tmp_path, monkeypatch
+):
+    """r9 ADVICE medium: the destructive target overwrite deletes the
+    target first — if it fails partway, the staging merge must SURVIVE
+    (and the error must name it) instead of being deleted in a finally,
+    or the dataset is unrecoverable."""
+    import pytest as _pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from engage_spark.io import upsert_dataset
+
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(tgt)
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+
+    orig = DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw):
+        if path == tgt:
+            raise RuntimeError("injected target write failure")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with _pytest.raises(RuntimeError, match="preserved at"):
+        upsert_dataset(spark, tgt, updates, ["k"])
+    monkeypatch.undo()
+    staging = f"{tgt}__upsert_staging"
+    back = sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(staging).collect()
+    )
+    assert back == [(1, "a"), (2, "B"), (3, "c")]
+
+
 def test_zorder_values_toy_interleave(spark):
     """2-bit toy grid: the Morton code of (x, y) on 0..3 is the known
     interleave (x bits even positions, y bits odd)."""
@@ -890,6 +926,100 @@ def test_zorder_rank_scaling_is_tiesmin_rank(spark):
     got = sorted((r["x"], r["__z"]) for r in out.collect())
     # n=4, denom=3; rank-1 = [0,0,2,3]; scaled = ((r-1)*3) div 3
     assert got == [(10, 0), (10, 0), (20, 2), (30, 3)]
+
+
+def test_zorder_rank_preserves_null_rows(spark):
+    """r9 ADVICE high: the rank CDF join must be null-safe — a frame
+    with a NULL in a z-order column keeps ALL its rows (NULL group
+    ranks first), instead of zorder_write silently dropping them."""
+    from engage_spark.io import zorder_values
+
+    df = spark.createDataFrame([(None,), (10,), (20,)], "x int")
+    out, _ = zorder_values(df, ["x"], bits=2, scale="rank")
+    rows = sorted(
+        ((r["x"], r["__z"]) for r in out.collect()),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    # NULLS FIRST: rank-1 = [0,1,2]; denom=2; scaled = (r*3) div 2
+    assert rows == [(None, 0), (10, 1), (20, 3)]
+    # minmax mode keeps them too (NULL scales to NULL __z)
+    out_mm, _ = zorder_values(df, ["x"], bits=2, scale="minmax")
+    assert out_mm.count() == 3
+
+
+def test_zorder_rank_matches_sql_rank_at_scale(spark):
+    """The distributed CDF (range partitions + broadcast prefix
+    offsets) must equal the single-expression SQL rank on a frame
+    large enough to span many range partitions, ties included."""
+    from pyspark.sql import Window, functions as F
+
+    from engage_spark.io import zorder_values
+
+    df = spark.range(0, 5000).select(
+        ((F.col("id") * 2654435761) % 997).cast("int").alias("x")
+    )
+    out, _ = zorder_values(df, ["x"], bits=8, scale="rank")
+    expect = df.withColumn(
+        "__e",
+        (
+            (F.rank().over(Window.orderBy(F.col("x").asc_nulls_first())) - 1)
+            * 255
+        ).cast("long"),
+    ).withColumn("__e", F.expr("__e div 4999"))
+    got = sorted((r["x"], r["__z"]) for r in out.collect())
+    want = sorted((r["x"], r["__e"]) for r in expect.collect())
+    assert got == want
+
+
+def test_zorder_rank_plan_has_no_single_partition_window(spark):
+    """r9 VERDICT weak: the rank CDF must never plan an unpartitioned
+    window (one-task global sort). Every Window in the plan is
+    partitioned, so no SinglePartition exchange feeds a sort."""
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import zorder_values
+
+    df = spark.range(0, 2000).select(F.col("id").cast("int").alias("x"))
+    out, _ = zorder_values(df, ["x"], bits=8, scale="rank")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # the per-partition cumulative sum is there
+    assert "SinglePartition" not in plan
+
+
+def test_zorder_minmax_overflow_guard(spark):
+    """r9 ADVICE low: a span wide enough that (x-lo)*(2^bits-1)
+    overflows long must raise, not corrupt the curve."""
+    import pytest as _pytest
+
+    from engage_spark.io import zorder_values
+
+    df = spark.createDataFrame(
+        [(-(2**62),), (2**62,)], "x long"
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        zorder_values(df, ["x"], bits=16, scale="minmax")
+
+
+def test_validate_expectations_empty_input_passes(spark):
+    """r9 ADVICE low: an empty batch must report 0 violations and
+    passed=true for every rule (F.sum over zero rows is NULL without
+    the coalesce) — a gate checking `passed` needs a real boolean."""
+    from engage_spark.api import validate_expectations
+
+    df = spark.createDataFrame([], "x long, s string")
+    res = validate_expectations(
+        df,
+        [
+            {"rule": "not_null", "col": "x"},
+            {"rule": "in_range", "col": "x", "lo": 0, "hi": 10},
+            {"rule": "unique", "col": "s"},
+            {"rule": "expr", "id": "xpos", "expr": "x >= 0"},
+        ],
+    ).collect()
+    assert len(res) == 4
+    for r in res:
+        assert r["n_violations"] == 0, r
+        assert r["passed"] is True, r
 
 
 def test_validate_expectations_semantics(spark):

@@ -593,6 +593,35 @@ def test_ingest_near_dup_admission_across_batches(spark, tmp_path):
     assert idx_ids == [1, 3]
 
 
+def test_ingest_partial_near_dup_index_fails_loudly(spark, tmp_path):
+    """r9 ADVICE medium: a PARTIAL index (bands/ without hashes/) must
+    fail the ingest with a clear error, not silently disable near-dup
+    admission and let duplicates through (the old bare-except did)."""
+    import pytest as _pytest
+
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "some document text here")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    idx = str(tmp_path / "nd_idx")
+    # fabricate the partial state: bands/ exists, hashes/ doesn't
+    spark.createDataFrame(
+        [(99, 0, 123)], "doc_id long, band int, band_key long"
+    ).write.parquet(f"{idx}/bands")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    with _pytest.raises(Exception, match="partial"):
+        incremental_ingest_stream(
+            stream, corpus, store, near_dup_index=idx
+        ).awaitTermination()
+
+
 def test_ingest_near_dup_replay_excludes_own_index_partition(spark, tmp_path):
     """Crash AFTER the near-dup index append but BEFORE the checkpoint
     commit: the replayed batch must not reject its own documents as
