@@ -173,82 +173,304 @@ def m7_train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M1 — GLM Poisson regression (covid_simulator.py:76-94) via MLlib
 
 
-@query("m1_glm_poisson", oracle=None, covers=["M1"])
-def m1_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson GLM on lineitem (quantity ~ discount + tax + returnflag),
-    MLlib GeneralizedLinearRegression — the distributed replacement for
-    statsmodels GLM (covid_simulator.py:76-94: IRLS over the cluster,
-    coefficient table out). Deterministic given fixed data → rows-only
-    check plus pytest assertions on coefficient sanity."""
-    from pyspark.ml.feature import RFormula
-    from pyspark.ml.regression import GeneralizedLinearRegression
+# ---------------------------------------------------------------------------
+# M1 — the full Poisson-GLM IRLS fit, hash-checked end to end (round 10)
+#
+# Strategy: K FIXED IRLS steps, each = one distributed moments
+# aggregation (every moment 6dp-rounded with the +1e-9 nudge so both
+# engines see bit-identical solver inputs) + a deterministic no-pivot
+# Gaussian solve of the normal equations, mirrored op-for-op between
+# Python (_gauss_solve_py, driver side, bounded scalars) and generated
+# SQL CTEs (_gauss_ctes, oracle side). No pivoting is numerically safe
+# here because X'WX is symmetric positive definite (w = mu > 0,
+# full-rank design), so every pivot is a positive Schur complement.
+# Initialization is the standard GLM start mu0 = y + 0.5 (beta=0 puts
+# the first step on the LINEAR scale — measured: the intercept then
+# walks down by exactly 1 per iteration for ~20 steps). A fixed K keeps
+# the whole chain deterministic: both engines compute the SAME sequence
+# whether or not it has fully converged (measured at sf0.01: stable to
+# <3e-5 by step 6 for m1, <1e-5 by step 5 for m1b; pytest pins
+# agreement with MLlib GeneralizedLinearRegression on the same design).
+# Replaces the r1-r9 MLlib-backed rows-only queries — converting the
+# last substantive rows-only entries to full hash (r9 VERDICT item 4);
+# reference: covid_simulator.py:76-119 (statsmodels GLM fit).
 
+
+def _gauss_solve_py(a: list, b: list) -> list:
+    """Solve A x = b by Gaussian elimination WITHOUT pivoting, in a
+    fixed operation order mirrored exactly by _gauss_ctes' SQL: stage k
+    computes f = a[i][k]/a[k][k] and subtracts f*row_k from row_i
+    (j > k only; stale entries are never re-read), then back-substitutes
+    with a left-associated difference chain. Only valid for SPD
+    matrices (all IRLS normal matrices here are)."""
+    n = len(b)
+    a = [row[:] for row in a]
+    b = b[:]
+    for k in range(n):
+        for i in range(k + 1, n):
+            f = a[i][k] / a[k][k]
+            for j in range(k + 1, n):
+                a[i][j] = a[i][j] - f * a[k][j]
+            b[i] = b[i] - f * b[k]
+    x = [0.0] * n
+    for i in range(n - 1, -1, -1):
+        s = b[i]
+        for j in range(i + 1, n):
+            s = s - a[i][j] * x[j]
+        x[i] = s / a[i][i]
+    return x
+
+
+def _gauss_ctes(tag: int, n: int, src: str) -> list:
+    """SQL CTE chain mirroring _gauss_solve_py over the moment columns
+    m_{i}_{j} (upper triangle) / mb_{i} of CTE `src`; the final CTE
+    beta{tag} carries c0..c{n-1} = round(x_i + 1e-9, 6). The repeated
+    (a_i_k / a_k_k) subexpression equals Python's hoisted f bit-for-bit
+    (division is a pure function of identical operands). Chained CTEs —
+    not nested expressions — keep the generated text linear in n^3."""
+    out = []
+    sel = []
+    for i in range(n):
+        for j in range(n):
+            mi, mj = (i, j) if i <= j else (j, i)
+            sel.append(f"m_{mi}_{mj} AS a_{i}_{j}")
+        sel.append(f"mb_{i} AS b_{i}")
+    out.append(f"g{tag}_s AS (SELECT {', '.join(sel)} FROM {src})")
+    prev = f"g{tag}_s"
+    live = {(i, j) for i in range(n) for j in range(n)}
+    for k in range(n - 1):
+        sel = []
+        nlive = set()
+        for i in range(n):
+            for j in range(n):
+                if (i, j) not in live:
+                    continue
+                if i <= k:
+                    if j >= i:  # finished pivot row: kept for back-sub
+                        sel.append(f"a_{i}_{j}")
+                        nlive.add((i, j))
+                elif j > k:
+                    sel.append(
+                        f"(a_{i}_{j} - (a_{i}_{k} / a_{k}_{k}) * a_{k}_{j})"
+                        f" AS a_{i}_{j}"
+                    )
+                    nlive.add((i, j))
+                # else: stale sub-pivot entry, never read again
+        for i in range(n):
+            if i <= k:
+                sel.append(f"b_{i}")
+            else:
+                sel.append(
+                    f"(b_{i} - (a_{i}_{k} / a_{k}_{k}) * b_{k}) AS b_{i}"
+                )
+        out.append(f"g{tag}_e{k} AS (SELECT {', '.join(sel)} FROM {prev})")
+        prev = f"g{tag}_e{k}"
+        live = nlive
+    out.append(
+        f"g{tag}_x{n - 1} AS "
+        f"(SELECT *, b_{n - 1} / a_{n - 1}_{n - 1} AS x_{n - 1} FROM {prev})"
+    )
+    for i in range(n - 2, -1, -1):
+        expr = f"b_{i}"
+        for j in range(i + 1, n):
+            expr = f"({expr} - a_{i}_{j} * x_{j})"
+        out.append(
+            f"g{tag}_x{i} AS "
+            f"(SELECT *, {expr} / a_{i}_{i} AS x_{i} FROM g{tag}_x{i + 1})"
+        )
+    cs = ", ".join(f"round(x_{i} + 1e-9, 6) AS c{i}" for i in range(n))
+    out.append(f"beta{tag} AS (SELECT {cs} FROM g{tag}_x0)")
+    return out
+
+
+def _irls_oracle(design_sql: str, xs: list, y: str, k_steps: int,
+                 names: list) -> str:
+    """Full chained-IRLS oracle: per step a moments CTE (same rounded
+    averages the Spark side collects) then the _gauss_ctes solve; step
+    s>=2 cross-joins the 1-row beta{s-1} CTE so eta references the
+    previous step's rounded coefficients exactly as Spark's literals
+    do."""
+    n = len(xs)
+    ctes = [f"d AS ({design_sql})"]
+
+    def moments(w: str, wz: str) -> str:
+        cols = []
+        for i in range(n):
+            for j in range(i, n):
+                cols.append(
+                    f"round(avg({w} * {xs[i]} * {xs[j]}) + 1e-9, 6)"
+                    f" AS m_{i}_{j}"
+                )
+        for i in range(n):
+            cols.append(f"round(avg({xs[i]} * {wz}) + 1e-9, 6) AS mb_{i}")
+        return ", ".join(cols)
+
+    for s in range(1, k_steps + 1):
+        if s == 1:
+            w = f"({y} + 0.5)"
+            wz = f"({w} * ln{w} + {y} - {w})"
+            ctes.append(f"mo{s} AS (SELECT {moments(w, wz)} FROM d)")
+        else:
+            terms = "".join(f" + c{i} * {xs[i]}" for i in range(1, n))
+            eta = f"(c0{terms})"
+            w = f"exp({eta})"
+            wz = f"({w} * {eta} + {y} - {w})"
+            ctes.append(
+                f"mo{s} AS (SELECT {moments(w, wz)} FROM d, beta{s - 1})"
+            )
+        ctes.extend(_gauss_ctes(s, n, f"mo{s}"))
+    body = "\nUNION ALL\n".join(
+        f"SELECT '{nm}' AS coef_name, c{i} AS coef_value FROM beta{k_steps}"
+        for i, nm in enumerate(names)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+def _irls_fit_spark(df: DataFrame, xcols: list, y: str, k_steps: int) -> list:
+    """The Spark twin: per step ONE aggregation over one scan (partial
+    map-side combine; n(n+3)/2 rounded scalars collected — bounded by
+    the design width, never the data) and a driver-side
+    _gauss_solve_py. Betas re-enter the next step as literals, so the
+    lineage never grows — each step is an independent job against the
+    cached design frame."""
+    n = len(xcols) + 1
+    X = [F.lit(1.0)] + [F.col(c) for c in xcols]
+    yc = F.col(y)
+    beta = None
+    for s in range(1, k_steps + 1):
+        if s == 1:
+            w = yc + F.lit(0.5)
+            wz = w * F.log(w) + yc - w
+        else:
+            eta = F.lit(beta[0])
+            for i in range(1, n):
+                eta = eta + F.lit(beta[i]) * X[i]
+            w = F.exp(eta)
+            wz = w * eta + yc - w
+        aggs = []
+        for i in range(n):
+            for j in range(i, n):
+                aggs.append(
+                    F.round(F.avg(w * X[i] * X[j]) + F.lit(1e-9), 6)
+                    .alias(f"m_{i}_{j}")
+                )
+        for i in range(n):
+            aggs.append(
+                F.round(F.avg(X[i] * wz) + F.lit(1e-9), 6).alias(f"mb_{i}")
+            )
+        row = df.agg(*aggs).collect()[0]  # bounded: n(n+3)/2 scalars
+        a = [
+            [row[f"m_{min(i, j)}_{max(i, j)}"] for j in range(n)]
+            for i in range(n)
+        ]
+        b = [row[f"mb_{i}"] for i in range(n)]
+        beta = [round(v + 1e-9, 6) for v in _gauss_solve_py(a, b)]
+    return beta
+
+
+_M1_K = 6
+_M1_DESIGN_SQL = """SELECT l_quantity::DOUBLE AS qty, l_discount, l_tax,
+           CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END AS rf_a,
+           CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END AS rf_n
+    FROM lineitem"""
+_M1_XS = ["1.0", "l_discount", "l_tax", "rf_a", "rf_n"]
+_M1_COEF_NAMES = ["Intercept", "l_discount", "l_tax", "rf_a", "rf_n"]
+
+
+@query(
+    "m1_glm_poisson",
+    oracle=_irls_oracle(_M1_DESIGN_SQL, _M1_XS, "qty", _M1_K, _M1_COEF_NAMES),
+    covers=["M1"],
+)
+def m1_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM on lineitem (quantity ~ discount + tax + returnflag,
+    R baseline) — the distributed replacement for statsmodels GLM
+    (covid_simulator.py:76-94: IRLS to convergence, coefficient table
+    out), as _M1_K chained exact IRLS steps so the FULL fit is
+    hash-checked against the oracle's identical chain (see the block
+    comment above; r1-r9 ran MLlib GLM rows-only — pytest still pins
+    agreement with MLlib on this design at ~1e-3)."""
     li = table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("double").alias("qty"),
         "l_discount",
         "l_tax",
-        "l_returnflag",
+        F.when(F.col("l_returnflag") == "A", 1.0).otherwise(0.0).alias("rf_a"),
+        F.when(F.col("l_returnflag") == "N", 1.0).otherwise(0.0).alias("rf_n"),
     )
-    data = RFormula(
-        formula="qty ~ l_discount + l_tax + l_returnflag",
-        featuresCol="features",
-        labelCol="label",
-    ).fit(li).transform(li)
-    model = GeneralizedLinearRegression(
-        family="poisson", link="log", maxIter=25, regParam=0.0
-    ).fit(data)
-    names = ["l_discount", "l_tax"] + [
-        f"l_returnflag_{v}" for v in ["first", "second"]
-    ]
-    rows = [("Intercept", float(model.intercept))] + [
-        (n, float(c)) for n, c in zip(names, model.coefficients)
-    ]
-    return spark.createDataFrame(rows, ["coef_name", "coef_value"]).select(
-        "coef_name", F.round("coef_value", 6).alias("coef_value")
-    )
+    beta = _irls_fit_spark(li, ["l_discount", "l_tax", "rf_a", "rf_n"],
+                           "qty", _M1_K)
+    rows = list(zip(_M1_COEF_NAMES, beta))
+    return spark.createDataFrame(rows, ["coef_name", "coef_value"])
 
 
-@query("m1b_glm_poisson_govflags", oracle=None, covers=["M1"])
+_M1B_K = 6
+_M1B_FLAGS = ["CS", "ED", "GP", "NEBC", "OTH", "SAH"]
+# md5-derived flag bits (not xxhash64: DuckDB has no xxhash64, and the
+# repo's twin convention is conv(substr(md5(..),1,8),16,10) — see
+# llm_dedup._SIMHASH_MD5_TOKEN_SQL)
+_M1B_FLAG_SQL = ", ".join(
+    f"(('0x' || substr(md5(concat('{fl}', '|', user_id::VARCHAR)), 1, 8))"
+    f"::BIGINT % 2)::DOUBLE AS {fl}"
+    for fl in _M1B_FLAGS
+)
+_M1B_DESIGN_SQL = f"""SELECT ceil(value + 0.5)::DOUBLE AS y,
+           (value - 50.0) AS d_temp,
+           (dayofmonth(ts) % 3)::DOUBLE AS period_group, {_M1B_FLAG_SQL}
+    FROM events"""
+_M1B_XS = ["1.0", "d_temp", "period_group", *_M1B_FLAGS]
+_M1B_COEF_NAMES = ["Intercept", "d_temp", "period_group", *_M1B_FLAGS]
+
+
+@query(
+    "m1b_glm_poisson_govflags",
+    oracle=_irls_oracle(_M1B_DESIGN_SQL, _M1B_XS, "y", _M1B_K,
+                        _M1B_COEF_NAMES),
+    covers=["M1"],
+)
 def m1b_glm_poisson_govflags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's test_gov_covid GLM variant
     (covid_simulator.py:104-119): Poisson regression with a battery of
     binary policy-flag regressors (`CS+ED+GP+NEBC+OTH+SAH`) alongside a
-    continuous covariate and a period term. Here the six flags are
-    synthesized deterministically from event attributes (hash-bit per
+    continuous covariate and a period term. The six flags are
+    synthesized deterministically from event attributes (md5-bit per
     flag name — the capability under test is the multi-flag design
-    matrix + IRLS, not the COVID csv), then MLlib
-    GeneralizedLinearRegression fits the same formula shape. Dead code
-    in the reference; implemented as a capability per SURVEY §2.10."""
-    from pyspark.ml.feature import RFormula
-    from pyspark.ml.regression import GeneralizedLinearRegression
-
-    flags = ["CS", "ED", "GP", "NEBC", "OTH", "SAH"]
+    matrix + IRLS, not the COVID csv). Dead code in the reference;
+    implemented as a capability per SURVEY §2.10. Same chained-IRLS
+    full-fit hash as m1 — the 9-wide design is why the solver is
+    Gaussian elimination, not Cramer (9! permutation terms)."""
     ev = table(spark, sf_dir, "events").select(
-        F.ceil(F.col("value") + 0.5).cast("double").alias("y"),  # positive count
+        F.ceil(F.col("value") + 0.5).cast("double").alias("y"),
         (F.col("value") - 50.0).alias("d_temp"),
-        F.pmod(F.dayofmonth("ts"), F.lit(3)).cast("double").alias("period_group"),
+        F.pmod(F.dayofmonth("ts"), F.lit(3)).cast("double").alias(
+            "period_group"
+        ),
         *[
-            F.pmod(F.xxhash64(F.lit(fl), F.col("user_id")), F.lit(2))
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(fl), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
             .cast("double")
             .alias(fl)
-            for fl in flags
+            for fl in _M1B_FLAGS
         ],
     )
-    data = RFormula(
-        formula="y ~ d_temp + period_group + " + " + ".join(flags),
-        featuresCol="features",
-        labelCol="label",
-    ).fit(ev).transform(ev)
-    model = GeneralizedLinearRegression(
-        family="poisson", link="log", maxIter=25, regParam=0.0
-    ).fit(data)
-    names = ["d_temp", "period_group", *flags]
-    rows = [("Intercept", float(model.intercept))] + [
-        (n, float(c)) for n, c in zip(names, model.coefficients)
-    ]
-    return spark.createDataFrame(rows, ["coef_name", "coef_value"]).select(
-        "coef_name", F.round("coef_value", 6).alias("coef_value")
+    beta = _irls_fit_spark(
+        ev, ["d_temp", "period_group", *_M1B_FLAGS], "y", _M1B_K
     )
+    rows = list(zip(_M1B_COEF_NAMES, beta))
+    return spark.createDataFrame(rows, ["coef_name", "coef_value"])
 
 
 # ---------------------------------------------------------------------------

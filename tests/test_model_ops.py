@@ -65,6 +65,49 @@ def test_govflags_glm_fits_all_eight_regressors(spark, sf_dir):
         assert abs(coefs[fl]) < 0.2, (fl, coefs[fl])
 
 
+def test_m1_chained_irls_matches_mllib_glm(spark, sf_dir):
+    """The hash-oracled chained-IRLS fit must BE the Poisson GLM: MLlib
+    GeneralizedLinearRegression on the identical design (assembled
+    manually so the encoding matches: rf_a/rf_n, R baseline) must agree
+    to ~the 6dp-moment-rounding tolerance."""
+    import numpy as np
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import table
+    from engage_spark.registry import load_all
+
+    got = {
+        r.coef_name: r.coef_value
+        for r in load_all()["m1_glm_poisson"].fn(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("label"),
+        "l_discount",
+        "l_tax",
+        F.when(F.col("l_returnflag") == "A", 1.0).otherwise(0.0).alias("rf_a"),
+        F.when(F.col("l_returnflag") == "N", 1.0).otherwise(0.0).alias("rf_n"),
+    )
+    data = VectorAssembler(
+        inputCols=["l_discount", "l_tax", "rf_a", "rf_n"],
+        outputCol="features",
+    ).transform(li)
+    model = GeneralizedLinearRegression(
+        family="poisson", link="log", maxIter=50, regParam=0.0, tol=1e-10
+    ).fit(data)
+    want = dict(
+        zip(
+            ["l_discount", "l_tax", "rf_a", "rf_n"],
+            [float(c) for c in model.coefficients],
+        ),
+        Intercept=float(model.intercept),
+    )
+    for k in got:
+        assert abs(got[k] - want[k]) < 2e-3, (k, got[k], want[k])
+    assert np.isfinite(list(got.values())).all()
+
+
 def test_m1d_matches_numpy_irls_step(spark, sf_dir):
     """The Cramer-solved step must BE the IRLS step: from beta=0 the
     Poisson/log update is OLS of (y-1) on the design, so numpy lstsq
