@@ -17,7 +17,7 @@ deterministic sampling).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from engage_spark.checkpointing import iter_checkpoint
@@ -152,8 +152,12 @@ def minhash_index_query(
 
     spark = new_docs.sparkSession
     return _minhash_query_frames(
-        spark.read.parquet(f"{index_dir}/bands"),
-        spark.read.parquet(f"{index_dir}/hashes"),
+        _without_tombstones(
+            spark, index_dir, spark.read.parquet(f"{index_dir}/bands"), "doc_id"
+        ),
+        _without_tombstones(
+            spark, index_dir, spark.read.parquet(f"{index_dir}/hashes"), "doc_id"
+        ),
         new_docs,
         id_col=id_col,
         text_col=text_col,
@@ -259,6 +263,7 @@ def minhash_index_append(
     hashed = minhash_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
     minhash_band_rows(hashed).write.mode("append").parquet(f"{index_dir}/bands")
     hashed.write.mode("append").parquet(f"{index_dir}/hashes")
+    _tombstones_revive(docs.sparkSession, index_dir, docs.select(id_col))
     return docs.count()
 
 
@@ -335,8 +340,12 @@ def embed_index_query(
     cap = hot_bucket_cap if hot_bucket_cap is not None else _HOT_BUCKET_CAP
     spark = new_vectors.sparkSession
     meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
-    stored_bands = spark.read.parquet(f"{index_dir}/bands")
-    stored_vecs = spark.read.parquet(f"{index_dir}/vectors")
+    stored_bands = _without_tombstones(
+        spark, index_dir, spark.read.parquet(f"{index_dir}/bands"), "vec_id"
+    )
+    stored_vecs = _without_tombstones(
+        spark, index_dir, spark.read.parquet(f"{index_dir}/vectors"), "vec_id"
+    )
 
     q = new_vectors.select(
         F.col(id_col).alias("new_id"), F.col(emb_col).alias("new_emb")
@@ -412,6 +421,7 @@ def embed_index_append(
         ).alias("band", "key"),
     ).write.mode("append").parquet(f"{index_dir}/bands")
     e.write.mode("append").parquet(f"{index_dir}/vectors")
+    _tombstones_revive(spark, index_dir, e.select("vec_id"))
     return e.count()
 
 
@@ -1178,7 +1188,9 @@ def ivfpq_search(
             f"query dimensionality {len(probe[0][0])} != index dim {dim} "
             f"({index_dir} was built on different embeddings)"
         )
-    codes = spark.read.parquet(f"{index_dir}/codes")
+    codes = _without_tombstones(
+        spark, index_dir, spark.read.parquet(f"{index_dir}/codes"), "vec_id"
+    )
     corpus_e = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
@@ -1211,7 +1223,173 @@ def ivfpq_append(
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
     codes = _ivfpq_codes(e, bc, cb)
     codes.write.mode("append").parquet(f"{index_dir}/codes")
+    _tombstones_revive(spark, index_dir, e.select("vec_id"))
     return e.count()
+
+
+# ---------------------------------------------------------------------------
+# Index delete path (round 10) — takedowns for the persisted indexes.
+#
+# upsert_dataset(delete_col=...) removes a document from the CORPUS,
+# but until round 10 it stayed retrievable through every persisted
+# index (minhash bands, embed bands, ivfpq codes) until a full
+# rebuild. The delete path is the table-format pattern (Delta/Iceberg
+# delete files): a takedown APPENDS the id to index_dir/tombstones —
+# O(batch), no index rewrite — every query anti-joins the (small,
+# broadcast) tombstone set, re-appending an id revives it by dropping
+# its tombstone, and a periodic *_vacuum applies tombstones physically
+# and clears them. At 100 TB this keeps takedown latency constant in
+# index size; only the scheduled vacuum pays the rewrite. SCALE.md
+# §takedown documents the flow end to end.
+
+
+def _ids_frame(ids, spark=None) -> DataFrame:
+    """Normalize a takedown id set — a 1-column DataFrame or an
+    iterable of ints — to a distinct (id long) frame."""
+    if isinstance(ids, DataFrame):
+        return ids.select(
+            F.col(ids.columns[0]).cast("long").alias("id")
+        ).dropDuplicates()
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    return spark.createDataFrame(
+        [(int(i),) for i in ids], "id long"
+    ).dropDuplicates()
+
+
+def _index_tombstone(index_dir: str, ids, spark=None) -> int:
+    """Append ids to index_dir/tombstones. Plain parquet append (the
+    same durability contract as the *_append paths)."""
+    tdf = _ids_frame(ids, spark)
+    tdf.write.mode("append").parquet(f"{index_dir}/tombstones")
+    return tdf.count()
+
+
+def _without_tombstones(
+    spark: SparkSession, index_dir: str, df: DataFrame, col: str
+) -> DataFrame:
+    """Anti-join the index table against the tombstone set (broadcast:
+    bounded by takedowns since the last vacuum). No tombstone dir —
+    the common case — is a pure fs.exists probe, no plan change."""
+    from engage_spark.io import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{index_dir}/tombstones")
+    if not fs.exists(p):
+        return df
+    tomb = (
+        spark.read.parquet(f"{index_dir}/tombstones")
+        .select(F.col("id").alias(col))
+        .dropDuplicates()
+    )
+    return df.join(F.broadcast(tomb), on=col, how="left_anti")
+
+
+def _tombstones_revive(spark: SparkSession, index_dir: str, ids_df: DataFrame) -> None:
+    """Re-adding an id must win over an earlier takedown: rewrite the
+    (small) tombstone table minus the incoming ids. Called by every
+    *_append; a no-op when no tombstones exist."""
+    from engage_spark.io import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{index_dir}/tombstones")
+    if not fs.exists(p):
+        return
+    incoming = _ids_frame(ids_df)
+    kept = spark.read.parquet(f"{index_dir}/tombstones").join(
+        F.broadcast(incoming), on="id", how="left_anti"
+    )
+    staging = f"{index_dir}/tombstones__staging"
+    kept.write.mode("overwrite").parquet(staging)
+    sfs, sp = _hadoop_fs(spark, staging)
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").parquet(
+            f"{index_dir}/tombstones"
+        )
+    except BaseException as e:
+        raise RuntimeError(
+            f"tombstone rewrite for {index_dir} failed mid-write; recovery "
+            f"copy preserved at {staging}"
+        ) from e
+    sfs.delete(sp, True)
+
+
+def _index_vacuum(spark: SparkSession, index_dir: str, tables: dict) -> dict:
+    """Apply tombstones physically: rewrite each index table minus the
+    tombstoned ids (staging-swap with the upsert_dataset recovery
+    discipline), then clear the tombstone table. tables maps
+    subdir -> id column name. Returns {"tombstones": n_applied}."""
+    from engage_spark.io import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, f"{index_dir}/tombstones")
+    if not fs.exists(p):
+        return {"tombstones": 0}
+    tomb = spark.read.parquet(f"{index_dir}/tombstones").dropDuplicates()
+    n_tomb = tomb.count()  # bounded: takedowns since the last vacuum
+    for sub, col in tables.items():
+        path = f"{index_dir}/{sub}"
+        kept = spark.read.parquet(path).join(
+            F.broadcast(tomb.select(F.col("id").alias(col))),
+            on=col,
+            how="left_anti",
+        )
+        staging = f"{path}__vacuum_staging"
+        kept.write.mode("overwrite").parquet(staging)
+        sfs, sp = _hadoop_fs(spark, staging)
+        try:
+            spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+        except BaseException as e:
+            raise RuntimeError(
+                f"index vacuum of {path} failed mid-write; the filtered "
+                f"copy is preserved at {staging}"
+            ) from e
+        sfs.delete(sp, True)
+    fs.delete(p, True)
+    return {"tombstones": n_tomb}
+
+
+def minhash_index_delete(index_dir: str, ids, spark=None) -> int:
+    """Take documents down from a persisted near-dup index
+    (minhash_index_build): tombstone append, O(batch). Queries stop
+    returning the ids immediately; minhash_index_vacuum applies the
+    removal physically."""
+    return _index_tombstone(index_dir, ids, spark)
+
+
+def minhash_index_vacuum(spark: SparkSession, index_dir: str) -> dict:
+    """Physically remove tombstoned documents from bands/ and hashes/,
+    then clear the tombstones."""
+    return _index_vacuum(
+        spark, index_dir, {"bands": "doc_id", "hashes": "doc_id"}
+    )
+
+
+def embed_index_delete(index_dir: str, ids, spark=None) -> int:
+    """Takedown for the semantic near-dup index (embed_index_build):
+    tombstone append; embed_index_query stops returning the ids
+    immediately."""
+    return _index_tombstone(index_dir, ids, spark)
+
+
+def embed_index_vacuum(spark: SparkSession, index_dir: str) -> dict:
+    """Physically remove tombstoned vectors from bands/ and vectors/,
+    then clear the tombstones."""
+    return _index_vacuum(
+        spark, index_dir, {"bands": "vec_id", "vectors": "vec_id"}
+    )
+
+
+def ivfpq_delete(index_dir: str, ids, spark=None) -> int:
+    """Takedown for a persisted IVF-PQ index (ivfpq_build): tombstone
+    append; ivfpq_search stops returning the ids immediately (the
+    codes scan anti-joins the broadcast tombstones). The FAISS
+    remove_ids() counterpart."""
+    return _index_tombstone(index_dir, ids, spark)
+
+
+def ivfpq_vacuum(spark: SparkSession, index_dir: str) -> dict:
+    """Physically remove tombstoned vectors' code rows, then clear the
+    tombstones. Quantizers (centroids/codebooks) are untouched —
+    deletes never retrain, matching the frozen-quantizer append."""
+    return _index_vacuum(spark, index_dir, {"codes": "vec_id"})
 
 
 def _ws_tokens(text_col: str) -> Column:

@@ -557,6 +557,12 @@ def incremental_ingest_stream(
                     batch_id,
                     ["doc_id", "__h"],
                 )
+                # honor takedowns (api.minhash_index_delete): a
+                # tombstoned document must not block re-admission
+                from engage_spark.api import _without_tombstones
+
+                sb = _without_tombstones(spark, near_dup_index, sb, "doc_id")
+                sh = _without_tombstones(spark, near_dup_index, sh, "doc_id")
                 dup_ids = (
                     _minhash_query_frames(
                         sb, sh, accepted, id_col=id_col, text_col=text_col,

@@ -662,6 +662,47 @@ def test_ivfpq_index_lifecycle_build_search_append(spark, sf_dir, tmp_path):
         assert top1.loc[qid, "cosine"] == 1.0
 
 
+def test_ivfpq_delete_revive_vacuum(spark, sf_dir, tmp_path):
+    """IVF-PQ takedown (r9 VERDICT item 5): a deleted vector stops
+    appearing in search results immediately, re-appending revives it,
+    and vacuum removes its code rows physically without touching the
+    quantizers."""
+    from engage_spark import api
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter("vec_id < 3")
+    idx = str(tmp_path / "ivfpq_del")
+    api.ivfpq_build(e, idx)
+
+    # with exclude_self the query's own id never appears; plant clones
+    # so each query has a known perfect neighbor to take down
+    clones = queries.selectExpr("vec_id + 1000000 as vec_id", "embedding")
+    api.ivfpq_append(idx, clones)
+    corpus = e.select("vec_id", "embedding").unionByName(clones)
+
+    def top1(qid):
+        pdf = api.ivfpq_search(idx, queries, corpus, k=3, rerank=30).toPandas()
+        return pdf[(pdf["query_id"] == qid) & (pdf["rank"] == 1)][
+            "neighbor_id"
+        ].iloc[0]
+
+    assert top1(0) == 1000000
+    api.ivfpq_delete(idx, [1000000], spark=spark)
+    assert top1(0) != 1000000, "deleted vector still retrievable"
+
+    # re-append the clone: tombstone dropped, retrievable again
+    api.ivfpq_append(idx, clones.filter("vec_id = 1000000"))
+    assert top1(0) == 1000000
+
+    api.ivfpq_delete(idx, [1000000], spark=spark)
+    assert api.ivfpq_vacuum(spark, idx)["tombstones"] == 1
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.filter("vec_id = 1000000").count() == 0
+    assert top1(0) != 1000000
+    # quantizers untouched by vacuum
+    assert spark.read.parquet(f"{idx}/centroids").count() > 0
+
+
 def test_ivfpq_search_rejects_dim_mismatch(spark, tmp_path):
     """Searching an index with queries of a different dimensionality
     must raise a clear ValueError, not a shape error deep in a kernel."""

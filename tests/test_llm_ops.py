@@ -1294,6 +1294,90 @@ def test_minhash_index_lifecycle_build_query_append(spark, tmp_path):
     assert again[0].jaccard == 1.0
 
 
+def test_minhash_index_delete_revive_vacuum(spark, tmp_path):
+    """Takedown flow (r9 VERDICT item 5): a deleted document stops
+    matching immediately (tombstone anti-join), re-appending it
+    revives it, and vacuum applies the removal physically and clears
+    the tombstones."""
+    from engage_spark import api
+
+    corpus = spark.createDataFrame(
+        [(0, _BASE), (1, _BASE), (2, _OTHER)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "nd_del")
+    api.minhash_index_build(corpus, idx)
+    probe = spark.createDataFrame(
+        [(100, _BASE)], "doc_id long, text string"
+    )
+
+    before = {r.corpus_id for r in api.minhash_index_query(idx, probe).collect()}
+    assert before == {0, 1}
+    assert api.minhash_index_delete(idx, [0], spark=spark) == 1
+    after = {r.corpus_id for r in api.minhash_index_query(idx, probe).collect()}
+    assert after == {1}, "deleted doc still retrievable"
+
+    # re-append doc 0: the tombstone must be dropped, not suppress it
+    api.minhash_index_append(idx, corpus.filter("doc_id = 0"))
+    revived = {r.corpus_id for r in api.minhash_index_query(idx, probe).collect()}
+    assert revived == {0, 1}, "re-appended doc still tombstoned"
+
+    # delete again, vacuum: rows physically gone, tombstones cleared
+    api.minhash_index_delete(idx, [1], spark=spark)
+    stats = api.minhash_index_vacuum(spark, idx)
+    assert stats["tombstones"] == 1
+    ids_left = {
+        r.doc_id for r in spark.read.parquet(f"{idx}/hashes").collect()
+    }
+    assert 1 not in ids_left and 0 in ids_left
+    bands_left = {
+        r.doc_id for r in spark.read.parquet(f"{idx}/bands").collect()
+    }
+    assert 1 not in bands_left
+    import os
+
+    assert not os.path.exists(f"{idx}/tombstones")
+    final = {r.corpus_id for r in api.minhash_index_query(idx, probe).collect()}
+    assert final == {0}
+
+
+def test_embed_index_delete_and_vacuum(spark, tmp_path):
+    """Semantic-index takedown: same tombstone -> revive -> vacuum
+    contract as the minhash index."""
+    import numpy as np
+
+    from engage_spark import api
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(64) for _ in range(60)]
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "emb_del")
+    api.embed_index_build(corpus, idx, dim=64)
+    probe = spark.createDataFrame(
+        [(500, vecs[3].tolist())], "vec_id long, embedding array<double>"
+    )
+    assert {
+        r.corpus_id
+        for r in api.embed_index_query(idx, probe, threshold=0.9).collect()
+    } == {3}
+    api.embed_index_delete(idx, [3], spark=spark)
+    assert (
+        api.embed_index_query(idx, probe, threshold=0.9).count() == 0
+    ), "deleted vector still retrievable"
+    api.embed_index_append(idx, corpus.filter("vec_id = 3"))
+    assert {
+        r.corpus_id
+        for r in api.embed_index_query(idx, probe, threshold=0.9).collect()
+    } == {3}
+    api.embed_index_delete(idx, [3], spark=spark)
+    assert api.embed_index_vacuum(spark, idx)["tombstones"] == 1
+    assert (
+        spark.read.parquet(f"{idx}/vectors").filter("vec_id = 3").count() == 0
+    )
+
+
 def test_minhash_index_query_caps_hot_corpus_buckets(spark, tmp_path):
     """A degenerate corpus bucket (300 identical template docs) must
     answer a matching query with ONE representative (the min-id hub),
