@@ -311,7 +311,11 @@ def zorder_column(scaled_cols, bits: int = 16):
 
 
 def zorder_values(
-    df: DataFrame, cols: Sequence[str], bits: int = 16, scale: str = "minmax"
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    scale: str = "minmax",
+    rank_bounds: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Append a ``__z`` Morton-code column over integer columns.
 
@@ -344,6 +348,10 @@ def zorder_values(
     columns raise. Wide-range columns whose scaled product would
     overflow a long (span > 2^63/2^bits) raise instead of silently
     corrupting the curve. Returns (df + __z, {col: (lo, hi)}).
+    Pass an empty dict as ``rank_bounds`` to additionally receive, per
+    rank-scaled column, the boundary frame (scaled slot -> smallest
+    member value) that ``zorder_append`` freezes for curve-stable
+    appends.
     """
     from pyspark.sql import Window
 
@@ -448,6 +456,21 @@ def zorder_values(
                 # the CDF fits an executor: broadcast it so the big side
                 # never shuffles for this join
                 cdf = F.broadcast(cdf)
+            if rank_bounds is not None:
+                # boundary table for frozen-curve appends: the smallest
+                # value of each occupied scaled slot (≤ 2^bits rows,
+                # derived from the already-checkpointed CDF — no extra
+                # scan of the data)
+                rank_bounds[c] = (
+                    cdf.withColumn(
+                        "__s",
+                        F.expr(
+                            f"(__before * {(1 << bits) - 1}) div {denom}"
+                        ),
+                    )
+                    .groupBy("__s")
+                    .agg(F.min("__v").alias("__b"))
+                )
             # eqNullSafe: the NULL group carries rank 0 (NULLS FIRST);
             # a plain equi-join would silently drop every NULL row
             out = (
@@ -486,11 +509,16 @@ def zorder_write(
     footer stats alone — no index structure, no shuffle at read time.
     ``repartitionByRange`` on the Z-value gives disjoint per-file
     Z-ranges (one shuffle), ``sortWithinPartitions`` tightens row-group
-    stats inside each file. Returns the per-column (lo, hi) scaling
-    stats (persist them if you later append: appended files must scale
-    with the SAME bounds to share the curve).
-    """
-    out, stats = zorder_values(df, cols, bits, scale=scale)
+    stats inside each file. The scaling stats are PERSISTED under
+    ``path/_zorder_meta`` (a ``_``-prefixed dir, invisible to parquet
+    readers) so ``zorder_append`` can scale later increments with the
+    SAME frozen curve — appended files that re-derive bounds would
+    silently stop sharing the layout. Returns the per-column (lo, hi)
+    stats."""
+    rank_bounds: dict | None = {} if scale == "rank" else None
+    out, stats = zorder_values(
+        df, cols, bits, scale=scale, rank_bounds=rank_bounds
+    )
     n = num_files or spark.sparkContext.defaultParallelism
     (
         out.repartitionByRange(n, "__z")
@@ -499,7 +527,139 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    meta_dir = f"{path}/_zorder_meta"
+    spark.createDataFrame(
+        [
+            (
+                list(cols),
+                int(bits),
+                scale,
+                [int(stats[c][0]) for c in cols],
+                [int(stats[c][1]) for c in cols],
+            )
+        ],
+        "cols array<string>, bits int, scale string, "
+        "lo array<long>, hi array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{meta_dir}/info")
+    if rank_bounds:
+        for i, c in enumerate(cols):
+            rank_bounds[c].write.mode("overwrite").parquet(
+                f"{meta_dir}/bounds_{i}"
+            )
     return stats
+
+
+def zorder_meta(spark: SparkSession, path: str) -> dict:
+    """Load the frozen scaling metadata a zorder_write persisted:
+    {"cols", "bits", "scale", "lo": {col: lo}, "hi": {col: hi}}."""
+    info = spark.read.parquet(f"{path}/_zorder_meta/info").collect()[0]
+    return {
+        "cols": list(info.cols),
+        "bits": int(info.bits),
+        "scale": info.scale,
+        "lo": {c: int(v) for c, v in zip(info.cols, info.lo)},
+        "hi": {c: int(v) for c, v in zip(info.cols, info.hi)},
+    }
+
+
+def _zorder_scale_frozen(
+    spark: SparkSession, df: DataFrame, path: str, meta: dict
+) -> DataFrame:
+    """Scale an increment with the STORED curve parameters and append
+    the ``__z`` column. minmax: the persisted (lo, hi); out-of-range
+    values saturate at the curve edge (rebuild via optimize_dataset
+    when drift makes the edge bucket hot). rank: each value buckets
+    into the persisted boundary table via MLlib Bucketizer (binary
+    search, JVM-side, broadcast model — never a join against the
+    data); values identical to build-time values land on their exact
+    build-time slot, new in-between values on the nearest lower slot.
+    NULLs take the build's NULL slot (rank 0) when one exists, else
+    slot 0. (The Bucketizer comparison is on doubles: integers beyond
+    2^53 would bucket approximately — the build-side overflow guard
+    keeps bits*span inside long range long before that matters.)"""
+    bits = meta["bits"]
+    scaled, tmp = [], []
+    for i, c in enumerate(meta["cols"]):
+        if meta["scale"] == "minmax":
+            lo, hi = meta["lo"][c], meta["hi"][c]
+            span = max(1, hi - lo)
+            clamped = F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))
+            df = df.withColumn(
+                f"__zn{i}",
+                ((clamped - F.lit(lo)) * F.lit((1 << bits) - 1)).cast("long"),
+            ).withColumn(f"__zs{i}", F.expr(f"__zn{i} div {span}"))
+            tmp += [f"__zn{i}", f"__zs{i}"]
+        else:
+            from pyspark.ml.feature import Bucketizer
+
+            rows = spark.read.parquet(
+                f"{path}/_zorder_meta/bounds_{i}"
+            ).collect()  # bounded: ≤ 2^bits occupied slots
+            null_slot = next(
+                (int(r["__s"]) for r in rows if r["__b"] is None), None
+            )
+            finite = sorted(
+                (int(r["__b"]), int(r["__s"]))
+                for r in rows
+                if r["__b"] is not None
+            )
+            if null_slot is None:
+                null_slot = finite[0][1] if finite else 0
+            splits = (
+                [float("-inf")]
+                + [float(b) for b, _ in finite[1:]]
+                + [float("inf")]
+            )
+            df = Bucketizer(
+                splits=splits,
+                inputCol=f"__bv{i}",
+                outputCol=f"__bk{i}",
+                handleInvalid="keep",  # NULL -> extra bucket len(splits)-1
+            ).transform(df.withColumn(f"__bv{i}", F.col(c).cast("double")))
+            smap = spark.createDataFrame(
+                [(float(k), int(s)) for k, (_, s) in enumerate(finite)]
+                + [(float(len(splits) - 1), int(null_slot))],
+                f"__bk{i} double, __zs{i} long",
+            )
+            df = df.join(F.broadcast(smap), on=f"__bk{i}", how="left")
+            tmp += [f"__bv{i}", f"__bk{i}", f"__zs{i}"]
+        scaled.append(F.col(f"__zs{i}"))
+    return df.withColumn("__z", zorder_column(scaled, bits)).drop(*tmp)
+
+
+def zorder_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    num_files: int | None = None,
+) -> dict:
+    """Append an increment to a Z-ordered dataset ON THE SAME CURVE:
+    scale with the persisted ``_zorder_meta`` (never re-derive — fresh
+    bounds would put new files on a different curve and silently break
+    every skip-rate assumption), range-partition on ``__z``, sort
+    within files, parquet append. The micro-batch path between
+    optimize_dataset passes; appended files overlap existing files'
+    Z-ranges (unavoidable for an append) but each still covers a tight
+    rectangle, so footer pruning holds — measured within noise of a
+    full rewrite (test_zorder_append_preserves_skipping). Returns
+    {"rows", "files"}."""
+    m = zorder_meta(spark, path)
+    missing = [c for c in m["cols"] if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"zorder_append increment lacks clustered columns {missing} "
+            f"(index at {path} is ordered on {m['cols']})"
+        )
+    out = _zorder_scale_frozen(spark, df, path, m)
+    n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
+    (
+        out.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("append")
+        .parquet(path)
+    )
+    return {"rows": df.count(), "files": n}
 
 
 def optimize_dataset(

@@ -391,6 +391,80 @@ FROM z GROUP BY 1
 """
 
 
+# Append twin: bounds derive from the FIRST half only (the frozen
+# curve), the second half scales with those bounds CLAMPED at the
+# curve edge — exactly what zorder_append's _zorder_scale_frozen does,
+# so the whole append lifecycle (write meta -> append increment ->
+# read back) is hash-verified.
+_S10C_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100 + 1e-9) AS BIGINT) AS v_cents
+  FROM events
+),
+mm AS (
+  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         min(v_cents) AS vlo, max(v_cents) AS vhi
+  FROM src WHERE event_id % 2 = 0
+),
+sc AS (
+  SELECT event_id,
+         ((least(greatest(user_id, ulo), uhi) - ulo) * 65535)
+           // (CASE WHEN uhi = ulo THEN 1 ELSE uhi - ulo END) AS sx,
+         ((least(greatest(v_cents, vlo), vhi) - vlo) * 65535)
+           // (CASE WHEN vhi = vlo THEN 1 ELSE vhi - vlo END) AS sy
+  FROM src, mm
+),
+z AS (SELECT event_id, {_zfrag(["sx", "sy"], 16)} AS zval FROM sc)
+SELECT (zval >> 24)::BIGINT AS z_bucket, count(*)::BIGINT AS n,
+       min(zval)::BIGINT AS z_lo, max(zval)::BIGINT AS z_hi,
+       sum(event_id)::BIGINT AS id_sum
+FROM z GROUP BY 1
+"""
+
+
+@query("s10c_zorder_append_roundtrip", oracle=_S10C_ORACLE, covers=["S4", "S5"])
+def s10c_zorder_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order append lifecycle (io.zorder_append): write HALF the
+    events Z-ordered (persisting the scaling meta), append the other
+    half ON THE FROZEN CURVE, read the combined dataset back and
+    recompute every row's Z-value with the stored meta. The oracle
+    replays the same semantics in SQL — bounds from the first half,
+    edge-clamped scaling for the rest — so a hash match proves the
+    meta roundtrip, the frozen-scale arithmetic, and the append path
+    end to end."""
+    from engage_spark.io import (
+        _zorder_scale_frozen,
+        zorder_append,
+        zorder_meta,
+        zorder_write,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_zorder_append")
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), out,
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), out, num_files=4
+    )
+    back = spark.read.parquet(out)
+    zb = _zorder_scale_frozen(spark, back, out, zorder_meta(spark, out))
+    return zb.groupBy(
+        F.shiftright(F.col("__z"), 24).cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__z").cast("long").alias("z_lo"),
+        F.max("__z").cast("long").alias("z_hi"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
 @query("s10b_zorder_rank_layout", oracle=_S10B_ORACLE, covers=["S4", "S5"])
 def s10b_zorder_rank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order write with RANK (equal-mass) scaling — the skew-robust

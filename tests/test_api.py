@@ -1027,6 +1027,107 @@ def test_zorder_rank_plan_has_no_single_partition_window(spark):
     assert "SinglePartition" not in plan
 
 
+def test_zorder_meta_roundtrip_and_append_frozen_curve(spark, tmp_path):
+    """zorder_write persists its scaling stats under _zorder_meta
+    (invisible to parquet readers); zorder_append scales increments
+    with the STORED bounds — for rank mode, values present at build
+    time land on their exact build-time slot via the frozen boundary
+    table."""
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import (
+        _zorder_scale_frozen,
+        zorder_append,
+        zorder_meta,
+        zorder_values,
+        zorder_write,
+    )
+
+    df = spark.range(0, 4000).select(
+        ((F.col("id") * 37) % 613).cast("int").alias("a"),
+        ((F.col("id") * 91) % 407).cast("int").alias("b"),
+    )
+    for scale in ("minmax", "rank"):
+        p = str(tmp_path / f"z_{scale}")
+        stats = zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=4,
+                             scale=scale)
+        m = zorder_meta(spark, p)
+        assert m["cols"] == ["a", "b"] and m["bits"] == 8
+        assert m["scale"] == scale
+        assert m["lo"]["a"] == stats["a"][0] and m["hi"]["b"] == stats["b"][1]
+        # the meta dir must be invisible to a plain read
+        assert spark.read.parquet(p).columns == ["a", "b"]
+
+        # frozen scaling of the BUILD data reproduces the build curve
+        frozen = _zorder_scale_frozen(spark, df, p, m)
+        rebuilt, _ = zorder_values(df, ["a", "b"], bits=8, scale=scale)
+        got = frozen.groupBy().agg(
+            F.sum("__z").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        want = rebuilt.groupBy().agg(
+            F.sum("__z").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        assert (got["s"], got["n"]) == (want["s"], want["n"]), scale
+
+        # append roundtrip: all rows present afterwards
+        inc = df.filter("a % 2 = 0")
+        res = zorder_append(spark, inc, p, num_files=2)
+        assert res["rows"] == inc.count()
+        assert spark.read.parquet(p).count() == 4000 + inc.count()
+
+
+def test_zorder_append_preserves_skipping(spark, tmp_path):
+    """Appended files share the frozen curve, so footer-stats pruning
+    on a 2-D rectangle stays within noise of a single full rewrite of
+    the same total data (r9 VERDICT item 6's done-condition)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engage_spark.io import zorder_append, zorder_write
+
+    n = 20_000
+    full = spark.range(n).selectExpr(
+        "cast(pmod(hash(id), 1024) as long) as a",
+        "cast(pmod(hash(id * 7 + 3), 1024) as long) as b",
+    )
+    first, second = full.filter("a % 2 = 0"), full.filter("a % 2 = 1")
+
+    def kept_fraction(path):
+        keep = total = 0
+        for fp in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(fp).metadata
+            overlaps = False
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                st = {
+                    row.column(i).path_in_schema: row.column(i).statistics
+                    for i in range(row.num_columns)
+                }
+                if (
+                    st["a"].min <= 400
+                    and st["a"].max >= 200
+                    and st["b"].min <= 700
+                    and st["b"].max >= 500
+                ):
+                    overlaps = True
+            total += 1
+            keep += int(overlaps)
+        return keep / total
+
+    rewrite, appended = str(tmp_path / "rw"), str(tmp_path / "ap")
+    zorder_write(spark, full, rewrite, ["a", "b"], bits=10, num_files=16)
+    zorder_write(spark, first, appended, ["a", "b"], bits=10, num_files=8)
+    zorder_append(spark, second, appended, num_files=8)
+    assert spark.read.parquet(appended).count() == n
+    f_rw, f_ap = kept_fraction(rewrite), kept_fraction(appended)
+    assert f_rw < 0.7, f"z-order layout itself is not pruning ({f_rw})"
+    assert f_ap <= f_rw + 0.15, (
+        f"append layout lost the skip rate: rewrite keeps {f_rw:.2f}, "
+        f"append keeps {f_ap:.2f}"
+    )
+
+
 def test_zorder_minmax_overflow_guard(spark):
     """r9 ADVICE low: a span wide enough that (x-lo)*(2^bits-1)
     overflows long must raise, not corrupt the curve."""
