@@ -87,6 +87,8 @@ OPTIONAL = [
     "s9_upsert_merge_roundtrip",
     "s10b_zorder_rank_layout",
     "x_expectations_check",
+    # round 10 addition (frozen-curve append lifecycle roundtrip)
+    "s10c_zorder_append_roundtrip",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -365,20 +365,44 @@ def zorder_values(
             )
     if scale not in ("minmax", "rank"):
         raise ValueError(f"unknown zorder scale mode: {scale}")
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-    row = df.agg(*aggs).collect()[0]  # bounded: 2*len(cols) scalars
     out = df
     scaled, tmp = [], []
     stats = {}
     max_scaled_input = (2**63 - 1) // ((1 << bits) - 1)
-    denom = None  # rank mode: derived from the first column's CDF totals
-    spark = df.sparkSession
+    if scale == "rank":
+        # lo/hi fall out of the CDF totals — rank mode never runs the
+        # min/max aggregation pass
+        n_rows, n_distinct, cdf_all, rank_stats = _rank_cdf_frames(df, cols)
+        if n_rows - 1 > max_scaled_input:
+            raise ValueError(
+                f"zorder rank scaling over {n_rows} rows would overflow "
+                f"long at bits={bits}; reduce bits"
+            )
+        denom = max(1, n_rows - 1)
+        if rank_bounds is not None:
+            # unified boundary table for frozen-curve appends (ONE
+            # write for all columns): smallest value of each occupied
+            # scaled slot, derived from the checkpointed CDF
+            rank_bounds["_all"] = (
+                cdf_all.withColumn(
+                    "__s",
+                    F.expr(f"(__before * {(1 << bits) - 1}) div {denom}"),
+                )
+                .groupBy("__ci", "__s")
+                .agg(F.min("__v").alias("__b"))
+            )
+    else:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        row = df.agg(*aggs).collect()[0]  # bounded: 2*len(cols) scalars
     for i, c in enumerate(cols):
-        lo = row[f"__lo_{c}"]
-        hi = row[f"__hi_{c}"]
-        lo, hi = (0, 0) if lo is None else (int(lo), int(hi))  # all-NULL col
+        if scale == "rank":
+            lo, hi = rank_stats[i]
+        else:
+            lo = row[f"__lo_{c}"]
+            hi = row[f"__hi_{c}"]
+            lo, hi = (0, 0) if lo is None else (int(lo), int(hi))  # all-NULL
         stats[c] = (lo, hi)
         if scale == "minmax":
             span = max(1, hi - lo)
@@ -394,87 +418,15 @@ def zorder_values(
                 ((F.col(c) - F.lit(lo)) * F.lit((1 << bits) - 1)).cast("long"),
             ).withColumn(f"__zs{i}", F.expr(f"__zn{i} div {span}"))
         else:
-            # Distributed exact CDF. RangePartitioner assigns ascending
-            # value ranges to ascending partition ids, so a partition's
-            # global prefix = sum of totals of lower-id partitions.
-            # localCheckpoint pins the (sampled) range boundaries and
-            # partition ids so the totals collect and the window read
-            # the SAME assignment.
-            n_parts = max(2, spark.sparkContext.defaultParallelism)
-            dv = (
-                df.groupBy(F.col(c).alias("__v"))
-                .agg(F.count(F.lit(1)).alias("__cnt"))
-                .repartitionByRange(n_parts, F.col("__v").asc_nulls_first())
-                .withColumn("__pid", F.spark_partition_id())
-                .localCheckpoint()
-            )
-            # bounded: one row per range partition (≤ n_parts)
-            totals = sorted(
-                (r["__pid"], int(r["__t"]), int(r["__nv"]))
-                for r in dv.groupBy("__pid")
-                .agg(
-                    F.sum("__cnt").alias("__t"),
-                    F.count(F.lit(1)).alias("__nv"),
-                )
-                .collect()
-            )
-            acc, offs, n_distinct = 0, [], 0
-            for pid, t, nv in totals:
-                offs.append((pid, acc))
-                acc += t
-                n_distinct += nv
-            if denom is None:
-                # every column's counts sum to the row count — reuse the
-                # first CDF's totals instead of a separate df.count() pass
-                if acc - 1 > max_scaled_input:
-                    raise ValueError(
-                        f"zorder rank scaling over {acc} rows would "
-                        f"overflow long at bits={bits}; reduce bits"
-                    )
-                denom = max(1, acc - 1)
-            off_df = F.broadcast(
-                spark.createDataFrame(
-                    offs or [(0, 0)], schema="__pid int, __off long"
-                )
-            )
-            w = (
-                Window.partitionBy("__pid")
-                .orderBy(F.col("__v").asc_nulls_first())
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            cdf = (
-                dv.withColumn(
-                    "__local",
-                    F.coalesce(F.sum("__cnt").over(w), F.lit(0)).cast("long"),
-                )
-                .join(off_df, "__pid")
-                .select(
-                    "__v", (F.col("__local") + F.col("__off")).alias("__before")
-                )
-            )
-            if n_distinct <= 500_000:
+            cdf = cdf_all.filter(F.col("__ci") == i).drop("__ci")
+            if n_distinct.get(i, 0) <= 500_000:
                 # the CDF fits an executor: broadcast it so the big side
                 # never shuffles for this join
                 cdf = F.broadcast(cdf)
-            if rank_bounds is not None:
-                # boundary table for frozen-curve appends: the smallest
-                # value of each occupied scaled slot (≤ 2^bits rows,
-                # derived from the already-checkpointed CDF — no extra
-                # scan of the data)
-                rank_bounds[c] = (
-                    cdf.withColumn(
-                        "__s",
-                        F.expr(
-                            f"(__before * {(1 << bits) - 1}) div {denom}"
-                        ),
-                    )
-                    .groupBy("__s")
-                    .agg(F.min("__v").alias("__b"))
-                )
             # eqNullSafe: the NULL group carries rank 0 (NULLS FIRST);
             # a plain equi-join would silently drop every NULL row
             out = (
-                out.join(cdf, out[c].eqNullSafe(cdf["__v"]))
+                out.join(cdf, out[c].cast("long").eqNullSafe(cdf["__v"]))
                 .drop("__v")
                 .withColumn(
                     f"__zn{i}",
@@ -487,6 +439,118 @@ def zorder_values(
         tmp += [f"__zn{i}", f"__zs{i}"]
     out = out.withColumn("__z", zorder_column(scaled, bits)).drop(*tmp)
     return out, stats
+
+
+# below this many TOTAL distinct (column, value) pairs the rank CDF
+# runs one bounded window task per column instead of the fully
+# distributed range-partition machinery (whose extra jobs dominate at
+# small scale); 2^20 (value, count) pairs per task is a few tens of MB
+_RANK_SMALL_CDF = 1 << 20
+
+
+def _rank_cdf_frames(
+    df: DataFrame, cols: Sequence[str]
+) -> tuple[int, dict, DataFrame]:
+    """Distributed exact CDFs for ALL rank-scaled columns in ONE pass
+    over the data: posexplode the column values into (column-index,
+    value) pairs, count (map-side combine — the only data-sized
+    shuffle), checkpoint the SMALL counts frame, and only then range
+    partition it — so the RangePartitioner's sampling pass and the
+    per-partition work read the checkpointed distinct frame, never
+    rescanning the input (the r10.0 per-column formulation paid ~3
+    data scans per column in setup jobs; this is the job-count fix
+    that keeps s10b's bench line flat). RangePartitioner assigns
+    ascending (ci, value) ranges to ascending partition ids, so a
+    value's global rank prefix = its partition-local prefix (window
+    partitioned by (ci, pid)) + the broadcast sum of lower partitions'
+    totals for its column. Returns (row count — every column's counts
+    sum to it, saving the df.count() pass — {ci: distinct count}, and
+    the unified CDF frame (__ci, __v, __before))."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    pairs = df.select(
+        F.posexplode(
+            F.array(*[F.col(c).cast("long") for c in cols])
+        ).alias("__ci", "__v")
+    )
+    counts = (
+        pairs.groupBy("__ci", "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint()
+    )
+    n_card = counts.count()  # cheap: counts is checkpointed
+    if n_card <= _RANK_SMALL_CDF:
+        # bounded fast path: one window task PER COLUMN (partitioned by
+        # column index, never SinglePartition), each sorting at most
+        # _RANK_SMALL_CDF distinct values — a fixed bound, so this is
+        # scale-safe at any row count; it skips the range-sampling job,
+        # the second checkpoint, and the per-partition offset plumbing
+        # the high-cardinality path needs
+        dv = counts.withColumn("__pid", F.lit(0))
+    else:
+        dv = (
+            counts.repartitionByRange(
+                n_parts, F.col("__ci"), F.col("__v").asc_nulls_first()
+            )
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint()  # pins pid assignment for totals AND window
+        )
+    # bounded: ≤ len(cols) * n_parts rows (the min/max here replace a
+    # whole separate aggregation pass over the data)
+    tot = dv.groupBy("__ci", "__pid").agg(
+        F.sum("__cnt").alias("__t"),
+        F.count(F.lit(1)).alias("__nv"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    ).collect()
+    by_ci = defaultdict(list)
+    for r in tot:
+        by_ci[r["__ci"]].append(
+            (r["__pid"], int(r["__t"]), int(r["__nv"]), r["__lo"], r["__hi"])
+        )
+    offs_rows, n_rows, n_distinct = [], 0, {}
+    rank_stats = {}
+    for ci, rows in by_ci.items():
+        acc = nv = 0
+        los = [lo for *_x, lo, _hi in rows if lo is not None]
+        his = [hi for *_x, _lo, hi in rows if hi is not None]
+        rank_stats[ci] = (
+            (int(min(los)), int(max(his))) if los else (0, 0)  # all-NULL col
+        )
+        for pid, t, v, _lo, _hi in sorted(rows):
+            offs_rows.append((ci, pid, acc))
+            acc += t
+            nv += v
+        if ci == 0:
+            n_rows = acc
+        n_distinct[ci] = nv
+    for ci in range(len(cols)):  # columns absent from an empty frame
+        rank_stats.setdefault(ci, (0, 0))
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            offs_rows or [(0, 0, 0)], "__ci int, __pid int, __off long"
+        )
+    )
+    w = (
+        Window.partitionBy("__ci", "__pid")
+        .orderBy(F.col("__v").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cdf_all = (
+        dv.withColumn(
+            "__local",
+            F.coalesce(F.sum("__cnt").over(w), F.lit(0)).cast("long"),
+        )
+        .join(off_df, ["__ci", "__pid"])
+        .select(
+            "__ci", "__v", (F.col("__local") + F.col("__off")).alias("__before")
+        )
+    )
+    return n_rows, n_distinct, cdf_all, rank_stats
 
 
 def zorder_write(
@@ -542,10 +606,9 @@ def zorder_write(
         "lo array<long>, hi array<long>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{meta_dir}/info")
     if rank_bounds:
-        for i, c in enumerate(cols):
-            rank_bounds[c].write.mode("overwrite").parquet(
-                f"{meta_dir}/bounds_{i}"
-            )
+        rank_bounds["_all"].write.mode("overwrite").parquet(
+            f"{meta_dir}/bounds"
+        )
     return stats
 
 
@@ -592,9 +655,11 @@ def _zorder_scale_frozen(
         else:
             from pyspark.ml.feature import Bucketizer
 
-            rows = spark.read.parquet(
-                f"{path}/_zorder_meta/bounds_{i}"
-            ).collect()  # bounded: ≤ 2^bits occupied slots
+            rows = (
+                spark.read.parquet(f"{path}/_zorder_meta/bounds")
+                .filter(F.col("__ci") == i)
+                .collect()
+            )  # bounded: ≤ 2^bits occupied slots
             null_slot = next(
                 (int(r["__s"]) for r in rows if r["__b"] is None), None
             )

@@ -473,8 +473,13 @@ def s10b_zorder_rank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     each file an equal-probability rectangle instead. Measured at
     sf0.1 that is the difference between keeping 23/32 and 11/32
     files on a secondary-column quantile strip (SCALE.md). Same
-    roundtrip + recompute shape as s10; the oracle computes the
-    scaling as SQL window ranks."""
+    roundtrip + recompute shape as s10 — the read-back re-derives the
+    full rank CDF, so BOTH derivations are under the hash. (The
+    persisted-meta fast path is exercised by s10c and the frozen-curve
+    pytests instead: at bits=16 its Bucketizer ships ~50k boundary
+    splits through py4j — a fixed cost that is noise under a real
+    append but would dominate this query at bench scale.) Oracle: SQL
+    window ranks (NULLS FIRST)."""
     from engage_spark.io import zorder_values, zorder_write
 
     ev = table(spark, sf_dir, "events").select(

@@ -49,83 +49,72 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
     return deco
 
 
-# The driver's per-round correctness sweep checks the FIRST 50 registry
-# entries. Cumulative record: r1 greened the relational core, r3 the
-# kernels/model/LLM block, r4 the streaming/ext/corpus block, r5 the
-# round-5 additions plus most of the r1-era core, r6 the r6 additions
-# and the r3-era LLM block, r7+r8 the kernel-oracle conversions, the
-# PQ/compaction/split/packing additions and the r3 rollover (r8 ran
-# the unrotated r7 list). Round 9 rotation:
-# (a) queries whose CODE or ORACLE changed in r8/r9 without a
-# post-change driver row: the hot-bucket-capped LSH family (cap added
-# r8; x2*/components* never re-swept) plus the r9 embed-LSH cap, the
-# r9 nprobe/posexplode-centroid IVF + PQ rewrites, and the r9
-# null-safe-compaction s7;
-# (b) the 12 queries whose newest driver row is r4 — the deferral
-# block the r7 verdict scheduled for r8, now overdue;
-# (c) 26 of the 47 r5-signal queries (relational/agg/join/window
-# core); the remaining 21 r5-signal queries
-# (p7..x_quality_decile_gate) are the scheduled round-10 rollover.
+# Round-10 rotation: the driver checks the FIRST 50 registry entries,
+# so this tuple is exactly that window. Composition:
+# (a) the 7 queries whose implementation changed in round 10 and need
+#     a fresh post-change driver row (the chained-IRLS GLM rewrites,
+#     the distributed rank-CDF Z-order path + its new append query,
+#     the upsert failure-path hardening, the expectations coalesce);
+# (b) all 32 queries whose newest driver row is r4/r5 — closing the
+#     freshness rotation the r7 verdict started (after this round no
+#     registered query's newest row is older than r6);
+# (c) 11 r6-signal picks for the remaining slots, preferring the
+#     bench-watched lines (x3_topk creep, the x_bpe/x_embed_quantize
+#     drift) and the function/SQL/setop core.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) changed in r8/r9 — need a post-change driver row
-    "x2_minhash_lsh_dedup",          # r8 hot-bucket cap (star edges)
-    "x2d_minhash_md5",               # r8 cap, oracle twin carries the cap
-    "x2b_simhash_dedup",             # r8 cap
-    "x2b2_simhash_md5",              # r8 cap, oracled
-    "x_embed_lsh_neardup_pairs",     # r9 cap (last uncapped family member)
-    "x_dedup_components",            # consumes capped edges
-    "x_dedup_components_lsh",        # consumes capped edges
-    "x_dedup_components_star",       # consumes capped edges
-    "x3c_ivf_ann_search",            # r9: nprobe=1.5*log2, posexplode centroids
-    "x3e_pq_encode",                 # r9: posexplode codebook recompute
-    "x3e2_pq_adc_search",            # r9: same codebook path
-    "x3f_ivfpq_residual_search",     # NEW r9: true IVF-PQ (residual codes)
-    "s7_compaction_roundtrip",       # r9: null-safe partitioned compaction
-    "s8_partitioned_compaction_nulls",  # NEW r9: NULL-partition roundtrip
-    "s9_upsert_merge_roundtrip",     # NEW r9: MERGE INTO on parquet
-    "s10_zorder_layout",             # NEW r9: Morton layout, minmax scale
-    "s10b_zorder_rank_layout",       # NEW r9: Morton layout, rank scale
-    "x_expectations_check",          # NEW r9: declarative quality gate
-    "m1d_glm_irls_step",             # NEW r9: one IRLS step, Cramer oracle
-    # (b) newest driver row is r4 — the overdue deferral block
-    "ext_approx_sketches",
+    # (a) changed in round 10
+    "m1_glm_poisson",
     "m1b_glm_poisson_govflags",
-    "mm_resize_bytes",
-    "mm_resize_plan",
-    "x3d_mllib_brp_ann",
-    "x4_tfidf_pipeline",
-    "x4b_quality_classifier",
-    "x_doc_chunking",
-    "x_profile_columns",
-    "x_shard_manifest",
-    "ev_retention_cohorts",
-    "ev_conversion_funnel",
-    # (c) r5-signal rollover, part 1 of 2 (part 2 = round 10)
-    "a1_groupby_mean_all_numeric",
-    "a2_a3_groupby_sum_max",
-    "a5_global_min_max_mean",
-    "a6_group_size_gate",
-    "a8_maxabs_normalize",
-    "a9_distinct_values",
-    "a10_row_dedup_subset",
-    "a11_zscore_standardize",
-    "a12_rmse_metric",
-    "j1_inner_join_multikey",
-    "j3_left_outer_join",
-    "j4_right_outer_join",
-    "j5_self_join_suffixes",
-    "j6_broadcast_dim_join",
-    "j7_semi_join_membership",
-    "j8_anti_join_dropgroups",
-    "k_w9_interpolate",
-    "ext_kmv_distinct_md5",          # NEW r9: hash-gated sketch twin
-    "s11_schema_evolution_roundtrip",  # NEW r9: mergeSchema drift path
-    # o2_sorted_distinct, o3_first_row_after_sort, p2_projection_exclude,
-    # p3_p4_rename_literal, p5_arith_derived, p10_cast, p11_null_fill,
-    # p12_drop_allnull_columns and p13_first_value_per_group roll to
-    # round 10 with the p7+ block (slots ceded to the new x3f, s8,
-    # m1d, s9, s10, s10b, x_expectations_check and ext_kmv — this
-    # tuple is exactly the 50-query window the driver checks)
+    "s10c_zorder_append_roundtrip",
+    "s10b_zorder_rank_layout",
+    "s10_zorder_layout",
+    "s9_upsert_merge_roundtrip",
+    "x_expectations_check",
+    # (b) newest driver row r4/r5
+    "x_packed_sequences_exact_order",
+    "o2_sorted_distinct",
+    "o3_first_row_after_sort",
+    "p2_projection_exclude",
+    "p3_p4_rename_literal",
+    "p5_arith_derived",
+    "p7_compound_filter",
+    "p8_conditional_column",
+    "p9_mapping_join_coalesce",
+    "p10_cast",
+    "p11_null_fill",
+    "p12_drop_allnull_columns",
+    "p13_first_value_per_group",
+    "s1_scan_filter_project",
+    "st_doc_quality_stream",
+    "st_stateful_running_stats",
+    "w2_w3_lag_and_diff",
+    "w4_trim_leading_prefix",
+    "w5_head_n_per_group",
+    "w6_tail_n_per_group",
+    "w7_conditional_increase_sum",
+    "w8_sliding_feature_window",
+    "w12_rownumber_index",
+    "x4_tfidf_terms",
+    "x_bigram_perplexity",
+    "x_incremental_dedup",
+    "x_mixture_materialize",
+    "x_mixture_temperature",
+    "x_ngram_novelty",
+    "x_packed_sequences_sharded",
+    "x_quality_decile_gate",
+    "x_sequence_packing_exact_order",
+    # (c) r6-signal picks
+    "x3_topk_cosine_search",
+    "x3b_lsh_ann_search",
+    "x_bpe_merges",
+    "x_embed_quantize",
+    "f_string_ops",
+    "f_date_ops",
+    "sql1_ordinal_groupby_ifnull",
+    "sql2_causal_features",
+    "u1_union_homogeneous",
+    "u5_intersect_except",
+    "mm_frame_digest",
 )
 
 

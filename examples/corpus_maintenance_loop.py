@@ -1,0 +1,168 @@
+"""One full corpus-maintenance cycle — the operational loop the
+round-9/10 storage pieces were built for, composed ONLY from the
+engine's registered operators:
+
+  1. INGEST   — streaming micro-batches with exact + near-dup
+                admission (incremental_ingest_stream: fingerprint
+                anti-join + persisted MinHash index, idempotent
+                run=<tag>_batch=<id> partitions).
+  2. GATE     — validate_expectations over the admitted corpus: the
+                declarative pre-publish contract check (one
+                aggregation over one scan). A failing gate stops the
+                cycle before anything is published.
+  3. COMPACT  — compact_ingest_state collapses the finished run's
+                micro-batch partition debris (corpus + fingerprint
+                store) into right-sized run=history files, keeping the
+                hive layout the next run's appends require.
+  4. OPTIMIZE — optimize_dataset publishes the corpus Z-ordered on
+                (doc_id, n_chars): compaction sizing + Morton
+                clustering in one rewrite, so point lookups by id and
+                range scans by document length both prune on footer
+                stats alone.
+  5. TAKEDOWN — minhash_index_delete tombstones a document out of the
+                near-dup index (round-10 delete path) and
+                upsert_dataset deletes it from the published corpus —
+                the CDC/right-to-be-forgotten flow, no rebuild.
+
+Each stage is the SAME function a production job would schedule; this
+script only sequences them. Run:
+
+  python examples/corpus_maintenance_loop.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
+    from engage_spark.api import (
+        minhash_index_delete,
+        minhash_index_query,
+        validate_expectations,
+    )
+    from engage_spark.io import (
+        compact_ingest_state,
+        optimize_dataset,
+        upsert_dataset,
+    )
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    # ---- 1. INGEST ------------------------------------------------
+    delivery = f"{workdir}/delivery"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(4).write.parquet(delivery)  # 4 drops = 4 batches
+    corpus, store = f"{workdir}/corpus", f"{workdir}/fingerprints"
+    nd_index = f"{workdir}/near_dup_index"
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(delivery)
+    )
+    incremental_ingest_stream(
+        stream, corpus, store, near_dup_index=nd_index
+    ).awaitTermination()
+    admitted_df = spark.read.parquet(corpus)
+    admitted = admitted_df.count()
+
+    # ---- 2. GATE --------------------------------------------------
+    gate = validate_expectations(
+        admitted_df,
+        [
+            {"rule": "not_null", "col": "doc_id"},
+            {"rule": "unique", "col": "doc_id"},
+            {"rule": "not_null", "col": "text"},
+            {"rule": "expr", "id": "nonempty_text", "expr": "length(text) > 0"},
+        ],
+    ).collect()
+    gate_passed = all(r["passed"] for r in gate)
+    if not gate_passed:
+        failed = [r["rule_id"] for r in gate if not r["passed"]]
+        raise RuntimeError(
+            f"corpus failed its expectations gate ({failed}); "
+            "not publishing this cycle"
+        )
+
+    # ---- 3. COMPACT -----------------------------------------------
+    compacted_store = f"{workdir}/fingerprints_compacted"
+    compacted_corpus = f"{workdir}/corpus_compacted"
+    compact_ingest_state(spark, store, compacted_store)
+    compacted_files = compact_ingest_state(spark, corpus, compacted_corpus)
+
+    # ---- 4. OPTIMIZE ----------------------------------------------
+    publish_src = f"{workdir}/publish_src"
+    published = f"{workdir}/published"
+    (
+        spark.read.parquet(compacted_corpus)
+        .select("doc_id", "text", F.length("text").alias("n_chars"))
+        .write.parquet(publish_src)
+    )
+    optimized_files = optimize_dataset(
+        spark, publish_src, published, ["doc_id", "n_chars"]
+    )
+
+    # ---- 5. TAKEDOWN ----------------------------------------------
+    victim = admitted_df.select("doc_id", "text").orderBy("doc_id").limit(1)
+    vrow = victim.collect()[0]
+    probe = spark.createDataFrame(
+        [(10_000_000, vrow.text)], "doc_id long, text string"
+    )
+    matches_before = (
+        minhash_index_query(nd_index, probe, jaccard_threshold=0.9)
+        .filter(F.col("corpus_id") == vrow.doc_id)
+        .count()
+    )
+    minhash_index_delete(nd_index, [int(vrow.doc_id)], spark=spark)
+    matches_after = (
+        minhash_index_query(nd_index, probe, jaccard_threshold=0.9)
+        .filter(F.col("corpus_id") == vrow.doc_id)
+        .count()
+    )
+    upsert_dataset(
+        spark,
+        published,
+        spark.createDataFrame(
+            [(int(vrow.doc_id), None, None, True)],
+            "doc_id long, text string, n_chars long, is_delete boolean",
+        ),
+        ["doc_id"],
+        delete_col="is_delete",
+    )
+    published_rows = spark.read.parquet(published).count()
+
+    return {
+        "delivered": docs.count(),
+        "admitted": admitted,
+        "gate_passed": gate_passed,
+        "compacted_files": compacted_files,
+        "optimized_files": optimized_files,
+        "takedown_matches_before": matches_before,
+        "takedown_matches_after": matches_after,
+        "published_rows": published_rows,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .appName("corpus-maintenance-loop")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        print(run(spark, sf_dir, tmp))
+
+
+if __name__ == "__main__":
+    main()

@@ -988,18 +988,18 @@ def test_zorder_rank_preserves_null_rows(spark):
     assert out_mm.count() == 3
 
 
-def test_zorder_rank_matches_sql_rank_at_scale(spark):
-    """The distributed CDF (range partitions + broadcast prefix
-    offsets) must equal the single-expression SQL rank on a frame
-    large enough to span many range partitions, ties included."""
+def test_zorder_rank_matches_sql_rank_at_scale(spark, monkeypatch):
+    """BOTH CDF paths — the bounded per-column window (small
+    cardinality) and the fully distributed range-partition machinery —
+    must equal the single-expression SQL rank, ties included."""
     from pyspark.sql import Window, functions as F
 
+    import engage_spark.io as eio
     from engage_spark.io import zorder_values
 
     df = spark.range(0, 5000).select(
         ((F.col("id") * 2654435761) % 997).cast("int").alias("x")
     )
-    out, _ = zorder_values(df, ["x"], bits=8, scale="rank")
     expect = df.withColumn(
         "__e",
         (
@@ -1007,24 +1007,31 @@ def test_zorder_rank_matches_sql_rank_at_scale(spark):
             * 255
         ).cast("long"),
     ).withColumn("__e", F.expr("__e div 4999"))
-    got = sorted((r["x"], r["__z"]) for r in out.collect())
     want = sorted((r["x"], r["__e"]) for r in expect.collect())
-    assert got == want
+    for threshold in (eio._RANK_SMALL_CDF, 0):  # small path, then large
+        monkeypatch.setattr(eio, "_RANK_SMALL_CDF", threshold)
+        out, _ = zorder_values(df, ["x"], bits=8, scale="rank")
+        got = sorted((r["x"], r["__z"]) for r in out.collect())
+        assert got == want, f"threshold={threshold}"
 
 
-def test_zorder_rank_plan_has_no_single_partition_window(spark):
+def test_zorder_rank_plan_has_no_single_partition_window(spark, monkeypatch):
     """r9 VERDICT weak: the rank CDF must never plan an unpartitioned
-    window (one-task global sort). Every Window in the plan is
-    partitioned, so no SinglePartition exchange feeds a sort."""
+    window (one-task global sort) on EITHER path — the small path
+    partitions by column index (bounded by _RANK_SMALL_CDF values per
+    task), the large path by (column, range partition)."""
     from pyspark.sql import functions as F
 
+    import engage_spark.io as eio
     from engage_spark.io import zorder_values
 
     df = spark.range(0, 2000).select(F.col("id").cast("int").alias("x"))
-    out, _ = zorder_values(df, ["x"], bits=8, scale="rank")
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan  # the per-partition cumulative sum is there
-    assert "SinglePartition" not in plan
+    for threshold in (eio._RANK_SMALL_CDF, 0):
+        monkeypatch.setattr(eio, "_RANK_SMALL_CDF", threshold)
+        out, _ = zorder_values(df, ["x"], bits=8, scale="rank")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan, threshold
+        assert "SinglePartition" not in plan, threshold
 
 
 def test_zorder_meta_roundtrip_and_append_frozen_curve(spark, tmp_path):
