@@ -707,7 +707,7 @@ def zorder_append(
     Z-ranges (unavoidable for an append) but each still covers a tight
     rectangle, so footer pruning holds — measured within noise of a
     full rewrite (test_zorder_append_preserves_skipping). Returns
-    {"rows", "files"}."""
+    {"files", "cols", "scale"}."""
     m = zorder_meta(spark, path)
     missing = [c for c in m["cols"] if c not in df.columns]
     if missing:
@@ -724,7 +724,9 @@ def zorder_append(
         .write.mode("append")
         .parquet(path)
     )
-    return {"rows": df.count(), "files": n}
+    # no df.count() here — that would re-run the whole scale+shuffle
+    # pipeline just for a return value; count the dataset if you need it
+    return {"files": n, "cols": m["cols"], "scale": m["scale"]}
 
 
 def optimize_dataset(

@@ -1079,7 +1079,7 @@ def test_zorder_meta_roundtrip_and_append_frozen_curve(spark, tmp_path):
         # append roundtrip: all rows present afterwards
         inc = df.filter("a % 2 = 0")
         res = zorder_append(spark, inc, p, num_files=2)
-        assert res["rows"] == inc.count()
+        assert res["files"] == 2 and res["scale"] == scale
         assert spark.read.parquet(p).count() == 4000 + inc.count()
 
 
