@@ -65,6 +65,96 @@ def test_govflags_glm_fits_all_eight_regressors(spark, sf_dir):
         assert abs(coefs[fl]) < 0.2, (fl, coefs[fl])
 
 
+def test_gauss_solver_property_matches_numpy_on_spd():
+    """Property: the fixed-order no-pivot elimination (_gauss_solve_py,
+    the Python half of the oracle twin) solves ANY well-conditioned SPD
+    system to numpy accuracy — the class every IRLS normal matrix
+    belongs to."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from engage_spark.queries.model_ops import _gauss_solve_py
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False), min_size=30, max_size=30
+        ),
+        st.lists(
+            st.floats(-3, 3, allow_nan=False), min_size=5, max_size=5
+        ),
+    )
+    def check(mvals, bvals):
+        m = np.array(mvals).reshape(5, 6)
+        a = m @ m.T + np.eye(5)  # SPD, condition bounded by +I
+        x = _gauss_solve_py(a.tolist(), list(bvals))
+        want = np.linalg.solve(a, np.array(bvals))
+        assert np.allclose(x, want, rtol=1e-9, atol=1e-9)
+
+    check()
+
+
+def test_m1b_chained_irls_matches_mllib_glm(spark, sf_dir):
+    """The gov-flags fit must also BE the GLM: MLlib on the identical
+    9-regressor design (md5 flag bits included) agrees to ~moment-
+    rounding tolerance — pinning the Gaussian-elimination solver the
+    9-wide design forced (Cramer would need 9! terms)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GeneralizedLinearRegression
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import table
+    from engage_spark.queries.model_ops import _M1B_FLAGS
+    from engage_spark.registry import load_all
+
+    got = {
+        r.coef_name: r.coef_value
+        for r in load_all()["m1b_glm_poisson_govflags"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    ev = table(spark, sf_dir, "events").select(
+        F.ceil(F.col("value") + 0.5).cast("double").alias("label"),
+        (F.col("value") - 50.0).alias("d_temp"),
+        F.pmod(F.dayofmonth("ts"), F.lit(3)).cast("double").alias(
+            "period_group"
+        ),
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(fl), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            .cast("double")
+            .alias(fl)
+            for fl in _M1B_FLAGS
+        ],
+    )
+    feats = ["d_temp", "period_group", *_M1B_FLAGS]
+    data = VectorAssembler(inputCols=feats, outputCol="features").transform(ev)
+    model = GeneralizedLinearRegression(
+        family="poisson", link="log", maxIter=50, regParam=0.0, tol=1e-10
+    ).fit(data)
+    want = dict(
+        zip(feats, [float(c) for c in model.coefficients]),
+        Intercept=float(model.intercept),
+    )
+    for k in got:
+        assert abs(got[k] - want[k]) < 2e-3, (k, got[k], want[k])
+
+
 def test_m1_chained_irls_matches_mllib_glm(spark, sf_dir):
     """The hash-oracled chained-IRLS fit must BE the Poisson GLM: MLlib
     GeneralizedLinearRegression on the identical design (assembled
