@@ -729,6 +729,52 @@ def zorder_append(
     return {"files": n, "cols": m["cols"], "scale": m["scale"]}
 
 
+def zorder_layout_stats(spark: SparkSession, path: str) -> dict:
+    """Layout-health metric for a Z-ordered dataset — the OPTIMIZE
+    trigger. Appends put new files on the same curve but their
+    Z-ranges overlap existing files'; as overlap grows, footer-stats
+    pruning degrades toward a full scan. This recomputes every row's
+    Z-value with the FROZEN meta (one scan), reduces to one (z_lo,
+    z_hi) row per file, and sweeps the bounded range list on the
+    driver. Schedule ``optimize_dataset`` when ``overlap_fraction``
+    crosses the caller's threshold (a freshly optimized layout is ~0:
+    ``repartitionByRange`` makes per-file ranges disjoint). Returns
+    {"files", "overlap_pairs", "overlap_fraction", "avg_covering"} —
+    avg_covering is the mean number of files a random Z-point hits,
+    i.e. the read amplification of a curve-point lookup."""
+    import heapq
+
+    m = zorder_meta(spark, path)
+    z = _zorder_scale_frozen(
+        spark,
+        spark.read.parquet(path).withColumn("__file", F.input_file_name()),
+        path,
+        m,
+    )
+    per_file = z.groupBy("__file").agg(
+        F.min("__z").alias("z_lo"), F.max("__z").alias("z_hi")
+    ).collect()  # bounded: one row per data file
+    ranges = sorted((int(r.z_lo), int(r.z_hi)) for r in per_file)
+    n = len(ranges)
+    overlap_pairs = 0
+    active: list = []  # heap of his among open ranges
+    for lo, hi in ranges:
+        while active and active[0] < lo:
+            heapq.heappop(active)
+        overlap_pairs += len(active)
+        heapq.heappush(active, hi)
+    total_span = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges) + 1
+    covered = sum(hi - lo + 1 for lo, hi in ranges)
+    return {
+        "files": n,
+        "overlap_pairs": overlap_pairs,
+        "overlap_fraction": (
+            overlap_pairs / (n * (n - 1) / 2) if n > 1 else 0.0
+        ),
+        "avg_covering": covered / total_span,
+    }
+
+
 def optimize_dataset(
     spark: SparkSession,
     src: str,

@@ -1135,6 +1135,44 @@ def test_zorder_append_preserves_skipping(spark, tmp_path):
     )
 
 
+def test_zorder_layout_stats_tracks_append_degradation(spark, tmp_path):
+    """The OPTIMIZE trigger metric: a fresh Z-ordered write has ~zero
+    inter-file overlap; appends raise overlap_fraction; re-optimizing
+    drops it back to ~zero."""
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import (
+        optimize_dataset,
+        zorder_append,
+        zorder_layout_stats,
+        zorder_write,
+    )
+
+    full = spark.range(20_000).selectExpr(
+        "cast(pmod(hash(id), 512) as long) as a",
+        "cast(pmod(hash(id * 7 + 3), 512) as long) as b",
+    )
+    p = str(tmp_path / "z")
+    zorder_write(
+        spark, full.filter("a % 3 = 0"), p, ["a", "b"], bits=9, num_files=8
+    )
+    fresh = zorder_layout_stats(spark, p)
+    assert fresh["files"] == 8 and fresh["overlap_fraction"] < 0.05
+
+    zorder_append(spark, full.filter("a % 3 = 1"), p, num_files=8)
+    zorder_append(spark, full.filter("a % 3 = 2"), p, num_files=8)
+    degraded = zorder_layout_stats(spark, p)
+    assert degraded["files"] == 24
+    assert degraded["overlap_fraction"] > fresh["overlap_fraction"] + 0.1
+    assert degraded["avg_covering"] > 1.5  # a point now hits ~3 layers
+
+    p2 = str(tmp_path / "z_opt")
+    optimize_dataset(spark, p, p2, ["a", "b"], bits=9)
+    again = zorder_layout_stats(spark, p2)
+    assert again["overlap_fraction"] < 0.05
+    assert spark.read.parquet(p2).count() == 20_000
+
+
 def test_zorder_minmax_overflow_guard(spark):
     """r9 ADVICE low: a span wide enough that (x-lo)*(2^bits-1)
     overflows long must raise, not corrupt the curve."""

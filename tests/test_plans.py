@@ -298,6 +298,36 @@ def test_ivfpq_adc_scan_broadcasts_probed_tables_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tombstone_filter_is_broadcast_anti_join(spark, tmp_path):
+    """Takedown scale contract: the tombstone exclusion on an index
+    query must be a BROADCAST left-anti join (tombstones are bounded
+    by takedowns since the last vacuum) — a shuffled anti-join would
+    re-shuffle the corpus-sized index table per query."""
+    from engage_spark import api
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about shared topic words here")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "ts_idx")
+    api.minhash_index_build(docs, idx)
+    api.minhash_index_delete(idx, [3, 4], spark=spark)
+    q = api.minhash_index_query(
+        idx,
+        spark.createDataFrame(
+            [(99, "document number 3 about shared topic words here")],
+            "doc_id long, text string",
+        ),
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # both index tables (bands + hashes) carry the exclusion
+    assert plan.count("LeftAnti, BuildRight") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
 def test_index_queries_join_buckets_never_cartesian(spark, tmp_path):
     """The persisted near-dup indexes' query path must stay an
     equi-join on the bucket key — a cartesian against the stored bands
