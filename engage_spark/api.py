@@ -331,13 +331,6 @@ def embed_index_query(
     buckets answer with their min-id representative (the
     minhash_index_query cap), and the cosine verify fetches stored
     vectors for banding survivors only (Arrow-vectorized)."""
-    from engage_spark.queries.llm_dedup import _HOT_BUCKET_CAP
-    from engage_spark.queries.llm_similarity import (
-        cosine_arrow,
-        nd_band_keys_column,
-    )
-
-    cap = hot_bucket_cap if hot_bucket_cap is not None else _HOT_BUCKET_CAP
     spark = new_vectors.sparkSession
     meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
     stored_bands = _without_tombstones(
@@ -346,7 +339,34 @@ def embed_index_query(
     stored_vecs = _without_tombstones(
         spark, index_dir, spark.read.parquet(f"{index_dir}/vectors"), "vec_id"
     )
+    return _embed_query_frames(
+        stored_bands, stored_vecs, meta, new_vectors,
+        id_col=id_col, emb_col=emb_col, threshold=threshold,
+        hot_bucket_cap=hot_bucket_cap,
+    )
 
+
+def _embed_query_frames(
+    stored_bands: DataFrame,
+    stored_vecs: DataFrame,
+    meta,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.35,
+    hot_bucket_cap: int | None = None,
+) -> DataFrame:
+    """embed_index_query's engine over ALREADY-LOADED index frames —
+    the streaming ingest passes replay-filtered frames here (excluding
+    its own half-committed batch partitions), batch callers pass the
+    raw parquet scans. `meta` is any object with .bands/.rows/.dim."""
+    from engage_spark.queries.llm_dedup import _HOT_BUCKET_CAP
+    from engage_spark.queries.llm_similarity import (
+        cosine_arrow,
+        nd_band_keys_column,
+    )
+
+    cap = hot_bucket_cap if hot_bucket_cap is not None else _HOT_BUCKET_CAP
     q = new_vectors.select(
         F.col(id_col).alias("new_id"), F.col(emb_col).alias("new_emb")
     )

@@ -380,6 +380,9 @@ def incremental_ingest_stream(
     trigger: dict | None = None,
     near_dup_index: str | None = None,
     near_dup_threshold: float = 0.5,
+    embed_index: str | None = None,
+    emb_col: str = "embedding",
+    embed_threshold: float = 0.85,
 ):
     """foreachBatch corpus ingest: per micro-batch, admit only documents
     whose normalized md5 fingerprint is (a) the first occurrence inside
@@ -440,6 +443,18 @@ def incremental_ingest_stream(
     inside one; run the batch clustering queries for intra-batch
     collapse. A missing index directory means "nothing indexed yet".
 
+    `embed_index` (round 10) adds the SEMANTIC admission tier: when the
+    stream carries an `emb_col` embedding column, each batch also
+    rejects documents whose embedding cosine-matches a prior batch's
+    admitted document at >= `embed_threshold` — paraphrases and
+    translations share no n-grams, so they pass the MinHash gate; this
+    is the layer that catches them. The embed index persists under the
+    same run=<tag>_batch=<id> partitions with the same own-batch replay
+    exclusion; its banding config is frozen into `embed_index/meta` on
+    first write (batches hashed under different configs would land in
+    disjoint buckets and silently match nothing). Both index gates
+    honor takedown tombstones and fail loudly on a partial index.
+
     Maintenance: every run=... partition is a separate small parquet
     write, so long-lived corpora accumulate small files in the corpus,
     store, and index directories. Compact BETWEEN runs with
@@ -456,6 +471,8 @@ def incremental_ingest_stream(
     spark = docs.sparkSession
     store_schema = "fingerprint string"
     bands_schema = "doc_id long, band int, band_key long"
+    embed_bands_schema = "vec_id long, band int, key long"
+    embed_vecs_schema = "vec_id long, embedding array<double>"
     hashes_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -572,6 +589,64 @@ def incremental_ingest_stream(
                     .distinct()
                 )
                 accepted = accepted.join(dup_ids, on=id_col, how="left_anti")
+        if embed_index is not None:
+            # SEMANTIC admission: reject documents whose embedding
+            # cosine-matches a PRIOR batch's admitted document at >=
+            # embed_threshold — catches paraphrases/translations that
+            # share no n-grams and so pass the MinHash gate. Same
+            # existence-probe / partial-index / run-partition replay
+            # discipline as the lexical index.
+            if emb_col not in batch_df.columns:
+                raise ValueError(
+                    f"embed_index is set but the stream lacks the "
+                    f"'{emb_col}' column"
+                )
+            from engage_spark.api import (
+                _embed_query_frames,
+                _without_tombstones,
+            )
+
+            ebfs, ebp = _hadoop_fs(spark, f"{embed_index}/bands")
+            evfs, evp = _hadoop_fs(spark, f"{embed_index}/vectors")
+            eb_exists, ev_exists = ebfs.exists(ebp), evfs.exists(evp)
+            if eb_exists != ev_exists:
+                raise RuntimeError(
+                    f"embed index at {embed_index} is partial "
+                    f"(bands={'present' if eb_exists else 'missing'}, "
+                    f"vectors={'present' if ev_exists else 'missing'}); "
+                    "repair or remove it before ingesting"
+                )
+            if eb_exists:
+                meta = spark.read.parquet(f"{embed_index}/meta").collect()[0]
+                esb = _replay_filtered(
+                    spark.read.schema(embed_bands_schema).parquet(
+                        f"{embed_index}/bands"
+                    ),
+                    batch_id,
+                    ["vec_id", "band", "key"],
+                )
+                esv = _replay_filtered(
+                    spark.read.schema(embed_vecs_schema).parquet(
+                        f"{embed_index}/vectors"
+                    ),
+                    batch_id,
+                    ["vec_id", "embedding"],
+                )
+                esb = _without_tombstones(spark, embed_index, esb, "vec_id")
+                esv = _without_tombstones(spark, embed_index, esv, "vec_id")
+                sem_dup = (
+                    _embed_query_frames(
+                        esb, esv, meta,
+                        accepted.select(
+                            F.col(id_col).alias("vec_id"),
+                            F.col(emb_col).alias("embedding"),
+                        ),
+                        threshold=embed_threshold,
+                    )
+                    .select(F.col("new_id").alias(id_col))
+                    .distinct()
+                )
+                accepted = accepted.join(sem_dup, on=id_col, how="left_anti")
         part = f"run={run_tag}_batch={batch_id}"
         accepted.write.mode("overwrite").parquet(f"{corpus_dir}/{part}")
         accepted.select("fingerprint").distinct().write.mode("overwrite").parquet(
@@ -592,6 +667,44 @@ def incremental_ingest_stream(
             hashed.write.mode("overwrite").parquet(
                 f"{near_dup_index}/hashes/{part}"
             )
+        if embed_index is not None:
+            from engage_spark.queries.llm_similarity import (
+                lsh_banding_params,
+                nd_band_keys_column,
+            )
+
+            mfs, mp = _hadoop_fs(spark, f"{embed_index}/meta")
+            if not mfs.exists(mp):
+                # freeze the banding config on first write: batches
+                # hashed under different (bands, rows, dim) would land
+                # in disjoint buckets and match nothing. Deterministic
+                # on replay (derived from this batch's own rows).
+                probe = accepted.select(emb_col).limit(1).collect()
+                dim = len(probe[0][0]) if probe else 64
+                bands_n, rows_n = lsh_banding_params(
+                    max(1024, accepted.count())
+                )
+                spark.createDataFrame(
+                    [(int(bands_n), int(rows_n), int(dim))],
+                    "bands int, rows int, dim int",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    f"{embed_index}/meta"
+                )
+            meta = spark.read.parquet(f"{embed_index}/meta").collect()[0]
+            ev = accepted.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(emb_col).alias("embedding"),
+            )
+            ev.select(
+                "vec_id",
+                F.posexplode(
+                    nd_band_keys_column(
+                        ev, "embedding",
+                        int(meta.bands), int(meta.rows), int(meta.dim),
+                    )
+                ).alias("band", "key"),
+            ).write.mode("overwrite").parquet(f"{embed_index}/bands/{part}")
+            ev.write.mode("overwrite").parquet(f"{embed_index}/vectors/{part}")
 
     return (
         docs.writeStream.foreachBatch(ingest)

@@ -593,6 +593,62 @@ def test_ingest_near_dup_admission_across_batches(spark, tmp_path):
     assert idx_ids == [1, 3]
 
 
+def test_ingest_semantic_admission_across_batches(spark, tmp_path):
+    """embed_index adds the SEMANTIC admission tier: a later batch's
+    document with (near-)identical EMBEDDING but entirely different
+    words — the paraphrase/translation case MinHash cannot see — is
+    rejected; a semantically fresh document is admitted; the embed
+    index grows only with admitted docs."""
+    import numpy as np
+
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    rng = np.random.RandomState(11)
+    base_vec = rng.randn(64)
+    near_vec = base_vec + 0.01 * rng.randn(64)  # cosine ~1 with base
+    fresh_vec = rng.randn(64)                   # cosine ~0
+    rows = [
+        (1, "the original english sentence about rainfall totals", base_vec),
+        (2, "la frase original en espanol sobre lluvia acumulada", near_vec),
+        (3, "catalyst compiles declarative plans into fast bytecode",
+         fresh_vec),
+    ]
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        [(i, t, v.tolist()) for i, t, v in rows],
+        "doc_id long, text string, embedding array<double>",
+    )
+    # batch 1: doc 1; batch 2: doc 2 (semantic dup of 1) + doc 3
+    df.filter("doc_id = 1").coalesce(1).write.parquet(f"{src}/a.parquet")
+    df.filter("doc_id > 1").coalesce(1).write.parquet(f"{src}/b.parquet")
+
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    eidx = str(tmp_path / "emb_idx")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<double>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    incremental_ingest_stream(
+        stream, corpus, store, embed_index=eidx, embed_threshold=0.8
+    ).awaitTermination()
+
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 3], f"semantic admission produced {got}"
+    idx_ids = sorted(
+        r.vec_id
+        for r in spark.read.parquet(f"{eidx}/vectors")
+        .select("vec_id")
+        .collect()
+    )
+    assert idx_ids == [1, 3]
+    # the frozen banding config exists and is 1 row
+    assert spark.read.parquet(f"{eidx}/meta").count() == 1
+
+
 def test_ingest_partial_near_dup_index_fails_loudly(spark, tmp_path):
     """r9 ADVICE medium: a PARTIAL index (bands/ without hashes/) must
     fail the ingest with a clear error, not silently disable near-dup
