@@ -87,8 +87,10 @@ OPTIONAL = [
     "s9_upsert_merge_roundtrip",
     "s10b_zorder_rank_layout",
     "x_expectations_check",
-    # round 10 addition (frozen-curve append lifecycle roundtrip)
+    # round 10 additions (frozen-curve append lifecycle roundtrip;
+    # BM25 lexical retrieval)
     "s10c_zorder_append_roundtrip",
+    "x4d_bm25_topk",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -445,6 +445,83 @@ def embed_index_append(
     return e.count()
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    max_df_fraction: float | None = None,
+) -> DataFrame:
+    """Okapi BM25 top-k lexical retrieval: score every document against
+    every query's (distinct) terms and return (query_id, doc_id, rank,
+    score) for the k best per query — the classic keyword-search
+    complement to the embedding searches (x3 family), and the lexical
+    half of a hybrid retriever. Pure DataFrame ops, no UDF.
+
+    Scale shape: the corpus is scanned once into (doc, term, tf) — the
+    posting-list form — with partial aggregation; n_docs and avgdl are
+    two bounded driver scalars (catalog statistics at scale); the
+    (tiny) query-term set BROADCASTS onto the posting lists, so
+    per-query cost is the matched posting lists, never the corpus.
+    For web-scale corpora the posting lists of stopword-frequency
+    terms dominate that join — set ``max_df_fraction`` (e.g. 0.5) to
+    drop terms present in more than that fraction of documents, the
+    standard stopword-pruning trade (such terms carry near-zero idf).
+    Query term frequency is ignored (terms deduped), the standard
+    short-query simplification. Scores round to 6dp before ranking
+    (ties break by doc_id), which is what makes the whole operator
+    hash-oracle-able — x4d_bm25_topk replays it in DuckDB."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _ws_tokens(text_col).alias("__toks")
+    ).withColumn("__dlen", F.size("__toks").cast("long"))
+    tf = (
+        base.select("doc_id", "__dlen", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "__dlen", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    row = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("__dlen").alias("avgdl"),
+    ).collect()[0]  # bounded: 2 scalars
+    n_docs, avgdl = float(row["n"]), float(row["avgdl"] or 1.0)
+    dfr = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    if max_df_fraction is not None:
+        dfr = dfr.filter(F.col("df") <= F.lit(n_docs * max_df_fraction))
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _ws_tokens(query_text_col).alias("__qtoks"),
+    ).select("query_id", F.explode(F.array_distinct("__qtoks")).alias("term"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dlen") / F.lit(avgdl)
+    )
+    contrib = (
+        F.broadcast(qt)
+        .join(tf, "term")
+        .join(dfr, "term")
+        .withColumn("__c", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
+    )
+    score = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("__c") + F.lit(1e-9), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        score.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
 def exact_dedup_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -894,3 +894,79 @@ def ext_kmv_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (round-10 extension: the keyword-search
+# complement to the x3 embedding searches — together the two halves of
+# a hybrid retriever)
+
+_BM25_TOKS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
+_BM25_ORACLE = f"""
+WITH docs_t AS (
+  SELECT doc_id, {_BM25_TOKS_DUCK} AS toks FROM documents
+),
+tf AS (
+  SELECT dt.doc_id, len(dt.toks)::BIGINT AS dlen, t.term,
+         count(*)::BIGINT AS tf
+  FROM docs_t dt, unnest(dt.toks) AS t(term)
+  GROUP BY dt.doc_id, len(dt.toks), t.term
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(len(toks))::DOUBLE AS avgdl
+  FROM docs_t
+),
+dfr AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id,
+         list_slice({_BM25_TOKS_DUCK}, 1, 6) AS qtoks
+  FROM documents WHERE doc_id < 3
+),
+qt AS (SELECT DISTINCT query_id, t.term FROM q, unnest(qtoks) AS t(term)),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dlen / s.avgdl)) AS c
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfr USING (term), stats s
+),
+score AS (
+  SELECT query_id, doc_id, round(sum(c) + 1e-9, 6) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS rank
+  FROM score
+)
+SELECT query_id, doc_id, rank::BIGINT AS rank, score
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("x4d_bm25_topk", oracle=_BM25_ORACLE, covers=["X4"])
+def x4d_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (api.bm25_topk) over the documents
+    table; the query set is the first-6-token prefix of docs 0-2 (a
+    deterministic, oracle-reproducible query derivation). Whole-path
+    hash check: tokenization, posting-list tf, df/idf, the
+    length-normalized scoring expression (k1=1.2, b=0.75; 2.2 ==
+    1.2+1.0 bit-exactly on both engines), 6dp score rounding BEFORE
+    ranking, and the doc_id tie-break. Scale shape documented on the
+    facade: corpus scanned once into posting lists, query terms
+    broadcast, per-query cost = matched posting lists."""
+    from engage_spark import api
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 6),
+            " ",
+        ).alias("query_text"),
+    )
+    return api.bm25_topk(docs, queries, k=10)

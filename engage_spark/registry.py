@@ -62,7 +62,8 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     bench-watched lines (x3_topk creep, the x_bpe/x_embed_quantize
 #     drift) and the function/SQL/setop core.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) changed in round 10
+    # (a) changed or NEW in round 10
+    "x4d_bm25_topk",
     "m1_glm_poisson",
     "m1b_glm_poisson_govflags",
     "s10c_zorder_append_roundtrip",
@@ -114,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql2_causal_features",
     "u1_union_homogeneous",
     "u5_intersect_except",
-    "mm_frame_digest",
 )
 
 

@@ -1294,6 +1294,50 @@ def test_minhash_index_lifecycle_build_query_append(spark, tmp_path):
     assert again[0].jaccard == 1.0
 
 
+def test_bm25_topk_semantics_and_pruning(spark):
+    """BM25 facade on arbitrary column names: the doc repeating a rare
+    query term outranks docs mentioning it once; a query matching
+    nothing returns no rows; max_df_fraction drops ubiquitous terms'
+    posting lists (their contribution vanishes)."""
+    from engage_spark import api
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common filler words here"),
+            (2, "zebra appears once among common filler words"),
+            (3, "entirely unrelated content about databases common"),
+            (4, "common common common common common common common"),
+        ],
+        "id long, body string",
+    )
+    qs = spark.createDataFrame([(10, "zebra")], "qid long, qtext string")
+    got = api.bm25_topk(
+        docs, qs, k=3, id_col="id", text_col="body",
+        query_id_col="qid", query_text_col="qtext",
+    ).collect()
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
+    assert got[0].score > 0
+
+    # no matching term -> empty result, not an error
+    none = api.bm25_topk(
+        docs,
+        spark.createDataFrame([(11, "quasar")], "qid long, qtext string"),
+        id_col="id", text_col="body",
+        query_id_col="qid", query_text_col="qtext",
+    )
+    assert none.count() == 0
+
+    # 'common' is in 4/4 docs; pruning at 0.5 removes its posting list
+    pruned = api.bm25_topk(
+        docs,
+        spark.createDataFrame([(12, "common zebra")], "qid long, qtext string"),
+        k=4, id_col="id", text_col="body",
+        query_id_col="qid", query_text_col="qtext",
+        max_df_fraction=0.5,
+    ).collect()
+    assert sorted(r.doc_id for r in pruned) == [1, 2]  # docs 3,4 only match 'common'
+
+
 def test_minhash_index_delete_revive_vacuum(spark, tmp_path):
     """Takedown flow (r9 VERDICT item 5): a deleted document stops
     matching immediately (tombstone anti-join), re-appending it
