@@ -91,6 +91,7 @@ OPTIONAL = [
     # BM25 lexical retrieval)
     "s10c_zorder_append_roundtrip",
     "x4d_bm25_topk",
+    "x5_hybrid_rrf",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

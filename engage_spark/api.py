@@ -522,6 +522,47 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    ranked_lists: list, k0: int = 60, k: int = 10
+) -> DataFrame:
+    """Reciprocal-rank fusion of any number of per-query rank lists
+    (each a DataFrame with query_id, doc_id, rank): rrf_score =
+    Σ 1/(k0 + rank) over the lists an item appears in, re-ranked
+    descending with a doc_id tie-break. The standard training-free way
+    to combine lexical (bm25_topk) and semantic (topk_cosine_search /
+    ivfpq_search) retrieval into a hybrid retriever — rank-based, so
+    no score normalization across retrievers is needed.
+
+    Scale shape: the inputs are already top-k lists (queries × k rows
+    each), so this is arithmetic over bounded frames — one union, one
+    partial-agg'd groupBy, one per-query window. Scores round to 6dp
+    before ranking, making the fusion oracle-able (x5_hybrid_rrf)."""
+    import functools
+
+    u = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            r.select(
+                "query_id", "doc_id", F.col("rank").cast("long").alias("rank")
+            )
+            for r in ranked_lists
+        ],
+    )
+    sc = u.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(k0) + F.col("rank"))) + F.lit(1e-9), 6
+        ).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.col("doc_id")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_score", "rank")
+    )
+
+
 def exact_dedup_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

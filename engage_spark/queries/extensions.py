@@ -902,8 +902,7 @@ def ext_kmv_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a hybrid retriever)
 
 _BM25_TOKS_DUCK = r"string_split_regex(lower(trim(text)), '\s+')"
-_BM25_ORACLE = f"""
-WITH docs_t AS (
+_BM25_CTES = f"""docs_t AS (
   SELECT doc_id, {_BM25_TOKS_DUCK} AS toks FROM documents
 ),
 tf AS (
@@ -942,7 +941,10 @@ ranked AS (
              PARTITION BY query_id ORDER BY score DESC, doc_id
          ) AS rank
   FROM score
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
 SELECT query_id, doc_id, rank::BIGINT AS rank, score
 FROM ranked WHERE rank <= 10
 """
@@ -970,3 +972,79 @@ def x4d_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("query_text"),
     )
     return api.bm25_topk(docs, queries, k=10)
+
+
+# Hybrid retrieval: BM25 ∪ exact-cosine fused by reciprocal rank.
+# The cosine half mirrors the x3 oracle (same _COS_DUCK expression);
+# ids are shared between `documents` and `embeddings` in the testdata,
+# standing in for a corpus with both a text and an embedding column.
+_HYBRID_ORACLE = None  # built below after the import
+
+
+def _build_hybrid_oracle() -> str:
+    from engage_spark.queries.llm_similarity import _COS_DUCK
+
+    return f"""
+WITH {_BM25_CTES},
+bm25_top AS (
+  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10
+),
+cos_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {_COS_DUCK} DESC, c.vec_id
+         ) AS rank
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 3 AND c.vec_id != q.vec_id
+),
+cos_top AS (SELECT query_id, doc_id, rank FROM cos_scored WHERE rank <= 10),
+fused AS (
+  SELECT query_id, doc_id,
+         round(sum(1.0 / (60 + rank)) + 1e-9, 6) AS rrf_score
+  FROM (
+    SELECT * FROM bm25_top
+    UNION ALL
+    SELECT * FROM cos_top
+  )
+  GROUP BY query_id, doc_id
+),
+rr AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+         ) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, rank::BIGINT AS rank
+FROM rr WHERE rank <= 10
+"""
+
+
+@query("x5_hybrid_rrf", oracle=_build_hybrid_oracle(), covers=["X3", "X4"])
+def x5_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (api.rrf_fuse): BM25 over `documents` and
+    exact cosine top-k over `embeddings` for the same query ids 0-2,
+    fused by reciprocal rank (k0=60) — the standard two-tower
+    keyword+semantic retriever, training-free because fusion is
+    rank-based. Whole path hash-checked: both retrievers' rankings AND
+    the fusion arithmetic (6dp-rounded before the final rank, doc_id
+    tie-break). Scale: both inputs are already top-k lists, so fusion
+    is arithmetic over queries x k rows."""
+    from engage_spark import api
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 6),
+            " ",
+        ).alias("query_text"),
+    )
+    lex = api.bm25_topk(docs, queries, k=10)
+    emb = table(spark, sf_dir, "embeddings")
+    sem = api.topk_cosine_search(
+        emb, emb.filter(F.col("vec_id") < 3), k=10
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return api.rrf_fuse([lex, sem], k0=60, k=10)

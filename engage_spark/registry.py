@@ -64,6 +64,7 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) changed or NEW in round 10
     "x4d_bm25_topk",
+    "x5_hybrid_rrf",
     "m1_glm_poisson",
     "m1b_glm_poisson_govflags",
     "s10c_zorder_append_roundtrip",
@@ -114,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sql1_ordinal_groupby_ifnull",
     "sql2_causal_features",
     "u1_union_homogeneous",
-    "u5_intersect_except",
 )
 
 

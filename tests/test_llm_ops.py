@@ -1338,6 +1338,26 @@ def test_bm25_topk_semantics_and_pruning(spark):
     assert sorted(r.doc_id for r in pruned) == [1, 2]  # docs 3,4 only match 'common'
 
 
+def test_rrf_fuse_prefers_items_in_multiple_lists(spark):
+    """RRF semantics: an item ranked mid-list by BOTH retrievers beats
+    an item ranked first by only one (1/61+1/62 > 1/60 + nothing at
+    k0=60 for adjacent ranks); ties break by doc_id."""
+    from engage_spark import api
+
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 200, 1), (1, 300, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = sorted(
+        api.rrf_fuse([a, b], k0=60, k=3).collect(), key=lambda r: r.rank
+    )
+    assert [r.doc_id for r in got] == [200, 100, 300]
+    # doc 200: 1/62 + 1/61 ; doc 100: 1/61 ; doc 300: 1/62
+    assert got[0].rrf_score > got[1].rrf_score > got[2].rrf_score
+
+
 def test_minhash_index_delete_revive_vacuum(spark, tmp_path):
     """Takedown flow (r9 VERDICT item 5): a deleted document stops
     matching immediately (tombstone anti-join), re-appending it
