@@ -264,6 +264,95 @@ def x_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {_shingles_duck(3)} AS sh FROM t),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(a.sh || b.sh))::DOUBLE >= {_CC_EDGE_THRESHOLD}
+    ),
+    sym AS (SELECT doc_a s, doc_b d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+    walk(node, reach) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.node, e.d FROM walk w JOIN sym e ON e.s = w.reach
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(reach)::BIGINT AS component_id
+        FROM walk GROUP BY node
+    ),
+    q0 AS (SELECT doc_id, n_chars, {_TOKS_DUCK} AS qtoks FROM documents),
+    qual AS (
+        SELECT doc_id,
+               round(len(list_filter(qtoks,
+                         x -> list_contains([{_sql_list(_STOPWORDS)}], x)))
+                     / len(qtoks)::DOUBLE, 6) AS stopword_ratio,
+               CASE WHEN n_chars BETWEEN 100 AND 20000
+                     AND len(list_filter(qtoks,
+                             x -> list_contains([{_sql_list(_STOPWORDS)}], x)))
+                         / len(qtoks)::DOUBLE >= 0.01
+                    THEN 1 ELSE 0 END AS quality_keep
+        FROM q0
+    ),
+    rankedq AS (
+        SELECT c.doc_id, c.component_id,
+               row_number() OVER (
+                   PARTITION BY c.component_id
+                   ORDER BY q.quality_keep DESC, q.stopword_ratio DESC,
+                            c.doc_id
+               ) AS rn
+        FROM comp c JOIN qual q USING (doc_id)
+    ),
+    keep AS (SELECT component_id, doc_id AS keeper_id FROM rankedq WHERE rn = 1)
+    SELECT r.doc_id, r.component_id, k.keeper_id,
+           CASE WHEN r.doc_id = k.keeper_id THEN 1 ELSE 0 END AS is_keeper
+    FROM rankedq r JOIN keep k USING (component_id)
+    """
+
+
+@query("x_dedup_keep_best", oracle=_KEEP_BEST_ORACLE, covers=["X2", "X4"])
+def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE dedup retention: the same near-dup components as
+    x_dedup_components, but the survivor per cluster is the document
+    that wins on the quality heuristics (quality_keep gate first, then
+    stopword_ratio — the natural-prose signal — with doc_id as the
+    deterministic tie-break), not the arbitrary min-id. This is the
+    retention policy curation pipelines actually want: when a re-crawl
+    collects both a boilerplate-wrapped and a clean copy of a page,
+    keep the clean one. Scale shape: the per-component window and the
+    keeper join share the component_id hash partitioning (one exchange
+    serves both), and component sizes are bounded upstream by the LSH
+    star-cap in the production edge path. Oracle = transitive-closure
+    CTE + the shared quality expressions + the same argmax window."""
+    from engage_spark.queries.llm_text import quality_select
+
+    d = table(spark, sf_dir, "documents")
+    edges = _exact_trigram_edges(d)
+    comp = connected_components(d.select("doc_id"), edges, node_col="doc_id").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+    q = quality_select(d).select("doc_id", "quality_keep", "stopword_ratio")
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_keep"), F.desc("stopword_ratio"), F.col("doc_id")
+    )
+    ranked = j.withColumn("__rn", F.row_number().over(w))
+    keepers = ranked.filter(F.col("__rn") == 1).select(
+        "component_id", F.col("doc_id").alias("keeper_id")
+    )
+    return ranked.join(keepers, "component_id").select(
+        "doc_id",
+        "component_id",
+        "keeper_id",
+        F.when(F.col("doc_id") == F.col("keeper_id"), 1)
+        .otherwise(0)
+        .alias("is_keeper"),
+    )
+
+
 @query(
     "x_cluster_safe_split",
     # same recursive-CTE transitive closure as _CC_EXACT_ORACLE, with
