@@ -563,6 +563,53 @@ def rrf_fuse(
     )
 
 
+def hybrid_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    query_emb_col: str = "query_embedding",
+    bm25_kwargs: dict | None = None,
+) -> DataFrame:
+    """One-call hybrid retrieval over a corpus carrying BOTH a text and
+    an embedding column: BM25 (lexical) and exact cosine (semantic)
+    top-k lists fused by reciprocal rank. Queries supply
+    (query_id, query_text, query_embedding). Each retriever fetches
+    2*k candidates so an item strong in one modality but just outside
+    the other's top-k still fuses in. For corpora where exact cosine
+    is too hot, run ivfpq_search yourself and pass its list to
+    rrf_fuse — fusion is retriever-agnostic. Returns
+    (query_id, doc_id, rrf_score, rank)."""
+    lex = bm25_topk(
+        corpus,
+        queries,
+        k=2 * k,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        **(bm25_kwargs or {}),
+    )
+    sem = topk_cosine_search(
+        corpus.select(F.col(id_col), F.col(emb_col)),
+        queries,
+        k=2 * k,
+        id_col=id_col,
+        emb_col=emb_col,
+        query_id_col=query_id_col,
+        query_emb_col=query_emb_col,
+        exclude_self=False,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], k0=k0, k=k)
+
+
 def exact_dedup_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

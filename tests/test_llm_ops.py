@@ -1338,6 +1338,44 @@ def test_bm25_topk_semantics_and_pruning(spark):
     assert sorted(r.doc_id for r in pruned) == [1, 2]  # docs 3,4 only match 'common'
 
 
+def test_hybrid_search_fuses_lexical_and_semantic(spark):
+    """One-call hybrid: a doc matching the query ONLY lexically and a
+    doc matching ONLY semantically both surface; a doc matching both
+    ranks first."""
+    import numpy as np
+
+    from engage_spark import api
+
+    rng = np.random.RandomState(3)
+    q_vec = rng.randn(16)
+    both_vec = q_vec + 0.01 * rng.randn(16)
+    sem_vec = q_vec + 0.02 * rng.randn(16)
+    far1, far2 = rng.randn(16), rng.randn(16)
+    corpus = spark.createDataFrame(
+        [
+            (1, "quantum harmonics resonate in the crystal lattice",
+             both_vec.tolist()),                      # lexical + semantic
+            (2, "completely different topic entirely here today",
+             sem_vec.tolist()),                       # semantic only
+            (3, "quantum harmonics also appear in this text body",
+             far1.tolist()),                          # lexical only
+            (4, "unrelated filler about cooking pasta slowly tonight",
+             far2.tolist()),                          # neither
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(10, "quantum harmonics", q_vec.tolist())],
+        "query_id long, query_text string, query_embedding array<double>",
+    )
+    got = sorted(
+        api.hybrid_search(corpus, qs, k=4).collect(), key=lambda r: r.rank
+    )
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 1, f"doc matching both modalities should win: {ids}"
+    assert 2 in ids and 3 in ids, f"single-modality docs must surface: {ids}"
+
+
 def test_rrf_fuse_prefers_items_in_multiple_lists(spark):
     """RRF semantics: an item ranked mid-list by BOTH retrievers beats
     an item ranked first by only one (1/61+1/62 > 1/60 + nothing at
