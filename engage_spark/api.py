@@ -78,6 +78,16 @@ __all__ = [
     "training_shards",
     "cosine_expr",
     "validate_expectations",
+    # round 10: takedown deletes + retrieval
+    "minhash_index_delete",
+    "minhash_index_vacuum",
+    "embed_index_delete",
+    "embed_index_vacuum",
+    "ivfpq_delete",
+    "ivfpq_vacuum",
+    "bm25_topk",
+    "rrf_fuse",
+    "hybrid_search",
 ]
 
 

@@ -1338,6 +1338,17 @@ def test_bm25_topk_semantics_and_pruning(spark):
     assert sorted(r.doc_id for r in pruned) == [1, 2]  # docs 3,4 only match 'common'
 
 
+def test_hybrid_retrieval_example_composes_end_to_end(spark, tmp_path):
+    """The examples/ hybrid-retrieval script runs over real testdata:
+    both fused lists produce rows and the IVF-PQ leg's fused ranking
+    substantially agrees with the exact-cosine leg's."""
+    from examples.hybrid_retrieval import run
+
+    out = run(spark, "/root/testdata/sf0.001", str(tmp_path / "work"))
+    assert out["lexical_rows"] > 0 and out["fused_rows"] > 0
+    assert out["fused_overlap"] >= 0.6, out
+
+
 def test_hybrid_search_fuses_lexical_and_semantic(spark):
     """One-call hybrid: a doc matching the query ONLY lexically and a
     doc matching ONLY semantically both surface; a doc matching both
