@@ -978,9 +978,6 @@ def x4d_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The cosine half mirrors the x3 oracle (same _COS_DUCK expression);
 # ids are shared between `documents` and `embeddings` in the testdata,
 # standing in for a corpus with both a text and an embedding column.
-_HYBRID_ORACLE = None  # built below after the import
-
-
 def _build_hybrid_oracle() -> str:
     from engage_spark.queries.llm_similarity import _COS_DUCK
 
