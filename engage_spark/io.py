@@ -615,6 +615,14 @@ def zorder_write(
 def zorder_meta(spark: SparkSession, path: str) -> dict:
     """Load the frozen scaling metadata a zorder_write persisted:
     {"cols", "bits", "scale", "lo": {col: lo}, "hi": {col: hi}}."""
+    fs, p = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
+    if not fs.exists(p):
+        raise ValueError(
+            f"{path} has no _zorder_meta — it was not written by "
+            "zorder_write (or predates meta persistence). Rewrite it "
+            "with zorder_write/optimize_dataset before appending; "
+            "appends must scale with the stored curve."
+        )
     info = spark.read.parquet(f"{path}/_zorder_meta/info").collect()[0]
     return {
         "cols": list(info.cols),

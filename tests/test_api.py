@@ -1145,6 +1145,19 @@ def test_zorder_append_preserves_skipping(spark, tmp_path):
     )
 
 
+def test_zorder_append_without_meta_raises_clearly(spark, tmp_path):
+    """Appending to a dataset that was never zorder_write-ten must
+    raise a ValueError naming the fix, not a raw path error."""
+    import pytest as _pytest
+
+    from engage_spark.io import zorder_append
+
+    p = str(tmp_path / "plain")
+    spark.range(100).selectExpr("id as a", "id as b").write.parquet(p)
+    with _pytest.raises(ValueError, match="_zorder_meta"):
+        zorder_append(spark, spark.range(5).selectExpr("id as a", "id as b"), p)
+
+
 def test_zorder_layout_stats_tracks_append_degradation(spark, tmp_path):
     """The OPTIMIZE trigger metric: a fresh Z-ordered write has ~zero
     inter-file overlap; appends raise overlap_fraction; re-optimizing
