@@ -39,26 +39,46 @@ def main() -> None:
 
     from engage_spark.streaming.jobs import incremental_ingest_stream
 
+    from pyspark.sql import functions as F
+
     delivery = "/tmp/ingest_nd_docs"
     shutil.rmtree(delivery, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+        "doc_id",
+        "text",
+        # deterministic 16-dim stand-in embedding (hash-derived): the
+        # semantic tier's COST is what this measures — banding, index
+        # join, cosine verify — which is content-independent
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("text"), F.lit(i)), F.lit(1000))
+                    / 500.0
+                    - 1.0
+                )
+                for i in range(16)
+            ]
+        ).alias("embedding"),
     )
     docs.repartition(n_files).write.parquet(delivery)
     rows = docs.count()
 
-    for mode in ("exact_only", "near_dup"):
+    for mode in ("exact_only", "near_dup", "near_dup_plus_semantic"):
         work = f"/tmp/ingest_nd_{mode}"
         shutil.rmtree(work, ignore_errors=True)
         stream = (
-            spark.readStream.schema("doc_id long, text string")
+            spark.readStream.schema(
+                "doc_id long, text string, embedding array<double>"
+            )
             .option("maxFilesPerTrigger", 1)
             .option("recursiveFileLookup", "true")
             .parquet(delivery)
         )
         kwargs = {}
-        if mode == "near_dup":
+        if mode.startswith("near_dup"):
             kwargs["near_dup_index"] = f"{work}/nd_index"
+        if mode == "near_dup_plus_semantic":
+            kwargs["embed_index"] = f"{work}/emb_index"
         t0 = time.perf_counter()
         incremental_ingest_stream(
             stream, f"{work}/corpus", f"{work}/store", **kwargs
