@@ -570,8 +570,7 @@ _MH32_KEY_SQL = ",\n           ".join(
 )
 _MH32_KEYS_LIST = "[" + ", ".join(f"k{bi}" for bi in range(_MH32_BANDS)) + "]"
 
-_MH32_PAIRS_SQL = f"""
-    WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
+_MH32_CTES = f"""t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents),
     s AS (SELECT doc_id, {_shingles_duck(3)} AS sh FROM t),
     h AS (
       SELECT doc_id,
@@ -593,7 +592,10 @@ _MH32_PAIRS_SQL = f"""
       FROM cand c
       JOIN h ha ON ha.doc_id = c.doc_a
       JOIN h hb ON hb.doc_id = c.doc_b
-    )
+    )"""
+
+_MH32_PAIRS_SQL = f"""
+    WITH {_MH32_CTES}
     SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
     """
 
@@ -610,6 +612,27 @@ def minhash_md5_pairs(
     twin). Bucket self-joins are size-capped (star edges above
     `hot_bucket_cap`, mirrored in the oracle by _capped_pairs_sql).
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    cand, hashed = _mh32_cand(d, hot_bucket_cap)
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("ha"))
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("hb"))
+    jac = F.size(F.array_intersect("ha", "hb")) / F.size(
+        F.array_union("ha", "hb")
+    ).cast("double")
+    return (
+        cand.join(ha, on="doc_a")
+        .join(hb, on="doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _mh32_cand(d: DataFrame, hot_bucket_cap: int = _HOT_BUCKET_CAP):
+    """The md5-family banding pipeline up to (but not including) the
+    verify: returns (capped candidate pairs, the per-doc shingle-hash
+    frame). Split out so the recall report can count candidates and
+    verified pairs separately while sharing one pipeline definition
+    with minhash_md5_pairs."""
     hashed = (
         d.select("doc_id", F.expr(_TOKS_SPARK).alias("__toks"))
         .select("doc_id", _shingles_spark(3, "__toks").alias("__sh"))
@@ -639,18 +662,7 @@ def minhash_md5_pairs(
     cand = _capped_bucket_pairs(
         bands, ["band", "key"], "doc_id", "doc_a", "doc_b", cap=hot_bucket_cap
     )
-    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("ha"))
-    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("hb"))
-    jac = F.size(F.array_intersect("ha", "hb")) / F.size(
-        F.array_union("ha", "hb")
-    ).cast("double")
-    return (
-        cand.join(ha, on="doc_a")
-        .join(hb, on="doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return cand, hashed
 
 
 @query(
@@ -669,6 +681,95 @@ def x2d_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature kernel for corpus-scale throughput."""
     d = spread_small_scan(spark, table(spark, sf_dir, "documents"))
     return minhash_md5_pairs(d)
+
+
+_LSH_RECALL_ORACLE = f"""
+    WITH {_MH32_CTES},
+    lsh AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.5),
+    et AS (SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents),
+    es AS (SELECT doc_id, lang, {_shingles_duck(3)} AS sh FROM et),
+    exact AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM es a JOIN es b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.5
+    ),
+    m AS (
+      SELECT (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM lsh) AS n_verified,
+             (SELECT count(*) FROM exact e JOIN lsh l
+                 ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b) AS n_hit
+    )
+    SELECT n_exact::BIGINT AS n_exact,
+           n_candidates::BIGINT AS n_candidates,
+           n_verified::BIGINT AS n_verified,
+           n_hit::BIGINT AS n_hit,
+           round(n_hit / greatest(1, n_exact)::DOUBLE + 1e-9, 6) AS recall
+    FROM m
+    """
+
+
+@query("x2e_lsh_recall_report", oracle=_LSH_RECALL_ORACLE, covers=["X2"])
+def x2e_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality REPORT for the md5 MinHash-LSH pipeline: how
+    many of the exact lang-blocked trigram-Jaccard >= 0.5 pairs (the
+    x_ngram_jaccard_pairs ground truth) does the banding + capped
+    bucket join + verify recover? One row: (n_exact, n_candidates,
+    n_verified, n_hit, recall). This is the metric an operator watches
+    when tuning bands/rows or the hot-bucket cap — prior rounds pinned
+    recall with pytests; this makes it a hash-checked, driver-visible
+    number. Scale shape: the exact side is the deliberately-blocked
+    ground-truth join (oracle scale, not corpus scale); the LSH side
+    is the production pipeline; the four counts are broadcast 1-row
+    crossJoins."""
+    from engage_spark.queries.llm_curation import _exact_trigram_edges
+
+    d = spread_small_scan(spark, table(spark, sf_dir, "documents"))
+    cand, hashed = _mh32_cand(d)
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("ha"))
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("hb"))
+    jac = F.size(F.array_intersect("ha", "hb")) / F.size(
+        F.array_union("ha", "hb")
+    ).cast("double")
+    lsh = (
+        cand.join(ha, on="doc_a")
+        .join(hb, on="doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    exact = _exact_trigram_edges(table(spark, sf_dir, "documents")).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    res = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(
+            F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        )
+        .crossJoin(
+            F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_verified")))
+        )
+        .crossJoin(
+            F.broadcast(
+                exact.join(lsh, on=["doc_a", "doc_b"]).agg(
+                    F.count(F.lit(1)).alias("n_hit")
+                )
+            )
+        )
+    )
+    return res.select(
+        "n_exact",
+        "n_candidates",
+        "n_verified",
+        "n_hit",
+        F.round(
+            F.col("n_hit")
+            / F.greatest(F.lit(1), F.col("n_exact")).cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("recall"),
+    )
 
 
 # ---------------------------------------------------------------------------

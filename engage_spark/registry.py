@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x4d_bm25_topk",
     "x5_hybrid_rrf",
     "x_dedup_keep_best",
+    "x2e_lsh_recall_report",
     "m1_glm_poisson",
     "m1b_glm_poisson_govflags",
     "s10c_zorder_append_roundtrip",
@@ -114,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f_string_ops",
     "f_date_ops",
     "sql1_ordinal_groupby_ifnull",
-    "sql2_causal_features",
 )
 
 
