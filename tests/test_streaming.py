@@ -649,6 +649,37 @@ def test_ingest_semantic_admission_across_batches(spark, tmp_path):
     assert spark.read.parquet(f"{eidx}/meta").count() == 1
 
 
+def test_ingest_partial_embed_index_fails_loudly(spark, tmp_path):
+    """The semantic tier follows the same partial-index discipline as
+    the lexical one: bands/ without vectors/ raises instead of
+    silently admitting semantic duplicates."""
+    import pytest as _pytest
+
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "text body", [0.1] * 8)],
+        "doc_id long, text string, embedding array<double>",
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    eidx = str(tmp_path / "emb_idx")
+    spark.createDataFrame(
+        [(99, 0, 123)], "vec_id long, band int, key long"
+    ).write.parquet(f"{eidx}/bands")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, embedding array<double>"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    with _pytest.raises(Exception, match="partial"):
+        incremental_ingest_stream(
+            stream, corpus, store, embed_index=eidx
+        ).awaitTermination()
+
+
 def test_ingest_partial_near_dup_index_fails_loudly(spark, tmp_path):
     """r9 ADVICE medium: a PARTIAL index (bands/ without hashes/) must
     fail the ingest with a clear error, not silently disable near-dup
