@@ -1045,3 +1045,100 @@ def x5_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return api.rrf_fuse([lex, sem], k0=60, k=10)
+
+
+# ---------------------------------------------------------------------------
+# x4b2 — the hash-verified logistic-fit twin of the quality classifier
+# (x4b stays the MLlib L-BFGS fast path; this twin runs the SAME class
+# of model — a weak-label logistic distillation — as K fixed IRLS
+# steps with the chained-exact-solve machinery the Poisson GLMs use
+# (model_ops._irls_fit_spark/_irls_oracle, family='binomial'), so the
+# logistic fit itself carries a full DuckDB hash oracle. Features are
+# the NON-DEGENERATE subset on this corpus: the es/fr/de marker ratios
+# are structurally ~0 in the synthetic text, which makes the exact
+# normal equations singular — MLlib's L-BFGS just leaves those
+# coefficients near 0, an exact solver cannot; the twin drops them.)
+
+_X4B2_K = 8
+_X4B2_STOP_SQL = None  # built in the oracle f-string below
+
+
+def _build_x4b2_oracle() -> str:
+    from engage_spark.queries.llm_text import (
+        _LANG_MARKERS,
+        _STOPWORDS,
+        _sql_list,
+    )
+    from engage_spark.queries.model_ops import _irls_oracle
+
+    def ratio(lst: str) -> str:
+        return (
+            f"(len(list_filter(toks, x -> list_contains([{lst}], x)))"
+            f" / greatest(len(toks), 1))"
+        )
+
+    design = f"""SELECT (len(toks) / 100.0) AS f_ntoks,
+           (length(text) / greatest(len(toks), 1)) AS f_mtl,
+           {ratio(_sql_list(_LANG_MARKERS["en"]))} AS f_en,
+           CASE WHEN coalesce(n_chars, 0) BETWEEN 100 AND 20000
+                 AND {ratio(_sql_list(_STOPWORDS))} >= 0.01
+                THEN 1.0 ELSE 0.0 END AS y
+    FROM (SELECT doc_id, text, n_chars,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks
+          FROM documents)"""
+    return _irls_oracle(
+        design,
+        ["1.0", "f_ntoks", "f_mtl", "f_en"],
+        "y",
+        _X4B2_K,
+        ["Intercept", "f_ntoks", "f_mtl", "f_en"],
+        family="binomial",
+    )
+
+
+@query("x4b2_quality_logit_irls", oracle=_build_x4b2_oracle(), covers=["X4", "M1"])
+def x4b2_quality_logit_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic distillation of the quality rule with the FULL fit
+    hash-verified: the same weak label x4b trains on (length +
+    stopword-density gate), regressed on scaled token count, mean
+    token length, and the English-marker ratio via _X4B2_K chained
+    exact IRLS steps (family='binomial': w = mu(1-mu), logit link,
+    standard (y+0.5)/2 initialization). Complements x4b — MLlib
+    L-BFGS stays the production fast path with its AUC pytest; this
+    twin proves the logistic-regression math end to end the way
+    m1/m1b prove the Poisson fit. Measured convergence at sf0.01:
+    stable to ~4e-2 by step 8 (the 6dp-moment rounding floor)."""
+    from engage_spark.api import _ws_tokens
+    from engage_spark.queries.llm_text import _LANG_MARKERS, _STOPWORDS
+    from engage_spark.queries.model_ops import _irls_fit_spark
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .withColumn("__toks", _ws_tokens("text"))
+    )
+    denom = F.greatest(F.size("__toks"), F.lit(1))
+
+    def ratio(words) -> F.Column:
+        hits = F.size(
+            F.filter(F.col("__toks"), lambda t: t.isin(*sorted(words)))
+        )
+        return hits / denom
+
+    design = d.select(
+        (F.size("__toks") / F.lit(100.0)).alias("f_ntoks"),
+        (F.length("text") / denom).alias("f_mtl"),
+        ratio(_LANG_MARKERS["en"]).alias("f_en"),
+        F.when(
+            F.coalesce(F.col("n_chars"), F.lit(0)).between(100, 20000)
+            & (ratio(_STOPWORDS) >= 0.01),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    beta = _irls_fit_spark(
+        design, ["f_ntoks", "f_mtl", "f_en"], "y", _X4B2_K, family="binomial"
+    )
+    rows = list(zip(["Intercept", "f_ntoks", "f_mtl", "f_en"], beta))
+    return spark.createDataFrame(rows, ["coef_name", "coef_value"])

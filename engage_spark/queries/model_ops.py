@@ -284,12 +284,13 @@ def _gauss_ctes(tag: int, n: int, src: str) -> list:
 
 
 def _irls_oracle(design_sql: str, xs: list, y: str, k_steps: int,
-                 names: list) -> str:
+                 names: list, family: str = "poisson") -> str:
     """Full chained-IRLS oracle: per step a moments CTE (same rounded
     averages the Spark side collects) then the _gauss_ctes solve; step
     s>=2 cross-joins the 1-row beta{s-1} CTE so eta references the
     previous step's rounded coefficients exactly as Spark's literals
-    do."""
+    do. family='poisson' (log link, w=mu) or 'binomial' (logit link,
+    w=mu(1-mu)) — op-for-op twins of _irls_fit_spark's expressions."""
     n = len(xs)
     ctes = [f"d AS ({design_sql})"]
 
@@ -307,14 +308,25 @@ def _irls_oracle(design_sql: str, xs: list, y: str, k_steps: int,
 
     for s in range(1, k_steps + 1):
         if s == 1:
-            w = f"({y} + 0.5)"
-            wz = f"({w} * ln{w} + {y} - {w})"
+            if family == "poisson":
+                w = f"({y} + 0.5)"
+                wz = f"({w} * ln{w} + {y} - {w})"
+            else:
+                mu0 = f"(({y} + 0.5) / 2.0)"
+                eta0 = f"ln({mu0} / (1.0 - {mu0}))"
+                w = f"({mu0} * (1.0 - {mu0}))"
+                wz = f"({w} * {eta0} + {y} - {mu0})"
             ctes.append(f"mo{s} AS (SELECT {moments(w, wz)} FROM d)")
         else:
             terms = "".join(f" + c{i} * {xs[i]}" for i in range(1, n))
             eta = f"(c0{terms})"
-            w = f"exp({eta})"
-            wz = f"({w} * {eta} + {y} - {w})"
+            if family == "poisson":
+                w = f"exp({eta})"
+                wz = f"({w} * {eta} + {y} - {w})"
+            else:
+                mu = f"(1.0 / (1.0 + exp(-{eta})))"
+                w = f"({mu} * (1.0 - {mu}))"
+                wz = f"({w} * {eta} + {y} - {mu})"
             ctes.append(
                 f"mo{s} AS (SELECT {moments(w, wz)} FROM d, beta{s - 1})"
             )
@@ -326,27 +338,42 @@ def _irls_oracle(design_sql: str, xs: list, y: str, k_steps: int,
     return "WITH " + ",\n".join(ctes) + "\n" + body
 
 
-def _irls_fit_spark(df: DataFrame, xcols: list, y: str, k_steps: int) -> list:
+def _irls_fit_spark(
+    df: DataFrame, xcols: list, y: str, k_steps: int,
+    family: str = "poisson",
+) -> list:
     """The Spark twin: per step ONE aggregation over one scan (partial
     map-side combine; n(n+3)/2 rounded scalars collected — bounded by
     the design width, never the data) and a driver-side
     _gauss_solve_py. Betas re-enter the next step as literals, so the
     lineage never grows — each step is an independent job against the
-    cached design frame."""
+    cached design frame. family='poisson' or 'binomial' (logistic);
+    expressions mirror _irls_oracle op for op."""
     n = len(xcols) + 1
     X = [F.lit(1.0)] + [F.col(c) for c in xcols]
     yc = F.col(y)
     beta = None
     for s in range(1, k_steps + 1):
         if s == 1:
-            w = yc + F.lit(0.5)
-            wz = w * F.log(w) + yc - w
+            if family == "poisson":
+                w = yc + F.lit(0.5)
+                wz = w * F.log(w) + yc - w
+            else:
+                mu0 = (yc + F.lit(0.5)) / F.lit(2.0)
+                eta0 = F.log(mu0 / (F.lit(1.0) - mu0))
+                w = mu0 * (F.lit(1.0) - mu0)
+                wz = w * eta0 + yc - mu0
         else:
             eta = F.lit(beta[0])
             for i in range(1, n):
                 eta = eta + F.lit(beta[i]) * X[i]
-            w = F.exp(eta)
-            wz = w * eta + yc - w
+            if family == "poisson":
+                w = F.exp(eta)
+                wz = w * eta + yc - w
+            else:
+                mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+                w = mu * (F.lit(1.0) - mu)
+                wz = w * eta + yc - mu
         aggs = []
         for i in range(n):
             for j in range(i, n):

@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x5_hybrid_rrf",
     "x_dedup_keep_best",
     "x2e_lsh_recall_report",
+    "x4b2_quality_logit_irls",
     "m1_glm_poisson",
     "m1b_glm_poisson_govflags",
     "s10c_zorder_append_roundtrip",
@@ -113,7 +114,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_bpe_merges",
     "x_embed_quantize",
     "f_string_ops",
-    "f_date_ops",
     "sql1_ordinal_groupby_ifnull",
 )
 
