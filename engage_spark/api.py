@@ -270,10 +270,15 @@ def minhash_index_append(
         minhash_shingle_hashes,
     )
 
+    # revive BEFORE appending: purge any revived ids' stale index rows
+    # so the fresh rows below are the only live ones for those ids
+    _tombstones_revive(
+        docs.sparkSession, index_dir, docs.select(id_col),
+        {"bands": "doc_id", "hashes": "doc_id"},
+    )
     hashed = minhash_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
     minhash_band_rows(hashed).write.mode("append").parquet(f"{index_dir}/bands")
     hashed.write.mode("append").parquet(f"{index_dir}/hashes")
-    _tombstones_revive(docs.sparkSession, index_dir, docs.select(id_col))
     return docs.count()
 
 
@@ -442,6 +447,11 @@ def embed_index_append(
     e = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
+    # revive BEFORE appending: purge any revived ids' stale index rows
+    _tombstones_revive(
+        spark, index_dir, e.select("vec_id"),
+        {"bands": "vec_id", "vectors": "vec_id"},
+    )
     e.select(
         "vec_id",
         F.posexplode(
@@ -451,7 +461,6 @@ def embed_index_append(
         ).alias("band", "key"),
     ).write.mode("append").parquet(f"{index_dir}/bands")
     e.write.mode("append").parquet(f"{index_dir}/vectors")
-    _tombstones_revive(spark, index_dir, e.select("vec_id"))
     return e.count()
 
 
@@ -549,6 +558,10 @@ def rrf_fuse(
     before ranking, making the fusion oracle-able (x5_hybrid_rrf)."""
     import functools
 
+    if not ranked_lists:
+        raise ValueError(
+            "rrf_fuse needs at least one ranked list (got an empty list)"
+        )
     u = functools.reduce(
         lambda a, b: a.unionByName(b),
         [
@@ -1415,10 +1428,11 @@ def ivfpq_append(
     e = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
+    # revive BEFORE appending: purge any revived ids' stale code rows
+    _tombstones_revive(spark, index_dir, e.select("vec_id"), {"codes": "vec_id"})
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
     codes = _ivfpq_codes(e, bc, cb)
     codes.write.mode("append").parquet(f"{index_dir}/codes")
-    _tombstones_revive(spark, index_dir, e.select("vec_id"))
     return e.count()
 
 
@@ -1479,64 +1493,148 @@ def _without_tombstones(
     return df.join(F.broadcast(tomb), on=col, how="left_anti")
 
 
-def _tombstones_revive(spark: SparkSession, index_dir: str, ids_df: DataFrame) -> None:
-    """Re-adding an id must win over an earlier takedown: rewrite the
-    (small) tombstone table minus the incoming ids. Called by every
-    *_append; a no-op when no tombstones exist."""
+def _hive_partition_cols(spark: SparkSession, path: str) -> list:
+    """Partition column names of a hive-laid-out parquet directory
+    (e.g. the streaming ingest's run=<tag>_batch=<id> dirs), read from
+    the directory names themselves — [] for a flat table. Maintenance
+    rewrites MUST preserve this layout: a flat rewrite of a
+    run-partitioned index drops the `run` column from later
+    partition-discovery reads (silently disabling the streaming
+    replay exclusion) and makes subsequent per-batch run=... appends
+    produce a mixed flat/partitioned directory Spark may refuse to
+    read."""
+    from engage_spark.io import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, path)
+    cols = []
+    cur = p
+    while True:
+        part_dirs = [
+            s.getPath()
+            for s in fs.listStatus(cur)
+            if s.isDirectory()
+            and "=" in s.getPath().getName()
+            and not s.getPath().getName().startswith("_")
+        ]
+        if not part_dirs:
+            return cols
+        cols.append(part_dirs[0].getName().split("=", 1)[0])
+        cur = part_dirs[0]
+
+
+def _rewrite_minus_ids(
+    spark: SparkSession, path: str, col: str, ids_df: DataFrame, label: str
+) -> None:
+    """Rewrite the table at `path` minus rows whose `col` is in
+    ids_df("id"), PRESERVING any hive partition layout (see
+    _hive_partition_cols), with the staging-swap recovery discipline
+    the upsert path uses. Partition values containing '=' (the
+    run=<tag>_batch=<id> tags) survive: Spark percent-escapes them on
+    write and unescapes on discovery, so the `run` COLUMN value — the
+    thing the replay exclusion filters on — round-trips exactly."""
+    from engage_spark.io import _hadoop_fs
+
+    part_cols = _hive_partition_cols(spark, path)
+    kept = spark.read.parquet(path).join(
+        F.broadcast(ids_df.select(F.col("id").alias(col))),
+        on=col,
+        how="left_anti",
+    )
+    staging = f"{path}__{label}_staging"
+    w = kept.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(staging)
+    sfs, sp = _hadoop_fs(spark, staging)
+    if part_cols and not any(
+        s.isDirectory() and "=" in s.getPath().getName()
+        for s in sfs.listStatus(sp)
+    ):
+        # every row was removed: a partitioned empty write leaves no
+        # partition dirs (unreadable), so drop the table entirely —
+        # the existence probes treat a missing table as "nothing
+        # indexed", which is exactly the state
+        tfs, tp = _hadoop_fs(spark, path)
+        tfs.delete(tp, True)
+        sfs.delete(sp, True)
+        return
+    try:
+        w2 = spark.read.parquet(staging).write.mode("overwrite")
+        if part_cols:
+            w2 = w2.partitionBy(*part_cols)
+        w2.parquet(path)
+    except BaseException as e:
+        raise RuntimeError(
+            f"{label} rewrite of {path} failed mid-write; the filtered "
+            f"copy is preserved at {staging}"
+        ) from e
+    sfs.delete(sp, True)
+
+
+def _tombstones_revive(
+    spark: SparkSession, index_dir: str, ids_df: DataFrame, tables: dict
+) -> None:
+    """Re-adding an id must win over an earlier takedown — and the
+    takedown's OLD index rows must not resurrect alongside the new
+    content. *_delete only tombstones an id (its stale bands / hashes /
+    vectors / codes rows stay on disk), so on revive we (1) purge the
+    revived ids' stale rows from every index table, THEN the caller
+    appends the fresh rows, and (2) drop their tombstones. Without the
+    purge, delete-then-re-append-updated-content (the natural
+    takedown/update flow) leaves probes matching the taken-down old
+    content and duplicates inflating hot buckets.
+
+    Called by every *_append BEFORE it appends (purging after would
+    delete the fresh rows too). `tables` is the subdir -> id-column map
+    the matching *_vacuum uses. Cheap common case: one broadcast
+    semi-join count over the (small) tombstone table — appends that
+    revive nothing skip every rewrite, which also closes the
+    lost-takedown race where a full tombstone rewrite on every append
+    could discard a concurrently appended tombstone. The tombstone
+    table remains single-writer for delete-vs-revive of the SAME id;
+    see SCALE.md §takedown."""
     from engage_spark.io import _hadoop_fs
 
     fs, p = _hadoop_fs(spark, f"{index_dir}/tombstones")
     if not fs.exists(p):
         return
     incoming = _ids_frame(ids_df)
-    kept = spark.read.parquet(f"{index_dir}/tombstones").join(
-        F.broadcast(incoming), on="id", how="left_anti"
+    revived = (
+        spark.read.parquet(f"{index_dir}/tombstones")
+        .join(F.broadcast(incoming), on="id", how="left_semi")
+        .dropDuplicates()
+        .localCheckpoint()  # bounded: ids tombstoned since last vacuum
     )
-    staging = f"{index_dir}/tombstones__staging"
-    kept.write.mode("overwrite").parquet(staging)
-    sfs, sp = _hadoop_fs(spark, staging)
-    try:
-        spark.read.parquet(staging).write.mode("overwrite").parquet(
-            f"{index_dir}/tombstones"
+    if revived.isEmpty():
+        return
+    for sub, col in tables.items():
+        _rewrite_minus_ids(
+            spark, f"{index_dir}/{sub}", col, revived, "revive"
         )
-    except BaseException as e:
-        raise RuntimeError(
-            f"tombstone rewrite for {index_dir} failed mid-write; recovery "
-            f"copy preserved at {staging}"
-        ) from e
-    sfs.delete(sp, True)
+    _rewrite_minus_ids(
+        spark, f"{index_dir}/tombstones", "id", revived, "revive"
+    )
 
 
 def _index_vacuum(spark: SparkSession, index_dir: str, tables: dict) -> dict:
     """Apply tombstones physically: rewrite each index table minus the
-    tombstoned ids (staging-swap with the upsert_dataset recovery
-    discipline), then clear the tombstone table. tables maps
-    subdir -> id column name. Returns {"tombstones": n_applied}."""
+    tombstoned ids (staging-swap, hive-partition-layout preserving —
+    safe on streaming-built run=... partitioned indexes), then clear
+    the tombstone table. tables maps subdir -> id column name. Returns
+    {"tombstones": n_applied}."""
     from engage_spark.io import _hadoop_fs
 
     fs, p = _hadoop_fs(spark, f"{index_dir}/tombstones")
     if not fs.exists(p):
         return {"tombstones": 0}
-    tomb = spark.read.parquet(f"{index_dir}/tombstones").dropDuplicates()
+    tomb = (
+        spark.read.parquet(f"{index_dir}/tombstones")
+        .select("id")
+        .dropDuplicates()
+    )
     n_tomb = tomb.count()  # bounded: takedowns since the last vacuum
     for sub, col in tables.items():
-        path = f"{index_dir}/{sub}"
-        kept = spark.read.parquet(path).join(
-            F.broadcast(tomb.select(F.col("id").alias(col))),
-            on=col,
-            how="left_anti",
-        )
-        staging = f"{path}__vacuum_staging"
-        kept.write.mode("overwrite").parquet(staging)
-        sfs, sp = _hadoop_fs(spark, staging)
-        try:
-            spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-        except BaseException as e:
-            raise RuntimeError(
-                f"index vacuum of {path} failed mid-write; the filtered "
-                f"copy is preserved at {staging}"
-            ) from e
-        sfs.delete(sp, True)
+        _rewrite_minus_ids(spark, f"{index_dir}/{sub}", col, tomb, "vacuum")
     fs.delete(p, True)
     return {"tombstones": n_tomb}
 

@@ -678,6 +678,14 @@ def _zorder_scale_frozen(
             )
             if null_slot is None:
                 null_slot = finite[0][1] if finite else 0
+            if not finite:
+                # empty build (no occupied slots — the dataset was
+                # written from zero rows): every value lands on slot 0;
+                # Bucketizer would reject the degenerate [-inf, inf]
+                df = df.withColumn(f"__zs{i}", F.lit(0).cast("long"))
+                tmp.append(f"__zs{i}")
+                scaled.append(F.col(f"__zs{i}"))
+                continue
             splits = (
                 [float("-inf")]
                 + [float(b) for b, _ in finite[1:]]
@@ -765,6 +773,15 @@ def zorder_layout_stats(spark: SparkSession, path: str) -> dict:
         F.min("__z").alias("z_lo"), F.max("__z").alias("z_hi")
     ).collect()  # bounded: one row per data file
     ranges = sorted((int(r.z_lo), int(r.z_hi)) for r in per_file)
+    if not ranges:
+        # empty dataset (no rows): nothing can overlap, nothing to
+        # optimize — zeroed stats instead of max()-of-empty ValueError
+        return {
+            "files": 0,
+            "overlap_pairs": 0,
+            "overlap_fraction": 0.0,
+            "avg_covering": 0.0,
+        }
     n = len(ranges)
     overlap_pairs = 0
     active: list = []  # heap of his among open ranges

@@ -294,6 +294,15 @@ def _irls_oracle(design_sql: str, xs: list, y: str, k_steps: int,
     n = len(xs)
     ctes = [f"d AS ({design_sql})"]
 
+    # FLAKINESS SURFACE (triage note): the hash compare rounds each of
+    # the ~K*n(n+3)/2 moment averages to 6dp on BOTH engines, but Spark
+    # (partial-agg summation order) and DuckDB sum in different orders,
+    # so a moment landing within an ulp of a rounding boundary can flip
+    # one chain step and fail the whole hash. The +1e-9 nudge shrinks
+    # the exposed window to ~1e-9/5e-7 ≈ 0.2% per moment; the K-step
+    # chaining multiplies trials, not the per-trial width. If this
+    # oracle ever hash-mismatches, re-run and suspect rounding BEFORE
+    # logic — and if it recurs, widen the nudge or pin a tree-sum.
     def moments(w: str, wz: str) -> str:
         cols = []
         for i in range(n):

@@ -1443,3 +1443,20 @@ def test_zorder_three_columns(spark):
             expect |= ((y >> b) & 1) << (3 * b + 1)
             expect |= ((z >> b) & 1) << (3 * b + 2)
         assert got[(x, y, z)] == expect, (x, y, z)
+
+
+def test_zorder_layout_stats_empty_dataset(spark, tmp_path):
+    """ADVICE r10 (low): layout stats on an EMPTY Z-ordered dataset
+    must return zeroed stats, not crash on max() of an empty list."""
+    from engage_spark.io import zorder_layout_stats, zorder_write
+
+    p = str(tmp_path / "z_empty")
+    empty = spark.createDataFrame([], "a long, b long")
+    zorder_write(spark, empty, p, ["a", "b"], scale="rank")
+    stats = zorder_layout_stats(spark, p)
+    assert stats == {
+        "files": 0,
+        "overlap_pairs": 0,
+        "overlap_fraction": 0.0,
+        "avg_covering": 0.0,
+    }

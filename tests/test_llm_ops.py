@@ -1572,3 +1572,126 @@ def test_embed_index_query_caps_hot_corpus_buckets(spark, tmp_path):
     ).collect()
     assert len(got) == 1, f"hot bucket fanned out to {len(got)} rows"
     assert got[0].corpus_id == 0 and got[0].cosine == 1.0
+
+
+def test_minhash_index_revive_purges_stale_content(spark, tmp_path):
+    """ADVICE r10 (medium): delete-then-re-append-UPDATED-content must
+    not resurrect the taken-down old rows — on revive, the append
+    purges the revived ids' stale bands/hashes BEFORE appending the
+    fresh ones, so probes matching only the old content no longer hit
+    and no duplicate rows inflate buckets."""
+    from engage_spark import api
+
+    corpus = spark.createDataFrame(
+        [(0, _BASE), (1, _OTHER)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "nd_upd")
+    api.minhash_index_build(corpus, idx)
+    api.minhash_index_delete(idx, [0], spark=spark)
+    # re-append doc 0 with REPLACED content (the takedown/update flow)
+    api.minhash_index_append(
+        idx, spark.createDataFrame([(0, _OTHER)], "doc_id long, text string")
+    )
+    old_probe = spark.createDataFrame(
+        [(100, _BASE)], "doc_id long, text string"
+    )
+    assert (
+        api.minhash_index_query(idx, old_probe).count() == 0
+    ), "stale pre-takedown rows resurrected by revive"
+    new_probe = spark.createDataFrame(
+        [(101, _OTHER)], "doc_id long, text string"
+    )
+    assert {
+        r.corpus_id
+        for r in api.minhash_index_query(idx, new_probe).collect()
+    } == {0, 1}
+    # exactly ONE hashes row per revived id — no duplicates left behind
+    assert (
+        spark.read.parquet(f"{idx}/hashes").filter("doc_id = 0").count() == 1
+    )
+
+
+def test_tombstones_revive_skips_rewrite_without_intersection(spark, tmp_path):
+    """ADVICE r10 (low): an append that revives NOTHING must not
+    rewrite the tombstone table (the unconditional rewrite raced a
+    concurrent delete's append — a lost takedown). The tombstone
+    parquet file set must be untouched after such an append."""
+    import os
+
+    from engage_spark import api
+
+    corpus = spark.createDataFrame(
+        [(0, _BASE), (1, _OTHER)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "nd_noop")
+    api.minhash_index_build(corpus, idx)
+    api.minhash_index_delete(idx, [0], spark=spark)
+    tomb_dir = f"{idx}/tombstones"
+    before = sorted(os.listdir(tomb_dir))
+    api.minhash_index_append(
+        idx, spark.createDataFrame([(7, _NEAR)], "doc_id long, text string")
+    )
+    assert sorted(os.listdir(tomb_dir)) == before, (
+        "no-revive append rewrote the tombstone table"
+    )
+    probe = spark.createDataFrame([(100, _BASE)], "doc_id long, text string")
+    # doc 7 (_NEAR) legitimately matches; tombstoned doc 0 must not
+    assert {
+        r.corpus_id for r in api.minhash_index_query(idx, probe).collect()
+    } == {7}
+
+
+def test_index_vacuum_preserves_streaming_partition_layout(spark, tmp_path):
+    """ADVICE r10 (medium): vacuuming a STREAMING-built (hive run=...
+    partitioned) index must keep the partition layout — a flat rewrite
+    would drop the 'run' column from discovery reads (silently
+    disabling the replay exclusion) and make later per-batch partition
+    appends produce a mixed layout Spark may refuse to read."""
+    from engage_spark import api
+    from engage_spark.queries.llm_dedup import (
+        minhash_band_rows,
+        minhash_shingle_hashes,
+    )
+
+    idx = str(tmp_path / "nd_stream")
+    docs0 = spark.createDataFrame(
+        [(0, _BASE), (1, _NEAR)], "doc_id long, text string"
+    )
+    docs1 = spark.createDataFrame([(2, _OTHER)], "doc_id long, text string")
+    for part, docs in [("run=abc_batch=0", docs0), ("run=abc_batch=1", docs1)]:
+        hashed = minhash_shingle_hashes(docs)
+        minhash_band_rows(hashed).write.mode("overwrite").parquet(
+            f"{idx}/bands/{part}"
+        )
+        hashed.write.mode("overwrite").parquet(f"{idx}/hashes/{part}")
+    api.minhash_index_delete(idx, [1], spark=spark)
+    assert api.minhash_index_vacuum(spark, idx)["tombstones"] == 1
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert "run" in bands.columns, "vacuum flattened the hive layout"
+    assert {
+        r.doc_id for r in bands.select("doc_id").distinct().collect()
+    } == {0, 2}
+    # a later streaming batch's partition append still composes with
+    # the vacuumed (escaped-dir) layout
+    docs2 = spark.createDataFrame([(3, _BASE)], "doc_id long, text string")
+    h2 = minhash_shingle_hashes(docs2)
+    minhash_band_rows(h2).write.mode("overwrite").parquet(
+        f"{idx}/bands/run=abc_batch=2"
+    )
+    h2.write.mode("overwrite").parquet(f"{idx}/hashes/run=abc_batch=2")
+    after = spark.read.parquet(f"{idx}/bands")
+    assert "run" in after.columns
+    assert {
+        r.doc_id for r in after.select("doc_id").distinct().collect()
+    } == {0, 2, 3}
+
+
+def test_rrf_fuse_rejects_empty_input(spark):
+    """ADVICE r10 (low): rrf_fuse([]) must raise a descriptive
+    ValueError, not a TypeError from functools.reduce."""
+    import pytest as _pytest
+
+    from engage_spark import api
+
+    with _pytest.raises(ValueError, match="at least one ranked list"):
+        api.rrf_fuse([])
