@@ -49,72 +49,73 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
     return deco
 
 
-# Round-10 rotation: the driver checks the FIRST 50 registry entries,
+# Round-11 rotation: the driver checks the FIRST 50 registry entries,
 # so this tuple is exactly that window. Composition:
-# (a) the 7 queries whose implementation changed in round 10 and need
-#     a fresh post-change driver row (the chained-IRLS GLM rewrites,
-#     the distributed rank-CDF Z-order path + its new append query,
-#     the upsert failure-path hardening, the expectations coalesce);
-# (b) all 32 queries whose newest driver row is r4/r5 — closing the
-#     freshness rotation the r7 verdict started (after this round no
-#     registered query's newest row is older than r6);
-# (c) 11 r6-signal picks for the remaining slots, preferring the
-#     bench-watched lines (x3_topk creep, the x_bpe/x_embed_quantize
-#     drift) and the function/SQL/setop core.
+# (a) queries NEW or implementation-changed in round 11 (the hybrid
+#     IVF-PQ retriever, the hermetic LSTM twin, the distributed
+#     SemDeDup assignment, the Z-order family shave) — each needs a
+#     fresh post-change driver row;
+# (b) all 35 registered queries whose newest driver row is r6 —
+#     closing rotation part 3 (after this round no registered query's
+#     newest row predates r8);
+# (c) r8-signal picks for the remaining slots, preferring bench-watched
+#     lines and the model/kernel core.
+# Names not yet registered are skipped by load_all(), so this list may
+# lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) changed or NEW in round 10
-    "x4d_bm25_topk",
-    "x5_hybrid_rrf",
-    "x_dedup_keep_best",
-    "x2e_lsh_recall_report",
-    "x4b2_quality_logit_irls",
-    "m1_glm_poisson",
-    "m1b_glm_poisson_govflags",
-    "s10c_zorder_append_roundtrip",
+    # (a) changed or NEW in round 11
+    "x5b_hybrid_ivfpq",
+    "k_w11b_lstm_forecast",
+    "x_semdedup_prune",
     "s10b_zorder_rank_layout",
+    "s10c_zorder_append_roundtrip",
     "s10_zorder_layout",
-    "s9_upsert_merge_roundtrip",
-    "x_expectations_check",
-    # (b) newest driver row r4/r5
-    "x_packed_sequences_exact_order",
-    "o2_sorted_distinct",
-    "o3_first_row_after_sort",
-    "p2_projection_exclude",
-    "p3_p4_rename_literal",
-    "p5_arith_derived",
-    "p7_compound_filter",
-    "p8_conditional_column",
-    "p9_mapping_join_coalesce",
-    "p10_cast",
-    "p11_null_fill",
-    "p12_drop_allnull_columns",
-    "p13_first_value_per_group",
-    "s1_scan_filter_project",
-    "st_doc_quality_stream",
-    "st_stateful_running_stats",
-    "w2_w3_lag_and_diff",
-    "w4_trim_leading_prefix",
-    "w5_head_n_per_group",
-    "w6_tail_n_per_group",
-    "w7_conditional_increase_sum",
-    "w8_sliding_feature_window",
-    "w12_rownumber_index",
-    "x4_tfidf_terms",
-    "x_bigram_perplexity",
-    "x_incremental_dedup",
-    "x_mixture_materialize",
-    "x_mixture_temperature",
-    "x_ngram_novelty",
-    "x_packed_sequences_sharded",
-    "x_quality_decile_gate",
-    "x_sequence_packing_exact_order",
-    # (c) r6-signal picks
-    "x3_topk_cosine_search",
-    "x3b_lsh_ann_search",
-    "x_bpe_merges",
-    "x_embed_quantize",
-    "f_string_ops",
-    "sql1_ordinal_groupby_ifnull",
+    "x5_hybrid_rrf",
+    # (b) newest driver row r6
+    "ev_sliding_window_agg",
+    "ev_tumbling_window_agg",
+    "f13_date_range_explode",
+    "f15_case_banding",
+    "f17_f18_math_null_tests",
+    "f_date_ops",
+    "mm_byte_histogram",
+    "mm_frame_digest",
+    "mm_frame_sample",
+    "mm_resize_digest",
+    "sql2_causal_features",
+    "u1_union_homogeneous",
+    "u2_union_missing_columns",
+    "u4_rekey_collapse_aggregate",
+    "u5_intersect_except",
+    "x2c_mllib_minhash_join",
+    "x3d2_brp_highrecall_agreement",
+    "x4c_tfidf_md5",
+    "x_bpe_encode",
+    "x_bpe_encode_wscount",
+    "x_cosine_neardup_pairs",
+    "x_decontaminate",
+    "x_gopher_repetition",
+    "x_hash_sample_stratified",
+    "x_length_histogram",
+    "x_line_dedup",
+    "x_mixture_plan",
+    "x_ngram_jaccard_pairs",
+    "x_pii_redact",
+    "x_text_fingerprint",
+    "x_text_lang_id",
+    "x_text_quality",
+    "x_text_sentiment",
+    "x_text_token_count",
+    # (c) r8-signal picks
+    "q1_pricing_summary",
+    "x1_exact_dedup",
+    "k_m4_sir_simulate",
+    "k_w11_ar_forecast",
+    "x_curation_pipeline",
+    "ext_salted_skew_join",
+    "m2_mixed_effects",
+    "st_stream_stream_join",
+    "x_pack_boundaries",
 )
 
 
