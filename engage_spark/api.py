@@ -36,6 +36,7 @@ from engage_spark.queries.llm_similarity import (
     pq_params,
     semdedup_params,
 )
+from engage_spark.session import local_frame
 
 __all__ = [
     "normalized_fingerprint",
@@ -326,8 +327,9 @@ def embed_index_build(
     )
     banded.write.mode("overwrite").parquet(f"{index_dir}/bands")
     e.write.mode("overwrite").parquet(f"{index_dir}/vectors")
-    spark.createDataFrame(
-        [(int(bands), int(rows), int(dim))], "bands int, rows int, dim int"
+    local_frame(
+        spark, [(int(bands), int(rows), int(dim))],
+        "bands int, rows int, dim int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
     return {"n_vectors": e.count(), "bands": bands, "rows": rows}
 
@@ -1131,7 +1133,7 @@ def pq_topk_search(
                 dq = float(_pq_subdist_seq(vs, mat_m[kk])[0])
                 qd_rows.append((int(qid), m, int(ids_m[kk]), dq))
     spark = e.sparkSession
-    qd = spark.createDataFrame(qd_rows, "query_id long, m int, cid long, dq double")
+    qd = local_frame(spark, qd_rows, "query_id long, m int, cid long, dq double")
     self_filter = (
         F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
     )
@@ -1292,8 +1294,8 @@ def _ivfpq_rank(
                     qd_rows.append(
                         (int(qid), int(c_ids[li]), m, int(ids_m[kk]), dq)
                     )
-    qd = spark.createDataFrame(
-        qd_rows, "query_id long, lid long, m int, cid long, dq double"
+    qd = local_frame(
+        spark, qd_rows, "query_id long, lid long, m int, cid long, dq double"
     )
     self_filter = (
         F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
@@ -1428,7 +1430,8 @@ def ivfpq_build(
     codes = _ivfpq_codes(e, bc, cb)
 
     dim = c_mat.shape[1]
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in zip(c_ids, c_mat)],
         "lid long, c array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
@@ -1437,12 +1440,13 @@ def ivfpq_build(
         for m, (ids_m, mat_m) in cb.items()
         for cid, cs in zip(ids_m, mat_m)
     ]
-    spark.createDataFrame(
-        cb_rows, "m int, cid long, cs array<double>"
+    local_frame(
+        spark, cb_rows, "m int, cid long, cs array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
     codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
-    spark.createDataFrame(
-        [(int(nprobe), int(dim), int(n_rows))], "nprobe int, dim int, n_rows long"
+    local_frame(
+        spark, [(int(nprobe), int(dim), int(n_rows))],
+        "nprobe int, dim int, n_rows long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
     return {"n_vectors": n_rows, "nlist": len(c_ids), "nprobe": int(nprobe)}
 
@@ -1564,8 +1568,8 @@ def _ids_frame(ids, spark=None) -> DataFrame:
         ).dropDuplicates()
     if spark is None:
         spark = SparkSession.getActiveSession()
-    return spark.createDataFrame(
-        [(int(i),) for i in ids], "id long"
+    return local_frame(
+        spark, [(int(i),) for i in ids], "id long"
     ).dropDuplicates()
 
 
@@ -2377,8 +2381,8 @@ def bpe_train(
                 res = _bpe_merge_word(list(syms), left, right)
                 merged[res] = merged.get(res, 0) + f
             words = merged
-        return spark.createDataFrame(
-            merges, "rank long, left string, right string, pair_freq long"
+        return local_frame(
+            spark, merges, "rank long, left string, right string, pair_freq long"
         )
 
     from pyspark.sql.pandas.functions import pandas_udf
@@ -2420,8 +2424,8 @@ def bpe_train(
             wtab.select(_merge_udf(left, right)("syms").alias("syms"), "freq")
         )
 
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, pair_freq long"
+    return local_frame(
+        spark, merges, "rank long, left string, right string, pair_freq long"
     )
 
 

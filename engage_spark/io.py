@@ -530,9 +530,11 @@ def _rank_cdf_frames(
         n_distinct[ci] = nv
     for ci in range(len(cols)):  # columns absent from an empty frame
         rank_stats.setdefault(ci, (0, 0))
+    from engage_spark.session import local_frame
+
     off_df = F.broadcast(
-        spark.createDataFrame(
-            offs_rows or [(0, 0, 0)], "__ci int, __pid int, __off long"
+        local_frame(
+            spark, offs_rows or [(0, 0, 0)], "__ci int, __pid int, __off long"
         )
     )
     w = (
@@ -592,7 +594,10 @@ def zorder_write(
         .parquet(path)
     )
     meta_dir = f"{path}/_zorder_meta"
-    spark.createDataFrame(
+    from engage_spark.session import local_frame
+
+    local_frame(
+        spark,
         [
             (
                 list(cols),
@@ -697,7 +702,10 @@ def _zorder_scale_frozen(
                 outputCol=f"__bk{i}",
                 handleInvalid="keep",  # NULL -> extra bucket len(splits)-1
             ).transform(df.withColumn(f"__bv{i}", F.col(c).cast("double")))
-            smap = spark.createDataFrame(
+            from engage_spark.session import local_frame
+
+            smap = local_frame(
+                spark,
                 [(float(k), int(s)) for k, (_, s) in enumerate(finite)]
                 + [(float(len(splits) - 1), int(null_slot))],
                 f"__bk{i} double, __zs{i} long",

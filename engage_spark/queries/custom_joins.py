@@ -148,7 +148,11 @@ def ext_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_bin = int((hi - 1e-9) // _BIN)
         for b in range(first_bin, last_bin + 1):
             band_rows.append((b, lo, hi, name))
-    bands = spark.createDataFrame(band_rows, ["bin", "lo", "hi", "band"])
+    from engage_spark.session import local_frame
+
+    bands = local_frame(
+        spark, band_rows, "bin long, lo double, hi double, band string"
+    )
     joined = ev.join(F.broadcast(bands), on="bin").filter(
         (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
     )

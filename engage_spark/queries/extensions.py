@@ -201,10 +201,13 @@ def ext_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn(
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int")
     )
-    dim = spark.createDataFrame(
+    from engage_spark.session import local_frame
+
+    dim = local_frame(
+        spark,
         [("click", 2.0), ("view", 1.0), ("purchase", 5.0),
          ("scroll", 0.5), ("hover", 0.25)],
-        ["event_type", "weight"],
+        "event_type string, weight double",
     ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
     joined = ev.join(dim, on=["event_type", "salt"])
     return joined.groupBy("event_type").agg(

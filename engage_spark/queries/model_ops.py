@@ -435,8 +435,10 @@ def m1_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     beta = _irls_fit_spark(li, ["l_discount", "l_tax", "rf_a", "rf_n"],
                            "qty", _M1_K)
-    rows = list(zip(_M1_COEF_NAMES, beta))
-    return spark.createDataFrame(rows, ["coef_name", "coef_value"])
+    rows = list(zip(_M1_COEF_NAMES, [float(b) for b in beta]))
+    from engage_spark.session import local_frame
+
+    return local_frame(spark, rows, "coef_name string, coef_value double")
 
 
 _M1B_K = 6
@@ -505,8 +507,10 @@ def m1b_glm_poisson_govflags(spark: SparkSession, sf_dir: str) -> DataFrame:
     beta = _irls_fit_spark(
         ev, ["d_temp", "period_group", *_M1B_FLAGS], "y", _M1B_K
     )
-    rows = list(zip(_M1B_COEF_NAMES, beta))
-    return spark.createDataFrame(rows, ["coef_name", "coef_value"])
+    rows = list(zip(_M1B_COEF_NAMES, [float(b) for b in beta]))
+    from engage_spark.session import local_frame
+
+    return local_frame(spark, rows, "coef_name string, coef_value double")
 
 
 # ---------------------------------------------------------------------------
@@ -784,7 +788,9 @@ def m1d_glm_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in range(5):
             ai[r][i] = b[r]
         out.append((name, round(_det5_py(ai) / det_a + 1e-9, 6)))
-    return spark.createDataFrame(out, ["coef_name", "coef_value"])
+    from engage_spark.session import local_frame
+
+    return local_frame(spark, out, "coef_name string, coef_value double")
 
 
 # ---------------------------------------------------------------------------

@@ -170,9 +170,12 @@ def p9_mapping_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     covid_data_transform.py:16-22). Spark-first: broadcast-join the
     mapping table and `coalesce(new, old)` — one pass, no loop."""
     nation = table(spark, sf_dir, "nation")
-    mapping = spark.createDataFrame(
+    from engage_spark.session import local_frame
+
+    mapping = local_frame(
+        spark,
         [("UNITED STATES", "USA"), ("UNITED KINGDOM", "UK"), ("GERMANY", "DEU")],
-        ["old_name", "new_name"],
+        "old_name string, new_name string",
     )
     return (
         nation.join(F.broadcast(mapping), nation.n_name == mapping.old_name, "left")

@@ -41,3 +41,25 @@ def get_spark(app_name: str = "engage_spark", master: str | None = None) -> Spar
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_frame(spark: SparkSession, rows, schema: str):
+    """Driver-side small-frame constructor WITHOUT the Python-RDD
+    evaluation tax. `spark.createDataFrame(<list>)` parallelizes into
+    defaultParallelism partitions of a *Python* RDD, so every
+    evaluation of the frame (each write, each broadcast-join build,
+    each re-run of an uncached consumer) round-trips all those
+    partitions through Python workers — measured ~5 s per evaluation
+    for a ONE-ROW frame in a local[32] session. Routing through pandas
+    + Arrow produces a single JVM LocalRelation: evaluation never
+    touches Python again. Use for every bounded metadata / lookup /
+    coefficient frame; data-sized frames should come from real scans.
+
+    `schema` must be a DDL string (it names the columns); rows are
+    tuples in schema order (or an empty list)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    names = [f.name for f in T._parse_datatype_string(schema).fields]
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema)

@@ -684,7 +684,10 @@ def incremental_ingest_stream(
                 bands_n, rows_n = lsh_banding_params(
                     max(1024, accepted.count())
                 )
-                spark.createDataFrame(
+                from engage_spark.session import local_frame
+
+                local_frame(
+                    spark,
                     [(int(bands_n), int(rows_n), int(dim))],
                     "bands int, rows int, dim int",
                 ).coalesce(1).write.mode("overwrite").parquet(
