@@ -92,6 +92,7 @@ OPTIONAL = [
     "s10c_zorder_append_roundtrip",
     "x4d_bm25_topk",
     "x5_hybrid_rrf",
+    "x5b_hybrid_ivfpq",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -1050,6 +1050,81 @@ def x5_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return api.rrf_fuse([lex, sem], k0=60, k=10)
 
 
+# Hybrid retrieval at SCALE: BM25 ∪ IVF-PQ fused by reciprocal rank.
+# x5 proves the fusion over EXACT cosine; this twin swaps the semantic
+# retriever for the compressed sub-linear ivfpq_search — the
+# composition a 100 TB corpus actually runs — and because the IVF-PQ
+# quantizers are deterministic, the WHOLE pipeline (posting lists,
+# coarse quantize, residual PQ, ADC, exact re-rank, fusion arithmetic)
+# still carries a full DuckDB hash oracle: the x3f CTE chain composed
+# with the x4d CTEs exactly the way x5 composes exact cosine.
+def _build_hybrid_ivfpq_oracle() -> str:
+    from engage_spark.queries.llm_similarity import _x3f_ctes
+
+    return f"""
+WITH {_BM25_CTES},
+{_x3f_ctes(3)},
+bm25_top AS (
+  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10
+),
+sem_top AS (
+  SELECT query_id, neighbor_id AS doc_id, rank
+  FROM rerank WHERE rank <= 10
+),
+fused AS (
+  SELECT query_id, doc_id,
+         round(sum(1.0 / (60 + rank)) + 1e-9, 6) AS rrf_score
+  FROM (
+    SELECT * FROM bm25_top
+    UNION ALL
+    SELECT * FROM sem_top
+  )
+  GROUP BY query_id, doc_id
+),
+rr AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+         ) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf_score, rank::BIGINT AS rank
+FROM rr WHERE rank <= 10
+"""
+
+
+@query("x5b_hybrid_ivfpq", oracle=_build_hybrid_ivfpq_oracle(), covers=["X3", "X4"])
+def x5b_hybrid_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the ANN-backed semantic half — the
+    flagship retrieval story made scale-true end to end (r10 verdict
+    item 3): BM25 over `documents` fused (rrf, k0=60) with IVF-PQ
+    residual search (api.ivfpq_topk_search — sub-linear probes,
+    compressed scan, exact top-50 re-rank) over `embeddings` for query
+    ids 0-2. At corpus scale the exact-cosine half of x5 is a full
+    scan per query; this composition is what a production retriever
+    runs, and the deterministic quantizers keep the ENTIRE pipeline
+    hash-verifiable against DuckDB. Fusion is retriever-agnostic
+    (api.rrf_fuse), so the swap is one argument."""
+    from engage_spark import api
+    from engage_spark.queries.llm_similarity import _PQ_RERANK, _corpus_rows
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 1, 6),
+            " ",
+        ).alias("query_text"),
+    )
+    lex = api.bm25_topk(docs, queries, k=10)
+    emb = table(spark, sf_dir, "embeddings")
+    sem = api.ivfpq_topk_search(
+        emb, emb.filter(F.col("vec_id") < 3), k=10, rerank=_PQ_RERANK,
+        n_rows=_corpus_rows(sf_dir),
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return api.rrf_fuse([lex, sem], k0=60, k=10)
+
+
 # ---------------------------------------------------------------------------
 # x4b2 — the hash-verified logistic-fit twin of the quality classifier
 # (x4b stays the MLlib L-BFGS fast path; this twin runs the SAME class

@@ -1038,8 +1038,13 @@ def _full_l2_sql(a: str, b: str, dim: int = _DIM) -> str:
 # pairwise-sum by numpy vs sequential list_sum by DuckDB) agree except
 # on exact float ties between DISTINCT centroids — probability ~0 on
 # continuous data, same caveat as x3c.
-_X3F_ORACLE = f"""
-    WITH t0 AS (
+def _x3f_ctes(n_queries: int) -> str:
+    """The full deterministic IVF-PQ oracle CTE chain, ending at
+    `rerank` (query_id, neighbor_id, cos, rank). Shared by the x3f
+    oracle and the hybrid x5b composition (extensions.py) — the whole
+    coarse-quantize / residual-PQ / ADC / exact-rerank pipeline is one
+    reusable SQL fragment, parameterized on the query-id cutoff."""
+    return f"""t0 AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e0
       FROM embeddings
     ),
@@ -1117,7 +1122,7 @@ _X3F_ORACLE = f"""
     rcodes AS (SELECT vec_id, lid, m, cid FROM rs WHERE rn = 1),
     probes AS (
       SELECT ca.vec_id AS query_id, ca.lid
-      FROM ca, cp WHERE ca.vec_id < {_N_QUERIES} AND ca.rn <= cp.nprobe
+      FROM ca, cp WHERE ca.vec_id < {n_queries} AND ca.rn <= cp.nprobe
     ),
     qres AS (
       SELECT p.query_id, p.lid,
@@ -1167,7 +1172,11 @@ _X3F_ORACLE = f"""
       JOIN t0 q ON q.vec_id = sl.query_id
       JOIN t0 c ON c.vec_id = sl.neighbor_id
       WHERE sl.srank <= {_PQ_RERANK}
-    )
+    )"""
+
+
+_X3F_ORACLE = f"""
+    WITH {_x3f_ctes(_N_QUERIES)}
     SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(cos, 6) AS cosine
     FROM rerank WHERE rank <= {_TOP_K}
 """

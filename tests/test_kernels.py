@@ -470,3 +470,64 @@ def test_sir_discrete_batch_stays_finite(beta, i0):
     assert np.isfinite(sim).all()
     # population is conserved exactly by the update's telescoping sums
     assert np.allclose(sim.sum(axis=2), 10_000.0)
+
+
+def test_numpy_lstm_contract_and_determinism():
+    """The hermetic LSTM kernel honors the forecast contract (horizon
+    outputs, recursion bounded to the observed range by the tanh head)
+    and is bit-deterministic across runs (fixed seed/epochs)."""
+    import numpy as np
+
+    from engage_spark.queries.kernels import numpy_lstm_fit_forecast
+
+    rng = np.random.RandomState(3)
+    series = np.sin(np.linspace(0, 12, 200)) * 10 + 25 + rng.randn(200) * 0.1
+    a = numpy_lstm_fit_forecast(series, 7, 30)
+    b = numpy_lstm_fit_forecast(series, 7, 30)
+    assert a.shape == (30,)
+    assert np.array_equal(a, b), "fixed-seed LSTM fit is not deterministic"
+    lo, hi = series.min(), series.max()
+    assert (a >= lo - 1e-9).all() and (a <= hi + 1e-9).all(), (
+        "tanh head must bound predictions to the observed range"
+    )
+    # degenerate short series: last-value fallback like the AR kernel
+    short = numpy_lstm_fit_forecast(np.array([5.0, 6.0]), 7, 4)
+    assert np.array_equal(short, np.full(4, 6.0))
+
+
+def test_numpy_lstm_monotone_series_sanity():
+    """On a clean monotone ramp the LSTM forecast must keep moving in
+    the ramp's direction from the last observed level (within the tanh
+    bound), not collapse toward the series mean."""
+    import numpy as np
+
+    from engage_spark.queries.kernels import numpy_lstm_fit_forecast
+
+    series = np.linspace(0.0, 100.0, 240)
+    preds = numpy_lstm_fit_forecast(series, 7, 10)
+    assert preds[0] > 75.0, (
+        f"first forecast {preds[0]:.1f} fell far below the ramp's end"
+    )
+    assert (np.diff(preds[:5]) > -5.0).all(), "forecast immediately crashed"
+
+
+def test_k_w11b_matches_ar_twin_contract(spark, sf_dir):
+    """k_w11b_lstm_forecast mirrors k_w11_ar_forecast's contract:
+    same schema, 30 steps per group, same group set, finite values."""
+    from engage_spark.registry import load_all
+
+    reg = load_all()
+    lstm = reg["k_w11b_lstm_forecast"].fn(spark, sf_dir)
+    ar = reg["k_w11_ar_forecast"].fn(spark, sf_dir)
+    assert [f.name for f in lstm.schema.fields] == [
+        f.name for f in ar.schema.fields
+    ]
+    import pyspark.sql.functions as F
+
+    g = lstm.groupBy("user_id").count().collect()
+    assert all(r["count"] == 30 for r in g)
+    assert {r.user_id for r in g} == {
+        r.user_id for r in ar.select("user_id").distinct().collect()
+    }
+    bad = lstm.filter(F.isnan("pred") | F.col("pred").isNull()).count()
+    assert bad == 0
