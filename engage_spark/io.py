@@ -868,6 +868,33 @@ def _hive_part_dir(col: str, val) -> str:
     return f"{col}={''.join(out)}"
 
 
+def _stash_sidecars(spark: SparkSession, target: str) -> list:
+    """Move `_`-prefixed sidecar DIRECTORIES (e.g. _zorder_meta, the
+    frozen clustering definition) out of the way of a destructive
+    dataset overwrite; returns [(tmp_uri, final_uri)] for
+    _restore_sidecars. Parquet readers ignore `_` paths, so these
+    sidecars are metadata the overwrite would otherwise silently
+    destroy — the unpartitioned upsert path did exactly that before
+    r11, leaving the dataset un-appendable (no _zorder_meta)."""
+    fs, p = _hadoop_fs(spark, target)
+    out = []
+    for s in fs.listStatus(p):
+        name = s.getPath().getName()
+        if s.isDirectory() and name.startswith("_") and name != "_temporary":
+            tmp = f"{target}__sidecar_{name.lstrip('_')}"
+            _, tp = _hadoop_fs(spark, tmp)
+            fs.rename(s.getPath(), tp)
+            out.append((tmp, f"{target}/{name}"))
+    return out
+
+
+def _restore_sidecars(spark: SparkSession, stashed: list) -> None:
+    for tmp, final in stashed:
+        fs, tp = _hadoop_fs(spark, tmp)
+        _, fp = _hadoop_fs(spark, final)
+        fs.rename(tp, fp)
+
+
 def upsert_dataset(
     spark: SparkSession,
     target: str,
@@ -977,7 +1004,13 @@ def upsert_dataset(
         sfs, sp = _hadoop_fs(spark, staging)
         # the overwrite deletes target first — staging is the ONLY full
         # copy while it runs, so only drop it after the write succeeds;
-        # on failure leave it and name it in the error for recovery
+        # on failure leave it and name it in the error for recovery.
+        # Sidecar dirs (_zorder_meta: the dataset's frozen clustering
+        # definition, still valid after a row merge) are stashed across
+        # the destructive overwrite — a table format would keep its log
+        # the same way; the merge degrades layout HEALTH, which
+        # zorder_layout_stats measures and optimize_dataset repairs.
+        stashed = _stash_sidecars(spark, target)
         try:
             spark.read.parquet(staging).write.mode("overwrite").parquet(target)
         except BaseException as e:
@@ -985,6 +1018,8 @@ def upsert_dataset(
                 f"upsert overwrite of {target} failed mid-write; the "
                 f"merged recovery copy is preserved at {staging}"
             ) from e
+        finally:
+            _restore_sidecars(spark, stashed)
         sfs.delete(sp, True)
         return stats
 
@@ -1015,6 +1050,7 @@ def upsert_dataset(
             staging
         )
         sfs, sp = _hadoop_fs(spark, staging)
+        stashed = _stash_sidecars(spark, target)
         try:
             back = spark.read.parquet(staging)
             merged_types = {f.name: f.dataType for f in merged.schema.fields}
@@ -1032,6 +1068,8 @@ def upsert_dataset(
                 f"upsert overwrite of {target} failed mid-write; the "
                 f"merged recovery copy is preserved at {staging}"
             ) from e
+        finally:
+            _restore_sidecars(spark, stashed)
         sfs.delete(sp, True)
         return stats
 

@@ -1460,3 +1460,46 @@ def test_zorder_layout_stats_empty_dataset(spark, tmp_path):
         "overlap_fraction": 0.0,
         "avg_covering": 0.0,
     }
+
+
+def test_upsert_preserves_zorder_meta_sidecar(spark, tmp_path):
+    """A full-rewrite upsert on a Z-ordered dataset must carry the
+    _zorder_meta sidecar across the destructive overwrite (it is the
+    frozen clustering definition — without it every later
+    zorder_append fails), exactly as a table format preserves its log
+    through a merge."""
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import (
+        upsert_dataset,
+        zorder_append,
+        zorder_meta,
+        zorder_write,
+    )
+
+    p = str(tmp_path / "zp")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 37).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=2)
+    before = zorder_meta(spark, p)
+    upsert_dataset(
+        spark,
+        p,
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("a"),
+            F.lit(2).cast("long").alias("b"),
+        ),
+        ["k"],
+    )
+    assert zorder_meta(spark, p) == before, "upsert dropped _zorder_meta"
+    # and the dataset is still appendable on the frozen curve
+    inc = spark.range(1000, 1020).select(
+        F.col("id").alias("k"), (F.col("id") % 37).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    zorder_append(spark, inc, p, num_files=1)
+    # 200 originals (5 replaced in place by the upsert) + 20 appended
+    assert spark.read.parquet(p).count() == 220

@@ -781,6 +781,15 @@ def test_maintenance_loop_example_composes_end_to_end(spark, tmp_path):
     assert out["takedown_matches_before"] >= 1
     assert out["takedown_matches_after"] == 0
     assert out["published_rows"] == out["admitted"] - 1
+    # r10 verdict item 7: the MEASURED reoptimize trigger — appended
+    # micro-batches must push layout overlap past the threshold, the
+    # loop must respond with optimize_dataset, and the rewritten layout
+    # must recover (overlap back under the trigger, read amplification
+    # down)
+    assert out["drift_overlap"] > 0.10, "appends did not degrade layout"
+    assert out["reoptimized"] is True
+    assert out["final_overlap"] <= 0.10
+    assert out["final_avg_covering"] < out["drift_avg_covering"]
 
 
 def test_compact_ingest_state_between_runs(spark, tmp_path):
