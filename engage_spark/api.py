@@ -601,16 +601,26 @@ def hybrid_search(
     query_text_col: str = "query_text",
     query_emb_col: str = "query_embedding",
     bm25_kwargs: dict | None = None,
+    semantic: str = "exact",
+    index_dir: str | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """One-call hybrid retrieval over a corpus carrying BOTH a text and
-    an embedding column: BM25 (lexical) and exact cosine (semantic)
-    top-k lists fused by reciprocal rank. Queries supply
-    (query_id, query_text, query_embedding). Each retriever fetches
-    2*k candidates so an item strong in one modality but just outside
-    the other's top-k still fuses in. For corpora where exact cosine
-    is too hot, run ivfpq_search yourself and pass its list to
-    rrf_fuse — fusion is retriever-agnostic. Returns
-    (query_id, doc_id, rrf_score, rank)."""
+    an embedding column: BM25 (lexical) and a semantic top-k list
+    fused by reciprocal rank. Queries supply (query_id, query_text,
+    query_embedding). Each retriever fetches 2*k candidates so an item
+    strong in one modality but just outside the other's top-k still
+    fuses in. Returns (query_id, doc_id, rrf_score, rank).
+
+    `semantic` picks the embedding leg (fusion is retriever-agnostic):
+      - "exact"  — topk_cosine_search, a full broadcast scan per query
+                   batch: the small-corpus / ground-truth choice.
+      - "ivfpq"  — ivfpq_topk_search (sub-linear probes, compressed
+                   ADC scan, exact re-rank): the corpus-scale choice,
+                   the registered x5b_hybrid_ivfpq composition. Pass
+                   `index_dir` to search a PERSISTED ivfpq_build index
+                   instead of training quantizers on the fly; `n_rows`
+                   skips the on-the-fly path's count() job."""
     lex = bm25_topk(
         corpus,
         queries,
@@ -621,18 +631,47 @@ def hybrid_search(
         query_text_col=query_text_col,
         **(bm25_kwargs or {}),
     )
-    sem = topk_cosine_search(
-        corpus.select(F.col(id_col), F.col(emb_col)),
-        queries,
-        k=2 * k,
-        id_col=id_col,
-        emb_col=emb_col,
-        query_id_col=query_id_col,
-        query_emb_col=query_emb_col,
-        exclude_self=False,
-    ).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    )
+    vec_corpus = corpus.select(F.col(id_col), F.col(emb_col))
+    if semantic == "exact":
+        sem = topk_cosine_search(
+            vec_corpus,
+            queries,
+            k=2 * k,
+            id_col=id_col,
+            emb_col=emb_col,
+            query_id_col=query_id_col,
+            query_emb_col=query_emb_col,
+            exclude_self=False,
+        )
+    elif semantic == "ivfpq" and index_dir is not None:
+        sem = ivfpq_search(
+            index_dir,
+            queries,
+            vec_corpus,
+            k=2 * k,
+            id_col=id_col,
+            emb_col=emb_col,
+            query_id_col=query_id_col,
+            query_emb_col=query_emb_col,
+            exclude_self=False,
+        )
+    elif semantic == "ivfpq":
+        sem = ivfpq_topk_search(
+            vec_corpus,
+            queries,
+            k=2 * k,
+            id_col=id_col,
+            emb_col=emb_col,
+            query_id_col=query_id_col,
+            query_emb_col=query_emb_col,
+            exclude_self=False,
+            n_rows=n_rows,
+        )
+    else:
+        raise ValueError(
+            f"unknown semantic retriever {semantic!r}; use 'exact' or 'ivfpq'"
+        )
+    sem = sem.select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, sem], k0=k0, k=k)
 
 

@@ -1695,3 +1695,48 @@ def test_rrf_fuse_rejects_empty_input(spark):
 
     with _pytest.raises(ValueError, match="at least one ranked list"):
         api.rrf_fuse([])
+
+
+def test_hybrid_search_ivfpq_leg(spark):
+    """hybrid_search(semantic='ivfpq') — the corpus-scale composition
+    (the registered x5b path) behind the one-call facade: same output
+    contract as the exact leg, k rows per query, and on a corpus small
+    enough that IVF-PQ degenerates gracefully the fused winner matches
+    the exact mode's. An unknown retriever name raises."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from engage_spark import api
+
+    rng = np.random.RandomState(11)
+    q_vec = rng.randn(16)
+    texts = [
+        "quantum harmonics resonate in the crystal lattice",
+        "completely different topic entirely here today",
+        "quantum harmonics also appear in this text body",
+        "unrelated filler about cooking pasta slowly tonight",
+    ]
+    vecs = [q_vec + 0.01 * rng.randn(16)] + [rng.randn(16) for _ in range(3)]
+    rows = [
+        (i + 1, t, v.tolist()) for i, (t, v) in enumerate(zip(texts, vecs))
+    ] + [
+        (100 + i, f"background document number {i} with filler words",
+         rng.randn(16).tolist())
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    qs = spark.createDataFrame(
+        [(10, "quantum harmonics", q_vec.tolist())],
+        "query_id long, query_text string, query_embedding array<double>",
+    )
+    exact = api.hybrid_search(corpus, qs, k=4, semantic="exact")
+    ann = api.hybrid_search(corpus, qs, k=4, semantic="ivfpq", n_rows=44)
+    assert exact.columns == ann.columns
+    got = sorted(ann.collect(), key=lambda r: r.rank)
+    assert len(got) == 4
+    assert got[0].doc_id == sorted(exact.collect(), key=lambda r: r.rank)[0].doc_id
+    with _pytest.raises(ValueError, match="unknown semantic retriever"):
+        api.hybrid_search(corpus, qs, k=4, semantic="bogus")
