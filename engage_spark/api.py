@@ -87,6 +87,7 @@ __all__ = [
     "embed_index_vacuum",
     "ivfpq_delete",
     "ivfpq_vacuum",
+    "ivfpq_recall_probe",
     "bm25_topk",
     "rrf_fuse",
     "hybrid_search",
@@ -1829,6 +1830,62 @@ def ivfpq_vacuum(spark: SparkSession, index_dir: str) -> dict:
     tombstones. Quantizers (centroids/codebooks) are untouched —
     deletes never retrain, matching the frozen-quantizer append."""
     return _index_vacuum(spark, index_dir, {"codes": "vec_id"})
+
+
+def ivfpq_recall_probe(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    sample_queries: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict:
+    """Operational index-quality monitor: recall@k of the persisted
+    IVF-PQ index against exact brute force on a DETERMINISTIC sample
+    of corpus vectors (the lowest sample_queries ids), plus both
+    probes' wall time. Appends encode against FROZEN quantizers
+    (ivfpq_append), so distribution drift shows up as growing residual
+    error and probe misses — this is the number a maintenance job
+    watches to schedule a quantizer rebuild (ivfpq_build), completing
+    the build / append / delete / vacuum lifecycle with measurement
+    (the ANN sibling of zorder_layout_stats' OPTIMIZE trigger).
+    Bounded work: one index search + one exact scan for
+    sample_queries query vectors. Returns {"recall_at_k", "queries",
+    "k", "ann_s", "exact_s"}."""
+    import time
+
+    qs = (
+        corpus.select(F.col(id_col), F.col(emb_col))
+        .orderBy(id_col)
+        .limit(sample_queries)
+    )
+    t0 = time.perf_counter()
+    ann_rows = ivfpq_search(
+        index_dir, qs, corpus, k=k, id_col=id_col, emb_col=emb_col
+    ).collect()
+    ann_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ex_rows = topk_cosine_search(
+        corpus, qs, k=k, id_col=id_col, emb_col=emb_col
+    ).collect()
+    exact_s = time.perf_counter() - t0
+    ann: dict = {}
+    ex: dict = {}
+    for r in ann_rows:
+        ann.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ex_rows:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recs = [
+        len(ann.get(q, set()) & s) / max(1, len(s)) for q, s in ex.items()
+    ]
+    return {
+        "recall_at_k": round(sum(recs) / max(1, len(recs)), 4),
+        "queries": len(ex),
+        "k": k,
+        "ann_s": round(ann_s, 3),
+        "exact_s": round(exact_s, 3),
+    }
 
 
 def _ws_tokens(text_col: str) -> Column:

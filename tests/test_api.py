@@ -1503,3 +1503,26 @@ def test_upsert_preserves_zorder_meta_sidecar(spark, tmp_path):
     zorder_append(spark, inc, p, num_files=1)
     # 200 originals (5 replaced in place by the upsert) + 20 appended
     assert spark.read.parquet(p).count() == 220
+
+
+def test_ivfpq_recall_probe_monitors_index_quality(spark, sf_dir):
+    """The index-quality monitor: recall@k of a persisted IVF-PQ index
+    vs exact brute force on a deterministic sample — the drift signal
+    that schedules quantizer rebuilds. On an in-distribution index the
+    probe must report healthy recall; the report is bounded and
+    carries both probes' latency."""
+    from engage_spark import api
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = "/tmp/ivfpq_probe_idx"
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    api.ivfpq_build(e, idx)
+    rep = api.ivfpq_recall_probe(spark, idx, e, sample_queries=10, k=5)
+    assert set(rep) == {"recall_at_k", "queries", "k", "ann_s", "exact_s"}
+    assert rep["queries"] == 10 and rep["k"] == 5
+    assert 0.4 <= rep["recall_at_k"] <= 1.0, rep
+    assert rep["ann_s"] > 0 and rep["exact_s"] > 0
