@@ -279,9 +279,11 @@ def minhash_index_append(
         docs.sparkSession, index_dir, docs.select(id_col),
         {"bands": "doc_id", "hashes": "doc_id"},
     )
+    spark = docs.sparkSession
+    tag = _manual_run_tag()
     hashed = minhash_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
-    minhash_band_rows(hashed).write.mode("append").parquet(f"{index_dir}/bands")
-    hashed.write.mode("append").parquet(f"{index_dir}/hashes")
+    _index_append_write(spark, minhash_band_rows(hashed), f"{index_dir}/bands", tag)
+    _index_append_write(spark, hashed, f"{index_dir}/hashes", tag)
     return docs.count()
 
 
@@ -456,15 +458,21 @@ def embed_index_append(
         spark, index_dir, e.select("vec_id"),
         {"bands": "vec_id", "vectors": "vec_id"},
     )
-    e.select(
-        "vec_id",
-        F.posexplode(
-            nd_band_keys_column(
-                e, "embedding", int(meta.bands), int(meta.rows), int(meta.dim)
-            )
-        ).alias("band", "key"),
-    ).write.mode("append").parquet(f"{index_dir}/bands")
-    e.write.mode("append").parquet(f"{index_dir}/vectors")
+    tag = _manual_run_tag()
+    _index_append_write(
+        spark,
+        e.select(
+            "vec_id",
+            F.posexplode(
+                nd_band_keys_column(
+                    e, "embedding", int(meta.bands), int(meta.rows), int(meta.dim)
+                )
+            ).alias("band", "key"),
+        ),
+        f"{index_dir}/bands",
+        tag,
+    )
+    _index_append_write(spark, e, f"{index_dir}/vectors", tag)
     return e.count()
 
 
@@ -1579,7 +1587,7 @@ def ivfpq_append(
     _tombstones_revive(spark, index_dir, e.select("vec_id"), {"codes": "vec_id"})
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
     codes = _ivfpq_codes(e, bc, cb)
-    codes.write.mode("append").parquet(f"{index_dir}/codes")
+    _index_append_write(spark, codes, f"{index_dir}/codes", _manual_run_tag())
     return e.count()
 
 
@@ -1716,6 +1724,31 @@ def _rewrite_minus_ids(
             f"copy is preserved at {staging}"
         ) from e
     sfs.delete(sp, True)
+
+
+def _index_append_write(
+    spark: SparkSession, df: DataFrame, table_dir: str, run_tag: str
+) -> None:
+    """Append rows to an index table, honoring a STREAMING-built hive
+    run=... layout: a flat append into a partitioned directory creates
+    a mixed structure Spark refuses to read (and silently drops the
+    `run` column the replay exclusion filters on), so partitioned
+    tables receive a fresh run=<tag> partition instead — which
+    _replay_filtered correctly treats as committed history. Flat
+    tables keep the plain append."""
+    from engage_spark.io import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, table_dir)
+    if fs.exists(p) and _hive_partition_cols(spark, table_dir) == ["run"]:
+        df.write.mode("overwrite").parquet(f"{table_dir}/run={run_tag}")
+    else:
+        df.write.mode("append").parquet(table_dir)
+
+
+def _manual_run_tag() -> str:
+    import uuid
+
+    return f"manual_{uuid.uuid4().hex[:12]}"
 
 
 def _tombstones_revive(

@@ -1740,3 +1740,40 @@ def test_hybrid_search_ivfpq_leg(spark):
     assert got[0].doc_id == sorted(exact.collect(), key=lambda r: r.rank)[0].doc_id
     with _pytest.raises(ValueError, match="unknown semantic retriever"):
         api.hybrid_search(corpus, qs, k=4, semantic="bogus")
+
+
+def test_batch_append_onto_streaming_partitioned_index(spark, tmp_path):
+    """A batch *_append onto a STREAMING-built (run=... partitioned)
+    index must not create a mixed flat/partitioned layout — it writes
+    a fresh run=manual_<id> partition instead, which the replay
+    exclusion treats as committed history. Reads keep the 'run'
+    column and queries see old + new documents."""
+    from engage_spark import api
+    from engage_spark.queries.llm_dedup import (
+        minhash_band_rows,
+        minhash_shingle_hashes,
+    )
+
+    idx = str(tmp_path / "nd_mixed")
+    docs0 = spark.createDataFrame([(0, _BASE)], "doc_id long, text string")
+    hashed = minhash_shingle_hashes(docs0)
+    minhash_band_rows(hashed).write.mode("overwrite").parquet(
+        f"{idx}/bands/run=abc_batch=0"
+    )
+    hashed.write.mode("overwrite").parquet(f"{idx}/hashes/run=abc_batch=0")
+    # batch maintenance append onto the streaming layout
+    api.minhash_index_append(
+        idx, spark.createDataFrame([(5, _OTHER)], "doc_id long, text string")
+    )
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert "run" in bands.columns, "batch append flattened the layout"
+    runs = {r.run for r in bands.select("run").distinct().collect()}
+    assert any(r.startswith("manual_") for r in runs), runs
+    probe = spark.createDataFrame(
+        [(100, _BASE), (101, _OTHER)], "doc_id long, text string"
+    )
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in api.minhash_index_query(idx, probe).collect()
+    }
+    assert got == {(100, 0), (101, 5)}
