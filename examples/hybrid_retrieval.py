@@ -11,6 +11,10 @@ Composes the engine's retrieval surface end to end:
      ivfpq_search — the 100 TB path: train once, search many).
   3. Reciprocal-rank fusion (api.rrf_fuse) of the lexical and
      semantic lists — rank-based, so no score normalization.
+  4. Index health: api.ivfpq_recall_probe measures the persisted
+     index's recall@k vs exact brute force on a deterministic sample —
+     the drift signal a maintenance job watches to schedule a
+     quantizer rebuild.
 
 The testdata's `documents.doc_id` and `embeddings.vec_id` share an id
 space, standing in for a corpus with both a text and an embedding
@@ -68,10 +72,14 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     # moves the final ranking (the operational recall proxy)
     a = {(r.query_id, r.doc_id) for r in fused_exact.collect()}
     b = {(r.query_id, r.doc_id) for r in fused_ann.collect()}
+
+    # index health: the rebuild-scheduling signal
+    probe = api.ivfpq_recall_probe(spark, idx, emb, sample_queries=10, k=10)
     return {
         "lexical_rows": lex.count(),
         "fused_rows": len(a),
         "fused_overlap": len(a & b) / max(1, len(a)),
+        "index_recall_at_10": probe["recall_at_k"],
     }
 
 

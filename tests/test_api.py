@@ -1526,3 +1526,24 @@ def test_ivfpq_recall_probe_monitors_index_quality(spark, sf_dir):
     assert rep["queries"] == 10 and rep["k"] == 5
     assert 0.4 <= rep["recall_at_k"] <= 1.0, rep
     assert rep["ann_s"] > 0 and rep["exact_s"] > 0
+
+
+def test_local_frame_matches_createdataframe_semantics(spark):
+    """session.local_frame is the engine-wide constructor for bounded
+    driver-side frames (zero Python at evaluation); its conversion
+    must match createDataFrame(list) row-for-row across the tricky
+    cases: NULLs in numeric columns, unicode, empty arrays, booleans,
+    and the empty-rows frame."""
+    from engage_spark.session import local_frame
+
+    schema = "a long, b long, c string, d array<double>, e boolean"
+    rows = [(1, None, "héllo ✓", [], True), (2, 5, None, [1.5], False)]
+    got = sorted(local_frame(spark, rows, schema).collect())
+    ref = sorted(spark.createDataFrame(rows, schema).collect())
+    assert got == ref
+    empty = local_frame(spark, [], schema)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["a", "b", "c", "d", "e"]
+    # the point of the helper: a JVM LocalRelation/scan, no Python eval
+    plan = empty._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -1347,6 +1347,7 @@ def test_hybrid_retrieval_example_composes_end_to_end(spark, tmp_path):
     out = run(spark, "/root/testdata/sf0.001", str(tmp_path / "work"))
     assert out["lexical_rows"] > 0 and out["fused_rows"] > 0
     assert out["fused_overlap"] >= 0.6, out
+    assert 0.4 <= out["index_recall_at_10"] <= 1.0, out
 
 
 def test_hybrid_search_fuses_lexical_and_semantic(spark):
