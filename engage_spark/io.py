@@ -755,6 +755,24 @@ def zorder_append(
     return {"files": n, "cols": m["cols"], "scale": m["scale"]}
 
 
+def _zorder_file_ranges(spark: SparkSession, path: str) -> list:
+    """[(file_uri, z_lo, z_hi)] per data file: one scan recomputing
+    every row's Z-value with the FROZEN meta, reduced to one row per
+    file. The shared input of zorder_layout_stats (health metric) and
+    optimize_incremental (victim selection)."""
+    m = zorder_meta(spark, path)
+    z = _zorder_scale_frozen(
+        spark,
+        spark.read.parquet(path).withColumn("__file", F.input_file_name()),
+        path,
+        m,
+    )
+    per_file = z.groupBy("__file").agg(
+        F.min("__z").alias("z_lo"), F.max("__z").alias("z_hi")
+    ).collect()  # bounded: one row per data file
+    return [(r["__file"], int(r.z_lo), int(r.z_hi)) for r in per_file]
+
+
 def zorder_layout_stats(spark: SparkSession, path: str) -> dict:
     """Layout-health metric for a Z-ordered dataset — the OPTIMIZE
     trigger. Appends put new files on the same curve but their
@@ -770,17 +788,9 @@ def zorder_layout_stats(spark: SparkSession, path: str) -> dict:
     i.e. the read amplification of a curve-point lookup."""
     import heapq
 
-    m = zorder_meta(spark, path)
-    z = _zorder_scale_frozen(
-        spark,
-        spark.read.parquet(path).withColumn("__file", F.input_file_name()),
-        path,
-        m,
+    ranges = sorted(
+        (lo, hi) for _, lo, hi in _zorder_file_ranges(spark, path)
     )
-    per_file = z.groupBy("__file").agg(
-        F.min("__z").alias("z_lo"), F.max("__z").alias("z_hi")
-    ).collect()  # bounded: one row per data file
-    ranges = sorted((int(r.z_lo), int(r.z_hi)) for r in per_file)
     if not ranges:
         # empty dataset (no rows): nothing can overlap, nothing to
         # optimize — zeroed stats instead of max()-of-empty ValueError
@@ -839,6 +849,144 @@ def optimize_dataset(
     n = max(1, math.ceil(total / target_file_bytes))
     zorder_write(spark, df, dst, cols, bits=bits, num_files=n, scale=scale)
     return n
+
+
+_OPT_STAGING = "_optimize_staging"
+_OPT_MANIFEST = "_optimize_manifest"
+
+
+def optimize_incremental(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """PARTIAL OPTIMIZE in place: rewrite ONLY the files whose
+    Z-ranges overlap another file's, leaving the (typically vast)
+    disjoint remainder untouched — the Delta-style incremental
+    compaction a 100 TB table needs when 1% of it was appended since
+    the last full optimize_dataset. Victims are found from the same
+    per-file (z_lo, z_hi) scan zorder_layout_stats sweeps; they are
+    re-read (a file-list scan, never the whole dataset), re-scaled on
+    the FROZEN curve, range-partitioned into right-sized disjoint
+    files, and swapped in.
+
+    Commit protocol (plain parquet has no transaction log, so the swap
+    is staged to make every crash window recoverable):
+      1. stage the rewritten files under ``path/_optimize_staging``
+         (a ``_`` dir — invisible to readers);
+      2. write ``path/_optimize_manifest`` listing the victim files
+         (manifest presence == staging is COMPLETE);
+      3. commit: move staged files into the dataset root, delete the
+         victims, drop manifest + staging.
+    A crash before (2) leaves the dataset untouched (stray staging is
+    garbage-collected by the next run); a crash during (3) is
+    completed by ``optimize_recover`` — moves and deletes are
+    idempotent. Readers concurrent with (3) can transiently see
+    duplicate rows, the usual non-transactional-parquet caveat; run
+    it from the single maintenance writer. Returns
+    {"rewritten_files", "new_files", "kept_files"}."""
+    import math
+
+    fr = _zorder_file_ranges(spark, path)
+    # sweep for overlap participants: sort by lo; a file overlaps its
+    # predecessor group when its lo <= the running max hi
+    fr_sorted = sorted(fr, key=lambda t: (t[1], t[2]))
+    victims: set = set()
+    run_max_hi = None
+    run_max_file = None
+    for f, lo, hi in fr_sorted:
+        if run_max_hi is not None and lo <= run_max_hi:
+            victims.add(f)
+            victims.add(run_max_file)
+        if run_max_hi is None or hi > run_max_hi:
+            run_max_hi, run_max_file = hi, f
+    if len(victims) < 2:
+        _optimize_gc_staging(spark, path)
+        return {"rewritten_files": 0, "new_files": 0, "kept_files": len(fr)}
+
+    m = zorder_meta(spark, path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in victims:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n_new = max(1, math.ceil(total / target_file_bytes))
+    staging = f"{path}/{_OPT_STAGING}"
+    out = _zorder_scale_frozen(
+        spark, spark.read.parquet(*sorted(victims)), path, m
+    )
+    (
+        out.repartitionByRange(n_new, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    # manifest AFTER staging completes: its presence is the commit point
+    from engage_spark.session import local_frame
+
+    local_frame(
+        spark, [(f,) for f in sorted(victims)], "victim string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
+    new_files = _optimize_commit(spark, path)
+    return {
+        "rewritten_files": len(victims),
+        "new_files": new_files,
+        "kept_files": len(fr) - len(victims),
+    }
+
+
+def _optimize_commit(spark: SparkSession, path: str) -> int:
+    """Complete a staged incremental optimize: move staged part files
+    into the dataset root, delete the manifest's victims, drop the
+    sidecars. Idempotent — every step skips already-done work — so
+    optimize_recover can replay it after a crash."""
+    fs, root = _hadoop_fs(spark, path)
+    sfs, sp = _hadoop_fs(spark, f"{path}/{_OPT_STAGING}")
+    moved = 0
+    if sfs.exists(sp):
+        for s in sfs.listStatus(sp):
+            name = s.getPath().getName()
+            if name.startswith("_") or s.isDirectory():
+                continue
+            _, dst = _hadoop_fs(spark, f"{path}/{name}")
+            if not fs.exists(dst):
+                fs.rename(s.getPath(), dst)
+            moved += 1
+    victims = [
+        r.victim
+        for r in spark.read.parquet(f"{path}/{_OPT_MANIFEST}").collect()
+    ]
+    for f in victims:
+        vfs, vp = _hadoop_fs(spark, f)
+        if vfs.exists(vp):
+            vfs.delete(vp, False)
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
+    mfs.delete(mp, True)
+    if sfs.exists(sp):
+        sfs.delete(sp, True)
+    return moved
+
+
+def _optimize_gc_staging(spark: SparkSession, path: str) -> None:
+    """Drop a stray staging dir left by a crash BEFORE the manifest
+    write (the dataset is untouched in that window)."""
+    sfs, sp = _hadoop_fs(spark, f"{path}/{_OPT_STAGING}")
+    if sfs.exists(sp):
+        sfs.delete(sp, True)
+
+
+def optimize_recover(spark: SparkSession, path: str) -> dict:
+    """Recover an interrupted optimize_incremental: a manifest present
+    means staging completed — replay the commit; no manifest means any
+    staging dir is pre-commit garbage — drop it. Safe to call
+    unconditionally at maintenance startup."""
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
+    if mfs.exists(mp):
+        return {"recovered": True, "new_files": _optimize_commit(spark, path)}
+    _optimize_gc_staging(spark, path)
+    return {"recovered": False, "new_files": 0}
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

@@ -26,11 +26,13 @@ engine's registered operators:
   6. DRIFT + AUTO-REOPTIMIZE — later deliveries zorder_append onto the
                 published layout (frozen curve); zorder_layout_stats
                 is the MEASURED trigger: when overlap_fraction crosses
-                _REOPT_OVERLAP the loop schedules optimize_dataset and
-                verifies the layout health recovered (overlap ~0,
-                avg_covering — the read amplification of a curve-point
-                lookup — back near 1). This is the OPTIMIZE cadence a
-                production table service runs from stats, not a timer.
+                _REOPT_OVERLAP the loop runs optimize_incremental IN
+                PLACE — rewriting ONLY the overlapping-file set (at
+                100 TB that is the appended 1%, not the table) after
+                optimize_recover clears any interrupted prior pass —
+                and verifies the layout health recovered. This is the
+                OPTIMIZE cadence a production table service runs from
+                stats, not a timer.
 
 Each stage is the SAME function a production job would schedule; this
 script only sequences them. Run:
@@ -166,7 +168,12 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     # appended micro-batches stay on the frozen curve but their files
     # OVERLAP existing files' Z-ranges; overlap_fraction is the
     # measured trigger (SCALE.md §zorder documents the threshold)
-    from engage_spark.io import zorder_append, zorder_layout_stats
+    from engage_spark.io import (
+        optimize_incremental,
+        optimize_recover,
+        zorder_append,
+        zorder_layout_stats,
+    )
 
     base = spark.read.parquet(publish_src)
     for c in range(1, 4):
@@ -179,16 +186,18 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     drift = zorder_layout_stats(spark, published)
     reoptimized = False
     final_stats = drift
+    rewritten = 0
     if drift["overlap_fraction"] > _REOPT_OVERLAP:
-        republished = f"{workdir}/published_v2"
-        optimize_dataset(spark, published, republished, ["doc_id", "n_chars"])
-        final_stats = zorder_layout_stats(spark, republished)
+        optimize_recover(spark, published)  # clear any interrupted pass
+        rewritten = optimize_incremental(spark, published)["rewritten_files"]
+        final_stats = zorder_layout_stats(spark, published)
         reoptimized = True
 
     return {
         "drift_overlap": round(drift["overlap_fraction"], 4),
         "drift_avg_covering": round(drift["avg_covering"], 4),
         "reoptimized": reoptimized,
+        "rewritten_files": rewritten,
         "final_overlap": round(final_stats["overlap_fraction"], 4),
         "final_avg_covering": round(final_stats["avg_covering"], 4),
         "delivered": docs.count(),

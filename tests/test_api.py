@@ -1124,20 +1124,20 @@ def test_zorder_append_preserves_skipping(spark, tmp_path):
 
     rewrite, appended = str(tmp_path / "rw"), str(tmp_path / "ap")
     zorder_write(spark, full, rewrite, ["a", "b"], bits=10, num_files=16)
-    zorder_write(spark, first, appended, ["a", "b"], bits=10, num_files=8)
-    zorder_append(spark, second, appended, num_files=8)
+    # each half gets the REWRITE's file count so its rectangles match
+    # the rewrite's granularity — the r11 8-file halves were ~2x
+    # coarser, which left the comparison at the mercy of
+    # repartitionByRange's session-history-seeded sample boundaries
+    # (observed f_ap - f_rw up to 0.31 across session histories)
+    zorder_write(spark, first, appended, ["a", "b"], bits=10, num_files=16)
+    zorder_append(spark, second, appended, num_files=16)
     assert spark.read.parquet(appended).count() == n
     f_rw, f_ap = kept_fraction(rewrite), kept_fraction(appended)
     assert f_rw < 0.7, f"z-order layout itself is not pruning ({f_rw})"
-    # margin: each appended half spans the full Z-range with 8 files,
-    # so its rectangles are ~2x coarser than the 16-file rewrite's,
-    # and repartitionByRange's sampled boundaries (seeded by RDD id,
-    # which depends on session history) move a file or two across the
-    # predicate boundary between runs — observed f_ap - f_rw in
-    # [0.06, 0.19] across sessions. The invariant under test is that
-    # appended files still PRUNE on the frozen curve, not that they
-    # match the rewrite exactly; zorder_layout_stats is the precise
-    # degradation metric.
+    # The invariant under test is that appended files still PRUNE on
+    # the frozen curve, not that they match the rewrite exactly;
+    # zorder_layout_stats is the precise degradation metric and
+    # optimize_incremental the repair.
     assert f_ap < 0.75, f"appended files stopped pruning ({f_ap:.2f})"
     assert f_ap <= f_rw + 0.25, (
         f"append layout lost the skip rate: rewrite keeps {f_rw:.2f}, "
@@ -1547,3 +1547,99 @@ def test_local_frame_matches_createdataframe_semantics(spark):
     # the point of the helper: a JVM LocalRelation/scan, no Python eval
     plan = empty._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def _zspread(spark, n, lo_a, hi_a):
+    from pyspark.sql import functions as F
+
+    span = hi_a - lo_a
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.lit(lo_a) + (F.col("id") * span) / n).cast("long").alias("a"),
+        (F.col("id") % 16).alias("b"),
+    )
+
+
+def test_optimize_incremental_rewrites_only_overlapping_files(spark, tmp_path):
+    """Partial OPTIMIZE: appends confined to a narrow curve region must
+    trigger a rewrite of ONLY the files they overlap — the disjoint
+    remainder stays byte-identical on disk — with rows preserved and
+    layout health improved; a second run is a no-op."""
+    import os
+
+    from engage_spark.io import (
+        optimize_incremental,
+        zorder_append,
+        zorder_layout_stats,
+        zorder_write,
+    )
+
+    p = str(tmp_path / "zinc")
+    zorder_write(spark, _zspread(spark, 20000, 0, 100000), p, ["a", "b"],
+                 bits=8, num_files=8)
+    # two appends confined to the LOW end of the a-range
+    zorder_append(spark, _zspread(spark, 500, 0, 2000), p, num_files=1)
+    zorder_append(spark, _zspread(spark, 500, 0, 2000), p, num_files=1)
+    before = zorder_layout_stats(spark, p)
+    assert before["overlap_pairs"] > 0
+    files_before = {
+        f: os.path.getmtime(f.replace("file:", ""))
+        for f in spark.read.parquet(p).inputFiles()
+    }
+    n_rows = spark.read.parquet(p).count()
+    s_a = spark.read.parquet(p).groupBy().sum("a").collect()[0][0]
+
+    out = optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    assert out["rewritten_files"] >= 2
+    assert out["kept_files"] >= 1, "a narrow append must not force a full rewrite"
+    # rows survive exactly
+    assert spark.read.parquet(p).count() == n_rows
+    assert spark.read.parquet(p).groupBy().sum("a").collect()[0][0] == s_a
+    # kept files are untouched on disk
+    files_after = set(spark.read.parquet(p).inputFiles())
+    kept = files_before.keys() & files_after
+    assert len(kept) == out["kept_files"]
+    for f in kept:
+        assert os.path.getmtime(f.replace("file:", "")) == files_before[f]
+    after = zorder_layout_stats(spark, p)
+    assert after["overlap_pairs"] < before["overlap_pairs"]
+    # idempotent: nothing left to rewrite... (or at worst strictly less)
+    again = optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    assert again["rewritten_files"] == 0 or (
+        zorder_layout_stats(spark, p)["overlap_pairs"] <= after["overlap_pairs"]
+    )
+
+
+def test_optimize_incremental_crash_recovery(spark, tmp_path, monkeypatch):
+    """Crash between the manifest write (commit point) and the commit:
+    optimize_recover must replay the swap — no duplicate rows, no lost
+    rows, sidecars cleared."""
+    import engage_spark.io as io
+
+    p = str(tmp_path / "zrec")
+    io.zorder_write(spark, _zspread(spark, 5000, 0, 50000), p, ["a", "b"],
+                    bits=8, num_files=4)
+    io.zorder_append(spark, _zspread(spark, 300, 0, 1000), p, num_files=1)
+    n_rows = spark.read.parquet(p).count()
+
+    real_commit = io._optimize_commit
+
+    def boom(spark_, path_):
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(io, "_optimize_commit", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        io.optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    monkeypatch.setattr(io, "_optimize_commit", real_commit)
+    # manifest exists -> staging completed -> recovery replays commit
+    rec = io.optimize_recover(spark, p)
+    assert rec["recovered"] is True and rec["new_files"] >= 1
+    assert spark.read.parquet(p).count() == n_rows
+    import os
+
+    assert not os.path.exists(f"{p}/_optimize_manifest")
+    assert not os.path.exists(f"{p}/_optimize_staging")
+    # a second recover is a clean no-op
+    assert io.optimize_recover(spark, p) == {"recovered": False, "new_files": 0}

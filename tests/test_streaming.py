@@ -788,6 +788,7 @@ def test_maintenance_loop_example_composes_end_to_end(spark, tmp_path):
     # down)
     assert out["drift_overlap"] > 0.10, "appends did not degrade layout"
     assert out["reoptimized"] is True
+    assert out["rewritten_files"] >= 2, "incremental pass rewrote nothing"
     assert out["final_overlap"] <= 0.10
     assert out["final_avg_covering"] < out["drift_avg_covering"]
 
