@@ -90,6 +90,7 @@ OPTIONAL = [
     # round 10 additions (frozen-curve append lifecycle roundtrip;
     # BM25 lexical retrieval)
     "s10c_zorder_append_roundtrip",
+    "s10d_zorder_incremental_optimize_roundtrip",
     "x4d_bm25_topk",
     "x5_hybrid_rrf",
     "x5b_hybrid_ivfpq",

@@ -465,6 +465,70 @@ def s10c_zorder_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s10d_zorder_incremental_optimize_roundtrip",
+    # SAME oracle as s10c: the output aggregates recomputed Z-values
+    # from the DATA under the frozen meta, so it is invariant to file
+    # layout — a hash match therefore proves optimize_incremental's
+    # staged swap preserved every row exactly (none lost to the victim
+    # deletes, none duplicated by the move-in) and left the frozen
+    # curve untouched.
+    oracle=_S10C_ORACLE,
+    covers=["S4", "S5"],
+)
+def s10d_zorder_incremental_optimize_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The r11 PARTIAL OPTIMIZE lifecycle end to end: write half the
+    events Z-ordered, append the other half on the frozen curve
+    (creating overlapping files), run io.optimize_incremental — which
+    rewrites ONLY the overlap victims through the staged-commit
+    protocol (stage -> manifest -> idempotent swap) — then read the
+    repaired dataset back and aggregate recomputed Z-values. Overlap
+    must strictly improve, and the hash oracle proves exact row
+    preservation through the in-place swap."""
+    from engage_spark.io import (
+        _zorder_scale_frozen,
+        optimize_incremental,
+        zorder_append,
+        zorder_layout_stats,
+        zorder_meta,
+        zorder_write,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_zorder_incopt")
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), out,
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), out, num_files=4
+    )
+    before = zorder_layout_stats(spark, out)["overlap_pairs"]
+    optimize_incremental(spark, out)
+    after = zorder_layout_stats(spark, out)["overlap_pairs"]
+    if before > 0 and after >= before:
+        raise AssertionError(
+            f"incremental optimize did not improve overlap "
+            f"({before} -> {after})"
+        )
+    back = spark.read.parquet(out)
+    zb = _zorder_scale_frozen(spark, back, out, zorder_meta(spark, out))
+    return zb.groupBy(
+        F.shiftright(F.col("__z"), 24).cast("long").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__z").cast("long").alias("z_lo"),
+        F.max("__z").cast("long").alias("z_hi"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
 @query("s10b_zorder_rank_layout", oracle=_S10B_ORACLE, covers=["S4", "S5"])
 def s10b_zorder_rank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order write with RANK (equal-mass) scaling — the skew-robust

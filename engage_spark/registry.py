@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x5b_hybrid_ivfpq",
     "k_w11b_lstm_forecast",
     "x_semdedup_prune",
+    "s10d_zorder_incremental_optimize_roundtrip",
     "s10b_zorder_rank_layout",
     "s10c_zorder_append_roundtrip",
     "s10_zorder_layout",
@@ -115,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ext_salted_skew_join",
     "m2_mixed_effects",
     "st_stream_stream_join",
-    "x_pack_boundaries",
 )
 
 
