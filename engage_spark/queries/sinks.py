@@ -484,14 +484,16 @@ def s10d_zorder_incremental_optimize_roundtrip(
     (creating overlapping files), run io.optimize_incremental — which
     rewrites ONLY the overlap victims through the staged-commit
     protocol (stage -> manifest -> idempotent swap) — then read the
-    repaired dataset back and aggregate recomputed Z-values. Overlap
-    must strictly improve, and the hash oracle proves exact row
-    preservation through the in-place swap."""
+    repaired dataset back and aggregate recomputed Z-values. The hash
+    oracle proves exact row preservation through the in-place swap;
+    that overlap strictly improves is pinned separately by
+    test_optimize_incremental_rewrites_only_overlapping_files and the
+    maintenance-loop example test (re-running zorder_layout_stats here
+    would cost two extra full recompute scans per bench run)."""
     from engage_spark.io import (
         _zorder_scale_frozen,
         optimize_incremental,
         zorder_append,
-        zorder_layout_stats,
         zorder_meta,
         zorder_write,
     )
@@ -509,14 +511,7 @@ def s10d_zorder_incremental_optimize_roundtrip(
     zorder_append(
         spark, ev.filter(F.col("event_id") % 2 == 1), out, num_files=4
     )
-    before = zorder_layout_stats(spark, out)["overlap_pairs"]
     optimize_incremental(spark, out)
-    after = zorder_layout_stats(spark, out)["overlap_pairs"]
-    if before > 0 and after >= before:
-        raise AssertionError(
-            f"incremental optimize did not improve overlap "
-            f"({before} -> {after})"
-        )
     back = spark.read.parquet(out)
     zb = _zorder_scale_frozen(spark, back, out, zorder_meta(spark, out))
     return zb.groupBy(
