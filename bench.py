@@ -91,6 +91,7 @@ OPTIONAL = [
     # BM25 lexical retrieval)
     "s10c_zorder_append_roundtrip",
     "s10d_zorder_incremental_optimize_roundtrip",
+    "s13_delete_vector_roundtrip",
     "x4d_bm25_topk",
     "x5_hybrid_rrf",
     "x5b_hybrid_ivfpq",

@@ -1016,6 +1016,91 @@ def _hive_part_dir(col: str, val) -> str:
     return f"{col}={''.join(out)}"
 
 
+# ---------------------------------------------------------------------------
+# Deletion vectors for plain-parquet datasets (round 11) — the DATA
+# sibling of the index tombstones: takedowns on a large UNPARTITIONED
+# dataset (e.g. a Z-ordered publish) previously needed upsert_dataset's
+# full staging rewrite; a `_deletes` sidecar makes the takedown
+# O(batch), the read path a broadcast anti-join, and the physical
+# rewrite a scheduled vacuum — the Delta deletion-vector pattern on
+# plain files. The sidecar is `_`-prefixed, so raw parquet readers are
+# unaffected (they see the pre-delete rows; use read_with_deletes).
+
+_DELETES = "_deletes"
+
+
+def delete_rows(spark: SparkSession, path: str, ids, key_col: str) -> int:
+    """Logically delete rows by key: append the keys to
+    ``path/_deletes`` — O(batch) regardless of dataset size, no data
+    file is touched (a Z-ordered layout keeps its curve and stats).
+    ``ids`` is an iterable of key values or a 1-column DataFrame.
+    Readers must go through read_with_deletes; apply_deletes performs
+    the physical rewrite and clears the sidecar. Keys are assumed
+    unique per row (the upsert key contract); a later re-append of a
+    deleted key WITHOUT a prior apply_deletes would be masked — vacuum
+    first, exactly like the index tombstone flow. Returns the number
+    of keys appended."""
+    from engage_spark.session import local_frame
+
+    if isinstance(ids, DataFrame):
+        kdf = ids.select(F.col(ids.columns[0]).alias(key_col)).dropDuplicates()
+    else:
+        kdf = local_frame(
+            spark, [(i,) for i in ids], f"{key_col} long"
+        ).dropDuplicates()
+    kdf.write.mode("append").parquet(f"{path}/{_DELETES}")
+    return kdf.count()
+
+
+def read_with_deletes(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a dataset honoring its deletion sidecar: a BROADCAST
+    left-anti join against the (takedown-batch-sized) `_deletes` keys
+    — the zero-rewrite read path. Without a sidecar this is a plain
+    scan with no plan change."""
+    df = spark.read.parquet(path)
+    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    if not fs.exists(p):
+        return df
+    dels = spark.read.parquet(f"{path}/{_DELETES}").dropDuplicates()
+    key = dels.columns[0]
+    return df.join(F.broadcast(dels), on=key, how="left_anti")
+
+
+def apply_deletes(spark: SparkSession, path: str) -> dict:
+    """Physically apply the deletion sidecar: rewrite the dataset
+    minus the deleted keys (staging-swap with sidecar preservation —
+    `_zorder_meta` survives, the same guarantee the upsert rewrite
+    gives) and drop `_deletes`. The scheduled vacuum that bounds the
+    read path's anti-join; pair with optimize_incremental if the
+    rewrite should also repair layout drift. Returns
+    {"deleted_keys": n}."""
+    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    if not fs.exists(p):
+        return {"deleted_keys": 0}
+    dels = spark.read.parquet(f"{path}/{_DELETES}").dropDuplicates()
+    key = dels.columns[0]
+    n = dels.count()  # bounded: takedowns since the last vacuum
+    kept = spark.read.parquet(path).join(
+        F.broadcast(dels), on=key, how="left_anti"
+    )
+    staging = f"{path}__deletes_staging"
+    kept.write.mode("overwrite").parquet(staging)
+    sfs, sp = _hadoop_fs(spark, staging)
+    fs.delete(p, True)  # sidecar applied; must not survive the swap
+    stashed = _stash_sidecars(spark, path)
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    except BaseException as e:
+        raise RuntimeError(
+            f"apply_deletes overwrite of {path} failed mid-write; the "
+            f"filtered recovery copy is preserved at {staging}"
+        ) from e
+    finally:
+        _restore_sidecars(spark, stashed)
+    sfs.delete(sp, True)
+    return {"deleted_keys": n}
+
+
 def _stash_sidecars(spark: SparkSession, target: str) -> list:
     """Move `_`-prefixed sidecar DIRECTORIES (e.g. _zorder_meta, the
     frozen clustering definition) out of the way of a destructive

@@ -524,6 +524,55 @@ def s10d_zorder_incremental_optimize_roundtrip(
     )
 
 
+@query(
+    "s13_delete_vector_roundtrip",
+    # the oracle is the post-delete aggregate straight off the source:
+    # a hash match proves the sidecar delete + anti-join read path
+    # removes EXACTLY the deleted keys and nothing else
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(event_id)::BIGINT AS id_sum
+    FROM events WHERE event_id % 97 != 0
+    GROUP BY event_type
+    """,
+    covers=["S4", "S5"],
+)
+def s13_delete_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors on plain parquet (r11): publish the events
+    table Z-ordered, take down every 97th event with io.delete_rows —
+    an O(batch) sidecar append that touches NO data file (the curve
+    and its footer stats survive untouched) — and read back through
+    io.read_with_deletes, whose broadcast anti-join hides the deleted
+    keys. The physical rewrite is a scheduled io.apply_deletes vacuum
+    (pytest-pinned), not part of the takedown latency. This is the
+    DATA sibling of the index tombstone flow: before it, a takedown on
+    an unpartitioned publish cost a full upsert rewrite."""
+    from engage_spark.io import delete_rows, read_with_deletes, zorder_write
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_delete_vectors")
+    zorder_write(spark, ev, out, ["user_id", "v_cents"], bits=16, num_files=4)
+    delete_rows(
+        spark,
+        out,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )
+    return (
+        read_with_deletes(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
 @query("s10b_zorder_rank_layout", oracle=_S10B_ORACLE, covers=["S4", "S5"])
 def s10b_zorder_rank_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order write with RANK (equal-mass) scaling — the skew-robust

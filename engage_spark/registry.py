@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x5b_hybrid_ivfpq",
     "k_w11b_lstm_forecast",
     "x_semdedup_prune",
+    "s13_delete_vector_roundtrip",
     "s10d_zorder_incremental_optimize_roundtrip",
     "s10b_zorder_rank_layout",
     "s10c_zorder_append_roundtrip",
@@ -114,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "k_w11_ar_forecast",
     "x_curation_pipeline",
     "ext_salted_skew_join",
-    "m2_mixed_effects",
     "st_stream_stream_join",
 )
 

@@ -1643,3 +1643,58 @@ def test_optimize_incremental_crash_recovery(spark, tmp_path, monkeypatch):
     assert not os.path.exists(f"{p}/_optimize_staging")
     # a second recover is a clean no-op
     assert io.optimize_recover(spark, p) == {"recovered": False, "new_files": 0}
+
+
+def test_delete_vectors_lifecycle(spark, tmp_path):
+    """Deletion-vector flow on a Z-ordered dataset: delete_rows hides
+    keys through read_with_deletes without touching a data file;
+    apply_deletes rewrites physically, clears the sidecar, and
+    PRESERVES _zorder_meta so the dataset stays appendable."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import (
+        apply_deletes,
+        delete_rows,
+        read_with_deletes,
+        zorder_append,
+        zorder_meta,
+        zorder_write,
+    )
+
+    p = str(tmp_path / "dv")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 37).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=2)
+    files_before = {
+        f: os.path.getmtime(f.replace("file:", ""))
+        for f in spark.read.parquet(p).inputFiles()
+    }
+    assert delete_rows(spark, p, [5, 10, 15], "k") == 3
+    got = read_with_deletes(spark, p)
+    assert got.count() == 997
+    assert got.filter(F.col("k").isin(5, 10, 15)).count() == 0
+    # no data file was touched by the logical delete
+    for f, mt in files_before.items():
+        assert os.path.getmtime(f.replace("file:", "")) == mt
+    # raw readers still see 1000 rows (documented: go through the reader)
+    assert spark.read.parquet(p).count() == 1000
+
+    meta = zorder_meta(spark, p)
+    assert apply_deletes(spark, p) == {"deleted_keys": 3}
+    assert spark.read.parquet(p).count() == 997
+    assert not os.path.exists(f"{p}/_deletes")
+    assert zorder_meta(spark, p) == meta, "vacuum dropped _zorder_meta"
+    # still appendable on the frozen curve; and a fresh reader with no
+    # sidecar is a plain scan
+    inc = spark.range(2000, 2010).select(
+        F.col("id").alias("k"), (F.col("id") % 37).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    zorder_append(spark, inc, p, num_files=1)
+    assert read_with_deletes(spark, p).count() == 1007
+    # idempotent vacuum with no sidecar
+    assert apply_deletes(spark, p) == {"deleted_keys": 0}

@@ -441,3 +441,22 @@ def test_semdedup_assignment_is_cogrouped_no_full_broadcast(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_delete_vector_read_is_broadcast_anti_join(spark, tmp_path):
+    # the deletion-vector read path's scale contract: the sidecar
+    # (bounded by takedowns since the last vacuum) joins the scan by
+    # BROADCAST left-anti — never a shuffled/sort-merge join of the
+    # corpus against its own takedowns
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import delete_rows, read_with_deletes
+
+    p = str(tmp_path / "dv_plan")
+    spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    ).write.parquet(p)
+    delete_rows(spark, p, [1, 2], "k")
+    plan = read_with_deletes(spark, p)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
