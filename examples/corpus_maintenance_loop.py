@@ -20,9 +20,14 @@ engine's registered operators:
                 range scans by document length both prune on footer
                 stats alone.
   5. TAKEDOWN — minhash_index_delete tombstones a document out of the
-                near-dup index (round-10 delete path) and
-                upsert_dataset deletes it from the published corpus —
-                the CDC/right-to-be-forgotten flow, no rebuild.
+                near-dup index (round-10 delete path) and delete_rows
+                appends its key to the published corpus's deletion
+                sidecar (r11) — the right-to-be-forgotten flow at
+                O(batch): NO data file is touched, the Z-order layout
+                survives, reads go through read_with_deletes, and the
+                physical rewrite is a scheduled apply_deletes vacuum.
+                (upsert_dataset remains the path for partitioned
+                corpora and value UPDATES — s9 exercises it.)
   6. DRIFT + AUTO-REOPTIMIZE — later deliveries zorder_append onto the
                 published layout (frozen curve); zorder_layout_stats
                 is the MEASURED trigger: when overlap_fraction crosses
@@ -68,7 +73,6 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     from engage_spark.io import (
         compact_ingest_state,
         optimize_dataset,
-        upsert_dataset,
     )
     from engage_spark.streaming.jobs import incremental_ingest_stream
 
@@ -152,17 +156,10 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         .filter(F.col("corpus_id") == vrow.doc_id)
         .count()
     )
-    upsert_dataset(
-        spark,
-        published,
-        spark.createDataFrame(
-            [(int(vrow.doc_id), None, None, True)],
-            "doc_id long, text string, n_chars long, is_delete boolean",
-        ),
-        ["doc_id"],
-        delete_col="is_delete",
-    )
-    published_rows = spark.read.parquet(published).count()
+    from engage_spark.io import delete_rows, read_with_deletes
+
+    delete_rows(spark, published, [int(vrow.doc_id)], "doc_id")
+    published_rows = read_with_deletes(spark, published).count()
 
     # ---- 6. DRIFT + AUTO-REOPTIMIZE --------------------------------
     # appended micro-batches stay on the frozen curve but their files
