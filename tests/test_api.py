@@ -1698,3 +1698,52 @@ def test_delete_vectors_lifecycle(spark, tmp_path):
     assert read_with_deletes(spark, p).count() == 1007
     # idempotent vacuum with no sidecar
     assert apply_deletes(spark, p) == {"deleted_keys": 0}
+
+
+def test_zorder_ranges_manifest_lifecycle(spark, tmp_path):
+    """The per-file z-range manifest (the table-format-style file
+    stats): filled by the first ranges read, kept EXACT through
+    zorder_append and optimize_incremental via increment-sized scans,
+    and dropped by full rewrites (apply_deletes) so it can never serve
+    stale entries."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import engage_spark.io as io
+
+    p = str(tmp_path / "zman")
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 5).alias("a"),
+        (F.col("id") % 16).alias("b"),
+    )
+    io.zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=4)
+    assert io._zranges_read(spark, p) is None
+    # first read fills the manifest, and it matches a fresh exact scan
+    fr = io._zorder_file_ranges(spark, p)
+    assert sorted(io._zranges_read(spark, p)) == sorted(fr)
+    assert sorted(fr) == sorted(io._zranges_scan(spark, p))
+
+    # append maintains it incrementally — still exact afterward
+    inc = spark.range(40000, 40500).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("a"),
+        (F.col("id") % 16).alias("b"),
+    )
+    io.zorder_append(spark, inc, p, num_files=1)
+    man = io._zranges_read(spark, p)
+    assert sorted(man) == sorted(io._zranges_scan(spark, p))
+    assert {f for f, _, _ in man} == set(spark.read.parquet(p).inputFiles())
+
+    # incremental optimize refreshes it — still exact
+    io.optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    man2 = io._zranges_read(spark, p)
+    assert sorted(man2) == sorted(io._zranges_scan(spark, p))
+
+    # a full rewrite invalidates every entry: the manifest must be gone
+    io.delete_rows(spark, p, [1, 2, 3], "k")
+    io.apply_deletes(spark, p)
+    assert io._zranges_read(spark, p) is None
+    assert not os.path.exists(f"{p}/_zorder_ranges")
+    # and _zorder_meta survived the same rewrite
+    assert io.zorder_meta(spark, p)["cols"] == ["a", "b"]
