@@ -1,11 +1,13 @@
-"""Sink / multi-file-scan operators (SURVEY.md §2.1 S2, S4, S5).
+"""Sink / multi-file-scan operators (SURVEY.md §2.1 S2, S4, S5, S6).
 
 The sinks are exercised as a round trip: write → read back → aggregate,
 oracle-checked against the source table (disk round trips must be
 lossless, which makes the sink itself hash-verifiable).
 
-S6 (matplotlib PNG sinks) is out of engine scope per SURVEY §2.1 —
-plots are a driver-side convenience over `.toPandas()`.
+S6 (the reference's per-group plot sinks) is implemented since r11 via
+engage_spark/plotting.py — deterministic dependency-free SVG by
+default, matplotlib PNG behind a guarded optional import — and the
+plot-ready table is hash-verified here (s6_plot_sink).
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from engage_spark.io import read_csv_glob, table, write_parquet
 from engage_spark.registry import query
@@ -521,6 +524,58 @@ def s10d_zorder_incremental_optimize_roundtrip(
         F.min("__z").cast("long").alias("z_lo"),
         F.max("__z").cast("long").alias("z_hi"),
         F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
+    "s6_plot_sink",
+    # the oracle verifies the PLOT-READY table the renderer consumed
+    # (per-group point count + y range); the SVG artifact itself is
+    # byte-deterministic and pinned by tests/test_api.py (XML-parses,
+    # one file per group, polyline per series, identical bytes across
+    # renders)
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 5
+    )
+    SELECT user_id, count(*)::BIGINT AS n_points,
+           round(min(value) + 1e-9, 4) AS y_min,
+           round(max(value) + 1e-9, 4) AS y_max
+    FROM s WHERE rn <= 60 GROUP BY user_id
+    """,
+    covers=["S6"],
+)
+def s6_plot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLOT SINK (SURVEY §2.1 S6 — previously scoped out, implemented
+    r11): the reference saves one per-state forecast line chart per
+    group (covid_simulator.py:298-319 — series curves, legend, title,
+    per-group file). Engine shape: reduce events to a bounded per-user
+    60-point series, render one DETERMINISTIC SVG per group via
+    plotting.plot_series_sink (dependency-free; matplotlib PNG behind
+    the same optional-import guard as the Keras/PIL paths), and return
+    the plot-ready table the renderer consumed — hash-verified, so the
+    data feeding every chart is exactly right even though the chart
+    bytes themselves are pinned by pytest instead of DuckDB."""
+    from engage_spark.plotting import plot_series_sink
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 60)
+        .select("user_id", "rn", "value")
+    )
+    out = _scratch("s6_plots")
+    plot_series_sink(
+        series, out, x_col="rn", y_cols=["value"], group_col="user_id",
+        title="event value",
+    )
+    return series.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.min("value") + 1e-9, 4).alias("y_min"),
+        F.round(F.max("value") + 1e-9, 4).alias("y_max"),
     )
 
 

@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x5b_hybrid_ivfpq",
     "k_w11b_lstm_forecast",
     "x_semdedup_prune",
+    "s6_plot_sink",
     "s13_delete_vector_roundtrip",
     "s10d_zorder_incremental_optimize_roundtrip",
     "s10b_zorder_rank_layout",
@@ -115,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "k_w11_ar_forecast",
     "x_curation_pipeline",
     "ext_salted_skew_join",
-    "st_stream_stream_join",
 )
 
 

@@ -1747,3 +1747,57 @@ def test_zorder_ranges_manifest_lifecycle(spark, tmp_path):
     assert not os.path.exists(f"{p}/_zorder_ranges")
     # and _zorder_meta survived the same rewrite
     assert io.zorder_meta(spark, p)["cols"] == ["a", "b"]
+
+
+def test_plot_series_sink_renders_deterministic_svg(spark, tmp_path):
+    """S6 plot sink: one SVG per group, valid XML, one polyline per
+    series with legend entries, byte-identical across renders; the
+    scale guard refuses un-aggregated input; the PNG path raises the
+    documented NotImplementedError without matplotlib."""
+    import xml.etree.ElementTree as ET
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from engage_spark.plotting import plot_series_sink
+
+    df = spark.range(120).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") / 3).cast("long").alias("x"),
+        (F.col("id") * 1.5).alias("v"),
+        (F.col("id") * 0.5 + 2).alias("w"),
+    )
+    d1, d2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    paths = plot_series_sink(
+        df, d1, x_col="x", y_cols=["v", "w"], group_col="g", title="t"
+    )
+    assert len(paths) == 3
+    for p in paths:
+        root = ET.parse(p).getroot()
+        assert root.tag.endswith("svg")
+        polys = [e for e in root.iter() if e.tag.endswith("polyline")]
+        assert len(polys) == 2  # one per series
+        texts = [e.text for e in root.iter() if e.tag.endswith("text")]
+        assert "v" in texts and "w" in texts  # legend
+    paths2 = plot_series_sink(
+        df, d2, x_col="x", y_cols=["v", "w"], group_col="g", title="t"
+    )
+    for a, b in zip(paths, paths2):
+        assert open(a, "rb").read() == open(b, "rb").read(), (
+            "plot bytes are not deterministic"
+        )
+    with _pytest.raises(ValueError, match="aggregate"):
+        plot_series_sink(
+            spark.range(50).select(
+                F.col("id").alias("x"), F.col("id").alias("v")
+            ),
+            str(tmp_path / "p3"), x_col="x", y_cols=["v"], max_points=10,
+        )
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="matplotlib"):
+            plot_series_sink(
+                df.filter("g = 0"), str(tmp_path / "p4"), x_col="x",
+                y_cols=["v"], save_png=True,
+            )
