@@ -317,10 +317,16 @@ def scenario_compare(before: DataFrame, after: DataFrame) -> DataFrame:
 
 
 def run(spark: SparkSession, dataset_full: DataFrame,
-        holdout_cutoff: int = 20200501, gov_date: int = 20200323
+        holdout_cutoff: int = 20200501, gov_date: int = 20200323,
+        plot_dir: str | None = None
         ) -> dict[str, DataFrame]:
     """EP3 end-to-end → coefficient table, holdout simulation, bias-
-    corrected predictions, and the before/after scenario compare."""
+    corrected predictions, and the before/after scenario compare.
+
+    `plot_dir` renders the reference's per-state prediction charts
+    (covid_simulator.py:298-319: one file per state, confirmed/removed
+    curves with legend and 'Prediction at <state>' title) via the S6
+    sink — deterministic SVG, matplotlib-free."""
     feats = causal_features(spark, dataset_full, gov_date)
     feats = holdout_flag(feats, holdout_cutoff)
     # cache: feats feeds four downstream consumers (coef fit, r0, two
@@ -339,6 +345,22 @@ def run(spark: SparkSession, dataset_full: DataFrame,
     sim_after = simulate(feats, coefs, r0, zero_gov_after=gov_date)
     corrected = bias_correct(sim_before, feats.filter(F.col("holdout") == 0))
     compare = scenario_compare(sim_before, sim_after)
+    if plot_dir is not None:
+        from engage_spark.plotting import plot_series_sink
+
+        plot_series_sink(
+            sim_before.select(
+                "state",
+                F.col("dateval").cast("long").alias("x"),
+                F.col("pred_confirmed").alias("Confirmed"),
+                F.col("pred_removed").alias("removed"),
+            ),
+            plot_dir,
+            x_col="x",
+            y_cols=["Confirmed", "removed"],
+            group_col="state",
+            title="Prediction at",
+        )
     return {
         "recover_coefs": coefs,
         "simulation": sim_before,

@@ -176,10 +176,15 @@ def run(
     stations: DataFrame,
     countries: DataFrame,
     min_last_date: int = 20200401,
+    plot_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """EP2 end-to-end → {'pred_actual', 'future_pred', 'rsme_score'}
     matching the reference's three output tables
-    (output/weather_output/*.csv headers, FIXTURES.md §9)."""
+    (output/weather_output/*.csv headers, FIXTURES.md §9).
+
+    `plot_dir` renders the reference's per-state actual-vs-prediction
+    charts (weather_pred.py:342-347, one file per (country, state))
+    via the S6 sink — deterministic SVG, matplotlib-free."""
     series = prepare_series(weather, stations, countries, min_last_date)
     out = train_and_forecast(series).cache()
     pred_actual = out.filter(F.col("kind") == "pred_actual").select(
@@ -191,6 +196,22 @@ def run(
     rsme_score = out.filter(F.col("kind") == "rsme").select(
         F.col("TAVG_rmse"), "country", "state"
     )
+    if plot_dir is not None:
+        from engage_spark.plotting import plot_series_sink
+
+        plot_series_sink(
+            pred_actual.select(
+                F.concat_ws("_", "country", "state").alias("grp"),
+                F.col("date").cast("long").alias("x"),
+                F.col("TAVG_actual").alias("actual"),
+                F.col("TAVG_pred").alias("prediction"),
+            ),
+            plot_dir,
+            x_col="x",
+            y_cols=["actual", "prediction"],
+            group_col="grp",
+            title="Prediction/Actual of TAVG",
+        )
     return {
         "pred_actual": pred_actual,
         "future_pred": future_pred,

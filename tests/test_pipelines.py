@@ -213,3 +213,41 @@ def test_ep3_simulator(spark, dataset_full_fixture):
 
     corr = out["simulation_corrected"].toPandas()
     assert "pred_confirmed_adj" in corr.columns and len(corr) > 0
+
+
+def test_pipeline_plot_sinks(spark, ep2_inputs, dataset_full_fixture, tmp_path):
+    """S6 through the pipelines: EP2 renders one actual-vs-prediction
+    chart per surviving (country, state) and EP3 one prediction chart
+    per state — valid SVG with one polyline per plotted series, the
+    reference's per-group-file contract."""
+    import glob
+    import xml.etree.ElementTree as ET
+
+    from engage_spark.pipelines import simulator, weather_forecast
+
+    d2 = str(tmp_path / "ep2_plots")
+    out2 = weather_forecast.run(spark, **ep2_inputs, plot_dir=d2)
+    states = {
+        (r.country, r.state)
+        for r in out2["rsme_score"].select("country", "state").collect()
+    }
+    files2 = sorted(glob.glob(f"{d2}/*.svg"))
+    assert len(files2) == len(states)
+    for f in files2:
+        polys = [
+            e for e in ET.parse(f).getroot().iter()
+            if e.tag.endswith("polyline")
+        ]
+        assert len(polys) == 2  # actual + prediction
+
+    d3 = str(tmp_path / "ep3_plots")
+    out3 = simulator.run(spark, dataset_full_fixture, plot_dir=d3)
+    n_states = out3["simulation"].select("state").distinct().count()
+    files3 = sorted(glob.glob(f"{d3}/*.svg"))
+    assert len(files3) == n_states
+    for f in files3:
+        polys = [
+            e for e in ET.parse(f).getroot().iter()
+            if e.tag.endswith("polyline")
+        ]
+        assert len(polys) == 2  # Confirmed + removed
