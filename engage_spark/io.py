@@ -757,9 +757,10 @@ def zorder_append(
         # of just the appended files — the O(files) stats/victim reads
         # stay valid without ever rescanning the dataset
         new_files = set(spark.read.parquet(path).inputFiles()) - before
-        _zranges_write(
-            spark, path, man + _zranges_scan(spark, path, new_files)
-        )
+        if new_files:
+            _zranges_write(
+                spark, path, man + _zranges_scan(spark, path, new_files)
+            )
     # no df.count() here — that would re-run the whole scale+shuffle
     # pipeline just for a return value; count the dataset if you need it
     return {"files": n, "cols": m["cols"], "scale": m["scale"]}
@@ -833,6 +834,10 @@ def _zorder_file_ranges(spark: SparkSession, path: str) -> list:
     man = _zranges_read(spark, path)
     if man is not None and {f for f, _, _ in man} == current:
         return man
+    # mismatch (or no manifest): one exact scan rebuilds it. A ZERO-ROW
+    # part file can never enter the manifest (input_file_name sees no
+    # rows), so a dataset containing one keeps taking this scan path —
+    # correct, just uncached; compaction removes such debris.
     out = _zranges_scan(spark, path)
     _zranges_write(spark, path, out)
     return out
