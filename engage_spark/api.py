@@ -883,6 +883,13 @@ def semdedup_assignments(
         for r in df.filter(F.col(id_col) % coarse_stride == 0)
         .select(id_col, emb_col).collect()
     )
+    if not coarse:
+        raise ValueError(
+            f"semdedup: no coarse seeds — the id column contains no "
+            f"multiple of {coarse_stride} (ids must be numeric and "
+            "roughly dense for the hash-stride seed rule; remap or "
+            "densify ids first)"
+        )
     g_ids = np.array([gid for gid, _ in coarse], dtype=np.int64)
     g_mat = np.array([c for _, c in coarse], dtype=np.float64)
     g_norm = np.sqrt((g_mat ** 2).sum(axis=1))

@@ -1126,7 +1126,8 @@ def delete_rows(spark: SparkSession, path: str, ids, key_col: str) -> int:
     """Logically delete rows by key: append the keys to
     ``path/_deletes`` — O(batch) regardless of dataset size, no data
     file is touched (a Z-ordered layout keeps its curve and stats).
-    ``ids`` is an iterable of key values or a 1-column DataFrame.
+    ``ids`` is an iterable of INTEGER key values or a 1-column
+    DataFrame (use the DataFrame form for non-integer key types).
     Readers must go through read_with_deletes; apply_deletes performs
     the physical rewrite and clears the sidecar. Keys are assumed
     unique per row (the upsert key contract); a later re-append of a

@@ -140,9 +140,10 @@ def plot_series_sink(
     groups: dict = {}
     for r in capped:
         key = r[0] if group_col else "all"
-        groups.setdefault(key, []).append(
-            tuple(r[1:]) if group_col else tuple(r)
-        )
+        pt = tuple(r[1:]) if group_col else tuple(r)
+        if pt[0] is None:
+            continue  # a NULL x has no position on the axis
+        groups.setdefault(key, []).append(pt)
     os.makedirs(out_dir, exist_ok=True)
     out_paths = []
     for key in sorted(groups, key=str):
