@@ -1180,7 +1180,11 @@ def apply_deletes(spark: SparkSession, path: str) -> dict:
     staging = f"{path}__deletes_staging"
     kept.write.mode("overwrite").parquet(staging)
     sfs, sp = _hadoop_fs(spark, staging)
-    fs.delete(p, True)  # sidecar applied; must not survive the swap
+    # the `_deletes` sidecar is stashed WITH the other sidecars and
+    # restored on failure: if the overwrite dies midway the logical
+    # deletes must stay in force for readers (dropping the sidecar
+    # first would resurrect taken-down rows until recovery) — it is
+    # removed only after the physical rewrite succeeds
     stashed = _stash_sidecars(spark, path)
     try:
         spark.read.parquet(staging).write.mode("overwrite").parquet(path)
@@ -1191,6 +1195,7 @@ def apply_deletes(spark: SparkSession, path: str) -> dict:
         ) from e
     finally:
         _restore_sidecars(spark, stashed)
+    fs.delete(p, True)  # applied physically; clear the sidecar
     sfs.delete(sp, True)
     return {"deleted_keys": n}
 

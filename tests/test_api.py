@@ -1801,3 +1801,47 @@ def test_plot_series_sink_renders_deterministic_svg(spark, tmp_path):
                 df.filter("g = 0"), str(tmp_path / "p4"), x_col="x",
                 y_cols=["v"], save_png=True,
             )
+
+
+def test_apply_deletes_failure_keeps_logical_deletes_in_force(
+    spark, tmp_path, monkeypatch
+):
+    """If the vacuum's destructive overwrite fails midway, the
+    `_deletes` sidecar must SURVIVE (restored with the other sidecars)
+    so readers keep hiding the taken-down rows — dropping it first
+    would resurrect them until manual recovery."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from engage_spark.io import apply_deletes, delete_rows, read_with_deletes
+
+    tgt = str(tmp_path / "dvfail")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(tgt)
+    delete_rows(spark, tgt, [7, 9], "k")
+    assert read_with_deletes(spark, tgt).count() == 98
+
+    orig = DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw):
+        if path == tgt:
+            raise RuntimeError("injected target write failure")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with _pytest.raises(RuntimeError, match="preserved at"):
+        apply_deletes(spark, tgt)
+    monkeypatch.undo()
+    # the takedown is still in force for readers
+    got = read_with_deletes(spark, tgt)
+    assert got.count() == 98
+    assert got.filter(F.col("k").isin(7, 9)).count() == 0
+    # and a retried vacuum completes cleanly
+    import os
+
+    # clear the staging left for recovery, then retry
+    assert apply_deletes(spark, tgt) == {"deleted_keys": 2}
+    assert spark.read.parquet(tgt).count() == 98
+    assert not os.path.exists(f"{tgt}/_deletes")
