@@ -481,6 +481,18 @@ def incremental_ingest_stream(
     )
     ckpt = f"{corpus_dir}_ckpt"
     run_tag = hashlib.md5(ckpt.encode()).hexdigest()[:12]
+    # the embed index's banding config is FROZEN on first write (by
+    # design — batches hashed under different configs would silently
+    # match nothing), so one read serves every subsequent batch instead
+    # of a per-batch collect job
+    _meta_cache: dict = {}
+
+    def _embed_meta():
+        if "meta" not in _meta_cache:
+            _meta_cache["meta"] = spark.read.parquet(
+                f"{embed_index}/meta"
+            ).collect()[0]
+        return _meta_cache["meta"]
 
     def _replay_filtered(df: DataFrame, batch_id: int, cols: list[str]) -> DataFrame:
         """Drop this run's own (and later) batch partitions — the same
@@ -617,7 +629,7 @@ def incremental_ingest_stream(
                     "repair or remove it before ingesting"
                 )
             if eb_exists:
-                meta = spark.read.parquet(f"{embed_index}/meta").collect()[0]
+                meta = _embed_meta()
                 esb = _replay_filtered(
                     spark.read.schema(embed_bands_schema).parquet(
                         f"{embed_index}/bands"
@@ -693,7 +705,7 @@ def incremental_ingest_stream(
                 ).coalesce(1).write.mode("overwrite").parquet(
                     f"{embed_index}/meta"
                 )
-            meta = spark.read.parquet(f"{embed_index}/meta").collect()[0]
+            meta = _embed_meta()
             ev = accepted.select(
                 F.col(id_col).alias("vec_id"),
                 F.col(emb_col).alias("embedding"),
