@@ -460,3 +460,25 @@ def test_delete_vector_read_is_broadcast_anti_join(spark, tmp_path):
     plan = read_with_deletes(spark, p)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_delete_vector_read_preserves_pushdown(spark, tmp_path):
+    # a user predicate composed on top of read_with_deletes must still
+    # reach the parquet scan (Catalyst pushes filters through the
+    # anti-join's preserved side) — the sidecar must not cost scan
+    # pruning
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import delete_rows, read_with_deletes
+
+    p = str(tmp_path / "dv_push")
+    spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    ).write.parquet(p)
+    delete_rows(spark, p, [1, 2], "k")
+    df = read_with_deletes(spark, p).filter(F.col("a") > 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the pushed filter names the user predicate's column
+    import re
+
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(a,3\)", plan), plan[:2000]
