@@ -1845,3 +1845,50 @@ def test_apply_deletes_failure_keeps_logical_deletes_in_force(
     assert apply_deletes(spark, tgt) == {"deleted_keys": 2}
     assert spark.read.parquet(tgt).count() == 98
     assert not os.path.exists(f"{tgt}/_deletes")
+
+
+def test_delete_vectors_property_match_filter_semantics(spark, tmp_path):
+    """Property (hypothesis): for arbitrary delete-key sets — including
+    duplicates, keys absent from the data, and repeat delete batches —
+    read_with_deletes is exactly `WHERE k NOT IN (keys)`, and a vacuum
+    followed by more deletes composes the same way. One shared dataset;
+    each example gets its own sidecar lifecycle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import apply_deletes, delete_rows, read_with_deletes
+
+    p = str(tmp_path / "dv_prop")
+    spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    ).write.parquet(p)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        batch1=st.lists(st.integers(-5, 70), max_size=8),
+        batch2=st.lists(st.integers(-5, 70), max_size=8),
+        vacuum_between=st.booleans(),
+    )
+    def prop(batch1, batch2, vacuum_between):
+        import shutil
+
+        # fresh physical copy per example (vacuum mutates data files)
+        ex = str(tmp_path / "dv_prop_ex")
+        shutil.rmtree(ex, ignore_errors=True)
+        shutil.copytree(p, ex)
+        if batch1:
+            delete_rows(spark, ex, batch1, "k")
+        if vacuum_between:
+            apply_deletes(spark, ex)
+        if batch2:
+            delete_rows(spark, ex, batch2, "k")
+        expect = {k for k in range(60)} - set(batch1) - set(batch2)
+        got = {r.k for r in read_with_deletes(spark, ex).collect()}
+        assert got == expect, (batch1, batch2, vacuum_between)
+
+    prop()
