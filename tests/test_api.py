@@ -1892,3 +1892,40 @@ def test_delete_vectors_property_match_filter_semantics(spark, tmp_path):
         assert got == expect, (batch1, batch2, vacuum_between)
 
     prop()
+
+
+def test_delete_vectors_survive_incremental_optimize(spark, tmp_path):
+    """Composition: logical deletes stay in force through an in-place
+    optimize_incremental (the rewrite moves rows between files but the
+    sidecar hides keys by value, not location), and a later vacuum
+    still applies them physically."""
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import (
+        apply_deletes,
+        delete_rows,
+        optimize_incremental,
+        read_with_deletes,
+        zorder_append,
+        zorder_write,
+    )
+
+    p = str(tmp_path / "dv_opt")
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("a"),
+        (F.col("id") % 16).alias("b"),
+    )
+    zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=4)
+    delete_rows(spark, p, [10, 20, 30], "k")
+    inc = spark.range(9000, 9200).select(
+        F.col("id").alias("k"), (F.col("id") % 600).alias("a"),
+        (F.col("id") % 16).alias("b"),
+    )
+    zorder_append(spark, inc, p, num_files=1)
+    out = optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    assert out["rewritten_files"] >= 2
+    got = read_with_deletes(spark, p)
+    assert got.count() == 5200 - 3
+    assert got.filter(F.col("k").isin(10, 20, 30)).count() == 0
+    assert apply_deletes(spark, p) == {"deleted_keys": 3}
+    assert spark.read.parquet(p).count() == 5197
