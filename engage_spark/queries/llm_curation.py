@@ -1412,3 +1412,55 @@ _REG2["x_dedup_components_lsh"].oracle = f"""
            CASE WHEN node = min(reach) THEN 1 ELSE 0 END AS is_keeper
     FROM walk GROUP BY node
 """
+
+
+@query(
+    "x_snapshot_diff",
+    # the fingerprint twin is the established x1 expression
+    # (md5 of whitespace-normalized lowercase text); the full-outer
+    # status classification mirrors api.snapshot_diff case-for-case
+    oracle=r"""
+    WITH o AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 7 != 0
+    ),
+    n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+             )), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+    covers=["X1"],
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (api.snapshot_diff) — the dataset-versioning
+    primitive behind incremental retraining decisions: two derived
+    snapshots of the documents table (old = ids not divisible by 7;
+    new = ids not divisible by 5, with every 11th document's text
+    revised) full-outer joined on id and compared by the canonical
+    exact-dedup fingerprint. Output (doc_id, status) classifies every
+    id as added / removed / changed / unchanged — aggregate for the
+    release report, anti-join 'unchanged' for the incremental slice.
+
+    Scale shape: text never shuffles — each side reduces to (id, 16 B
+    fingerprint) map-side before the single full-outer join exchange."""
+    from engage_spark.api import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new)

@@ -115,7 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "k_m4_sir_simulate",
     "k_w11_ar_forecast",
     "x_curation_pipeline",
-    "ext_salted_skew_join",
+    "x_snapshot_diff",
 )
 
 
