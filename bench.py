@@ -95,6 +95,7 @@ OPTIONAL = [
     "x4d_bm25_topk",
     "x5_hybrid_rrf",
     "x5b_hybrid_ivfpq",
+    "x_snapshot_diff",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline
