@@ -629,7 +629,10 @@ def hybrid_search(
                    the registered x5b_hybrid_ivfpq composition. Pass
                    `index_dir` to search a PERSISTED ivfpq_build index
                    instead of training quantizers on the fly; `n_rows`
-                   skips the on-the-fly path's count() job."""
+                   skips the on-the-fly path's count() job. The ADC
+                   shortlist is widened to max(50, 2*k) so the semantic
+                   leg always delivers the full 2k-candidate fusion
+                   list even for k > 25."""
     lex = bm25_topk(
         corpus,
         queries,
@@ -658,6 +661,7 @@ def hybrid_search(
             queries,
             vec_corpus,
             k=2 * k,
+            rerank=max(50, 2 * k),
             id_col=id_col,
             emb_col=emb_col,
             query_id_col=query_id_col,
@@ -669,6 +673,7 @@ def hybrid_search(
             vec_corpus,
             queries,
             k=2 * k,
+            rerank=max(50, 2 * k),
             id_col=id_col,
             emb_col=emb_col,
             query_id_col=query_id_col,

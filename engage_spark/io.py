@@ -743,6 +743,14 @@ def zorder_append(
         )
     man = _zranges_read(spark, path)
     before = set(spark.read.parquet(path).inputFiles()) if man is not None else None
+    if man is not None and {f for f, _, _ in man} != before:
+        # STALE manifest (some writer bypassed the incremental
+        # maintainers): appending increment entries would persist it
+        # stale-plus-new — the _zorder_file_ranges self-check would
+        # still reject it, but every later fast-path read would be
+        # lost and the increment scan below wasted. Skip the manifest
+        # update; the next stats/victim read rebuilds it in one scan.
+        man = None
     out = _zorder_scale_frozen(spark, df, path, m)
     n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
     (
@@ -966,6 +974,13 @@ def optimize_incremental(
     {"rewritten_files", "new_files", "kept_files"}."""
     import math
 
+    # a pending manifest from a prior run that crashed mid-commit means
+    # the staging dir holds the ONLY copy of rows whose victims were
+    # already deleted — recompute-and-overwrite would destroy them.
+    # Replay that commit first (idempotent), unconditionally.
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
+    if mfs.exists(mp):
+        optimize_recover(spark, path)
     fr = _zorder_file_ranges(spark, path)
     # sweep for overlap participants: sort by lo; a file overlaps its
     # predecessor group when its lo <= the running max hi
@@ -1160,44 +1175,129 @@ def read_with_deletes(spark: SparkSession, path: str) -> DataFrame:
     return df.join(F.broadcast(dels), on=key, how="left_anti")
 
 
-def apply_deletes(spark: SparkSession, path: str) -> dict:
-    """Physically apply the deletion sidecar: rewrite the dataset
-    minus the deleted keys (staging-swap with sidecar preservation —
-    `_zorder_meta` survives, the same guarantee the upsert rewrite
-    gives) and drop `_deletes`. The scheduled vacuum that bounds the
-    read path's anti-join; pair with optimize_incremental if the
-    rewrite should also repair layout drift. Returns
-    {"deleted_keys": n}."""
+# apply_deletes collects the delete batch to build an In-literal
+# filter (parquet footer pruning finds victims without reading clean
+# files) up to this many keys; larger batches fall back to one
+# key-column scan with a broadcast semi-join.
+_DELETES_ISIN_MAX = 100_000
+
+
+def apply_deletes(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Physically apply the deletion sidecar — FILE-TARGETED (r12):
+    rewrite ONLY the files that contain a deleted key; every clean
+    file stays byte-identical on disk. At 100 TB a 5,000-key takedown
+    touches the handful of files holding those keys, not the dataset
+    (the prior full staging-overwrite cost ~2x dataset IO per vacuum).
+
+    Victim detection: for batches up to ``_DELETES_ISIN_MAX`` keys the
+    batch is collected into an In-literal predicate, so the parquet
+    reader's footer min/max pruning skips clean files without reading
+    them — on a Z-ordered layout whose key is a clustered column that
+    is a metadata-bounded read. Larger batches use one COLUMN-PRUNED
+    scan of just the key column with the batch broadcast-semi-joined.
+    Either way the victim list is bounded by the file count.
+
+    Rewrite + swap go through the SAME staged-commit protocol as
+    optimize_incremental (``_optimize_staging`` + ``_optimize_manifest``,
+    replayed by ``optimize_recover``): victims are re-read (a
+    file-list scan), filtered through a broadcast anti-join, re-laid
+    on the frozen Z-curve when ``_zorder_meta`` exists, staged, then
+    committed. A pending manifest from a crashed prior maintenance op
+    is replayed at entry. ``_deletes`` is dropped ONLY after the
+    commit completes, so a crash anywhere leaves the logical deletes
+    in force for readers; the ``_zorder_ranges`` manifest is updated
+    incrementally (kept entries stay exact, staged files get an
+    increment-sized scan). Single-maintenance-writer, like every
+    in-place maintenance op here. Returns
+    {"deleted_keys", "rewritten_files", "kept_files"}."""
+    import math
+
     fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
     if not fs.exists(p):
-        return {"deleted_keys": 0}
+        return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
+    if mfs.exists(mp):
+        optimize_recover(spark, path)
     dels = spark.read.parquet(f"{path}/{_DELETES}").dropDuplicates()
     key = dels.columns[0]
     n = dels.count()  # bounded: takedowns since the last vacuum
-    kept = spark.read.parquet(path).join(
+    tagged = spark.read.parquet(path).select(
+        F.input_file_name().alias("__file"), F.col(key)
+    )
+    if n <= _DELETES_ISIN_MAX:
+        # literal In pushes to the parquet scan: row-group stats skip
+        # files whose key range misses the batch entirely
+        keys = [r[0] for r in dels.collect()]
+        hits = tagged.filter(F.col(key).isin(keys))
+    else:
+        hits = tagged.join(F.broadcast(dels), on=key, how="left_semi")
+    victims = sorted(
+        r["__file"] for r in hits.select("__file").distinct().collect()
+    )  # bounded: one row per file containing a deleted key
+    all_files = set(spark.read.parquet(path).inputFiles())
+    if not victims:
+        # keys absent from the data (already vacuumed / never present):
+        # nothing to rewrite, just clear the sidecar
+        fs.delete(p, True)
+        return {
+            "deleted_keys": n,
+            "rewritten_files": 0,
+            "kept_files": len(all_files),
+        }
+    man_before = _zranges_read(spark, path)
+    if man_before is not None and {f for f, _, _ in man_before} != all_files:
+        man_before = None  # stale; do not extend it after the swap
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in victims:
+        vp = jvm.org.apache.hadoop.fs.Path(f)
+        total += vp.getFileSystem(conf).getFileStatus(vp).getLen()
+    n_new = max(1, math.ceil(total / target_file_bytes))
+    kept_rows = spark.read.parquet(*victims).join(
         F.broadcast(dels), on=key, how="left_anti"
     )
-    staging = f"{path}__deletes_staging"
-    kept.write.mode("overwrite").parquet(staging)
-    sfs, sp = _hadoop_fs(spark, staging)
-    # the `_deletes` sidecar is stashed WITH the other sidecars and
-    # restored on failure: if the overwrite dies midway the logical
-    # deletes must stay in force for readers (dropping the sidecar
-    # first would resurrect taken-down rows until recovery) — it is
-    # removed only after the physical rewrite succeeds
-    stashed = _stash_sidecars(spark, path)
-    try:
-        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    except BaseException as e:
-        raise RuntimeError(
-            f"apply_deletes overwrite of {path} failed mid-write; the "
-            f"filtered recovery copy is preserved at {staging}"
-        ) from e
-    finally:
-        _restore_sidecars(spark, stashed)
+    zm_fs, zm_p = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
+    if zm_fs.exists(zm_p):
+        # keep the survivors on the frozen curve so footer pruning and
+        # later zorder_appends see the same layout contract
+        m = zorder_meta(spark, path)
+        kept_rows = (
+            _zorder_scale_frozen(spark, kept_rows, path, m)
+            .repartitionByRange(n_new, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        kept_rows = kept_rows.coalesce(n_new)
+    staging = f"{path}/{_OPT_STAGING}"
+    kept_rows.write.mode("overwrite").parquet(staging)
+    # manifest AFTER staging completes: its presence is the commit
+    # point (same protocol + recovery as optimize_incremental)
+    from engage_spark.session import local_frame
+
+    local_frame(
+        spark, [(f,) for f in victims], "victim string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
+    _optimize_commit(spark, path)
     fs.delete(p, True)  # applied physically; clear the sidecar
-    sfs.delete(sp, True)
-    return {"deleted_keys": n}
+    if man_before is not None:
+        kept_entries = [e for e in man_before if e[0] not in set(victims)]
+        current = set(spark.read.parquet(path).inputFiles())
+        fresh = current - {f for f, _, _ in kept_entries}
+        _zranges_write(
+            spark, path,
+            kept_entries + (_zranges_scan(spark, path, fresh) if fresh else []),
+        )
+    return {
+        "deleted_keys": n,
+        "rewritten_files": len(victims),
+        "kept_files": len(all_files) - len(victims),
+    }
 
 
 def _stash_sidecars(spark: SparkSession, target: str) -> list:

@@ -18,7 +18,9 @@ matplotlib, so the ENGINE-side contract is made real and hermetic:
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Sequence
+from xml.sax.saxutils import escape
 
 from pyspark.sql import DataFrame
 
@@ -62,7 +64,7 @@ def _render_svg(
         f'height="{height}" viewBox="0 0 {width} {height}">',
         f'<rect width="{width}" height="{height}" fill="white"/>',
         f'<text x="{width // 2}" y="24" text-anchor="middle" '
-        f'font-size="16">{title}</text>',
+        f'font-size="16">{escape(title)}</text>',
         # axes
         f'<line x1="{pad}" y1="{height - pad}" x2="{width - pad}" '
         f'y2="{height - pad}" stroke="black"/>',
@@ -99,7 +101,7 @@ def _render_svg(
         )
         parts.append(
             f'<text x="{width - pad - 80}" y="{ly + 4}" font-size="11">'
-            f"{yc}</text>"
+            f"{escape(str(yc))}</text>"
         )
     parts.append("</svg>")
     return "\n".join(parts)
@@ -152,7 +154,11 @@ def plot_series_sink(
             title or "series"
         )
         svg = _render_svg(rows, x_col, y_cols, gtitle, width, height)
-        path = os.path.join(out_dir, f"plot_{key}.svg")
+        # the group VALUE names the file: strip anything path-hostile
+        # ('/', '..', spaces) so a malicious or merely odd key can
+        # neither escape out_dir nor produce an unopenable name
+        safe_key = re.sub(r"[^A-Za-z0-9._-]", "_", str(key)) or "group"
+        path = os.path.join(out_dir, f"plot_{safe_key}.svg")
         with open(path, "w", encoding="utf-8") as fh:
             fh.write(svg)
         out_paths.append(path)

@@ -1194,7 +1194,7 @@ def k_w11_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "k_w11b_lstm_forecast",
-    # rows-only BY NATURE: the LSTM fit is 60 epochs of BPTT gradient
+    # rows-only BY NATURE: the LSTM fit is 80 epochs of BPTT gradient
     # descent — deterministic (fixed seed/epochs, numpy only) but not
     # SQL-expressible. The pipeline it shares with k_w11_ar_forecast
     # (per-group series -> recursive 30-step feedback forecast, same

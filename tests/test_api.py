@@ -1684,7 +1684,8 @@ def test_delete_vectors_lifecycle(spark, tmp_path):
     assert spark.read.parquet(p).count() == 1000
 
     meta = zorder_meta(spark, p)
-    assert apply_deletes(spark, p) == {"deleted_keys": 3}
+    vac = apply_deletes(spark, p)
+    assert vac["deleted_keys"] == 3 and vac["rewritten_files"] >= 1
     assert spark.read.parquet(p).count() == 997
     assert not os.path.exists(f"{p}/_deletes")
     assert zorder_meta(spark, p) == meta, "vacuum dropped _zorder_meta"
@@ -1697,7 +1698,7 @@ def test_delete_vectors_lifecycle(spark, tmp_path):
     zorder_append(spark, inc, p, num_files=1)
     assert read_with_deletes(spark, p).count() == 1007
     # idempotent vacuum with no sidecar
-    assert apply_deletes(spark, p) == {"deleted_keys": 0}
+    assert apply_deletes(spark, p)["deleted_keys"] == 0
 
 
 def test_zorder_ranges_manifest_lifecycle(spark, tmp_path):
@@ -1740,11 +1741,15 @@ def test_zorder_ranges_manifest_lifecycle(spark, tmp_path):
     man2 = io._zranges_read(spark, p)
     assert sorted(man2) == sorted(io._zranges_scan(spark, p))
 
-    # a full rewrite invalidates every entry: the manifest must be gone
+    # a FILE-TARGETED vacuum (r12) keeps it exact too: victim entries
+    # swapped for increment-scanned staged files, kept entries intact
     io.delete_rows(spark, p, [1, 2, 3], "k")
     io.apply_deletes(spark, p)
-    assert io._zranges_read(spark, p) is None
-    assert not os.path.exists(f"{p}/_zorder_ranges")
+    man3 = io._zranges_read(spark, p)
+    assert man3 is not None, "vacuum dropped the z-range manifest"
+    assert sorted(man3) == sorted(io._zranges_scan(spark, p))
+    assert {f for f, _, _ in man3} == set(spark.read.parquet(p).inputFiles())
+    assert os.path.exists(f"{p}/_zorder_ranges")
     # and _zorder_meta survived the same rewrite
     assert io.zorder_meta(spark, p)["cols"] == ["a", "b"]
 
@@ -1806,14 +1811,15 @@ def test_plot_series_sink_renders_deterministic_svg(spark, tmp_path):
 def test_apply_deletes_failure_keeps_logical_deletes_in_force(
     spark, tmp_path, monkeypatch
 ):
-    """If the vacuum's destructive overwrite fails midway, the
-    `_deletes` sidecar must SURVIVE (restored with the other sidecars)
-    so readers keep hiding the taken-down rows — dropping it first
-    would resurrect them until manual recovery."""
+    """Crash INSIDE the vacuum's commit window (staging + manifest
+    written, victims not yet swapped): the `_deletes` sidecar must
+    SURVIVE so readers keep hiding the taken-down rows, and a retried
+    vacuum must replay the staged commit at entry and finish cleanly —
+    no duplicate rows, no resurrected rows."""
     import pytest as _pytest
     from pyspark.sql import functions as F
-    from pyspark.sql.readwriter import DataFrameWriter
 
+    import engage_spark.io as io
     from engage_spark.io import apply_deletes, delete_rows, read_with_deletes
 
     tgt = str(tmp_path / "dvfail")
@@ -1823,28 +1829,128 @@ def test_apply_deletes_failure_keeps_logical_deletes_in_force(
     delete_rows(spark, tgt, [7, 9], "k")
     assert read_with_deletes(spark, tgt).count() == 98
 
-    orig = DataFrameWriter.parquet
+    real_commit = io._optimize_commit
 
-    def boom(self, path, *a, **kw):
-        if path == tgt:
-            raise RuntimeError("injected target write failure")
-        return orig(self, path, *a, **kw)
+    def boom(spark_, path_):
+        raise RuntimeError("injected crash at vacuum commit")
 
-    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
-    with _pytest.raises(RuntimeError, match="preserved at"):
+    monkeypatch.setattr(io, "_optimize_commit", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
         apply_deletes(spark, tgt)
-    monkeypatch.undo()
-    # the takedown is still in force for readers
+    monkeypatch.setattr(io, "_optimize_commit", real_commit)
+    import os
+
+    # the commit point (manifest) is on disk, the takedown is still in
+    # force for readers, and no data file was swapped yet
+    assert os.path.exists(f"{tgt}/_optimize_manifest")
+    assert os.path.exists(f"{tgt}/_deletes")
     got = read_with_deletes(spark, tgt)
     assert got.count() == 98
     assert got.filter(F.col("k").isin(7, 9)).count() == 0
-    # and a retried vacuum completes cleanly
+    # a retried vacuum replays the pending commit at entry, then finds
+    # the keys already purged and just clears the sidecar
+    out = apply_deletes(spark, tgt)
+    assert out["deleted_keys"] == 2 and out["rewritten_files"] == 0
+    assert spark.read.parquet(tgt).count() == 98
+    assert spark.read.parquet(tgt).filter(F.col("k").isin(7, 9)).count() == 0
+    assert not os.path.exists(f"{tgt}/_deletes")
+    assert not os.path.exists(f"{tgt}/_optimize_manifest")
+    assert not os.path.exists(f"{tgt}/_optimize_staging")
+
+
+def test_apply_deletes_is_file_targeted(spark, tmp_path):
+    """The r12 vacuum rewrites ONLY files containing a deleted key:
+    a takedown batch confined to a narrow curve region leaves every
+    clean file byte-identical on disk (mtime-pinned), keeps the
+    z-range manifest exact, preserves _zorder_meta, and the dataset
+    stays appendable on the frozen curve."""
     import os
 
-    # clear the staging left for recovery, then retry
-    assert apply_deletes(spark, tgt) == {"deleted_keys": 2}
-    assert spark.read.parquet(tgt).count() == 98
-    assert not os.path.exists(f"{tgt}/_deletes")
+    from pyspark.sql import functions as F
+
+    import engage_spark.io as io
+
+    p = str(tmp_path / "dv_targeted")
+    io.zorder_write(spark, _zspread(spark, 40000, 0, 100000), p, ["a", "b"],
+                    bits=8, num_files=8)
+    io._zorder_file_ranges(spark, p)  # fill the manifest
+    files_before = {
+        f: os.path.getmtime(f.replace("file:", ""))
+        for f in spark.read.parquet(p).inputFiles()
+    }
+    # the takedown batch: 200 keys all drawn from ONE physical file —
+    # exactly that file must be the rewrite's only victim
+    one_file = sorted(files_before)[0]
+    doomed = [
+        r.k
+        for r in spark.read.parquet(p)
+        .withColumn("__f", F.input_file_name())
+        .filter(F.col("__f") == one_file)
+        .select("k").limit(200).collect()
+    ]
+    assert len(doomed) == 200
+    io.delete_rows(spark, p, doomed, "k")
+    out = io.apply_deletes(spark, p)
+    assert out["deleted_keys"] == 200
+    assert out["rewritten_files"] == 1, (
+        "a takedown confined to one file must rewrite exactly that file"
+    )
+    assert out["kept_files"] == 7
+    files_after = set(spark.read.parquet(p).inputFiles())
+    kept = files_before.keys() & files_after
+    assert len(kept) == out["kept_files"]
+    for f in kept:
+        assert os.path.getmtime(f.replace("file:", "")) == files_before[f], (
+            "a clean file was rewritten by the vacuum"
+        )
+    # rows: exactly the survivors, and the z-range manifest stayed exact
+    assert spark.read.parquet(p).count() == 40000 - 200
+    assert spark.read.parquet(p).filter(F.col("k").isin(doomed)).count() == 0
+    man = io._zranges_read(spark, p)
+    assert man is not None
+    assert {f for f, _, _ in man} == files_after
+    assert sorted(man) == sorted(io._zranges_scan(spark, p))
+    # still appendable on the frozen curve
+    io.zorder_append(spark, _zspread(spark, 100, 0, 1000), p, num_files=1)
+    assert spark.read.parquet(p).count() == 40000 - 200 + 100
+
+
+def test_optimize_incremental_replays_pending_commit_at_entry(
+    spark, tmp_path, monkeypatch
+):
+    """A prior maintenance run that crashed between manifest write and
+    commit leaves staged files holding the ONLY copy of some rows once
+    recovery deletes the victims. optimize_incremental must replay
+    that pending commit at entry (not recompute victims and clobber
+    the staging dir) — calling it directly after the crash, with NO
+    manual optimize_recover, must lose no rows."""
+    import os
+
+    import pytest as _pytest
+
+    import engage_spark.io as io
+
+    p = str(tmp_path / "zreplay")
+    io.zorder_write(spark, _zspread(spark, 5000, 0, 50000), p, ["a", "b"],
+                    bits=8, num_files=4)
+    io.zorder_append(spark, _zspread(spark, 300, 0, 1000), p, num_files=1)
+    n_rows = spark.read.parquet(p).count()
+
+    real_commit = io._optimize_commit
+
+    def boom(spark_, path_):
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(io, "_optimize_commit", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        io.optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    monkeypatch.setattr(io, "_optimize_commit", real_commit)
+    assert os.path.exists(f"{p}/_optimize_manifest")
+    # straight back into optimize_incremental — no manual recover
+    io.optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    assert spark.read.parquet(p).count() == n_rows
+    assert not os.path.exists(f"{p}/_optimize_manifest")
+    assert not os.path.exists(f"{p}/_optimize_staging")
 
 
 def test_delete_vectors_property_match_filter_semantics(spark, tmp_path):
@@ -1927,5 +2033,5 @@ def test_delete_vectors_survive_incremental_optimize(spark, tmp_path):
     got = read_with_deletes(spark, p)
     assert got.count() == 5200 - 3
     assert got.filter(F.col("k").isin(10, 20, 30)).count() == 0
-    assert apply_deletes(spark, p) == {"deleted_keys": 3}
+    assert apply_deletes(spark, p)["deleted_keys"] == 3
     assert spark.read.parquet(p).count() == 5197
