@@ -1136,6 +1136,140 @@ def pq_encode(
     return codes.select(F.col("vec_id").alias(id_col), "m", "cid")
 
 
+def _pq_query_table(
+    spark, queries: DataFrame, query_id_col: str, query_emb_col: str, cb
+) -> DataFrame:
+    """DISTRIBUTED query-side ADC lookup table: (query_id, m, cid, dq),
+    one row per (query, subspace, codebook entry). The codebooks are
+    broadcast (tiny: M x K_SUB x subdim doubles); each Arrow batch of
+    queries computes its subdistances with the same _pq_subdist_seq
+    sequential sums as the corpus encode — row-independent, so the
+    floats are bit-identical to a driver-side build. Replaces the r11
+    driver triple loop that serialized |Q| x M x K_SUB table rows
+    through Python at batch-retrieval query counts."""
+    import numpy as np
+    import pandas as pd
+
+    from engage_spark.queries.llm_similarity import (
+        _PQ_M,
+        _pq_normalize,
+        _pq_subdist_seq,
+    )
+
+    bc = spark.sparkContext.broadcast(cb)
+
+    def gen(batches):
+        cb_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = _pq_normalize(np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            ))
+            B, dim = qv.shape
+            sd = dim // _PQ_M  # subspace width follows the data
+            qids, ms, cids, dqs = [], [], [], []
+            for m in range(_PQ_M):
+                ids_m, mat_m = cb_[m]
+                vs = qv[:, m * sd:(m + 1) * sd]
+                K = len(ids_m)
+                d = np.empty((B, K))
+                for kk in range(K):
+                    d[:, kk] = _pq_subdist_seq(vs, mat_m[kk])
+                qids.append(np.repeat(pdf["query_id"].to_numpy(), K))
+                ms.append(np.full(B * K, m, dtype="int32"))
+                cids.append(np.tile(ids_m, B))
+                dqs.append(d.reshape(-1))
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qids),
+                "m": np.concatenate(ms),
+                "cid": np.concatenate(cids),
+                "dq": np.concatenate(dqs),
+            })
+
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_emb_col).alias("embedding"),
+    ).mapInPandas(gen, "query_id long, m int, cid long, dq double")
+
+
+def _ivfpq_query_table(
+    spark,
+    queries: DataFrame,
+    query_id_col: str,
+    query_emb_col: str,
+    c_ids,
+    c_mat,
+    cb,
+    nprobe: int,
+) -> DataFrame:
+    """DISTRIBUTED IVF-PQ query-side table: per query, pick the nprobe
+    nearest coarse lists, then emit the RESIDUAL subdistance table
+    (query_id, lid, m, cid, dq) for just those lists. Centroids +
+    codebooks are broadcast (nlist x dim + M x K_SUB x subdim doubles);
+    probe selection loops per query inside the Arrow batch (nlist x dim
+    per query — a (B, nlist, dim) broadcast intermediate would blow
+    batch memory, see _ivfpq_coarse's gemm note), while the subdistance
+    sums vectorize across all (query, probe) residual rows with the
+    same row-independent _pq_subdist_seq kernel, keeping floats
+    bit-identical to the r11 driver build."""
+    import numpy as np
+    import pandas as pd
+
+    from engage_spark.queries.llm_similarity import (
+        _PQ_M,
+        _pq_normalize,
+        _pq_subdist_seq,
+    )
+
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, cb, int(nprobe)))
+
+    def gen(batches):
+        c_ids_, c_mat_, cb_, nprobe_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qv = _pq_normalize(np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            ))
+            B, dim = qv.shape
+            sd = dim // _PQ_M
+            probes = np.empty((B, nprobe_), dtype=np.int64)
+            for bi in range(B):
+                d = ((qv[bi][None, :] - c_mat_) ** 2).sum(-1)
+                # stable argsort over sorted ids = ORDER BY d, lid
+                probes[bi] = np.argsort(d, kind="stable")[:nprobe_]
+            res = (qv[:, None, :] - c_mat_[probes]).reshape(B * nprobe_, dim)
+            qid_rep = np.repeat(pdf["query_id"].to_numpy(), nprobe_)
+            lid_rep = c_ids_[probes].reshape(-1)
+            R = B * nprobe_
+            qids, lids, ms, cids, dqs = [], [], [], [], []
+            for m in range(_PQ_M):
+                ids_m, mat_m = cb_[m]
+                vs = res[:, m * sd:(m + 1) * sd]
+                K = len(ids_m)
+                d = np.empty((R, K))
+                for kk in range(K):
+                    d[:, kk] = _pq_subdist_seq(vs, mat_m[kk])
+                qids.append(np.repeat(qid_rep, K))
+                lids.append(np.repeat(lid_rep, K))
+                ms.append(np.full(R * K, m, dtype="int32"))
+                cids.append(np.tile(ids_m, R))
+                dqs.append(d.reshape(-1))
+            yield pd.DataFrame({
+                "query_id": np.concatenate(qids),
+                "lid": np.concatenate(lids),
+                "m": np.concatenate(ms),
+                "cid": np.concatenate(cids),
+                "dq": np.concatenate(dqs),
+            })
+
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_emb_col).alias("embedding"),
+    ).mapInPandas(gen, "query_id long, lid long, m int, cid long, dq double")
+
+
 def pq_topk_search(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1156,18 +1290,18 @@ def pq_topk_search(
     at partitions x queries x rerank rows, then exact-cosine re-rank
     of the shortlist (only queries x rerank raw vectors are fetched).
     Returns (query_id, neighbor_id, rank, cosine), directly comparable
-    with topk_cosine_search. The query set collects driver-side to
-    build the lookup table — bounded by the query count, the same
-    budget as the broadcast in topk_cosine_search."""
-    import numpy as np
+    with topk_cosine_search. The per-query lookup table is built
+    DISTRIBUTED (r12): queries.mapInPandas against the broadcast
+    codebooks emits the (query_id, m, cid, dq) rows, so a batch
+    retrieval job fusing 10^5-10^6 queries parallelizes its table
+    build instead of serializing |Q| x M x K_SUB rows through driver
+    Python; the subdistance floats are bit-identical to the driver
+    build (same _pq_subdist_seq sequential sums, row-independent)."""
     import pandas as pd
 
     from engage_spark.queries.llm_similarity import (
-        _PQ_M,
         _pq_codebooks,
         _pq_encode_batches,
-        _pq_normalize,
-        _pq_subdist_seq,
     )
 
     query_id_col = query_id_col or id_col
@@ -1179,21 +1313,8 @@ def pq_topk_search(
         n_rows = e.count()
     cb = _pq_codebooks(e.sparkSession, e, n_rows)
     codes = e.mapInPandas(_pq_encode_batches(cb), "vec_id long, m int, cid long")
-    qrows = sorted(
-        (r[0], _pq_normalize(np.asarray(r[1], dtype=np.float64)[None])[0])
-        for r in queries.select(query_id_col, query_emb_col).collect()
-    )
-    qd_rows = []
-    for qid, qv in qrows:
-        sd = len(qv) // _PQ_M  # subspace width follows the data
-        for m in range(_PQ_M):
-            vs = qv[None, m * sd:(m + 1) * sd]
-            ids_m, mat_m = cb[m]
-            for kk in range(len(ids_m)):
-                dq = float(_pq_subdist_seq(vs, mat_m[kk])[0])
-                qd_rows.append((int(qid), m, int(ids_m[kk]), dq))
     spark = e.sparkSession
-    qd = local_frame(spark, qd_rows, "query_id long, m int, cid long, dq double")
+    qd = _pq_query_table(spark, queries, query_id_col, query_emb_col, cb)
     self_filter = (
         F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)
     )
@@ -1321,41 +1442,17 @@ def _ivfpq_rank(
     exclude_self: bool,
 ) -> DataFrame:
     """ADC search over a code table: per-(query, probed list) lookup
-    tables (bounded driver build + broadcast), map-side-combined ADC
-    sums, partition-local top-C, exact-cosine re-rank against
+    tables built DISTRIBUTED against the broadcast quantizers
+    (_ivfpq_query_table — r12; the r11 driver build serialized
+    |Q| x nprobe x M x K_SUB rows through Python), map-side-combined
+    ADC sums, partition-local top-C, exact-cosine re-rank against
     corpus_e (vec_id, embedding)."""
-    import numpy as np
     import pandas as pd
 
     from engage_spark.queries.llm_dedup import cosine_expr
-    from engage_spark.queries.llm_similarity import (
-        _PQ_M,
-        _pq_normalize,
-        _pq_subdist_seq,
-    )
 
-    qrows = sorted(
-        (r[0], _pq_normalize(np.asarray(r[1], dtype=np.float64)[None])[0])
-        for r in queries.select(query_id_col, query_emb_col).collect()
-    )
-    qd_rows = []
-    for qid, qv in qrows:
-        d = ((qv[None, :] - c_mat) ** 2).sum(-1)
-        # stable argsort over sorted ids = ORDER BY d, lid
-        probe_idx = np.argsort(d, kind="stable")[:nprobe]
-        sd = len(qv) // _PQ_M
-        for li in probe_idx:
-            qr = qv - c_mat[li]
-            for m in range(_PQ_M):
-                vs = qr[None, m * sd:(m + 1) * sd]
-                ids_m, mat_m = cb[m]
-                for kk in range(len(ids_m)):
-                    dq = float(_pq_subdist_seq(vs, mat_m[kk])[0])
-                    qd_rows.append(
-                        (int(qid), int(c_ids[li]), m, int(ids_m[kk]), dq)
-                    )
-    qd = local_frame(
-        spark, qd_rows, "query_id long, lid long, m int, cid long, dq double"
+    qd = _ivfpq_query_table(
+        spark, queries, query_id_col, query_emb_col, c_ids, c_mat, cb, nprobe
     )
     self_filter = (
         F.col("vec_id") != F.col("query_id") if exclude_self else F.lit(True)

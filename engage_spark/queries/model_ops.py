@@ -294,25 +294,32 @@ def _irls_oracle(design_sql: str, xs: list, y: str, k_steps: int,
     n = len(xs)
     ctes = [f"d AS ({design_sql})"]
 
-    # FLAKINESS SURFACE (triage note): the hash compare rounds each of
-    # the ~K*n(n+3)/2 moment averages to 6dp on BOTH engines, but Spark
-    # (partial-agg summation order) and DuckDB sum in different orders,
-    # so a moment landing within an ulp of a rounding boundary can flip
-    # one chain step and fail the whole hash. The +1e-9 nudge shrinks
-    # the exposed window to ~1e-9/5e-7 ≈ 0.2% per moment; the K-step
-    # chaining multiplies trials, not the per-trial width. If this
-    # oracle ever hash-mismatches, re-run and suspect rounding BEFORE
-    # logic — and if it recurs, widen the nudge or pin a tree-sum.
+    # ORDER-INDEPENDENT moments (r12): each addend is rounded to 9dp
+    # (the same double on both engines — the per-row expression trees
+    # are op-for-op twins) and accumulated as DECIMAL(38,9). Decimal
+    # addition is exact and associative, so Spark's partial-agg order
+    # and DuckDB's sequential order produce the IDENTICAL sum — the
+    # r1-r11 flakiness surface (an order-sensitive double sum landing
+    # within an ulp of the 6dp rounding boundary, amplified by K-step
+    # chaining) is closed by mechanism rather than by the +1e-9 nudge
+    # shrinking its window. The 9dp addend quantization biases each
+    # average by <1e-9 — well inside the 5e-7 final rounding step —
+    # and both engines apply the identical quantization.
     def moments(w: str, wz: str) -> str:
+        def dec_avg(expr: str, name: str) -> str:
+            return (
+                f"round(sum(CAST(round({expr}, 9) AS DECIMAL(38,9)))"
+                f"::DOUBLE / count(*) + 1e-9, 6) AS {name}"
+            )
+
         cols = []
         for i in range(n):
             for j in range(i, n):
                 cols.append(
-                    f"round(avg({w} * {xs[i]} * {xs[j]}) + 1e-9, 6)"
-                    f" AS m_{i}_{j}"
+                    dec_avg(f"{w} * {xs[i]} * {xs[j]}", f"m_{i}_{j}")
                 )
         for i in range(n):
-            cols.append(f"round(avg({xs[i]} * {wz}) + 1e-9, 6) AS mb_{i}")
+            cols.append(dec_avg(f"{xs[i]} * {wz}", f"mb_{i}"))
         return ", ".join(cols)
 
     for s in range(1, k_steps + 1):
@@ -383,17 +390,19 @@ def _irls_fit_spark(
                 mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
                 w = mu * (F.lit(1.0) - mu)
                 wz = w * eta + yc - mu
+        def dec_avg(expr):
+            # exact decimal accumulation of 9dp-rounded addends — see
+            # the order-independence note on _irls_oracle.moments; the
+            # partial map-side combine is preserved (decimal sum)
+            s = F.sum(F.round(expr, 9).cast("decimal(38,9)")).cast("double")
+            return F.round(s / F.count(F.lit(1)) + F.lit(1e-9), 6)
+
         aggs = []
         for i in range(n):
             for j in range(i, n):
-                aggs.append(
-                    F.round(F.avg(w * X[i] * X[j]) + F.lit(1e-9), 6)
-                    .alias(f"m_{i}_{j}")
-                )
+                aggs.append(dec_avg(w * X[i] * X[j]).alias(f"m_{i}_{j}"))
         for i in range(n):
-            aggs.append(
-                F.round(F.avg(X[i] * wz) + F.lit(1e-9), 6).alias(f"mb_{i}")
-            )
+            aggs.append(dec_avg(X[i] * wz).alias(f"mb_{i}"))
         row = df.agg(*aggs).collect()[0]  # bounded: n(n+3)/2 scalars
         a = [
             [row[f"m_{min(i, j)}_{max(i, j)}"] for j in range(n)]
