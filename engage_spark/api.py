@@ -1896,35 +1896,46 @@ def _tombstones_revive(
     )
     if revived.isEmpty():
         return
-    for sub, col in tables.items():
+    from engage_spark.io import maintenance_lease
+
+    # the stale-row purge rewrites every index table: one maintenance
+    # writer at a time (r12 lease — a concurrent vacuum/revive would
+    # silently lose takedowns or resurrect purged rows)
+    with maintenance_lease(spark, index_dir):
+        for sub, col in tables.items():
+            _rewrite_minus_ids(
+                spark, f"{index_dir}/{sub}", col, revived, "revive"
+            )
         _rewrite_minus_ids(
-            spark, f"{index_dir}/{sub}", col, revived, "revive"
+            spark, f"{index_dir}/tombstones", "id", revived, "revive"
         )
-    _rewrite_minus_ids(
-        spark, f"{index_dir}/tombstones", "id", revived, "revive"
-    )
 
 
 def _index_vacuum(spark: SparkSession, index_dir: str, tables: dict) -> dict:
     """Apply tombstones physically: rewrite each index table minus the
     tombstoned ids (staging-swap, hive-partition-layout preserving —
     safe on streaming-built run=... partitioned indexes), then clear
-    the tombstone table. tables maps subdir -> id column name. Returns
-    {"tombstones": n_applied}."""
-    from engage_spark.io import _hadoop_fs
+    the tombstone table. tables maps subdir -> id column name. Runs
+    under the maintenance lease (r12): contention with a live
+    revive/vacuum raises instead of silently losing takedowns.
+    Returns {"tombstones": n_applied}."""
+    from engage_spark.io import _hadoop_fs, maintenance_lease
 
     fs, p = _hadoop_fs(spark, f"{index_dir}/tombstones")
     if not fs.exists(p):
         return {"tombstones": 0}
-    tomb = (
-        spark.read.parquet(f"{index_dir}/tombstones")
-        .select("id")
-        .dropDuplicates()
-    )
-    n_tomb = tomb.count()  # bounded: takedowns since the last vacuum
-    for sub, col in tables.items():
-        _rewrite_minus_ids(spark, f"{index_dir}/{sub}", col, tomb, "vacuum")
-    fs.delete(p, True)
+    with maintenance_lease(spark, index_dir):
+        tomb = (
+            spark.read.parquet(f"{index_dir}/tombstones")
+            .select("id")
+            .dropDuplicates()
+        )
+        n_tomb = tomb.count()  # bounded: takedowns since the last vacuum
+        for sub, col in tables.items():
+            _rewrite_minus_ids(
+                spark, f"{index_dir}/{sub}", col, tomb, "vacuum"
+            )
+        fs.delete(p, True)
     return {"tombstones": n_tomb}
 
 

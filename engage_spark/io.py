@@ -969,9 +969,17 @@ def optimize_incremental(
     garbage-collected by the next run); a crash during (3) is
     completed by ``optimize_recover`` — moves and deletes are
     idempotent. Readers concurrent with (3) can transiently see
-    duplicate rows, the usual non-transactional-parquet caveat; run
-    it from the single maintenance writer. Returns
-    {"rewritten_files", "new_files", "kept_files"}."""
+    duplicate rows, the usual non-transactional-parquet caveat; the
+    single-maintenance-writer requirement is ENFORCED by the
+    maintenance_lease (r12 — loud MaintenanceLockHeld on contention).
+    Returns {"rewritten_files", "new_files", "kept_files"}."""
+    with maintenance_lease(spark, path):
+        return _optimize_incremental_impl(spark, path, target_file_bytes)
+
+
+def _optimize_incremental_impl(
+    spark: SparkSession, path: str, target_file_bytes: int
+) -> dict:
     import math
 
     # a pending manifest from a prior run that crashed mid-commit means
@@ -1107,6 +1115,113 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(conf), p
 
 
+# ---------------------------------------------------------------------------
+# Maintenance-writer lease (round 12). Every in-place maintenance op
+# here (upsert staging-swap, incremental optimize, delete vacuum, index
+# tombstone revive/vacuum) documents a single-maintenance-writer
+# requirement; the lease ENFORCES it with a loud failure instead of
+# silent corruption (two concurrent optimizes can double-commit staged
+# files; a vacuum racing a revive can resurrect taken-down rows). The
+# lock is a `_maintenance_lock` sidecar created with
+# FileSystem.create(overwrite=False) — atomic create-if-absent on
+# HDFS/local (on S3 without a consistency layer it is best-effort, the
+# standard caveat for file-based locks; use a real lock service there).
+# A TTL bounds crashed-writer lockout: an expired lease is broken and
+# re-acquired. Re-entrant within a process (a maintenance loop calling
+# optimize inside its own leased section does not self-deadlock).
+
+_MAINT_LOCK = "_maintenance_lock"
+_LEASE_DEPTH: dict = {}  # path -> in-process re-entrancy depth
+
+
+class MaintenanceLockHeld(RuntimeError):
+    """Another maintenance writer holds the dataset's lease."""
+
+
+def _lease_writer_id() -> str:
+    import os as _os
+    import socket
+
+    return f"{socket.gethostname()}:{_os.getpid()}"
+
+
+class maintenance_lease:
+    """Context manager guarding a dataset/index dir's maintenance
+    window: acquire the `_maintenance_lock` sidecar (atomic
+    create-if-absent), run, release. Contention with a LIVE lease
+    raises MaintenanceLockHeld naming the holder; a lease past its TTL
+    (default 1 h — crashed writer) is broken and taken over. The
+    in-place ops acquire this themselves; nesting within one process
+    re-enters the held lease."""
+
+    def __init__(self, spark: SparkSession, path: str, ttl_s: int = 3600):
+        self.spark, self.path, self.ttl_s = spark, path, ttl_s
+
+    def __enter__(self):
+        import json
+        import time
+
+        if _LEASE_DEPTH.get(self.path, 0) > 0:
+            _LEASE_DEPTH[self.path] += 1
+            return self
+        fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
+        payload = json.dumps({
+            "writer": _lease_writer_id(),
+            "acquired_unix": int(time.time()),
+            "ttl_s": self.ttl_s,
+        }).encode()
+        for attempt in (0, 1):
+            try:
+                out = fs.create(lp, False)  # overwrite=False: atomic
+                out.write(payload)
+                out.close()
+                _LEASE_DEPTH[self.path] = 1
+                return self
+            except Exception:
+                holder = self._read_holder(fs, lp)
+                if holder is not None and attempt == 0:
+                    age = time.time() - holder.get("acquired_unix", 0)
+                    if age > holder.get("ttl_s", self.ttl_s):
+                        fs.delete(lp, False)  # expired: break and retry
+                        continue
+                raise MaintenanceLockHeld(
+                    f"maintenance lease on {self.path} is held by "
+                    f"{(holder or {}).get('writer', '<unreadable>')} "
+                    f"(age {int(time.time() - (holder or {}).get('acquired_unix', time.time()))}s); "
+                    "one maintenance writer at a time — wait, or break "
+                    f"the lease by deleting {self.path}/{_MAINT_LOCK} "
+                    "if the holder is known dead"
+                ) from None
+
+    def _read_holder(self, fs, lp):
+        import json
+
+        try:
+            if not fs.exists(lp):
+                return None
+            stream = fs.open(lp)
+            try:
+                raw = bytes(
+                    stream.readAllBytes()
+                    if hasattr(stream, "readAllBytes")
+                    else b""
+                )
+            finally:
+                stream.close()
+            return json.loads(raw.decode() or "{}")
+        except Exception:
+            return {}
+
+    def __exit__(self, exc_type, exc, tb):
+        _LEASE_DEPTH[self.path] -= 1
+        if _LEASE_DEPTH[self.path] <= 0:
+            _LEASE_DEPTH.pop(self.path, None)
+            fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
+            if fs.exists(lp):
+                fs.delete(lp, False)
+        return False
+
+
 def _hive_part_dir(col: str, val) -> str:
     """Hive partition directory name for one (column, value) pair:
     NULL maps to __HIVE_DEFAULT_PARTITION__, and the characters Hive
@@ -1211,9 +1326,19 @@ def apply_deletes(
     commit completes, so a crash anywhere leaves the logical deletes
     in force for readers; the ``_zorder_ranges`` manifest is updated
     incrementally (kept entries stay exact, staged files get an
-    increment-sized scan). Single-maintenance-writer, like every
-    in-place maintenance op here. Returns
+    increment-sized scan). The single-maintenance-writer requirement
+    is enforced by the maintenance_lease (r12). Returns
     {"deleted_keys", "rewritten_files", "kept_files"}."""
+    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    if not fs.exists(p):
+        return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
+    with maintenance_lease(spark, path):
+        return _apply_deletes_impl(spark, path, target_file_bytes)
+
+
+def _apply_deletes_impl(
+    spark: SparkSession, path: str, target_file_bytes: int
+) -> dict:
     import math
 
     fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
@@ -1335,6 +1460,42 @@ def _restore_sidecars(spark: SparkSession, stashed: list) -> None:
 
 
 def upsert_dataset(
+    spark: SparkSession,
+    target: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    delete_col: str | None = None,
+    assume_partition_stable: bool = False,
+    check_unique_keys: bool = True,
+    max_touched_partitions: int = 4096,
+) -> dict:
+    """Public facade of :func:`_upsert_dataset_impl` (full semantics
+    documented there) that ENFORCES the single-maintenance-writer
+    requirement: a merge into an EXISTING dataset runs under the
+    maintenance_lease (r12 — MaintenanceLockHeld on contention with a
+    live writer); a bootstrap write of a brand-new target has nothing
+    to corrupt and takes no lease (taking one would also materialize
+    the target dir and confuse its own existence check)."""
+    fs, p = _hadoop_fs(spark, target)
+    exists = fs.exists(p) and any(
+        not s.getPath().getName().startswith("_") for s in fs.listStatus(p)
+    )
+    if not exists:
+        return _upsert_dataset_impl(
+            spark, target, updates, key_cols, partition_by, delete_col,
+            assume_partition_stable, check_unique_keys,
+            max_touched_partitions,
+        )
+    with maintenance_lease(spark, target):
+        return _upsert_dataset_impl(
+            spark, target, updates, key_cols, partition_by, delete_col,
+            assume_partition_stable, check_unique_keys,
+            max_touched_partitions,
+        )
+
+
+def _upsert_dataset_impl(
     spark: SparkSession,
     target: str,
     updates: DataFrame,

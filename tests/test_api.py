@@ -1953,6 +1953,78 @@ def test_optimize_incremental_replays_pending_commit_at_entry(
     assert not os.path.exists(f"{p}/_optimize_staging")
 
 
+def test_maintenance_lease_contention_and_reentrancy(spark, tmp_path):
+    """The r12 maintenance-writer lease: a live lease held by ANOTHER
+    writer makes every in-place maintenance op fail LOUDLY with the
+    dataset intact (previously two concurrent writers silently
+    corrupted); an EXPIRED lease (crashed writer) is broken and taken
+    over; nesting within one process re-enters."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import engage_spark.io as io
+
+    p = str(tmp_path / "leased")
+    io.zorder_write(spark, _zspread(spark, 5000, 0, 50000), p, ["a", "b"],
+                    bits=8, num_files=4)
+    io.zorder_append(spark, _zspread(spark, 200, 0, 1000), p, num_files=1)
+    io.delete_rows(spark, p, [1, 2, 3], "k")
+    n_rows = spark.read.parquet(p).count()
+    files_before = sorted(spark.read.parquet(p).inputFiles())
+
+    # a foreign LIVE lease (another host:pid, fresh timestamp)
+    lock = f"{p}/_maintenance_lock"
+    with open(lock, "w") as fh:
+        json.dump({"writer": "otherhost:99999",
+                   "acquired_unix": int(time.time()), "ttl_s": 3600}, fh)
+    with _pytest.raises(io.MaintenanceLockHeld, match="otherhost:99999"):
+        io.optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    with _pytest.raises(io.MaintenanceLockHeld):
+        io.apply_deletes(spark, p)
+    upd = spark.range(5).select(F.col("id").alias("k"),
+                                (F.col("id") * 7).alias("a"),
+                                (F.col("id") % 16).alias("b"))
+    with _pytest.raises(io.MaintenanceLockHeld):
+        io.upsert_dataset(spark, p, upd, ["k"])
+    # nothing moved: same files, same rows, sidecar still in force
+    assert sorted(spark.read.parquet(p).inputFiles()) == files_before
+    assert spark.read.parquet(p).count() == n_rows
+    assert os.path.exists(f"{p}/_deletes")
+
+    # an EXPIRED lease is broken and the op proceeds
+    with open(lock, "w") as fh:
+        json.dump({"writer": "otherhost:99999",
+                   "acquired_unix": int(time.time()) - 7200,
+                   "ttl_s": 3600}, fh)
+    out = io.apply_deletes(spark, p)
+    assert out["deleted_keys"] == 3
+    assert not os.path.exists(lock), "lease not released after the op"
+
+    # re-entrancy: a maintenance loop holding the lease can call the
+    # leased ops without self-deadlock, and the lock survives until
+    # the OUTER exit
+    with io.maintenance_lease(spark, p):
+        assert os.path.exists(lock)
+        io.optimize_incremental(spark, p, target_file_bytes=1 << 20)
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+    # index-side: vacuum/revive contention fails loudly too
+    from engage_spark.api import minhash_index_vacuum
+
+    idx = str(tmp_path / "leased_idx")
+    spark.range(3).select(F.col("id")).write.parquet(f"{idx}/tombstones")
+    with open(f"{idx}/_maintenance_lock", "w") as fh:
+        json.dump({"writer": "otherhost:99999",
+                   "acquired_unix": int(time.time()), "ttl_s": 3600}, fh)
+    with _pytest.raises(io.MaintenanceLockHeld):
+        minhash_index_vacuum(spark, idx)
+
+
 def test_delete_vectors_property_match_filter_semantics(spark, tmp_path):
     """Property (hypothesis): for arbitrary delete-key sets — including
     duplicates, keys absent from the data, and repeat delete batches —
