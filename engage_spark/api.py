@@ -88,6 +88,7 @@ __all__ = [
     "ivfpq_delete",
     "ivfpq_vacuum",
     "ivfpq_recall_probe",
+    "ivfpq_autotune_nprobe",
     "bm25_topk",
     "rrf_fuse",
     "hybrid_search",
@@ -1628,7 +1629,14 @@ def _ivfpq_load(spark, index_dir: str):
             np.array([cs for _, cs in rows], dtype=np.float64),
         )
     meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
-    return c_ids, c_mat, cb, int(meta.nprobe), int(meta.dim)
+    # rerank is OPTIONAL meta (written by ivfpq_autotune_nprobe when
+    # the recall target needed a wider exact-re-rank shortlist);
+    # build-time metas carry only (nprobe, dim, n_rows)
+    meta_rerank = (
+        int(meta.rerank) if "rerank" in meta.__fields__ and
+        meta.rerank is not None else None
+    )
+    return c_ids, c_mat, cb, int(meta.nprobe), int(meta.dim), meta_rerank
 
 
 def ivfpq_search(
@@ -1636,12 +1644,13 @@ def ivfpq_search(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
-    rerank: int = 50,
+    rerank: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_id_col: str | None = None,
     query_emb_col: str | None = None,
     exclude_self: bool = True,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Search a PERSISTED IVF-PQ index (ivfpq_build): loads the bounded
     artifacts (centroids, codebooks, meta), builds the per-(query,
@@ -1649,11 +1658,20 @@ def ivfpq_search(
     codes — the corpus raw vectors are touched only to fetch the
     queries x `rerank` shortlist for the exact re-rank. Identical
     results to the one-shot ivfpq_topk_search on the same corpus
-    (pytest-pinned): the index just amortizes the quantizer build."""
+    (pytest-pinned): the index just amortizes the quantizer build.
+    `nprobe` / `rerank` override the stored values for this search
+    (the autotune loop's measurement knobs); defaults come from the
+    index meta, which ivfpq_autotune_nprobe adjusts in place (rerank
+    falls back to 50 on a never-tuned index)."""
     spark = queries.sparkSession
     query_id_col = query_id_col or id_col
     query_emb_col = query_emb_col or emb_col
-    c_ids, c_mat, cb, nprobe, dim = _ivfpq_load(spark, index_dir)
+    c_ids, c_mat, cb, meta_nprobe, dim, meta_rerank = _ivfpq_load(
+        spark, index_dir
+    )
+    nprobe = int(nprobe) if nprobe is not None else meta_nprobe
+    nprobe = max(1, min(nprobe, len(c_ids)))
+    rerank = int(rerank) if rerank is not None else (meta_rerank or 50)
     probe = queries.select(query_emb_col).limit(1).collect()
     if probe and len(probe[0][0]) != dim:
         raise ValueError(
@@ -1688,7 +1706,7 @@ def ivfpq_append(
     partition) if exactly-once matters. Returns the number of vectors
     appended."""
     spark = new_vectors.sparkSession
-    c_ids, c_mat, cb, _nprobe, dim = _ivfpq_load(spark, index_dir)
+    c_ids, c_mat, cb, _nprobe, dim, _rerank = _ivfpq_load(spark, index_dir)
     e = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
@@ -1993,6 +2011,8 @@ def ivfpq_recall_probe(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    nprobe: int | None = None,
+    rerank: int | None = None,
 ) -> dict:
     """Operational index-quality monitor: recall@k of the persisted
     IVF-PQ index against exact brute force on a DETERMINISTIC sample
@@ -2015,7 +2035,8 @@ def ivfpq_recall_probe(
     )
     t0 = time.perf_counter()
     ann_rows = ivfpq_search(
-        index_dir, qs, corpus, k=k, id_col=id_col, emb_col=emb_col
+        index_dir, qs, corpus, k=k, id_col=id_col, emb_col=emb_col,
+        nprobe=nprobe, rerank=rerank,
     ).collect()
     ann_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -2038,6 +2059,91 @@ def ivfpq_recall_probe(
         "k": k,
         "ann_s": round(ann_s, 3),
         "exact_s": round(exact_s, 3),
+    }
+
+
+def ivfpq_autotune_nprobe(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    target_recall: float = 0.85,
+    sample_queries: int = 50,
+    k: int = 10,
+    max_nprobe: int | None = None,
+    max_rerank: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict:
+    """CLOSE the recall-probe loop (r12): when the measured recall@k of
+    the persisted index falls below `target_recall`, escalate the two
+    query-time knobs — first DOUBLE nprobe (probe more coarse lists:
+    recall rises at linear-in-nprobe ADC cost, no retraining, no
+    corpus pass) up to `max_nprobe` (default min(nlist, 8x stored)),
+    then DOUBLE the exact-re-rank shortlist `rerank` (the efSearch-
+    style fidelity knob: ADC ranking errors stop mattering once the
+    true neighbors fit the shortlist) up to `max_rerank` (default
+    8x50). The first (nprobe, rerank) meeting target is PERSISTED
+    into the index meta under the maintenance lease, so every
+    subsequent ivfpq_search probes at the tuned settings; a quantizer
+    REBUILD is recommended only when both bounded knobs are exhausted.
+    Each step's measured recall/latency pair is returned so the
+    operator sees the trade bought. Returns {"tuned_nprobe",
+    "tuned_rerank", "initial_nprobe", "met_target",
+    "rebuild_recommended", "trace": [{nprobe, rerank, recall_at_k,
+    ann_s}]}."""
+    c_meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    nlist = spark.read.parquet(f"{index_dir}/centroids").count()
+    initial = int(c_meta.nprobe)
+    initial_rerank = (
+        int(c_meta.rerank)
+        if "rerank" in c_meta.__fields__ and c_meta.rerank is not None
+        else 50
+    )
+    np_bound = min(
+        nlist, max_nprobe if max_nprobe is not None else 8 * initial
+    )
+    rr_bound = max_rerank if max_rerank is not None else 8 * 50
+    trace = []
+    nprobe, rerank = initial, initial_rerank
+
+    def measure():
+        rep = ivfpq_recall_probe(
+            spark, index_dir, corpus, sample_queries=sample_queries, k=k,
+            id_col=id_col, emb_col=emb_col, nprobe=nprobe, rerank=rerank,
+        )
+        trace.append({
+            "nprobe": nprobe,
+            "rerank": rerank,
+            "recall_at_k": rep["recall_at_k"],
+            "ann_s": rep["ann_s"],
+        })
+        return rep["recall_at_k"] >= target_recall
+
+    met = measure()
+    while not met and nprobe < np_bound:
+        nprobe = min(np_bound, nprobe * 2)
+        met = measure()
+    while not met and rerank < rr_bound:
+        rerank = min(rr_bound, rerank * 2)
+        met = measure()
+    tuned, tuned_rerank = trace[-1]["nprobe"], trace[-1]["rerank"]
+    if tuned != initial or tuned_rerank != initial_rerank:
+        from engage_spark.io import maintenance_lease
+
+        with maintenance_lease(spark, index_dir):
+            local_frame(
+                spark,
+                [(int(tuned), int(c_meta.dim), int(c_meta.n_rows),
+                  int(tuned_rerank))],
+                "nprobe int, dim int, n_rows long, rerank int",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/meta")
+    return {
+        "tuned_nprobe": tuned,
+        "tuned_rerank": tuned_rerank,
+        "initial_nprobe": initial,
+        "met_target": met,
+        "rebuild_recommended": not met,
+        "trace": trace,
     }
 
 

@@ -73,13 +73,22 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     a = {(r.query_id, r.doc_id) for r in fused_exact.collect()}
     b = {(r.query_id, r.doc_id) for r in fused_ann.collect()}
 
-    # index health: the rebuild-scheduling signal
-    probe = api.ivfpq_recall_probe(spark, idx, emb, sample_queries=10, k=10)
+    # index health: the probe -> nprobe policy (r12). Drift is first
+    # answered by probing more lists (cheap, persisted into the index
+    # meta); a quantizer rebuild is recommended only when the bounded
+    # nprobe sweep cannot reach target.
+    tune = api.ivfpq_autotune_nprobe(
+        spark, idx, emb, target_recall=0.85, sample_queries=10, k=10
+    )
     return {
         "lexical_rows": lex.count(),
         "fused_rows": len(a),
         "fused_overlap": len(a & b) / max(1, len(a)),
-        "index_recall_at_10": probe["recall_at_k"],
+        "index_recall_at_10": tune["trace"][-1]["recall_at_k"],
+        "tuned_nprobe": tune["tuned_nprobe"],
+        "tuned_rerank": tune["tuned_rerank"],
+        "initial_nprobe": tune["initial_nprobe"],
+        "rebuild_recommended": tune["rebuild_recommended"],
     }
 
 

@@ -1528,6 +1528,58 @@ def test_ivfpq_recall_probe_monitors_index_quality(spark, sf_dir):
     assert rep["ann_s"] > 0 and rep["exact_s"] > 0
 
 
+def test_ivfpq_autotune_nprobe_closes_the_probe_loop(spark, sf_dir):
+    """The r12 probe->nprobe policy: when measured recall@k misses the
+    target, nprobe doubles (bounded) and the winning value is
+    PERSISTED into the index meta, so subsequent ivfpq_search calls
+    probe wider without a rebuild; a rebuild is recommended only when
+    the bound can't reach target. An unreachable target must sweep to
+    the bound with a monotone trace; an easy target must keep the
+    stored nprobe untouched."""
+    import shutil
+
+    from engage_spark import api
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = "/tmp/ivfpq_tune_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    built = api.ivfpq_build(e, idx)
+    nlist = built["nlist"]
+
+    # trivially met target: no sweep, no meta rewrite
+    out = api.ivfpq_autotune_nprobe(
+        spark, idx, e, target_recall=0.0, sample_queries=5, k=5
+    )
+    assert out["met_target"] and not out["rebuild_recommended"]
+    assert out["tuned_nprobe"] == out["initial_nprobe"] == built["nprobe"]
+    assert len(out["trace"]) == 1
+
+    # unreachable target: both knobs sweep to their bounds (nprobe
+    # first, then the rerank shortlist), the tuned pair persists, and
+    # a rebuild is recommended; recall must not DECREASE along the sweep
+    out2 = api.ivfpq_autotune_nprobe(
+        spark, idx, e, target_recall=1.01, sample_queries=5, k=5,
+        max_nprobe=nlist, max_rerank=100,
+    )
+    assert out2["rebuild_recommended"] and not out2["met_target"]
+    assert out2["tuned_nprobe"] == nlist
+    assert out2["tuned_rerank"] == 100
+    probes = [t["nprobe"] for t in out2["trace"]]
+    assert probes == sorted(probes) and probes[-1] == nlist
+    recalls = [t["recall_at_k"] for t in out2["trace"]]
+    assert recalls[-1] >= recalls[0] - 1e-9, recalls
+    # persisted: the meta now carries the tuned pair, and a plain
+    # ivfpq_search picks both up by default
+    meta = spark.read.parquet(f"{idx}/meta").collect()[0]
+    assert int(meta.nprobe) == nlist and int(meta.rerank) == 100
+    # at nprobe == nlist every list is probed -> IVF-PQ degenerates to
+    # flat-PQ over the whole corpus, and the widened shortlist can only
+    # help: the final sweep point must be the sweep maximum
+    assert recalls[-1] == max(recalls)
+
+
 def test_local_frame_matches_createdataframe_semantics(spark):
     """session.local_frame is the engine-wide constructor for bounded
     driver-side frames (zero Python at evaluation); its conversion
