@@ -989,7 +989,18 @@ def _optimize_incremental_impl(
     mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
     if mfs.exists(mp):
         optimize_recover(spark, path)
-    fr = _zorder_file_ranges(spark, path)
+    # victim detection: the live manifest is the O(files) path; with
+    # no (or a stale) manifest, ONE exact scan computes the ranges —
+    # but the manifest is NOT filled here (r12): a dataset whose
+    # writers don't maintain it would pay the post-commit refresh
+    # (an extra scan of every rewritten byte) only to have the next
+    # unmaintained write invalidate it again. Liveness is preserved
+    # for datasets that had it; zorder_layout_stats remains the
+    # fill-on-read entry point for opting a dataset in.
+    man = _zranges_read(spark, path)
+    current = set(spark.read.parquet(path).inputFiles())
+    man_live = man is not None and {f for f, _, _ in man} == current
+    fr = man if man_live else _zranges_scan(spark, path)
     # sweep for overlap participants: sort by lo; a file overlaps its
     # predecessor group when its lo <= the running max hi
     fr_sorted = sorted(fr, key=lambda t: (t[1], t[2]))
@@ -1032,15 +1043,16 @@ def _optimize_incremental_impl(
         spark, [(f,) for f in sorted(victims)], "victim string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
     new_files = _optimize_commit(spark, path)
-    # refresh the z-range manifest with an increment-sized scan of the
-    # NEW files; kept files' entries are still exact
-    kept_entries = [e for e in fr if e[0] not in victims]
-    current = set(spark.read.parquet(path).inputFiles())
-    fresh = current - {f for f, _, _ in kept_entries}
-    _zranges_write(
-        spark, path,
-        kept_entries + (_zranges_scan(spark, path, fresh) if fresh else []),
-    )
+    if man_live:
+        # refresh the z-range manifest with an increment-sized scan of
+        # the NEW files; kept files' entries are still exact
+        kept_entries = [e for e in fr if e[0] not in victims]
+        current = set(spark.read.parquet(path).inputFiles())
+        fresh = current - {f for f, _, _ in kept_entries}
+        _zranges_write(
+            spark, path,
+            kept_entries + (_zranges_scan(spark, path, fresh) if fresh else []),
+        )
     return {
         "rewritten_files": len(victims),
         "new_files": new_files,
