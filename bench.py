@@ -96,6 +96,10 @@ OPTIONAL = [
     "x5_hybrid_rrf",
     "x5b_hybrid_ivfpq",
     "x_snapshot_diff",
+    # round 12 additions (version-log lifecycle: five logged versions
+    # built + all five read back — times the full time-travel cycle)
+    "s14_time_travel_versions",
+    "s15_version_diff",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

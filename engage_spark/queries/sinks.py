@@ -720,3 +720,143 @@ def s11_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("quality").cast("long").alias("n_scored"),
         F.round(F.avg("quality") + 1e-9, 4).alias("avg_quality"),
     )
+
+
+@query(
+    "s14_time_travel_versions",
+    # the oracle recomputes each version's expected CONTENT straight
+    # off the source table: a hash match proves read_version
+    # reconstructs every snapshot exactly — init (evens), append
+    # (all), logical delete (%97 hidden via the logged deletion
+    # vector), optimize (rewrite-only, content unchanged), and the
+    # physical vacuum (same content through the staged swap)
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id % 8 AS grp FROM events),
+    vis AS (
+      SELECT 1 AS version, grp, event_id FROM ev WHERE event_id % 2 = 0
+      UNION ALL SELECT 2, grp, event_id FROM ev
+      UNION ALL SELECT 3, grp, event_id FROM ev WHERE event_id % 97 <> 0
+      UNION ALL SELECT 4, grp, event_id FROM ev WHERE event_id % 97 <> 0
+      UNION ALL SELECT 5, grp, event_id FROM ev WHERE event_id % 97 <> 0
+    )
+    SELECT version::BIGINT AS version, grp::BIGINT AS grp,
+           count(*)::BIGINT AS n, sum(event_id)::BIGINT AS id_sum
+    FROM vis GROUP BY version, grp
+    """,
+    covers=["S4", "S5"],
+)
+def s14_time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the version log (r12, engine extension —
+    VERDICT r11 missing #2): publish half the events Z-ordered, enable
+    the log, append the rest, logically delete every 97th event, run
+    an incremental optimize, then physically vacuum the deletes — five
+    logged versions — and read EVERY version back via
+    versioning.read_version, aggregating per (version, user_id%8).
+    No snapshot was ever copied: each read resolves the logged file
+    list (live root + _versions/retained renames) and re-applies that
+    version's deletion vectors as a broadcast anti-join."""
+    from engage_spark.io import (
+        apply_deletes,
+        delete_rows,
+        optimize_incremental,
+        zorder_write,
+        zorder_append,
+    )
+    from engage_spark.versioning import read_version, version_log_enable
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_versioned")
+    shutil.rmtree(out, ignore_errors=True)  # idempotent across reruns
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), out,
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, out)                              # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), out, num_files=4
+    )                                                           # v2
+    delete_rows(
+        spark, out,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                           # v3
+    optimize_incremental(spark, out)                            # v4
+    apply_deletes(spark, out)                                   # v5
+    parts = [
+        read_version(spark, out, v)
+        .groupBy((F.col("user_id") % 8).cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        .select(F.lit(v).cast("long").alias("version"), "grp", "n", "id_sum")
+        for v in range(1, 6)
+    ]
+    out_df = parts[0]
+    for p in parts[1:]:
+        out_df = out_df.unionByName(p)
+    return out_df
+
+
+@query(
+    "s15_version_diff",
+    # expected diff v1 -> v3 from the source: odds not later deleted
+    # were added; evens hit by the %97 deletion vector were removed
+    oracle="""
+    WITH d AS (
+      SELECT 'added' AS change, event_id FROM events
+      WHERE event_id % 2 = 1 AND event_id % 97 <> 0
+      UNION ALL
+      SELECT 'removed', event_id FROM events
+      WHERE event_id % 2 = 0 AND event_id % 97 = 0
+    )
+    SELECT change, count(*)::BIGINT AS n,
+           sum(event_id)::BIGINT AS id_sum
+    FROM d GROUP BY change
+    """,
+    covers=["S4", "S5"],
+)
+def s15_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF off the version log (r12): what changed between
+    version 1 (initial publish) and version 3 (post-append,
+    post-logical-delete) of one dataset — WITHOUT two materialized
+    copies (x_snapshot_diff's shape) and WITHOUT reading the whole
+    dataset twice: versioning.version_diff anti-joins only the files
+    present in exactly one version and probes the common files just
+    for the deletion-vector delta keys (broadcast/In-pushed). A
+    rewrite-only step (optimize) diffs to zero rows by construction."""
+    from engage_spark.io import delete_rows, zorder_append, zorder_write
+    from engage_spark.versioning import version_diff, version_log_enable
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_vdiff")
+    shutil.rmtree(out, ignore_errors=True)  # idempotent across reruns
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), out,
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, out)                              # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), out, num_files=4
+    )                                                           # v2
+    delete_rows(
+        spark, out,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                           # v3
+    return (
+        version_diff(spark, out, 1, 3)
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )

@@ -49,73 +49,74 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
     return deco
 
 
-# Round-11 rotation: the driver checks the FIRST 50 registry entries,
-# so this tuple is exactly that window. Composition:
-# (a) queries NEW or implementation-changed in round 11 (the hybrid
-#     IVF-PQ retriever, the hermetic LSTM twin, the distributed
-#     SemDeDup assignment, the Z-order family shave) — each needs a
-#     fresh post-change driver row;
-# (b) all 35 registered queries whose newest driver row is r6 —
-#     closing rotation part 3 (after this round no registered query's
-#     newest row predates r8);
-# (c) r8-signal picks for the remaining slots, preferring bench-watched
-#     lines and the model/kernel core.
+# Round-12 rotation (part 4): the driver checks the FIRST 50 registry
+# entries, so this tuple is exactly that window. Composition:
+# (a) queries NEW or implementation-changed in round 12 — the version
+#     log (s14/s15), the file-targeted delete vacuum + lease (s13),
+#     the zorder write/append/optimize versioning hooks (s10 family),
+#     the distributed PQ query-side ADC build (x3e2/x3f/x5b), and the
+#     order-independent IRLS moments (m1c/m1d/x4b2) — each needs a
+#     fresh post-change driver row (the bench-drift watchlist
+#     x2/x3_topk/k_w9 needs TIMINGS, which bench.py provides
+#     regardless of this window — no correctness slots spent);
+# (b) all 38 registered queries whose newest driver row is r8 —
+#     closing rotation part 4 (after this round no registered query's
+#     newest row predates r9).
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) changed or NEW in round 11
-    "x5b_hybrid_ivfpq",
-    "k_w11b_lstm_forecast",
-    "x_semdedup_prune",
-    "s6_plot_sink",
+    # (a) changed or NEW in round 12
+    "s14_time_travel_versions",
+    "s15_version_diff",
     "s13_delete_vector_roundtrip",
     "s10d_zorder_incremental_optimize_roundtrip",
-    "s10b_zorder_rank_layout",
     "s10c_zorder_append_roundtrip",
     "s10_zorder_layout",
+    "x3e2_pq_adc_search",
+    "x3f_ivfpq_residual_search",
+    "x5b_hybrid_ivfpq",
     "x5_hybrid_rrf",
-    # (b) newest driver row r6
-    "ev_sliding_window_agg",
-    "ev_tumbling_window_agg",
-    "f13_date_range_explode",
-    "f15_case_banding",
-    "f17_f18_math_null_tests",
-    "f_date_ops",
-    "mm_byte_histogram",
-    "mm_frame_digest",
-    "mm_frame_sample",
-    "mm_resize_digest",
-    "sql2_causal_features",
-    "u1_union_homogeneous",
-    "u2_union_missing_columns",
-    "u4_rekey_collapse_aggregate",
-    "u5_intersect_except",
-    "x2c_mllib_minhash_join",
-    "x3d2_brp_highrecall_agreement",
-    "x4c_tfidf_md5",
-    "x_bpe_encode",
-    "x_bpe_encode_wscount",
-    "x_cosine_neardup_pairs",
-    "x_decontaminate",
-    "x_gopher_repetition",
-    "x_hash_sample_stratified",
-    "x_length_histogram",
-    "x_line_dedup",
-    "x_mixture_plan",
-    "x_ngram_jaccard_pairs",
-    "x_pii_redact",
-    "x_text_fingerprint",
-    "x_text_lang_id",
-    "x_text_quality",
-    "x_text_sentiment",
-    "x_text_token_count",
-    # (c) r8-signal picks
-    "q1_pricing_summary",
-    "x1_exact_dedup",
-    "k_m4_sir_simulate",
-    "k_w11_ar_forecast",
-    "x_curation_pipeline",
-    "x_snapshot_diff",
+    "m1d_glm_irls_step",
+    "x4b2_quality_logit_irls",
+    # (b) newest driver row r8
+    "ev_json_extract",
+    "ev_sessionize_gap",
+    "ext_asof_join",
+    "ext_cube_order_stats",
+    "ext_exact_percentiles",
+    "ext_pivot_wide",
+    "ext_range_frame_sum",
+    "ext_range_join_binned",
+    "ext_rank_dense_ntile",
+    "ext_rollup_revenue",
+    "ext_salted_skew_join",
+    "ext_unpivot_long",
+    "f_collection_ops",
+    "k_m4b_sir_continuous",
+    "m1c_glm_design_stats",
+    "m2_mixed_effects",
+    "m5_r0_estimation",
+    "m6_bias_correction",
+    "m7_train_holdout_split",
+    "m8_scenario_compare",
+    "mm_media_metadata",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "s2_multifile_csv_glob_scan",
+    "s4_s5_parquet_partitioned_roundtrip",
+    "s4b_json_orc_roundtrip",
+    "st_dedup_events",
+    "st_session_window",
+    "st_sliding_window_agg",
+    "st_stream_stream_join",
+    "st_tumbling_window_agg",
+    "x1b_exact_dedup_keepers",
+    "x_cluster_safe_split",
+    "x_embed_profile",
+    "x_pack_boundaries",
+    "x_span_dedup",
+    "x_token_encode",
+    "x_vocab_topk",
 )
 
 

@@ -75,11 +75,16 @@ def _live_names(spark: SparkSession, path: str) -> list:
     the contract; a file inside a subdirectory (hive partitioning)
     is rejected loudly rather than silently mis-logged."""
     fs, p = _fs(spark, path)
-    root = fs.makeQualified(p).toString().rstrip("/")
+    jvm = spark._jvm
+    # compare PATH portions (Path.toUri().getPath()) — the scheme
+    # rendering differs between makeQualified (file:/x) and
+    # inputFiles (file:///x), which would silently basename-fallback
+    root = fs.makeQualified(p).toUri().getPath().rstrip("/")
     names = []
     for uri in spark.read.parquet(path).inputFiles():
-        rel = uri[len(root) + 1:] if uri.startswith(root + "/") else (
-            uri.rsplit("/", 1)[1]
+        fp = jvm.org.apache.hadoop.fs.Path(uri).toUri().getPath()
+        rel = fp[len(root) + 1:] if fp.startswith(root + "/") else (
+            fp.rsplit("/", 1)[1]
         )
         if "/" in rel:
             raise ValueError(
@@ -229,6 +234,9 @@ def record_logical_delete(
     from engage_spark.io import maintenance_lease
 
     with maintenance_lease(spark, path):
+        # heal drift first: this entry's version must see the true
+        # file set, or the snapshot at it is wrong forever
+        _vlog_reconcile(spark, path)
         entries = _vlog_entries(spark, path)
         v = (entries[-1]["version"] + 1) if entries else 1
         keys.select(F.col(key_col)).coalesce(1).write.mode(

@@ -1,0 +1,283 @@
+"""Version log / time travel (engage_spark.versioning, round 12).
+
+Pins the snapshot-history contract over the staged-commit maintenance
+ops: exact per-version reconstruction (files + deletion vectors), live
+reads untouched, drift healing, crash-window recovery, retention
+vacuum, and the only-changed-files diff shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engage_spark.io import (
+    apply_deletes,
+    delete_rows,
+    optimize_incremental,
+    read_with_deletes,
+    zorder_append,
+    zorder_write,
+)
+from engage_spark.versioning import (
+    _vlog_entries,
+    dataset_history,
+    read_version,
+    vacuum_versions,
+    version_diff,
+    version_log_enable,
+    version_log_enabled,
+)
+
+
+def _events(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+        )
+    )
+
+
+def _lifecycle(spark, sf_dir, out):
+    """write evens -> enable -> append odds -> logical delete %97 ->
+    optimize -> apply_deletes. Returns the source frame."""
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), str(out),
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, str(out))                            # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(out), num_files=4
+    )                                                              # v2
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    optimize_incremental(spark, str(out))                          # v4
+    apply_deletes(spark, str(out))                                 # v5
+    return ev
+
+
+def test_version_lifecycle_counts_and_time_travel(spark, sf_dir, tmp_path):
+    out = tmp_path / "vds"
+    ev = _lifecycle(spark, sf_dir, out)
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == [
+        "init", "append", "logical_delete", "optimize", "vacuum_deletes",
+    ]
+    evens = ev.filter(F.col("event_id") % 2 == 0).count()
+    alln = ev.count()
+    deln = ev.filter(F.col("event_id") % 97 == 0).count()
+    expect = {1: evens, 2: alln, 3: alln - deln, 4: alln - deln,
+              5: alln - deln}
+    for v, n in expect.items():
+        assert read_version(spark, str(out), v).count() == n, f"v{v}"
+    # the LIVE read path is byte-for-byte unversioned parquet
+    assert spark.read.parquet(str(out)).count() == alln - deln
+    # id-sum equality at the interesting version boundary (content,
+    # not just counts): v3 (logical) == v5 (physical)
+    s3 = read_version(spark, str(out), 3).agg(F.sum("event_id")).first()[0]
+    s5 = read_version(spark, str(out), 5).agg(F.sum("event_id")).first()[0]
+    assert s3 == s5
+    hist = {r["version"]: r for r in dataset_history(spark, str(out)).collect()}
+    assert hist[3]["n_keys"] == deln and hist[3]["key_col"] == "event_id"
+    assert hist[4]["n_removed"] > 0  # optimize retained its victims
+
+
+def test_version_diff_matches_set_semantics(spark, sf_dir, tmp_path):
+    out = tmp_path / "vdiff"
+    ev = _lifecycle(spark, sf_dir, out)
+    got = {
+        r["change"]: (r["n"], r["s"])
+        for r in version_diff(spark, str(out), 1, 3)
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    added = ev.filter(
+        (F.col("event_id") % 2 == 1) & (F.col("event_id") % 97 != 0)
+    )
+    removed = ev.filter(
+        (F.col("event_id") % 2 == 0) & (F.col("event_id") % 97 == 0)
+    )
+    assert got["added"] == (
+        added.count(), added.agg(F.sum("event_id")).first()[0]
+    )
+    assert got["removed"] == (
+        removed.count(), removed.agg(F.sum("event_id")).first()[0]
+    )
+    # a rewrite-only step (optimize) must diff to ZERO rows — and via
+    # only-changed-files reads, never a full double scan
+    assert version_diff(spark, str(out), 3, 4).count() == 0
+
+
+def test_version_diff_deletion_vector_delta_on_common_files(
+    spark, sf_dir, tmp_path
+):
+    """A logical delete flips visibility with NO file change: the diff
+    must find it via the key-pushed probe of common files."""
+    out = tmp_path / "vdel"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16, num_files=4
+    )
+    version_log_enable(spark, str(out))                            # v1
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("event_id") % 101 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v2
+    d = version_diff(spark, str(out), 1, 2)
+    deln = ev.filter(F.col("event_id") % 101 == 0).count()
+    by = {r["change"]: r["n"] for r in d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by == {"removed": deln}
+    # and the reverse direction reports them added back
+    d_rev = version_diff(spark, str(out), 2, 1)
+    by_rev = {r["change"]: r["n"] for r in d_rev.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_rev == {"added": deln}
+
+
+def test_reconcile_heals_out_of_band_append(spark, sf_dir, tmp_path):
+    out = tmp_path / "vrec"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), str(out),
+        ["user_id", "v_cents"], bits=16, num_files=2,
+    )
+    version_log_enable(spark, str(out))                            # v1
+    # a writer that bypasses the versioned ops entirely
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(
+        str(out)
+    )
+    # next versioned op heals with one reconcile entry
+    delete_rows(spark, str(out), [ev.first()["event_id"]], "event_id")
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "reconcile", "logical_delete"]
+    assert (
+        read_version(spark, str(out), 2).count() == ev.count()
+    )  # reconcile snapshot == live-at-heal
+    assert (
+        read_version(spark, str(out), 3).count()
+        == read_with_deletes(spark, str(out)).count()
+    )
+
+
+def test_crash_between_commit_and_entry_is_healed(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the writer after optimize's staged commit but before its
+    log entry: victims are already in retained/, the log lags live.
+    The next versioned op must reconcile, and every pre-crash version
+    must remain exactly readable."""
+    import engage_spark.io as io_mod
+
+    out = tmp_path / "vcrash"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), str(out),
+        ["user_id", "v_cents"], bits=16, num_files=2,
+    )
+    version_log_enable(spark, str(out))                            # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(out), num_files=2
+    )                                                              # v2
+
+    from engage_spark import versioning as v_mod
+
+    real_entry = v_mod._vlog_append_entry
+
+    def boom(spark_, path_, op, **kw):
+        if op == "optimize":
+            raise RuntimeError("injected crash before entry write")
+        return real_entry(spark_, path_, op, **kw)
+
+    monkeypatch.setattr(io_mod, "_vlog_append_entry", boom, raising=False)
+    monkeypatch.setattr(v_mod, "_vlog_append_entry", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        optimize_incremental(spark, str(out))
+    monkeypatch.setattr(v_mod, "_vlog_append_entry", real_entry)
+    # live data is fully committed despite the missing entry
+    assert spark.read.parquet(str(out)).count() == ev.count()
+    # next op reconciles, then records itself
+    delete_rows(spark, str(out), [ev.first()["event_id"]], "event_id")
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "reconcile", "logical_delete"]
+    evens = ev.filter(F.col("event_id") % 2 == 0).count()
+    assert read_version(spark, str(out), 1).count() == evens
+    assert read_version(spark, str(out), 2).count() == ev.count()
+    assert read_version(spark, str(out), 3).count() == ev.count()
+
+
+def test_republish_keeps_history_and_supersedes_deletes(
+    spark, sf_dir, tmp_path
+):
+    out = tmp_path / "vpub"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16, num_files=3
+    )
+    version_log_enable(spark, str(out))                            # v1
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("event_id") % 50 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v2
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    zorder_write(
+        spark, half, str(out), ["user_id", "v_cents"], bits=16, num_files=2
+    )                                                              # v3
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "logical_delete", "overwrite"]
+    # the republish superseded pending deletion vectors...
+    assert read_version(spark, str(out), 3).count() == half.count()
+    assert spark.read.parquet(str(out)).count() == half.count()
+    assert read_with_deletes(spark, str(out)).count() == half.count()
+    # ...and pre-publish versions remain exact
+    assert read_version(spark, str(out), 1).count() == ev.count()
+    deln = ev.filter(F.col("event_id") % 50 == 0).count()
+    assert read_version(spark, str(out), 2).count() == ev.count() - deln
+    # the republished dataset still appends on its new frozen curve
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(out), num_files=2
+    )                                                              # v4
+    assert read_version(spark, str(out), 4).count() == ev.count()
+
+
+def test_vacuum_versions_horizon(spark, sf_dir, tmp_path):
+    out = tmp_path / "vvac"
+    _lifecycle(spark, sf_dir, out)                                 # v1..v5
+    r = vacuum_versions(spark, str(out), keep_last=2)
+    assert r["horizon"] == 4 and r["dropped"] > 0
+    with pytest.raises(ValueError, match="vacuum_versions"):
+        read_version(spark, str(out), 1).count()
+    # versions inside the horizon still resolve (v4 needs retained
+    # files that must have survived the vacuum)
+    live = spark.read.parquet(str(out)).count()
+    assert read_version(spark, str(out), 4).count() == live
+    assert read_version(spark, str(out), 5).count() == live
+
+
+def test_enable_guards(spark, sf_dir, tmp_path):
+    out = tmp_path / "vguard"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16, num_files=2
+    )
+    version_log_enable(spark, str(out))
+    with pytest.raises(ValueError, match="already has a version log"):
+        version_log_enable(spark, str(out))
+    assert version_log_enabled(spark, str(out))
+    with pytest.raises(ValueError, match="out of range"):
+        read_version(spark, str(out), 99)
+    # hive-partitioned data keeps reconcile-level history only
+    part = tmp_path / "vpart"
+    ev.limit(100).write.partitionBy("user_id").parquet(str(part))
+    with pytest.raises(ValueError, match="flat datasets only"):
+        version_log_enable(spark, str(part))
