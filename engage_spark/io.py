@@ -677,12 +677,33 @@ def _zorder_write_impl(
         rank_bounds["_all"].write.mode("overwrite").parquet(
             f"{meta_dir}/bounds"
         )
+    _zmeta_invalidate(path)  # republish replaced the frozen curve
     return stats
+
+
+# In-process memo for the frozen curve definition. The meta is
+# IMMUTABLE by contract for a given layout generation (only a full
+# republish — zorder_write / optimize_dataset — replaces it; append /
+# optimize_incremental / apply_deletes all scale with the SAME stored
+# curve), so one maintenance lifecycle re-reading the 1-row sidecar
+# 4-5 times is pure job overhead. Writers invalidate on republish.
+# Cross-process caveat: a republish from ANOTHER process is not seen
+# by this cache — the same out-of-band-writer caveat every sidecar
+# here carries (the maintenance lease serializes writers, not readers).
+_ZMETA_CACHE: dict[str, dict] = {}
+
+
+def _zmeta_invalidate(path: str) -> None:
+    _ZMETA_CACHE.pop(path, None)
 
 
 def zorder_meta(spark: SparkSession, path: str) -> dict:
     """Load the frozen scaling metadata a zorder_write persisted:
-    {"cols", "bits", "scale", "lo": {col: lo}, "hi": {col: hi}}."""
+    {"cols", "bits", "scale", "lo": {col: lo}, "hi": {col: hi}}.
+    Memoized per process (see _ZMETA_CACHE)."""
+    cached = _ZMETA_CACHE.get(path)
+    if cached is not None:
+        return cached
     fs, p = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
     if not fs.exists(p):
         raise ValueError(
@@ -692,13 +713,15 @@ def zorder_meta(spark: SparkSession, path: str) -> dict:
             "appends must scale with the stored curve."
         )
     info = spark.read.parquet(f"{path}/_zorder_meta/info").collect()[0]
-    return {
+    out = {
         "cols": list(info.cols),
         "bits": int(info.bits),
         "scale": info.scale,
         "lo": {c: int(v) for c, v in zip(info.cols, info.lo)},
         "hi": {c: int(v) for c, v in zip(info.cols, info.hi)},
     }
+    _ZMETA_CACHE[path] = out
+    return out
 
 
 def _zorder_scale_frozen(
@@ -1115,12 +1138,7 @@ def _optimize_incremental_impl(
         return {"rewritten_files": 0, "new_files": 0, "kept_files": len(fr)}
 
     m = zorder_meta(spark, path)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    total = 0
-    for f in victims:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    total = _victim_bytes(spark, path, victims)
     n_new = max(1, math.ceil(total / target_file_bytes))
     staging = f"{path}/{_OPT_STAGING}"
     out = _zorder_scale_frozen(
@@ -1146,7 +1164,7 @@ def _optimize_incremental_impl(
     local_frame(
         spark, [(f,) for f in sorted(victims)], "victim string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
-    new_files = _optimize_commit(spark, path)
+    new_files = _optimize_commit(spark, path, victims=sorted(victims))
     if man_live:
         # refresh the z-range manifest with an increment-sized scan of
         # the NEW files; kept files' entries are still exact
@@ -1172,11 +1190,16 @@ def _optimize_incremental_impl(
     }
 
 
-def _optimize_commit(spark: SparkSession, path: str) -> int:
+def _optimize_commit(
+    spark: SparkSession, path: str, victims: list | None = None
+) -> int:
     """Complete a staged incremental optimize: move staged part files
     into the dataset root, delete the manifest's victims, drop the
     sidecars. Idempotent — every step skips already-done work — so
-    optimize_recover can replay it after a crash."""
+    optimize_recover can replay it after a crash. In-line callers pass
+    the `victims` they just wrote to the manifest (saves a read-back
+    job); the recovery replay omits it and reads the manifest — the
+    durable copy is still what crash recovery trusts."""
     fs, root = _hadoop_fs(spark, path)
     sfs, sp = _hadoop_fs(spark, f"{path}/{_OPT_STAGING}")
     moved = 0
@@ -1189,10 +1212,11 @@ def _optimize_commit(spark: SparkSession, path: str) -> int:
             if not fs.exists(dst):
                 fs.rename(s.getPath(), dst)
             moved += 1
-    victims = [
-        r.victim
-        for r in spark.read.parquet(f"{path}/{_OPT_MANIFEST}").collect()
-    ]
+    if victims is None:
+        victims = [
+            r.victim
+            for r in spark.read.parquet(f"{path}/{_OPT_MANIFEST}").collect()
+        ]
     from engage_spark.versioning import _retain_file, version_log_enabled
 
     vlog = version_log_enabled(spark, path)
@@ -1216,6 +1240,19 @@ def _optimize_commit(spark: SparkSession, path: str) -> int:
     # victim read refills it with one scan
     _zranges_drop(spark, path)
     return moved
+
+
+def _victim_bytes(spark: SparkSession, path: str, victims) -> int:
+    """Total byte size of the victim files via ONE directory listing
+    (O(1) namenode/object-store RPCs), not a per-file getFileStatus
+    loop (O(victims) round-trips — the r11-flagged shape)."""
+    fs, p = _hadoop_fs(spark, path)
+    sizes = {
+        s.getPath().getName(): s.getLen()
+        for s in fs.listStatus(p)
+        if not s.isDirectory()
+    }
+    return sum(sizes.get(f.rsplit("/", 1)[-1], 0) for f in victims)
 
 
 def _optimize_gc_staging(spark: SparkSession, path: str) -> None:
@@ -1541,12 +1578,7 @@ def _apply_deletes_impl(
     man_before = _zranges_read(spark, path)
     if man_before is not None and {f for f, _, _ in man_before} != all_files:
         man_before = None  # stale; do not extend it after the swap
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    total = 0
-    for f in victims:
-        vp = jvm.org.apache.hadoop.fs.Path(f)
-        total += vp.getFileSystem(conf).getFileStatus(vp).getLen()
+    total = _victim_bytes(spark, path, victims)
     n_new = max(1, math.ceil(total / target_file_bytes))
     kept_rows = spark.read.parquet(*victims).join(
         F.broadcast(dels), on=key, how="left_anti"
@@ -1580,7 +1612,7 @@ def _apply_deletes_impl(
     local_frame(
         spark, [(f,) for f in victims], "victim string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
-    _optimize_commit(spark, path)
+    _optimize_commit(spark, path, victims=victims)
     fs.delete(p, True)  # applied physically; clear the sidecar
     if man_before is not None:
         kept_entries = [e for e in man_before if e[0] not in set(victims)]
@@ -1628,6 +1660,7 @@ def _stash_sidecars(spark: SparkSession, target: str) -> list:
         _, tp = _hadoop_fs(spark, tmp)
         fs.rename(s.getPath(), tp)
         out.append((tmp, f"{target}/{name}"))
+    _zmeta_invalidate(target)
     return out
 
 
@@ -1636,6 +1669,7 @@ def _restore_sidecars(spark: SparkSession, stashed: list) -> None:
         fs, tp = _hadoop_fs(spark, tmp)
         _, fp = _hadoop_fs(spark, final)
         fs.rename(tp, fp)
+        _zmeta_invalidate(final.rsplit("/", 1)[0])
 
 
 def upsert_dataset(

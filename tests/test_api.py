@@ -1676,7 +1676,7 @@ def test_optimize_incremental_crash_recovery(spark, tmp_path, monkeypatch):
 
     real_commit = io._optimize_commit
 
-    def boom(spark_, path_):
+    def boom(spark_, path_, victims=None):
         raise RuntimeError("injected crash at commit")
 
     monkeypatch.setattr(io, "_optimize_commit", boom)
@@ -1883,7 +1883,7 @@ def test_apply_deletes_failure_keeps_logical_deletes_in_force(
 
     real_commit = io._optimize_commit
 
-    def boom(spark_, path_):
+    def boom(spark_, path_, victims=None):
         raise RuntimeError("injected crash at vacuum commit")
 
     monkeypatch.setattr(io, "_optimize_commit", boom)
@@ -1990,7 +1990,7 @@ def test_optimize_incremental_replays_pending_commit_at_entry(
 
     real_commit = io._optimize_commit
 
-    def boom(spark_, path_):
+    def boom(spark_, path_, victims=None):
         raise RuntimeError("injected crash at commit")
 
     monkeypatch.setattr(io, "_optimize_commit", boom)
@@ -2159,3 +2159,22 @@ def test_delete_vectors_survive_incremental_optimize(spark, tmp_path):
     assert got.filter(F.col("k").isin(10, 20, 30)).count() == 0
     assert apply_deletes(spark, p)["deleted_keys"] == 3
     assert spark.read.parquet(p).count() == 5197
+
+
+def test_zorder_meta_memo_invalidated_on_republish(spark, tmp_path):
+    """zorder_meta is memoized per process (r12 — a maintenance
+    lifecycle re-read the 1-row sidecar 4-5x); a republish must
+    invalidate, or appends would scale with the PREVIOUS curve."""
+    import engage_spark.io as io
+
+    p = str(tmp_path / "zmemo")
+    df = spark.range(1000).selectExpr(
+        "id as a", "id * 3 % 97 as b", "id % 7 as c"
+    )
+    io.zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=2)
+    m1 = io.zorder_meta(spark, p)
+    assert m1["cols"] == ["a", "b"]
+    assert io.zorder_meta(spark, p) is m1  # served from the memo
+    io.zorder_write(spark, df, p, ["b", "c"], bits=8, num_files=2)
+    m2 = io.zorder_meta(spark, p)
+    assert m2["cols"] == ["b", "c"]
