@@ -1766,8 +1766,23 @@ def _upsert_dataset_impl(
     import functools
     import operator
 
+    from engage_spark.versioning import (
+        _live_names,
+        _retain_file,
+        _vlog_append_entry,
+        _vlog_reconcile,
+        version_log_enabled,
+    )
+
     key_cols = list(key_cols)
     partition_by = list(partition_by or [])
+    vlog = version_log_enabled(spark, target)
+    if vlog and partition_by:
+        raise ValueError(
+            f"{target} has a version log, which covers flat datasets "
+            "only — a hive-partitioned upsert cannot be logged exactly. "
+            "Drop partition_by, or keep this dataset unversioned."
+        )
     if check_unique_keys:
         dup = (
             updates.groupBy(*key_cols)
@@ -1811,9 +1826,19 @@ def _upsert_dataset_impl(
     staging = f"{target}__upsert_staging"
 
     if not partition_by:
+        if vlog:
+            _vlog_reconcile(spark, target)
+            old_names = _live_names(spark, target)
         survivors = tgt.join(F.broadcast(ukeys), key_cond(tgt), "left_anti")
         merged = survivors.unionByName(inserts.select(*survivors.columns))
         merged.write.mode("overwrite").parquet(staging)
+        if vlog:
+            # the merged copy is safely staged; move the old data files
+            # into _versions/retained (they ride out the overwrite
+            # inside the stashed _versions dir) so every pre-upsert
+            # version stays readable
+            for name in old_names:
+                _retain_file(spark, target, name)
         sfs, sp = _hadoop_fs(spark, staging)
         # the overwrite deletes target first — staging is the ONLY full
         # copy while it runs, so only drop it after the write succeeds;
@@ -1834,6 +1859,14 @@ def _upsert_dataset_impl(
         finally:
             _restore_sidecars(spark, stashed)
         sfs.delete(sp, True)
+        if vlog:
+            # op=upsert does NOT clear pending deletion vectors: the
+            # `_deletes` sidecar survives the swap (stashed/restored),
+            # so time travel mirrors the live read_with_deletes view
+            _vlog_append_entry(
+                spark, target, "upsert",
+                added=_live_names(spark, target), removed=old_names,
+            )
         return stats
 
     upd_parts = inserts.select(*partition_by)

@@ -281,3 +281,41 @@ def test_enable_guards(spark, sf_dir, tmp_path):
     ev.limit(100).write.partitionBy("user_id").parquet(str(part))
     with pytest.raises(ValueError, match="flat datasets only"):
         version_log_enable(spark, str(part))
+
+
+def test_versioned_upsert_logs_exact_swap(spark, sf_dir, tmp_path):
+    """The unpartitioned upsert staging-swap is logged exactly:
+    pre-upsert versions stay readable, pending deletion vectors
+    survive (op=upsert does not clear them), and a partitioned upsert
+    on a logged dataset is rejected loudly."""
+    from engage_spark.io import upsert_dataset
+    from engage_spark.session import local_frame
+
+    out = tmp_path / "vups"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16, num_files=3
+    )
+    version_log_enable(spark, str(out))                            # v1
+    delete_rows(spark, str(out), [1, 3], "event_id")               # v2
+    updates = local_frame(
+        spark,
+        [(2, 999_999, 0), (10_000_001, 7, 7)],
+        "event_id long, user_id long, v_cents long",
+    )
+    upsert_dataset(spark, str(out), updates, ["event_id"])         # v3
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "logical_delete", "upsert"]
+    n = ev.count()
+    assert read_version(spark, str(out), 1).count() == n
+    # v3 = n - 2 logically deleted + 1 brand-new key (the matched
+    # update replaced its row 1:1); the deletion vectors still apply
+    v3 = read_version(spark, str(out), 3)
+    assert v3.count() == n - 2 + 1
+    assert v3.filter(F.col("event_id") == 2).first()["user_id"] == 999_999
+    assert v3.filter(F.col("event_id").isin(1, 3)).count() == 0
+    assert read_with_deletes(spark, str(out)).count() == n - 2 + 1
+    with pytest.raises(ValueError, match="flat datasets only|version log"):
+        upsert_dataset(
+            spark, str(out), updates, ["event_id"], partition_by=["user_id"]
+        )
