@@ -39,6 +39,13 @@ engine's registered operators:
                 OPTIMIZE cadence a production table service runs from
                 stats, not a timer.
 
+  7. HISTORY  — the publish boundary enables the version log (r12):
+                takedown, appends and the reoptimize are all logged
+                versions, the publish-time corpus stays exactly
+                readable (read_version), the cycle's net change is an
+                only-changed-files version_diff, and vacuum_versions
+                applies the retention policy.
+
 Each stage is the SAME function a production job would schedule; this
 script only sequences them. Run:
 
@@ -138,6 +145,12 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     optimized_files = optimize_dataset(
         spark, publish_src, published, ["doc_id", "n_chars"]
     )
+    # start version history at the publish boundary (r12): every later
+    # takedown/append/reoptimize below is a logged version — "read the
+    # corpus as of the audit date" without ever copying a snapshot
+    from engage_spark.versioning import version_log_enable
+
+    version_log_enable(spark, published)
 
     # ---- 5. TAKEDOWN ----------------------------------------------
     victim = admitted_df.select("doc_id", "text").orderBy("doc_id").limit(1)
@@ -190,6 +203,31 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         final_stats = zorder_layout_stats(spark, published)
         reoptimized = True
 
+    # ---- 7. HISTORY -----------------------------------------------
+    # the audit surface the log bought: every maintenance event above
+    # is a version; the publish-time corpus is still exactly readable
+    # (the takedown victim included), and the cycle's net change is one
+    # only-changed-files diff, not a two-copy comparison. Retention is
+    # a policy knob: vacuum_versions reclaims retained files outside
+    # the keep-last horizon.
+    from engage_spark.versioning import (
+        dataset_history,
+        read_version,
+        vacuum_versions,
+        version_diff,
+    )
+
+    hist = dataset_history(spark, published).collect()  # bounded: events
+    history_ops = [r["op"] for r in sorted(hist, key=lambda r: r["version"])]
+    latest = max(r["version"] for r in hist)
+    v1_rows = read_version(spark, published, 1).count()
+    diff_counts = {
+        r["change"]: r["n"]
+        for r in version_diff(spark, published, 1, latest)
+        .groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    vacuumed = vacuum_versions(spark, published, keep_last=3)
+
     return {
         "drift_overlap": round(drift["overlap_fraction"], 4),
         "drift_avg_covering": round(drift["avg_covering"], 4),
@@ -205,6 +243,11 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         "takedown_matches_before": matches_before,
         "takedown_matches_after": matches_after,
         "published_rows": published_rows,
+        "history_ops": history_ops,
+        "publish_version_rows": v1_rows,
+        "latest_version": latest,
+        "cycle_diff": diff_counts,
+        "vacuum": vacuumed,
     }
 
 

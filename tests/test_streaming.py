@@ -791,6 +791,17 @@ def test_maintenance_loop_example_composes_end_to_end(spark, tmp_path):
     assert out["rewritten_files"] >= 2, "incremental pass rewrote nothing"
     assert out["final_overlap"] <= 0.10
     assert out["final_avg_covering"] < out["drift_avg_covering"]
+    # r12: the publish boundary starts version history — the cycle's
+    # maintenance events are logged, the publish-time corpus is still
+    # exactly readable, and the net diff is takedown + appends only
+    assert out["history_ops"][0] == "init"
+    assert out["history_ops"].count("logical_delete") == 1
+    assert out["history_ops"].count("append") == 3
+    assert out["history_ops"].count("optimize") == 1
+    assert out["publish_version_rows"] == out["admitted"]
+    assert out["cycle_diff"]["added"] == 600  # 3 appends x 200 docs
+    assert out["cycle_diff"]["removed"] == 1  # the takedown victim
+    assert out["vacuum"]["horizon"] == out["latest_version"] - 2
 
 
 def test_compact_ingest_state_between_runs(spark, tmp_path):
