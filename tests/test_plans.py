@@ -482,3 +482,71 @@ def test_delete_vector_read_preserves_pushdown(spark, tmp_path):
     import re
 
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(a,3\)", plan), plan[:2000]
+
+
+def test_read_version_preserves_pushdown_and_broadcast_deletes(
+    spark, tmp_path
+):
+    # TIME TRAVEL keeps the parquet contract: a predicate composed on
+    # read_version must reach the scan (the explicit file-list read is
+    # still a pruned columnar scan, not a materialized snapshot), and
+    # that version's deletion vectors apply as a BROADCAST anti-join —
+    # the same scale shape as the live read_with_deletes path
+    import re
+
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import delete_rows, zorder_write
+    from engage_spark.versioning import read_version, version_log_enable
+
+    p = str(tmp_path / "tt_plan")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=2)
+    version_log_enable(spark, p)                                   # v1
+    delete_rows(spark, p, [1, 2], "k")                             # v2
+    plan = (
+        read_version(spark, p, 2)
+        .filter(F.col("a") > 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(a,3\)", plan), (
+        plan[:2000]
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_version_diff_never_cartesian(spark, tmp_path):
+    # the only-changed-files diff is anti-joins + broadcast key
+    # probes — a cartesian/nested-loop anywhere would be corpus x
+    # corpus at scale
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import delete_rows, zorder_append, zorder_write
+    from engage_spark.versioning import version_diff, version_log_enable
+
+    p = str(tmp_path / "vd_plan")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=2)
+    version_log_enable(spark, p)                                   # v1
+    zorder_append(
+        spark,
+        spark.range(2000, 2500).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("a"),
+            (F.col("id") % 11).alias("b"),
+        ),
+        p, num_files=1,
+    )                                                              # v2
+    delete_rows(spark, p, [1, 2], "k")                             # v3
+    plan = (
+        version_diff(spark, p, 1, 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
