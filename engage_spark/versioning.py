@@ -102,6 +102,14 @@ def _vlog_entries(spark: SparkSession, path: str) -> list:
     if not version_log_enabled(spark, path):
         return []
     rows = spark.read.parquet(f"{path}/{_VLOG}").collect()
+    seen: set = set()
+    # dedup by version: log compaction appends one consolidated part
+    # before deleting the originals, so a crash inside that window
+    # leaves duplicate rows — harmless because versions are unique
+    rows = [
+        r for r in rows
+        if int(r.version) not in seen and not seen.add(int(r.version))
+    ]
     out = [
         {
             "version": int(r.version),
@@ -491,4 +499,42 @@ def vacuum_versions(
         _vlog_append_entry(
             spark, path, "vacuum_log", added=[], removed=[], horizon=horizon
         )
-    return {"horizon": horizon, "dropped": dropped}
+        compacted = _vlog_compact(spark, path)
+    return {"horizon": horizon, "dropped": dropped, "log_compacted": compacted}
+
+
+def _vlog_compact(
+    spark: SparkSession, path: str, max_parts: int = 8
+) -> bool:
+    """Collapse the append-per-version log parts into ONE file when
+    they pile up — a decade of maintenance on one table would
+    otherwise leave 10^4-10^5 tiny parquet files behind every log
+    read. Crash-safe without a rename swap: the consolidated part is
+    APPENDED first, then the superseded parts are deleted; a crash in
+    between leaves duplicate rows that _vlog_entries dedups by
+    version. Caller must hold the maintenance lease."""
+    fs, lp = _fs(spark, f"{path}/{_VLOG}")
+    parts = [
+        s.getPath()
+        for s in fs.listStatus(lp)
+        if not s.isDirectory() and not s.getPath().getName().startswith("_")
+    ]
+    if len(parts) <= max_parts:
+        return False
+    from engage_spark.session import local_frame
+
+    entries = _vlog_entries(spark, path)
+    local_frame(
+        spark,
+        [
+            (
+                e["version"], e["op"], e["added"], e["removed"],
+                e["key_col"], e["n_keys"], e["horizon"],
+            )
+            for e in entries
+        ],
+        _ENTRY_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
+    for p in parts:
+        fs.delete(p, False)
+    return True

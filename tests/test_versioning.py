@@ -319,3 +319,34 @@ def test_versioned_upsert_logs_exact_swap(spark, sf_dir, tmp_path):
         upsert_dataset(
             spark, str(out), updates, ["event_id"], partition_by=["user_id"]
         )
+
+
+def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
+    """The append-per-version log parts collapse to one file at
+    vacuum time; entries survive byte-exact (dedup by version makes
+    the append-then-delete window crash-safe)."""
+    import glob
+
+    from engage_spark.versioning import _vlog_compact
+
+    out = tmp_path / "vlogc"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16, num_files=2
+    )
+    version_log_enable(spark, str(out))                            # v1
+    for i in range(9):                                             # v2..v10
+        delete_rows(spark, str(out), [1_000_000 + i], "event_id")
+    before = _vlog_entries(spark, str(out))
+    assert len(before) == 10
+    n_parts = len(glob.glob(f"{out}/_versions/log/part-*"))
+    assert n_parts >= 10
+    r = vacuum_versions(spark, str(out), keep_last=20)
+    assert r["log_compacted"] is True
+    # vacuum itself appended its vacuum_log entry, so <= 2 parts remain
+    assert len(glob.glob(f"{out}/_versions/log/part-*")) <= 2
+    after = _vlog_entries(spark, str(out))
+    assert after[:10] == before
+    assert after[-1]["op"] == "vacuum_log"
+    # a second compact below the threshold is a no-op
+    assert _vlog_compact(spark, str(out)) is False
