@@ -444,9 +444,14 @@ def x4b_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: feature assembly is codegen'd expressions; LogisticRegression
     fits via distributed L-BFGS (each iteration one treeAggregate pass —
     gradient partials combine map-side, driver state is just the
-    coefficient vector); scoring is a map-only transform. Deterministic
-    (no sampling, fixed init); rows-only driver check with an AUC-bound
-    pytest."""
+    coefficient vector); scoring re-expresses the fitted sigmoid as
+    NATIVE column arithmetic (coefficients are a handful of driver
+    floats), so the corpus-wide pass stays inside whole-stage codegen
+    with no ScalaUDF — model.transform's UDF closure would drag the
+    model's trainingSummary (and through it the SparkSession) into task
+    serialization, which Spark 4.1's non-serializable ObservationManager
+    rejects. Deterministic (no sampling, fixed init); rows-only driver
+    check with an AUC-bound pytest."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
@@ -491,12 +496,22 @@ def x4b_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = LogisticRegression(
         maxIter=25, regParam=0.01, featuresCol="features", labelCol="label"
     ).fit(assembled)
-    from pyspark.ml.functions import vector_to_array
-
-    return model.transform(assembled).select(
+    # score natively: margin = w·x + b in MLlib's summation order
+    # (feature-index dots first, intercept last), sigmoid via exp —
+    # the whole scoring pass is one codegen'd projection
+    weights = [float(w) for w in model.coefficients.toArray()]
+    feat_names = ["n_toks", "mean_tok_len", *marker_cols]
+    margin = None
+    for name, w in zip(feat_names, weights):
+        term = F.col(name) * F.lit(w)
+        margin = term if margin is None else margin + term
+    margin = margin + F.lit(float(model.intercept))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    # binary prediction at the default 0.5 threshold == sign(margin)
+    return feats.select(
         "doc_id",
-        F.round(vector_to_array("probability")[1], 6).alias("quality_score"),
-        F.col("prediction").cast("long").alias("quality_pred"),
+        F.round(score, 6).alias("quality_score"),
+        (margin > 0).cast("long").alias("quality_pred"),
     )
 
 

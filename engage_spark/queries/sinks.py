@@ -860,3 +860,129 @@ def s15_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("long").alias("id_sum"),
         )
     )
+
+
+@query(
+    "s16_change_data_feed",
+    # the oracle recomputes each commit's expected row-level delta from
+    # the source: v2 (append) inserts every odd event; v3 (logical
+    # delete) deletes every %97 event (all were visible at v2); the
+    # optimize (v4) and physical vacuum (v5) are rewrite-only and must
+    # emit NOTHING — their absence from the feed is part of the hash
+    oracle="""
+    WITH ch AS (
+      SELECT 2 AS commit_version, 'insert' AS change_type, event_id
+      FROM events WHERE event_id % 2 = 1
+      UNION ALL
+      SELECT 3, 'delete', event_id FROM events WHERE event_id % 97 = 0
+    )
+    SELECT commit_version::BIGINT AS commit_version, change_type,
+           count(*)::BIGINT AS n, sum(event_id)::BIGINT AS id_sum
+    FROM ch GROUP BY commit_version, change_type
+    """,
+    covers=["S4", "S5"],
+)
+def s16_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED off the version log (r12): run the same
+    five-version maintenance lifecycle as s14, then drain
+    versioning.read_changes(since=1) — the incremental-consumer API.
+    Each changed version costs only its own touched data: the append
+    version reads JUST the appended files, the logical delete probes
+    the prior snapshot with an In-pushed key batch, and the
+    rewrite-only optimize + vacuum versions are skipped with no scan.
+    This is how a downstream index/mirror keeps up with a 100 TB
+    corpus without ever re-reading it."""
+    from engage_spark.io import (
+        apply_deletes,
+        delete_rows,
+        optimize_incremental,
+        zorder_append,
+        zorder_write,
+    )
+    from engage_spark.versioning import read_changes, version_log_enable
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_cdf")
+    shutil.rmtree(out, ignore_errors=True)  # idempotent across reruns
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), out,
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, out)                              # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), out, num_files=4
+    )                                                           # v2
+    delete_rows(
+        spark, out,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                           # v3
+    optimize_incremental(spark, out)                            # v4
+    apply_deletes(spark, out)                                   # v5
+    return (
+        read_changes(spark, out, since_version=1)
+        .groupBy("commit_version", "change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+@query(
+    "s17_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           count(*)::BIGINT AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
+               AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    covers=["S4", "J1"],
+)
+def s17_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED BUCKETED JOIN (r12, engine extension): write orders
+    and lineitem as parquet tables bucketed 8 ways on the join key,
+    then join them — NEITHER side shuffles (the bucket spec makes both
+    scans' output partitioning satisfy the join's distribution
+    requirement; tests/test_plans.py pins the zero-Exchange shape).
+    This is THE layout decision for a 100 TB fact-fact join that runs
+    repeatedly: one bucketed write amortizes into exchange-free
+    sort-merge joins on every subsequent query, and groupBys on the
+    bucket key skip their exchange the same way. The final
+    per-priority aggregate hash-checks the join result against the
+    plain-parquet oracle, proving the bucketed layout is lossless."""
+    from engage_spark.io import write_bucketed
+
+    ords = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    write_bucketed(
+        spark, ords, "s17_orders_b", ["o_orderkey"], 8,
+        path=_scratch("s17_orders_b"),
+    )
+    write_bucketed(
+        spark, li, "s17_lineitem_b", ["l_orderkey"], 8,
+        path=_scratch("s17_lineitem_b"),
+    )
+    o_b = spark.table("s17_orders_b")
+    l_b = spark.table("s17_lineitem_b")
+    return (
+        o_b.join(l_b, o_b["o_orderkey"] == l_b["l_orderkey"])
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-9,
+                2,
+            ).alias("revenue"),
+        )
+    )

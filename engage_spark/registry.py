@@ -66,6 +66,9 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) changed or NEW in round 12
+    "s16_change_data_feed",
+    "s17_bucketed_join",
+    "x4b_quality_classifier",
     "s14_time_travel_versions",
     "s15_version_diff",
     "s13_delete_vector_roundtrip",

@@ -464,6 +464,121 @@ def version_diff(
     return out
 
 
+def latest_version(spark: SparkSession, path: str) -> int:
+    """Highest committed version — the checkpoint value an incremental
+    consumer stores after draining read_changes."""
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    entries = _vlog_entries(spark, path)
+    return entries[-1]["version"] if entries else 0
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED: row-level changes committed AFTER
+    `since_version`, up to `to_version` (default: latest), tagged with
+    (`change_type` in ('insert','delete'), `commit_version`) — the
+    Delta-CDF consumption shape on plain parquet. An incremental
+    downstream job (index updater, mirror sync, feature backfill)
+    checkpoints the last version it drained and calls this to get
+    exactly the delta, never a full re-scan:
+
+    - `append` versions read ONLY that version's added files (with the
+      deletion vectors pending at that version re-applied, so the feed
+      matches read_version(v) minus read_version(v-1) even for the
+      contract-violating re-append of a deleted key);
+    - `logical_delete` versions probe the prior snapshot for just the
+      logged (takedown-sized, broadcast) key batch;
+    - rewrite-only versions (`optimize`, `vacuum_deletes`,
+      `vacuum_log`) are skipped with NO scan at all;
+    - `overwrite` / `upsert` / `reconcile` fall back to version_diff's
+      only-changed-files shape.
+
+    Cost therefore tracks the data each version actually touched, not
+    corpus size — draining a 100 TB corpus's feed after a 1 % append
+    costs ~1 % IO. Engine extension; no reference counterpart."""
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    _vlog_reconcile(spark, path)
+    entries = _vlog_entries(spark, path)
+    hi = entries[-1]["version"]
+    to_version = hi if to_version is None else to_version
+    if not (1 <= since_version <= to_version <= hi):
+        raise ValueError(
+            f"change range ({since_version}, {to_version}] outside "
+            f"1..{hi} for {path}"
+        )
+    ent = {e["version"]: e for e in entries}
+
+    def _tag(df: DataFrame, ct: str, v: int) -> DataFrame:
+        return df.withColumn("change_type", F.lit(ct)).withColumn(
+            "commit_version", F.lit(v).cast("long")
+        )
+
+    parts = []
+    for v in range(since_version + 1, to_version + 1):
+        e = ent.get(v)
+        if e is None or e["op"] in (
+            "init", "optimize", "vacuum_deletes", "vacuum_log",
+        ):
+            continue  # rewrite-only / no visible content change
+        if e["op"] == "append":
+            df = spark.read.parquet(
+                *_resolve_uris(spark, path, e["added"])
+            )
+            for pv in _pending_delete_versions(entries, v):
+                dels = spark.read.parquet(
+                    f"{path}/{_VRETAINED}/deletes_v{pv}"
+                ).dropDuplicates()
+                df = df.join(
+                    F.broadcast(dels), on=ent[pv]["key_col"], how="left_anti"
+                )
+            parts.append(_tag(df, "insert", v))
+        elif e["op"] == "logical_delete":
+            from engage_spark.io import _DELETES_ISIN_MAX
+
+            keys = spark.read.parquet(
+                f"{path}/{_VRETAINED}/deletes_v{v}"
+            ).dropDuplicates()
+            prior = read_version(spark, path, v - 1)
+            if e["n_keys"] <= _DELETES_ISIN_MAX:
+                # In-literal pushes through the DV anti-joins into the
+                # parquet scan: footer pruning skips files whose key
+                # range misses the batch (the apply_deletes trick)
+                vals = [r[0] for r in keys.collect()]
+                hit = prior.filter(F.col(e["key_col"]).isin(vals))
+            else:
+                hit = prior.join(
+                    F.broadcast(keys), on=e["key_col"], how="left_semi"
+                )
+            parts.append(_tag(hit, "delete", v))
+        else:  # overwrite / upsert / reconcile: exact file-set diff
+            d = version_diff(spark, path, v - 1, v)
+            parts.append(
+                d.withColumn(
+                    "change_type",
+                    F.when(F.col("change") == "added", "insert").otherwise(
+                        "delete"
+                    ),
+                )
+                .drop("change")
+                .withColumn("commit_version", F.lit(v).cast("long"))
+            )
+    if not parts:
+        base = spark.read.parquet(path).limit(0)
+        return base.withColumn("change_type", F.lit("")).withColumn(
+            "commit_version", F.lit(0).cast("long")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def vacuum_versions(
     spark: SparkSession, path: str, keep_last: int = 7
 ) -> dict:

@@ -550,3 +550,62 @@ def test_version_diff_never_cartesian(spark, tmp_path):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # the whole point of the bucketed layout: a fact-fact join on the
+    # bucket key must run with ZERO shuffle on either side — at 100 TB
+    # the exchange this removes is the dominant cost of the join
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import write_bucketed
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("a")
+    )
+    write_bucketed(
+        spark, df, "tp_bleft", ["k"], 4, path=str(tmp_path / "bleft")
+    )
+    write_bucketed(
+        spark, df.withColumn("b", F.col("k") % 17), "tp_bright", ["k"], 4,
+        path=str(tmp_path / "bright"),
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("tp_bleft").join(spark.table("tp_bright"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    # both scans consume the bucket spec
+    assert plan.count("SelectedBucketsCount: 4 out of 4") == 2, plan[:2000]
+
+
+def test_change_feed_delete_probe_pushes_keys_to_scan(spark, tmp_path):
+    # the CDF logical_delete branch must push the (bounded) key batch
+    # into the parquet scan as an In literal — footer pruning skips
+    # clean files, so draining a takedown costs touched files only
+    import re
+
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import delete_rows, zorder_write
+    from engage_spark.versioning import read_changes, version_log_enable
+
+    p = str(tmp_path / "cdf_plan")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    zorder_write(spark, df, p, ["a", "b"], bits=8, num_files=2)
+    version_log_enable(spark, p)                                   # v1
+    delete_rows(spark, p, [5, 6, 7], "k")                          # v2
+    plan = (
+        read_changes(spark, p, 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*In\(k, ", plan), plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

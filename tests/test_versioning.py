@@ -321,6 +321,138 @@ def test_versioned_upsert_logs_exact_swap(spark, sf_dir, tmp_path):
         )
 
 
+def test_change_feed_matches_version_semantics(spark, sf_dir, tmp_path):
+    """read_changes emits exactly the per-commit row deltas: inserts
+    for the append, deletes for the logical delete, NOTHING for the
+    rewrite-only optimize and physical vacuum."""
+    from engage_spark.versioning import read_changes
+
+    out = tmp_path / "vcdf"
+    ev = _lifecycle(spark, sf_dir, out)
+    got = {
+        (r["commit_version"], r["change_type"]): (r["n"], r["s"])
+        for r in read_changes(spark, str(out), 1)
+        .groupBy("commit_version", "change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    }
+    odds = ev.filter(F.col("event_id") % 2 == 1)
+    dels = ev.filter(F.col("event_id") % 97 == 0)
+    assert got == {
+        (2, "insert"): (odds.count(), odds.agg(F.sum("event_id")).first()[0]),
+        (3, "delete"): (dels.count(), dels.agg(F.sum("event_id")).first()[0]),
+    }
+
+
+def test_change_feed_incremental_drains_compose(spark, sf_dir, tmp_path):
+    """Draining (1,3] then (3,latest] equals one shot (1,latest] —
+    the checkpointed-consumer contract — and a mirror maintained from
+    the feed converges to the live snapshot content."""
+    from engage_spark.versioning import latest_version, read_changes
+
+    out = tmp_path / "vcdf2"
+    ev = _lifecycle(spark, sf_dir, out)
+    hi = latest_version(spark, str(out))
+    one_shot = read_changes(spark, str(out), 1).agg(
+        F.count(F.lit(1)), F.sum("event_id"), F.sum("commit_version")
+    ).first()
+    a = read_changes(spark, str(out), 1, 3)
+    b = read_changes(spark, str(out), 3, hi)
+    two_step = a.unionByName(b).agg(
+        F.count(F.lit(1)), F.sum("event_id"), F.sum("commit_version")
+    ).first()
+    assert tuple(one_shot) == tuple(two_step)
+    # mirror sync: v1 content + feed == live content
+    from engage_spark.versioning import read_version
+
+    mirror = read_version(spark, str(out), 1)
+    feed = read_changes(spark, str(out), 1)
+    versions = sorted(
+        r[0] for r in feed.select("commit_version").distinct().collect()
+    )
+    synced = mirror
+    for v in versions:  # a consumer applies commits IN ORDER
+        step = feed.filter(F.col("commit_version") == v)
+        dels = step.filter(F.col("change_type") == "delete").select("event_id")
+        ins = step.filter(F.col("change_type") == "insert").drop(
+            "change_type", "commit_version"
+        )
+        synced = synced.join(dels, on="event_id", how="left_anti").unionByName(
+            ins
+        )
+    live = spark.read.parquet(str(out))
+    assert synced.count() == live.count()
+    assert (
+        synced.agg(F.sum("event_id")).first()[0]
+        == live.agg(F.sum("event_id")).first()[0]
+    )
+
+
+def test_change_feed_append_reads_only_appended_files(
+    spark, sf_dir, tmp_path
+):
+    """The append fast path must scan ONLY that version's added files
+    — the incremental-cost contract at 100 TB."""
+    from engage_spark.versioning import _vlog_entries, read_changes
+
+    out = tmp_path / "vcdf3"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), str(out),
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, str(out))                            # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(out), num_files=2
+    )                                                              # v2
+    feed = read_changes(spark, str(out), 1)
+    added = {
+        e["added"][i]
+        for e in _vlog_entries(spark, str(out))
+        if e["op"] == "append"
+        for i in range(len(e["added"]))
+    }
+    scanned = {u.rsplit("/", 1)[1] for u in feed.inputFiles()}
+    assert scanned == added and len(scanned) == 2
+
+
+def test_change_feed_upsert_fallback_and_guards(spark, sf_dir, tmp_path):
+    """Upsert versions fall back to the exact file-set diff (updates
+    surface as delete+insert pairs); out-of-range drains fail loudly."""
+    from engage_spark.io import upsert_dataset
+    from engage_spark.session import local_frame
+    from engage_spark.versioning import read_changes
+
+    out = tmp_path / "vcdf4"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16, num_files=3
+    )
+    version_log_enable(spark, str(out))                            # v1
+    updates = local_frame(
+        spark,
+        [(2, 999_999, 0), (10_000_001, 7, 7)],
+        "event_id long, user_id long, v_cents long",
+    )
+    upsert_dataset(spark, str(out), updates, ["event_id"])         # v2
+    got = {
+        (r["change_type"], r["event_id"], r["user_id"])
+        for r in read_changes(spark, str(out), 1)
+        .select("change_type", "event_id", "user_id")
+        .collect()
+    }
+    old_u = ev.filter(F.col("event_id") == 2).first()["user_id"]
+    assert got == {
+        ("insert", 2, 999_999),
+        ("insert", 10_000_001, 7),
+        ("delete", 2, old_u),
+    }
+    with pytest.raises(ValueError, match="change range"):
+        read_changes(spark, str(out), 0)
+    with pytest.raises(ValueError, match="change range"):
+        read_changes(spark, str(out), 1, 99)
+
+
 def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
     """The append-per-version log parts collapse to one file at
     vacuum time; entries survive byte-exact (dedup by version makes
