@@ -934,6 +934,66 @@ def s16_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s18_mirror_sync",
+    # the mirror must converge EXACTLY to the live content: all events
+    # except the logically-deleted %97 batch — the oracle recomputes
+    # that end state straight off the source table
+    oracle="""
+    SELECT (user_id % 8)::BIGINT AS grp, count(*)::BIGINT AS n,
+           sum(event_id)::BIGINT AS id_sum
+    FROM events WHERE event_id % 97 <> 0
+    GROUP BY user_id % 8
+    """,
+    covers=["S4", "S5"],
+)
+def s18_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MIRROR off the change feed (r12): bootstrap a
+    downstream replica from the live snapshot, mutate the source
+    (append odds, logically delete every 97th event), then
+    sync_mirror drains ONLY the two changed versions — the append
+    lands as a direct file append (no shuffle, no rewrite of existing
+    mirror files), the delete purges just the touched keys through
+    the mirror's own file-targeted deletion-vector path. The mirror's
+    final content hash-checks against the source-derived oracle: the
+    replica converged without ever re-reading the corpus."""
+    from engage_spark.io import delete_rows, zorder_append, zorder_write
+    from engage_spark.versioning import sync_mirror, version_log_enable
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    src = _scratch("events_mirror_src")
+    mir = _scratch("events_mirror_dst")
+    shutil.rmtree(src, ignore_errors=True)  # idempotent across reruns
+    shutil.rmtree(mir, ignore_errors=True)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), src,
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, src)                              # v1
+    sync_mirror(spark, src, mir, "event_id")                    # bootstrap
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), src, num_files=4
+    )                                                           # v2
+    delete_rows(
+        spark, src,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                           # v3
+    sync_mirror(spark, src, mir, "event_id")                    # drain
+    return (
+        spark.read.parquet(mir)
+        .groupBy((F.col("user_id") % 8).cast("long").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+@query(
     "s17_bucketed_join",
     oracle="""
     SELECT o.o_orderpriority AS priority,

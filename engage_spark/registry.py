@@ -59,14 +59,17 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     fresh post-change driver row (the bench-drift watchlist
 #     x2/x3_topk/k_w9 needs TIMINGS, which bench.py provides
 #     regardless of this window — no correctness slots spent);
-# (b) all 38 registered queries whose newest driver row is r8 —
-#     closing rotation part 4 (after this round no registered query's
-#     newest row predates r9).
+# (b) the 38 registered queries whose newest driver row is r8 —
+#     rotation part 4. With 16 (a)-entries the 50-query window covers
+#     the first 34 of these; the final four (x_pack_boundaries,
+#     x_span_dedup, x_token_encode, x_vocab_topk — all hash-green on
+#     their r8 rows, none code-changed since) lead part 5 next round.
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) changed or NEW in round 12
     "s16_change_data_feed",
+    "s18_mirror_sync",
     "s17_bucketed_join",
     "x4b_quality_classifier",
     "s14_time_travel_versions",

@@ -579,6 +579,124 @@ def read_changes(
     return out
 
 
+_MIRROR_STATE = "_mirror_state"
+
+
+def mirror_state(spark: SparkSession, mirror_path: str) -> int:
+    """Last source version this mirror drained (0 = never synced)."""
+    fs, p = _fs(spark, f"{mirror_path}/{_MIRROR_STATE}")
+    if not fs.exists(p):
+        return 0
+    return int(
+        spark.read.parquet(f"{mirror_path}/{_MIRROR_STATE}")
+        .agg(F.max("synced_version"))
+        .first()[0]
+    )
+
+
+def _mirror_state_write(spark: SparkSession, mirror_path: str, v: int) -> None:
+    from engage_spark.session import local_frame
+
+    local_frame(spark, [(v,)], "synced_version long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{mirror_path}/{_MIRROR_STATE}")
+
+
+def sync_mirror(
+    spark: SparkSession, src_path: str, mirror_path: str, key_col: str
+) -> dict:
+    """Maintain an incremental MIRROR of a versioned dataset from its
+    change feed — the canonical read_changes consumer (downstream
+    replica, index-side copy, cross-region sync). First call
+    bootstraps the mirror from the live snapshot; every later call
+    drains only (last_synced, latest] and applies the NET per-key
+    effect, so sync cost tracks what changed, never mirror size:
+
+    - a drain containing ONLY appends (the common case, detected from
+      log metadata with no data scan) appends the feed rows directly —
+      zero shuffle, zero rewrite;
+    - otherwise the net last action per key is resolved with one
+      bounded window over the (change-sized) feed, touched keys are
+      purged through the mirror's own deletion-vector path
+      (delete_rows + the file-targeted apply_deletes — clean mirror
+      files stay byte-identical), and final-state rows are appended.
+
+    The checkpoint (`_mirror_state`) lives inside the mirror, so the
+    pair is self-describing and idempotent: a crash before the state
+    write re-drains the same window, and the purge-then-append apply
+    is a per-key overwrite — replaying it converges. Returns
+    {"from_version", "to_version", "inserted", "deleted"}."""
+    from pyspark.sql.window import Window
+
+    from engage_spark.io import apply_deletes, delete_rows
+
+    hi = latest_version(spark, src_path)
+    last = mirror_state(spark, mirror_path)
+    if last == 0:
+        from engage_spark.io import read_with_deletes
+
+        snap = read_with_deletes(spark, src_path)
+        snap.write.mode("overwrite").parquet(mirror_path)
+        _mirror_state_write(spark, mirror_path, hi)
+        n = spark.read.parquet(mirror_path).count()
+        return {
+            "from_version": 0, "to_version": hi,
+            "inserted": n, "deleted": 0,
+        }
+    if last >= hi:
+        return {
+            "from_version": last, "to_version": hi,
+            "inserted": 0, "deleted": 0,
+        }
+    entries = _vlog_entries(spark, src_path)
+    window_ops = {
+        e["op"] for e in entries if last < e["version"] <= hi
+    }
+    feed = read_changes(spark, src_path, last, hi)
+    data_cols = [
+        c for c in feed.columns if c not in ("change_type", "commit_version")
+    ]
+    if not window_ops - {
+        "append", "optimize", "vacuum_deletes", "vacuum_log",
+    }:
+        # append-only drain: no deletes can exist in the feed
+        ins = feed.select(*data_cols)
+        ins.write.mode("append").parquet(mirror_path)
+        n_ins = ins.count()
+        _mirror_state_write(spark, mirror_path, hi)
+        return {
+            "from_version": last, "to_version": hi,
+            "inserted": n_ins, "deleted": 0,
+        }
+    # net last action per key: latest commit wins; within one commit
+    # (an upsert's delete+insert pair) the insert is the final state
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("commit_version").desc(), F.col("change_type").desc()
+    )
+    latest = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    latest = latest.persist()
+    try:
+        touched = latest.select(key_col)
+        n_del = delete_rows(spark, mirror_path, touched, key_col)
+        apply_deletes(spark, mirror_path)
+        ins = latest.filter(F.col("change_type") == "insert").select(
+            *data_cols
+        )
+        n_ins = ins.count()
+        ins.write.mode("append").parquet(mirror_path)
+        _mirror_state_write(spark, mirror_path, hi)
+    finally:
+        latest.unpersist()
+    return {
+        "from_version": last, "to_version": hi,
+        "inserted": n_ins, "deleted": n_del - n_ins,
+    }
+
+
 def vacuum_versions(
     spark: SparkSession, path: str, keep_last: int = 7
 ) -> dict:

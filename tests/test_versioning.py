@@ -453,6 +453,69 @@ def test_change_feed_upsert_fallback_and_guards(spark, sf_dir, tmp_path):
         read_changes(spark, str(out), 1, 99)
 
 
+def test_sync_mirror_bootstrap_appendonly_and_net_apply(
+    spark, sf_dir, tmp_path
+):
+    """The canonical feed consumer: bootstrap copies the live
+    snapshot; an append-only drain appends with no delete machinery;
+    a mixed drain (delete + upsert) nets per key and converges the
+    mirror to the live content; a re-sync is a no-op."""
+    from engage_spark.io import upsert_dataset
+    from engage_spark.session import local_frame
+    from engage_spark.versioning import sync_mirror
+
+    src, mir = tmp_path / "msrc", tmp_path / "mmir"
+    ev = _events(spark, sf_dir)
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    zorder_write(
+        spark, evens, str(src), ["user_id", "v_cents"], bits=16, num_files=4
+    )
+    version_log_enable(spark, str(src))                            # v1
+    r = sync_mirror(spark, str(src), str(mir), "event_id")
+    assert r["from_version"] == 0 and r["to_version"] == 1
+    assert spark.read.parquet(str(mir)).count() == evens.count()
+
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(src), num_files=2
+    )                                                              # v2
+    before_files = set(spark.read.parquet(str(mir)).inputFiles())
+    r = sync_mirror(spark, str(src), str(mir), "event_id")
+    odds_n = ev.count() - evens.count()
+    assert (r["inserted"], r["deleted"]) == (odds_n, 0)
+    # append-only drain: every pre-drain mirror file survives untouched
+    assert before_files <= set(spark.read.parquet(str(mir)).inputFiles())
+
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    upsert_dataset(
+        spark, str(src),
+        local_frame(
+            spark,
+            [(4, 777_777, 1), (10_000_002, 9, 9)],
+            "event_id long, user_id long, v_cents long",
+        ),
+        ["event_id"],
+    )                                                              # v4
+    r = sync_mirror(spark, str(src), str(mir), "event_id")
+    assert r["to_version"] == 4
+    from engage_spark.io import read_with_deletes
+
+    live = read_with_deletes(spark, str(src))
+    mirror = read_with_deletes(spark, str(mir))
+    assert mirror.count() == live.count()
+    assert (
+        mirror.agg(F.sum("event_id"), F.sum("user_id")).first()
+        == live.agg(F.sum("event_id"), F.sum("user_id")).first()
+    )
+    assert mirror.filter(F.col("event_id") == 4).first()["user_id"] == 777_777
+    # drained up to date -> no-op
+    r = sync_mirror(spark, str(src), str(mir), "event_id")
+    assert (r["inserted"], r["deleted"]) == (0, 0)
+
+
 def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
     """The append-per-version log parts collapse to one file at
     vacuum time; entries survive byte-exact (dedup by version makes
