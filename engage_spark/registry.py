@@ -119,10 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x1b_exact_dedup_keepers",
     "x_cluster_safe_split",
     "x_embed_profile",
-    "x_pack_boundaries",
-    "x_span_dedup",
-    "x_token_encode",
-    "x_vocab_topk",
 )
 
 
