@@ -46,6 +46,14 @@ engine's registered operators:
                 only-changed-files version_diff, and vacuum_versions
                 applies the retention policy.
 
+  8. MIRROR   — a downstream replica (sync_mirror, r12) bootstraps at
+                the publish version and then drains ONLY the cycle's
+                logged changes off the change data feed — append files
+                directly, the takedown as an In-pushed key purge, the
+                reoptimize skipped — converging to the live content
+                without re-reading the corpus. Drains run BEFORE
+                vacuum_versions (retention must not outrun consumers).
+
 Each stage is the SAME function a production job would schedule; this
 script only sequences them. Run:
 
@@ -148,9 +156,13 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     # start version history at the publish boundary (r12): every later
     # takedown/append/reoptimize below is a logged version — "read the
     # corpus as of the audit date" without ever copying a snapshot
-    from engage_spark.versioning import version_log_enable
+    from engage_spark.versioning import sync_mirror, version_log_enable
 
     version_log_enable(spark, published)
+    # a downstream replica bootstraps at the publish version; it
+    # drains ONLY this cycle's changes at the end of the loop (stage 8)
+    mirror = f"{workdir}/mirror"
+    sync_mirror(spark, published, mirror, "doc_id")
 
     # ---- 5. TAKEDOWN ----------------------------------------------
     victim = admitted_df.select("doc_id", "text").orderBy("doc_id").limit(1)
@@ -226,6 +238,18 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         for r in version_diff(spark, published, 1, latest)
         .groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # ---- 8. MIRROR -------------------------------------------------
+    # the replica drains ONLY this cycle's logged changes (the three
+    # append versions read just their files, the takedown probes with
+    # an In-pushed key, the reoptimize version is skipped outright) —
+    # and it drains BEFORE vacuum_versions, which is the operational
+    # ordering contract: vacuum reclaims retained files a lagging
+    # consumer might still need
+    sync = sync_mirror(spark, published, mirror, "doc_id")
+    mirror_converged = (
+        spark.read.parquet(mirror).count()
+        == read_with_deletes(spark, published).count()
+    )
     vacuumed = vacuum_versions(spark, published, keep_last=3)
 
     return {
@@ -247,6 +271,8 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         "publish_version_rows": v1_rows,
         "latest_version": latest,
         "cycle_diff": diff_counts,
+        "mirror_synced": (sync["from_version"], sync["to_version"]),
+        "mirror_converged": mirror_converged,
         "vacuum": vacuumed,
     }
 

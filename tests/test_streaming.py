@@ -802,6 +802,10 @@ def test_maintenance_loop_example_composes_end_to_end(spark, tmp_path):
     assert out["cycle_diff"]["added"] == 600  # 3 appends x 200 docs
     assert out["cycle_diff"]["removed"] == 1  # the takedown victim
     assert out["vacuum"]["horizon"] == out["latest_version"] - 2
+    # r12: the downstream replica drained the whole cycle (bootstrap
+    # version -> latest) and converged to the live content
+    assert out["mirror_synced"] == (1, out["latest_version"])
+    assert out["mirror_converged"] is True
 
 
 def test_compact_ingest_state_between_runs(spark, tmp_path):
