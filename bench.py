@@ -101,8 +101,15 @@ OPTIONAL = [
     # s14 (the full five-version lifecycle + all five snapshots read
     # back, ~10.5s) stays driver-verified but NOT benched: five
     # maintenance ops per run is a storage soak test, and one of those
-    # (s10d) already anchors the bench's maintenance family.
+    # (s10d) already anchors the bench's maintenance family. The same
+    # reasoning keeps s16 (change feed) and s18 (mirror sync) out —
+    # both replay that lifecycle; their scale story is measured
+    # directly in scripts/measure_cdf_scaling.py → SCALE.md.
     "s15_version_diff",
+    # round 12 second pass: the zero-exchange bucketed fact-fact join
+    # (times the one-time layout write + the exchange-free join; the
+    # join-only steady state is in scripts/measure_bucketed_join.py)
+    "s17_bucketed_join",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

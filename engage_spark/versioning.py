@@ -697,6 +697,57 @@ def sync_mirror(
     }
 
 
+def sync_mirror_stream(
+    spark: SparkSession,
+    src_path: str,
+    mirror_path: str,
+    key_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "30 seconds",
+):
+    """CONTINUOUS replication: tail the version log with Structured
+    Streaming and drain the mirror whenever new versions commit. The
+    log directory is append-only parquet — exactly the shape the file
+    streaming source is built for — so each newly committed entry
+    triggers one micro-batch whose only job is to call sync_mirror
+    (the batch rows themselves are ignored; sync_mirror reads its own
+    in-mirror checkpoint, so a duplicate or spurious trigger is a
+    no-op and exactly-once plumbing is unnecessary — the apply is
+    idempotent/convergent by construction). Log compaction deletes
+    superseded part files and appends one consolidated part: the
+    source never re-reads removed files and the new part triggers one
+    extra no-op drain — harmless, documented here.
+
+    `available_now=True` (default) drains everything committed so far
+    and stops — the scheduled-job shape; pass False for a resident
+    tail with `processing_time` cadence. Returns the StreamingQuery
+    (caller awaits/stops)."""
+    if not version_log_enabled(spark, src_path):
+        raise ValueError(
+            f"{src_path} has no version log (version_log_enable)"
+        )
+
+    def _drain(batch_df, batch_id) -> None:
+        # the entries are just the trigger; the drain window comes
+        # from the mirror's own checkpoint
+        sync_mirror(spark, src_path, mirror_path, key_col)
+
+    stream = (
+        spark.readStream.schema(_ENTRY_SCHEMA)
+        .parquet(f"{src_path}/{_VLOG}")
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_drain)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def vacuum_versions(
     spark: SparkSession, path: str, keep_last: int = 7
 ) -> dict:

@@ -516,6 +516,57 @@ def test_sync_mirror_bootstrap_appendonly_and_net_apply(
     assert (r["inserted"], r["deleted"]) == (0, 0)
 
 
+def test_sync_mirror_stream_tails_the_log(spark, sf_dir, tmp_path):
+    """The streaming tail drains on committed versions: first run
+    replicates the bootstrap state, source-side commits are picked up
+    by the next availableNow pass, and a re-run with nothing new is a
+    no-op (sync_mirror's own checkpoint, not stream state, is the
+    source of truth)."""
+    from engage_spark.versioning import (
+        mirror_state,
+        sync_mirror,
+        sync_mirror_stream,
+    )
+
+    src, mir = tmp_path / "ssrc", tmp_path / "smir"
+    ckpt = str(tmp_path / "sckpt")
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark,
+        ev.filter(F.col("event_id") % 2 == 0), str(src),
+        ["user_id", "v_cents"], bits=16, num_files=2,
+    )
+    version_log_enable(spark, str(src))                            # v1
+    sync_mirror(spark, str(src), str(mir), "event_id")             # bootstrap
+    q = sync_mirror_stream(spark, str(src), str(mir), "event_id", ckpt)
+    q.awaitTermination()
+    assert mirror_state(spark, str(mir)) == 1
+    # source moves on: append + logical delete
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(src), num_files=2
+    )                                                              # v2
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    q = sync_mirror_stream(spark, str(src), str(mir), "event_id", ckpt)
+    q.awaitTermination()
+    assert mirror_state(spark, str(mir)) == 3
+    live = read_with_deletes(spark, str(src))
+    mirror = spark.read.parquet(str(mir))
+    assert mirror.count() == live.count()
+    assert (
+        mirror.agg(F.sum("event_id")).first()[0]
+        == live.agg(F.sum("event_id")).first()[0]
+    )
+    # nothing new committed -> the tail finds no files and the mirror
+    # checkpoint stays put
+    q = sync_mirror_stream(spark, str(src), str(mir), "event_id", ckpt)
+    q.awaitTermination()
+    assert mirror_state(spark, str(mir)) == 3
+
+
 def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
     """The append-per-version log parts collapse to one file at
     vacuum time; entries survive byte-exact (dedup by version makes
