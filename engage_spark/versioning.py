@@ -38,7 +38,11 @@ Scope: flat (unpartitioned) datasets — the published-corpus layout
 every zorder/maintenance op here targets. Writers that bypass the
 versioned ops are healed by ``_vlog_reconcile`` (the next versioned op
 logs one synthetic ``reconcile`` diff entry); hive-partitioned upserts
-stay at that reconcile level of history.
+stay at that reconcile level of history. Schema is expected STABLE
+across versions (the zorder append contract); ``read_changes`` unions
+tolerantly (allowMissingColumns) so a drained window spanning an
+evolution surfaces NULLs like a mergeSchema read, but ``version_diff``
+over heterogeneous-schema versions is out of contract.
 
 Reference parity note: covers no reference file — engine extension
 (VERDICT r11 "What's missing #2").
@@ -575,7 +579,10 @@ def read_changes(
         )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: an append version may have introduced a
+        # column (the s11 mergeSchema evolution path) — pre-evolution
+        # change rows surface NULL for it, same as the live read
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -624,12 +631,25 @@ def sync_mirror(
     The checkpoint (`_mirror_state`) lives inside the mirror, so the
     pair is self-describing and idempotent: a crash before the state
     write re-drains the same window, and the purge-then-append apply
-    is a per-key overwrite — replaying it converges. Returns
-    {"from_version", "to_version", "inserted", "deleted"}."""
+    is a per-key overwrite — replaying it converges. Many small drains
+    fragment the mirror into small appended files; the mirror is plain
+    parquet, so the standard maintenance ops (compact_dataset /
+    optimize_dataset) apply on whatever cadence layout stats suggest.
+    Returns {"from_version", "to_version", "inserted", "deleted"}."""
     from pyspark.sql.window import Window
 
     from engage_spark.io import apply_deletes, delete_rows
 
+    if src_path.rstrip("/") == mirror_path.rstrip("/"):
+        raise ValueError("sync_mirror: mirror path must differ from source")
+    if version_log_enabled(spark, mirror_path):
+        # the mirror's apply path uses delete_rows, which would LOG
+        # on a versioned target — replicas are plain datasets
+        raise ValueError(
+            "sync_mirror: the mirror must not itself have a version "
+            "log (its maintenance would be recorded as source-style "
+            "history); replicate into a plain dataset"
+        )
     hi = latest_version(spark, src_path)
     last = mirror_state(spark, mirror_path)
     if last == 0:
