@@ -615,7 +615,11 @@ def sync_mirror(
     """Maintain an incremental MIRROR of a versioned dataset from its
     change feed — the canonical read_changes consumer (downstream
     replica, index-side copy, cross-region sync). First call
-    bootstraps the mirror from the live snapshot; every later call
+    bootstraps the mirror as a 1:1 file copy of the live snapshot
+    (layout-preserving — see the branch comment; the driver loop here
+    orchestrates one copy per file, which a petabyte deployment
+    replaces with distcp/server-side copy doing the same
+    boundary-preserving transfer in parallel); every later call
     drains only (last_synced, latest] and applies the NET per-key
     effect, so sync cost tracks what changed, never mirror size:
 
@@ -653,15 +657,50 @@ def sync_mirror(
     hi = latest_version(spark, src_path)
     last = mirror_state(spark, mirror_path)
     if last == 0:
-        from engage_spark.io import read_with_deletes
+        # bootstrap by 1:1 FILE COPY, not a rewrite: the mirror keeps
+        # the source's clustered layout and file boundaries, so its
+        # own later purges stay file-targeted and footer stats stay
+        # tight (a rewrite-through-Spark bootstrap scatters keys
+        # across files and turns every future takedown into a broad
+        # rewrite). Pending source deletion vectors are replicated
+        # through the mirror's OWN DV path right after.
+        from engage_spark.io import _DELETES, apply_deletes, delete_rows
 
-        snap = read_with_deletes(spark, src_path)
-        snap.write.mode("overwrite").parquet(mirror_path)
+        fs, root = _fs(spark, src_path)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        mfs, mroot = _fs(spark, mirror_path)
+        mfs.mkdirs(mroot)
+        n = 0
+        for name in _live_names(spark, src_path):
+            sfs, sp = _fs(spark, f"{src_path}/{name}")
+            _, dp = _fs(spark, f"{mirror_path}/{name}")
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                sfs, sp, mfs, dp, False, True, conf
+            )
+            n += 1
+        # carry the layout contract too: with the scaling meta + range
+        # manifest in place the mirror's own maintenance (purges,
+        # optimize) stays on the source's frozen curve
+        for side in ("_zorder_meta", "_zorder_ranges"):
+            zfs, zp = _fs(spark, f"{src_path}/{side}")
+            if zfs.exists(zp):
+                _, zdp = _fs(spark, f"{mirror_path}/{side}")
+                jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    zfs, zp, mfs, zdp, False, True, conf
+                )
+        dfs, dp = _fs(spark, f"{src_path}/{_DELETES}")
+        if dfs.exists(dp):
+            keys = spark.read.parquet(
+                f"{src_path}/{_DELETES}"
+            ).dropDuplicates()
+            delete_rows(spark, mirror_path, keys, keys.columns[0])
+            apply_deletes(spark, mirror_path)
         _mirror_state_write(spark, mirror_path, hi)
-        n = spark.read.parquet(mirror_path).count()
         return {
             "from_version": 0, "to_version": hi,
-            "inserted": n, "deleted": 0,
+            "inserted": spark.read.parquet(mirror_path).count(),
+            "deleted": 0,
         }
     if last >= hi:
         return {
@@ -689,7 +728,11 @@ def sync_mirror(
             "inserted": n_ins, "deleted": 0,
         }
     # net last action per key: latest commit wins; within one commit
-    # (an upsert's delete+insert pair) the insert is the final state
+    # (an upsert's delete+insert pair) the insert is the final state.
+    # The feed is persisted ONCE (change-sized): purge keys, the
+    # netting window, and the insert append all read it, and an
+    # unpersisted feed would re-run the delete-probe scan per consumer
+    feed = feed.persist()
     w = Window.partitionBy(key_col).orderBy(
         F.col("commit_version").desc(), F.col("change_type").desc()
     )
@@ -698,10 +741,18 @@ def sync_mirror(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    latest = latest.persist()
     try:
-        touched = latest.select(key_col)
-        n_del = delete_rows(spark, mirror_path, touched, key_col)
+        # purge ONLY keys the feed explicitly deleted (updates carry
+        # their own delete pre-image; brand-new inserts never do) —
+        # keys inserted this drain were never in the mirror, and
+        # passing them through the purge would bloat the In-literal
+        # probe from |deletes| to |drain| for no effect
+        purge = (
+            feed.filter(F.col("change_type") == "delete")
+            .select(key_col)
+            .dropDuplicates()
+        )
+        n_del = delete_rows(spark, mirror_path, purge, key_col)
         apply_deletes(spark, mirror_path)
         ins = latest.filter(F.col("change_type") == "insert").select(
             *data_cols
@@ -710,10 +761,10 @@ def sync_mirror(
         ins.write.mode("append").parquet(mirror_path)
         _mirror_state_write(spark, mirror_path, hi)
     finally:
-        latest.unpersist()
+        feed.unpersist()
     return {
         "from_version": last, "to_version": hi,
-        "inserted": n_ins, "deleted": n_del - n_ins,
+        "inserted": n_ins, "deleted": n_del,
     }
 
 

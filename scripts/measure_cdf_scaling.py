@@ -64,6 +64,12 @@ def main() -> None:
         files = max(4, n // 250_000)
         zorder_write(spark, df, path, ["a", "b"], bits=16, num_files=files)
         version_log_enable(spark, path)                            # v1
+        # the real consumer: layout-preserving file-copy bootstrap at
+        # v1, then an incremental drain AFTER the mutations below
+        from engage_spark.versioning import sync_mirror
+
+        mirror = f"{path}_mirror"
+        sync_mirror(spark, path, mirror, "k")
         inc = spark.range(n, n + append_n).select(
             F.col("id").alias("k"),
             (F.col("id") % 9973).alias("a"),
@@ -88,6 +94,11 @@ def main() -> None:
             walls.append(time.time() - t0)
         out[f"t_drain_{tag}"] = round(min(walls), 3)
         out[f"rows_{tag}"] = rows
+        # full consumer: the incremental apply of the same fixed
+        # change set onto the copy-bootstrapped mirror
+        t0 = time.time()
+        sync_mirror(spark, path, mirror, "k")
+        out[f"t_sync_{tag}"] = round(time.time() - t0, 3)
 
     # anti-baseline at the big size: materialized two-copy diff shape
     big = f"{base}/{factor}x"

@@ -581,6 +581,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
     # both scans consume the bucket spec
     assert plan.count("SelectedBucketsCount: 4 out of 4") == 2, plan[:2000]
+    # a bucket-key groupBy likewise skips its exchange (the write
+    # already distributed by the key)
+    agg_plan = (
+        spark.table("tp_bleft")
+        .groupBy("k").agg(F.sum("a"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in agg_plan, agg_plan[:2000]
+    assert "HashAggregate" in agg_plan or "SortAggregate" in agg_plan
 
 
 def test_change_feed_delete_probe_pushes_keys_to_scan(spark, tmp_path):
