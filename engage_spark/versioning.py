@@ -609,6 +609,69 @@ def _mirror_state_write(spark: SparkSession, mirror_path: str, v: int) -> None:
     ).write.mode("overwrite").parquet(f"{mirror_path}/{_MIRROR_STATE}")
 
 
+_MIRROR_STAGING = "_mirror_incoming"
+_MIRROR_MANIFEST = "_mirror_manifest"
+
+
+def _mirror_stage_inserts(
+    spark: SparkSession, mirror_path: str, ins: DataFrame, to_version: int
+) -> int:
+    """Stage a drain's insert rows + write the commit manifest. The
+    manifest's presence marks the staging COMPLETE; its absence on
+    replay means restage from scratch (mode=overwrite clears a
+    partial attempt). Returns the staged row count."""
+    from engage_spark.session import local_frame
+
+    n = ins.count()
+    ins.write.mode("overwrite").parquet(f"{mirror_path}/{_MIRROR_STAGING}")
+    local_frame(spark, [(to_version,)], "to_version long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{mirror_path}/{_MIRROR_MANIFEST}")
+    return n
+
+
+def _mirror_commit(spark: SparkSession, mirror_path: str, to_version: int) -> None:
+    """Finish a staged drain: move staged part files into the mirror
+    root (renames — a file moved by a prior crashed attempt is gone
+    from staging, so replays never duplicate), advance the checkpoint,
+    drop manifest + staging. Idempotent at every step."""
+    fs, _root = _fs(spark, mirror_path)
+    sfs, sp = _fs(spark, f"{mirror_path}/{_MIRROR_STAGING}")
+    if sfs.exists(sp):
+        for s in sfs.listStatus(sp):
+            name = s.getPath().getName()
+            if name.startswith("_") or s.isDirectory():
+                continue
+            _, dst = _fs(spark, f"{mirror_path}/{name}")
+            if not fs.exists(dst):
+                sfs.rename(s.getPath(), dst)
+    _mirror_state_write(spark, mirror_path, to_version)
+    mfs, mp = _fs(spark, f"{mirror_path}/{_MIRROR_MANIFEST}")
+    mfs.delete(mp, True)
+    if sfs.exists(sp):
+        sfs.delete(sp, True)
+
+
+def _mirror_replay_pending(spark: SparkSession, mirror_path: str):
+    """A manifest left behind means a prior drain crashed between
+    staging and commit: finish it — settle any half-applied purge
+    first (the mirror's plain-read contract requires no lingering
+    deletion sidecar), then move + advance. Returns the replayed
+    version, or None."""
+    mfs, mp = _fs(spark, f"{mirror_path}/{_MIRROR_MANIFEST}")
+    if not mfs.exists(mp):
+        return None
+    from engage_spark.io import apply_deletes
+
+    v = int(
+        spark.read.parquet(f"{mirror_path}/{_MIRROR_MANIFEST}")
+        .first()["to_version"]
+    )
+    apply_deletes(spark, mirror_path)
+    _mirror_commit(spark, mirror_path, v)
+    return v
+
+
 def sync_mirror(
     spark: SparkSession, src_path: str, mirror_path: str, key_col: str
 ) -> dict:
@@ -633,9 +696,12 @@ def sync_mirror(
       files stay byte-identical), and final-state rows are appended.
 
     The checkpoint (`_mirror_state`) lives inside the mirror, so the
-    pair is self-describing and idempotent: a crash before the state
-    write re-drains the same window, and the purge-then-append apply
-    is a per-key overwrite — replaying it converges. Many small drains
+    pair is self-describing, and every drain applies through a staged
+    commit (`_mirror_incoming` staging + `_mirror_manifest`, finished
+    at the next call's entry): a crash before the manifest restages
+    from scratch, a crash after it finishes the purge and moves only
+    the not-yet-moved files — no replay can duplicate or lose rows,
+    and the checkpoint only advances at commit. Many small drains
     fragment the mirror into small appended files; the mirror is plain
     parquet, so the standard maintenance ops (compact_dataset /
     optimize_dataset) apply on whatever cadence layout stats suggest.
@@ -654,6 +720,10 @@ def sync_mirror(
             "log (its maintenance would be recorded as source-style "
             "history); replicate into a plain dataset"
         )
+    # a manifest from a drain that crashed between staging and commit
+    # must be finished BEFORE reading the checkpoint — replaying it
+    # advances the state this call drains from
+    _mirror_replay_pending(spark, mirror_path)
     hi = latest_version(spark, src_path)
     last = mirror_state(spark, mirror_path)
     if last == 0:
@@ -718,11 +788,13 @@ def sync_mirror(
     if not window_ops - {
         "append", "optimize", "vacuum_deletes", "vacuum_log",
     }:
-        # append-only drain: no deletes can exist in the feed
+        # append-only drain: no deletes can exist in the feed. Staged
+        # commit (stage -> manifest -> move -> checkpoint) so a crash
+        # anywhere replays without duplicating rows — a bare
+        # mode=append would re-append the whole drain on replay
         ins = feed.select(*data_cols)
-        ins.write.mode("append").parquet(mirror_path)
-        n_ins = ins.count()
-        _mirror_state_write(spark, mirror_path, hi)
+        n_ins = _mirror_stage_inserts(spark, mirror_path, ins, hi)
+        _mirror_commit(spark, mirror_path, hi)
         return {
             "from_version": last, "to_version": hi,
             "inserted": n_ins, "deleted": 0,
@@ -742,6 +814,15 @@ def sync_mirror(
         .drop("__rn")
     )
     try:
+        # stage FIRST (manifest presence = staging complete), purge,
+        # then commit: a crash anywhere replays convergently —
+        # pre-manifest crashes restage from scratch, post-manifest
+        # crashes finish the purge (apply_deletes is its own staged
+        # op) and move only the not-yet-moved staged files
+        ins = latest.filter(F.col("change_type") == "insert").select(
+            *data_cols
+        )
+        n_ins = _mirror_stage_inserts(spark, mirror_path, ins, hi)
         # purge ONLY keys the feed explicitly deleted (updates carry
         # their own delete pre-image; brand-new inserts never do) —
         # keys inserted this drain were never in the mirror, and
@@ -754,12 +835,7 @@ def sync_mirror(
         )
         n_del = delete_rows(spark, mirror_path, purge, key_col)
         apply_deletes(spark, mirror_path)
-        ins = latest.filter(F.col("change_type") == "insert").select(
-            *data_cols
-        )
-        n_ins = ins.count()
-        ins.write.mode("append").parquet(mirror_path)
-        _mirror_state_write(spark, mirror_path, hi)
+        _mirror_commit(spark, mirror_path, hi)
     finally:
         feed.unpersist()
     return {

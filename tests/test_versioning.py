@@ -516,6 +516,77 @@ def test_sync_mirror_bootstrap_appendonly_and_net_apply(
     assert (r["inserted"], r["deleted"]) == (0, 0)
 
 
+def test_sync_mirror_crash_windows_replay_without_duplicates(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Kill the drain (a) after staging+manifest but before commit,
+    and (b) before the manifest — replays must neither duplicate nor
+    lose rows, and the checkpoint only advances at commit."""
+    from engage_spark import versioning as v_mod
+    from engage_spark.versioning import mirror_state, sync_mirror
+
+    src, mir = tmp_path / "csrc", tmp_path / "cmir"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), str(src),
+        ["user_id", "v_cents"], bits=16, num_files=2,
+    )
+    version_log_enable(spark, str(src))                            # v1
+    sync_mirror(spark, str(src), str(mir), "event_id")             # bootstrap
+
+    # (a) crash between manifest and commit on an append-only drain
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(src), num_files=2
+    )                                                              # v2
+    real_commit = v_mod._mirror_commit
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before mirror commit")
+
+    monkeypatch.setattr(v_mod, "_mirror_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sync_mirror(spark, str(src), str(mir), "event_id")
+    monkeypatch.setattr(v_mod, "_mirror_commit", real_commit)
+    # staged but uncommitted: checkpoint unchanged, live mirror reads
+    # see no staged rows (the staging dir is _-prefixed)
+    assert mirror_state(spark, str(mir)) == 1
+    evens = ev.filter(F.col("event_id") % 2 == 0).count()
+    assert spark.read.parquet(str(mir)).count() == evens
+    # next call replays the pending commit, then no-ops the drain
+    r = sync_mirror(spark, str(src), str(mir), "event_id")
+    assert mirror_state(spark, str(mir)) == 2
+    assert spark.read.parquet(str(mir)).count() == ev.count()
+    assert (r["inserted"], r["deleted"]) == (0, 0)  # replay, no re-drain
+
+    # (b) crash BEFORE the manifest (mid-staging) on a mixed drain
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    real_stage = v_mod._mirror_stage_inserts
+
+    def boom_stage(spark_, path_, ins_, v_):
+        ins_.limit(1).write.mode("overwrite").parquet(
+            f"{path_}/{v_mod._MIRROR_STAGING}"
+        )  # partial staging, NO manifest
+        raise RuntimeError("injected crash mid-staging")
+
+    monkeypatch.setattr(v_mod, "_mirror_stage_inserts", boom_stage)
+    with pytest.raises(RuntimeError, match="mid-staging"):
+        sync_mirror(spark, str(src), str(mir), "event_id")
+    monkeypatch.setattr(v_mod, "_mirror_stage_inserts", real_stage)
+    assert mirror_state(spark, str(mir)) == 2  # nothing committed
+    sync_mirror(spark, str(src), str(mir), "event_id")  # full re-drain
+    live = read_with_deletes(spark, str(src))
+    mirror = spark.read.parquet(str(mir))
+    assert mirror.count() == live.count()
+    assert (
+        mirror.agg(F.sum("event_id")).first()[0]
+        == live.agg(F.sum("event_id")).first()[0]
+    )
+
+
 def test_sync_mirror_stream_tails_the_log(spark, sf_dir, tmp_path):
     """The streaming tail drains on committed versions: first run
     replicates the bootstrap state, source-side commits are picked up
