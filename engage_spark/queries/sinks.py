@@ -994,6 +994,61 @@ def s18_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s19_incremental_rollup",
+    # the maintained rollup must EQUAL a fresh aggregate of the end
+    # state: all events except the %97 takedown, grouped — any drift
+    # in the delta algebra (double-applied drain, missed delete,
+    # null-group mishandling) breaks the hash
+    oracle="""
+    SELECT (user_id % 8)::BIGINT AS grp, count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT
+               AS sum_v_cents
+    FROM events WHERE event_id % 97 <> 0
+    GROUP BY user_id % 8
+    """,
+    covers=["S4", "S5", "A2"],
+)
+def s19_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE off the change feed (r12): build a
+    per-group rollup (count + sum) at the publish version, mutate the
+    source (append odds, delete every 97th event), then sync_rollup
+    applies the feed's row deltas to the materialized aggregate —
+    inserts add, deletes subtract, no corpus re-read. The hash pins
+    the IVM algebra exactly: the maintained rollup must equal a fresh
+    groupBy of the final state. At 100 TB this is the difference
+    between a change-sized nightly refresh and a full recompute."""
+    from engage_spark.io import delete_rows, zorder_append, zorder_write
+    from engage_spark.versioning import sync_rollup, version_log_enable
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+        (F.col("user_id") % 8).cast("long").alias("grp"),
+    )
+    src = _scratch("events_rollup_src")
+    mv = _scratch("events_rollup_mv")
+    shutil.rmtree(src, ignore_errors=True)  # idempotent across reruns
+    shutil.rmtree(mv, ignore_errors=True)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), src,
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, src)                              # v1
+    sync_rollup(spark, src, mv, ["grp"], ["v_cents"])           # bootstrap
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), src, num_files=4
+    )                                                           # v2
+    delete_rows(
+        spark, src,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                           # v3
+    sync_rollup(spark, src, mv, ["grp"], ["v_cents"])           # delta apply
+    return spark.read.parquet(mv).select("grp", "n", "sum_v_cents")
+
+
+@query(
     "s17_bucketed_join",
     oracle="""
     SELECT o.o_orderpriority AS priority,

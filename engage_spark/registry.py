@@ -61,15 +61,17 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     regardless of this window — no correctness slots spent);
 # (b) the 38 registered queries whose newest driver row is r8 —
 #     rotation part 4. With 16 (a)-entries the 50-query window covers
-#     the first 34 of these; the final four (x_pack_boundaries,
-#     x_span_dedup, x_token_encode, x_vocab_topk — all hash-green on
-#     their r8 rows, none code-changed since) lead part 5 next round.
+#     the first 33 of these; the final five (x_embed_profile,
+#     x_pack_boundaries, x_span_dedup, x_token_encode, x_vocab_topk —
+#     all hash-green on their r8 rows, none code-changed since) lead
+#     part 5 next round.
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # (a) changed or NEW in round 12
     "s16_change_data_feed",
     "s18_mirror_sync",
+    "s19_incremental_rollup",
     "s17_bucketed_join",
     "x4b_quality_classifier",
     "s14_time_travel_versions",
@@ -118,7 +120,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "st_tumbling_window_agg",
     "x1b_exact_dedup_keepers",
     "x_cluster_safe_split",
-    "x_embed_profile",
 )
 
 

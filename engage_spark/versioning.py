@@ -844,6 +844,165 @@ def sync_mirror(
     }
 
 
+_ROLLUP_STAGING = "_rollup_incoming"
+_ROLLUP_MANIFEST = "_rollup_manifest"
+
+
+def _rollup_replay_pending(spark: SparkSession, rollup_path: str):
+    mfs, mp = _fs(spark, f"{rollup_path}/{_ROLLUP_MANIFEST}")
+    if not mfs.exists(mp):
+        return None
+    v = int(
+        spark.read.parquet(f"{rollup_path}/{_ROLLUP_MANIFEST}")
+        .first()["to_version"]
+    )
+    _rollup_commit(spark, rollup_path, v)
+    return v
+
+
+def _rollup_commit(spark: SparkSession, rollup_path: str, to_version: int) -> None:
+    """Swap the staged generation in: drop current root data files,
+    move staged files up, advance the checkpoint, clean up. Replay-
+    idempotent (every step skips done work). Readers racing the swap
+    can see a partial MV for its duration — same single-maintenance-
+    writer semantics as the upsert staging swap."""
+    fs, root = _fs(spark, rollup_path)
+    sfs, sp = _fs(spark, f"{rollup_path}/{_ROLLUP_STAGING}")
+    staged = set()
+    if sfs.exists(sp):
+        staged = {
+            s.getPath().getName()
+            for s in sfs.listStatus(sp)
+            if not s.getPath().getName().startswith("_")
+            and not s.isDirectory()
+        }
+        for s in fs.listStatus(root):
+            name = s.getPath().getName()
+            if (
+                name.startswith("_")
+                or s.isDirectory()
+                or name in staged  # moved by a prior replay attempt
+            ):
+                continue
+            fs.delete(s.getPath(), False)
+        for name in staged:
+            _, src = _fs(spark, f"{rollup_path}/{_ROLLUP_STAGING}/{name}")
+            _, dst = _fs(spark, f"{rollup_path}/{name}")
+            if not fs.exists(dst):
+                sfs.rename(src, dst)
+    _mirror_state_write(spark, rollup_path, to_version)
+    mfs, mp = _fs(spark, f"{rollup_path}/{_ROLLUP_MANIFEST}")
+    mfs.delete(mp, True)
+    if sfs.exists(sp):
+        sfs.delete(sp, True)
+
+
+def sync_rollup(
+    spark: SparkSession,
+    src_path: str,
+    rollup_path: str,
+    group_cols,
+    sum_cols,
+) -> dict:
+    """INCREMENTAL VIEW MAINTENANCE off the change feed: keep a
+    materialized per-group rollup (count + sums) current by applying
+    row-level deltas instead of recomputing — inserts add, deletes
+    subtract, groups whose count reaches zero drop out. This is the
+    warehouse MV pattern the version log makes exact: the feed is the
+    precise row delta, so the maintained rollup equals a fresh
+    groupBy at every sync point (hash-verified: s19).
+
+    Cost model at 100 TB: bootstrap is ONE full aggregate pass
+    (inherent); every later sync aggregates only the drained changes
+    (change-sized shuffle) and rewrites only the rollup itself, which
+    is group-cardinality-sized, not corpus-sized. Compare: a nightly
+    full recompute re-reads the corpus every time.
+
+    Restricted to the delta-composable aggregates (COUNT, SUM — and
+    AVG as sum/count downstream); MIN/MAX are not incrementally
+    maintainable under deletes without per-group history, so they are
+    deliberately absent. The apply is a staged generation swap
+    (`_rollup_incoming` + manifest) finished at the next call's entry
+    if interrupted; the checkpoint only advances at commit. Returns
+    {"from_version", "to_version", "groups"}."""
+    group_cols, sum_cols = list(group_cols), list(sum_cols)
+    if version_log_enabled(spark, rollup_path):
+        raise ValueError("sync_rollup: the rollup must be a plain dataset")
+    _rollup_replay_pending(spark, rollup_path)
+    hi = latest_version(spark, src_path)
+    last = mirror_state(spark, rollup_path)
+
+    def _aggs(sign):
+        return [
+            F.sum(sign).cast("long").alias("n"),
+            *[
+                F.sum(F.col(c) * sign).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        ]
+
+    if last == 0:
+        from engage_spark.io import read_with_deletes
+
+        mv = read_with_deletes(spark, src_path).groupBy(*group_cols).agg(
+            *_aggs(F.lit(1))
+        )
+        mv.write.mode("overwrite").parquet(rollup_path)
+        _mirror_state_write(spark, rollup_path, hi)
+        return {
+            "from_version": 0, "to_version": hi,
+            "groups": spark.read.parquet(rollup_path).count(),
+        }
+    if last >= hi:
+        return {"from_version": last, "to_version": hi, "groups": None}
+    feed = read_changes(spark, src_path, last, hi)
+    sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = feed.groupBy(*group_cols).agg(*_aggs(sign))
+    cur = spark.read.parquet(rollup_path)
+    sum_names = ["n", *[f"sum_{c}" for c in sum_cols]]
+    # null-safe full-outer merge: a NULL group key is a real group in
+    # an aggregate (plain `on=` would keep cur/delta null-group rows
+    # apart and double-count)
+    c_ = cur.alias("c")
+    d_ = delta.alias("d")
+    cond = None
+    for g in group_cols:
+        e = F.col(f"c.{g}").eqNullSafe(F.col(f"d.{g}"))
+        cond = e if cond is None else (cond & e)
+    merged = (
+        c_.join(d_, on=cond, how="full_outer")
+        .select(
+            *[
+                F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g)
+                for g in group_cols
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"c.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                ).alias(c)
+                for c in sum_names
+            ],
+        )
+        .filter(F.col("n") > 0)
+    )
+    from engage_spark.session import local_frame
+
+    merged.write.mode("overwrite").parquet(
+        f"{rollup_path}/{_ROLLUP_STAGING}"
+    )
+    local_frame(spark, [(hi,)], "to_version long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{rollup_path}/{_ROLLUP_MANIFEST}")
+    _rollup_commit(spark, rollup_path, hi)
+    return {
+        "from_version": last, "to_version": hi,
+        "groups": spark.read.parquet(rollup_path).count(),
+    }
+
+
 def sync_mirror_stream(
     spark: SparkSession,
     src_path: str,

@@ -587,6 +587,83 @@ def test_sync_mirror_crash_windows_replay_without_duplicates(
     )
 
 
+def test_sync_rollup_incremental_matches_recompute(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The maintained rollup equals a fresh aggregate after append +
+    delete + upsert drains; a crash between staging and commit leaves
+    the checkpoint put and replays exactly once; an up-to-date sync
+    is a no-op."""
+    from engage_spark import versioning as v_mod
+    from engage_spark.io import read_with_deletes, upsert_dataset
+    from engage_spark.session import local_frame
+    from engage_spark.versioning import mirror_state, sync_rollup
+
+    src, mv = tmp_path / "rsrc", tmp_path / "rmv"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 8).cast("long")
+    )
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), str(src),
+        ["user_id", "v_cents"], bits=16, num_files=3,
+    )
+    version_log_enable(spark, str(src))                            # v1
+    r = sync_rollup(spark, str(src), str(mv), ["grp"], ["v_cents"])
+    assert r["from_version"] == 0 and r["groups"] == 8
+
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(src), num_files=2
+    )                                                              # v2
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    upsert_dataset(
+        spark, str(src),
+        local_frame(
+            spark,
+            [(4, 12, 999_999, 4)],
+            "event_id long, user_id long, v_cents long, grp long",
+        ),
+        ["event_id"],
+    )                                                              # v4
+
+    # crash between the staged generation and its commit
+    real_commit = v_mod._rollup_commit
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before rollup commit")
+
+    monkeypatch.setattr(v_mod, "_rollup_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sync_rollup(spark, str(src), str(mv), ["grp"], ["v_cents"])
+    monkeypatch.setattr(v_mod, "_rollup_commit", real_commit)
+    assert mirror_state(spark, str(mv)) == 1  # checkpoint unmoved
+
+    r = sync_rollup(spark, str(src), str(mv), ["grp"], ["v_cents"])
+    assert r["to_version"] == 4
+    got = {
+        row["grp"]: (row["n"], row["sum_v_cents"])
+        for row in spark.read.parquet(str(mv)).collect()
+    }
+    want = {
+        row["grp"]: (row["n"], row["s"])
+        for row in read_with_deletes(spark, str(src))
+        .withColumn("grp", (F.col("user_id") % 8).cast("long"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_cents").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    # drained up to date -> no-op
+    r = sync_rollup(spark, str(src), str(mv), ["grp"], ["v_cents"])
+    assert r["groups"] is None
+
+
 def test_sync_mirror_stream_tails_the_log(spark, sf_dir, tmp_path):
     """The streaming tail drains on committed versions: first run
     replicates the bootstrap state, source-side commits are picked up
