@@ -662,16 +662,36 @@ def _zorder_write_versioned(
         for name in old_names:
             _retain_file(spark, path, name)
         # only _versions must survive the overwrite (meta is rewritten
-        # fresh below; _deletes is superseded by the republish)
+        # fresh below; _deletes is superseded by the republish). Both
+        # renames are CHECKED: an unnoticed no-op here would either
+        # let the overwrite destroy the live _versions dir or leave
+        # the history orphaned in the stash (ADVICE r12).
+        from engage_spark.versioning import _PUBLISH_STASH_SUFFIX
+
         fs, vp = _hadoop_fs(spark, f"{path}/{_VDIR}")
-        _, tp = _hadoop_fs(spark, f"{path}__versions_publish_stash")
-        fs.rename(vp, tp)
+        _, tp = _hadoop_fs(
+            spark, f"{path.rstrip('/')}{_PUBLISH_STASH_SUFFIX}"
+        )
+        if fs.exists(tp):
+            raise RuntimeError(
+                f"stale publish stash at {tp} — a prior republish "
+                "crashed and was not healed; refusing to overwrite it"
+            )
+        if not fs.rename(vp, tp):
+            raise RuntimeError(
+                f"could not stash {path}/{_VDIR} for republish"
+            )
         try:
             stats = _zorder_write_impl(
                 spark, df, path, cols, bits, num_files, scale
             )
         finally:
-            fs.rename(tp, vp)
+            if not fs.rename(tp, vp) and not fs.exists(vp):
+                raise RuntimeError(
+                    f"could not restore {path}/{_VDIR} from its publish "
+                    f"stash {tp}; the version history is intact there — "
+                    "restore it manually before the next versioned op"
+                )
         _vlog_append_entry(
             spark, path, "overwrite",
             added=_live_names(spark, path), removed=old_names,
@@ -1364,12 +1384,19 @@ class maintenance_lease:
     window: acquire the `_maintenance_lock` sidecar (atomic
     create-if-absent), run, release. Contention with a LIVE lease
     raises MaintenanceLockHeld naming the holder; a lease past its TTL
-    (default 1 h — crashed writer) is broken and taken over. The
+    (default 1 h — crashed writer) is broken and taken over; release
+    checks the lock payload still matches this holder (a broken-and-
+    retaken lease is never deleted out from under the new holder). The
     in-place ops acquire this themselves; nesting within one process
-    re-enters the held lease."""
+    re-enters the held lease (path-normalized). The re-entrancy depth
+    is process-global, not thread-local — maintenance is one writer
+    per process by contract, matching the lease's own semantics."""
 
     def __init__(self, spark: SparkSession, path: str, ttl_s: int = 3600):
-        self.spark, self.path, self.ttl_s = spark, path, ttl_s
+        # normalize the re-entrancy key: trailing-slash variants of the
+        # same dataset must re-enter the held lease, not self-deadlock
+        self.spark, self.path, self.ttl_s = spark, path.rstrip("/"), ttl_s
+        self._payload: dict | None = None
 
     def __enter__(self):
         import json
@@ -1379,11 +1406,12 @@ class maintenance_lease:
             _LEASE_DEPTH[self.path] += 1
             return self
         fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
-        payload = json.dumps({
+        self._payload = {
             "writer": _lease_writer_id(),
             "acquired_unix": int(time.time()),
             "ttl_s": self.ttl_s,
-        }).encode()
+        }
+        payload = json.dumps(self._payload).encode()
         for attempt in (0, 1):
             try:
                 out = fs.create(lp, False)  # overwrite=False: atomic
@@ -1431,7 +1459,12 @@ class maintenance_lease:
         if _LEASE_DEPTH[self.path] <= 0:
             _LEASE_DEPTH.pop(self.path, None)
             fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
-            if fs.exists(lp):
+            # only release a lock WE still hold: if this lease expired
+            # and another writer broke it and acquired its own, deleting
+            # unconditionally would unlock the NEW holder and let a
+            # third writer in (ADVICE r12)
+            holder = self._read_holder(fs, lp)
+            if holder is not None and holder == self._payload:
                 fs.delete(lp, False)
         return False
 

@@ -69,9 +69,40 @@ def _fs(spark: SparkSession, path: str):
     return _hadoop_fs(spark, path)
 
 
+_PUBLISH_STASH_SUFFIX = "__versions_publish_stash"
+
+
+def _heal_publish_stash(spark: SparkSession, path: str) -> bool:
+    """Restore a `_versions` dir stranded in the republish stash by a
+    crash inside io._zorder_write_versioned (the rename-out /
+    rename-back window): without this, the next versioned-op check
+    would see no log and silently de-version the dataset (ADVICE r12).
+    Returns True if a restore happened. Both the live dir AND a stash
+    existing is anomalous (a raced republish or a stale stash beside a
+    re-enabled log) and raises rather than risking a nested rename."""
+    sfs, sp = _fs(spark, f"{path.rstrip('/')}{_PUBLISH_STASH_SUFFIX}")
+    if not sfs.exists(sp):
+        return False
+    vfs, vp = _fs(spark, f"{path}/{_VDIR}")
+    if vfs.exists(vp):
+        raise RuntimeError(
+            f"{path}/{_VDIR} and its publish stash both exist — refusing "
+            "to guess which is authoritative; inspect and remove one "
+            f"({path.rstrip('/')}{_PUBLISH_STASH_SUFFIX})"
+        )
+    return bool(sfs.rename(sp, vp))
+
+
 def version_log_enabled(spark: SparkSession, path: str) -> bool:
     fs, p = _fs(spark, f"{path}/{_VLOG}")
-    return fs.exists(p)
+    if fs.exists(p):
+        return True
+    # log absent: a crashed republish may have left it in the stash —
+    # heal before answering (zero extra RPC on the common log-present
+    # path; one exists() check on the log-absent path)
+    if _heal_publish_stash(spark, path):
+        return fs.exists(p)
+    return False
 
 
 def _live_names(spark: SparkSession, path: str) -> list:
@@ -245,15 +276,24 @@ def record_logical_delete(
     allocation of that version overwrites."""
     from engage_spark.io import maintenance_lease
 
+    from pyspark.sql import Observation
+
     with maintenance_lease(spark, path):
         # heal drift first: this entry's version must see the true
         # file set, or the snapshot at it is wrong forever
         _vlog_reconcile(spark, path)
         entries = _vlog_entries(spark, path)
         v = (entries[-1]["version"] + 1) if entries else 1
-        keys.select(F.col(key_col)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/{_VRETAINED}/deletes_v{v}")
+        # when the caller didn't pass a count, ride it on the key-batch
+        # write via an Observation — one evaluation of the input frame,
+        # not a write plus a second count() run of the same plan
+        obs = Observation() if n_keys is None else None
+        kdf = keys.select(F.col(key_col))
+        if obs is not None:
+            kdf = kdf.observe(obs, F.count(F.lit(1)).alias("n"))
+        kdf.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/{_VRETAINED}/deletes_v{v}"
+        )
         got = _vlog_append_entry(
             spark,
             path,
@@ -261,7 +301,7 @@ def record_logical_delete(
             added=[],
             removed=[],
             key_col=key_col,
-            n_keys=keys.count() if n_keys is None else n_keys,
+            n_keys=int(obs.get["n"]) if obs is not None else n_keys,
         )
         assert got == v, "version raced despite lease"
     return v
@@ -611,30 +651,75 @@ def _mirror_state_write(spark: SparkSession, mirror_path: str, v: int) -> None:
 
 _MIRROR_STAGING = "_mirror_incoming"
 _MIRROR_MANIFEST = "_mirror_manifest"
+_MIRROR_PURGE = f"{_MIRROR_STAGING}/_purge"  # staged purge keys (inside staging)
+_MIRROR_PURGE_DONE = "_mirror_purge_done"  # purge-applied marker
 
 
 def _mirror_stage_inserts(
-    spark: SparkSession, mirror_path: str, ins: DataFrame, to_version: int
+    spark: SparkSession,
+    mirror_path: str,
+    ins: DataFrame,
+    to_version: int,
+    purge: DataFrame | None = None,
 ) -> int:
-    """Stage a drain's insert rows + write the commit manifest. The
-    manifest's presence marks the staging COMPLETE; its absence on
-    replay means restage from scratch (mode=overwrite clears a
-    partial attempt). Returns the staged row count."""
+    """Stage a drain's insert rows — and, for a netting drain, its
+    PURGE KEY SET under `_purge` inside the staging dir — then write
+    the commit manifest. The purge keys are durably staged BEFORE the
+    manifest exists (ADVICE r12 high): a replay therefore always knows
+    which keys to purge, no matter where the prior attempt crashed.
+    The manifest's presence marks the staging COMPLETE; its absence on
+    replay means restage from scratch (mode=overwrite clears a partial
+    attempt, including any partial `_purge`). Returns the staged row
+    count."""
     from engage_spark.session import local_frame
 
     n = ins.count()
     ins.write.mode("overwrite").parquet(f"{mirror_path}/{_MIRROR_STAGING}")
+    if purge is not None:
+        purge.coalesce(1).write.mode("overwrite").parquet(
+            f"{mirror_path}/{_MIRROR_PURGE}"
+        )
     local_frame(spark, [(to_version,)], "to_version long").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{mirror_path}/{_MIRROR_MANIFEST}")
     return n
 
 
-def _mirror_commit(spark: SparkSession, mirror_path: str, to_version: int) -> None:
-    """Finish a staged drain: move staged part files into the mirror
-    root (renames — a file moved by a prior crashed attempt is gone
-    from staging, so replays never duplicate), advance the checkpoint,
-    drop manifest + staging. Idempotent at every step."""
+def _mirror_apply_purge(spark: SparkSession, mirror_path: str) -> int:
+    """Apply a staged purge key set through the mirror's own
+    deletion-vector path, exactly once per drain: skipped when no
+    `_purge` was staged (append-only drains) or when the
+    `_purge_done` marker says a prior attempt already applied it —
+    re-purging after the staged inserts moved in would delete the
+    fresh rows of updated keys. Returns the purged key count."""
+    pfs, pp = _fs(spark, f"{mirror_path}/{_MIRROR_PURGE}")
+    if not pfs.exists(pp):
+        return 0
+    dfs, done = _fs(spark, f"{mirror_path}/{_MIRROR_PURGE_DONE}")
+    if dfs.exists(done):
+        return 0
+    from engage_spark.io import apply_deletes, delete_rows
+
+    keys = spark.read.parquet(f"{mirror_path}/{_MIRROR_PURGE}")
+    n = delete_rows(spark, mirror_path, keys, keys.columns[0])
+    apply_deletes(spark, mirror_path)
+    # marker AFTER the purge settles: a crash before it re-purges (a
+    # no-op — the keys are already gone and no insert has moved in
+    # yet); a crash after it moves straight to the file moves
+    out = dfs.create(done, True)
+    out.close()
+    return n
+
+
+def _mirror_commit(spark: SparkSession, mirror_path: str, to_version: int) -> int:
+    """Finish a staged drain, in the one safe order: (1) apply the
+    staged purge (before any insert file lands — updated keys appear
+    in BOTH the purge set and the inserts), (2) move staged part files
+    into the mirror root (renames — a file moved by a prior crashed
+    attempt is gone from staging, so replays never duplicate), (3)
+    advance the checkpoint, (4) drop manifest/staging/marker.
+    Idempotent at every step. Returns the purged key count."""
+    n_purged = _mirror_apply_purge(spark, mirror_path)
     fs, _root = _fs(spark, mirror_path)
     sfs, sp = _fs(spark, f"{mirror_path}/{_MIRROR_STAGING}")
     if sfs.exists(sp):
@@ -650,14 +735,21 @@ def _mirror_commit(spark: SparkSession, mirror_path: str, to_version: int) -> No
     mfs.delete(mp, True)
     if sfs.exists(sp):
         sfs.delete(sp, True)
+    dfs, done = _fs(spark, f"{mirror_path}/{_MIRROR_PURGE_DONE}")
+    if dfs.exists(done):
+        dfs.delete(done, False)
+    return n_purged
 
 
 def _mirror_replay_pending(spark: SparkSession, mirror_path: str):
-    """A manifest left behind means a prior drain crashed between
-    staging and commit: finish it — settle any half-applied purge
-    first (the mirror's plain-read contract requires no lingering
-    deletion sidecar), then move + advance. Returns the replayed
-    version, or None."""
+    """A manifest left behind means a prior drain crashed after its
+    staging (inserts + purge keys) completed: finish it — _mirror_commit
+    re-applies the purge from the STAGED key set (not from whatever
+    delete_rows happened to land pre-crash — ADVICE r12 high: the old
+    shape lost the purge forever if the crash hit between manifest and
+    delete_rows), then moves + advances. Also settles a deletion
+    sidecar a crashed mid-purge attempt left behind. Returns the
+    replayed version, or None."""
     mfs, mp = _fs(spark, f"{mirror_path}/{_MIRROR_MANIFEST}")
     if not mfs.exists(mp):
         return None
@@ -667,6 +759,8 @@ def _mirror_replay_pending(spark: SparkSession, mirror_path: str):
         spark.read.parquet(f"{mirror_path}/{_MIRROR_MANIFEST}")
         .first()["to_version"]
     )
+    # a crash inside the prior purge can leave `_deletes` half-applied;
+    # settle it first (idempotent — no sidecar means no work)
     apply_deletes(spark, mirror_path)
     _mirror_commit(spark, mirror_path, v)
     return v
@@ -697,18 +791,22 @@ def sync_mirror(
 
     The checkpoint (`_mirror_state`) lives inside the mirror, so the
     pair is self-describing, and every drain applies through a staged
-    commit (`_mirror_incoming` staging + `_mirror_manifest`, finished
-    at the next call's entry): a crash before the manifest restages
-    from scratch, a crash after it finishes the purge and moves only
-    the not-yet-moved files — no replay can duplicate or lose rows,
-    and the checkpoint only advances at commit. Many small drains
-    fragment the mirror into small appended files; the mirror is plain
-    parquet, so the standard maintenance ops (compact_dataset /
-    optimize_dataset) apply on whatever cadence layout stats suggest.
-    Returns {"from_version", "to_version", "inserted", "deleted"}."""
+    commit (`_mirror_incoming` staging — inserts plus, for a netting
+    drain, the purge key set under `_purge` — then `_mirror_manifest`,
+    finished at the next call's entry): a crash before the manifest
+    restages from scratch; a crash after it re-applies the purge from
+    the STAGED keys (marker-guarded so it runs exactly once — before
+    any insert file moves in, since updated keys appear in both sets)
+    and moves only the not-yet-moved files — no replay can duplicate
+    or lose rows, and the checkpoint only advances at commit. Keys
+    must be UNIQUE per live row (the upsert contract): a drain whose
+    net effect leaves >1 live row for one key raises rather than
+    silently collapsing them. Many small drains fragment the mirror
+    into small appended files; the mirror is plain parquet, so the
+    standard maintenance ops (compact_dataset / optimize_dataset)
+    apply on whatever cadence layout stats suggest. Returns
+    {"from_version", "to_version", "inserted", "deleted"}."""
     from pyspark.sql.window import Window
-
-    from engage_spark.io import apply_deletes, delete_rows
 
     if src_path.rstrip("/") == mirror_path.rstrip("/"):
         raise ValueError("sync_mirror: mirror path must differ from source")
@@ -801,41 +899,67 @@ def sync_mirror(
         }
     # net last action per key: latest commit wins; within one commit
     # (an upsert's delete+insert pair) the insert is the final state.
-    # The feed is persisted ONCE (change-sized): purge keys, the
-    # netting window, and the insert append all read it, and an
-    # unpersisted feed would re-run the delete-probe scan per consumer
+    # The feed is persisted ONCE (change-sized): the netting window,
+    # the uniqueness check, purge keys, and the insert staging all
+    # read it, and an unpersisted feed would re-run the delete-probe
+    # scan per consumer
     feed = feed.persist()
     w = Window.partitionBy(key_col).orderBy(
         F.col("commit_version").desc(), F.col("change_type").desc()
     )
-    latest = (
-        feed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    ranked = feed.withColumn("__rn", F.row_number().over(w))
     try:
-        # stage FIRST (manifest presence = staging complete), purge,
-        # then commit: a crash anywhere replays convergently —
-        # pre-manifest crashes restage from scratch, post-manifest
-        # crashes finish the purge (apply_deletes is its own staged
-        # op) and move only the not-yet-moved staged files
+        # UNIQUE-KEY CONTRACT (ADVICE r12): netting keeps one row per
+        # key, so a key whose net live state is >1 row (duplicate-key
+        # appends never separated by a delete) would be silently
+        # collapsed. Detect and raise, mirroring upsert_dataset's
+        # check_unique_keys. A key's top-2 feed actions both being
+        # inserts is exactly that condition: any interposed delete
+        # sorts between them (same-commit upsert pairs sort
+        # insert-first and leave exactly one live row).
+        dup = (
+            ranked.filter(F.col("__rn") <= 2)
+            .groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.sum(
+                    (F.col("change_type") == "insert").cast("int")
+                ).alias("__ci"),
+            )
+            .filter((F.col("__c") == 2) & (F.col("__ci") == 2))
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"sync_mirror: key {key_col}={dup[0][key_col]!r} has "
+                "more than one live row in the drained window — the "
+                "mirror's netting requires unique keys (the upsert "
+                "contract); deduplicate the source appends or mirror "
+                "on a truly unique key"
+            )
+        latest = ranked.filter(F.col("__rn") == 1).drop("__rn")
+        # stage inserts AND the purge key set, THEN the manifest: the
+        # purge keys are durable before the commit point exists, so a
+        # crash anywhere replays convergently — pre-manifest crashes
+        # restage from scratch, post-manifest crashes re-apply the
+        # purge FROM THE STAGED KEYS (once, marker-guarded) and move
+        # only the not-yet-moved staged files. Purge holds ONLY keys
+        # the feed explicitly deleted (updates carry their own delete
+        # pre-image; brand-new inserts never do) — keys inserted this
+        # drain were never in the mirror, and passing them through
+        # the purge would bloat the In-literal probe from |deletes|
+        # to |drain| for no effect.
         ins = latest.filter(F.col("change_type") == "insert").select(
             *data_cols
         )
-        n_ins = _mirror_stage_inserts(spark, mirror_path, ins, hi)
-        # purge ONLY keys the feed explicitly deleted (updates carry
-        # their own delete pre-image; brand-new inserts never do) —
-        # keys inserted this drain were never in the mirror, and
-        # passing them through the purge would bloat the In-literal
-        # probe from |deletes| to |drain| for no effect
         purge = (
             feed.filter(F.col("change_type") == "delete")
             .select(key_col)
             .dropDuplicates()
         )
-        n_del = delete_rows(spark, mirror_path, purge, key_col)
-        apply_deletes(spark, mirror_path)
-        _mirror_commit(spark, mirror_path, hi)
+        n_ins = _mirror_stage_inserts(spark, mirror_path, ins, hi, purge=purge)
+        n_del = _mirror_commit(spark, mirror_path, hi)
     finally:
         feed.unpersist()
     return {

@@ -566,7 +566,7 @@ def test_sync_mirror_crash_windows_replay_without_duplicates(
     )                                                              # v3
     real_stage = v_mod._mirror_stage_inserts
 
-    def boom_stage(spark_, path_, ins_, v_):
+    def boom_stage(spark_, path_, ins_, v_, purge=None):
         ins_.limit(1).write.mode("overwrite").parquet(
             f"{path_}/{v_mod._MIRROR_STAGING}"
         )  # partial staging, NO manifest
@@ -585,6 +585,102 @@ def test_sync_mirror_crash_windows_replay_without_duplicates(
         mirror.agg(F.sum("event_id")).first()[0]
         == live.agg(F.sum("event_id")).first()[0]
     )
+
+
+def test_sync_mirror_mixed_drain_crash_after_manifest_before_purge(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r12 (high): a crash AFTER the manifest lands but BEFORE
+    the purge applies must not lose the drain's deletes — the purge
+    key set is staged durably with the inserts, and the replay
+    re-applies it from there (exactly once, before any insert file
+    moves in). The old shape advanced the checkpoint with the deletes
+    gone forever, leaving updated keys duplicated."""
+    from engage_spark import versioning as v_mod
+    from engage_spark.io import upsert_dataset
+    from engage_spark.session import local_frame
+    from engage_spark.versioning import mirror_state, sync_mirror
+
+    src, mir = tmp_path / "psrc", tmp_path / "pmir"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(src), ["user_id", "v_cents"], bits=16, num_files=2
+    )
+    version_log_enable(spark, str(src))                            # v1
+    sync_mirror(spark, str(src), str(mir), "event_id")             # bootstrap
+
+    # mixed drain: a takedown batch + an update of key 4
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v2
+    upsert_dataset(
+        spark, str(src),
+        local_frame(
+            spark, [(4, 424_242, 7)],
+            "event_id long, user_id long, v_cents long",
+        ),
+        ["event_id"],
+    )                                                              # v3
+
+    real_purge = v_mod._mirror_apply_purge
+
+    def boom_purge(*a, **kw):
+        raise RuntimeError("injected crash before purge")
+
+    monkeypatch.setattr(v_mod, "_mirror_apply_purge", boom_purge)
+    with pytest.raises(RuntimeError, match="before purge"):
+        sync_mirror(spark, str(src), str(mir), "event_id")
+    monkeypatch.setattr(v_mod, "_mirror_apply_purge", real_purge)
+    # checkpoint unmoved; the purge key set is durably staged
+    assert mirror_state(spark, str(mir)) == 1
+    pfs_path = f"{mir}/{v_mod._MIRROR_PURGE}"
+    assert spark.read.parquet(pfs_path).count() > 0
+
+    # replay converges: deletes applied, update key not duplicated
+    sync_mirror(spark, str(src), str(mir), "event_id")
+    live = read_with_deletes(spark, str(src))
+    mirror = spark.read.parquet(str(mir))
+    assert mirror.count() == live.count()
+    assert mirror.filter(F.col("event_id") == 4).count() == 1
+    assert (
+        mirror.filter(F.col("event_id") == 4).first()["user_id"] == 424_242
+    )
+    assert mirror.filter(F.col("event_id") % 97 == 0).count() == 0
+    assert (
+        mirror.agg(F.sum("event_id")).first()[0]
+        == live.agg(F.sum("event_id")).first()[0]
+    )
+
+
+def test_sync_mirror_duplicate_live_keys_raise(spark, sf_dir, tmp_path):
+    """The netting window keeps one row per key, so a drain whose net
+    effect is >1 live row for one key (duplicate-key appends never
+    separated by a delete) must raise, not silently collapse."""
+    from engage_spark.session import local_frame
+    from engage_spark.versioning import sync_mirror
+
+    src, mir = tmp_path / "dsrc", tmp_path / "dmir"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(src), ["user_id", "v_cents"], bits=16, num_files=2
+    )
+    version_log_enable(spark, str(src))                            # v1
+    sync_mirror(spark, str(src), str(mir), "event_id")             # bootstrap
+    # duplicate-key append (twice, so the drain is NOT append-only —
+    # force the netting path with an unrelated takedown)
+    dup = local_frame(
+        spark, [(2, 1, 1)], "event_id long, user_id long, v_cents long"
+    )
+    zorder_append(spark, dup, str(src), num_files=1)               # v2
+    zorder_append(spark, dup, str(src), num_files=1)               # v3
+    delete_rows(
+        spark, str(src),
+        local_frame(spark, [(6,)], "event_id long"), "event_id",
+    )                                                              # v4
+    with pytest.raises(ValueError, match="unique keys"):
+        sync_mirror(spark, str(src), str(mir), "event_id")
 
 
 def test_sync_rollup_incremental_matches_recompute(
