@@ -182,6 +182,53 @@ def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] | None =
     writer.parquet(path)
 
 
+def append_dataset(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] | None = None,
+) -> dict:
+    """Plain (optionally hive-partitioned) parquet APPEND that keeps
+    the version log exact: on a version-logged target the write's
+    files are recorded as one ``append`` entry holding their
+    dataset-RELATIVE paths (partition dirs included), so time travel /
+    CDF / mirror consumers see exactly this increment at increment
+    cost. The versioned sibling of ``write_parquet(mode='append')``
+    for non-Z-ordered corpora — ``zorder_append`` covers the clustered
+    flat case. On an unversioned target this is just the plain append.
+    Returns {"files": <appended file count or None>}."""
+    from engage_spark.versioning import (
+        _relativize,
+        _vlog_append_entry,
+        _vlog_reconcile,
+        version_log_enabled,
+    )
+
+    def _write():
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.parquet(path)
+
+    if not version_log_enabled(spark, path):
+        _write()
+        return {"files": None}
+    with maintenance_lease(spark, path):
+        # heal drift BEFORE the append so the entry records only this
+        # increment's files (same contract as zorder_append)
+        _vlog_reconcile(spark, path)
+        before = set(spark.read.parquet(path).inputFiles())
+        _write()
+        new = set(spark.read.parquet(path).inputFiles()) - before
+        if new:
+            _vlog_append_entry(
+                spark, path, "append",
+                added=sorted(_relativize(spark, path, sorted(new))),
+                removed=[],
+            )
+    return {"files": len(new)}
+
+
 def write_bucketed(
     spark: SparkSession,
     df: DataFrame,
@@ -205,10 +252,14 @@ def write_bucketed(
     answer to its hand-partitioned per-group loops.
 
     Bucket metadata lives in the catalog, so reads must go through
-    ``spark.table(table_name)`` — a path read sees plain parquet.
-    `path` makes it an external table (data at `path`, metadata in the
-    session catalog); size `num_buckets` so one bucket of the LARGER
-    table ≈ one task's worth (128-256 MB)."""
+    ``spark.table(table_name)`` — a path read sees plain parquet. For
+    an external table (`path` given) the spec is ALSO persisted next
+    to the data as a ``_bucket_spec`` sidecar (r13 — the other
+    maintenance sidecars' convention), so a FRESH session with an
+    empty catalog recovers the zero-exchange join via
+    ``read_bucketed`` instead of silently re-shuffling. Size
+    `num_buckets` so one bucket of the LARGER table ≈ one task's
+    worth (128-256 MB)."""
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         if path is not None:
@@ -224,6 +275,62 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+    if path is not None:
+        from engage_spark.session import local_frame
+
+        local_frame(
+            spark,
+            [(
+                list(bucket_cols),
+                int(num_buckets),
+                list(sort_cols or bucket_cols),
+                spark.table(table_name).schema.json(),
+            )],
+            "bucket_cols array<string>, num_buckets int, "
+            "sort_cols array<string>, schema_json string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/{_BUCKET_SPEC}"
+        )
+
+
+_BUCKET_SPEC = "_bucket_spec"
+
+
+def read_bucketed(spark: SparkSession, path: str, table_name: str) -> DataFrame:
+    """Open a bucketed dataset WITH its bucket spec honored, from any
+    session: if `table_name` is already in the catalog, use it;
+    otherwise re-register it from the ``_bucket_spec`` sidecar
+    (CREATE TABLE ... CLUSTERED BY ... INTO n BUCKETS LOCATION path).
+    Without this, a new driver reading the same path sees plain
+    parquet and every join re-shuffles — the amortize-forever claim of
+    write_bucketed only held within the writing session (VERDICT r12
+    missing #4)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    if spark.catalog.tableExists(table_name):
+        return spark.table(table_name)
+    fs, p = _hadoop_fs(spark, f"{path}/{_BUCKET_SPEC}")
+    if not fs.exists(p):
+        raise ValueError(
+            f"{path} has no _bucket_spec sidecar — not written by "
+            "write_bucketed(path=...), or the spec was removed"
+        )
+    spec = spark.read.parquet(f"{path}/{_BUCKET_SPEC}").first()
+    schema = StructType.fromJson(_json.loads(spec["schema_json"]))
+    cols_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    bcols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
+    scols = ", ".join(f"`{c}`" for c in spec["sort_cols"])
+    spark.sql(
+        f"CREATE TABLE {table_name} ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY ({bcols}) SORTED BY ({scols}) "
+        f"INTO {int(spec['num_buckets'])} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table_name)
 
 
 def compact_dataset(
@@ -936,10 +1043,13 @@ def zorder_append(
             spark, path, man + _zranges_scan(spark, path, new_files)
         )
     if vlog and new_files:
+        from engage_spark.versioning import _relativize
+
         with maintenance_lease(spark, path):
             _vlog_append_entry(
                 spark, path, "append",
-                added=[f.rsplit("/", 1)[-1] for f in new_files], removed=[],
+                added=sorted(_relativize(spark, path, sorted(new_files))),
+                removed=[],
             )
     # no df.count() here — that would re-run the whole scale+shuffle
     # pipeline just for a return value; count the dataset if you need it
@@ -1254,11 +1364,40 @@ def _optimize_incremental_impl(
     }
 
 
+def _staged_rel_files(spark: SparkSession, staging: str) -> list:
+    """Staging-relative paths of the staged data files — nested for a
+    hive-partitioned rewrite (`lang=en/part-0001.parquet`), flat
+    otherwise. Skips `_`/`.`-prefixed names at every level (markers,
+    checksums)."""
+    sfs, sp = _hadoop_fs(spark, staging)
+    if not sfs.exists(sp):
+        return []
+    root = sfs.makeQualified(sp).toUri().getPath().rstrip("/")
+    out = []
+
+    def _walk(dirp):
+        for s in sfs.listStatus(dirp):
+            name = s.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if s.isDirectory():
+                _walk(s.getPath())
+            else:
+                out.append(
+                    s.getPath().toUri().getPath()[len(root) + 1:]
+                )
+
+    _walk(sp)
+    return sorted(out)
+
+
 def _optimize_commit(
     spark: SparkSession, path: str, victims: list | None = None
 ) -> int:
     """Complete a staged incremental optimize: move staged part files
-    into the dataset root, delete the manifest's victims, drop the
+    into the dataset root — PRESERVING their staging-relative subpath,
+    so a hive-partitioned rewrite's files land back inside their
+    `col=val/` dirs — delete the manifest's victims, drop the
     sidecars. Idempotent — every step skips already-done work — so
     optimize_recover can replay it after a crash. In-line callers pass
     the `victims` they just wrote to the manifest (saves a read-back
@@ -1267,15 +1406,14 @@ def _optimize_commit(
     fs, root = _hadoop_fs(spark, path)
     sfs, sp = _hadoop_fs(spark, f"{path}/{_OPT_STAGING}")
     moved = 0
-    if sfs.exists(sp):
-        for s in sfs.listStatus(sp):
-            name = s.getPath().getName()
-            if name.startswith("_") or s.isDirectory():
-                continue
-            _, dst = _hadoop_fs(spark, f"{path}/{name}")
-            if not fs.exists(dst):
-                fs.rename(s.getPath(), dst)
-            moved += 1
+    for rel in _staged_rel_files(spark, f"{path}/{_OPT_STAGING}"):
+        _, dst = _hadoop_fs(spark, f"{path}/{rel}")
+        if not fs.exists(dst):
+            fs.mkdirs(dst.getParent())
+            fs.rename(
+                _hadoop_fs(spark, f"{path}/{_OPT_STAGING}/{rel}")[1], dst
+            )
+        moved += 1
     if victims is None:
         victims = [
             r.victim
@@ -1307,16 +1445,24 @@ def _optimize_commit(
 
 
 def _victim_bytes(spark: SparkSession, path: str, victims) -> int:
-    """Total byte size of the victim files via ONE directory listing
-    (O(1) namenode/object-store RPCs), not a per-file getFileStatus
-    loop (O(victims) round-trips — the r11-flagged shape)."""
+    """Total byte size of the victim files via ONE recursive listing
+    (a single listFiles RPC stream — partition dirs included), not a
+    per-file getFileStatus loop (O(victims) round-trips — the
+    r11-flagged shape). Keyed by full path portion so same-named part
+    files in different partition dirs cannot collide."""
+    jvm = spark._jvm
     fs, p = _hadoop_fs(spark, path)
-    sizes = {
-        s.getPath().getName(): s.getLen()
-        for s in fs.listStatus(p)
-        if not s.isDirectory()
-    }
-    return sum(sizes.get(f.rsplit("/", 1)[-1], 0) for f in victims)
+    sizes = {}
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        s = it.next()
+        sizes[s.getPath().toUri().getPath()] = s.getLen()
+    return sum(
+        sizes.get(
+            jvm.org.apache.hadoop.fs.Path(f).toUri().getPath(), 0
+        )
+        for f in victims
+    )
 
 
 def _optimize_gc_staging(spark: SparkSession, path: str) -> None:
@@ -1657,35 +1803,53 @@ def _apply_deletes_impl(
         man_before = None  # stale; do not extend it after the swap
     total = _victim_bytes(spark, path, victims)
     n_new = max(1, math.ceil(total / target_file_bytes))
-    kept_rows = spark.read.parquet(*victims).join(
+    from engage_spark.versioning import _relativize
+
+    # hive-partitioned victims: leaf-file reads drop the partition
+    # COLUMN VALUES unless anchored at the dataset root via basePath
+    # (the ADVICE r12 silent-data-loss shape), and survivors must be
+    # written back per-partition, not into the root beside col=val/
+    # dirs. basePath is harmless on a flat layout (no partition dirs
+    # to discover), so it is applied unconditionally.
+    victim_rel = _relativize(spark, path, victims)
+    part_cols = [
+        seg.split("=", 1)[0]
+        for seg in victim_rel[0].split("/")[:-1]
+        if "=" in seg
+    ]
+    kept_rows = spark.read.option("basePath", path).parquet(*victims).join(
         F.broadcast(dels), on=key, how="left_anti"
     )
+    staging = f"{path}/{_OPT_STAGING}"
     zm_fs, zm_p = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
-    if zm_fs.exists(zm_p):
+    if part_cols:
+        # one task per (shuffle slot) grouped on the partition columns
+        # keeps each partition dir to right-sized files
+        (
+            kept_rows.repartition(n_new, *part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(staging)
+        )
+    elif zm_fs.exists(zm_p):
         # keep the survivors on the frozen curve so footer pruning and
         # later zorder_appends see the same layout contract
         m = zorder_meta(spark, path)
-        kept_rows = (
+        (
             _zorder_scale_frozen(spark, kept_rows, path, m)
             .repartitionByRange(n_new, "__z")
             .sortWithinPartitions("__z")
             .drop("__z")
+            .write.mode("overwrite")
+            .parquet(staging)
         )
     else:
-        kept_rows = kept_rows.coalesce(n_new)
-    staging = f"{path}/{_OPT_STAGING}"
-    kept_rows.write.mode("overwrite").parquet(staging)
+        kept_rows.coalesce(n_new).write.mode("overwrite").parquet(staging)
     # manifest AFTER staging completes: its presence is the commit
     # point (same protocol + recovery as optimize_incremental)
     from engage_spark.session import local_frame
 
-    staged_names = [
-        s.getPath().getName()
-        for s in _hadoop_fs(spark, staging)[0].listStatus(
-            _hadoop_fs(spark, staging)[1]
-        )
-        if not s.getPath().getName().startswith("_") and not s.isDirectory()
-    ]
+    staged_names = _staged_rel_files(spark, staging)
     local_frame(
         spark, [(f,) for f in victims], "victim string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
@@ -1703,7 +1867,7 @@ def _apply_deletes_impl(
         _vlog_append_entry(
             spark, path, "vacuum_deletes",
             added=staged_names,
-            removed=[f.rsplit("/", 1)[-1] for f in victims],
+            removed=victim_rel,
             key_col=key, n_keys=n,
         )
     return {
@@ -1856,9 +2020,11 @@ def _upsert_dataset_impl(
     vlog = version_log_enabled(spark, target)
     if vlog and partition_by:
         raise ValueError(
-            f"{target} has a version log, which covers flat datasets "
-            "only — a hive-partitioned upsert cannot be logged exactly. "
-            "Drop partition_by, or keep this dataset unversioned."
+            f"{target} has a version log; the hive-partitioned upsert "
+            "path (dynamic partition overwrite) deletes replaced files "
+            "in place, so it cannot keep history exactly. Use "
+            "append_dataset + delete_rows/apply_deletes on a versioned "
+            "partitioned dataset, or keep this dataset unversioned."
         )
     if check_unique_keys:
         dup = (

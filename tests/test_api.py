@@ -1967,6 +1967,61 @@ def test_apply_deletes_is_file_targeted(spark, tmp_path):
     assert spark.read.parquet(p).count() == 40000 - 200 + 100
 
 
+def test_apply_deletes_partitioned_preserves_partition_values(
+    spark, tmp_path
+):
+    """ADVICE r12 (medium): on a hive-partitioned dataset the vacuum
+    must read victims with basePath (else the partition column values
+    silently vanish) and write survivors back INSIDE their partition
+    dirs (else rewritten files beach at the dataset root and break
+    partition discovery). Clean partitions stay byte-identical; a
+    fully-deleted partition disappears."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import engage_spark.io as io
+    from engage_spark.session import local_frame
+
+    p = str(tmp_path / "dv_part")
+    df = local_frame(
+        spark,
+        [(i, i % 5, i * 10) for i in range(2000)],
+        "k long, g long, v long",
+    )
+    df.write.partitionBy("g").parquet(p)
+    files_before = {
+        f: os.path.getmtime(f.replace("file:", ""))
+        for f in spark.read.parquet(p).inputFiles()
+    }
+    # delete some keys from partition g=1 and ALL of partition g=3
+    doomed = [i for i in range(2000) if i % 5 == 1 and i < 500] + [
+        i for i in range(2000) if i % 5 == 3
+    ]
+    io.delete_rows(spark, p, doomed, "k")
+    out = io.apply_deletes(spark, p)
+    assert out["deleted_keys"] == len(doomed)
+    assert out["rewritten_files"] > 0
+    back = spark.read.parquet(p)
+    # partition column intact, values correct, survivors exact
+    assert back.count() == 2000 - len(doomed)
+    assert back.filter(F.col("g").isNull()).count() == 0
+    assert back.filter(F.col("g") != F.col("k") % 5).count() == 0
+    assert back.filter(F.col("k").isin(doomed)).count() == 0
+    assert back.filter(F.col("g") == 3).count() == 0
+    # every live file still lives under a g=... dir (none at the root)
+    for uri in back.inputFiles():
+        rel = uri.split(p + "/", 1)[1]
+        assert rel.startswith("g="), f"file beached at dataset root: {rel}"
+    # untouched partitions' files survive byte-identical
+    clean = {
+        f for f in files_before
+        if "/g=0/" in f or "/g=2/" in f or "/g=4/" in f
+    }
+    for f in clean:
+        assert os.path.getmtime(f.replace("file:", "")) == files_before[f]
+
+
 def test_optimize_incremental_replays_pending_commit_at_entry(
     spark, tmp_path, monkeypatch
 ):

