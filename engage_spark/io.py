@@ -1817,8 +1817,14 @@ def _apply_deletes_impl(
         for seg in victim_rel[0].split("/")[:-1]
         if "=" in seg
     ]
-    kept_rows = spark.read.option("basePath", path).parquet(*victims).join(
-        F.broadcast(dels), on=key, how="left_anti"
+    # mergeSchema: victims spanning an s11-style evolution must keep
+    # the union schema — a plain multi-file read samples one footer
+    # and would silently drop the younger column from rewritten files
+    kept_rows = (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*victims)
+        .join(F.broadcast(dels), on=key, how="left_anti")
     )
     staging = f"{path}/{_OPT_STAGING}"
     zm_fs, zm_p = _hadoop_fs(spark, f"{path}/_zorder_meta/info")

@@ -49,77 +49,80 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
     return deco
 
 
-# Round-12 rotation (part 4): the driver checks the FIRST 50 registry
+# Round-13 rotation (part 5): the driver checks the FIRST 50 registry
 # entries, so this tuple is exactly that window. Composition:
-# (a) queries NEW or implementation-changed in round 12 — the version
-#     log (s14/s15), the file-targeted delete vacuum + lease (s13),
-#     the zorder write/append/optimize versioning hooks (s10 family),
-#     the distributed PQ query-side ADC build (x3e2/x3f/x5b), and the
-#     order-independent IRLS moments (m1c/m1d/x4b2) — each needs a
-#     fresh post-change driver row (the bench-drift watchlist
-#     x2/x3_topk/k_w9 needs TIMINGS, which bench.py provides
-#     regardless of this window — no correctness slots spent);
-# (b) the 38 registered queries whose newest driver row is r8 —
-#     rotation part 4. With 16 (a)-entries the 50-query window covers
-#     the first 33 of these; the final five (x_embed_profile,
-#     x_pack_boundaries, x_span_dedup, x_token_encode, x_vocab_topk —
-#     all hash-green on their r8 rows, none code-changed since) lead
-#     part 5 next round.
+# (a) the five queries whose newest driver row is r8 (the VERDICT r12
+#     rotation tail — none code-changed since, all hash-green there);
+# (b) queries NEW in round 13 — the partitioned version stack
+#     (s14b/s15b/s16b) and the min/max recompute rollup (s19b);
+# (c) queries whose IMPLEMENTATION changed in round 13 — the mirror
+#     purge staging + distributed bootstrap (s18), the rollup merge
+#     refactor (s19), the partition-aware + mergeSchema apply_deletes
+#     (s13), the relative-path log + _read_names + snapshot
+#     checkpoints (s14/s15/s16), the _bucket_spec sidecar (s17), and
+#     the staged-commit walk under zorder maintenance (s10 family);
+# (d) the r9 cohort, oldest-first — rotation part 5 proper (30 of 41;
+#     the remaining 11 — x3c/x3d/x3e, x4_tfidf_pipeline, the
+#     x_dedup_components trio, x_doc_chunking,
+#     x_embed_lsh_neardup_pairs, x_profile_columns, x_shard_manifest —
+#     lead part 6 next round).
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) changed or NEW in round 12
-    "s16_change_data_feed",
+    # (a) newest driver row r8
+    "x_embed_profile",
+    "x_pack_boundaries",
+    "x_span_dedup",
+    "x_token_encode",
+    "x_vocab_topk",
+    # (b) NEW in round 13
+    "s14b_time_travel_partitioned",
+    "s15b_version_diff_partitioned",
+    "s16b_change_feed_partitioned",
+    "s19b_incremental_rollup_minmax",
+    # (c) implementation changed in round 13
     "s18_mirror_sync",
     "s19_incremental_rollup",
-    "s17_bucketed_join",
-    "x4b_quality_classifier",
+    "s13_delete_vector_roundtrip",
     "s14_time_travel_versions",
     "s15_version_diff",
-    "s13_delete_vector_roundtrip",
-    "s10d_zorder_incremental_optimize_roundtrip",
-    "s10c_zorder_append_roundtrip",
+    "s16_change_data_feed",
+    "s17_bucketed_join",
     "s10_zorder_layout",
-    "x3e2_pq_adc_search",
-    "x3f_ivfpq_residual_search",
-    "x5b_hybrid_ivfpq",
-    "x5_hybrid_rrf",
-    "m1d_glm_irls_step",
-    "x4b2_quality_logit_irls",
-    # (b) newest driver row r8
-    "ev_json_extract",
-    "ev_sessionize_gap",
-    "ext_asof_join",
-    "ext_cube_order_stats",
-    "ext_exact_percentiles",
-    "ext_pivot_wide",
-    "ext_range_frame_sum",
-    "ext_range_join_binned",
-    "ext_rank_dense_ntile",
-    "ext_rollup_revenue",
-    "ext_salted_skew_join",
-    "ext_unpivot_long",
-    "f_collection_ops",
-    "k_m4b_sir_continuous",
-    "m1c_glm_design_stats",
-    "m2_mixed_effects",
-    "m5_r0_estimation",
-    "m6_bias_correction",
-    "m7_train_holdout_split",
-    "m8_scenario_compare",
-    "mm_media_metadata",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "s2_multifile_csv_glob_scan",
-    "s4_s5_parquet_partitioned_roundtrip",
-    "s4b_json_orc_roundtrip",
-    "st_dedup_events",
-    "st_session_window",
-    "st_sliding_window_agg",
-    "st_stream_stream_join",
-    "st_tumbling_window_agg",
-    "x1b_exact_dedup_keepers",
-    "x_cluster_safe_split",
+    "s10b_zorder_rank_layout",
+    "s10c_zorder_append_roundtrip",
+    "s10d_zorder_incremental_optimize_roundtrip",
+    # (d) the r9 cohort, rotation part 5
+    "a1_groupby_mean_all_numeric",
+    "a2_a3_groupby_sum_max",
+    "a5_global_min_max_mean",
+    "a6_group_size_gate",
+    "a8_maxabs_normalize",
+    "a9_distinct_values",
+    "a10_row_dedup_subset",
+    "a11_zscore_standardize",
+    "a12_rmse_metric",
+    "ev_conversion_funnel",
+    "ev_retention_cohorts",
+    "ext_approx_sketches",
+    "ext_kmv_distinct_md5",
+    "j1_inner_join_multikey",
+    "j3_left_outer_join",
+    "j4_right_outer_join",
+    "j5_self_join_suffixes",
+    "j6_broadcast_dim_join",
+    "j7_semi_join_membership",
+    "j8_anti_join_dropgroups",
+    "k_w9_interpolate",
+    "mm_resize_bytes",
+    "mm_resize_plan",
+    "s7_compaction_roundtrip",
+    "s8_partitioned_compaction_nulls",
+    "s11_schema_evolution_roundtrip",
+    "x2_minhash_lsh_dedup",
+    "x2b_simhash_dedup",
+    "x2b2_simhash_md5",
+    "x2d_minhash_md5",
 )
 
 

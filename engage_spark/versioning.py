@@ -284,19 +284,28 @@ def _read_names(spark: SparkSession, path: str, names: list) -> DataFrame:
                 "horizon are readable"
             )
         ret_sel.append(f"{path}/{_VRETAINED}/{n}")
+    # mergeSchema: a version set spanning an s11-style evolution (a
+    # column added mid-history) must surface the union schema with
+    # NULLs for pre-evolution files, exactly like the live mergeSchema
+    # read — a plain read samples one footer and silently drops the
+    # younger column. Cost: footer merging over THIS version's files
+    # only (planning-time, bounded by the file list).
     parts = []
     if live_sel:
         parts.append(
-            spark.read.option("basePath", path).parquet(*sorted(live_sel))
+            spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
+            .parquet(*sorted(live_sel))
         )
     if ret_sel:
         parts.append(
             spark.read.option("basePath", f"{path}/{_VRETAINED}")
+            .option("mergeSchema", "true")
             .parquet(*sorted(ret_sel))
         )
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

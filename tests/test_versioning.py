@@ -938,6 +938,77 @@ def test_sync_rollup_incremental_matches_recompute(
     assert r["groups"] is None
 
 
+def test_cdf_consumers_survive_schema_evolution_mid_feed(
+    spark, sf_dir, tmp_path
+):
+    """A column appears between two drains (the s11 mergeSchema
+    evolution): the change feed unions tolerantly, the mirror
+    converges with NULLs for pre-evolution rows (readable via
+    mergeSchema), and a rollup over a pre-evolution column is
+    unaffected — no consumer needs a backfill to keep draining."""
+    from engage_spark.io import append_dataset, read_with_deletes
+    from engage_spark.versioning import sync_mirror, sync_rollup
+
+    src = tmp_path / "esrc"
+    mir = tmp_path / "emir"
+    mv = tmp_path / "emv"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 4).cast("long")
+    )
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    odds = ev.filter(F.col("event_id") % 2 == 1)
+    evens.write.parquet(str(src))
+    version_log_enable(spark, str(src))                            # v1
+    sync_mirror(spark, str(src), str(mir), "event_id")             # bootstrap
+    sync_rollup(spark, str(src), str(mv), ["grp"], ["v_cents"])    # bootstrap
+    # EVOLUTION: the second generation carries a new `quality` column
+    append_dataset(
+        spark,
+        odds.withColumn(
+            "quality", (F.col("event_id") % 100).cast("double") / 100
+        ),
+        str(src),
+    )                                                              # v2
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3 (netting drain)
+    sync_mirror(spark, str(src), str(mir), "event_id")
+    sync_rollup(spark, str(src), str(mv), ["grp"], ["v_cents"])
+
+    live_n = ev.filter(F.col("event_id") % 97 != 0).count()
+    m = spark.read.option("mergeSchema", "true").parquet(str(mir))
+    assert m.count() == live_n
+    assert "quality" in m.columns
+    # pre-evolution rows surface NULL; post-evolution rows keep values
+    assert (
+        m.filter(F.col("event_id") % 2 == 0)
+        .filter(F.col("quality").isNotNull()).count() == 0
+    )
+    odd_live = odds.filter(F.col("event_id") % 97 != 0).count()
+    assert (
+        m.filter(F.col("quality").isNotNull()).count() == odd_live
+    )
+    # the rollup over the pre-evolution column matches a fresh compute
+    got = {
+        r["grp"]: (r["n"], r["sum_v_cents"])
+        for r in spark.read.parquet(str(mv)).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in read_with_deletes(spark, str(src))
+        .withColumn("grp", (F.col("user_id") % 4).cast("long"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_cents").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_sync_rollup_minmax_recompute_tier(spark, sf_dir, tmp_path):
     """MIN/MAX maintained through appends AND deletes via the
     touched-group recompute: after a drain that deletes a group's
