@@ -1196,6 +1196,64 @@ def s18_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s18b_mirror_sync_partitioned",
+    # the partitioned mirror must converge EXACTLY to the live content
+    # with its partition values intact (grouped by the partition
+    # column under the hash)
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(event_id)::BIGINT AS id_sum
+    FROM events WHERE event_id % 97 <> 0
+    GROUP BY event_type
+    """,
+    covers=["S4", "S5"],
+)
+def s18b_mirror_sync_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MIRROR of a HIVE-PARTITIONED source (r13): the
+    bootstrap copies partition dirs 1:1 (executor-distributed), the
+    append drain stages partitionBy and lands inside them via
+    relative-path moves, and the delete purges through the
+    partition-aware vacuum. Grouping the mirror by the partition
+    column hash-pins that the replica kept real partition values and
+    a clean hive layout — a flat file beside partition dirs would
+    make plain reads silently drop the partitioned corpus."""
+    from engage_spark.io import append_dataset, delete_rows
+    from engage_spark.versioning import sync_mirror, version_log_enable
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = _scratch("events_mirror_part_src")
+    mir = _scratch("events_mirror_part_dst")
+    shutil.rmtree(src, ignore_errors=True)  # idempotent across reruns
+    shutil.rmtree(mir, ignore_errors=True)
+    write_parquet(
+        ev.filter(F.col("event_id") % 2 == 0), src,
+        partition_by=["event_type"],
+    )
+    version_log_enable(spark, src)                              # v1
+    sync_mirror(spark, src, mir, "event_id")                    # bootstrap
+    append_dataset(
+        spark, ev.filter(F.col("event_id") % 2 == 1), src,
+        partition_by=["event_type"],
+    )                                                           # v2
+    delete_rows(
+        spark, src,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                           # v3
+    sync_mirror(spark, src, mir, "event_id")                    # drain
+    return (
+        spark.read.parquet(mir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+@query(
     "s19_incremental_rollup",
     # the maintained rollup must EQUAL a fresh aggregate of the end
     # state: all events except the %97 takedown, grouped — any drift

@@ -794,6 +794,19 @@ _MIRROR_PURGE = f"{_MIRROR_STAGING}/_purge"  # staged purge keys (inside staging
 _MIRROR_PURGE_DONE = "_mirror_purge_done"  # purge-applied marker
 
 
+def _partition_cols_of(spark: SparkSession, path: str) -> list:
+    """The dataset's hive partition columns, derived from its live
+    file layout ([] for a flat dataset)."""
+    names = _live_names(spark, path)
+    if not names:
+        return []
+    return [
+        seg.split("=", 1)[0]
+        for seg in names[0].split("/")[:-1]
+        if "=" in seg
+    ]
+
+
 def _mirror_stage_inserts(
     spark: SparkSession,
     mirror_path: str,
@@ -808,12 +821,21 @@ def _mirror_stage_inserts(
     which keys to purge, no matter where the prior attempt crashed.
     The manifest's presence marks the staging COMPLETE; its absence on
     replay means restage from scratch (mode=overwrite clears a partial
-    attempt, including any partial `_purge`). Returns the staged row
-    count."""
+    attempt, including any partial `_purge`).
+
+    A PARTITIONED mirror stages its inserts partitionBy the mirror's
+    own layout columns, so the commit's relative-path moves land them
+    inside their `col=val/` dirs — a flat file beside partition dirs
+    makes Spark read ONLY the root files, silently dropping the whole
+    partitioned corpus (caught r13). Returns the staged row count."""
     from engage_spark.session import local_frame
 
     n = ins.count()
-    ins.write.mode("overwrite").parquet(f"{mirror_path}/{_MIRROR_STAGING}")
+    part_cols = _partition_cols_of(spark, mirror_path)
+    writer = ins.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(f"{mirror_path}/{_MIRROR_STAGING}")
     if purge is not None:
         purge.coalesce(1).write.mode("overwrite").parquet(
             f"{mirror_path}/{_MIRROR_PURGE}"
@@ -859,16 +881,18 @@ def _mirror_commit(spark: SparkSession, mirror_path: str, to_version: int) -> in
     advance the checkpoint, (4) drop manifest/staging/marker.
     Idempotent at every step. Returns the purged key count."""
     n_purged = _mirror_apply_purge(spark, mirror_path)
+    from engage_spark.io import _staged_rel_files
+
     fs, _root = _fs(spark, mirror_path)
-    sfs, sp = _fs(spark, f"{mirror_path}/{_MIRROR_STAGING}")
-    if sfs.exists(sp):
-        for s in sfs.listStatus(sp):
-            name = s.getPath().getName()
-            if name.startswith("_") or s.isDirectory():
-                continue
-            _, dst = _fs(spark, f"{mirror_path}/{name}")
-            if not fs.exists(dst):
-                sfs.rename(s.getPath(), dst)
+    staging = f"{mirror_path}/{_MIRROR_STAGING}"
+    sfs, sp = _fs(spark, staging)
+    # relative-path moves: a partitioned drain's staged files keep
+    # their col=val/ subpath (the flat case degenerates to basenames)
+    for rel in _staged_rel_files(spark, staging):
+        _, dst = _fs(spark, f"{mirror_path}/{rel}")
+        if not fs.exists(dst):
+            fs.mkdirs(dst.getParent())
+            sfs.rename(_fs(spark, f"{staging}/{rel}")[1], dst)
     _mirror_state_write(spark, mirror_path, to_version)
     mfs, mp = _fs(spark, f"{mirror_path}/{_MIRROR_MANIFEST}")
     mfs.delete(mp, True)

@@ -938,6 +938,71 @@ def test_sync_rollup_incremental_matches_recompute(
     assert r["groups"] is None
 
 
+def test_sync_mirror_partitioned_source_keeps_layout(
+    spark, sf_dir, tmp_path
+):
+    """Mirroring a hive-partitioned source: the bootstrap copies the
+    partition dirs 1:1, an append-only drain stages partitionBy and
+    lands inside them, and a netting drain (delete + append) purges
+    through the partition-aware vacuum — the mirror NEVER grows a
+    flat file beside its partition dirs (which would make plain reads
+    silently drop the partitioned corpus — caught r13)."""
+    import os
+
+    from engage_spark.io import append_dataset, read_with_deletes
+    from engage_spark.versioning import sync_mirror
+
+    src, mir = tmp_path / "ppsrc", tmp_path / "ppmir"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 4).cast("long")
+    )
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    evens.write.partitionBy("grp").parquet(str(src))
+    version_log_enable(spark, str(src))                            # v1
+    sync_mirror(spark, str(src), str(mir), "event_id")             # bootstrap
+
+    def _no_root_files(root):
+        return not [
+            f for f in os.listdir(root)
+            if not f.startswith(("_", ".")) and
+            os.path.isfile(os.path.join(root, f))
+        ]
+
+    # append-only drain
+    append_dataset(
+        spark,
+        ev.filter(F.col("event_id") % 4 == 1),
+        str(src),
+        partition_by=["grp"],
+    )                                                              # v2
+    sync_mirror(spark, str(src), str(mir), "event_id")
+    assert _no_root_files(str(mir))
+    # netting drain: takedown + another partitioned append
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    append_dataset(
+        spark,
+        ev.filter(F.col("event_id") % 4 == 3),
+        str(src),
+        partition_by=["grp"],
+    )                                                              # v4
+    sync_mirror(spark, str(src), str(mir), "event_id")
+    assert _no_root_files(str(mir))
+    m = spark.read.parquet(str(mir))
+    live = read_with_deletes(spark, str(src))
+    assert m.count() == live.count()
+    assert "grp" in m.columns
+    assert m.filter(F.col("grp").isNull()).count() == 0
+    assert m.filter(F.col("grp") != F.col("user_id") % 4).count() == 0
+    assert (
+        m.agg(F.sum("event_id")).first()[0]
+        == live.agg(F.sum("event_id")).first()[0]
+    )
+
+
 def test_cdf_consumers_survive_schema_evolution_mid_feed(
     spark, sf_dir, tmp_path
 ):
