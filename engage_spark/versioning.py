@@ -213,6 +213,14 @@ def _vlog_append_entry(
             spark, path, "snapshot",
             added=_replay_files(fresh, v), removed=[],
         )
+        # opportunistic compaction rides the checkpoint cadence: an
+        # append-per-version log otherwise accumulates tiny parts
+        # between vacuums, and EVERY maintenance op reads the log 2-3
+        # times — measured: per-op wall grows noticeably past ~100
+        # parts. The caller holds the lease (this function's
+        # contract), and a crash mid-compact only leaves duplicate
+        # rows that _vlog_entries dedups by version.
+        _vlog_compact(spark, path, max_parts=48)
     return v
 
 

@@ -519,6 +519,44 @@ def test_read_version_preserves_pushdown_and_broadcast_deletes(
     assert "SortMergeJoin" not in plan
 
 
+def test_read_version_partition_pruning_on_partitioned_dataset(
+    spark, tmp_path
+):
+    """Time travel on a hive-partitioned dataset prunes partitions
+    exactly like a live read: a predicate on the partition column
+    lands in the scan's PartitionFilters and the scan reads only the
+    matching directories — the resolved historical URIs keep their
+    col=val/ structure, so directory-level pruning survives the
+    relative-path log."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import append_dataset, delete_rows
+    from engage_spark.versioning import read_version, version_log_enable
+
+    p = str(tmp_path / "ttp_plan")
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+        (F.col("id") % 11).alias("b"),
+    )
+    df.filter(F.col("k") % 2 == 0).write.partitionBy("g").parquet(p)
+    version_log_enable(spark, p)                                   # v1
+    append_dataset(
+        spark, df.filter(F.col("k") % 2 == 1), p, partition_by=["g"]
+    )                                                              # v2
+    delete_rows(spark, p, [1, 2], "k")                             # v3
+    q = read_version(spark, p, 3).filter(F.col("g") == 2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*\(g[^\)]*= 2\)", plan) or (
+        "PartitionFilters: [isnotnull(g" in plan
+    ), plan[:2000]
+    # the pruned read returns exactly partition g=2's rows (inputFiles
+    # would list the pre-pruning FileIndex, so the plan's
+    # PartitionFilters line above is the pruning pin)
+    assert q.count() == df.filter(F.col("g") == 2).count() - 1  # k=2 deleted
+
+
 def test_version_diff_never_cartesian(spark, tmp_path):
     # the only-changed-files diff is anti-joins + broadcast key
     # probes — a cartesian/nested-loop anywhere would be corpus x
