@@ -884,6 +884,92 @@ def s14b_time_travel_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s14c_restore_version",
+    # rolled_back = v1's content (evens, no deletes); rolled_forward =
+    # v3's content (all events minus the %97 takedown, re-recorded as
+    # the restore's own deletion-vector batch) — both under one hash
+    oracle="""
+    WITH st AS (
+      SELECT 'rolled_back' AS stage, event_id FROM events
+      WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 'rolled_forward', event_id FROM events
+      WHERE event_id % 97 <> 0
+    )
+    SELECT stage, count(*)::BIGINT AS n, sum(event_id)::BIGINT AS id_sum
+    FROM st GROUP BY stage
+    """,
+    covers=["S4", "S5"],
+)
+def s14c_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE / ROLLBACK (r13, the Delta RESTORE analog): after a
+    publish -> append -> takedown lifecycle, roll the live dataset
+    back to version 1 (pure metadata: O(1) renames between the live
+    root and _versions/retained, the target's deletion state
+    re-recorded), read it, then roll FORWARD to version 3 and read
+    again — the bad-publish / over-takedown recovery path. Both the
+    rolled-back and rolled-forward live contents are under one hash;
+    history is never rewritten (every intermediate version stays
+    readable, pinned by pytest)."""
+    from engage_spark.io import (
+        delete_rows,
+        read_with_deletes,
+        zorder_append,
+        zorder_write,
+    )
+    from engage_spark.versioning import restore_version, version_log_enable
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_restore")
+    shutil.rmtree(out, ignore_errors=True)  # idempotent across reruns
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), out,
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, out)                              # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), out, num_files=4
+    )                                                           # v2
+    delete_rows(
+        spark, out,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                           # v3
+    restore_version(spark, out, 1)                              # v4: rollback
+    back = (
+        read_with_deletes(spark, out)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        .select(F.lit("rolled_back").alias("stage"), "n", "id_sum")
+    )
+    # materialize BEFORE rolling forward: the frame is lazy and the
+    # next restore changes the live file set underneath it
+    rolled_back = back.collect()[0]
+    restore_version(spark, out, 3)                              # v5: forward
+    fwd = (
+        read_with_deletes(spark, out)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        .select(F.lit("rolled_forward").alias("stage"), "n", "id_sum")
+    )
+    from engage_spark.session import local_frame
+
+    return local_frame(
+        spark,
+        [(rolled_back["stage"], rolled_back["n"], rolled_back["id_sum"])],
+        "stage string, n long, id_sum long",
+    ).unionByName(fwd)
+
+
+@query(
     "s16b_change_feed_partitioned",
     # v2 (partitioned append) inserts every odd event; v3 (logical
     # delete) deletes every %97 event; v4 (partition-aware vacuum) is

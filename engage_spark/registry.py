@@ -54,7 +54,8 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 # (a) the five queries whose newest driver row is r8 (the VERDICT r12
 #     rotation tail — none code-changed since, all hash-green there);
 # (b) queries NEW in round 13 — the partitioned version stack
-#     (s14b/s15b/s16b) and the min/max recompute rollup (s19b);
+#     (s14b/s15b/s16b), restore/rollback (s14c), the partitioned
+#     mirror (s18b), and the min/max recompute rollup (s19b);
 # (c) queries whose IMPLEMENTATION changed in round 13 — the mirror
 #     purge staging + distributed bootstrap (s18), the rollup merge
 #     refactor (s19), the partition-aware + mergeSchema apply_deletes
@@ -62,8 +63,8 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     checkpoints (s14/s15/s16), the _bucket_spec sidecar (s17), and
 #     the staged-commit walk under zorder maintenance (s10 family);
 # (d) the r9 cohort, oldest-first — rotation part 5 proper (30 of 41;
-#     the remaining 11 — x3c/x3d/x3e, x4_tfidf_pipeline, the
-#     x_dedup_components trio, x_doc_chunking,
+#     the remaining 13 — x2b2/x2d, x3c/x3d/x3e, x4_tfidf_pipeline,
+#     the x_dedup_components trio, x_doc_chunking,
 #     x_embed_lsh_neardup_pairs, x_profile_columns, x_shard_manifest —
 #     lead part 6 next round).
 # Names not yet registered are skipped by load_all(), so this list may
@@ -77,8 +78,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_vocab_topk",
     # (b) NEW in round 13
     "s14b_time_travel_partitioned",
+    "s14c_restore_version",
     "s15b_version_diff_partitioned",
     "s16b_change_feed_partitioned",
+    "s18b_mirror_sync_partitioned",
     "s19b_incremental_rollup_minmax",
     # (c) implementation changed in round 13
     "s18_mirror_sync",
@@ -121,8 +124,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s11_schema_evolution_roundtrip",
     "x2_minhash_lsh_dedup",
     "x2b_simhash_dedup",
-    "x2b2_simhash_md5",
-    "x2d_minhash_md5",
 )
 
 

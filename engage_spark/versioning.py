@@ -257,15 +257,23 @@ def _replay_files(entries: list, upto: int) -> list:
 
 def _pending_delete_versions(entries: list, upto: int) -> list:
     """Versions of logical_delete entries still UNAPPLIED at `upto`
-    (apply_deletes / overwrite clears the pending set)."""
+    (apply_deletes / overwrite / restore clears the pending set —
+    restore re-records the target version's keys as a fresh batch
+    right behind its own entry)."""
     pending: list = []
     for e in entries:
         if e["version"] > upto:
             break
         if e["op"] == "logical_delete":
             pending.append(e["version"])
-        elif e["op"] in ("vacuum_deletes", "overwrite"):
-            pending = []
+        elif e["op"] in ("vacuum_deletes", "overwrite", "restore"):
+            # a restore supersedes whatever was pending and carries the
+            # TARGET version's keys as its own deletes_v{N} batch
+            pending = (
+                [e["version"]]
+                if e["op"] == "restore" and e["n_keys"] > 0
+                else []
+            )
     return pending
 
 
@@ -479,6 +487,108 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
         dels = spark.read.parquet(*dirs).dropDuplicates()
         df = df.join(F.broadcast(dels), on=key, how="left_anti")
     return df
+
+
+def restore_version(spark: SparkSession, path: str, version: int) -> int:
+    """ROLLBACK: make the dataset live-read as of `version` again,
+    committed as a NEW version — the Delta RESTORE analog for the
+    bad-publish / bad-drain / over-takedown recovery path. Pure
+    metadata at any corpus size: files the target needs move back out
+    of retained/ (O(1) renames), current files the target lacks move
+    into retained/, and the target's pending deletion-vector keys are
+    re-recorded as a fresh batch (written to ``retained/deletes_v{N}``
+    AND the live ``_deletes`` sidecar) so ``read_with_deletes`` equals
+    ``read_version(version)`` exactly. History is never rewritten:
+    every intermediate version stays readable, a later restore can
+    roll forward again, and CDF consumers see the restore as an exact
+    file-set + DV diff (read_changes' version_diff fallback), so
+    mirrors and rollups converge through it like any other commit.
+
+    Fails with the retention error if vacuum_versions already dropped
+    files the target needs, BEFORE touching anything. Entry-last
+    commit: a crash mid-restore leaves a reconcile-healable file set —
+    RE-RUN the restore to converge (every step is idempotent: moves
+    skip done work, the batch and sidecar writes overwrite). Layout
+    metadata (``_zorder_meta``) is NOT restored — it describes the
+    newest curve generation; a restored older file set keeps correct
+    rows, and layout health is zorder_layout_stats / optimize's
+    concern. Returns the new version number."""
+    from engage_spark.io import _DELETES, maintenance_lease
+
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    with maintenance_lease(spark, path):
+        _vlog_reconcile(spark, path)
+        entries = _vlog_entries(spark, path)
+        hi = entries[-1]["version"]
+        if version < 1 or version > hi:
+            raise ValueError(
+                f"version {version} out of range 1..{hi} for {path}"
+            )
+        tset = set(_replay_files(entries, version))
+        live = set(_live_names(spark, path))
+        # resolve BEFORE moving anything: every needed-but-not-live
+        # file must still exist in retained/, else the target is
+        # beyond the retention horizon — refuse without side effects
+        for n in sorted(tset - live):
+            rfs, rp = _fs(spark, f"{path}/{_VRETAINED}/{n}")
+            if not rfs.exists(rp):
+                raise ValueError(
+                    f"data file {n} needed by version {version} was "
+                    "removed by vacuum_versions; only versions within "
+                    "the retention horizon are restorable"
+                )
+        pend = _pending_delete_versions(entries, version)
+        ent = {e["version"]: e for e in entries}
+        key_cols = {ent[pv]["key_col"] for pv in pend}
+        if len(key_cols) > 1:
+            raise ValueError(
+                f"version {version} has pending deletion vectors on "
+                f"multiple key columns {sorted(key_cols)}; restore "
+                "re-records them as ONE batch and needs a single key — "
+                "apply_deletes at the target epoch first"
+            )
+        for n in sorted(live - tset):
+            _retain_file(spark, path, n)
+        for n in sorted(tset - live):
+            rfs, rp = _fs(spark, f"{path}/{_VRETAINED}/{n}")
+            lfs, lp = _fs(spark, f"{path}/{n}")
+            lfs.mkdirs(lp.getParent())
+            if lfs.exists(lp):
+                rfs.delete(rp, False)  # duplicate from a replayed move
+            else:
+                rfs.rename(rp, lp)
+        v_new = entries[-1]["version"] + 1
+        # the restore's own DV batch (entry-last commit, like
+        # record_logical_delete): union of the target's pending keys
+        dfs, dp = _fs(spark, f"{path}/{_DELETES}")
+        if dfs.exists(dp):
+            dfs.delete(dp, True)
+        n_keys, key_col = 0, None
+        if pend:
+            key_col = next(iter(key_cols))
+            keys = spark.read.parquet(
+                *[f"{path}/{_VRETAINED}/deletes_v{pv}" for pv in pend]
+            ).dropDuplicates()
+            keys.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/{_VRETAINED}/deletes_v{v_new}"
+            )
+            n_keys = (
+                spark.read.parquet(f"{path}/{_VRETAINED}/deletes_v{v_new}")
+                .count()
+            )
+            # live sidecar := the same batch, so plain read_with_deletes
+            # agrees with the restored snapshot
+            spark.read.parquet(
+                f"{path}/{_VRETAINED}/deletes_v{v_new}"
+            ).write.mode("overwrite").parquet(f"{path}/{_DELETES}")
+        got = _vlog_append_entry(
+            spark, path, "restore",
+            added=sorted(tset - live), removed=sorted(live - tset),
+            key_col=key_col, n_keys=n_keys,
+        )
+        assert got == v_new, "version raced despite lease"
+    return v_new
 
 
 def _nullsafe_anti(left: DataFrame, right: DataFrame) -> DataFrame:

@@ -264,6 +264,114 @@ def test_vacuum_versions_horizon(spark, sf_dir, tmp_path):
     assert read_version(spark, str(out), 5).count() == live
 
 
+def test_restore_version_rolls_back_and_forward(spark, sf_dir, tmp_path):
+    """RESTORE (r13): after the full lifecycle, restoring to v1 makes
+    the live read equal read_version(1) — including re-recording v1's
+    (empty) deletion state — while every intermediate version stays
+    readable; restoring forward to the pre-restore latest converges
+    back, deletion vectors included; CDF consumers see the restore as
+    an exact diff (mirror drains through it)."""
+    from engage_spark.versioning import (
+        latest_version,
+        restore_version,
+        sync_mirror,
+    )
+
+    out = tmp_path / "vrestore"
+    mir = tmp_path / "vrestore_mir"
+    ev = _lifecycle(spark, sf_dir, out)                            # v1..v5
+    sync_mirror(spark, str(out), str(mir), "event_id")             # consumer
+    n, n_even = ev.count(), ev.filter(F.col("event_id") % 2 == 0).count()
+    n_del = ev.filter(F.col("event_id") % 97 == 0).count()
+    v5 = latest_version(spark, str(out))
+
+    v6 = restore_version(spark, str(out), 1)                       # back to v1
+    assert v6 == v5 + 1
+    live = read_with_deletes(spark, str(out))
+    assert live.count() == n_even
+    assert (
+        live.agg(F.sum("event_id")).first()[0]
+        == ev.filter(F.col("event_id") % 2 == 0)
+        .agg(F.sum("event_id")).first()[0]
+    )
+    # history intact: v5 still reads exactly, and read_version(v6)
+    # equals read_version(1)
+    assert read_version(spark, str(out), v5).count() == n - n_del
+    assert read_version(spark, str(out), v6).count() == n_even
+    # roll FORWARD again to the pre-restore state (v3 had the %97
+    # takedown pending as a deletion vector — it must come back)
+    v7 = restore_version(spark, str(out), 3)
+    live = read_with_deletes(spark, str(out))
+    assert live.count() == n - n_del
+    assert live.filter(F.col("event_id") % 97 == 0).count() == 0
+    # the mirror drains through both restores and converges
+    sync_mirror(spark, str(out), str(mir), "event_id")
+    m = spark.read.parquet(str(mir))
+    assert m.count() == n - n_del
+    assert (
+        m.agg(F.sum("event_id")).first()[0]
+        == live.agg(F.sum("event_id")).first()[0]
+    )
+    # out of range + beyond-horizon guards. After the restores, the
+    # horizon window (v6=restore(1), v7=restore(3)) still NEEDS v1's
+    # and v3's files, so those stay restorable; the files vacuum
+    # actually drops are v4/v5's optimize + vacuum outputs — restoring
+    # THERE must refuse, without side effects
+    with pytest.raises(ValueError, match="out of range"):
+        restore_version(spark, str(out), 99)
+    vacuum_versions(spark, str(out), keep_last=2)
+    with pytest.raises(ValueError, match="restorable"):
+        restore_version(spark, str(out), 5)
+    assert read_with_deletes(spark, str(out)).count() == n - n_del
+
+
+def test_vacuum_versions_partitioned_retained_sweep(
+    spark, sf_dir, tmp_path
+):
+    """vacuum_versions on a partitioned dataset: the recursive sweep
+    drops out-of-horizon retained files INSIDE partition subdirs,
+    keeps in-horizon ones, and in-horizon historical reads still
+    resolve with their partition columns."""
+    import os
+
+    from engage_spark.io import append_dataset, apply_deletes
+    from engage_spark.versioning import latest_version
+
+    out = tmp_path / "vpvac"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 4).cast("long")
+    )
+    ev.filter(F.col("event_id") % 2 == 0).write.partitionBy("grp").parquet(
+        str(out)
+    )
+    version_log_enable(spark, str(out))                            # v1
+    append_dataset(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(out),
+        partition_by=["grp"],
+    )                                                              # v2
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    apply_deletes(spark, str(out))                                 # v4
+    retained = str(out / "_versions" / "retained")
+    pre = [
+        os.path.relpath(os.path.join(d, f), retained)
+        for d, _, fs in os.walk(retained) for f in fs
+    ]
+    assert any("grp=" in p for p in pre)  # partitioned victims retained
+    r = vacuum_versions(spark, str(out), keep_last=1)
+    assert r["dropped"] > 0
+    with pytest.raises(ValueError, match="vacuum_versions"):
+        read_version(spark, str(out), 1).count()
+    latest = latest_version(spark, str(out))
+    df = read_version(spark, str(out), latest)
+    n_live = ev.filter(F.col("event_id") % 97 != 0).count()
+    assert df.count() == n_live
+    assert df.filter(F.col("grp").isNull()).count() == 0
+
+
 def test_enable_guards(spark, sf_dir, tmp_path):
     out = tmp_path / "vguard"
     ev = _events(spark, sf_dir)
