@@ -1,0 +1,159 @@
+"""Version history on the STANDARD 100 TB layout — a hive-partitioned
+corpus — composed only from the engine's registered operators (r13):
+
+  1. PUBLISH   — write the corpus partitioned by language
+                 (write_parquet partition_by) and enable the version
+                 log: version 1 records the partition-relative file
+                 paths (`lang=en/part-….parquet`), pure metadata.
+  2. APPEND    — a re-crawl delivery lands via append_dataset: one
+                 `append` entry holding exactly the increment's files,
+                 inside their partition dirs.
+  3. TAKEDOWN  — delete_rows records a right-to-be-forgotten batch as
+                 a deletion vector (O(batch), no data file touched);
+                 apply_deletes later vacuums it PARTITION-AWARE —
+                 victims are read with basePath (partition values
+                 survive) and survivors are rewritten inside their
+                 partition dirs; clean partitions stay byte-identical.
+  4. TIME TRAVEL — read_version reconstructs any version with its
+                 partition COLUMN VALUES intact (live + retained
+                 leaves each resolved against the right basePath),
+                 and a partition predicate still prunes directories
+                 (plan-pinned in tests/test_plans.py).
+  5. FEED      — read_changes drains the row-level deltas; a
+                 downstream replica (sync_mirror) converges keeping
+                 the SAME partitioned layout (staged inserts land
+                 partitionBy via relative-path moves), and an
+                 incremental rollup (sync_rollup, count/sum + min/max
+                 via the touched-group recompute tier) stays
+                 hash-equal to a fresh aggregate.
+  6. ROLLBACK  — restore_version rolls the live corpus back to the
+                 publish version (metadata-only renames + the target's
+                 deletion state re-recorded) and forward again —
+                 the bad-delivery recovery path; history is never
+                 rewritten and the mirror drains straight through it.
+
+Run:
+
+  python examples/partitioned_corpus_history.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
+    from engage_spark.io import (
+        append_dataset,
+        apply_deletes,
+        delete_rows,
+        read_with_deletes,
+        table,
+        write_parquet,
+    )
+    from engage_spark.versioning import (
+        dataset_history,
+        read_changes,
+        read_version,
+        restore_version,
+        sync_mirror,
+        sync_rollup,
+        version_log_enable,
+    )
+
+    corpus = os.path.join(workdir, "corpus")
+    mirror = os.path.join(workdir, "mirror")
+    rollup = os.path.join(workdir, "rollup")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    first, recrawl = (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+    # 1. PUBLISH (partitioned) + enable history
+    write_parquet(first, corpus, partition_by=["lang"])
+    version_log_enable(spark, corpus)                           # v1
+    sync_mirror(spark, corpus, mirror, "doc_id")                # bootstrap
+    sync_rollup(
+        spark, corpus, rollup, ["lang"], ["n_chars"],
+        minmax_cols=["n_chars"],
+    )
+
+    # 2. APPEND the re-crawl delivery
+    append_dataset(spark, recrawl, corpus, partition_by=["lang"])  # v2
+
+    # 3. TAKEDOWN + partition-aware vacuum
+    doomed = docs.filter(F.col("doc_id") % 53 == 0).select("doc_id")
+    delete_rows(spark, corpus, doomed, "doc_id")                # v3
+    apply_deletes(spark, corpus)                                # v4
+
+    # 4. TIME TRAVEL — publish-time corpus, partition values intact
+    v1 = read_version(spark, corpus, 1)
+    assert v1.count() == first.count()
+    assert v1.filter(F.col("lang").isNull()).count() == 0
+
+    # 5. FEED consumers converge on the same partitioned layout
+    sync_mirror(spark, corpus, mirror, "doc_id")
+    sync_rollup(
+        spark, corpus, rollup, ["lang"], ["n_chars"],
+        minmax_cols=["n_chars"],
+    )
+    live = read_with_deletes(spark, corpus)
+    assert spark.read.parquet(mirror).count() == live.count()
+    fresh = live.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.min("n_chars").alias("mn")
+    )
+    mv = spark.read.parquet(rollup).select(
+        "lang", "n", F.col("min_n_chars").alias("mn")
+    )
+    assert fresh.exceptAll(mv).count() == 0 and mv.exceptAll(fresh).count() == 0
+
+    # what changed since publish, straight off the log
+    feed_counts = {
+        (r["change_type"]): r["n"]
+        for r in read_changes(spark, corpus, 1)
+        .groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # 6. ROLLBACK to publish, then roll forward; the mirror follows
+    restore_version(spark, corpus, 1)                           # v5
+    assert read_with_deletes(spark, corpus).count() == first.count()
+    restore_version(spark, corpus, 4)                           # v6
+    assert read_with_deletes(spark, corpus).count() == live.count()
+    sync_mirror(spark, corpus, mirror, "doc_id")
+    assert spark.read.parquet(mirror).count() == live.count()
+
+    return {
+        "versions": dataset_history(spark, corpus).count(),
+        "live_rows": live.count(),
+        "feed": feed_counts,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    workdir = "/tmp/_partitioned_corpus_history"
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("partitioned-corpus-history")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run(spark, sf_dir, workdir)
+    print(out)
+    shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

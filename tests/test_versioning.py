@@ -1377,6 +1377,18 @@ def test_vacuum_appends_snapshot_checkpoint(spark, sf_dir, tmp_path):
     assert read_version(spark, str(out), entries[-1]["version"]).count() == live
 
 
+def test_partitioned_corpus_history_example(spark, sf_dir, tmp_path):
+    """The examples/ script composes the r13 partitioned version stack
+    end-to-end over real testdata (its internal asserts are the
+    contract; this smoke just runs them)."""
+    from examples.partitioned_corpus_history import run
+
+    out = run(spark, sf_dir, str(tmp_path / "pch"))
+    assert out["versions"] >= 6
+    assert out["live_rows"] > 0
+    assert set(out["feed"]) == {"insert", "delete"}
+
+
 def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
     """The append-per-version log parts collapse to one file at
     vacuum time; entries survive byte-exact (dedup by version makes
