@@ -1378,7 +1378,12 @@ def sync_rollup(
     sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
-    delta = feed.groupBy(*group_cols).agg(*_aggs(sign))
+    # persist the DELTA, not the feed: it is group-cardinality-sized
+    # (tiny), and both the merge and the min/max recompute tier's
+    # touched-group list read it — unpersisted, each use would re-run
+    # the whole feed scan (including the delete probe of the prior
+    # snapshot)
+    delta = feed.groupBy(*group_cols).agg(*_aggs(sign)).persist()
     cur = spark.read.parquet(rollup_path)
     sum_names = ["n", *[f"sum_{c}" for c in sum_cols]]
 
@@ -1418,8 +1423,10 @@ def sync_rollup(
     )
     if minmax_cols:
         # recompute tier: min/max for exactly the drain's touched
-        # groups, from the live source, group keys broadcast-pushed
-        touched = feed.select(*group_cols).dropDuplicates().alias("t")
+        # groups, from the live source, group keys broadcast-pushed.
+        # Touched groups come from the persisted delta (one row per
+        # touched group already), never a second feed scan.
+        touched = delta.select(*group_cols).alias("t")
         src_live = read_with_deletes(spark, src_path).alias("s")
         recomp = (
             src_live.join(
@@ -1448,9 +1455,12 @@ def sync_rollup(
         )
     from engage_spark.session import local_frame
 
-    merged.write.mode("overwrite").parquet(
-        f"{rollup_path}/{_ROLLUP_STAGING}"
-    )
+    try:
+        merged.write.mode("overwrite").parquet(
+            f"{rollup_path}/{_ROLLUP_STAGING}"
+        )
+    finally:
+        delta.unpersist()
     local_frame(spark, [(hi,)], "to_version long").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{rollup_path}/{_ROLLUP_MANIFEST}")
