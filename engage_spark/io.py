@@ -196,13 +196,29 @@ def append_dataset(
     cost. The versioned sibling of ``write_parquet(mode='append')``
     for non-Z-ordered corpora — ``zorder_append`` covers the clustered
     flat case. On an unversioned target this is just the plain append.
-    Returns {"files": <appended file count or None>}."""
+    The increment's partitioning MUST match the target's existing
+    layout: a flat append beside partition dirs (or vice versa) makes
+    Spark read only one of the two shapes — silent data loss for every
+    reader — so a mismatch raises before writing anything. Returns
+    {"files": <appended file count or None>}."""
     from engage_spark.versioning import (
+        _partition_cols_of,
         _relativize,
         _vlog_append_entry,
         _vlog_reconcile,
         version_log_enabled,
     )
+
+    fs_t, p_t = _hadoop_fs(spark, path)
+    if fs_t.exists(p_t):
+        existing = _partition_cols_of(spark, path)
+        if existing != list(partition_by or []):
+            raise ValueError(
+                f"append_dataset: {path} is laid out with partition "
+                f"columns {existing} but the append specifies "
+                f"{list(partition_by or [])}; a mismatched append would "
+                "leave a mixed layout that readers silently truncate"
+            )
 
     def _write():
         writer = df.write.mode("append")

@@ -471,6 +471,30 @@ def test_partitioned_version_lifecycle_roundtrip(spark, sf_dir, tmp_path):
     assert got == {(2, "insert"): odds.count(), (3, "delete"): n_del}
 
 
+def test_append_dataset_rejects_layout_mismatch(spark, sf_dir, tmp_path):
+    """A flat append onto a partitioned dataset (or the reverse) would
+    leave a mixed layout readers silently truncate — append_dataset
+    refuses before writing anything."""
+    from engage_spark.io import append_dataset
+
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 4).cast("long")
+    ).limit(1000)
+    part = tmp_path / "adm_part"
+    flat = tmp_path / "adm_flat"
+    ev.write.partitionBy("grp").parquet(str(part))
+    ev.write.parquet(str(flat))
+    with pytest.raises(ValueError, match="mixed layout"):
+        append_dataset(spark, ev, str(part))  # flat onto partitioned
+    with pytest.raises(ValueError, match="mixed layout"):
+        append_dataset(spark, ev, str(flat), partition_by=["grp"])
+    n_before = spark.read.parquet(str(part)).count()
+    assert n_before == 1000  # nothing was written by the refusals
+    # matching layouts still append fine
+    append_dataset(spark, ev, str(part), partition_by=["grp"])
+    assert spark.read.parquet(str(part)).count() == 2 * n_before
+
+
 def test_partitioned_out_of_band_rewrite_reconciles(
     spark, sf_dir, tmp_path
 ):
