@@ -210,7 +210,11 @@ def append_dataset(
     )
 
     fs_t, p_t = _hadoop_fs(spark, path)
-    if fs_t.exists(p_t):
+    has_data = fs_t.exists(p_t) and any(
+        not s.getPath().getName().startswith(("_", "."))
+        for s in fs_t.listStatus(p_t)
+    )
+    if has_data:
         existing = _partition_cols_of(spark, path)
         if existing != list(partition_by or []):
             raise ValueError(
