@@ -66,7 +66,7 @@ _VRETAINED = f"{_VDIR}/retained"
 
 _ENTRY_SCHEMA = (
     "version long, op string, added array<string>, removed array<string>, "
-    "key_col string, n_keys long, horizon long"
+    "key_col string, n_keys long, horizon long, ts_unix long"
 )
 
 
@@ -151,7 +151,13 @@ def _vlog_entries(spark: SparkSession, path: str) -> list:
     per maintenance event since enable — metadata, not data)."""
     if not version_log_enabled(spark, path):
         return []
-    rows = spark.read.parquet(f"{path}/{_VLOG}").collect()
+    # mergeSchema: tolerate parts written before a log-schema column
+    # was introduced (ts_unix, r13) — a sampled footer would drop it
+    rows = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/{_VLOG}")
+        .collect()
+    )
     seen: set = set()
     # dedup by version: log compaction appends one consolidated part
     # before deleting the originals, so a crash inside that window
@@ -160,18 +166,27 @@ def _vlog_entries(spark: SparkSession, path: str) -> list:
         r for r in rows
         if int(r.version) not in seen and not seen.add(int(r.version))
     ]
-    out = [
-        {
-            "version": int(r.version),
-            "op": r.op,
-            "added": list(r.added or []),
-            "removed": list(r.removed or []),
-            "key_col": r.key_col,
-            "n_keys": int(r.n_keys or 0),
-            "horizon": int(r.horizon) if r.horizon is not None else None,
-        }
-        for r in rows
-    ]
+    out = []
+    for r in rows:
+        d = r.asDict()
+        out.append(
+            {
+                "version": int(d["version"]),
+                "op": d["op"],
+                "added": list(d["added"] or []),
+                "removed": list(d["removed"] or []),
+                "key_col": d["key_col"],
+                "n_keys": int(d["n_keys"] or 0),
+                "horizon": (
+                    int(d["horizon"]) if d["horizon"] is not None else None
+                ),
+                "ts_unix": (
+                    int(d["ts_unix"])
+                    if d.get("ts_unix") is not None
+                    else None
+                ),
+            }
+        )
     out.sort(key=lambda e: e["version"])
     return out
 
@@ -200,11 +215,16 @@ def _vlog_append_entry(
     replay cost stays flat in total version count."""
     from engage_spark.session import local_frame
 
+    import time as _time
+
     entries = _vlog_entries(spark, path)
     v = (entries[-1]["version"] + 1) if entries else 1
     local_frame(
         spark,
-        [(v, op, sorted(added), sorted(removed), key_col, n_keys, horizon)],
+        [(
+            v, op, sorted(added), sorted(removed), key_col, n_keys,
+            horizon, int(_time.time()),
+        )],
         _ENTRY_SCHEMA,
     ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
     if op != "snapshot" and v % _SNAPSHOT_EVERY == 0:
@@ -444,14 +464,14 @@ def dataset_history(spark: SparkSession, path: str) -> DataFrame:
     rows = [
         (
             e["version"], e["op"], len(e["added"]), len(e["removed"]),
-            e["key_col"], e["n_keys"],
+            e["key_col"], e["n_keys"], e["ts_unix"],
         )
         for e in _vlog_entries(spark, path)
     ]
     return local_frame(
         spark, rows,
         "version long, op string, n_added int, n_removed int, "
-        "key_col string, n_keys long",
+        "key_col string, n_keys long, ts_unix long",
     )
 
 
@@ -487,6 +507,31 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
         dels = spark.read.parquet(*dirs).dropDuplicates()
         df = df.join(F.broadcast(dels), on=key, how="left_anti")
     return df
+
+
+def read_version_at(
+    spark: SparkSession, path: str, ts_unix: int
+) -> DataFrame:
+    """TIME TRAVEL BY TIMESTAMP (the Delta `timestampAsOf` analog):
+    the dataset as of wall-clock `ts_unix` — the latest version whose
+    commit timestamp is <= the given instant. Entries written before
+    commit timestamps existed (pre-r13 logs) sort as oldest. Raises
+    if the instant predates the first commit."""
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    entries = _vlog_entries(spark, path)
+    eligible = [
+        e["version"]
+        for e in entries
+        if (e["ts_unix"] or 0) <= ts_unix
+    ]
+    if not eligible:
+        first = entries[0]["ts_unix"] if entries else None
+        raise ValueError(
+            f"no version of {path} committed at or before ts_unix="
+            f"{ts_unix} (first commit: {first})"
+        )
+    return read_version(spark, path, max(eligible))
 
 
 def restore_version(spark: SparkSession, path: str, version: int) -> int:
@@ -1523,13 +1568,21 @@ def sync_mirror_stream(
 
 
 def vacuum_versions(
-    spark: SparkSession, path: str, keep_last: int = 7
+    spark: SparkSession, path: str, keep_last: int = 7,
+    keep_seconds: int | None = None,
 ) -> dict:
     """Reclaim retained storage: keep every file some version in the
     last `keep_last` versions needs; physically delete the rest.
-    History entries stay listed, but reads older than the horizon fail
-    with the retention error. Logged as a `vacuum_log` entry (no file
-    set change) so the horizon is auditable."""
+    `keep_seconds` adds AGE-BASED retention (the production policy —
+    "keep a week", not "keep 7 commits"): any version committed within
+    the window is ALSO kept, so the effective horizon is whichever of
+    the two criteria retains more; entries without a commit timestamp
+    (pre-r13 logs) count as outside the window. History entries stay
+    listed, but reads older than the horizon fail with the retention
+    error. Logged as a `vacuum_log` entry (no file set change) so the
+    horizon is auditable."""
+    import time as _time
+
     from engage_spark.io import maintenance_lease
 
     if not version_log_enabled(spark, path):
@@ -1539,6 +1592,15 @@ def vacuum_versions(
         entries = _vlog_entries(spark, path)
         latest = entries[-1]["version"]
         horizon = max(1, latest - keep_last + 1)
+        if keep_seconds is not None:
+            cutoff = int(_time.time()) - keep_seconds
+            in_window = [
+                e["version"]
+                for e in entries
+                if (e["ts_unix"] or 0) >= cutoff
+            ]
+            if in_window:
+                horizon = min(horizon, min(in_window))
         needed: set = set()
         for v in range(horizon, latest + 1):
             needed |= set(_replay_files(entries, v))
@@ -1627,7 +1689,7 @@ def _vlog_compact(
         [
             (
                 e["version"], e["op"], e["added"], e["removed"],
-                e["key_col"], e["n_keys"], e["horizon"],
+                e["key_col"], e["n_keys"], e["horizon"], e["ts_unix"],
             )
             for e in entries
         ],

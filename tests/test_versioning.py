@@ -1413,6 +1413,43 @@ def test_partitioned_corpus_history_example(spark, sf_dir, tmp_path):
     assert set(out["feed"]) == {"insert", "delete"}
 
 
+def test_timestamp_time_travel_and_age_retention(spark, sf_dir, tmp_path):
+    """Commit timestamps (r13): every entry is stamped; time travel by
+    wall-clock resolves to the latest version at-or-before the
+    instant; vacuum's keep_seconds window retains everything younger
+    regardless of keep_last."""
+    from engage_spark.versioning import dataset_history, read_version_at
+
+    out = tmp_path / "vts"
+    ev = _lifecycle(spark, sf_dir, out)                            # v1..v5
+    hist = {
+        r["version"]: r["ts_unix"]
+        for r in dataset_history(spark, str(out)).collect()
+    }
+    assert all(ts is not None for ts in hist.values())
+    assert list(hist.values()) == sorted(hist.values())  # monotonic
+    n, n_even = ev.count(), ev.filter(F.col("event_id") % 2 == 0).count()
+    n_del = ev.filter(F.col("event_id") % 97 == 0).count()
+    # at v1's instant: v1 (or any same-second later commit) content;
+    # resolve by asking for exactly each version's stamp and checking
+    # the returned frame matches read_version of the RESOLVED version
+    got = read_version_at(spark, str(out), hist[1])
+    resolved = max(v for v, ts in hist.items() if ts <= hist[1])
+    assert got.count() == read_version(spark, str(out), resolved).count()
+    # far future = latest
+    assert (
+        read_version_at(spark, str(out), hist[5] + 10_000).count()
+        == n - n_del
+    )
+    with pytest.raises(ValueError, match="no version"):
+        read_version_at(spark, str(out), hist[1] - 10_000)
+    # age window covers everything -> nothing dropped even with an
+    # aggressive keep_last
+    r = vacuum_versions(spark, str(out), keep_last=1, keep_seconds=86_400)
+    assert r["dropped"] == 0 and r["horizon"] == 1
+    assert read_version(spark, str(out), 1).count() == n_even
+
+
 def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
     """The append-per-version log parts collapse to one file at
     vacuum time; entries survive byte-exact (dedup by version makes
