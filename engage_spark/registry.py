@@ -62,7 +62,7 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     (s13), the relative-path log + _read_names + snapshot
 #     checkpoints (s14/s15/s16), the _bucket_spec sidecar (s17), and
 #     the staged-commit walk under zorder maintenance (s10 family);
-# (d) the r9 cohort, oldest-first — rotation part 5 proper (30 of 41;
+# (d) the r9 cohort, oldest-first — rotation part 5 proper (28 of 41;
 #     the remaining 13 — x2b2/x2d, x3c/x3d/x3e, x4_tfidf_pipeline,
 #     the x_dedup_components trio, x_doc_chunking,
 #     x_embed_lsh_neardup_pairs, x_profile_columns, x_shard_manifest —
