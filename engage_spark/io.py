@@ -763,11 +763,24 @@ def zorder_write(
     their stronger replayable guarantee."""
     fs_t, p_t = _hadoop_fs(spark, path)
     if fs_t.exists(p_t):
-        from engage_spark.versioning import version_log_enabled
+        from engage_spark.versioning import (
+            _publish_stash_exists,
+            version_log_enabled,
+        )
 
         if version_log_enabled(spark, path):
             return _zorder_write_versioned(
                 spark, df, path, cols, bits, num_files, scale
+            )
+        if _publish_stash_exists(spark, path):
+            # a republish is mid-flight (or crashed with its lease
+            # unexpired): the log is in the stash and this overwrite
+            # would delete live files the history references
+            raise RuntimeError(
+                f"a versioned republish of {path} is in flight or "
+                "crashed with an unexpired lease (its _versions dir is "
+                "in the publish stash); retry after it completes or "
+                "the lease expires"
             )
     return _zorder_write_impl(spark, df, path, cols, bits, num_files, scale)
 
@@ -1465,18 +1478,27 @@ def _optimize_commit(
 
 
 def _victim_bytes(spark: SparkSession, path: str, victims) -> int:
-    """Total byte size of the victim files via ONE recursive listing
-    (a single listFiles RPC stream — partition dirs included), not a
-    per-file getFileStatus loop (O(victims) round-trips — the
-    r11-flagged shape). Keyed by full path portion so same-named part
-    files in different partition dirs cannot collide."""
+    """Total byte size of the victim files via one shallow root
+    listing plus one recursive stream per DATA subdirectory (partition
+    dirs) — `_`-prefixed sidecars are never descended into, so a
+    long-lived versioned dataset's `_versions/retained` history (often
+    many times the live file count) costs nothing here. Keyed by full
+    path portion so same-named part files in different partition dirs
+    cannot collide."""
     jvm = spark._jvm
     fs, p = _hadoop_fs(spark, path)
     sizes = {}
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        s = it.next()
-        sizes[s.getPath().toUri().getPath()] = s.getLen()
+    for s in fs.listStatus(p):
+        name = s.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        if s.isDirectory():
+            it = fs.listFiles(s.getPath(), True)
+            while it.hasNext():
+                f = it.next()
+                sizes[f.getPath().toUri().getPath()] = f.getLen()
+        else:
+            sizes[s.getPath().toUri().getPath()] = s.getLen()
     return sum(
         sizes.get(
             jvm.org.apache.hadoop.fs.Path(f).toUri().getPath(), 0
@@ -2044,6 +2066,17 @@ def _upsert_dataset_impl(
     key_cols = list(key_cols)
     partition_by = list(partition_by or [])
     vlog = version_log_enabled(spark, target)
+    if not vlog:
+        from engage_spark.versioning import _publish_stash_exists
+
+        if _publish_stash_exists(spark, target):
+            raise RuntimeError(
+                f"a versioned republish of {target} is in flight or "
+                "crashed with an unexpired lease (its _versions dir is "
+                "in the publish stash); an upsert overwrite now would "
+                "delete files the history references — retry after it "
+                "completes or the lease expires"
+            )
     if vlog and partition_by:
         raise ValueError(
             f"{target} has a version log; the hive-partitioned upsert "

@@ -81,23 +81,47 @@ _PUBLISH_STASH_SUFFIX = "__versions_publish_stash"
 
 def _heal_publish_stash(spark: SparkSession, path: str) -> bool:
     """Restore a `_versions` dir stranded in the republish stash by a
-    crash inside io._zorder_write_versioned (the rename-out /
-    rename-back window): without this, the next versioned-op check
-    would see no log and silently de-version the dataset (ADVICE r12).
-    Returns True if a restore happened. Both the live dir AND a stash
-    existing is anomalous (a raced republish or a stale stash beside a
+    CRASHED io._zorder_write_versioned (the rename-out / rename-back
+    window): without this, the next versioned-op check would see no
+    log and silently de-version the dataset (ADVICE r12). The stash
+    also exists legitimately for the DURATION of every healthy
+    republish, whose writer holds the maintenance lease — so the heal
+    only proceeds if it can take that lease itself; while a republish
+    is in flight (or its crashed lease has not yet expired) the heal
+    backs off and the dataset reads as unversioned, exactly the
+    pre-heal behavior. Returns True if a restore happened. Both the
+    live dir AND a stash existing is anomalous (a stale stash beside a
     re-enabled log) and raises rather than risking a nested rename."""
     sfs, sp = _fs(spark, f"{path.rstrip('/')}{_PUBLISH_STASH_SUFFIX}")
     if not sfs.exists(sp):
         return False
-    vfs, vp = _fs(spark, f"{path}/{_VDIR}")
-    if vfs.exists(vp):
-        raise RuntimeError(
-            f"{path}/{_VDIR} and its publish stash both exist — refusing "
-            "to guess which is authoritative; inspect and remove one "
-            f"({path.rstrip('/')}{_PUBLISH_STASH_SUFFIX})"
-        )
-    return bool(sfs.rename(sp, vp))
+    from engage_spark.io import MaintenanceLockHeld, maintenance_lease
+
+    try:
+        with maintenance_lease(spark, path):
+            if not sfs.exists(sp):  # healed by whoever beat us here
+                return False
+            vfs, vp = _fs(spark, f"{path}/{_VDIR}")
+            if vfs.exists(vp):
+                raise RuntimeError(
+                    f"{path}/{_VDIR} and its publish stash both exist — "
+                    "refusing to guess which is authoritative; inspect "
+                    "and remove one "
+                    f"({path.rstrip('/')}{_PUBLISH_STASH_SUFFIX})"
+                )
+            return bool(sfs.rename(sp, vp))
+    except MaintenanceLockHeld:
+        return False  # a republish is in flight; not ours to heal
+
+
+def _publish_stash_exists(spark: SparkSession, path: str) -> bool:
+    """True while a republish stash sits beside the dataset — either a
+    republish is mid-flight or one crashed and its lease has not yet
+    expired. Destructive writers (overwrite paths) must refuse in this
+    window: they would see the dataset as unversioned and delete live
+    files the stashed history still references."""
+    sfs, sp = _fs(spark, f"{path.rstrip('/')}{_PUBLISH_STASH_SUFFIX}")
+    return bool(sfs.exists(sp))
 
 
 def version_log_enabled(spark: SparkSession, path: str) -> bool:
@@ -870,16 +894,23 @@ _BOOTSTRAP_DRIVER_MAX = 16
 def _pa_fs_for(uri: str):
     """(pyarrow.fs FileSystem, in-fs path) for a data-file URI. Local
     paths (bare or file://) short-circuit to LocalFileSystem; other
-    schemes (s3://, hdfs://, ...) resolve via FileSystem.from_uri —
-    the executor-side twin of the driver's Hadoop-FS access, since
-    Python workers have no py4j bridge to the JVM FileSystem."""
+    schemes resolve via FileSystem.from_uri — the executor-side twin
+    of the driver's Hadoop-FS access, since Python workers have no
+    py4j bridge to the JVM FileSystem. Hadoop-specific scheme aliases
+    (s3a/s3n -> s3, abfss -> abfs, gs stays) are mapped to the names
+    pyarrow knows; anything still unresolvable raises, which
+    _bootstrap_copy probes ON THE DRIVER first so it can fall back to
+    the serial Hadoop-FS loop instead of failing task-side."""
     import pyarrow.fs as pafs
 
     if uri.startswith("file://"):
         return pafs.LocalFileSystem(), uri[len("file://"):]
-    if "://" in uri:
-        return pafs.FileSystem.from_uri(uri)
-    return pafs.LocalFileSystem(), uri
+    if "://" not in uri:
+        return pafs.LocalFileSystem(), uri
+    scheme, rest = uri.split("://", 1)
+    alias = {"s3a": "s3", "s3n": "s3", "abfss": "abfs", "wasbs": "abfs"}
+    scheme = alias.get(scheme, scheme)
+    return pafs.FileSystem.from_uri(f"{scheme}://{rest}")
 
 
 def _bootstrap_copy_one(pair) -> None:
@@ -914,7 +945,18 @@ def _bootstrap_copy(
     pairs = [
         (f"{src_path}/{n}", f"{mirror_path}/{n}") for n in names
     ]
-    if len(pairs) <= _BOOTSTRAP_DRIVER_MAX:
+    distributable = len(pairs) > _BOOTSTRAP_DRIVER_MAX
+    if distributable:
+        # probe scheme resolution ON THE DRIVER: a filesystem pyarrow
+        # cannot reach (exotic scheme, missing libhdfs on workers)
+        # must degrade to the slow-but-correct serial loop, not fail
+        # across every task
+        try:
+            _pa_fs_for(pairs[0][0])
+            _pa_fs_for(pairs[0][1])
+        except Exception:
+            distributable = False
+    if not distributable:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         for src, dst in pairs:
@@ -959,7 +1001,15 @@ _MIRROR_PURGE_DONE = "_mirror_purge_done"  # purge-applied marker
 
 def _partition_cols_of(spark: SparkSession, path: str) -> list:
     """The dataset's hive partition columns, derived from its live
-    file layout ([] for a flat dataset)."""
+    file layout ([] for a flat dataset, a missing dir, or a dataset a
+    full purge emptied of data files — schema inference would raise on
+    the latter, wedging every later drain)."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p) or not any(
+        not s.getPath().getName().startswith(("_", "."))
+        for s in fs.listStatus(p)
+    ):
+        return []
     names = _live_names(spark, path)
     if not names:
         return []
@@ -984,21 +1034,34 @@ def _mirror_stage_inserts(
     which keys to purge, no matter where the prior attempt crashed.
     The manifest's presence marks the staging COMPLETE; its absence on
     replay means restage from scratch (mode=overwrite clears a partial
-    attempt, including any partial `_purge`).
+    attempt, including any partial `_purge`). Any `_purge_done` marker
+    lying around belongs to an EARLIER drain whose commit crashed in
+    its cleanup tail — it is removed here, before this drain's
+    manifest can exist, so it can never suppress this drain's purge.
 
     A PARTITIONED mirror stages its inserts partitionBy the mirror's
     own layout columns, so the commit's relative-path moves land them
     inside their `col=val/` dirs — a flat file beside partition dirs
     makes Spark read ONLY the root files, silently dropping the whole
     partitioned corpus (caught r13). Returns the staged row count."""
+    from pyspark.sql import Observation
+
     from engage_spark.session import local_frame
 
-    n = ins.count()
+    dfs, done = _fs(spark, f"{mirror_path}/{_MIRROR_PURGE_DONE}")
+    if dfs.exists(done):
+        dfs.delete(done, False)  # stale marker from a prior drain
     part_cols = _partition_cols_of(spark, mirror_path)
-    writer = ins.write.mode("overwrite")
+    # count rides the staging write via an Observation — one
+    # evaluation of the (change-sized) insert frame, not a count()
+    # scan plus a second write scan of the same feed
+    obs = Observation()
+    staged = ins.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = staged.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(f"{mirror_path}/{_MIRROR_STAGING}")
+    n = int(obs.get["n"])
     if purge is not None:
         purge.coalesce(1).write.mode("overwrite").parquet(
             f"{mirror_path}/{_MIRROR_PURGE}"
@@ -1015,7 +1078,9 @@ def _mirror_apply_purge(spark: SparkSession, mirror_path: str) -> int:
     `_purge` was staged (append-only drains) or when the
     `_purge_done` marker says a prior attempt already applied it —
     re-purging after the staged inserts moved in would delete the
-    fresh rows of updated keys. Returns the purged key count."""
+    fresh rows of updated keys. A marker can only belong to THIS
+    drain: staging a new drain removes any stale one before the
+    manifest exists. Returns the purged key count."""
     pfs, pp = _fs(spark, f"{mirror_path}/{_MIRROR_PURGE}")
     if not pfs.exists(pp):
         return 0
@@ -1292,6 +1357,10 @@ def sync_mirror(
 
 _ROLLUP_STAGING = "_rollup_incoming"
 _ROLLUP_MANIFEST = "_rollup_manifest"
+# min/max recompute collects the touched single-column group keys into
+# an In-literal (scan-prunable) up to this many; larger sets fall back
+# to the broadcast semi-join
+_ROLLUP_TOUCHED_ISIN_MAX = 10_000
 
 
 def _rollup_replay_pending(spark: SparkSession, rollup_path: str):
@@ -1468,18 +1537,38 @@ def sync_rollup(
     )
     if minmax_cols:
         # recompute tier: min/max for exactly the drain's touched
-        # groups, from the live source, group keys broadcast-pushed.
-        # Touched groups come from the persisted delta (one row per
-        # touched group already), never a second feed scan.
-        touched = delta.select(*group_cols).alias("t")
+        # groups, from the live source. Touched groups come from the
+        # persisted delta (one row per touched group already), never a
+        # second feed scan. For a SINGLE group column with a bounded
+        # key set, the keys become an In-literal filter so parquet
+        # footer/partition pruning actually skips untouched files — a
+        # broadcast eqNullSafe semi-join cannot push into the scan and
+        # would re-read the whole source every sync (r13 review). The
+        # join remains the fallback for composite keys / huge key sets.
         src_live = read_with_deletes(spark, src_path).alias("s")
-        recomp = (
-            src_live.join(
+        touched_keys = None
+        if len(group_cols) == 1:
+            rows = delta.select(*group_cols).collect()
+            if len(rows) <= _ROLLUP_TOUCHED_ISIN_MAX:
+                touched_keys = [r[0] for r in rows]
+        if touched_keys is not None:
+            g = group_cols[0]
+            non_null = [v for v in touched_keys if v is not None]
+            cond = (
+                F.col(g).isin(non_null) if non_null else F.lit(False)
+            )
+            if any(v is None for v in touched_keys):
+                cond = cond | F.col(g).isNull()
+            pruned = src_live.filter(cond)
+        else:
+            touched = delta.select(*group_cols).alias("t")
+            pruned = src_live.join(
                 F.broadcast(touched),
                 on=_nullsafe_cond("s", "t"),
                 how="left_semi",
             )
-            .groupBy(*group_cols)
+        recomp = (
+            pruned.groupBy(*group_cols)
             .agg(*_mm_aggs(), F.max(F.lit(1)).alias("__touched"))
         )
         m_ = merged.alias("m")

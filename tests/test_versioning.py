@@ -264,6 +264,62 @@ def test_vacuum_versions_horizon(spark, sf_dir, tmp_path):
     assert read_version(spark, str(out), 5).count() == live
 
 
+def test_publish_stash_heal_respects_lease(spark, sf_dir, tmp_path):
+    """r13 review: the stash heal must not race an in-flight republish
+    — while the republisher's lease is live, version_log_enabled backs
+    off (dataset reads unversioned) and the DESTRUCTIVE writers refuse
+    rather than overwriting files the stashed history references; once
+    the lease is gone the next check heals and history is intact."""
+    import json
+    import time
+
+    from engage_spark.io import _hadoop_fs, zorder_write as zw
+    from engage_spark.versioning import _PUBLISH_STASH_SUFFIX, _VDIR
+
+    out = tmp_path / "vstash"
+    ev = _events(spark, sf_dir).limit(5000)
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16, num_files=2
+    )
+    version_log_enable(spark, str(out))                            # v1
+    # simulate a republish crashed mid-overwrite: _versions in the
+    # stash, the crashed writer's (unexpired) lease left behind
+    vfs, vp = _hadoop_fs(spark, f"{out}/{_VDIR}")
+    _, sp = _hadoop_fs(spark, f"{str(out)}{_PUBLISH_STASH_SUFFIX}")
+    assert vfs.rename(vp, sp)
+    lfs, lp = _hadoop_fs(spark, f"{out}/_maintenance_lock")
+    stream = lfs.create(lp, False)
+    stream.write(json.dumps({
+        "writer": "ghost:1", "acquired_unix": int(time.time()),
+        "ttl_s": 3600,
+    }).encode())
+    stream.close()
+    # heal backs off; destructive writers refuse
+    assert version_log_enabled(spark, str(out)) is False
+    with pytest.raises(RuntimeError, match="in flight"):
+        zw(spark, ev, str(out), ["user_id", "v_cents"], bits=16,
+           num_files=2)
+    from engage_spark.io import upsert_dataset
+    from engage_spark.session import local_frame
+
+    # the upsert is refused either by its own lease acquisition (the
+    # ghost holder) or, past the TTL, by the stash guard — both stop
+    # the destructive overwrite
+    with pytest.raises(RuntimeError, match="in flight|lease"):
+        upsert_dataset(
+            spark, str(out),
+            local_frame(
+                spark, [(1, 1, 1)],
+                "event_id long, user_id long, v_cents long",
+            ),
+            ["event_id"],
+        )
+    # lease released (crash recovered / TTL broke it): heal proceeds
+    lfs.delete(lp, False)
+    assert version_log_enabled(spark, str(out)) is True
+    assert read_version(spark, str(out), 1).count() == ev.count()
+
+
 def test_restore_version_rolls_back_and_forward(spark, sf_dir, tmp_path):
     """RESTORE (r13): after the full lifecycle, restoring to v1 makes
     the live read equal read_version(1) — including re-recording v1's
@@ -962,6 +1018,41 @@ def test_sync_mirror_mixed_drain_crash_after_manifest_before_purge(
         mirror.agg(F.sum("event_id")).first()[0]
         == live.agg(F.sum("event_id")).first()[0]
     )
+
+
+def test_sync_mirror_stale_purge_marker_cannot_suppress_next_purge(
+    spark, sf_dir, tmp_path
+):
+    """r13 review: a crash in _mirror_commit's cleanup tail (manifest
+    deleted, `_purge_done` marker not yet) must not make the NEXT
+    netting drain skip its purge — staging a new drain removes the
+    stale marker before its manifest can exist."""
+    from engage_spark import versioning as v_mod
+    from engage_spark.versioning import sync_mirror
+
+    src, mir = tmp_path / "smsrc", tmp_path / "smmir"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(src), ["user_id", "v_cents"], bits=16, num_files=2
+    )
+    version_log_enable(spark, str(src))                            # v1
+    sync_mirror(spark, str(src), str(mir), "event_id")             # bootstrap
+    # simulate the crash residue: a stale marker with no manifest
+    fs, done = v_mod._fs(spark, f"{mir}/{v_mod._MIRROR_PURGE_DONE}")
+    out = fs.create(done, True)
+    out.close()
+    # a netting drain (takedown) must still purge
+    delete_rows(
+        spark, str(src),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v2
+    r = sync_mirror(spark, str(src), str(mir), "event_id")
+    assert r["deleted"] > 0, "stale marker suppressed the purge"
+    m = spark.read.parquet(str(mir))
+    assert m.filter(F.col("event_id") % 97 == 0).count() == 0
+    assert m.count() == read_with_deletes(spark, str(src)).count()
+    assert not fs.exists(done)  # cleaned up by the commit
 
 
 def test_sync_mirror_duplicate_live_keys_raise(spark, sf_dir, tmp_path):
