@@ -734,6 +734,7 @@ def zorder_write(
     bits: int = 16,
     num_files: int | None = None,
     scale: str = "minmax",
+    partition_by: Sequence[str] | None = None,
 ) -> dict:
     """Write ``df`` Z-ordered on ``cols``: multi-dimensional clustering
     so parquet row-group min/max stats prune on EVERY listed column,
@@ -770,7 +771,8 @@ def zorder_write(
 
         if version_log_enabled(spark, path):
             return _zorder_write_versioned(
-                spark, df, path, cols, bits, num_files, scale
+                spark, df, path, cols, bits, num_files, scale,
+                partition_by,
             )
         if _publish_stash_exists(spark, path):
             # a republish is mid-flight (or crashed with its lease
@@ -782,11 +784,13 @@ def zorder_write(
                 "in the publish stash); retry after it completes or "
                 "the lease expires"
             )
-    return _zorder_write_impl(spark, df, path, cols, bits, num_files, scale)
+    return _zorder_write_impl(
+        spark, df, path, cols, bits, num_files, scale, partition_by
+    )
 
 
 def _zorder_write_versioned(
-    spark, df, path, cols, bits, num_files, scale
+    spark, df, path, cols, bits, num_files, scale, partition_by=None
 ) -> dict:
     from engage_spark.versioning import (
         _VDIR,
@@ -823,7 +827,8 @@ def _zorder_write_versioned(
             )
         try:
             stats = _zorder_write_impl(
-                spark, df, path, cols, bits, num_files, scale
+                spark, df, path, cols, bits, num_files, scale,
+                partition_by,
             )
         finally:
             if not fs.rename(tp, vp) and not fs.exists(vp):
@@ -847,19 +852,42 @@ def _zorder_write_impl(
     bits: int,
     num_files: int | None,
     scale: str,
+    partition_by: Sequence[str] | None = None,
 ) -> dict:
+    part_cols = list(partition_by or [])
+    clash = set(cols) & set(part_cols)
+    if clash:
+        raise ValueError(
+            f"zorder columns {sorted(clash)} cannot also be partition "
+            "columns: partitionBy removes them from the data files, so "
+            "later frozen-curve reads of those files could not rescale "
+            "them. Partition on one dimension, cluster on the others."
+        )
     rank_bounds: dict | None = {} if scale == "rank" else None
     out, stats = zorder_values(
         df, cols, bits, scale=scale, rank_bounds=rank_bounds
     )
     n = num_files or spark.sparkContext.defaultParallelism
-    (
-        out.repartitionByRange(n, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    if part_cols:
+        # range-partition on (partition cols, z): each task holds a
+        # contiguous (partition, z) run, so every partition DIR gets
+        # z-disjoint right-sized files — hive pruning on the partition
+        # column composes with footer pruning on the clustered columns
+        writer = (
+            out.repartitionByRange(n, *part_cols, "__z")
+            .sortWithinPartitions(*part_cols, "__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+        )
+    else:
+        writer = (
+            out.repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+        )
+    writer.parquet(path)
     meta_dir = f"{path}/_zorder_meta"
     from engage_spark.session import local_frame
 
@@ -872,10 +900,11 @@ def _zorder_write_impl(
                 scale,
                 [int(stats[c][0]) for c in cols],
                 [int(stats[c][1]) for c in cols],
+                part_cols,
             )
         ],
         "cols array<string>, bits int, scale string, "
-        "lo array<long>, hi array<long>",
+        "lo array<long>, hi array<long>, part_cols array<string>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{meta_dir}/info")
     if rank_bounds:
         rank_bounds["_all"].write.mode("overwrite").parquet(
@@ -916,13 +945,18 @@ def zorder_meta(spark: SparkSession, path: str) -> dict:
             "with zorder_write/optimize_dataset before appending; "
             "appends must scale with the stored curve."
         )
-    info = spark.read.parquet(f"{path}/_zorder_meta/info").collect()[0]
+    info = (
+        spark.read.parquet(f"{path}/_zorder_meta/info").collect()[0].asDict()
+    )
     out = {
-        "cols": list(info.cols),
-        "bits": int(info.bits),
-        "scale": info.scale,
-        "lo": {c: int(v) for c, v in zip(info.cols, info.lo)},
-        "hi": {c: int(v) for c, v in zip(info.cols, info.hi)},
+        "cols": list(info["cols"]),
+        "bits": int(info["bits"]),
+        "scale": info["scale"],
+        "lo": {c: int(v) for c, v in zip(info["cols"], info["lo"])},
+        "hi": {c: int(v) for c, v in zip(info["cols"], info["hi"])},
+        # hive partition columns of the clustered layout (r13);
+        # pre-r13 meta rows lack the column -> flat
+        "part_cols": list(info.get("part_cols") or []),
     }
     _ZMETA_CACHE[path] = out
     return out
@@ -1025,11 +1059,15 @@ def zorder_append(
     zorder_layout_stats and re-optimize past your threshold. Returns
     {"files", "cols", "scale"}."""
     m = zorder_meta(spark, path)
-    missing = [c for c in m["cols"] if c not in df.columns]
+    part_cols = m.get("part_cols") or []
+    missing = [
+        c for c in list(m["cols"]) + part_cols if c not in df.columns
+    ]
     if missing:
         raise ValueError(
-            f"zorder_append increment lacks clustered columns {missing} "
-            f"(index at {path} is ordered on {m['cols']})"
+            f"zorder_append increment lacks clustered/partition columns "
+            f"{missing} (index at {path} is ordered on {m['cols']}, "
+            f"partitioned by {part_cols})"
         )
     from engage_spark.versioning import (
         _vlog_append_entry,
@@ -1058,13 +1096,23 @@ def zorder_append(
         man = None
     out = _zorder_scale_frozen(spark, df, path, m)
     n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
-    (
-        out.repartitionByRange(n, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("append")
-        .parquet(path)
-    )
+    if part_cols:
+        (
+            out.repartitionByRange(n, *part_cols, "__z")
+            .sortWithinPartitions(*part_cols, "__z")
+            .drop("__z")
+            .write.mode("append")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+    else:
+        (
+            out.repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("append")
+            .parquet(path)
+        )
     new_files: set = set()
     if man is not None or vlog:
         new_files = set(spark.read.parquet(path).inputFiles()) - before
@@ -1181,10 +1229,8 @@ def zorder_layout_stats(spark: SparkSession, path: str) -> dict:
     i.e. the read amplification of a curve-point lookup."""
     import heapq
 
-    ranges = sorted(
-        (lo, hi) for _, lo, hi in _zorder_file_ranges(spark, path)
-    )
-    if not ranges:
+    fr = _zorder_file_ranges(spark, path)
+    if not fr:
         # empty dataset (no rows): nothing can overlap, nothing to
         # optimize — zeroed stats instead of max()-of-empty ValueError
         return {
@@ -1193,21 +1239,38 @@ def zorder_layout_stats(spark: SparkSession, path: str) -> dict:
             "overlap_fraction": 0.0,
             "avg_covering": 0.0,
         }
-    n = len(ranges)
+    # group per PARTITION DIRECTORY (r13): on a hive-partitioned
+    # clustered layout, z-ranges of DIFFERENT partitions overlap
+    # legitimately (each partition carries the full curve) and never
+    # co-occur in a pruned scan — only same-dir overlap costs reads.
+    # A flat layout is one group, preserving the original metric.
+    groups: dict = {}
+    for f, lo, hi in fr:
+        groups.setdefault(f.rsplit("/", 1)[0], []).append((lo, hi))
+    n = len(fr)
     overlap_pairs = 0
-    active: list = []  # heap of his among open ranges
-    for lo, hi in ranges:
-        while active and active[0] < lo:
-            heapq.heappop(active)
-        overlap_pairs += len(active)
-        heapq.heappush(active, hi)
-    total_span = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges) + 1
-    covered = sum(hi - lo + 1 for lo, hi in ranges)
+    possible_pairs = 0
+    covered = 0
+    total_span = 0
+    for ranges in groups.values():
+        ranges.sort()
+        g = len(ranges)
+        possible_pairs += g * (g - 1) // 2
+        active: list = []  # heap of his among open ranges
+        for lo, hi in ranges:
+            while active and active[0] < lo:
+                heapq.heappop(active)
+            overlap_pairs += len(active)
+            heapq.heappush(active, hi)
+        total_span += (
+            max(hi for _, hi in ranges) - min(lo for lo, _ in ranges) + 1
+        )
+        covered += sum(hi - lo + 1 for lo, hi in ranges)
     return {
         "files": n,
         "overlap_pairs": overlap_pairs,
         "overlap_fraction": (
-            overlap_pairs / (n * (n - 1) / 2) if n > 1 else 0.0
+            overlap_pairs / possible_pairs if possible_pairs else 0.0
         ),
         "avg_covering": covered / total_span,
     }
@@ -1221,6 +1284,7 @@ def optimize_dataset(
     target_file_bytes: int = 128 * 1024 * 1024,
     bits: int = 16,
     scale: str = "minmax",
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """OPTIMIZE-shaped maintenance pass: right-size files AND Z-cluster
     them in one rewrite (compact_dataset's byte-based sizing +
@@ -1240,7 +1304,10 @@ def optimize_dataset(
         p = jvm.org.apache.hadoop.fs.Path(f)
         total += p.getFileSystem(conf).getFileStatus(p).getLen()
     n = max(1, math.ceil(total / target_file_bytes))
-    zorder_write(spark, df, dst, cols, bits=bits, num_files=n, scale=scale)
+    zorder_write(
+        spark, df, dst, cols, bits=bits, num_files=n, scale=scale,
+        partition_by=partition_by,
+    )
     return n
 
 
@@ -1328,46 +1395,62 @@ def _optimize_incremental_impl(
     current = set(spark.read.parquet(path).inputFiles())
     man_live = man is not None and {f for f, _, _ in man} == current
     fr = man if man_live else _zranges_scan(spark, path)
-    # sweep for overlap participants: sort by lo; a file overlaps its
-    # predecessor group when its lo <= the running max hi
-    fr_sorted = sorted(fr, key=lambda t: (t[1], t[2]))
+    # sweep for overlap participants PER PARTITION DIRECTORY (r13):
+    # within each dir, sort by lo; a file overlaps its predecessor
+    # group when its lo <= the running max hi. Cross-partition overlap
+    # is legitimate (each partition carries the whole curve) and never
+    # read together, so it must not nominate victims. A flat layout is
+    # one group — identical to the original sweep.
+    by_dir: dict = {}
+    for f, lo, hi in fr:
+        by_dir.setdefault(f.rsplit("/", 1)[0], []).append((f, lo, hi))
     victims: set = set()
-    run_max_hi = None
-    run_max_file = None
-    for f, lo, hi in fr_sorted:
-        if run_max_hi is not None and lo <= run_max_hi:
-            victims.add(f)
-            victims.add(run_max_file)
-        if run_max_hi is None or hi > run_max_hi:
-            run_max_hi, run_max_file = hi, f
+    for entries in by_dir.values():
+        entries.sort(key=lambda t: (t[1], t[2]))
+        run_max_hi = None
+        run_max_file = None
+        for f, lo, hi in entries:
+            if run_max_hi is not None and lo <= run_max_hi:
+                victims.add(f)
+                victims.add(run_max_file)
+            if run_max_hi is None or hi > run_max_hi:
+                run_max_hi, run_max_file = hi, f
     if len(victims) < 2:
         _optimize_gc_staging(spark, path)
         return {"rewritten_files": 0, "new_files": 0, "kept_files": len(fr)}
 
     m = zorder_meta(spark, path)
+    part_cols = m.get("part_cols") or []
     total = _victim_bytes(spark, path, victims)
     n_new = max(1, math.ceil(total / target_file_bytes))
     staging = f"{path}/{_OPT_STAGING}"
-    out = _zorder_scale_frozen(
-        spark, spark.read.parquet(*sorted(victims)), path, m
+    victim_src = (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*sorted(victims))
     )
-    (
-        out.repartitionByRange(n_new, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
+    out = _zorder_scale_frozen(spark, victim_src, path, m)
+    if part_cols:
+        (
+            out.repartitionByRange(n_new, *part_cols, "__z")
+            .sortWithinPartitions(*part_cols, "__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(staging)
+        )
+    else:
+        (
+            out.repartitionByRange(n_new, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
     # manifest AFTER staging completes: its presence is the commit point
     from engage_spark.session import local_frame
 
-    staged_names = [
-        s.getPath().getName()
-        for s in _hadoop_fs(spark, staging)[0].listStatus(
-            _hadoop_fs(spark, staging)[1]
-        )
-        if not s.getPath().getName().startswith("_") and not s.isDirectory()
-    ]
+    staged_names = _staged_rel_files(spark, staging)
     local_frame(
         spark, [(f,) for f in sorted(victims)], "victim string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
@@ -1383,12 +1466,14 @@ def _optimize_incremental_impl(
             kept_entries + (_zranges_scan(spark, path, fresh) if fresh else []),
         )
     if vlog:
+        from engage_spark.versioning import _relativize
+
         # entry LAST: a crash in this window is healed by the next
         # op's reconcile (victims already sit in retained/)
         _vlog_append_entry(
             spark, path, "optimize",
             added=staged_names,
-            removed=[f.rsplit("/", 1)[-1] for f in victims],
+            removed=_relativize(spark, path, sorted(victims)),
         )
     return {
         "rewritten_files": len(victims),
@@ -1870,7 +1955,21 @@ def _apply_deletes_impl(
     )
     staging = f"{path}/{_OPT_STAGING}"
     zm_fs, zm_p = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
-    if part_cols:
+    if part_cols and zm_fs.exists(zm_p):
+        # partitioned AND clustered (r13): survivors go back on the
+        # frozen curve INSIDE their partition dirs, so footer pruning
+        # and later zorder_appends keep the same layout contract
+        m = zorder_meta(spark, path)
+        (
+            _zorder_scale_frozen(spark, kept_rows, path, m)
+            .repartitionByRange(n_new, *part_cols, "__z")
+            .sortWithinPartitions(*part_cols, "__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(staging)
+        )
+    elif part_cols:
         # one task per (shuffle slot) grouped on the partition columns
         # keeps each partition dir to right-sized files
         (

@@ -527,6 +527,80 @@ def s10d_zorder_incremental_optimize_roundtrip(
     )
 
 
+# Partitioned-clustered twin of the s10 oracle: same global min-max
+# scaling + interleave (the curve is dataset-global by design — each
+# partition carries the full curve), grouped by the PARTITION column
+# too, so both the hive layout values and the curve math are hashed.
+_S10E_ORACLE = f"""
+WITH src AS (
+  SELECT event_id, event_type, user_id,
+         CAST(round(value * 100 + 1e-9) AS BIGINT) AS v_cents
+  FROM events
+),
+mm AS (
+  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+         min(v_cents) AS vlo, max(v_cents) AS vhi
+  FROM src
+),
+sc AS (
+  SELECT event_id, event_type,
+         ((user_id - ulo) * 65535)
+           // (CASE WHEN uhi = ulo THEN 1 ELSE uhi - ulo END) AS sx,
+         ((v_cents - vlo) * 65535)
+           // (CASE WHEN vhi = vlo THEN 1 ELSE vhi - vlo END) AS sy
+  FROM src, mm
+),
+z AS (SELECT event_id, event_type, {_zfrag(["sx", "sy"], 16)} AS zval
+      FROM sc)
+SELECT event_type, (zval >> 28)::BIGINT AS z_bucket,
+       count(*)::BIGINT AS n, min(zval)::BIGINT AS z_lo,
+       max(zval)::BIGINT AS z_hi, sum(event_id)::BIGINT AS id_sum
+FROM z GROUP BY event_type, z_bucket
+"""
+
+
+@query("s10e_zorder_partitioned_layout", oracle=_S10E_ORACLE,
+       covers=["S4", "S5"])
+def s10e_zorder_partitioned_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE-PARTITIONED + Z-CLUSTERED layout (r13) — THE standard
+    100 TB corpus shape: partition on the coarse dimension
+    (event_type here; dt= in production), Morton-cluster each
+    partition's files on (user_id, v_cents) with ONE dataset-global
+    frozen curve, so hive directory pruning composes with footer-stats
+    pruning on both clustered columns. io.zorder_write(partition_by=)
+    range-partitions on (partition cols, z), giving every partition
+    dir z-disjoint right-sized files in one shuffle. The query writes
+    the layout, reads it back, recomputes every row's Z-value with
+    the stored meta, and aggregates per (partition value, curve
+    bucket) — the oracle rebuilds the identical scaling + interleave
+    in SQL, so the roundtrip, the partition values, AND the curve
+    math are all under one hash."""
+    from engage_spark.io import _zorder_scale_frozen, zorder_meta, zorder_write
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    out = _scratch("events_zorder_part")
+    zorder_write(
+        spark, ev, out, ["user_id", "v_cents"], bits=16, num_files=12,
+        partition_by=["event_type"],
+    )
+    back = spark.read.parquet(out)
+    zb = _zorder_scale_frozen(spark, back, out, zorder_meta(spark, out))
+    return zb.groupBy(
+        "event_type",
+        F.shiftright(F.col("__z"), 28).cast("long").alias("z_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__z").cast("long").alias("z_lo"),
+        F.max("__z").cast("long").alias("z_hi"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
 @query(
     "s6_plot_sink",
     # the oracle verifies the PLOT-READY table the renderer consumed

@@ -62,8 +62,8 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     (s13), the relative-path log + _read_names + snapshot
 #     checkpoints (s14/s15/s16), the _bucket_spec sidecar (s17), and
 #     the staged-commit walk under zorder maintenance (s10 family);
-# (d) the r9 cohort, oldest-first — rotation part 5 proper (28 of 41;
-#     the remaining 13 — x2b2/x2d, x3c/x3d/x3e, x4_tfidf_pipeline,
+# (d) the r9 cohort, oldest-first — rotation part 5 proper (27 of 41;
+#     the remaining 14 — x2b/x2b2/x2d, x3c/x3d/x3e, x4_tfidf_pipeline,
 #     the x_dedup_components trio, x_doc_chunking,
 #     x_embed_lsh_neardup_pairs, x_profile_columns, x_shard_manifest —
 #     lead part 6 next round).
@@ -77,6 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_token_encode",
     "x_vocab_topk",
     # (b) NEW in round 13
+    "s10e_zorder_partitioned_layout",
     "s14b_time_travel_partitioned",
     "s14c_restore_version",
     "s15b_version_diff_partitioned",
@@ -123,7 +124,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s8_partitioned_compaction_nulls",
     "s11_schema_evolution_roundtrip",
     "x2_minhash_lsh_dedup",
-    "x2b_simhash_dedup",
 )
 
 

@@ -1967,6 +1967,95 @@ def test_apply_deletes_is_file_targeted(spark, tmp_path):
     assert spark.read.parquet(p).count() == 40000 - 200 + 100
 
 
+def test_zorder_partitioned_lifecycle(spark, tmp_path):
+    """Hive-partitioned + Z-clustered layout (r13): the write puts
+    z-disjoint files inside every partition dir (one global frozen
+    curve), the append stays on the curve and inside the dirs, layout
+    stats and incremental-optimize victim selection work PER PARTITION
+    DIR (cross-partition z-overlap is legitimate and must not nominate
+    victims), the partition-aware delete vacuum re-lays survivors on
+    the curve, and clustering a partition column is refused."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import engage_spark.io as io
+    from engage_spark.session import local_frame
+
+    p = str(tmp_path / "zpart")
+    df = local_frame(
+        spark,
+        [(i, i % 3, (i * 37) % 1000, (i * 91) % 1000) for i in range(30000)],
+        "k long, g long, a long, b long",
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        io.zorder_write(
+            spark, df, p, ["g", "a"], bits=8, partition_by=["g"]
+        )
+    io.zorder_write(
+        spark, df, p, ["a", "b"], bits=8, num_files=9,
+        partition_by=["g"],
+    )
+    files = spark.read.parquet(p).inputFiles()
+    assert all("/g=" in f for f in files)
+    assert io.zorder_meta(spark, p)["part_cols"] == ["g"]
+    s0 = io.zorder_layout_stats(spark, p)
+    # per-dir z-disjoint after a fresh write (cross-partition overlap
+    # exists but must not count)
+    assert s0["overlap_fraction"] == 0.0, s0
+    io._zorder_file_ranges(spark, p)  # fill the manifest
+
+    # NARROW-band increment (low corner of the curve): per dir it
+    # overlaps only the low-z files, so the optimize keeps the rest
+    inc = local_frame(
+        spark,
+        [(i, i % 3, (i * 37) % 50, (i * 91) % 50)
+         for i in range(30000, 36000)],
+        "k long, g long, a long, b long",
+    )
+    io.zorder_append(spark, inc, p, num_files=3)
+    files2 = spark.read.parquet(p).inputFiles()
+    assert all("/g=" in f for f in files2)
+    s1 = io.zorder_layout_stats(spark, p)
+    assert s1["overlap_fraction"] > 0.0  # append overlapped within dirs
+
+    before = {
+        f: os.path.getmtime(f.replace("file:", "")) for f in files2
+    }
+    out = io.optimize_incremental(spark, p, target_file_bytes=1 << 20)
+    assert out["rewritten_files"] > 0
+    assert out["kept_files"] > 0
+    s2 = io.zorder_layout_stats(spark, p)
+    assert s2["overlap_fraction"] < s1["overlap_fraction"]
+    after_files = set(spark.read.parquet(p).inputFiles())
+    assert all("/g=" in f for f in after_files)
+    kept = before.keys() & after_files
+    assert len(kept) == out["kept_files"]
+    for f in kept:
+        assert os.path.getmtime(f.replace("file:", "")) == before[f]
+    back = spark.read.parquet(p)
+    assert back.count() == 36000
+    assert back.filter(F.col("g") != F.col("k") % 3).count() == 0
+
+    # takedown + partition-aware vacuum keeps the clustered layout
+    io.delete_rows(spark, p, [5, 7, 30001], "k")
+    r = io.apply_deletes(spark, p)
+    assert r["deleted_keys"] == 3 and r["rewritten_files"] > 0
+    back = spark.read.parquet(p)
+    assert back.count() == 36000 - 3
+    assert back.filter(F.col("k").isin(5, 7, 30001)).count() == 0
+    assert back.filter(F.col("g").isNull()).count() == 0
+    assert all("/g=" in f for f in back.inputFiles())
+    # still appendable on the frozen curve afterwards
+    io.zorder_append(
+        spark,
+        local_frame(spark, [(99_999, 0, 1, 1)],
+                    "k long, g long, a long, b long"),
+        p, num_files=1,
+    )
+    assert spark.read.parquet(p).count() == 36000 - 3 + 1
+
+
 def test_apply_deletes_partitioned_preserves_partition_values(
     spark, tmp_path
 ):

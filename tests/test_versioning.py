@@ -527,6 +527,43 @@ def test_partitioned_version_lifecycle_roundtrip(spark, sf_dir, tmp_path):
     assert got == {(2, "insert"): odds.count(), (3, "delete"): n_del}
 
 
+def test_zorder_partitioned_versioned_time_travel(spark, sf_dir, tmp_path):
+    """The partitioned-clustered layout (r13 zorder partition_by)
+    composes with the version log: the clustered partitioned publish,
+    a frozen-curve append, and a takedown all log relative paths under
+    the partition dirs, and every version reconstructs with its
+    partition column intact."""
+    out = tmp_path / "zpv"
+    ev = _events(spark, sf_dir).withColumn(
+        "grp", (F.col("user_id") % 3).cast("long")
+    )
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    zorder_write(
+        spark, evens, str(out), ["user_id", "v_cents"], bits=16,
+        num_files=6, partition_by=["grp"],
+    )
+    version_log_enable(spark, str(out))                            # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(out),
+        num_files=3,
+    )                                                              # v2
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    e = _vlog_entries(spark, str(out))
+    assert all(
+        n.startswith("grp=") for en in e for n in en["added"]
+    )
+    n, n_even = ev.count(), evens.count()
+    n_del = ev.filter(F.col("event_id") % 97 == 0).count()
+    for v, expect in ((1, n_even), (2, n), (3, n - n_del)):
+        df = read_version(spark, str(out), v)
+        assert df.count() == expect, f"v{v}"
+        assert df.filter(F.col("grp") != F.col("user_id") % 3).count() == 0
+
+
 def test_append_dataset_rejects_layout_mismatch(spark, sf_dir, tmp_path):
     """A flat append onto a partitioned dataset (or the reverse) would
     leave a mixed layout readers silently truncate — append_dataset
