@@ -762,6 +762,10 @@ def zorder_write(
     vectors are superseded. A crash mid-publish leaves the old files
     safe in retained/ (re-run the publish); the staged-commit ops keep
     their stronger replayable guarantee."""
+    # validate BEFORE the versioned branch: its republish retains
+    # every live file first, so a late argument error would leave the
+    # live root empty (r13 review)
+    _zorder_validate_args(df, cols, partition_by)
     fs_t, p_t = _hadoop_fs(spark, path)
     if fs_t.exists(p_t):
         from engage_spark.versioning import (
@@ -844,6 +848,57 @@ def _zorder_write_versioned(
     return stats
 
 
+def _write_z_layout(
+    out: DataFrame,
+    n: int,
+    part_cols: list,
+    mode: str,
+    path: str,
+) -> None:
+    """The one layout-producing write every zorder path shares:
+    range-partition on (partition cols, __z) — each task holds a
+    contiguous (partition, z) run, so every partition dir gets
+    z-disjoint right-sized files — sort within tasks, drop the key,
+    write. A partitioned OVERWRITE pins partitionOverwriteMode=static
+    per-write: under a session-level dynamic mode, a republish whose
+    frame lacks some partition values would silently leave those dirs
+    on the PREVIOUS frozen curve while the meta says otherwise."""
+    keys = [*part_cols, "__z"] if part_cols else ["__z"]
+    w = (
+        out.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .drop("__z")
+        .write.mode(mode)
+    )
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+        if mode == "overwrite":
+            w = w.option("partitionOverwriteMode", "static")
+    w.parquet(path)
+
+
+def _zorder_validate_args(df: DataFrame, cols, partition_by) -> None:
+    """Argument validation shared by the zorder entry points — it MUST
+    run before the versioned republish starts retaining live files
+    (r13 review: a ValueError raised mid-republish left the live root
+    empty), so zorder_write calls it before choosing a branch."""
+    part_cols = list(partition_by or [])
+    clash = set(cols) & set(part_cols)
+    if clash:
+        raise ValueError(
+            f"zorder columns {sorted(clash)} cannot also be partition "
+            "columns: partitionBy removes them from the data files, so "
+            "later frozen-curve reads of those files could not rescale "
+            "them. Partition on one dimension, cluster on the others."
+        )
+    missing = [c for c in list(cols) + part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"zorder_write input lacks columns {missing} "
+            f"(clustering on {list(cols)}, partitioning by {part_cols})"
+        )
+
+
 def _zorder_write_impl(
     spark: SparkSession,
     df: DataFrame,
@@ -855,39 +910,13 @@ def _zorder_write_impl(
     partition_by: Sequence[str] | None = None,
 ) -> dict:
     part_cols = list(partition_by or [])
-    clash = set(cols) & set(part_cols)
-    if clash:
-        raise ValueError(
-            f"zorder columns {sorted(clash)} cannot also be partition "
-            "columns: partitionBy removes them from the data files, so "
-            "later frozen-curve reads of those files could not rescale "
-            "them. Partition on one dimension, cluster on the others."
-        )
+    _zorder_validate_args(df, cols, partition_by)
     rank_bounds: dict | None = {} if scale == "rank" else None
     out, stats = zorder_values(
         df, cols, bits, scale=scale, rank_bounds=rank_bounds
     )
     n = num_files or spark.sparkContext.defaultParallelism
-    if part_cols:
-        # range-partition on (partition cols, z): each task holds a
-        # contiguous (partition, z) run, so every partition DIR gets
-        # z-disjoint right-sized files — hive pruning on the partition
-        # column composes with footer pruning on the clustered columns
-        writer = (
-            out.repartitionByRange(n, *part_cols, "__z")
-            .sortWithinPartitions(*part_cols, "__z")
-            .drop("__z")
-            .write.mode("overwrite")
-            .partitionBy(*part_cols)
-        )
-    else:
-        writer = (
-            out.repartitionByRange(n, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-            .write.mode("overwrite")
-        )
-    writer.parquet(path)
+    _write_z_layout(out, n, part_cols, "overwrite", path)
     meta_dir = f"{path}/_zorder_meta"
     from engage_spark.session import local_frame
 
@@ -1096,23 +1125,7 @@ def zorder_append(
         man = None
     out = _zorder_scale_frozen(spark, df, path, m)
     n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
-    if part_cols:
-        (
-            out.repartitionByRange(n, *part_cols, "__z")
-            .sortWithinPartitions(*part_cols, "__z")
-            .drop("__z")
-            .write.mode("append")
-            .partitionBy(*part_cols)
-            .parquet(path)
-        )
-    else:
-        (
-            out.repartitionByRange(n, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-            .write.mode("append")
-            .parquet(path)
-        )
+    _write_z_layout(out, n, part_cols, "append", path)
     new_files: set = set()
     if man is not None or vlog:
         new_files = set(spark.read.parquet(path).inputFiles()) - before
@@ -1430,23 +1443,7 @@ def _optimize_incremental_impl(
         .parquet(*sorted(victims))
     )
     out = _zorder_scale_frozen(spark, victim_src, path, m)
-    if part_cols:
-        (
-            out.repartitionByRange(n_new, *part_cols, "__z")
-            .sortWithinPartitions(*part_cols, "__z")
-            .drop("__z")
-            .write.mode("overwrite")
-            .partitionBy(*part_cols)
-            .parquet(staging)
-        )
-    else:
-        (
-            out.repartitionByRange(n_new, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+    _write_z_layout(out, n_new, part_cols, "overwrite", staging)
     # manifest AFTER staging completes: its presence is the commit point
     from engage_spark.session import local_frame
 
@@ -1960,14 +1957,9 @@ def _apply_deletes_impl(
         # frozen curve INSIDE their partition dirs, so footer pruning
         # and later zorder_appends keep the same layout contract
         m = zorder_meta(spark, path)
-        (
-            _zorder_scale_frozen(spark, kept_rows, path, m)
-            .repartitionByRange(n_new, *part_cols, "__z")
-            .sortWithinPartitions(*part_cols, "__z")
-            .drop("__z")
-            .write.mode("overwrite")
-            .partitionBy(*part_cols)
-            .parquet(staging)
+        _write_z_layout(
+            _zorder_scale_frozen(spark, kept_rows, path, m),
+            n_new, part_cols, "overwrite", staging,
         )
     elif part_cols:
         # one task per (shuffle slot) grouped on the partition columns
@@ -1982,13 +1974,9 @@ def _apply_deletes_impl(
         # keep the survivors on the frozen curve so footer pruning and
         # later zorder_appends see the same layout contract
         m = zorder_meta(spark, path)
-        (
-            _zorder_scale_frozen(spark, kept_rows, path, m)
-            .repartitionByRange(n_new, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-            .write.mode("overwrite")
-            .parquet(staging)
+        _write_z_layout(
+            _zorder_scale_frozen(spark, kept_rows, path, m),
+            n_new, [], "overwrite", staging,
         )
     else:
         kept_rows.coalesce(n_new).write.mode("overwrite").parquet(staging)

@@ -14,14 +14,16 @@ quantile box`:
     stats exclude files whose z-rectangle misses the box.
 
 kept/total counts the files a Spark scan would actually read out of
-the WHOLE corpus. The flat layout can only footer-prune (event_type
-is a data column whose values interleave across curve slices, so its
-stats exclude nothing).
+the WHOLE corpus. The flat layout footer-prunes on all three columns
+(the event_type equality included); EVERY partition value is measured
+and the per-type spread reported, so the comparison is not a
+best-case pick.
 
 Usage: python scripts/measure_zorder_partitioned_pruning.py [sf_dir] [files]
 Prints ONE JSON line:
-  {"flat": {"kept": k, "total": n},
-   "partitioned": {"kept": k, "total": n, "dir_pruned": d}}
+  {"box": ..., "flat_total": n, "part_total": n,
+   "per_type": {type: {"flat_kept", "part_kept", "dir_pruned"}},
+   "mean_flat_kept": ..., "mean_part_kept": ...}
 """
 
 from __future__ import annotations
@@ -81,9 +83,12 @@ def main() -> None:
         "user_id": (int(qu[0]), int(qu[1])),
         "v_cents": (int(qv[0]), int(qv[1])),
     }
-    target = ev.groupBy("event_type").count().orderBy("count").first()[
-        "event_type"
-    ]
+    # measure EVERY partition value, not a cherry-picked one — the
+    # published number is the per-type spread plus the mean
+    types = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )
 
     base = tempfile.mkdtemp(prefix="zorder_part_measure_")
     try:
@@ -100,26 +105,33 @@ def main() -> None:
         part_all = sorted(
             glob.glob(f"{part}/event_type=*/*.parquet")
         )
-        part_dir = sorted(
-            glob.glob(f"{part}/event_type={target}/*.parquet")
-        )
-        out = {
-            "predicate": {"event_type": target, **{
-                k: list(v) for k, v in box.items()
-            }},
-            # flat: the event_type equality cannot dir-prune; footer
-            # stats on all three columns do what they can
-            "flat": {
-                "kept": _kept(flat_files, box),
-                "total": len(flat_files),
-            },
-            # partitioned: directories outside the partition are never
-            # listed; footer stats prune within it
-            "partitioned": {
-                "kept": _kept(part_dir, box),
-                "total": len(part_all),
+        per_type = {}
+        for t in types:
+            # flat: no dir pruning; footer stats on ALL THREE columns
+            # do what they can (the event_type equality included —
+            # string min/max stats, exactly what a Spark scan consults)
+            flat_preds = {"event_type": (t, t), **box}
+            part_dir = sorted(
+                glob.glob(f"{part}/event_type={t}/*.parquet")
+            )
+            per_type[t] = {
+                "flat_kept": _kept(flat_files, flat_preds),
+                "part_kept": _kept(part_dir, box),
                 "dir_pruned": len(part_all) - len(part_dir),
-            },
+            }
+        out = {
+            "box": {k: list(v) for k, v in box.items()},
+            "flat_total": len(flat_files),
+            "part_total": len(part_all),
+            "per_type": per_type,
+            "mean_flat_kept": round(
+                sum(v["flat_kept"] for v in per_type.values())
+                / len(per_type), 1,
+            ),
+            "mean_part_kept": round(
+                sum(v["part_kept"] for v in per_type.values())
+                / len(per_type), 1,
+            ),
         }
         print(json.dumps(out))
     finally:
