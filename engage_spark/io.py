@@ -329,6 +329,23 @@ def read_bucketed(spark: SparkSession, path: str, table_name: str) -> DataFrame:
 
     from pyspark.sql.types import StructType
 
+    import re as _re
+
+    # everything below is interpolated into a SQL statement — validate
+    # or escape each piece instead of trusting it (ADVICE r13): the
+    # table name against an identifier pattern, column names by
+    # doubling backticks, the path by doubling single quotes
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?",
+                         table_name):
+        raise ValueError(
+            f"read_bucketed: table_name {table_name!r} is not a plain "
+            "SQL identifier (letters/digits/underscore, optional "
+            "db. prefix)"
+        )
+
+    def _ident(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     if spark.catalog.tableExists(table_name):
         return spark.table(table_name)
     fs, p = _hadoop_fs(spark, f"{path}/{_BUCKET_SPEC}")
@@ -340,15 +357,17 @@ def read_bucketed(spark: SparkSession, path: str, table_name: str) -> DataFrame:
     spec = spark.read.parquet(f"{path}/{_BUCKET_SPEC}").first()
     schema = StructType.fromJson(_json.loads(spec["schema_json"]))
     cols_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        f"{_ident(f.name)} {f.dataType.simpleString()}"
+        for f in schema.fields
     )
-    bcols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
-    scols = ", ".join(f"`{c}`" for c in spec["sort_cols"])
+    bcols = ", ".join(_ident(c) for c in spec["bucket_cols"])
+    scols = ", ".join(_ident(c) for c in spec["sort_cols"])
+    loc = path.replace("'", "''")
     spark.sql(
         f"CREATE TABLE {table_name} ({cols_ddl}) USING parquet "
         f"CLUSTERED BY ({bcols}) SORTED BY ({scols}) "
         f"INTO {int(spec['num_buckets'])} BUCKETS "
-        f"LOCATION '{path}'"
+        f"LOCATION '{loc}'"
     )
     return spark.table(table_name)
 
@@ -1812,14 +1831,26 @@ def read_with_deletes(spark: SparkSession, path: str) -> DataFrame:
     """Scan a dataset honoring its deletion sidecar: a BROADCAST
     left-anti join against the (takedown-batch-sized) `_deletes` keys
     — the zero-rewrite read path. Without a sidecar this is a plain
-    scan with no plan change."""
+    scan with no plan change. The sidecar may hold batches on SEVERAL
+    key columns (a corpus taking down by both doc_id and user_id, or
+    a multi-key restore_version re-record): each batch part is a
+    single-column file, the mergeSchema read unions them, and one
+    anti-join per key column applies them all. NULL keys in a batch
+    are no-ops either way (a plain anti-join never matches NULL)."""
     df = spark.read.parquet(path)
     fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
     if not fs.exists(p):
         return df
-    dels = spark.read.parquet(f"{path}/{_DELETES}").dropDuplicates()
-    key = dels.columns[0]
-    return df.join(F.broadcast(dels), on=key, how="left_anti")
+    dels = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/{_DELETES}")
+    )
+    for key in dels.columns:
+        keys = (
+            dels.select(key).filter(F.col(key).isNotNull()).dropDuplicates()
+        )
+        df = df.join(F.broadcast(keys), on=key, how="left_anti")
+    return df
 
 
 # apply_deletes collects the delete batch to build an In-literal
@@ -1888,22 +1919,37 @@ def _apply_deletes_impl(
     vlog = version_log_enabled(spark, path)
     if vlog:
         _vlog_reconcile(spark, path)
-    dels = spark.read.parquet(f"{path}/{_DELETES}").dropDuplicates()
-    key = dels.columns[0]
-    n = dels.count()  # bounded: takedowns since the last vacuum
-    tagged = spark.read.parquet(path).select(
-        F.input_file_name().alias("__file"), F.col(key)
+    # the sidecar may carry batches on SEVERAL key columns (multi-key
+    # takedowns / restore re-records): one single-column part per key,
+    # unioned by the mergeSchema read; victims and survivor filters
+    # apply per key column below
+    dels_all = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{path}/{_DELETES}")
     )
-    if n <= _DELETES_ISIN_MAX:
-        # literal In pushes to the parquet scan: row-group stats skip
-        # files whose key range misses the batch entirely
-        keys = [r[0] for r in dels.collect()]
-        hits = tagged.filter(F.col(key).isin(keys))
-    else:
-        hits = tagged.join(F.broadcast(dels), on=key, how="left_semi")
-    victims = sorted(
-        r["__file"] for r in hits.select("__file").distinct().collect()
-    )  # bounded: one row per file containing a deleted key
+    per_key = {
+        c: dels_all.select(c).filter(F.col(c).isNotNull()).dropDuplicates()
+        for c in dels_all.columns
+    }
+    counts = {c: kdf.count() for c, kdf in per_key.items()}
+    n = sum(counts.values())  # bounded: takedowns since the last vacuum
+    key_cols = list(per_key)
+    tagged = spark.read.parquet(path).select(
+        F.input_file_name().alias("__file"), *[F.col(c) for c in key_cols]
+    )
+    victim_set: set = set()
+    for c, kdf in per_key.items():
+        if counts[c] <= _DELETES_ISIN_MAX:
+            # literal In pushes to the parquet scan: row-group stats
+            # skip files whose key range misses the batch entirely
+            keys = [r[0] for r in kdf.collect()]
+            hits = tagged.filter(F.col(c).isin(keys))
+        else:
+            hits = tagged.join(F.broadcast(kdf), on=c, how="left_semi")
+        victim_set |= {
+            r["__file"] for r in hits.select("__file").distinct().collect()
+        }
+    victims = sorted(victim_set)  # bounded: files containing deleted keys
     all_files = set(spark.read.parquet(path).inputFiles())
     if not victims:
         # keys absent from the data (already vacuumed / never present):
@@ -1915,7 +1961,7 @@ def _apply_deletes_impl(
             # time-travel replay
             _vlog_append_entry(
                 spark, path, "vacuum_deletes", added=[], removed=[],
-                key_col=key, n_keys=n,
+                key_col=",".join(key_cols), n_keys=n,
             )
         return {
             "deleted_keys": n,
@@ -1948,8 +1994,9 @@ def _apply_deletes_impl(
         spark.read.option("basePath", path)
         .option("mergeSchema", "true")
         .parquet(*victims)
-        .join(F.broadcast(dels), on=key, how="left_anti")
     )
+    for c, kdf in per_key.items():
+        kept_rows = kept_rows.join(F.broadcast(kdf), on=c, how="left_anti")
     staging = f"{path}/{_OPT_STAGING}"
     zm_fs, zm_p = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
     if part_cols and zm_fs.exists(zm_p):
@@ -2003,7 +2050,7 @@ def _apply_deletes_impl(
             spark, path, "vacuum_deletes",
             added=staged_names,
             removed=victim_rel,
-            key_col=key, n_keys=n,
+            key_col=",".join(key_cols), n_keys=n,
         )
     return {
         "deleted_keys": n,

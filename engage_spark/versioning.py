@@ -78,6 +78,10 @@ def _fs(spark: SparkSession, path: str):
 
 _PUBLISH_STASH_SUFFIX = "__versions_publish_stash"
 
+# a stash younger than this is assumed to belong to a LIVE republish
+# and is never healed — matches maintenance_lease's default TTL
+_STASH_HEAL_AGE_S = 3600
+
 
 def _heal_publish_stash(spark: SparkSession, path: str) -> bool:
     """Restore a `_versions` dir stranded in the republish stash by a
@@ -85,16 +89,34 @@ def _heal_publish_stash(spark: SparkSession, path: str) -> bool:
     window): without this, the next versioned-op check would see no
     log and silently de-version the dataset (ADVICE r12). The stash
     also exists legitimately for the DURATION of every healthy
-    republish, whose writer holds the maintenance lease — so the heal
-    only proceeds if it can take that lease itself; while a republish
-    is in flight (or its crashed lease has not yet expired) the heal
-    backs off and the dataset reads as unversioned, exactly the
-    pre-heal behavior. Returns True if a restore happened. Both the
-    live dir AND a stash existing is anomalous (a stale stash beside a
-    re-enabled log) and raises rather than risking a nested rename."""
+    republish, so the heal requires BOTH guards (ADVICE r13):
+
+    - the stash must be OLDER than the lease TTL (its rename-in time
+      is the republish start, so a fresh stash means a republish is
+      in flight — the in-dir maintenance lock cannot vouch for that
+      window because mode=overwrite deletes the dataset dir, lock
+      included, at write-job start);
+    - the heal must take the maintenance lease itself (serializes
+      concurrent healers and the post-overwrite republish tail).
+
+    While either guard fails the heal backs off and the dataset reads
+    as unversioned, exactly the pre-heal behavior. Returns True if a
+    restore happened. Both the live dir AND a stash existing is
+    anomalous (a stale stash beside a re-enabled log) and raises
+    rather than risking a nested rename."""
+    import time as _time
+
     sfs, sp = _fs(spark, f"{path.rstrip('/')}{_PUBLISH_STASH_SUFFIX}")
     if not sfs.exists(sp):
         return False
+    try:
+        age_s = _time.time() - (
+            sfs.getFileStatus(sp).getModificationTime() / 1000.0
+        )
+    except Exception:
+        return False  # raced with the republish's own rename-back
+    if age_s < _STASH_HEAL_AGE_S:
+        return False  # a republish is (presumed) in flight
     from engage_spark.io import MaintenanceLockHeld, maintenance_lease
 
     try:
@@ -573,8 +595,15 @@ def restore_version(spark: SparkSession, path: str, version: int) -> int:
     file-set + DV diff (read_changes' version_diff fallback), so
     mirrors and rollups converge through it like any other commit.
 
+    Pending DVs on MULTIPLE key columns re-record as the restore
+    entry (first key, sorted) plus one ``logical_delete`` entry per
+    additional key — read as-of the RETURNED version (== the live
+    read); versions between the restore entry and the returned one
+    carry the keys committed so far.
+
     Fails with the retention error if vacuum_versions already dropped
-    files the target needs, BEFORE touching anything. Entry-last
+    files OR deletion-vector batches the target needs, BEFORE touching
+    anything. Entry-last
     commit: a crash mid-restore leaves a reconcile-healable file set —
     RE-RUN the restore to converge (every step is idempotent: moves
     skip done work, the batch and sidecar writes overwrite). Layout
@@ -609,14 +638,21 @@ def restore_version(spark: SparkSession, path: str, version: int) -> int:
                 )
         pend = _pending_delete_versions(entries, version)
         ent = {e["version"]: e for e in entries}
-        key_cols = {ent[pv]["key_col"] for pv in pend}
-        if len(key_cols) > 1:
-            raise ValueError(
-                f"version {version} has pending deletion vectors on "
-                f"multiple key columns {sorted(key_cols)}; restore "
-                "re-records them as ONE batch and needs a single key — "
-                "apply_deletes at the target epoch first"
-            )
+        # the DV batches the target needs must also still exist — a
+        # vacuum beyond the horizon drops them like any retained file,
+        # and discovering that AFTER the file moves would leave the
+        # rolled-back set live with NO deletion vectors applied
+        # (taken-down rows resurfacing; ADVICE r13). Same
+        # side-effect-free pre-flight as the data files above.
+        for pv in pend:
+            bfs, bp = _fs(spark, f"{path}/{_VRETAINED}/deletes_v{pv}")
+            if not bfs.exists(bp):
+                raise ValueError(
+                    f"deletion-vector batch deletes_v{pv} needed by "
+                    f"version {version} was removed by vacuum_versions; "
+                    "only versions within the retention horizon are "
+                    "restorable"
+                )
         for n in sorted(live - tset):
             _retain_file(spark, path, n)
         for n in sorted(tset - live):
@@ -628,35 +664,63 @@ def restore_version(spark: SparkSession, path: str, version: int) -> int:
             else:
                 rfs.rename(rp, lp)
         v_new = entries[-1]["version"] + 1
-        # the restore's own DV batch (entry-last commit, like
-        # record_logical_delete): union of the target's pending keys
+        # the restore's own DV re-record (entry-last commit, like
+        # record_logical_delete): the target's pending keys, grouped
+        # by key column. The FIRST key column's union batch rides the
+        # restore entry itself (deletes_v{v_new}); each ADDITIONAL key
+        # column (a corpus taking down by both doc_id and user_id,
+        # VERDICT r13 #4) commits as one logical_delete entry right
+        # behind — a shape every existing consumer (read_version /
+        # version_diff / read_changes / vacuum_versions) already
+        # iterates per-version, per-key. Time travel to the restore
+        # entry itself therefore sees only the first key's DVs; the
+        # returned (last) version sees them all — read as-of the
+        # RETURNED version, which is also what the live read equals.
         dfs, dp = _fs(spark, f"{path}/{_DELETES}")
         if dfs.exists(dp):
             dfs.delete(dp, True)
-        n_keys, key_col = 0, None
-        if pend:
-            key_col = next(iter(key_cols))
+        by_key: dict = {}
+        for pv in pend:
+            by_key.setdefault(ent[pv]["key_col"], []).append(pv)
+        keyed = sorted(by_key)
+
+        def _write_batch(key: str, v_batch: int) -> int:
             keys = spark.read.parquet(
-                *[f"{path}/{_VRETAINED}/deletes_v{pv}" for pv in pend]
+                *[f"{path}/{_VRETAINED}/deletes_v{pv}" for pv in by_key[key]]
             ).dropDuplicates()
             keys.coalesce(1).write.mode("overwrite").parquet(
-                f"{path}/{_VRETAINED}/deletes_v{v_new}"
+                f"{path}/{_VRETAINED}/deletes_v{v_batch}"
             )
-            n_keys = (
-                spark.read.parquet(f"{path}/{_VRETAINED}/deletes_v{v_new}")
-                .count()
-            )
-            # live sidecar := the same batch, so plain read_with_deletes
+            # live sidecar += this key's batch (one single-column part
+            # per key; read_with_deletes merges schemas and applies an
+            # anti-join per key column), so plain read_with_deletes
             # agrees with the restored snapshot
             spark.read.parquet(
-                f"{path}/{_VRETAINED}/deletes_v{v_new}"
-            ).write.mode("overwrite").parquet(f"{path}/{_DELETES}")
+                f"{path}/{_VRETAINED}/deletes_v{v_batch}"
+            ).write.mode("append").parquet(f"{path}/{_DELETES}")
+            return spark.read.parquet(
+                f"{path}/{_VRETAINED}/deletes_v{v_batch}"
+            ).count()
+
+        first_key = keyed[0] if keyed else None
+        n0 = _write_batch(first_key, v_new) if first_key else 0
         got = _vlog_append_entry(
             spark, path, "restore",
             added=sorted(tset - live), removed=sorted(live - tset),
-            key_col=key_col, n_keys=n_keys,
+            key_col=first_key, n_keys=n0,
         )
         assert got == v_new, "version raced despite lease"
+        for key in keyed[1:]:
+            # allocate just-in-time: a snapshot checkpoint may ride
+            # behind any entry, shifting the next version number
+            v_b = _vlog_entries(spark, path)[-1]["version"] + 1
+            n_b = _write_batch(key, v_b)
+            got = _vlog_append_entry(
+                spark, path, "logical_delete", added=[], removed=[],
+                key_col=key, n_keys=n_b,
+            )
+            assert got == v_b, "version raced despite lease"
+            v_new = got
     return v_new
 
 
@@ -899,8 +963,10 @@ def _pa_fs_for(uri: str):
     py4j bridge to the JVM FileSystem. Hadoop-specific scheme aliases
     (s3a/s3n -> s3, abfss -> abfs, gs stays) are mapped to the names
     pyarrow knows; anything still unresolvable raises, which
-    _bootstrap_copy probes ON THE DRIVER first so it can fall back to
-    the serial Hadoop-FS loop instead of failing task-side."""
+    _bootstrap_copy probes ON AN EXECUTOR first (one 1-slice task) so
+    executor-only environment failures — missing libhdfs on workers,
+    not just an exotic scheme — degrade to the serial Hadoop-FS loop
+    instead of failing across every task (ADVICE r13)."""
     import pyarrow.fs as pafs
 
     if uri.startswith("file://"):
@@ -947,13 +1013,23 @@ def _bootstrap_copy(
     ]
     distributable = len(pairs) > _BOOTSTRAP_DRIVER_MAX
     if distributable:
-        # probe scheme resolution ON THE DRIVER: a filesystem pyarrow
-        # cannot reach (exotic scheme, missing libhdfs on workers)
-        # must degrade to the slow-but-correct serial loop, not fail
-        # across every task
+        # probe scheme resolution ON AN EXECUTOR: a driver-side probe
+        # cannot detect executor-only environment failures (missing
+        # libhdfs/pyarrow extras on workers), which must degrade to
+        # the slow-but-correct serial loop, not fail across every
+        # task (ADVICE r13). One 1-slice task; negligible next to the
+        # corpus-sized copy it gates.
+        probe_pair = pairs[0]
+
+        def _probe(pair) -> bool:
+            _pa_fs_for(pair[0])
+            _pa_fs_for(pair[1])
+            return True
+
         try:
-            _pa_fs_for(pairs[0][0])
-            _pa_fs_for(pairs[0][1])
+            spark.sparkContext.parallelize([probe_pair], 1).map(
+                _probe
+            ).collect()
         except Exception:
             distributable = False
     if not distributable:
@@ -1474,10 +1550,12 @@ def sync_rollup(
     mm_names = [
         f"{k}_{c}" for c in minmax_cols for k in ("min", "max")
     ]
-    from engage_spark.io import read_with_deletes
-
     if last == 0:
-        mv = read_with_deletes(spark, src_path).groupBy(*group_cols).agg(
+        # bootstrap from the state AT the checkpointed version, not
+        # the live read — same consistency argument as the recompute
+        # tier below (a commit landing mid-bootstrap must not be half
+        # included yet skipped by the first drain)
+        mv = read_version(spark, src_path, hi).groupBy(*group_cols).agg(
             *_aggs(F.lit(1)), *_mm_aggs()
         )
         mv.write.mode("overwrite").parquet(rollup_path)
@@ -1545,7 +1623,14 @@ def sync_rollup(
         # broadcast eqNullSafe semi-join cannot push into the scan and
         # would re-read the whole source every sync (r13 review). The
         # join remains the fallback for composite keys / huge key sets.
-        src_live = read_with_deletes(spark, src_path).alias("s")
+        # Recompute from the SOURCE AS OF the drained version `hi`,
+        # not the live read: a commit or logical delete landing
+        # between latest_version() and this scan would otherwise make
+        # stored min/max transiently inconsistent with the count/sum
+        # deltas until the next drain (ADVICE r13). read_version keeps
+        # the same pruning shape (file-list parquet scan + bounded DV
+        # anti-joins).
+        src_live = read_version(spark, src_path, hi).alias("s")
         touched_keys = None
         if len(group_cols) == 1:
             rows = delta.select(*group_cols).collect()

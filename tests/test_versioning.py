@@ -314,8 +314,17 @@ def test_publish_stash_heal_respects_lease(spark, sf_dir, tmp_path):
             ),
             ["event_id"],
         )
-    # lease released (crash recovered / TTL broke it): heal proceeds
+    # lease released but the stash is FRESH: still no heal — a live
+    # republish holds no in-dir lock for its whole overwrite window
+    # (mode=overwrite deletes the dataset dir, lock included, at write
+    # start), so stash age is the only signal that distinguishes
+    # in-flight from crashed (ADVICE r13)
     lfs.delete(lp, False)
+    assert version_log_enabled(spark, str(out)) is False
+    # age the stash past the lease TTL (the crashed-republish state):
+    # now the heal proceeds and history is intact
+    sfs2, sp2 = _hadoop_fs(spark, f"{str(out)}{_PUBLISH_STASH_SUFFIX}")
+    sfs2.setTimes(sp2, int((time.time() - 7200) * 1000), -1)
     assert version_log_enabled(spark, str(out)) is True
     assert read_version(spark, str(out), 1).count() == ev.count()
 
@@ -1608,3 +1617,75 @@ def test_vacuum_compacts_log_parts(spark, sf_dir, tmp_path):
     assert after[-1]["op"] == "snapshot"  # vacuum leaves a checkpoint
     # a second compact below the threshold is a no-op
     assert _vlog_compact(spark, str(out)) is False
+
+
+def test_restore_version_multikey_pending_deletes(spark, sf_dir, tmp_path):
+    """RESTORE to a version with pending deletion vectors on TWO key
+    columns (VERDICT r13 #4): instead of raising, the restore commits
+    the first key's union batch on its own entry and each additional
+    key as one logical_delete entry right behind — the returned
+    version reads exactly like the target, live reads agree, and the
+    multi-key `_deletes` sidecar applies per key column."""
+    from engage_spark.versioning import restore_version
+
+    out = tmp_path / "vmk"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), str(out),
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, str(out))                            # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 2 == 1), str(out), num_files=4
+    )                                                              # v2
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("user_id") % 89 == 0)
+        .select("user_id").dropDuplicates(),
+        "user_id",
+    )                                                              # v4
+    # the live multi-key sidecar already reads correctly
+    vis_v4 = ev.filter(
+        (F.col("event_id") % 97 != 0) & (F.col("user_id") % 89 != 0)
+    ).count()
+    assert read_with_deletes(spark, str(out)).count() == vis_v4
+    apply_deletes(spark, str(out))                                 # v5
+    assert spark.read.parquet(str(out)).count() == vis_v4
+    # restore to v4: both key columns' DVs must come back pending
+    got = restore_version(spark, str(out), 4)
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops[-2:] == ["restore", "logical_delete"]
+    assert got == _vlog_entries(spark, str(out))[-1]["version"]
+    assert read_version(spark, str(out), got).count() == vis_v4
+    assert read_with_deletes(spark, str(out)).count() == vis_v4
+    # the re-recorded sidecar applies physically too (multi-key
+    # apply_deletes path) and converges to the same visible set
+    apply_deletes(spark, str(out))
+    assert spark.read.parquet(str(out)).count() == vis_v4
+
+
+def test_restore_preflight_checks_dv_batches(spark, sf_dir, tmp_path):
+    """Pre-flight (ADVICE r13): a restore whose target needs a
+    vacuumed deletion-vector batch must fail with the retention error
+    BEFORE any file moves — never leave the rolled-back file set live
+    with taken-down rows resurfacing."""
+    from engage_spark.io import _hadoop_fs
+    from engage_spark.versioning import _VRETAINED, restore_version
+
+    out = tmp_path / "vpre"
+    _lifecycle(spark, sf_dir, out)                                 # v1..v5
+    live_before = sorted(spark.read.parquet(str(out)).inputFiles())
+    # simulate an over-aggressive vacuum: drop the v3 DV batch that
+    # version 4 (delete pending, pre-apply) still needs
+    bfs, bp = _hadoop_fs(spark, f"{out}/{_VRETAINED}/deletes_v3")
+    assert bfs.exists(bp)
+    bfs.delete(bp, True)
+    with pytest.raises(ValueError, match="deletes_v3"):
+        restore_version(spark, str(out), 4)
+    # nothing moved: the live file set is untouched
+    assert sorted(spark.read.parquet(str(out)).inputFiles()) == live_before
