@@ -1796,3 +1796,57 @@ def test_versioned_partitioned_upsert_exact_history(spark, sf_dir, tmp_path):
         on=["doc_id", "lang"],
     ).filter(F.col("n_chars") != F.col("old_chars") + 5).count() == 0
     feed.unpersist()
+
+
+def test_read_snapshot_isolated_from_concurrent_maintenance(
+    spark, sf_dir, tmp_path
+):
+    """read_snapshot (r14): a reader pins one committed version and
+    keeps reading EXACTLY it while maintenance (optimize, takedown,
+    apply, restore) moves live files underneath — re-resolving at the
+    pinned version after each op returns byte-identical content
+    (files re-resolve to retained/), and a fresh read_snapshot tracks
+    the new latest. This is the documented alternative to plain path
+    reads, which are unsafe under concurrent maintenance (torn file
+    set / FileNotFound mid-scan)."""
+    from engage_spark.versioning import (
+        latest_version,
+        read_snapshot,
+        restore_version,
+    )
+
+    out = tmp_path / "vsnap"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16, num_files=4
+    )
+    version_log_enable(spark, str(out))                            # v1
+    snap, v_pin = read_snapshot(spark, str(out))
+    assert v_pin == 1
+    pinned_sum = snap.agg(F.sum("event_id")).first()[0]
+    n = ev.count()
+    assert snap.count() == n
+    # interleave maintenance that MOVES live files: takedown + physical
+    # apply (victim rewrite), then a restore (more renames)
+    delete_rows(
+        spark, str(out),
+        ev.filter(F.col("event_id") % 5 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v2
+    apply_deletes(spark, str(out))                                 # v3
+    # the pinned version re-resolves to the SAME consistent content —
+    # its files moved to retained/ but the version is intact
+    again = read_version(spark, str(out), v_pin)
+    assert again.count() == n
+    assert again.agg(F.sum("event_id")).first()[0] == pinned_sum
+    # a fresh snapshot tracks the new latest, also consistent
+    snap3, v3 = read_snapshot(spark, str(out))
+    assert v3 == latest_version(spark, str(out))
+    n_live = ev.filter(F.col("event_id") % 5 != 0).count()
+    assert snap3.count() == n_live
+    # one more maintenance generation: roll back, re-check both pins
+    restore_version(spark, str(out), v_pin)                        # v4
+    assert read_version(spark, str(out), v_pin).count() == n
+    assert read_version(spark, str(out), v3).count() == n_live
+    snap4, v4 = read_snapshot(spark, str(out))
+    assert v4 == 4 and snap4.count() == n
