@@ -47,10 +47,12 @@ the partitioned MERGE retains the touched partitions' files and logs
 one exact ``upsert`` entry — no reconcile hole). Writers that bypass
 the versioned ops are healed by ``_vlog_reconcile`` (the next
 versioned op logs one synthetic ``reconcile`` diff entry). Schema is expected STABLE
-across versions (the zorder append contract); ``read_changes`` unions
-tolerantly (allowMissingColumns) so a drained window spanning an
-evolution surfaces NULLs like a mergeSchema read, but ``version_diff``
-over heterogeneous-schema versions is out of contract.
+across versions (the zorder append contract); when it does evolve
+(the s11 mergeSchema column addition), ``read_changes`` unions
+tolerantly (allowMissingColumns) and ``version_diff`` aligns both
+sides on the union schema with typed NULLs (r14) — a drained window
+or diff spanning an evolution surfaces NULLs exactly like a
+mergeSchema read.
 
 Reference parity note: covers no reference file — engine extension
 (VERDICT r11 "What's missing #2").
@@ -811,8 +813,29 @@ def version_diff(
 
     side_from = _visible(only_from, p_from)
     side_to = _visible(only_to, p_to)
+
+    def _align(a: DataFrame, b: DataFrame):
+        """Union-schema alignment across an s11-style evolution (r14):
+        a version pair straddling a column addition yields sides with
+        different column sets; each side's missing columns come in as
+        typed NULLs (matching what a mergeSchema read surfaces for
+        pre-evolution files), so the null-safe full-row anti-join
+        compares the union schema — a pre-evolution row and its
+        post-evolution twin differ only where a real value differs."""
+        at = {f.name: f.dataType for f in a.schema.fields}
+        bt = {f.name: f.dataType for f in b.schema.fields}
+        for c, t in bt.items():
+            if c not in at:
+                a = a.withColumn(c, F.lit(None).cast(t))
+        for c, t in at.items():
+            if c not in bt:
+                b = b.withColumn(c, F.lit(None).cast(t))
+        cols = sorted(a.columns)
+        return a.select(*cols), b.select(*cols)
+
     parts = []
     if side_from is not None and side_to is not None:
+        side_from, side_to = _align(side_from, side_to)
         parts.append(
             _nullsafe_anti(side_to, side_from).withColumn(
                 "change", F.lit("added"))
@@ -857,7 +880,10 @@ def version_diff(
         return base.withColumn("change", F.lit(""))
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: the common-files DV probe may carry a
+        # narrower schema than the aligned sides when the common files
+        # predate an evolution — NULL-fill, like read_changes
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

@@ -1850,3 +1850,64 @@ def test_read_snapshot_isolated_from_concurrent_maintenance(
     assert read_version(spark, str(out), v3).count() == n_live
     snap4, v4 = read_snapshot(spark, str(out))
     assert v4 == 4 and snap4.count() == n
+
+
+def test_version_diff_across_schema_evolution(spark, sf_dir, tmp_path):
+    """version_diff spanning an s11-style column addition (r14): both
+    sides align on the union schema with typed NULLs — the documented
+    diff shape instead of a Spark analysis error. Rows common to both
+    versions (identical in every shared column, NULL in the new one on
+    both sides) cancel; the diff is exactly the appended rows."""
+    from engage_spark.io import append_dataset
+
+    src = tmp_path / "vdse"
+    ev = _events(spark, sf_dir)
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    odds = ev.filter(F.col("event_id") % 2 == 1)
+    evens.write.parquet(str(src))
+    version_log_enable(spark, str(src))                            # v1
+    append_dataset(
+        spark,
+        odds.withColumn(
+            "quality", (F.col("event_id") % 100).cast("double") / 100
+        ),
+        str(src),
+    )                                                              # v2
+    d = version_diff(spark, str(src), 1, 2)
+    assert "quality" in d.columns and "change" in d.columns
+    rows = d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("quality").alias("nq"),
+    ).collect()
+    got = {r["change"]: (r["n"], r["nq"]) for r in rows}
+    # only the appended odds differ; all carry a quality value
+    assert got == {"added": (odds.count(), odds.count())}
+    # the reverse direction tags them removed, same alignment
+    d2 = version_diff(spark, str(src), 2, 1)
+    assert d2.filter(F.col("change") == "removed").count() == odds.count()
+    assert d2.filter(F.col("change") == "added").count() == 0
+    # force BOTH sides heterogeneous: a physical delete rewrite swaps
+    # pre-evolution victim files (only_from: no quality column) for
+    # union-schema rewrites (only_to) — surviving rows must cancel
+    # through the alignment, the diff is exactly appends + deletes
+    victims = evens.filter(F.col("event_id") % 10 == 0)
+    delete_rows(spark, str(src), victims.select("event_id"), "event_id")
+    apply_deletes(spark, str(src))                                 # v4
+    d3 = version_diff(spark, str(src), 1, 4)
+    got3 = {
+        r["change"]: r["n"]
+        for r in d3.groupBy("change").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got3 == {
+        "added": odds.count(), "removed": victims.count(),
+    }
+    # removed pre-evolution rows surface NULL quality (mergeSchema
+    # shape); added post-evolution rows keep their values
+    assert d3.filter(
+        (F.col("change") == "removed") & F.col("quality").isNotNull()
+    ).count() == 0
+    assert d3.filter(
+        (F.col("change") == "added") & F.col("quality").isNull()
+    ).count() == 0
