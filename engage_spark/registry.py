@@ -49,81 +49,80 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
     return deco
 
 
-# Round-13 rotation (part 5): the driver checks the FIRST 50 registry
-# entries, so this tuple is exactly that window. Composition:
-# (a) the five queries whose newest driver row is r8 (the VERDICT r12
-#     rotation tail — none code-changed since, all hash-green there);
-# (b) queries NEW in round 13 — the partitioned version stack
-#     (s14b/s15b/s16b), restore/rollback (s14c), the partitioned
-#     mirror (s18b), and the min/max recompute rollup (s19b);
-# (c) queries whose IMPLEMENTATION changed in round 13 — the mirror
-#     purge staging + distributed bootstrap (s18), the rollup merge
-#     refactor (s19), the partition-aware + mergeSchema apply_deletes
-#     (s13), the relative-path log + _read_names + snapshot
-#     checkpoints (s14/s15/s16), the _bucket_spec sidecar (s17), and
-#     the staged-commit walk under zorder maintenance (s10 family);
-# (d) the r9 cohort, oldest-first — rotation part 5 proper (27 of 41;
-#     the remaining 14 — x2b/x2b2/x2d, x3c/x3d/x3e, x4_tfidf_pipeline,
-#     the x_dedup_components trio, x_doc_chunking,
-#     x_embed_lsh_neardup_pairs, x_profile_columns, x_shard_manifest —
-#     lead part 6 next round).
+# Round-14 rotation (part 6): the driver checks the FIRST 50 registry
+# entries, so this tuple is exactly that window. Composition (counts
+# and the tail list are now GENERATED — scripts/gen_coverage.py
+# §Driver-check rotation state — after two rounds of hand-miscounts):
+# (a) the 14 r9-cohort queries that close rotation part 6 (every
+#     registered query's newest row is then r10+);
+# (b) NEW in round 14 — the versioned partitioned MERGE (s9b);
+# (c) queries whose IMPLEMENTATION changed in round 14 — the multi-key
+#     deletion sidecar (s13 apply, s14c restore), schema-tolerant
+#     version_diff (s15/s15b and the s16 CDF fallback), the
+#     read_version-pinned rollup recompute (s19/s19b), the upsert vlog
+#     branch + layout guard (s9), the escaped read_bucketed DDL (s17),
+#     the executor-probed mirror bootstrap (s18/s18b), and the
+#     stash-age heal guard under the version-logged zorder lifecycle
+#     (s14/s14b, s10c/s10d);
+# (d) the r10 cohort, alphabetical-first 19 of 44 — rotation part 7
+#     starts here next round (the remaining 25 are the generated tail).
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) newest driver row r8
-    "x_embed_profile",
-    "x_pack_boundaries",
-    "x_span_dedup",
-    "x_token_encode",
-    "x_vocab_topk",
-    # (b) NEW in round 13
-    "s10e_zorder_partitioned_layout",
-    "s14b_time_travel_partitioned",
-    "s14c_restore_version",
-    "s15b_version_diff_partitioned",
-    "s16b_change_feed_partitioned",
-    "s18b_mirror_sync_partitioned",
-    "s19b_incremental_rollup_minmax",
-    # (c) implementation changed in round 13
-    "s18_mirror_sync",
-    "s19_incremental_rollup",
+    # (a) rotation part 6: the r9 cohort
+    "x2b_simhash_dedup",
+    "x2b2_simhash_md5",
+    "x2d_minhash_md5",
+    "x3c_ivf_ann_search",
+    "x3d_mllib_brp_ann",
+    "x3e_pq_encode",
+    "x4_tfidf_pipeline",
+    "x_dedup_components",
+    "x_dedup_components_lsh",
+    "x_dedup_components_star",
+    "x_doc_chunking",
+    "x_embed_lsh_neardup_pairs",
+    "x_profile_columns",
+    "x_shard_manifest",
+    # (b) NEW in round 14
+    "s9b_upsert_partitioned_versioned",
+    # (c) implementation changed in round 14
+    "s9_upsert_merge_roundtrip",
     "s13_delete_vector_roundtrip",
-    "s14_time_travel_versions",
+    "s14c_restore_version",
     "s15_version_diff",
+    "s15b_version_diff_partitioned",
     "s16_change_data_feed",
+    "s16b_change_feed_partitioned",
     "s17_bucketed_join",
-    "s10_zorder_layout",
-    "s10b_zorder_rank_layout",
+    "s18_mirror_sync",
+    "s18b_mirror_sync_partitioned",
+    "s19_incremental_rollup",
+    "s19b_incremental_rollup_minmax",
+    "s14_time_travel_versions",
+    "s14b_time_travel_partitioned",
     "s10c_zorder_append_roundtrip",
     "s10d_zorder_incremental_optimize_roundtrip",
-    # (d) the r9 cohort, rotation part 5
-    "a1_groupby_mean_all_numeric",
-    "a2_a3_groupby_sum_max",
-    "a5_global_min_max_mean",
-    "a6_group_size_gate",
-    "a8_maxabs_normalize",
-    "a9_distinct_values",
-    "a10_row_dedup_subset",
-    "a11_zscore_standardize",
-    "a12_rmse_metric",
-    "ev_conversion_funnel",
-    "ev_retention_cohorts",
-    "ext_approx_sketches",
-    "ext_kmv_distinct_md5",
-    "j1_inner_join_multikey",
-    "j3_left_outer_join",
-    "j4_right_outer_join",
-    "j5_self_join_suffixes",
-    "j6_broadcast_dim_join",
-    "j7_semi_join_membership",
-    "j8_anti_join_dropgroups",
-    "k_w9_interpolate",
-    "mm_resize_bytes",
-    "mm_resize_plan",
-    "s7_compaction_roundtrip",
-    "s8_partitioned_compaction_nulls",
-    "s11_schema_evolution_roundtrip",
-    "x2_minhash_lsh_dedup",
+    # (d) the r10 cohort, rotation part 7 head
+    "f_string_ops",
+    "m1_glm_poisson",
+    "m1b_glm_poisson_govflags",
+    "o2_sorted_distinct",
+    "o3_first_row_after_sort",
+    "p2_projection_exclude",
+    "p3_p4_rename_literal",
+    "p5_arith_derived",
+    "p7_compound_filter",
+    "p8_conditional_column",
+    "p9_mapping_join_coalesce",
+    "p10_cast",
+    "p11_null_fill",
+    "p12_drop_allnull_columns",
+    "p13_first_value_per_group",
+    "s1_scan_filter_project",
+    "sql1_ordinal_groupby_ifnull",
+    "st_doc_quality_stream",
+    "st_stateful_running_stats",
 )
 
 

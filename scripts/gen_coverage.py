@@ -44,6 +44,46 @@ ROWS_ONLY_REASONS = {
 }
 
 
+def _rotation_state(registry) -> tuple[dict, list]:
+    """(newest driver-checked round per registered query, never-checked
+    list) computed FROM the CORRECTNESS_r*.json files — the artifact of
+    record. Hand-written rotation-tail counts were wrong two rounds
+    running (VERDICT r13 #9); this is generated instead."""
+    import glob
+    import json
+    import re
+
+    newest: dict = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", f).group(1))
+        for q in json.load(open(f)):
+            if q in registry:
+                newest[q] = max(newest.get(q, 0), r)
+    unseen = sorted(q for q in registry if q not in newest)
+    return newest, unseen
+
+
+def _print_rotation(registry) -> None:
+    from collections import Counter
+
+    newest, unseen = _rotation_state(registry)
+    hist = Counter(newest.values())
+    print("\n## Driver-check rotation state (generated)\n")
+    print("Newest CORRECTNESS row per registered query; the driver")
+    print("checks a 50-query window per round and DRIVER_PRIORITY")
+    print("(registry.py) sweeps the tail oldest-first.\n")
+    print("| newest round | queries |")
+    print("|---|---|")
+    for r in sorted(hist):
+        print(f"| r{r} | {hist[r]} |")
+    if unseen:
+        print(f"| never | {len(unseen)} ({', '.join(unseen)}) |")
+    oldest = min(hist) if hist else 0
+    tail = sorted(q for q, r in newest.items() if r == oldest)
+    print(f"\nRotation tail (r{oldest}, {len(tail)} queries): "
+          f"{', '.join(tail)}")
+
+
 def main() -> None:
     registry = load_all()
     rows_only = sorted(n for n, q in registry.items() if q.oracle is None)
@@ -88,6 +128,8 @@ def main() -> None:
                 continue
             entries = sorted(set(by_id.get(cid, [])))
             print(f"| {cid} | {', '.join(entries) if entries else '—'} |")
+
+    _print_rotation(registry)
 
     print("\n## Rows-only queries — why, and what pins correctness instead\n")
     print("| query | reason / non-oracle check |")
