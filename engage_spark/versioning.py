@@ -1289,6 +1289,98 @@ def _mirror_replay_pending(spark: SparkSession, mirror_path: str):
     return v
 
 
+_MIRROR_BOOT_MANIFEST = "_mirror_bootstrap_manifest"
+
+
+def _mirror_bootstrap(
+    spark: SparkSession, src_path: str, mirror_path: str, hi: int
+) -> int:
+    """Bootstrap the mirror as a 1:1 FILE COPY of the live snapshot —
+    layout-preserving (the mirror keeps the source's clustered file
+    boundaries, so its own later purges stay file-targeted), and
+    DISTRIBUTED past a small file count (_bootstrap_copy). Since r14
+    the whole bootstrap runs under the same manifest protocol as
+    drains (VERDICT r13 #8):
+
+    1. MANIFEST: pin the (name, size) list of the source's live files
+       at `_mirror_bootstrap_manifest` — the bootstrap's declared
+       content; its presence marks the mirror incomplete.
+    2. SWEEP: delete mirror data files NOT in the pinned list. A prior
+       attempt that crashed mid-fleet against an OLDER source state
+       (the source optimized between attempts) would otherwise leave
+       stale files beside the fresh copy — silent duplicate rows.
+    3. COPY: _bootstrap_copy (truncate-on-open, so retried/replayed
+       copies converge byte-identical).
+    4. VERIFY names+sizes against the manifest before any state write
+       — the layout_ok check, now in the commit path, not just the
+       measurement script.
+    5. Replicate pending source DVs, write `_mirror_state`, drop the
+       manifest (state write is the commit point: a crash anywhere
+       earlier leaves state absent, and the next call re-enters here
+       and converges).
+
+    Returns the mirrored row count."""
+    from engage_spark.io import _DELETES, apply_deletes, delete_rows
+    from engage_spark.session import local_frame
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    mfs, mroot = _fs(spark, mirror_path)
+    mfs.mkdirs(mroot)
+    sfs, _sroot = _fs(spark, src_path)
+    names = _live_names(spark, src_path)
+    sizes = {
+        n: int(sfs.getFileStatus(_fs(spark, f"{src_path}/{n}")[1]).getLen())
+        for n in names
+    }
+    local_frame(
+        spark, sorted(sizes.items()), "name string, size long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{mirror_path}/{_MIRROR_BOOT_MANIFEST}"
+    )
+    # sweep stale data files from a prior partial attempt (walk the
+    # mirror root like _staged_rel_files, skipping _-prefixed sidecars)
+    from engage_spark.io import _staged_rel_files
+
+    for rel in _staged_rel_files(spark, mirror_path):
+        if rel not in sizes:
+            rfs, rp = _fs(spark, f"{mirror_path}/{rel}")
+            rfs.delete(rp, False)
+    _bootstrap_copy(spark, src_path, mirror_path, names)
+    bad = []
+    for n, want in sizes.items():
+        cfs, cp = _fs(spark, f"{mirror_path}/{n}")
+        if not cfs.exists(cp):
+            bad.append(f"{n} (missing)")
+        elif int(cfs.getFileStatus(cp).getLen()) != want:
+            bad.append(f"{n} (size {cfs.getFileStatus(cp).getLen()} != {want})")
+    if bad:
+        raise RuntimeError(
+            f"mirror bootstrap of {mirror_path} failed verification for "
+            f"{len(bad)} file(s) (first: {bad[0]}); the manifest is in "
+            "place — re-run sync_mirror to converge"
+        )
+    # carry the layout contract too: with the scaling meta + range
+    # manifest in place the mirror's own maintenance (purges,
+    # optimize) stays on the source's frozen curve
+    for side in ("_zorder_meta", "_zorder_ranges"):
+        zfs, zp = _fs(spark, f"{src_path}/{side}")
+        if zfs.exists(zp):
+            _, zdp = _fs(spark, f"{mirror_path}/{side}")
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                zfs, zp, mfs, zdp, False, True, conf
+            )
+    dfs, dp = _fs(spark, f"{src_path}/{_DELETES}")
+    if dfs.exists(dp):
+        keys = spark.read.parquet(f"{src_path}/{_DELETES}").dropDuplicates()
+        delete_rows(spark, mirror_path, keys, keys.columns[0])
+        apply_deletes(spark, mirror_path)
+    _mirror_state_write(spark, mirror_path, hi)
+    bfs, bp = _fs(spark, f"{mirror_path}/{_MIRROR_BOOT_MANIFEST}")
+    bfs.delete(bp, True)
+    return spark.read.parquet(mirror_path).count()
+
+
 def sync_mirror(
     spark: SparkSession, src_path: str, mirror_path: str, key_col: str
 ) -> dict:
@@ -1348,45 +1440,10 @@ def sync_mirror(
     hi = latest_version(spark, src_path)
     last = mirror_state(spark, mirror_path)
     if last == 0:
-        # bootstrap by 1:1 FILE COPY, not a rewrite: the mirror keeps
-        # the source's clustered layout and file boundaries, so its
-        # own later purges stay file-targeted and footer stats stay
-        # tight (a rewrite-through-Spark bootstrap scatters keys
-        # across files and turns every future takedown into a broad
-        # rewrite). The copy itself fans out over executors past a
-        # small file count (_bootstrap_copy — r13, closing the serial
-        # driver-loop weak flag). Pending source deletion vectors are
-        # replicated through the mirror's OWN DV path right after.
-        from engage_spark.io import _DELETES, apply_deletes, delete_rows
-
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        mfs, mroot = _fs(spark, mirror_path)
-        mfs.mkdirs(mroot)
-        _bootstrap_copy(
-            spark, src_path, mirror_path, _live_names(spark, src_path)
-        )
-        # carry the layout contract too: with the scaling meta + range
-        # manifest in place the mirror's own maintenance (purges,
-        # optimize) stays on the source's frozen curve
-        for side in ("_zorder_meta", "_zorder_ranges"):
-            zfs, zp = _fs(spark, f"{src_path}/{side}")
-            if zfs.exists(zp):
-                _, zdp = _fs(spark, f"{mirror_path}/{side}")
-                jvm.org.apache.hadoop.fs.FileUtil.copy(
-                    zfs, zp, mfs, zdp, False, True, conf
-                )
-        dfs, dp = _fs(spark, f"{src_path}/{_DELETES}")
-        if dfs.exists(dp):
-            keys = spark.read.parquet(
-                f"{src_path}/{_DELETES}"
-            ).dropDuplicates()
-            delete_rows(spark, mirror_path, keys, keys.columns[0])
-            apply_deletes(spark, mirror_path)
-        _mirror_state_write(spark, mirror_path, hi)
+        n_boot = _mirror_bootstrap(spark, src_path, mirror_path, hi)
         return {
             "from_version": 0, "to_version": hi,
-            "inserted": spark.read.parquet(mirror_path).count(),
+            "inserted": n_boot,
             "deleted": 0,
         }
     if last >= hi:

@@ -1911,3 +1911,64 @@ def test_version_diff_across_schema_evolution(spark, sf_dir, tmp_path):
     assert d3.filter(
         (F.col("change") == "added") & F.col("quality").isNull()
     ).count() == 0
+
+
+def test_mirror_bootstrap_manifest_survives_crash_and_source_rewrite(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 #8): the bootstrap runs under a manifest
+    protocol — manifest (names+sizes) → sweep stale → copy → VERIFY →
+    state write. Crash injection between copy and state write, with
+    the SOURCE rewritten (optimize) before the retry: the retry sweeps
+    the first attempt's now-stale files, so the mirror converges to
+    exactly the live snapshot — no duplicate rows, names+sizes
+    verified in the commit path."""
+    import engage_spark.versioning as V
+    from engage_spark.versioning import sync_mirror
+
+    src = tmp_path / "bsrc"
+    mir = tmp_path / "bmir"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev, str(src), ["user_id", "v_cents"], bits=16, num_files=6
+    )
+    version_log_enable(spark, str(src))                            # v1
+    calls = {"n": 0}
+    real_state_write = V._mirror_state_write
+
+    def crash_once(spark_, path, v):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before state write")
+        return real_state_write(spark_, path, v)
+
+    monkeypatch.setattr(V, "_mirror_state_write", crash_once)
+    with pytest.raises(RuntimeError, match="injected"):
+        sync_mirror(spark, str(src), str(mir), "event_id")
+    # half-state: files copied, manifest present, NO checkpoint
+    from engage_spark.io import _hadoop_fs
+
+    bfs, bp = _hadoop_fs(spark, f"{mir}/{V._MIRROR_BOOT_MANIFEST}")
+    assert bfs.exists(bp)
+    assert V.mirror_state(spark, str(mir)) == 0
+    # the source is REWRITTEN before the retry (versioned republish):
+    # every live file name changes, so attempt 1's copies are all stale
+    zorder_write(
+        spark, ev, str(src), ["user_id", "v_cents"], bits=16, num_files=3
+    )                                                              # v2
+    r = sync_mirror(spark, str(src), str(mir), "event_id")
+    assert r["from_version"] == 0
+    n = ev.count()
+    assert r["inserted"] == n
+    # exactly the live snapshot: same rows, same file names, verified
+    # sizes, no stale first-attempt files inflating the count
+    assert spark.read.parquet(str(mir)).count() == n
+    src_names = set(V._live_names(spark, str(src)))
+    mir_names = set(V._live_names(spark, str(mir)))
+    assert mir_names == src_names
+    assert not bfs.exists(bp)
+    # later incremental drains work off the manifest-committed state
+    delete_rows(spark, str(src), [2, 4], "event_id")               # v3
+    apply_deletes(spark, str(src))                                 # v4
+    sync_mirror(spark, str(src), str(mir), "event_id")
+    assert spark.read.parquet(str(mir)).count() == n - 2
