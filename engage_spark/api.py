@@ -1369,9 +1369,12 @@ def pq_topk_search(
     )
 
 
-def _ivfpq_model(spark, e: DataFrame, n_rows: int):
+def _ivfpq_model(
+    spark, e: DataFrame, n_rows: int, quantizer: str = "seeded"
+):
     """Train the two quantizers of the IVF-PQ index: coarse centroids
-    (hash-stride seeds + one Lloyd step in unit-norm space) and the
+    (hash-stride seeds + one Lloyd step in unit-norm space by default;
+    quantizer="kmeans" swaps in the MLlib fit — r14) and the
     residual codebooks (frozen against those centroids). Returns
     (c_ids, c_mat, nprobe, cb). Both collects are bounded (nlist rows;
     M x K codebook rows)."""
@@ -1382,7 +1385,7 @@ def _ivfpq_model(spark, e: DataFrame, n_rows: int):
         pq_params,
     )
 
-    c_ids, c_mat, nprobe = _ivfpq_coarse(spark, e, n_rows)
+    c_ids, c_mat, nprobe = _ivfpq_coarse(spark, e, n_rows, quantizer)
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
     residuals = e.mapInPandas(
         _ivfpq_residual_batches(bc),
@@ -1514,6 +1517,7 @@ def ivfpq_topk_search(
     query_emb_col: str | None = None,
     exclude_self: bool = True,
     n_rows: int | None = None,
+    quantizer: str = "seeded",
 ) -> DataFrame:
     """TRUE IVF-PQ top-k cosine search (x3f_ivfpq_residual_search's
     implementation; FAISS IndexIVFPQ shape): a coarse quantizer
@@ -1546,7 +1550,7 @@ def ivfpq_topk_search(
     spark = e.sparkSession
     if n_rows is None:
         n_rows = e.count()
-    c_ids, c_mat, nprobe, cb = _ivfpq_model(spark, e, n_rows)
+    c_ids, c_mat, nprobe, cb = _ivfpq_model(spark, e, n_rows, quantizer)
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
     codes = _ivfpq_codes(e, bc, cb)
     return _ivfpq_rank(
@@ -1561,6 +1565,7 @@ def ivfpq_build(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     n_rows: int | None = None,
+    quantizer: str = "seeded",
 ) -> dict:
     """Build and PERSIST an IVF-PQ index — the production lifecycle
     (train once, search many, append increments) that the one-shot
@@ -1583,7 +1588,7 @@ def ivfpq_build(
     spark = e.sparkSession
     if n_rows is None:
         n_rows = e.count()
-    c_ids, c_mat, nprobe, cb = _ivfpq_model(spark, e, n_rows)
+    c_ids, c_mat, nprobe, cb = _ivfpq_model(spark, e, n_rows, quantizer)
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
     codes = _ivfpq_codes(e, bc, cb)
 

@@ -934,7 +934,50 @@ def x3e2_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the nprobe probed lists (sub-linear, vs flat PQ's full code scan).
 
 
-def _ivfpq_coarse(spark: SparkSession, e: DataFrame, n_rows: int):
+def _ivfpq_coarse_kmeans(spark: SparkSession, e: DataFrame, n_rows: int):
+    """TRUE k-means coarse quantizer (r14, VERDICT r13 #7): MLlib
+    KMeans fit on a deterministic hash-stride SAMPLE of the
+    unit-normalized corpus (~50 vectors per target list, so the fit is
+    O(sqrt(n)) rows at any corpus size), centers returned through the
+    same (c_ids, c_mat, nprobe) contract as the seeded path — the
+    downstream broadcast/assignment/residual machinery is untouched.
+    Production text embeddings CLUSTER; the stride-seed + one-Lloyd
+    default is measured-adequate on the synthetic testdata, but
+    k-means|| init plus 20 Lloyd iterations tracks real density modes
+    better (recall comparison in SCALE.md §Quantizer choice).
+    Deterministic for a fixed corpus: fixed seed, fixed init, sample
+    fixed by the stride rule — but NOT DuckDB-expressible (iterative
+    fit), so the registered x3c/x3f queries keep the seeded default."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nlist, nprobe, _ = ivf_params(n_rows)
+    samp_stride = max(1, n_rows // (nlist * 50))
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x * x
+    ))
+    unit = F.transform(
+        "embedding",
+        lambda x: x / F.when(norm == F.lit(0.0), F.lit(1.0)).otherwise(norm),
+    )
+    samp = (
+        e.filter(F.col("vec_id") % samp_stride == 0)
+        .select(array_to_vector(unit).alias("features"))
+    )
+    model = KMeans(
+        k=nlist, seed=7, maxIter=20, initMode="k-means||", tol=1e-6
+    ).fit(samp)
+    c_mat = np.array(
+        [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+    )
+    c_ids = np.arange(len(c_mat), dtype=np.int64)
+    return c_ids, c_mat, nprobe
+
+
+def _ivfpq_coarse(
+    spark: SparkSession, e: DataFrame, n_rows: int,
+    quantizer: str = "seeded",
+):
     """Coarse quantizer for the residual-PQ path: hash-stride seeds on
     the UNIT-SPHERE corpus refined by one Lloyd step (the x3c pattern,
     but in normalized space and under squared-L2 — the metric the
@@ -942,7 +985,15 @@ def _ivfpq_coarse(spark: SparkSession, e: DataFrame, n_rows: int):
     centroid matrix, nprobe). Both collects are bounded at nlist rows;
     the assignment pass is one Arrow gemm-shaped kernel; the means go
     through _elementwise_mean (one aggregate at any dim), rounded 6dp
-    so both engines hold bit-identical centroids."""
+    so both engines hold bit-identical centroids.
+    quantizer="kmeans" swaps in the MLlib fit (_ivfpq_coarse_kmeans);
+    the default stays the DuckDB-oracle-able seeded path."""
+    if quantizer == "kmeans":
+        return _ivfpq_coarse_kmeans(spark, e, n_rows)
+    if quantizer != "seeded":
+        raise ValueError(
+            f"unknown quantizer {quantizer!r}: 'seeded' or 'kmeans'"
+        )
     nlist, nprobe, stride = ivf_params(n_rows)
     seeds = sorted(
         (r.vec_id, r.embedding)

@@ -2322,3 +2322,54 @@ def test_zorder_meta_memo_invalidated_on_republish(spark, tmp_path):
     io.zorder_write(spark, df, p, ["b", "c"], bits=8, num_files=2)
     m2 = io.zorder_meta(spark, p)
     assert m2["cols"] == ["b", "c"]
+
+
+def test_ivfpq_kmeans_quantizer_option(spark, sf_dir, tmp_path):
+    """quantizer="kmeans" (r14): the MLlib-fit coarse quantizer slots
+    into the same (c_ids, c_mat) contract — build, persist, search all
+    work; recall@5 against the exact top-k is at least as good as a
+    floor well below either path's measured recall; the default path
+    is untouched (seeded results identical with/without the kwarg);
+    unknown names raise."""
+    import pandas as pd
+
+    from engage_spark import api
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter("vec_id < 10")
+    exact = api.topk_cosine_search(e, queries, k=5).toPandas()
+
+    got_km = api.ivfpq_topk_search(
+        e, queries, k=5, rerank=50, quantizer="kmeans"
+    ).toPandas()
+    truth = {
+        q: set(g["neighbor_id"]) for q, g in exact.groupby("query_id")
+    }
+    hits = sum(
+        len(set(g["neighbor_id"]) & truth[q])
+        for q, g in got_km.groupby("query_id")
+    )
+    recall = hits / (5 * len(truth))
+    assert recall >= 0.4, f"kmeans-quantizer recall@5 {recall}"
+
+    # persisted lifecycle accepts the flag too
+    idx = str(tmp_path / "ivfpq_km")
+    stats = api.ivfpq_build(e, idx, quantizer="kmeans")
+    assert stats["nlist"] >= 4
+    from_index = api.ivfpq_search(idx, queries, e, k=5, rerank=50).toPandas()
+    key = ["query_id", "rank"]
+    a = got_km.sort_values(key).reset_index(drop=True)
+    b = from_index.sort_values(key).reset_index(drop=True)
+    assert (a.values == b[a.columns].values).all()
+
+    # default path byte-identical with and without the kwarg
+    d1 = api.ivfpq_topk_search(e, queries, k=5, rerank=50).toPandas()
+    d2 = api.ivfpq_topk_search(
+        e, queries, k=5, rerank=50, quantizer="seeded"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        d1.sort_values(key).reset_index(drop=True),
+        d2.sort_values(key).reset_index(drop=True),
+    )
+    with pytest.raises(ValueError, match="quantizer"):
+        api.ivfpq_topk_search(e, queries, k=5, quantizer="bogus")
