@@ -2399,9 +2399,23 @@ def _upsert_dataset_impl(
                 if n.rsplit("/", 1)[0] in touched_dirs
             ]
         merged = survivors.unionByName(inserts.select(*survivors.columns))
-        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(
-            staging
-        )
+        # clustered target: stage the merged slice ON the frozen
+        # Z-curve (the apply_deletes rule) so the hourly MERGE stops
+        # degrading layout health — same shuffle count (the Z range
+        # partitioning IS the staging re-bucketing), and footer
+        # pruning keeps its contract through every upsert instead of
+        # waiting for the next OPTIMIZE.
+        zm_fs, zm_p = _hadoop_fs(spark, f"{target}/_zorder_meta/info")
+        if zm_fs.exists(zm_p):
+            m = zorder_meta(spark, target)
+            _write_z_layout(
+                _zorder_scale_frozen(spark, merged, target, m),
+                max(1, len(old_names)), partition_by, "overwrite", staging,
+            )
+        else:
+            merged.write.mode("overwrite").partitionBy(
+                *partition_by
+            ).parquet(staging)
         staged = _staged_rel_files(spark, staging)
         for n in old_names:
             _retain_file(spark, target, n)

@@ -1972,3 +1972,54 @@ def test_mirror_bootstrap_manifest_survives_crash_and_source_rewrite(
     apply_deletes(spark, str(src))                                 # v4
     sync_mirror(spark, str(src), str(mir), "event_id")
     assert spark.read.parquet(str(mir)).count() == n - 2
+
+
+def test_versioned_partitioned_upsert_keeps_frozen_curve(
+    spark, sf_dir, tmp_path
+):
+    """r14: on a partitioned + Z-clustered versioned target, the MERGE
+    stages its slice ON the frozen curve (the apply_deletes rule) —
+    within every partition directory the post-upsert file Z-ranges
+    stay disjoint, so footer pruning keeps its contract through the
+    hourly MERGE instead of waiting for the next OPTIMIZE."""
+    from engage_spark.io import _zranges_scan, upsert_dataset
+
+    out = tmp_path / "vpz"
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket", (F.col("user_id") % 3).cast("long")
+    )
+    zorder_write(
+        spark, ev, str(out), ["user_id", "v_cents"], bits=16,
+        num_files=4, partition_by=["bucket"],
+    )
+    version_log_enable(spark, str(out))                            # v1
+    upd = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("v_cents", (F.col("v_cents") + 1).cast("long"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    upsert_dataset(
+        spark, str(out), upd, ["event_id"], partition_by=["bucket"],
+        delete_col="is_delete",
+    )                                                              # v2
+    assert [e["op"] for e in _vlog_entries(spark, str(out))] == [
+        "init", "upsert",
+    ]
+    live = spark.read.parquet(str(out))
+    assert live.count() == ev.count()
+    assert (
+        live.filter(F.col("event_id") % 7 == 0)
+        .join(ev.select("event_id", F.col("v_cents").alias("v0")),
+              on="event_id")
+        .filter(F.col("v_cents") != F.col("v0") + 1).count() == 0
+    )
+    # per-partition-dir disjointness of the frozen-curve file ranges
+    by_dir: dict = {}
+    for f, lo, hi in _zranges_scan(spark, str(out)):
+        d = f.rsplit("/", 2)[-2]
+        by_dir.setdefault(d, []).append((lo, hi))
+    assert len(by_dir) == 3
+    for d, ranges in by_dir.items():
+        ranges.sort()
+        for (l1, h1), (l2, _h2) in zip(ranges, ranges[1:]):
+            assert h1 <= l2, f"overlapping file Z-ranges in {d}"
