@@ -2131,6 +2131,68 @@ def upsert_dataset(
         )
 
 
+_UPSERT_MANIFEST = "_upsert_manifest"
+
+
+def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
+    """Finish a VERSIONED partitioned MERGE that crashed between its
+    manifest write and the commit tail (r14) — without this, a crash
+    mid-retain/rename leaves the live view missing the touched
+    partitions' rows with no automatic convergence (re-running the
+    batch would merge into the damaged state; the rows sit in
+    retained/). The manifest pins the swap: ('remove', name) rows for
+    the old files and ('add', name) rows for the staged files —
+    pinned at manifest time because the renames CONSUME the staging
+    dir, so a post-crash directory listing would see only leftovers.
+    Every step is idempotent (retains skip moved files, renames skip
+    landed files, the entry is appended only if the log's last entry
+    is not already this swap). Caller must hold the maintenance
+    lease. Returns True if a replay ran."""
+    from engage_spark.versioning import (
+        _retain_file,
+        _vlog_append_entry,
+        _vlog_entries,
+    )
+
+    mfs, mp = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
+    if not mfs.exists(mp):
+        return False
+    rows = spark.read.parquet(f"{target}/{_UPSERT_MANIFEST}").collect()
+    adds = sorted(r["name"] for r in rows if r["action"] == "add")
+    removes = sorted(r["name"] for r in rows if r["action"] == "remove")
+    staging = f"{target}__upsert_staging"
+    for n in removes:
+        _retain_file(spark, target, n)
+    for rel in adds:
+        sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
+        dfs2, dp2 = _hadoop_fs(spark, f"{target}/{rel}")
+        if dfs2.exists(dp2):
+            if sfs2.exists(sp2):
+                sfs2.delete(sp2, False)  # duplicate from a replayed move
+            continue
+        if not sfs2.exists(sp2):
+            raise RuntimeError(
+                f"upsert replay of {target}: staged file {rel} is in "
+                "neither staging nor the dataset — manual repair needed"
+            )
+        dfs2.mkdirs(dp2.getParent())
+        sfs2.rename(sp2, dp2)
+    entries = _vlog_entries(spark, target)
+    last = entries[-1] if entries else None
+    if not (
+        last is not None and last["op"] == "upsert"
+        and last["added"] == adds and last["removed"] == removes
+    ):
+        _vlog_append_entry(
+            spark, target, "upsert", added=adds, removed=removes
+        )
+    sfs3, sp3 = _hadoop_fs(spark, staging)
+    if sfs3.exists(sp3):
+        sfs3.delete(sp3, True)
+    mfs.delete(mp, True)
+    return True
+
+
 def _upsert_dataset_impl(
     spark: SparkSession,
     target: str,
@@ -2204,6 +2266,11 @@ def _upsert_dataset_impl(
     key_cols = list(key_cols)
     partition_by = list(partition_by or [])
     vlog = version_log_enabled(spark, target)
+    if vlog:
+        # a prior partitioned MERGE may have crashed mid-commit;
+        # finish its pinned swap BEFORE reconcile can log the half
+        # state as drift (the facade holds the lease here)
+        _upsert_replay_pending(spark, target)
     if not vlog:
         from engage_spark.versioning import _publish_stash_exists
 
@@ -2371,10 +2438,10 @@ def _upsert_dataset_impl(
         # partitions are never read, rewritten, or logged. Data is
         # written ONCE (to staging) — the commit is pure metadata, so
         # a 100 TB corpus pays O(touched slice) IO + O(files) renames
-        # per MERGE batch. Crash anywhere: staged files sit outside
-        # the dataset, partial retains/renames heal as one reconcile
-        # diff at the next versioned op (same contract as every
-        # staged-commit op); entry-last commit.
+        # per MERGE batch. Crash safety: a manifest pins the swap
+        # before any file moves; the next versioned upsert replays it
+        # to completion (_upsert_replay_pending) — the optimize
+        # staged-commit contract; entry-last commit.
         _vlog_reconcile(spark, target)
         if len(touched) > max_touched_partitions:
             # near-full rewrite: merge the whole dataset, version it
@@ -2417,6 +2484,20 @@ def _upsert_dataset_impl(
                 *partition_by
             ).parquet(staging)
         staged = _staged_rel_files(spark, staging)
+        # pin the swap in a manifest BEFORE any file moves: a crash
+        # anywhere in the commit tail replays from it
+        # (_upsert_replay_pending) instead of leaving live rows
+        # stranded in retained/ — the optimize staged-commit contract
+        from engage_spark.session import local_frame
+
+        local_frame(
+            spark,
+            [("add", n) for n in staged]
+            + [("remove", n) for n in old_names],
+            "action string, name string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{target}/{_UPSERT_MANIFEST}"
+        )
         for n in old_names:
             _retain_file(spark, target, n)
         for rel in staged:
@@ -2443,10 +2524,13 @@ def _upsert_dataset_impl(
                 emptied += 1
         stats["emptied_partitions"] = emptied
         _vlog_append_entry(
-            spark, target, "upsert", added=staged, removed=old_names,
+            spark, target, "upsert",
+            added=sorted(staged), removed=sorted(old_names),
         )
         sfs, sp = _hadoop_fs(spark, staging)
         sfs.delete(sp, True)
+        ufs, up = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
+        ufs.delete(up, True)
         return stats
 
     if len(touched) > max_touched_partitions:

@@ -2023,3 +2023,70 @@ def test_versioned_partitioned_upsert_keeps_frozen_curve(
         ranges.sort()
         for (l1, h1), (l2, _h2) in zip(ranges, ranges[1:]):
             assert h1 <= l2, f"overlapping file Z-ranges in {d}"
+
+
+def test_versioned_partitioned_upsert_crash_replay(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r14: a versioned partitioned MERGE that crashes mid-commit
+    (after the manifest, during the retain/rename tail) is replayed to
+    completion by the next upsert — re-running the same batch
+    converges to exactly the merged state, no rows stranded in
+    retained/, no reconcile drift entry, and time travel stays
+    exact."""
+    import engage_spark.versioning as V
+    from engage_spark.io import _UPSERT_MANIFEST, _hadoop_fs, upsert_dataset, write_parquet
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    out = tmp_path / "vpc"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))                            # v1
+    upd = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("n_chars", (F.col("n_chars") + 9).cast("long"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    real_retain = V._retain_file
+    calls = {"n": 0}
+
+    def crashy_retain(spark_, path, name):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-retain")
+        return real_retain(spark_, path, name)
+
+    monkeypatch.setattr(V, "_retain_file", crashy_retain)
+    with pytest.raises(RuntimeError, match="injected"):
+        upsert_dataset(
+            spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+            delete_col="is_delete",
+        )
+    monkeypatch.setattr(V, "_retain_file", real_retain)
+    mfs, mp = _hadoop_fs(spark, f"{out}/{_UPSERT_MANIFEST}")
+    assert mfs.exists(mp), "crash left no pinned swap manifest"
+    # re-run the same batch: the entry replay finishes the crashed
+    # swap, then the batch applies idempotently on the merged state
+    upsert_dataset(
+        spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+        delete_col="is_delete",
+    )
+    assert not mfs.exists(mp)
+    live = spark.read.parquet(str(out))
+    assert live.count() == d.count()
+    assert (
+        live.join(d.select("doc_id", F.col("n_chars").alias("v0")),
+                  on="doc_id")
+        .filter(
+            (F.col("doc_id") % 4 == 0)
+            & (F.col("n_chars") != F.col("v0") + 9)
+        ).count() == 0
+    )
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert "reconcile" not in ops
+    assert ops.count("upsert") == 2
+    assert read_version(spark, str(out), 1).count() == d.count()
+    last_v = _vlog_entries(spark, str(out))[-1]["version"]
+    assert read_version(spark, str(out), last_v).count() == live.count()
