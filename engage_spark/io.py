@@ -2412,18 +2412,22 @@ def _upsert_dataset_impl(
     # layout. (The dynamic-overwrite path tolerated this silently by
     # rewriting; the rename commit must refuse.)
     if vlog:
-        _probe = _live_names(spark, target)
+        # EVERY live file must sit under the expected hive dirs — a
+        # single stray flat file (a mixed layout from an out-of-band
+        # writer) would corrupt the rename commit just as surely as a
+        # wholly flat target; the check is O(files) driver-side string
+        # ops on a list _live_names already materialized
         want = [f"{c}=" for c in partition_by]
-        for name in _probe[:1]:
+        for name in _live_names(spark, target):
             segs = name.split("/")[:-1]
             if len(segs) != len(want) or any(
                 not s.startswith(w) for s, w in zip(segs, want)
             ):
                 raise ValueError(
-                    f"{target} is version-logged and its live layout "
-                    f"({'/'.join(segs) or 'flat'}) does not match "
-                    f"partition_by={partition_by}; a partitioned MERGE "
-                    "needs a matching hive layout — rewrite via "
+                    f"{target} is version-logged and live file {name} "
+                    f"does not sit under the partition_by="
+                    f"{partition_by} hive layout; a partitioned MERGE "
+                    "needs a matching layout — rewrite via "
                     "zorder_write(partition_by=...) first"
                 )
 

@@ -678,7 +678,7 @@ def test_versioned_upsert_logs_exact_swap(spark, sf_dir, tmp_path):
     # partitioned files in beside flat ones — refused loudly (the
     # versioned partitioned upsert itself is supported since r14, see
     # test_versioned_partitioned_upsert_exact_history)
-    with pytest.raises(ValueError, match="does not match"):
+    with pytest.raises(ValueError, match="does not sit under"):
         upsert_dataset(
             spark, str(out), updates, ["event_id"], partition_by=["user_id"]
         )
