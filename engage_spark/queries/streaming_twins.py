@@ -301,3 +301,128 @@ from engage_spark.queries.llm_text import QUALITY_ORACLE as _QO  # noqa: E402
 from engage_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["st_doc_quality_stream"].oracle = _QO
+
+
+@query(
+    "st_cdc_merge_upsert",
+    # Oracle: the netted CDC batch (seq=2 wins per key) replayed as a
+    # SQL MERGE, emitted for BOTH time-travel sides — a hash match
+    # proves the STREAMING foreachBatch front end commits exactly one
+    # versioned MERGE: latest-wins netting, partition-moving updates,
+    # inserts, deletes, and exact pre/post history through the stream.
+    oracle="""
+    WITH src AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    winners AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 30 = 0 THEN 'xx' ELSE lang END AS lang,
+             source, n_chars + 2000 AS n_chars, false AS is_delete
+      FROM src WHERE doc_id % 10 = 0 AND doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, 'ins' AS source,
+             777::BIGINT AS n_chars, false AS is_delete
+      FROM src WHERE doc_id % 13 = 5
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars, true AS is_delete
+      FROM src WHERE doc_id % 17 = 3
+    ),
+    merged AS (
+      SELECT s.doc_id, s.lang, s.source, s.n_chars FROM src s
+      WHERE s.doc_id NOT IN (SELECT doc_id FROM winners)
+      UNION ALL
+      SELECT doc_id, lang, source, n_chars FROM winners WHERE NOT is_delete
+    )
+    SELECT 1::BIGINT AS as_of, lang, count(*)::BIGINT AS n,
+           sum(n_chars)::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+    FROM src GROUP BY lang
+    UNION ALL
+    SELECT 2::BIGINT AS as_of, lang, count(*)::BIGINT AS n,
+           sum(n_chars)::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+    FROM merged GROUP BY lang
+    """,
+    covers=["STREAM-CDC", "S4", "S5"],
+)
+def st_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE (r14): a change stream carrying TWO
+    conflicting updates per key (seq 1 and seq 2 — latest must win),
+    partition-moving re-classifications, inserts, and deletes drains
+    through cdc_merge_stream (foreachBatch → io.upsert_dataset) onto a
+    VERSION-LOGGED lang-partitioned corpus, then both time-travel
+    sides of the single stream commit are aggregated. The one
+    registered query that exercises streaming ingest + netting + the
+    versioned partitioned MERGE + time travel end to end under the
+    driver's hash check."""
+    import shutil
+
+    from engage_spark.io import table, write_parquet
+    from engage_spark.queries.sinks import _scratch
+    from engage_spark.streaming.jobs import cdc_merge_stream
+    from engage_spark.versioning import read_version, version_log_enable
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tgt = _scratch("st_cdc_target")
+    src = _scratch("st_cdc_in")
+    ckpt = _scratch("st_cdc_ckpt")
+    for p in (tgt, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)  # idempotent across reruns
+    write_parquet(d, tgt, partition_by=["lang"])
+    version_log_enable(spark, tgt)                                 # v1
+
+    def upd(bump: int, seq: int) -> DataFrame:
+        return (
+            d.filter((F.col("doc_id") % 10 == 0)
+                     & (F.col("doc_id") % 17 != 3))
+            .withColumn(
+                "lang",
+                F.when(F.col("doc_id") % 30 == 0, F.lit("xx")).otherwise(
+                    F.col("lang")
+                ),
+            )
+            .withColumn("n_chars", (F.col("n_chars") + bump).cast("long"))
+            .withColumn("is_delete", F.lit(False))
+            .withColumn("seq", F.lit(seq).cast("long"))
+        )
+
+    ins = d.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.lit("ins").alias("source"),
+        F.lit(777).cast("long").alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+        F.lit(1).cast("long").alias("seq"),
+    )
+    dels = (
+        d.filter(F.col("doc_id") % 17 == 3)
+        .withColumn("is_delete", F.lit(True))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    (
+        upd(1000, 1).unionByName(upd(2000, 2))
+        .unionByName(ins).unionByName(dels)
+        .coalesce(1).write.parquet(f"{src}/b1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, source string, n_chars long, "
+            "is_delete boolean, seq long"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = cdc_merge_stream(
+        stream, tgt, ["doc_id"], ckpt,
+        partition_by=["lang"], delete_col="is_delete", order_col="seq",
+    )
+    q.awaitTermination()
+
+    def _agg(df: DataFrame, v: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        ).select(F.lit(v).cast("long").alias("as_of"), "*")
+
+    return _agg(read_version(spark, tgt, 1), 1).unionByName(
+        _agg(read_version(spark, tgt, 2), 2)
+    )

@@ -55,7 +55,8 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 # §Driver-check rotation state — after two rounds of hand-miscounts):
 # (a) the 14 r9-cohort queries that close rotation part 6 (every
 #     registered query's newest row is then r10+);
-# (b) NEW in round 14 — the versioned partitioned MERGE (s9b);
+# (b) NEW in round 14 — the versioned partitioned MERGE (s9b) and
+#     its streaming CDC front end (st_cdc_merge_upsert);
 # (c) queries whose IMPLEMENTATION changed in round 14 — the multi-key
 #     deletion sidecar (s13 apply, s14c restore), schema-tolerant
 #     version_diff (s15/s15b and the s16 CDF fallback), the
@@ -64,8 +65,8 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     the executor-probed mirror bootstrap (s18/s18b), and the
 #     stash-age heal guard under the version-logged zorder lifecycle
 #     (s14/s14b, s10c/s10d);
-# (d) the r10 cohort, alphabetical-first 19 of 44 — rotation part 7
-#     starts here next round (the remaining 25 are the generated tail).
+# (d) the r10 cohort, alphabetical-first 18 of 44 — rotation part 7
+#     starts here next round (the remaining 26 are the generated tail).
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -86,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_shard_manifest",
     # (b) NEW in round 14
     "s9b_upsert_partitioned_versioned",
+    "st_cdc_merge_upsert",
     # (c) implementation changed in round 14
     "s9_upsert_merge_roundtrip",
     "s13_delete_vector_roundtrip",
@@ -122,7 +124,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s1_scan_filter_project",
     "sql1_ordinal_groupby_ifnull",
     "st_doc_quality_stream",
-    "st_stateful_running_stats",
 )
 
 

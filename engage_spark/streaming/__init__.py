@@ -14,6 +14,7 @@ that makes a 100 TB backfill and the live stream share one code path).
 from engage_spark.streaming.jobs import (  # noqa: F401
     click_purchase_join_stream,
     dedup_events_stream,
+    cdc_merge_stream,
     incremental_ingest_stream,
     running_user_stats_stream,
     sessionize_stream,

@@ -727,3 +727,77 @@ def incremental_ingest_stream(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def cdc_merge_stream(
+    changes: DataFrame,
+    target: str,
+    key_cols,
+    checkpoint_dir: str,
+    partition_by=None,
+    delete_col: str | None = None,
+    order_col: str | None = None,
+    trigger: dict | None = None,
+    assume_partition_stable: bool = False,
+):
+    """CONTINUOUS CDC MERGE (r14): tail a change stream and apply each
+    micro-batch to a parquet corpus through io.upsert_dataset — the
+    streaming front end of the versioned partitioned MERGE. On a
+    version-logged target every micro-batch commits as one exact
+    `upsert` entry, so a CDC-ingested corpus gets time travel and a
+    row-level change feed for free; on a plain target it is the
+    dynamic-partition-overwrite merge.
+
+    `order_col` nets the batch to the LAST action per key first (a CDC
+    feed delivers multiple updates per key per batch; latest wins,
+    delete rows included — the sync_mirror netting rule), so the
+    upsert's one-row-per-key contract holds without the caller
+    pre-deduping. Without it the batch must already be key-unique.
+
+    Exactly-once-in-effect: upsert_dataset is key-idempotent, so a
+    micro-batch REPLAYED after its merge committed but before the
+    checkpoint advanced re-applies the same values — live state
+    converges byte-equal; on a versioned target the replay records a
+    second `upsert` entry whose row-level diff is ZERO rows (identical
+    rows in swapped files cancel in version_diff), so CDF consumers
+    drain nothing extra. No streaming state store is used: the corpus
+    IS the state, and the stream restarts from any checkpoint with no
+    rehydration. Scale: per batch cost is the upsert's — O(touched
+    partitions) with `partition_by`, never corpus-sized.
+
+    Returns the started StreamingQuery."""
+    from pyspark.sql.window import Window
+
+    from engage_spark.io import upsert_dataset
+
+    key_cols = list(key_cols)
+    spark = changes.sparkSession
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.desc(order_col),
+                # deterministic tie-break inside one (key, order) pair
+                *[F.desc(c) for c in b.columns if c != order_col],
+            )
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", order_col)
+            )
+        if b.isEmpty():
+            return
+        upsert_dataset(
+            spark, target, b, key_cols,
+            partition_by=partition_by, delete_col=delete_col,
+            assume_partition_stable=assume_partition_stable,
+            check_unique_keys=order_col is None,
+        )
+
+    return (
+        changes.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

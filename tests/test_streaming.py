@@ -852,3 +852,94 @@ def test_compact_ingest_state_between_runs(spark, tmp_path):
     # the new run's partition coexists with run=history
     parts2 = sorted(p.split("/")[-1] for p in glob.glob(f"{compacted}/run=*"))
     assert "run=history" in parts2 and len(parts2) == 2, parts2
+
+
+def test_cdc_merge_stream_versioned_target(spark, sf_dir, tmp_path):
+    """r14: the streaming CDC MERGE front end — micro-batches of
+    change rows (multiple actions per key, netted latest-wins by
+    `order_col`) apply through upsert_dataset onto a VERSION-LOGGED
+    lang-partitioned corpus: every drain commits one exact `upsert`
+    entry (time travel + row-level CDF through the stream), a restart
+    with no new data is a no-op, and the corpus — not a state store —
+    is the only carried state."""
+    from engage_spark.io import write_parquet
+    from engage_spark.streaming import cdc_merge_stream
+    from engage_spark.versioning import (
+        _vlog_entries,
+        read_version,
+        version_log_enable,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+    tgt = str(tmp_path / "cdc_target")
+    write_parquet(d, tgt, partition_by=["lang"])
+    version_log_enable(spark, tgt)                                 # v1
+    n0 = d.count()
+
+    src = str(tmp_path / "cdc_in")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "doc_id long, lang string, n_chars long, is_delete boolean, seq long"
+    # batch 1: two conflicting updates per %10 key (seq 2 must win)
+    # plus deletes for the %17==3 keys
+    upd1 = d.filter("doc_id % 10 = 0 and doc_id % 17 <> 3").selectExpr(
+        "doc_id", "lang", "n_chars + 1 as n_chars",
+        "false as is_delete", "1 as seq",
+    )
+    upd2 = d.filter("doc_id % 10 = 0 and doc_id % 17 <> 3").selectExpr(
+        "doc_id", "lang", "n_chars + 2 as n_chars",
+        "false as is_delete", "2 as seq",
+    )
+    dels = d.filter("doc_id % 17 = 3").selectExpr(
+        "doc_id", "lang", "n_chars", "true as is_delete", "1 as seq"
+    )
+    upd1.unionByName(upd2).unionByName(dels).coalesce(1).write.parquet(
+        f"{src}/b1.parquet"
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = cdc_merge_stream(
+            stream, tgt, ["doc_id"], ckpt,
+            partition_by=["lang"], delete_col="is_delete",
+            order_col="seq",
+        )
+        q.awaitTermination()
+
+    drain()
+    n_del = dels.count()
+    live = spark.read.parquet(tgt)
+    assert live.count() == n0 - n_del
+    # seq=2 won the net
+    assert (
+        live.join(d.select("doc_id", F.col("n_chars").alias("v0")), "doc_id")
+        .filter("doc_id % 10 = 0 and doc_id % 17 <> 3")
+        .filter("n_chars <> v0 + 2").count() == 0
+    )
+    ops = [e["op"] for e in _vlog_entries(spark, tgt)]
+    assert ops == ["init", "upsert"]
+    assert read_version(spark, tgt, 1).count() == n0  # exact history
+
+    # restart with NO new data: no batch fires, no new version
+    drain()
+    assert [e["op"] for e in _vlog_entries(spark, tgt)] == ops
+
+    # batch 2: re-insert one deleted key into a NEW partition
+    back_id = dels.select("doc_id").first()[0]
+    spark.createDataFrame(
+        [(back_id, "zz", 123, False, 1)], schema
+    ).coalesce(1).write.parquet(f"{src}/b2.parquet")
+    drain()
+    ops2 = [e["op"] for e in _vlog_entries(spark, tgt)]
+    assert ops2 == ["init", "upsert", "upsert"]
+    live2 = spark.read.parquet(tgt)
+    assert live2.count() == n0 - n_del + 1
+    assert live2.filter(F.col("doc_id") == back_id).first()["lang"] == "zz"
+    # time travel across both stream commits stays exact
+    assert read_version(spark, tgt, 2).count() == n0 - n_del
