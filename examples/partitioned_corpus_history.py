@@ -31,6 +31,16 @@ corpus — composed only from the engine's registered operators (r13):
                  deletion state re-recorded) and forward again —
                  the bad-delivery recovery path; history is never
                  rewritten and the mirror drains straight through it.
+  7. MERGE     — the hourly CDC batch (updates + partition-moving
+                 re-classifications + deletes) lands via
+                 upsert_dataset on the SAME versioned partitioned
+                 corpus (r14): touched partitions' files retain, the
+                 staged slice renames in, one exact `upsert` entry —
+                 time travel and the row-level feed work straight
+                 through the commonest production op.
+  8. SNAPSHOT  — read_snapshot pins one committed version for readers
+                 while maintenance runs (r14): plain path reads can
+                 tear mid-swap; the pinned read is consistent-or-loud.
 
 Run:
 
@@ -54,11 +64,13 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         delete_rows,
         read_with_deletes,
         table,
+        upsert_dataset,
         write_parquet,
     )
     from engage_spark.versioning import (
         dataset_history,
         read_changes,
+        read_snapshot,
         read_version,
         restore_version,
         sync_mirror,
@@ -106,7 +118,11 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         minmax_cols=["n_chars"],
     )
     live = read_with_deletes(spark, corpus)
-    assert spark.read.parquet(mirror).count() == live.count()
+    # materialize the COUNT now: `live` pins file paths, and the
+    # restore/MERGE below MOVE those files — re-evaluating the frame
+    # afterwards is the exact torn-read race read_snapshot exists for
+    live_n = live.count()
+    assert spark.read.parquet(mirror).count() == live_n
     fresh = live.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.min("n_chars").alias("mn")
     )
@@ -127,13 +143,44 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     restore_version(spark, corpus, 1)                           # v5
     assert read_with_deletes(spark, corpus).count() == first.count()
     restore_version(spark, corpus, 4)                           # v6
-    assert read_with_deletes(spark, corpus).count() == live.count()
+    assert read_with_deletes(spark, corpus).count() == live_n
     sync_mirror(spark, corpus, mirror, "doc_id")
-    assert spark.read.parquet(mirror).count() == live.count()
+    assert spark.read.parquet(mirror).count() == live_n
+
+    # 7. MERGE — the hourly CDC batch, fully versioned (r14)
+    batch = (
+        docs.filter(F.col("doc_id") % 40 == 0)
+        .withColumn("n_chars", (F.col("n_chars") + 7).cast("long"))
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 80 == 0, F.lit("xx")).otherwise(
+                F.col("lang")
+            ),
+        )
+        .withColumn("is_delete", F.col("doc_id") % 120 == 0)
+    )
+    upsert_dataset(
+        spark, corpus, batch, ["doc_id"], partition_by=["lang"],
+        delete_col="is_delete",
+    )                                                           # v7
+    assert dataset_history(spark, corpus).filter(
+        F.col("op") == "upsert"
+    ).count() == 1
+    # history through the MERGE is exact: the pre-merge version still
+    # reads byte-for-byte, and the feed carries its row-level delta
+    assert read_version(spark, corpus, 6).count() == live_n
+    merged_live = read_with_deletes(spark, corpus)
+    sync_mirror(spark, corpus, mirror, "doc_id")
+    assert spark.read.parquet(mirror).count() == merged_live.count()
+
+    # 8. SNAPSHOT-ISOLATED read while maintenance may run
+    snap, v_pin = read_snapshot(spark, corpus)
+    assert snap.count() == merged_live.count()
 
     return {
         "versions": dataset_history(spark, corpus).count(),
-        "live_rows": live.count(),
+        "live_rows": merged_live.count(),
+        "pinned_version": v_pin,
         "feed": feed_counts,
     }
 
