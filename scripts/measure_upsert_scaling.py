@@ -75,13 +75,22 @@ def main() -> None:
             batch = batch.localCheckpoint()  # fix the batch once
 
             out = {"replication": r, "rows": n_rows, "partitions": 64}
+            # "versioned" (r14): the retain-then-rename commit — the
+            # slice is written ONCE to staging then renamed in, vs the
+            # plain dynamic-overwrite path's staging write PLUS a
+            # second write of the slice into the target
             for mode, kw in (
                 ("stable", {"assume_partition_stable": True}),
                 ("general", {}),
+                ("versioned", {"assume_partition_stable": True}),
                 ("rewrite", {"max_touched_partitions": 1}),
             ):
                 tgt = os.path.join(base, f"t_{r}_{mode}")
                 d.write.partitionBy("part").parquet(tgt)
+                if mode == "versioned":
+                    from engage_spark.versioning import version_log_enable
+
+                    version_log_enable(spark, tgt)
                 out.setdefault(
                     "bytes",
                     sum(
