@@ -120,6 +120,11 @@ OPTIONAL = [
     # recompute, the partitioned drain — is change-bounded by
     # construction and pinned by pytest + driver hash instead.
     "s15b_version_diff_partitioned",
+    # round 14 addition: the versioned partitioned MERGE (publish →
+    # enable → MERGE → time-travel both sides). Its streaming front
+    # end (st_cdc_merge_upsert) stays unbenched per the st_* policy
+    # above; the batch-side commit is the scale-interesting piece.
+    "s9b_upsert_partitioned_versioned",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline
