@@ -187,6 +187,7 @@ def append_dataset(
     df: DataFrame,
     path: str,
     partition_by: Sequence[str] | None = None,
+    lease_wait_s: float = 30.0,
 ) -> dict:
     """Plain (optionally hive-partitioned) parquet APPEND that keeps
     the version log exact: on a version-logged target the write's
@@ -196,15 +197,31 @@ def append_dataset(
     cost. The versioned sibling of ``write_parquet(mode='append')``
     for non-Z-ordered corpora — ``zorder_append`` covers the clustered
     flat case. On an unversioned target this is just the plain append.
+
+    Concurrency (r14 — staged commit): the increment is written to a
+    UNIQUE staging sibling (``{path}__append_staging_{nonce}``) with
+    NO lease held — the expensive part of an append is the data write,
+    and at 100 TB holding the dataset lease across it serializes every
+    concurrent ingester for minutes. Only the commit tail takes the
+    lease: write a ``_append_manifest`` pinning the staged names, then
+    rename the files in and log ONE ``append`` entry — a millisecond
+    window, so concurrent appenders queue on ``lease_wait_s`` (waiting
+    is safe exactly because the held window is tiny) and ALL land,
+    serialized only at the rename+log step. A crash anywhere after the
+    manifest write is replayed to completion by the next maintenance
+    writer (``_append_replay_pending`` — every step idempotent); a
+    crash BEFORE it leaves an orphan staging sibling that
+    ``vacuum_versions`` sweeps by age, and no reader ever saw it.
+
     The increment's partitioning MUST match the target's existing
     layout: a flat append beside partition dirs (or vice versa) makes
     Spark read only one of the two shapes — silent data loss for every
     reader — so a mismatch raises before writing anything. Returns
     {"files": <appended file count or None>}."""
+    import uuid as _uuid
+
     from engage_spark.versioning import (
         _partition_cols_of,
-        _relativize,
-        _vlog_append_entry,
         _vlog_reconcile,
         version_log_enabled,
     )
@@ -224,29 +241,122 @@ def append_dataset(
                 "leave a mixed layout that readers silently truncate"
             )
 
-    def _write():
+    if not version_log_enabled(spark, path):
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*list(partition_by))
         writer.parquet(path)
-
-    if not version_log_enabled(spark, path):
-        _write()
         return {"files": None}
-    with maintenance_lease(spark, path):
-        # heal drift BEFORE the append so the entry records only this
+
+    # ---- stage (no lease): the slice's only expensive job ----
+    staging = f"{path.rstrip('/')}{_APPEND_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.parquet(staging)
+    staged = _staged_rel_files(spark, staging)
+    if not staged:  # empty increment: nothing to commit — but keep
+        # the heal contract (an append, even empty, reconciles drift
+        # and finishes a crashed predecessor's commit)
+        sfs, sp = _hadoop_fs(spark, staging)
+        if sfs.exists(sp):
+            sfs.delete(sp, True)
+        _vlog_reconcile(spark, path)
+        return {"files": 0}
+
+    # ---- commit (lease held for the rename+log tail only) ----
+    with maintenance_lease(spark, path, wait_s=lease_wait_s):
+        _append_replay_pending(spark, path)  # finish a crashed predecessor
+        # heal drift BEFORE the commit so the entry records only this
         # increment's files (same contract as zorder_append)
         _vlog_reconcile(spark, path)
-        before = set(spark.read.parquet(path).inputFiles())
-        _write()
-        new = set(spark.read.parquet(path).inputFiles()) - before
-        if new:
-            _vlog_append_entry(
-                spark, path, "append",
-                added=sorted(_relativize(spark, path, sorted(new))),
-                removed=[],
+        final = []
+        for rel in staged:
+            # staged part names carry the write job's UUID, so a live
+            # collision is ~impossible; still, uniquify INSIDE staging
+            # before the manifest pins names (a replay must never
+            # confuse "already moved by this commit" with a
+            # pre-existing file of the same name)
+            dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
+            if dfs2.exists(dp2):
+                head, _, tail = rel.rpartition("/")
+                new_rel = (head + "/" if head else "") + (
+                    f"dup-{_uuid.uuid4().hex[:8]}-{tail}"
+                )
+                sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
+                _, np2 = _hadoop_fs(spark, f"{staging}/{new_rel}")
+                sfs2.rename(sp2, np2)
+                rel = new_rel
+            final.append(rel)
+        from engage_spark.session import local_frame
+
+        local_frame(
+            spark,
+            [(rel, staging) for rel in sorted(final)],
+            "name string, staging string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/{_APPEND_MANIFEST}"
+        )
+        # the rest of the commit — rename in, log the entry, clean up —
+        # IS the crash replay, so run the replay itself (idempotent at
+        # every step; a crash at any point converges on the next run)
+        _append_replay_pending(spark, path)
+    return {"files": len(final)}
+
+
+_APPEND_MANIFEST = "_append_manifest"
+_APPEND_STAGING_INFIX = "__append_staging_"
+
+
+def _append_manifest_exists(spark: SparkSession, path: str) -> bool:
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_APPEND_MANIFEST}")
+    return mfs.exists(mp)
+
+
+def _append_replay_pending(spark: SparkSession, path: str) -> bool:
+    """Finish a staged-commit append that crashed after its manifest
+    write (r14): rename any staged files not yet in the dataset, log
+    the ``append`` entry unless the log's LAST entry is already this
+    commit, drop staging + manifest. Every step skips already-done
+    work, so the inline commit path calls this as its own tail and a
+    crash at any point converges on the next maintenance writer's
+    call (hooked into _vlog_reconcile, which every versioned op runs
+    before logging). Caller must hold the maintenance lease. Returns
+    True if a manifest was found (i.e. a commit tail ran)."""
+    from engage_spark.versioning import _vlog_append_entry, _vlog_entries
+
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_APPEND_MANIFEST}")
+    if not mfs.exists(mp):
+        return False
+    rows = spark.read.parquet(f"{path}/{_APPEND_MANIFEST}").collect()
+    adds = sorted(r["name"] for r in rows)
+    staging = rows[0]["staging"]
+    for rel in adds:
+        sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
+        dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
+        if dfs2.exists(dp2):
+            if sfs2.exists(sp2):
+                sfs2.delete(sp2, False)  # duplicate from a replayed move
+            continue
+        if not sfs2.exists(sp2):
+            raise RuntimeError(
+                f"append replay of {path}: staged file {rel} is in "
+                "neither staging nor the dataset — manual repair needed"
             )
-    return {"files": len(new)}
+        dfs2.mkdirs(dp2.getParent())
+        sfs2.rename(sp2, dp2)
+    entries = _vlog_entries(spark, path)
+    last = entries[-1] if entries else None
+    if not (
+        last is not None and last["op"] == "append"
+        and list(last["added"]) == adds and list(last["removed"]) == []
+    ):
+        _vlog_append_entry(spark, path, "append", added=adds, removed=[])
+    sfs3, sp3 = _hadoop_fs(spark, staging)
+    if sfs3.exists(sp3):
+        sfs3.delete(sp3, True)
+    mfs.delete(mp, True)
+    return True
 
 
 def write_bucketed(
@@ -1650,11 +1760,15 @@ def _hadoop_fs(spark: SparkSession, path: str):
 # HDFS/local (on S3 without a consistency layer it is best-effort, the
 # standard caveat for file-based locks; use a real lock service there).
 # A TTL bounds crashed-writer lockout: an expired lease is broken and
-# re-acquired. Re-entrant within a process (a maintenance loop calling
-# optimize inside its own leased section does not self-deadlock).
+# re-acquired. Re-entrant within a thread (a maintenance loop calling
+# optimize inside its own leased section does not self-deadlock); two
+# THREADS of one process contend through the lock file like two
+# processes would (r14 — this is what lets concurrent staged-commit
+# appenders queue for the millisecond commit window, `wait_s` below,
+# instead of one of them failing outright).
 
 _MAINT_LOCK = "_maintenance_lock"
-_LEASE_DEPTH: dict = {}  # path -> in-process re-entrancy depth
+_LEASE_DEPTH: dict = {}  # (thread_id, path) -> re-entrancy depth
 
 
 class MaintenanceLockHeld(RuntimeError):
@@ -1664,35 +1778,53 @@ class MaintenanceLockHeld(RuntimeError):
 def _lease_writer_id() -> str:
     import os as _os
     import socket
+    import threading as _threading
 
-    return f"{socket.gethostname()}:{_os.getpid()}"
+    return f"{socket.gethostname()}:{_os.getpid()}:{_threading.get_ident()}"
 
 
 class maintenance_lease:
     """Context manager guarding a dataset/index dir's maintenance
     window: acquire the `_maintenance_lock` sidecar (atomic
     create-if-absent), run, release. Contention with a LIVE lease
-    raises MaintenanceLockHeld naming the holder; a lease past its TTL
-    (default 1 h — crashed writer) is broken and taken over; release
-    checks the lock payload still matches this holder (a broken-and-
-    retaken lease is never deleted out from under the new holder). The
-    in-place ops acquire this themselves; nesting within one process
-    re-enters the held lease (path-normalized). The re-entrancy depth
-    is process-global, not thread-local — maintenance is one writer
-    per process by contract, matching the lease's own semantics."""
+    raises MaintenanceLockHeld naming the holder — unless `wait_s` > 0,
+    in which case acquisition polls (0.1 s cadence) until the holder
+    releases or the budget runs out. Waiting is ONLY appropriate for
+    short commit windows (the staged-append rename+log tail, r14);
+    long maintenance ops keep the loud-fail default so two OPTIMIZE
+    runs never silently queue for hours. A lease past its TTL (default
+    1 h — crashed writer) is broken and taken over; release checks the
+    lock payload still matches this holder (a broken-and-retaken lease
+    is never deleted out from under the new holder). The in-place ops
+    acquire this themselves; nesting within one THREAD re-enters the
+    held lease (path-normalized). Since r14 the re-entrancy key is
+    (thread, path) and the writer id carries the thread ident, so
+    sibling threads contend through the lock file exactly like sibling
+    processes — one writer at a time remains the invariant; what
+    changed is who counts as "one"."""
 
-    def __init__(self, spark: SparkSession, path: str, ttl_s: int = 3600):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ttl_s: int = 3600,
+        wait_s: float = 0.0,
+    ):
         # normalize the re-entrancy key: trailing-slash variants of the
         # same dataset must re-enter the held lease, not self-deadlock
         self.spark, self.path, self.ttl_s = spark, path.rstrip("/"), ttl_s
+        self.wait_s = wait_s
         self._payload: dict | None = None
+        self._key: tuple | None = None
 
     def __enter__(self):
         import json
+        import threading as _threading
         import time
 
-        if _LEASE_DEPTH.get(self.path, 0) > 0:
-            _LEASE_DEPTH[self.path] += 1
+        self._key = (_threading.get_ident(), self.path)
+        if _LEASE_DEPTH.get(self._key, 0) > 0:
+            _LEASE_DEPTH[self._key] += 1
             return self
         fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
         self._payload = {
@@ -1701,20 +1833,36 @@ class maintenance_lease:
             "ttl_s": self.ttl_s,
         }
         payload = json.dumps(self._payload).encode()
-        for attempt in (0, 1):
+        deadline = time.monotonic() + self.wait_s
+        vanished_retries = 0
+        while True:
             try:
                 out = fs.create(lp, False)  # overwrite=False: atomic
                 out.write(payload)
                 out.close()
-                _LEASE_DEPTH[self.path] = 1
+                _LEASE_DEPTH[self._key] = 1
                 return self
             except Exception:
                 holder = self._read_holder(fs, lp)
-                if holder is not None and attempt == 0:
+                if holder is not None:
                     age = time.time() - holder.get("acquired_unix", 0)
                     if age > holder.get("ttl_s", self.ttl_s):
                         fs.delete(lp, False)  # expired: break and retry
                         continue
+                elif vanished_retries < 3:
+                    # lock gone between failed create and the read —
+                    # the holder released; retry the create at once
+                    # (bounded: a create failing for a NON-contention
+                    # reason, e.g. permissions, must not spin here)
+                    vanished_retries += 1
+                    continue
+                if time.monotonic() < deadline:
+                    time.sleep(0.1)
+                    # refresh acquired_unix so a long wait is not
+                    # mistaken for lease age by a later TTL check
+                    self._payload["acquired_unix"] = int(time.time())
+                    payload = json.dumps(self._payload).encode()
+                    continue
                 raise MaintenanceLockHeld(
                     f"maintenance lease on {self.path} is held by "
                     f"{(holder or {}).get('writer', '<unreadable>')} "
@@ -1744,9 +1892,9 @@ class maintenance_lease:
             return {}
 
     def __exit__(self, exc_type, exc, tb):
-        _LEASE_DEPTH[self.path] -= 1
-        if _LEASE_DEPTH[self.path] <= 0:
-            _LEASE_DEPTH.pop(self.path, None)
+        _LEASE_DEPTH[self._key] -= 1
+        if _LEASE_DEPTH[self._key] <= 0:
+            _LEASE_DEPTH.pop(self._key, None)
             fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
             # only release a lock WE still hold: if this lease expired
             # and another writer broke it and acquired its own, deleting

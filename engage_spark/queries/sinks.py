@@ -1690,3 +1690,96 @@ def s17_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "s20_concurrent_appends",
+    # Oracle: the union of the four slices is the whole events table,
+    # so the final-version aggregate must equal a plain aggregate over
+    # `events` — a hash match proves THREE RACING APPENDERS all landed
+    # exactly once (no lost increment, no double-commit, no torn
+    # partition dirs). The literals pin the history shape: exactly 3
+    # `append` entries and latest version 4 (init + 3), i.e. every
+    # appender produced its own exact log entry rather than a drift
+    # reconcile.
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT AS cents,
+           3::BIGINT AS appends, 4::BIGINT AS n_versions
+    FROM events GROUP BY event_type
+    """,
+    covers=["S4", "S5"],
+)
+def s20_concurrent_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONCURRENT staged-commit appenders (r14): publish one quarter of
+    `events` partitioned by event_type, enable the version log, then
+    append the other three quarters from three racing threads.
+    io.append_dataset stages each increment with NO lease held (the
+    data write is the expensive part — at 100 TB, holding the dataset
+    lease across it serializes every ingester) and takes the lease only
+    for the millisecond rename+log commit tail, so all three appenders
+    land, each with its own exact `append` entry. The aggregate reads
+    the FINAL version via time travel; the history-shape literals
+    (appends=3, n_versions=4) hash-fail if any appender was lost,
+    double-committed, or degraded to a reconcile entry."""
+    import shutil
+    import threading
+
+    from engage_spark.io import append_dataset
+    from engage_spark.versioning import (
+        dataset_history,
+        latest_version,
+        read_version,
+        version_log_enable,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    tgt = _scratch("events_conc_append")
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    write_parquet(
+        ev.filter(F.col("event_id") % 4 == 0), tgt,
+        partition_by=["event_type"],
+    )
+    version_log_enable(spark, tgt)                                 # v1
+    errs: list = []
+
+    def _worker(residue: int) -> None:
+        try:
+            append_dataset(
+                spark,
+                ev.filter(F.col("event_id") % 4 == residue),
+                tgt,
+                partition_by=["event_type"],
+            )
+        except Exception as e:  # surfaced below — a query must not hang
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_worker, args=(r,)) for r in (1, 2, 3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    v = latest_version(spark, tgt)
+    n_appends = (
+        dataset_history(spark, tgt)
+        .filter(F.col("op") == "append")
+        .count()
+    )
+    return (
+        read_version(spark, tgt, v)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_cents").cast("long").alias("cents"),
+        )
+        .withColumn("appends", F.lit(n_appends).cast("long"))
+        .withColumn("n_versions", F.lit(v).cast("long"))
+    )

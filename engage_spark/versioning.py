@@ -487,6 +487,16 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
     files are only referenced, never required — if the bypassing
     writer deleted them outright, older versions fail with the
     retention error at read time (honest, not silent)."""
+    from engage_spark.io import _append_manifest_exists
+
+    if _append_manifest_exists(spark, path):
+        # a staged-commit append crashed after pinning its manifest
+        # (r14): finish ITS exact entry first, or the drift pass below
+        # would mis-log the half-renamed files as a reconcile
+        from engage_spark.io import _append_replay_pending, maintenance_lease
+
+        with maintenance_lease(spark, path):
+            _append_replay_pending(spark, path)
     entries = _vlog_entries(spark, path)
     latest = entries[-1]["version"] if entries else 0
     logged = set(_replay_files(entries, latest))
@@ -543,6 +553,15 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
     if not names:
         raise ValueError(f"version {version} of {path} has no data files")
     df = _read_names(spark, path, names)
+    return _apply_pending_dvs(spark, path, entries, version, df)
+
+
+def _apply_pending_dvs(
+    spark: SparkSession, path: str, entries: list, version: int, df: DataFrame
+) -> DataFrame:
+    """Anti-join `version`'s pending deletion-vector batches onto a
+    frame read from that version's files (the shared tail of
+    read_version and the stats-pruned read_where)."""
     pend = _pending_delete_versions(entries, version)
     if not pend:
         return df
@@ -1870,7 +1889,7 @@ def vacuum_versions(
     horizon is auditable."""
     import time as _time
 
-    from engage_spark.io import maintenance_lease
+    from engage_spark.io import _APPEND_STAGING_INFIX, maintenance_lease
 
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
@@ -1933,6 +1952,28 @@ def vacuum_versions(
                 return kept
 
             _sweep(rp)
+        # orphan append-staging siblings (r14): an appender that
+        # crashed BEFORE its manifest write left a staging dir next to
+        # the dataset that nothing references (readers never saw it;
+        # this is storage reclaim, not correctness). Sweep at 24 h of
+        # dir age — comfortably past any real staging write's duration
+        # (the dir mtime is its creation on nested layouts), so a
+        # long-running live appender is never swept out from under.
+        pfs, pp = _fs(spark, path)
+        qp = pfs.makeQualified(pp)
+        parent, base = qp.getParent(), qp.getName()
+        swept_staging = 0
+        if parent is not None and pfs.exists(parent):
+            now_ms = int(_time.time() * 1000)
+            for s in pfs.listStatus(parent):
+                name = s.getPath().getName()
+                if (
+                    name.startswith(f"{base}{_APPEND_STAGING_INFIX}")
+                    and s.isDirectory()
+                    and now_ms - s.getModificationTime() > 24 * 3600 * 1000
+                ):
+                    pfs.delete(s.getPath(), True)
+                    swept_staging += 1
         _vlog_append_entry(
             spark, path, "vacuum_log", added=[], removed=[], horizon=horizon
         )
@@ -1947,7 +1988,10 @@ def vacuum_versions(
                 removed=[],
             )
         compacted = _vlog_compact(spark, path)
-    return {"horizon": horizon, "dropped": dropped, "log_compacted": compacted}
+    return {
+        "horizon": horizon, "dropped": dropped,
+        "log_compacted": compacted, "swept_staging": swept_staging,
+    }
 
 
 def _vlog_compact(

@@ -2090,3 +2090,207 @@ def test_versioned_partitioned_upsert_crash_replay(
     assert read_version(spark, str(out), 1).count() == d.count()
     last_v = _vlog_entries(spark, str(out))[-1]["version"]
     assert read_version(spark, str(out), last_v).count() == live.count()
+
+
+# ---------------------------------------------------------------------------
+# Staged short-lease appends (round 14): the data write happens with NO
+# lease held; only the rename+log commit tail serializes, so concurrent
+# appenders queue for a millisecond window instead of one failing.
+
+
+def _grp_slice(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id % 3 AS grp")
+
+
+def test_staged_append_commits_exact_and_cleans_up(spark, tmp_path):
+    """Sequential staged appends: one exact `append` entry per call,
+    per-version reads exact, and neither the staging sibling nor the
+    manifest survives a successful commit."""
+    import os
+
+    from engage_spark.io import (
+        _APPEND_MANIFEST, append_dataset, write_parquet,
+    )
+    from engage_spark.versioning import latest_version
+
+    out = tmp_path / "stap"
+    write_parquet(_grp_slice(spark, 0, 10), str(out), partition_by=["grp"])
+    version_log_enable(spark, str(out))                            # v1
+    r1 = append_dataset(
+        spark, _grp_slice(spark, 10, 15), str(out), partition_by=["grp"]
+    )                                                              # v2
+    append_dataset(
+        spark, _grp_slice(spark, 15, 20), str(out), partition_by=["grp"]
+    )                                                              # v3
+    assert r1["files"] and r1["files"] >= 1
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "append"]
+    v = latest_version(spark, str(out))
+    assert read_version(spark, str(out), v).count() == 20
+    assert read_version(spark, str(out), v - 1).count() == 15
+    assert spark.read.parquet(str(out)).count() == 20
+    # partition dirs preserved through the staged rename
+    assert read_version(spark, str(out), v).filter(
+        F.col("grp") == 1
+    ).count() == spark.range(0, 20).filter(F.expr("id % 3 = 1")).count()
+    assert not os.path.exists(f"{out}/{_APPEND_MANIFEST}")
+    sibs = [n for n in os.listdir(tmp_path) if "__append_staging_" in n]
+    assert sibs == []
+
+
+def test_concurrent_appenders_all_land(spark, tmp_path):
+    """Two appenders racing the same versioned dataset BOTH commit:
+    the staged writes overlap freely, the commit tails queue on the
+    lease's wait budget, and history shows two exact entries with no
+    reconcile and no lost rows."""
+    import threading
+
+    from engage_spark.io import append_dataset, write_parquet
+    from engage_spark.versioning import latest_version
+
+    out = tmp_path / "conc"
+    write_parquet(_grp_slice(spark, 0, 10), str(out), partition_by=["grp"])
+    version_log_enable(spark, str(out))
+    errs: list = []
+
+    def worker(lo, hi):
+        try:
+            append_dataset(
+                spark, _grp_slice(spark, lo, hi), str(out),
+                partition_by=["grp"],
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=worker, args=(10, 20)),
+        threading.Thread(target=worker, args=(20, 30)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "append"]
+    assert spark.read.parquet(str(out)).count() == 30
+    v = latest_version(spark, str(out))
+    assert read_version(spark, str(out), v).count() == 30
+    # each intermediate version is one whole increment, not a torn mix
+    assert read_version(spark, str(out), v - 1).count() == 20
+    got = {r["id"] for r in read_version(spark, str(out), v).collect()}
+    assert got == set(range(30))
+
+
+def test_append_crash_mid_commit_replays_exactly(spark, tmp_path, monkeypatch):
+    """A crash AFTER the manifest write (files half-renamed, no log
+    entry) converges on the next maintenance contact: the heal hooked
+    into _vlog_reconcile finishes the renames, logs the exact entry —
+    never a reconcile drift entry — and drops staging + manifest."""
+    import engage_spark.io as eio
+    from engage_spark.io import append_dataset, write_parquet
+    from engage_spark.versioning import latest_version
+
+    out = tmp_path / "crash"
+    write_parquet(_grp_slice(spark, 0, 10), str(out), partition_by=["grp"])
+    version_log_enable(spark, str(out))
+    real = eio._append_replay_pending
+
+    def flaky(spark_, path_):
+        # pre-manifest heal call passes (no manifest yet); the
+        # post-manifest commit-tail call crashes
+        if eio._append_manifest_exists(spark_, path_):
+            raise RuntimeError("injected crash mid-commit")
+        return real(spark_, path_)
+
+    monkeypatch.setattr(eio, "_append_replay_pending", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_dataset(
+            spark, _grp_slice(spark, 10, 15), str(out), partition_by=["grp"]
+        )
+    monkeypatch.setattr(eio, "_append_replay_pending", real)
+    assert eio._append_manifest_exists(spark, str(out))
+    # any versioned op heals: dataset_history runs reconcile
+    ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
+    assert ops == ["init", "append"]
+    assert not eio._append_manifest_exists(spark, str(out))
+    assert spark.read.parquet(str(out)).count() == 15
+    v = latest_version(spark, str(out))
+    assert read_version(spark, str(out), v).count() == 15
+    got = {r["id"] for r in read_version(spark, str(out), v).collect()}
+    assert got == set(range(15))
+
+
+def test_lease_wait_queues_and_zero_wait_fails_fast(spark, tmp_path):
+    """wait_s on the maintenance lease: a waiter inside the budget
+    acquires after the holder releases; wait_s=0 keeps the loud-fail
+    contract; same-thread nesting still re-enters."""
+    import threading
+    import time
+
+    from engage_spark.io import MaintenanceLockHeld, maintenance_lease
+
+    out = tmp_path / "lease"
+    out.mkdir()
+
+    release = threading.Event()
+    held = threading.Event()
+
+    def holder():
+        with maintenance_lease(spark, str(out)):
+            held.set()
+            release.wait(10)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(10)
+    # sibling thread (this one) with no wait budget fails fast
+    with pytest.raises(MaintenanceLockHeld):
+        with maintenance_lease(spark, str(out), wait_s=0.0):
+            pass
+    # with a budget, the waiter queues and wins after release
+    acquired = {}
+
+    def release_soon():
+        time.sleep(0.5)
+        release.set()
+
+    threading.Thread(target=release_soon).start()
+    t0 = time.monotonic()
+    with maintenance_lease(spark, str(out), wait_s=10.0):
+        acquired["after_s"] = time.monotonic() - t0
+        # same-thread nesting re-enters the held lease
+        with maintenance_lease(spark, str(out)):
+            pass
+    t.join()
+    assert 0.3 <= acquired["after_s"] <= 9.0
+
+
+def test_vacuum_sweeps_stale_append_staging(spark, tmp_path):
+    """An appender that crashed BEFORE its manifest write leaves an
+    orphan staging sibling; vacuum sweeps it once it is a day old and
+    leaves young (possibly live) stagings alone."""
+    import os
+    import time
+
+    from engage_spark.io import append_dataset, write_parquet
+
+    out = tmp_path / "sweep"
+    write_parquet(_grp_slice(spark, 0, 10), str(out), partition_by=["grp"])
+    version_log_enable(spark, str(out))
+    append_dataset(
+        spark, _grp_slice(spark, 10, 15), str(out), partition_by=["grp"]
+    )
+    stale = tmp_path / "sweep__append_staging_deadbeef0000"
+    young = tmp_path / "sweep__append_staging_cafebabe0000"
+    stale.mkdir()
+    young.mkdir()
+    (stale / "part-0.parquet").write_bytes(b"x")
+    old = time.time() - 25 * 3600
+    os.utime(stale, (old, old))
+    res = vacuum_versions(spark, str(out), keep_last=7)
+    assert res["swept_staging"] == 1
+    assert not stale.exists()
+    assert young.exists()
+    # sweep never touches the dataset or its history
+    assert spark.read.parquet(str(out)).count() == 15
