@@ -1783,3 +1783,63 @@ def s20_concurrent_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("appends", F.lit(n_appends).cast("long"))
         .withColumn("n_versions", F.lit(v).cast("long"))
     )
+
+
+@query(
+    "s21_stats_pruned_scan",
+    # Oracle: a plain filtered aggregate over `events` — a hash match
+    # proves the stats-pruned read is byte-identical to scanning
+    # everything (pruning only ever removes provably-disjoint files).
+    # The `pruned` literal pins that the sidecar actually dropped
+    # files for this range (a stats layer that prunes nothing would
+    # hash-fail, not silently pass).
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT AS cents,
+           true AS pruned
+    FROM events WHERE user_id BETWEEN 10 AND 20
+    GROUP BY user_id
+    """,
+    covers=["S4"],
+)
+def s21_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max stats + data skipping (r14): Z-order `events`
+    on (user_id, v_cents), enable the version log, harvest per-file
+    footer stats (stats_enable — metadata only, no data scan), then
+    answer a narrow user_id range via stats.read_where, which prunes
+    the FILE LIST driver-side before the scan is planned. At 100 TB /
+    ~10^5 files this is the difference between scheduling a handful of
+    files and footer-probing everything; here the `pruned` column
+    hash-fails if the sidecar did not drop at least one file, and the
+    aggregate hash-fails if pruning dropped a row it shouldn't have."""
+    from engage_spark.io import zorder_write
+    from engage_spark.stats import _stats_prune, read_where, stats_enable
+    from engage_spark.versioning import (
+        _replay_files,
+        _vlog_entries,
+        latest_version,
+        version_log_enable,
+    )
+    import shutil
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    tgt = _scratch("events_stats_pruned")
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    zorder_write(spark, ev, tgt, ["user_id", "v_cents"], bits=16, num_files=16)
+    version_log_enable(spark, tgt)
+    stats_enable(spark, tgt, ["user_id", "v_cents"])
+    names = _replay_files(_vlog_entries(spark, tgt), latest_version(spark, tgt))
+    kept, n_pruned = _stats_prune(spark, tgt, names, "user_id", 10, 20)
+    return (
+        read_where(spark, tgt, "user_id", 10, 20)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_cents").cast("long").alias("cents"),
+        )
+        .withColumn("pruned", F.lit(n_pruned > 0))
+    )

@@ -65,8 +65,8 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     the executor-probed mirror bootstrap (s18/s18b), and the
 #     stash-age heal guard under the version-logged zorder lifecycle
 #     (s14/s14b, s10c/s10d);
-# (d) the r10 cohort, alphabetical-first 17 of 44 — rotation part 7
-#     starts here next round (the remaining 27 are the generated tail).
+# (d) the r10 cohort, alphabetical-first 16 of 44 — rotation part 7
+#     starts here next round (the remaining 28 are the generated tail).
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s9b_upsert_partitioned_versioned",
     "st_cdc_merge_upsert",
     "s20_concurrent_appends",
+    "s21_stats_pruned_scan",
     # (c) implementation changed in round 14
     "s9_upsert_merge_roundtrip",
     "s13_delete_vector_roundtrip",
@@ -123,7 +124,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p12_drop_allnull_columns",
     "p13_first_value_per_group",
     "s1_scan_filter_project",
-    "sql1_ordinal_groupby_ifnull",
 )
 
 

@@ -1,0 +1,343 @@
+"""File-level min/max statistics + data-skipping reads (round 14) —
+the Delta/Iceberg "stats in metadata" pattern on the plain-parquet
+version log.
+
+Z-order gives each file a narrow value range; parquet footers already
+record per-row-group min/max, and Spark prunes ROW GROUPS at scan time
+— but only after the scheduler has listed, opened and footer-read
+every file. At 100 TB / ~10^5 files, a driver-side stats table turns a
+narrow range query's planning into "read 4 files" instead of "open
+10^5 footers": commit-time footer HARVEST (no data scan — the parquet
+just written is re-read at metadata level only), stored in a
+``_versions/stats`` sidecar keyed by the same dataset-relative names
+the log uses, consumed by :func:`read_where`.
+
+Stats are an OPTIMIZATION, never a correctness gate: files without a
+stats row are always kept, the exact predicate is re-applied after the
+pruned scan, and pending deletion vectors anti-join exactly like
+``read_version`` — so ``read_where(path, col, lo, hi)`` is
+byte-identical to ``read_version(...).filter(lo <= col <= hi)``.
+
+Reference parity note: covers no reference file — engine extension
+(the 100 TB scan-planning path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engage_spark.versioning import (
+    _VDIR,
+    _apply_pending_dvs,
+    _fs,
+    _live_names,
+    _pa_fs_for,
+    _read_names,
+    _replay_files,
+    _vlog_entries,
+    _vlog_reconcile,
+    version_log_enabled,
+)
+
+_VSTATS = f"{_VDIR}/stats"
+_VSTATS_SPEC = f"{_VDIR}/stats_spec"
+_STATS_SCHEMA = (
+    "name string, col string, is_num boolean, "
+    "mn_num double, mx_num double, mn_str string, mx_str string"
+)
+# ops whose `added` lists are not fresh data files: snapshots re-list
+# files already harvested, vacuum/logical_delete add no data
+_STATS_SKIP_OPS = ("snapshot", "vacuum_log", "logical_delete")
+
+
+def _hive_unescape(val: str):
+    """Inverse of io._hive_part_dir's value escaping; None for the
+    __HIVE_DEFAULT_PARTITION__ null sentinel."""
+    if val == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    out, i = [], 0
+    while i < len(val):
+        ch = val[i]
+        if ch == "%" and i + 3 <= len(val):
+            try:
+                out.append(chr(int(val[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _footer_stats_one(uri: str, rel: str, cols: list) -> list:
+    """(rel, col, is_num, mn_num, mx_num, mn_str, mx_str) rows for one
+    parquet file, harvested from its FOOTER row-group statistics (no
+    data pages read). Partition columns come from the relative path's
+    `col=val/` dirs (they have no physical column). A column any row
+    group lacks min/max for yields NO row — absence means "keep the
+    file", never a wrong prune. Pure function of (uri, rel, cols), so
+    it runs driver-side for small increments and inside executor tasks
+    for large ones."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    part_vals = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            c, _, v = seg.partition("=")
+            part_vals[c] = _hive_unescape(v)
+    want_phys = [c for c in cols if c not in part_vals]
+    for c in cols:
+        if c not in part_vals:
+            continue
+        v = part_vals[c]
+        if v is None:
+            rows.append((rel, c, False, None, None, None, None))
+            continue
+        try:
+            fv = float(v)
+            rows.append((rel, c, True, fv, fv, str(v), str(v)))
+        except ValueError:
+            rows.append((rel, c, False, None, None, str(v), str(v)))
+    if not want_phys:
+        return rows
+    fs, p = _pa_fs_for(uri)
+    with fs.open_input_file(p) as f:
+        md = pq.ParquetFile(f).metadata
+    acc: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            cmeta = g.column(i)
+            nm = cmeta.path_in_schema
+            if nm not in want_phys or acc.get(nm) == "absent":
+                continue
+            st = cmeta.statistics
+            if st is None or not st.has_min_max:
+                # an all-NULL row group legitimately has no min/max;
+                # anything else missing means the writer didn't record
+                # stats -> no row for this (file, col)
+                if st is not None and st.null_count == cmeta.num_values:
+                    acc.setdefault(nm, None)
+                    continue
+                acc[nm] = "absent"
+                continue
+            mn, mx = st.min, st.max
+            prev = acc.get(nm)
+            if not isinstance(prev, list):
+                acc[nm] = [mn, mx]
+            else:
+                acc[nm] = [min(prev[0], mn), max(prev[1], mx)]
+    for nm in want_phys:
+        got = acc.get(nm, "absent")
+        if got == "absent":
+            continue
+        if got is None:  # every value in the file is NULL
+            rows.append((rel, nm, False, None, None, None, None))
+            continue
+        mn, mx = got
+        if isinstance(mn, bytes):
+            mn = mn.decode("utf-8", "replace")
+            mx = mx.decode("utf-8", "replace")
+        if isinstance(mn, (bool, int, float)):
+            rows.append((rel, nm, True, float(mn), float(mx), None, None))
+        elif isinstance(mn, (datetime.date, datetime.datetime)):
+            rows.append(
+                (rel, nm, False, None, None, mn.isoformat(), mx.isoformat())
+            )
+        else:
+            rows.append((rel, nm, False, None, None, str(mn), str(mx)))
+    return rows
+
+
+def _stats_spec(spark: SparkSession, path: str) -> list:
+    sfs, sp = _fs(spark, f"{path}/{_VSTATS_SPEC}")
+    if not sfs.exists(sp):
+        return []
+    row = spark.read.parquet(f"{path}/{_VSTATS_SPEC}").collect()
+    return list(row[0]["cols"]) if row else []
+
+
+def _stats_existing_names(spark: SparkSession, path: str) -> set:
+    sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
+    if not sfs.exists(sp):
+        return set()
+    return {
+        r["name"]
+        for r in spark.read.parquet(f"{path}/{_VSTATS}")
+        .select("name").distinct().collect()
+    }
+
+
+def _stats_harvest(spark: SparkSession, path: str, names: list) -> int:
+    """Append footer-harvested stats rows for `names` (deduped against
+    files already harvested — file contents are immutable, so a
+    replayed commit never changes a row). Driver-side loop for small
+    increments; a Spark job over the name list past 256 files, with a
+    driver fallback if executor-side pyarrow cannot reach the
+    filesystem (shared-fs assumption, same as the mirror bootstrap).
+    Caller holds the maintenance lease (this rides the commit that
+    added the files). Returns the number of files harvested."""
+    from engage_spark.session import local_frame
+
+    cols = _stats_spec(spark, path)
+    if not cols or not names:
+        return 0
+    todo = sorted(
+        set(n for n in names if not n.startswith("deletes_v"))
+        - _stats_existing_names(spark, path)
+    )
+    if not todo:
+        return 0
+    fs, p = _fs(spark, path)
+    root = fs.makeQualified(p).toUri().toString().rstrip("/")
+    pairs = [(f"{root}/{n}", n) for n in todo]
+    rows: list = []
+    if len(pairs) > 256:
+        try:
+            sc = spark.sparkContext
+            rows = (
+                sc.parallelize(pairs, max(2, len(pairs) // 64))
+                .flatMap(lambda pr: _footer_stats_one(pr[0], pr[1], cols))
+                .collect()
+            )
+        except Exception:
+            rows = []
+    if not rows:
+        for uri, rel in pairs:
+            rows.extend(_footer_stats_one(uri, rel, cols))
+    if rows:
+        local_frame(spark, rows, _STATS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/{_VSTATS}")
+    return len(todo)
+
+
+def stats_enable(spark: SparkSession, path: str, cols) -> int:
+    """Declare file-level min/max stats for `cols` on a version-logged
+    dataset and backfill the CURRENT live file set from parquet
+    footers (no data scan). Every subsequent versioned commit harvests
+    its added files' footers into the sidecar automatically
+    (versioning._vlog_append_entry hook); reads go through
+    :func:`read_where` to prune files by range predicate before the
+    scan is even planned. Returns the number of files backfilled."""
+    from engage_spark.io import maintenance_lease
+    from engage_spark.session import local_frame
+
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    cols = list(cols)
+    with maintenance_lease(spark, path):
+        local_frame(spark, [(cols,)], "cols array<string>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/{_VSTATS_SPEC}")
+        return _stats_harvest(spark, path, _live_names(spark, path))
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The harvested stats sidecar as a DataFrame (name, col, is_num,
+    mn_num, mx_num, mn_str, mx_str) — one row per (file, column),
+    deduped. Empty frame if stats were never enabled."""
+    from engage_spark.session import local_frame
+
+    sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
+    if not sfs.exists(sp):
+        return local_frame(spark, [], _STATS_SCHEMA)
+    return spark.read.parquet(f"{path}/{_VSTATS}").dropDuplicates(
+        ["name", "col"]
+    )
+
+
+def _stats_prune(
+    spark: SparkSession, path: str, names: list, col: str, lo, hi
+) -> tuple:
+    """(kept_names, n_pruned): drop files whose harvested [min, max]
+    for `col` cannot overlap [lo, hi]. Files without a stats row are
+    kept (absence is never a prune); files whose column is entirely
+    NULL are dropped (no NULL satisfies a range predicate)."""
+    sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
+    if not sfs.exists(sp):
+        return list(names), 0
+    by_name = {
+        r["name"]: r
+        for r in spark.read.parquet(f"{path}/{_VSTATS}")
+        .filter(F.col("col") == col)
+        .collect()
+    }
+    num_pred = all(
+        isinstance(b, (int, float)) and not isinstance(b, bool)
+        for b in (lo, hi)
+        if b is not None
+    )
+    kept = []
+    for n in names:
+        r = by_name.get(n)
+        if r is None:
+            kept.append(n)
+            continue
+        if (
+            r["mn_num"] is None and r["mx_num"] is None
+            and r["mn_str"] is None and r["mx_str"] is None
+        ):
+            continue  # all-NULL column: no row can match a range
+        if r["is_num"] and num_pred:
+            mn, mx = r["mn_num"], r["mx_num"]
+            if lo is not None and mx is not None and mx < float(lo):
+                continue
+            if hi is not None and mn is not None and mn > float(hi):
+                continue
+        elif not r["is_num"] and isinstance(lo if lo is not None else hi, str):
+            mn, mx = r["mn_str"], r["mx_str"]
+            if lo is not None and mx is not None and mx < str(lo):
+                continue
+            if hi is not None and mn is not None and mn > str(hi):
+                continue
+        kept.append(n)
+    return kept, len(names) - len(kept)
+
+
+def read_where(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned range read: the dataset at `version` (default
+    latest) filtered to lo <= col <= hi (either bound optional), with
+    the FILE LIST pruned by the harvested min/max sidecar before the
+    scan is planned — at 10^5 files, a narrow range on the Z-order /
+    cluster column schedules a handful of files instead of footer-
+    probing everything. The exact predicate is re-applied after the
+    pruned scan and pending deletion vectors are anti-joined exactly
+    like read_version, so the result is byte-identical to filtering
+    the unpruned read — stats only ever REMOVE provably-disjoint
+    files. Works at any retained version (file stats are immutable)."""
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    _vlog_reconcile(spark, path)
+    entries = _vlog_entries(spark, path)
+    v = version if version is not None else entries[-1]["version"]
+    if not entries or v < 1 or v > entries[-1]["version"]:
+        raise ValueError(
+            f"version {v} out of range 1.."
+            f"{entries[-1]['version'] if entries else 0} for {path}"
+        )
+    names = _replay_files(entries, v)
+    kept, _ = _stats_prune(spark, path, names, col, lo, hi)
+    if not kept:
+        # every file provably disjoint: an empty frame with the right
+        # schema (one file read at planning level only, filter false)
+        return _read_names(spark, path, names[:1]).filter(F.lit(False))
+    df = _read_names(spark, path, kept)
+    df = _apply_pending_dvs(spark, path, entries, v, df)
+    if lo is not None:
+        df = df.filter(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(col) <= F.lit(hi))
+    return df

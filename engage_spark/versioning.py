@@ -276,6 +276,29 @@ def _vlog_append_entry(
         )],
         _ENTRY_SCHEMA,
     ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
+    if added and op not in ("snapshot", "vacuum_log", "logical_delete"):
+        # file-level min/max harvest (r14): when stats_enable declared
+        # a spec, every data-adding commit records its new files'
+        # footer stats in the `_versions/stats` sidecar — spec absent
+        # = one fs.exists probe and out. Stats are an optimization:
+        # a crash between the entry and the harvest just leaves these
+        # files unpruned (read_where keeps files without stats rows).
+        from engage_spark.stats import _stats_harvest
+
+        try:
+            _stats_harvest(spark, path, list(added))
+        except Exception as exc:  # noqa: BLE001 — harvest failure must
+            # not fail the DATA commit (the entry is already durable;
+            # unharvested files are simply never pruned). Warn loudly
+            # instead of silently degrading scan planning forever.
+            import warnings
+
+            warnings.warn(
+                f"file-stats harvest failed for {path}: {exc}; "
+                "the commit is intact but its files won't be pruned "
+                "by read_where",
+                stacklevel=2,
+            )
     if op != "snapshot" and v % _SNAPSHOT_EVERY == 0:
         fresh = _vlog_entries(spark, path)
         _vlog_append_entry(
