@@ -288,15 +288,20 @@ def append_dataset(
                 sfs2.rename(sp2, np2)
                 rel = new_rel
             final.append(rel)
-        from engage_spark.session import local_frame
+        # the manifest is a tiny JSON sidecar written through the
+        # Hadoop FS directly — not a Spark job — because it sits
+        # inside the lease-held commit window (two saved job
+        # round-trips, measured ~0.7 s locally)
+        import json as _json
 
-        local_frame(
-            spark,
-            [(rel, staging) for rel in sorted(final)],
-            "name string, staging string",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/{_APPEND_MANIFEST}"
+        mfs, mp = _hadoop_fs(spark, f"{path}/{_APPEND_MANIFEST}")
+        out = mfs.create(mp, True)
+        out.write(
+            _json.dumps(
+                {"staging": staging, "adds": sorted(final)}
+            ).encode()
         )
+        out.close()
         # the rest of the commit — rename in, log the entry, clean up —
         # IS the crash replay, so run the replay itself (idempotent at
         # every step; a crash at any point converges on the next run)
@@ -325,12 +330,19 @@ def _append_replay_pending(spark: SparkSession, path: str) -> bool:
     True if a manifest was found (i.e. a commit tail ran)."""
     from engage_spark.versioning import _vlog_append_entry, _vlog_entries
 
+    import json as _json
+
     mfs, mp = _hadoop_fs(spark, f"{path}/{_APPEND_MANIFEST}")
     if not mfs.exists(mp):
         return False
-    rows = spark.read.parquet(f"{path}/{_APPEND_MANIFEST}").collect()
-    adds = sorted(r["name"] for r in rows)
-    staging = rows[0]["staging"]
+    stream = mfs.open(mp)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    doc = _json.loads(raw.decode())
+    adds = sorted(doc["adds"])
+    staging = doc["staging"]
     for rel in adds:
         sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
         dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
@@ -1755,20 +1767,44 @@ def _hadoop_fs(spark: SparkSession, path: str):
 # requirement; the lease ENFORCES it with a loud failure instead of
 # silent corruption (two concurrent optimizes can double-commit staged
 # files; a vacuum racing a revive can resurrect taken-down rows). The
-# lock is a `_maintenance_lock` sidecar created with
-# FileSystem.create(overwrite=False) — atomic create-if-absent on
-# HDFS/local (on S3 without a consistency layer it is best-effort, the
-# standard caveat for file-based locks; use a real lock service there).
+# lock is a `_maintenance_lock` sidecar created atomically:
+# O_CREAT|O_EXCL for file:// paths (Hadoop's RawLocalFileSystem
+# create(overwrite=false) is exists-then-create — NOT atomic, and two
+# pollers waking on a release can both "win" it), the namenode-atomic
+# FileSystem.create(overwrite=False) elsewhere (on S3 without a
+# consistency layer it is best-effort, the standard caveat for
+# file-based locks; use a real lock service there). Threads of ONE
+# process additionally serialize on an in-process mutex per path, so
+# sibling threads never race the filesystem primitive at all.
 # A TTL bounds crashed-writer lockout: an expired lease is broken and
 # re-acquired. Re-entrant within a thread (a maintenance loop calling
 # optimize inside its own leased section does not self-deadlock); two
-# THREADS of one process contend through the lock file like two
-# processes would (r14 — this is what lets concurrent staged-commit
-# appenders queue for the millisecond commit window, `wait_s` below,
-# instead of one of them failing outright).
+# THREADS of one process contend like two processes would (r14 — this
+# is what lets concurrent staged-commit appenders queue for the
+# bounded commit window, `wait_s` below, instead of one failing
+# outright).
 
 _MAINT_LOCK = "_maintenance_lock"
 _LEASE_DEPTH: dict = {}  # (thread_id, path) -> re-entrancy depth
+_PROC_LOCKS: dict = {}  # path -> threading.Lock (sibling-thread mutex)
+
+
+def _proc_lock_for(path: str):
+    import threading as _threading
+
+    with _PROC_LOCKS_GUARD:
+        if path not in _PROC_LOCKS:
+            _PROC_LOCKS[path] = _threading.Lock()
+        return _PROC_LOCKS[path]
+
+
+def _make_guard():
+    import threading as _threading
+
+    return _threading.Lock()
+
+
+_PROC_LOCKS_GUARD = _make_guard()
 
 
 class MaintenanceLockHeld(RuntimeError):
@@ -1816,9 +1852,11 @@ class maintenance_lease:
         self.wait_s = wait_s
         self._payload: dict | None = None
         self._key: tuple | None = None
+        self._plock = None
 
     def __enter__(self):
         import json
+        import os as _os
         import threading as _threading
         import time
 
@@ -1826,51 +1864,90 @@ class maintenance_lease:
         if _LEASE_DEPTH.get(self._key, 0) > 0:
             _LEASE_DEPTH[self._key] += 1
             return self
-        fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
-        self._payload = {
-            "writer": _lease_writer_id(),
-            "acquired_unix": int(time.time()),
-            "ttl_s": self.ttl_s,
-        }
-        payload = json.dumps(self._payload).encode()
         deadline = time.monotonic() + self.wait_s
-        vanished_retries = 0
-        while True:
-            try:
-                out = fs.create(lp, False)  # overwrite=False: atomic
-                out.write(payload)
-                out.close()
-                _LEASE_DEPTH[self._key] = 1
-                return self
-            except Exception:
-                holder = self._read_holder(fs, lp)
-                if holder is not None:
-                    age = time.time() - holder.get("acquired_unix", 0)
-                    if age > holder.get("ttl_s", self.ttl_s):
-                        fs.delete(lp, False)  # expired: break and retry
+        # layer 1: sibling THREADS serialize in-process — they must
+        # never race the filesystem create (local fs lacks an atomic
+        # create-if-absent through Hadoop's RawLocalFileSystem)
+        plock = _proc_lock_for(self.path)
+        got = (
+            plock.acquire(timeout=max(0.001, deadline - time.monotonic()))
+            if self.wait_s > 0
+            else plock.acquire(blocking=False)
+        )
+        fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
+        if not got:
+            holder = self._read_holder(fs, lp)
+            raise MaintenanceLockHeld(
+                f"maintenance lease on {self.path} is held by "
+                f"{(holder or {}).get('writer', '<a sibling thread>')}; "
+                "one maintenance writer at a time — wait, or break "
+                f"the lease by deleting {self.path}/{_MAINT_LOCK} "
+                "if the holder is known dead"
+            )
+        try:
+            # layer 2: the lock FILE arbitrates across processes
+            uri = fs.makeQualified(lp).toUri()
+            local = uri.getScheme() in (None, "file")
+            if local:
+                # hadoop create() made parents implicitly; O_EXCL won't
+                _os.makedirs(_os.path.dirname(uri.getPath()), exist_ok=True)
+            self._payload = {
+                "writer": _lease_writer_id(),
+                "acquired_unix": int(time.time()),
+                "ttl_s": self.ttl_s,
+            }
+            payload = json.dumps(self._payload).encode()
+            vanished_retries = 0
+            while True:
+                try:
+                    if local:
+                        # O_EXCL: genuinely atomic create-if-absent
+                        fd = _os.open(
+                            uri.getPath(),
+                            _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
+                        )
+                        with _os.fdopen(fd, "wb") as fh:
+                            fh.write(payload)
+                    else:
+                        out = fs.create(lp, False)  # namenode-atomic
+                        out.write(payload)
+                        out.close()
+                    _LEASE_DEPTH[self._key] = 1
+                    self._plock = plock
+                    return self
+                except Exception:
+                    holder = self._read_holder(fs, lp)
+                    if holder is not None:
+                        age = time.time() - holder.get("acquired_unix", 0)
+                        if age > holder.get("ttl_s", self.ttl_s):
+                            fs.delete(lp, False)  # expired: break, retry
+                            continue
+                    elif vanished_retries < 3:
+                        # lock gone between failed create and the read —
+                        # the holder released; retry the create at once
+                        # (bounded: a create failing for a NON-contention
+                        # reason, e.g. permissions, must not spin here)
+                        vanished_retries += 1
                         continue
-                elif vanished_retries < 3:
-                    # lock gone between failed create and the read —
-                    # the holder released; retry the create at once
-                    # (bounded: a create failing for a NON-contention
-                    # reason, e.g. permissions, must not spin here)
-                    vanished_retries += 1
-                    continue
-                if time.monotonic() < deadline:
-                    time.sleep(0.1)
-                    # refresh acquired_unix so a long wait is not
-                    # mistaken for lease age by a later TTL check
-                    self._payload["acquired_unix"] = int(time.time())
-                    payload = json.dumps(self._payload).encode()
-                    continue
-                raise MaintenanceLockHeld(
-                    f"maintenance lease on {self.path} is held by "
-                    f"{(holder or {}).get('writer', '<unreadable>')} "
-                    f"(age {int(time.time() - (holder or {}).get('acquired_unix', time.time()))}s); "
-                    "one maintenance writer at a time — wait, or break "
-                    f"the lease by deleting {self.path}/{_MAINT_LOCK} "
-                    "if the holder is known dead"
-                ) from None
+                    if time.monotonic() < deadline:
+                        time.sleep(0.1)
+                        # refresh acquired_unix so a long wait is not
+                        # mistaken for lease age by a later TTL check
+                        self._payload["acquired_unix"] = int(time.time())
+                        payload = json.dumps(self._payload).encode()
+                        continue
+                    raise MaintenanceLockHeld(
+                        f"maintenance lease on {self.path} is held by "
+                        f"{(holder or {}).get('writer', '<unreadable>')} "
+                        f"(age {int(time.time() - (holder or {}).get('acquired_unix', time.time()))}s); "
+                        "one maintenance writer at a time — wait, or "
+                        "break the lease by deleting "
+                        f"{self.path}/{_MAINT_LOCK} if the holder is "
+                        "known dead"
+                    ) from None
+        except BaseException:
+            plock.release()
+            raise
 
     def _read_holder(self, fs, lp):
         import json
@@ -1895,14 +1972,17 @@ class maintenance_lease:
         _LEASE_DEPTH[self._key] -= 1
         if _LEASE_DEPTH[self._key] <= 0:
             _LEASE_DEPTH.pop(self._key, None)
-            fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
-            # only release a lock WE still hold: if this lease expired
-            # and another writer broke it and acquired its own, deleting
-            # unconditionally would unlock the NEW holder and let a
-            # third writer in (ADVICE r12)
-            holder = self._read_holder(fs, lp)
-            if holder is not None and holder == self._payload:
-                fs.delete(lp, False)
+            try:
+                fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
+                # only release a lock WE still hold: if this lease
+                # expired and another writer broke it and acquired its
+                # own, deleting unconditionally would unlock the NEW
+                # holder and let a third writer in (ADVICE r12)
+                holder = self._read_holder(fs, lp)
+                if holder is not None and holder == self._payload:
+                    fs.delete(lp, False)
+            finally:
+                self._plock.release()
         return False
 
 
