@@ -125,6 +125,13 @@ OPTIONAL = [
     # end (st_cdc_merge_upsert) stays unbenched per the st_* policy
     # above; the batch-side commit is the scale-interesting piece.
     "s9b_upsert_partitioned_versioned",
+    # round 14 second pass: the stats-pruned scan (zorder publish +
+    # footer harvest + data-skipping read). s20 (concurrent appenders)
+    # stays driver-verified but unbenched: its wall is thread-timing
+    # orchestration, a concurrency soak per the s14/s16 reasoning;
+    # the lease-window numbers live in
+    # scripts/measure_append_commit.py → SCALE.md.
+    "s21_stats_pruned_scan",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -41,6 +41,15 @@ corpus — composed only from the engine's registered operators (r13):
   8. SNAPSHOT  — read_snapshot pins one committed version for readers
                  while maintenance runs (r14): plain path reads can
                  tear mid-swap; the pinned read is consistent-or-loud.
+  9. CONCURRENT INGEST — three delivery shards land via racing
+                 append_dataset calls (r14): each stages with no lease
+                 held and queues for the bounded rename+log commit
+                 window, so ALL land with their own exact `append`
+                 entry — no lost increment, no reconcile drift.
+  10. STATS    — stats_enable harvests per-file min/max from parquet
+                 footers (no data scan; later commits auto-harvest),
+                 and read_where answers a range predicate scheduling
+                 only the files whose range can overlap (r14).
 
 Run:
 
@@ -175,13 +184,61 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
 
     # 8. SNAPSHOT-ISOLATED read while maintenance may run
     snap, v_pin = read_snapshot(spark, corpus)
-    assert snap.count() == merged_live.count()
+    merged_n = snap.count()
+
+    # 9. CONCURRENT INGEST — three shards race; all land exactly once
+    import threading
+
+    shards = [
+        docs.filter(F.col("doc_id") % 3 == k).select(
+            (F.col("doc_id") + 1_000_000 * (k + 1)).alias("doc_id"),
+            "lang", "source", "n_chars",
+        )
+        for k in range(3)
+    ]
+    errs: list = []
+
+    def _ingest(shard):
+        try:
+            append_dataset(spark, shard, corpus, partition_by=["lang"])
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=_ingest, args=(s,)) for s in shards]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    hist_ops = [
+        r["op"] for r in dataset_history(spark, corpus).collect()
+    ]
+    assert hist_ops.count("append") == 1 + 3  # the re-crawl + 3 shards
+    assert "reconcile" not in hist_ops
+    ingested = read_with_deletes(spark, corpus)
+    assert ingested.count() == merged_n + sum(s.count() for s in shards)
+
+    # 10. STATS — footer harvest + data-skipping range read
+    from engage_spark.stats import _stats_prune, read_where, stats_enable
+    from engage_spark.versioning import _replay_files, _vlog_entries
+    from engage_spark.versioning import latest_version as _latest
+
+    stats_enable(spark, corpus, ["lang", "n_chars"])
+    names = _replay_files(
+        _vlog_entries(spark, corpus), _latest(spark, corpus)
+    )
+    kept, n_pruned = _stats_prune(spark, corpus, names, "lang", "en", "en")
+    en_rows = read_where(spark, corpus, "lang", "en", "en")
+    expect_en = ingested.filter(F.col("lang") == "en")
+    assert en_rows.count() == expect_en.count()
+    assert n_pruned > 0  # other languages' files never scheduled
 
     return {
         "versions": dataset_history(spark, corpus).count(),
-        "live_rows": merged_live.count(),
+        "live_rows": ingested.count(),
         "pinned_version": v_pin,
         "feed": feed_counts,
+        "stats_files_kept": f"{len(kept)}/{len(names)}",
     }
 
 
