@@ -262,12 +262,17 @@ def _stats_prune(
     sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
     if not sfs.exists(sp):
         return list(names), 0
-    by_name = {
-        r["name"]: r
-        for r in spark.read.parquet(f"{path}/{_VSTATS}")
-        .filter(F.col("col") == col)
-        .collect()
-    }
+    try:
+        by_name = {
+            r["name"]: r
+            for r in spark.read.parquet(f"{path}/{_VSTATS}")
+            .filter(F.col("col") == col)
+            .collect()
+        }
+    except Exception:
+        # unreadable sidecar (e.g. the brief _stats_vacuum rewrite
+        # window): stats are an optimization — degrade to no pruning
+        return list(names), 0
     num_pred = all(
         isinstance(b, (int, float)) and not isinstance(b, bool)
         for b in (lo, hi)
@@ -341,3 +346,34 @@ def read_where(
     if hi is not None:
         df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+def _stats_vacuum(spark: SparkSession, path: str, needed: set) -> int:
+    """Compact the stats sidecar during vacuum_versions (caller holds
+    the lease): one part file, rows only for files some retained
+    version still references. Without this the sidecar accumulates one
+    tiny parquet part per commit and rows for long-vacuumed files.
+    Crash-tolerant the cheap way — stats are an optimization, so the
+    brief rewrite gap is covered by _stats_prune's conservative
+    fallback (unreadable sidecar = no pruning), never a wrong result.
+    Returns the number of rows kept."""
+    from engage_spark.session import local_frame
+
+    sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
+    if not sfs.exists(sp):
+        return 0
+    rows = [
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/{_VSTATS}")
+        .dropDuplicates(["name", "col"])
+        .collect()
+        if r["name"] in needed
+    ]
+    staged = f"{path}/{_VDIR}/stats_new"
+    local_frame(spark, rows, _STATS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    sfs.delete(sp, True)
+    nfs, np_ = _fs(spark, staged)
+    nfs.rename(np_, sp)
+    return len(rows)

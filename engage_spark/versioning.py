@@ -1975,6 +1975,17 @@ def vacuum_versions(
                 return kept
 
             _sweep(rp)
+        # stats sidecar compaction (r14): keep rows only for files some
+        # retained version still references, in one part file — the
+        # sidecar otherwise accumulates a part per commit forever
+        from engage_spark.stats import _stats_spec as _sspec
+        from engage_spark.stats import _stats_vacuum
+
+        stats_rows_kept = (
+            _stats_vacuum(spark, path, needed | live)
+            if _sspec(spark, path)
+            else 0
+        )
         # orphan append-staging siblings (r14): an appender that
         # crashed BEFORE its manifest write left a staging dir next to
         # the dataset that nothing references (readers never saw it;
@@ -2014,6 +2025,7 @@ def vacuum_versions(
     return {
         "horizon": horizon, "dropped": dropped,
         "log_compacted": compacted, "swept_staging": swept_staging,
+        "stats_rows_kept": stats_rows_kept,
     }
 
 

@@ -220,3 +220,38 @@ def test_file_stats_dedupes_and_is_empty_without_enable(spark, zstats, tmp_path)
     bare = str(tmp_path / "bare")
     spark.range(5).write.parquet(bare)
     assert file_stats(spark, bare).count() == 0
+
+
+def test_vacuum_compacts_stats_sidecar(spark, zstats):
+    """vacuum_versions rewrites the stats sidecar to one part holding
+    rows only for files some retained version still references;
+    pruning keeps working on the compacted sidecar."""
+    import os
+
+    from engage_spark.versioning import vacuum_versions
+
+    out, ev = zstats
+    extra = ev.withColumn("event_id", F.col("event_id") + 10_000_000)
+    append_dataset(spark, extra, out)                              # v2
+    append_dataset(
+        spark, extra.withColumn("event_id", F.col("event_id") + 1), out
+    )                                                              # v3
+    pre_names = {
+        r["name"] for r in file_stats(spark, out).select("name").collect()
+    }
+    res = vacuum_versions(spark, str(out), keep_last=1)
+    assert res["stats_rows_kept"] > 0
+    post = file_stats(spark, out)
+    post_names = {r["name"] for r in post.select("name").collect()}
+    live = set(_names(spark, out))
+    assert post_names <= pre_names
+    assert post_names == live & pre_names
+    parts = [
+        n
+        for n in os.listdir(f"{out}/_versions/stats")
+        if n.endswith(".parquet")
+    ]
+    assert len(parts) == 1
+    got = read_where(spark, out, "user_id", 10, 20)
+    exp = ev.filter((F.col("user_id") >= 10) & (F.col("user_id") <= 20))
+    assert got.count() == 3 * exp.count()
