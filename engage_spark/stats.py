@@ -312,17 +312,23 @@ def read_where(
     lo=None,
     hi=None,
     version: int | None = None,
+    and_where: dict | None = None,
 ) -> DataFrame:
     """Stats-pruned range read: the dataset at `version` (default
     latest) filtered to lo <= col <= hi (either bound optional), with
     the FILE LIST pruned by the harvested min/max sidecar before the
     scan is planned — at 10^5 files, a narrow range on the Z-order /
     cluster column schedules a handful of files instead of footer-
-    probing everything. The exact predicate is re-applied after the
-    pruned scan and pending deletion vectors are anti-joined exactly
-    like read_version, so the result is byte-identical to filtering
-    the unpruned read — stats only ever REMOVE provably-disjoint
-    files. Works at any retained version (file stats are immutable)."""
+    probing everything. `and_where={"col2": (lo2, hi2), ...}` ANDs
+    further range predicates, each pruning the file list again — on a
+    Z-ordered layout the curve interleaves BOTH cluster columns, so a
+    compound predicate prunes multiplicatively (a file survives only
+    if EVERY column's [min, max] overlaps its range). Every predicate
+    is re-applied exactly after the pruned scan and pending deletion
+    vectors are anti-joined exactly like read_version, so the result
+    is byte-identical to filtering the unpruned read — stats only ever
+    REMOVE provably-disjoint files. Works at any retained version
+    (file stats are immutable)."""
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
     _vlog_reconcile(spark, path)
@@ -334,17 +340,23 @@ def read_where(
             f"{entries[-1]['version'] if entries else 0} for {path}"
         )
     names = _replay_files(entries, v)
-    kept, _ = _stats_prune(spark, path, names, col, lo, hi)
+    bounds = {col: (lo, hi)}
+    for c, (c_lo, c_hi) in (and_where or {}).items():
+        bounds[c] = (c_lo, c_hi)
+    kept = list(names)
+    for c, (c_lo, c_hi) in bounds.items():
+        kept, _ = _stats_prune(spark, path, kept, c, c_lo, c_hi)
     if not kept:
         # every file provably disjoint: an empty frame with the right
         # schema (one file read at planning level only, filter false)
         return _read_names(spark, path, names[:1]).filter(F.lit(False))
     df = _read_names(spark, path, kept)
     df = _apply_pending_dvs(spark, path, entries, v, df)
-    if lo is not None:
-        df = df.filter(F.col(col) >= F.lit(lo))
-    if hi is not None:
-        df = df.filter(F.col(col) <= F.lit(hi))
+    for c, (c_lo, c_hi) in bounds.items():
+        if c_lo is not None:
+            df = df.filter(F.col(c) >= F.lit(c_lo))
+        if c_hi is not None:
+            df = df.filter(F.col(c) <= F.lit(c_hi))
     return df
 
 

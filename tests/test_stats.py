@@ -255,3 +255,43 @@ def test_vacuum_compacts_stats_sidecar(spark, zstats):
     got = read_where(spark, out, "user_id", 10, 20)
     exp = ev.filter((F.col("user_id") >= 10) & (F.col("user_id") <= 20))
     assert got.count() == 3 * exp.count()
+
+
+def test_compound_predicate_prunes_multiplicatively(spark, zstats):
+    """and_where: a second range on the OTHER Z-order column prunes
+    further than either alone, and the result equals applying both
+    filters to the unpruned read."""
+    out, ev = zstats
+    names = _names(spark, out)
+    k1, _ = _stats_prune(spark, out, names, "user_id", 10, 60)
+    k2, _ = _stats_prune(spark, out, k1, "v_cents", 0, 2000)
+    assert len(k2) < len(k1) < len(names)
+    got = read_where(
+        spark, out, "user_id", 10, 60, and_where={"v_cents": (0, 2000)}
+    )
+    exp = ev.filter(
+        (F.col("user_id") >= 10) & (F.col("user_id") <= 60)
+        & (F.col("v_cents") >= 0) & (F.col("v_cents") <= 2000)
+    )
+    assert exp.count() > 0
+    _same(got, exp)
+
+
+def test_stats_follow_optimize_rewrites(spark, zstats):
+    """An incremental OPTIMIZE rewrites victim files into new ones;
+    the commit hook harvests the rewrites' stats automatically and the
+    pruned read stays exact over the new layout."""
+    from engage_spark.io import optimize_incremental, zorder_append
+
+    out, ev = zstats
+    extra = ev.withColumn("event_id", F.col("event_id") + 10_000_000)
+    zorder_append(spark, extra, out, num_files=4)                  # v2
+    optimize_incremental(spark, out)                               # v3
+    names = set(_names(spark, out))
+    with_stats = {
+        r["name"] for r in file_stats(spark, out).select("name").collect()
+    }
+    assert names <= with_stats, "rewritten files missing from the sidecar"
+    got = read_where(spark, out, "user_id", 10, 20)
+    exp = ev.filter((F.col("user_id") >= 10) & (F.col("user_id") <= 20))
+    assert got.count() == 2 * exp.count()
