@@ -2333,14 +2333,35 @@ def upsert_dataset(
     assume_partition_stable: bool = False,
     check_unique_keys: bool = True,
     max_touched_partitions: int = 4096,
+    lease_wait_s: float = 30.0,
+    occ_retries: int = 2,
 ) -> dict:
     """Public facade of :func:`_upsert_dataset_impl` (full semantics
     documented there) that ENFORCES the single-maintenance-writer
-    requirement: a merge into an EXISTING dataset runs under the
-    maintenance_lease (r12 — MaintenanceLockHeld on contention with a
-    live writer); a bootstrap write of a brand-new target has nothing
+    requirement. A bootstrap write of a brand-new target has nothing
     to corrupt and takes no lease (taking one would also materialize
-    the target dir and confuse its own existence check)."""
+    the target dir and confuse its own existence check).
+
+    Concurrency by path shape (r14):
+
+    - VERSION-LOGGED + PARTITIONED (the production hourly-MERGE shape)
+      runs OPTIMISTICALLY: the expensive work — the touched-partition
+      merge and the staged slice write — happens with NO lease held,
+      pinned to the version read at stage start; only the retain+
+      rename+log commit tail takes the lease (queueing on
+      ``lease_wait_s``), and commits ONLY if the pinned version is
+      still the latest. Any interleaved commit (an appender, a
+      takedown, another MERGE) bumps the version, so the stale slice
+      is discarded and the merge re-stages against the new state — up
+      to ``occ_retries`` times before raising :class:`UpsertConflict`.
+      This is what keeps staged-commit appenders flowing DURING the
+      hourly MERGE instead of queueing behind a minutes-long lease.
+    - Everything else (unpartitioned, or no version log) holds the
+      lease across the whole merge as before — those paths rewrite
+      live files in place, so a concurrent writer has no safe window.
+    """
+    from engage_spark.versioning import version_log_enabled
+
     fs, p = _hadoop_fs(spark, target)
     exists = fs.exists(p) and any(
         not s.getPath().getName().startswith("_") for s in fs.listStatus(p)
@@ -2351,12 +2372,51 @@ def upsert_dataset(
             assume_partition_stable, check_unique_keys,
             max_touched_partitions,
         )
+    if partition_by and version_log_enabled(spark, target):
+        from engage_spark.versioning import _vlog_reconcile, latest_version
+
+        mfs, mp = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
+        for _attempt in range(occ_retries + 1):
+            if mfs.exists(mp):
+                # a predecessor crashed mid-commit: heal BEFORE the
+                # stage reads the target (the live view is missing the
+                # half-swapped partitions until the replay finishes)
+                with maintenance_lease(spark, target, wait_s=lease_wait_s):
+                    _upsert_replay_pending(spark, target)
+            st = _upsert_stage_partitioned(
+                spark, target, updates, list(key_cols), list(partition_by),
+                delete_col, assume_partition_stable, check_unique_keys,
+                max_touched_partitions,
+            )
+            if st["staging"] is None:  # nothing touched: no commit
+                return st["stats"]
+            with maintenance_lease(spark, target, wait_s=lease_wait_s):
+                _upsert_replay_pending(spark, target)
+                _vlog_reconcile(spark, target)
+                if latest_version(spark, target) == st["pinned_v"]:
+                    _upsert_commit_partitioned(spark, target, st)
+                    return st["stats"]
+            # conflict: someone committed since the pin — the staged
+            # slice merged a stale snapshot; drop it and re-stage
+            sfs, sp2 = _hadoop_fs(spark, st["staging"])
+            if sfs.exists(sp2):
+                sfs.delete(sp2, True)
+        raise UpsertConflict(
+            f"versioned MERGE into {target} lost its optimistic race "
+            f"{occ_retries + 1} times (another writer committed between "
+            "stage and commit each time); retry, or raise occ_retries "
+            "for contended targets"
+        )
     with maintenance_lease(spark, target):
         return _upsert_dataset_impl(
             spark, target, updates, key_cols, partition_by, delete_col,
             assume_partition_stable, check_unique_keys,
             max_touched_partitions,
         )
+
+
+class UpsertConflict(RuntimeError):
+    """An optimistic versioned MERGE lost its commit race repeatedly."""
 
 
 _UPSERT_MANIFEST = "_upsert_manifest"
@@ -2368,14 +2428,16 @@ def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
     mid-retain/rename leaves the live view missing the touched
     partitions' rows with no automatic convergence (re-running the
     batch would merge into the damaged state; the rows sit in
-    retained/). The manifest pins the swap: ('remove', name) rows for
-    the old files and ('add', name) rows for the staged files —
+    retained/). The manifest pins the swap — the staged ('adds') and
+    replaced ('removes') names plus the attempt's unique staging dir —
     pinned at manifest time because the renames CONSUME the staging
     dir, so a post-crash directory listing would see only leftovers.
     Every step is idempotent (retains skip moved files, renames skip
     landed files, the entry is appended only if the log's last entry
     is not already this swap). Caller must hold the maintenance
     lease. Returns True if a replay ran."""
+    import json as _json
+
     from engage_spark.versioning import (
         _retain_file,
         _vlog_append_entry,
@@ -2385,10 +2447,15 @@ def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
     mfs, mp = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
     if not mfs.exists(mp):
         return False
-    rows = spark.read.parquet(f"{target}/{_UPSERT_MANIFEST}").collect()
-    adds = sorted(r["name"] for r in rows if r["action"] == "add")
-    removes = sorted(r["name"] for r in rows if r["action"] == "remove")
-    staging = f"{target}__upsert_staging"
+    stream = mfs.open(mp)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    doc = _json.loads(raw.decode())
+    adds = sorted(doc["adds"])
+    removes = sorted(doc["removes"])
+    staging = doc["staging"]
     for n in removes:
         _retain_file(spark, target, n)
     for rel in adds:
@@ -2419,6 +2486,230 @@ def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
         sfs3.delete(sp3, True)
     mfs.delete(mp, True)
     return True
+
+
+def _upsert_stage_partitioned(
+    spark: SparkSession,
+    target: str,
+    updates: DataFrame,
+    key_cols: list,
+    partition_by: list,
+    delete_col: str | None,
+    assume_partition_stable: bool,
+    check_unique_keys: bool,
+    max_touched_partitions: int,
+) -> dict:
+    """STAGE phase of the optimistic versioned partitioned MERGE (no
+    lease held): pin the current version, compute the touched
+    partitions, merge their slice with the batch, and write it to a
+    UNIQUE staging sibling. Returns everything the commit tail needs;
+    `staging` is None when the batch touches nothing. Semantics are
+    _upsert_dataset_impl's partitioned branch verbatim — only the
+    transaction shape changed (stale results are discarded by the
+    facade's version check, so reading the live target without the
+    lease is safe)."""
+    import functools
+    import operator
+    import uuid as _uuid
+
+    from engage_spark.versioning import (
+        _live_names,
+        _vlog_reconcile,
+        latest_version,
+    )
+
+    _vlog_reconcile(spark, target)  # heal drift BEFORE pinning
+    pinned_v = latest_version(spark, target)
+    if check_unique_keys:
+        dup = (
+            updates.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"updates batch has multiple rows for key "
+                f"{[dup[0][k] for k in key_cols]}; upsert semantics "
+                "need one row per key (delete rows included)"
+            )
+    if delete_col is not None:
+        inserts = updates.filter(~F.col(delete_col)).drop(delete_col)
+        deletes = updates.filter(F.col(delete_col))
+    else:
+        inserts = updates
+        deletes = None
+    stats = {
+        "touched_partitions": None, "emptied_partitions": 0,
+        "bootstrap": False,
+    }
+    tgt = spark.read.parquet(target)
+    ukeys = updates.select(*key_cols).dropDuplicates()
+    for k in key_cols:
+        ukeys = ukeys.withColumnRenamed(k, f"__u_{k}")
+
+    def key_cond(left):
+        return functools.reduce(
+            operator.and_,
+            [left[k].eqNullSafe(ukeys[f"__u_{k}"]) for k in key_cols],
+        )
+
+    upd_parts = inserts.select(*partition_by)
+    if deletes is not None and assume_partition_stable:
+        upd_parts = upd_parts.unionByName(deletes.select(*partition_by))
+    if assume_partition_stable:
+        touched_df = upd_parts.dropDuplicates()
+    else:
+        matched = (
+            tgt.join(F.broadcast(ukeys), key_cond(tgt), "left_semi")
+            .select(*partition_by)
+        )
+        touched_df = upd_parts.unionByName(matched).dropDuplicates()
+    touched = touched_df.limit(max_touched_partitions + 1).collect()
+    stats["touched_partitions"] = len(touched)
+    if not touched:
+        return {"stats": stats, "staging": None}
+    # layout guard: EVERY live file must sit under the expected hive
+    # dirs — a single stray flat file (a mixed layout from an
+    # out-of-band writer) would corrupt the rename commit
+    live_now = _live_names(spark, target)
+    want = [f"{c}=" for c in partition_by]
+    for name in live_now:
+        segs = name.split("/")[:-1]
+        if len(segs) != len(want) or any(
+            not s.startswith(w) for s, w in zip(segs, want)
+        ):
+            raise ValueError(
+                f"{target} is version-logged and live file {name} "
+                f"does not sit under the partition_by="
+                f"{partition_by} hive layout; a partitioned MERGE "
+                "needs a matching layout — rewrite via "
+                "zorder_write(partition_by=...) first"
+            )
+    if len(touched) > max_touched_partitions:
+        # near-full rewrite: merge the whole dataset, version it as
+        # one swap of every live file
+        stats["touched_partitions"] = None
+        survivors = tgt.join(F.broadcast(ukeys), key_cond(tgt), "left_anti")
+        touched_dirs = None
+        old_names = live_now
+    else:
+        def part_filter(df):
+            return functools.reduce(
+                operator.or_,
+                [
+                    functools.reduce(
+                        operator.and_,
+                        [
+                            df[c].eqNullSafe(F.lit(row[c]))
+                            for c in partition_by
+                        ],
+                    )
+                    for row in touched
+                ],
+            )
+
+        tslice = tgt.filter(part_filter(tgt))
+        survivors = tslice.join(
+            F.broadcast(ukeys), key_cond(tslice), "left_anti"
+        )
+        touched_dirs = {
+            "/".join(_hive_part_dir(c, row[c]) for c in partition_by)
+            for row in touched
+        }
+        old_names = [
+            n for n in live_now
+            if n.rsplit("/", 1)[0] in touched_dirs
+        ]
+    merged = survivors.unionByName(inserts.select(*survivors.columns))
+    staging = (
+        f"{target}{_UPSERT_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
+    )
+    # clustered target: stage the merged slice ON the frozen Z-curve
+    # (the apply_deletes rule) so the hourly MERGE stops degrading
+    # layout health
+    zm_fs, zm_p = _hadoop_fs(spark, f"{target}/_zorder_meta/info")
+    if zm_fs.exists(zm_p):
+        m = zorder_meta(spark, target)
+        _write_z_layout(
+            _zorder_scale_frozen(spark, merged, target, m),
+            max(1, len(old_names)), partition_by, "overwrite", staging,
+        )
+    else:
+        merged.write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(staging)
+    return {
+        "stats": stats,
+        "staging": staging,
+        "staged": _staged_rel_files(spark, staging),
+        "old_names": old_names,
+        "touched_dirs": touched_dirs,
+        "pinned_v": pinned_v,
+    }
+
+
+_UPSERT_STAGING_INFIX = "__upsert_staging_"
+
+
+def _upsert_commit_partitioned(spark: SparkSession, target: str, st: dict):
+    """COMMIT tail of the optimistic versioned partitioned MERGE:
+    manifest (pins the swap for crash replay) → retain the replaced
+    files → rename the staged slice in → drop emptied partition dirs →
+    ONE exact `upsert` entry → cleanup. Pure metadata, O(files in the
+    swap). Caller holds the maintenance lease and has verified the
+    pinned version is still latest."""
+    import json as _json
+
+    from engage_spark.versioning import _retain_file, _vlog_append_entry
+
+    staged, old_names = st["staged"], st["old_names"]
+    staging = st["staging"]
+    mfs, mp = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
+    out = mfs.create(mp, True)
+    out.write(
+        _json.dumps(
+            {
+                "staging": staging,
+                "adds": sorted(staged),
+                "removes": sorted(old_names),
+            }
+        ).encode()
+    )
+    out.close()
+    for n in old_names:
+        _retain_file(spark, target, n)
+    for rel in staged:
+        src_fs, src_p = _hadoop_fs(spark, f"{staging}/{rel}")
+        dst_fs, dst_p = _hadoop_fs(spark, f"{target}/{rel}")
+        dst_fs.mkdirs(dst_p.getParent())
+        if dst_fs.exists(dst_p):
+            src_fs.delete(src_p, False)  # duplicate from a replay
+        else:
+            src_fs.rename(src_p, dst_p)
+    # a touched partition that received no staged file back was
+    # emptied by deletes — remove its (now file-less) directory
+    staged_dirs = {rel.rsplit("/", 1)[0] for rel in staged}
+    was_dirs = (
+        st["touched_dirs"]
+        if st["touched_dirs"] is not None
+        else {n.rsplit("/", 1)[0] for n in old_names}
+    )
+    emptied = 0
+    for d in sorted(was_dirs - staged_dirs):
+        efs, ep = _hadoop_fs(spark, f"{target}/{d}")
+        if efs.exists(ep):
+            efs.delete(ep, True)
+            emptied += 1
+    st["stats"]["emptied_partitions"] = emptied
+    _vlog_append_entry(
+        spark, target, "upsert",
+        added=sorted(staged), removed=sorted(old_names),
+    )
+    sfs, sp = _hadoop_fs(spark, staging)
+    sfs.delete(sp, True)
+    mfs.delete(mp, True)
 
 
 def _upsert_dataset_impl(
@@ -2510,12 +2801,19 @@ def _upsert_dataset_impl(
                 "delete files the history references — retry after it "
                 "completes or the lease expires"
             )
-    # vlog + partition_by (r14): the touched-partition rewrite commits
-    # through the same retain-then-swap protocol as apply_deletes
-    # instead of dynamic partition overwrite, so the commonest 100 TB
-    # op (the hourly partitioned MERGE) keeps EXACT history — no more
-    # reconcile-level hole (VERDICT r13 missing #1). See the versioned
-    # commit branch below the touched-partition computation.
+    # vlog + partition_by (r14): routed by the upsert_dataset facade
+    # through the OPTIMISTIC stage/commit pair
+    # (_upsert_stage_partitioned / _upsert_commit_partitioned) — the
+    # retain-then-rename protocol that keeps exact history through the
+    # hourly MERGE. This impl must never take that shape through the
+    # dynamic-overwrite path below (it would silently punch the old
+    # reconcile hole back into the history).
+    if vlog and partition_by:
+        raise AssertionError(
+            "versioned partitioned MERGE must go through "
+            "upsert_dataset (optimistic stage/commit), not "
+            "_upsert_dataset_impl"
+        )
     if check_unique_keys:
         dup = (
             updates.groupBy(*key_cols)
@@ -2633,137 +2931,6 @@ def _upsert_dataset_impl(
                 for row in touched
             ],
         )
-
-    # layout guard: a partitioned MERGE into a target whose live files
-    # are NOT laid out under the same hive partition dirs would rename
-    # partitioned files in beside flat ones — an unreadable mixed
-    # layout. (The dynamic-overwrite path tolerated this silently by
-    # rewriting; the rename commit must refuse.)
-    if vlog:
-        # EVERY live file must sit under the expected hive dirs — a
-        # single stray flat file (a mixed layout from an out-of-band
-        # writer) would corrupt the rename commit just as surely as a
-        # wholly flat target; the check is O(files) driver-side string
-        # ops on a list _live_names already materialized
-        want = [f"{c}=" for c in partition_by]
-        for name in _live_names(spark, target):
-            segs = name.split("/")[:-1]
-            if len(segs) != len(want) or any(
-                not s.startswith(w) for s, w in zip(segs, want)
-            ):
-                raise ValueError(
-                    f"{target} is version-logged and live file {name} "
-                    f"does not sit under the partition_by="
-                    f"{partition_by} hive layout; a partitioned MERGE "
-                    "needs a matching layout — rewrite via "
-                    "zorder_write(partition_by=...) first"
-                )
-
-    if vlog:
-        # VERSIONED partitioned MERGE (r14): stage the merged slice,
-        # move the touched partitions' current files into
-        # _versions/retained (O(files) metadata renames, the
-        # apply_deletes protocol), rename the staged files in, log ONE
-        # `upsert` entry. History is exact: time travel reads the
-        # retained files, CDF consumers get row-level changes via
-        # version_diff over ONLY the swapped files. Untouched
-        # partitions are never read, rewritten, or logged. Data is
-        # written ONCE (to staging) — the commit is pure metadata, so
-        # a 100 TB corpus pays O(touched slice) IO + O(files) renames
-        # per MERGE batch. Crash safety: a manifest pins the swap
-        # before any file moves; the next versioned upsert replays it
-        # to completion (_upsert_replay_pending) — the optimize
-        # staged-commit contract; entry-last commit.
-        _vlog_reconcile(spark, target)
-        if len(touched) > max_touched_partitions:
-            # near-full rewrite: merge the whole dataset, version it
-            # as one swap of every live file
-            stats["touched_partitions"] = None
-            survivors = tgt.join(
-                F.broadcast(ukeys), key_cond(tgt), "left_anti"
-            )
-            touched_dirs = None
-            old_names = _live_names(spark, target)
-        else:
-            tslice = tgt.filter(part_filter(tgt))
-            survivors = tslice.join(
-                F.broadcast(ukeys), key_cond(tslice), "left_anti"
-            )
-            touched_dirs = {
-                "/".join(_hive_part_dir(c, row[c]) for c in partition_by)
-                for row in touched
-            }
-            old_names = [
-                n for n in _live_names(spark, target)
-                if n.rsplit("/", 1)[0] in touched_dirs
-            ]
-        merged = survivors.unionByName(inserts.select(*survivors.columns))
-        # clustered target: stage the merged slice ON the frozen
-        # Z-curve (the apply_deletes rule) so the hourly MERGE stops
-        # degrading layout health — same shuffle count (the Z range
-        # partitioning IS the staging re-bucketing), and footer
-        # pruning keeps its contract through every upsert instead of
-        # waiting for the next OPTIMIZE.
-        zm_fs, zm_p = _hadoop_fs(spark, f"{target}/_zorder_meta/info")
-        if zm_fs.exists(zm_p):
-            m = zorder_meta(spark, target)
-            _write_z_layout(
-                _zorder_scale_frozen(spark, merged, target, m),
-                max(1, len(old_names)), partition_by, "overwrite", staging,
-            )
-        else:
-            merged.write.mode("overwrite").partitionBy(
-                *partition_by
-            ).parquet(staging)
-        staged = _staged_rel_files(spark, staging)
-        # pin the swap in a manifest BEFORE any file moves: a crash
-        # anywhere in the commit tail replays from it
-        # (_upsert_replay_pending) instead of leaving live rows
-        # stranded in retained/ — the optimize staged-commit contract
-        from engage_spark.session import local_frame
-
-        local_frame(
-            spark,
-            [("add", n) for n in staged]
-            + [("remove", n) for n in old_names],
-            "action string, name string",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{target}/{_UPSERT_MANIFEST}"
-        )
-        for n in old_names:
-            _retain_file(spark, target, n)
-        for rel in staged:
-            src_fs, src_p = _hadoop_fs(spark, f"{staging}/{rel}")
-            dst_fs, dst_p = _hadoop_fs(spark, f"{target}/{rel}")
-            dst_fs.mkdirs(dst_p.getParent())
-            if dst_fs.exists(dst_p):
-                src_fs.delete(src_p, False)  # duplicate from a replay
-            else:
-                src_fs.rename(src_p, dst_p)
-        # a touched partition that received no staged file back was
-        # emptied by deletes — remove its (now file-less) directory
-        staged_dirs = {rel.rsplit("/", 1)[0] for rel in staged}
-        was_dirs = (
-            touched_dirs
-            if touched_dirs is not None
-            else {n.rsplit("/", 1)[0] for n in old_names}
-        )
-        emptied = 0
-        for d in sorted(was_dirs - staged_dirs):
-            efs, ep = _hadoop_fs(spark, f"{target}/{d}")
-            if efs.exists(ep):
-                efs.delete(ep, True)
-                emptied += 1
-        stats["emptied_partitions"] = emptied
-        _vlog_append_entry(
-            spark, target, "upsert",
-            added=sorted(staged), removed=sorted(old_names),
-        )
-        sfs, sp = _hadoop_fs(spark, staging)
-        sfs.delete(sp, True)
-        ufs, up = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
-        ufs.delete(up, True)
-        return stats
 
     if len(touched) > max_touched_partitions:
         stats["touched_partitions"] = None  # unknown: full-rewrite path

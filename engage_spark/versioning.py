@@ -1912,7 +1912,11 @@ def vacuum_versions(
     horizon is auditable."""
     import time as _time
 
-    from engage_spark.io import _APPEND_STAGING_INFIX, maintenance_lease
+    from engage_spark.io import (
+        _APPEND_STAGING_INFIX,
+        _UPSERT_STAGING_INFIX,
+        maintenance_lease,
+    )
 
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
@@ -1986,23 +1990,28 @@ def vacuum_versions(
             if _sspec(spark, path)
             else 0
         )
-        # orphan append-staging siblings (r14): an appender that
-        # crashed BEFORE its manifest write left a staging dir next to
-        # the dataset that nothing references (readers never saw it;
-        # this is storage reclaim, not correctness). Sweep at 24 h of
-        # dir age — comfortably past any real staging write's duration
-        # (the dir mtime is its creation on nested layouts), so a
-        # long-running live appender is never swept out from under.
+        # orphan staging siblings (r14): an appender or optimistic
+        # MERGE that crashed (or lost its race) BEFORE its manifest
+        # write left a staging dir next to the dataset that nothing
+        # references (readers never saw it; this is storage reclaim,
+        # not correctness). Sweep at 24 h of dir age — comfortably
+        # past any real staging write's duration (the dir mtime is its
+        # creation on nested layouts), so a long-running live stager
+        # is never swept out from under.
         pfs, pp = _fs(spark, path)
         qp = pfs.makeQualified(pp)
         parent, base = qp.getParent(), qp.getName()
         swept_staging = 0
         if parent is not None and pfs.exists(parent):
             now_ms = int(_time.time() * 1000)
+            prefixes = (
+                f"{base}{_APPEND_STAGING_INFIX}",
+                f"{base}{_UPSERT_STAGING_INFIX}",
+            )
             for s in pfs.listStatus(parent):
                 name = s.getPath().getName()
                 if (
-                    name.startswith(f"{base}{_APPEND_STAGING_INFIX}")
+                    name.startswith(prefixes)
                     and s.isDirectory()
                     and now_ms - s.getModificationTime() > 24 * 3600 * 1000
                 ):

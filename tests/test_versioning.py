@@ -2294,3 +2294,184 @@ def test_vacuum_sweeps_stale_append_staging(spark, tmp_path):
     assert young.exists()
     # sweep never touches the dataset or its history
     assert spark.read.parquet(str(out)).count() == 15
+
+
+# ---------------------------------------------------------------------------
+# Optimistic versioned partitioned MERGE (round 14): stage with no
+# lease, commit only if the pinned version is still latest, retry on
+# conflict — appenders keep flowing during the hourly MERGE.
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def test_merge_restages_after_interleaved_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A commit landing between the MERGE's stage and its commit bumps
+    the version; the stale slice is discarded and the merge re-stages
+    against the new state — the interleaved append's rows survive and
+    the merge applies exactly once."""
+    import engage_spark.io as eio
+    from engage_spark.io import append_dataset, upsert_dataset, write_parquet
+
+    d = _docs(spark, sf_dir)
+    out = tmp_path / "occ1"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))                            # v1
+    interleaved = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    real_stage = eio._upsert_stage_partitioned
+    fired = {"n": 0}
+
+    def racing_stage(*a, **k):
+        st = real_stage(*a, **k)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # another writer commits AFTER the stage pinned its version
+            append_dataset(
+                spark, interleaved, str(out), partition_by=["lang"]
+            )
+        return st
+
+    monkeypatch.setattr(eio, "_upsert_stage_partitioned", racing_stage)
+    upd = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("n_chars", (F.col("n_chars") + 9).cast("long"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    upsert_dataset(
+        spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+        delete_col="is_delete",
+    )
+    monkeypatch.undo()
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "upsert"]
+    live = spark.read.parquet(str(out))
+    assert live.count() == d.count() + interleaved.count()
+    # the merge applied on top of the interleaved state, exactly once
+    assert (
+        live.filter(
+            (F.col("doc_id") % 4 == 0) & (F.col("doc_id") < 5_000_000)
+        )
+        .join(
+            d.select("doc_id", F.col("n_chars").alias("v0")), on="doc_id"
+        )
+        .filter(F.col("n_chars") != F.col("v0") + 9)
+        .count() == 0
+    )
+    # no staging sibling survived the discarded first attempt
+    import os
+
+    sibs = [n for n in os.listdir(tmp_path) if "__upsert_staging_" in n]
+    assert sibs == []
+
+
+def test_merge_conflict_exhausts_retries(spark, sf_dir, tmp_path, monkeypatch):
+    """A writer that keeps committing between every stage and commit
+    makes the merge raise UpsertConflict after occ_retries; nothing is
+    committed and no staging leaks."""
+    import engage_spark.io as eio
+    from engage_spark.io import (
+        UpsertConflict,
+        append_dataset,
+        upsert_dataset,
+        write_parquet,
+    )
+
+    d = _docs(spark, sf_dir)
+    out = tmp_path / "occ2"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))
+    real_stage = eio._upsert_stage_partitioned
+    fired = {"n": 0}
+
+    def always_racing(*a, **k):
+        st = real_stage(*a, **k)
+        fired["n"] += 1
+        append_dataset(
+            spark,
+            d.limit(5).select(
+                (F.col("doc_id") + 9_000_000 + F.lit(fired["n"])).alias(
+                    "doc_id"
+                ),
+                "lang", "n_chars",
+            ),
+            str(out), partition_by=["lang"],
+        )
+        return st
+
+    monkeypatch.setattr(eio, "_upsert_stage_partitioned", always_racing)
+    upd = d.limit(20).withColumn("n_chars", F.lit(1).cast("long"))
+    with pytest.raises(UpsertConflict):
+        upsert_dataset(
+            spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+            occ_retries=1,
+        )
+    monkeypatch.undo()
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert "upsert" not in ops
+    import os
+
+    sibs = [n for n in os.listdir(tmp_path) if "__upsert_staging_" in n]
+    assert sibs == []
+
+
+def test_appender_flows_during_merge(spark, sf_dir, tmp_path):
+    """The production interplay: a MERGE and an appender run
+    concurrently; both land (the appender never waits on the merge's
+    staging work, the merge retries if the append beat its commit)."""
+    import threading
+
+    from engage_spark.io import append_dataset, upsert_dataset, write_parquet
+    from engage_spark.versioning import latest_version
+
+    d = _docs(spark, sf_dir)
+    out = tmp_path / "occ3"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))
+    upd = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("n_chars", (F.col("n_chars") + 9).cast("long"))
+    )
+    extra = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    errs: list = []
+
+    def merger():
+        try:
+            upsert_dataset(
+                spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+                occ_retries=5,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender():
+        try:
+            append_dataset(
+                spark, extra, str(out), partition_by=["lang"],
+                lease_wait_s=120.0,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=merger), threading.Thread(target=appender)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    ops = sorted(e["op"] for e in _vlog_entries(spark, str(out)))
+    assert ops.count("upsert") == 1 and ops.count("append") == 1
+    assert "reconcile" not in ops
+    live = spark.read.parquet(str(out))
+    assert live.count() == d.count() + extra.count()
+    v = latest_version(spark, str(out))
+    assert read_version(spark, str(out), v).count() == live.count()
