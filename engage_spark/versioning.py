@@ -39,12 +39,19 @@ DATASET-RELATIVE file paths (``dt=2026-08-15/part-0001.parquet`` — the
 Delta convention), retained files keep their relative subpath, and
 every historical read resolves leaf files against the matching
 ``basePath`` so partition columns are recovered exactly. Versioned
-writers: ``io.append_dataset`` (plain/partitioned append),
-``io.delete_rows`` + ``io.apply_deletes`` (partition-aware takedowns),
-``io.zorder_write`` republish (flat and partitioned, r13), and
-``io.upsert_dataset`` on BOTH flat and hive-partitioned layouts (r14:
-the partitioned MERGE retains the touched partitions' files and logs
-one exact ``upsert`` entry — no reconcile hole). Writers that bypass
+writers: ``io.append_dataset`` (plain/partitioned append — STAGED
+COMMIT since r14: the data write holds no lease, concurrent appenders
+queue only for the rename+log tail), ``io.delete_rows`` +
+``io.apply_deletes`` (partition-aware takedowns), ``io.zorder_write``
+republish (flat and partitioned, r13), and ``io.upsert_dataset`` on
+BOTH flat and hive-partitioned layouts (r14: the partitioned MERGE
+retains the touched partitions' files and logs one exact ``upsert``
+entry — no reconcile hole — and runs OPTIMISTICALLY: staged with no
+lease, committed only if the stage-start version is still latest, so
+appenders flow during the merge). When ``stats.stats_enable`` declared
+a spec, every data-adding commit also harvests its files' footer
+min/max into the ``_versions/stats`` sidecar (``stats.read_where``
+prunes scans with it). Writers that bypass
 the versioned ops are healed by ``_vlog_reconcile`` (the next
 versioned op logs one synthetic ``reconcile`` diff entry). Schema is expected STABLE
 across versions (the zorder append contract); when it does evolve
@@ -510,16 +517,24 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
     files are only referenced, never required — if the bypassing
     writer deleted them outright, older versions fail with the
     retention error at read time (honest, not silent)."""
-    from engage_spark.io import _append_manifest_exists
+    from engage_spark.io import _UPSERT_MANIFEST, _append_manifest_exists
+    from engage_spark.io import _hadoop_fs as _hfs
 
-    if _append_manifest_exists(spark, path):
-        # a staged-commit append crashed after pinning its manifest
-        # (r14): finish ITS exact entry first, or the drift pass below
-        # would mis-log the half-renamed files as a reconcile
-        from engage_spark.io import _append_replay_pending, maintenance_lease
+    umfs, ump = _hfs(spark, f"{path}/{_UPSERT_MANIFEST}")
+    if _append_manifest_exists(spark, path) or umfs.exists(ump):
+        # a staged-commit append or an optimistic MERGE crashed after
+        # pinning its manifest (r14): finish ITS exact entry first, or
+        # the drift pass below would mis-log the half-renamed files as
+        # a reconcile
+        from engage_spark.io import (
+            _append_replay_pending,
+            _upsert_replay_pending,
+            maintenance_lease,
+        )
 
         with maintenance_lease(spark, path):
             _append_replay_pending(spark, path)
+            _upsert_replay_pending(spark, path)
     entries = _vlog_entries(spark, path)
     latest = entries[-1]["version"] if entries else 0
     logged = set(_replay_files(entries, latest))

@@ -2282,15 +2282,20 @@ def test_vacuum_sweeps_stale_append_staging(spark, tmp_path):
         spark, _grp_slice(spark, 10, 15), str(out), partition_by=["grp"]
     )
     stale = tmp_path / "sweep__append_staging_deadbeef0000"
+    stale_merge = tmp_path / "sweep__upsert_staging_deadbeef0000"
     young = tmp_path / "sweep__append_staging_cafebabe0000"
     stale.mkdir()
+    stale_merge.mkdir()
     young.mkdir()
     (stale / "part-0.parquet").write_bytes(b"x")
+    (stale_merge / "part-0.parquet").write_bytes(b"x")
     old = time.time() - 25 * 3600
     os.utime(stale, (old, old))
+    os.utime(stale_merge, (old, old))
     res = vacuum_versions(spark, str(out), keep_last=7)
-    assert res["swept_staging"] == 1
+    assert res["swept_staging"] == 2
     assert not stale.exists()
+    assert not stale_merge.exists()
     assert young.exists()
     # sweep never touches the dataset or its history
     assert spark.read.parquet(str(out)).count() == 15
@@ -2475,3 +2480,51 @@ def test_appender_flows_during_merge(spark, sf_dir, tmp_path):
     assert live.count() == d.count() + extra.count()
     v = latest_version(spark, str(out))
     assert read_version(spark, str(out), v).count() == live.count()
+
+
+def test_reconcile_heals_crashed_merge(spark, sf_dir, tmp_path, monkeypatch):
+    """ANY maintenance contact (here dataset_history's reconcile) heals
+    a MERGE that crashed mid-commit: the exact upsert entry lands —
+    never a drift mislabel — and the live view converges."""
+    import engage_spark.versioning as V
+    from engage_spark.io import (
+        _UPSERT_MANIFEST, _hadoop_fs, upsert_dataset, write_parquet,
+    )
+
+    d = _docs(spark, sf_dir)
+    out = tmp_path / "healmerge"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))                            # v1
+    upd = (
+        d.filter(F.col("doc_id") % 4 == 0)
+        .withColumn("n_chars", (F.col("n_chars") + 9).cast("long"))
+    )
+    real_retain = V._retain_file
+    calls = {"n": 0}
+
+    def crashy_retain(spark_, path, name):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-retain")
+        return real_retain(spark_, path, name)
+
+    monkeypatch.setattr(V, "_retain_file", crashy_retain)
+    with pytest.raises(RuntimeError, match="injected"):
+        upsert_dataset(
+            spark, str(out), upd, ["doc_id"], partition_by=["lang"]
+        )
+    monkeypatch.setattr(V, "_retain_file", real_retain)
+    mfs, mp = _hadoop_fs(spark, f"{out}/{_UPSERT_MANIFEST}")
+    assert mfs.exists(mp)
+    ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
+    assert ops == ["init", "upsert"]
+    assert not mfs.exists(mp)
+    live = spark.read.parquet(str(out))
+    assert live.count() == d.count()
+    assert (
+        live.join(d.select("doc_id", F.col("n_chars").alias("v0")), "doc_id")
+        .filter(
+            (F.col("doc_id") % 4 == 0)
+            & (F.col("n_chars") != F.col("v0") + 9)
+        ).count() == 0
+    )
