@@ -295,3 +295,23 @@ def test_stats_follow_optimize_rewrites(spark, zstats):
     got = read_where(spark, out, "user_id", 10, 20)
     exp = ev.filter((F.col("user_id") >= 10) & (F.col("user_id") <= 20))
     assert got.count() == 2 * exp.count()
+
+
+def test_distributed_harvest_past_256_files(spark, tmp_path):
+    """Past 256 files the footer harvest fans out as a Spark job over
+    the name list (driver fallback otherwise); rows and pruning are
+    identical either way."""
+    out = str(tmp_path / "many")
+    # round-robin repartition: exactly 300 part files (hash-by-column
+    # would collide buckets and land under the 256 threshold)
+    spark.range(0, 30000).repartition(300).write.parquet(out)
+    version_log_enable(spark, out)
+    n = stats_enable(spark, out, ["id"])
+    assert n >= 257, f"expected >256 files, got {n}"
+    st = file_stats(spark, out)
+    assert st.count() == n
+    names = _names(spark, out)
+    kept, pruned = _stats_prune(spark, out, names, "id", 0, 50)
+    assert pruned > 0
+    got = read_where(spark, out, "id", 0, 50)
+    assert got.count() == 51
