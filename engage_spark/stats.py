@@ -75,9 +75,12 @@ def _footer_stats_one(uri: str, rel: str, cols: list) -> list:
     """(rel, col, is_num, mn_num, mx_num, mn_str, mx_str) rows for one
     parquet file, harvested from its FOOTER row-group statistics (no
     data pages read). Partition columns come from the relative path's
-    `col=val/` dirs (they have no physical column). A column any row
-    group lacks min/max for yields NO row — absence means "keep the
-    file", never a wrong prune. Pure function of (uri, rel, cols), so
+    `col=val/` dirs (they have no physical column). A column present
+    in the schema whose row groups lack min/max yields a KEEP sentinel
+    (is_num NULL — kept by the prune, never re-probed); a column
+    ABSENT from the file's schema (pre-evolution file) reads as NULL
+    everywhere, so it gets the prunable all-NULL row. Pure function of
+    (uri, rel, cols), so
     it runs driver-side for small increments and inside executor tasks
     for large ones."""
     import datetime
@@ -132,9 +135,20 @@ def _footer_stats_one(uri: str, rel: str, cols: list) -> list:
                 acc[nm] = [mn, mx]
             else:
                 acc[nm] = [min(prev[0], mn), max(prev[1], mx)]
+    leaf_names = set(md.schema.to_arrow_schema().names)
     for nm in want_phys:
         got = acc.get(nm, "absent")
         if got == "absent":
+            if nm not in leaf_names:
+                # column physically absent (pre-schema-evolution file):
+                # it reads as NULL everywhere — same prunable semantics
+                # as an all-NULL column
+                rows.append((rel, nm, False, None, None, None, None))
+            else:
+                # present but the writer recorded no min/max: emit a
+                # KEEP sentinel (is_num NULL) so later harvests don't
+                # re-probe this footer on every commit
+                rows.append((rel, nm, None, None, None, None, None))
             continue
         if got is None:  # every value in the file is NULL
             rows.append((rel, nm, False, None, None, None, None))
@@ -162,59 +176,76 @@ def _stats_spec(spark: SparkSession, path: str) -> list:
     return list(row[0]["cols"]) if row else []
 
 
-def _stats_existing_names(spark: SparkSession, path: str) -> set:
+def _stats_existing_pairs(spark: SparkSession, path: str) -> set:
+    """(name, col) pairs already harvested — per-COLUMN granularity so
+    a later stats_enable with ADDITIONAL columns backfills exactly the
+    missing columns for already-harvested files."""
     sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
     if not sfs.exists(sp):
         return set()
     return {
-        r["name"]
+        (r["name"], r["col"])
         for r in spark.read.parquet(f"{path}/{_VSTATS}")
-        .select("name").distinct().collect()
+        .select("name", "col").distinct().collect()
     }
 
 
 def _stats_harvest(spark: SparkSession, path: str, names: list) -> int:
     """Append footer-harvested stats rows for `names` (deduped against
-    files already harvested — file contents are immutable, so a
-    replayed commit never changes a row). Driver-side loop for small
-    increments; a Spark job over the name list past 256 files, with a
-    driver fallback if executor-side pyarrow cannot reach the
-    filesystem (shared-fs assumption, same as the mirror bootstrap).
-    Caller holds the maintenance lease (this rides the commit that
-    added the files). Returns the number of files harvested."""
+    (file, column) pairs already harvested — file contents are
+    immutable, so a replayed commit never changes a row, and a spec
+    widened later backfills only the new columns). Driver-side loop
+    for small increments; a Spark job over the name list past 256
+    files, with a driver fallback if executor-side pyarrow cannot
+    reach the filesystem (shared-fs assumption, same as the mirror
+    bootstrap). Caller holds the maintenance lease (this rides the
+    commit that added the files). Returns the number of files
+    harvested."""
     from engage_spark.session import local_frame
 
     cols = _stats_spec(spark, path)
     if not cols or not names:
         return 0
-    todo = sorted(
-        set(n for n in names if not n.startswith("deletes_v"))
-        - _stats_existing_names(spark, path)
-    )
-    if not todo:
+    have = _stats_existing_pairs(spark, path)
+    by_missing: dict = {}
+    for n in sorted(set(names)):
+        if n.startswith("deletes_v"):
+            continue
+        missing = tuple(c for c in cols if (n, c) not in have)
+        if missing:
+            by_missing.setdefault(missing, []).append(n)
+    if not by_missing:
         return 0
     fs, p = _fs(spark, path)
     root = fs.makeQualified(p).toUri().toString().rstrip("/")
-    pairs = [(f"{root}/{n}", n) for n in todo]
     rows: list = []
-    if len(pairs) > 256:
-        try:
-            sc = spark.sparkContext
-            rows = (
-                sc.parallelize(pairs, max(2, len(pairs) // 64))
-                .flatMap(lambda pr: _footer_stats_one(pr[0], pr[1], cols))
-                .collect()
-            )
-        except Exception:
-            rows = []
-    if not rows:
-        for uri, rel in pairs:
-            rows.extend(_footer_stats_one(uri, rel, cols))
+    done = 0
+    for missing, todo in by_missing.items():
+        want = list(missing)
+        pairs = [(f"{root}/{n}", n) for n in todo]
+        done += len(pairs)
+        got: list = []
+        if len(pairs) > 256:
+            try:
+                sc = spark.sparkContext
+                got = (
+                    sc.parallelize(pairs, max(2, len(pairs) // 64))
+                    .flatMap(
+                        lambda pr, w=want: _footer_stats_one(pr[0], pr[1], w)
+                    )
+                    .collect()
+                )
+            except Exception:
+                got = []
+        if not got:
+            for uri, rel in pairs:
+                got.extend(_footer_stats_one(uri, rel, want))
+        rows.extend(got)
     if rows:
         local_frame(spark, rows, _STATS_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(f"{path}/{_VSTATS}")
-    return len(todo)
+    return done
 
 
 def stats_enable(spark: SparkSession, path: str, cols) -> int:
@@ -281,7 +312,9 @@ def _stats_prune(
     kept = []
     for n in names:
         r = by_name.get(n)
-        if r is None:
+        if r is None or r["is_num"] is None:
+            # no stats row, or the KEEP sentinel (stats present in the
+            # sidecar but the footer recorded no min/max): never prune
             kept.append(n)
             continue
         if (

@@ -315,3 +315,52 @@ def test_distributed_harvest_past_256_files(spark, tmp_path):
     assert pruned > 0
     got = read_where(spark, out, "id", 0, 50)
     assert got.count() == 51
+
+
+def test_spec_widening_backfills_new_columns(spark, zstats):
+    """stats_enable called again with MORE columns backfills exactly
+    the missing (file, column) pairs — old files gain the new column's
+    stats, no duplicate rows, and the new column prunes."""
+    out, ev = zstats
+    st0 = file_stats(spark, out)
+    assert {r["col"] for r in st0.select("col").distinct().collect()} == {
+        "user_id", "v_cents",
+    }
+    n = stats_enable(spark, out, ["user_id", "v_cents", "event_id"])
+    assert n == 16  # every file was missing the new column
+    st1 = file_stats(spark, out)
+    assert st1.count() == st0.count() + 16
+    assert st1.count() == st1.dropDuplicates(["name", "col"]).count()
+    # harvest is idempotent once complete
+    assert stats_enable(spark, out, ["user_id", "v_cents", "event_id"]) == 0
+    none = read_where(spark, out, "event_id", 10**12, None)
+    assert none.count() == 0
+
+
+def test_schema_evolved_files_prune_as_all_null(spark, tmp_path):
+    """A file written BEFORE a column existed reads as NULL for it
+    (mergeSchema), so stats mark it prunable for any range on that
+    column — and the pruned read still equals the tolerant full read."""
+    out = str(tmp_path / "evo")
+    spark.range(0, 100).selectExpr("id").coalesce(1).write.parquet(out)
+    version_log_enable(spark, out)
+    append_dataset(
+        spark,
+        spark.range(100, 200).selectExpr(
+            "id", "id * 10 AS score"
+        ).coalesce(1),
+        out,
+    )
+    stats_enable(spark, out, ["score"])
+    st = file_stats(spark, out)
+    # the pre-evolution file carries the prunable all-NULL row
+    assert st.filter(
+        F.col("is_num").isNotNull()
+        & F.col("mn_num").isNull() & F.col("mn_str").isNull()
+    ).count() == 1
+    names = _names(spark, out)
+    kept, pruned = _stats_prune(spark, out, names, "score", 1000, 1500)
+    assert pruned == 1
+    got = read_where(spark, out, "score", 1000, 1500)
+    assert got.count() == 51  # ids 100..150
+    assert {r["id"] for r in got.collect()} == set(range(100, 151))
