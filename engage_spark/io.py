@@ -264,11 +264,35 @@ def append_dataset(
         _vlog_reconcile(spark, path)
         return {"files": 0}
 
-    # ---- commit (lease held for the rename+log tail only) ----
+    final = _staged_append_commit(spark, path, staging, staged, lease_wait_s)
+    return {"files": len(final)}
+
+
+def _staged_append_commit(
+    spark: SparkSession,
+    path: str,
+    staging: str,
+    staged: list,
+    lease_wait_s: float,
+    after_commit=None,
+) -> list:
+    """The leased commit tail every staged append shares
+    (append_dataset, zorder_append on a version-logged target): finish
+    a crashed predecessor, reconcile drift, uniquify collisions inside
+    staging, pin the swap in the JSON `_append_manifest`, then run the
+    replay itself — rename in, log ONE exact `append` entry, clean up
+    (idempotent at every step; a crash at any point converges on the
+    next maintenance contact). `after_commit(final_names)` runs still
+    under the lease for per-format bookkeeping (the z-range manifest
+    increment). Returns the committed dataset-relative names."""
+    import uuid as _uuid
+
+    from engage_spark.versioning import _vlog_reconcile
+
     with maintenance_lease(spark, path, wait_s=lease_wait_s):
         _append_replay_pending(spark, path)  # finish a crashed predecessor
         # heal drift BEFORE the commit so the entry records only this
-        # increment's files (same contract as zorder_append)
+        # increment's files
         _vlog_reconcile(spark, path)
         final = []
         for rel in staged:
@@ -306,7 +330,9 @@ def append_dataset(
         # IS the crash replay, so run the replay itself (idempotent at
         # every step; a crash at any point converges on the next run)
         _append_replay_pending(spark, path)
-    return {"files": len(final)}
+        if after_commit is not None:
+            after_commit(sorted(final))
+    return final
 
 
 _APPEND_MANIFEST = "_append_manifest"
@@ -1215,6 +1241,7 @@ def zorder_append(
     df: DataFrame,
     path: str,
     num_files: int | None = None,
+    lease_wait_s: float = 30.0,
 ) -> dict:
     """Append an increment to a Z-ordered dataset ON THE SAME CURVE:
     scale with the persisted ``_zorder_meta`` (never re-derive — fresh
@@ -1226,8 +1253,19 @@ def zorder_append(
     rectangle, so footer pruning holds — measured within ~0.1-0.2 kept
     fraction of a full rewrite at equal file counts
     (test_zorder_append_preserves_skipping); track the drift with
-    zorder_layout_stats and re-optimize past your threshold. Returns
-    {"files", "cols", "scale"}."""
+    zorder_layout_stats and re-optimize past your threshold.
+
+    On a VERSION-LOGGED target the increment goes through the shared
+    STAGED-COMMIT protocol (r14, append_dataset's shape): the clustered
+    slice is written to a unique staging sibling with no lease held and
+    only the rename+log tail serializes — concurrent clustered
+    ingesters all land with exact per-increment entries, and the
+    z-range manifest update rides the same lease (the old in-place
+    write diffed live listings before/after, which two concurrent
+    appenders would mis-attribute). Returns {"files", "cols",
+    "scale"}."""
+    import uuid as _uuid
+
     m = zorder_meta(spark, path)
     part_cols = m.get("part_cols") or []
     missing = [
@@ -1239,53 +1277,81 @@ def zorder_append(
             f"{missing} (index at {path} is ordered on {m['cols']}, "
             f"partitioned by {part_cols})"
         )
-    from engage_spark.versioning import (
-        _vlog_append_entry,
-        _vlog_reconcile,
-        version_log_enabled,
-    )
+    from engage_spark.versioning import version_log_enabled
 
     vlog = version_log_enabled(spark, path)
-    if vlog:
-        # heal drift BEFORE the append so the entry below records only
-        # this increment's files
-        _vlog_reconcile(spark, path)
-    man = _zranges_read(spark, path)
-    before = (
-        set(spark.read.parquet(path).inputFiles())
-        if (man is not None or vlog)
-        else None
-    )
-    if man is not None and {f for f, _, _ in man} != before:
-        # STALE manifest (some writer bypassed the incremental
-        # maintainers): appending increment entries would persist it
-        # stale-plus-new — the _zorder_file_ranges self-check would
-        # still reject it, but every later fast-path read would be
-        # lost and the increment scan below wasted. Skip the manifest
-        # update; the next stats/victim read rebuilds it in one scan.
-        man = None
     out = _zorder_scale_frozen(spark, df, path, m)
     n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
-    _write_z_layout(out, n, part_cols, "append", path)
-    new_files: set = set()
-    if man is not None or vlog:
-        new_files = set(spark.read.parquet(path).inputFiles()) - before
-    if man is not None and new_files:
-        # keep the z-range manifest live with an INCREMENT-sized scan
-        # of just the appended files — the O(files) stats/victim reads
-        # stay valid without ever rescanning the dataset
-        _zranges_write(
-            spark, path, man + _zranges_scan(spark, path, new_files)
-        )
-    if vlog and new_files:
-        from engage_spark.versioning import _relativize
 
-        with maintenance_lease(spark, path):
-            _vlog_append_entry(
-                spark, path, "append",
-                added=sorted(_relativize(spark, path, sorted(new_files))),
-                removed=[],
+    if not vlog:
+        man = _zranges_read(spark, path)
+        before = (
+            set(spark.read.parquet(path).inputFiles())
+            if man is not None
+            else None
+        )
+        if man is not None and {f for f, _, _ in man} != before:
+            # STALE manifest (some writer bypassed the incremental
+            # maintainers): appending increment entries would persist
+            # it stale-plus-new — the _zorder_file_ranges self-check
+            # would still reject it, but every later fast-path read
+            # would be lost and the increment scan below wasted. Skip
+            # the manifest update; the next stats/victim read rebuilds
+            # it in one scan.
+            man = None
+        _write_z_layout(out, n, part_cols, "append", path)
+        if man is not None:
+            new_files = set(spark.read.parquet(path).inputFiles()) - before
+            if new_files:
+                # keep the z-range manifest live with an
+                # INCREMENT-sized scan of just the appended files
+                _zranges_write(
+                    spark, path, man + _zranges_scan(spark, path, new_files)
+                )
+        return {"files": n, "cols": m["cols"], "scale": m["scale"]}
+
+    # versioned: stage (no lease) → shared rename+log commit tail
+    staging = f"{path.rstrip('/')}{_APPEND_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
+    _write_z_layout(out, n, part_cols, "overwrite", staging)
+    staged = _staged_rel_files(spark, staging)
+    if not staged:
+        sfs, sp = _hadoop_fs(spark, staging)
+        if sfs.exists(sp):
+            sfs.delete(sp, True)
+        from engage_spark.versioning import _vlog_reconcile
+
+        _vlog_reconcile(spark, path)
+        return {"files": 0, "cols": m["cols"], "scale": m["scale"]}
+
+    def _update_zranges(final_names: list) -> None:
+        # under the commit lease: the manifest freshness check compares
+        # against the live set MINUS this commit's just-renamed files.
+        # URIs come from the same inputFiles listing the manifest rows
+        # were built from (input_file_name) — hadoop's toUri() renders
+        # a different slash form, so never synthesize them
+        man = _zranges_read(spark, path)
+        if man is None:
+            return
+        from urllib.parse import urlparse
+
+        fs, p = _hadoop_fs(spark, path)
+        rootp = fs.makeQualified(p).toUri().getPath().rstrip("/")
+        live = set(spark.read.parquet(path).inputFiles())
+        fset = set(final_names)
+        new_uris = {
+            u for u in live if urlparse(u).path[len(rootp) + 1:] in fset
+        }
+        if {f for f, _, _ in man} != live - new_uris:
+            return  # stale manifest: next stats/victim read rebuilds it
+        if new_uris:
+            _zranges_write(
+                spark, path, man + _zranges_scan(spark, path, new_uris)
             )
+
+    _staged_append_commit(
+        spark, path, staging, staged, lease_wait_s,
+        after_commit=_update_zranges,
+    )
     # no df.count() here — that would re-run the whole scale+shuffle
     # pipeline just for a return value; count the dataset if you need it
     return {"files": n, "cols": m["cols"], "scale": m["scale"]}

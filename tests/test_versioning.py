@@ -2528,3 +2528,56 @@ def test_reconcile_heals_crashed_merge(spark, sf_dir, tmp_path, monkeypatch):
             & (F.col("n_chars") != F.col("v0") + 9)
         ).count() == 0
     )
+
+
+def test_concurrent_zorder_appenders_all_land(spark, sf_dir, tmp_path):
+    """Clustered ingest concurrency (r14): two zorder_append calls race
+    a version-logged Z-ordered dataset through the shared staged-commit
+    tail — both land with exact entries (the old in-place write diffed
+    live listings and would mis-attribute the other's files), the curve
+    stays frozen, and the z-range manifest stays exactly live."""
+    import threading
+
+    from engage_spark.io import _zorder_file_ranges, _zranges_read
+
+    out = tmp_path / "zconc"
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 3 == 0), str(out),
+        ["user_id", "v_cents"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, str(out))                            # v1
+    # materialize the manifest so the increment-update path runs
+    _zorder_file_ranges(spark, str(out))
+    errs: list = []
+
+    def worker(residue):
+        try:
+            zorder_append(
+                spark, ev.filter(F.col("event_id") % 3 == residue),
+                str(out), num_files=2, lease_wait_s=120.0,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(r,)) for r in (1, 2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "append"]
+    assert "reconcile" not in ops
+    live = spark.read.parquet(str(out))
+    assert live.count() == ev.count()
+    # each entry is ONE increment: the middle version is base + one slice
+    sizes = sorted(
+        len(e["added"]) for e in _vlog_entries(spark, str(out))
+        if e["op"] == "append"
+    )
+    assert sizes == [2, 2]
+    # the z-range manifest survived both commits and is exactly live
+    man = _zranges_read(spark, str(out))
+    assert man is not None
+    assert {f for f, _, _ in man} == set(live.inputFiles())
