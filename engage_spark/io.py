@@ -366,9 +366,18 @@ def _append_replay_pending(spark: SparkSession, path: str) -> bool:
         raw = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    doc = _json.loads(raw.decode())
-    adds = sorted(doc["adds"])
-    staging = doc["staging"]
+    try:
+        doc = _json.loads(raw.decode())
+        adds = sorted(doc["adds"])
+        staging = doc["staging"]
+    except (ValueError, KeyError, TypeError):
+        # TORN manifest: the writer crashed mid-manifest-write, which
+        # by construction precedes every rename — nothing was swapped,
+        # so the manifest is safe to discard (vacuum sweeps the orphan
+        # staging by age). Without this, every later op would re-raise
+        # here forever.
+        mfs.delete(mp, True)
+        return False
     for rel in adds:
         sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
         dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
@@ -383,12 +392,19 @@ def _append_replay_pending(spark: SparkSession, path: str) -> bool:
             )
         dfs2.mkdirs(dp2.getParent())
         sfs2.rename(sp2, dp2)
-    entries = _vlog_entries(spark, path)
-    last = entries[-1] if entries else None
-    if not (
-        last is not None and last["op"] == "append"
-        and list(last["added"]) == adds and list(last["removed"]) == []
-    ):
+    # duplicate guard: scan back past bookkeeping entries (the every-K
+    # snapshot checkpoint can ride the SAME commit right behind the
+    # append entry — a crash after both must not re-log the append)
+    committed = False
+    for e in reversed(_vlog_entries(spark, path)):
+        if e["op"] in ("snapshot", "vacuum_log"):
+            continue
+        committed = (
+            e["op"] == "append"
+            and list(e["added"]) == adds and list(e["removed"]) == []
+        )
+        break
+    if not committed:
         _vlog_append_entry(spark, path, "append", added=adds, removed=[])
     sfs3, sp3 = _hadoop_fs(spark, staging)
     if sfs3.exists(sp3):
@@ -1986,7 +2002,28 @@ class maintenance_lease:
                     if holder is not None:
                         age = time.time() - holder.get("acquired_unix", 0)
                         if age > holder.get("ttl_s", self.ttl_s):
-                            fs.delete(lp, False)  # expired: break, retry
+                            # break by RENAME-claim, not delete: two
+                            # contenders can both read the expired
+                            # payload, and an unconditional delete from
+                            # the loser would remove the winner's
+                            # FRESHLY-created lock (two live holders).
+                            # Rename is the atomic claim — only one
+                            # contender's rename of the expired file
+                            # succeeds; the loser loops and sees the
+                            # new holder.
+                            import uuid as _uuid
+
+                            _, rp = _hadoop_fs(
+                                self.spark,
+                                f"{self.path}/{_MAINT_LOCK}.expired."
+                                f"{_uuid.uuid4().hex[:8]}",
+                            )
+                            try:
+                                claimed = fs.rename(lp, rp)
+                            except Exception:
+                                claimed = False
+                            if claimed:
+                                fs.delete(rp, False)
                             continue
                     elif vanished_retries < 3:
                         # lock gone between failed create and the read —
@@ -2449,11 +2486,23 @@ def upsert_dataset(
                 # half-swapped partitions until the replay finishes)
                 with maintenance_lease(spark, target, wait_s=lease_wait_s):
                     _upsert_replay_pending(spark, target)
-            st = _upsert_stage_partitioned(
-                spark, target, updates, list(key_cols), list(partition_by),
-                delete_col, assume_partition_stable, check_unique_keys,
-                max_touched_partitions,
-            )
+            try:
+                st = _upsert_stage_partitioned(
+                    spark, target, updates, list(key_cols),
+                    list(partition_by), delete_col,
+                    assume_partition_stable, check_unique_keys,
+                    max_touched_partitions,
+                )
+            except Exception as e:
+                # the no-lease stage reads the LIVE target; a
+                # concurrent file-MOVING commit (apply_deletes,
+                # optimize, another MERGE) mid-scan surfaces as a
+                # missing-file failure — that IS a write conflict, so
+                # re-stage against the new state like any other one
+                # (a partial staging dir is vacuum-swept by age)
+                if _attempt < occ_retries and _is_missing_file_error(e):
+                    continue
+                raise
             if st["staging"] is None:  # nothing touched: no commit
                 return st["stats"]
             with maintenance_lease(spark, target, wait_s=lease_wait_s):
@@ -2483,6 +2532,17 @@ def upsert_dataset(
 
 class UpsertConflict(RuntimeError):
     """An optimistic versioned MERGE lost its commit race repeatedly."""
+
+
+def _is_missing_file_error(exc) -> bool:
+    """A Spark/Hadoop failure caused by an input file vanishing
+    mid-job — the signature of racing a file-moving commit."""
+    s = str(exc)
+    return (
+        "FileNotFoundException" in s
+        or "PATH_NOT_FOUND" in s
+        or "does not exist" in s
+    )
 
 
 _UPSERT_MANIFEST = "_upsert_manifest"
@@ -2518,10 +2578,17 @@ def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
         raw = bytes(stream.readAllBytes())
     finally:
         stream.close()
-    doc = _json.loads(raw.decode())
-    adds = sorted(doc["adds"])
-    removes = sorted(doc["removes"])
-    staging = doc["staging"]
+    try:
+        doc = _json.loads(raw.decode())
+        adds = sorted(doc["adds"])
+        removes = sorted(doc["removes"])
+        staging = doc["staging"]
+    except (ValueError, KeyError, TypeError):
+        # TORN manifest: the writer crashed mid-manifest-write, which
+        # precedes every retain/rename — nothing was swapped; discard
+        # (vacuum sweeps the orphan staging by age)
+        mfs.delete(mp, True)
+        return False
     for n in removes:
         _retain_file(spark, target, n)
     for rel in adds:
@@ -2538,12 +2605,18 @@ def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
             )
         dfs2.mkdirs(dp2.getParent())
         sfs2.rename(sp2, dp2)
-    entries = _vlog_entries(spark, target)
-    last = entries[-1] if entries else None
-    if not (
-        last is not None and last["op"] == "upsert"
-        and last["added"] == adds and last["removed"] == removes
-    ):
+    # duplicate guard: scan back past bookkeeping entries (the every-K
+    # snapshot checkpoint can land right behind the upsert entry)
+    committed = False
+    for e in reversed(_vlog_entries(spark, target)):
+        if e["op"] in ("snapshot", "vacuum_log"):
+            continue
+        committed = (
+            e["op"] == "upsert"
+            and list(e["added"]) == adds and list(e["removed"]) == removes
+        )
+        break
+    if not committed:
         _vlog_append_entry(
             spark, target, "upsert", added=adds, removed=removes
         )

@@ -176,16 +176,22 @@ def _stats_spec(spark: SparkSession, path: str) -> list:
     return list(row[0]["cols"]) if row else []
 
 
-def _stats_existing_pairs(spark: SparkSession, path: str) -> set:
-    """(name, col) pairs already harvested — per-COLUMN granularity so
-    a later stats_enable with ADDITIONAL columns backfills exactly the
-    missing columns for already-harvested files."""
+def _stats_existing_pairs(
+    spark: SparkSession, path: str, names: list
+) -> set:
+    """(name, col) pairs already harvested AMONG `names` — per-COLUMN
+    granularity so a later stats_enable with ADDITIONAL columns
+    backfills exactly the missing columns for already-harvested files.
+    Filtered to the queried names BEFORE collecting: the dedup runs
+    inside the lease-held commit tail, so its driver transfer must be
+    bounded by the increment, never by the sidecar's total size."""
     sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
     if not sfs.exists(sp):
         return set()
     return {
         (r["name"], r["col"])
         for r in spark.read.parquet(f"{path}/{_VSTATS}")
+        .filter(F.col("name").isin(list(names)))
         .select("name", "col").distinct().collect()
     }
 
@@ -206,11 +212,10 @@ def _stats_harvest(spark: SparkSession, path: str, names: list) -> int:
     cols = _stats_spec(spark, path)
     if not cols or not names:
         return 0
-    have = _stats_existing_pairs(spark, path)
+    data_names = [n for n in set(names) if not n.startswith("deletes_v")]
+    have = _stats_existing_pairs(spark, path, data_names)
     by_missing: dict = {}
-    for n in sorted(set(names)):
-        if n.startswith("deletes_v"):
-            continue
+    for n in sorted(data_names):
         missing = tuple(c for c in cols if (n, c) not in have)
         if missing:
             by_missing.setdefault(missing, []).append(n)
@@ -289,7 +294,11 @@ def _stats_prune(
     """(kept_names, n_pruned): drop files whose harvested [min, max]
     for `col` cannot overlap [lo, hi]. Files without a stats row are
     kept (absence is never a prune); files whose column is entirely
-    NULL are dropped (no NULL satisfies a range predicate)."""
+    NULL are dropped (no NULL satisfies a range predicate). With BOTH
+    bounds None there is no predicate to prune against — even all-NULL
+    files' rows belong in an unbounded read — so nothing is pruned."""
+    if lo is None and hi is None:
+        return list(names), 0
     sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
     if not sfs.exists(sp):
         return list(names), 0
@@ -373,6 +382,8 @@ def read_where(
             f"{entries[-1]['version'] if entries else 0} for {path}"
         )
     names = _replay_files(entries, v)
+    if not names:
+        raise ValueError(f"version {v} of {path} has no data files")
     bounds = {col: (lo, hi)}
     for c, (c_lo, c_hi) in (and_where or {}).items():
         bounds[c] = (c_lo, c_hi)

@@ -522,19 +522,28 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
 
     umfs, ump = _hfs(spark, f"{path}/{_UPSERT_MANIFEST}")
     if _append_manifest_exists(spark, path) or umfs.exists(ump):
-        # a staged-commit append or an optimistic MERGE crashed after
-        # pinning its manifest (r14): finish ITS exact entry first, or
-        # the drift pass below would mis-log the half-renamed files as
-        # a reconcile
+        # a staged-commit append or an optimistic MERGE left its swap
+        # manifest behind (r14). Two cases: the writer CRASHED (heal:
+        # finish its exact entry before the drift pass below could
+        # mis-log the half-renamed files as a reconcile), or the
+        # writer is LIVE mid-commit holding the lease — then skip this
+        # whole reconcile pass instead of raising at readers: the
+        # committer converges the state itself within its window, and
+        # log-based reads are consistent either way (the entry IS the
+        # commit point).
         from engage_spark.io import (
+            MaintenanceLockHeld,
             _append_replay_pending,
             _upsert_replay_pending,
             maintenance_lease,
         )
 
-        with maintenance_lease(spark, path):
-            _append_replay_pending(spark, path)
-            _upsert_replay_pending(spark, path)
+        try:
+            with maintenance_lease(spark, path):
+                _append_replay_pending(spark, path)
+                _upsert_replay_pending(spark, path)
+        except MaintenanceLockHeld:
+            return None
     entries = _vlog_entries(spark, path)
     latest = entries[-1]["version"] if entries else 0
     logged = set(_replay_files(entries, latest))

@@ -364,3 +364,23 @@ def test_schema_evolved_files_prune_as_all_null(spark, tmp_path):
     got = read_where(spark, out, "score", 1000, 1500)
     assert got.count() == 51  # ids 100..150
     assert {r["id"] for r in got.collect()} == set(range(100, 151))
+
+
+def test_unbounded_read_where_keeps_all_null_files(spark, tmp_path):
+    """With BOTH bounds None there is no predicate, so even files whose
+    column is entirely NULL (or absent pre-evolution) must contribute
+    their rows — nothing may be pruned."""
+    out = str(tmp_path / "nobounds")
+    spark.range(0, 100).selectExpr("id").coalesce(1).write.parquet(out)
+    version_log_enable(spark, out)
+    append_dataset(
+        spark,
+        spark.range(100, 200).selectExpr("id", "id AS score").coalesce(1),
+        out,
+    )
+    stats_enable(spark, out, ["score"])
+    names = _names(spark, out)
+    kept, pruned = _stats_prune(spark, out, names, "score", None, None)
+    assert pruned == 0 and set(kept) == set(names)
+    got = read_where(spark, out, "score")
+    assert got.count() == 200

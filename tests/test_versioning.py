@@ -2581,3 +2581,142 @@ def test_concurrent_zorder_appenders_all_land(spark, sf_dir, tmp_path):
     man = _zranges_read(spark, str(out))
     assert man is not None
     assert {f for f, _, _ in man} == set(live.inputFiles())
+
+
+# ---------------------------------------------------------------------------
+# Round-14 self-review fixes: live-commit reader tolerance, torn
+# manifests, snapshot-interleaved replay, stage-phase conflict retry.
+
+
+def test_readers_skip_heal_while_commit_is_live(spark, tmp_path, monkeypatch):
+    """A reader's reconcile racing a LIVE staged commit (manifest
+    present, lease held) must skip the heal and proceed — not raise
+    MaintenanceLockHeld at the reader."""
+    import threading
+
+    import engage_spark.io as eio
+    from engage_spark.io import append_dataset, maintenance_lease, write_parquet
+
+    out = tmp_path / "livecommit"
+    write_parquet(_grp_slice(spark, 0, 10), str(out), partition_by=["grp"])
+    version_log_enable(spark, str(out))
+    # leave a crashed commit behind: manifest + staging
+    real = eio._append_replay_pending
+
+    def flaky(spark_, path_):
+        if eio._append_manifest_exists(spark_, path_):
+            raise RuntimeError("injected crash mid-commit")
+        return real(spark_, path_)
+
+    monkeypatch.setattr(eio, "_append_replay_pending", flaky)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_dataset(
+            spark, _grp_slice(spark, 10, 15), str(out), partition_by=["grp"]
+        )
+    monkeypatch.setattr(eio, "_append_replay_pending", real)
+    held, release = threading.Event(), threading.Event()
+
+    def holder():
+        with maintenance_lease(spark, str(out)):
+            held.set()
+            release.wait(20)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(10)
+    # reader under a live lease: works, does NOT heal
+    ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
+    assert ops == ["init"]
+    assert eio._append_manifest_exists(spark, str(out))
+    release.set()
+    t.join()
+    # lease free: the same reader path heals to the exact entry
+    ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
+    assert ops == ["init", "append"]
+    assert spark.read.parquet(str(out)).count() == 15
+
+
+def test_torn_manifest_is_discarded_not_wedging(spark, tmp_path):
+    """A manifest torn mid-write (crash between create and close) is
+    discarded on the next contact — it provably precedes any rename —
+    instead of raising on every later op forever."""
+    from engage_spark.io import (
+        _APPEND_MANIFEST, _UPSERT_MANIFEST, append_dataset, write_parquet,
+    )
+
+    out = tmp_path / "torn"
+    write_parquet(_grp_slice(spark, 0, 10), str(out), partition_by=["grp"])
+    version_log_enable(spark, str(out))
+    (out / _APPEND_MANIFEST).write_bytes(b'{"staging": "/x", "ad')
+    (out / _UPSERT_MANIFEST).write_bytes(b"")
+    ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
+    assert ops == ["init"]
+    assert not (out / _APPEND_MANIFEST).exists()
+    assert not (out / _UPSERT_MANIFEST).exists()
+    # and the dataset keeps working
+    append_dataset(
+        spark, _grp_slice(spark, 10, 15), str(out), partition_by=["grp"]
+    )
+    assert spark.read.parquet(str(out)).count() == 15
+
+
+def test_replay_guard_skips_snapshot_entries(spark, tmp_path, monkeypatch):
+    """A crash AFTER the append entry + its riding snapshot checkpoint
+    but before cleanup must not re-log the append on replay."""
+    import json
+
+    import engage_spark.io as eio
+    import engage_spark.versioning as V
+    from engage_spark.io import append_dataset, maintenance_lease, write_parquet
+
+    out = tmp_path / "snapguard"
+    write_parquet(_grp_slice(spark, 0, 10), str(out), partition_by=["grp"])
+    version_log_enable(spark, str(out))                            # v1
+    monkeypatch.setattr(V, "_SNAPSHOT_EVERY", 2)
+    append_dataset(
+        spark, _grp_slice(spark, 10, 15), str(out), partition_by=["grp"]
+    )                                                              # v2 + snapshot v3
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "snapshot"]
+    # simulate the crash window: manifest re-materializes AFTER the
+    # entry+snapshot landed (renames done, staging consumed)
+    entry = [e for e in _vlog_entries(spark, str(out)) if e["op"] == "append"][0]
+    (out / eio._APPEND_MANIFEST).write_text(
+        json.dumps({"staging": str(tmp_path / "gone"), "adds": entry["added"]})
+    )
+    with maintenance_lease(spark, str(out)):
+        eio._append_replay_pending(spark, str(out))
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "snapshot"], "append was re-logged"
+    assert spark.read.parquet(str(out)).count() == 15
+
+
+def test_merge_stage_retries_on_missing_file_race(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A concurrent file-moving commit mid-stage surfaces as a
+    missing-file failure; the OCC loop treats it as a conflict and
+    re-stages instead of surfacing a raw Spark error."""
+    import engage_spark.io as eio
+    from engage_spark.io import upsert_dataset, write_parquet
+
+    d = _docs(spark, sf_dir)
+    out = tmp_path / "racestage"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))
+    real = eio._upsert_stage_partitioned
+    fired = {"n": 0}
+
+    def flaky_stage(*a, **k):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            raise RuntimeError(
+                "java.io.FileNotFoundException: File x does not exist"
+            )
+        return real(*a, **k)
+
+    monkeypatch.setattr(eio, "_upsert_stage_partitioned", flaky_stage)
+    upd = d.limit(20).withColumn("n_chars", F.lit(7).cast("long"))
+    upsert_dataset(spark, str(out), upd, ["doc_id"], partition_by=["lang"])
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "upsert"]
