@@ -453,17 +453,21 @@ def record_logical_delete(
     keys: DataFrame,
     key_col: str,
     n_keys: int | None = None,
+    lease_wait_s: float = 30.0,
 ) -> int:
     """Log a deletion-vector batch: copy the (takedown-sized) key
     frame under retained/deletes_v{N} and append the entry. Called by
     io.delete_rows when the log exists. Entry-last commit: a crash
     after the batch write leaves an unreferenced dir the next
-    allocation of that version overwrites."""
+    allocation of that version overwrites. The held window is
+    takedown-batch-sized (one tiny key write + the entry), so it
+    queues on `lease_wait_s` like the other short commit tails (r14)
+    instead of failing against a racing appender's commit."""
     from engage_spark.io import maintenance_lease
 
     from pyspark.sql import Observation
 
-    with maintenance_lease(spark, path):
+    with maintenance_lease(spark, path, wait_s=lease_wait_s):
         # heal drift first: this entry's version must see the true
         # file set, or the snapshot at it is wrong forever
         _vlog_reconcile(spark, path)

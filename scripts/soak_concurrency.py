@@ -1,0 +1,219 @@
+"""Mixed-writer/reader concurrency soak over one versioned corpus
+(round 14 — the shipped check for the staged-append + optimistic-MERGE
++ waitable-lease machinery).
+
+One lang-partitioned, version-logged, stats-enabled documents corpus;
+R rounds of SIX threads racing it:
+
+  appender x2   — disjoint nonce-keyed slices via append_dataset
+                  (staged commit, lease only for the rename+log tail)
+  merger  x1    — an IDEMPOTENT MERGE (n_chars := doc_id*2+1 for a
+                  fixed base-key set) via the optimistic upsert; any
+                  number of applications converge to the same state
+  deleter x1    — delete_rows on a fixed base-id slice (DV batch;
+                  repeat batches are dropDuplicates-idempotent)
+  reader  x2    — read_snapshot + a stats-pruned read_where range,
+                  which must never raise (consistent-or-loud means
+                  loud only for vacuumed history, never for a racing
+                  commit) and never return a torn count
+
+The final state is DETERMINISTIC regardless of interleaving: merge
+keys come from the base (always present), deletes target base ids
+disjoint from merge keys, appends are globally disjoint. Validation:
+  - zero unexpected exceptions across every thread and round;
+  - history ops counts == operations performed, NO reconcile entries;
+  - read_with_deletes == the closed-form expected frame (exact rows);
+  - read_version(latest) == live view;
+  - the stats sidecar prunes and read_where stays exact at the end.
+
+Usage: python scripts/soak_concurrency.py [sf_dir] [rounds]
+Prints one JSON line with the verdict.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import threading
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from engage_spark.io import (
+        append_dataset,
+        delete_rows,
+        read_with_deletes,
+        upsert_dataset,
+        write_parquet,
+    )
+    from engage_spark.session import get_spark
+    from engage_spark.stats import _stats_prune, read_where, stats_enable
+    from engage_spark.versioning import (
+        _replay_files,
+        _vlog_entries,
+        dataset_history,
+        latest_version,
+        read_snapshot,
+        read_version,
+        version_log_enable,
+    )
+
+    spark = get_spark()
+    root = tempfile.mkdtemp(prefix="soak_conc_")
+    ds = f"{root}/corpus"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_parquet(d, ds, partition_by=["lang"])
+    version_log_enable(spark, ds)
+    stats_enable(spark, ds, ["doc_id", "n_chars"])
+
+    merge_keys = d.filter(F.col("doc_id") % 10 == 3)  # base-only keys
+    delete_ids = d.filter(F.col("doc_id") % 10 == 6).select("doc_id")
+    errs: list = []
+    appends_done: list = []
+
+    def appender(nonce: int) -> None:
+        try:
+            slice_df = d.filter(F.col("doc_id") % 10 == (nonce % 2)).select(
+                (F.col("doc_id") + 1_000_000 * (nonce + 1)).alias("doc_id"),
+                "lang", "n_chars",
+            )
+            append_dataset(
+                spark, slice_df, ds, partition_by=["lang"],
+                lease_wait_s=180.0,
+            )
+            appends_done.append(nonce)
+        except Exception as e:  # pragma: no cover
+            errs.append(f"appender: {e!r}")
+
+    def merger() -> None:
+        try:
+            upd = merge_keys.select(
+                "doc_id", "lang",
+                (F.col("doc_id") * 2 + 1).cast("long").alias("n_chars"),
+            )
+            upsert_dataset(
+                spark, ds, upd, ["doc_id"], partition_by=["lang"],
+                assume_partition_stable=True, occ_retries=10,
+                lease_wait_s=180.0,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(f"merger: {e!r}")
+
+    def deleter() -> None:
+        try:
+            delete_rows(spark, ds, delete_ids, "doc_id")
+        except Exception as e:  # pragma: no cover
+            errs.append(f"deleter: {e!r}")
+
+    def reader(k: int) -> None:
+        # consistent-or-loud: a maintenance op renaming a resolved file
+        # mid-scan fails loudly; the documented reader pattern is ONE
+        # re-resolve at the same pinned version (README §versioning)
+        try:
+            try:
+                snap, v = read_snapshot(spark, ds)
+                n = snap.count()
+            except Exception:
+                snap, v = read_snapshot(spark, ds)
+                n = snap.count()
+            assert n >= 0 and v >= 1
+            try:
+                got = read_where(spark, ds, "doc_id", 10 + k, 400 + k)
+                assert got.count() >= 0
+            except Exception:
+                got = read_where(spark, ds, "doc_id", 10 + k, 400 + k)
+                assert got.count() >= 0
+        except Exception as e:  # pragma: no cover
+            errs.append(f"reader: {e!r}")
+
+    for r in range(rounds):
+        threads = [
+            threading.Thread(target=appender, args=(2 * r,)),
+            threading.Thread(target=appender, args=(2 * r + 1,)),
+            threading.Thread(target=merger),
+            threading.Thread(target=deleter),
+            threading.Thread(target=reader, args=(r,)),
+            threading.Thread(target=reader, args=(r + 7,)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    ops = [x["op"] for x in dataset_history(spark, ds).collect()]
+    live = read_with_deletes(spark, ds)
+    # closed-form expected state
+    expected = d
+    for nonce in appends_done:
+        expected = expected.unionByName(
+            d.filter(F.col("doc_id") % 10 == (nonce % 2)).select(
+                (F.col("doc_id") + 1_000_000 * (nonce + 1)).alias("doc_id"),
+                "lang", "n_chars",
+            )
+        )
+    expected = expected.withColumn(
+        "n_chars",
+        F.when(
+            (F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 1_000_000),
+            F.col("doc_id") * 2 + 1,
+        ).otherwise(F.col("n_chars")).cast("long"),
+    ).filter(
+        ~((F.col("doc_id") % 10 == 6) & (F.col("doc_id") < 1_000_000))
+    )
+    live_n, exp_n = live.count(), expected.count()
+    diff = (
+        live.select("doc_id", "lang", "n_chars")
+        .exceptAll(expected.select("doc_id", "lang", "n_chars"))
+        .count()
+        + expected.select("doc_id", "lang", "n_chars")
+        .exceptAll(live.select("doc_id", "lang", "n_chars"))
+        .count()
+    )
+    v = latest_version(spark, ds)
+    vread_n = read_version(spark, ds, v).count()
+    names = _replay_files(_vlog_entries(spark, ds), v)
+    kept, pruned = _stats_prune(spark, ds, names, "doc_id", 10, 60)
+    rw = read_where(spark, ds, "doc_id", 10, 60)
+    rw_exact = (
+        rw.count()
+        == live.filter(
+            (F.col("doc_id") >= 10) & (F.col("doc_id") <= 60)
+        ).count()
+    )
+    verdict = {
+        "rounds": rounds,
+        "errors": errs,
+        "appends": ops.count("append"),
+        "upserts": ops.count("upsert"),
+        "logical_deletes": ops.count("logical_delete"),
+        "reconciles": ops.count("reconcile"),
+        "live_rows": live_n,
+        "expected_rows": exp_n,
+        "row_diff": diff,
+        "version_read_rows": vread_n,
+        "stats_pruned": pruned,
+        "read_where_exact": rw_exact,
+        "ok": (
+            not errs
+            and diff == 0
+            and live_n == exp_n == vread_n
+            and ops.count("append") == len(appends_done) == 2 * rounds
+            and ops.count("reconcile") == 0
+            and rw_exact
+        ),
+    }
+    print(json.dumps(verdict), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+    sys.exit(0 if verdict["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
