@@ -196,7 +196,35 @@ def _relativize(spark: SparkSession, path: str, uris) -> list:
 
 def _live_names(spark: SparkSession, path: str) -> list:
     """Dataset-relative paths of the CURRENT data files — nested
-    (hive-partitioned) layouts included since r13."""
+    (hive-partitioned) layouts included since r13, `_`/`.`-prefixed
+    names skipped at every level. On file:// this is a direct
+    os.walk — the previous shape built a whole Spark read plan
+    (driver listing + a schema-inference footer read) per call, which
+    at 2k files cost ~4 s and was called twice per versioned read; a
+    local walk is milliseconds. Remote filesystems keep the Spark
+    listing (the cluster-side file index is the efficient path
+    there)."""
+    fs, p = _fs(spark, path)
+    uri = fs.makeQualified(p).toUri()
+    if uri.getScheme() in (None, "file"):
+        import os
+
+        rootp = uri.getPath()
+        out = []
+        for dirpath, dirnames, filenames in os.walk(rootp):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            rel_dir = os.path.relpath(dirpath, rootp)
+            for fn in filenames:
+                if fn.startswith(("_", ".")):
+                    continue
+                out.append(
+                    fn
+                    if rel_dir == "."
+                    else f"{rel_dir}/{fn}".replace(os.sep, "/")
+                )
+        return sorted(out)
     return sorted(
         _relativize(spark, path, spark.read.parquet(path).inputFiles())
     )
