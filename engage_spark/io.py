@@ -2119,7 +2119,13 @@ def _hive_part_dir(col: str, val) -> str:
 _DELETES = "_deletes"
 
 
-def delete_rows(spark: SparkSession, path: str, ids, key_col: str) -> int:
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    ids,
+    key_col: str,
+    lease_wait_s: float = 30.0,
+) -> int:
     """Logically delete rows by key: append the keys to
     ``path/_deletes`` — O(batch) regardless of dataset size, no data
     file is touched (a Z-ordered layout keeps its curve and stats).
@@ -2129,8 +2135,11 @@ def delete_rows(spark: SparkSession, path: str, ids, key_col: str) -> int:
     the physical rewrite and clears the sidecar. Keys are assumed
     unique per row (the upsert key contract); a later re-append of a
     deleted key WITHOUT a prior apply_deletes would be masked — vacuum
-    first, exactly like the index tombstone flow. Returns the number
-    of keys appended."""
+    first, exactly like the index tombstone flow. On a version-logged
+    target, sidecar AND log commit inside one leased window (queued on
+    `lease_wait_s` — a takedown-sized tail), so a lease timeout can no
+    longer leave the live read hiding rows the log never recorded.
+    Returns the number of keys appended."""
     from pyspark.sql import Observation
 
     from engage_spark.session import local_frame
@@ -2141,21 +2150,25 @@ def delete_rows(spark: SparkSession, path: str, ids, key_col: str) -> int:
         kdf = local_frame(
             spark, [(i,) for i in ids], f"{key_col} long"
         ).dropDuplicates()
-    # count rides the write via an Observation — one evaluation of the
-    # batch, not a write plus a second count() run of the same plan
-    obs = Observation()
-    kdf.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "append"
-    ).parquet(f"{path}/{_DELETES}")
-    n = int(obs.get["n"])
     from engage_spark.versioning import (
         record_logical_delete,
         version_log_enabled,
     )
 
     if version_log_enabled(spark, path):
-        record_logical_delete(spark, path, kdf, key_col, n_keys=n)
-    return n
+        n = kdf.count()  # takedown-sized; evaluated before the lease
+        record_logical_delete(
+            spark, path, kdf, key_col, n_keys=n,
+            lease_wait_s=lease_wait_s, write_sidecar=True,
+        )
+        return n
+    # count rides the write via an Observation — one evaluation of the
+    # batch, not a write plus a second count() run of the same plan
+    obs = Observation()
+    kdf.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).parquet(f"{path}/{_DELETES}")
+    return int(obs.get["n"])
 
 
 def read_with_deletes(spark: SparkSession, path: str) -> DataFrame:

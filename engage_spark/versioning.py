@@ -197,21 +197,30 @@ def _relativize(spark: SparkSession, path: str, uris) -> list:
 def _live_names(spark: SparkSession, path: str) -> list:
     """Dataset-relative paths of the CURRENT data files — nested
     (hive-partitioned) layouts included since r13, `_`/`.`-prefixed
-    names skipped at every level. On file:// this is a direct
-    os.walk — the previous shape built a whole Spark read plan
-    (driver listing + a schema-inference footer read) per call, which
-    at 2k files cost ~4 s and was called twice per versioned read; a
-    local walk is milliseconds. Remote filesystems keep the Spark
-    listing (the cluster-side file index is the efficient path
-    there)."""
+    names skipped at every level. On file:// this is a direct os.walk;
+    other schemes reuse io._staged_rel_files' Hadoop listing. The
+    previous shape built a whole Spark READ PLAN (driver file index +
+    a schema-inference footer read) per call — ~4 s at 2k files,
+    called twice per versioned read — just to list files. Listing
+    errors stay LOUD on every scheme: a missing or unreadable dataset
+    dir raises instead of returning a partial/empty list, which would
+    otherwise let _vlog_reconcile log a bogus mass-removal entry."""
     fs, p = _fs(spark, path)
     uri = fs.makeQualified(p).toUri()
     if uri.getScheme() in (None, "file"):
         import os
 
         rootp = uri.getPath()
+        if not os.path.isdir(rootp):
+            raise FileNotFoundError(
+                f"dataset directory does not exist: {rootp}"
+            )
+
+        def _loud(err):  # surface EACCES / transient walk errors
+            raise err
+
         out = []
-        for dirpath, dirnames, filenames in os.walk(rootp):
+        for dirpath, dirnames, filenames in os.walk(rootp, onerror=_loud):
             dirnames[:] = [
                 d for d in dirnames if not d.startswith(("_", "."))
             ]
@@ -225,9 +234,13 @@ def _live_names(spark: SparkSession, path: str) -> list:
                     else f"{rel_dir}/{fn}".replace(os.sep, "/")
                 )
         return sorted(out)
-    return sorted(
-        _relativize(spark, path, spark.read.parquet(path).inputFiles())
-    )
+    # remote: the Hadoop walk (loud on missing/unreadable, no Spark
+    # plan, no footer read) — the same listing staging commits use
+    from engage_spark.io import _staged_rel_files
+
+    if not fs.exists(p):
+        raise FileNotFoundError(f"dataset directory does not exist: {path}")
+    return _staged_rel_files(spark, path)
 
 
 def _vlog_entries(spark: SparkSession, path: str) -> list:
@@ -482,6 +495,7 @@ def record_logical_delete(
     key_col: str,
     n_keys: int | None = None,
     lease_wait_s: float = 30.0,
+    write_sidecar: bool = False,
 ) -> int:
     """Log a deletion-vector batch: copy the (takedown-sized) key
     frame under retained/deletes_v{N} and append the entry. Called by
@@ -490,12 +504,21 @@ def record_logical_delete(
     allocation of that version overwrites. The held window is
     takedown-batch-sized (one tiny key write + the entry), so it
     queues on `lease_wait_s` like the other short commit tails (r14)
-    instead of failing against a racing appender's commit."""
-    from engage_spark.io import maintenance_lease
+    instead of failing against a racing appender's commit.
+    `write_sidecar=True` ALSO appends the keys to the live `_deletes`
+    sidecar inside the same leased window (io.delete_rows' versioned
+    path) — previously the sidecar was written before the lease was
+    even attempted, so a lease timeout left the live read hiding rows
+    the log never recorded."""
+    from engage_spark.io import _DELETES, maintenance_lease
 
     from pyspark.sql import Observation
 
     with maintenance_lease(spark, path, wait_s=lease_wait_s):
+        if write_sidecar:
+            keys.select(F.col(key_col)).dropDuplicates().write.mode(
+                "append"
+            ).parquet(f"{path}/{_DELETES}")
         # heal drift first: this entry's version must see the true
         # file set, or the snapshot at it is wrong forever
         _vlog_reconcile(spark, path)

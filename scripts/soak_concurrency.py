@@ -76,17 +76,24 @@ def main() -> None:
 
     merge_keys = d.filter(F.col("doc_id") % 10 == 3)  # base-only keys
     delete_ids = d.filter(F.col("doc_id") % 10 == 6).select("doc_id")
+    base_n = d.count()
+    del_n = delete_ids.count()
     errs: list = []
     appends_done: list = []
 
+    def slice_for(nonce: int):
+        """The appended slice for one nonce — ONE definition shared by
+        the appender and the expected-frame oracle (drift between two
+        copies would silently invalidate the closed-form check)."""
+        return d.filter(F.col("doc_id") % 10 == (nonce % 2)).select(
+            (F.col("doc_id") + 1_000_000 * (nonce + 1)).alias("doc_id"),
+            "lang", "n_chars",
+        )
+
     def appender(nonce: int) -> None:
         try:
-            slice_df = d.filter(F.col("doc_id") % 10 == (nonce % 2)).select(
-                (F.col("doc_id") + 1_000_000 * (nonce + 1)).alias("doc_id"),
-                "lang", "n_chars",
-            )
             append_dataset(
-                spark, slice_df, ds, partition_by=["lang"],
+                spark, slice_for(nonce), ds, partition_by=["lang"],
                 lease_wait_s=180.0,
             )
             appends_done.append(nonce)
@@ -116,21 +123,31 @@ def main() -> None:
     def reader(k: int) -> None:
         # consistent-or-loud: a maintenance op renaming a resolved file
         # mid-scan fails loudly; the documented reader pattern is ONE
-        # re-resolve at the same pinned version (README §versioning)
+        # retry of read_version at the SAME pinned version (the file
+        # now sits in retained/ — read_snapshot's docstring)
         try:
+            snap, v = read_snapshot(spark, ds)
             try:
-                snap, v = read_snapshot(spark, ds)
                 n = snap.count()
             except Exception:
-                snap, v = read_snapshot(spark, ds)
-                n = snap.count()
-            assert n >= 0 and v >= 1
+                n = read_version(spark, ds, v).count()
+            # any committed version holds at least the undeleted base:
+            # appends only add, the merge never deletes, takedowns are
+            # bounded by delete_ids — a count below this is a TORN read
+            assert n >= base_n - del_n, f"torn snapshot: {n} at v{v}"
+            assert v >= 1
+            lo, hi = 10 + k, 400 + k
             try:
-                got = read_where(spark, ds, "doc_id", 10 + k, 400 + k)
-                assert got.count() >= 0
+                got_n = read_where(spark, ds, "doc_id", lo, hi).count()
             except Exception:
-                got = read_where(spark, ds, "doc_id", 10 + k, 400 + k)
-                assert got.count() >= 0
+                got_n = read_where(spark, ds, "doc_id", lo, hi).count()
+            # base ids in [lo, hi] minus at most the deletable ones
+            # are ALWAYS present — below that is a wrong prune
+            floor = d.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+                & (F.col("doc_id") % 10 != 6)
+            ).count()
+            assert got_n >= floor, f"pruned read lost rows: {got_n}<{floor}"
         except Exception as e:  # pragma: no cover
             errs.append(f"reader: {e!r}")
 
@@ -153,12 +170,7 @@ def main() -> None:
     # closed-form expected state
     expected = d
     for nonce in appends_done:
-        expected = expected.unionByName(
-            d.filter(F.col("doc_id") % 10 == (nonce % 2)).select(
-                (F.col("doc_id") + 1_000_000 * (nonce + 1)).alias("doc_id"),
-                "lang", "n_chars",
-            )
-        )
+        expected = expected.unionByName(slice_for(nonce))
     expected = expected.withColumn(
         "n_chars",
         F.when(
