@@ -132,6 +132,9 @@ OPTIONAL = [
     # the lease-window numbers live in
     # scripts/measure_append_commit.py → SCALE.md.
     "s21_stats_pruned_scan",
+    # round 14 third pass: the bloom point-lookup (zorder publish +
+    # per-file bloom build + key-targeted read) — the takedown path
+    "s22_bloom_point_lookup",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

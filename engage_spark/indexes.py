@@ -1,0 +1,488 @@
+"""Per-file Bloom-filter key index + point-lookup reads (round 14) —
+the Delta "bloom filter index" / Iceberg puffin pattern on the
+plain-parquet version log.
+
+Min/max stats (engage_spark.stats) prune RANGE predicates on clustered
+columns, but a point lookup on a HIGH-CARDINALITY, NON-clustered key
+(the takedown / GDPR / "fetch these doc_ids" path) gets nothing from
+min/max: every file's [min, max] on a scattered key spans the whole
+domain, so victim detection degrades to scanning the key column of
+every file. At 100 TB that is the single most common metadata-hostile
+operation a corpus runs.
+
+A per-file Bloom filter on the declared key columns makes that lookup
+metadata-bounded: ~10 bits per distinct value at 1% false-positive
+rate (1.2 MB per GB-sized file for a 10^6-distinct key), harvested
+once per file at commit time (files are immutable), probed without
+touching any data file. False positives only ever ADD candidate
+files — the exact predicate is re-applied after the pruned scan, and a
+file without a bloom row is always kept — so a pruned read is
+byte-identical to the unpruned one; blooms are an optimization, never
+a correctness gate (same contract as the stats sidecar).
+
+Layout: ``_versions/bloom`` parquet sidecar, one row per (file,
+column): ``name, col, n_values, m_bits, k, bits`` — dataset-relative
+names, the same keys the version log uses, so rows survive rename
+into ``_versions/retained`` and vacuum compaction can drop rows for
+fully-forgotten files. ``n_values = 0`` marks a column with NO
+non-null values in that file (all-NULL, or physically absent in a
+pre-schema-evolution file): no equality lookup can match, so the
+file is prunable for ANY lookup on that column.
+
+Unlike the min/max harvest (footer-only), building a bloom must READ
+the key column once — column-pruned, distributed past 256 files, and
+amortized: every subsequent lookup and every takedown's victim
+detection skips the full-column scan forever after.
+
+Reference parity note: covers no reference file — engine extension
+(the 100 TB point-lookup / takedown planning path).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engage_spark.stats import _hive_unescape
+from engage_spark.versioning import (
+    _VDIR,
+    _apply_pending_dvs,
+    _fs,
+    _live_names,
+    _pa_fs_for,
+    _read_names,
+    _replay_files,
+    _vlog_entries,
+    _vlog_reconcile,
+    version_log_enabled,
+)
+
+_VBLOOM = f"{_VDIR}/bloom"
+_VBLOOM_SPEC = f"{_VDIR}/bloom_spec"
+_BLOOM_SCHEMA = (
+    "name string, col string, n_values long, m_bits long, k int, bits binary"
+)
+# past this many files the harvest runs as a Spark job instead of a
+# driver loop (same shape as stats._stats_harvest)
+_BLOOM_DRIVER_MAX = 256
+# the PROBE's driver path is tighter: unlike stats rows, bloom rows
+# carry the bitset (~1.2 MB per 10^6-distinct-key file), so collecting
+# them is bounded at 64 files (~75 MB worst case); larger file sets
+# probe executor-side and only NAMES come back
+_BLOOM_PROBE_DRIVER_MAX = 64
+# lookups larger than this skip bloom pruning entirely: probing B keys
+# against F files costs B*k bit tests per file, and a batch that big
+# should go through a broadcast-join scan anyway (apply_deletes'
+# _DELETES_ISIN_MAX is the same regime boundary)
+_BLOOM_LOOKUP_MAX = 100_000
+
+
+def _bloom_key_bytes(v):
+    """Canonical bytes for a lookup/build value — the SAME function on
+    both sides, so a parquet int64 harvested on an executor and a
+    Python int passed to read_keys hash identically. Integral floats
+    normalize to ints (Spark's `col = 5.0` matches a bigint 5, so the
+    bloom must too). None → None (NULLs are not indexed; an equality
+    lookup never matches NULL). Distinct-type prefixes keep int 5 and
+    string "5" from colliding — lookups must match the column's type
+    (same contract as a typed SQL predicate)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"i1" if v else b"i0"
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return b"fnan"
+        if v.is_integer():
+            return b"i" + str(int(v)).encode()
+        return b"f" + repr(v).encode()
+    if isinstance(v, (bytes, bytearray)):
+        return b"b" + bytes(v)
+    if hasattr(v, "item"):  # numpy scalar from an Arrow round-trip
+        return _bloom_key_bytes(v.item())
+    if hasattr(v, "isoformat"):  # date / datetime
+        return b"s" + v.isoformat().encode()
+    return b"s" + str(v).encode("utf-8")
+
+
+def _bloom_params(n: int, fpp: float) -> tuple:
+    """(m_bits, k) for n distinct values at the target false-positive
+    rate; m rounded up to a byte multiple with a small floor so
+    single-value blooms (partition columns) are not degenerate."""
+    m = max(64, math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_positions(key_bytes: bytes, m: int, k: int) -> list:
+    """k bit positions via double hashing over one md5: h1 + i*h2 mod
+    m, h2 forced odd so the stride cycles the whole table."""
+    import hashlib
+
+    d = hashlib.md5(key_bytes).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_maybe_contains(bits: bytes, m: int, k: int, key_bytes: bytes) -> bool:
+    return all(
+        bits[pos >> 3] >> (pos & 7) & 1 for pos in _bloom_positions(key_bytes, m, k)
+    )
+
+
+def _build_bloom(values, fpp: float) -> tuple:
+    """(n_values, m_bits, k, bits) over canonicalized non-null values."""
+    canon = []
+    for v in values:
+        b = _bloom_key_bytes(v)
+        if b is not None:
+            canon.append(b)
+    if not canon:
+        return 0, 0, 0, b""
+    m, k = _bloom_params(len(canon), fpp)
+    bits = bytearray(m // 8)
+    for b in canon:
+        for pos in _bloom_positions(b, m, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return len(canon), m, k, bytes(bits)
+
+
+def _file_bloom_one(uri: str, rel: str, cols: list, fpp: float) -> list:
+    """Bloom rows for one parquet file: partition columns come from the
+    relative path's `col=val/` dirs (single-value bloom — the numeric
+    parse mirrors the lookup side's int canonicalization); physical
+    columns are read COLUMN-PRUNED via pyarrow and deduped before
+    hashing. A column absent from the file's schema (pre-evolution
+    file) reads as NULL everywhere → the prunable n_values=0 row. Pure
+    function of (uri, rel, cols, fpp): driver-side for small
+    increments, executor tasks past _BLOOM_DRIVER_MAX files."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    rows = []
+    part_vals = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            c, _, v = seg.partition("=")
+            part_vals[c] = _hive_unescape(v)
+    for c in cols:
+        if c not in part_vals:
+            continue
+        v = part_vals[c]
+        if v is not None:
+            try:
+                v = int(v)
+            except ValueError:
+                try:
+                    v = float(v)
+                except ValueError:
+                    pass
+        rows.append((rel, c) + _build_bloom([v], fpp))
+    phys = [c for c in cols if c not in part_vals]
+    if not phys:
+        return rows
+    fs, p = _pa_fs_for(uri)
+    with fs.open_input_file(p) as f:
+        pf = pq.ParquetFile(f)
+        names = set(pf.schema_arrow.names)
+        want = [c for c in phys if c in names]
+        tbl = pf.read(columns=want) if want else None
+    for c in phys:
+        if c not in names:
+            rows.append((rel, c, 0, 0, 0, b""))
+            continue
+        vals = pc.unique(tbl[c]).to_pylist()
+        rows.append((rel, c) + _build_bloom(vals, fpp))
+    return rows
+
+
+def _bloom_spec(spark: SparkSession, path: str) -> tuple:
+    """(cols, fpp) or ([], 0.0) when blooms were never enabled."""
+    sfs, sp = _fs(spark, f"{path}/{_VBLOOM_SPEC}")
+    if not sfs.exists(sp):
+        return [], 0.0
+    row = spark.read.parquet(f"{path}/{_VBLOOM_SPEC}").collect()
+    if not row:
+        return [], 0.0
+    return list(row[0]["cols"]), float(row[0]["fpp"])
+
+
+def _bloom_existing_pairs(spark: SparkSession, path: str, names: list) -> set:
+    """(name, col) pairs already harvested AMONG `names` — bounded by
+    the increment (pushdown filter before collect), same contract as
+    stats._stats_existing_pairs: this runs inside the lease-held
+    commit tail."""
+    sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
+    if not sfs.exists(sp):
+        return set()
+    return {
+        (r["name"], r["col"])
+        for r in spark.read.parquet(f"{path}/{_VBLOOM}")
+        .filter(F.col("name").isin(list(names)))
+        .select("name", "col")
+        .distinct()
+        .collect()
+    }
+
+
+def _bloom_harvest(spark: SparkSession, path: str, names: list) -> int:
+    """Append bloom rows for `names`, deduped against (file, column)
+    pairs already harvested (files are immutable — a replayed commit
+    never changes a row; a spec widened later backfills only the new
+    columns). Driver loop for small increments, a Spark job past
+    _BLOOM_DRIVER_MAX files with a driver fallback if executor-side
+    pyarrow cannot reach the filesystem. Caller holds the maintenance
+    lease. Returns the number of files harvested."""
+    from engage_spark.session import local_frame
+
+    cols, fpp = _bloom_spec(spark, path)
+    if not cols or not names:
+        return 0
+    data_names = [n for n in set(names) if not n.startswith("deletes_v")]
+    have = _bloom_existing_pairs(spark, path, data_names)
+    by_missing: dict = {}
+    for n in sorted(data_names):
+        missing = tuple(c for c in cols if (n, c) not in have)
+        if missing:
+            by_missing.setdefault(missing, []).append(n)
+    if not by_missing:
+        return 0
+    fs, p = _fs(spark, path)
+    root = fs.makeQualified(p).toUri().toString().rstrip("/")
+    rows: list = []
+    done = 0
+    for missing, todo in by_missing.items():
+        want = list(missing)
+        pairs = [(f"{root}/{n}", n) for n in todo]
+        done += len(pairs)
+        got: list = []
+        if len(pairs) > _BLOOM_DRIVER_MAX:
+            try:
+                sc = spark.sparkContext
+                got = (
+                    sc.parallelize(pairs, max(2, len(pairs) // 64))
+                    .flatMap(
+                        lambda pr, w=want, e=fpp: _file_bloom_one(
+                            pr[0], pr[1], w, e
+                        )
+                    )
+                    .collect()
+                )
+            except Exception:
+                got = []
+        if not got:
+            for uri, rel in pairs:
+                got.extend(_file_bloom_one(uri, rel, want, fpp))
+        rows.extend(got)
+    if rows:
+        local_frame(spark, rows, _BLOOM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/{_VBLOOM}")
+    return done
+
+
+def bloom_enable(spark: SparkSession, path: str, cols, fpp: float = 0.01) -> int:
+    """Declare per-file Bloom filters for `cols` on a version-logged
+    dataset and backfill the CURRENT live file set (one column-pruned
+    read of each file's key columns — the only data scan this index
+    ever costs; every subsequent versioned commit harvests its added
+    files automatically via the _vlog_append_entry hook). Reads go
+    through :func:`read_keys`; takedowns' victim detection
+    (io.apply_deletes) consumes the same sidecar. Returns the number
+    of files backfilled."""
+    from engage_spark.io import maintenance_lease
+    from engage_spark.session import local_frame
+
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    cols = list(cols)
+    with maintenance_lease(spark, path):
+        local_frame(
+            spark, [(cols, float(fpp))], "cols array<string>, fpp double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_VBLOOM_SPEC}")
+        return _bloom_harvest(spark, path, _live_names(spark, path))
+
+
+def file_blooms(spark: SparkSession, path: str) -> DataFrame:
+    """The bloom sidecar as a DataFrame (bits included) — one row per
+    (file, column), deduped. Empty frame if never enabled."""
+    from engage_spark.session import local_frame
+
+    sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
+    if not sfs.exists(sp):
+        return local_frame(spark, [], _BLOOM_SCHEMA)
+    return spark.read.parquet(f"{path}/{_VBLOOM}").dropDuplicates(["name", "col"])
+
+
+def _bloom_prune(
+    spark: SparkSession, path: str, names: list, col: str, values
+) -> tuple:
+    """(kept_names, n_pruned): drop files whose bloom PROVES none of
+    `values` can be present in `col`. Files without a bloom row are
+    kept (absence never prunes); n_values=0 rows (all-NULL /
+    pre-evolution) are dropped (no equality matches NULL); an
+    unreadable sidecar degrades to no pruning. Driver probe up to
+    _BLOOM_PROBE_DRIVER_MAX files; past that the probe is a Spark job
+    over the sidecar (bloom BITS never move to the driver in bulk —
+    only the kept/probed NAME list comes back, bounded by file
+    count)."""
+    canon = []
+    for v in values:
+        b = _bloom_key_bytes(v)
+        if b is not None:
+            canon.append(b)
+    if not canon or len(canon) > _BLOOM_LOOKUP_MAX:
+        return list(names), 0
+    sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
+    if not sfs.exists(sp):
+        return list(names), 0
+    name_set = set(names)
+    verdict: dict = {}
+    try:
+        if len(names) <= _BLOOM_PROBE_DRIVER_MAX:
+            rows = (
+                spark.read.parquet(f"{path}/{_VBLOOM}")
+                .filter(
+                    (F.col("col") == col) & F.col("name").isin(list(names))
+                )
+                .collect()
+            )
+            for r in rows:
+                if r["name"] in verdict:
+                    continue
+                if r["n_values"] == 0:
+                    verdict[r["name"]] = False
+                else:
+                    verdict[r["name"]] = any(
+                        _bloom_maybe_contains(
+                            r["bits"], r["m_bits"], r["k"], b
+                        )
+                        for b in canon
+                    )
+        else:
+            from engage_spark.session import local_frame
+
+            nm = local_frame(spark, [(n,) for n in names], "name string")
+            side = (
+                spark.read.parquet(f"{path}/{_VBLOOM}")
+                .filter(F.col("col") == col)
+                .join(F.broadcast(nm), on="name", how="left_semi")
+                .select("name", "n_values", "m_bits", "k", "bits")
+            )
+
+            def _probe(batches, _canon=canon):
+                import pandas as pd
+
+                for pdf in batches:
+                    hits = []
+                    for nme, nv, m, k, bits in zip(
+                        pdf["name"], pdf["n_values"], pdf["m_bits"],
+                        pdf["k"], pdf["bits"],
+                    ):
+                        hit = bool(nv) and any(
+                            _bloom_maybe_contains(
+                                bytes(bits), int(m), int(k), b
+                            )
+                            for b in _canon
+                        )
+                        hits.append(hit)
+                    yield pd.DataFrame({"name": pdf["name"], "hit": hits})
+
+            for r in side.mapInPandas(
+                _probe, "name string, hit boolean"
+            ).collect():
+                if r["name"] not in verdict:
+                    verdict[r["name"]] = r["hit"]
+    except Exception:
+        # unreadable sidecar (torn rewrite window): blooms are an
+        # optimization — degrade to no pruning, never a wrong result
+        return list(names), 0
+    kept = [n for n in names if verdict.get(n, True) and n in name_set]
+    return kept, len(names) - len(kept)
+
+
+def read_keys(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values,
+    version: int | None = None,
+) -> DataFrame:
+    """Bloom-pruned point lookup: the dataset at `version` (default
+    latest) filtered to ``col IN values``, with the FILE LIST pruned
+    by per-file Bloom filters before the scan is planned — on a
+    10^5-file corpus a 100-key lookup on an indexed column schedules
+    the handful of files that can contain those keys instead of
+    scanning the key column everywhere. The exact IN predicate is
+    re-applied after the pruned scan (bloom false positives never
+    leak) and pending deletion vectors anti-join exactly like
+    read_version, so the result is byte-identical to filtering the
+    unpruned read. `values` is lookup-batch-sized (<= 100k; larger
+    batches skip pruning and should use a broadcast-join scan). NULLs
+    in `values` are dropped (SQL IN never matches NULL). Lookup
+    values must match the column's type — int 5 and string "5" hash
+    differently, same contract as a typed SQL predicate."""
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    _vlog_reconcile(spark, path)
+    entries = _vlog_entries(spark, path)
+    v = version if version is not None else entries[-1]["version"]
+    if not entries or v < 1 or v > entries[-1]["version"]:
+        raise ValueError(
+            f"version {v} out of range 1.."
+            f"{entries[-1]['version'] if entries else 0} for {path}"
+        )
+    names = _replay_files(entries, v)
+    if not names:
+        raise ValueError(f"version {v} of {path} has no data files")
+    vals = [x for x in values if x is not None]
+    kept, _ = _bloom_prune(spark, path, names, col, vals)
+    if not kept or not vals:
+        # every file provably key-free (or nothing to look up): an
+        # empty frame with the right schema, planning-level read only
+        return _read_names(spark, path, names[:1]).filter(F.lit(False))
+    df = _read_names(spark, path, kept)
+    df = _apply_pending_dvs(spark, path, entries, v, df)
+    return df.filter(F.col(col).isin(vals))
+
+
+def _bloom_vacuum(spark: SparkSession, path: str, needed: set) -> int:
+    """Compact the bloom sidecar during vacuum_versions (caller holds
+    the lease): one part file, rows only for files some retained
+    version still references. Crash-tolerant the cheap way — blooms
+    are an optimization, so the brief rewrite gap is covered by
+    _bloom_prune's conservative fallback. Returns rows kept."""
+    from engage_spark.session import local_frame
+
+    sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
+    if not sfs.exists(sp):
+        return 0
+    # EXECUTOR-SIDE rewrite: bloom rows carry the bitset, so unlike
+    # the stats compaction the surviving rows never route through the
+    # driver — only the `needed` NAME list ships out (broadcast join)
+    nm = local_frame(spark, [(n,) for n in sorted(needed)], "name string")
+    kept = (
+        spark.read.parquet(f"{path}/{_VBLOOM}")
+        .dropDuplicates(["name", "col"])
+        .join(F.broadcast(nm), on="name", how="left_semi")
+    )
+    staged = f"{path}/{_VDIR}/bloom_new"
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    kept.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    n_kept = int(obs.get["n"])
+    sfs.delete(sp, True)
+    nfs, np_ = _fs(spark, staged)
+    nfs.rename(np_, sp)
+    return n_kept

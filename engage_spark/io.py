@@ -2281,13 +2281,43 @@ def _apply_deletes_impl(
     tagged = spark.read.parquet(path).select(
         F.input_file_name().alias("__file"), *[F.col(c) for c in key_cols]
     )
+    # bloom-targeted victim detection (r14): when a per-file bloom
+    # index covers the key column, prune the candidate FILE LIST
+    # driver-side before any scan is planned — the confirmation scan
+    # then reads only files whose bloom admits a deleted key instead
+    # of footer-probing (Z-ordered key) or full-column-scanning
+    # (scattered key) the whole dataset. Files without a bloom row are
+    # always candidates, so this can only shrink IO, never miss a
+    # victim; the exact isin/semi-join filter below still decides.
+    bloom_cols: set = set()
+    if vlog:
+        from engage_spark.indexes import _bloom_spec
+
+        bloom_cols = set(_bloom_spec(spark, path)[0]) & set(key_cols)
     victim_set: set = set()
     for c, kdf in per_key.items():
         if counts[c] <= _DELETES_ISIN_MAX:
             # literal In pushes to the parquet scan: row-group stats
             # skip files whose key range misses the batch entirely
             keys = [r[0] for r in kdf.collect()]
-            hits = tagged.filter(F.col(c).isin(keys))
+            src = tagged
+            if c in bloom_cols:
+                from engage_spark.indexes import _bloom_prune
+                from engage_spark.versioning import (
+                    _live_names,
+                    _read_names,
+                )
+
+                cand, n_pruned = _bloom_prune(
+                    spark, path, _live_names(spark, path), c, keys
+                )
+                if not cand:
+                    continue  # no live file can contain these keys
+                if n_pruned:
+                    src = _read_names(spark, path, cand).select(
+                        F.input_file_name().alias("__file"), F.col(c)
+                    )
+            hits = src.filter(F.col(c).isin(keys))
         else:
             hits = tagged.join(F.broadcast(kdf), on=c, how="left_semi")
         victim_set |= {

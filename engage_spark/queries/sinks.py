@@ -1843,3 +1843,63 @@ def s21_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pruned", F.lit(n_pruned > 0))
     )
+
+
+@query(
+    "s22_bloom_point_lookup",
+    # Oracle: a plain IN-filter over `events` — a hash match proves the
+    # bloom-pruned point lookup is byte-identical to scanning
+    # everything (false positives only ever ADD candidate files; the
+    # exact IN predicate is re-applied). The `pruned` literal pins that
+    # the index actually dropped files for this lookup: event_id is
+    # SCATTERED across the Z-ordered (user_id, v_cents) layout, so
+    # min/max stats could never prune it — only the bloom can.
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value * 100 + 1e-9) AS BIGINT) AS cents,
+           true AS pruned
+    FROM events WHERE event_id IN (7, 123, 256, 555, 808, 901)
+    """,
+    covers=["S4"],
+)
+def s22_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-filter key index + point lookup (r14): Z-order
+    `events` on (user_id, v_cents) — so event_id is scattered, the
+    worst case for min/max skipping — enable the version log, build
+    per-file blooms on event_id (indexes.bloom_enable: ONE
+    column-pruned read per file, then every versioned commit harvests
+    its own files), and answer a 6-key lookup via indexes.read_keys,
+    which prunes the FILE LIST driver-side before the scan is planned.
+    This is the takedown / GDPR / fetch-these-doc_ids path: at 100 TB
+    a keyed lookup schedules the handful of files whose bloom admits a
+    key instead of scanning the key column everywhere (io.apply_deletes
+    victim detection consumes the same sidecar). The `pruned` column
+    hash-fails if the index failed to drop at least one file; the rows
+    hash-fail if pruning dropped one it shouldn't have."""
+    import shutil
+
+    from engage_spark.indexes import _bloom_prune, bloom_enable, read_keys
+    from engage_spark.io import zorder_write
+    from engage_spark.versioning import (
+        _replay_files,
+        _vlog_entries,
+        latest_version,
+        version_log_enable,
+    )
+
+    ids = [7, 123, 256, 555, 808, 901]
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("cents"),
+    )
+    tgt = _scratch("events_bloom_lookup")
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    zorder_write(spark, ev, tgt, ["user_id", "cents"], bits=16, num_files=24)
+    version_log_enable(spark, tgt)
+    bloom_enable(spark, tgt, ["event_id"])
+    names = _replay_files(_vlog_entries(spark, tgt), latest_version(spark, tgt))
+    _, n_pruned = _bloom_prune(spark, tgt, names, "event_id", ids)
+    return read_keys(spark, tgt, "event_id", ids).withColumn(
+        "pruned", F.lit(n_pruned > 0)
+    )

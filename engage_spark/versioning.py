@@ -347,6 +347,22 @@ def _vlog_append_entry(
                 "by read_where",
                 stacklevel=2,
             )
+        # per-file bloom harvest (r14): same contract as stats — spec
+        # absent = one fs.exists probe and out; a failed harvest never
+        # fails the data commit (unbloomed files are simply never
+        # pruned by read_keys / apply_deletes victim targeting)
+        from engage_spark.indexes import _bloom_harvest
+
+        try:
+            _bloom_harvest(spark, path, list(added))
+        except Exception as exc:  # noqa: BLE001
+            import warnings
+
+            warnings.warn(
+                f"bloom harvest failed for {path}: {exc}; the commit "
+                "is intact but its files won't be pruned by read_keys",
+                stacklevel=2,
+            )
     if op != "snapshot" and v % _SNAPSHOT_EVERY == 0:
         fresh = _vlog_entries(spark, path)
         _vlog_append_entry(
@@ -2069,6 +2085,13 @@ def vacuum_versions(
             if _sspec(spark, path)
             else 0
         )
+        # bloom sidecar compaction (r14): same contract, executor-side
+        # rewrite (bloom rows carry the bitset)
+        from engage_spark.indexes import _bloom_spec as _bspec
+        from engage_spark.indexes import _bloom_vacuum
+
+        if _bspec(spark, path)[0]:
+            _bloom_vacuum(spark, path, needed | live)
         # orphan staging siblings (r14): an appender or optimistic
         # MERGE that crashed (or lost its race) BEFORE its manifest
         # write left a staging dir next to the dataset that nothing

@@ -1,0 +1,333 @@
+"""Per-file Bloom-filter key index + point-lookup reads
+(engage_spark.indexes, round 14).
+
+Pins the two-sided contract: a lookup on an indexed key prunes the
+file list (a handful of candidate files on a layout where the key is
+scattered, i.e. NOT the cluster column) AND the pruned read is
+byte-identical to filtering the unpruned read — no false negatives
+ever (every inserted key maybe-present), exact semantics under pending
+deletion vectors, at historical versions, across appends and schema
+evolution, with conservative fallbacks (missing bloom rows, torn
+sidecar, oversized lookups) and bloom-targeted apply_deletes victim
+detection producing the same physical result as the untargeted scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engage_spark.indexes import (
+    _BLOOM_LOOKUP_MAX,
+    _bloom_key_bytes,
+    _bloom_maybe_contains,
+    _bloom_params,
+    _bloom_prune,
+    _build_bloom,
+    bloom_enable,
+    file_blooms,
+    read_keys,
+)
+from engage_spark.io import (
+    append_dataset,
+    apply_deletes,
+    delete_rows,
+    write_parquet,
+    zorder_write,
+)
+from engage_spark.versioning import (
+    _replay_files,
+    _vlog_entries,
+    latest_version,
+    read_version,
+    version_log_enable,
+)
+
+IDS = [7, 123, 256, 555, 808, 901]
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+
+
+def _names(spark, path):
+    return _replay_files(
+        _vlog_entries(spark, path), latest_version(spark, path)
+    )
+
+
+def _same(a, b):
+    b = b.select(*a.columns)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+@pytest.fixture()
+def zbloom(spark, sf_dir, tmp_path):
+    """Z-ordered events (cluster cols ≠ event_id, so event_id is
+    SCATTERED across files — the case min/max stats cannot prune) +
+    version log + bloom on event_id."""
+    out = str(tmp_path / "zbloom")
+    ev = _events(spark, sf_dir)
+    zorder_write(spark, ev, out, ["user_id", "v_cents"], bits=16, num_files=16)
+    version_log_enable(spark, out)
+    n = bloom_enable(spark, out, ["event_id"])
+    assert n == 16
+    return out, ev
+
+
+# ---------------------------------------------------------------- unit
+
+
+def test_no_false_negatives_ints_and_strings():
+    vals = list(range(0, 2000, 3)) + [f"doc-{i}" for i in range(500)]
+    n, m, k, bits = _build_bloom(vals, fpp=0.01)
+    assert n == len(vals) and m % 8 == 0 and 1 <= k <= 16
+    for v in vals:
+        assert _bloom_maybe_contains(bits, m, k, _bloom_key_bytes(v))
+
+
+def test_fpp_roughly_holds():
+    vals = list(range(10_000))
+    n, m, k, bits = _build_bloom(vals, fpp=0.01)
+    probes = range(1_000_000, 1_010_000)
+    fp = sum(
+        _bloom_maybe_contains(bits, m, k, _bloom_key_bytes(v))
+        for v in probes
+    )
+    assert fp / 10_000 < 0.03, f"false-positive rate {fp/10_000} >> 1%"
+
+
+def test_key_canonicalization_contract():
+    # integral float == int (Spark's 5.0 = bigint 5 matches)
+    assert _bloom_key_bytes(5.0) == _bloom_key_bytes(5)
+    # bool folds into int (Spark casts true = 1)
+    assert _bloom_key_bytes(True) == _bloom_key_bytes(1)
+    # typed prefixes: int 5 never collides with string "5"
+    assert _bloom_key_bytes(5) != _bloom_key_bytes("5")
+    assert _bloom_key_bytes(None) is None
+
+
+def test_params_scale_sanely():
+    m1, k1 = _bloom_params(1, 0.01)
+    assert m1 >= 64 and k1 >= 1
+    m, k = _bloom_params(1_000_000, 0.01)
+    assert 9 <= m / 1_000_000 <= 11 and 6 <= k <= 8
+
+
+def test_empty_values_build_prunable_marker():
+    assert _build_bloom([None, None], 0.01) == (0, 0, 0, b"")
+
+
+# ------------------------------------------------------------ lookups
+
+
+def test_point_lookup_prunes_and_is_exact(spark, zbloom):
+    out, ev = zbloom
+    kept, pruned = _bloom_prune(spark, out, _names(spark, out), "event_id", IDS)
+    assert pruned > 0, "6-key lookup over 16 files must skip files"
+    assert len(kept) >= 1
+    got = read_keys(spark, out, "event_id", IDS)
+    exp = ev.filter(F.col("event_id").isin(IDS))
+    assert exp.count() == len(IDS)
+    _same(got, exp)
+
+
+def test_absent_key_lookup_is_empty_with_schema(spark, zbloom):
+    out, ev = zbloom
+    got = read_keys(spark, out, "event_id", [10**12, 10**12 + 1])
+    assert got.columns == ev.columns
+    assert got.count() == 0
+    # empty / all-NULL lookup lists: nothing to match, schema intact
+    assert read_keys(spark, out, "event_id", []).count() == 0
+    assert read_keys(spark, out, "event_id", [None]).count() == 0
+
+
+def test_lookup_respects_pending_deletion_vectors(spark, zbloom):
+    out, ev = zbloom
+    delete_rows(spark, out, IDS[:2], "event_id")
+    got = read_keys(spark, out, "event_id", IDS)
+    exp = ev.filter(F.col("event_id").isin(IDS[2:]))
+    _same(got, exp)
+    # the pre-delete version still shows all six
+    v_before = latest_version(spark, out) - 1
+    _same(
+        read_keys(spark, out, "event_id", IDS, version=v_before),
+        ev.filter(F.col("event_id").isin(IDS)),
+    )
+
+
+def test_commit_hook_harvests_appended_files(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "hooked")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev.filter(F.col("event_id") % 2 == 0), out)
+    version_log_enable(spark, out)
+    bloom_enable(spark, out, ["event_id"])
+    before = file_blooms(spark, out).count()
+    append_dataset(spark, ev.filter(F.col("event_id") % 2 == 1), out)
+    after = file_blooms(spark, out)
+    assert after.count() > before, "append commit must harvest its files"
+    # every live file has a row, and the lookup spans both halves
+    assert set(r["name"] for r in after.collect()) >= set(_names(spark, out))
+    _same(
+        read_keys(spark, out, "event_id", IDS),
+        ev.filter(F.col("event_id").isin(IDS)),
+    )
+
+
+def test_widened_spec_backfills_missing_columns(spark, zbloom):
+    out, ev = zbloom
+    bloom_enable(spark, out, ["event_id", "user_id"])
+    bl = file_blooms(spark, out)
+    assert bl.filter(F.col("col") == "user_id").count() == 16
+    # event_id rows were NOT rebuilt (still exactly one per file)
+    assert bl.filter(F.col("col") == "event_id").count() == 16
+    users = [r[0] for r in ev.select("user_id").distinct().limit(2).collect()]
+    _same(
+        read_keys(spark, out, "user_id", users),
+        ev.filter(F.col("user_id").isin(users)),
+    )
+
+
+def test_partition_column_blooms_prune_directories(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "parted")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    write_parquet(ev, out, partition_by=["event_type"])
+    version_log_enable(spark, out)
+    bloom_enable(spark, out, ["event_type", "event_id"])
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    one = types[0]
+    names = _names(spark, out)
+    kept, pruned = _bloom_prune(spark, out, names, "event_type", [one])
+    assert pruned > 0
+    assert all(f"event_type={one}/" in n for n in kept)
+    _same(
+        read_keys(spark, out, "event_type", [one]),
+        ev.filter(F.col("event_type") == one),
+    )
+
+
+def test_schema_evolution_absent_column_prunes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "evolved")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev.filter(F.col("event_id") < 500), out)
+    version_log_enable(spark, out)
+    append_dataset(
+        spark,
+        ev.filter(F.col("event_id") >= 500).withColumn(
+            "batch_tag", F.lit(7).cast("long")
+        ),
+        out,
+    )
+    bloom_enable(spark, out, ["batch_tag"])
+    bl = file_blooms(spark, out).filter(F.col("col") == "batch_tag")
+    # pre-evolution files carry the prunable n_values=0 marker
+    assert bl.filter(F.col("n_values") == 0).count() > 0
+    names = _names(spark, out)
+    kept, pruned = _bloom_prune(spark, out, names, "batch_tag", [7])
+    assert pruned > 0, "pre-evolution files can never match batch_tag=7"
+    got = read_keys(spark, out, "batch_tag", [7])
+    assert got.count() == ev.filter(F.col("event_id") >= 500).count()
+
+
+def test_conservative_fallbacks(spark, zbloom, tmp_path):
+    out, ev = zbloom
+    names = _names(spark, out)
+    # oversized lookup: prune declines, read still exact
+    big = list(range(_BLOOM_LOOKUP_MAX + 1))
+    kept, pruned = _bloom_prune(spark, out, names, "event_id", big)
+    assert (kept, pruned) == (names, 0)
+    # un-indexed column: no sidecar rows -> keep everything
+    kept, pruned = _bloom_prune(spark, out, names, "v_cents", [1, 2])
+    assert (kept, pruned) == (names, 0)
+    # torn sidecar: garbage parquet degrades to no pruning, exact read
+    import pathlib
+
+    side = pathlib.Path(out) / "_versions" / "bloom"
+    for pf in side.glob("*.parquet"):
+        pf.write_bytes(b"not parquet at all")
+    kept, pruned = _bloom_prune(spark, out, names, "event_id", IDS)
+    assert (kept, pruned) == (names, 0)
+    _same(
+        read_keys(spark, out, "event_id", IDS),
+        ev.filter(F.col("event_id").isin(IDS)),
+    )
+
+
+def test_unversioned_dataset_refused(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "plain")
+    write_parquet(_events(spark, sf_dir), out)
+    with pytest.raises(ValueError, match="version log"):
+        bloom_enable(spark, out, ["event_id"])
+    with pytest.raises(ValueError, match="version log"):
+        read_keys(spark, out, "event_id", [1])
+
+
+# ------------------------------------------- takedowns + maintenance
+
+
+def test_bloom_targeted_apply_deletes_matches_untargeted(
+    spark, sf_dir, tmp_path
+):
+    ev = _events(spark, sf_dir)
+    outs = {}
+    for tag, index in (("idx", True), ("noidx", False)):
+        out = str(tmp_path / tag)
+        zorder_write(
+            spark, ev, out, ["user_id", "v_cents"], bits=16, num_files=16
+        )
+        version_log_enable(spark, out)
+        if index:
+            bloom_enable(spark, out, ["event_id"])
+        delete_rows(spark, out, IDS, "event_id")
+        outs[tag] = (out, apply_deletes(spark, out))
+    ra, rb = outs["idx"][1], outs["noidx"][1]
+    assert ra["deleted_keys"] == rb["deleted_keys"] == len(IDS)
+    assert ra["rewritten_files"] == rb["rewritten_files"]
+    exp = ev.filter(~F.col("event_id").isin(IDS))
+    for out, _ in outs.values():
+        _same(read_version(spark, out, latest_version(spark, out)), exp)
+    # the indexed dataset's rewrite went through the bloom candidates:
+    # clean files were never nominated (rewritten <= files that can
+    # contain a deleted key)
+    kept, _ = _bloom_prune(
+        spark, outs["idx"][0], _names(spark, outs["idx"][0]), "event_id", IDS
+    )
+    # post-apply live names include rewritten files; the bound we pin
+    # is on the result dict computed before the swap
+    assert ra["rewritten_files"] <= len(IDS) + 4  # fp slack on 16 files
+
+
+def test_vacuum_compacts_bloom_sidecar(spark, zbloom):
+    out, ev = zbloom
+    from engage_spark.versioning import vacuum_versions
+
+    # churn a few commits so the sidecar has multiple parts
+    append_dataset(spark, ev.limit(10), out)
+    append_dataset(spark, ev.limit(5), out)
+    import pathlib
+
+    side = pathlib.Path(out) / "_versions" / "bloom"
+    assert len(list(side.glob("*.parquet"))) >= 3
+    vacuum_versions(spark, out, keep_last=1)
+    assert len(list(side.glob("*.parquet"))) == 1
+    # rows survive for every live file; lookups stay exact
+    assert set(
+        r["name"] for r in file_blooms(spark, out).collect()
+    ) >= set(_names(spark, out))
+    # the two appends duplicated some rows; the pruned lookup must
+    # still be byte-identical to filtering the full current version
+    _same(
+        read_keys(spark, out, "event_id", IDS),
+        read_version(spark, out, latest_version(spark, out)).filter(
+            F.col("event_id").isin(IDS)
+        ),
+    )
