@@ -34,6 +34,15 @@ the key column once — column-pruned, distributed past 256 files, and
 amortized: every subsequent lookup and every takedown's victim
 detection skips the full-column scan forever after.
 
+SIZING `fpp` for batch lookups: false positives compound per batch —
+a file survives pruning if ANY of the B lookup keys false-positives,
+so P(clean file kept) ≈ 1-(1-fpp)^B ≈ B*fpp. The default fpp=0.01 is
+right for ~single-key lookups; a corpus whose takedowns arrive in
+10^4-key batches should enable with fpp ≈ 10^-6 (≈29 bits per
+distinct value instead of ~10 — still metadata-sized) so a batch
+keeps ~B + 10^-2*F files instead of most of the corpus. Measured
+ladder in SCALE.md §Bloom point lookup.
+
 Reference parity note: covers no reference file — engine extension
 (the 100 TB point-lookup / takedown planning path).
 """
