@@ -59,10 +59,12 @@ from engage_spark.versioning import (
     _VDIR,
     _apply_pending_dvs,
     _fs,
+    _heal_staged_sidecar,
     _live_names,
     _pa_fs_for,
     _read_names,
     _replay_files,
+    _staged_sidecar_swap,
     _vlog_entries,
     _vlog_reconcile,
     version_log_enabled,
@@ -113,7 +115,23 @@ def _bloom_key_bytes(v):
         return b"b" + bytes(v)
     if hasattr(v, "item"):  # numpy scalar from an Arrow round-trip
         return _bloom_key_bytes(v.item())
-    if hasattr(v, "isoformat"):  # date / datetime
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # tz normalization (review-found): the HARVEST side reads
+        # Spark-written TIMESTAMP_MICROS via pyarrow as tz-AWARE (UTC)
+        # datetimes, while the LOOKUP side (a Spark collect, or
+        # apply_deletes' key batch) yields NAIVE datetimes in the
+        # session timezone. Convert aware values to UTC and strip the
+        # tzinfo so both sides hash the same instant — exact because
+        # the engage session pins spark.sql.session.timeZone=UTC
+        # (session.py); under a foreign non-UTC session _bloom_prune
+        # REFUSES to prune datetime lookups (a shifted naive value
+        # would hash differently and wrongly prune a file).
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return b"t" + v.isoformat().encode()
+    if hasattr(v, "isoformat"):  # date
         return b"s" + v.isoformat().encode()
     return b"s" + str(v).encode("utf-8")
 
@@ -128,21 +146,35 @@ def _bloom_params(n: int, fpp: float) -> tuple:
     return m, min(k, 16)
 
 
-def _bloom_positions(key_bytes: bytes, m: int, k: int) -> list:
-    """k bit positions via double hashing over one md5: h1 + i*h2 mod
-    m, h2 forced odd so the stride cycles the whole table."""
+def _bloom_hash_pair(key_bytes: bytes) -> tuple:
+    """(h1, h2) for double hashing, from one md5; h2 forced odd so the
+    stride cycles any table size. Depends only on the key, so probes
+    hash each key ONCE per prune call and reuse the pair across every
+    file (review-found: the per-(key, file) recompute multiplied
+    digest cost by the file count)."""
     import hashlib
 
     d = hashlib.md5(key_bytes).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:16], "big") | 1
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big") | 1
+
+
+def _bloom_positions(key_bytes: bytes, m: int, k: int) -> list:
+    """k bit positions via double hashing: h1 + i*h2 mod m."""
+    h1, h2 = _bloom_hash_pair(key_bytes)
     return [(h1 + i * h2) % m for i in range(k)]
 
 
+def _maybe_contains_pair(bits: bytes, m: int, k: int, h1: int, h2: int) -> bool:
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not bits[pos >> 3] >> (pos & 7) & 1:
+            return False
+    return True
+
+
 def _bloom_maybe_contains(bits: bytes, m: int, k: int, key_bytes: bytes) -> bool:
-    return all(
-        bits[pos >> 3] >> (pos & 7) & 1 for pos in _bloom_positions(key_bytes, m, k)
-    )
+    h1, h2 = _bloom_hash_pair(key_bytes)
+    return _maybe_contains_pair(bits, m, k, h1, h2)
 
 
 def _build_bloom(values, fpp: float) -> tuple:
@@ -212,88 +244,44 @@ def _file_bloom_one(uri: str, rel: str, cols: list, fpp: float) -> list:
 
 
 def _bloom_spec(spark: SparkSession, path: str) -> tuple:
-    """(cols, fpp) or ([], 0.0) when blooms were never enabled."""
+    """(cols, fpp) or ([], 0.0) when blooms were never enabled. A
+    TORN spec dir (a crashed bloom_enable's half-written overwrite)
+    degrades to 'not enabled' instead of raising — the spec is read
+    on every takedown's and vacuum's hot path, and the index must
+    never become a correctness gate (review-found: the unguarded read
+    made apply_deletes fail hard until manual repair)."""
     sfs, sp = _fs(spark, f"{path}/{_VBLOOM_SPEC}")
     if not sfs.exists(sp):
         return [], 0.0
-    row = spark.read.parquet(f"{path}/{_VBLOOM_SPEC}").collect()
+    try:
+        row = spark.read.parquet(f"{path}/{_VBLOOM_SPEC}").collect()
+    except Exception:
+        return [], 0.0
     if not row:
         return [], 0.0
     return list(row[0]["cols"]), float(row[0]["fpp"])
 
 
-def _bloom_existing_pairs(spark: SparkSession, path: str, names: list) -> set:
-    """(name, col) pairs already harvested AMONG `names` — bounded by
-    the increment (pushdown filter before collect), same contract as
-    stats._stats_existing_pairs: this runs inside the lease-held
-    commit tail."""
-    sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
-    if not sfs.exists(sp):
-        return set()
-    return {
-        (r["name"], r["col"])
-        for r in spark.read.parquet(f"{path}/{_VBLOOM}")
-        .filter(F.col("name").isin(list(names)))
-        .select("name", "col")
-        .distinct()
-        .collect()
-    }
-
-
 def _bloom_harvest(spark: SparkSession, path: str, names: list) -> int:
-    """Append bloom rows for `names`, deduped against (file, column)
-    pairs already harvested (files are immutable — a replayed commit
-    never changes a row; a spec widened later backfills only the new
-    columns). Driver loop for small increments, a Spark job past
-    _BLOOM_DRIVER_MAX files with a driver fallback if executor-side
-    pyarrow cannot reach the filesystem. Caller holds the maintenance
-    lease. Returns the number of files harvested."""
-    from engage_spark.session import local_frame
+    """Append bloom rows for `names` — the shared sidecar harvest
+    (versioning._sidecar_harvest: (file, column) pair dedup, driver
+    loop for small increments / Spark job past _BLOOM_DRIVER_MAX
+    files, increment-bounded driver transfer) with _file_bloom_one at
+    the spec's fpp as the per-file builder. Caller holds the
+    maintenance lease. Returns the number of files harvested."""
+    from engage_spark.versioning import _sidecar_harvest
 
     cols, fpp = _bloom_spec(spark, path)
     if not cols or not names:
         return 0
-    data_names = [n for n in set(names) if not n.startswith("deletes_v")]
-    have = _bloom_existing_pairs(spark, path, data_names)
-    by_missing: dict = {}
-    for n in sorted(data_names):
-        missing = tuple(c for c in cols if (n, c) not in have)
-        if missing:
-            by_missing.setdefault(missing, []).append(n)
-    if not by_missing:
-        return 0
-    fs, p = _fs(spark, path)
-    root = fs.makeQualified(p).toUri().toString().rstrip("/")
-    rows: list = []
-    done = 0
-    for missing, todo in by_missing.items():
-        want = list(missing)
-        pairs = [(f"{root}/{n}", n) for n in todo]
-        done += len(pairs)
-        got: list = []
-        if len(pairs) > _BLOOM_DRIVER_MAX:
-            try:
-                sc = spark.sparkContext
-                got = (
-                    sc.parallelize(pairs, max(2, len(pairs) // 64))
-                    .flatMap(
-                        lambda pr, w=want, e=fpp: _file_bloom_one(
-                            pr[0], pr[1], w, e
-                        )
-                    )
-                    .collect()
-                )
-            except Exception:
-                got = []
-        if not got:
-            for uri, rel in pairs:
-                got.extend(_file_bloom_one(uri, rel, want, fpp))
-        rows.extend(got)
-    if rows:
-        local_frame(spark, rows, _BLOOM_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{path}/{_VBLOOM}")
-    return done
+    _heal_staged_sidecar(
+        spark, f"{path}/{_VBLOOM}", f"{path}/{_VDIR}/bloom_new"
+    )
+    return _sidecar_harvest(
+        spark, path, list(names), cols, _VBLOOM, _BLOOM_SCHEMA,
+        lambda uri, rel, want, _e=fpp: _file_bloom_one(uri, rel, want, _e),
+        driver_max=_BLOOM_DRIVER_MAX,
+    )
 
 
 def bloom_enable(spark: SparkSession, path: str, cols, fpp: float = 0.01) -> int:
@@ -313,10 +301,34 @@ def bloom_enable(spark: SparkSession, path: str, cols, fpp: float = 0.01) -> int
     if not 0.0 < fpp < 1.0:
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     cols = list(cols)
+    # validate against the dataset's MERGED schema (review-found: a
+    # misspelled column would otherwise silently index n_values=0
+    # everywhere and turn every lookup on it into an empty frame,
+    # masking the typo the unpruned read would raise on). mergeSchema
+    # so a column introduced by evolution — present only in younger
+    # files — still validates; partition columns surface here too.
+    known = set(
+        spark.read.option("mergeSchema", "true").parquet(path).columns
+    )
+    unknown = [c for c in cols if c not in known]
+    if unknown:
+        raise ValueError(
+            f"column(s) {unknown} not in the dataset schema {sorted(known)}"
+        )
     with maintenance_lease(spark, path):
+        old_cols, old_fpp = _bloom_spec(spark, path)
         local_frame(
             spark, [(cols, float(fpp))], "cols array<string>, fpp double"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_VBLOOM_SPEC}")
+        if old_cols and float(fpp) != old_fpp:
+            # re-sizing fpp REBUILDS the index (review-found: the
+            # (name, col) harvest dedup would otherwise skip every
+            # existing file and silently keep the old rate — the
+            # module docstring tells batch-takedown corpora to
+            # re-enable at fpp≈1e-6, so the re-enable must take)
+            sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
+            if sfs.exists(sp):
+                sfs.delete(sp, True)
         return _bloom_harvest(spark, path, _live_names(spark, path))
 
 
@@ -343,16 +355,34 @@ def _bloom_prune(
     over the sidecar (bloom BITS never move to the driver in bulk —
     only the kept/probed NAME list comes back, bounded by file
     count)."""
+    import datetime as _dt
+
     canon = []
     for v in values:
+        if (
+            isinstance(v, _dt.datetime)
+            and v.tzinfo is None
+            and spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC"
+        ):
+            # naive datetimes under a non-UTC session would hash a
+            # shifted instant and could WRONGLY prune (bloom false
+            # negatives are not conservative) — refuse to prune
+            return list(names), 0
         b = _bloom_key_bytes(v)
         if b is not None:
             canon.append(b)
     if not canon or len(canon) > _BLOOM_LOOKUP_MAX:
         return list(names), 0
+    try:
+        _heal_staged_sidecar(
+            spark, f"{path}/{_VBLOOM}", f"{path}/{_VDIR}/bloom_new"
+        )
+    except Exception:
+        pass  # heal is opportunistic on the read path
     sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
     if not sfs.exists(sp):
         return list(names), 0
+    pairs = [_bloom_hash_pair(b) for b in canon]
     name_set = set(names)
     verdict: dict = {}
     try:
@@ -371,10 +401,10 @@ def _bloom_prune(
                     verdict[r["name"]] = False
                 else:
                     verdict[r["name"]] = any(
-                        _bloom_maybe_contains(
-                            r["bits"], r["m_bits"], r["k"], b
+                        _maybe_contains_pair(
+                            r["bits"], r["m_bits"], r["k"], h1, h2
                         )
-                        for b in canon
+                        for h1, h2 in pairs
                     )
         else:
             from engage_spark.session import local_frame
@@ -387,20 +417,19 @@ def _bloom_prune(
                 .select("name", "n_values", "m_bits", "k", "bits")
             )
 
-            def _probe(batches, _canon=canon):
+            def _probe(batches, _pairs=pairs):
                 import pandas as pd
 
                 for pdf in batches:
                     hits = []
-                    for nme, nv, m, k, bits in zip(
-                        pdf["name"], pdf["n_values"], pdf["m_bits"],
-                        pdf["k"], pdf["bits"],
+                    for nv, m, k, bits in zip(
+                        pdf["n_values"], pdf["m_bits"], pdf["k"], pdf["bits"]
                     ):
                         hit = bool(nv) and any(
-                            _bloom_maybe_contains(
-                                bytes(bits), int(m), int(k), b
+                            _maybe_contains_pair(
+                                bytes(bits), int(m), int(k), h1, h2
                             )
-                            for b in _canon
+                            for h1, h2 in _pairs
                         )
                         hits.append(hit)
                     yield pd.DataFrame({"name": pdf["name"], "hit": hits})
@@ -443,11 +472,12 @@ def read_keys(
         raise ValueError(f"{path} has no version log (version_log_enable)")
     _vlog_reconcile(spark, path)
     entries = _vlog_entries(spark, path)
+    if not entries:
+        raise ValueError(f"version log of {path} has no entries")
     v = version if version is not None else entries[-1]["version"]
-    if not entries or v < 1 or v > entries[-1]["version"]:
+    if v < 1 or v > entries[-1]["version"]:
         raise ValueError(
-            f"version {v} out of range 1.."
-            f"{entries[-1]['version'] if entries else 0} for {path}"
+            f"version {v} out of range 1..{entries[-1]['version']} for {path}"
         )
     names = _replay_files(entries, v)
     if not names:
@@ -456,8 +486,12 @@ def read_keys(
     kept, _ = _bloom_prune(spark, path, names, col, vals)
     if not kept or not vals:
         # every file provably key-free (or nothing to look up): an
-        # empty frame with the right schema, planning-level read only
-        return _read_names(spark, path, names[:1]).filter(F.lit(False))
+        # empty frame with the UNION schema — read ALL the version's
+        # files at planning level only (footer merge, no data pages;
+        # review-found: names[:1] could be a pre-evolution file
+        # missing the looked-up column, breaking the byte-identical
+        # schema contract and crashing downstream selects)
+        return _read_names(spark, path, names).filter(F.lit(False))
     df = _read_names(spark, path, kept)
     df = _apply_pending_dvs(spark, path, entries, v, df)
     return df.filter(F.col(col).isin(vals))
@@ -471,6 +505,8 @@ def _bloom_vacuum(spark: SparkSession, path: str, needed: set) -> int:
     _bloom_prune's conservative fallback. Returns rows kept."""
     from engage_spark.session import local_frame
 
+    staged = f"{path}/{_VDIR}/bloom_new"
+    _heal_staged_sidecar(spark, f"{path}/{_VBLOOM}", staged)
     sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
     if not sfs.exists(sp):
         return 0
@@ -483,7 +519,6 @@ def _bloom_vacuum(spark: SparkSession, path: str, needed: set) -> int:
         .dropDuplicates(["name", "col"])
         .join(F.broadcast(nm), on="name", how="left_semi")
     )
-    staged = f"{path}/{_VDIR}/bloom_new"
     from pyspark.sql import Observation
 
     obs = Observation()
@@ -491,7 +526,8 @@ def _bloom_vacuum(spark: SparkSession, path: str, needed: set) -> int:
         "overwrite"
     ).parquet(staged)
     n_kept = int(obs.get["n"])
-    sfs.delete(sp, True)
-    nfs, np_ = _fs(spark, staged)
-    nfs.rename(np_, sp)
+    # delete-live → rename-staged; a crash between the two is healed
+    # by _heal_staged_sidecar at the next read/compaction (the staged
+    # dir's _SUCCESS marker proves completeness)
+    _staged_sidecar_swap(spark, f"{path}/{_VBLOOM}", staged)
     return n_kept

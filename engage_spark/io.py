@@ -2290,10 +2290,18 @@ def _apply_deletes_impl(
     # always candidates, so this can only shrink IO, never miss a
     # victim; the exact isin/semi-join filter below still decides.
     bloom_cols: set = set()
+    live_names: list = []
     if vlog:
         from engage_spark.indexes import _bloom_spec
 
         bloom_cols = set(_bloom_spec(spark, path)[0]) & set(key_cols)
+        if bloom_cols:
+            # one listing for ALL indexed key columns (the walk is
+            # invariant under the lease; per-column re-walks at 10^5
+            # files would repeat the dominant metadata cost)
+            from engage_spark.versioning import _live_names
+
+            live_names = _live_names(spark, path)
     victim_set: set = set()
     for c, kdf in per_key.items():
         if counts[c] <= _DELETES_ISIN_MAX:
@@ -2303,13 +2311,10 @@ def _apply_deletes_impl(
             src = tagged
             if c in bloom_cols:
                 from engage_spark.indexes import _bloom_prune
-                from engage_spark.versioning import (
-                    _live_names,
-                    _read_names,
-                )
+                from engage_spark.versioning import _read_names
 
                 cand, n_pruned = _bloom_prune(
-                    spark, path, _live_names(spark, path), c, keys
+                    spark, path, live_names, c, keys
                 )
                 if not cand:
                     continue  # no live file can contain these keys

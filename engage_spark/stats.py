@@ -31,10 +31,12 @@ from engage_spark.versioning import (
     _VDIR,
     _apply_pending_dvs,
     _fs,
+    _heal_staged_sidecar,
     _live_names,
     _pa_fs_for,
     _read_names,
     _replay_files,
+    _staged_sidecar_swap,
     _vlog_entries,
     _vlog_reconcile,
     version_log_enabled,
@@ -169,88 +171,42 @@ def _footer_stats_one(uri: str, rel: str, cols: list) -> list:
 
 
 def _stats_spec(spark: SparkSession, path: str) -> list:
+    """Declared stat columns, or [] when never enabled. A TORN spec
+    dir (a crashed stats_enable's half-written overwrite) degrades to
+    'not enabled' instead of raising — the spec is probed on every
+    versioned commit's tail and every vacuum, and stats must never
+    become a correctness gate (same review-found class as the bloom
+    spec)."""
     sfs, sp = _fs(spark, f"{path}/{_VSTATS_SPEC}")
     if not sfs.exists(sp):
         return []
-    row = spark.read.parquet(f"{path}/{_VSTATS_SPEC}").collect()
+    try:
+        row = spark.read.parquet(f"{path}/{_VSTATS_SPEC}").collect()
+    except Exception:
+        return []
     return list(row[0]["cols"]) if row else []
 
 
-def _stats_existing_pairs(
-    spark: SparkSession, path: str, names: list
-) -> set:
-    """(name, col) pairs already harvested AMONG `names` — per-COLUMN
-    granularity so a later stats_enable with ADDITIONAL columns
-    backfills exactly the missing columns for already-harvested files.
-    Filtered to the queried names BEFORE collecting: the dedup runs
-    inside the lease-held commit tail, so its driver transfer must be
-    bounded by the increment, never by the sidecar's total size."""
-    sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
-    if not sfs.exists(sp):
-        return set()
-    return {
-        (r["name"], r["col"])
-        for r in spark.read.parquet(f"{path}/{_VSTATS}")
-        .filter(F.col("name").isin(list(names)))
-        .select("name", "col").distinct().collect()
-    }
-
-
 def _stats_harvest(spark: SparkSession, path: str, names: list) -> int:
-    """Append footer-harvested stats rows for `names` (deduped against
-    (file, column) pairs already harvested — file contents are
-    immutable, so a replayed commit never changes a row, and a spec
-    widened later backfills only the new columns). Driver-side loop
-    for small increments; a Spark job over the name list past 256
-    files, with a driver fallback if executor-side pyarrow cannot
-    reach the filesystem (shared-fs assumption, same as the mirror
-    bootstrap). Caller holds the maintenance lease (this rides the
-    commit that added the files). Returns the number of files
-    harvested."""
-    from engage_spark.session import local_frame
+    """Append footer-harvested stats rows for `names` — the shared
+    sidecar harvest (versioning._sidecar_harvest: (file, column) pair
+    dedup, driver loop for small increments / Spark job past 256
+    files, increment-bounded driver transfer) with _footer_stats_one
+    as the per-file builder. Caller holds the maintenance lease (this
+    rides the commit that added the files). Returns the number of
+    files harvested."""
+    from engage_spark.versioning import _sidecar_harvest
 
     cols = _stats_spec(spark, path)
     if not cols or not names:
         return 0
-    data_names = [n for n in set(names) if not n.startswith("deletes_v")]
-    have = _stats_existing_pairs(spark, path, data_names)
-    by_missing: dict = {}
-    for n in sorted(data_names):
-        missing = tuple(c for c in cols if (n, c) not in have)
-        if missing:
-            by_missing.setdefault(missing, []).append(n)
-    if not by_missing:
-        return 0
-    fs, p = _fs(spark, path)
-    root = fs.makeQualified(p).toUri().toString().rstrip("/")
-    rows: list = []
-    done = 0
-    for missing, todo in by_missing.items():
-        want = list(missing)
-        pairs = [(f"{root}/{n}", n) for n in todo]
-        done += len(pairs)
-        got: list = []
-        if len(pairs) > 256:
-            try:
-                sc = spark.sparkContext
-                got = (
-                    sc.parallelize(pairs, max(2, len(pairs) // 64))
-                    .flatMap(
-                        lambda pr, w=want: _footer_stats_one(pr[0], pr[1], w)
-                    )
-                    .collect()
-                )
-            except Exception:
-                got = []
-        if not got:
-            for uri, rel in pairs:
-                got.extend(_footer_stats_one(uri, rel, want))
-        rows.extend(got)
-    if rows:
-        local_frame(spark, rows, _STATS_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{path}/{_VSTATS}")
-    return done
+    _heal_staged_sidecar(
+        spark, f"{path}/{_VSTATS}", f"{path}/{_VDIR}/stats_new"
+    )
+    return _sidecar_harvest(
+        spark, path, list(names), cols, _VSTATS, _STATS_SCHEMA,
+        _footer_stats_one,
+    )
 
 
 def stats_enable(spark: SparkSession, path: str, cols) -> int:
@@ -267,6 +223,19 @@ def stats_enable(spark: SparkSession, path: str, cols) -> int:
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
     cols = list(cols)
+    # validate against the MERGED schema (same review-found class as
+    # bloom_enable: a misspelled column would silently harvest
+    # prunable all-NULL rows everywhere and turn every read_where on
+    # it into an empty frame instead of the AnalysisException the
+    # unpruned read raises)
+    known = set(
+        spark.read.option("mergeSchema", "true").parquet(path).columns
+    )
+    unknown = [c for c in cols if c not in known]
+    if unknown:
+        raise ValueError(
+            f"column(s) {unknown} not in the dataset schema {sorted(known)}"
+        )
     with maintenance_lease(spark, path):
         local_frame(spark, [(cols,)], "cols array<string>").coalesce(
             1
@@ -299,6 +268,12 @@ def _stats_prune(
     files' rows belong in an unbounded read — so nothing is pruned."""
     if lo is None and hi is None:
         return list(names), 0
+    try:
+        _heal_staged_sidecar(
+            spark, f"{path}/{_VSTATS}", f"{path}/{_VDIR}/stats_new"
+        )
+    except Exception:
+        pass  # heal is opportunistic on the read path
     sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
     if not sfs.exists(sp):
         return list(names), 0
@@ -375,11 +350,12 @@ def read_where(
         raise ValueError(f"{path} has no version log (version_log_enable)")
     _vlog_reconcile(spark, path)
     entries = _vlog_entries(spark, path)
+    if not entries:
+        raise ValueError(f"version log of {path} has no entries")
     v = version if version is not None else entries[-1]["version"]
-    if not entries or v < 1 or v > entries[-1]["version"]:
+    if v < 1 or v > entries[-1]["version"]:
         raise ValueError(
-            f"version {v} out of range 1.."
-            f"{entries[-1]['version'] if entries else 0} for {path}"
+            f"version {v} out of range 1..{entries[-1]['version']} for {path}"
         )
     names = _replay_files(entries, v)
     if not names:
@@ -391,9 +367,13 @@ def read_where(
     for c, (c_lo, c_hi) in bounds.items():
         kept, _ = _stats_prune(spark, path, kept, c, c_lo, c_hi)
     if not kept:
-        # every file provably disjoint: an empty frame with the right
-        # schema (one file read at planning level only, filter false)
-        return _read_names(spark, path, names[:1]).filter(F.lit(False))
+        # every file provably disjoint: an empty frame with the UNION
+        # schema — read ALL the version's files at planning level only
+        # (footer merge, no data pages; names[:1] could be a
+        # pre-evolution file missing a queried column, breaking the
+        # byte-identical schema contract — same review-found class as
+        # read_keys)
+        return _read_names(spark, path, names).filter(F.lit(False))
     df = _read_names(spark, path, kept)
     df = _apply_pending_dvs(spark, path, entries, v, df)
     for c, (c_lo, c_hi) in bounds.items():
@@ -415,6 +395,8 @@ def _stats_vacuum(spark: SparkSession, path: str, needed: set) -> int:
     Returns the number of rows kept."""
     from engage_spark.session import local_frame
 
+    staged = f"{path}/{_VDIR}/stats_new"
+    _heal_staged_sidecar(spark, f"{path}/{_VSTATS}", staged)
     sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
     if not sfs.exists(sp):
         return 0
@@ -425,11 +407,12 @@ def _stats_vacuum(spark: SparkSession, path: str, needed: set) -> int:
         .collect()
         if r["name"] in needed
     ]
-    staged = f"{path}/{_VDIR}/stats_new"
     local_frame(spark, rows, _STATS_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(staged)
-    sfs.delete(sp, True)
-    nfs, np_ = _fs(spark, staged)
-    nfs.rename(np_, sp)
+    # delete-live → rename-staged; a crash between the two is healed
+    # by _heal_staged_sidecar at the next read/compaction (previously
+    # the crashed swap silently lost the whole sidecar forever —
+    # review-found on the bloom twin of this code)
+    _staged_sidecar_swap(spark, f"{path}/{_VSTATS}", staged)
     return len(rows)

@@ -194,6 +194,121 @@ def _relativize(spark: SparkSession, path: str, uris) -> list:
     return out
 
 
+def _heal_staged_sidecar(spark: SparkSession, live: str, staged: str) -> None:
+    """Recover a crashed sidecar compaction swap (stats / bloom — the
+    review-found orphan): the swap protocol is write-staged →
+    delete-live → rename-staged-into-place, so a crash can leave (a)
+    BOTH dirs (crash before delete-live: live is authoritative, the
+    staged copy is superseded or torn — drop it), or (b) staged ONLY
+    (crash between delete and rename: the staged dir is the complete
+    new sidecar iff its _SUCCESS marker exists — rename it into place;
+    a marker-less staged dir is a torn write — drop it). Without this,
+    case (b) silently loses the whole index forever (the next
+    compaction's exists(live) probe returns early). Call before any
+    sidecar read/compaction; two exists probes when nothing is
+    pending."""
+    tfs, tp = _fs(spark, staged)
+    if not tfs.exists(tp):
+        return
+    lfs, lp = _fs(spark, live)
+    if lfs.exists(lp):
+        tfs.delete(tp, True)
+        return
+    sfs, sp_ok = _fs(spark, f"{staged}/_SUCCESS")
+    if sfs.exists(sp_ok):
+        tfs.rename(tp, lp)
+    else:
+        tfs.delete(tp, True)
+
+
+def _staged_sidecar_swap(spark: SparkSession, live: str, staged: str) -> None:
+    """The delete-live → rename-staged tail of a sidecar compaction
+    (caller already wrote the staged dir with a _SUCCESS marker and
+    holds the lease). Shared by stats and bloom so the crash-recovery
+    contract (_heal_staged_sidecar) has exactly one implementation."""
+    lfs, lp = _fs(spark, live)
+    if lfs.exists(lp):
+        lfs.delete(lp, True)
+    tfs, tp = _fs(spark, staged)
+    tfs.rename(tp, lp)
+
+
+def _sidecar_harvest(
+    spark: SparkSession,
+    path: str,
+    names: list,
+    cols: list,
+    sidecar_rel: str,
+    schema: str,
+    file_rows,
+    driver_max: int = 256,
+) -> int:
+    """Shared per-file harvest for metadata sidecars (stats min/max,
+    bloom — one implementation so fixes cannot drift between the
+    twins): append rows for `names`, deduped against (file, column)
+    pairs already in the sidecar (files are immutable, so a replayed
+    commit never changes a row and a spec widened later backfills
+    exactly the missing columns; the pair probe is increment-bounded —
+    pushdown filter before collect, this runs inside the lease-held
+    commit tail). `file_rows(uri, rel, want_cols) -> rows` is the
+    per-file builder, pure so it runs driver-side for small increments
+    and inside executor tasks past `driver_max` files (with a driver
+    fallback if executor-side pyarrow cannot reach the filesystem —
+    shared-fs assumption, same as the mirror bootstrap). Returns the
+    number of files harvested."""
+    from engage_spark.session import local_frame
+
+    if not cols or not names:
+        return 0
+    data_names = [n for n in set(names) if not n.startswith("deletes_v")]
+    have: set = set()
+    sfs, sp = _fs(spark, f"{path}/{sidecar_rel}")
+    if sfs.exists(sp):
+        have = {
+            (r["name"], r["col"])
+            for r in spark.read.parquet(f"{path}/{sidecar_rel}")
+            .filter(F.col("name").isin(list(data_names)))
+            .select("name", "col")
+            .distinct()
+            .collect()
+        }
+    by_missing: dict = {}
+    for n in sorted(data_names):
+        missing = tuple(c for c in cols if (n, c) not in have)
+        if missing:
+            by_missing.setdefault(missing, []).append(n)
+    if not by_missing:
+        return 0
+    fs, p = _fs(spark, path)
+    root = fs.makeQualified(p).toUri().toString().rstrip("/")
+    rows: list = []
+    done = 0
+    for missing, todo in by_missing.items():
+        want = list(missing)
+        pairs = [(f"{root}/{n}", n) for n in todo]
+        done += len(pairs)
+        got: list = []
+        if len(pairs) > driver_max:
+            try:
+                sc = spark.sparkContext
+                got = (
+                    sc.parallelize(pairs, max(2, len(pairs) // 64))
+                    .flatMap(lambda pr, w=want: file_rows(pr[0], pr[1], w))
+                    .collect()
+                )
+            except Exception:
+                got = []
+        if not got:
+            for uri, rel in pairs:
+                got.extend(file_rows(uri, rel, want))
+        rows.extend(got)
+    if rows:
+        local_frame(spark, rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{path}/{sidecar_rel}")
+    return done
+
+
 def _live_names(spark: SparkSession, path: str) -> list:
     """Dataset-relative paths of the CURRENT data files — nested
     (hive-partitioned) layouts included since r13, `_`/`.`-prefixed
@@ -2080,18 +2195,37 @@ def vacuum_versions(
         from engage_spark.stats import _stats_spec as _sspec
         from engage_spark.stats import _stats_vacuum
 
-        stats_rows_kept = (
-            _stats_vacuum(spark, path, needed | live)
-            if _sspec(spark, path)
-            else 0
-        )
+        # sidecar compactions degrade with a warning, never fail the
+        # vacuum: stats/blooms are optimizations, and a torn sidecar
+        # must not wedge storage reclaim (review-found class)
+        stats_rows_kept = 0
+        try:
+            if _sspec(spark, path):
+                stats_rows_kept = _stats_vacuum(spark, path, needed | live)
+        except Exception as exc:  # noqa: BLE001
+            import warnings
+
+            warnings.warn(
+                f"stats sidecar compaction failed for {path}: {exc}; "
+                "vacuum is intact, the sidecar stays uncompacted",
+                stacklevel=2,
+            )
         # bloom sidecar compaction (r14): same contract, executor-side
         # rewrite (bloom rows carry the bitset)
         from engage_spark.indexes import _bloom_spec as _bspec
         from engage_spark.indexes import _bloom_vacuum
 
-        if _bspec(spark, path)[0]:
-            _bloom_vacuum(spark, path, needed | live)
+        try:
+            if _bspec(spark, path)[0]:
+                _bloom_vacuum(spark, path, needed | live)
+        except Exception as exc:  # noqa: BLE001
+            import warnings
+
+            warnings.warn(
+                f"bloom sidecar compaction failed for {path}: {exc}; "
+                "vacuum is intact, the sidecar stays uncompacted",
+                stacklevel=2,
+            )
         # orphan staging siblings (r14): an appender or optimistic
         # MERGE that crashed (or lost its race) BEFORE its manifest
         # write left a staging dir next to the dataset that nothing

@@ -12,10 +12,12 @@ R rounds of SIX threads racing it:
                   number of applications converge to the same state
   deleter x1    — delete_rows on a fixed base-id slice (DV batch;
                   repeat batches are dropDuplicates-idempotent)
-  reader  x2    — read_snapshot + a stats-pruned read_where range,
-                  which must never raise (consistent-or-loud means
-                  loud only for vacuumed history, never for a racing
-                  commit) and never return a torn count
+  reader  x2    — read_snapshot + a stats-pruned read_where range +
+                  a bloom point lookup (read_keys) on never-deleted
+                  base ids, which must never raise (consistent-or-loud
+                  means loud only for vacuumed history, never for a
+                  racing commit), never return a torn count, and
+                  return EXACTLY one row per probed id
 
 The final state is DETERMINISTIC regardless of interleaving: merge
 keys come from the base (always present), deletes target base ids
@@ -24,7 +26,9 @@ disjoint from merge keys, appends are globally disjoint. Validation:
   - history ops counts == operations performed, NO reconcile entries;
   - read_with_deletes == the closed-form expected frame (exact rows);
   - read_version(latest) == live view;
-  - the stats sidecar prunes and read_where stays exact at the end.
+  - the stats sidecar prunes and read_where stays exact at the end;
+  - the bloom sidecar (enabled at setup, harvested by every racing
+    commit's hook) prunes and read_keys stays exact at the end.
 
 Usage: python scripts/soak_concurrency.py [sf_dir] [rounds]
 Prints one JSON line with the verdict.
@@ -33,10 +37,13 @@ Prints one JSON line with the verdict.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 import threading
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -52,6 +59,7 @@ def main() -> None:
         upsert_dataset,
         write_parquet,
     )
+    from engage_spark.indexes import _bloom_prune, bloom_enable, read_keys
     from engage_spark.session import get_spark
     from engage_spark.stats import _stats_prune, read_where, stats_enable
     from engage_spark.versioning import (
@@ -73,6 +81,7 @@ def main() -> None:
     write_parquet(d, ds, partition_by=["lang"])
     version_log_enable(spark, ds)
     stats_enable(spark, ds, ["doc_id", "n_chars"])
+    bloom_enable(spark, ds, ["doc_id"])
 
     merge_keys = d.filter(F.col("doc_id") % 10 == 3)  # base-only keys
     delete_ids = d.filter(F.col("doc_id") % 10 == 6).select("doc_id")
@@ -148,6 +157,16 @@ def main() -> None:
                 & (F.col("doc_id") % 10 != 6)
             ).count()
             assert got_n >= floor, f"pruned read lost rows: {got_n}<{floor}"
+            # bloom point lookup: base ids with %10 in {1, 2} are never
+            # deleted and never re-keyed, and appended copies live at
+            # +1M offsets — every committed version holds EXACTLY one
+            # row per id, so anything else is a wrong prune or a torn
+            # read racing the concurrent commits
+            probe = [11 + 10 * k, 12 + 10 * k, 41 + 10 * k]
+            got_k = read_keys(spark, ds, "doc_id", probe).count()
+            assert got_k == len(probe), (
+                f"bloom lookup {probe} -> {got_k} rows"
+            )
         except Exception as e:  # pragma: no cover
             errs.append(f"reader: {e!r}")
 
@@ -200,6 +219,15 @@ def main() -> None:
             (F.col("doc_id") >= 10) & (F.col("doc_id") <= 60)
         ).count()
     )
+    # bloom surface after the full soak: the sidecar covers every
+    # live file (commit hooks fired through appends AND the staged
+    # MERGE swaps) and a final lookup is exact vs the live view
+    probe = [11, 12, 41, 1_000_011, 2_000_012]
+    bkept, bpruned = _bloom_prune(spark, ds, names, "doc_id", probe)
+    rk = read_keys(spark, ds, "doc_id", probe)
+    rk_exact = (
+        rk.count() == live.filter(F.col("doc_id").isin(probe)).count()
+    )
     verdict = {
         "rounds": rounds,
         "errors": errs,
@@ -213,6 +241,8 @@ def main() -> None:
         "version_read_rows": vread_n,
         "stats_pruned": pruned,
         "read_where_exact": rw_exact,
+        "bloom_pruned": bpruned,
+        "read_keys_exact": rk_exact,
         "ok": (
             not errs
             and diff == 0
@@ -220,6 +250,7 @@ def main() -> None:
             and ops.count("append") == len(appends_done) == 2 * rounds
             and ops.count("reconcile") == 0
             and rw_exact
+            and rk_exact
         ),
     }
     print(json.dumps(verdict), flush=True)

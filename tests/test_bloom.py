@@ -331,3 +331,130 @@ def test_vacuum_compacts_bloom_sidecar(spark, zbloom):
             F.col("event_id").isin(IDS)
         ),
     )
+
+
+# ------------------------------------------------- review-pass fixes
+
+
+def test_timestamp_keys_roundtrip(spark, sf_dir, tmp_path):
+    """Harvest-side pyarrow reads Spark TIMESTAMP_MICROS as tz-AWARE;
+    lookup-side collects are NAIVE (session tz = UTC). The canonical
+    form must match or every timestamp lookup false-negatives and
+    wrongly prunes (review finding 1 — a silent takedown failure)."""
+    out = str(tmp_path / "ts")
+    ev = _events(spark, sf_dir).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("event_id") * 60),
+    )
+    write_parquet(ev.repartition(8), out)
+    version_log_enable(spark, out)
+    bloom_enable(spark, out, ["ts"])
+    # a value as a CALLER would produce it: collected from Spark
+    want = [r["ts"] for r in ev.filter(F.col("event_id").isin(IDS)).collect()]
+    assert all(v.tzinfo is None for v in want), "collect must be naive"
+    names = _names(spark, out)
+    kept, pruned = _bloom_prune(spark, out, names, "ts", want[:2])
+    assert len(kept) >= 1, "naive lookup must HIT the harvested bloom"
+    _same(
+        read_keys(spark, out, "ts", want),
+        ev.filter(F.col("ts").isin(want)),
+    )
+
+
+def test_all_pruned_empty_frame_has_union_schema(spark, sf_dir, tmp_path):
+    """The all-pruned empty result must carry the UNION schema, not
+    whichever file happens to be names[0] (review finding 2)."""
+    out = str(tmp_path / "evolved2")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev.filter(F.col("event_id") < 500), out)
+    version_log_enable(spark, out)
+    append_dataset(
+        spark,
+        ev.filter(F.col("event_id") >= 500).withColumn(
+            "batch_tag", F.lit(7).cast("long")
+        ),
+        out,
+    )
+    bloom_enable(spark, out, ["batch_tag"])
+    got = read_keys(spark, out, "batch_tag", [999])  # prunes everything
+    assert got.count() == 0
+    assert "batch_tag" in got.columns, "empty frame must keep the column"
+    got.select("batch_tag").collect()  # must not raise
+
+
+def test_enable_rejects_unknown_column(spark, zbloom):
+    out, _ = zbloom
+    with pytest.raises(ValueError, match="event_idd"):
+        bloom_enable(spark, out, ["event_idd"])
+    from engage_spark.stats import stats_enable
+
+    with pytest.raises(ValueError, match="user_idd"):
+        stats_enable(spark, out, ["user_idd"])
+
+
+def test_fpp_change_rebuilds_index(spark, zbloom):
+    out, ev = zbloom
+    before = {
+        r["name"]: r["m_bits"]
+        for r in file_blooms(spark, out).filter(
+            F.col("col") == "event_id"
+        ).collect()
+    }
+    bloom_enable(spark, out, ["event_id"], fpp=0.0001)
+    after = {
+        r["name"]: r["m_bits"]
+        for r in file_blooms(spark, out).filter(
+            F.col("col") == "event_id"
+        ).collect()
+    }
+    assert set(after) == set(before)
+    assert all(after[n] > before[n] for n in after), (
+        "re-enable at a tighter fpp must REBUILD with bigger blooms"
+    )
+    _same(
+        read_keys(spark, out, "event_id", IDS),
+        ev.filter(F.col("event_id").isin(IDS)),
+    )
+
+
+def test_crashed_compaction_swap_heals(spark, zbloom):
+    """Crash window between delete-live and rename-staged: the staged
+    dir (with _SUCCESS) must be healed into place at the next read —
+    previously the whole index was silently lost (review finding 5)."""
+    import pathlib
+    import shutil as sh
+
+    out, ev = zbloom
+    side = pathlib.Path(out) / "_versions" / "bloom"
+    staged = pathlib.Path(out) / "_versions" / "bloom_new"
+    sh.copytree(side, staged)  # a completed staged rewrite (_SUCCESS)
+    sh.rmtree(side)  # ... and the live dir already deleted
+    names = _names(spark, out)
+    kept, pruned = _bloom_prune(spark, out, names, "event_id", IDS)
+    assert pruned > 0, "heal must restore the sidecar and prune again"
+    assert side.exists() and not staged.exists()
+    # torn staged (no _SUCCESS) next to a LIVE sidecar is dropped
+    sh.copytree(side, staged)
+    (staged / "_SUCCESS").unlink()
+    kept2, _ = _bloom_prune(spark, out, names, "event_id", IDS)
+    assert sorted(kept2) == sorted(kept) and not staged.exists()
+
+
+def test_torn_spec_degrades_not_raises(spark, zbloom):
+    import pathlib
+
+    out, ev = zbloom
+    spec = pathlib.Path(out) / "_versions" / "bloom_spec"
+    for pf in spec.glob("*.parquet"):
+        pf.write_bytes(b"garbage")
+    from engage_spark.indexes import _bloom_spec
+
+    assert _bloom_spec(spark, out) == ([], 0.0)
+    # takedown path stays up: delete_rows + apply_deletes work
+    delete_rows(spark, out, IDS[:2], "event_id")
+    res = apply_deletes(spark, out)
+    assert res["deleted_keys"] == 2
+    _same(
+        read_version(spark, out, latest_version(spark, out)),
+        ev.filter(~F.col("event_id").isin(IDS[:2])),
+    )
