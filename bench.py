@@ -133,8 +133,11 @@ OPTIONAL = [
     # scripts/measure_append_commit.py → SCALE.md.
     "s21_stats_pruned_scan",
     # round 14 third pass: the bloom point-lookup (zorder publish +
-    # per-file bloom build + key-targeted read) — the takedown path
+    # per-file bloom build + key-targeted read) — the takedown path —
+    # and its join-shaped twin (dynamic file pruning from a filtered
+    # dim frame)
     "s22_bloom_point_lookup",
+    "s23_bloom_join_pruning",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

@@ -497,6 +497,53 @@ def read_keys(
     return df.filter(F.col(col).isin(vals))
 
 
+def join_keys(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    keys_df: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """Dynamic file pruning for a key-join: read the dataset at
+    `version` semi-joined to the key column of `keys_df` (a filtered
+    dimension frame — its FIRST column is the key), bloom-pruning the
+    fact file list when the key set is lookup-sized. This is the
+    join-shaped twin of :func:`read_keys` — "which fact files can
+    contain any of the dim keys that survived the dim filter" — the
+    Delta dynamic-file-pruning pattern on the plain-parquet log.
+
+    The dim keys are counted first: up to _BLOOM_LOOKUP_MAX distinct
+    keys collect to the driver (dim-filter-sized, the DFP regime) and
+    route through the pruned read_keys path; a larger key set skips
+    pruning and reads the full version with a broadcast semi-join —
+    never a driver-unbounded collect, never a wrong result (the exact
+    semi-join / IN filter applies either way)."""
+    kdf = (
+        keys_df.select(F.col(keys_df.columns[0]).alias(col))
+        .filter(F.col(col).isNotNull())
+        .dropDuplicates()
+    )
+    n = kdf.count()
+    if n <= _BLOOM_LOOKUP_MAX:
+        return read_keys(
+            spark, path, col, [r[0] for r in kdf.collect()], version=version
+        )
+    if not version_log_enabled(spark, path):
+        raise ValueError(f"{path} has no version log (version_log_enable)")
+    _vlog_reconcile(spark, path)
+    entries = _vlog_entries(spark, path)
+    if not entries:
+        raise ValueError(f"version log of {path} has no entries")
+    v = version if version is not None else entries[-1]["version"]
+    names = _replay_files(entries, v)
+    df = _read_names(spark, path, names)
+    df = _apply_pending_dvs(spark, path, entries, v, df)
+    # no explicit broadcast hint: past the lookup bound the key frame
+    # can be arbitrarily large, so AQE picks broadcast vs shuffle from
+    # its measured size
+    return df.join(kdf, on=col, how="left_semi")
+
+
 def _bloom_vacuum(spark: SparkSession, path: str, needed: set) -> int:
     """Compact the bloom sidecar during vacuum_versions (caller holds
     the lease): one part file, rows only for files some retained

@@ -1903,3 +1903,68 @@ def s22_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_keys(spark, tgt, "event_id", ids).withColumn(
         "pruned", F.lit(n_pruned > 0)
     )
+
+
+@query(
+    "s23_bloom_join_pruning",
+    # Oracle: a plain IN-subquery over `events` — a hash match proves
+    # the dynamically file-pruned key-join is byte-identical to the
+    # full semi-join. The dim slice (top-8 by value, event_id
+    # tie-break) is deterministic on both engines; the `pruned`
+    # literal pins that the dim keys actually pruned fact files.
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(round(value * 100 + 1e-9) AS BIGINT) AS cents,
+           true AS pruned
+    FROM events WHERE event_id IN (
+        SELECT event_id FROM events
+        ORDER BY value DESC, event_id LIMIT 8
+    )
+    """,
+    covers=["S4", "J1"],
+)
+def s23_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic file pruning for a key-join (r14): the dim side of a
+    join is filtered first (here: the top-8 events by value — standing
+    in for 'orders placed today' against a 100 TB fact corpus), then
+    indexes.join_keys collects the surviving dim keys (bounded by the
+    lookup cap; larger key sets fall back to a full-read semi-join)
+    and bloom-prunes the FACT file list before the scan is planned —
+    the Delta dynamic-file-pruning pattern. The `pruned` column
+    hash-fails if the dim keys failed to drop fact files; the rows
+    hash-fail if pruning dropped one it shouldn't have."""
+    import shutil
+
+    from engage_spark.indexes import _bloom_prune, bloom_enable, join_keys
+    from engage_spark.io import zorder_write
+    from engage_spark.versioning import (
+        _replay_files,
+        _vlog_entries,
+        latest_version,
+        version_log_enable,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("value"),
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("cents"),
+    )
+    dim = (
+        ev.orderBy(F.col("value").desc(), "event_id").limit(8)
+        .select("event_id")
+    )
+    tgt = _scratch("events_bloom_join")
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    zorder_write(
+        spark, ev.drop("value"), tgt, ["user_id", "cents"],
+        bits=16, num_files=24,
+    )
+    version_log_enable(spark, tgt)
+    bloom_enable(spark, tgt, ["event_id"])
+    keys = [r[0] for r in dim.collect()]
+    names = _replay_files(_vlog_entries(spark, tgt), latest_version(spark, tgt))
+    _, n_pruned = _bloom_prune(spark, tgt, names, "event_id", keys)
+    return join_keys(spark, tgt, "event_id", dim).withColumn(
+        "pruned", F.lit(n_pruned > 0)
+    )

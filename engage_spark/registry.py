@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s20_concurrent_appends",
     "s21_stats_pruned_scan",
     "s22_bloom_point_lookup",
+    "s23_bloom_join_pruning",
     # (c) implementation changed in round 14
     "s9_upsert_merge_roundtrip",
     "s13_delete_vector_roundtrip",

@@ -458,3 +458,33 @@ def test_torn_spec_degrades_not_raises(spark, zbloom):
         read_version(spark, out, latest_version(spark, out)),
         ev.filter(~F.col("event_id").isin(IDS[:2])),
     )
+
+
+def test_join_keys_matches_semi_join(spark, zbloom, sf_dir):
+    from engage_spark.indexes import join_keys
+
+    out, ev = zbloom
+    dim = (
+        ev.orderBy(F.col("v_cents").desc(), "event_id").limit(5)
+        .select("event_id", "user_id")  # first column is the key
+    )
+    got = join_keys(spark, out, "event_id", dim)
+    exp = ev.join(dim.select("event_id"), on="event_id", how="left_semi")
+    _same(got, exp)
+    # oversized key sets fall back to the unpruned semi-join, exact
+    import engage_spark.indexes as ix
+
+    old = ix._BLOOM_LOOKUP_MAX
+    ix._BLOOM_LOOKUP_MAX = 2
+    try:
+        _same(join_keys(spark, out, "event_id", dim), exp)
+    finally:
+        ix._BLOOM_LOOKUP_MAX = old
+    # NULL dim keys are dropped (semi-join never matches NULL)
+    dim_null = dim.unionByName(
+        spark.range(1).select(
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("user_id"),
+        )
+    )
+    _same(join_keys(spark, out, "event_id", dim_null), exp)
