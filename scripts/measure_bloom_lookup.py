@@ -20,7 +20,9 @@ take down one batch and compare bloom-targeted vs untargeted
 apply_deletes victim-detection wall (the detection scan only — the
 rewrite cost is identical by construction).
 
-Usage: python scripts/measure_bloom_lookup.py [sf_dir] [num_files]
+Usage: python scripts/measure_bloom_lookup.py [sf_dir] [num_files] [fpp]
+  fpp (default 0.01) demonstrates the sizing rule: per-batch false
+  positives compound as B*fpp, so batch lookups want a tighter rate.
 Prints ONE JSON line per batch size plus one for victim detection:
   {"lookup_keys": B, "files_kept": k, "files_total": n,
    "bloom_wall_s": ..., "plain_wall_s": ..., "rows": r, "exact": true}
@@ -44,6 +46,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     num_files = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    fpp = float(sys.argv[3]) if len(sys.argv) > 3 else 0.01
 
     from engage_spark.indexes import _bloom_prune, bloom_enable, read_keys
     from engage_spark.io import zorder_write
@@ -71,11 +74,16 @@ def main() -> None:
     )
     version_log_enable(spark, ds)
     t0 = time.monotonic()
-    bloom_enable(spark, ds, ["event_id"])
+    bloom_enable(spark, ds, ["event_id"], fpp=fpp)
     build_s = time.monotonic() - t0
     print(
         json.dumps(
-            {"build_files": num_files, "rows": n_rows, "build_s": round(build_s, 3)}
+            {
+                "build_files": num_files,
+                "rows": n_rows,
+                "fpp": fpp,
+                "build_s": round(build_s, 3),
+            }
         ),
         flush=True,
     )
