@@ -453,6 +453,7 @@ def read_keys(
     col: str,
     values,
     version: int | None = None,
+    and_keys: dict | None = None,
 ) -> DataFrame:
     """Bloom-pruned point lookup: the dataset at `version` (default
     latest) filtered to ``col IN values``, with the FILE LIST pruned
@@ -467,7 +468,13 @@ def read_keys(
     batches skip pruning and should use a broadcast-join scan). NULLs
     in `values` are dropped (SQL IN never matches NULL). Lookup
     values must match the column's type — int 5 and string "5" hash
-    differently, same contract as a typed SQL predicate."""
+    differently, same contract as a typed SQL predicate.
+    `and_keys={"col2": [v1, ...], ...}` ANDs further point predicates,
+    each pruning the file list again through its own column's blooms —
+    a composite-key lookup (doc_id AND user_id) keeps only files whose
+    EVERY indexed column admits a value. For mixing point and RANGE
+    predicates use stats.read_where(..., and_keys=...): the min/max
+    and bloom sidecars compose there."""
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
     _vlog_reconcile(spark, path)
@@ -482,9 +489,13 @@ def read_keys(
     names = _replay_files(entries, v)
     if not names:
         raise ValueError(f"version {v} of {path} has no data files")
-    vals = [x for x in values if x is not None]
-    kept, _ = _bloom_prune(spark, path, names, col, vals)
-    if not kept or not vals:
+    keysets = {col: [x for x in values if x is not None]}
+    for c, vs in (and_keys or {}).items():
+        keysets[c] = [x for x in vs if x is not None]
+    kept = list(names)
+    for c, vs in keysets.items():
+        kept, _ = _bloom_prune(spark, path, kept, c, vs)
+    if not kept or not all(keysets.values()):
         # every file provably key-free (or nothing to look up): an
         # empty frame with the UNION schema — read ALL the version's
         # files at planning level only (footer merge, no data pages;
@@ -494,7 +505,9 @@ def read_keys(
         return _read_names(spark, path, names).filter(F.lit(False))
     df = _read_names(spark, path, kept)
     df = _apply_pending_dvs(spark, path, entries, v, df)
-    return df.filter(F.col(col).isin(vals))
+    for c, vs in keysets.items():
+        df = df.filter(F.col(c).isin(vs))
+    return df
 
 
 def join_keys(

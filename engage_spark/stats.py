@@ -330,6 +330,7 @@ def read_where(
     hi=None,
     version: int | None = None,
     and_where: dict | None = None,
+    and_keys: dict | None = None,
 ) -> DataFrame:
     """Stats-pruned range read: the dataset at `version` (default
     latest) filtered to lo <= col <= hi (either bound optional), with
@@ -340,12 +341,17 @@ def read_where(
     further range predicates, each pruning the file list again — on a
     Z-ordered layout the curve interleaves BOTH cluster columns, so a
     compound predicate prunes multiplicatively (a file survives only
-    if EVERY column's [min, max] overlaps its range). Every predicate
-    is re-applied exactly after the pruned scan and pending deletion
+    if EVERY column's [min, max] overlaps its range).
+    `and_keys={"col3": [v1, v2], ...}` ANDs point predicates (col3 IN
+    values), pruning through the per-file BLOOM index when one covers
+    that column (indexes.bloom_enable) — the two sidecars COMPOSE:
+    "rows for these doc_ids inside this date range" prunes by range
+    and by key before any scan is planned. Every predicate is
+    re-applied exactly after the pruned scan and pending deletion
     vectors are anti-joined exactly like read_version, so the result
-    is byte-identical to filtering the unpruned read — stats only ever
-    REMOVE provably-disjoint files. Works at any retained version
-    (file stats are immutable)."""
+    is byte-identical to filtering the unpruned read — stats and
+    blooms only ever REMOVE provably-disjoint files. Works at any
+    retained version (file stats are immutable)."""
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
     _vlog_reconcile(spark, path)
@@ -363,9 +369,17 @@ def read_where(
     bounds = {col: (lo, hi)}
     for c, (c_lo, c_hi) in (and_where or {}).items():
         bounds[c] = (c_lo, c_hi)
+    keysets = {
+        c: [x for x in vals if x is not None]
+        for c, vals in (and_keys or {}).items()
+    }
     kept = list(names)
     for c, (c_lo, c_hi) in bounds.items():
         kept, _ = _stats_prune(spark, path, kept, c, c_lo, c_hi)
+    for c, vals in keysets.items():
+        from engage_spark.indexes import _bloom_prune
+
+        kept, _ = _bloom_prune(spark, path, kept, c, vals)
     if not kept:
         # every file provably disjoint: an empty frame with the UNION
         # schema — read ALL the version's files at planning level only
@@ -381,6 +395,12 @@ def read_where(
             df = df.filter(F.col(c) >= F.lit(c_lo))
         if c_hi is not None:
             df = df.filter(F.col(c) <= F.lit(c_hi))
+    for c, vals in keysets.items():
+        # a lookup list that was ONLY NULLs matches nothing (SQL IN
+        # semantics) — filter to false rather than skipping the filter
+        df = df.filter(F.col(c).isin(vals)) if vals else df.filter(
+            F.lit(False)
+        )
     return df
 
 

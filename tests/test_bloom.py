@@ -488,3 +488,56 @@ def test_join_keys_matches_semi_join(spark, zbloom, sf_dir):
         )
     )
     _same(join_keys(spark, out, "event_id", dim_null), exp)
+
+
+def test_composed_range_and_key_pruning(spark, sf_dir, tmp_path):
+    """The min/max and bloom sidecars COMPOSE in read_where: a range
+    on the cluster column and a key set on a scattered column each
+    prune the file list, and the result is byte-identical to plain
+    filtering."""
+    from engage_spark.stats import _stats_prune, read_where, stats_enable
+
+    out = str(tmp_path / "composed")
+    ev = _events(spark, sf_dir)
+    zorder_write(spark, ev, out, ["user_id", "v_cents"], bits=16, num_files=16)
+    version_log_enable(spark, out)
+    stats_enable(spark, out, ["user_id"])
+    bloom_enable(spark, out, ["event_id"])
+    names = _names(spark, out)
+    r_kept, r_pruned = _stats_prune(spark, out, names, "user_id", 10, 30)
+    b_kept, b_pruned = _bloom_prune(spark, out, r_kept, "event_id", IDS)
+    assert r_pruned > 0 and b_pruned > 0, "both layers must prune"
+    got = read_where(
+        spark, out, "user_id", 10, 30, and_keys={"event_id": IDS}
+    )
+    exp = ev.filter(
+        (F.col("user_id") >= 10) & (F.col("user_id") <= 30)
+        & F.col("event_id").isin(IDS)
+    )
+    _same(got, exp)
+    # and_keys with only NULLs matches nothing, schema intact
+    empty = read_where(
+        spark, out, "user_id", 10, 30, and_keys={"event_id": [None]}
+    )
+    assert empty.count() == 0 and empty.columns == got.columns
+
+
+def test_read_keys_composite_and(spark, zbloom):
+    out, ev = zbloom
+    bloom_enable(spark, out, ["event_id", "user_id"])
+    users = [
+        r["user_id"]
+        for r in ev.filter(F.col("event_id").isin(IDS[:3])).collect()
+    ]
+    got = read_keys(
+        spark, out, "event_id", IDS, and_keys={"user_id": users}
+    )
+    exp = ev.filter(
+        F.col("event_id").isin(IDS) & F.col("user_id").isin(users)
+    )
+    _same(got, exp)
+    # a composite whose second leg is empty matches nothing
+    assert (
+        read_keys(spark, out, "event_id", IDS, and_keys={"user_id": []})
+        .count() == 0
+    )
