@@ -50,6 +50,12 @@ corpus — composed only from the engine's registered operators (r13):
                  footers (no data scan; later commits auto-harvest),
                  and read_where answers a range predicate scheduling
                  only the files whose range can overlap (r14).
+  11. BLOOM    — bloom_enable indexes doc_id per file (r14); a point
+                 fetch (read_keys) schedules only files whose bloom
+                 admits a key, and a takedown's physical apply
+                 (delete_rows → apply_deletes) confirms victims
+                 against the same index instead of scanning the key
+                 column of every file — the GDPR path at 10^5 files.
 
 Run:
 
@@ -61,6 +67,8 @@ from __future__ import annotations
 import os
 import shutil
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -233,12 +241,53 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     assert en_rows.count() == expect_en.count()
     assert n_pruned > 0  # other languages' files never scheduled
 
+    # 11. BLOOM — point lookups + a bloom-targeted takedown
+    from engage_spark.indexes import _bloom_prune, bloom_enable, read_keys
+
+    bloom_enable(spark, corpus, ["doc_id"])
+    some_ids = [
+        r["doc_id"] for r in ingested.select("doc_id").limit(3).collect()
+    ]
+    fetched = read_keys(spark, corpus, "doc_id", some_ids)
+    assert fetched.count() == len(some_ids)
+    b_kept, b_pruned = _bloom_prune(
+        spark, corpus, _replay_files(
+            _vlog_entries(spark, corpus), _latest(spark, corpus)
+        ), "doc_id", some_ids,
+    )
+    assert b_pruned > 0  # files that cannot hold these ids never scheduled
+    # takedown: logical first (O(batch)), physical apply confirms its
+    # victims through the same bloom index (only candidate files get
+    # the confirmation scan), clean files stay byte-identical
+    victim_ids = some_ids[:2]
+    pre_n = ingested.count()  # BEFORE the apply: `ingested` was
+    # planned against pre-apply files, so re-evaluating it after the
+    # rewrite would hit the documented stale-file-index race — the
+    # same class stage 8 pins with read_snapshot
+    delete_rows(spark, corpus, victim_ids, "doc_id")
+    res = apply_deletes(spark, corpus)
+    assert res["deleted_keys"] == len(victim_ids)
+    # fresh reads re-list and see the post-apply file set (verified:
+    # only STALE pre-apply plans fail — the read_snapshot contract)
+    after = read_with_deletes(spark, corpus)
+    assert after.count() == pre_n - len(victim_ids)
+    assert after.filter(F.col("doc_id").isin(victim_ids)).count() == 0
+    # the rewritten files' blooms were re-harvested by the commit hook,
+    # so lookups stay exact after the apply
+    assert read_keys(spark, corpus, "doc_id", victim_ids).count() == 0
+    assert (
+        read_keys(spark, corpus, "doc_id", some_ids[2:]).count()
+        == len(some_ids) - 2
+    )
+
     return {
         "versions": dataset_history(spark, corpus).count(),
-        "live_rows": ingested.count(),
+        "live_rows": after.count(),
         "pinned_version": v_pin,
         "feed": feed_counts,
         "stats_files_kept": f"{len(kept)}/{len(names)}",
+        "bloom_files_kept": f"{len(b_kept)}/{len(names)}",
+        "takedown_rewrote": res["rewritten_files"],
     }
 
 
