@@ -65,8 +65,10 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     the executor-probed mirror bootstrap (s18/s18b), and the
 #     stash-age heal guard under the version-logged zorder lifecycle
 #     (s14/s14b, s10c/s10d);
-# (d) the r10 cohort, alphabetical-first 16 of 44 — rotation part 7
-#     starts here next round (the remaining 28 are the generated tail).
+# (d) the r10 cohort, alphabetical-first 14 of 44 — rotation part 7
+#     starts here next round (the remaining 30 are the generated tail;
+#     two slots went to the new s22/s23 bloom queries, which must land
+#     in the never-checked head of THIS round's window).
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -124,8 +126,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p10_cast",
     "p11_null_fill",
     "p12_drop_allnull_columns",
-    "p13_first_value_per_group",
-    "s1_scan_filter_project",
 )
 
 
