@@ -536,10 +536,13 @@ def join_keys(
         .filter(F.col(col).isNotNull())
         .dropDuplicates()
     )
-    n = kdf.count()
-    if n <= _BLOOM_LOOKUP_MAX:
+    # ONE evaluation of the dim frame: collect at most cap+1 rows —
+    # enough to know whether the key set is lookup-sized — instead of
+    # a count() scan followed by a second collect() scan
+    head = kdf.limit(_BLOOM_LOOKUP_MAX + 1).collect()
+    if len(head) <= _BLOOM_LOOKUP_MAX:
         return read_keys(
-            spark, path, col, [r[0] for r in kdf.collect()], version=version
+            spark, path, col, [r[0] for r in head], version=version
         )
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
