@@ -491,17 +491,29 @@ def read_keys(
         raise ValueError(f"version {v} of {path} has no data files")
     keysets = {col: [x for x in values if x is not None]}
     for c, vs in (and_keys or {}).items():
-        keysets[c] = [x for x in vs if x is not None]
+        clean = [x for x in vs if x is not None]
+        if c in keysets:
+            # an and_keys entry on the PRIMARY column ANDs with the
+            # primary values — two IN predicates on one column
+            # intersect (review-found: overwriting silently replaced
+            # the caller's primary predicate)
+            prior = set(keysets[c])
+            clean = [x for x in clean if x in prior]
+        keysets[c] = clean
+    if not all(keysets.values()):
+        # some leg is empty after NULL-filtering (or the intersection
+        # is empty): the result is provably empty BEFORE any sidecar
+        # probe runs — an empty frame with the UNION schema, read at
+        # planning level only (footer merge, no data pages;
+        # review-found twice: names[:1] could be a pre-evolution file
+        # missing the looked-up column, and probing before this check
+        # paid a full bloom probe for a discarded result)
+        return _read_names(spark, path, names).filter(F.lit(False))
     kept = list(names)
     for c, vs in keysets.items():
         kept, _ = _bloom_prune(spark, path, kept, c, vs)
-    if not kept or not all(keysets.values()):
-        # every file provably key-free (or nothing to look up): an
-        # empty frame with the UNION schema — read ALL the version's
-        # files at planning level only (footer merge, no data pages;
-        # review-found: names[:1] could be a pre-evolution file
-        # missing the looked-up column, breaking the byte-identical
-        # schema contract and crashing downstream selects)
+    if not kept:
+        # every file provably key-free
         return _read_names(spark, path, names).filter(F.lit(False))
     df = _read_names(spark, path, kept)
     df = _apply_pending_dvs(spark, path, entries, v, df)

@@ -373,13 +373,19 @@ def read_where(
         c: [x for x in vals if x is not None]
         for c, vals in (and_keys or {}).items()
     }
+    if any(not vs for vs in keysets.values()):
+        # an and_keys leg empty after NULL-filtering: the result is
+        # provably empty BEFORE any sidecar probe runs (empty frame
+        # with the union schema, planning-level read only)
+        return _read_names(spark, path, names).filter(F.lit(False))
     kept = list(names)
     for c, (c_lo, c_hi) in bounds.items():
         kept, _ = _stats_prune(spark, path, kept, c, c_lo, c_hi)
-    for c, vals in keysets.items():
+    if keysets:
         from engage_spark.indexes import _bloom_prune
 
-        kept, _ = _bloom_prune(spark, path, kept, c, vals)
+        for c, vals in keysets.items():
+            kept, _ = _bloom_prune(spark, path, kept, c, vals)
     if not kept:
         # every file provably disjoint: an empty frame with the UNION
         # schema — read ALL the version's files at planning level only
@@ -396,11 +402,9 @@ def read_where(
         if c_hi is not None:
             df = df.filter(F.col(c) <= F.lit(c_hi))
     for c, vals in keysets.items():
-        # a lookup list that was ONLY NULLs matches nothing (SQL IN
-        # semantics) — filter to false rather than skipping the filter
-        df = df.filter(F.col(c).isin(vals)) if vals else df.filter(
-            F.lit(False)
-        )
+        # empty legs (only-NULL lookups) returned early above, so
+        # every surviving keyset has values
+        df = df.filter(F.col(c).isin(vals))
     return df
 
 

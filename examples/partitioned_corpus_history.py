@@ -224,7 +224,8 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     assert hist_ops.count("append") == 1 + 3  # the re-crawl + 3 shards
     assert "reconcile" not in hist_ops
     ingested = read_with_deletes(spark, corpus)
-    assert ingested.count() == merged_n + sum(s.count() for s in shards)
+    pre_n = ingested.count()  # evaluated ONCE; reused through stage 11
+    assert pre_n == merged_n + sum(s.count() for s in shards)
 
     # 10. STATS — footer harvest + data-skipping range read
     from engage_spark.stats import _stats_prune, read_where, stats_enable
@@ -250,20 +251,18 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     ]
     fetched = read_keys(spark, corpus, "doc_id", some_ids)
     assert fetched.count() == len(some_ids)
-    b_kept, b_pruned = _bloom_prune(
-        spark, corpus, _replay_files(
-            _vlog_entries(spark, corpus), _latest(spark, corpus)
-        ), "doc_id", some_ids,
-    )
+    # `names` from stage 10 is still the live replay: bloom_enable
+    # writes only a sidecar, no data commit between the two stages
+    b_kept, b_pruned = _bloom_prune(spark, corpus, names, "doc_id", some_ids)
     assert b_pruned > 0  # files that cannot hold these ids never scheduled
     # takedown: logical first (O(batch)), physical apply confirms its
     # victims through the same bloom index (only candidate files get
     # the confirmation scan), clean files stay byte-identical
     victim_ids = some_ids[:2]
-    pre_n = ingested.count()  # BEFORE the apply: `ingested` was
-    # planned against pre-apply files, so re-evaluating it after the
-    # rewrite would hit the documented stale-file-index race — the
-    # same class stage 8 pins with read_snapshot
+    # pre_n was captured BEFORE the apply: `ingested` was planned
+    # against pre-apply files, so re-evaluating it after the rewrite
+    # would hit the documented stale-file-index race — the same class
+    # stage 8 pins with read_snapshot
     delete_rows(spark, corpus, victim_ids, "doc_id")
     res = apply_deletes(spark, corpus)
     assert res["deleted_keys"] == len(victim_ids)

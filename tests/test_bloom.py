@@ -541,3 +541,41 @@ def test_read_keys_composite_and(spark, zbloom):
         read_keys(spark, out, "event_id", IDS, and_keys={"user_id": []})
         .count() == 0
     )
+
+
+def test_and_keys_on_primary_column_intersects(spark, zbloom):
+    """An and_keys entry on the PRIMARY column must AND (intersect),
+    not replace, the primary values (review finding)."""
+    out, ev = zbloom
+    got = read_keys(
+        spark, out, "event_id", IDS[:4], and_keys={"event_id": IDS[2:]}
+    )
+    exp = ev.filter(F.col("event_id").isin(IDS[2:4]))  # the overlap
+    _same(got, exp)
+    # disjoint intersection: provably empty, schema intact
+    empty = read_keys(
+        spark, out, "event_id", IDS[:2], and_keys={"event_id": IDS[3:]}
+    )
+    assert empty.count() == 0 and empty.columns == ev.columns
+
+
+def test_empty_and_keys_leg_short_circuits(spark, zbloom, monkeypatch):
+    """An empty and_keys leg returns before ANY sidecar probe runs
+    (review finding — the probe's work was discarded)."""
+    import engage_spark.indexes as ix
+    from engage_spark.stats import read_where, stats_enable
+
+    out, ev = zbloom
+    stats_enable(spark, out, ["user_id"])
+    calls = []
+    real = ix._bloom_prune
+    monkeypatch.setattr(
+        ix, "_bloom_prune",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+    got = read_keys(spark, out, "event_id", IDS, and_keys={"user_id": []})
+    assert got.count() == 0 and not calls, "no probe before the early out"
+    got2 = read_where(
+        spark, out, "user_id", 10, 30, and_keys={"event_id": [None]}
+    )
+    assert got2.count() == 0 and not calls
