@@ -138,6 +138,9 @@ OPTIONAL = [
     # dim frame)
     "s22_bloom_point_lookup",
     "s23_bloom_join_pruning",
+    # round 14 fourth pass: the commit-time expectation gate (publish
+    # + dirty staged append + one-job count-and-drop + gated commit)
+    "s24_expectations_gated_append",
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

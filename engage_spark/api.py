@@ -3053,6 +3053,44 @@ def training_shards(
     )
 
 
+def _expectation_rule(r: dict, i: int):
+    """Compile ONE expectation rule dict to ``(rule_id, violation
+    Column | None)`` — None marks a ``unique`` rule, which is an
+    aggregate property (count vs countDistinct), not a row predicate.
+    Shared by :func:`validate_expectations` (batch report) and
+    ``io.append_dataset``'s commit-time gate, so the two can never
+    disagree on what a rule means."""
+    import functools
+    import operator
+
+    kind = r["rule"]
+    col = r.get("col")
+    rid = r.get("id") or (f"{kind}:{col}" if col else f"{kind}:{i}")
+    c = F.col(col) if col else None
+    if kind == "unique":
+        return rid, None
+    if kind == "not_null":
+        viol = c.isNull()
+    elif kind == "in_range":
+        bounds = []
+        if "lo" in r:
+            bounds.append(c < F.lit(r["lo"]))
+        if "hi" in r:
+            bounds.append(c > F.lit(r["hi"]))
+        if not bounds:
+            raise ValueError(f"in_range rule {rid} needs lo and/or hi")
+        viol = c.isNotNull() & functools.reduce(operator.or_, bounds)
+    elif kind == "in_set":
+        viol = c.isNotNull() & ~c.isin(list(r["values"]))
+    elif kind == "regex":
+        viol = c.isNotNull() & ~c.rlike(r["pattern"])
+    elif kind == "expr":
+        viol = ~F.expr(r["expr"])
+    else:
+        raise ValueError(f"unknown expectation rule kind: {kind}")
+    return rid, viol
+
+
 def validate_expectations(df: DataFrame, rules) -> DataFrame:
     """Data-quality gate: evaluate declarative expectations against a
     DataFrame, returning one row per rule — ``rule_id``,
@@ -3081,40 +3119,16 @@ def validate_expectations(df: DataFrame, rules) -> DataFrame:
     Oracle-checked end to end by the x_expectations_check query
     (engage_spark/queries/aggregates.py).
     """
-    import functools
-    import operator
-
     aggs, ids = [], []
     for i, r in enumerate(rules):
-        kind = r["rule"]
-        col = r.get("col")
-        rid = r.get("id") or (f"{kind}:{col}" if col else f"{kind}:{i}")
-        c = F.col(col) if col else None
-        if kind == "not_null":
-            viol = c.isNull()
-        elif kind == "in_range":
-            bounds = []
-            if "lo" in r:
-                bounds.append(c < F.lit(r["lo"]))
-            if "hi" in r:
-                bounds.append(c > F.lit(r["hi"]))
-            if not bounds:
-                raise ValueError(f"in_range rule {rid} needs lo and/or hi")
-            viol = c.isNotNull() & functools.reduce(operator.or_, bounds)
-        elif kind == "in_set":
-            viol = c.isNotNull() & ~c.isin(list(r["values"]))
-        elif kind == "regex":
-            viol = c.isNotNull() & ~c.rlike(r["pattern"])
-        elif kind == "expr":
-            viol = ~F.expr(r["expr"])
-        elif kind == "unique":
+        rid, viol = _expectation_rule(r, i)
+        c = F.col(r["col"]) if r.get("col") else None
+        if viol is None:  # unique: an aggregate, not a row predicate
             aggs.append(
                 (F.count(c) - F.countDistinct(c)).cast("long").alias(f"__v{i}")
             )
             ids.append((i, rid))
             continue
-        else:
-            raise ValueError(f"unknown expectation rule kind: {kind}")
         aggs.append(
             # coalesce: F.sum over zero rows is NULL — an empty batch
             # must report 0 violations / passed=true, not NULL/NULL

@@ -182,12 +182,26 @@ def write_parquet(df: DataFrame, path: str, partition_by: Sequence[str] | None =
     writer.parquet(path)
 
 
+class ExpectationViolation(ValueError):
+    """A commit-time expectation gate refused an increment: rule_id →
+    violation count for every violated rule, nothing was committed."""
+
+    def __init__(self, path: str, counts: dict):
+        self.counts = dict(counts)
+        super().__init__(
+            f"append to {path} refused by expectations: "
+            + ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+        )
+
+
 def append_dataset(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     partition_by: Sequence[str] | None = None,
     lease_wait_s: float = 30.0,
+    expectations=None,
+    on_violation: str = "fail",
 ) -> dict:
     """Plain (optionally hive-partitioned) parquet APPEND that keeps
     the version log exact: on a version-logged target the write's
@@ -216,8 +230,25 @@ def append_dataset(
     The increment's partitioning MUST match the target's existing
     layout: a flat append beside partition dirs (or vice versa) makes
     Spark read only one of the two shapes — silent data loss for every
-    reader — so a mismatch raises before writing anything. Returns
-    {"files": <appended file count or None>}."""
+    reader — so a mismatch raises before writing anything.
+
+    Commit-time expectations (r14, the DLT expect_or_fail /
+    expect_or_drop shape): ``expectations`` is a list of rule dicts in
+    the api.validate_expectations format, enforced on the STAGED
+    increment — what is validated is byte-for-byte what would land,
+    and the upstream frame is computed exactly once (the gate reads
+    the staged parquet, never re-runs the plan that produced it).
+    ``on_violation="fail"`` raises :class:`ExpectationViolation` with
+    per-rule counts and deletes the staging — nothing commits, the
+    corpus is untouched. ``on_violation="drop"`` rewrites the clean
+    subset from the staged files (one Observation-carrying job counts
+    every rule's violations AND writes the surviving rows) and commits
+    only it; ``unique`` rules are aggregate properties with no
+    row-level drop semantics, so they raise in drop mode — use fail.
+    Requires a version-logged target (the gate belongs to the commit
+    protocol). Returns {"files": <appended file count or None>,
+    "expectations": {rule_id: violations} when gated,
+    "dropped_rows": n in drop mode}."""
     import uuid as _uuid
 
     from engage_spark.versioning import (
@@ -241,6 +272,24 @@ def append_dataset(
                 "leave a mixed layout that readers silently truncate"
             )
 
+    if expectations is not None:
+        if on_violation not in ("fail", "drop"):
+            raise ValueError(
+                f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
+            )
+        if on_violation == "drop" and any(
+            r["rule"] == "unique" for r in expectations
+        ):
+            raise ValueError(
+                "a `unique` expectation has no row-level drop semantics "
+                "(it is an aggregate property); use on_violation='fail'"
+            )
+        if not version_log_enabled(spark, path):
+            raise ValueError(
+                "expectations require a version-logged target "
+                f"(version_log_enable): {path}"
+            )
+
     if not version_log_enabled(spark, path):
         writer = df.write.mode("append")
         if partition_by:
@@ -254,6 +303,11 @@ def append_dataset(
     if partition_by:
         writer = writer.partitionBy(*list(partition_by))
     writer.parquet(staging)
+    report: dict = {}
+    if expectations is not None:
+        staging, report = _expectation_gate(
+            spark, path, staging, expectations, on_violation, partition_by
+        )
     staged = _staged_rel_files(spark, staging)
     if not staged:  # empty increment: nothing to commit — but keep
         # the heal contract (an append, even empty, reconciles drift
@@ -262,10 +316,95 @@ def append_dataset(
         if sfs.exists(sp):
             sfs.delete(sp, True)
         _vlog_reconcile(spark, path)
-        return {"files": 0}
+        return {"files": 0, **report}
 
     final = _staged_append_commit(spark, path, staging, staged, lease_wait_s)
-    return {"files": len(final)}
+    return {"files": len(final), **report}
+
+
+def _expectation_gate(
+    spark: SparkSession,
+    path: str,
+    staging: str,
+    expectations,
+    on_violation: str,
+    partition_by: Sequence[str] | None,
+) -> tuple:
+    """Enforce expectations on a STAGED append increment, before the
+    commit tail. Returns (staging_dir_to_commit, report). fail: one
+    aggregation over the staged read (api.validate_expectations — the
+    exact same rule compilation the batch report uses); any violation
+    deletes the staging and raises. drop: one job carries BOTH the
+    per-rule counts (an Observation on the staged read, observed
+    BEFORE the filter so dropped rows are counted) and the clean
+    subset's write to a sibling staging; the dirty staging is deleted
+    and the clean one commits. No expectation ever reads the upstream
+    frame — only the staged parquet."""
+    from pyspark.sql import Observation
+
+    from engage_spark.api import _expectation_rule, validate_expectations
+
+    staged_df = spark.read.parquet(staging)
+    if on_violation == "fail":
+        counts = {
+            r["rule_id"]: r["n_violations"]
+            for r in validate_expectations(staged_df, expectations).collect()
+        }
+        bad = {k: v for k, v in counts.items() if v > 0}
+        if bad:
+            sfs, sp = _hadoop_fs(spark, staging)
+            sfs.delete(sp, True)
+            raise ExpectationViolation(path, bad)
+        return staging, {"expectations": counts}
+    # drop: count everything + write survivors in ONE job
+    rules = [_expectation_rule(r, i) for i, r in enumerate(expectations)]
+    aggs = [
+        F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"__v{i}")
+        for i, (_, viol) in enumerate(rules)
+    ]
+    import functools
+    import operator
+
+    any_viol = F.coalesce(
+        functools.reduce(operator.or_, (viol for _, viol in rules)),
+        F.lit(False),
+    )
+    # a row violating SEVERAL rules drops once — count dropped rows
+    # with their own aggregate, not the per-rule sum
+    aggs.append(
+        F.coalesce(F.sum(F.when(any_viol, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("__dropped")
+    )
+    aggs.append(F.count(F.lit(1)).alias("__total"))
+    obs = Observation()
+    clean_staging = f"{staging}_clean"
+    writer = (
+        staged_df.observe(obs, *aggs)
+        .filter(~any_viol)
+        .write.mode("overwrite")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.parquet(clean_staging)
+    got = obs.get
+    counts = {rid: int(got[f"__v{i}"]) for i, (rid, _) in enumerate(rules)}
+    sfs, sp = _hadoop_fs(spark, staging)
+    sfs.delete(sp, True)
+    if int(got["__total"]) == int(got["__dropped"]):
+        # every row dropped: a filter-everything write still emits one
+        # EMPTY part file — deleting the clean staging routes the
+        # caller to its empty-increment branch (no empty file, no
+        # pointless commit)
+        cfs, cp = _hadoop_fs(spark, clean_staging)
+        if cfs.exists(cp):
+            cfs.delete(cp, True)
+    return clean_staging, {
+        "expectations": counts,
+        "dropped_rows": int(got["__dropped"]),
+    }
 
 
 def _staged_append_commit(

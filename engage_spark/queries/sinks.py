@@ -1968,3 +1968,100 @@ def s23_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_keys(spark, tgt, "event_id", dim).withColumn(
         "pruned", F.lit(n_pruned > 0)
     )
+
+
+@query(
+    "s24_expectations_gated_append",
+    # Oracle: the final corpus is the base plus EXACTLY the clean
+    # subset of the dirty increment (rows poisoned into violating the
+    # range or presence rule never land), and the `dropped` literal is
+    # the closed-form count of poisoned rows — a hash mismatch means
+    # the gate either leaked a dirty row, dropped a clean one, or
+    # miscounted. `appends` pins that the gated commit is ONE entry.
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100 + 1e-9) AS BIGINT) AS v
+        FROM events
+    ), final AS (
+        SELECT * FROM base WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT * FROM base
+        WHERE event_id % 2 = 1 AND event_id % 10 NOT IN (1, 5)
+    )
+    SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS cents,
+           (SELECT count(*) FROM base
+            WHERE event_id % 2 = 1 AND event_id % 10 IN (1, 5))::BIGINT
+               AS dropped,
+           1::BIGINT AS appends
+    FROM final GROUP BY event_type
+    """,
+    covers=["S4", "S5", "A9"],
+)
+def s24_expectations_gated_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time expectation gate on a versioned append (r14): the
+    even half of `events` publishes as the corpus, then the odd half
+    arrives DIRTY (event_id%10==1 rows carry a negative amount,
+    %10==5 rows a NULL event_type — the malformed-delivery case every
+    100 TB ingest hits) through append_dataset with declarative
+    expectations in drop mode: ONE Observation-carrying job over the
+    STAGED increment counts every rule's violations and writes only
+    the surviving rows, which commit as one exact `append` entry —
+    upstream computed once, nothing dirty ever visible to readers, and
+    fail mode (pinned by pytest) refuses atomically instead. The
+    aggregate hash-fails if a dirty row leaked or a clean one was
+    dropped; `dropped` pins the exact violation count; `appends` pins
+    the single-entry history shape."""
+    import shutil
+
+    from engage_spark.io import append_dataset
+    from engage_spark.versioning import (
+        dataset_history,
+        latest_version,
+        read_version,
+        version_log_enable,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v"),
+    )
+    tgt = _scratch("events_gated_append")
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    write_parquet(ev.filter(F.col("event_id") % 2 == 0), tgt)
+    version_log_enable(spark, tgt)
+    dirty = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn(
+            "v",
+            F.when(F.col("event_id") % 10 == 1, F.lit(-1).cast("long"))
+            .otherwise(F.col("v")),
+        )
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 10 == 5, F.lit(None))
+            .otherwise(F.col("event_type")),
+        )
+    )
+    res = append_dataset(
+        spark, dirty, tgt,
+        expectations=[
+            {"rule": "not_null", "col": "event_type"},
+            {"rule": "in_range", "col": "v", "lo": 0},
+        ],
+        on_violation="drop",
+    )
+    n_appends = (
+        dataset_history(spark, tgt).filter(F.col("op") == "append").count()
+    )
+    return (
+        read_version(spark, tgt, latest_version(spark, tgt))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("long").alias("cents"),
+        )
+        .withColumn("dropped", F.lit(res["dropped_rows"]).cast("long"))
+        .withColumn("appends", F.lit(n_appends).cast("long"))
+    )

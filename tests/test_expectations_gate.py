@@ -1,0 +1,187 @@
+"""Commit-time expectation gates on versioned appends (io.append_dataset
+expectations/on_violation, round 14) — the DLT expect_or_fail /
+expect_or_drop shape on the staged-commit protocol.
+
+Pins: fail mode refuses the WHOLE increment atomically (no files land,
+no log entry, no orphan staging), drop mode commits exactly the clean
+subset with exact per-rule counts and a once-per-row dropped count,
+the gate validates the STAGED bytes (rules see what would land), and
+the unsupported combinations raise up front.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engage_spark.io import (
+    ExpectationViolation,
+    append_dataset,
+    write_parquet,
+)
+from engage_spark.versioning import (
+    dataset_history,
+    latest_version,
+    read_version,
+    version_log_enable,
+)
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+
+
+@pytest.fixture()
+def base(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "gated")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev.filter(F.col("event_id") % 2 == 0), out)
+    version_log_enable(spark, out)
+    return out, ev
+
+
+RULES = [
+    {"rule": "not_null", "col": "event_type"},
+    {"rule": "in_range", "col": "v_cents", "lo": 0},
+]
+
+
+def test_fail_mode_refuses_atomically(spark, base, tmp_path):
+    out, ev = base
+    v0 = latest_version(spark, out)
+    n0 = read_version(spark, out, v0).count()
+    bad = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "v_cents",
+        F.when(F.col("event_id") % 10 == 1, -F.col("v_cents") - 1)
+        .otherwise(F.col("v_cents")),
+    )
+    with pytest.raises(ExpectationViolation) as ei:
+        append_dataset(spark, bad, out, expectations=RULES)
+    assert ei.value.counts["in_range:v_cents"] > 0
+    # NOTHING landed: same version, same rows, no staging left behind
+    assert latest_version(spark, out) == v0
+    assert read_version(spark, out, v0).count() == n0
+    import pathlib
+
+    parent = pathlib.Path(out).parent
+    assert not [p for p in parent.iterdir() if "staging" in p.name]
+
+
+def test_fail_mode_clean_increment_commits(spark, base):
+    out, ev = base
+    inc = ev.filter(F.col("event_id") % 2 == 1)
+    res = append_dataset(spark, inc, out, expectations=RULES)
+    assert res["files"] > 0
+    assert set(res["expectations"].values()) == {0}
+    v = latest_version(spark, out)
+    assert read_version(spark, out, v).count() == ev.count()
+
+
+def test_drop_mode_commits_exactly_the_clean_subset(spark, base):
+    out, ev = base
+    inc = ev.filter(F.col("event_id") % 2 == 1)
+    # poison two disjoint slices, plus one overlap row violating BOTH
+    bad_range = (F.col("event_id") % 10 == 1) | (F.col("event_id") % 10 == 3)
+    bad_null = (F.col("event_id") % 10 == 3) | (F.col("event_id") % 10 == 5)
+    dirty = inc.withColumn(
+        "v_cents",
+        F.when(bad_range, -1).otherwise(F.col("v_cents")),
+    ).withColumn(
+        "event_type",
+        F.when(bad_null, F.lit(None)).otherwise(F.col("event_type")),
+    )
+    n_range = inc.filter(bad_range).count()
+    n_null = inc.filter(bad_null).count()
+    n_either = inc.filter(bad_range | bad_null).count()
+    res = append_dataset(
+        spark, dirty, out, expectations=RULES, on_violation="drop"
+    )
+    assert res["expectations"] == {
+        "not_null:event_type": n_null,
+        "in_range:v_cents": n_range,
+    }
+    assert res["dropped_rows"] == n_either < n_range + n_null
+    v = latest_version(spark, out)
+    got = read_version(spark, out, v)
+    exp = ev.filter(F.col("event_id") % 2 == 0).unionByName(
+        inc.filter(~(bad_range | bad_null))
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    # exactly one append entry for the gated commit
+    assert (
+        dataset_history(spark, out).filter(F.col("op") == "append").count()
+        == 1
+    )
+
+
+def test_drop_mode_all_dirty_commits_nothing(spark, base):
+    out, ev = base
+    v0 = latest_version(spark, out)
+    dirty = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "v_cents", F.lit(-5).cast("long")
+    )
+    res = append_dataset(
+        spark, dirty, out, expectations=RULES, on_violation="drop"
+    )
+    assert res["files"] == 0 and res["dropped_rows"] == dirty.count()
+    assert latest_version(spark, out) == v0  # no empty commit
+
+
+def test_gate_preserves_partitioned_layout(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "gated_part")
+    ev = _events(spark, sf_dir)
+    write_parquet(
+        ev.filter(F.col("event_id") % 2 == 0), out,
+        partition_by=["event_type"],
+    )
+    version_log_enable(spark, out)
+    dirty = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "v_cents",
+        F.when(F.col("event_id") % 10 == 1, -1).otherwise(F.col("v_cents")),
+    )
+    res = append_dataset(
+        spark, dirty, out, partition_by=["event_type"],
+        expectations=RULES, on_violation="drop",
+    )
+    assert res["dropped_rows"] > 0
+    got = read_version(spark, out, latest_version(spark, out))
+    assert "event_type" in got.columns
+    assert got.filter(F.col("v_cents") < 0).count() == 0
+    assert got.count() == ev.count() - res["dropped_rows"]
+
+
+def test_invalid_combinations_raise_before_writing(spark, base, tmp_path):
+    out, ev = base
+    inc = ev.limit(5)
+    with pytest.raises(ValueError, match="on_violation"):
+        append_dataset(
+            spark, inc, out, expectations=RULES, on_violation="warn"
+        )
+    with pytest.raises(ValueError, match="unique"):
+        append_dataset(
+            spark, inc, out,
+            expectations=[{"rule": "unique", "col": "event_id"}],
+            on_violation="drop",
+        )
+    plain = str(tmp_path / "plain")
+    write_parquet(ev.limit(10), plain)
+    with pytest.raises(ValueError, match="version-logged"):
+        append_dataset(spark, inc, plain, expectations=RULES)
+
+
+def test_unique_rule_in_fail_mode(spark, base):
+    out, ev = base
+    dup = ev.filter(F.col("event_id") % 2 == 1).limit(10)
+    dup = dup.unionByName(dup.limit(3))
+    with pytest.raises(ExpectationViolation) as ei:
+        append_dataset(
+            spark, dup, out,
+            expectations=[{"rule": "unique", "col": "event_id"}],
+        )
+    assert ei.value.counts["unique:event_id"] == 3
