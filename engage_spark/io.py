@@ -329,6 +329,7 @@ def _expectation_gate(
     expectations,
     on_violation: str,
     partition_by: Sequence[str] | None,
+    clean_write=None,
 ) -> tuple:
     """Enforce expectations on a STAGED append increment, before the
     commit tail. Returns (staging_dir_to_commit, report). fail: one
@@ -339,7 +340,10 @@ def _expectation_gate(
     BEFORE the filter so dropped rows are counted) and the clean
     subset's write to a sibling staging; the dirty staging is deleted
     and the clean one commits. No expectation ever reads the upstream
-    frame — only the staged parquet."""
+    frame — only the staged parquet. `clean_write(df, dst)` overrides
+    the drop-mode rewrite for layout-preserving callers
+    (zorder_append re-lays the survivors on the frozen curve); default
+    is a plain (optionally partitioned) parquet write."""
     from pyspark.sql import Observation
 
     from engage_spark.api import _expectation_rule, validate_expectations
@@ -379,17 +383,24 @@ def _expectation_gate(
         .alias("__dropped")
     )
     aggs.append(F.count(F.lit(1)).alias("__total"))
-    obs = Observation()
     clean_staging = f"{staging}_clean"
-    writer = (
-        staged_df.observe(obs, *aggs)
-        .filter(~any_viol)
-        .write.mode("overwrite")
-    )
-    if partition_by:
-        writer = writer.partitionBy(*list(partition_by))
-    writer.parquet(clean_staging)
-    got = obs.get
+    if clean_write is not None:
+        # layout-preserving writers (the frozen-curve re-lay) evaluate
+        # their input MORE THAN ONCE — repartitionByRange samples the
+        # frame to compute range bounds before the real write — which
+        # would double-count an Observation. Count with a standalone
+        # aggregation over the staged parquet instead (one extra
+        # column-pruned read of the increment), then write plain.
+        got = staged_df.agg(*aggs).collect()[0]
+        clean_write(staged_df.filter(~any_viol), clean_staging)
+    else:
+        obs = Observation()
+        survivors = staged_df.observe(obs, *aggs).filter(~any_viol)
+        writer = survivors.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.parquet(clean_staging)
+        got = obs.get
     counts = {rid: int(got[f"__v{i}"]) for i, (rid, _) in enumerate(rules)}
     sfs, sp = _hadoop_fs(spark, staging)
     sfs.delete(sp, True)
@@ -1397,6 +1408,8 @@ def zorder_append(
     path: str,
     num_files: int | None = None,
     lease_wait_s: float = 30.0,
+    expectations=None,
+    on_violation: str = "fail",
 ) -> dict:
     """Append an increment to a Z-ordered dataset ON THE SAME CURVE:
     scale with the persisted ``_zorder_meta`` (never re-derive — fresh
@@ -1417,8 +1430,14 @@ def zorder_append(
     ingesters all land with exact per-increment entries, and the
     z-range manifest update rides the same lease (the old in-place
     write diffed live listings before/after, which two concurrent
-    appenders would mis-attribute). Returns {"files", "cols",
-    "scale"}."""
+    appenders would mis-attribute).
+
+    ``expectations``/``on_violation`` (r14): the same commit-time gate
+    as :func:`append_dataset` — rules enforced on the STAGED clustered
+    slice, fail refuses atomically, drop RE-LAYS the surviving rows on
+    the frozen Z-curve (a plain filtered rewrite would break the
+    range-partitioned layout) and commits only them. Versioned targets
+    only. Returns {"files", "cols", "scale", + gate report}."""
     import uuid as _uuid
 
     m = zorder_meta(spark, path)
@@ -1435,6 +1454,23 @@ def zorder_append(
     from engage_spark.versioning import version_log_enabled
 
     vlog = version_log_enabled(spark, path)
+    if expectations is not None:
+        if on_violation not in ("fail", "drop"):
+            raise ValueError(
+                f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
+            )
+        if on_violation == "drop" and any(
+            r["rule"] == "unique" for r in expectations
+        ):
+            raise ValueError(
+                "a `unique` expectation has no row-level drop semantics "
+                "(it is an aggregate property); use on_violation='fail'"
+            )
+        if not vlog:
+            raise ValueError(
+                "expectations require a version-logged target "
+                f"(version_log_enable): {path}"
+            )
     out = _zorder_scale_frozen(spark, df, path, m)
     n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
 
@@ -1468,6 +1504,18 @@ def zorder_append(
     # versioned: stage (no lease) → shared rename+log commit tail
     staging = f"{path.rstrip('/')}{_APPEND_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
     _write_z_layout(out, n, part_cols, "overwrite", staging)
+    report: dict = {}
+    if expectations is not None:
+        staging, report = _expectation_gate(
+            spark, path, staging, expectations, on_violation, None,
+            # drop-mode survivors must go back on the frozen curve —
+            # a plain filtered rewrite would break the range-
+            # partitioned layout every skip-rate assumption rests on
+            clean_write=lambda cdf, dst: _write_z_layout(
+                _zorder_scale_frozen(spark, cdf, path, m),
+                n, part_cols, "overwrite", dst,
+            ),
+        )
     staged = _staged_rel_files(spark, staging)
     if not staged:
         sfs, sp = _hadoop_fs(spark, staging)
@@ -1476,7 +1524,7 @@ def zorder_append(
         from engage_spark.versioning import _vlog_reconcile
 
         _vlog_reconcile(spark, path)
-        return {"files": 0, "cols": m["cols"], "scale": m["scale"]}
+        return {"files": 0, "cols": m["cols"], "scale": m["scale"], **report}
 
     def _update_zranges(final_names: list) -> None:
         # under the commit lease: the manifest freshness check compares
@@ -1509,7 +1557,7 @@ def zorder_append(
     )
     # no df.count() here — that would re-run the whole scale+shuffle
     # pipeline just for a return value; count the dataset if you need it
-    return {"files": n, "cols": m["cols"], "scale": m["scale"]}
+    return {"files": n, "cols": m["cols"], "scale": m["scale"], **report}
 
 
 # Per-file z-range MANIFEST (round 11): the statistics a table format

@@ -185,3 +185,44 @@ def test_unique_rule_in_fail_mode(spark, base):
             expectations=[{"rule": "unique", "col": "event_id"}],
         )
     assert ei.value.counts["unique:event_id"] == 3
+
+
+def test_zorder_append_gate_fail_and_drop(spark, sf_dir, tmp_path):
+    """The clustered ingest path shares the gate: fail refuses
+    atomically; drop re-lays the survivors on the FROZEN curve (a
+    plain filtered rewrite would break the range-partitioned
+    layout)."""
+    from engage_spark.io import zorder_append, zorder_write
+
+    out = str(tmp_path / "zgated")
+    ev = _events(spark, sf_dir)
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 2 == 0), out,
+        ["user_id", "v_cents"], bits=16, num_files=8,
+    )
+    version_log_enable(spark, out)
+    v0 = latest_version(spark, out)
+    dirty = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "v_cents",
+        F.when(F.col("event_id") % 10 == 1, F.lit(-1).cast("long"))
+        .otherwise(F.col("v_cents")),
+    )
+    with pytest.raises(ExpectationViolation):
+        zorder_append(spark, dirty, out, expectations=RULES)
+    assert latest_version(spark, out) == v0  # nothing landed
+    res = zorder_append(
+        spark, dirty, out, expectations=RULES, on_violation="drop"
+    )
+    assert res["dropped_rows"] == dirty.filter(F.col("v_cents") < 0).count()
+    got = read_version(spark, out, latest_version(spark, out))
+    exp = ev.filter(F.col("event_id") % 2 == 0).unionByName(
+        dirty.filter(F.col("v_cents") >= 0)
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
+    # survivors are ON the frozen curve: the committed files pass the
+    # z-range self-check (each appended file covers a tight rectangle)
+    from engage_spark.io import zorder_layout_stats
+
+    stats = zorder_layout_stats(spark, out)
+    assert stats["files"] > 8  # base plus the gated increment
