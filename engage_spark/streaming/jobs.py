@@ -383,6 +383,9 @@ def incremental_ingest_stream(
     embed_index: str | None = None,
     emb_col: str = "embedding",
     embed_threshold: float = 0.85,
+    expectations=None,
+    on_violation: str = "drop",
+    metrics_dir: str | None = None,
 ):
     """foreachBatch corpus ingest: per micro-batch, admit only documents
     whose normalized md5 fingerprint is (a) the first occurrence inside
@@ -443,6 +446,24 @@ def incremental_ingest_stream(
     inside one; run the batch clustering queries for intra-batch
     collapse. A missing index directory means "nothing indexed yet".
 
+    `expectations` (r14) adds the QUALITY admission tier, FIRST in the
+    gate order (before fingerprint/near-dup/semantic dedup — a
+    malformed document must not consume a fingerprint slot that then
+    blocks the valid re-delivery of the same text): rule dicts in the
+    api.validate_expectations format, enforced per micro-batch. The
+    default ``on_violation="drop"`` filters violating rows with ZERO
+    extra jobs (the predicate fuses into the batch's existing plan);
+    ``"fail"`` counts violations first (one agg job per batch) and
+    raises ExpectationViolation — failing the streaming query — on the
+    first dirty batch, the DLT expect_or_fail shape. ``metrics_dir``
+    (optional, drop mode) writes per-batch per-rule violation counts
+    under the same ``run=<tag>_batch=<id>`` idempotent-partition
+    discipline as the fingerprint store (a replayed batch rewrites its
+    own identical metrics row, never duplicates) — the quality
+    dashboard's input. `unique` rules raise up front in drop mode
+    (aggregate property, no row-drop semantics; the fingerprint gate
+    already dedups exact text).
+
     `embed_index` (round 10) adds the SEMANTIC admission tier: when the
     stream carries an `emb_col` embedding column, each batch also
     rejects documents whose embedding cosine-matches a prior batch's
@@ -464,11 +485,31 @@ def incremental_ingest_stream(
     discovery), which the own-batch exclusion correctly treats as
     committed history.
     """
+    import functools
     import hashlib
+    import operator
 
     from engage_spark.api import normalized_fingerprint
 
     spark = docs.sparkSession
+    exp_rules = None
+    if expectations is not None:
+        from engage_spark.api import _expectation_rule
+
+        if on_violation not in ("fail", "drop"):
+            raise ValueError(
+                f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
+            )
+        if on_violation == "drop" and any(
+            r["rule"] == "unique" for r in expectations
+        ):
+            raise ValueError(
+                "a `unique` expectation has no row-level drop semantics "
+                "in a stream; use on_violation='fail'"
+            )
+        exp_rules = [
+            _expectation_rule(r, i) for i, r in enumerate(expectations)
+        ]
     store_schema = "fingerprint string"
     bands_schema = "doc_id long, band int, band_key long"
     embed_bands_schema = "vec_id long, band int, key long"
@@ -507,6 +548,55 @@ def incremental_ingest_stream(
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from engage_spark.io import _hadoop_fs
+
+        if exp_rules is not None:
+            # QUALITY gate, first: a malformed document must not burn
+            # a fingerprint slot that would then block the valid
+            # re-delivery of the same text
+            if on_violation == "fail":
+                from engage_spark.api import validate_expectations
+                from engage_spark.io import ExpectationViolation
+
+                counts = {
+                    r["rule_id"]: r["n_violations"]
+                    for r in validate_expectations(
+                        batch_df, expectations
+                    ).collect()
+                }
+                bad = {k: v for k, v in counts.items() if v > 0}
+                if bad:
+                    raise ExpectationViolation(corpus_dir, bad)
+            else:
+                any_viol = F.coalesce(
+                    functools.reduce(
+                        operator.or_, (v for _, v in exp_rules)
+                    ),
+                    F.lit(False),
+                )
+                if metrics_dir is not None:
+                    from engage_spark.session import local_frame
+
+                    row = batch_df.agg(
+                        *[
+                            F.coalesce(
+                                F.sum(F.when(v, 1).otherwise(0)), F.lit(0)
+                            )
+                            .cast("long")
+                            .alias(f"__v{i}")
+                            for i, (_, v) in enumerate(exp_rules)
+                        ]
+                    ).collect()[0]
+                    local_frame(
+                        spark,
+                        [
+                            (rid, int(row[f"__v{i}"]))
+                            for i, (rid, _) in enumerate(exp_rules)
+                        ],
+                        "rule_id string, n_violations long",
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        f"{metrics_dir}/run={run_tag}_batch={batch_id}"
+                    )
+                batch_df = batch_df.filter(~any_viol)
 
         # probe existence EXPLICITLY instead of catching Exception
         # around the read: "no store yet" is the only condition that

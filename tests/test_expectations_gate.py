@@ -226,3 +226,80 @@ def test_zorder_append_gate_fail_and_drop(spark, sf_dir, tmp_path):
 
     stats = zorder_layout_stats(spark, out)
     assert stats["files"] > 8  # base plus the gated increment
+
+
+def test_streaming_ingest_quality_gate(spark, tmp_path):
+    """The streaming ingest's quality tier: violating docs drop FIRST
+    (before fingerprinting — a malformed doc must not block the valid
+    re-delivery of the same text), per-batch metrics land under the
+    idempotent run/batch partitions, and fail mode kills the query on
+    the first dirty batch."""
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src = str(tmp_path / "in")
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, ""),                    # violates min length
+        (2, None),                  # violates not_null
+        (3, "delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    metrics = str(tmp_path / "metrics")
+    rules = [
+        {"rule": "not_null", "col": "text"},
+        {
+            "rule": "expr",
+            "id": "min_len:text",
+            "expr": "length(text) >= 5",
+        },
+    ]
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = incremental_ingest_stream(
+        stream, corpus, store,
+        expectations=rules, on_violation="drop", metrics_dir=metrics,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 3]
+    m = {
+        r["rule_id"]: r["n_violations"]
+        for r in spark.read.parquet(metrics).collect()
+    }
+    # doc 2 violates not_null; docs 1 and 2 violate min_len (a NULL
+    # expr evaluates NULL -> ~NULL is NULL -> counts as violation
+    # only via the when(viol) path... pin what the gate actually does:
+    # not_null catches doc 2, min_len catches doc 1 (empty string)
+    assert m["not_null:text"] == 1
+    assert m["min_len:text"] >= 1
+    # a dropped doc's resubmission WITH valid text is admitted (its
+    # fingerprint slot was never burned)
+    spark.createDataFrame(
+        [(21, "resubmitted text for doc one")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/b.parquet")
+    q2 = incremental_ingest_stream(
+        stream, corpus, store,
+        expectations=rules, on_violation="drop", metrics_dir=metrics,
+    )
+    q2.awaitTermination()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [0, 3, 21]
+
+    # fail mode: first dirty batch kills the query with the counts
+    corpus2, store2 = str(tmp_path / "c2"), str(tmp_path / "s2")
+    q3 = incremental_ingest_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        corpus2, store2, expectations=rules, on_violation="fail",
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="refused by"):
+        q3.awaitTermination()
