@@ -3053,13 +3053,23 @@ def training_shards(
     )
 
 
-def _expectation_rule(r: dict, i: int):
+def _expectation_rule(r: dict, i: int, gate: bool = False):
     """Compile ONE expectation rule dict to ``(rule_id, violation
     Column | None)`` — None marks a ``unique`` rule, which is an
     aggregate property (count vs countDistinct), not a row predicate.
-    Shared by :func:`validate_expectations` (batch report) and
-    ``io.append_dataset``'s commit-time gate, so the two can never
-    disagree on what a rule means."""
+    Shared by :func:`validate_expectations` (batch report) and the
+    commit-time gates (io._check_gate_args), so the two can never
+    disagree on what a rule means.
+
+    ``gate=True`` flips ONE semantic for ``expr`` rules: a NULL
+    (three-valued-unknown) result counts as a VIOLATION instead of a
+    pass. The report keeps SQL-CHECK semantics (NULL passes — wrap in
+    coalesce() to change it), but a gate admitting a row because its
+    quality predicate couldn't be evaluated (`length(text) >= 5` on
+    NULL text) would silently let exactly the malformed rows through;
+    at the gate, unknown refuses (the DLT convention). Column rules
+    (range/set/regex) skip NULLs in BOTH modes — pair with not_null
+    to enforce presence."""
     import functools
     import operator
 
@@ -3086,6 +3096,8 @@ def _expectation_rule(r: dict, i: int):
         viol = c.isNotNull() & ~c.rlike(r["pattern"])
     elif kind == "expr":
         viol = ~F.expr(r["expr"])
+        if gate:
+            viol = F.coalesce(viol, F.lit(True))
     else:
         raise ValueError(f"unknown expectation rule kind: {kind}")
     return rid, viol

@@ -194,6 +194,88 @@ class ExpectationViolation(ValueError):
         )
 
 
+def _check_gate_args(
+    expectations, on_violation: str, vlog: bool, path: str
+) -> list:
+    """The ONE validation + compilation step every expectation gate
+    (append_dataset, zorder_append, the streaming ingest tier) runs
+    up front — BEFORE any data is staged, so a bad config can never
+    orphan a staging dir. Returns the gate-compiled rules
+    [(rule_id, violation Column | None)] (api._expectation_rule with
+    gate=True: a NULL expr result refuses the row). Raises on: an
+    unknown mode, an EMPTY rule list (validate_expectations would
+    reject it only after staging), DUPLICATE derived rule ids (two
+    rules both deriving `regex:text` would collapse into one count
+    and a violated rule could be masked by a clean one — give each an
+    explicit 'id'), `unique` in drop mode (aggregate property, no
+    row-drop semantics), and a non-version-logged target."""
+    from engage_spark.api import _expectation_rule
+
+    if on_violation not in ("fail", "drop"):
+        raise ValueError(
+            f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
+        )
+    if not expectations:
+        raise ValueError("expectations must be a non-empty list of rules")
+    rules = [
+        _expectation_rule(r, i, gate=True)
+        for i, r in enumerate(expectations)
+    ]
+    rids = [rid for rid, _ in rules]
+    dups = sorted({x for x in rids if rids.count(x) > 1})
+    if dups:
+        raise ValueError(
+            f"duplicate expectation rule ids {dups}; give each rule an "
+            "explicit 'id' so no violation count can mask another's"
+        )
+    if on_violation == "drop" and any(v is None for _, v in rules):
+        raise ValueError(
+            "a `unique` expectation has no row-level drop semantics "
+            "(it is an aggregate property); use on_violation='fail'"
+        )
+    if not vlog:
+        raise ValueError(
+            "expectations require a version-logged target "
+            f"(version_log_enable): {path}"
+        )
+    return rules
+
+
+def _gate_aggs(expectations, rules) -> list:
+    """Per-rule violation-count aggregates over the gate-compiled
+    rules — shared by the fail-mode count, the drop-mode Observation,
+    and the streaming metrics so every gate counts identically.
+    `unique` rules (violation None) count as the aggregate
+    count−countDistinct; an empty frame reports 0 everywhere."""
+    aggs = []
+    for i, (_, viol) in enumerate(rules):
+        if viol is None:
+            c = F.col(expectations[i]["col"])
+            aggs.append(
+                (F.count(c) - F.countDistinct(c))
+                .cast("long")
+                .alias(f"__v{i}")
+            )
+        else:
+            aggs.append(
+                F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
+                .cast("long")
+                .alias(f"__v{i}")
+            )
+    return aggs
+
+
+def _gate_fail_check(df: DataFrame, path: str, expectations, rules) -> dict:
+    """ONE aggregation; raises ExpectationViolation on any violation,
+    else returns the all-zero per-rule counts."""
+    row = df.agg(*_gate_aggs(expectations, rules)).collect()[0]
+    counts = {rid: int(row[f"__v{i}"]) for i, (rid, _) in enumerate(rules)}
+    bad = {k: v for k, v in counts.items() if v > 0}
+    if bad:
+        raise ExpectationViolation(path, bad)
+    return counts
+
+
 def append_dataset(
     spark: SparkSession,
     df: DataFrame,
@@ -272,25 +354,12 @@ def append_dataset(
                 "leave a mixed layout that readers silently truncate"
             )
 
+    vlog = version_log_enabled(spark, path)
+    gate_rules = None
     if expectations is not None:
-        if on_violation not in ("fail", "drop"):
-            raise ValueError(
-                f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
-            )
-        if on_violation == "drop" and any(
-            r["rule"] == "unique" for r in expectations
-        ):
-            raise ValueError(
-                "a `unique` expectation has no row-level drop semantics "
-                "(it is an aggregate property); use on_violation='fail'"
-            )
-        if not version_log_enabled(spark, path):
-            raise ValueError(
-                "expectations require a version-logged target "
-                f"(version_log_enable): {path}"
-            )
+        gate_rules = _check_gate_args(expectations, on_violation, vlog, path)
 
-    if not version_log_enabled(spark, path):
+    if not vlog:
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*list(partition_by))
@@ -306,7 +375,8 @@ def append_dataset(
     report: dict = {}
     if expectations is not None:
         staging, report = _expectation_gate(
-            spark, path, staging, expectations, on_violation, partition_by
+            spark, path, staging, expectations, gate_rules,
+            on_violation, partition_by,
         )
     staged = _staged_rel_files(spark, staging)
     if not staged:  # empty increment: nothing to commit — but keep
@@ -327,47 +397,43 @@ def _expectation_gate(
     path: str,
     staging: str,
     expectations,
+    rules,
     on_violation: str,
     partition_by: Sequence[str] | None,
     clean_write=None,
 ) -> tuple:
     """Enforce expectations on a STAGED append increment, before the
-    commit tail. Returns (staging_dir_to_commit, report). fail: one
-    aggregation over the staged read (api.validate_expectations — the
-    exact same rule compilation the batch report uses); any violation
-    deletes the staging and raises. drop: one job carries BOTH the
-    per-rule counts (an Observation on the staged read, observed
-    BEFORE the filter so dropped rows are counted) and the clean
-    subset's write to a sibling staging; the dirty staging is deleted
-    and the clean one commits. No expectation ever reads the upstream
-    frame — only the staged parquet. `clean_write(df, dst)` overrides
-    the drop-mode rewrite for layout-preserving callers
-    (zorder_append re-lays the survivors on the frozen curve); default
-    is a plain (optionally partitioned) parquet write."""
+    commit tail. `rules` is the _check_gate_args compilation (gate
+    semantics: a NULL expr result refuses the row). Returns
+    (staging_dir_to_commit, report). An EMPTY staged increment (a
+    zero-row partitioned write leaves only _SUCCESS) passes through
+    untouched — there is nothing to gate and the caller's
+    empty-increment branch handles it. fail: one aggregation over the
+    staged read; any violation deletes the staging and raises. drop:
+    one job carries BOTH the per-rule counts (an Observation on the
+    staged read, observed BEFORE the filter so dropped rows are
+    counted) and the clean subset's write to a sibling staging; the
+    dirty staging is deleted and the clean one commits. No
+    expectation ever reads the upstream frame — only the staged
+    parquet. `clean_write(df, dst)` overrides the drop-mode rewrite
+    for layout-preserving callers (zorder_append re-lays the
+    survivors on the frozen curve); default is a plain (optionally
+    partitioned) parquet write."""
     from pyspark.sql import Observation
 
-    from engage_spark.api import _expectation_rule, validate_expectations
-
+    if not _staged_rel_files(spark, staging):
+        return staging, {}
     staged_df = spark.read.parquet(staging)
     if on_violation == "fail":
-        counts = {
-            r["rule_id"]: r["n_violations"]
-            for r in validate_expectations(staged_df, expectations).collect()
-        }
-        bad = {k: v for k, v in counts.items() if v > 0}
-        if bad:
+        try:
+            counts = _gate_fail_check(staged_df, path, expectations, rules)
+        except ExpectationViolation:
             sfs, sp = _hadoop_fs(spark, staging)
             sfs.delete(sp, True)
-            raise ExpectationViolation(path, bad)
+            raise
         return staging, {"expectations": counts}
     # drop: count everything + write survivors in ONE job
-    rules = [_expectation_rule(r, i) for i, r in enumerate(expectations)]
-    aggs = [
-        F.coalesce(F.sum(F.when(viol, 1).otherwise(0)), F.lit(0))
-        .cast("long")
-        .alias(f"__v{i}")
-        for i, (_, viol) in enumerate(rules)
-    ]
+    aggs = _gate_aggs(expectations, rules)
     import functools
     import operator
 
@@ -1454,23 +1520,9 @@ def zorder_append(
     from engage_spark.versioning import version_log_enabled
 
     vlog = version_log_enabled(spark, path)
+    gate_rules = None
     if expectations is not None:
-        if on_violation not in ("fail", "drop"):
-            raise ValueError(
-                f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
-            )
-        if on_violation == "drop" and any(
-            r["rule"] == "unique" for r in expectations
-        ):
-            raise ValueError(
-                "a `unique` expectation has no row-level drop semantics "
-                "(it is an aggregate property); use on_violation='fail'"
-            )
-        if not vlog:
-            raise ValueError(
-                "expectations require a version-logged target "
-                f"(version_log_enable): {path}"
-            )
+        gate_rules = _check_gate_args(expectations, on_violation, vlog, path)
     out = _zorder_scale_frozen(spark, df, path, m)
     n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
 
@@ -1507,7 +1559,8 @@ def zorder_append(
     report: dict = {}
     if expectations is not None:
         staging, report = _expectation_gate(
-            spark, path, staging, expectations, on_violation, None,
+            spark, path, staging, expectations, gate_rules,
+            on_violation, None,
             # drop-mode survivors must go back on the frozen curve —
             # a plain filtered rewrite would break the range-
             # partitioned layout every skip-rate assumption rests on

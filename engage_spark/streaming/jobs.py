@@ -494,22 +494,15 @@ def incremental_ingest_stream(
     spark = docs.sparkSession
     exp_rules = None
     if expectations is not None:
-        from engage_spark.api import _expectation_rule
+        from engage_spark.io import _check_gate_args
 
-        if on_violation not in ("fail", "drop"):
-            raise ValueError(
-                f"on_violation must be 'fail' or 'drop', got {on_violation!r}"
-            )
-        if on_violation == "drop" and any(
-            r["rule"] == "unique" for r in expectations
-        ):
-            raise ValueError(
-                "a `unique` expectation has no row-level drop semantics "
-                "in a stream; use on_violation='fail'"
-            )
-        exp_rules = [
-            _expectation_rule(r, i) for i, r in enumerate(expectations)
-        ]
+        # vlog=True: the ingest corpus is run/batch-partitioned, not
+        # version-logged — the version-log requirement is a batch-path
+        # concept, the rest of the checks (mode, empty list, duplicate
+        # ids, unique-in-drop) apply verbatim
+        exp_rules = _check_gate_args(
+            expectations, on_violation, True, corpus_dir
+        )
     store_schema = "fingerprint string"
     bands_schema = "doc_id long, band int, band_key long"
     embed_bands_schema = "vec_id long, band int, key long"
@@ -552,20 +545,16 @@ def incremental_ingest_stream(
         if exp_rules is not None:
             # QUALITY gate, first: a malformed document must not burn
             # a fingerprint slot that would then block the valid
-            # re-delivery of the same text
+            # re-delivery of the same text. Shared compile + count
+            # helpers with the batch gates (io._check_gate_args /
+            # _gate_aggs / _gate_fail_check), so every gate counts
+            # identically — including the NULL-expr-refuses rule.
             if on_violation == "fail":
-                from engage_spark.api import validate_expectations
-                from engage_spark.io import ExpectationViolation
+                from engage_spark.io import _gate_fail_check
 
-                counts = {
-                    r["rule_id"]: r["n_violations"]
-                    for r in validate_expectations(
-                        batch_df, expectations
-                    ).collect()
-                }
-                bad = {k: v for k, v in counts.items() if v > 0}
-                if bad:
-                    raise ExpectationViolation(corpus_dir, bad)
+                _gate_fail_check(
+                    batch_df, corpus_dir, expectations, exp_rules
+                )
             else:
                 any_viol = F.coalesce(
                     functools.reduce(
@@ -574,17 +563,11 @@ def incremental_ingest_stream(
                     F.lit(False),
                 )
                 if metrics_dir is not None:
+                    from engage_spark.io import _gate_aggs
                     from engage_spark.session import local_frame
 
                     row = batch_df.agg(
-                        *[
-                            F.coalesce(
-                                F.sum(F.when(v, 1).otherwise(0)), F.lit(0)
-                            )
-                            .cast("long")
-                            .alias(f"__v{i}")
-                            for i, (_, v) in enumerate(exp_rules)
-                        ]
+                        *_gate_aggs(expectations, exp_rules)
                     ).collect()[0]
                     local_frame(
                         spark,

@@ -271,12 +271,12 @@ def test_streaming_ingest_quality_gate(spark, tmp_path):
         r["rule_id"]: r["n_violations"]
         for r in spark.read.parquet(metrics).collect()
     }
-    # doc 2 violates not_null; docs 1 and 2 violate min_len (a NULL
-    # expr evaluates NULL -> ~NULL is NULL -> counts as violation
-    # only via the when(viol) path... pin what the gate actually does:
-    # not_null catches doc 2, min_len catches doc 1 (empty string)
+    # doc 2 violates not_null; min_len catches doc 1 (empty string)
+    # AND doc 2 — at the GATE a NULL expr result refuses the row
+    # (api._expectation_rule gate=True), unlike the report's
+    # SQL-CHECK semantics where unknown passes
     assert m["not_null:text"] == 1
-    assert m["min_len:text"] >= 1
+    assert m["min_len:text"] == 2
     # a dropped doc's resubmission WITH valid text is admitted (its
     # fingerprint slot was never burned)
     spark.createDataFrame(
@@ -303,3 +303,84 @@ def test_streaming_ingest_quality_gate(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="refused by"):
         q3.awaitTermination()
+
+
+def test_duplicate_rule_ids_and_empty_rules_raise_up_front(
+    spark, base, tmp_path
+):
+    """Two rules deriving the same id would collapse into one count (a
+    violated rule masked by a clean one); an empty rule list used to
+    crash only AFTER staging, orphaning the dir. Both refuse before
+    any write now."""
+    out, ev = base
+    inc = ev.limit(5)
+    with pytest.raises(ValueError, match="duplicate expectation rule ids"):
+        append_dataset(
+            spark, inc, out,
+            expectations=[
+                {"rule": "regex", "col": "event_type", "pattern": "^a"},
+                {"rule": "regex", "col": "event_type", "pattern": ".*"},
+            ],
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        append_dataset(spark, inc, out, expectations=[])
+    # explicit ids disambiguate the same rule kind on one column
+    res = append_dataset(
+        spark, inc, out,
+        expectations=[
+            {"rule": "in_range", "col": "v_cents", "lo": 0, "id": "lo"},
+            {"rule": "in_range", "col": "v_cents", "hi": 10**12, "id": "hi"},
+        ],
+    )
+    assert res["expectations"] == {"lo": 0, "hi": 0}
+    import pathlib
+
+    parent = pathlib.Path(out).parent
+    assert not [p for p in parent.iterdir() if "staging" in p.name]
+
+
+def test_gated_empty_partitioned_increment_is_a_noop(spark, sf_dir, tmp_path):
+    """A zero-row partitioned increment stages only _SUCCESS; the gate
+    must pass it through to the empty-increment branch instead of
+    crashing on schema inference and orphaning the staging."""
+    out = str(tmp_path / "gated_empty")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev, out, partition_by=["event_type"])
+    version_log_enable(spark, out)
+    v0 = latest_version(spark, out)
+    res = append_dataset(
+        spark, ev.filter(F.lit(False)), out,
+        partition_by=["event_type"], expectations=RULES,
+    )
+    assert res["files"] == 0
+    assert latest_version(spark, out) == v0
+    import pathlib
+
+    parent = pathlib.Path(out).parent
+    assert not [p for p in parent.iterdir() if "staging" in p.name]
+
+
+def test_gate_null_expr_refuses_in_batch_path(spark, base):
+    """The NULL-expr-refuses gate semantic applies to the batch path
+    too: a row whose quality predicate cannot evaluate is dropped."""
+    out, ev = base
+    inc = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 10 == 7, F.lit(None))
+        .otherwise(F.col("event_type")),
+    )
+    res = append_dataset(
+        spark, inc, out,
+        expectations=[
+            {
+                "rule": "expr",
+                "id": "type_len",
+                "expr": "length(event_type) >= 1",
+            }
+        ],
+        on_violation="drop",
+    )
+    n_null = inc.filter(F.col("event_type").isNull()).count()
+    assert res["dropped_rows"] == n_null > 0
+    got = read_version(spark, out, latest_version(spark, out))
+    assert got.filter(F.col("event_type").isNull()).count() == 0
