@@ -2726,12 +2726,28 @@ def upsert_dataset(
     max_touched_partitions: int = 4096,
     lease_wait_s: float = 30.0,
     occ_retries: int = 2,
+    expectations=None,
+    on_violation: str = "fail",
 ) -> dict:
     """Public facade of :func:`_upsert_dataset_impl` (full semantics
     documented there) that ENFORCES the single-maintenance-writer
     requirement. A bootstrap write of a brand-new target has nothing
     to corrupt and takes no lease (taking one would also materialize
     the target dir and confuse its own existence check).
+
+    ``expectations``/``on_violation`` (r14): the same commit-time gate
+    as :func:`append_dataset`, applied to the INCOMING change batch
+    BEFORE any merge work — a malformed CDC delivery must not reach
+    the merge at all. When ``delete_col`` is set, DELETE-marker rows
+    BYPASS the quality rules (a tombstone legitimately carries NULL
+    payload columns — gating it on payload quality would refuse
+    takedowns); the rules see only the upserted rows. fail raises
+    :class:`ExpectationViolation` with per-rule counts before the
+    merge runs; drop filters the violating change rows (one extra
+    evaluation of the batch — CDC-batch-sized) and reports
+    ``expectations``/``dropped_rows`` in the stats. Requires a
+    version-logged EXISTING target (a bootstrap write has no commit
+    protocol to gate — validate the frame before the bootstrap).
 
     Concurrency by path shape (r14):
 
@@ -2757,12 +2773,59 @@ def upsert_dataset(
     exists = fs.exists(p) and any(
         not s.getPath().getName().startswith("_") for s in fs.listStatus(p)
     )
-    if not exists:
-        return _upsert_dataset_impl(
-            spark, target, updates, key_cols, partition_by, delete_col,
-            assume_partition_stable, check_unique_keys,
-            max_touched_partitions,
+    gate_report: dict = {}
+    if expectations is not None:
+        rules = _check_gate_args(
+            expectations, on_violation,
+            exists and version_log_enabled(spark, target), target,
         )
+        is_del = (
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+            if delete_col is not None
+            else F.lit(False)
+        )
+        gated = updates.filter(~is_del)  # tombstones bypass the rules
+        if on_violation == "fail":
+            gate_report = {
+                "expectations": _gate_fail_check(
+                    gated, target, expectations, rules
+                )
+            }
+        else:
+            import functools
+            import operator
+
+            # counts AND the filter both exclude tombstones, so the
+            # per-rule counts always equal what the filter drops (no
+            # `unique` here — drop mode refuses it up front)
+            rules_nd = [(rid, v & ~is_del) for rid, v in rules]
+            any_viol = F.coalesce(
+                functools.reduce(operator.or_, (v for _, v in rules_nd)),
+                F.lit(False),
+            )
+            row = updates.agg(
+                *_gate_aggs(expectations, rules_nd),
+                F.coalesce(
+                    F.sum(F.when(any_viol, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias("__dropped"),
+            ).collect()[0]
+            gate_report = {
+                "expectations": {
+                    rid: int(row[f"__v{i}"])
+                    for i, (rid, _) in enumerate(rules)
+                },
+                "dropped_rows": int(row["__dropped"]),
+            }
+            updates = updates.filter(~any_viol)
+    if not exists:
+        return {
+            **_upsert_dataset_impl(
+                spark, target, updates, key_cols, partition_by, delete_col,
+                assume_partition_stable, check_unique_keys,
+                max_touched_partitions,
+            ),
+            **gate_report,
+        }
     if partition_by and version_log_enabled(spark, target):
         from engage_spark.versioning import _vlog_reconcile, latest_version
 
@@ -2792,13 +2855,13 @@ def upsert_dataset(
                     continue
                 raise
             if st["staging"] is None:  # nothing touched: no commit
-                return st["stats"]
+                return {**st["stats"], **gate_report}
             with maintenance_lease(spark, target, wait_s=lease_wait_s):
                 _upsert_replay_pending(spark, target)
                 _vlog_reconcile(spark, target)
                 if latest_version(spark, target) == st["pinned_v"]:
                     _upsert_commit_partitioned(spark, target, st)
-                    return st["stats"]
+                    return {**st["stats"], **gate_report}
             # conflict: someone committed since the pin — the staged
             # slice merged a stale snapshot; drop it and re-stage
             sfs, sp2 = _hadoop_fs(spark, st["staging"])
@@ -2811,11 +2874,14 @@ def upsert_dataset(
             "for contended targets"
         )
     with maintenance_lease(spark, target):
-        return _upsert_dataset_impl(
-            spark, target, updates, key_cols, partition_by, delete_col,
-            assume_partition_stable, check_unique_keys,
-            max_touched_partitions,
-        )
+        return {
+            **_upsert_dataset_impl(
+                spark, target, updates, key_cols, partition_by, delete_col,
+                assume_partition_stable, check_unique_keys,
+                max_touched_partitions,
+            ),
+            **gate_report,
+        }
 
 
 class UpsertConflict(RuntimeError):

@@ -812,6 +812,8 @@ def cdc_merge_stream(
     order_col: str | None = None,
     trigger: dict | None = None,
     assume_partition_stable: bool = False,
+    expectations=None,
+    on_violation: str = "drop",
 ):
     """CONTINUOUS CDC MERGE (r14): tail a change stream and apply each
     micro-batch to a parquet corpus through io.upsert_dataset — the
@@ -837,6 +839,14 @@ def cdc_merge_stream(
     IS the state, and the stream restarts from any checkpoint with no
     rehydration. Scale: per batch cost is the upsert's — O(touched
     partitions) with `partition_by`, never corpus-sized.
+
+    ``expectations``/``on_violation`` (r14) pass through to
+    upsert_dataset's commit-time gate: each NETTED batch's upserted
+    rows are validated before the merge (delete-marker rows bypass —
+    a tombstone legitimately carries NULL payload); drop (the default
+    here — a continuous pipeline usually prefers quarantining bad
+    rows over stopping) filters violations, fail stops the query on
+    the first dirty batch with per-rule counts.
 
     Returns the started StreamingQuery."""
     from pyspark.sql.window import Window
@@ -866,6 +876,7 @@ def cdc_merge_stream(
             partition_by=partition_by, delete_col=delete_col,
             assume_partition_stable=assume_partition_stable,
             check_unique_keys=order_col is None,
+            expectations=expectations, on_violation=on_violation,
         )
 
     return (

@@ -384,3 +384,98 @@ def test_gate_null_expr_refuses_in_batch_path(spark, base):
     assert res["dropped_rows"] == n_null > 0
     got = read_version(spark, out, latest_version(spark, out))
     assert got.filter(F.col("event_type").isNull()).count() == 0
+
+
+def test_upsert_gate_fail_and_drop_with_tombstones(spark, sf_dir, tmp_path):
+    """The MERGE path's gate: fail refuses the change batch before any
+    merge work; drop filters dirty UPSERTED rows while DELETE-marker
+    tombstones (which legitimately carry NULL payload) bypass the
+    rules and still apply."""
+    from engage_spark.io import upsert_dataset
+
+    out = str(tmp_path / "merge_gated")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev, out, partition_by=["event_type"])
+    version_log_enable(spark, out)
+    v0 = latest_version(spark, out)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    # change batch: 3 updates (one dirty), 2 tombstones w/ NULL payload
+    upd = [
+        (10, 1, types[0], 111, False),
+        (11, 1, types[0], -5, False),  # violates in_range at the gate
+        (12, 1, types[1], 222, False),
+        (13, None, None, None, True),  # tombstone: NULL payload OK
+        (14, None, None, None, True),
+    ]
+    changes = spark.createDataFrame(
+        upd,
+        "event_id long, user_id long, event_type string, v_cents long,"
+        " is_del boolean",
+    )
+    with pytest.raises(ExpectationViolation):
+        upsert_dataset(
+            spark, out, changes, ["event_id"],
+            partition_by=["event_type"], delete_col="is_del",
+            expectations=[{"rule": "in_range", "col": "v_cents", "lo": 0}],
+        )
+    assert latest_version(spark, out) == v0  # merge never ran
+    res = upsert_dataset(
+        spark, out, changes, ["event_id"],
+        partition_by=["event_type"], delete_col="is_del",
+        expectations=[{"rule": "in_range", "col": "v_cents", "lo": 0}],
+        on_violation="drop",
+    )
+    assert res["expectations"] == {"in_range:v_cents": 1}
+    assert res["dropped_rows"] == 1
+    got = read_version(spark, out, latest_version(spark, out))
+    assert got.filter(F.col("event_id").isin([13, 14])).count() == 0
+    assert (
+        got.filter(F.col("event_id") == 10).collect()[0]["v_cents"] == 111
+    )
+    assert (
+        got.filter(F.col("event_id") == 12).collect()[0]["v_cents"] == 222
+    )
+    # the dirty update was dropped: row 11 keeps its ORIGINAL value
+    orig_11 = ev.filter(F.col("event_id") == 11).collect()[0]["v_cents"]
+    assert (
+        got.filter(F.col("event_id") == 11).collect()[0]["v_cents"]
+        == orig_11
+    )
+
+
+def test_cdc_merge_stream_gate_passthrough(spark, sf_dir, tmp_path):
+    from engage_spark.streaming.jobs import cdc_merge_stream
+
+    out = str(tmp_path / "cdc_gated")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev, out, partition_by=["event_type"])
+    version_log_enable(spark, out)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    src = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [
+            (20, 1, types[0], 999, False, 1),
+            (21, 1, types[0], -7, False, 1),  # dirty: dropped at the gate
+        ],
+        "event_id long, user_id long, event_type string, v_cents long,"
+        " is_del boolean, ts long",
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    q = cdc_merge_stream(
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " v_cents long, is_del boolean, ts long"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        out, ["event_id"], str(tmp_path / "ckpt"),
+        partition_by=["event_type"], delete_col="is_del", order_col="ts",
+        expectations=[{"rule": "in_range", "col": "v_cents", "lo": 0}],
+    )
+    q.awaitTermination()
+    got = read_version(spark, out, latest_version(spark, out))
+    assert got.filter(F.col("event_id") == 20).collect()[0]["v_cents"] == 999
+    orig_21 = ev.filter(F.col("event_id") == 21).collect()[0]["v_cents"]
+    assert (
+        got.filter(F.col("event_id") == 21).collect()[0]["v_cents"]
+        == orig_21
+    )
