@@ -284,6 +284,7 @@ def append_dataset(
     lease_wait_s: float = 30.0,
     expectations=None,
     on_violation: str = "fail",
+    quarantine: str | None = None,
 ) -> dict:
     """Plain (optionally hive-partitioned) parquet APPEND that keeps
     the version log exact: on a version-logged target the write's
@@ -327,6 +328,10 @@ def append_dataset(
     every rule's violations AND writes the surviving rows) and commits
     only it; ``unique`` rules are aggregate properties with no
     row-level drop semantics, so they raise in drop mode — use fail.
+    ``quarantine`` (drop mode) lands the violating rows, annotated
+    with a ``__violated`` array of the rule ids each broke, in a
+    plain parquet quarantine dataset — at-least-once diagnostic data,
+    so a gate incident never needs upstream archaeology.
     Requires a version-logged target (the gate belongs to the commit
     protocol). Returns {"files": <appended file count or None>,
     "expectations": {rule_id: violations} when gated,
@@ -376,7 +381,7 @@ def append_dataset(
     if expectations is not None:
         staging, report = _expectation_gate(
             spark, path, staging, expectations, gate_rules,
-            on_violation, partition_by,
+            on_violation, partition_by, quarantine=quarantine,
         )
     staged = _staged_rel_files(spark, staging)
     if not staged:  # empty increment: nothing to commit — but keep
@@ -392,6 +397,23 @@ def append_dataset(
     return {"files": len(final), **report}
 
 
+def _quarantine_frame(staged_df: DataFrame, rules, any_viol):
+    """The violating rows annotated with WHICH rules each violated
+    (`__violated` array<string>) — the debuggability half of drop
+    mode: a dropped row that vanishes without trace turns every gate
+    incident into an upstream archaeology dig."""
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(viol, F.lit(rid))
+                for rid, viol in rules
+                if viol is not None
+            ]
+        )
+    )
+    return staged_df.filter(any_viol).withColumn("__violated", tags)
+
+
 def _expectation_gate(
     spark: SparkSession,
     path: str,
@@ -401,6 +423,7 @@ def _expectation_gate(
     on_violation: str,
     partition_by: Sequence[str] | None,
     clean_write=None,
+    quarantine: str | None = None,
 ) -> tuple:
     """Enforce expectations on a STAGED append increment, before the
     commit tail. `rules` is the _check_gate_args compilation (gate
@@ -418,7 +441,14 @@ def _expectation_gate(
     parquet. `clean_write(df, dst)` overrides the drop-mode rewrite
     for layout-preserving callers (zorder_append re-lays the
     survivors on the frozen curve); default is a plain (optionally
-    partitioned) parquet write."""
+    partitioned) parquet write. `quarantine` (drop mode) additionally
+    APPENDS the violating rows — annotated with a `__violated`
+    array<string> of the rule ids each row broke — to a plain parquet
+    quarantine dataset, read from the staged files (never the
+    upstream plan). At-least-once: a crash between the quarantine
+    write and the commit means a re-run of the same increment lands
+    the rows again — diagnostic data, dedup downstream if it
+    matters."""
     from pyspark.sql import Observation
 
     if not _staged_rel_files(spark, staging):
@@ -468,6 +498,12 @@ def _expectation_gate(
         writer.parquet(clean_staging)
         got = obs.get
     counts = {rid: int(got[f"__v{i}"]) for i, (rid, _) in enumerate(rules)}
+    if quarantine is not None and int(got["__dropped"]) > 0:
+        # BEFORE the dirty staging is deleted — the quarantine rows
+        # are read from it
+        _quarantine_frame(staged_df, rules, any_viol).write.mode(
+            "append"
+        ).parquet(quarantine)
     sfs, sp = _hadoop_fs(spark, staging)
     sfs.delete(sp, True)
     if int(got["__total"]) == int(got["__dropped"]):

@@ -386,6 +386,7 @@ def incremental_ingest_stream(
     expectations=None,
     on_violation: str = "drop",
     metrics_dir: str | None = None,
+    quarantine_dir: str | None = None,
 ):
     """foreachBatch corpus ingest: per micro-batch, admit only documents
     whose normalized md5 fingerprint is (a) the first occurrence inside
@@ -460,9 +461,14 @@ def incremental_ingest_stream(
     under the same ``run=<tag>_batch=<id>`` idempotent-partition
     discipline as the fingerprint store (a replayed batch rewrites its
     own identical metrics row, never duplicates) — the quality
-    dashboard's input. `unique` rules raise up front in drop mode
-    (aggregate property, no row-drop semantics; the fingerprint gate
-    already dedups exact text).
+    dashboard's input. ``quarantine_dir`` (drop mode) lands each
+    batch's violating rows, annotated with a ``__violated`` array of
+    the rule ids each broke, under the SAME idempotent partitions —
+    unlike the batch appends' at-least-once quarantine, a replayed
+    micro-batch rewrites its own identical quarantine partition, so
+    the streaming quarantine is exactly-once. `unique` rules raise up
+    front in drop mode (aggregate property, no row-drop semantics;
+    the fingerprint gate already dedups exact text).
 
     `embed_index` (round 10) adds the SEMANTIC admission tier: when the
     stream carries an `emb_col` embedding column, each batch also
@@ -562,23 +568,35 @@ def incremental_ingest_stream(
                     ),
                     F.lit(False),
                 )
-                if metrics_dir is not None:
+                if metrics_dir is not None or quarantine_dir is not None:
                     from engage_spark.io import _gate_aggs
                     from engage_spark.session import local_frame
 
                     row = batch_df.agg(
                         *_gate_aggs(expectations, exp_rules)
                     ).collect()[0]
-                    local_frame(
-                        spark,
-                        [
-                            (rid, int(row[f"__v{i}"]))
-                            for i, (rid, _) in enumerate(exp_rules)
-                        ],
-                        "rule_id string, n_violations long",
-                    ).coalesce(1).write.mode("overwrite").parquet(
-                        f"{metrics_dir}/run={run_tag}_batch={batch_id}"
-                    )
+                    counts = [
+                        (rid, int(row[f"__v{i}"]))
+                        for i, (rid, _) in enumerate(exp_rules)
+                    ]
+                    if metrics_dir is not None:
+                        local_frame(
+                            spark, counts,
+                            "rule_id string, n_violations long",
+                        ).coalesce(1).write.mode("overwrite").parquet(
+                            f"{metrics_dir}/run={run_tag}_batch={batch_id}"
+                        )
+                    if quarantine_dir is not None and any(
+                        n for _, n in counts
+                    ):
+                        from engage_spark.io import _quarantine_frame
+
+                        _quarantine_frame(
+                            batch_df, exp_rules, any_viol
+                        ).write.mode("overwrite").parquet(
+                            f"{quarantine_dir}/run={run_tag}"
+                            f"_batch={batch_id}"
+                        )
                 batch_df = batch_df.filter(~any_viol)
 
         # probe existence EXPLICITLY instead of catching Exception

@@ -479,3 +479,83 @@ def test_cdc_merge_stream_gate_passthrough(spark, sf_dir, tmp_path):
         got.filter(F.col("event_id") == 21).collect()[0]["v_cents"]
         == orig_21
     )
+
+
+def test_quarantine_lands_annotated_violations(spark, base, tmp_path):
+    """Drop mode with a quarantine: the dropped rows land in a plain
+    parquet dataset with a __violated array naming the rules each row
+    broke — and a row violating BOTH rules carries both ids."""
+    out, ev = base
+    q = str(tmp_path / "quarantine")
+    inc = ev.filter(F.col("event_id") % 2 == 1)
+    bad_range = F.col("event_id") % 10 == 1
+    bad_null = F.col("event_id") % 10 == 3
+    both = F.col("event_id") % 10 == 5
+    dirty = inc.withColumn(
+        "v_cents",
+        F.when(bad_range | both, F.lit(-1).cast("long"))
+        .otherwise(F.col("v_cents")),
+    ).withColumn(
+        "event_type",
+        F.when(bad_null | both, F.lit(None)).otherwise(F.col("event_type")),
+    )
+    res = append_dataset(
+        spark, dirty, out, expectations=RULES, on_violation="drop",
+        quarantine=q,
+    )
+    quar = spark.read.parquet(q)
+    assert quar.count() == res["dropped_rows"]
+    by_id = {
+        r["event_id"]: sorted(r["__violated"]) for r in quar.collect()
+    }
+    for r in dirty.filter(both).collect():
+        assert by_id[r["event_id"]] == [
+            "in_range:v_cents", "not_null:event_type"
+        ]
+    for r in dirty.filter(bad_range).collect():
+        assert by_id[r["event_id"]] == ["in_range:v_cents"]
+    # the survivors landed clean; quarantine rows never reached the
+    # corpus
+    got = read_version(spark, out, latest_version(spark, out))
+    assert got.filter(F.col("v_cents") < 0).count() == 0
+    assert got.count() + quar.count() == ev.count()
+
+
+def test_streaming_quarantine_is_idempotent_partitioned(spark, tmp_path):
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, ""), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    qdir = str(tmp_path / "quar")
+    rules = [
+        {"rule": "expr", "id": "min_len", "expr": "length(text) >= 5"}
+    ]
+
+    def run():
+        q = incremental_ingest_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            corpus, store, expectations=rules, quarantine_dir=qdir,
+        )
+        q.awaitTermination()
+
+    run()
+    quar = spark.read.parquet(qdir)
+    assert [r["doc_id"] for r in quar.collect()] == [1]
+    assert quar.collect()[0]["__violated"] == ["min_len"]
+    # quarantine partitions follow the run/batch discipline
+    import pathlib
+
+    assert any(
+        p.name.startswith("run=")
+        for p in pathlib.Path(qdir).iterdir()
+        if p.is_dir()
+    )
+    # a restart with no new input neither duplicates nor rewrites
+    run()
+    assert spark.read.parquet(qdir).count() == 1
