@@ -194,8 +194,33 @@ class ExpectationViolation(ValueError):
         )
 
 
+def _gate_any_viol(rules):
+    """OR of the gate rules' row predicates, NULL-safe — the one
+    filter expression every drop path uses (three sites were
+    hand-rolling it and drifting)."""
+    import functools
+    import operator
+
+    return F.coalesce(
+        functools.reduce(
+            operator.or_, (v for _, v in rules if v is not None)
+        ),
+        F.lit(False),
+    )
+
+
+def _gate_counts(rules, row) -> dict:
+    """rule_id → violation count from a row produced by
+    df.agg(*_gate_aggs(...)) — shared extraction."""
+    return {rid: int(row[f"__v{i}"]) for i, (rid, _) in enumerate(rules)}
+
+
 def _check_gate_args(
-    expectations, on_violation: str, vlog: bool, path: str
+    expectations,
+    on_violation: str,
+    vlog: bool,
+    path: str,
+    quarantine: str | None = None,
 ) -> list:
     """The ONE validation + compilation step every expectation gate
     (append_dataset, zorder_append, the streaming ingest tier) runs
@@ -208,7 +233,10 @@ def _check_gate_args(
     rules both deriving `regex:text` would collapse into one count
     and a violated rule could be masked by a clean one — give each an
     explicit 'id'), `unique` in drop mode (aggregate property, no
-    row-drop semantics), and a non-version-logged target."""
+    row-drop semantics), a quarantine configured with fail mode
+    (fail commits nothing, so the quarantine would silently stay
+    empty while the operator believes violations are captured), and
+    a non-version-logged target."""
     from engage_spark.api import _expectation_rule
 
     if on_violation not in ("fail", "drop"):
@@ -217,6 +245,12 @@ def _check_gate_args(
         )
     if not expectations:
         raise ValueError("expectations must be a non-empty list of rules")
+    if quarantine is not None and on_violation != "drop":
+        raise ValueError(
+            "a quarantine only receives rows in drop mode; with "
+            "on_violation='fail' it would silently stay empty — drop "
+            "the quarantine or switch modes"
+        )
     rules = [
         _expectation_rule(r, i, gate=True)
         for i, r in enumerate(expectations)
@@ -362,7 +396,14 @@ def append_dataset(
     vlog = version_log_enabled(spark, path)
     gate_rules = None
     if expectations is not None:
-        gate_rules = _check_gate_args(expectations, on_violation, vlog, path)
+        gate_rules = _check_gate_args(
+            expectations, on_violation, vlog, path, quarantine=quarantine
+        )
+    elif quarantine is not None:
+        raise ValueError(
+            "quarantine is set but expectations is None — nothing would "
+            "ever land there; configure the rules or drop the quarantine"
+        )
 
     if not vlog:
         writer = df.write.mode("append")
@@ -464,13 +505,7 @@ def _expectation_gate(
         return staging, {"expectations": counts}
     # drop: count everything + write survivors in ONE job
     aggs = _gate_aggs(expectations, rules)
-    import functools
-    import operator
-
-    any_viol = F.coalesce(
-        functools.reduce(operator.or_, (viol for _, viol in rules)),
-        F.lit(False),
-    )
+    any_viol = _gate_any_viol(rules)
     # a row violating SEVERAL rules drops once — count dropped rows
     # with their own aggregate, not the per-rule sum
     aggs.append(
@@ -497,7 +532,7 @@ def _expectation_gate(
             writer = writer.partitionBy(*list(partition_by))
         writer.parquet(clean_staging)
         got = obs.get
-    counts = {rid: int(got[f"__v{i}"]) for i, (rid, _) in enumerate(rules)}
+    counts = _gate_counts(rules, got)
     if quarantine is not None and int(got["__dropped"]) > 0:
         # BEFORE the dirty staging is deleted — the quarantine rows
         # are read from it
@@ -1512,6 +1547,7 @@ def zorder_append(
     lease_wait_s: float = 30.0,
     expectations=None,
     on_violation: str = "fail",
+    quarantine: str | None = None,
 ) -> dict:
     """Append an increment to a Z-ordered dataset ON THE SAME CURVE:
     scale with the persisted ``_zorder_meta`` (never re-derive — fresh
@@ -1538,8 +1574,9 @@ def zorder_append(
     as :func:`append_dataset` — rules enforced on the STAGED clustered
     slice, fail refuses atomically, drop RE-LAYS the surviving rows on
     the frozen Z-curve (a plain filtered rewrite would break the
-    range-partitioned layout) and commits only them. Versioned targets
-    only. Returns {"files", "cols", "scale", + gate report}."""
+    range-partitioned layout) and commits only them; ``quarantine``
+    lands the dropped rows with ``__violated`` annotations. Versioned
+    targets only. Returns {"files", "cols", "scale", + gate report}."""
     import uuid as _uuid
 
     m = zorder_meta(spark, path)
@@ -1558,7 +1595,14 @@ def zorder_append(
     vlog = version_log_enabled(spark, path)
     gate_rules = None
     if expectations is not None:
-        gate_rules = _check_gate_args(expectations, on_violation, vlog, path)
+        gate_rules = _check_gate_args(
+            expectations, on_violation, vlog, path, quarantine=quarantine
+        )
+    elif quarantine is not None:
+        raise ValueError(
+            "quarantine is set but expectations is None — nothing would "
+            "ever land there; configure the rules or drop the quarantine"
+        )
     out = _zorder_scale_frozen(spark, df, path, m)
     n = num_files or max(1, spark.sparkContext.defaultParallelism // 4)
 
@@ -1604,6 +1648,7 @@ def zorder_append(
                 _zorder_scale_frozen(spark, cdf, path, m),
                 n, part_cols, "overwrite", dst,
             ),
+            quarantine=quarantine,
         )
     staged = _staged_rel_files(spark, staging)
     if not staged:
@@ -2777,12 +2822,16 @@ def upsert_dataset(
     the merge at all. When ``delete_col`` is set, DELETE-marker rows
     BYPASS the quality rules (a tombstone legitimately carries NULL
     payload columns — gating it on payload quality would refuse
-    takedowns); the rules see only the upserted rows. fail raises
-    :class:`ExpectationViolation` with per-rule counts before the
-    merge runs; drop filters the violating change rows (one extra
-    evaluation of the batch — CDC-batch-sized) and reports
-    ``expectations``/``dropped_rows`` in the stats. Requires a
-    version-logged EXISTING target (a bootstrap write has no commit
+    takedowns); the rules see only the upserted rows. The change
+    batch is MATERIALIZED (one CDC-batch-sized write to a temp
+    sibling, removed after the merge) before gating, so what the
+    rules validated is byte-for-byte what merges — the same
+    staged-bytes guarantee the append gate has; a non-deterministic
+    upstream plan cannot slip unvalidated rows past the gate. fail
+    raises :class:`ExpectationViolation` with per-rule counts before
+    the merge runs; drop filters the violating change rows and
+    reports ``expectations``/``dropped_rows`` in the stats. Requires
+    a version-logged EXISTING target (a bootstrap write has no commit
     protocol to gate — validate the frame before the bootstrap).
 
     Concurrency by path shape (r14):
@@ -2809,115 +2858,133 @@ def upsert_dataset(
     exists = fs.exists(p) and any(
         not s.getPath().getName().startswith("_") for s in fs.listStatus(p)
     )
+    vlog = exists and version_log_enabled(spark, target)
     gate_report: dict = {}
+    gate_staging = None
     if expectations is not None:
-        rules = _check_gate_args(
-            expectations, on_violation,
-            exists and version_log_enabled(spark, target), target,
-        )
-        is_del = (
-            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
-            if delete_col is not None
-            else F.lit(False)
-        )
-        gated = updates.filter(~is_del)  # tombstones bypass the rules
-        if on_violation == "fail":
-            gate_report = {
-                "expectations": _gate_fail_check(
-                    gated, target, expectations, rules
-                )
-            }
-        else:
-            import functools
-            import operator
+        rules = _check_gate_args(expectations, on_violation, vlog, target)
+        # MATERIALIZE the change batch before gating (review-found):
+        # gating the upstream plan and then re-evaluating it for the
+        # merge would let a non-deterministic batch commit rows the
+        # gate never saw. One batch-sized write gives the same
+        # staged-bytes guarantee the append gate has — what is
+        # validated is byte-for-byte what merges.
+        import uuid as _uuid
 
-            # counts AND the filter both exclude tombstones, so the
-            # per-rule counts always equal what the filter drops (no
-            # `unique` here — drop mode refuses it up front)
-            rules_nd = [(rid, v & ~is_del) for rid, v in rules]
-            any_viol = F.coalesce(
-                functools.reduce(operator.or_, (v for _, v in rules_nd)),
-                F.lit(False),
+        gate_staging = (
+            f"{target.rstrip('/')}__gate_staging_{_uuid.uuid4().hex[:12]}"
+        )
+        updates.write.mode("overwrite").parquet(gate_staging)
+        updates = spark.read.parquet(gate_staging)
+    try:
+        if expectations is not None:
+            is_del = (
+                F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+                if delete_col is not None
+                else F.lit(False)
             )
-            row = updates.agg(
-                *_gate_aggs(expectations, rules_nd),
-                F.coalesce(
-                    F.sum(F.when(any_viol, 1).otherwise(0)), F.lit(0)
-                ).cast("long").alias("__dropped"),
-            ).collect()[0]
-            gate_report = {
-                "expectations": {
-                    rid: int(row[f"__v{i}"])
-                    for i, (rid, _) in enumerate(rules)
-                },
-                "dropped_rows": int(row["__dropped"]),
+            if on_violation == "fail":
+                # tombstones bypass the rules
+                gate_report = {
+                    "expectations": _gate_fail_check(
+                        updates.filter(~is_del), target, expectations, rules
+                    )
+                }
+            else:
+                # counts AND the filter both exclude tombstones, so
+                # the per-rule counts always equal what the filter
+                # drops (no `unique` here — drop mode refuses it)
+                rules_nd = [(rid, v & ~is_del) for rid, v in rules]
+                any_viol = _gate_any_viol(rules_nd)
+                row = updates.agg(
+                    *_gate_aggs(expectations, rules_nd),
+                    F.coalesce(
+                        F.sum(F.when(any_viol, 1).otherwise(0)), F.lit(0)
+                    ).cast("long").alias("__dropped"),
+                ).collect()[0]
+                gate_report = {
+                    "expectations": _gate_counts(rules_nd, row),
+                    "dropped_rows": int(row["__dropped"]),
+                }
+                updates = updates.filter(~any_viol)
+        if not exists:
+            return {
+                **_upsert_dataset_impl(
+                    spark, target, updates, key_cols, partition_by,
+                    delete_col, assume_partition_stable, check_unique_keys,
+                    max_touched_partitions,
+                ),
+                **gate_report,
             }
-            updates = updates.filter(~any_viol)
-    if not exists:
-        return {
-            **_upsert_dataset_impl(
-                spark, target, updates, key_cols, partition_by, delete_col,
-                assume_partition_stable, check_unique_keys,
-                max_touched_partitions,
-            ),
-            **gate_report,
-        }
-    if partition_by and version_log_enabled(spark, target):
-        from engage_spark.versioning import _vlog_reconcile, latest_version
+        if partition_by and vlog:
+            from engage_spark.versioning import (
+                _vlog_reconcile,
+                latest_version,
+            )
 
-        mfs, mp = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
-        for _attempt in range(occ_retries + 1):
-            if mfs.exists(mp):
-                # a predecessor crashed mid-commit: heal BEFORE the
-                # stage reads the target (the live view is missing the
-                # half-swapped partitions until the replay finishes)
+            mfs, mp = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
+            for _attempt in range(occ_retries + 1):
+                if mfs.exists(mp):
+                    # a predecessor crashed mid-commit: heal BEFORE the
+                    # stage reads the target (the live view is missing
+                    # the half-swapped partitions until the replay
+                    # finishes)
+                    with maintenance_lease(
+                        spark, target, wait_s=lease_wait_s
+                    ):
+                        _upsert_replay_pending(spark, target)
+                try:
+                    st = _upsert_stage_partitioned(
+                        spark, target, updates, list(key_cols),
+                        list(partition_by), delete_col,
+                        assume_partition_stable, check_unique_keys,
+                        max_touched_partitions,
+                    )
+                except Exception as e:
+                    # the no-lease stage reads the LIVE target; a
+                    # concurrent file-MOVING commit (apply_deletes,
+                    # optimize, another MERGE) mid-scan surfaces as a
+                    # missing-file failure — that IS a write conflict,
+                    # so re-stage against the new state like any other
+                    # one (a partial staging dir is vacuum-swept by
+                    # age)
+                    if _attempt < occ_retries and _is_missing_file_error(e):
+                        continue
+                    raise
+                if st["staging"] is None:  # nothing touched: no commit
+                    return {**st["stats"], **gate_report}
                 with maintenance_lease(spark, target, wait_s=lease_wait_s):
                     _upsert_replay_pending(spark, target)
-            try:
-                st = _upsert_stage_partitioned(
-                    spark, target, updates, list(key_cols),
-                    list(partition_by), delete_col,
-                    assume_partition_stable, check_unique_keys,
+                    _vlog_reconcile(spark, target)
+                    if latest_version(spark, target) == st["pinned_v"]:
+                        _upsert_commit_partitioned(spark, target, st)
+                        return {**st["stats"], **gate_report}
+                # conflict: someone committed since the pin — the
+                # staged slice merged a stale snapshot; drop it and
+                # re-stage
+                sfs, sp2 = _hadoop_fs(spark, st["staging"])
+                if sfs.exists(sp2):
+                    sfs.delete(sp2, True)
+            raise UpsertConflict(
+                f"versioned MERGE into {target} lost its optimistic race "
+                f"{occ_retries + 1} times (another writer committed "
+                "between stage and commit each time); retry, or raise "
+                "occ_retries for contended targets"
+            )
+        with maintenance_lease(spark, target):
+            return {
+                **_upsert_dataset_impl(
+                    spark, target, updates, key_cols, partition_by,
+                    delete_col, assume_partition_stable, check_unique_keys,
                     max_touched_partitions,
-                )
-            except Exception as e:
-                # the no-lease stage reads the LIVE target; a
-                # concurrent file-MOVING commit (apply_deletes,
-                # optimize, another MERGE) mid-scan surfaces as a
-                # missing-file failure — that IS a write conflict, so
-                # re-stage against the new state like any other one
-                # (a partial staging dir is vacuum-swept by age)
-                if _attempt < occ_retries and _is_missing_file_error(e):
-                    continue
-                raise
-            if st["staging"] is None:  # nothing touched: no commit
-                return {**st["stats"], **gate_report}
-            with maintenance_lease(spark, target, wait_s=lease_wait_s):
-                _upsert_replay_pending(spark, target)
-                _vlog_reconcile(spark, target)
-                if latest_version(spark, target) == st["pinned_v"]:
-                    _upsert_commit_partitioned(spark, target, st)
-                    return {**st["stats"], **gate_report}
-            # conflict: someone committed since the pin — the staged
-            # slice merged a stale snapshot; drop it and re-stage
-            sfs, sp2 = _hadoop_fs(spark, st["staging"])
-            if sfs.exists(sp2):
-                sfs.delete(sp2, True)
-        raise UpsertConflict(
-            f"versioned MERGE into {target} lost its optimistic race "
-            f"{occ_retries + 1} times (another writer committed between "
-            "stage and commit each time); retry, or raise occ_retries "
-            "for contended targets"
-        )
-    with maintenance_lease(spark, target):
-        return {
-            **_upsert_dataset_impl(
-                spark, target, updates, key_cols, partition_by, delete_col,
-                assume_partition_stable, check_unique_keys,
-                max_touched_partitions,
-            ),
-            **gate_report,
-        }
+                ),
+                **gate_report,
+            }
+    finally:
+        if gate_staging is not None:
+            gfs, gp = _hadoop_fs(spark, gate_staging)
+            if gfs.exists(gp):
+                gfs.delete(gp, True)
 
 
 class UpsertConflict(RuntimeError):

@@ -505,9 +505,15 @@ def incremental_ingest_stream(
         # vlog=True: the ingest corpus is run/batch-partitioned, not
         # version-logged — the version-log requirement is a batch-path
         # concept, the rest of the checks (mode, empty list, duplicate
-        # ids, unique-in-drop) apply verbatim
+        # ids, unique-in-drop, quarantine-with-fail) apply verbatim
         exp_rules = _check_gate_args(
-            expectations, on_violation, True, corpus_dir
+            expectations, on_violation, True, corpus_dir,
+            quarantine=quarantine_dir,
+        )
+    elif quarantine_dir is not None:
+        raise ValueError(
+            "quarantine_dir is set but expectations is None — nothing "
+            "would ever land there; configure the rules or drop it"
         )
     store_schema = "fingerprint string"
     bands_schema = "doc_id long, band int, band_key long"
@@ -832,6 +838,8 @@ def cdc_merge_stream(
     assume_partition_stable: bool = False,
     expectations=None,
     on_violation: str = "drop",
+    metrics_dir: str | None = None,
+    quarantine_dir: str | None = None,
 ):
     """CONTINUOUS CDC MERGE (r14): tail a change stream and apply each
     micro-batch to a parquet corpus through io.upsert_dataset — the
@@ -858,21 +866,41 @@ def cdc_merge_stream(
     rehydration. Scale: per batch cost is the upsert's — O(touched
     partitions) with `partition_by`, never corpus-sized.
 
-    ``expectations``/``on_violation`` (r14) pass through to
-    upsert_dataset's commit-time gate: each NETTED batch's upserted
-    rows are validated before the merge (delete-marker rows bypass —
-    a tombstone legitimately carries NULL payload); drop (the default
-    here — a continuous pipeline usually prefers quarantining bad
-    rows over stopping) filters violations, fail stops the query on
-    the first dirty batch with per-rule counts.
+    ``expectations``/``on_violation`` (r14): each NETTED batch's
+    upserted rows are gated before the merge (delete-marker rows
+    bypass — a tombstone legitimately carries NULL payload). drop
+    (the default) filters IN-STREAM: zero extra jobs unless
+    ``metrics_dir``/``quarantine_dir`` is set, in which case per-rule
+    counts and the annotated violating rows land under idempotent
+    ``run=<tag>_batch=<id>`` partitions (exactly-once — a replayed
+    batch rewrites its own identical partition), and the merge runs
+    ungated on the already-clean batch. fail passes through to
+    upsert_dataset's materializing gate and stops the query on the
+    first dirty batch with per-rule counts.
 
     Returns the started StreamingQuery."""
+    import hashlib
+
     from pyspark.sql.window import Window
 
     from engage_spark.io import upsert_dataset
 
     key_cols = list(key_cols)
     spark = changes.sparkSession
+    exp_rules = None
+    if expectations is not None:
+        from engage_spark.io import _check_gate_args
+
+        exp_rules = _check_gate_args(
+            expectations, on_violation, True, target,
+            quarantine=quarantine_dir,
+        )
+    elif quarantine_dir is not None or metrics_dir is not None:
+        raise ValueError(
+            "metrics_dir/quarantine_dir set but expectations is None — "
+            "nothing would ever land there"
+        )
+    run_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
@@ -887,6 +915,44 @@ def cdc_merge_stream(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn", order_col)
             )
+        if exp_rules is not None and on_violation == "drop":
+            # IN-STREAM drop gate: a foreachBatch frame is pinned to
+            # committed source offsets (deterministic), so filtering
+            # here carries the staged-bytes guarantee without the
+            # upsert gate's materialization write — and skips its
+            # per-batch counting agg when nobody consumes the counts
+            from engage_spark.io import (
+                _gate_aggs,
+                _gate_any_viol,
+                _gate_counts,
+                _quarantine_frame,
+            )
+
+            is_del = (
+                F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+                if delete_col is not None
+                else F.lit(False)
+            )
+            rules_nd = [(rid, v & ~is_del) for rid, v in exp_rules]
+            any_viol = _gate_any_viol(rules_nd)
+            if metrics_dir is not None or quarantine_dir is not None:
+                from engage_spark.session import local_frame
+
+                row = b.agg(*_gate_aggs(expectations, rules_nd)).collect()[0]
+                counts = _gate_counts(rules_nd, row)
+                part = f"run={run_tag}_batch={batch_id}"
+                if metrics_dir is not None:
+                    local_frame(
+                        spark, sorted(counts.items()),
+                        "rule_id string, n_violations long",
+                    ).coalesce(1).write.mode("overwrite").parquet(
+                        f"{metrics_dir}/{part}"
+                    )
+                if quarantine_dir is not None and any(counts.values()):
+                    _quarantine_frame(b, rules_nd, any_viol).write.mode(
+                        "overwrite"
+                    ).parquet(f"{quarantine_dir}/{part}")
+            b = b.filter(~any_viol)
         if b.isEmpty():
             return
         upsert_dataset(
@@ -894,7 +960,10 @@ def cdc_merge_stream(
             partition_by=partition_by, delete_col=delete_col,
             assume_partition_stable=assume_partition_stable,
             check_unique_keys=order_col is None,
-            expectations=expectations, on_violation=on_violation,
+            # drop already gated in-stream; fail uses the upsert's
+            # materializing gate so the query stops with exact counts
+            expectations=expectations if on_violation == "fail" else None,
+            on_violation="fail",
         )
 
     return (

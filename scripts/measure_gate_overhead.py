@@ -9,7 +9,8 @@ append whose data write already dominates.
 
 Method: version-logged events target; append the same slice four
 ways at growing replication — ungated, gated-fail (clean data),
-gated-drop (clean), gated-drop (10% dirty) — and report walls.
+gated-drop (clean), gated-drop (20% dirty — event_id%10==1 hits 1 of
+the 5 odd residues in the all-odd increment) — and report walls.
 
 Usage: python scripts/measure_gate_overhead.py [sf_dir] [R...]
 Prints ONE JSON line per replication:

@@ -559,3 +559,133 @@ def test_streaming_quarantine_is_idempotent_partitioned(spark, tmp_path):
     # a restart with no new input neither duplicates nor rewrites
     run()
     assert spark.read.parquet(qdir).count() == 1
+
+
+def test_quarantine_misconfigurations_refused(spark, base, tmp_path):
+    out, ev = base
+    inc = ev.limit(5)
+    q = str(tmp_path / "q")
+    with pytest.raises(ValueError, match="drop mode"):
+        append_dataset(
+            spark, inc, out, expectations=RULES,
+            on_violation="fail", quarantine=q,
+        )
+    with pytest.raises(ValueError, match="expectations is None"):
+        append_dataset(spark, inc, out, quarantine=q)
+    from engage_spark.streaming.jobs import (
+        cdc_merge_stream,
+        incremental_ingest_stream,
+    )
+
+    (tmp_path / "nosrc").mkdir()
+    (tmp_path / "nosrc2").mkdir()
+    with pytest.raises(ValueError, match="drop mode"):
+        incremental_ingest_stream(
+            spark.readStream.schema("doc_id long, text string").parquet(
+                str(tmp_path / "nosrc")
+            ),
+            str(tmp_path / "c"), str(tmp_path / "s"),
+            expectations=[{"rule": "not_null", "col": "text"}],
+            on_violation="fail", quarantine_dir=q,
+        )
+    with pytest.raises(ValueError, match="expectations is None"):
+        cdc_merge_stream(
+            spark.readStream.schema("a long").parquet(
+                str(tmp_path / "nosrc2")
+            ),
+            out, ["a"], str(tmp_path / "ck"), metrics_dir=q,
+        )
+
+
+def test_upsert_gate_materializes_nondeterministic_batches(
+    spark, sf_dir, tmp_path
+):
+    """The MERGE gate materializes the change batch before gating, so
+    a NON-DETERMINISTIC upstream plan (rand()) cannot slip rows past
+    the rules: what was counted is byte-for-byte what merged."""
+    from engage_spark.io import upsert_dataset
+
+    out = str(tmp_path / "nondet")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev, out, partition_by=["event_type"])
+    version_log_enable(spark, out)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    changes = (
+        spark.range(1000, 1200)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit(types[0]).alias("event_type"),
+            # non-deterministic payload: ~half violate the rule on
+            # EVERY evaluation, but never the same half twice
+            (F.rand() * 200 - 100).cast("long").alias("v_cents"),
+        )
+    )
+    res = upsert_dataset(
+        spark, out, changes, ["event_id"], partition_by=["event_type"],
+        expectations=[{"rule": "in_range", "col": "v_cents", "lo": 0}],
+        on_violation="drop",
+    )
+    got = read_version(spark, out, latest_version(spark, out)).filter(
+        F.col("event_id") >= 1000
+    )
+    # every merged row satisfies the rule, and counted drops + merged
+    # rows account for the whole batch — impossible without
+    # materialization (each evaluation re-rolls the dice)
+    assert got.filter(F.col("v_cents") < 0).count() == 0
+    assert got.count() + res["dropped_rows"] == 200
+    # the gate's temp materialization is cleaned up
+    import pathlib
+
+    parent = pathlib.Path(out).parent
+    assert not [p for p in parent.iterdir() if "gate_staging" in p.name]
+
+
+def test_cdc_stream_quarantine_and_metrics(spark, sf_dir, tmp_path):
+    from engage_spark.streaming.jobs import cdc_merge_stream
+
+    out = str(tmp_path / "cdc_quar")
+    ev = _events(spark, sf_dir)
+    write_parquet(ev, out, partition_by=["event_type"])
+    version_log_enable(spark, out)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    src = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [
+            (30, 1, types[0], 500, False, 1),
+            (31, 1, types[0], -9, False, 1),   # quarantined
+            (32, None, None, None, True, 1),   # tombstone: bypasses
+        ],
+        "event_id long, user_id long, event_type string, v_cents long,"
+        " is_del boolean, ts long",
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+    mdir, qdir = str(tmp_path / "metrics"), str(tmp_path / "quar")
+    q = cdc_merge_stream(
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string,"
+            " v_cents long, is_del boolean, ts long"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        out, ["event_id"], str(tmp_path / "ckpt"),
+        partition_by=["event_type"], delete_col="is_del", order_col="ts",
+        expectations=[{"rule": "in_range", "col": "v_cents", "lo": 0}],
+        metrics_dir=mdir, quarantine_dir=qdir,
+    )
+    q.awaitTermination()
+    got = read_version(spark, out, latest_version(spark, out))
+    assert got.filter(F.col("event_id") == 30).count() == 1
+    assert got.filter(F.col("event_id") == 32).count() == 0  # tombstone
+    orig_31 = ev.filter(F.col("event_id") == 31).collect()[0]["v_cents"]
+    assert (
+        got.filter(F.col("event_id") == 31).collect()[0]["v_cents"]
+        == orig_31
+    )
+    quar = spark.read.parquet(qdir)
+    assert [r["event_id"] for r in quar.collect()] == [31]
+    assert quar.collect()[0]["__violated"] == ["in_range:v_cents"]
+    m = {
+        r["rule_id"]: r["n_violations"]
+        for r in spark.read.parquet(mdir).collect()
+    }
+    assert m == {"in_range:v_cents": 1}
