@@ -101,10 +101,25 @@ def main() -> None:
 
     def appender(nonce: int) -> None:
         try:
-            append_dataset(
-                spark, slice_for(nonce), ds, partition_by=["lang"],
-                lease_wait_s=180.0,
+            # odd nonces go through the commit-time expectation gate
+            # (clean data — the gate must be a no-op under the same
+            # concurrency the ungated appenders race)
+            gate = (
+                {
+                    "expectations": [
+                        {"rule": "not_null", "col": "doc_id"},
+                        {"rule": "in_range", "col": "n_chars", "lo": 0},
+                    ]
+                }
+                if nonce % 2 == 1
+                else {}
             )
+            res = append_dataset(
+                spark, slice_for(nonce), ds, partition_by=["lang"],
+                lease_wait_s=180.0, **gate,
+            )
+            if gate and any(res["expectations"].values()):
+                errs.append(f"appender {nonce}: spurious gate violations")
             appends_done.append(nonce)
         except Exception as e:  # pragma: no cover
             errs.append(f"appender: {e!r}")
