@@ -60,6 +60,7 @@ from engage_spark.versioning import (
     _apply_pending_dvs,
     _fs,
     _heal_staged_sidecar,
+    _heal_staged_sidecar_if_idle,
     _live_names,
     _pa_fs_for,
     _read_names,
@@ -115,6 +116,14 @@ def _bloom_key_bytes(v):
         return b"b" + bytes(v)
     if hasattr(v, "item"):  # numpy scalar from an Arrow round-trip
         return _bloom_key_bytes(v.item())
+    import decimal as _dec
+
+    if isinstance(v, _dec.Decimal):
+        # scale variants of one value (Decimal('5') vs Decimal('5.00'))
+        # and a float probe of the same number must hash identically —
+        # normalize through the float path (a high-precision collision
+        # only ADDS a candidate file, never drops one)
+        return _bloom_key_bytes(float(v))
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
@@ -216,15 +225,36 @@ def _file_bloom_one(uri: str, rel: str, cols: list, fpp: float) -> list:
         if c not in part_vals:
             continue
         v = part_vals[c]
-        if v is not None:
+        if v is None:
+            rows.append((rel, c) + _build_bloom([v], fpp))
+            continue
+        # a hive partition value is a STRING in the directory name but
+        # Spark's dataset-global inference may type the column as
+        # string, numeric, date, or timestamp depending on the OTHER
+        # directories — which this per-file function cannot see. Bloom
+        # EVERY plausible canonical form (review-found: parsing '42'
+        # to int alone false-negatives when Spark inferred string):
+        # extra forms only ever ADD candidate files, never drop one.
+        cands: list = [v]  # the raw string form
+        try:
+            cands.append(int(v))
+        except ValueError:
             try:
-                v = int(v)
+                cands.append(float(v))
             except ValueError:
-                try:
-                    v = float(v)
-                except ValueError:
-                    pass
-        rows.append((rel, c) + _build_bloom([v], fpp))
+                pass
+        import datetime as _dt2
+
+        for parse in (
+            _dt2.datetime.fromisoformat,  # handles the ' ' separator
+            _dt2.date.fromisoformat,
+        ):
+            try:
+                cands.append(parse(v))
+                break
+            except ValueError:
+                pass
+        rows.append((rel, c) + _build_bloom(cands, fpp))
     phys = [c for c in cols if c not in part_vals]
     if not phys:
         return rows
@@ -373,12 +403,9 @@ def _bloom_prune(
             canon.append(b)
     if not canon or len(canon) > _BLOOM_LOOKUP_MAX:
         return list(names), 0
-    try:
-        _heal_staged_sidecar(
-            spark, f"{path}/{_VBLOOM}", f"{path}/{_VDIR}/bloom_new"
-        )
-    except Exception:
-        pass  # heal is opportunistic on the read path
+    _heal_staged_sidecar_if_idle(
+        spark, path, f"{path}/{_VBLOOM}", f"{path}/{_VDIR}/bloom_new"
+    )
     sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
     if not sfs.exists(sp):
         return list(names), 0

@@ -32,6 +32,7 @@ from engage_spark.versioning import (
     _apply_pending_dvs,
     _fs,
     _heal_staged_sidecar,
+    _heal_staged_sidecar_if_idle,
     _live_names,
     _pa_fs_for,
     _read_names,
@@ -268,12 +269,9 @@ def _stats_prune(
     files' rows belong in an unbounded read — so nothing is pruned."""
     if lo is None and hi is None:
         return list(names), 0
-    try:
-        _heal_staged_sidecar(
-            spark, f"{path}/{_VSTATS}", f"{path}/{_VDIR}/stats_new"
-        )
-    except Exception:
-        pass  # heal is opportunistic on the read path
+    _heal_staged_sidecar_if_idle(
+        spark, path, f"{path}/{_VSTATS}", f"{path}/{_VDIR}/stats_new"
+    )
     sfs, sp = _fs(spark, f"{path}/{_VSTATS}")
     if not sfs.exists(sp):
         return list(names), 0

@@ -204,9 +204,18 @@ def _heal_staged_sidecar(spark: SparkSession, live: str, staged: str) -> None:
     new sidecar iff its _SUCCESS marker exists — rename it into place;
     a marker-less staged dir is a torn write — drop it). Without this,
     case (b) silently loses the whole index forever (the next
-    compaction's exists(live) probe returns early). Call before any
-    sidecar read/compaction; two exists probes when nothing is
-    pending."""
+    compaction's exists(live) probe returns early). Two exists probes
+    when nothing is pending.
+
+    CALLER MUST HOLD THE MAINTENANCE LEASE (review-found): an
+    unleased heal racing a live compaction's delete-live→rename-staged
+    window could sample (staged, live) = (exists, exists) and delete
+    the staged dir the compactor is about to rename — destroying BOTH
+    copies. Lease-held callers (harvest in the commit tail, vacuum)
+    call this directly; READ paths use _heal_staged_sidecar_if_idle,
+    which try-acquires with a zero wait and skips when any writer
+    holds the lease (conservative: an unhealed sidecar just means no
+    pruning until the next leased op heals it)."""
     tfs, tp = _fs(spark, staged)
     if not tfs.exists(tp):
         return
@@ -216,21 +225,47 @@ def _heal_staged_sidecar(spark: SparkSession, live: str, staged: str) -> None:
         return
     sfs, sp_ok = _fs(spark, f"{staged}/_SUCCESS")
     if sfs.exists(sp_ok):
-        tfs.rename(tp, lp)
+        if not tfs.rename(tp, lp):
+            raise IOError(
+                f"sidecar heal rename failed: {staged} -> {live}"
+            )
     else:
         tfs.delete(tp, True)
+
+
+def _heal_staged_sidecar_if_idle(
+    spark: SparkSession, path: str, live: str, staged: str
+) -> None:
+    """Read-path heal: try the maintenance lease with ZERO wait; if
+    any writer holds it (a live compaction might be mid-swap — the
+    window an unleased heal could destroy), skip — the degradation is
+    'no pruning', never a wrong result, and the next leased op heals."""
+    tfs, tp = _fs(spark, staged)
+    if not tfs.exists(tp):
+        return  # nothing pending: skip the lease entirely
+    from engage_spark.io import maintenance_lease
+
+    try:
+        with maintenance_lease(spark, path, wait_s=0.0):
+            _heal_staged_sidecar(spark, live, staged)
+    except Exception:
+        pass  # lease held or heal failure: conservative skip
 
 
 def _staged_sidecar_swap(spark: SparkSession, live: str, staged: str) -> None:
     """The delete-live → rename-staged tail of a sidecar compaction
     (caller already wrote the staged dir with a _SUCCESS marker and
     holds the lease). Shared by stats and bloom so the crash-recovery
-    contract (_heal_staged_sidecar) has exactly one implementation."""
+    contract (_heal_staged_sidecar) has exactly one implementation.
+    The rename's boolean result is CHECKED — Hadoop rename reports
+    failure by returning false, and swallowing it here would leave no
+    live sidecar with no error (review-found class)."""
     lfs, lp = _fs(spark, live)
     if lfs.exists(lp):
         lfs.delete(lp, True)
     tfs, tp = _fs(spark, staged)
-    tfs.rename(tp, lp)
+    if not tfs.rename(tp, lp):
+        raise IOError(f"sidecar swap rename failed: {staged} -> {live}")
 
 
 def _sidecar_harvest(

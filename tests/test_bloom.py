@@ -111,6 +111,13 @@ def test_key_canonicalization_contract():
     # typed prefixes: int 5 never collides with string "5"
     assert _bloom_key_bytes(5) != _bloom_key_bytes("5")
     assert _bloom_key_bytes(None) is None
+    # Decimal normalizes through the float path: scale variants of
+    # one value and a float probe of the same number hash identically
+    from decimal import Decimal
+
+    assert _bloom_key_bytes(Decimal("5")) == _bloom_key_bytes(5.0)
+    assert _bloom_key_bytes(Decimal("5.00")) == _bloom_key_bytes(5)
+    assert _bloom_key_bytes(Decimal("2.5")) == _bloom_key_bytes(2.5)
 
 
 def test_params_scale_sanely():
@@ -213,6 +220,105 @@ def test_partition_column_blooms_prune_directories(spark, sf_dir, tmp_path):
         read_keys(spark, out, "event_type", [one]),
         ev.filter(F.col("event_type") == one),
     )
+
+
+def test_string_inferred_partition_values_probe_exactly(
+    spark, sf_dir, tmp_path
+):
+    """Hive partition values are strings in the directory name; Spark's
+    dataset-GLOBAL inference decides the column type from ALL
+    directories. A numeric-looking dir (`tag=42`) next to a
+    non-numeric one (`tag=x7`) infers STRING, so the read returns '42'
+    — the per-file bloom builder (which can only see its own dir) must
+    have bloomed the STRING form too, or the probe false-negatives and
+    read_keys silently drops rows (review-found)."""
+    out = str(tmp_path / "strpart")
+    ev = _events(spark, sf_dir).withColumn(
+        "tag",
+        F.when(F.col("event_id") % 2 == 0, F.lit("42")).otherwise(
+            F.lit("x7")
+        ),
+    )
+    write_parquet(ev, out, partition_by=["tag"])
+    version_log_enable(spark, out)
+    bloom_enable(spark, out, ["tag"])
+    assert dict(spark.read.parquet(out).dtypes)["tag"] == "string"
+    names = _names(spark, out)
+    kept, pruned = _bloom_prune(spark, out, names, "tag", ["42"])
+    assert pruned > 0 and all("tag=42/" in n for n in kept)
+    _same(
+        read_keys(spark, out, "tag", ["42"]),
+        ev.filter(F.col("tag") == "42"),
+    )
+
+
+def test_date_inferred_partition_values_probe_exactly(
+    spark, sf_dir, tmp_path
+):
+    """Dirs like `day=2024-01-15` infer DateType; the probe arrives as
+    a datetime.date, so the builder must bloom the parsed-date form of
+    the directory string alongside the raw string."""
+    import datetime as dt
+
+    out = str(tmp_path / "datepart")
+    ev = _events(spark, sf_dir).withColumn(
+        "day",
+        F.when(
+            F.col("event_id") % 2 == 0, F.lit("2024-01-15")
+        ).otherwise(F.lit("2024-02-20")),
+    )
+    write_parquet(ev, out, partition_by=["day"])
+    version_log_enable(spark, out)
+    bloom_enable(spark, out, ["day"])
+    assert dict(spark.read.parquet(out).dtypes)["day"] == "date"
+    names = _names(spark, out)
+    probe = dt.date(2024, 1, 15)
+    kept, pruned = _bloom_prune(spark, out, names, "day", [probe])
+    assert pruned > 0 and all("day=2024-01-15/" in n for n in kept)
+    got = read_keys(spark, out, "day", [probe])
+    assert got.count() == ev.filter(F.col("event_id") % 2 == 0).count()
+
+
+def test_read_path_heal_skips_under_held_lease(spark, zbloom):
+    """While ANY writer holds the maintenance lease, the read path
+    must NOT heal a staged sidecar (the staged/live pair may be a live
+    compaction mid-swap — an unleased heal could destroy both copies).
+    Degradation is 'no pruning this read', never a wrong result; the
+    heal lands once the lease is free."""
+    import pathlib
+    import shutil as sh
+    import threading
+
+    from engage_spark.io import maintenance_lease
+
+    out, ev = zbloom
+    side = pathlib.Path(out) / "_versions" / "bloom"
+    staged = pathlib.Path(out) / "_versions" / "bloom_new"
+    sh.copytree(side, staged)
+    sh.rmtree(side)  # crash window: staged(_SUCCESS) + no live
+    names = _names(spark, out)
+
+    res = {}
+
+    def reader_while_leased():
+        # a SIBLING THREAD probes (the holder thread would re-enter
+        # the lease and heal; a stranger must skip)
+        res["kept"], res["pruned"] = _bloom_prune(
+            spark, out, names, "event_id", IDS
+        )
+        res["rows"] = read_keys(spark, out, "event_id", IDS).count()
+
+    with maintenance_lease(spark, out):
+        t = threading.Thread(target=reader_while_leased)
+        t.start()
+        t.join()
+    assert res["pruned"] == 0, "leased window must skip the heal"
+    assert staged.exists() and not side.exists(), "heal deferred"
+    # the unpruned leased-window read was still exact
+    assert res["rows"] == ev.filter(F.col("event_id").isin(IDS)).count()
+    # lease released: the next read heals and prunes again
+    kept, pruned = _bloom_prune(spark, out, names, "event_id", IDS)
+    assert pruned > 0 and side.exists() and not staged.exists()
 
 
 def test_schema_evolution_absent_column_prunes(spark, sf_dir, tmp_path):
