@@ -1876,6 +1876,8 @@ def optimize_incremental(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    lease_wait_s: float = 30.0,
+    occ_retries: int = 2,
 ) -> dict:
     """PARTIAL OPTIMIZE in place: rewrite ONLY the files whose
     Z-ranges overlap another file's, leaving the (typically vast)
@@ -1911,9 +1913,103 @@ def optimize_incremental(
     duplicate rows, the usual non-transactional-parquet caveat; the
     single-maintenance-writer requirement is ENFORCED by the
     maintenance_lease (r12 — loud MaintenanceLockHeld on contention).
-    Returns {"rewritten_files", "new_files", "kept_files"}."""
-    with maintenance_lease(spark, path):
-        return _optimize_incremental_impl(spark, path, target_file_bytes)
+    Returns {"rewritten_files", "new_files", "kept_files"}.
+
+    Concurrency (r14): on a VERSION-LOGGED dataset the op runs
+    OPTIMISTICALLY, like the versioned MERGE — the expensive work
+    (victim scan + rewrite) happens with NO lease held, and only the
+    retain+rename+log commit tail takes the lease (queueing on
+    ``lease_wait_s``). The conflict rule is WEAKER than the MERGE's
+    version-equality pin, and deliberately so: a compaction rewrites
+    EXISTING bytes without changing content, so any commit that only
+    ADDS files (the staged appenders this op must never block)
+    COMMUTES with it — the commit proceeds as long as every victim
+    file is still live. Only a commit that REMOVED a victim (a
+    takedown rewrite, a MERGE touching the victim's partition,
+    another optimize) conflicts; the stale staging is dropped and the
+    run re-stages against the new state, up to ``occ_retries`` times
+    before raising :class:`OptimizeConflict`. At 100 TB this is the
+    difference between hourly ingest flowing DURING the nightly
+    OPTIMIZE and every ingester queueing behind an hours-long rewrite
+    lease. The versioned commit is pinned by a replayable JSON
+    ``_optimize_swap_manifest`` (retain victims → rename staged in →
+    ONE exact `optimize` entry; a crash at any point converges on the
+    next maintenance contact through _vlog_reconcile, and mid-commit
+    readers stay consistent because log-based reads resolve retained/
+    files). Unversioned datasets keep the fully-leased in-place swap
+    above — with no log there is no safe unleased window."""
+    from engage_spark.versioning import (
+        _live_names,
+        _vlog_reconcile,
+        version_log_enabled,
+    )
+
+    if not version_log_enabled(spark, path):
+        with maintenance_lease(spark, path):
+            return _optimize_incremental_impl(spark, path, target_file_bytes)
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
+    for _attempt in range(occ_retries + 1):
+        if mfs.exists(mp) or _optimize_swap_manifest_exists(spark, path):
+            # a predecessor crashed mid-commit (this op's swap, or a
+            # legacy-protocol apply_deletes): heal BEFORE the stage
+            # reads the target
+            with maintenance_lease(spark, path, wait_s=lease_wait_s):
+                optimize_recover(spark, path)
+                _optimize_swap_replay_pending(spark, path)
+        try:
+            st = _optimize_stage(spark, path, target_file_bytes)
+        except Exception as e:
+            # the no-lease stage reads the LIVE target; a concurrent
+            # file-MOVING commit mid-scan surfaces as a missing-file
+            # failure — that IS a write conflict, so re-stage against
+            # the new state (a partial staging dir is vacuum-swept by
+            # age)
+            if _attempt < occ_retries and _is_missing_file_error(e):
+                continue
+            raise
+        if st["staging"] is None:  # nothing overlaps: no commit
+            return {
+                "rewritten_files": 0,
+                "new_files": 0,
+                "kept_files": st["n_files"],
+            }
+        with maintenance_lease(spark, path, wait_s=lease_wait_s):
+            # heal pending append/MERGE manifests + drift so the
+            # liveness probe below sees exactly the committed state
+            _vlog_reconcile(spark, path)
+            live = set(_live_names(spark, path))
+            if set(st["victim_rel"]) <= live:
+                _optimize_commit_swap(spark, path, st)
+                if st["man_live"]:
+                    # refresh the z-range manifest with an
+                    # increment-sized scan: kept entries stay exact;
+                    # files landed by commuting appenders since the
+                    # pin are re-scanned exactly like our staged files
+                    kept = st["kept_entries"]
+                    current = set(spark.read.parquet(path).inputFiles())
+                    fresh = current - {f for f, _, _ in kept}
+                    _zranges_write(
+                        spark, path,
+                        kept
+                        + (_zranges_scan(spark, path, fresh) if fresh else []),
+                    )
+                return {
+                    "rewritten_files": len(st["victims"]),
+                    "new_files": len(st["staged"]),
+                    "kept_files": st["n_files"] - len(st["victims"]),
+                }
+        # conflict: a commit since the pin REMOVED a victim — the
+        # staged rewrite re-laid bytes that are no longer live; drop
+        # it and re-stage
+        sfs, sp2 = _hadoop_fs(spark, st["staging"])
+        if sfs.exists(sp2):
+            sfs.delete(sp2, True)
+    raise OptimizeConflict(
+        f"optimistic OPTIMIZE of {path} lost its commit race "
+        f"{occ_retries + 1} times (another writer removed a victim "
+        "file between stage and commit each time); retry, or raise "
+        "occ_retries for contended targets"
+    )
 
 
 def _optimize_incremental_impl(
@@ -1952,26 +2048,7 @@ def _optimize_incremental_impl(
     current = set(spark.read.parquet(path).inputFiles())
     man_live = man is not None and {f for f, _, _ in man} == current
     fr = man if man_live else _zranges_scan(spark, path)
-    # sweep for overlap participants PER PARTITION DIRECTORY (r13):
-    # within each dir, sort by lo; a file overlaps its predecessor
-    # group when its lo <= the running max hi. Cross-partition overlap
-    # is legitimate (each partition carries the whole curve) and never
-    # read together, so it must not nominate victims. A flat layout is
-    # one group — identical to the original sweep.
-    by_dir: dict = {}
-    for f, lo, hi in fr:
-        by_dir.setdefault(f.rsplit("/", 1)[0], []).append((f, lo, hi))
-    victims: set = set()
-    for entries in by_dir.values():
-        entries.sort(key=lambda t: (t[1], t[2]))
-        run_max_hi = None
-        run_max_file = None
-        for f, lo, hi in entries:
-            if run_max_hi is not None and lo <= run_max_hi:
-                victims.add(f)
-                victims.add(run_max_file)
-            if run_max_hi is None or hi > run_max_hi:
-                run_max_hi, run_max_file = hi, f
+    victims = _optimize_victims(fr)
     if len(victims) < 2:
         _optimize_gc_staging(spark, path)
         return {"rewritten_files": 0, "new_files": 0, "kept_files": len(fr)}
@@ -2021,6 +2098,200 @@ def _optimize_incremental_impl(
         "new_files": new_files,
         "kept_files": len(fr) - len(victims),
     }
+
+
+class OptimizeConflict(RuntimeError):
+    """An optimistic incremental OPTIMIZE lost its commit race
+    repeatedly (every retry, another writer removed a victim file
+    between stage and commit)."""
+
+
+_OPT_SWAP_MANIFEST = "_optimize_swap_manifest"
+_OPTIMIZE_STAGING_INFIX = "__optimize_staging_"
+
+
+def _optimize_swap_manifest_exists(spark: SparkSession, path: str) -> bool:
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_SWAP_MANIFEST}")
+    return mfs.exists(mp)
+
+
+def _optimize_victims(fr: list) -> set:
+    """Overlap participants of a per-file z-range listing, swept PER
+    PARTITION DIRECTORY (r13): within each dir, sort by lo; a file
+    overlaps its predecessor group when its lo <= the running max hi.
+    Cross-partition overlap is legitimate (each partition carries the
+    whole curve) and never read together, so it must not nominate
+    victims. A flat layout is one group — identical to the original
+    sweep. Shared by the leased and optimistic optimize paths."""
+    by_dir: dict = {}
+    for f, lo, hi in fr:
+        by_dir.setdefault(f.rsplit("/", 1)[0], []).append((f, lo, hi))
+    victims: set = set()
+    for entries in by_dir.values():
+        entries.sort(key=lambda t: (t[1], t[2]))
+        run_max_hi = None
+        run_max_file = None
+        for f, lo, hi in entries:
+            if run_max_hi is not None and lo <= run_max_hi:
+                victims.add(f)
+                victims.add(run_max_file)
+            if run_max_hi is None or hi > run_max_hi:
+                run_max_hi, run_max_file = hi, f
+    return victims
+
+
+def _optimize_stage(
+    spark: SparkSession, path: str, target_file_bytes: int
+) -> dict:
+    """UNLEASED stage of the optimistic incremental OPTIMIZE: detect
+    victims (z-range manifest, else one exact scan), re-lay them on
+    the FROZEN curve into a unique staging SIBLING (outside the
+    dataset — readers never see it; a crashed stager's orphan is
+    vacuum-swept by age like the append/MERGE staging dirs). Returns
+    everything the commit tail needs; ``staging`` is None when fewer
+    than two files overlap (nothing to do)."""
+    import math
+    import uuid as _uuid
+
+    man = _zranges_read(spark, path)
+    current = set(spark.read.parquet(path).inputFiles())
+    man_live = man is not None and {f for f, _, _ in man} == current
+    fr = man if man_live else _zranges_scan(spark, path)
+    victims = _optimize_victims(fr)
+    if len(victims) < 2:
+        return {"staging": None, "n_files": len(fr), "man_live": man_live}
+    m = zorder_meta(spark, path)
+    part_cols = m.get("part_cols") or []
+    total = _victim_bytes(spark, path, victims)
+    n_new = max(1, math.ceil(total / target_file_bytes))
+    staging = (
+        f"{path.rstrip('/')}{_OPTIMIZE_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
+    )
+    victim_src = (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(*sorted(victims))
+    )
+    out = _zorder_scale_frozen(spark, victim_src, path, m)
+    _write_z_layout(out, n_new, part_cols, "overwrite", staging)
+    from engage_spark.versioning import _relativize
+
+    return {
+        "staging": staging,
+        "staged": _staged_rel_files(spark, staging),
+        "victims": sorted(victims),
+        "victim_rel": _relativize(spark, path, sorted(victims)),
+        "kept_entries": [e for e in fr if e[0] not in victims],
+        "man_live": man_live,
+        "n_files": len(fr),
+    }
+
+
+def _optimize_commit_swap(spark: SparkSession, path: str, st: dict) -> None:
+    """COMMIT tail of the optimistic OPTIMIZE: pin the swap in the
+    JSON ``_optimize_swap_manifest``, then run the replay itself —
+    retain victims, rename staged files in, ONE exact `optimize`
+    entry, clean up (idempotent at every step; a crash at any point
+    converges on the next maintenance contact). Caller holds the
+    maintenance lease and has verified every victim is still live."""
+    import json as _json
+
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_SWAP_MANIFEST}")
+    out = mfs.create(mp, True)
+    out.write(
+        _json.dumps(
+            {
+                "staging": st["staging"],
+                "adds": sorted(st["staged"]),
+                "removes": sorted(st["victim_rel"]),
+            }
+        ).encode()
+    )
+    out.close()
+    _optimize_swap_replay_pending(spark, path)
+
+
+def _optimize_swap_replay_pending(spark: SparkSession, path: str) -> bool:
+    """Finish an optimistic OPTIMIZE that crashed after its swap
+    manifest write: retain any victims still live, rename staged
+    files not yet in the dataset, log the ``optimize`` entry unless
+    the log's last non-bookkeeping entry is already this commit, drop
+    the stale z-range manifest, staging and swap manifest. Every step
+    skips already-done work. Mid-window readers stay CONSISTENT
+    (not merely convergent): retains precede renames and log-based
+    reads resolve retained/ files, so the logged latest version is
+    readable at every crash point. Caller must hold the maintenance
+    lease. Returns True if a manifest was found."""
+    import json as _json
+
+    from engage_spark.versioning import (
+        _retain_file,
+        _vlog_append_entry,
+        _vlog_entries,
+    )
+
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_SWAP_MANIFEST}")
+    if not mfs.exists(mp):
+        return False
+    stream = mfs.open(mp)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    try:
+        doc = _json.loads(raw.decode())
+        adds = sorted(doc["adds"])
+        removes = sorted(doc["removes"])
+        staging = doc["staging"]
+    except (ValueError, KeyError, TypeError):
+        # TORN manifest: the writer crashed mid-manifest-write, which
+        # by construction precedes every move — nothing was swapped,
+        # so the manifest is safe to discard (vacuum sweeps the
+        # orphan staging by age)
+        mfs.delete(mp, True)
+        return False
+    for rel in removes:
+        _retain_file(spark, path, rel)  # idempotent: skips absent
+    for rel in adds:
+        sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
+        dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
+        if dfs2.exists(dp2):
+            if sfs2.exists(sp2):
+                sfs2.delete(sp2, False)  # duplicate from a replayed move
+            continue
+        if not sfs2.exists(sp2):
+            raise RuntimeError(
+                f"optimize replay of {path}: staged file {rel} is in "
+                "neither staging nor the dataset — manual repair needed"
+            )
+        dfs2.mkdirs(dp2.getParent())
+        sfs2.rename(sp2, dp2)
+    # duplicate guard: scan back past bookkeeping entries (an every-K
+    # snapshot checkpoint can ride the SAME commit right behind the
+    # optimize entry)
+    committed = False
+    for e in reversed(_vlog_entries(spark, path)):
+        if e["op"] in ("snapshot", "vacuum_log"):
+            continue
+        committed = (
+            e["op"] == "optimize"
+            and list(e["added"]) == adds
+            and list(e["removed"]) == removes
+        )
+        break
+    if not committed:
+        _vlog_append_entry(
+            spark, path, "optimize", added=adds, removed=removes
+        )
+    # the commit changed the file set; the inline path refreshes the
+    # z-range manifest right after (increment-sized) — a bare crash
+    # replay leaves it dropped and the next read refills it
+    _zranges_drop(spark, path)
+    sfs3, sp3 = _hadoop_fs(spark, staging)
+    if sfs3.exists(sp3):
+        sfs3.delete(sp3, True)
+    mfs.delete(mp, True)
+    return True
 
 
 def _staged_rel_files(spark: SparkSession, staging: str) -> list:

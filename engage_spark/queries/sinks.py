@@ -2065,3 +2065,114 @@ def s24_expectations_gated_append(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("dropped", F.lit(res["dropped_rows"]).cast("long"))
         .withColumn("appends", F.lit(n_appends).cast("long"))
     )
+
+
+@query(
+    "s25_optimize_during_append",
+    # Oracle: the three slices union to the whole events table, so the
+    # final-version aggregate must equal a plain aggregate over
+    # `events` — a hash match proves the appender that raced the
+    # OPTIMIZE lost no rows and the compaction changed no content.
+    # The literals pin the concurrency story: exactly 2 appends and 1
+    # optimize committed (n_versions=4 = init + 2 + 1) and NO drift
+    # reconcile — i.e. the optimize committed WITHOUT restaging over
+    # the commuting append, and the append never queued behind (or
+    # was mis-attributed to) the compaction.
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT AS cents,
+           2::BIGINT AS appends, 1::BIGINT AS optimizes,
+           4::BIGINT AS n_versions
+    FROM events GROUP BY event_type
+    """,
+    covers=["S4"],
+)
+def s25_optimize_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC incremental OPTIMIZE racing a live appender (r14):
+    publish half of `events` Z-ordered, enable the version log, append
+    a quarter clustered (creating z-overlap = optimize victims), then
+    run optimize_incremental and a plain append_dataset of the last
+    quarter CONCURRENTLY. The optimize stages its rewrite with NO
+    lease held and commits only if every victim file is still live —
+    an append only ADDS files, so it COMMUTES: both land, in either
+    order, with exact log entries. At 100 TB this is the difference
+    between hourly ingest flowing during the nightly OPTIMIZE and
+    every ingester queueing behind an hours-long rewrite lease. The
+    aggregate reads the FINAL version via time travel; the
+    history-shape literals hash-fail if either writer was lost,
+    double-committed, or degraded to a reconcile entry."""
+    import shutil
+    import threading
+
+    from engage_spark.io import (
+        append_dataset,
+        optimize_incremental,
+        zorder_append,
+        zorder_write,
+    )
+    from engage_spark.versioning import (
+        dataset_history,
+        latest_version,
+        read_version,
+        version_log_enable,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    tgt = _scratch("events_opt_during_append")
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 4 < 2), tgt,
+        ["event_id", "v_cents"], bits=16, num_files=6,
+    )
+    version_log_enable(spark, tgt)                                 # v1
+    zorder_append(
+        spark, ev.filter(F.col("event_id") % 4 == 2), tgt, num_files=2
+    )                                                              # v2
+    errs: list = []
+
+    def _optimizer() -> None:
+        try:
+            optimize_incremental(
+                spark, tgt, target_file_bytes=1 << 20, lease_wait_s=120.0
+            )
+        except Exception as e:  # surfaced below — a query must not hang
+            errs.append(e)
+
+    def _appender() -> None:
+        try:
+            append_dataset(
+                spark, ev.filter(F.col("event_id") % 4 == 3), tgt,
+                lease_wait_s=120.0,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_optimizer),
+        threading.Thread(target=_appender),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    v = latest_version(spark, tgt)
+    ops = dataset_history(spark, tgt).groupBy("op").count().collect()
+    n_app = sum(int(r["count"]) for r in ops if r.op == "append")
+    n_opt = sum(int(r["count"]) for r in ops if r.op == "optimize")
+    return (
+        read_version(spark, tgt, v)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_cents").cast("long").alias("cents"),
+        )
+        .withColumn("appends", F.lit(n_app).cast("long"))
+        .withColumn("optimizes", F.lit(n_opt).cast("long"))
+        .withColumn("n_versions", F.lit(v).cast("long"))
+    )

@@ -738,31 +738,53 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
     files are only referenced, never required — if the bypassing
     writer deleted them outright, older versions fail with the
     retention error at read time (honest, not silent)."""
-    from engage_spark.io import _UPSERT_MANIFEST, _append_manifest_exists
+    from engage_spark.io import (
+        _OPT_MANIFEST,
+        _UPSERT_MANIFEST,
+        _append_manifest_exists,
+        _optimize_swap_manifest_exists,
+    )
     from engage_spark.io import _hadoop_fs as _hfs
 
     umfs, ump = _hfs(spark, f"{path}/{_UPSERT_MANIFEST}")
-    if _append_manifest_exists(spark, path) or umfs.exists(ump):
-        # a staged-commit append or an optimistic MERGE left its swap
-        # manifest behind (r14). Two cases: the writer CRASHED (heal:
-        # finish its exact entry before the drift pass below could
-        # mis-log the half-renamed files as a reconcile), or the
-        # writer is LIVE mid-commit holding the lease — then skip this
-        # whole reconcile pass instead of raising at readers: the
-        # committer converges the state itself within its window, and
-        # log-based reads are consistent either way (the entry IS the
-        # commit point).
+    omfs, omp = _hfs(spark, f"{path}/{_OPT_MANIFEST}")
+    if (
+        _append_manifest_exists(spark, path)
+        or umfs.exists(ump)
+        or omfs.exists(omp)
+        or _optimize_swap_manifest_exists(spark, path)
+    ):
+        # a staged-commit append, an optimistic MERGE, an optimistic
+        # OPTIMIZE, or a legacy-protocol in-dataset swap
+        # (apply_deletes) left its manifest behind (r14). Two cases:
+        # the writer CRASHED (heal: finish its exact commit before
+        # the drift pass below could mis-log the half-renamed files —
+        # or, worse for the legacy protocol, log the staged rows'
+        # removal while their only copy sits invisible in staging),
+        # or the writer is LIVE mid-commit holding the lease — then
+        # skip this whole reconcile pass instead of raising at
+        # readers: the committer converges the state itself within
+        # its window, and log-based reads are consistent either way
+        # (the entry IS the commit point).
         from engage_spark.io import (
             MaintenanceLockHeld,
             _append_replay_pending,
+            _optimize_swap_replay_pending,
             _upsert_replay_pending,
             maintenance_lease,
+            optimize_recover,
         )
 
         try:
             with maintenance_lease(spark, path):
                 _append_replay_pending(spark, path)
                 _upsert_replay_pending(spark, path)
+                _optimize_swap_replay_pending(spark, path)
+                if omfs.exists(omp):
+                    # legacy protocol writes no entry of its own; the
+                    # drift pass below logs the healed swap as one
+                    # exact reconcile entry
+                    optimize_recover(spark, path)
         except MaintenanceLockHeld:
             return None
     entries = _vlog_entries(spark, path)
@@ -2159,6 +2181,7 @@ def vacuum_versions(
 
     from engage_spark.io import (
         _APPEND_STAGING_INFIX,
+        _OPTIMIZE_STAGING_INFIX,
         _UPSERT_STAGING_INFIX,
         maintenance_lease,
     )
@@ -2261,8 +2284,9 @@ def vacuum_versions(
                 "vacuum is intact, the sidecar stays uncompacted",
                 stacklevel=2,
             )
-        # orphan staging siblings (r14): an appender or optimistic
-        # MERGE that crashed (or lost its race) BEFORE its manifest
+        # orphan staging siblings (r14): an appender, optimistic
+        # MERGE, or optimistic OPTIMIZE that crashed (or lost its
+        # race) BEFORE its manifest
         # write left a staging dir next to the dataset that nothing
         # references (readers never saw it; this is storage reclaim,
         # not correctness). Sweep at 24 h of dir age — comfortably
@@ -2277,6 +2301,7 @@ def vacuum_versions(
             now_ms = int(_time.time() * 1000)
             prefixes = (
                 f"{base}{_APPEND_STAGING_INFIX}",
+                f"{base}{_OPTIMIZE_STAGING_INFIX}",
                 f"{base}{_UPSERT_STAGING_INFIX}",
             )
             for s in pfs.listStatus(parent):

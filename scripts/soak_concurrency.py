@@ -2,16 +2,23 @@
 (round 14 — the shipped check for the staged-append + optimistic-MERGE
 + waitable-lease machinery).
 
-One lang-partitioned, version-logged, stats-enabled documents corpus;
-R rounds of SIX threads racing it:
+One lang-partitioned, Z-CLUSTERED (doc_id, n_chars), version-logged,
+stats-enabled documents corpus; R rounds of SEVEN threads racing it:
 
   appender x2   — disjoint nonce-keyed slices via append_dataset
-                  (staged commit, lease only for the rename+log tail)
+                  (staged commit, lease only for the rename+log tail);
+                  plain appends onto the clustered layout, so layout
+                  health DEGRADES under ingest — exactly what the
+                  racing optimizer exists to repair
   merger  x1    — an IDEMPOTENT MERGE (n_chars := doc_id*2+1 for a
                   fixed base-key set) via the optimistic upsert; any
                   number of applications converge to the same state
   deleter x1    — delete_rows on a fixed base-id slice (DV batch;
                   repeat batches are dropDuplicates-idempotent)
+  optimizer x1  — optimize_incremental (r14 OPTIMISTIC: stages its
+                  rewrite with no lease, commits iff every victim is
+                  still live — commuting appends must never conflict
+                  it, and it must never block them)
   reader  x2    — read_snapshot + a stats-pruned read_where range +
                   a bloom point lookup (read_keys) on never-deleted
                   base ids, which must never raise (consistent-or-loud
@@ -53,11 +60,13 @@ def main() -> None:
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     from engage_spark.io import (
+        OptimizeConflict,
         append_dataset,
         delete_rows,
+        optimize_incremental,
         read_with_deletes,
         upsert_dataset,
-        write_parquet,
+        zorder_write,
     )
     from engage_spark.indexes import _bloom_prune, bloom_enable, read_keys
     from engage_spark.session import get_spark
@@ -78,7 +87,10 @@ def main() -> None:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "lang", "n_chars"
     )
-    write_parquet(d, ds, partition_by=["lang"])
+    zorder_write(
+        spark, d, ds, ["doc_id", "n_chars"], bits=16, num_files=4,
+        partition_by=["lang"],
+    )
     version_log_enable(spark, ds)
     stats_enable(spark, ds, ["doc_id", "n_chars"])
     bloom_enable(spark, ds, ["doc_id"])
@@ -144,6 +156,17 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             errs.append(f"deleter: {e!r}")
 
+    def optimizer() -> None:
+        try:
+            optimize_incremental(
+                spark, ds, target_file_bytes=1 << 20,
+                lease_wait_s=180.0, occ_retries=20,
+            )
+        except OptimizeConflict:
+            pass  # legitimate under adversarial contention; data intact
+        except Exception as e:  # pragma: no cover
+            errs.append(f"optimizer: {e!r}")
+
     def reader(k: int) -> None:
         # consistent-or-loud: a maintenance op renaming a resolved file
         # mid-scan fails loudly; the documented reader pattern is ONE
@@ -185,12 +208,15 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             errs.append(f"reader: {e!r}")
 
+    opt_results: list = []
+
     for r in range(rounds):
         threads = [
             threading.Thread(target=appender, args=(2 * r,)),
             threading.Thread(target=appender, args=(2 * r + 1,)),
             threading.Thread(target=merger),
             threading.Thread(target=deleter),
+            threading.Thread(target=optimizer),
             threading.Thread(target=reader, args=(r,)),
             threading.Thread(target=reader, args=(r + 7,)),
         ]
@@ -198,6 +224,25 @@ def main() -> None:
             t.start()
         for t in threads:
             t.join()
+
+    # deterministic tail: the racing optimizer can legitimately find a
+    # clean layout every time (the MERGE re-lays its touched partitions
+    # on the frozen curve, repairing overlap before the optimizer
+    # stages) — so force the case it exists for: one more plain append
+    # degrades the layout, then an optimize MUST find victims, commit
+    # an exact entry, and leave every read surface intact.
+    tail_nonce = 2 * rounds
+    append_dataset(
+        spark, slice_for(tail_nonce), ds, partition_by=["lang"],
+        lease_wait_s=180.0,
+    )
+    appends_done.append(tail_nonce)
+    opt_tail = optimize_incremental(
+        spark, ds, target_file_bytes=1 << 20, lease_wait_s=180.0,
+    )
+    opt_results.append(opt_tail)
+    if opt_tail["rewritten_files"] < 2:
+        errs.append(f"tail optimize found no victims: {opt_tail}")
 
     ops = [x["op"] for x in dataset_history(spark, ds).collect()]
     live = read_with_deletes(spark, ds)
@@ -249,6 +294,7 @@ def main() -> None:
         "appends": ops.count("append"),
         "upserts": ops.count("upsert"),
         "logical_deletes": ops.count("logical_delete"),
+        "optimizes": ops.count("optimize"),
         "reconciles": ops.count("reconcile"),
         "live_rows": live_n,
         "expected_rows": exp_n,
@@ -262,7 +308,8 @@ def main() -> None:
             not errs
             and diff == 0
             and live_n == exp_n == vread_n
-            and ops.count("append") == len(appends_done) == 2 * rounds
+            and ops.count("append") == len(appends_done) == 2 * rounds + 1
+            and ops.count("optimize") >= 1
             and ops.count("reconcile") == 0
             and rw_exact
             and rk_exact

@@ -174,8 +174,10 @@ def test_crash_between_commit_and_entry_is_healed(
 ):
     """Kill the writer after optimize's staged commit but before its
     log entry: victims are already in retained/, the log lags live.
-    The next versioned op must reconcile, and every pre-crash version
-    must remain exactly readable."""
+    Since the swap manifest (r14) pins the exact commit, the next
+    versioned op REPLAYS it into the exact `optimize` entry — not the
+    drift `reconcile` this test pinned before — and every pre-crash
+    version must remain exactly readable."""
     import engage_spark.io as io_mod
 
     out = tmp_path / "vcrash"
@@ -205,10 +207,11 @@ def test_crash_between_commit_and_entry_is_healed(
     monkeypatch.setattr(v_mod, "_vlog_append_entry", real_entry)
     # live data is fully committed despite the missing entry
     assert spark.read.parquet(str(out)).count() == ev.count()
-    # next op reconciles, then records itself
+    # next op replays the pinned swap into ITS exact entry (no drift
+    # reconcile), then records itself
     delete_rows(spark, str(out), [ev.first()["event_id"]], "event_id")
     ops = [e["op"] for e in _vlog_entries(spark, str(out))]
-    assert ops == ["init", "append", "reconcile", "logical_delete"]
+    assert ops == ["init", "append", "optimize", "logical_delete"]
     evens = ev.filter(F.col("event_id") % 2 == 0).count()
     assert read_version(spark, str(out), 1).count() == evens
     assert read_version(spark, str(out), 2).count() == ev.count()
@@ -2720,3 +2723,291 @@ def test_merge_stage_retries_on_missing_file_race(
     upsert_dataset(spark, str(out), upd, ["doc_id"], partition_by=["lang"])
     ops = [e["op"] for e in _vlog_entries(spark, str(out))]
     assert ops == ["init", "upsert"]
+
+
+# ---------------------------------------------------------------------------
+# Optimistic incremental OPTIMIZE (round 14, continued): stage the
+# rewrite with no lease; commit iff every victim is still live —
+# commits that only ADD files (staged appenders) COMMUTE with a
+# compaction and must not conflict it.
+
+
+def _zset(spark, sf_dir, out, n_files=6):
+    """Z-ordered thirds-split events + version log + an overlapping
+    clustered append (so optimize has victims). Returns (a+b, c)."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 == 1)
+    c = ev.filter(F.col("event_id") % 3 == 2)
+    zorder_write(
+        spark, a, str(out), ["user_id", "v_cents"], bits=16,
+        num_files=n_files,
+    )
+    version_log_enable(spark, str(out))                            # v1
+    zorder_append(spark, b, str(out), num_files=2)                 # v2
+    return a.unionByName(b), c
+
+
+def test_optimize_commits_over_commuting_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An append landing between the optimize's stage and its commit
+    only ADDS files — every victim is still live, so the optimize
+    commits on the SAME attempt (no wasted restage), both entries are
+    exact, and time travel across both works."""
+    import os
+
+    import engage_spark.io as eio
+    from engage_spark.io import append_dataset
+    from engage_spark.versioning import latest_version
+
+    out = tmp_path / "occopt1"
+    base, c = _zset(spark, sf_dir, out)
+    real_stage = eio._optimize_stage
+    stage_calls = {"n": 0}
+
+    def racing_stage(*a, **k):
+        st = real_stage(*a, **k)
+        stage_calls["n"] += 1
+        if stage_calls["n"] == 1 and st["staging"] is not None:
+            append_dataset(spark, c, str(out))  # commuting commit
+        return st
+
+    monkeypatch.setattr(eio, "_optimize_stage", racing_stage)
+    r = optimize_incremental(spark, str(out), target_file_bytes=1 << 20)
+    monkeypatch.undo()
+    assert r["rewritten_files"] > 0
+    assert stage_calls["n"] == 1, "a commuting append must not restage"
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "append", "optimize"]
+    exp = base.unionByName(c)
+    live = spark.read.parquet(str(out))
+    assert live.count() == exp.count()
+    assert live.exceptAll(exp).count() == 0
+    # the pre-optimize versions replay exactly (victims retained)
+    v = latest_version(spark, str(out))
+    assert read_version(spark, str(out), v - 1).count() == exp.count()
+    assert read_version(spark, str(out), 2).count() == base.count()
+    sibs = [n for n in os.listdir(tmp_path) if "__optimize_staging_" in n]
+    assert sibs == []
+
+
+def test_optimize_restages_when_victim_removed(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A commit that REMOVES a victim (here: a physical takedown
+    rewrite) between stage and commit conflicts the optimize; the
+    stale staging is dropped and the run re-stages against the new
+    state — the takedown's effect survives and the final state is
+    exact."""
+    import os
+
+    import engage_spark.io as eio
+
+    out = tmp_path / "occopt2"
+    base, _ = _zset(spark, sf_dir, out)
+    doomed = base.filter(F.col("event_id") % 11 == 0).select("event_id")
+    real_stage = eio._optimize_stage
+    fired = {"n": 0}
+
+    def racing_stage(*a, **k):
+        st = real_stage(*a, **k)
+        if fired["n"] == 0 and st["staging"] is not None:
+            fired["n"] += 1
+            delete_rows(spark, str(out), doomed, "event_id")
+            apply_deletes(spark, str(out))  # rewrites victims physically
+        return st
+
+    monkeypatch.setattr(eio, "_optimize_stage", racing_stage)
+    r = optimize_incremental(spark, str(out), target_file_bytes=1 << 20)
+    monkeypatch.undo()
+    assert fired["n"] == 1
+    exp = base.join(F.broadcast(doomed), on="event_id", how="left_anti")
+    live = spark.read.parquet(str(out))
+    assert live.count() == exp.count()
+    assert live.exceptAll(exp).count() == 0
+    # whether the retry found fresh overlap or a no-op, nothing leaked
+    sibs = [n for n in os.listdir(tmp_path) if "__optimize_staging_" in n]
+    assert sibs == []
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert "reconcile" not in ops
+    assert r["rewritten_files"] >= 0
+
+
+def test_optimize_conflict_exhausts_retries(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A writer that keeps removing victims between every stage and
+    commit makes the optimize raise OptimizeConflict after
+    occ_retries; no staging leaks and the dataset stays exact."""
+    import os
+    import threading
+
+    import engage_spark.io as eio
+    from engage_spark.io import OptimizeConflict
+
+    out = tmp_path / "occopt3"
+    base, c = _zset(spark, sf_dir, out)
+    real_stage = eio._optimize_stage
+    inner = threading.local()
+    appends = {"n": 0}
+
+    def always_racing(*a, **k):
+        st = real_stage(*a, **k)
+        if getattr(inner, "busy", False) or st["staging"] is None:
+            return st
+        inner.busy = True
+        try:
+            # remove the victims out from under the outer attempt...
+            eio.optimize_incremental(
+                spark, str(out), target_file_bytes=1 << 20
+            )
+            # ...and re-create overlap so the retry stages again
+            appends["n"] += 1
+            zorder_append(
+                spark,
+                c.filter(F.col("event_id") % 5 == appends["n"] % 5),
+                str(out), num_files=2,
+            )
+        finally:
+            inner.busy = False
+        return st
+
+    monkeypatch.setattr(eio, "_optimize_stage", always_racing)
+    with pytest.raises(OptimizeConflict):
+        optimize_incremental(
+            spark, str(out), target_file_bytes=1 << 20, occ_retries=1,
+        )
+    monkeypatch.undo()
+    sibs = [n for n in os.listdir(tmp_path) if "__optimize_staging_" in n]
+    assert sibs == []
+    live = spark.read.parquet(str(out))
+    exp_n = base.count() + sum(
+        c.filter(F.col("event_id") % 5 == (i + 1) % 5).count()
+        for i in range(appends["n"])
+    )
+    assert live.count() == exp_n
+
+
+def test_optimize_swap_crash_mid_replay_heals_consistently(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash DURING the swap replay (after the manifest and the first
+    victim retain, before the renames): the logged latest version
+    stays READABLE mid-window (retained/ resolution), and the next
+    reconcile finishes the commit with ONE exact `optimize` entry —
+    never a drift reconcile."""
+    import engage_spark.versioning as ever
+    from engage_spark.versioning import latest_version
+
+    out = tmp_path / "occopt4"
+    base, _ = _zset(spark, sf_dir, out)
+    pre_v = latest_version(spark, str(out))
+    real_retain = ever._retain_file
+    state = {"retains": 0}
+
+    def crashing_retain(spark2, path2, name2):
+        real_retain(spark2, path2, name2)
+        state["retains"] += 1
+        if state["retains"] == 1:
+            raise RuntimeError("injected crash mid-replay")
+
+    monkeypatch.setattr(ever, "_retain_file", crashing_retain)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        optimize_incremental(spark, str(out), target_file_bytes=1 << 20)
+    monkeypatch.undo()
+    # mid-window: manifest present, one victim already retained —
+    # the logged latest version must still read exactly
+    import engage_spark.io as eio
+
+    assert eio._optimize_swap_manifest_exists(spark, str(out))
+    mid = read_version(spark, str(out), pre_v)
+    assert mid.count() == base.count()
+    # any later maintenance contact (here: a history read's reconcile)
+    # finishes the commit
+    hist = dataset_history(spark, str(out))
+    ops = [r.op for r in hist.collect()]
+    assert ops == ["init", "append", "optimize"]
+    assert not eio._optimize_swap_manifest_exists(spark, str(out))
+    live = spark.read.parquet(str(out))
+    assert live.count() == base.count()
+    assert live.exceptAll(base).count() == 0
+    assert read_version(spark, str(out), pre_v + 1).count() == base.count()
+
+
+def test_reader_reconcile_skips_live_optimize_commit(
+    spark, sf_dir, tmp_path
+):
+    """While an optimize commit is LIVE (swap manifest present, lease
+    held), a reader's reconcile returns None instead of raising or
+    logging drift."""
+    import json
+    import threading
+
+    import engage_spark.io as eio
+    from engage_spark.io import maintenance_lease
+    from engage_spark.versioning import _vlog_reconcile
+
+    out = tmp_path / "occopt5"
+    _zset(spark, sf_dir, out)
+    mfs, mp = eio._hadoop_fs(spark, f"{out}/{eio._OPT_SWAP_MANIFEST}")
+    o = mfs.create(mp, True)
+    o.write(json.dumps(
+        {"staging": f"{out}__optimize_staging_dead", "adds": [],
+         "removes": []}
+    ).encode())
+    o.close()
+    res: dict = {}
+
+    def reader():
+        res["r"] = _vlog_reconcile(spark, str(out))
+
+    with maintenance_lease(spark, str(out)):
+        t = threading.Thread(target=reader)
+        t.start()
+        t.join()
+    assert res["r"] is None
+    mfs.delete(mp, True)  # cleanup for later ops on this tmp dir
+
+
+def test_reconcile_heals_crashed_legacy_swap(spark, sf_dir, tmp_path):
+    """A LEGACY in-dataset swap (apply_deletes protocol: parquet
+    manifest + _optimize_staging) that crashed mid-commit is healed by
+    the next reconcile via optimize_recover — the staged rows' only
+    copy is moved in BEFORE the drift pass logs anything, so no data
+    is ever reported removed."""
+    import engage_spark.io as eio
+    from engage_spark.session import local_frame
+    from engage_spark.versioning import _live_names, latest_version
+
+    out = tmp_path / "occopt6"
+    base, _ = _zset(spark, sf_dir, out)
+    # hand-build the crash window: pick one live file as the victim,
+    # stage a byte-equal rewrite of it, write the legacy manifest,
+    # then RETAIN the victim (as _optimize_commit would) and "crash"
+    victim_rel = _live_names(spark, str(out))[0]
+    victim_abs = f"{out}/{victim_rel}"
+    spark.read.parquet(victim_abs).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/_optimize_staging")
+    local_frame(
+        spark, [(victim_abs,)], "victim string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/_optimize_manifest"
+    )
+    import engage_spark.versioning as ever
+
+    ever._retain_file(spark, str(out), victim_rel)
+    pre_v = latest_version(spark, str(out))
+    # a plain history read triggers reconcile, which must heal the
+    # legacy swap (move staged in, drop sidecars) then log ONE
+    # reconcile entry for the file-set diff
+    hist = dataset_history(spark, str(out))
+    ops = [r.op for r in hist.collect()]
+    assert ops == ["init", "append", "reconcile"]
+    fs, p = eio._hadoop_fs(spark, f"{out}/_optimize_manifest")
+    assert not fs.exists(p)
+    live = spark.read.parquet(str(out))
+    assert live.count() == base.count()
+    assert live.exceptAll(base).count() == 0
+    assert read_version(spark, str(out), pre_v + 1).count() == base.count()
