@@ -631,6 +631,123 @@ def _append_manifest_exists(spark: SparkSession, path: str) -> bool:
     return mfs.exists(mp)
 
 
+# --- shared staged-swap replay machinery (r14): the append, MERGE and
+# optimize commit protocols all pin their swap in a JSON manifest and
+# replay it idempotently after a crash. ONE implementation of the
+# manifest read, the staged-move loop and the duplicate-entry guard,
+# so a protocol fix can never land in one copy and miss the others
+# (review-found: the copies had already started diverging).
+
+
+def _read_swap_manifest(spark: SparkSession, manifest_uri: str):
+    """Parse a JSON swap manifest: {"adds", "removes"?, "staging"}.
+    Returns None when absent — or TORN (crash mid-manifest-write,
+    which by construction precedes every move; nothing was swapped,
+    so the torn manifest is discarded rather than wedging every later
+    op)."""
+    import json as _json
+
+    mfs, mp = _hadoop_fs(spark, manifest_uri)
+    if not mfs.exists(mp):
+        return None
+    stream = mfs.open(mp)
+    try:
+        raw = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    try:
+        doc = _json.loads(raw.decode())
+        return {
+            "adds": sorted(doc["adds"]),
+            "removes": sorted(doc.get("removes", [])),
+            "staging": doc["staging"],
+        }
+    except (ValueError, KeyError, TypeError):
+        mfs.delete(mp, True)
+        return None
+
+
+def _move_staged_in(
+    spark: SparkSession, path: str, staging: str, adds: list, what: str
+) -> None:
+    """Rename staged dataset-relative files into the dataset —
+    idempotent: a file already live means a prior attempt moved it
+    (the staged duplicate is dropped); a file in NEITHER place is
+    unrecoverable and raises."""
+    for rel in adds:
+        sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
+        dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
+        if dfs2.exists(dp2):
+            if sfs2.exists(sp2):
+                sfs2.delete(sp2, False)  # duplicate from a replayed move
+            continue
+        if not sfs2.exists(sp2):
+            raise RuntimeError(
+                f"{what} replay of {path}: staged file {rel} is in "
+                "neither staging nor the dataset — manual repair needed"
+            )
+        dfs2.mkdirs(dp2.getParent())
+        sfs2.rename(sp2, dp2)
+
+
+def _entry_already_logged(
+    spark: SparkSession, path: str, op: str, adds: list, removes: list
+) -> bool:
+    """Duplicate guard for a replayed commit's entry: scan back past
+    bookkeeping entries (an every-K snapshot checkpoint can ride the
+    SAME commit right behind the op entry — a crash after both must
+    not re-log it)."""
+    from engage_spark.versioning import _vlog_entries
+
+    for e in reversed(_vlog_entries(spark, path)):
+        if e["op"] in ("snapshot", "vacuum_log"):
+            continue
+        return (
+            e["op"] == op
+            and list(e["added"]) == adds
+            and list(e["removed"]) == removes
+        )
+    return False
+
+
+def _drop_staging_and_manifest(
+    spark: SparkSession, staging: str, manifest_uri: str
+) -> None:
+    sfs, sp = _hadoop_fs(spark, staging)
+    if sfs.exists(sp):
+        sfs.delete(sp, True)
+    mfs, mp = _hadoop_fs(spark, manifest_uri)
+    mfs.delete(mp, True)
+
+
+def _uniquify_staged_collisions(
+    spark: SparkSession, path: str, staging: str, staged: list
+) -> list:
+    """Rename any staged file whose dataset-relative name collides
+    with a LIVE file to a dup- name INSIDE staging, BEFORE the
+    manifest pins names — a replay must never confuse 'already moved
+    by this commit' with a pre-existing file of the same name (which
+    _move_staged_in would silently drop the staged copy for). Staged
+    part names carry the write job's UUID so a collision is
+    ~impossible; this is the same defense the append commit applies."""
+    import uuid as _uuid
+
+    final = []
+    for rel in sorted(staged):
+        dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
+        if dfs2.exists(dp2):
+            head, _, tail = rel.rpartition("/")
+            new_rel = (head + "/" if head else "") + (
+                f"dup-{_uuid.uuid4().hex[:8]}-{tail}"
+            )
+            sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
+            _, np2 = _hadoop_fs(spark, f"{staging}/{new_rel}")
+            sfs2.rename(sp2, np2)
+            rel = new_rel
+        final.append(rel)
+    return final
+
+
 def _append_replay_pending(spark: SparkSession, path: str) -> bool:
     """Finish a staged-commit append that crashed after its manifest
     write (r14): rename any staged files not yet in the dataset, log
@@ -641,62 +758,18 @@ def _append_replay_pending(spark: SparkSession, path: str) -> bool:
     call (hooked into _vlog_reconcile, which every versioned op runs
     before logging). Caller must hold the maintenance lease. Returns
     True if a manifest was found (i.e. a commit tail ran)."""
-    from engage_spark.versioning import _vlog_append_entry, _vlog_entries
+    from engage_spark.versioning import _vlog_append_entry
 
-    import json as _json
-
-    mfs, mp = _hadoop_fs(spark, f"{path}/{_APPEND_MANIFEST}")
-    if not mfs.exists(mp):
+    doc = _read_swap_manifest(spark, f"{path}/{_APPEND_MANIFEST}")
+    if doc is None:
         return False
-    stream = mfs.open(mp)
-    try:
-        raw = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    try:
-        doc = _json.loads(raw.decode())
-        adds = sorted(doc["adds"])
-        staging = doc["staging"]
-    except (ValueError, KeyError, TypeError):
-        # TORN manifest: the writer crashed mid-manifest-write, which
-        # by construction precedes every rename — nothing was swapped,
-        # so the manifest is safe to discard (vacuum sweeps the orphan
-        # staging by age). Without this, every later op would re-raise
-        # here forever.
-        mfs.delete(mp, True)
-        return False
-    for rel in adds:
-        sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
-        dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
-        if dfs2.exists(dp2):
-            if sfs2.exists(sp2):
-                sfs2.delete(sp2, False)  # duplicate from a replayed move
-            continue
-        if not sfs2.exists(sp2):
-            raise RuntimeError(
-                f"append replay of {path}: staged file {rel} is in "
-                "neither staging nor the dataset — manual repair needed"
-            )
-        dfs2.mkdirs(dp2.getParent())
-        sfs2.rename(sp2, dp2)
-    # duplicate guard: scan back past bookkeeping entries (the every-K
-    # snapshot checkpoint can ride the SAME commit right behind the
-    # append entry — a crash after both must not re-log the append)
-    committed = False
-    for e in reversed(_vlog_entries(spark, path)):
-        if e["op"] in ("snapshot", "vacuum_log"):
-            continue
-        committed = (
-            e["op"] == "append"
-            and list(e["added"]) == adds and list(e["removed"]) == []
-        )
-        break
-    if not committed:
+    adds, staging = doc["adds"], doc["staging"]
+    _move_staged_in(spark, path, staging, adds, "append")
+    if not _entry_already_logged(spark, path, "append", adds, []):
         _vlog_append_entry(spark, path, "append", added=adds, removed=[])
-    sfs3, sp3 = _hadoop_fs(spark, staging)
-    if sfs3.exists(sp3):
-        sfs3.delete(sp3, True)
-    mfs.delete(mp, True)
+    _drop_staging_and_manifest(
+        spark, staging, f"{path}/{_APPEND_MANIFEST}"
+    )
     return True
 
 
@@ -1751,6 +1824,26 @@ def _zranges_drop(spark: SparkSession, path: str) -> None:
         fs.delete(p, True)
 
 
+def _zranges_refresh(
+    spark: SparkSession, path: str, kept_entries: list
+) -> None:
+    """Post-commit increment-sized refresh of the z-range manifest,
+    shared by every staged swap (optimize, apply_deletes): kept
+    entries are filtered against the CURRENT live file set first — a
+    commuting commit may have removed a kept file since the entries
+    were pinned, and persisting its dead row would fail the
+    manifest's exact-match validity check and force the next consumer
+    into a full-dataset rescan (review-found) — then every other live
+    file gets one exact increment-sized scan."""
+    current = set(spark.read.parquet(path).inputFiles())
+    kept = [e for e in kept_entries if e[0] in current]
+    fresh = current - {f for f, _, _ in kept}
+    _zranges_write(
+        spark, path,
+        kept + (_zranges_scan(spark, path, fresh) if fresh else []),
+    )
+
+
 def _zorder_file_ranges(spark: SparkSession, path: str) -> list:
     """[(file_uri, z_lo, z_hi)] per data file — from the
     `_zorder_ranges` manifest when it exactly matches the current file
@@ -1937,7 +2030,10 @@ def optimize_incremental(
     next maintenance contact through _vlog_reconcile, and mid-commit
     readers stay consistent because log-based reads resolve retained/
     files). Unversioned datasets keep the fully-leased in-place swap
-    above — with no log there is no safe unleased window."""
+    above — with no log there is no safe unleased window — and there
+    the ``lease_wait_s``/``occ_retries`` knobs do NOT apply: the
+    whole-rewrite lease keeps the loud-fail default (two long
+    OPTIMIZE runs must never silently queue for hours)."""
     from engage_spark.versioning import (
         _live_names,
         _vlog_reconcile,
@@ -1948,11 +2044,21 @@ def optimize_incremental(
         with maintenance_lease(spark, path):
             return _optimize_incremental_impl(spark, path, target_file_bytes)
     mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
+    gfs, gp = _hadoop_fs(spark, f"{path}/{_OPT_STAGING}")
     for _attempt in range(occ_retries + 1):
-        if mfs.exists(mp) or _optimize_swap_manifest_exists(spark, path):
+        if (
+            mfs.exists(mp)
+            or _optimize_swap_manifest_exists(spark, path)
+            or gfs.exists(gp)
+        ):
             # a predecessor crashed mid-commit (this op's swap, or a
-            # legacy-protocol apply_deletes): heal BEFORE the stage
-            # reads the target
+            # legacy-protocol apply_deletes) — or pre-commit, leaving
+            # a stray in-dataset _optimize_staging with no manifest
+            # (optimize_recover GCs it; review-found: the leased path
+            # used to, the optimistic path must keep doing it). Heal
+            # under the lease BEFORE the stage reads the target — a
+            # LIVE apply_deletes holds the lease for its whole run,
+            # so its in-flight staging can never be swept here.
             with maintenance_lease(spark, path, wait_s=lease_wait_s):
                 optimize_recover(spark, path)
                 _optimize_swap_replay_pending(spark, path)
@@ -1981,18 +2087,12 @@ def optimize_incremental(
             if set(st["victim_rel"]) <= live:
                 _optimize_commit_swap(spark, path, st)
                 if st["man_live"]:
-                    # refresh the z-range manifest with an
-                    # increment-sized scan: kept entries stay exact;
-                    # files landed by commuting appenders since the
-                    # pin are re-scanned exactly like our staged files
-                    kept = st["kept_entries"]
-                    current = set(spark.read.parquet(path).inputFiles())
-                    fresh = current - {f for f, _, _ in kept}
-                    _zranges_write(
-                        spark, path,
-                        kept
-                        + (_zranges_scan(spark, path, fresh) if fresh else []),
-                    )
+                    # increment-sized refresh: kept entries stay
+                    # exact (live-filtered — a commuting commit may
+                    # have removed one); files landed by commuting
+                    # appenders since the pin are re-scanned exactly
+                    # like our staged files
+                    _zranges_refresh(spark, path, st["kept_entries"])
                 return {
                     "rewritten_files": len(st["victims"]),
                     "new_files": len(st["staged"]),
@@ -2076,13 +2176,7 @@ def _optimize_incremental_impl(
     if man_live:
         # refresh the z-range manifest with an increment-sized scan of
         # the NEW files; kept files' entries are still exact
-        kept_entries = [e for e in fr if e[0] not in victims]
-        current = set(spark.read.parquet(path).inputFiles())
-        fresh = current - {f for f, _, _ in kept_entries}
-        _zranges_write(
-            spark, path,
-            kept_entries + (_zranges_scan(spark, path, fresh) if fresh else []),
-        )
+        _zranges_refresh(spark, path, [e for e in fr if e[0] not in victims])
     if vlog:
         from engage_spark.versioning import _relativize
 
@@ -2196,6 +2290,9 @@ def _optimize_commit_swap(spark: SparkSession, path: str, st: dict) -> None:
     maintenance lease and has verified every victim is still live."""
     import json as _json
 
+    st["staged"] = _uniquify_staged_collisions(
+        spark, path, st["staging"], st["staged"]
+    )
     mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_SWAP_MANIFEST}")
     out = mfs.create(mp, True)
     out.write(
@@ -2222,64 +2319,16 @@ def _optimize_swap_replay_pending(spark: SparkSession, path: str) -> bool:
     reads resolve retained/ files, so the logged latest version is
     readable at every crash point. Caller must hold the maintenance
     lease. Returns True if a manifest was found."""
-    import json as _json
+    from engage_spark.versioning import _retain_file, _vlog_append_entry
 
-    from engage_spark.versioning import (
-        _retain_file,
-        _vlog_append_entry,
-        _vlog_entries,
-    )
-
-    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_SWAP_MANIFEST}")
-    if not mfs.exists(mp):
+    doc = _read_swap_manifest(spark, f"{path}/{_OPT_SWAP_MANIFEST}")
+    if doc is None:
         return False
-    stream = mfs.open(mp)
-    try:
-        raw = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    try:
-        doc = _json.loads(raw.decode())
-        adds = sorted(doc["adds"])
-        removes = sorted(doc["removes"])
-        staging = doc["staging"]
-    except (ValueError, KeyError, TypeError):
-        # TORN manifest: the writer crashed mid-manifest-write, which
-        # by construction precedes every move — nothing was swapped,
-        # so the manifest is safe to discard (vacuum sweeps the
-        # orphan staging by age)
-        mfs.delete(mp, True)
-        return False
+    adds, removes, staging = doc["adds"], doc["removes"], doc["staging"]
     for rel in removes:
         _retain_file(spark, path, rel)  # idempotent: skips absent
-    for rel in adds:
-        sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
-        dfs2, dp2 = _hadoop_fs(spark, f"{path}/{rel}")
-        if dfs2.exists(dp2):
-            if sfs2.exists(sp2):
-                sfs2.delete(sp2, False)  # duplicate from a replayed move
-            continue
-        if not sfs2.exists(sp2):
-            raise RuntimeError(
-                f"optimize replay of {path}: staged file {rel} is in "
-                "neither staging nor the dataset — manual repair needed"
-            )
-        dfs2.mkdirs(dp2.getParent())
-        sfs2.rename(sp2, dp2)
-    # duplicate guard: scan back past bookkeeping entries (an every-K
-    # snapshot checkpoint can ride the SAME commit right behind the
-    # optimize entry)
-    committed = False
-    for e in reversed(_vlog_entries(spark, path)):
-        if e["op"] in ("snapshot", "vacuum_log"):
-            continue
-        committed = (
-            e["op"] == "optimize"
-            and list(e["added"]) == adds
-            and list(e["removed"]) == removes
-        )
-        break
-    if not committed:
+    _move_staged_in(spark, path, staging, adds, "optimize")
+    if not _entry_already_logged(spark, path, "optimize", adds, removes):
         _vlog_append_entry(
             spark, path, "optimize", added=adds, removed=removes
         )
@@ -2287,10 +2336,9 @@ def _optimize_swap_replay_pending(spark: SparkSession, path: str) -> bool:
     # z-range manifest right after (increment-sized) — a bare crash
     # replay leaves it dropped and the next read refills it
     _zranges_drop(spark, path)
-    sfs3, sp3 = _hadoop_fs(spark, staging)
-    if sfs3.exists(sp3):
-        sfs3.delete(sp3, True)
-    mfs.delete(mp, True)
+    _drop_staging_and_manifest(
+        spark, staging, f"{path}/{_OPT_SWAP_MANIFEST}"
+    )
     return True
 
 
@@ -3009,12 +3057,9 @@ def _apply_deletes_impl(
     _optimize_commit(spark, path, victims=victims)
     fs.delete(p, True)  # applied physically; clear the sidecar
     if man_before is not None:
-        kept_entries = [e for e in man_before if e[0] not in set(victims)]
-        current = set(spark.read.parquet(path).inputFiles())
-        fresh = current - {f for f, _, _ in kept_entries}
-        _zranges_write(
+        _zranges_refresh(
             spark, path,
-            kept_entries + (_zranges_scan(spark, path, fresh) if fresh else []),
+            [e for e in man_before if e[0] not in set(victims)],
         )
     if vlog:
         _vlog_append_entry(
@@ -3290,68 +3335,22 @@ def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
     landed files, the entry is appended only if the log's last entry
     is not already this swap). Caller must hold the maintenance
     lease. Returns True if a replay ran."""
-    import json as _json
+    from engage_spark.versioning import _retain_file, _vlog_append_entry
 
-    from engage_spark.versioning import (
-        _retain_file,
-        _vlog_append_entry,
-        _vlog_entries,
-    )
-
-    mfs, mp = _hadoop_fs(spark, f"{target}/{_UPSERT_MANIFEST}")
-    if not mfs.exists(mp):
+    doc = _read_swap_manifest(spark, f"{target}/{_UPSERT_MANIFEST}")
+    if doc is None:
         return False
-    stream = mfs.open(mp)
-    try:
-        raw = bytes(stream.readAllBytes())
-    finally:
-        stream.close()
-    try:
-        doc = _json.loads(raw.decode())
-        adds = sorted(doc["adds"])
-        removes = sorted(doc["removes"])
-        staging = doc["staging"]
-    except (ValueError, KeyError, TypeError):
-        # TORN manifest: the writer crashed mid-manifest-write, which
-        # precedes every retain/rename — nothing was swapped; discard
-        # (vacuum sweeps the orphan staging by age)
-        mfs.delete(mp, True)
-        return False
+    adds, removes, staging = doc["adds"], doc["removes"], doc["staging"]
     for n in removes:
         _retain_file(spark, target, n)
-    for rel in adds:
-        sfs2, sp2 = _hadoop_fs(spark, f"{staging}/{rel}")
-        dfs2, dp2 = _hadoop_fs(spark, f"{target}/{rel}")
-        if dfs2.exists(dp2):
-            if sfs2.exists(sp2):
-                sfs2.delete(sp2, False)  # duplicate from a replayed move
-            continue
-        if not sfs2.exists(sp2):
-            raise RuntimeError(
-                f"upsert replay of {target}: staged file {rel} is in "
-                "neither staging nor the dataset — manual repair needed"
-            )
-        dfs2.mkdirs(dp2.getParent())
-        sfs2.rename(sp2, dp2)
-    # duplicate guard: scan back past bookkeeping entries (the every-K
-    # snapshot checkpoint can land right behind the upsert entry)
-    committed = False
-    for e in reversed(_vlog_entries(spark, target)):
-        if e["op"] in ("snapshot", "vacuum_log"):
-            continue
-        committed = (
-            e["op"] == "upsert"
-            and list(e["added"]) == adds and list(e["removed"]) == removes
-        )
-        break
-    if not committed:
+    _move_staged_in(spark, target, staging, adds, "upsert")
+    if not _entry_already_logged(spark, target, "upsert", adds, removes):
         _vlog_append_entry(
             spark, target, "upsert", added=adds, removed=removes
         )
-    sfs3, sp3 = _hadoop_fs(spark, staging)
-    if sfs3.exists(sp3):
-        sfs3.delete(sp3, True)
-    mfs.delete(mp, True)
+    _drop_staging_and_manifest(
+        spark, staging, f"{target}/{_UPSERT_MANIFEST}"
+    )
     return True
 
 

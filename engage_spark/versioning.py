@@ -787,19 +787,50 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
                     optimize_recover(spark, path)
         except MaintenanceLockHeld:
             return None
-    entries = _vlog_entries(spark, path)
-    latest = entries[-1]["version"] if entries else 0
-    logged = set(_replay_files(entries, latest))
-    live = set(_live_names(spark, path))
+    def _drift() -> tuple:
+        entries = _vlog_entries(spark, path)
+        latest = entries[-1]["version"] if entries else 0
+        logged = set(_replay_files(entries, latest))
+        live = set(_live_names(spark, path))
+        return logged, live
+
+    logged, live = _drift()
     if logged == live:
         return None
-    from engage_spark.io import maintenance_lease
+    from engage_spark.io import MaintenanceLockHeld, maintenance_lease
 
-    with maintenance_lease(spark, path):
-        return _vlog_append_entry(
-            spark, path, "reconcile",
-            added=sorted(live - logged), removed=sorted(logged - live),
-        )
+    try:
+        with maintenance_lease(spark, path):
+            # RE-CHECK under the lease (review-found TOCTOU): the
+            # unleased diff above can sample a live commit's move
+            # window — the manifest probes passed BEFORE the writer
+            # took the lease, then the listing raced its renames. The
+            # writer logs its own exact entry, so a drift computed
+            # from a half-moved listing must never be logged: with the
+            # lease held no commit is mid-move, and any now-pending
+            # manifest's replay belongs to the committer we just
+            # queued behind — heal it, then diff.
+            from engage_spark.io import (
+                _append_replay_pending,
+                _optimize_swap_replay_pending,
+                _upsert_replay_pending,
+            )
+
+            _append_replay_pending(spark, path)
+            _upsert_replay_pending(spark, path)
+            _optimize_swap_replay_pending(spark, path)
+            logged, live = _drift()
+            if logged == live:
+                return None
+            return _vlog_append_entry(
+                spark, path, "reconcile",
+                added=sorted(live - logged), removed=sorted(logged - live),
+            )
+    except MaintenanceLockHeld:
+        # a LIVE writer holds the lease: it converges its own state
+        # and log-based reads are consistent either way — skip, like
+        # the manifest branch above
+        return None
 
 
 def dataset_history(spark: SparkSession, path: str) -> DataFrame:

@@ -59,9 +59,13 @@ def main() -> None:
 
     def opt() -> None:
         t = time.monotonic()
-        res["opt"] = optimize_incremental(
-            spark, ds2, target_file_bytes=1 << 22, lease_wait_s=180.0
-        )
+        try:
+            res["opt"] = optimize_incremental(
+                spark, ds2, target_file_bytes=1 << 22, lease_wait_s=180.0
+            )
+        except Exception as e:  # surfaced below, not as a KeyError
+            res["err"] = repr(e)
+            res["opt"] = {"rewritten_files": -1}
         res["opt_s"] = time.monotonic() - t
 
     th = threading.Thread(target=opt)
@@ -79,6 +83,7 @@ def main() -> None:
         "optimize_rewrote": res["opt"]["rewritten_files"],
         "history_ops": ops,
         "reconciles": ops.count("reconcile"),
+        "optimize_error": res.get("err"),
     }
     print(json.dumps(out), flush=True)
     shutil.rmtree(root, ignore_errors=True)

@@ -208,8 +208,6 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             errs.append(f"reader: {e!r}")
 
-    opt_results: list = []
-
     for r in range(rounds):
         threads = [
             threading.Thread(target=appender, args=(2 * r,)),
@@ -240,7 +238,6 @@ def main() -> None:
     opt_tail = optimize_incremental(
         spark, ds, target_file_bytes=1 << 20, lease_wait_s=180.0,
     )
-    opt_results.append(opt_tail)
     if opt_tail["rewritten_files"] < 2:
         errs.append(f"tail optimize found no victims: {opt_tail}")
 

@@ -3011,3 +3011,115 @@ def test_reconcile_heals_crashed_legacy_swap(spark, sf_dir, tmp_path):
     assert live.count() == base.count()
     assert live.exceptAll(base).count() == 0
     assert read_version(spark, str(out), pre_v + 1).count() == base.count()
+
+
+def test_reader_reconcile_skips_pure_drift_under_live_lease(
+    spark, sf_dir, tmp_path
+):
+    """TOCTOU guard (review-found): drift sampled UNLEASED can be a
+    live commit's half-moved window — with the lease held by any
+    writer, a reader's reconcile must return None (the writer logs its
+    own exact entry), and once the lease frees, a GENUINE drift is
+    still logged."""
+    import shutil as sh
+    import threading
+
+    from engage_spark.io import maintenance_lease
+    from engage_spark.versioning import _vlog_reconcile
+
+    out = tmp_path / "toctou"
+    base, _ = _zset(spark, sf_dir, out)
+    # out-of-band drift: copy a live file to a new name
+    live = sorted(
+        p for p in (tmp_path / "toctou").rglob("*.parquet")
+        if not any(part.startswith(("_", ".")) for part in p.parts)
+    )
+    sh.copy(live[0], live[0].with_name("oob-" + live[0].name))
+    res: dict = {}
+
+    def reader():
+        res["r"] = _vlog_reconcile(spark, str(out))
+
+    with maintenance_lease(spark, str(out)):
+        t = threading.Thread(target=reader)
+        t.start()
+        t.join()
+    assert res["r"] is None, "held lease: reconcile must skip, not log"
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert "reconcile" not in ops
+    # lease freed: the genuine out-of-band drift is healed
+    assert _vlog_reconcile(spark, str(out)) is not None
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops[-1] == "reconcile"
+
+
+def test_uniquify_staged_collisions_renames_inside_staging(
+    spark, sf_dir, tmp_path
+):
+    """A staged file whose dataset-relative name collides with a LIVE
+    file must be renamed to a dup- name INSIDE staging before the
+    manifest pins names — the replay's exists-skip would otherwise
+    drop the staged copy as 'already moved' (review-found)."""
+    import pathlib
+
+    from engage_spark.io import _uniquify_staged_collisions
+
+    out = tmp_path / "uniq"
+    _zset(spark, sf_dir, out)
+    from engage_spark.versioning import _live_names
+
+    rel = _live_names(spark, str(out))[0]
+    staging = tmp_path / "uniq__optimize_staging_t"
+    sp = staging / rel
+    sp.parent.mkdir(parents=True, exist_ok=True)
+    sp.write_bytes(b"staged bytes")
+    (staging / "clean.parquet").write_bytes(b"no collision")
+    final = _uniquify_staged_collisions(
+        spark, str(out), str(staging), [rel, "clean.parquet"]
+    )
+    assert "clean.parquet" in final
+    dup = [n for n in final if n != "clean.parquet"]
+    assert len(dup) == 1 and dup[0] != rel and "dup-" in dup[0]
+    assert not sp.exists()
+    assert (staging / dup[0]).read_bytes() == b"staged bytes"
+    assert pathlib.Path(out, rel).exists()  # live file untouched
+
+
+def test_zranges_refresh_drops_dead_kept_entries(spark, sf_dir, tmp_path):
+    """kept entries pinned before a commuting commit may reference
+    since-removed files; persisting them would fail the manifest's
+    exact-match validity check and force a full rescan — the refresh
+    must live-filter (review-found)."""
+    from engage_spark.io import _zranges_read, _zranges_refresh, _zranges_scan
+
+    out = tmp_path / "zrref"
+    _zset(spark, sf_dir, out)
+    fr = _zranges_scan(spark, str(out))
+    dead = [("file:///nonexistent/part-dead.parquet", 0, 1)]
+    _zranges_refresh(spark, str(out), fr + dead)
+    man = _zranges_read(spark, str(out))
+    assert man is not None
+    assert {f for f, _, _ in man} == set(
+        spark.read.parquet(str(out)).inputFiles()
+    ), "manifest must name exactly the live file set"
+
+
+def test_stray_legacy_staging_swept_by_versioned_optimize(
+    spark, sf_dir, tmp_path
+):
+    """A crashed apply_deletes that staged but never wrote its
+    manifest leaves an in-dataset _optimize_staging; the optimistic
+    optimize path must GC it like the leased path did (review-found:
+    nothing else ever would on a version-logged dataset)."""
+    import pathlib
+
+    out = tmp_path / "straygc"
+    base, _ = _zset(spark, sf_dir, out)
+    stray = pathlib.Path(out) / "_optimize_staging"
+    stray.mkdir()
+    (stray / "part-orphan.parquet").write_bytes(b"pre-commit garbage")
+    r = optimize_incremental(spark, str(out), target_file_bytes=1 << 20)
+    assert not stray.exists()
+    assert r["rewritten_files"] >= 0
+    live = spark.read.parquet(str(out))
+    assert live.count() == base.count()
