@@ -3158,12 +3158,19 @@ def upsert_dataset(
       pinned to the version read at stage start; only the retain+
       rename+log commit tail takes the lease (queueing on
       ``lease_wait_s``), and commits ONLY if the pinned version is
-      still the latest. Any interleaved commit (an appender, a
-      takedown, another MERGE) bumps the version, so the stale slice
-      is discarded and the merge re-stages against the new state — up
-      to ``occ_retries`` times before raising :class:`UpsertConflict`.
-      This is what keeps staged-commit appenders flowing DURING the
-      hourly MERGE instead of queueing behind a minutes-long lease.
+      still the latest — weakened PARTITION-SCOPED (r14, see
+      :func:`_upsert_commit_allowed`): an interleaved commit that
+      moved no file under the merge's touched partition dirs (an
+      append/MERGE/optimize on OTHER partitions, or a logical delete
+      anywhere — DV batches filter later reads by key, staged rewrite
+      included) COMMUTES and the merge still commits; only a commit
+      touching the merge's own partitions discards the stale slice
+      and re-stages against the new state — up to ``occ_retries``
+      times before raising :class:`UpsertConflict`. This is what
+      keeps staged-commit appenders flowing DURING the hourly MERGE
+      instead of queueing behind a minutes-long lease, and lets a
+      backfill MERGE on yesterday's partition land despite today's
+      ingest.
     - Everything else (unpartitioned, or no version log) holds the
       lease across the whole merge as before — those paths rewrite
       live files in place, so a concurrent writer has no safe window.
@@ -3272,7 +3279,7 @@ def upsert_dataset(
                 with maintenance_lease(spark, target, wait_s=lease_wait_s):
                     _upsert_replay_pending(spark, target)
                     _vlog_reconcile(spark, target)
-                    if latest_version(spark, target) == st["pinned_v"]:
+                    if _upsert_commit_allowed(spark, target, st):
                         _upsert_commit_partitioned(spark, target, st)
                         return {**st["stats"], **gate_report}
                 # conflict: someone committed since the pin — the
@@ -3301,6 +3308,48 @@ def upsert_dataset(
             gfs, gp = _hadoop_fs(spark, gate_staging)
             if gfs.exists(gp):
                 gfs.delete(gp, True)
+
+
+def _upsert_commit_allowed(spark: SparkSession, target: str, st: dict) -> bool:
+    """PARTITION-SCOPED conflict rule for the optimistic MERGE (r14,
+    continued): strict version equality, weakened for interleaved
+    commits that cannot affect the merge's output. The staged slice
+    was computed from the touched partitions' data at the pinned
+    version, so an interleaved commit commutes iff it moved NO file
+    under a touched partition dir:
+
+    - appends/MERGEs/optimizes/takedown-rewrites on OTHER partitions
+      are file-disjoint from both the slice's inputs and old_names —
+      at 100 TB this is the hourly MERGE on today's partition landing
+      DESPITE a backfill streaming into yesterday's;
+    - `logical_delete` commutes by DV semantics even on touched
+      partitions: the batch filters reads of ANY later version by
+      key, our staged rewrite included — exactly what serial
+      execution would produce;
+    - `snapshot`/`vacuum_log` are bookkeeping (the snapshot's "added"
+      is the whole live set, not a change);
+    - anything that ADDED a file to a touched dir carries rows the
+      slice never merged (a duplicate-key hazard), and anything that
+      REMOVED one invalidates old_names — both conflict, restage.
+
+    The near-full-rewrite path (touched_dirs None) keeps the strict
+    pin: every live file is a victim, nothing commutes."""
+    from engage_spark.versioning import _vlog_entries, latest_version
+
+    if latest_version(spark, target) == st["pinned_v"]:
+        return True
+    if st["touched_dirs"] is None:
+        return False
+    dirs = st["touched_dirs"]
+    for e in _vlog_entries(spark, target):
+        if e["version"] <= st["pinned_v"]:
+            continue
+        if e["op"] in ("snapshot", "vacuum_log", "logical_delete"):
+            continue
+        for name in list(e["added"]) + list(e["removed"]):
+            if name.rsplit("/", 1)[0] in dirs:
+                return False
+    return True
 
 
 class UpsertConflict(RuntimeError):

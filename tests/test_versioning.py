@@ -3123,3 +3123,115 @@ def test_stray_legacy_staging_swept_by_versioned_optimize(
     assert r["rewritten_files"] >= 0
     live = spark.read.parquet(str(out))
     assert live.count() == base.count()
+
+
+def test_merge_commits_over_disjoint_partition_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Partition-scoped MERGE conflicts (r14, continued): an append
+    landing in a partition the merge never touched commutes — the
+    merge commits on the SAME attempt instead of restaging (at 100 TB:
+    the hourly MERGE on today's partition lands despite a backfill
+    streaming into yesterday's)."""
+    import engage_spark.io as eio
+    from engage_spark.io import append_dataset, upsert_dataset, write_parquet
+
+    d = _docs(spark, sf_dir)
+    langs = sorted(r.lang for r in d.select("lang").distinct().collect())
+    hot, cold = langs[0], langs[-1]
+    out = tmp_path / "pocc1"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))                            # v1
+    # backfill slice: ONLY the cold partition, new ids
+    backfill = (
+        d.filter(F.col("lang") == cold)
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"),
+                "lang", "n_chars")
+    )
+    real_stage = eio._upsert_stage_partitioned
+    stage_calls = {"n": 0}
+
+    def racing_stage(*a, **k):
+        st = real_stage(*a, **k)
+        stage_calls["n"] += 1
+        if stage_calls["n"] == 1 and st["staging"] is not None:
+            append_dataset(
+                spark, backfill, str(out), partition_by=["lang"]
+            )
+        return st
+
+    monkeypatch.setattr(eio, "_upsert_stage_partitioned", racing_stage)
+    # the merge touches ONLY the hot partition
+    upd = (
+        d.filter((F.col("lang") == hot) & (F.col("doc_id") % 3 == 0))
+        .withColumn("n_chars", (F.col("n_chars") + 9).cast("long"))
+    )
+    upsert_dataset(
+        spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+        assume_partition_stable=True,
+    )
+    monkeypatch.undo()
+    assert stage_calls["n"] == 1, "a disjoint-partition append commutes"
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "append", "upsert"]
+    live = spark.read.parquet(str(out))
+    assert live.count() == d.count() + backfill.count()
+    # both effects present: merged values in hot, backfill rows in cold
+    assert live.filter(
+        (F.col("lang") == hot) & (F.col("doc_id") % 3 == 0)
+        & (F.col("doc_id") < 5_000_000)
+    ).join(
+        d.select("doc_id", F.col("n_chars").alias("v0")), on="doc_id"
+    ).filter(F.col("n_chars") != F.col("v0") + 9).count() == 0
+    assert live.filter(F.col("doc_id") >= 5_000_000).count() == (
+        backfill.count()
+    )
+
+
+def test_merge_commits_over_interleaved_logical_delete(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A logical delete (DV batch) landing mid-merge commutes even on
+    the merge's own partitions: the batch filters reads of any later
+    version BY KEY — the staged rewrite included — which is exactly
+    the serial outcome. The merge commits without restaging and the
+    final read shows both effects."""
+    import engage_spark.io as eio
+    from engage_spark.io import delete_rows, upsert_dataset, write_parquet
+    from engage_spark.versioning import latest_version
+
+    d = _docs(spark, sf_dir)
+    out = tmp_path / "pocc2"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))                            # v1
+    doomed = d.filter(F.col("doc_id") % 10 == 7).select("doc_id")
+    real_stage = eio._upsert_stage_partitioned
+    stage_calls = {"n": 0}
+
+    def racing_stage(*a, **k):
+        st = real_stage(*a, **k)
+        stage_calls["n"] += 1
+        if stage_calls["n"] == 1 and st["staging"] is not None:
+            delete_rows(spark, str(out), doomed, "doc_id")
+        return st
+
+    monkeypatch.setattr(eio, "_upsert_stage_partitioned", racing_stage)
+    upd = (
+        d.filter(F.col("doc_id") % 10 == 4)
+        .withColumn("n_chars", F.lit(77).cast("long"))
+    )
+    upsert_dataset(
+        spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+        assume_partition_stable=True,
+    )
+    monkeypatch.undo()
+    assert stage_calls["n"] == 1, "a logical delete commutes by key"
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "logical_delete", "upsert"]
+    got = read_version(spark, str(out), latest_version(spark, str(out)))
+    assert got.filter(F.col("doc_id") % 10 == 7).count() == 0
+    assert (
+        got.filter(F.col("doc_id") % 10 == 4)
+        .filter(F.col("n_chars") != 77).count() == 0
+    )
+    assert got.count() == d.count() - doomed.count()
