@@ -657,11 +657,15 @@ def _read_swap_manifest(spark: SparkSession, manifest_uri: str):
         stream.close()
     try:
         doc = _json.loads(raw.decode())
-        return {
+        norm = {
             "adds": sorted(doc["adds"]),
             "removes": sorted(doc.get("removes", [])),
             "staging": doc["staging"],
         }
+        # protocol-specific extras ride through untouched (the
+        # takedown swap pins its applied sidecar parts + key stats)
+        norm.update((k, v) for k, v in doc.items() if k not in norm)
+        return norm
     except (ValueError, KeyError, TypeError):
         mfs.delete(mp, True)
         return None
@@ -2049,19 +2053,21 @@ def optimize_incremental(
         if (
             mfs.exists(mp)
             or _optimize_swap_manifest_exists(spark, path)
+            or _applydv_swap_manifest_exists(spark, path)
             or gfs.exists(gp)
         ):
-            # a predecessor crashed mid-commit (this op's swap, or a
-            # legacy-protocol apply_deletes) — or pre-commit, leaving
-            # a stray in-dataset _optimize_staging with no manifest
-            # (optimize_recover GCs it; review-found: the leased path
-            # used to, the optimistic path must keep doing it). Heal
-            # under the lease BEFORE the stage reads the target — a
-            # LIVE apply_deletes holds the lease for its whole run,
-            # so its in-flight staging can never be swept here.
+            # a predecessor crashed mid-commit (any swap protocol) —
+            # or pre-commit, leaving a stray in-dataset
+            # _optimize_staging with no manifest (optimize_recover GCs
+            # it; review-found: the leased path used to, the
+            # optimistic path must keep doing it). Heal under the
+            # lease BEFORE the stage reads the target — an UNVERSIONED
+            # apply_deletes holds the lease for its whole run, so its
+            # in-flight staging can never be swept here.
             with maintenance_lease(spark, path, wait_s=lease_wait_s):
                 optimize_recover(spark, path)
                 _optimize_swap_replay_pending(spark, path)
+                _applydv_replay_pending(spark, path)
         try:
             st = _optimize_stage(spark, path, target_file_bytes)
         except Exception as e:
@@ -2848,6 +2854,8 @@ def apply_deletes(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    lease_wait_s: float = 30.0,
+    occ_retries: int = 2,
 ) -> dict:
     """Physically apply the deletion sidecar — FILE-TARGETED (r12):
     rewrite ONLY the files that contain a deleted key; every clean
@@ -2875,41 +2883,133 @@ def apply_deletes(
     incrementally (kept entries stay exact, staged files get an
     increment-sized scan). The single-maintenance-writer requirement
     is enforced by the maintenance_lease (r12). Returns
-    {"deleted_keys", "rewritten_files", "kept_files"}."""
+    {"deleted_keys", "rewritten_files", "kept_files"}.
+
+    Concurrency (r14): on a VERSION-LOGGED dataset the op runs
+    OPTIMISTICALLY like the MERGE and the incremental OPTIMIZE —
+    victim detection and the survivor rewrite hold NO lease (staged
+    to a unique sibling, vacuum-swept by age), and only the
+    retain+rename+entry+sidecar-clear tail takes the lease. The
+    conflict rule: every victim must still be live (a file-moving
+    commit on a victim restages), AND no pending-set mutator landed
+    since the pin — an interleaved `logical_delete` means NEW keys
+    the staged rewrite never saw (the `vacuum_deletes` entry would
+    wrongly mark them settled for time travel), so the run restages
+    and picks them up; `restore`/`overwrite`/another `vacuum_deletes`
+    likewise. Commits that only ADD files commute — an appended
+    re-delivery of a deleted key lands exactly as it would have
+    landed serially after the apply (the documented re-append
+    masking semantics are unchanged). :class:`TakedownConflict`
+    after ``occ_retries``. Unversioned datasets keep the fully-leased
+    in-place swap, where the OCC knobs do not apply."""
     fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
     if not fs.exists(p):
         return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
-    with maintenance_lease(spark, path):
-        return _apply_deletes_impl(spark, path, target_file_bytes)
-
-
-def _apply_deletes_impl(
-    spark: SparkSession, path: str, target_file_bytes: int
-) -> dict:
-    import math
-
-    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
-    if not fs.exists(p):
-        return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
-    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
-    if mfs.exists(mp):
-        optimize_recover(spark, path)
     from engage_spark.versioning import (
-        _vlog_append_entry,
+        _live_names,
         _vlog_reconcile,
         version_log_enabled,
     )
 
-    vlog = version_log_enabled(spark, path)
-    if vlog:
-        _vlog_reconcile(spark, path)
-    # the sidecar may carry batches on SEVERAL key columns (multi-key
-    # takedowns / restore re-records): one single-column part per key,
-    # unioned by the mergeSchema read; victims and survivor filters
-    # apply per key column below
+    if not version_log_enabled(spark, path):
+        with maintenance_lease(spark, path):
+            return _apply_deletes_impl(spark, path, target_file_bytes)
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
+    gfs, gp = _hadoop_fs(spark, f"{path}/{_OPT_STAGING}")
+    for _attempt in range(occ_retries + 1):
+        if (
+            mfs.exists(mp)
+            or _optimize_swap_manifest_exists(spark, path)
+            or _applydv_swap_manifest_exists(spark, path)
+            or gfs.exists(gp)
+        ):
+            # a predecessor crashed mid-commit (any swap protocol) or
+            # pre-commit (stray legacy staging): heal BEFORE staging
+            with maintenance_lease(spark, path, wait_s=lease_wait_s):
+                optimize_recover(spark, path)
+                _optimize_swap_replay_pending(spark, path)
+                _applydv_replay_pending(spark, path)
+        if not fs.exists(p):
+            # a predecessor's replay consumed the whole sidecar
+            return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
+        try:
+            st = _applydv_stage(spark, path, target_file_bytes)
+        except Exception as e:
+            # the no-lease stage reads the LIVE target; a concurrent
+            # file-moving commit mid-scan IS a write conflict
+            if _attempt < occ_retries and _is_missing_file_error(e):
+                continue
+            raise
+        with maintenance_lease(spark, path, wait_s=lease_wait_s):
+            _vlog_reconcile(spark, path)
+            if _applydv_commit_allowed(spark, path, st):
+                from engage_spark.versioning import _vlog_append_entry
+
+                if st["staging"] is None:
+                    # keys absent from the data (already vacuumed /
+                    # never present): ENTRY FIRST (it settles the
+                    # pending set), then clear exactly the pinned
+                    # sidecar parts — a crash between converges at
+                    # the next apply (re-detects no victims)
+                    _vlog_append_entry(
+                        spark, path, "vacuum_deletes", added=[],
+                        removed=[], key_col=",".join(st["key_cols"]),
+                        n_keys=st["n"],
+                    )
+                    _applydv_clear_sidecar_parts(
+                        spark, path, st["sidecar_parts"]
+                    )
+                else:
+                    _applydv_commit_swap(spark, path, st)
+                    if st["man_before"] is not None:
+                        _zranges_refresh(
+                            spark, path,
+                            [
+                                e for e in st["man_before"]
+                                if e[0] not in set(st["victims"])
+                            ],
+                        )
+                return {
+                    "deleted_keys": st["n"],
+                    "rewritten_files": len(st["victims"]),
+                    "kept_files": st["n_files"] - len(st["victims"]),
+                }
+        # conflict: drop the stale staging and restage (picking up
+        # any newly-recorded keys)
+        if st["staging"] is not None:
+            sfs, sp2 = _hadoop_fs(spark, st["staging"])
+            if sfs.exists(sp2):
+                sfs.delete(sp2, True)
+    raise TakedownConflict(
+        f"optimistic apply_deletes of {path} lost its commit race "
+        f"{occ_retries + 1} times (another writer moved a victim or "
+        "recorded new deletes between stage and commit each time); "
+        "retry, or raise occ_retries for contended targets"
+    )
+
+
+def _applydv_detect(spark: SparkSession, path: str) -> dict:
+    """Shared victim detection for both apply_deletes paths: read the
+    deletion sidecar (recording its immutable part-file names — the
+    OCC commit clears exactly the parts it applied, so a key batch
+    recorded after the pin is never lost), split per key column, and
+    find the files containing any deleted key. For batches up to
+    ``_DELETES_ISIN_MAX`` keys an In-literal predicate lets parquet
+    footer min/max pruning skip clean files; a per-file bloom index on
+    the key column (r14) prunes the candidate FILE LIST driver-side
+    before any scan is planned; larger batches broadcast-semi-join one
+    column-pruned scan. Victim count is bounded by the file count."""
+    from engage_spark.versioning import version_log_enabled
+
     dels_all = (
         spark.read.option("mergeSchema", "true")
         .parquet(f"{path}/{_DELETES}")
+    )
+    sfs, sp = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    sidecar_parts = sorted(
+        st.getPath().getName()
+        for st in sfs.listStatus(sp)
+        if not st.getPath().getName().startswith(("_", "."))
     )
     per_key = {
         c: dels_all.select(c).filter(F.col(c).isNotNull()).dropDuplicates()
@@ -2921,24 +3021,16 @@ def _apply_deletes_impl(
     tagged = spark.read.parquet(path).select(
         F.input_file_name().alias("__file"), *[F.col(c) for c in key_cols]
     )
-    # bloom-targeted victim detection (r14): when a per-file bloom
-    # index covers the key column, prune the candidate FILE LIST
-    # driver-side before any scan is planned — the confirmation scan
-    # then reads only files whose bloom admits a deleted key instead
-    # of footer-probing (Z-ordered key) or full-column-scanning
-    # (scattered key) the whole dataset. Files without a bloom row are
-    # always candidates, so this can only shrink IO, never miss a
-    # victim; the exact isin/semi-join filter below still decides.
     bloom_cols: set = set()
     live_names: list = []
-    if vlog:
+    if version_log_enabled(spark, path):
         from engage_spark.indexes import _bloom_spec
 
         bloom_cols = set(_bloom_spec(spark, path)[0]) & set(key_cols)
         if bloom_cols:
             # one listing for ALL indexed key columns (the walk is
-            # invariant under the lease; per-column re-walks at 10^5
-            # files would repeat the dominant metadata cost)
+            # invariant per run; per-column re-walks at 10^5 files
+            # would repeat the dominant metadata cost)
             from engage_spark.versioning import _live_names
 
             live_names = _live_names(spark, path)
@@ -2968,47 +3060,42 @@ def _apply_deletes_impl(
         victim_set |= {
             r["__file"] for r in hits.select("__file").distinct().collect()
         }
-    victims = sorted(victim_set)  # bounded: files containing deleted keys
-    all_files = set(spark.read.parquet(path).inputFiles())
-    if not victims:
-        # keys absent from the data (already vacuumed / never present):
-        # nothing to rewrite, just clear the sidecar
-        fs.delete(p, True)
-        if vlog:
-            # no file change, but pending logical_delete entries are
-            # now physically settled — the entry clears them for
-            # time-travel replay
-            _vlog_append_entry(
-                spark, path, "vacuum_deletes", added=[], removed=[],
-                key_col=",".join(key_cols), n_keys=n,
-            )
-        return {
-            "deleted_keys": n,
-            "rewritten_files": 0,
-            "kept_files": len(all_files),
-        }
-    man_before = _zranges_read(spark, path)
-    if man_before is not None and {f for f, _, _ in man_before} != all_files:
-        man_before = None  # stale; do not extend it after the swap
-    total = _victim_bytes(spark, path, victims)
-    n_new = max(1, math.ceil(total / target_file_bytes))
+    return {
+        "per_key": per_key,
+        "n": n,
+        "key_cols": key_cols,
+        "victims": sorted(victim_set),
+        "all_files": set(spark.read.parquet(path).inputFiles()),
+        "sidecar_parts": sidecar_parts,
+    }
+
+
+def _applydv_write_survivors(
+    spark: SparkSession,
+    path: str,
+    victims: list,
+    per_key: dict,
+    target_file_bytes: int,
+    staging: str,
+) -> None:
+    """Shared survivor rewrite: re-read ONLY the victims (basePath:
+    hive-partitioned victims must keep their partition column values —
+    the ADVICE r12 silent-data-loss shape; mergeSchema: victims
+    spanning an s11-style evolution keep the union schema), anti-join
+    every key batch, and re-lay on the frozen Z-curve / back into the
+    partition dirs as the dataset's layout demands."""
+    import math
+
     from engage_spark.versioning import _relativize
 
-    # hive-partitioned victims: leaf-file reads drop the partition
-    # COLUMN VALUES unless anchored at the dataset root via basePath
-    # (the ADVICE r12 silent-data-loss shape), and survivors must be
-    # written back per-partition, not into the root beside col=val/
-    # dirs. basePath is harmless on a flat layout (no partition dirs
-    # to discover), so it is applied unconditionally.
+    total = _victim_bytes(spark, path, victims)
+    n_new = max(1, math.ceil(total / target_file_bytes))
     victim_rel = _relativize(spark, path, victims)
     part_cols = [
         seg.split("=", 1)[0]
         for seg in victim_rel[0].split("/")[:-1]
         if "=" in seg
     ]
-    # mergeSchema: victims spanning an s11-style evolution must keep
-    # the union schema — a plain multi-file read samples one footer
-    # and would silently drop the younger column from rewritten files
     kept_rows = (
         spark.read.option("basePath", path)
         .option("mergeSchema", "true")
@@ -3016,7 +3103,6 @@ def _apply_deletes_impl(
     )
     for c, kdf in per_key.items():
         kept_rows = kept_rows.join(F.broadcast(kdf), on=c, how="left_anti")
-    staging = f"{path}/{_OPT_STAGING}"
     zm_fs, zm_p = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
     if part_cols and zm_fs.exists(zm_p):
         # partitioned AND clustered (r13): survivors go back on the
@@ -3046,11 +3132,44 @@ def _apply_deletes_impl(
         )
     else:
         kept_rows.coalesce(n_new).write.mode("overwrite").parquet(staging)
+
+
+def _apply_deletes_impl(
+    spark: SparkSession, path: str, target_file_bytes: int
+) -> dict:
+    """The fully-leased in-place path — UNVERSIONED datasets only
+    since r14 (version-logged targets take the optimistic staged-swap
+    path in the facade). Keeps the legacy in-dataset
+    ``_optimize_staging`` + ``_optimize_manifest`` commit protocol,
+    replayed by optimize_recover."""
+    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    if not fs.exists(p):
+        return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
+    if mfs.exists(mp):
+        optimize_recover(spark, path)
+    det = _applydv_detect(spark, path)
+    victims, all_files, n = det["victims"], det["all_files"], det["n"]
+    if not victims:
+        # keys absent from the data (already vacuumed / never present):
+        # nothing to rewrite, just clear the sidecar
+        fs.delete(p, True)
+        return {
+            "deleted_keys": n,
+            "rewritten_files": 0,
+            "kept_files": len(all_files),
+        }
+    man_before = _zranges_read(spark, path)
+    if man_before is not None and {f for f, _, _ in man_before} != all_files:
+        man_before = None  # stale; do not extend it after the swap
+    staging = f"{path}/{_OPT_STAGING}"
+    _applydv_write_survivors(
+        spark, path, victims, det["per_key"], target_file_bytes, staging
+    )
     # manifest AFTER staging completes: its presence is the commit
-    # point (same protocol + recovery as optimize_incremental)
+    # point (same protocol + recovery as the unversioned optimize)
     from engage_spark.session import local_frame
 
-    staged_names = _staged_rel_files(spark, staging)
     local_frame(
         spark, [(f,) for f in victims], "victim string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
@@ -3061,18 +3180,186 @@ def _apply_deletes_impl(
             spark, path,
             [e for e in man_before if e[0] not in set(victims)],
         )
-    if vlog:
-        _vlog_append_entry(
-            spark, path, "vacuum_deletes",
-            added=staged_names,
-            removed=victim_rel,
-            key_col=",".join(key_cols), n_keys=n,
-        )
     return {
         "deleted_keys": n,
         "rewritten_files": len(victims),
         "kept_files": len(all_files) - len(victims),
     }
+
+
+_APPLYDV_SWAP_MANIFEST = "_applydv_swap_manifest"
+_APPLYDV_STAGING_INFIX = "__applydv_staging_"
+
+
+class TakedownConflict(RuntimeError):
+    """An optimistic apply_deletes lost its commit race repeatedly."""
+
+
+def _applydv_swap_manifest_exists(spark: SparkSession, path: str) -> bool:
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_APPLYDV_SWAP_MANIFEST}")
+    return mfs.exists(mp)
+
+
+def _applydv_stage(
+    spark: SparkSession, path: str, target_file_bytes: int
+) -> dict:
+    """UNLEASED stage of the optimistic apply_deletes: pin the
+    version, detect victims, rewrite survivors into a unique staging
+    SIBLING. ``staging`` is None when no live file contains a deleted
+    key (the commit then just settles the pending set and clears the
+    pinned sidecar parts)."""
+    import uuid as _uuid
+
+    from engage_spark.versioning import (
+        _relativize,
+        _vlog_reconcile,
+        latest_version,
+    )
+
+    _vlog_reconcile(spark, path)  # heal drift BEFORE pinning
+    pinned_v = latest_version(spark, path)
+    det = _applydv_detect(spark, path)
+    st = {
+        "pinned_v": pinned_v,
+        "n": det["n"],
+        "key_cols": det["key_cols"],
+        "victims": det["victims"],
+        "n_files": len(det["all_files"]),
+        "sidecar_parts": det["sidecar_parts"],
+        "staging": None,
+        "man_before": None,
+    }
+    if not det["victims"]:
+        return st
+    man_before = _zranges_read(spark, path)
+    if (
+        man_before is not None
+        and {f for f, _, _ in man_before} != det["all_files"]
+    ):
+        man_before = None  # stale; do not extend it after the swap
+    staging = (
+        f"{path.rstrip('/')}{_APPLYDV_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
+    )
+    _applydv_write_survivors(
+        spark, path, det["victims"], det["per_key"], target_file_bytes,
+        staging,
+    )
+    st.update(
+        staging=staging,
+        staged=_staged_rel_files(spark, staging),
+        victim_rel=_relativize(spark, path, det["victims"]),
+        man_before=man_before,
+    )
+    return st
+
+
+def _applydv_commit_allowed(
+    spark: SparkSession, path: str, st: dict
+) -> bool:
+    """Conflict rule for the optimistic takedown: commits that only
+    ADD files commute (an appended re-delivery of a deleted key lands
+    exactly as it would serially AFTER the apply — the documented
+    re-append masking semantics); a commit that MOVED a victim
+    restages; and any pending-set mutator since the pin —
+    `logical_delete` (new keys the staged rewrite never saw, which
+    the vacuum_deletes entry would wrongly settle), `restore`,
+    `overwrite`, another `vacuum_deletes` — restages too."""
+    from engage_spark.versioning import (
+        _live_names,
+        _vlog_entries,
+        latest_version,
+    )
+
+    if latest_version(spark, path) != st["pinned_v"]:
+        for e in _vlog_entries(spark, path):
+            if e["version"] <= st["pinned_v"]:
+                continue
+            if e["op"] in (
+                "logical_delete", "restore", "overwrite", "vacuum_deletes",
+            ):
+                return False
+        if st["staging"] is not None:
+            live = set(_live_names(spark, path))
+            if not set(st["victim_rel"]) <= live:
+                return False
+    return True
+
+
+def _applydv_commit_swap(spark: SparkSession, path: str, st: dict) -> None:
+    """COMMIT tail of the optimistic takedown (caller holds the lease
+    and has verified the conflict rule): pin the swap AND the applied
+    sidecar parts in the JSON manifest, then run the replay itself."""
+    import json as _json
+
+    st["staged"] = _uniquify_staged_collisions(
+        spark, path, st["staging"], st["staged"]
+    )
+    mfs, mp = _hadoop_fs(spark, f"{path}/{_APPLYDV_SWAP_MANIFEST}")
+    out = mfs.create(mp, True)
+    out.write(
+        _json.dumps(
+            {
+                "staging": st["staging"],
+                "adds": sorted(st["staged"]),
+                "removes": sorted(st["victim_rel"]),
+                "sidecar_parts": st["sidecar_parts"],
+                "key_col": ",".join(st["key_cols"]),
+                "n_keys": st["n"],
+            }
+        ).encode()
+    )
+    out.close()
+    _applydv_replay_pending(spark, path)
+
+
+def _applydv_clear_sidecar_parts(
+    spark: SparkSession, path: str, parts: list
+) -> None:
+    """Delete exactly the applied sidecar part files (idempotent) — a
+    key batch recorded AFTER the apply pinned its parts survives; the
+    dir itself goes once empty of data parts."""
+    for name in parts:
+        pfs, pp = _hadoop_fs(spark, f"{path}/{_DELETES}/{name}")
+        if pfs.exists(pp):
+            pfs.delete(pp, False)
+    dfs, dp = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    if dfs.exists(dp) and not any(
+        not s.getPath().getName().startswith(("_", "."))
+        for s in dfs.listStatus(dp)
+    ):
+        dfs.delete(dp, True)
+
+
+def _applydv_replay_pending(spark: SparkSession, path: str) -> bool:
+    """Finish an optimistic takedown that crashed after its swap
+    manifest write: retain victims, rename survivors in, log the
+    exact `vacuum_deletes` entry (settling the pending DV set for
+    time travel), clear exactly the applied sidecar parts — in that
+    order, so a crash before the entry leaves the logical deletes in
+    force for every reader, and a batch recorded after the pin always
+    survives. Caller must hold the maintenance lease."""
+    from engage_spark.versioning import _retain_file, _vlog_append_entry
+
+    doc = _read_swap_manifest(spark, f"{path}/{_APPLYDV_SWAP_MANIFEST}")
+    if doc is None:
+        return False
+    adds, removes, staging = doc["adds"], doc["removes"], doc["staging"]
+    for rel in removes:
+        _retain_file(spark, path, rel)  # idempotent: skips absent
+    _move_staged_in(spark, path, staging, adds, "apply_deletes")
+    if not _entry_already_logged(
+        spark, path, "vacuum_deletes", adds, removes
+    ):
+        _vlog_append_entry(
+            spark, path, "vacuum_deletes", added=adds, removed=removes,
+            key_col=doc.get("key_col"), n_keys=int(doc.get("n_keys") or 0),
+        )
+    _applydv_clear_sidecar_parts(spark, path, doc.get("sidecar_parts", []))
+    _zranges_drop(spark, path)
+    _drop_staging_and_manifest(
+        spark, staging, f"{path}/{_APPLYDV_SWAP_MANIFEST}"
+    )
+    return True
 
 
 def _stash_sidecars(spark: SparkSession, target: str) -> list:

@@ -742,6 +742,7 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
         _OPT_MANIFEST,
         _UPSERT_MANIFEST,
         _append_manifest_exists,
+        _applydv_swap_manifest_exists,
         _optimize_swap_manifest_exists,
     )
     from engage_spark.io import _hadoop_fs as _hfs
@@ -753,6 +754,7 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
         or umfs.exists(ump)
         or omfs.exists(omp)
         or _optimize_swap_manifest_exists(spark, path)
+        or _applydv_swap_manifest_exists(spark, path)
     ):
         # a staged-commit append, an optimistic MERGE, an optimistic
         # OPTIMIZE, or a legacy-protocol in-dataset swap
@@ -769,6 +771,7 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
         from engage_spark.io import (
             MaintenanceLockHeld,
             _append_replay_pending,
+            _applydv_replay_pending,
             _optimize_swap_replay_pending,
             _upsert_replay_pending,
             maintenance_lease,
@@ -780,6 +783,7 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
                 _append_replay_pending(spark, path)
                 _upsert_replay_pending(spark, path)
                 _optimize_swap_replay_pending(spark, path)
+                _applydv_replay_pending(spark, path)
                 if omfs.exists(omp):
                     # legacy protocol writes no entry of its own; the
                     # drift pass below logs the healed swap as one
@@ -812,6 +816,7 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
             # queued behind — heal it, then diff.
             from engage_spark.io import (
                 _append_replay_pending,
+                _applydv_replay_pending,
                 _optimize_swap_replay_pending,
                 _upsert_replay_pending,
             )
@@ -819,6 +824,7 @@ def _vlog_reconcile(spark: SparkSession, path: str) -> int | None:
             _append_replay_pending(spark, path)
             _upsert_replay_pending(spark, path)
             _optimize_swap_replay_pending(spark, path)
+            _applydv_replay_pending(spark, path)
             logged, live = _drift()
             if logged == live:
                 return None
@@ -2212,6 +2218,7 @@ def vacuum_versions(
 
     from engage_spark.io import (
         _APPEND_STAGING_INFIX,
+        _APPLYDV_STAGING_INFIX,
         _OPTIMIZE_STAGING_INFIX,
         _UPSERT_STAGING_INFIX,
         maintenance_lease,
@@ -2332,6 +2339,7 @@ def vacuum_versions(
             now_ms = int(_time.time() * 1000)
             prefixes = (
                 f"{base}{_APPEND_STAGING_INFIX}",
+                f"{base}{_APPLYDV_STAGING_INFIX}",
                 f"{base}{_OPTIMIZE_STAGING_INFIX}",
                 f"{base}{_UPSERT_STAGING_INFIX}",
             )

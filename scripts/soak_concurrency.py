@@ -19,6 +19,10 @@ stats-enabled documents corpus; R rounds of SEVEN threads racing it:
                   rewrite with no lease, commits iff every victim is
                   still live — commuting appends must never conflict
                   it, and it must never block them)
+  applier x1    — apply_deletes (r14 OPTIMISTIC too: the physical
+                  takedown stages unleased; a racing delete_rows is a
+                  pending-set mutator that forces a restage, so the
+                  rewrite can never settle keys it did not apply)
   reader  x2    — read_snapshot + a stats-pruned read_where range +
                   a bloom point lookup (read_keys) on never-deleted
                   base ids, which must never raise (consistent-or-loud
@@ -61,7 +65,9 @@ def main() -> None:
 
     from engage_spark.io import (
         OptimizeConflict,
+        TakedownConflict,
         append_dataset,
+        apply_deletes,
         delete_rows,
         optimize_incremental,
         read_with_deletes,
@@ -167,6 +173,16 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             errs.append(f"optimizer: {e!r}")
 
+    def applier() -> None:
+        try:
+            apply_deletes(
+                spark, ds, lease_wait_s=180.0, occ_retries=20,
+            )
+        except TakedownConflict:
+            pass  # legitimate under adversarial contention; data intact
+        except Exception as e:  # pragma: no cover
+            errs.append(f"applier: {e!r}")
+
     def reader(k: int) -> None:
         # consistent-or-loud: a maintenance op renaming a resolved file
         # mid-scan fails loudly; the documented reader pattern is ONE
@@ -215,6 +231,7 @@ def main() -> None:
             threading.Thread(target=merger),
             threading.Thread(target=deleter),
             threading.Thread(target=optimizer),
+            threading.Thread(target=applier),
             threading.Thread(target=reader, args=(r,)),
             threading.Thread(target=reader, args=(r + 7,)),
         ]
@@ -240,6 +257,16 @@ def main() -> None:
     )
     if opt_tail["rewritten_files"] < 2:
         errs.append(f"tail optimize found no victims: {opt_tail}")
+    # ...and a deterministic takedown settle: whatever the racing
+    # appliers consumed, one final apply leaves the sidecar empty and
+    # the pending set settled — the live view must be unchanged
+    # (read_with_deletes is invariant under physical apply)
+    apply_deletes(spark, ds, lease_wait_s=180.0)
+    apply_tail = apply_deletes(spark, ds, lease_wait_s=180.0)
+    if apply_tail != {
+        "deleted_keys": 0, "rewritten_files": 0, "kept_files": 0,
+    }:
+        errs.append(f"tail apply left sidecar keys: {apply_tail}")
 
     ops = [x["op"] for x in dataset_history(spark, ds).collect()]
     live = read_with_deletes(spark, ds)
@@ -292,6 +319,7 @@ def main() -> None:
         "upserts": ops.count("upsert"),
         "logical_deletes": ops.count("logical_delete"),
         "optimizes": ops.count("optimize"),
+        "takedown_applies": ops.count("vacuum_deletes"),
         "reconciles": ops.count("reconcile"),
         "live_rows": live_n,
         "expected_rows": exp_n,

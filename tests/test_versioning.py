@@ -3235,3 +3235,165 @@ def test_merge_commits_over_interleaved_logical_delete(
         .filter(F.col("n_chars") != 77).count() == 0
     )
     assert got.count() == d.count() - doomed.count()
+
+
+# ---------------------------------------------------------------------------
+# Optimistic apply_deletes (round 14, continued): the takedown rewrite
+# stages unleased; commits that only add files commute; pending-set
+# mutators (new logical deletes, restores) and victim-movers restage.
+
+
+def test_applydv_commits_over_commuting_append(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An append landing between the takedown's stage and commit only
+    ADDS files — the apply commits on the SAME attempt, the pending DV
+    set settles exactly, and every version replays."""
+    import os
+
+    import engage_spark.io as eio
+    from engage_spark.io import append_dataset, apply_deletes, delete_rows
+    from engage_spark.versioning import latest_version
+
+    out = tmp_path / "dvocc1"
+    base, c = _zset(spark, sf_dir, out)
+    doomed = base.filter(F.col("event_id") % 9 == 0).select("event_id")
+    delete_rows(spark, str(out), doomed, "event_id")               # v3
+    real_stage = eio._applydv_stage
+    fired = {"n": 0}
+
+    def racing_stage(*a, **k):
+        st = real_stage(*a, **k)
+        fired["n"] += 1
+        if fired["n"] == 1:
+            append_dataset(spark, c, str(out))  # commuting commit
+        return st
+
+    monkeypatch.setattr(eio, "_applydv_stage", racing_stage)
+    r = apply_deletes(spark, str(out))
+    monkeypatch.undo()
+    assert fired["n"] == 1, "a commuting append must not restage"
+    assert r["rewritten_files"] > 0
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == [
+        "init", "append", "logical_delete", "append", "vacuum_deletes",
+    ]
+    exp = base.join(
+        F.broadcast(doomed), on="event_id", how="left_anti"
+    ).unionByName(c)
+    live = spark.read.parquet(str(out))
+    assert live.count() == exp.count()
+    assert live.exceptAll(exp.select(*live.columns)).count() == 0
+    v = latest_version(spark, str(out))
+    assert read_version(spark, str(out), v).count() == exp.count()
+    # the DV-pending view before the apply still replays
+    assert read_version(spark, str(out), 3).count() == (
+        base.count() - doomed.count()
+    )
+    sibs = [n for n in os.listdir(tmp_path) if "__applydv_staging_" in n]
+    assert sibs == []
+
+
+def test_applydv_restages_on_interleaved_logical_delete(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A delete_rows landing mid-apply records keys the staged rewrite
+    never saw; settling them as applied would lose the takedown — the
+    apply must restage and the SECOND pass applies BOTH batches."""
+    import engage_spark.io as eio
+    from engage_spark.io import apply_deletes, delete_rows
+
+    out = tmp_path / "dvocc2"
+    base, _ = _zset(spark, sf_dir, out)
+    first = base.filter(F.col("event_id") % 9 == 1).select("event_id")
+    second = base.filter(F.col("event_id") % 9 == 2).select("event_id")
+    delete_rows(spark, str(out), first, "event_id")
+    real_stage = eio._applydv_stage
+    fired = {"n": 0}
+
+    def racing_stage(*a, **k):
+        st = real_stage(*a, **k)
+        fired["n"] += 1
+        if fired["n"] == 1:
+            delete_rows(spark, str(out), second, "event_id")  # mutator
+        return st
+
+    monkeypatch.setattr(eio, "_applydv_stage", racing_stage)
+    apply_deletes(spark, str(out))
+    monkeypatch.undo()
+    assert fired["n"] == 2, "a pending-set mutator must restage"
+    exp = base.join(
+        F.broadcast(first.unionByName(second)),
+        on="event_id", how="left_anti",
+    )
+    live = spark.read.parquet(str(out))
+    assert live.count() == exp.count()
+    assert live.exceptAll(exp.select(*live.columns)).count() == 0
+    # the sidecar is fully consumed: a fresh apply is a no-op
+    from engage_spark.io import apply_deletes as ad
+
+    assert ad(spark, str(out)) == {
+        "deleted_keys": 0, "rewritten_files": 0, "kept_files": 0,
+    }
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert "reconcile" not in ops
+
+
+def test_applydv_swap_crash_replay_preserves_new_batches(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash after the takedown's swap manifest, before its entry and
+    sidecar clear: the next maintenance contact replays the EXACT
+    vacuum_deletes entry and clears only the PINNED sidecar parts — a
+    key batch recorded after the crash survives in both the sidecar
+    and the pending set."""
+    import engage_spark.versioning as ever
+    from engage_spark.io import apply_deletes, delete_rows, read_with_deletes
+    from engage_spark.versioning import latest_version
+
+    out = tmp_path / "dvocc3"
+    base, _ = _zset(spark, sf_dir, out)
+    first = base.filter(F.col("event_id") % 9 == 4).select("event_id")
+    delete_rows(spark, str(out), first, "event_id")
+    real_retain = ever._retain_file
+    state = {"retains": 0}
+
+    def crashing_retain(spark2, path2, name2):
+        real_retain(spark2, path2, name2)
+        state["retains"] += 1
+        if state["retains"] == 1:
+            raise RuntimeError("injected crash mid-takedown-replay")
+
+    monkeypatch.setattr(ever, "_retain_file", crashing_retain)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        apply_deletes(spark, str(out))
+    monkeypatch.undo()
+    import engage_spark.io as eio
+
+    assert eio._applydv_swap_manifest_exists(spark, str(out))
+    # a NEW batch lands while the swap manifest is pending: its
+    # leased entry heals the crashed commit FIRST (reconcile hook),
+    # so the pending-set ordering stays exact
+    second = base.filter(F.col("event_id") % 9 == 5).select("event_id")
+    delete_rows(spark, str(out), second, "event_id")
+    assert not eio._applydv_swap_manifest_exists(spark, str(out))
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == [
+        "init", "append", "logical_delete", "vacuum_deletes",
+        "logical_delete",
+    ]
+    # first batch physically gone, second still logically in force
+    exp = base.join(
+        F.broadcast(first.unionByName(second)),
+        on="event_id", how="left_anti",
+    )
+    got = read_with_deletes(spark, str(out))
+    assert got.count() == exp.count()
+    v = latest_version(spark, str(out))
+    assert read_version(spark, str(out), v).count() == exp.count()
+    # the second batch's keys are still present PHYSICALLY (only
+    # logically deleted): a fresh apply consumes them
+    apply_deletes(spark, str(out))
+    live = spark.read.parquet(str(out))
+    assert live.count() == exp.count()
+    assert live.exceptAll(exp.select(*live.columns)).count() == 0
