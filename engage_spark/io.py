@@ -2765,6 +2765,28 @@ def _hive_part_dir(col: str, val) -> str:
 _DELETES = "_deletes"
 
 
+def _deletes_has_parts(spark: SparkSession, path: str) -> bool:
+    """True iff the deletion sidecar holds at least one DATA part — a
+    dir containing only markers (the optimistic apply's crash window
+    between its last pinned-part delete and the dir delete) counts as
+    ABSENT, or every later read/apply would die on schema inference
+    from a parquet-less directory (review-found)."""
+    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
+    if not fs.exists(p):
+        return False
+    try:
+        return any(
+            not st.getPath().getName().startswith(("_", "."))
+            for st in fs.listStatus(p)
+        )
+    except Exception as e:
+        # the dir can vanish between exists and listStatus (a racing
+        # apply's commit cleared it): absent either way
+        if _is_missing_file_error(e):
+            return False
+        raise
+
+
 def delete_rows(
     spark: SparkSession,
     path: str,
@@ -2828,8 +2850,7 @@ def read_with_deletes(spark: SparkSession, path: str) -> DataFrame:
     anti-join per key column applies them all. NULL keys in a batch
     are no-ops either way (a plain anti-join never matches NULL)."""
     df = spark.read.parquet(path)
-    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
-    if not fs.exists(p):
+    if not _deletes_has_parts(spark, path):
         return df
     dels = (
         spark.read.option("mergeSchema", "true")
@@ -2902,11 +2923,9 @@ def apply_deletes(
     masking semantics are unchanged). :class:`TakedownConflict`
     after ``occ_retries``. Unversioned datasets keep the fully-leased
     in-place swap, where the OCC knobs do not apply."""
-    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
-    if not fs.exists(p):
+    if not _deletes_has_parts(spark, path):
         return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
     from engage_spark.versioning import (
-        _live_names,
         _vlog_reconcile,
         version_log_enabled,
     )
@@ -2929,7 +2948,7 @@ def apply_deletes(
                 optimize_recover(spark, path)
                 _optimize_swap_replay_pending(spark, path)
                 _applydv_replay_pending(spark, path)
-        if not fs.exists(p):
+        if not _deletes_has_parts(spark, path):
             # a predecessor's replay consumed the whole sidecar
             return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
         try:
@@ -3142,9 +3161,9 @@ def _apply_deletes_impl(
     path in the facade). Keeps the legacy in-dataset
     ``_optimize_staging`` + ``_optimize_manifest`` commit protocol,
     replayed by optimize_recover."""
-    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
-    if not fs.exists(p):
+    if not _deletes_has_parts(spark, path):
         return {"deleted_keys": 0, "rewritten_files": 0, "kept_files": 0}
+    fs, p = _hadoop_fs(spark, f"{path}/{_DELETES}")
     mfs, mp = _hadoop_fs(spark, f"{path}/{_OPT_MANIFEST}")
     if mfs.exists(mp):
         optimize_recover(spark, path)
@@ -3264,14 +3283,14 @@ def _applydv_commit_allowed(
     `logical_delete` (new keys the staged rewrite never saw, which
     the vacuum_deletes entry would wrongly settle), `restore`,
     `overwrite`, another `vacuum_deletes` — restages too."""
-    from engage_spark.versioning import (
-        _live_names,
-        _vlog_entries,
-        latest_version,
-    )
+    from engage_spark.versioning import _live_names, _vlog_entries
 
-    if latest_version(spark, path) != st["pinned_v"]:
-        for e in _vlog_entries(spark, path):
+    # ONE log read (it runs inside the contended lease window every
+    # appender's commit tail queues on — review-found)
+    entries = _vlog_entries(spark, path)
+    latest = entries[-1]["version"] if entries else 0
+    if latest != st["pinned_v"]:
+        for e in entries:
             if e["version"] <= st["pinned_v"]:
                 continue
             if e["op"] in (
@@ -3621,14 +3640,17 @@ def _upsert_commit_allowed(spark: SparkSession, target: str, st: dict) -> bool:
 
     The near-full-rewrite path (touched_dirs None) keeps the strict
     pin: every live file is a victim, nothing commutes."""
-    from engage_spark.versioning import _vlog_entries, latest_version
+    from engage_spark.versioning import _vlog_entries
 
-    if latest_version(spark, target) == st["pinned_v"]:
+    # ONE log read (inside the contended lease window — review-found)
+    entries = _vlog_entries(spark, target)
+    latest = entries[-1]["version"] if entries else 0
+    if latest == st["pinned_v"]:
         return True
     if st["touched_dirs"] is None:
         return False
     dirs = st["touched_dirs"]
-    for e in _vlog_entries(spark, target):
+    for e in entries:
         if e["version"] <= st["pinned_v"]:
             continue
         if e["op"] in ("snapshot", "vacuum_log", "logical_delete"):
@@ -3651,6 +3673,10 @@ def _is_missing_file_error(exc) -> bool:
         "FileNotFoundException" in s
         or "PATH_NOT_FOUND" in s
         or "does not exist" in s
+        # planning a read of a dir whose last part vanished mid-race
+        # surfaces as schema inference failing, not file-not-found
+        or "UNABLE_TO_INFER_SCHEMA" in s
+        or "Unable to infer schema" in s
     )
 
 

@@ -646,8 +646,9 @@ def version_log_enable(spark: SparkSession, path: str) -> int:
         v = _vlog_append_entry(
             spark, path, "init", added=_live_names(spark, path), removed=[]
         )
-        dfs, dp = _fs(spark, f"{path}/{_DELETES}")
-        if dfs.exists(dp):
+        from engage_spark.io import _deletes_has_parts
+
+        if _deletes_has_parts(spark, path):
             dels = spark.read.parquet(f"{path}/{_DELETES}").dropDuplicates()
             if dels.count() > 0:
                 record_logical_delete(spark, path, dels, dels.columns[0])
@@ -1716,8 +1717,9 @@ def _mirror_bootstrap(
             jvm.org.apache.hadoop.fs.FileUtil.copy(
                 zfs, zp, mfs, zdp, False, True, conf
             )
-    dfs, dp = _fs(spark, f"{src_path}/{_DELETES}")
-    if dfs.exists(dp):
+    from engage_spark.io import _deletes_has_parts
+
+    if _deletes_has_parts(spark, src_path):
         keys = spark.read.parquet(f"{src_path}/{_DELETES}").dropDuplicates()
         delete_rows(spark, mirror_path, keys, keys.columns[0])
         apply_deletes(spark, mirror_path)

@@ -180,8 +180,10 @@ def main() -> None:
             )
         except TakedownConflict:
             pass  # legitimate under adversarial contention; data intact
-        except Exception as e:  # pragma: no cover
-            errs.append(f"applier: {e!r}")
+        except Exception:  # pragma: no cover
+            import traceback
+
+            errs.append(f"applier: {traceback.format_exc()}")
 
     def reader(k: int) -> None:
         # consistent-or-loud: a maintenance op renaming a resolved file

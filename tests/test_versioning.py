@@ -3397,3 +3397,26 @@ def test_applydv_swap_crash_replay_preserves_new_batches(
     live = spark.read.parquet(str(out))
     assert live.count() == exp.count()
     assert live.exceptAll(exp.select(*live.columns)).count() == 0
+
+
+def test_partless_deletes_dir_reads_as_absent(spark, sf_dir, tmp_path):
+    """Crash window between the last pinned sidecar-part delete and
+    the dir delete leaves _deletes/ holding only markers — every
+    later read/apply must treat that as NO sidecar instead of dying
+    on schema inference from a parquet-less dir (review-found)."""
+    import pathlib
+
+    from engage_spark.io import apply_deletes, delete_rows, read_with_deletes
+
+    out = tmp_path / "partless"
+    base, _ = _zset(spark, sf_dir, out)
+    doomed = base.filter(F.col("event_id") % 9 == 6).select("event_id")
+    delete_rows(spark, str(out), doomed, "event_id")
+    dels = pathlib.Path(out) / "_deletes"
+    for part in dels.glob("*.parquet"):
+        part.unlink()  # simulate the crash: data parts gone, dir+markers left
+    assert dels.exists()
+    assert read_with_deletes(spark, str(out)).count() == base.count()
+    assert apply_deletes(spark, str(out)) == {
+        "deleted_keys": 0, "rewritten_files": 0, "kept_files": 0,
+    }
