@@ -141,6 +141,10 @@ OPTIONAL = [
     # round 14 fourth pass: the commit-time expectation gate (publish
     # + dirty staged append + one-job count-and-drop + gated commit)
     "s24_expectations_gated_append",
+    # s25 (optimize racing an appender) and s26 (takedown racing an
+    # appender) stay driver-verified but unbenched, the s20 policy:
+    # their wall is thread-timing orchestration; the latency numbers
+    # that matter live in scripts/measure_optimize_occ.py → SCALE.md.
 ]
 
 # The exact 15 queries BENCH_r01 timed — the apples-to-apples baseline

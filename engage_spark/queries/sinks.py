@@ -2176,3 +2176,129 @@ def s25_optimize_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("optimizes", F.lit(n_opt).cast("long"))
         .withColumn("n_versions", F.lit(v).cast("long"))
     )
+
+
+@query(
+    "s26_takedown_during_append",
+    # Oracle: (all events minus the taken-down keys) UNION ALL (the
+    # re-appended quarter, deleted keys included — re-delivery
+    # semantics) — a hash match proves the appender that raced the
+    # PHYSICAL TAKEDOWN lost no rows and the takedown removed exactly
+    # its keys. Literals pin
+    # the concurrency story: 2 appends, 1 logical_delete, 1
+    # vacuum_deletes, n_versions=5, and (via the hash over the data)
+    # no drift reconcile.
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100 + 1e-9) AS BIGINT))::BIGINT AS cents,
+           2::BIGINT AS appends, 1::BIGINT AS takedowns,
+           5::BIGINT AS n_versions
+    FROM (
+        SELECT event_type, value FROM events WHERE event_id % 97 <> 0
+        UNION ALL
+        SELECT event_type, value FROM events WHERE event_id % 4 = 3
+    ) GROUP BY event_type
+    """,
+    covers=["S4"],
+)
+def s26_takedown_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC physical takedown racing a live appender (r14):
+    publish three quarters of `events` Z-ordered + version-logged,
+    logically delete the `event_id % 97` keys, then run apply_deletes
+    and a plain append_dataset of the last quarter CONCURRENTLY. The
+    takedown stages its survivor rewrite with NO lease held and
+    commits under victim-liveness + a pending-set guard — an append
+    only ADDS files, so it COMMUTES (its rows land even when they
+    carry taken-down keys: the documented re-delivery semantics, which
+    the oracle's `OR event_id % 4 = 3` clause mirrors exactly). At
+    100 TB this is a GDPR batch applying WHILE ingest flows. The
+    aggregate reads the FINAL version via time travel; the
+    history-shape literals hash-fail if either writer was lost,
+    double-committed, or degraded to a reconcile entry."""
+    import shutil
+    import threading
+
+    from engage_spark.io import (
+        append_dataset,
+        apply_deletes,
+        delete_rows,
+        zorder_write,
+    )
+    from engage_spark.versioning import (
+        dataset_history,
+        latest_version,
+        read_version,
+        version_log_enable,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100 + 1e-9).cast("long").alias("v_cents"),
+    )
+    tgt = _scratch("events_takedown_during_append")
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    zorder_write(
+        spark, ev.filter(F.col("event_id") % 4 < 3), tgt,
+        ["event_id", "v_cents"], bits=16, num_files=6,
+    )
+    version_log_enable(spark, tgt)                                 # v1
+    append_dataset(spark, ev.filter(F.col("event_id") % 4 == 3), tgt)  # v2
+    delete_rows(
+        spark, tgt,
+        ev.filter(F.col("event_id") % 97 == 0).select("event_id"),
+        "event_id",
+    )                                                              # v3
+    errs: list = []
+
+    def _applier() -> None:
+        try:
+            apply_deletes(spark, tgt, lease_wait_s=120.0, occ_retries=10)
+        except Exception as e:  # surfaced below — a query must not hang
+            errs.append(e)
+
+    def _appender() -> None:
+        try:
+            append_dataset(
+                spark,
+                ev.filter(F.col("event_id") % 4 == 3).select(
+                    (F.col("event_id") + 10_000_000).alias("event_id"),
+                    "event_type", "v_cents",
+                ),
+                tgt, lease_wait_s=120.0,
+            )
+        except Exception as e:
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=_applier),
+        threading.Thread(target=_appender),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    v = latest_version(spark, tgt)
+    ops = dataset_history(spark, tgt).groupBy("op").count().collect()
+    n_app = sum(int(r["count"]) for r in ops if r.op == "append")
+    n_take = sum(int(r["count"]) for r in ops if r.op == "vacuum_deletes")
+    return (
+        read_version(spark, tgt, v)
+        .withColumn(
+            "event_id",
+            F.when(
+                F.col("event_id") >= 10_000_000,
+                F.col("event_id") - 10_000_000,
+            ).otherwise(F.col("event_id")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_cents").cast("long").alias("cents"),
+        )
+        .withColumn("appends", F.lit(n_app).cast("long"))
+        .withColumn("takedowns", F.lit(n_take).cast("long"))
+        .withColumn("n_versions", F.lit(v).cast("long"))
+    )
