@@ -3431,6 +3431,7 @@ def upsert_dataset(
     occ_retries: int = 2,
     expectations=None,
     on_violation: str = "fail",
+    evolve_schema: bool = False,
 ) -> dict:
     """Public facade of :func:`_upsert_dataset_impl` (full semantics
     documented there) that ENFORCES the single-maintenance-writer
@@ -3455,6 +3456,16 @@ def upsert_dataset(
     reports ``expectations``/``dropped_rows`` in the stats. Requires
     a version-logged EXISTING target (a bootstrap write has no commit
     protocol to gate — validate the frame before the bootstrap).
+
+    ``evolve_schema`` (r14): by default the change batch must carry
+    exactly the target's columns — an extra column is a loud error
+    (previously it was DROPPED SILENTLY), a missing one too. With
+    ``evolve_schema=True`` both directions NULL-fill: a new column
+    lands on the touched partitions' rewrite and old rows surface
+    NULL through the s11 ``mergeSchema`` read convention — no
+    untouched file is rewritten for the evolution; the merge also
+    reads the target with mergeSchema so previously-evolved columns
+    survive the rewrite regardless of footer sampling.
 
     Concurrency by path shape (r14):
 
@@ -3541,7 +3552,7 @@ def upsert_dataset(
                 **_upsert_dataset_impl(
                     spark, target, updates, key_cols, partition_by,
                     delete_col, assume_partition_stable, check_unique_keys,
-                    max_touched_partitions,
+                    max_touched_partitions, evolve_schema,
                 ),
                 **gate_report,
             }
@@ -3567,7 +3578,7 @@ def upsert_dataset(
                         spark, target, updates, list(key_cols),
                         list(partition_by), delete_col,
                         assume_partition_stable, check_unique_keys,
-                        max_touched_partitions,
+                        max_touched_partitions, evolve_schema,
                     )
                 except Exception as e:
                     # the no-lease stage reads the LIVE target; a
@@ -3605,7 +3616,7 @@ def upsert_dataset(
                 **_upsert_dataset_impl(
                     spark, target, updates, key_cols, partition_by,
                     delete_col, assume_partition_stable, check_unique_keys,
-                    max_touched_partitions,
+                    max_touched_partitions, evolve_schema,
                 ),
                 **gate_report,
             }
@@ -3716,6 +3727,33 @@ def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
     return True
 
 
+def _merge_union(
+    survivors: DataFrame, inserts: DataFrame, target: str,
+    evolve_schema: bool,
+) -> DataFrame:
+    """The MERGE's survivors ∪ inserts union, schema-checked: by
+    default the batch must carry exactly the target's columns — an
+    extra column was previously DROPPED SILENTLY (a CDC delivery that
+    grew a field lost it with no error) and a missing one surfaced as
+    an opaque analysis error. ``evolve_schema=True`` NULL-fills BOTH
+    directions (unionByName allowMissingColumns): a new column lands
+    on the touched partitions' rewrite, untouched partitions keep
+    their files and old rows surface NULL — the s11 mergeSchema read
+    convention, no old file ever rewritten for the evolution."""
+    have, want = set(inserts.columns), set(survivors.columns)
+    if have == want:
+        return survivors.unionByName(inserts.select(*survivors.columns))
+    if not evolve_schema:
+        raise ValueError(
+            f"updates batch schema differs from {target}: "
+            f"missing={sorted(want - have)}, extra={sorted(have - want)}; "
+            "pass evolve_schema=True to NULL-fill both sides (new "
+            "columns land via the mergeSchema read convention), or "
+            "align the batch explicitly"
+        )
+    return survivors.unionByName(inserts, allowMissingColumns=True)
+
+
 def _upsert_stage_partitioned(
     spark: SparkSession,
     target: str,
@@ -3726,6 +3764,7 @@ def _upsert_stage_partitioned(
     assume_partition_stable: bool,
     check_unique_keys: bool,
     max_touched_partitions: int,
+    evolve_schema: bool = False,
 ) -> dict:
     """STAGE phase of the optimistic versioned partitioned MERGE (no
     lease held): pin the current version, compute the touched
@@ -3772,7 +3811,11 @@ def _upsert_stage_partitioned(
         "touched_partitions": None, "emptied_partitions": 0,
         "bootstrap": False,
     }
-    tgt = spark.read.parquet(target)
+    tgt = (
+        spark.read.option("mergeSchema", "true").parquet(target)
+        if evolve_schema
+        else spark.read.parquet(target)
+    )
     ukeys = updates.select(*key_cols).dropDuplicates()
     for k in key_cols:
         ukeys = ukeys.withColumnRenamed(k, f"__u_{k}")
@@ -3850,7 +3893,7 @@ def _upsert_stage_partitioned(
             n for n in live_now
             if n.rsplit("/", 1)[0] in touched_dirs
         ]
-    merged = survivors.unionByName(inserts.select(*survivors.columns))
+    merged = _merge_union(survivors, inserts, target, evolve_schema)
     staging = (
         f"{target}{_UPSERT_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
     )
@@ -3950,6 +3993,7 @@ def _upsert_dataset_impl(
     assume_partition_stable: bool = False,
     check_unique_keys: bool = True,
     max_touched_partitions: int = 4096,
+    evolve_schema: bool = False,
 ) -> dict:
     """MERGE INTO semantics on a plain parquet dataset (no table-format
     dependency): target rows whose key matches any `updates` key are
@@ -4071,7 +4115,11 @@ def _upsert_dataset_impl(
         stats["bootstrap"] = True
         return stats
 
-    tgt = spark.read.parquet(target)
+    tgt = (
+        spark.read.option("mergeSchema", "true").parquet(target)
+        if evolve_schema
+        else spark.read.parquet(target)
+    )
     ukeys = updates.select(*key_cols).dropDuplicates()
     for k in key_cols:
         ukeys = ukeys.withColumnRenamed(k, f"__u_{k}")
@@ -4089,7 +4137,7 @@ def _upsert_dataset_impl(
             _vlog_reconcile(spark, target)
             old_names = _live_names(spark, target)
         survivors = tgt.join(F.broadcast(ukeys), key_cond(tgt), "left_anti")
-        merged = survivors.unionByName(inserts.select(*survivors.columns))
+        merged = _merge_union(survivors, inserts, target, evolve_schema)
         merged.write.mode("overwrite").parquet(staging)
         if vlog:
             # the merged copy is safely staged; move the old data files
@@ -4163,7 +4211,7 @@ def _upsert_dataset_impl(
     if len(touched) > max_touched_partitions:
         stats["touched_partitions"] = None  # unknown: full-rewrite path
         survivors = tgt.join(F.broadcast(ukeys), key_cond(tgt), "left_anti")
-        merged = survivors.unionByName(inserts.select(*survivors.columns))
+        merged = _merge_union(survivors, inserts, target, evolve_schema)
         merged.write.mode("overwrite").partitionBy(*partition_by).parquet(
             staging
         )
@@ -4193,7 +4241,7 @@ def _upsert_dataset_impl(
 
     tslice = tgt.filter(part_filter(tgt))
     survivors = tslice.join(F.broadcast(ukeys), key_cond(tslice), "left_anti")
-    merged = survivors.unionByName(inserts.select(*survivors.columns))
+    merged = _merge_union(survivors, inserts, target, evolve_schema)
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
     sfs, sp = _hadoop_fs(spark, staging)
     try:

@@ -840,6 +840,7 @@ def cdc_merge_stream(
     on_violation: str = "drop",
     metrics_dir: str | None = None,
     quarantine_dir: str | None = None,
+    evolve_schema: bool = False,
 ):
     """CONTINUOUS CDC MERGE (r14): tail a change stream and apply each
     micro-batch to a parquet corpus through io.upsert_dataset — the
@@ -964,6 +965,9 @@ def cdc_merge_stream(
             # materializing gate so the query stops with exact counts
             expectations=expectations if on_violation == "fail" else None,
             on_violation="fail",
+            # a CDC feed that grows a column mid-stream evolves the
+            # corpus instead of erroring every later batch
+            evolve_schema=evolve_schema,
         )
 
     return (

@@ -3420,3 +3420,155 @@ def test_partless_deletes_dir_reads_as_absent(spark, sf_dir, tmp_path):
     assert apply_deletes(spark, str(out)) == {
         "deleted_keys": 0, "rewritten_files": 0, "kept_files": 0,
     }
+
+
+def test_disjoint_partition_merges_race_and_both_land(spark, sf_dir, tmp_path):
+    """Two optimistic MERGEs on DISJOINT partition sets race with real
+    threads: under the partition-scoped conflict rule neither sees the
+    other as a conflict — both land as exact `upsert` entries and the
+    final state shows both effects (at 100 TB: one writer per
+    partition group, not per table)."""
+    import threading
+
+    from engage_spark.io import upsert_dataset, write_parquet
+
+    d = _docs(spark, sf_dir)
+    langs = sorted(r.lang for r in d.select("lang").distinct().collect())
+    assert len(langs) >= 2
+    a_langs, b_langs = langs[: len(langs) // 2], langs[len(langs) // 2:]
+    out = tmp_path / "mxm"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))                            # v1
+    errs: list = []
+
+    def merger(langset, bump):
+        try:
+            upd = (
+                d.filter(F.col("lang").isin(langset))
+                .filter(F.col("doc_id") % 3 == 0)
+                .withColumn(
+                    "n_chars", (F.col("n_chars") + bump).cast("long")
+                )
+            )
+            upsert_dataset(
+                spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+                assume_partition_stable=True, lease_wait_s=120.0,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=merger, args=(a_langs, 100)),
+        threading.Thread(target=merger, args=(b_langs, 200)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init", "upsert", "upsert"]
+    live = spark.read.parquet(str(out))
+    assert live.count() == d.count()
+    exp = d.withColumn(
+        "n_chars",
+        F.when(
+            (F.col("doc_id") % 3 == 0) & F.col("lang").isin(a_langs),
+            F.col("n_chars") + 100,
+        ).when(
+            (F.col("doc_id") % 3 == 0) & F.col("lang").isin(b_langs),
+            F.col("n_chars") + 200,
+        ).otherwise(F.col("n_chars")).cast("long"),
+    )
+    assert live.select("doc_id", "lang", "n_chars").exceptAll(
+        exp.select("doc_id", "lang", "n_chars")
+    ).count() == 0
+
+
+def test_merge_schema_mismatch_raises_by_default(spark, sf_dir, tmp_path):
+    """An extra column in the change batch was previously dropped
+    SILENTLY (a grown CDC delivery lost its new field with no error);
+    both directions now raise unless evolve_schema is passed."""
+    from engage_spark.io import upsert_dataset, write_parquet
+
+    d = _docs(spark, sf_dir)
+    out = tmp_path / "evostrict"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))
+    grown = d.limit(10).withColumn("quality", F.lit(0.5))
+    with pytest.raises(ValueError, match="extra=\\['quality'\\]"):
+        upsert_dataset(
+            spark, str(out), grown, ["doc_id"], partition_by=["lang"],
+            assume_partition_stable=True,
+        )
+    shrunk = d.limit(10).drop("n_chars")
+    with pytest.raises(ValueError, match="missing=\\['n_chars'\\]"):
+        upsert_dataset(
+            spark, str(out), shrunk, ["doc_id"], partition_by=["lang"],
+            assume_partition_stable=True,
+        )
+    # nothing committed by either refusal
+    ops = [e["op"] for e in _vlog_entries(spark, str(out))]
+    assert ops == ["init"]
+
+
+def test_merge_evolve_schema_adds_column_without_rewriting_cold_files(
+    spark, sf_dir, tmp_path
+):
+    """evolve_schema=True: a CDC batch that grew a `quality` column
+    merges into ONE partition; that partition's rewrite carries the
+    column, untouched partitions keep their files byte-identical, the
+    mergeSchema read surfaces NULL for old rows, and a SECOND evolved
+    merge into another partition reads the first evolution back
+    intact (the mergeSchema target read)."""
+    from engage_spark.io import upsert_dataset, write_parquet
+    from engage_spark.versioning import _live_names, latest_version
+
+    d = _docs(spark, sf_dir)
+    langs = sorted(r.lang for r in d.select("lang").distinct().collect())
+    hot, hot2 = langs[0], langs[1]
+    out = tmp_path / "evolve"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))                            # v1
+    before = {
+        n for n in _live_names(spark, str(out))
+        if not n.startswith(f"lang={hot}/")
+    }
+    upd = (
+        d.filter((F.col("lang") == hot) & (F.col("doc_id") % 2 == 0))
+        .withColumn("quality", (F.col("doc_id") % 100) / F.lit(100.0))
+    )
+    upsert_dataset(
+        spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+        assume_partition_stable=True, evolve_schema=True,
+    )                                                              # v2
+    after = {
+        n for n in _live_names(spark, str(out))
+        if not n.startswith(f"lang={hot}/")
+    }
+    assert before == after, "untouched partitions must keep their files"
+    back = spark.read.option("mergeSchema", "true").parquet(str(out))
+    assert back.count() == d.count()
+    assert back.filter(F.col("quality").isNotNull()).count() == upd.count()
+    assert back.filter(
+        (F.col("lang") != hot) & F.col("quality").isNotNull()
+    ).count() == 0
+    # second evolved merge into ANOTHER partition must not lose the
+    # first partition's quality column (mergeSchema target read)
+    upd2 = (
+        d.filter((F.col("lang") == hot2) & (F.col("doc_id") % 2 == 1))
+        .withColumn("quality", F.lit(0.25))
+    )
+    upsert_dataset(
+        spark, str(out), upd2, ["doc_id"], partition_by=["lang"],
+        assume_partition_stable=True, evolve_schema=True,
+    )                                                              # v3
+    back2 = spark.read.option("mergeSchema", "true").parquet(str(out))
+    assert back2.filter(F.col("quality").isNotNull()).count() == (
+        upd.count() + upd2.count()
+    )
+    # time travel: the pre-evolution version replays without the column
+    v = latest_version(spark, str(out))
+    assert "quality" not in read_version(spark, str(out), v - 2).columns
+    got = read_version(spark, str(out), v)
+    assert got.count() == d.count()
