@@ -3457,15 +3457,22 @@ def upsert_dataset(
     a version-logged EXISTING target (a bootstrap write has no commit
     protocol to gate — validate the frame before the bootstrap).
 
-    ``evolve_schema`` (r14): by default the change batch must carry
-    exactly the target's columns — an extra column is a loud error
-    (previously it was DROPPED SILENTLY), a missing one too. With
-    ``evolve_schema=True`` both directions NULL-fill: a new column
-    lands on the touched partitions' rewrite and old rows surface
-    NULL through the s11 ``mergeSchema`` read convention — no
-    untouched file is rewritten for the evolution; the merge also
-    reads the target with mergeSchema so previously-evolved columns
-    survive the rewrite regardless of footer sampling.
+    ``evolve_schema`` (r14): the change batch is schema-gated EARLY
+    (a driver-only .columns check, before any aggregation runs). A
+    batch MISSING target columns always raises, evolve_schema or not:
+    an upsert replaces whole matched rows, so NULL-filling a missing
+    column would silently destroy its values — backfill the batch
+    explicitly. A batch with NEW columns raises by default
+    (previously they were DROPPED silently); with
+    ``evolve_schema=True`` the new columns land on the touched
+    partitions' rewrite, untouched partitions keep their files, old
+    rows surface NULL through the s11 ``mergeSchema`` read
+    convention, and the corpus is durably marked evolved
+    (``_schema_evolution`` sidecar) — EVERY later merge then reads
+    the target with mergeSchema regardless of its own flag, so the
+    evolved column survives later default-mode rewrites instead of
+    depending on footer sampling order. Unevolved corpora pay one
+    fs.exists per merge, never a footer sweep.
 
     Concurrency by path shape (r14):
 
@@ -3727,31 +3734,97 @@ def _upsert_replay_pending(spark: SparkSession, target: str) -> bool:
     return True
 
 
-def _merge_union(
-    survivors: DataFrame, inserts: DataFrame, target: str,
+_EVOLUTION_MARKER = "_schema_evolution"
+
+
+def _evolution_marker_exists(spark: SparkSession, target: str) -> bool:
+    fs, p = _hadoop_fs(spark, f"{target}/{_EVOLUTION_MARKER}")
+    return fs.exists(p)
+
+
+def _evolution_marker_write(spark: SparkSession, target: str, cols) -> None:
+    """Durably mark the corpus as schema-evolved (tiny JSON sidecar,
+    column names informational — EXISTENCE drives behavior: every
+    later merge reads the target with mergeSchema regardless of its
+    own evolve_schema flag). Written as soon as a merge DETECTS new
+    columns, before any data write: a stray marker from a merge that
+    later lost its OCC race costs one mergeSchema read per merge,
+    while the missing marker after a crash-committed evolution would
+    let a later default-mode merge silently erase the evolved column
+    from every rewritten partition (review-found). Two concurrent
+    evolvers can race the informational column list (last wins);
+    existence is monotonic."""
+    import json as _json
+
+    prev: list = []
+    fs, p = _hadoop_fs(spark, f"{target}/{_EVOLUTION_MARKER}")
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            prev = _json.loads(bytes(stream.readAllBytes()).decode()).get(
+                "columns", []
+            )
+        except Exception:
+            prev = []
+        finally:
+            stream.close()
+    out = fs.create(p, True)
+    out.write(
+        _json.dumps({"columns": sorted(set(prev) | set(cols))}).encode()
+    )
+    out.close()
+
+
+def _check_merge_schema(
+    spark: SparkSession,
+    target: str,
+    tgt_cols,
+    batch_cols,
     evolve_schema: bool,
-) -> DataFrame:
-    """The MERGE's survivors ∪ inserts union, schema-checked: by
-    default the batch must carry exactly the target's columns — an
-    extra column was previously DROPPED SILENTLY (a CDC delivery that
-    grew a field lost it with no error) and a missing one surfaced as
-    an opaque analysis error. ``evolve_schema=True`` NULL-fills BOTH
-    directions (unionByName allowMissingColumns): a new column lands
-    on the touched partitions' rewrite, untouched partitions keep
-    their files and old rows surface NULL — the s11 mergeSchema read
-    convention, no old file ever rewritten for the evolution."""
-    have, want = set(inserts.columns), set(survivors.columns)
-    if have == want:
-        return survivors.unionByName(inserts.select(*survivors.columns))
-    if not evolve_schema:
+) -> list:
+    """EARLY schema gate of every merge path (driver-only, .columns
+    comparison — runs before the uniqueness aggregation and the
+    touched-partition scan so a mismatched batch costs nothing,
+    review-found). Missing columns ALWAYS raise, evolve_schema or
+    not: an upsert replaces whole matched rows, so a NULL-filled
+    missing column would silently destroy every updated key's value
+    for it — align or backfill the batch instead. New columns require
+    evolve_schema=True and durably mark the corpus as evolved.
+    Returns the new columns."""
+    have, want = set(batch_cols), set(tgt_cols)
+    missing = sorted(want - have)
+    if missing:
         raise ValueError(
-            f"updates batch schema differs from {target}: "
-            f"missing={sorted(want - have)}, extra={sorted(have - want)}; "
-            "pass evolve_schema=True to NULL-fill both sides (new "
-            "columns land via the mergeSchema read convention), or "
-            "align the batch explicitly"
+            f"updates batch is missing target columns {missing} for "
+            f"{target}; an upsert replaces whole matched rows, so "
+            "NULL-filling a missing column would destroy its values — "
+            "select the target's columns onto the batch (backfilling "
+            "explicitly) instead"
         )
-    return survivors.unionByName(inserts, allowMissingColumns=True)
+    new = sorted(have - want)
+    if new and not evolve_schema:
+        raise ValueError(
+            f"updates batch carries new columns {new} not in {target} "
+            "(previously these were DROPPED silently); pass "
+            "evolve_schema=True to evolve the corpus — the touched "
+            "partitions' rewrite carries the columns, old rows "
+            "surface NULL via the mergeSchema read convention"
+        )
+    if new:
+        _evolution_marker_write(spark, target, new)
+    return new
+
+
+def _merge_union(
+    survivors: DataFrame, inserts: DataFrame, new_cols: list
+) -> DataFrame:
+    """The MERGE's survivors ∪ inserts union. The schema was already
+    gated by _check_merge_schema; with new columns the union
+    NULL-fills the survivors' side only (inserts can never be missing
+    a column past the gate)."""
+    if new_cols:
+        return survivors.unionByName(inserts, allowMissingColumns=True)
+    return survivors.unionByName(inserts.select(*survivors.columns))
 
 
 def _upsert_stage_partitioned(
@@ -3787,6 +3860,22 @@ def _upsert_stage_partitioned(
 
     _vlog_reconcile(spark, target)  # heal drift BEFORE pinning
     pinned_v = latest_version(spark, target)
+    # marker-driven: an EVOLVED corpus is read with mergeSchema by
+    # every merge regardless of this call's flag (one fs.exists on
+    # unevolved corpora) — footer sampling on a mixed-schema target
+    # would otherwise nondeterministically drop the evolved column
+    # from rewritten partitions (review-found)
+    tgt = (
+        spark.read.option("mergeSchema", "true").parquet(target)
+        if _evolution_marker_exists(spark, target)
+        else spark.read.parquet(target)
+    )
+    new_cols = _check_merge_schema(
+        spark, target,
+        tgt.columns,
+        [c for c in updates.columns if c != delete_col],
+        evolve_schema,
+    )
     if check_unique_keys:
         dup = (
             updates.groupBy(*key_cols)
@@ -3811,11 +3900,6 @@ def _upsert_stage_partitioned(
         "touched_partitions": None, "emptied_partitions": 0,
         "bootstrap": False,
     }
-    tgt = (
-        spark.read.option("mergeSchema", "true").parquet(target)
-        if evolve_schema
-        else spark.read.parquet(target)
-    )
     ukeys = updates.select(*key_cols).dropDuplicates()
     for k in key_cols:
         ukeys = ukeys.withColumnRenamed(k, f"__u_{k}")
@@ -3893,7 +3977,7 @@ def _upsert_stage_partitioned(
             n for n in live_now
             if n.rsplit("/", 1)[0] in touched_dirs
         ]
-    merged = _merge_union(survivors, inserts, target, evolve_schema)
+    merged = _merge_union(survivors, inserts, new_cols)
     staging = (
         f"{target}{_UPSERT_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
     )
@@ -4115,11 +4199,23 @@ def _upsert_dataset_impl(
         stats["bootstrap"] = True
         return stats
 
+    # marker-driven: an EVOLVED corpus is read with mergeSchema by
+    # every merge regardless of this call's flag (one fs.exists on
+    # unevolved corpora) — footer sampling on a mixed-schema target
+    # would otherwise nondeterministically drop the evolved column
+    # from rewritten partitions (review-found)
     tgt = (
         spark.read.option("mergeSchema", "true").parquet(target)
-        if evolve_schema
+        if _evolution_marker_exists(spark, target)
         else spark.read.parquet(target)
     )
+    new_cols = _check_merge_schema(
+        spark, target,
+        tgt.columns,
+        [c for c in updates.columns if c != delete_col],
+        evolve_schema,
+    )
+
     ukeys = updates.select(*key_cols).dropDuplicates()
     for k in key_cols:
         ukeys = ukeys.withColumnRenamed(k, f"__u_{k}")
@@ -4137,7 +4233,7 @@ def _upsert_dataset_impl(
             _vlog_reconcile(spark, target)
             old_names = _live_names(spark, target)
         survivors = tgt.join(F.broadcast(ukeys), key_cond(tgt), "left_anti")
-        merged = _merge_union(survivors, inserts, target, evolve_schema)
+        merged = _merge_union(survivors, inserts, new_cols)
         merged.write.mode("overwrite").parquet(staging)
         if vlog:
             # the merged copy is safely staged; move the old data files
@@ -4211,7 +4307,7 @@ def _upsert_dataset_impl(
     if len(touched) > max_touched_partitions:
         stats["touched_partitions"] = None  # unknown: full-rewrite path
         survivors = tgt.join(F.broadcast(ukeys), key_cond(tgt), "left_anti")
-        merged = _merge_union(survivors, inserts, target, evolve_schema)
+        merged = _merge_union(survivors, inserts, new_cols)
         merged.write.mode("overwrite").partitionBy(*partition_by).parquet(
             staging
         )
@@ -4241,7 +4337,7 @@ def _upsert_dataset_impl(
 
     tslice = tgt.filter(part_filter(tgt))
     survivors = tslice.join(F.broadcast(ukeys), key_cond(tslice), "left_anti")
-    merged = _merge_union(survivors, inserts, target, evolve_schema)
+    merged = _merge_union(survivors, inserts, new_cols)
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
     sfs, sp = _hadoop_fs(spark, staging)
     try:

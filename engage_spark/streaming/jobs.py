@@ -867,6 +867,16 @@ def cdc_merge_stream(
     rehydration. Scale: per batch cost is the upsert's — O(touched
     partitions) with `partition_by`, never corpus-sized.
 
+    ``evolve_schema`` (r14): the underlying MERGE schema-gates every
+    batch — NOTE the behavior change: a feed carrying an extra column
+    (previously dropped silently) now FAILS each micro-batch with a
+    ValueError unless ``evolve_schema=True``, which instead evolves
+    the corpus on first sight of the new column (durable
+    ``_schema_evolution`` marker; old rows surface NULL via the
+    mergeSchema read convention). A batch MISSING a target column
+    always fails — NULL-filling it would destroy matched rows'
+    values; align the feed instead.
+
     ``expectations``/``on_violation`` (r14): each NETTED batch's
     upserted rows are gated before the merge (delete-marker rows
     bypass — a tombstone legitimately carries NULL payload). drop

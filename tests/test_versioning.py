@@ -3496,16 +3496,27 @@ def test_merge_schema_mismatch_raises_by_default(spark, sf_dir, tmp_path):
     write_parquet(d, str(out), partition_by=["lang"])
     version_log_enable(spark, str(out))
     grown = d.limit(10).withColumn("quality", F.lit(0.5))
-    with pytest.raises(ValueError, match="extra=\\['quality'\\]"):
+    with pytest.raises(ValueError, match="new columns \\['quality'\\]"):
         upsert_dataset(
             spark, str(out), grown, ["doc_id"], partition_by=["lang"],
             assume_partition_stable=True,
         )
+    # the MISSING direction raises even when evolving: NULL-filling a
+    # missing column would destroy every matched row's value for it
     shrunk = d.limit(10).drop("n_chars")
-    with pytest.raises(ValueError, match="missing=\\['n_chars'\\]"):
+    for evolve in (False, True):
+        with pytest.raises(ValueError, match="missing target columns"):
+            upsert_dataset(
+                spark, str(out), shrunk, ["doc_id"],
+                partition_by=["lang"], assume_partition_stable=True,
+                evolve_schema=evolve,
+            )
+    # a batch missing the PARTITION column gets the same clear error
+    # (previously an opaque AnalysisException from deep inside)
+    with pytest.raises(ValueError, match="missing target columns"):
         upsert_dataset(
-            spark, str(out), shrunk, ["doc_id"], partition_by=["lang"],
-            assume_partition_stable=True,
+            spark, str(out), d.limit(10).drop("lang"), ["doc_id"],
+            partition_by=["lang"], assume_partition_stable=True,
         )
     # nothing committed by either refusal
     ops = [e["op"] for e in _vlog_entries(spark, str(out))]
@@ -3572,3 +3583,55 @@ def test_merge_evolve_schema_adds_column_without_rewriting_cold_files(
     assert "quality" not in read_version(spark, str(out), v - 2).columns
     got = read_version(spark, str(out), v)
     assert got.count() == d.count()
+
+
+def test_default_merge_after_evolution_preserves_evolved_column(
+    spark, sf_dir, tmp_path
+):
+    """The review-found survivor-erasure hazard: after one evolved
+    merge, a LATER merge with the default flag into the SAME partition
+    must read the target with mergeSchema (durable marker), so the
+    evolved column survives the rewrite instead of depending on which
+    footer Spark sampled."""
+    import pathlib
+
+    from engage_spark.io import upsert_dataset, write_parquet
+
+    d = _docs(spark, sf_dir)
+    hot = sorted(r.lang for r in d.select("lang").distinct().collect())[0]
+    out = tmp_path / "evomarker"
+    write_parquet(d, str(out), partition_by=["lang"])
+    version_log_enable(spark, str(out))
+    evolved = (
+        d.filter((F.col("lang") == hot) & (F.col("doc_id") % 2 == 0))
+        .withColumn("quality", F.lit(0.9))
+    )
+    upsert_dataset(
+        spark, str(out), evolved, ["doc_id"], partition_by=["lang"],
+        assume_partition_stable=True, evolve_schema=True,
+    )
+    assert (pathlib.Path(out) / "_schema_evolution").exists()
+    n_scored = (
+        spark.read.option("mergeSchema", "true").parquet(str(out))
+        .filter(F.col("quality").isNotNull()).count()
+    )
+    assert n_scored == evolved.count()
+    # default-mode merge into the SAME partition: its batch carries
+    # the evolved column (gate: missing always raises), and the
+    # rewrite must keep every unmatched row's quality intact
+    upd = (
+        d.filter((F.col("lang") == hot) & (F.col("doc_id") % 4 == 1))
+        .withColumn("quality", F.lit(None).cast("double"))
+    )
+    upsert_dataset(
+        spark, str(out), upd, ["doc_id"], partition_by=["lang"],
+        assume_partition_stable=True,
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(str(out))
+    # %2==0 keys untouched by the second merge keep their 0.9
+    kept = back.filter(
+        (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 4 != 1)
+        & (F.col("lang") == hot)
+    )
+    assert kept.filter(F.col("quality").isNotNull()).count() == kept.count()
+    assert back.count() == d.count()
