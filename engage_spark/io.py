@@ -1854,7 +1854,14 @@ def _zorder_file_ranges(spark: SparkSession, path: str) -> list:
     set (O(files), no data read), else by one exact recompute scan
     that also (re)fills the manifest. The shared input of
     zorder_layout_stats (health metric) and optimize_incremental
-    (victim selection)."""
+    (victim selection). A dataset with ZERO live data files (a full
+    takedown applied every row away) returns [] instead of dying on
+    schema inference (review-found: it aborted the housekeeping
+    pass's later steps)."""
+    from engage_spark.versioning import _live_names
+
+    if not _live_names(spark, path):
+        return []
     current = set(spark.read.parquet(path).inputFiles())
     man = _zranges_read(spark, path)
     if man is not None and {f for f, _, _ in man} == current:

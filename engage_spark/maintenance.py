@@ -28,15 +28,20 @@ the Delta/Iceberg ``OPTIMIZE``/``VACUUM``/``DESCRIBE DETAIL`` mold.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from engage_spark.io import (
+    _BUCKET_SPEC,
+    _DELETES,
     _deletes_has_parts,
+    _evolution_marker_exists,
     _hadoop_fs,
     apply_deletes,
     optimize_incremental,
     zorder_layout_stats,
 )
 from engage_spark.versioning import (
+    _VRETAINED,
     _live_names,
     _pending_delete_versions,
     _vlog_entries,
@@ -84,11 +89,25 @@ def dataset_details(spark: SparkSession, path: str) -> DataFrame:
     if not fs.exists(p):
         raise FileNotFoundError(f"dataset directory does not exist: {path}")
     names = _live_names(spark, path)
-    _, live_bytes = _tree_size_live(spark, path, names)
+    # bytes ride the same recursive walk that found the files — one
+    # batched listing per directory, never a per-file RPC
+    # (review-found: a getFileStatus per live file is minutes at 10^5
+    # files, the opposite of dashboard-safe)
+    _, live_bytes = _tree_size(spark, path)
     part_dirs = {n.rsplit("/", 1)[0] for n in names if "/" in n}
+    # hive partitioning only when EVERY leaf dir carries the same
+    # `k=`-shaped key tuple — a nested non-hive layout (batch-001/...)
+    # must not be mislabeled as a partition column (review-found)
+    key_tuples = {
+        tuple(
+            seg.split("=", 1)[0] if "=" in seg else None
+            for seg in d.split("/")
+        )
+        for d in part_dirs
+    }
     part_cols = (
-        [seg.split("=", 1)[0] for seg in sorted(part_dirs)[0].split("/")]
-        if part_dirs
+        list(next(iter(key_tuples)))
+        if len(key_tuples) == 1 and None not in next(iter(key_tuples))
         else []
     )
     versioned = version_log_enabled(spark, path)
@@ -98,32 +117,47 @@ def dataset_details(spark: SparkSession, path: str) -> DataFrame:
         entries = _vlog_entries(spark, path)
         latest = entries[-1]["version"] if entries else 0
         pending_dv = len(_pending_delete_versions(entries, latest))
-    n_ret, ret_bytes = _tree_size(spark, f"{path}/_versions/retained")
+    n_ret, ret_bytes = _tree_size(spark, f"{path}/{_VRETAINED}")
     pending_keys = 0
     if _deletes_has_parts(spark, path):
-        pending_keys = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(f"{path}/_deletes")
-            .count()
-        )
+        try:
+            dels = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(f"{path}/{_DELETES}")
+            )
+            # DISTINCT per key column (a re-issued takedown appends a
+            # duplicate batch; counting rows would inflate the
+            # backlog metric), summed across multi-key sidecars
+            pending_keys = sum(
+                dels.select(c).filter(F.col(c).isNotNull())
+                .distinct().count()
+                for c in dels.columns
+            )
+        except Exception as e:
+            # the sidecar can vanish mid-read under a racing apply
+            # commit — details are a snapshot, not a gate
+            from engage_spark.io import _is_missing_file_error
+
+            if not _is_missing_file_error(e):
+                raise
+            pending_keys = 0
     clustered_by: list = []
     zfs, zp = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
     if zfs.exists(zp):
         from engage_spark.io import zorder_meta
 
         clustered_by = list(zorder_meta(spark, path).get("cols") or [])
-    efs, ep = _hadoop_fs(spark, f"{path}/_schema_evolution")
-    evolved = efs.exists(ep)
+    evolved = _evolution_marker_exists(spark, path)
     from engage_spark.indexes import _bloom_spec
     from engage_spark.stats import _stats_spec
 
     stats_cols = _stats_spec(spark, path)
     bloom_cols = _bloom_spec(spark, path)[0]
     bucketed_by: list = []
-    bfs, bp = _hadoop_fs(spark, f"{path}/_bucket_spec")
+    bfs, bp = _hadoop_fs(spark, f"{path}/{_BUCKET_SPEC}")
     if bfs.exists(bp):
         try:  # a parquet sidecar (write_bucketed's convention)
-            row = spark.read.parquet(f"{path}/_bucket_spec").collect()
+            row = spark.read.parquet(f"{path}/{_BUCKET_SPEC}").collect()
             bucketed_by = list(row[0]["bucket_cols"]) if row else []
         except Exception:
             bucketed_by = []  # torn spec: details stay best-effort
@@ -143,20 +177,6 @@ def dataset_details(spark: SparkSession, path: str) -> DataFrame:
         "clustered_by string, schema_evolved boolean, "
         "stats_columns string, bloom_columns string, bucketed_by string",
     )
-
-
-def _tree_size_live(spark: SparkSession, path: str, names: list) -> tuple:
-    """(n, bytes) for the already-listed live names — one getFileStatus
-    per file instead of a second recursive walk."""
-    fs, _ = _hadoop_fs(spark, path)
-    total = 0
-    for n in names:
-        _, fp = _hadoop_fs(spark, f"{path}/{n}")
-        try:
-            total += fs.getFileStatus(fp).getLen()
-        except Exception:
-            pass  # a racing commit moved it; details are a snapshot
-    return len(names), total
 
 
 def maintain_dataset(
@@ -187,28 +207,51 @@ def maintain_dataset(
        the index sidecars, and sweeps orphaned staging siblings).
 
     Returns a report dict with one entry per step that RAN:
-    {"healed": bool, "apply_deletes": {...}, "layout": {...},
-    "optimize": {...}, "vacuum": {...}} — absent key = surface absent
-    or below threshold. Safe to run on any dataset shape; every step
-    no-ops cleanly when its surface is missing."""
+    {"drift_reconciled": bool, "apply_deletes": {...}, "layout":
+    {...}, "optimize": {...}, "vacuum": {...}} — absent key = surface
+    absent or below threshold. ``drift_reconciled`` means a drift
+    reconcile ENTRY was written; crashed-writer manifest replays
+    happen implicitly inside the reconcile and are deliberately not a
+    separate signal (they log their own exact op entries —
+    dataset_history shows them). A step that loses its optimistic
+    race repeatedly (TakedownConflict / OptimizeConflict) or finds
+    the lease held records {"conflict": ...} under its key and the
+    LATER steps still run (review-found: propagating would starve the
+    retention vacuum on a permanently-hot dataset); anything else
+    raises."""
+    from engage_spark.io import (
+        MaintenanceLockHeld,
+        OptimizeConflict,
+        TakedownConflict,
+    )
+
+    retriable = (TakedownConflict, OptimizeConflict, MaintenanceLockHeld)
     report: dict = {}
     versioned = version_log_enabled(spark, path)
     if versioned:
         from engage_spark.versioning import _vlog_reconcile
 
-        report["healed"] = _vlog_reconcile(spark, path) is not None
-    if _deletes_has_parts(spark, path):
-        report["apply_deletes"] = apply_deletes(
-            spark, path, target_file_bytes=target_file_bytes
+        report["drift_reconciled"] = (
+            _vlog_reconcile(spark, path) is not None
         )
+    if _deletes_has_parts(spark, path):
+        try:
+            report["apply_deletes"] = apply_deletes(
+                spark, path, target_file_bytes=target_file_bytes
+            )
+        except retriable as e:
+            report["apply_deletes"] = {"conflict": repr(e)}
     zfs, zp = _hadoop_fs(spark, f"{path}/_zorder_meta/info")
     if zfs.exists(zp):
         layout = zorder_layout_stats(spark, path)
         report["layout"] = layout
         if layout["overlap_fraction"] >= optimize_overlap_threshold:
-            report["optimize"] = optimize_incremental(
-                spark, path, target_file_bytes=target_file_bytes
-            )
+            try:
+                report["optimize"] = optimize_incremental(
+                    spark, path, target_file_bytes=target_file_bytes
+                )
+            except retriable as e:
+                report["optimize"] = {"conflict": repr(e)}
     if versioned and (keep_last is not None or keep_seconds is not None):
         report["vacuum"] = vacuum_versions(
             spark, path,

@@ -105,6 +105,7 @@ def test_maintain_runs_every_due_step_then_noops(spark, sf_dir, rich):
         spark, out, target_file_bytes=1 << 20, keep_last=50
     )
     assert set(r) >= {"apply_deletes", "layout", "vacuum"}
+    assert "drift_reconciled" in r
     assert r["apply_deletes"]["deleted_keys"] == (
         d.filter(F.col("doc_id") % 13 == 0).count()
     )
@@ -145,3 +146,73 @@ def test_maintain_noops_on_plain_unclustered_dataset(
     out = str(tmp_path / "plain2")
     write_parquet(_docs(spark, sf_dir), out)
     assert maintain_dataset(spark, out) == {}
+
+
+def test_maintain_survives_full_takedown(spark, sf_dir, tmp_path):
+    """apply_deletes can leave ZERO live data files; the later steps
+    (layout probe) must treat that as an empty layout instead of dying
+    on schema inference, and the vacuum still runs (review-found)."""
+    out = str(tmp_path / "fulltd")
+    d = _docs(spark, sf_dir)
+    zorder_write(
+        spark, d, out, ["doc_id", "n_chars"], bits=16, num_files=4,
+    )
+    version_log_enable(spark, out)
+    delete_rows(spark, out, d.select("doc_id"), "doc_id")  # everything
+    r = maintain_dataset(spark, out, keep_last=50)
+    assert r["apply_deletes"]["deleted_keys"] == d.count()
+    assert r["layout"]["files"] == 0 and "optimize" not in r
+    assert "vacuum" in r
+    row = dataset_details(spark, out).collect()[0]
+    # the survivor rewrite may stage one empty part; what matters is
+    # zero rows, zero backlog
+    assert row["pending_delete_keys"] == 0
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_maintain_records_conflicts_and_continues(
+    spark, sf_dir, rich, monkeypatch
+):
+    """A step that loses its optimistic race repeatedly must be
+    RECORDED, not propagated — the retention vacuum would otherwise be
+    starved forever on a permanently-hot dataset (review-found)."""
+    import engage_spark.maintenance as em
+    from engage_spark.io import TakedownConflict
+
+    out, d = rich
+
+    def always_conflicting(*a, **k):
+        raise TakedownConflict("synthetic: lost the race")
+
+    monkeypatch.setattr(em, "apply_deletes", always_conflicting)
+    r = maintain_dataset(spark, out, target_file_bytes=1 << 20, keep_last=50)
+    assert "conflict" in r["apply_deletes"]
+    assert "vacuum" in r, "later steps must still run"
+
+
+def test_details_dedups_reissued_takedown_keys(spark, sf_dir, tmp_path):
+    """A re-issued takedown appends a duplicate batch; the backlog
+    metric counts DISTINCT pending keys, not sidecar rows."""
+    out = str(tmp_path / "dedupkeys")
+    d = _docs(spark, sf_dir)
+    write_parquet(d, out, partition_by=["lang"])
+    version_log_enable(spark, out)
+    ids = d.filter(F.col("doc_id") % 19 == 0).select("doc_id")
+    delete_rows(spark, out, ids, "doc_id")
+    delete_rows(spark, out, ids, "doc_id")  # retried job, same keys
+    row = dataset_details(spark, out).collect()[0]
+    assert row["pending_delete_keys"] == ids.count()
+
+
+def test_details_nonhive_nested_dirs_not_mislabeled(
+    spark, sf_dir, tmp_path
+):
+    """Nested NON-hive dirs (batch-001/part-*.parquet) must not be
+    reported as partition columns."""
+    out = tmp_path / "nested"
+    d = _docs(spark, sf_dir)
+    d.limit(50).write.parquet(str(out / "batch-001"))
+    d.limit(50).write.parquet(str(out / "batch-002"))
+    row = dataset_details(spark, str(out)).collect()[0]
+    assert row["partition_cols"] == ""
+    assert row["n_partition_dirs"] == 2  # leaf dirs, still counted
