@@ -141,6 +141,10 @@ OPTIONAL = [
     # round 14 fourth pass: the commit-time expectation gate (publish
     # + dirty staged append + one-job count-and-drop + gated commit)
     "s24_expectations_gated_append",
+    # round 14 continuation: the DESCRIBE DETAIL operations surface
+    # (clustered+partitioned publish, version log, both index
+    # sidecars, a takedown record, then the pure-metadata details row)
+    "s27_describe_detail",
     # s25 (optimize racing an appender) and s26 (takedown racing an
     # appender) stay driver-verified but unbenched, the s20 policy:
     # their wall is thread-timing orchestration; the latency numbers

@@ -2302,3 +2302,71 @@ def s26_takedown_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("takedowns", F.lit(n_take).cast("long"))
         .withColumn("n_versions", F.lit(v).cast("long"))
     )
+
+
+@query(
+    "s27_describe_detail",
+    # Oracle: every reported field of the DESCRIBE DETAIL row is
+    # closed-form from the build recipe — partition dirs = distinct
+    # langs, two versions (init + the logical delete), the takedown
+    # backlog = the %17 key count, one pending DV batch, and the
+    # literal clustering/index specs. A hash match proves the
+    # metadata surface reports exactly the state the operations
+    # created (bytes/file counts are excluded: they depend on write
+    # parallelism and compression, not semantics).
+    oracle="""
+    SELECT (SELECT count(DISTINCT lang) FROM documents)::INTEGER
+               AS n_partition_dirs,
+           'lang' AS partition_cols,
+           true AS versioned,
+           2::BIGINT AS latest_version,
+           (SELECT count(DISTINCT doc_id) FROM documents
+            WHERE doc_id % 17 = 0)::BIGINT AS pending_delete_keys,
+           1::BIGINT AS pending_dv_versions,
+           'doc_id,n_chars' AS clustered_by,
+           false AS schema_evolved,
+           'doc_id' AS stats_columns,
+           'doc_id' AS bloom_columns
+    """,
+    covers=["S4"],
+)
+def s27_describe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DESCRIBE DETAIL operations surface (r14): publish
+    `documents` Z-clustered + hive-partitioned, enable the version
+    log and both index sidecars, record a takedown batch, then read
+    the dataset's one-row metadata summary
+    (maintenance.dataset_details) — pure metadata, no data scan, the
+    dashboard-poller surface. The hash pins every deterministic
+    field: partitioning, version state, pending takedown backlog
+    (distinct keys), unapplied DV batches, clustering columns, index
+    specs, and the schema-evolution marker."""
+    import shutil
+
+    from engage_spark.indexes import bloom_enable
+    from engage_spark.io import delete_rows, zorder_write
+    from engage_spark.maintenance import dataset_details
+    from engage_spark.stats import stats_enable
+    from engage_spark.versioning import version_log_enable
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tgt = _scratch("docs_describe_detail")
+    shutil.rmtree(tgt, ignore_errors=True)  # idempotent across reruns
+    zorder_write(
+        spark, d, tgt, ["doc_id", "n_chars"], bits=16, num_files=4,
+        partition_by=["lang"],
+    )
+    version_log_enable(spark, tgt)                                 # v1
+    stats_enable(spark, tgt, ["doc_id"])
+    bloom_enable(spark, tgt, ["doc_id"])
+    delete_rows(
+        spark, tgt,
+        d.filter(F.col("doc_id") % 17 == 0).select("doc_id"), "doc_id",
+    )                                                              # v2
+    return dataset_details(spark, tgt).select(
+        "n_partition_dirs", "partition_cols", "versioned",
+        "latest_version", "pending_delete_keys", "pending_dv_versions",
+        "clustered_by", "schema_evolved", "stats_columns",
+        "bloom_columns",
+    )

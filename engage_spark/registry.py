@@ -65,9 +65,9 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
 #     the executor-probed mirror bootstrap (s18/s18b), and the
 #     stash-age heal guard under the version-logged zorder lifecycle
 #     (s14/s14b, s10c/s10d);
-# (d) the r10 cohort, alphabetical-first 11 of 44 — rotation part 7
-#     starts here next round (the remaining 33 are the generated tail;
-#     five slots went to the new s22/s23/s24/s25/s26 queries, which
+# (d) the r10 cohort, alphabetical-first 10 of 44 — rotation part 7
+#     starts here next round (the remaining 34 are the generated tail;
+#     six slots went to the new s22/s23/s24/s25/s26/s27 queries, which
 #     must land in the never-checked head of THIS round's window).
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
@@ -97,6 +97,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s24_expectations_gated_append",
     "s25_optimize_during_append",
     "s26_takedown_during_append",
+    "s27_describe_detail",
     # (c) implementation changed in round 14
     "s9_upsert_merge_roundtrip",
     "s13_delete_vector_roundtrip",
@@ -125,7 +126,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p5_arith_derived",
     "p7_compound_filter",
     "p8_conditional_column",
-    "p9_mapping_join_coalesce",
 )
 
 
