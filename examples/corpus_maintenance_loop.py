@@ -252,7 +252,29 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     )
     vacuumed = vacuum_versions(spark, published, keep_last=3)
 
+    # ---- 9. NIGHTLY ------------------------------------------------
+    # stages 3-7 ARE what maintain_dataset schedules. Stage 5 left the
+    # takedown PENDING by design ("the physical rewrite is a scheduled
+    # apply_deletes vacuum") — the one-call nightly pass is that
+    # scheduler: it applies the backlog, re-checks layout health, and
+    # a second call proves convergence by no-oping. dataset_details is
+    # the DESCRIBE DETAIL row a dashboard polls — pure metadata.
+    from engage_spark.maintenance import dataset_details, maintain_dataset
+
+    nightly = maintain_dataset(spark, published)
+    assert nightly["apply_deletes"]["deleted_keys"] >= 1
+    nightly2 = maintain_dataset(spark, published)
+    assert "apply_deletes" not in nightly2 and "optimize" not in nightly2
+    detail = dataset_details(spark, published).collect()[0]
+    assert detail["pending_delete_keys"] == 0
+    assert detail["pending_dv_versions"] == 0
+    assert detail["clustered_by"] == "doc_id,n_chars"
+
     return {
+        "nightly_applied": nightly["apply_deletes"]["deleted_keys"],
+        "nightly_noop": sorted(nightly2),
+        "detail_versioned": bool(detail["versioned"]),
+        "detail_latest_version": int(detail["latest_version"]),
         "drift_overlap": round(drift["overlap_fraction"], 4),
         "drift_avg_covering": round(drift["avg_covering"], 4),
         "reoptimized": reoptimized,
