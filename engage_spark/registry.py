@@ -49,83 +49,76 @@ def query(name: str, oracle: str | None = None, covers: tuple[str, ...] | list[s
     return deco
 
 
-# Round-14 rotation (part 6): the driver checks the FIRST 50 registry
+# Round-15 rotation (part 7): the driver checks the FIRST 50 registry
 # entries, so this tuple is exactly that window. Composition (counts
-# and the tail list are now GENERATED — scripts/gen_coverage.py
-# §Driver-check rotation state — after two rounds of hand-miscounts):
-# (a) the 14 r9-cohort queries that close rotation part 6 (every
-#     registered query's newest row is then r10+);
-# (b) NEW in round 14 — the versioned partitioned MERGE (s9b) and
-#     its streaming CDC front end (st_cdc_merge_upsert);
-# (c) queries whose IMPLEMENTATION changed in round 14 — the multi-key
-#     deletion sidecar (s13 apply, s14c restore), schema-tolerant
-#     version_diff (s15/s15b and the s16 CDF fallback), the
-#     read_version-pinned rollup recompute (s19/s19b), the upsert vlog
-#     branch + layout guard (s9), the escaped read_bucketed DDL (s17),
-#     the executor-probed mirror bootstrap (s18/s18b), and the
-#     stash-age heal guard under the version-logged zorder lifecycle
-#     (s14/s14b, s10c/s10d);
-# (d) the r10 cohort, alphabetical-first 10 of 44 — rotation part 7
-#     starts here next round (the remaining 34 are the generated tail;
-#     six slots went to the new s22/s23/s24/s25/s26/s27 queries, which
-#     must land in the never-checked head of THIS round's window).
+# and the tail list are GENERATED — scripts/gen_coverage.py
+# §Driver-check rotation state):
+# (a) the 34 remaining r10-cohort queries (VERDICT r14 #3's exact
+#     list) — closing rotation part 7 means no registered query's
+#     newest driver row predates r11;
+# (b) the 16 queries whose IMPLEMENTATION round 15 changes: the
+#     versioned read path goes log-owned (reads resolve file lists
+#     from the version log + checkpoints instead of a directory walk
+#     — s13/s14/s14b/s14c/s15/s16/s21/s22/s23/s27), the commit
+#     primitive goes behind a pluggable CommitStore seam
+#     (s9/s9b/s20/s25/s26), and the ADVICE r14 gate fix touches the
+#     expectation-gated append (s24).
 # Names not yet registered are skipped by load_all(), so this list may
 # lead the implementation within a round.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) rotation part 6: the r9 cohort
-    "x2b_simhash_dedup",
-    "x2b2_simhash_md5",
-    "x2d_minhash_md5",
-    "x3c_ivf_ann_search",
-    "x3d_mllib_brp_ann",
-    "x3e_pq_encode",
-    "x4_tfidf_pipeline",
-    "x_dedup_components",
-    "x_dedup_components_lsh",
-    "x_dedup_components_star",
-    "x_doc_chunking",
-    "x_embed_lsh_neardup_pairs",
-    "x_profile_columns",
-    "x_shard_manifest",
-    # (b) NEW in round 14
-    "s9b_upsert_partitioned_versioned",
-    "st_cdc_merge_upsert",
-    "s20_concurrent_appends",
+    # (a) rotation part 7: the r10 cohort, 34 queries
+    "p9_mapping_join_coalesce",
+    "p10_cast",
+    "p11_null_fill",
+    "p12_drop_allnull_columns",
+    "p13_first_value_per_group",
+    "s1_scan_filter_project",
+    "sql1_ordinal_groupby_ifnull",
+    "st_doc_quality_stream",
+    "st_stateful_running_stats",
+    "w2_w3_lag_and_diff",
+    "w4_trim_leading_prefix",
+    "w5_head_n_per_group",
+    "w6_tail_n_per_group",
+    "w7_conditional_increase_sum",
+    "w8_sliding_feature_window",
+    "w12_rownumber_index",
+    "x2e_lsh_recall_report",
+    "x3_topk_cosine_search",
+    "x3b_lsh_ann_search",
+    "x4_tfidf_terms",
+    "x4d_bm25_topk",
+    "x_bigram_perplexity",
+    "x_bpe_merges",
+    "x_dedup_keep_best",
+    "x_embed_quantize",
+    "x_expectations_check",
+    "x_incremental_dedup",
+    "x_mixture_materialize",
+    "x_mixture_temperature",
+    "x_ngram_novelty",
+    "x_packed_sequences_exact_order",
+    "x_packed_sequences_sharded",
+    "x_quality_decile_gate",
+    "x_sequence_packing_exact_order",
+    # (b) round-15 implementation changes: log-owned versioned reads
+    "s13_delete_vector_roundtrip",
+    "s14_time_travel_versions",
+    "s14b_time_travel_partitioned",
+    "s14c_restore_version",
+    "s15_version_diff",
+    "s16_change_data_feed",
     "s21_stats_pruned_scan",
     "s22_bloom_point_lookup",
     "s23_bloom_join_pruning",
-    "s24_expectations_gated_append",
+    "s27_describe_detail",
+    # (b) round-15 implementation changes: CommitStore seam + gate fix
+    "s9_upsert_merge_roundtrip",
+    "s9b_upsert_partitioned_versioned",
+    "s20_concurrent_appends",
     "s25_optimize_during_append",
     "s26_takedown_during_append",
-    "s27_describe_detail",
-    # (c) implementation changed in round 14
-    "s9_upsert_merge_roundtrip",
-    "s13_delete_vector_roundtrip",
-    "s14c_restore_version",
-    "s15_version_diff",
-    "s15b_version_diff_partitioned",
-    "s16_change_data_feed",
-    "s16b_change_feed_partitioned",
-    "s17_bucketed_join",
-    "s18_mirror_sync",
-    "s18b_mirror_sync_partitioned",
-    "s19_incremental_rollup",
-    "s19b_incremental_rollup_minmax",
-    "s14_time_travel_versions",
-    "s14b_time_travel_partitioned",
-    "s10c_zorder_append_roundtrip",
-    "s10d_zorder_incremental_optimize_roundtrip",
-    # (d) the r10 cohort, rotation part 7 head
-    "f_string_ops",
-    "m1_glm_poisson",
-    "m1b_glm_poisson_govflags",
-    "o2_sorted_distinct",
-    "o3_first_row_after_sort",
-    "p2_projection_exclude",
-    "p3_p4_rename_literal",
-    "p5_arith_derived",
-    "p7_compound_filter",
-    "p8_conditional_column",
+    "s24_expectations_gated_append",
 )
 
 

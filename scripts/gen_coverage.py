@@ -44,11 +44,19 @@ ROWS_ONLY_REASONS = {
 }
 
 
-def _rotation_state(registry) -> tuple[dict, list]:
+def _rotation_state(registry, ceiling: int | None = None) -> tuple[dict, list]:
     """(newest driver-checked round per registered query, never-checked
     list) computed FROM the CORRECTNESS_r*.json files — the artifact of
     record. Hand-written rotation-tail counts were wrong two rounds
-    running (VERDICT r13 #9); this is generated instead."""
+    running (VERDICT r13 #9); this is generated instead.
+
+    `ceiling` bounds which CORRECTNESS files are read (r <= ceiling).
+    The driver writes CORRECTNESS_r{N}.json AFTER the round's final
+    commit, so an unbounded regeneration on the judged tree would
+    always diverge from the committed COVERAGE.md (VERDICT r14 "What's
+    wrong" #1). The generator stamps the ceiling it used into the
+    output and the freshness test regenerates AT that stamped ceiling,
+    so post-commit driver artifacts can no longer fail the suite."""
     import glob
     import json
     import re
@@ -56,6 +64,8 @@ def _rotation_state(registry) -> tuple[dict, list]:
     newest: dict = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
         r = int(re.search(r"r(\d+)", f).group(1))
+        if ceiling is not None and r > ceiling:
+            continue
         for q in json.load(open(f)):
             if q in registry:
                 newest[q] = max(newest.get(q, 0), r)
@@ -63,12 +73,26 @@ def _rotation_state(registry) -> tuple[dict, list]:
     return newest, unseen
 
 
-def _print_rotation(registry) -> None:
+def _max_correctness_round() -> int:
+    import glob
+    import re
+
+    rounds = [
+        int(re.search(r"r(\d+)", f).group(1))
+        for f in glob.glob("CORRECTNESS_r*.json")
+    ]
+    return max(rounds) if rounds else 0
+
+
+def _print_rotation(registry, ceiling: int) -> None:
     from collections import Counter
 
-    newest, unseen = _rotation_state(registry)
+    newest, unseen = _rotation_state(registry, ceiling)
     hist = Counter(newest.values())
     print("\n## Driver-check rotation state (generated)\n")
+    print(f"Rotation ceiling: r{ceiling} (CORRECTNESS files newer than this")
+    print("are ignored; the freshness test regenerates at this stamped")
+    print("ceiling, so the driver's post-commit artifact can't stale it).")
     print("Newest CORRECTNESS row per registered query; the driver")
     print("checks a 50-query window per round and DRIVER_PRIORITY")
     print("(registry.py) sweeps the tail oldest-first.\n")
@@ -85,6 +109,13 @@ def _print_rotation(registry) -> None:
 
 
 def main() -> None:
+    import sys
+
+    ceiling = (
+        int(sys.argv[sys.argv.index("--ceiling") + 1])
+        if "--ceiling" in sys.argv
+        else _max_correctness_round()
+    )
     registry = load_all()
     rows_only = sorted(n for n, q in registry.items() if q.oracle is None)
     unexplained = [n for n in rows_only if n not in ROWS_ONLY_REASONS]
@@ -129,7 +160,7 @@ def main() -> None:
             entries = sorted(set(by_id.get(cid, [])))
             print(f"| {cid} | {', '.join(entries) if entries else '—'} |")
 
-    _print_rotation(registry)
+    _print_rotation(registry, ceiling)
 
     print("\n## Rows-only queries — why, and what pins correctness instead\n")
     print("| query | reason / non-oracle check |")
