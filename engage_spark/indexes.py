@@ -347,18 +347,24 @@ def bloom_enable(spark: SparkSession, path: str, cols, fpp: float = 0.01) -> int
         )
     with maintenance_lease(spark, path):
         old_cols, old_fpp = _bloom_spec(spark, path)
-        local_frame(
-            spark, [(cols, float(fpp))], "cols array<string>, fpp double"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_VBLOOM_SPEC}")
         if old_cols and float(fpp) != old_fpp:
             # re-sizing fpp REBUILDS the index (review-found: the
             # (name, col) harvest dedup would otherwise skip every
             # existing file and silently keep the old rate — the
             # module docstring tells batch-takedown corpora to
-            # re-enable at fpp≈1e-6, so the re-enable must take)
+            # re-enable at fpp≈1e-6, so the re-enable must take).
+            # Sidecar delete comes BEFORE the spec overwrite (ADVICE
+            # r14): a crash between the two then just re-backfills at
+            # the old spec on next contact, whereas the old order
+            # left old-fpp rows behind a new-fpp spec — and a re-run
+            # with the same fpp would see spec==request and never
+            # rebuild, so the re-size silently never took.
             sfs, sp = _fs(spark, f"{path}/{_VBLOOM}")
             if sfs.exists(sp):
                 sfs.delete(sp, True)
+        local_frame(
+            spark, [(cols, float(fpp))], "cols array<string>, fpp double"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_VBLOOM_SPEC}")
         return _bloom_harvest(spark, path, _live_names(spark, path))
 
 

@@ -423,6 +423,7 @@ def append_dataset(
         staging, report = _expectation_gate(
             spark, path, staging, expectations, gate_rules,
             on_violation, partition_by, quarantine=quarantine,
+            schema=df.schema,
         )
     staged = _staged_rel_files(spark, staging)
     if not staged:  # empty increment: nothing to commit — but keep
@@ -465,6 +466,7 @@ def _expectation_gate(
     partition_by: Sequence[str] | None,
     clean_write=None,
     quarantine: str | None = None,
+    schema=None,
 ) -> tuple:
     """Enforce expectations on a STAGED append increment, before the
     commit tail. `rules` is the _check_gate_args compilation (gate
@@ -494,7 +496,19 @@ def _expectation_gate(
 
     if not _staged_rel_files(spark, staging):
         return staging, {}
-    staged_df = spark.read.parquet(staging)
+    # Read the staged increment with the UPSTREAM frame's explicit
+    # schema when the caller has one: a bare spark.read.parquet would
+    # run partition TYPE INFERENCE on the staged directory names, so a
+    # string partition value that parses numerically ('007', '01')
+    # would silently re-encode as k=7 in the drop-mode rewrite —
+    # diverging from the ungated path (which moves staged files
+    # verbatim) and from the target's existing directory spellings,
+    # and handing rules/quarantine the inferred type instead of the
+    # declared one.
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    staged_df = reader.parquet(staging)
     if on_violation == "fail":
         try:
             counts = _gate_fail_check(staged_df, path, expectations, rules)
@@ -1726,6 +1740,7 @@ def zorder_append(
                 n, part_cols, "overwrite", dst,
             ),
             quarantine=quarantine,
+            schema=out.drop("__z").schema,
         )
     staged = _staged_rel_files(spark, staging)
     if not staged:
@@ -3526,7 +3541,7 @@ def upsert_dataset(
         import uuid as _uuid
 
         gate_staging = (
-            f"{target.rstrip('/')}__gate_staging_{_uuid.uuid4().hex[:12]}"
+            f"{target.rstrip('/')}{_GATE_STAGING_INFIX}{_uuid.uuid4().hex[:12]}"
         )
         updates.write.mode("overwrite").parquet(gate_staging)
         updates = spark.read.parquet(gate_staging)
@@ -4013,6 +4028,11 @@ def _upsert_stage_partitioned(
 
 
 _UPSERT_STAGING_INFIX = "__upsert_staging_"
+# MERGE's gate materialization sibling (upsert_dataset). In vacuum's
+# orphan sweep alongside the other staging infixes: a driver crash
+# between the materialize and the finally-cleanup would otherwise leak
+# the change batch forever (ADVICE r14).
+_GATE_STAGING_INFIX = "__gate_staging_"
 
 
 def _upsert_commit_partitioned(spark: SparkSession, target: str, st: dict):

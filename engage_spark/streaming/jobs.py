@@ -510,6 +510,17 @@ def incremental_ingest_stream(
             expectations, on_violation, True, corpus_dir,
             quarantine=quarantine_dir,
         )
+        if metrics_dir is not None and on_violation == "fail":
+            # metrics land only in the drop branch; silently accepting
+            # the combination would leave an operator believing
+            # violation counts are being recorded when nothing ever
+            # lands (mirrors _check_gate_args' quarantine+fail check)
+            raise ValueError(
+                "metrics_dir is set with on_violation='fail' — fail "
+                "mode stops the query on the first dirty batch and "
+                "never writes metrics; use on_violation='drop' or "
+                "remove metrics_dir"
+            )
     elif quarantine_dir is not None:
         raise ValueError(
             "quarantine_dir is set but expectations is None — nothing "
@@ -906,6 +917,16 @@ def cdc_merge_stream(
             expectations, on_violation, True, target,
             quarantine=quarantine_dir,
         )
+        if metrics_dir is not None and on_violation == "fail":
+            # same contract as incremental_ingest_stream: fail mode
+            # never reaches the metrics write, so accepting the
+            # combination silently records nothing
+            raise ValueError(
+                "metrics_dir is set with on_violation='fail' — fail "
+                "mode stops the query on the first dirty batch and "
+                "never writes metrics; use on_violation='drop' or "
+                "remove metrics_dir"
+            )
     elif quarantine_dir is not None or metrics_dir is not None:
         raise ValueError(
             "metrics_dir/quarantine_dir set but expectations is None — "

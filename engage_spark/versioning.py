@@ -2221,6 +2221,7 @@ def vacuum_versions(
     from engage_spark.io import (
         _APPEND_STAGING_INFIX,
         _APPLYDV_STAGING_INFIX,
+        _GATE_STAGING_INFIX,
         _OPTIMIZE_STAGING_INFIX,
         _UPSERT_STAGING_INFIX,
         maintenance_lease,
@@ -2342,6 +2343,7 @@ def vacuum_versions(
             prefixes = (
                 f"{base}{_APPEND_STAGING_INFIX}",
                 f"{base}{_APPLYDV_STAGING_INFIX}",
+                f"{base}{_GATE_STAGING_INFIX}",
                 f"{base}{_OPTIMIZE_STAGING_INFIX}",
                 f"{base}{_UPSERT_STAGING_INFIX}",
             )

@@ -685,3 +685,27 @@ def test_empty_and_keys_leg_short_circuits(spark, zbloom, monkeypatch):
         spark, out, "user_id", 10, 30, and_keys={"event_id": [None]}
     )
     assert got2.count() == 0 and not calls
+
+
+def test_resize_crash_state_converges(spark, zbloom):
+    """ADVICE r14: bloom_enable now deletes the old sidecar BEFORE
+    overwriting the spec, so the only crash-reachable intermediate
+    state is (old spec, no sidecar) — from which ANY re-run (same or
+    new fpp) re-backfills the full live set. The old order could leave
+    (new spec, old-fpp sidecar) where a same-fpp re-run saw spec==
+    request and never rebuilt."""
+    import shutil
+
+    out, ev = zbloom
+    # simulate the crash state the new ordering can reach: sidecar
+    # deleted, spec still the original
+    shutil.rmtree(f"{out}/_versions/bloom")
+    assert file_blooms(spark, out).count() == 0
+    n = bloom_enable(spark, out, ["event_id"], fpp=0.001)
+    assert n == 16
+    bl = file_blooms(spark, out)
+    assert bl.count() == 16
+    _same(
+        read_keys(spark, out, "event_id", IDS),
+        ev.filter(F.col("event_id").isin(IDS)),
+    )

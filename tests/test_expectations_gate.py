@@ -689,3 +689,93 @@ def test_cdc_stream_quarantine_and_metrics(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(mdir).collect()
     }
     assert m == {"in_range:v_cents": 1}
+
+
+def test_drop_gate_preserves_string_partition_spellings(spark, tmp_path):
+    """ADVICE r14 (medium): the drop-mode rewrite re-read the staged
+    increment with partition TYPE INFERENCE on, so a string partition
+    value that parses numerically ('007', '01') was silently re-encoded
+    (k=7) — diverging from the ungated path (files move verbatim) and
+    from the target's existing directory spellings. The gate now reads
+    the staging with the upstream frame's explicit schema."""
+    import os
+
+    out = str(tmp_path / "spellings")
+    base = spark.createDataFrame(
+        [(1, "007", 10), (2, "01", 20)], "id long, k string, v long"
+    )
+    write_parquet(base, out, partition_by=["k"])
+    version_log_enable(spark, out)
+    inc = spark.createDataFrame(
+        [(3, "007", 30), (4, "01", -5), (5, "0099", 40)],
+        "id long, k string, v long",
+    )
+    res = append_dataset(
+        spark, inc, out, partition_by=["k"],
+        expectations=[{"rule": "in_range", "col": "v", "lo": 0}],
+        on_violation="drop",
+    )
+    assert res["dropped_rows"] == 1
+    # directory spellings byte-for-byte: k=007 / k=01 / k=0099, never k=7
+    dirs = {n for n in os.listdir(out) if n.startswith("k=")}
+    assert dirs == {"k=007", "k=01", "k=0099"}
+    # value check through a schema'd read (a bare read would apply the
+    # same numeric inference on the READ side — standard Spark
+    # behavior, identical for gated and ungated data; the defect was
+    # the WRITE side rewriting the directory names)
+    got = spark.read.schema("id long, k string, v long").parquet(out)
+    assert dict(got.select("id", "k").collect()) == {
+        1: "007", 2: "01", 3: "007", 5: "0099"
+    }
+    assert read_version(spark, out, latest_version(spark, out)).count() == 4
+
+
+def test_quarantine_sees_declared_partition_type(spark, tmp_path):
+    """The quarantined rows carry the DECLARED partition type and
+    spelling too (rules and quarantine read the schema'd staging)."""
+    out = str(tmp_path / "quar_spelling")
+    write_parquet(
+        spark.createDataFrame([(1, "007", 10)], "id long, k string, v long"),
+        out, partition_by=["k"],
+    )
+    version_log_enable(spark, out)
+    qdir = str(tmp_path / "quar")
+    append_dataset(
+        spark,
+        spark.createDataFrame([(2, "01", -3)], "id long, k string, v long"),
+        out, partition_by=["k"],
+        expectations=[{"rule": "in_range", "col": "v", "lo": 0}],
+        on_violation="drop", quarantine=qdir,
+    )
+    quar = spark.read.parquet(qdir)
+    assert dict(quar.dtypes)["k"] == "string"
+    assert quar.collect()[0]["k"] == "01"
+
+
+def test_metrics_dir_with_fail_mode_refused(spark, tmp_path):
+    """ADVICE r14: metrics land only in the drop branch, so accepting
+    metrics_dir with on_violation='fail' silently records nothing —
+    both streaming front ends now refuse the combination up front,
+    mirroring the quarantine+fail check."""
+    from engage_spark.streaming.jobs import (
+        cdc_merge_stream,
+        incremental_ingest_stream,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, "a", 1)], "event_id long, event_type string, v long"
+    )
+    with pytest.raises(ValueError, match="metrics_dir.*fail"):
+        cdc_merge_stream(
+            changes, str(tmp_path / "t"), ["event_id"],
+            str(tmp_path / "ckpt"),
+            expectations=[{"rule": "not_null", "col": "event_type"}],
+            on_violation="fail", metrics_dir=str(tmp_path / "m"),
+        )
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="metrics_dir.*fail"):
+        incremental_ingest_stream(
+            docs, str(tmp_path / "corpus"), str(tmp_path / "store"),
+            expectations=[{"rule": "not_null", "col": "text"}],
+            on_violation="fail", metrics_dir=str(tmp_path / "m2"),
+        )

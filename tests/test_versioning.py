@@ -2286,19 +2286,27 @@ def test_vacuum_sweeps_stale_append_staging(spark, tmp_path):
     )
     stale = tmp_path / "sweep__append_staging_deadbeef0000"
     stale_merge = tmp_path / "sweep__upsert_staging_deadbeef0000"
+    # MERGE's gate materialization sibling (ADVICE r14: it was missing
+    # from the sweep's prefix list, so a driver crash mid-merge leaked
+    # the materialized change batch forever)
+    stale_gate = tmp_path / "sweep__gate_staging_deadbeef0000"
     young = tmp_path / "sweep__append_staging_cafebabe0000"
     stale.mkdir()
     stale_merge.mkdir()
+    stale_gate.mkdir()
     young.mkdir()
     (stale / "part-0.parquet").write_bytes(b"x")
     (stale_merge / "part-0.parquet").write_bytes(b"x")
+    (stale_gate / "part-0.parquet").write_bytes(b"x")
     old = time.time() - 25 * 3600
     os.utime(stale, (old, old))
     os.utime(stale_merge, (old, old))
+    os.utime(stale_gate, (old, old))
     res = vacuum_versions(spark, str(out), keep_last=7)
-    assert res["swept_staging"] == 2
+    assert res["swept_staging"] == 3
     assert not stale.exists()
     assert not stale_merge.exists()
+    assert not stale_gate.exists()
     assert young.exists()
     # sweep never touches the dataset or its history
     assert spark.read.parquet(str(out)).count() == 15
