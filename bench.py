@@ -192,6 +192,12 @@ def main() -> None:
     registry = load_all()
     names = [n for n in HEADLINE if n in registry]
     names += [n for n in OPTIONAL if n in registry]
+    # SPARK_GRAFT_BENCH_SUBSET=r1 restricts the run to the frozen
+    # 15-query baseline subset — the standing sf1 scale point (r15,
+    # VERDICT r14 #7: scripts/bench_sf1.sh emits BENCH_sf1_r{N}.json
+    # each round so scale regressions surface like sf0.1 ones do).
+    if os.environ.get("SPARK_GRAFT_BENCH_SUBSET") == "r1":
+        names = [n for n in R1_BASELINE if n in registry]
 
     def run(name: str) -> float:
         # fn() is inside the timed region: for streaming (st_*) queries

@@ -65,9 +65,9 @@ from engage_spark.versioning import (
     _pa_fs_for,
     _read_names,
     _replay_files,
+    _schema_at,
     _staged_sidecar_swap,
     _vlog_entries,
-    _vlog_reconcile,
     version_log_enabled,
 )
 
@@ -510,10 +510,10 @@ def read_keys(
     and bloom sidecars compose there."""
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
-    _vlog_reconcile(spark, path)
     entries = _vlog_entries(spark, path)
     if not entries:
         raise ValueError(f"version log of {path} has no entries")
+    live_now = set(_replay_files(entries, entries[-1]["version"]))
     v = version if version is not None else entries[-1]["version"]
     if v < 1 or v > entries[-1]["version"]:
         raise ValueError(
@@ -541,14 +541,22 @@ def read_keys(
         # review-found twice: names[:1] could be a pre-evolution file
         # missing the looked-up column, and probing before this check
         # paid a full bloom probe for a discarded result)
-        return _read_names(spark, path, names).filter(F.lit(False))
+        return _read_names(
+            spark, path, names, live=live_now,
+            schema=_schema_at(entries, v),
+        ).filter(F.lit(False))
     kept = list(names)
     for c, vs in keysets.items():
         kept, _ = _bloom_prune(spark, path, kept, c, vs)
     if not kept:
         # every file provably key-free
-        return _read_names(spark, path, names).filter(F.lit(False))
-    df = _read_names(spark, path, kept)
+        return _read_names(
+            spark, path, names, live=live_now,
+            schema=_schema_at(entries, v),
+        ).filter(F.lit(False))
+    df = _read_names(
+        spark, path, kept, live=live_now, schema=_schema_at(entries, v)
+    )
     df = _apply_pending_dvs(spark, path, entries, v, df)
     for c, vs in keysets.items():
         df = df.filter(F.col(c).isin(vs))
@@ -591,13 +599,16 @@ def join_keys(
         )
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
-    _vlog_reconcile(spark, path)
     entries = _vlog_entries(spark, path)
     if not entries:
         raise ValueError(f"version log of {path} has no entries")
     v = version if version is not None else entries[-1]["version"]
     names = _replay_files(entries, v)
-    df = _read_names(spark, path, names)
+    df = _read_names(
+        spark, path, names,
+        live=set(_replay_files(entries, entries[-1]["version"])),
+        schema=_schema_at(entries, v),
+    )
     df = _apply_pending_dvs(spark, path, entries, v, df)
     # no explicit broadcast hint: past the lookup bound the key frame
     # can be arbitrarily large, so AQE picks broadcast vs shuffle from

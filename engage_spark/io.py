@@ -2624,9 +2624,12 @@ class maintenance_lease:
             if self.wait_s > 0
             else plock.acquire(blocking=False)
         )
-        fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
+        from engage_spark.commitstore import get_commit_store
+
+        store = get_commit_store()
+        lock_uri = f"{self.path}/{_MAINT_LOCK}"
         if not got:
-            holder = self._read_holder(fs, lp)
+            holder = self._read_holder(store, lock_uri)
             raise MaintenanceLockHeld(
                 f"maintenance lease on {self.path} is held by "
                 f"{(holder or {}).get('writer', '<a sibling thread>')}; "
@@ -2635,12 +2638,11 @@ class maintenance_lease:
                 "if the holder is known dead"
             )
         try:
-            # layer 2: the lock FILE arbitrates across processes
-            uri = fs.makeQualified(lp).toUri()
-            local = uri.getScheme() in (None, "file")
-            if local:
-                # hadoop create() made parents implicitly; O_EXCL won't
-                _os.makedirs(_os.path.dirname(uri.getPath()), exist_ok=True)
+            # layer 2: the COMMIT STORE arbitrates across processes —
+            # put_if_absent is the one primitive the lease's mutual
+            # exclusion rests on (r15 seam: commitstore.py states the
+            # per-backend guarantees; the default HadoopCommitStore is
+            # the previous O_EXCL / create(overwrite=false) behavior)
             self._payload = {
                 "writer": _lease_writer_id(),
                 "acquired_unix": int(time.time()),
@@ -2649,92 +2651,63 @@ class maintenance_lease:
             payload = json.dumps(self._payload).encode()
             vanished_retries = 0
             while True:
-                try:
-                    if local:
-                        # O_EXCL: genuinely atomic create-if-absent
-                        fd = _os.open(
-                            uri.getPath(),
-                            _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY,
-                        )
-                        with _os.fdopen(fd, "wb") as fh:
-                            fh.write(payload)
-                    else:
-                        out = fs.create(lp, False)  # namenode-atomic
-                        out.write(payload)
-                        out.close()
+                if store.put_if_absent(self.spark, lock_uri, payload):
                     _LEASE_DEPTH[self._key] = 1
                     self._plock = plock
                     return self
-                except Exception:
-                    holder = self._read_holder(fs, lp)
-                    if holder is not None:
-                        age = time.time() - holder.get("acquired_unix", 0)
-                        if age > holder.get("ttl_s", self.ttl_s):
-                            # break by RENAME-claim, not delete: two
-                            # contenders can both read the expired
-                            # payload, and an unconditional delete from
-                            # the loser would remove the winner's
-                            # FRESHLY-created lock (two live holders).
-                            # Rename is the atomic claim — only one
-                            # contender's rename of the expired file
-                            # succeeds; the loser loops and sees the
-                            # new holder.
-                            import uuid as _uuid
+                holder = self._read_holder(store, lock_uri)
+                if holder is not None:
+                    age = time.time() - holder.get("acquired_unix", 0)
+                    if age > holder.get("ttl_s", self.ttl_s):
+                        # break by ATOMIC CLAIM, not delete: two
+                        # contenders can both read the expired
+                        # payload, and an unconditional delete from
+                        # the loser would remove the winner's
+                        # FRESHLY-created lock (two live holders).
+                        # Only one contender's claim succeeds; the
+                        # loser loops and sees the new holder.
+                        import uuid as _uuid
 
-                            _, rp = _hadoop_fs(
-                                self.spark,
-                                f"{self.path}/{_MAINT_LOCK}.expired."
-                                f"{_uuid.uuid4().hex[:8]}",
-                            )
-                            try:
-                                claimed = fs.rename(lp, rp)
-                            except Exception:
-                                claimed = False
-                            if claimed:
-                                fs.delete(rp, False)
-                            continue
-                    elif vanished_retries < 3:
-                        # lock gone between failed create and the read —
-                        # the holder released; retry the create at once
-                        # (bounded: a create failing for a NON-contention
-                        # reason, e.g. permissions, must not spin here)
-                        vanished_retries += 1
+                        store.claim(
+                            self.spark, lock_uri,
+                            f"{self.path}/{_MAINT_LOCK}.expired."
+                            f"{_uuid.uuid4().hex[:8]}",
+                        )
                         continue
-                    if time.monotonic() < deadline:
-                        time.sleep(0.1)
-                        # refresh acquired_unix so a long wait is not
-                        # mistaken for lease age by a later TTL check
-                        self._payload["acquired_unix"] = int(time.time())
-                        payload = json.dumps(self._payload).encode()
-                        continue
-                    raise MaintenanceLockHeld(
-                        f"maintenance lease on {self.path} is held by "
-                        f"{(holder or {}).get('writer', '<unreadable>')} "
-                        f"(age {int(time.time() - (holder or {}).get('acquired_unix', time.time()))}s); "
-                        "one maintenance writer at a time — wait, or "
-                        "break the lease by deleting "
-                        f"{self.path}/{_MAINT_LOCK} if the holder is "
-                        "known dead"
-                    ) from None
+                elif vanished_retries < 3:
+                    # lock gone between failed create and the read —
+                    # the holder released; retry the create at once
+                    # (bounded: a create failing for a NON-contention
+                    # reason, e.g. permissions, must not spin here)
+                    vanished_retries += 1
+                    continue
+                if time.monotonic() < deadline:
+                    time.sleep(0.1)
+                    # refresh acquired_unix so a long wait is not
+                    # mistaken for lease age by a later TTL check
+                    self._payload["acquired_unix"] = int(time.time())
+                    payload = json.dumps(self._payload).encode()
+                    continue
+                raise MaintenanceLockHeld(
+                    f"maintenance lease on {self.path} is held by "
+                    f"{(holder or {}).get('writer', '<unreadable>')} "
+                    f"(age {int(time.time() - (holder or {}).get('acquired_unix', time.time()))}s); "
+                    "one maintenance writer at a time — wait, or "
+                    "break the lease by deleting "
+                    f"{self.path}/{_MAINT_LOCK} if the holder is "
+                    "known dead"
+                ) from None
         except BaseException:
             plock.release()
             raise
 
-    def _read_holder(self, fs, lp):
+    def _read_holder(self, store, lock_uri):
         import json
 
+        raw = store.read(self.spark, lock_uri)
+        if raw is None:
+            return None
         try:
-            if not fs.exists(lp):
-                return None
-            stream = fs.open(lp)
-            try:
-                raw = bytes(
-                    stream.readAllBytes()
-                    if hasattr(stream, "readAllBytes")
-                    else b""
-                )
-            finally:
-                stream.close()
             return json.loads(raw.decode() or "{}")
         except Exception:
             return {}
@@ -2744,14 +2717,17 @@ class maintenance_lease:
         if _LEASE_DEPTH[self._key] <= 0:
             _LEASE_DEPTH.pop(self._key, None)
             try:
-                fs, lp = _hadoop_fs(self.spark, f"{self.path}/{_MAINT_LOCK}")
+                from engage_spark.commitstore import get_commit_store
+
+                store = get_commit_store()
+                lock_uri = f"{self.path}/{_MAINT_LOCK}"
                 # only release a lock WE still hold: if this lease
                 # expired and another writer broke it and acquired its
                 # own, deleting unconditionally would unlock the NEW
                 # holder and let a third writer in (ADVICE r12)
-                holder = self._read_holder(fs, lp)
+                holder = self._read_holder(store, lock_uri)
                 if holder is not None and holder == self._payload:
-                    fs.delete(lp, False)
+                    store.delete(self.spark, lock_uri)
             finally:
                 self._plock.release()
         return False
@@ -3069,12 +3045,19 @@ def _applydv_detect(spark: SparkSession, path: str) -> dict:
 
         bloom_cols = set(_bloom_spec(spark, path)[0]) & set(key_cols)
         if bloom_cols:
-            # one listing for ALL indexed key columns (the walk is
-            # invariant per run; per-column re-walks at 10^5 files
-            # would repeat the dominant metadata cost)
-            from engage_spark.versioning import _live_names
+            # candidate list from the LOG, not a directory walk (r15
+            # log-owned reads): the no-lease stage sees the committed
+            # file set; the leased commit tail reconciles drift before
+            # the entry lands, same as every optimistic writer
+            from engage_spark.versioning import (
+                _replay_files,
+                _vlog_entries,
+            )
 
-            live_names = _live_names(spark, path)
+            _ents = _vlog_entries(spark, path)
+            live_names = (
+                _replay_files(_ents, _ents[-1]["version"]) if _ents else []
+            )
     victim_set: set = set()
     for c, kdf in per_key.items():
         if counts[c] <= _DELETES_ISIN_MAX:

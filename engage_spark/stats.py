@@ -37,9 +37,9 @@ from engage_spark.versioning import (
     _pa_fs_for,
     _read_names,
     _replay_files,
+    _schema_at,
     _staged_sidecar_swap,
     _vlog_entries,
-    _vlog_reconcile,
     version_log_enabled,
 )
 
@@ -352,10 +352,10 @@ def read_where(
     retained version (file stats are immutable)."""
     if not version_log_enabled(spark, path):
         raise ValueError(f"{path} has no version log (version_log_enable)")
-    _vlog_reconcile(spark, path)
     entries = _vlog_entries(spark, path)
     if not entries:
         raise ValueError(f"version log of {path} has no entries")
+    live_now = set(_replay_files(entries, entries[-1]["version"]))
     v = version if version is not None else entries[-1]["version"]
     if v < 1 or v > entries[-1]["version"]:
         raise ValueError(
@@ -375,7 +375,10 @@ def read_where(
         # an and_keys leg empty after NULL-filtering: the result is
         # provably empty BEFORE any sidecar probe runs (empty frame
         # with the union schema, planning-level read only)
-        return _read_names(spark, path, names).filter(F.lit(False))
+        return _read_names(
+            spark, path, names, live=live_now,
+            schema=_schema_at(entries, v),
+        ).filter(F.lit(False))
     kept = list(names)
     for c, (c_lo, c_hi) in bounds.items():
         kept, _ = _stats_prune(spark, path, kept, c, c_lo, c_hi)
@@ -391,8 +394,13 @@ def read_where(
         # pre-evolution file missing a queried column, breaking the
         # byte-identical schema contract — same review-found class as
         # read_keys)
-        return _read_names(spark, path, names).filter(F.lit(False))
-    df = _read_names(spark, path, kept)
+        return _read_names(
+            spark, path, names, live=live_now,
+            schema=_schema_at(entries, v),
+        ).filter(F.lit(False))
+    df = _read_names(
+        spark, path, kept, live=live_now, schema=_schema_at(entries, v)
+    )
     df = _apply_pending_dvs(spark, path, entries, v, df)
     for c, (c_lo, c_hi) in bounds.items():
         if c_lo is not None:

@@ -87,7 +87,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     from engage_spark.versioning import (
         dataset_history,
         read_changes,
-        read_snapshot,
+        with_pinned_version,
         read_version,
         restore_version,
         sync_mirror,
@@ -190,9 +190,12 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     sync_mirror(spark, corpus, mirror, "doc_id")
     assert spark.read.parquet(mirror).count() == merged_live.count()
 
-    # 8. SNAPSHOT-ISOLATED read while maintenance may run
-    snap, v_pin = read_snapshot(spark, corpus)
-    merged_n = snap.count()
+    # 8. SNAPSHOT-ISOLATED read while maintenance may run — the
+    # shipped helper pins a version, acts, and retries ONCE at the
+    # same pin if a racing maintenance op moved a resolved file
+    merged_n, v_pin = with_pinned_version(
+        spark, corpus, lambda df: df.count()
+    )
 
     # 9. CONCURRENT INGEST — three shards race; all land exactly once
     import threading

@@ -23,7 +23,7 @@ stats-enabled documents corpus; R rounds of SEVEN threads racing it:
                   takedown stages unleased; a racing delete_rows is a
                   pending-set mutator that forces a restage, so the
                   rewrite can never settle keys it did not apply)
-  reader  x2    — read_snapshot + a stats-pruned read_where range +
+  reader  x2    — with_pinned_version + a stats-pruned read_where range +
                   a bloom point lookup (read_keys) on never-deleted
                   base ids, which must never raise (consistent-or-loud
                   means loud only for vacuumed history, never for a
@@ -82,7 +82,7 @@ def main() -> None:
         _vlog_entries,
         dataset_history,
         latest_version,
-        read_snapshot,
+        with_pinned_version,
         read_version,
         version_log_enable,
     )
@@ -187,15 +187,10 @@ def main() -> None:
 
     def reader(k: int) -> None:
         # consistent-or-loud: a maintenance op renaming a resolved file
-        # mid-scan fails loudly; the documented reader pattern is ONE
-        # retry of read_version at the SAME pinned version (the file
-        # now sits in retained/ — read_snapshot's docstring)
+        # mid-scan fails loudly; with_pinned_version ships the
+        # documented one-retry pattern (r15) instead of hand-rolling it
         try:
-            snap, v = read_snapshot(spark, ds)
-            try:
-                n = snap.count()
-            except Exception:
-                n = read_version(spark, ds, v).count()
+            n, v = with_pinned_version(spark, ds, lambda df: df.count())
             # any committed version holds at least the undeleted base:
             # appends only add, the merge never deletes, takedowns are
             # bounded by delete_ids — a count below this is a TORN read

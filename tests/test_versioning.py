@@ -2213,7 +2213,14 @@ def test_append_crash_mid_commit_replays_exactly(spark, tmp_path, monkeypatch):
         )
     monkeypatch.setattr(eio, "_append_replay_pending", real)
     assert eio._append_manifest_exists(spark, str(out))
-    # any versioned op heals: dataset_history runs reconcile
+    # r15 log-owned reads: a READ does NOT heal — the committed log is
+    # served as-is, the crashed commit invisible
+    ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
+    assert ops == ["init"]
+    # MAINTENANCE contact heals: reconcile finishes the exact commit
+    from engage_spark.versioning import _vlog_reconcile
+
+    _vlog_reconcile(spark, str(out))
     ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
     assert ops == ["init", "append"]
     assert not eio._append_manifest_exists(spark, str(out))
@@ -2494,9 +2501,10 @@ def test_appender_flows_during_merge(spark, sf_dir, tmp_path):
 
 
 def test_reconcile_heals_crashed_merge(spark, sf_dir, tmp_path, monkeypatch):
-    """ANY maintenance contact (here dataset_history's reconcile) heals
-    a MERGE that crashed mid-commit: the exact upsert entry lands —
-    never a drift mislabel — and the live view converges."""
+    """A maintenance contact (reconcile) heals a MERGE that crashed
+    mid-commit: the exact upsert entry lands — never a drift mislabel —
+    and the live view converges. (r15: reads no longer trigger this —
+    reconcile is writer/maintenance contact only.)"""
     import engage_spark.versioning as V
     from engage_spark.io import (
         _UPSERT_MANIFEST, _hadoop_fs, upsert_dataset, write_parquet,
@@ -2527,6 +2535,7 @@ def test_reconcile_heals_crashed_merge(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(V, "_retain_file", real_retain)
     mfs, mp = _hadoop_fs(spark, f"{out}/{_UPSERT_MANIFEST}")
     assert mfs.exists(mp)
+    V._vlog_reconcile(spark, str(out))  # maintenance contact (r15)
     ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
     assert ops == ["init", "upsert"]
     assert not mfs.exists(mp)
@@ -2635,13 +2644,19 @@ def test_readers_skip_heal_while_commit_is_live(spark, tmp_path, monkeypatch):
     t = threading.Thread(target=holder)
     t.start()
     assert held.wait(10)
-    # reader under a live lease: works, does NOT heal
+    # reader under a live lease: works off the committed log (r15:
+    # readers NEVER heal), and a racing maintenance contact skips
+    # instead of raising MaintenanceLockHeld
+    from engage_spark.versioning import _vlog_reconcile
+
+    assert _vlog_reconcile(spark, str(out)) is None
     ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
     assert ops == ["init"]
     assert eio._append_manifest_exists(spark, str(out))
     release.set()
     t.join()
-    # lease free: the same reader path heals to the exact entry
+    # lease free: the next maintenance contact heals the exact entry
+    _vlog_reconcile(spark, str(out))
     ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
     assert ops == ["init", "append"]
     assert spark.read.parquet(str(out)).count() == 15
@@ -2660,6 +2675,9 @@ def test_torn_manifest_is_discarded_not_wedging(spark, tmp_path):
     version_log_enable(spark, str(out))
     (out / _APPEND_MANIFEST).write_bytes(b'{"staging": "/x", "ad')
     (out / _UPSERT_MANIFEST).write_bytes(b"")
+    from engage_spark.versioning import _vlog_reconcile
+
+    _vlog_reconcile(spark, str(out))  # maintenance contact (r15)
     ops = [r["op"] for r in dataset_history(spark, str(out)).collect()]
     assert ops == ["init"]
     assert not (out / _APPEND_MANIFEST).exists()
@@ -2931,8 +2949,9 @@ def test_optimize_swap_crash_mid_replay_heals_consistently(
     assert eio._optimize_swap_manifest_exists(spark, str(out))
     mid = read_version(spark, str(out), pre_v)
     assert mid.count() == base.count()
-    # any later maintenance contact (here: a history read's reconcile)
-    # finishes the commit
+    # the next maintenance contact finishes the commit (r15: reads
+    # never heal — trigger reconcile explicitly)
+    ever._vlog_reconcile(spark, str(out))
     hist = dataset_history(spark, str(out))
     ops = [r.op for r in hist.collect()]
     assert ops == ["init", "append", "optimize"]
@@ -3007,9 +3026,10 @@ def test_reconcile_heals_crashed_legacy_swap(spark, sf_dir, tmp_path):
 
     ever._retain_file(spark, str(out), victim_rel)
     pre_v = latest_version(spark, str(out))
-    # a plain history read triggers reconcile, which must heal the
-    # legacy swap (move staged in, drop sidecars) then log ONE
+    # the next maintenance contact (r15: reads never heal) must heal
+    # the legacy swap (move staged in, drop sidecars) then log ONE
     # reconcile entry for the file-set diff
+    ever._vlog_reconcile(spark, str(out))
     hist = dataset_history(spark, str(out))
     ops = [r.op for r in hist.collect()]
     assert ops == ["init", "append", "reconcile"]
