@@ -7,9 +7,18 @@ Blow-up rules (joins and dedup semantics preserved, growth honest):
   the j1/q-family joins keep 1:1 key relationships at 10x rows;
 - events: copy c shifts event_id by c*10M (user_id kept — per-user
   event density grows, the realistic shape for windows);
-- documents: copy c shifts doc_id and prepends a copy-unique salt
-  token (shingle-disjoint copies — x1/x2 dedup does not collapse the
-  blow-up, the measure_corpus_scaling.py rule);
+- documents: copy c shifts doc_id and applies a PER-COPY TOKEN
+  BIJECTION (every token suffixed `_c<N>`): cross-copy shingle sets
+  are disjoint while each copy's INTERNAL Jaccard structure is
+  byte-identical to the base corpus, so near-dup work and output grow
+  exactly linearly with the blow-up. (r15 fix, two iterations: the
+  original rule prepended ONE salt token, leaving copies ~identical
+  under trigram Jaccard — near-dup OUTPUT grew ~940x for 10x docs and
+  the x2 sf1 "4.04x" was the data's quadratic true-pair density, not
+  engine scaling; an interleaved-salt attempt then DEGRADED shingle
+  entropy (salted trigrams carry two real words) and blew up banding
+  collisions instead. scripts/measure_minhash_phases.py attributes
+  all of it);
 - embeddings: copy c shifts vec_id (identical vectors: timing-only);
 - dimension tables (region nation customer supplier part): 1x copies —
   dims do not grow with fact volume, and blowing them up would break
@@ -55,8 +64,12 @@ def main() -> None:
             for col in shifts:
                 p = p.withColumn(col, F.col(col) + F.lit(c * _SHIFT))
             if salt_col is not None and c > 0:
+                # per-copy token bijection: cross-copy shingles
+                # disjoint, within-copy Jaccard structure preserved
+                # exactly (see module docstring, r15)
                 p = p.withColumn(
-                    salt_col, F.concat(F.lit(f"copysalt{c} "), F.col(salt_col))
+                    salt_col,
+                    F.regexp_replace(F.col(salt_col), r"(\S+)", f"$1_c{c}"),
                 )
             parts.append(p)
         o = parts[0]
