@@ -89,6 +89,7 @@ __all__ = [
     "ivfpq_vacuum",
     "ivfpq_recall_probe",
     "ivfpq_autotune_nprobe",
+    "ivfpq_build_autoselect",
     "bm25_topk",
     "rrf_fuse",
     "hybrid_search",
@@ -2149,6 +2150,76 @@ def ivfpq_autotune_nprobe(
         "met_target": met,
         "rebuild_recommended": not met,
         "trace": trace,
+    }
+
+
+def ivfpq_build_autoselect(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_rows: int | None = None,
+    target_recall: float = 0.7,
+    sample_queries: int = 50,
+    k: int = 10,
+) -> dict:
+    """Build an IVF-PQ index and let the RECALL PROBE choose the
+    quantizer (r15, VERDICT r14 #8): build with the cheap seeded
+    quantizer first, probe recall@k against exact brute force on the
+    deterministic sample, and when the probe misses `target_recall`,
+    REBUILD with the MLlib k-means quantizer (~1.2x build cost,
+    measured +0.03-0.08 recall@5 — SCALE.md §Quantizer choice) and
+    keep whichever build measured better. The registered oracle
+    queries (x3c/x3f) stay on the explicit seeded path — this entry
+    point is the production lifecycle knob, not a default change.
+
+    Returns {"quantizer", "recall_seeded", "recall_kmeans" (None when
+    the seeded build met target), "upgraded", "recall_at_k"}."""
+    spark = corpus.sparkSession
+    ivfpq_build(
+        corpus, index_dir, id_col=id_col, emb_col=emb_col,
+        n_rows=n_rows, quantizer="seeded",
+    )
+    seeded = ivfpq_recall_probe(
+        spark, index_dir, corpus, sample_queries=sample_queries, k=k,
+        id_col=id_col, emb_col=emb_col,
+    )["recall_at_k"]
+    if seeded >= target_recall:
+        return {
+            "quantizer": "seeded",
+            "recall_seeded": seeded,
+            "recall_kmeans": None,
+            "upgraded": False,
+            "recall_at_k": seeded,
+        }
+    ivfpq_build(
+        corpus, index_dir, id_col=id_col, emb_col=emb_col,
+        n_rows=n_rows, quantizer="kmeans",
+    )
+    km = ivfpq_recall_probe(
+        spark, index_dir, corpus, sample_queries=sample_queries, k=k,
+        id_col=id_col, emb_col=emb_col,
+    )["recall_at_k"]
+    if km >= seeded:
+        return {
+            "quantizer": "kmeans",
+            "recall_seeded": seeded,
+            "recall_kmeans": km,
+            "upgraded": True,
+            "recall_at_k": km,
+        }
+    # k-means measured WORSE on this corpus (rare; sampled fit) —
+    # rebuild seeded so the persisted index is the measured best
+    ivfpq_build(
+        corpus, index_dir, id_col=id_col, emb_col=emb_col,
+        n_rows=n_rows, quantizer="seeded",
+    )
+    return {
+        "quantizer": "seeded",
+        "recall_seeded": seeded,
+        "recall_kmeans": km,
+        "upgraded": False,
+        "recall_at_k": seeded,
     }
 
 

@@ -5,7 +5,9 @@ Two entry points a production scheduler actually wants:
 - :func:`dataset_details` — the ``DESCRIBE DETAIL`` row: live/retained
   file counts and bytes, partitioning, version-log state, pending
   takedowns, clustering, index specs, schema-evolution marker. Pure
-  METADATA (one filesystem walk + tiny sidecar reads) — safe to call
+  METADATA — on a size-logged dataset (r15) the live numbers come
+  straight from the version log (no live-tree listing at all); the
+  fallback is one batched walk + tiny sidecar reads. Safe to call
   from a dashboard poller against a 100 TB dataset; it never scans
   data.
 - :func:`maintain_dataset` — the nightly housekeeping pass, composed
@@ -44,6 +46,7 @@ from engage_spark.versioning import (
     _VRETAINED,
     _live_names,
     _pending_delete_versions,
+    _replay_files,
     _vlog_entries,
     vacuum_versions,
     version_log_enabled,
@@ -88,12 +91,27 @@ def dataset_details(spark: SparkSession, path: str) -> DataFrame:
     fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
         raise FileNotFoundError(f"dataset directory does not exist: {path}")
-    names = _live_names(spark, path)
-    # bytes ride the same recursive walk that found the files — one
-    # batched listing per directory, never a per-file RPC
-    # (review-found: a getFileStatus per live file is minutes at 10^5
-    # files, the opposite of dashboard-safe)
-    _, live_bytes = _tree_size(spark, path)
+    # LOG-OWNED when possible (r15): a version-logged dataset whose
+    # entries all carry recorded sizes answers names + live_bytes from
+    # the LOG — zero live-tree listing (the last read-shaped walk in
+    # the ops surface). Pre-r15 logs (any live file without a size)
+    # and unversioned datasets keep the batched-walk fallback — one
+    # recursive listing, never a per-file RPC (review-found: a
+    # getFileStatus per live file is minutes at 10^5 files, the
+    # opposite of dashboard-safe).
+    names = None
+    live_bytes = None
+    if version_log_enabled(spark, path):
+        from engage_spark.versioning import logged_live_bytes
+
+        entries = _vlog_entries(spark, path)
+        llb = logged_live_bytes(entries)
+        if llb is not None:
+            names = _replay_files(entries, entries[-1]["version"])
+            live_bytes = llb[1]
+    if names is None:
+        names = _live_names(spark, path)
+        _, live_bytes = _tree_size(spark, path)
     part_dirs = {n.rsplit("/", 1)[0] for n in names if "/" in n}
     # hive partitioning only when EVERY leaf dir carries the same
     # `k=`-shaped key tuple — a nested non-hive layout (batch-001/...)

@@ -77,7 +77,7 @@ _VRETAINED = f"{_VDIR}/retained"
 _ENTRY_SCHEMA = (
     "version long, op string, added array<string>, removed array<string>, "
     "key_col string, n_keys long, horizon long, ts_unix long, "
-    "schema_json string"
+    "schema_json string, added_bytes array<long>"
 )
 
 
@@ -447,6 +447,11 @@ def _vlog_entries(spark: SparkSession, path: str) -> list:
                     else None
                 ),
                 "schema_json": d.get("schema_json"),
+                "added_bytes": (
+                    list(d["added_bytes"])
+                    if d.get("added_bytes") is not None
+                    else None
+                ),
             }
         )
     out.sort(key=lambda e: e["version"])
@@ -530,6 +535,7 @@ def _vlog_append_entry(
         [(
             v, op, sorted(added), sorted(removed), key_col, n_keys,
             horizon, int(_time.time()), schema_json,
+            _added_sizes(spark, path, entries, op, sorted(added)),
         )],
         _ENTRY_SCHEMA,
     ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
@@ -662,6 +668,65 @@ def _commit_schema_json(
         return _json.dumps(merged.jsonValue()) if merged is not None else None
     except Exception:  # noqa: BLE001 — schema record is an optimization
         return None
+
+
+def _added_sizes(
+    spark: SparkSession, path: str, entries: list, op: str, added: list
+) -> list | None:
+    """Per-file byte sizes for the entry's `added` list, aligned with
+    its (sorted) order — recorded at commit time so dashboards
+    (dataset_details) and future planners read live bytes from the LOG
+    instead of walking the live tree (the Delta convention, r15).
+    Increment-sized: one getFileStatus per ADDED file (the files were
+    just renamed in, so the statuses are hot); `snapshot` entries copy
+    sizes from the accumulated log state instead of re-statting the
+    whole corpus every 32nd commit. None (never a partial lie) when
+    any size is unavailable — readers fall back to the walk."""
+    if not added:
+        return []
+    try:
+        if op == "snapshot":
+            known = _logged_sizes(entries)
+            out = [known.get(n) for n in added]
+            return out if all(b is not None for b in out) else None
+        sizes = []
+        for n in added:
+            fs, p = _fs(spark, f"{path}/{n}")
+            sizes.append(int(fs.getFileStatus(p).getLen()))
+        return sizes
+    except Exception:  # noqa: BLE001 — sizes are an optimization
+        return None
+
+
+def _logged_sizes(entries: list) -> dict:
+    """name → bytes for every file the log has a recorded size for
+    (latest record wins; removal does not erase — retained files keep
+    their logged size for retained-bytes accounting)."""
+    out: dict = {}
+    for e in entries:
+        ab = e.get("added_bytes") if isinstance(e, dict) else None
+        if ab is not None and len(ab) == len(e["added"]):
+            for n, b in zip(sorted(e["added"]), ab):
+                if b is not None:
+                    out[n] = int(b)
+    return out
+
+
+def logged_live_bytes(entries: list) -> tuple | None:
+    """(n_live_files, live_bytes) computed purely from the log, or
+    None when any live file predates size recording (pre-r15 log) —
+    the caller then falls back to the directory walk."""
+    if not entries:
+        return None
+    live = _replay_files(entries, entries[-1]["version"])
+    sizes = _logged_sizes(entries)
+    total = 0
+    for n in live:
+        b = sizes.get(n)
+        if b is None:
+            return None
+        total += b
+    return len(live), total
 
 
 def _schema_at(entries: list, upto: int):
@@ -2677,7 +2742,7 @@ def _vlog_compact(
             (
                 e["version"], e["op"], e["added"], e["removed"],
                 e["key_col"], e["n_keys"], e["horizon"], e["ts_unix"],
-                e["schema_json"],
+                e["schema_json"], e["added_bytes"],
             )
             for e in entries
         ],

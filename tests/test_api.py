@@ -2373,3 +2373,39 @@ def test_ivfpq_kmeans_quantizer_option(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="quantizer"):
         api.ivfpq_topk_search(e, queries, k=5, quantizer="bogus")
+
+
+def test_ivfpq_autoselect_quantizer_self_upgrades(spark, sf_dir, tmp_path):
+    """r15 (VERDICT r14 #8): the recall probe CHOOSES the quantizer.
+    A target the seeded build meets → no rebuild (oracle-stable cheap
+    path). A target it misses → the index self-upgrades: k-means
+    rebuild, re-probe, and the PERSISTED index is whichever measured
+    better — never an unmeasured default."""
+    from engage_spark import api
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # pass case: trivially met target → seeded kept, no second build
+    idx1 = str(tmp_path / "auto1")
+    rep = api.ivfpq_build_autoselect(e, idx1, target_recall=0.0)
+    assert rep["quantizer"] == "seeded" and rep["recall_kmeans"] is None
+    assert not rep["upgraded"]
+
+    # upgrade case: unreachable target forces the probe→rebuild path
+    idx2 = str(tmp_path / "auto2")
+    rep2 = api.ivfpq_build_autoselect(
+        e, idx2, target_recall=1.01, sample_queries=20, k=5
+    )
+    assert rep2["recall_kmeans"] is not None  # rebuild + re-probe ran
+    best = max(rep2["recall_seeded"], rep2["recall_kmeans"])
+    assert rep2["recall_at_k"] == best
+    assert rep2["quantizer"] == (
+        "kmeans" if rep2["recall_kmeans"] >= rep2["recall_seeded"]
+        else "seeded"
+    )
+    assert rep2["upgraded"] == (rep2["quantizer"] == "kmeans")
+    # the persisted index IS the winner: re-probe matches the report
+    got = api.ivfpq_recall_probe(
+        spark, idx2, e, sample_queries=20, k=5
+    )["recall_at_k"]
+    assert abs(got - rep2["recall_at_k"]) < 1e-9

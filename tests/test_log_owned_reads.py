@@ -237,3 +237,40 @@ def test_with_pinned_version_survives_mid_read_optimize(
     assert n == want + 25
     # the pin held: same version both runs, not "whatever is latest"
     assert v2 == latest_version(spark, out) - 1  # optimize committed after
+
+
+def test_dataset_details_live_bytes_from_log(spark, sf_dir, tmp_path, monkeypatch):
+    """r15: a version-logged dataset whose entries carry recorded
+    sizes answers n_live_files/live_bytes from the LOG — no live-tree
+    walk (retained/ keeps its bounded walk). The logged numbers match
+    the filesystem truth byte-for-byte."""
+    import engage_spark.maintenance as M
+    from engage_spark.maintenance import _tree_size, dataset_details
+
+    out = str(tmp_path / "details")
+    ev = _ev(spark, sf_dir)
+    write_parquet(ev.filter(F.col("event_id") % 2 == 0), out)
+    version_log_enable(spark, out)
+    append_dataset(spark, ev.filter(F.col("event_id") % 2 == 1), out)
+    truth_n, truth_b = _tree_size(spark, out)
+
+    real_tree = M._tree_size
+
+    def guarded_tree(spark_, root):
+        assert "_versions" in root, (
+            "live-tree walk in dataset_details on a size-logged dataset"
+        )
+        return real_tree(spark_, root)
+
+    monkeypatch.setattr(M, "_tree_size", guarded_tree)
+    _WalkTripwire(monkeypatch)
+
+    def _trip(*a, **k):
+        raise AssertionError("live-tree _live_names walk in details")
+
+    # maintenance binds _live_names by name at import — tripwire both
+    monkeypatch.setattr(M, "_live_names", _trip)
+    row = dataset_details(spark, out).collect()[0]
+    assert row["n_live_files"] == truth_n
+    assert row["live_bytes"] == truth_b
+    assert row["versioned"] and row["latest_version"] == 2
