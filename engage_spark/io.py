@@ -2656,6 +2656,17 @@ class maintenance_lease:
                     self._plock = plock
                     return self
                 holder = self._read_holder(store, lock_uri)
+                if holder == {}:
+                    # present but unreadable: either a transient read
+                    # glitch or a racing creator inside the backend's
+                    # create-visible-before-payload window — without a
+                    # grace re-read, {} parses as acquired_unix=0 and
+                    # a HEALTHY fresh lock gets instantly TTL-broken
+                    # (review-found r15). One short re-read; only a
+                    # lock that STAYS unreadable (genuinely torn
+                    # crash debris) falls through to the break path.
+                    time.sleep(0.2)
+                    holder = self._read_holder(store, lock_uri)
                 if holder is not None:
                     age = time.time() - holder.get("acquired_unix", 0)
                     if age > holder.get("ttl_s", self.ttl_s):

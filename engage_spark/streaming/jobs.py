@@ -521,10 +521,11 @@ def incremental_ingest_stream(
                 "never writes metrics; use on_violation='drop' or "
                 "remove metrics_dir"
             )
-    elif quarantine_dir is not None:
+    elif quarantine_dir is not None or metrics_dir is not None:
         raise ValueError(
-            "quarantine_dir is set but expectations is None — nothing "
-            "would ever land there; configure the rules or drop it"
+            "metrics_dir/quarantine_dir set but expectations is None — "
+            "nothing would ever land there; configure the rules or "
+            "drop them"
         )
     store_schema = "fingerprint string"
     bands_schema = "doc_id long, band int, band_key long"

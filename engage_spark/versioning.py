@@ -160,7 +160,15 @@ def _publish_stash_exists(spark: SparkSession, path: str) -> bool:
 def version_log_enabled(spark: SparkSession, path: str) -> bool:
     fs, p = _fs(spark, f"{path}/{_VLOG}")
     if fs.exists(p):
-        return True
+        # the dir alone is not "enabled": a crashed version_log_enable
+        # can leave only its dot-claim behind (the claim's create
+        # makes parent dirs), and answering True then poisons every
+        # read AND the re-enable (review-found r15). Enabled = at
+        # least one real entry part (one listStatus, metadata-sized).
+        for st in fs.listStatus(p):
+            if not st.getPath().getName().startswith(("_", ".")):
+                return True
+        return False
     # log absent: a crashed republish may have left it in the stash —
     # heal before answering (zero extra RPC on the common log-present
     # path; one exists() check on the log-absent path)
@@ -414,11 +422,17 @@ def _vlog_entries(spark: SparkSession, path: str) -> list:
         return []
     # mergeSchema: tolerate parts written before a log-schema column
     # was introduced (ts_unix, r13) — a sampled footer would drop it
-    rows = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(f"{path}/{_VLOG}")
-        .collect()
-    )
+    try:
+        rows = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{path}/{_VLOG}")
+            .collect()
+        )
+    except Exception as e:  # claim-only dir (crashed enable) reads as
+        # empty — consistent with version_log_enabled() == False
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return []
+        raise
     seen: set = set()
     # dedup by version: log compaction appends one consolidated part
     # before deleting the originals, so a crash inside that window
@@ -465,6 +479,42 @@ def _vlog_entries(spark: SparkSession, path: str) -> list:
 _SNAPSHOT_EVERY = 32
 
 
+def _vlog_allocate_version(
+    spark: SparkSession, path: str, entries: list
+) -> int:
+    """Claim the next version number (r15, the commit-store seam):
+    put-if-absent a `.v<N>.claim` marker under the log BEFORE anything
+    is named after the version. Under a healthy lease this succeeds
+    first try (one tiny create per commit); its value is on backends
+    where the lease's create-if-absent is NOT atomic (S3 without a
+    lock service, commitstore.py) — two writers racing the same
+    version resolve through the claim: exactly one wins, the loser
+    takes the next number, and the log NEVER carries two entries for
+    one version. Claims are dot-prefixed (invisible to parquet /
+    streaming reads) and swept by log compaction once settled. A crash
+    between claim and entry leaves a version GAP — every replay/range
+    consumer tolerates gaps (ent.get(v) is None → skip). Callers that
+    write version-named side effects (deletes_v{N} batches, restores)
+    MUST allocate first and pass `version=` to _vlog_append_entry, or
+    a stale claim would silently divorce the side effect's name from
+    the entry's version (review-found r15)."""
+    from engage_spark.commitstore import get_commit_store
+
+    v = (entries[-1]["version"] + 1) if entries else 1
+    store = get_commit_store()
+    for _try in range(64):
+        if store.put_if_absent(
+            spark, f"{path}/{_VLOG}/.v{v:012d}.claim", b"{}"
+        ):
+            return v
+        v += 1
+    raise RuntimeError(
+        f"could not allocate a log version for {path} after 64 "
+        "claim attempts — a runaway writer is claiming versions "
+        "without writing entries"
+    )
+
+
 def _vlog_append_entry(
     spark: SparkSession,
     path: str,
@@ -474,6 +524,7 @@ def _vlog_append_entry(
     key_col: str | None = None,
     n_keys: int = 0,
     horizon: int | None = None,
+    version: int | None = None,
 ) -> int:
     """Allocate the next version and append its entry. Caller must
     hold the maintenance_lease (version allocation reads max+1).
@@ -493,36 +544,20 @@ def _vlog_append_entry(
     import time as _time
 
     entries = _vlog_entries(spark, path)
-    v = (entries[-1]["version"] + 1) if entries else 1
-    # VERSION-ALLOCATION CLAIM (r15, the commit-store seam): before the
-    # entry lands, put-if-absent a `.v<N>.claim` marker under the log.
-    # Under a healthy lease this always succeeds first try (one tiny
-    # create per commit); its value is on backends where the lease's
-    # create-if-absent is NOT atomic (S3 without a lock service, see
-    # commitstore.py) — two writers racing the same version then
-    # resolve through the claim: exactly one wins, the loser allocates
-    # the next number, and the log NEVER carries two entries for one
-    # version (the silent-divergence failure _vlog_entries' dedup
-    # could otherwise paper over). Claims are dot-prefixed (invisible
-    # to parquet/streaming reads) and swept by log compaction once
-    # their version is settled. A crash between claim and entry write
-    # leaves a version GAP — every replay/range consumer tolerates
-    # gaps (ent.get(v) is None → skip).
-    from engage_spark.commitstore import get_commit_store
-
-    _store = get_commit_store()
-    for _try in range(64):
-        if _store.put_if_absent(
-            spark, f"{path}/{_VLOG}/.v{v:012d}.claim", b"{}"
-        ):
-            break
-        v += 1
+    if version is None:
+        v = _vlog_allocate_version(spark, path, entries)
     else:
-        raise RuntimeError(
-            f"could not allocate a log version for {path} after 64 "
-            "claim attempts — a runaway writer is claiming versions "
-            "without writing entries"
-        )
+        # caller pre-claimed (via _vlog_allocate_version) so its
+        # side effects — a deletes_v{N} batch, restored files — are
+        # named consistently with the entry. Loud check, not assert
+        # (python -O must not silence a corruption guard).
+        v = version
+        if entries and entries[-1]["version"] >= v:
+            raise RuntimeError(
+                f"pre-claimed version {v} is not past the log tip "
+                f"{entries[-1]['version']} for {path} — a racing "
+                "writer committed between allocation and entry write"
+            )
     schema_json = (
         (entries[-1]["schema_json"] if entries else None)
         if op == "snapshot"  # checkpoint: carry — its `added` is the
@@ -689,6 +724,13 @@ def _added_sizes(
             known = _logged_sizes(entries)
             out = [known.get(n) for n in added]
             return out if all(b is not None for b in out) else None
+        if len(added) > 256:
+            # init/reconcile/restore-sized lists: ONE recursive
+            # batched listing instead of a py4j getFileStatus per
+            # file (~2 ms each — minutes at 10^5 files, review-found)
+            walk = _walk_sizes(spark, path)
+            out = [walk.get(n) for n in added]
+            return out if all(b is not None for b in out) else None
         sizes = []
         for n in added:
             fs, p = _fs(spark, f"{path}/{n}")
@@ -696,6 +738,29 @@ def _added_sizes(
         return sizes
     except Exception:  # noqa: BLE001 — sizes are an optimization
         return None
+
+
+def _walk_sizes(spark: SparkSession, path: str) -> dict:
+    """name → bytes for every data file under the dataset root — one
+    recursive batched Hadoop listing (the _tree_size shape), `_`/`.`
+    dirs and files skipped."""
+    fs, p = _fs(spark, path)
+    root = fs.makeQualified(p).toUri().getPath().rstrip("/")
+    out: dict = {}
+    stack = [p]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                fp = st.getPath().toUri().getPath()
+                rel = fp[len(root) + 1:] if fp.startswith(root + "/") else name
+                out[rel] = int(st.getLen())
+    return out
 
 
 def _logged_sizes(entries: list) -> dict:
@@ -865,20 +930,31 @@ def _read_names(
     # equal the logged set, else (out-of-band drift, racing
     # maintenance) we fall through to the per-name leaf-path read.
     if names and live == set(names):
-        df = _reader().parquet(path)
-        if set(_relativize(spark, path, list(df.inputFiles()))) == live:
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = _reader().parquet(path)
+            got_files = set(_relativize(spark, path, list(df.inputFiles())))
+        except AnalysisException:
+            # empty/torn live root (a maintenance op crashed after
+            # retaining victims, before its entry) — fall through to
+            # the leaf-path resolution, whose crash-window fallback
+            # serves the logged latest from retained/
+            got_files = None
+        if got_files == live:
             return df
 
     def _split(trust_log: bool) -> tuple:
         live_sel, ret_sel = [], []
         for n in names:
-            if n in live and (
-                trust_log or _fs(spark, f"{path}/{n}")[0].exists(
-                    _fs(spark, f"{path}/{n}")[1]
-                )
-            ):
-                live_sel.append(f"{path}/{n}")
-                continue
+            if n in live:
+                if trust_log:
+                    live_sel.append(f"{path}/{n}")
+                    continue
+                lfs, lp = _fs(spark, f"{path}/{n}")
+                if lfs.exists(lp):
+                    live_sel.append(f"{path}/{n}")
+                    continue
             rfs, rp = _fs(spark, f"{path}/{_VRETAINED}/{n}")
             if not rfs.exists(rp):
                 raise ValueError(
@@ -934,6 +1010,15 @@ def version_log_enable(spark: SparkSession, path: str) -> int:
     if version_log_enabled(spark, path):
         raise ValueError(f"{path} already has a version log")
     with maintenance_lease(spark, path):
+        # a CRASHED prior enable may have left stale dot-claims in an
+        # otherwise-empty log dir (claim lands before the init entry);
+        # clear them so init allocates v1, not v2 (safe under the
+        # lease: no committed entries means no live allocator)
+        lfs, lp = _fs(spark, f"{path}/{_VLOG}")
+        if lfs.exists(lp) and not _vlog_entries(spark, path):
+            for st in lfs.listStatus(lp):
+                if st.getPath().getName().startswith("."):
+                    lfs.delete(st.getPath(), False)
         v = _vlog_append_entry(
             spark, path, "init", added=_live_names(spark, path), removed=[]
         )
@@ -981,7 +1066,7 @@ def record_logical_delete(
         # file set, or the snapshot at it is wrong forever
         _vlog_reconcile(spark, path)
         entries = _vlog_entries(spark, path)
-        v = (entries[-1]["version"] + 1) if entries else 1
+        v = _vlog_allocate_version(spark, path, entries)
         # when the caller didn't pass a count, ride it on the key-batch
         # write via an Observation — one evaluation of the input frame,
         # not a write plus a second count() run of the same plan
@@ -992,7 +1077,7 @@ def record_logical_delete(
         kdf.coalesce(1).write.mode("overwrite").parquet(
             f"{path}/{_VRETAINED}/deletes_v{v}"
         )
-        got = _vlog_append_entry(
+        _vlog_append_entry(
             spark,
             path,
             "logical_delete",
@@ -1000,8 +1085,8 @@ def record_logical_delete(
             removed=[],
             key_col=key_col,
             n_keys=int(obs.get["n"]) if obs is not None else n_keys,
+            version=v,
         )
-        assert got == v, "version raced despite lease"
     return v
 
 
@@ -1368,7 +1453,7 @@ def restore_version(spark: SparkSession, path: str, version: int) -> int:
                 rfs.delete(rp, False)  # duplicate from a replayed move
             else:
                 rfs.rename(rp, lp)
-        v_new = entries[-1]["version"] + 1
+        v_new = _vlog_allocate_version(spark, path, entries)
         # the restore's own DV re-record (entry-last commit, like
         # record_logical_delete): the target's pending keys, grouped
         # by key column. The FIRST key column's union batch rides the
@@ -1409,23 +1494,23 @@ def restore_version(spark: SparkSession, path: str, version: int) -> int:
 
         first_key = keyed[0] if keyed else None
         n0 = _write_batch(first_key, v_new) if first_key else 0
-        got = _vlog_append_entry(
+        _vlog_append_entry(
             spark, path, "restore",
             added=sorted(tset - live), removed=sorted(live - tset),
-            key_col=first_key, n_keys=n0,
+            key_col=first_key, n_keys=n0, version=v_new,
         )
-        assert got == v_new, "version raced despite lease"
         for key in keyed[1:]:
             # allocate just-in-time: a snapshot checkpoint may ride
             # behind any entry, shifting the next version number
-            v_b = _vlog_entries(spark, path)[-1]["version"] + 1
-            n_b = _write_batch(key, v_b)
-            got = _vlog_append_entry(
-                spark, path, "logical_delete", added=[], removed=[],
-                key_col=key, n_keys=n_b,
+            v_b = _vlog_allocate_version(
+                spark, path, _vlog_entries(spark, path)
             )
-            assert got == v_b, "version raced despite lease"
-            v_new = got
+            n_b = _write_batch(key, v_b)
+            _vlog_append_entry(
+                spark, path, "logical_delete", added=[], removed=[],
+                key_col=key, n_keys=n_b, version=v_b,
+            )
+            v_new = v_b
     return v_new
 
 
@@ -2724,18 +2809,41 @@ def _vlog_compact(
     read. Crash-safe without a rename swap: the consolidated part is
     APPENDED first, then the superseded parts are deleted; a crash in
     between leaves duplicate rows that _vlog_entries dedups by
-    version. Caller must hold the maintenance lease."""
+    version. Caller must hold the maintenance lease.
+
+    Allocation claims (`.v<N>.claim`) are NOT parts: they neither
+    count toward `max_parts` (each commit leaves part+claim, so
+    counting them halved the effective threshold) nor get deleted
+    wholesale — only claims with version <= the committed tip are
+    settled and swept; an in-flight claim ABOVE the tip (a writer
+    between claim and entry on a lease-less backend) must survive, or
+    a third writer could re-claim its version (review-found r15)."""
     fs, lp = _fs(spark, f"{path}/{_VLOG}")
-    parts = [
-        s.getPath()
-        for s in fs.listStatus(lp)
-        if not s.isDirectory() and not s.getPath().getName().startswith("_")
-    ]
+    parts = []
+    claims = []
+    for st in fs.listStatus(lp):
+        if st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name.startswith("."):
+            if name.endswith(".claim"):
+                claims.append(st.getPath())
+            continue
+        if not name.startswith("_"):
+            parts.append(st.getPath())
     if len(parts) <= max_parts:
         return False
     from engage_spark.session import local_frame
 
     entries = _vlog_entries(spark, path)
+    tip = entries[-1]["version"] if entries else 0
+    for cp in claims:
+        try:
+            n = int(cp.getName()[2:].split(".", 1)[0])
+        except ValueError:
+            continue
+        if n <= tip:
+            fs.delete(cp, False)
     local_frame(
         spark,
         [

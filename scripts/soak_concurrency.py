@@ -41,7 +41,11 @@ disjoint from merge keys, appends are globally disjoint. Validation:
   - the bloom sidecar (enabled at setup, harvested by every racing
     commit's hook) prunes and read_keys stays exact at the end.
 
-Usage: python scripts/soak_concurrency.py [sf_dir] [rounds]
+Usage: python scripts/soak_concurrency.py [sf_dir] [rounds] [store]
+`store` = "cas" runs the WHOLE soak against the reference
+conditional-put CommitStore (r15 seam: lease + version-allocation
+claims arbitrate through pure CAS semantics instead of filesystem
+O_EXCL/rename — the object-store shape) — same validation bar.
 Prints one JSON line with the verdict.
 """
 
@@ -62,6 +66,14 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    store = sys.argv[3] if len(sys.argv) > 3 else "default"
+    if store == "cas":
+        from engage_spark.commitstore import (
+            InMemoryCASCommitStore,
+            set_commit_store,
+        )
+
+        set_commit_store(InMemoryCASCommitStore())
 
     from engage_spark.io import (
         OptimizeConflict,
@@ -311,6 +323,7 @@ def main() -> None:
     )
     verdict = {
         "rounds": rounds,
+        "commit_store": store,
         "errors": errs,
         "appends": ops.count("append"),
         "upserts": ops.count("upsert"),

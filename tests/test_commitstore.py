@@ -173,3 +173,92 @@ def test_version_claim_prevents_double_allocation(spark, tmp_path):
     assert vs == [1, 3]  # v2 skipped, never double-written
     assert read_version(spark, out, 3).count() == 150
     assert read_version(spark, out, 2).count() == 100  # gap reads as prior
+
+
+def test_stale_claim_never_divorces_side_effects(spark, tmp_path):
+    """Review-found (r15): callers that write version-NAMED side
+    effects (record_logical_delete's deletes_v{N} batch) must allocate
+    through the claim, not precompute max+1 — a stale claim (crashed
+    writer between claim and entry) previously shifted the entry to
+    v+1 while the batch landed at v, corrupting the log durably."""
+    from engage_spark.io import delete_rows
+
+    out = str(tmp_path / "staleclaim")
+    write_parquet(_rows(spark, 0, 200), out)
+    version_log_enable(spark, out)  # v1
+    # stale claim for v2: a writer crashed between claim and entry
+    st = get_commit_store()
+    assert st.put_if_absent(
+        spark, f"{out}/_versions/log/.v{2:012d}.claim", b"{}"
+    )
+    delete_rows(
+        spark, out,
+        spark.range(0, 10).select(F.col("id").alias("k")), "k",
+    )
+    hist = {r["version"]: r["op"] for r in dataset_history(spark, out).collect()}
+    dv = [v for v, op in hist.items() if op == "logical_delete"]
+    assert len(dv) == 1
+    v = dv[0]
+    assert v != 2  # the stale claim's number was skipped
+    import os
+
+    # the batch is named after the ENTRY's version — consistent
+    assert os.path.isdir(f"{out}/_versions/retained/deletes_v{v}")
+    # and every read resolves (the old bug made this PATH_NOT_FOUND)
+    assert read_version(spark, out, v).count() == 190
+    assert read_version(spark, out, 1).count() == 200
+
+
+def test_crashed_enable_leaves_dataset_healthy(spark, tmp_path):
+    """Review-found (r15): the claim's create makes the log dir, so an
+    enable that crashes before its init entry used to leave a
+    claim-only dir that read as 'enabled' and failed every op. Now:
+    not enabled, and a re-enable lands init at v1."""
+    import os
+
+    from engage_spark.versioning import version_log_enabled
+
+    out = str(tmp_path / "crashenable")
+    write_parquet(_rows(spark, 0, 50), out)
+    # simulate the crash: claim only, no entry
+    os.makedirs(f"{out}/_versions/log", exist_ok=True)
+    open(f"{out}/_versions/log/.v{1:012d}.claim", "wb").write(b"{}")
+    assert version_log_enabled(spark, out) is False
+    assert spark.read.parquet(out).count() == 50  # plain reads fine
+    v = version_log_enable(spark, out)
+    assert v == 1  # stale claim cleared; init is v1, not v2
+    assert read_version(spark, out, 1).count() == 50
+
+
+def test_compact_spares_inflight_claims(spark, tmp_path):
+    """Review-found (r15): log compaction must not count claims toward
+    its threshold nor delete a claim ABOVE the committed tip (an
+    in-flight writer's allocation on a lease-less backend); settled
+    claims (<= tip) are swept."""
+    import os
+
+    from engage_spark.io import maintenance_lease
+    from engage_spark.versioning import _vlog_compact, _vlog_entries
+
+    out = str(tmp_path / "compactclaims")
+    write_parquet(_rows(spark, 0, 100), out)
+    version_log_enable(spark, out)
+    for k in range(3):
+        append_dataset(spark, _rows(spark, 100 + k * 10, 110 + k * 10), out)
+    tip = latest_version(spark, out)
+    inflight = f"{out}/_versions/log/.v{tip + 1:012d}.claim"
+    open(inflight, "wb").write(b"{}")
+    with maintenance_lease(spark, out):
+        assert _vlog_compact(spark, out, max_parts=1) is True
+    # settled claims swept, in-flight one survives
+    left = [
+        n for n in os.listdir(f"{out}/_versions/log") if n.endswith(".claim")
+    ]
+    assert left == [f".v{tip + 1:012d}.claim"]
+    # log intact after compaction
+    assert [e["version"] for e in _vlog_entries(spark, out)] == list(
+        range(1, tip + 1)
+    )
+    # and the in-flight claim still forces the next entry past it
+    append_dataset(spark, _rows(spark, 500, 510), out)
+    assert latest_version(spark, out) == tip + 2

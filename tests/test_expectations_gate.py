@@ -779,3 +779,18 @@ def test_metrics_dir_with_fail_mode_refused(spark, tmp_path):
             expectations=[{"rule": "not_null", "col": "text"}],
             on_violation="fail", metrics_dir=str(tmp_path / "m2"),
         )
+
+
+def test_ingest_metrics_dir_without_expectations_refused(spark, tmp_path):
+    """Review-found (r15): incremental_ingest_stream accepted
+    metrics_dir with expectations=None (cdc_merge_stream refused the
+    same combination) — the metrics write lives inside the
+    expectations branch, so nothing ever landed. Both refuse now."""
+    from engage_spark.streaming.jobs import incremental_ingest_stream
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="metrics_dir"):
+        incremental_ingest_stream(
+            docs, str(tmp_path / "corpus"), str(tmp_path / "store"),
+            metrics_dir=str(tmp_path / "m"),
+        )

@@ -274,3 +274,27 @@ def test_dataset_details_live_bytes_from_log(spark, sf_dir, tmp_path, monkeypatc
     assert row["n_live_files"] == truth_n
     assert row["live_bytes"] == truth_b
     assert row["versioned"] and row["latest_version"] == 2
+
+
+def test_crash_window_readable_without_logged_schema(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Review-found (r15): with NO logged schema (pre-r15 log) and a
+    maintenance crash that retained every live file before its entry,
+    the full-latest fast path used to raise UNABLE_TO_INFER_SCHEMA on
+    the empty live root. It must fall through to the leaf-path
+    resolution, which serves the logged latest from retained/."""
+    import engage_spark.versioning as V2
+
+    out = str(tmp_path / "crashwin")
+    ev = _ev(spark, sf_dir)
+    write_parquet(ev.limit(500), out)
+    version_log_enable(spark, out)
+    n = read_version(spark, out, 1).count()
+    # simulate a pre-r15 log: no schema at any version
+    monkeypatch.setattr(V2, "_schema_at", lambda entries, upto: None)
+    # simulate the crash: every live file retained, no entry written
+    for name in V2._replay_files(V2._vlog_entries(spark, out), 1):
+        V2._retain_file(spark, out, name)
+    got = read_version(spark, out, 1)
+    assert got.count() == n
