@@ -415,45 +415,88 @@ def _live_names(spark: SparkSession, path: str) -> list:
     return _staged_rel_files(spark, path)
 
 
+def _vlog_rows_pa(spark: SparkSession, path: str) -> list | None:
+    """The log's raw rows read DRIVER-SIDE via pyarrow — ~10 ms where
+    the Spark-job read costs ~240 ms of scheduling per call (r15:
+    _vlog_entries is the fixed term left in every log-owned read's
+    plan, paid 1-2x per read). Per-part reads tolerate schema drift
+    across log generations (ts_unix r13, schema_json/added_bytes r15)
+    the same way mergeSchema did — missing columns simply absent from
+    that part's dicts, handled by the caller's d.get(). Returns None
+    on ANY failure (exotic scheme pyarrow can't reach, torn part,
+    missing wheel) — the Spark read remains the fallback, never a
+    different answer."""
+    try:
+        import pyarrow.parquet as pq
+
+        fs, p = _fs(spark, f"{path}/{_VLOG}")
+        uri = fs.makeQualified(p).toUri().toString()
+        pafs, pp = _pa_fs_for(uri)
+        from pyarrow.fs import FileSelector
+
+        infos = pafs.get_file_info(FileSelector(pp, recursive=False))
+        rows: list = []
+        for fi in infos:
+            name = fi.base_name
+            if fi.type.name != "File" or name.startswith(("_", ".")):
+                continue
+            rows.extend(
+                pq.read_table(fi.path, filesystem=pafs).to_pylist()
+            )
+        return rows
+    except Exception:  # noqa: BLE001 — fallback, never a wrong answer
+        return None
+
+
 def _vlog_entries(spark: SparkSession, path: str) -> list:
     """All log entries as dicts, sorted by version (bounded: one row
     per maintenance event since enable — metadata, not data)."""
     if not version_log_enabled(spark, path):
         return []
-    # mergeSchema: tolerate parts written before a log-schema column
-    # was introduced (ts_unix, r13) — a sampled footer would drop it
-    try:
-        rows = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(f"{path}/{_VLOG}")
-            .collect()
-        )
-    except Exception as e:  # claim-only dir (crashed enable) reads as
-        # empty — consistent with version_log_enabled() == False
-        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
-            return []
-        raise
+    raw = _vlog_rows_pa(spark, path)
+    if raw is None:
+        # mergeSchema: tolerate parts written before a log-schema
+        # column was introduced — a sampled footer would drop it
+        try:
+            raw = [
+                r.asDict()
+                for r in spark.read.option("mergeSchema", "true")
+                .parquet(f"{path}/{_VLOG}")
+                .collect()
+            ]
+        except Exception as e:  # claim-only dir (crashed enable) reads
+            # as empty — consistent with version_log_enabled() == False
+            if (
+                "UNABLE_TO_INFER_SCHEMA" in str(e)
+                or "PATH_NOT_FOUND" in str(e)
+            ):
+                return []
+            raise
     seen: set = set()
     # dedup by version: log compaction appends one consolidated part
     # before deleting the originals, so a crash inside that window
     # leaves duplicate rows — harmless because versions are unique
     rows = [
-        r for r in rows
-        if int(r.version) not in seen and not seen.add(int(r.version))
+        d for d in raw
+        if int(d["version"]) not in seen and not seen.add(int(d["version"]))
     ]
     out = []
-    for r in rows:
-        d = r.asDict()
+    for d in rows:
         out.append(
             {
                 "version": int(d["version"]),
                 "op": d["op"],
                 "added": list(d["added"] or []),
                 "removed": list(d["removed"] or []),
-                "key_col": d["key_col"],
-                "n_keys": int(d["n_keys"] or 0),
+                # .get throughout: the pyarrow per-part read surfaces
+                # only the columns a part physically has (older log
+                # generations), where mergeSchema filled NULLs
+                "key_col": d.get("key_col"),
+                "n_keys": int(d.get("n_keys") or 0),
                 "horizon": (
-                    int(d["horizon"]) if d["horizon"] is not None else None
+                    int(d["horizon"])
+                    if d.get("horizon") is not None
+                    else None
                 ),
                 "ts_unix": (
                     int(d["ts_unix"])
