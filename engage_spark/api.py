@@ -16,6 +16,7 @@ deterministic sampling).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1073,35 +1074,85 @@ def topk_cosine_search(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")
     )
-    join_cond = (
-        F.col("neighbor_id") != F.col("query_id") if exclude_self else F.lit(True)
-    )
-    scored = (
-        c.join(F.broadcast(q), join_cond)
-        .withColumn("cos", cosine_expr("q_emb", "c_emb"))
-        .select("query_id", "neighbor_id", "cos")
-    )
-
-    def partial_topk(batches):
-        best = None
-        for pdf in batches:
-            cur = pdf if best is None else pd.concat([best, pdf])
-            cur = cur.sort_values(
-                ["query_id", "cos", "neighbor_id"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            best = cur.groupby("query_id", sort=False).head(k)
-        if best is not None:
-            yield best
-
-    # id columns keep their INPUT types (string doc ids are the common
-    # case) — a hardcoded `long` here would crash at Arrow serialization
+    # Queries collect to the driver (they are the SMALL side by this
+    # function's contract — the prior shape broadcast them anyway) and
+    # ride into the partial-top-k pass as a dense matrix. Scoring
+    # happens INSIDE that pass as one BLAS matmul per Arrow batch
+    # (r15): the prior shape scored via a broadcast join + the
+    # interpreted higher-order fold, then shipped corpus x queries
+    # SCORED rows through Arrow into the reduce — Q x more transfer
+    # than the corpus itself and the measured wall of this query. Now
+    # each corpus row crosses the Python boundary once; the exchange
+    # stays partitions x queries x k.
+    qrows = q.collect()
     qid_t = q.schema["query_id"].dataType.simpleString()
     nid_t = c.schema["neighbor_id"].dataType.simpleString()
-    reduced = scored.mapInPandas(
-        partial_topk, schema=f"query_id {qid_t}, neighbor_id {nid_t}, cos double"
-    )
+    if not qrows:
+        reduced = c.sparkSession.createDataFrame(
+            [], f"query_id {qid_t}, neighbor_id {nid_t}, cos double"
+        )
+    else:
+        qids = [r["query_id"] for r in qrows]
+        qmat = np.asarray([r["q_emb"] for r in qrows], dtype=np.float64)
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+        def score_topk(batches):
+            best = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cmat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["c_emb"]]
+                )
+                cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+                den = cnorm[:, None] * qnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (cmat @ qmat.T) / den
+                sims[den == 0] = np.nan  # zero-norm scores NULL-like
+                nids = pdf["neighbor_id"].to_numpy()
+                parts = []
+                for j, qid in enumerate(qids):
+                    s = sims[:, j]
+                    valid = ~np.isnan(s)
+                    if exclude_self:
+                        valid &= nids != qid
+                    idx = np.flatnonzero(valid)
+                    if idx.size == 0:
+                        continue
+                    if idx.size > k:
+                        # EXACT cut: every row with cos >= the k-th
+                        # value survives to the tie-break sort, so an
+                        # equal-cosine boundary resolves by
+                        # neighbor_id exactly like the final window
+                        # (argpartition alone picks arbitrarily among
+                        # boundary ties)
+                        kth = np.partition(-s[idx], k - 1)[k - 1]
+                        idx = idx[-s[idx] <= kth]
+                    parts.append(
+                        pd.DataFrame({
+                            "query_id": qid,
+                            "neighbor_id": nids[idx],
+                            "cos": s[idx],
+                        })
+                    )
+                if not parts:
+                    continue
+                cur = pd.concat([best, *parts]) if best is not None else (
+                    pd.concat(parts)
+                )
+                cur = cur.sort_values(
+                    ["query_id", "cos", "neighbor_id"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                best = cur.groupby("query_id", sort=False).head(k)
+            if best is not None:
+                yield best
+
+        reduced = c.mapInPandas(
+            score_topk,
+            schema=f"query_id {qid_t}, neighbor_id {nid_t}, cos double",
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
         reduced.withColumn("rank", F.row_number().over(w).cast("long"))
