@@ -786,8 +786,10 @@ def _added_sizes(
 def _walk_sizes(spark: SparkSession, path: str) -> dict:
     """name → bytes for every data file under the dataset root — one
     recursive batched Hadoop listing (the _tree_size shape), `_`/`.`
-    dirs and files skipped."""
+    dirs and files skipped. Missing root reads as empty."""
     fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return {}
     root = fs.makeQualified(p).toUri().getPath().rstrip("/")
     out: dict = {}
     stack = [p]
@@ -988,7 +990,7 @@ def _read_names(
             return df
 
     def _split(trust_log: bool) -> tuple:
-        live_sel, ret_sel = [], []
+        live_sel, ret_sel, ret_names = [], [], []
         for n in names:
             if n in live:
                 if trust_log:
@@ -998,8 +1000,23 @@ def _read_names(
                 if lfs.exists(lp):
                     live_sel.append(f"{path}/{n}")
                     continue
-            rfs, rp = _fs(spark, f"{path}/{_VRETAINED}/{n}")
-            if not rfs.exists(rp):
+            ret_names.append(n)
+        # retained existence: per-name probes are fine for diff-sized
+        # lists, but a time travel to a fully-optimized-away version
+        # retains its WHOLE file set — past 64 names one batched walk
+        # of retained/ replaces O(names) driver RPCs (r15; retained is
+        # bounded by the retention horizon, and the walk is the same
+        # listing shape vacuum already pays there)
+        have = set(_walk_sizes(spark, f"{path}/{_VRETAINED}")) if (
+            len(ret_names) > 64
+        ) else None
+        for n in ret_names:
+            if have is not None:
+                ok = n in have
+            else:
+                rfs, rp = _fs(spark, f"{path}/{_VRETAINED}/{n}")
+                ok = rfs.exists(rp)
+            if not ok:
                 raise ValueError(
                     f"data file {n} needed by this version was removed "
                     "by vacuum_versions; only versions within the "

@@ -28,7 +28,6 @@ from __future__ import annotations
 import random
 
 import pytest
-from pyspark.sql import functions as F
 
 from engage_spark.io import (
     append_dataset,
@@ -36,7 +35,6 @@ from engage_spark.io import (
     delete_rows,
     optimize_incremental,
     upsert_dataset,
-    write_parquet,
     zorder_write,
 )
 from engage_spark.versioning import (
