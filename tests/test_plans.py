@@ -44,10 +44,12 @@ def test_q1_aggregates_partially_before_exchange(spark, sf_dir):
 
 def test_topk_search_reduces_before_the_window_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x3_topk_cosine_search")
-    # the map-side partial top-k must sit between scoring and ranking
+    # scoring + the map-side partial top-k live in ONE pass (r15: the
+    # query matrix rides the closure; scoring is a BLAS matmul per
+    # Arrow batch) — no join of any kind in the plan, so the corpus
+    # crosses the Python boundary once and never shuffles pre-reduce
     assert "MapInPandas" in plan
-    # query set broadcasts; corpus side never sort-merge-joins
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan  # no broadcast, no SMJ, no cartesian
     assert "SortMergeJoin" not in plan
 
 
