@@ -2685,6 +2685,91 @@ def sync_mirror_stream(
     return writer.start()
 
 
+def changes_stream(
+    spark: SparkSession,
+    src_path: str,
+    checkpoint_dir: str,
+    apply_fn,
+    available_now: bool = True,
+    processing_time: str = "30 seconds",
+):
+    """GENERALIZED CDC consumption (r15): tail the version log and
+    hand each newly committed window's row-level change feed to
+    `apply_fn(feed_df, since_version, to_version)` — the
+    bring-your-own-sink sibling of sync_mirror_stream/sync_rollup
+    (index updaters, feature backfills, webhook fan-out). The feed is
+    exactly `read_changes(src, since, to)`: insert/delete rows tagged
+    with commit_version, cost bounded by each version's touched files.
+
+    Delivery contract: AT-LEAST-ONCE per version window, never a gap —
+    the consumer checkpoint (a tiny JSON under `checkpoint_dir`,
+    written through the CommitStore-independent overwrite since a
+    single consumer owns its own checkpoint dir) advances only AFTER
+    `apply_fn` returns, so a crash mid-apply replays the SAME window.
+    `apply_fn` must therefore be idempotent/convergent per window —
+    the same rule every drain in this module documents (sync_mirror's
+    staged commits, the rollup's recompute). Windows are MONOTONIC and
+    CONTIGUOUS: (last, latest] per micro-batch, in order.
+
+    `available_now=True` drains everything committed so far and stops
+    (the scheduled-job shape); False keeps a resident tail at
+    `processing_time` cadence. Returns the StreamingQuery."""
+    import json as _json
+
+    if not version_log_enabled(spark, src_path):
+        raise ValueError(
+            f"{src_path} has no version log (version_log_enable)"
+        )
+    ck_file = f"{checkpoint_dir}/consumer_v.json"
+
+    def _last() -> int:
+        try:
+            fs, p = _fs(spark, ck_file)
+            if not fs.exists(p):
+                return 0
+            stream = fs.open(p)
+            try:
+                raw = bytes(stream.readAllBytes())
+            finally:
+                stream.close()
+            return int(_json.loads(raw.decode())["v"])
+        except Exception:
+            return 0  # torn checkpoint: replay from init (at-least-once)
+
+    def _advance(v: int) -> None:
+        fs, p = _fs(spark, ck_file)
+        fs.mkdirs(p.getParent())
+        out = fs.create(p, True)
+        out.write(_json.dumps({"v": int(v)}).encode())
+        out.close()
+
+    def _drain(batch_df, batch_id) -> None:
+        # entries are just the trigger; the window comes from the
+        # consumer's own checkpoint (duplicate triggers no-op)
+        last = _last()
+        entries = _vlog_entries(spark, src_path)
+        hi = entries[-1]["version"] if entries else 0
+        if hi <= last:
+            return
+        since = max(1, last)
+        apply_fn(read_changes(spark, src_path, since, hi), since, hi)
+        _advance(hi)
+
+    stream = (
+        spark.readStream.schema(_ENTRY_SCHEMA)
+        .parquet(f"{src_path}/{_VLOG}")
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_drain)
+        .option("checkpointLocation", f"{checkpoint_dir}/stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def vacuum_versions(
     spark: SparkSession, path: str, keep_last: int = 7,
     keep_seconds: int | None = None,

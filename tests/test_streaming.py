@@ -943,3 +943,87 @@ def test_cdc_merge_stream_versioned_target(spark, sf_dir, tmp_path):
     assert live2.filter(F.col("doc_id") == back_id).first()["lang"] == "zz"
     # time travel across both stream commits stays exact
     assert read_version(spark, tgt, 2).count() == n0 - n_del
+
+
+def test_changes_stream_delivers_contiguous_windows(spark, tmp_path):
+    """r15 generalized CDC consumer: each drain hands apply_fn exactly
+    the (last, latest] feed; windows are contiguous; a failing apply
+    does NOT advance the checkpoint (the same window redelivers); the
+    union of delivered feeds replays init -> final."""
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import append_dataset, delete_rows, write_parquet
+    from engage_spark.versioning import changes_stream, version_log_enable
+
+    out = str(tmp_path / "cdc_src")
+    write_parquet(
+        spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        out,
+    )
+    version_log_enable(spark, out)
+    append_dataset(
+        spark,
+        spark.range(100, 150).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        out,
+    )
+
+    windows: list = []
+    rows: list = []
+
+    def apply_fn(feed, lo, hi):
+        windows.append((lo, hi))
+        rows.extend(feed.collect())
+
+    ck = str(tmp_path / "consumer")
+    q = changes_stream(spark, out, ck, apply_fn)
+    q.awaitTermination()
+    assert windows == [(1, 2)]
+
+    # more commits; a second availableNow run drains ONLY the delta
+    delete_rows(
+        spark, out, spark.createDataFrame([(5,), (7,)], "k long"), "k"
+    )
+    append_dataset(
+        spark,
+        spark.range(150, 160).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        out,
+    )
+    q = changes_stream(spark, out, ck, apply_fn)
+    q.awaitTermination()
+    assert windows == [(1, 2), (2, 4)]  # contiguous, no gap, no overlap
+
+    # failure does not advance: the SAME window redelivers
+    append_dataset(
+        spark,
+        spark.range(160, 165).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        out,
+    )
+    calls = {"n": 0}
+
+    def flaky(feed, lo, hi):
+        calls["n"] += 1
+        raise RuntimeError("injected apply crash")
+
+    import pytest as _pytest
+
+    q = changes_stream(spark, out, ck, flaky)
+    with _pytest.raises(Exception, match="injected apply crash"):
+        q.awaitTermination()
+    q = changes_stream(spark, out, ck, apply_fn)
+    q.awaitTermination()
+    assert windows[-1] == (4, 5)  # redelivered after the crash
+
+    # the union of delivered feeds replays v1 -> final
+    state = {k: k for k in range(100)}
+    for r in sorted(rows, key=lambda r: r["commit_version"]):
+        if r["change_type"] == "insert":
+            state[r["k"]] = r["v"]
+        elif state.get(r["k"]) == r["v"]:
+            state.pop(r["k"])
+    from engage_spark.io import read_with_deletes
+
+    final = {
+        r["k"]: r["v"]
+        for r in read_with_deletes(spark, out).select("k", "v").collect()
+    }
+    assert state == final
