@@ -1093,6 +1093,13 @@ def topk_cosine_search(
         )
     else:
         qids = [r["query_id"] for r in qrows]
+        qdims = {len(r["q_emb"]) for r in qrows}
+        if len(qdims) != 1:
+            raise ValueError(
+                f"query embeddings have mixed dimensions {sorted(qdims)} — "
+                "top-k cosine needs one consistent dimension"
+            )
+        dim = qdims.pop()
         qmat = np.asarray([r["q_emb"] for r in qrows], dtype=np.float64)
         qnorm = np.sqrt((qmat * qmat).sum(axis=1))
 
@@ -1101,6 +1108,16 @@ def topk_cosine_search(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                # a corpus row whose embedding length mismatches the
+                # queries scored NULL under the old zip_with path
+                # (null-padding) and so never reached the top-k —
+                # keep that semantic by dropping it here rather than
+                # letting a ragged matrix kill the task
+                lens = pdf["c_emb"].map(len)
+                if (lens != dim).any():
+                    pdf = pdf[lens == dim]
+                    if len(pdf) == 0:
+                        continue
                 cmat = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf["c_emb"]]
                 )

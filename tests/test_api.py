@@ -2409,3 +2409,30 @@ def test_ivfpq_autoselect_quantizer_self_upgrades(spark, sf_dir, tmp_path):
         spark, idx2, e, sample_queries=20, k=5
     )["recall_at_k"]
     assert abs(got - rep2["recall_at_k"]) < 1e-9
+
+
+def test_topk_cosine_tolerates_ragged_corpus_rows(spark):
+    """A corpus row whose embedding length mismatches the queries
+    scored NULL under the old zip_with path and never reached the
+    top-k — the r15 matmul path must keep that semantic (drop, never
+    crash), and mixed-dimension QUERIES must raise loudly."""
+    from engage_spark import api
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.5, 0.5, 0.5]),
+         (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id = 1")
+    got = api.topk_cosine_search(corpus, queries, k=3).collect()
+    ids = [r["neighbor_id"] for r in got]
+    assert 3 not in ids  # ragged row dropped, not crashed
+    assert ids[0] == 2  # nearest by cosine
+    import pytest as _pytest
+
+    bad_q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="mixed dimensions"):
+        api.topk_cosine_search(corpus, bad_q, k=2)
