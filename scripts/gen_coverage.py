@@ -172,7 +172,7 @@ def main() -> None:
 ## Beyond the inventory
 
 - Pipelines: `engage_spark.pipelines` (EP1/EP2/EP3 end-to-end + DAG orchestration)
-- Streaming: `engage_spark.streaming` (tumbling/sliding/session windows, stream-stream interval join, dropDuplicatesWithinWatermark, applyInPandasWithState; st_* queries run real streaming plans under the driver's hash check; round 7 adds incremental_ingest_stream — foreachBatch corpus ingest deduping against the persisted fingerprint store with idempotent per-batch partitions)
+- Streaming: `engage_spark.streaming` (tumbling/sliding/session windows, stream-stream interval join, dropDuplicatesWithinWatermark, applyInPandasWithState; st_* queries run real streaming plans under the driver's hash check; round 7 adds incremental_ingest_stream — foreachBatch corpus ingest deduping against the persisted fingerprint store with idempotent per-batch partitions; round 15 adds versioning.changes_stream — the generalized bring-your-own-sink change-feed consumer with contiguous at-least-once windows)
 - Custom joins: as-of (oracle = DuckDB native ASOF JOIN), binned range join
 - Extensions: rollup/cube, rank/ntile/RANGE frames, exact+approx percentiles, HLL sketches, salted skew join, MLlib TF-IDF, IVF/LSH ANN
 - Embedding curation: SemDeDup semantic dedup + IVF/search-LSH ANN with corpus-derived parameters (SCALE.md), all full-oracle — round 7 adds the product-quantization family (x3e codes, x3e2 ADC shortlist + exact re-rank) and a one-step Lloyd refinement of the IVF quantizer; round 9 adds true IVF-PQ with residual encoding (x3f, probed-list ADC over residual codes, full oracle); runnable example in examples/semantic_dedup_and_search.py
