@@ -1093,6 +1093,20 @@ def topk_cosine_search(
         )
     else:
         qids = [r["query_id"] for r in qrows]
+        # query-side garbage is LOUD (review-found): a NULL query
+        # embedding / null element / mixed dimension scored every
+        # pair NULL under the old fold and emitted k junk rows per
+        # query — an error the caller should see, not rank
+        bad = [
+            r["query_id"] for r in qrows
+            if r["q_emb"] is None or any(x is None for x in r["q_emb"])
+        ]
+        if bad:
+            raise ValueError(
+                f"query embeddings are NULL or contain NULL elements "
+                f"for query_id in {bad[:5]} — top-k cosine needs "
+                "dense query vectors"
+            )
         qdims = {len(r["q_emb"]) for r in qrows}
         if len(qdims) != 1:
             raise ValueError(
@@ -1108,31 +1122,45 @@ def topk_cosine_search(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                # a corpus row whose embedding length mismatches the
-                # queries scored NULL under the old zip_with path
-                # (null-padding) and so never reached the top-k —
-                # keep that semantic by dropping it here rather than
-                # letting a ragged matrix kill the task
-                lens = pdf["c_emb"].map(len)
-                if (lens != dim).any():
-                    pdf = pdf[lens == dim]
-                    if len(pdf) == 0:
-                        continue
-                cmat = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["c_emb"]]
-                )
+                # a corpus row whose embedding is NULL, ragged, or
+                # carries NULL elements scored NULL under the old
+                # zip_with path (null-padding/poisoning) and so never
+                # reached the top-k — keep exactly that semantic by
+                # dropping such rows here rather than letting them
+                # kill the task (review-found: len(None) raised)
+                def _dense(v):
+                    if v is None or len(v) != dim:
+                        return None
+                    try:
+                        arr = np.asarray(v, dtype=np.float64)
+                    except (TypeError, ValueError):
+                        return None  # null elements
+                    return arr
+                vecs = [_dense(v) for v in pdf["c_emb"]]
+                keep = [i for i, a in enumerate(vecs) if a is not None]
+                if not keep:
+                    continue
+                if len(keep) < len(pdf):
+                    pdf = pdf.iloc[keep]
+                cmat = np.stack([vecs[i] for i in keep])
                 cnorm = np.sqrt((cmat * cmat).sum(axis=1))
                 den = cnorm[:, None] * qnorm[None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = (cmat @ qmat.T) / den
                 sims[den == 0] = np.nan  # zero-norm scores NULL-like
                 nids = pdf["neighbor_id"].to_numpy()
+                # a NULL corpus id was null-REJECTED by the old join
+                # condition (NULL != x is NULL) — preserve: under
+                # exclude_self, null ids never rank. pd.isna covers
+                # both object-dtype None and the NaN pandas converts
+                # null integer ids into.
+                nid_notnull = ~pd.isna(pdf["neighbor_id"]).to_numpy()
                 parts = []
                 for j, qid in enumerate(qids):
                     s = sims[:, j]
                     valid = ~np.isnan(s)
                     if exclude_self:
-                        valid &= nids != qid
+                        valid &= nid_notnull & (nids != qid)
                     idx = np.flatnonzero(valid)
                     if idx.size == 0:
                         continue

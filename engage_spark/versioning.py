@@ -1726,6 +1726,7 @@ def read_changes(
     path: str,
     since_version: int,
     to_version: int | None = None,
+    entries: list | None = None,
 ) -> DataFrame:
     """CHANGE DATA FEED: row-level changes committed AFTER
     `since_version`, up to `to_version` (default: latest), tagged with
@@ -1751,9 +1752,12 @@ def read_changes(
     costs ~1 % IO. Engine extension; no reference counterpart.
     Log-owned (r15): drains COMMITTED versions only — no reconcile
     walk on the consumer's poll path."""
-    if not version_log_enabled(spark, path):
-        raise ValueError(f"{path} has no version log (version_log_enable)")
-    entries = _vlog_entries(spark, path)
+    if entries is None:
+        if not version_log_enabled(spark, path):
+            raise ValueError(
+                f"{path} has no version log (version_log_enable)"
+            )
+        entries = _vlog_entries(spark, path)
     hi = entries[-1]["version"]
     live_now = set(_replay_files(entries, hi))
     to_version = hi if to_version is None else to_version
@@ -2692,6 +2696,7 @@ def changes_stream(
     apply_fn,
     available_now: bool = True,
     processing_time: str = "30 seconds",
+    start_version: int | None = None,
 ):
     """GENERALIZED CDC consumption (r15): tail the version log and
     hand each newly committed window's row-level change feed to
@@ -2711,6 +2716,17 @@ def changes_stream(
     staged commits, the rollup's recompute). Windows are MONOTONIC and
     CONTIGUOUS: (last, latest] per micro-batch, in order.
 
+    `start_version` seeds a FRESH consumer (no checkpoint yet): the
+    first drain covers (start_version, latest]. Default None = replay
+    from init — on a dataset whose early history passed the retention
+    horizon (vacuum_versions), a fresh consumer MUST pass a
+    start_version at or inside the horizon (typically
+    `latest_version(spark, src)` after bootstrapping the sink from a
+    snapshot read), or its first drain fails with the retention error
+    on every restart. A TORN consumer checkpoint raises loudly
+    instead of silently replaying from init (review-found: the silent
+    0 wedged consumers into exactly that vacuumed-history replay).
+
     `available_now=True` drains everything committed so far and stops
     (the scheduled-job shape); False keeps a resident tail at
     `processing_time` cadence. Returns the StreamingQuery."""
@@ -2723,18 +2739,26 @@ def changes_stream(
     ck_file = f"{checkpoint_dir}/consumer_v.json"
 
     def _last() -> int:
+        fs, p = _fs(spark, ck_file)
+        if not fs.exists(p):
+            return int(start_version or 0)
         try:
-            fs, p = _fs(spark, ck_file)
-            if not fs.exists(p):
-                return 0
             stream = fs.open(p)
             try:
                 raw = bytes(stream.readAllBytes())
             finally:
                 stream.close()
             return int(_json.loads(raw.decode())["v"])
-        except Exception:
-            return 0  # torn checkpoint: replay from init (at-least-once)
+        except Exception as e:
+            # torn/out-of-band-overwritten checkpoint (a checksum
+            # mismatch on local fs surfaces HERE, not at parse):
+            # LOUD, never a silent replay-from-init (review-found —
+            # on vacuumed history that replay wedges the consumer)
+            raise RuntimeError(
+                f"changes_stream consumer checkpoint {ck_file} is "
+                "unreadable — repair or delete it (deleting replays "
+                f"from start_version={start_version or 0})"
+            ) from e
 
     def _advance(v: int) -> None:
         fs, p = _fs(spark, ck_file)
@@ -2745,14 +2769,18 @@ def changes_stream(
 
     def _drain(batch_df, batch_id) -> None:
         # entries are just the trigger; the window comes from the
-        # consumer's own checkpoint (duplicate triggers no-op)
+        # consumer's own checkpoint (duplicate triggers no-op). ONE
+        # log read per drain — read_changes reuses it via entries=
         last = _last()
         entries = _vlog_entries(spark, src_path)
         hi = entries[-1]["version"] if entries else 0
         if hi <= last:
             return
         since = max(1, last)
-        apply_fn(read_changes(spark, src_path, since, hi), since, hi)
+        apply_fn(
+            read_changes(spark, src_path, since, hi, entries=entries),
+            since, hi,
+        )
         _advance(hi)
 
     stream = (

@@ -2425,7 +2425,7 @@ def test_topk_cosine_tolerates_ragged_corpus_rows(spark):
     )
     queries = corpus.filter("vec_id = 1")
     got = api.topk_cosine_search(corpus, queries, k=3).collect()
-    ids = [r["neighbor_id"] for r in got]
+    ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
     assert 3 not in ids  # ragged row dropped, not crashed
     assert ids[0] == 2  # nearest by cosine
     import pytest as _pytest

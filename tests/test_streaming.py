@@ -1027,3 +1027,57 @@ def test_changes_stream_delivers_contiguous_windows(spark, tmp_path):
         for r in read_with_deletes(spark, out).select("k", "v").collect()
     }
     assert state == final
+
+
+def test_changes_stream_start_version_and_torn_checkpoint(spark, tmp_path):
+    """Review-found (r15): a fresh consumer can seed past vacuumed
+    history via start_version, and a TORN consumer checkpoint raises
+    loudly instead of silently replaying from init."""
+    from pyspark.sql import functions as F
+
+    from engage_spark.io import append_dataset, write_parquet
+    from engage_spark.versioning import changes_stream, version_log_enable
+
+    out = str(tmp_path / "cdc_sv")
+    write_parquet(
+        spark.range(50).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        out,
+    )
+    version_log_enable(spark, out)                     # v1
+    append_dataset(
+        spark,
+        spark.range(50, 60).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        out,
+    )                                                  # v2
+    append_dataset(
+        spark,
+        spark.range(60, 70).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        out,
+    )                                                  # v3
+
+    windows: list = []
+    ck = str(tmp_path / "seeded")
+    q = changes_stream(
+        spark, out, ck, lambda feed, lo, hi: windows.append((lo, hi)),
+        start_version=2,
+    )
+    q.awaitTermination()
+    assert windows == [(2, 3)]  # history before the seed never drained
+
+    # torn checkpoint: loud, names the file
+    import os
+
+    with open(f"{ck}/consumer_v.json", "w") as f:
+        f.write('{"v": tor')
+    append_dataset(
+        spark,
+        spark.range(70, 75).select(F.col("id").alias("k"), F.col("id").alias("v")),
+        out,
+    )
+    import pytest as _pytest
+
+    q = changes_stream(
+        spark, out, ck, lambda feed, lo, hi: windows.append((lo, hi))
+    )
+    with _pytest.raises(Exception, match="consumer checkpoint"):
+        q.awaitTermination()
