@@ -3711,6 +3711,14 @@ def _is_missing_file_error(exc) -> bool:
         # surfaces as schema inference failing, not file-not-found
         or "UNABLE_TO_INFER_SCHEMA" in s
         or "Unable to infer schema" in s
+        # RawLocalFileSystem's permission probe shells out to `ls`;
+        # a file a racing commit moved mid-listing then renders as
+        # "Error while running command to get file permissions ...
+        # ls: cannot access ...: No such file or directory" — caught
+        # live by the 5-round mixed-writer soak (r15): without this
+        # the applier's documented restage-on-conflict path was
+        # skipped and the race escaped as a crash
+        or "No such file or directory" in s
     )
 
 

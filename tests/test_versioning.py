@@ -3663,3 +3663,22 @@ def test_default_merge_after_evolution_preserves_evolved_column(
     )
     assert kept.filter(F.col("quality").isNotNull()).count() == kept.count()
     assert back.count() == d.count()
+
+
+def test_missing_file_detector_covers_local_permission_probe():
+    """Soak-found (r15): a victim moved by a racing commit mid-listing
+    surfaces through RawLocalFileSystem's permission probe as an
+    ls-shell error, not a FileNotFoundException — the OCC retry paths
+    must classify it as a write conflict (restage), not a crash."""
+    from engage_spark.io import _is_missing_file_error
+
+    shell_err = RuntimeError(
+        "An error occurred while calling o9194.hasNext.\n"
+        ": java.lang.RuntimeException: Error while running command to "
+        "get file permissions : ExitCodeException exitCode=2: ls: "
+        "cannot access '/tmp/x/lang=de/part-00000.snappy.parquet': "
+        "No such file or directory"
+    )
+    assert _is_missing_file_error(shell_err)
+    assert _is_missing_file_error(Exception("PATH_NOT_FOUND: /x"))
+    assert not _is_missing_file_error(Exception("quota exceeded"))
