@@ -63,6 +63,7 @@ from engage_spark.versioning import (
     _heal_staged_sidecar_if_idle,
     _live_names,
     _pa_fs_for,
+    _pa_read_small,
     _read_names,
     _replay_files,
     _schema_at,
@@ -283,10 +284,20 @@ def _bloom_spec(spark: SparkSession, path: str) -> tuple:
     sfs, sp = _fs(spark, f"{path}/{_VBLOOM_SPEC}")
     if not sfs.exists(sp):
         return [], 0.0
-    try:
-        row = spark.read.parquet(f"{path}/{_VBLOOM_SPEC}").collect()
-    except Exception:
-        return [], 0.0
+    # driver-side pyarrow read (r15 optimization round): the spec is
+    # probed 3-4x per lifecycle op and a one-row Spark read job cost
+    # ~150 ms each; torn/unreadable still degrades to 'not enabled'
+    row = _pa_read_small(spark, f"{path}/{_VBLOOM_SPEC}")
+    if row is None:
+        try:
+            row = [
+                r.asDict()
+                for r in spark.read.parquet(
+                    f"{path}/{_VBLOOM_SPEC}"
+                ).collect()
+            ]
+        except Exception:
+            return [], 0.0
     if not row:
         return [], 0.0
     return list(row[0]["cols"]), float(row[0]["fpp"])

@@ -2503,11 +2503,31 @@ def optimize_recover(spark: SparkSession, path: str) -> dict:
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for any Hadoop-FS URI — the same API the
     compaction passes use, so every maintenance op works on object
-    stores, not just local paths."""
+    stores, not just local paths.
+
+    The FileSystem handle is cached per (session, scheme://authority):
+    Hadoop's FileSystem.get already returns one shared instance per
+    (scheme, authority, conf), so the cache changes nothing about
+    which object is used — it only skips the two py4j round trips
+    (hadoopConfiguration + getFileSystem) that a maintenance op
+    otherwise pays 60-130 times per lifecycle (r15 profile: ~0.3-0.5 s
+    of pure driver py4j per versioned bench query)."""
     jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf), p
+    if "://" in path:
+        scheme, _, rest = path.partition("://")
+        key = scheme + "://" + rest.split("/", 1)[0]
+    else:
+        key = ""
+    # cache lives ON the session object so it dies with the session
+    # (a module-level dict keyed by id(spark) could hand a stale JVM
+    # handle to a new session reusing the same address)
+    cache = spark.__dict__.setdefault("_engage_fs_cache", {})
+    fs = cache.get(key)
+    if fs is None:
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        cache[key] = fs
+    return fs, p
 
 
 # ---------------------------------------------------------------------------

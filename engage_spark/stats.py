@@ -35,6 +35,7 @@ from engage_spark.versioning import (
     _heal_staged_sidecar_if_idle,
     _live_names,
     _pa_fs_for,
+    _pa_read_small,
     _read_names,
     _replay_files,
     _schema_at,
@@ -181,10 +182,20 @@ def _stats_spec(spark: SparkSession, path: str) -> list:
     sfs, sp = _fs(spark, f"{path}/{_VSTATS_SPEC}")
     if not sfs.exists(sp):
         return []
-    try:
-        row = spark.read.parquet(f"{path}/{_VSTATS_SPEC}").collect()
-    except Exception:
-        return []
+    # driver-side pyarrow read (r15 optimization round): probed on
+    # every versioned commit tail; a one-row Spark read job cost
+    # ~150 ms each; torn/unreadable still degrades to 'not enabled'
+    row = _pa_read_small(spark, f"{path}/{_VSTATS_SPEC}")
+    if row is None:
+        try:
+            row = [
+                r.asDict()
+                for r in spark.read.parquet(
+                    f"{path}/{_VSTATS_SPEC}"
+                ).collect()
+            ]
+        except Exception:
+            return []
     return list(row[0]["cols"]) if row else []
 
 

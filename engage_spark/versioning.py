@@ -321,14 +321,28 @@ def _sidecar_harvest(
     have: set = set()
     sfs, sp = _fs(spark, f"{path}/{sidecar_rel}")
     if sfs.exists(sp):
-        have = {
-            (r["name"], r["col"])
-            for r in spark.read.parquet(f"{path}/{sidecar_rel}")
-            .filter(F.col("name").isin(list(data_names)))
-            .select("name", "col")
-            .distinct()
-            .collect()
-        }
+        # (name, col) pair probe driver-side via pyarrow: the
+        # projection never touches the payload pages (bloom bitsets),
+        # and the Spark filter+collect job it replaces cost ~200 ms
+        # per commit tail (r15 optimization round)
+        pa_rows = _pa_read_small(
+            spark, f"{path}/{sidecar_rel}", columns=["name", "col"]
+        )
+        if pa_rows is not None:
+            nameset = set(data_names)
+            have = {
+                (r["name"], r["col"]) for r in pa_rows
+                if r["name"] in nameset
+            }
+        else:
+            have = {
+                (r["name"], r["col"])
+                for r in spark.read.parquet(f"{path}/{sidecar_rel}")
+                .filter(F.col("name").isin(list(data_names)))
+                .select("name", "col")
+                .distinct()
+                .collect()
+            }
     by_missing: dict = {}
     for n in sorted(data_names):
         missing = tuple(c for c in cols if (n, c) not in have)
@@ -360,9 +374,20 @@ def _sidecar_harvest(
                 got.extend(file_rows(uri, rel, want))
         rows.extend(got)
     if rows:
-        local_frame(spark, rows, schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(f"{path}/{sidecar_rel}")
+        from pyspark.sql import types as _T
+
+        field_names = [
+            f.name for f in _T._parse_datatype_string(schema).fields
+        ]
+        if not _pa_append_small(
+            spark,
+            f"{path}/{sidecar_rel}",
+            [dict(zip(field_names, r)) for r in rows],
+            schema,
+        ):
+            local_frame(spark, rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{path}/{sidecar_rel}")
     return done
 
 
@@ -413,6 +438,90 @@ def _live_names(spark: SparkSession, path: str) -> list:
     if not fs.exists(p):
         raise FileNotFoundError(f"dataset directory does not exist: {path}")
     return _staged_rel_files(spark, path)
+
+
+def _pa_dir_for(spark: SparkSession, dir_path: str):
+    """(pyarrow fs, in-fs path) for a sidecar DIRECTORY path."""
+    fs, p = _fs(spark, dir_path)
+    uri = fs.makeQualified(p).toUri().toString()
+    return _pa_fs_for(uri)
+
+
+def _pa_read_small(
+    spark: SparkSession, dir_path: str, columns: list | None = None
+) -> list | None:
+    """Rows (list of dicts) of a TINY parquet sidecar dir — spec files,
+    state markers, (name, col) probe projections — read driver-side via
+    pyarrow (~5-15 ms) instead of a Spark job (~150-250 ms of pure
+    scheduling for a one-row frame; r15 profile: _bloom_spec /
+    _stats_spec were read 3-4x per lifecycle query). Missing dir reads
+    as []; None on ANY other failure — the caller's Spark read stays
+    the fallback, never a different answer (guide §5: the driver
+    should not schedule distributed work for metadata-sized state)."""
+    try:
+        import pyarrow.parquet as pq
+        from pyarrow.fs import FileSelector
+
+        pafs, pp = _pa_dir_for(spark, dir_path)
+        infos = pafs.get_file_info(FileSelector(pp, recursive=False))
+        rows: list = []
+        for fi in infos:
+            name = fi.base_name
+            if fi.type.name != "File" or name.startswith(("_", ".")):
+                continue
+            rows.extend(
+                pq.read_table(fi.path, filesystem=pafs, columns=columns)
+                .to_pylist()
+            )
+        return rows
+    except FileNotFoundError:
+        return []
+    except Exception:  # noqa: BLE001 — fallback, never a wrong answer
+        return None
+
+
+def _pa_append_small(
+    spark: SparkSession, dir_path: str, rows: list, ddl: str
+) -> bool:
+    """Append `rows` (dicts keyed by column name) to a parquet sidecar
+    dir as ONE part file written driver-side via pyarrow — the write
+    twin of _pa_read_small (a one-row local_frame Spark write job costs
+    ~200 ms of scheduling; this is ~10 ms). Atomic like a Spark append:
+    the part is staged dot-prefixed (invisible to every reader — the
+    pyarrow readers and version_log_enabled skip `.`/`_`, Spark treats
+    dotted files as hidden) and renamed into place; a crash leaves only
+    an invisible temp. Type fidelity comes from the OFFICIAL
+    Spark-schema → Arrow conversion (to_arrow_schema), so parts are
+    read-identical to Spark-written ones for both the pyarrow per-part
+    readers and the Spark fallback reads. False on any failure — the
+    caller falls back to the Spark write path unchanged."""
+    try:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = to_arrow_schema(_parse_datatype_string(ddl))
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        pafs, pp = _pa_dir_for(spark, dir_path)
+        pafs.create_dir(pp, recursive=True)
+        stem = f"part-{_uuid.uuid4().hex}-c000.snappy.parquet"
+        tmp = f"{pp}/.{stem}.tmp"
+        pq.write_table(tbl, tmp, filesystem=pafs, compression="snappy")
+        pafs.move(tmp, f"{pp}/{stem}")
+        # leave the same committed-output marker a Spark write leaves:
+        # the sidecar swap/heal protocol (_heal_staged_sidecar) treats
+        # a dir without _SUCCESS as a torn write and DELETES it, so a
+        # sidecar dir born from pyarrow appends must carry the marker
+        # too (found by test_read_path_heal_skips_under_held_lease)
+        ok = f"{pp}/_SUCCESS"
+        if pafs.get_file_info(ok).type.name == "NotFound":
+            pafs.open_output_stream(ok).close()
+        return True
+    except Exception:  # noqa: BLE001 — fallback, never a lost write
+        return False
 
 
 def _vlog_rows_pa(spark: SparkSession, path: str) -> list | None:
@@ -608,15 +717,23 @@ def _vlog_append_entry(
         # would be the exact O(files) job the logged schema removes
         else _commit_schema_json(spark, path, entries, v, added, removed)
     )
-    local_frame(
-        spark,
-        [(
-            v, op, sorted(added), sorted(removed), key_col, n_keys,
-            horizon, int(_time.time()), schema_json,
-            _added_sizes(spark, path, entries, op, sorted(added)),
-        )],
-        _ENTRY_SCHEMA,
-    ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
+    entry_row = {
+        "version": v, "op": op, "added": sorted(added),
+        "removed": sorted(removed), "key_col": key_col, "n_keys": n_keys,
+        "horizon": horizon, "ts_unix": int(_time.time()),
+        "schema_json": schema_json,
+        "added_bytes": _added_sizes(spark, path, entries, op, sorted(added)),
+    }
+    # driver-side pyarrow part write (r15 optimization round: a
+    # one-row Spark append job cost ~200 ms of scheduling per COMMIT —
+    # 2-3 commits per lifecycle op); the Spark write stays the
+    # fallback for filesystems pyarrow can't reach
+    if not _pa_append_small(spark, f"{path}/{_VLOG}", [entry_row], _ENTRY_SCHEMA):
+        local_frame(
+            spark,
+            [tuple(entry_row.values())],
+            _ENTRY_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
     if added and op not in ("snapshot", "vacuum_log", "logical_delete"):
         # file-level min/max harvest (r14): when stats_enable declared
         # a spec, every data-adding commit records its new files'
@@ -715,10 +832,38 @@ def _commit_schema_json(
         prev_json = entries[-1]["schema_json"] if entries else None
         if not added:
             return prev_json
+        # when every added footer is physically identical (the common
+        # case: one commit = one Spark write), a mergeSchema="true"
+        # inference — a distributed footer-merge JOB per commit — adds
+        # nothing over reading ONE representative footer driver-side.
+        # Probe the footers via pyarrow (~2 ms each) and only keep the
+        # merge job for genuinely heterogeneous increments. Partition
+        # columns are unaffected: all paths are still passed, so
+        # partition-value type inference sees the same directories
+        # either way. (r15 optimization round; guide §5 — metadata
+        # work belongs on the driver, not in a scheduled job.)
+        paths = [f"{path}/{n}" for n in sorted(added)]
+        merge = "true"
+        if len(paths) <= 256:
+            try:
+                import pyarrow.parquet as pq
+
+                pafs, pp = _pa_dir_for(spark, path)
+                footers: set = set()
+                for n in sorted(added):
+                    footers.add(
+                        str(pq.read_schema(f"{pp}/{n}", filesystem=pafs))
+                    )
+                    if len(footers) > 1:
+                        break
+                if len(footers) == 1:
+                    merge = "false"
+            except Exception:  # noqa: BLE001 — probe is an optimization
+                pass
         inc = (
             spark.read.option("basePath", path)
-            .option("mergeSchema", "true")
-            .parquet(*[f"{path}/{n}" for n in sorted(added)])
+            .option("mergeSchema", merge)
+            .parquet(*paths)
             .schema
         )
         if prev_json is None:
@@ -3017,18 +3162,22 @@ def _vlog_compact(
             continue
         if n <= tip:
             fs.delete(cp, False)
-    local_frame(
-        spark,
-        [
-            (
-                e["version"], e["op"], e["added"], e["removed"],
-                e["key_col"], e["n_keys"], e["horizon"], e["ts_unix"],
-                e["schema_json"], e["added_bytes"],
-            )
-            for e in entries
-        ],
-        _ENTRY_SCHEMA,
-    ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
+    rows = [
+        {
+            "version": e["version"], "op": e["op"], "added": e["added"],
+            "removed": e["removed"], "key_col": e["key_col"],
+            "n_keys": e["n_keys"], "horizon": e["horizon"],
+            "ts_unix": e["ts_unix"], "schema_json": e["schema_json"],
+            "added_bytes": e["added_bytes"],
+        }
+        for e in entries
+    ]
+    if not _pa_append_small(spark, f"{path}/{_VLOG}", rows, _ENTRY_SCHEMA):
+        local_frame(
+            spark,
+            [tuple(r.values()) for r in rows],
+            _ENTRY_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(f"{path}/{_VLOG}")
     for p in parts:
         fs.delete(p, False)
     return True
