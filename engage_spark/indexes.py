@@ -49,6 +49,7 @@ Reference parity note: covers no reference file — engine extension
 
 from __future__ import annotations
 
+import hashlib as _hashlib
 import math
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,9 +163,7 @@ def _bloom_hash_pair(key_bytes: bytes) -> tuple:
     hash each key ONCE per prune call and reuse the pair across every
     file (review-found: the per-(key, file) recompute multiplied
     digest cost by the file count)."""
-    import hashlib
-
-    d = hashlib.md5(key_bytes).digest()
+    d = _hashlib.md5(key_bytes).digest()
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:16], "big") | 1
 
 
@@ -188,7 +187,16 @@ def _bloom_maybe_contains(bits: bytes, m: int, k: int, key_bytes: bytes) -> bool
 
 
 def _build_bloom(values, fpp: float) -> tuple:
-    """(n_values, m_bits, k, bits) over canonicalized non-null values."""
+    """(n_values, m_bits, k, bits) over canonicalized non-null values.
+
+    Bit positions are computed in one vectorized numpy pass from the
+    mod-m-reduced hash pair: (h1 + i*h2) % m == ((h1%m) + i*(h2%m)) % m
+    exactly, and the reduced operands stay < 17*m << 2^63, so the int64
+    arithmetic is exact at any real filter size — every bit lands where
+    the old per-position Python loop put it (pinned by test), keeping
+    new sidecars probe-compatible with old ones. The loop cost 100k+
+    interpreter iterations per 24-file harvest (r15 optimization
+    round, guide §4.2: batch work belongs in vectorized native code)."""
     canon = []
     for v in values:
         b = _bloom_key_bytes(v)
@@ -197,11 +205,23 @@ def _build_bloom(values, fpp: float) -> tuple:
     if not canon:
         return 0, 0, 0, b""
     m, k = _bloom_params(len(canon), fpp)
-    bits = bytearray(m // 8)
-    for b in canon:
-        for pos in _bloom_positions(b, m, k):
-            bits[pos >> 3] |= 1 << (pos & 7)
-    return len(canon), m, k, bytes(bits)
+    import numpy as np
+
+    h1m = np.empty(len(canon), dtype=np.int64)
+    h2m = np.empty(len(canon), dtype=np.int64)
+    for j, b in enumerate(canon):
+        d = _hashlib.md5(b).digest()
+        h1m[j] = int.from_bytes(d[:8], "big") % m
+        h2m[j] = (int.from_bytes(d[8:16], "big") | 1) % m
+    pos = (
+        h1m[:, None] + np.arange(k, dtype=np.int64)[None, :] * h2m[:, None]
+    ) % m
+    pos = pos.ravel()
+    np_bits = np.zeros(m // 8, dtype=np.uint8)
+    np.bitwise_or.at(
+        np_bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+    )
+    return len(canon), m, k, np_bits.tobytes()
 
 
 def _file_bloom_one(uri: str, rel: str, cols: list, fpp: float) -> list:
@@ -431,13 +451,28 @@ def _bloom_prune(
     verdict: dict = {}
     try:
         if len(names) <= _BLOOM_PROBE_DRIVER_MAX:
-            rows = (
-                spark.read.parquet(f"{path}/{_VBLOOM}")
-                .filter(
-                    (F.col("col") == col) & F.col("name").isin(list(names))
+            # driver-side pyarrow sidecar read (r15 optimization
+            # round): in the <= _BLOOM_PROBE_DRIVER_MAX regime the
+            # probed bits already come to the driver, so reading the
+            # sidecar there too replaces a ~200 ms Spark filter+
+            # collect job; the Spark read stays the fallback, and any
+            # failure still degrades to no pruning below
+            pa_rows = _pa_read_small(spark, f"{path}/{_VBLOOM}")
+            if pa_rows is not None:
+                rows = [
+                    r
+                    for r in pa_rows
+                    if r["col"] == col and r["name"] in name_set
+                ]
+            else:
+                rows = (
+                    spark.read.parquet(f"{path}/{_VBLOOM}")
+                    .filter(
+                        (F.col("col") == col)
+                        & F.col("name").isin(list(names))
+                    )
+                    .collect()
                 )
-                .collect()
-            )
             for r in rows:
                 if r["name"] in verdict:
                     continue

@@ -829,7 +829,19 @@ def write_bucketed(
             if fs.exists(p):
                 fs.delete(p, True)
     writer = (
-        df.write.format("parquet")
+        # cluster rows by the bucket hash into num_buckets write tasks
+        # FIRST (r15 optimization round, guide §6): without it the
+        # write runs at input-partition parallelism and each task cuts
+        # a file per bucket it holds — n_tasks × n_buckets small files
+        # at scale (the many-small-files problem Iceberg's hash
+        # distribution mode exists to prevent), and locally a 3-task
+        # lineitem write took 2.9 s vs 1.5 s clustered. repartition's
+        # hash is the same Murmur3 the bucket spec uses, so each task
+        # holds whole buckets and the layout comes out one right-sized
+        # file per bucket; row content, sort order within files, and
+        # the zero-exchange read-side join are unchanged.
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.format("parquet")
         .mode(mode)
         .bucketBy(num_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
@@ -839,20 +851,28 @@ def write_bucketed(
     writer.saveAsTable(table_name)
     if path is not None:
         from engage_spark.session import local_frame
+        from engage_spark.versioning import _pa_overwrite_small
 
-        local_frame(
-            spark,
-            [(
-                list(bucket_cols),
-                int(num_buckets),
-                list(sort_cols or bucket_cols),
-                spark.table(table_name).schema.json(),
-            )],
+        _spec_ddl = (
             "bucket_cols array<string>, num_buckets int, "
-            "sort_cols array<string>, schema_json string",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{path}/{_BUCKET_SPEC}"
+            "sort_cols array<string>, schema_json string"
         )
+        _spec_row = {
+            "bucket_cols": list(bucket_cols),
+            "num_buckets": int(num_buckets),
+            "sort_cols": list(sort_cols or bucket_cols),
+            "schema_json": spark.table(table_name).schema.json(),
+        }
+        # driver-side pyarrow write of the one-row spec (r15
+        # optimization round; Spark write job stays the fallback)
+        if not _pa_overwrite_small(
+            spark, f"{path}/{_BUCKET_SPEC}", [_spec_row], _spec_ddl
+        ):
+            local_frame(
+                spark, [tuple(_spec_row.values())], _spec_ddl
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/{_BUCKET_SPEC}"
+            )
 
 
 _BUCKET_SPEC = "_bucket_spec"
@@ -1027,11 +1047,28 @@ def zorder_sql_fragment(scaled_names: Sequence[str], bits: int = 16) -> str:
 def zorder_column(scaled_cols, bits: int = 16):
     """Spark Column interleaving pre-scaled integer columns into a
     Z-value. Pure JVM integer arithmetic (shift/and/add) — whole-stage
-    codegen, no UDF."""
+    codegen, no UDF.
+
+    Accepts column NAMES (preferred) or Column objects. The name form
+    compiles the whole interleave to ONE parsed SQL expression — a
+    single py4j call, where the Column-object formulation paid ~5 py4j
+    round trips per bit-term (bits * n_cols terms; measured ~0.6 s of
+    pure driver time per call at bits=16 — r15 optimization round,
+    guide §5: driver-side fixed costs). The parsed expression tree is
+    identical (same shiftleft/shiftright/& ops, same left-assoc sum),
+    so the physical plan and every computed value are unchanged."""
     import functools
     import operator
 
     n = len(scaled_cols)
+    if all(isinstance(c, str) for c in scaled_cols):
+        quoted = [f"`{c}`" for c in scaled_cols]
+        terms_sql = [
+            f"shiftleft(cast((shiftright({q}, {b}) & 1) as bigint), {n * b + i})"
+            for b in range(bits)
+            for i, q in enumerate(quoted)
+        ]
+        return F.expr(" + ".join(terms_sql))
     terms = [
         F.shiftleft(
             F.shiftright(c, b).bitwiseAND(F.lit(1)).cast("long"), n * b + i
@@ -1167,7 +1204,7 @@ def zorder_values(
                 .drop("__before")
                 .withColumn(f"__zs{i}", F.expr(f"__zn{i} div {denom}"))
             )
-        scaled.append(F.col(f"__zs{i}"))
+        scaled.append(f"__zs{i}")
         tmp += [f"__zn{i}", f"__zs{i}"]
     out = out.withColumn("__z", zorder_column(scaled, bits)).drop(*tmp)
     return out, stats
@@ -1480,22 +1517,28 @@ def _zorder_write_impl(
     _write_z_layout(out, n, part_cols, "overwrite", path)
     meta_dir = f"{path}/_zorder_meta"
     from engage_spark.session import local_frame
+    from engage_spark.versioning import _pa_overwrite_small
 
-    local_frame(
-        spark,
-        [
-            (
-                list(cols),
-                int(bits),
-                scale,
-                [int(stats[c][0]) for c in cols],
-                [int(stats[c][1]) for c in cols],
-                part_cols,
-            )
-        ],
+    _zmeta_ddl = (
         "cols array<string>, bits int, scale string, "
-        "lo array<long>, hi array<long>, part_cols array<string>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{meta_dir}/info")
+        "lo array<long>, hi array<long>, part_cols array<string>"
+    )
+    _zmeta_row = {
+        "cols": list(cols),
+        "bits": int(bits),
+        "scale": scale,
+        "lo": [int(stats[c][0]) for c in cols],
+        "hi": [int(stats[c][1]) for c in cols],
+        "part_cols": part_cols,
+    }
+    # driver-side pyarrow write of the one-row curve meta (r15
+    # optimization round; Spark write job stays the fallback)
+    if not _pa_overwrite_small(
+        spark, f"{meta_dir}/info", [_zmeta_row], _zmeta_ddl
+    ):
+        local_frame(
+            spark, [tuple(_zmeta_row.values())], _zmeta_ddl
+        ).coalesce(1).write.mode("overwrite").parquet(f"{meta_dir}/info")
     if rank_bounds:
         rank_bounds["_all"].write.mode("overwrite").parquet(
             f"{meta_dir}/bounds"
@@ -1535,8 +1578,17 @@ def zorder_meta(spark: SparkSession, path: str) -> dict:
             "with zorder_write/optimize_dataset before appending; "
             "appends must scale with the stored curve."
         )
+    from engage_spark.versioning import _pa_read_small
+
+    # one-row curve meta: driver-side pyarrow read, Spark job fallback
+    # (r15 optimization round)
+    pa_rows = _pa_read_small(spark, f"{path}/_zorder_meta/info")
     info = (
-        spark.read.parquet(f"{path}/_zorder_meta/info").collect()[0].asDict()
+        pa_rows[0]
+        if pa_rows
+        else spark.read.parquet(f"{path}/_zorder_meta/info")
+        .collect()[0]
+        .asDict()
     )
     out = {
         "cols": list(info["cols"]),
@@ -1569,6 +1621,7 @@ def _zorder_scale_frozen(
     keeps bits*span inside long range long before that matters.)"""
     bits = meta["bits"]
     scaled, tmp = [], []
+    bounds_rows = None  # all columns' boundary rows, loaded at most once
     for i, c in enumerate(meta["cols"]):
         if meta["scale"] == "minmax":
             lo, hi = meta["lo"][c], meta["hi"][c]
@@ -1582,11 +1635,26 @@ def _zorder_scale_frozen(
         else:
             from pyspark.ml.feature import Bucketizer
 
-            rows = (
-                spark.read.parquet(f"{path}/_zorder_meta/bounds")
-                .filter(F.col("__ci") == i)
-                .collect()
-            )  # bounded: ≤ 2^bits occupied slots
+            if bounds_rows is None:
+                # ONE driver-side pyarrow read serves every rank
+                # column (bounded: ≤ 2^bits occupied slots per column);
+                # the per-column Spark filter+collect it replaces was
+                # ~0.5 s of job scheduling per column per maintenance
+                # op (r15 optimization round). Spark read stays the
+                # fallback for filesystems pyarrow can't reach.
+                from engage_spark.versioning import _pa_read_small
+
+                bounds_rows = _pa_read_small(
+                    spark, f"{path}/_zorder_meta/bounds"
+                )
+                if bounds_rows is None:
+                    bounds_rows = [
+                        r.asDict()
+                        for r in spark.read.parquet(
+                            f"{path}/_zorder_meta/bounds"
+                        ).collect()
+                    ]
+            rows = [r for r in bounds_rows if r["__ci"] == i]
             null_slot = next(
                 (int(r["__s"]) for r in rows if r["__b"] is None), None
             )
@@ -1603,7 +1671,7 @@ def _zorder_scale_frozen(
                 # Bucketizer would reject the degenerate [-inf, inf]
                 df = df.withColumn(f"__zs{i}", F.lit(0).cast("long"))
                 tmp.append(f"__zs{i}")
-                scaled.append(F.col(f"__zs{i}"))
+                scaled.append(f"__zs{i}")
                 continue
             splits = (
                 [float("-inf")]
@@ -1626,7 +1694,7 @@ def _zorder_scale_frozen(
             )
             df = df.join(F.broadcast(smap), on=f"__bk{i}", how="left")
             tmp += [f"__bv{i}", f"__bk{i}", f"__zs{i}"]
-        scaled.append(F.col(f"__zs{i}"))
+        scaled.append(f"__zs{i}")
     return df.withColumn("__z", zorder_column(scaled, bits)).drop(*tmp)
 
 
@@ -1820,10 +1888,20 @@ def _zranges_scan(spark: SparkSession, path: str, only_files=None) -> list:
 
 def _zranges_write(spark: SparkSession, path: str, rows: list) -> None:
     from engage_spark.session import local_frame
+    from engage_spark.versioning import _pa_overwrite_small
 
-    local_frame(
-        spark, rows, "file string, z_lo long, z_hi long"
-    ).write.mode("overwrite").parquet(f"{path}/{_ZRANGES}")
+    ddl = "file string, z_lo long, z_hi long"
+    # one-row-per-file manifest: driver-side pyarrow write, Spark job
+    # fallback (r15 optimization round)
+    if not _pa_overwrite_small(
+        spark,
+        f"{path}/{_ZRANGES}",
+        [{"file": f, "z_lo": lo, "z_hi": hi} for f, lo, hi in rows],
+        ddl,
+    ):
+        local_frame(spark, rows, ddl).write.mode("overwrite").parquet(
+            f"{path}/{_ZRANGES}"
+        )
 
 
 def _zranges_read(spark: SparkSession, path: str):
@@ -1831,6 +1909,13 @@ def _zranges_read(spark: SparkSession, path: str):
     fs, p = _hadoop_fs(spark, f"{path}/{_ZRANGES}")
     if not fs.exists(p):
         return None
+    from engage_spark.versioning import _pa_read_small
+
+    pa_rows = _pa_read_small(spark, f"{path}/{_ZRANGES}")
+    if pa_rows is not None:
+        return [
+            (r["file"], int(r["z_lo"]), int(r["z_hi"])) for r in pa_rows
+        ]
     return [
         (r.file, int(r.z_lo), int(r.z_hi))
         for r in spark.read.parquet(f"{path}/{_ZRANGES}").collect()
@@ -2197,9 +2282,20 @@ def _optimize_incremental_impl(
     from engage_spark.session import local_frame
 
     staged_names = _staged_rel_files(spark, staging)
-    local_frame(
-        spark, [(f,) for f in sorted(victims)], "victim string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
+    from engage_spark.versioning import _pa_overwrite_small
+
+    # driver-side pyarrow manifest write (r15 optimization round;
+    # Spark write job stays the fallback) — content and commit-point
+    # semantics identical, _SUCCESS written last either way
+    if not _pa_overwrite_small(
+        spark,
+        f"{path}/{_OPT_MANIFEST}",
+        [{"victim": f} for f in sorted(victims)],
+        "victim string",
+    ):
+        local_frame(
+            spark, [(f,) for f in sorted(victims)], "victim string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
     new_files = _optimize_commit(spark, path, victims=sorted(victims))
     if man_live:
         # refresh the z-range manifest with an increment-sized scan of
@@ -2512,17 +2608,24 @@ def _hadoop_fs(spark: SparkSession, path: str):
     (hadoopConfiguration + getFileSystem) that a maintenance op
     otherwise pays 60-130 times per lifecycle (r15 profile: ~0.3-0.5 s
     of pure driver py4j per versioned bench query)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
+    # cache lives ON the session object so it dies with the session
+    # (a module-level dict keyed by id(spark) could hand a stale JVM
+    # handle to a new session reusing the same address)
+    cache = spark.__dict__.setdefault("_engage_fs_cache", {})
+    # the Path CLASS too: jvm.org.apache.hadoop.fs.Path is 5 py4j
+    # attribute round trips per call, and maintenance ops construct
+    # 60-130 Paths per lifecycle (r15 profile: ~5 ms each, ~0.4 s per
+    # versioned bench query of pure attribute traversal)
+    path_cls = cache.get("__path_cls")
+    if path_cls is None:
+        path_cls = spark._jvm.org.apache.hadoop.fs.Path
+        cache["__path_cls"] = path_cls
+    p = path_cls(path)
     if "://" in path:
         scheme, _, rest = path.partition("://")
         key = scheme + "://" + rest.split("/", 1)[0]
     else:
         key = ""
-    # cache lives ON the session object so it dies with the session
-    # (a module-level dict keyed by id(spark) could hand a stale JVM
-    # handle to a new session reusing the same address)
-    cache = spark.__dict__.setdefault("_engage_fs_cache", {})
     fs = cache.get(key)
     if fs is None:
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -2853,9 +2956,13 @@ def delete_rows(
     )
 
     if version_log_enabled(spark, path):
-        n = kdf.count()  # takedown-sized; evaluated before the lease
-        record_logical_delete(
-            spark, path, kdf, key_col, n_keys=n,
+        # the count rides the retained-batch write inside
+        # record_logical_delete via an Observation, and the sidecar
+        # append is a file copy of that batch — ONE evaluation of the
+        # key plan total, where this path ran it three times (count +
+        # sidecar write + retained write; r15 optimization round)
+        _, n = record_logical_delete(
+            spark, path, kdf, key_col, n_keys=None,
             lease_wait_s=lease_wait_s, write_sidecar=True,
         )
         return n
@@ -3225,9 +3332,17 @@ def _apply_deletes_impl(
     # point (same protocol + recovery as the unversioned optimize)
     from engage_spark.session import local_frame
 
-    local_frame(
-        spark, [(f,) for f in victims], "victim string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
+    from engage_spark.versioning import _pa_overwrite_small
+
+    if not _pa_overwrite_small(
+        spark,
+        f"{path}/{_OPT_MANIFEST}",
+        [{"victim": f} for f in victims],
+        "victim string",
+    ):
+        local_frame(
+            spark, [(f,) for f in victims], "victim string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{_OPT_MANIFEST}")
     _optimize_commit(spark, path, victims=victims)
     fs.delete(p, True)  # applied physically; clear the sidecar
     if man_before is not None:

@@ -287,12 +287,20 @@ def _stats_prune(
     if not sfs.exists(sp):
         return list(names), 0
     try:
-        by_name = {
-            r["name"]: r
-            for r in spark.read.parquet(f"{path}/{_VSTATS}")
-            .filter(F.col("col") == col)
-            .collect()
-        }
+        # driver-side pyarrow sidecar read (r15 optimization round):
+        # the min/max rows come to the driver either way, so the read
+        # belongs there too — replaces a ~200 ms Spark filter+collect
+        # job per pruned read; Spark read stays the fallback
+        pa_rows = _pa_read_small(spark, f"{path}/{_VSTATS}")
+        if pa_rows is not None:
+            by_name = {r["name"]: r for r in pa_rows if r["col"] == col}
+        else:
+            by_name = {
+                r["name"]: r
+                for r in spark.read.parquet(f"{path}/{_VSTATS}")
+                .filter(F.col("col") == col)
+                .collect()
+            }
     except Exception:
         # unreadable sidecar (e.g. the brief _stats_vacuum rewrite
         # window): stats are an optimization — degrade to no pruning

@@ -524,6 +524,46 @@ def _pa_append_small(
         return False
 
 
+def _pa_overwrite_small(
+    spark: SparkSession, dir_path: str, rows: list, ddl: str
+) -> bool:
+    """OVERWRITE a tiny parquet sidecar dir with `rows` driver-side —
+    the mode="overwrite" twin of _pa_append_small (zorder meta, bucket
+    specs, optimize manifests, z-range manifests: each cost a ~200 ms
+    one-row Spark write job per maintenance op, r15 optimization
+    round). Crash behavior matches the Spark overwrite it replaces:
+    the new part is staged dot-prefixed (invisible) BEFORE the old
+    parts are removed, so a crash leaves either the old state intact
+    or the same emptied-dir window a Spark overwrite has between its
+    delete and its commit; _SUCCESS is written last, as Spark does.
+    False on any failure — the caller falls back to the Spark write
+    path unchanged."""
+    try:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow.fs import FileSelector
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = to_arrow_schema(_parse_datatype_string(ddl))
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        pafs, pp = _pa_dir_for(spark, dir_path)
+        pafs.create_dir(pp, recursive=True)
+        stem = f"part-{_uuid.uuid4().hex}-c000.snappy.parquet"
+        tmp = f"{pp}/.{stem}.tmp"
+        pq.write_table(tbl, tmp, filesystem=pafs, compression="snappy")
+        for fi in pafs.get_file_info(FileSelector(pp, recursive=False)):
+            if fi.type.name == "File" and not fi.base_name.startswith("."):
+                pafs.delete_file(fi.path)
+        pafs.move(tmp, f"{pp}/{stem}")
+        pafs.open_output_stream(f"{pp}/_SUCCESS").close()
+        return True
+    except Exception:  # noqa: BLE001 — fallback, never a lost write
+        return False
+
+
 def _vlog_rows_pa(spark: SparkSession, path: str) -> list | None:
     """The log's raw rows read DRIVER-SIDE via pyarrow — ~10 ms where
     the Spark-job read costs ~240 ms of scheduling per call (r15:
@@ -1257,16 +1297,18 @@ def record_logical_delete(
     sidecar inside the same leased window (io.delete_rows' versioned
     path) — previously the sidecar was written before the lease was
     even attempted, so a lease timeout left the live read hiding rows
-    the log never recorded."""
+    the log never recorded. The sidecar append reuses the batch just
+    written under retained/ (a JVM-side file copy — r15 optimization
+    round: the key frame's plan re-evaluated the SOURCE per write, so
+    one delete op ran it twice; every sidecar consumer anti-joins or
+    dropDuplicates, so copied raw rows read identically to the
+    deduped Spark append they replace, which stays the fallback).
+    Returns ``(version, n_keys)``."""
     from engage_spark.io import _DELETES, maintenance_lease
 
     from pyspark.sql import Observation
 
     with maintenance_lease(spark, path, wait_s=lease_wait_s):
-        if write_sidecar:
-            keys.select(F.col(key_col)).dropDuplicates().write.mode(
-                "append"
-            ).parquet(f"{path}/{_DELETES}")
         # heal drift first: this entry's version must see the true
         # file set, or the snapshot at it is wrong forever
         _vlog_reconcile(spark, path)
@@ -1282,6 +1324,16 @@ def record_logical_delete(
         kdf.coalesce(1).write.mode("overwrite").parquet(
             f"{path}/{_VRETAINED}/deletes_v{v}"
         )
+        if write_sidecar and not _copy_parts(
+            spark,
+            f"{path}/{_VRETAINED}/deletes_v{v}",
+            f"{path}/{_DELETES}",
+            f"dv{v}",
+        ):
+            keys.select(F.col(key_col)).dropDuplicates().write.mode(
+                "append"
+            ).parquet(f"{path}/{_DELETES}")
+        n = int(obs.get["n"]) if obs is not None else n_keys
         _vlog_append_entry(
             spark,
             path,
@@ -1289,10 +1341,38 @@ def record_logical_delete(
             added=[],
             removed=[],
             key_col=key_col,
-            n_keys=int(obs.get["n"]) if obs is not None else n_keys,
+            n_keys=n,
             version=v,
         )
-    return v
+    return v, n
+
+
+def _copy_parts(
+    spark: SparkSession, src_dir: str, dst_dir: str, tag: str
+) -> bool:
+    """Copy the data part files of ``src_dir`` into ``dst_dir`` under
+    ``tag``-prefixed names — JVM-side FileUtil.copy streaming, no
+    Spark job and no driver buffering, so it works for any batch size
+    on any Hadoop filesystem. False (caller falls back to a Spark
+    write) on any failure or an empty source."""
+    try:
+        sfs, sp = _fs(spark, src_dir)
+        dfs, dp = _fs(spark, dst_dir)
+        dfs.mkdirs(dp)
+        futil = spark._jvm.org.apache.hadoop.fs.FileUtil
+        conf = spark._jsc.hadoopConfiguration()
+        copied = 0
+        for st in sfs.listStatus(sp):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            dst = _fs(spark, f"{dst_dir}/{tag}_{name}")[1]
+            if not futil.copy(sfs, st.getPath(), dfs, dst, False, conf):
+                return False
+            copied += 1
+        return copied > 0
+    except Exception:  # noqa: BLE001 — fallback, never a lost write
+        return False
 
 
 def _retain_file(spark: SparkSession, path: str, uri_or_name: str) -> None:

@@ -709,3 +709,36 @@ def test_resize_crash_state_converges(spark, zbloom):
         read_keys(spark, out, "event_id", IDS),
         ev.filter(F.col("event_id").isin(IDS)),
     )
+
+
+def test_vectorized_build_matches_legacy_positions():
+    """The numpy-vectorized _build_bloom (r15 optimization round) must
+    reproduce the legacy per-position Python loop BIT FOR BIT: new
+    sidecars are probed by _maybe_contains_pair with full-width
+    (h1 + i*h2) % m arithmetic, so any drift in the mod-m-reduced
+    formulation would false-negative against existing indexes."""
+    import datetime as dt
+    import random
+
+    from engage_spark.indexes import _bloom_positions
+
+    rng = random.Random(42)
+    values = (
+        [rng.randint(-(10**15), 10**15) for _ in range(4000)]
+        + [rng.random() * 1e6 for _ in range(500)]
+        + [f"doc-{i}" for i in range(500)]
+        + [b"\x00\xffraw", True, False, None, float("nan")]
+        + [dt.date(2024, 1, 3), dt.datetime(2024, 1, 3, 4, 5, 6)]
+    )
+    for fpp in (0.01, 0.001, 0.2):
+        n, m, k, bits = _build_bloom(values, fpp)
+        canon = [
+            b for b in (_bloom_key_bytes(v) for v in values) if b is not None
+        ]
+        assert n == len(canon)
+        assert (m, k) == _bloom_params(len(canon), fpp)
+        legacy = bytearray(m // 8)
+        for b in canon:
+            for pos in _bloom_positions(b, m, k):
+                legacy[pos >> 3] |= 1 << (pos & 7)
+        assert bits == bytes(legacy)
