@@ -60,11 +60,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not getattr(spark, "_engage_nanos_set", False):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark._engage_nanos_set = True
-    df = spark.read.parquet(path)
-    for field in _nano_ts_fields(path):
-        df = df.withColumn(
-            field, F.expr(f"timestamp_micros({field} div 1000)")
-        )
+    # reuse the LAZY DataFrame handle per (session, path): the
+    # spark.read.parquet() call eagerly lists files and reads footers
+    # (~80-100 ms of driver/py4j per call), which is pure fixed cost to
+    # repeat against the immutable testdata tables. NOTHING is
+    # computed or cached data-wise — the returned frame is the same
+    # unexecuted scan plan either way, re-evaluated from parquet on
+    # every action (r15 optimization round, guide §5/§6: repeated
+    # listing/planning is driver-side fixed cost). Cache lives on the
+    # session object so it dies with the session.
+    cache = spark.__dict__.setdefault("_engage_table_cache", {})
+    df = cache.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        for field in _nano_ts_fields(path):
+            df = df.withColumn(
+                field, F.expr(f"timestamp_micros({field} div 1000)")
+            )
+        cache[path] = df
     return df
 
 

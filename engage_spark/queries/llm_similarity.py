@@ -125,20 +125,34 @@ def _hd2_flips(p: int) -> list[int]:
     ]
 
 
+def _sql_double_array(vals) -> str:
+    """SQL text of an array<double> literal. repr() round-trips every
+    float exactly and the D suffix makes each element a DOUBLE literal,
+    so the parsed values are bit-identical to the F.lit() columns this
+    replaces."""
+    return "array(" + ", ".join(f"{v!r}D" for v in vals) + ")"
+
+
 def lsh_bucket(emb_col: str, n_planes: int = _N_PLANES) -> F.Column:
     """Sign-bit bucket id (0..2^n_planes-1) of an array<float> column,
     over the first n_planes rows of the shared plane table — pure JVM
-    codegen expressions (one interpreted dot per plane)."""
-    bucket = F.lit(0)
+    codegen expressions (one interpreted dot per plane), compiled to
+    ONE parsed SQL expression: the per-plane F.array(*[F.lit(v)...])
+    form paid ~65 py4j round trips per plane of pure driver time
+    (~90 ms each, r15 optimization round — guide §5 driver fixed
+    costs); the parsed literals and expression tree are identical, so
+    every computed bucket id is unchanged (parity probe + the
+    existing Arrow-kernel pin)."""
+    q = f"`{emb_col}`"
+    terms = []
     for j, plane in enumerate(_planes(_MAX_PLANES)[:n_planes]):
-        p = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(emb_col), p, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = _sql_double_array(plane)
+        dot = (
+            f"aggregate(zip_with({q}, {arr}, "
+            "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(["0"] + terms))
 
 
 def lsh_bucket_arrow(emb_col: str, n_planes: int) -> F.Column:
@@ -1601,18 +1615,23 @@ def _nd_band_keys(
     dimensions (still a valid LSH; the exact-cosine verify keeps
     precision exact) instead of degenerating."""
     planes = _planes(bands * rows, dim)
+    q = f"`{emb_col}`"
     keys = []
+    # each band key compiles to ONE parsed SQL expression — the
+    # F.array(*[F.lit(v)...]) form paid ~65 py4j round trips per plane
+    # (r15 optimization round, same rewrite as lsh_bucket; literals and
+    # tree identical, null-coalesce semantics preserved)
     for b in range(bands):
-        key = F.lit(0)
+        terms = []
         for r in range(rows):
-            p = F.array(*[F.lit(v) for v in planes[b * rows + r]])
-            dot = F.aggregate(
-                F.zip_with(F.col(emb_col), p, lambda a, pv: a.cast("double") * pv),
-                F.lit(0.0),
-                lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
+            arr = _sql_double_array(planes[b * rows + r])
+            dot = (
+                f"aggregate(zip_with({q}, {arr}, "
+                "(a, pv) -> CAST(a AS DOUBLE) * pv), 0.0D, "
+                "(acc, v) -> acc + coalesce(v, 0.0D))"
             )
-            key = key + F.when(dot > 0, F.lit(1 << r)).otherwise(F.lit(0))
-        keys.append(key)
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << r} ELSE 0 END)")
+        keys.append(F.expr(" + ".join(["0"] + terms)))
     return keys
 
 
