@@ -929,7 +929,16 @@ def read_bucketed(spark: SparkSession, path: str, table_name: str) -> DataFrame:
             f"{path} has no _bucket_spec sidecar — not written by "
             "write_bucketed(path=...), or the spec was removed"
         )
-    spec = spark.read.parquet(f"{path}/{_BUCKET_SPEC}").first()
+    from engage_spark.versioning import _pa_read_small
+
+    # one-row spec: driver-side pyarrow read, Spark job fallback (r15
+    # optimization round)
+    _pa_spec = _pa_read_small(spark, f"{path}/{_BUCKET_SPEC}")
+    spec = (
+        _pa_spec[0]
+        if _pa_spec
+        else spark.read.parquet(f"{path}/{_BUCKET_SPEC}").first()
+    )
     schema = StructType.fromJson(_json.loads(spec["schema_json"]))
     cols_ddl = ", ".join(
         f"{_ident(f.name)} {f.dataType.simpleString()}"
