@@ -124,7 +124,20 @@ def spread_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     worker pools can pass a higher floor explicitly.
     """
     target = min(8, spark.sparkContext.defaultParallelism)
-    if df.rdd.getNumPartitions() < target:
+    # the planned-partition probe (`df.rdd`) converts the plan to an
+    # RDD JVM-side (~50 ms of driver work); for the cached immutable
+    # table() handles this is the same answer every call, so memoize it
+    # on the DataFrame object (r15 optimization round, guide §5: plan
+    # conversion is driver-side fixed cost — scan splits are
+    # deterministic for a fixed session conf and input)
+    n_parts = getattr(df, "_engage_scan_parts", None)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
+        try:
+            df._engage_scan_parts = n_parts
+        except Exception:  # pragma: no cover - attr-less proxies
+            pass
+    if n_parts < target:
         return df.repartition(target)
     return df
 
@@ -1273,15 +1286,31 @@ def _rank_cdf_frames(
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .localCheckpoint()
     )
-    n_card = counts.count()  # cheap: counts is checkpointed
+    # ONE bounded aggregation (≤ len(cols) rows) answers the total
+    # cardinality AND, on the small-CDF path, the per-column totals —
+    # previously counts.count() plus a second grouped collect were two
+    # separate driver-blocking jobs per call (r15 optimization round,
+    # guide §1.2/§5: fewer jobs, same distributed work)
+    tot0 = counts.groupBy("__ci").agg(
+        F.sum("__cnt").alias("__t"),
+        F.count(F.lit(1)).alias("__nv"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    ).collect()
+    n_card = sum(int(r["__nv"]) for r in tot0)
     if n_card <= _RANK_SMALL_CDF:
         # bounded fast path: one window task PER COLUMN (partitioned by
         # column index, never SinglePartition), each sorting at most
         # _RANK_SMALL_CDF distinct values — a fixed bound, so this is
         # scale-safe at any row count; it skips the range-sampling job,
         # the second checkpoint, and the per-partition offset plumbing
-        # the high-cardinality path needs
+        # the high-cardinality path needs (tot0 already IS the
+        # per-(column, pid=0) totals here)
         dv = counts.withColumn("__pid", F.lit(0))
+        tot = [
+            (r["__ci"], 0, int(r["__t"]), int(r["__nv"]), r["__lo"], r["__hi"])
+            for r in tot0
+        ]
     else:
         dv = (
             counts.repartitionByRange(
@@ -1290,19 +1319,21 @@ def _rank_cdf_frames(
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint()  # pins pid assignment for totals AND window
         )
-    # bounded: ≤ len(cols) * n_parts rows (the min/max here replace a
-    # whole separate aggregation pass over the data)
-    tot = dv.groupBy("__ci", "__pid").agg(
-        F.sum("__cnt").alias("__t"),
-        F.count(F.lit(1)).alias("__nv"),
-        F.min("__v").alias("__lo"),
-        F.max("__v").alias("__hi"),
-    ).collect()
+        # bounded: ≤ len(cols) * n_parts rows (the min/max here replace
+        # a whole separate aggregation pass over the data)
+        tot = [
+            (r["__ci"], r["__pid"], int(r["__t"]), int(r["__nv"]),
+             r["__lo"], r["__hi"])
+            for r in dv.groupBy("__ci", "__pid").agg(
+                F.sum("__cnt").alias("__t"),
+                F.count(F.lit(1)).alias("__nv"),
+                F.min("__v").alias("__lo"),
+                F.max("__v").alias("__hi"),
+            ).collect()
+        ]
     by_ci = defaultdict(list)
-    for r in tot:
-        by_ci[r["__ci"]].append(
-            (r["__pid"], int(r["__t"]), int(r["__nv"]), r["__lo"], r["__hi"])
-        )
+    for ci, pid, t, nv, lo, hi in tot:
+        by_ci[ci].append((pid, t, nv, lo, hi))
     offs_rows, n_rows, n_distinct = [], 0, {}
     rank_stats = {}
     for ci, rows in by_ci.items():
@@ -2513,6 +2544,20 @@ def _staged_rel_files(spark: SparkSession, staging: str) -> list:
 
     _walk(sp)
     return sorted(out)
+
+
+def _swap_dirs(spark: SparkSession, staging: str, target: str) -> None:
+    """Commit a staged FULL rewrite: drop the target dir and rename the
+    staging dir into its place — the staged bytes move once instead of
+    being read back through Spark and rewritten (r15 optimization
+    round, guide §1.2). Callers must have stashed the target's sidecar
+    dirs first and are responsible for preserving the staging copy on
+    failure (it is the only full copy during the swap)."""
+    sfs, sp = _hadoop_fs(spark, staging)
+    tfs, tp = _hadoop_fs(spark, target)
+    tfs.delete(tp, True)
+    if not sfs.rename(sp, tp):
+        raise RuntimeError(f"rename {staging} -> {target} refused")
 
 
 def _optimize_commit(
@@ -4428,26 +4473,29 @@ def _upsert_dataset_impl(
             # version stays readable
             for name in old_names:
                 _retain_file(spark, target, name)
-        sfs, sp = _hadoop_fs(spark, staging)
-        # the overwrite deletes target first — staging is the ONLY full
-        # copy while it runs, so only drop it after the write succeeds;
-        # on failure leave it and name it in the error for recovery.
+        # Commit by RENAME, not by a second full write: the staged dir
+        # already holds the exact merged bytes, so re-reading it through
+        # Spark and rewriting the target paid the whole merge's write
+        # I/O twice (r15 optimization round, guide §1.2 — at 100 TB this
+        # halves the MERGE's write cost; the versioned partitioned
+        # commit has used the rename protocol since r14). Staging stays
+        # the ONLY full copy until the swap lands; on failure it is
+        # preserved and named in the error for recovery.
         # Sidecar dirs (_zorder_meta: the dataset's frozen clustering
         # definition, still valid after a row merge) are stashed across
-        # the destructive overwrite — a table format would keep its log
+        # the destructive swap — a table format would keep its log
         # the same way; the merge degrades layout HEALTH, which
         # zorder_layout_stats measures and optimize_dataset repairs.
         stashed = _stash_sidecars(spark, target)
         try:
-            spark.read.parquet(staging).write.mode("overwrite").parquet(target)
+            _swap_dirs(spark, staging, target)
         except BaseException as e:
             raise RuntimeError(
-                f"upsert overwrite of {target} failed mid-write; the "
+                f"upsert commit of {target} failed mid-swap; the "
                 f"merged recovery copy is preserved at {staging}"
             ) from e
         finally:
             _restore_sidecars(spark, stashed)
-        sfs.delete(sp, True)
         if vlog:
             # op=upsert does NOT clear pending deletion vectors: the
             # `_deletes` sidecar survives the swap (stashed/restored),
@@ -4497,28 +4545,23 @@ def _upsert_dataset_impl(
         merged.write.mode("overwrite").partitionBy(*partition_by).parquet(
             staging
         )
-        sfs, sp = _hadoop_fs(spark, staging)
         stashed = _stash_sidecars(spark, target)
+        # full rewrite committed by RENAME of the staged hive tree (see
+        # the unpartitioned path): every partition is replaced, so
+        # emptied partitions disappear without bookkeeping, and the
+        # staged bytes move instead of being read back and rewritten
+        # (the read-back partition-type cast is moot — the staged
+        # directory names ARE the final ones)
         try:
-            back = spark.read.parquet(staging)
-            merged_types = {f.name: f.dataType for f in merged.schema.fields}
-            for c in partition_by:
-                back = back.withColumn(c, F.col(c).cast(merged_types[c]))
-            # full static overwrite: replaces every partition, so
-            # emptied partitions disappear without bookkeeping
-            back.write.mode("overwrite").partitionBy(*partition_by).parquet(
-                target
-            )
+            _swap_dirs(spark, staging, target)
         except BaseException as e:
-            # see the unpartitioned path: keep the staging copy when
-            # the destructive overwrite fails partway
+            # keep the staging copy when the destructive swap fails
             raise RuntimeError(
-                f"upsert overwrite of {target} failed mid-write; the "
+                f"upsert commit of {target} failed mid-swap; the "
                 f"merged recovery copy is preserved at {staging}"
             ) from e
         finally:
             _restore_sidecars(spark, stashed)
-        sfs.delete(sp, True)
         return stats
 
     tslice = tgt.filter(part_filter(tgt))
@@ -4527,38 +4570,41 @@ def _upsert_dataset_impl(
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
     sfs, sp = _hadoop_fs(spark, staging)
     try:
-        back = spark.read.parquet(staging)
-        # partition values come back via directory-name inference; if a
-        # partition column's only surviving value is NULL the inferred
-        # type is VOID (unwritable) — restore the merged frame's types
-        merged_types = {f.name: f.dataType for f in merged.schema.fields}
-        for c in partition_by:
-            back = back.withColumn(c, F.col(c).cast(merged_types[c]))
-        present = {
-            tuple(r[c] for c in partition_by)
-            for r in back.select(*partition_by).dropDuplicates().collect()
-        }
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            back.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        emptied = [
-            row
-            for row in touched
-            if tuple(row[c] for c in partition_by) not in present
-        ]
-        for row in emptied:
+        # Commit by PER-PARTITION RENAME instead of a dynamic-overwrite
+        # re-write of the staged slice (r15 optimization round, guide
+        # §1.2): the staged hive tree already holds the exact merged
+        # bytes under their final directory names, so each touched
+        # partition's old dir is dropped and the staged one moves in —
+        # O(touched) metadata ops replace a second full write of the
+        # slice. A touched partition with no staged dir was emptied by
+        # deletes. The `_hive_part_dir` ↔ Spark directory-name equality
+        # this relies on is the same one the r14 versioned commit
+        # (_upsert_commit_partitioned) and the emptied-dir deletion
+        # below have always relied on.
+        staged = _staged_rel_files(spark, staging)
+        staged_dirs = {rel.rsplit("/", 1)[0] for rel in staged}
+        emptied = 0
+        for row in touched:
             sub = "/".join(_hive_part_dir(c, row[c]) for c in partition_by)
             efs, ep = _hadoop_fs(spark, f"{target}/{sub}")
-            efs.delete(ep, True)
-        stats["emptied_partitions"] = len(emptied)
+            if efs.exists(ep):
+                efs.delete(ep, True)
+            if sub not in staged_dirs:
+                emptied += 1
+        for rel in staged:
+            src_fs, src_p = _hadoop_fs(spark, f"{staging}/{rel}")
+            dst_fs, dst_p = _hadoop_fs(spark, f"{target}/{rel}")
+            dst_fs.mkdirs(dst_p.getParent())
+            if not src_fs.rename(src_p, dst_p):
+                raise RuntimeError(
+                    f"rename {staging}/{rel} -> {target}/{rel} refused"
+                )
+        stats["emptied_partitions"] = emptied
     except BaseException as e:
-        # dynamic overwrite deletes each touched partition before
-        # rewriting it — keep the staging slice for recovery
+        # the swap deletes each touched partition before renaming its
+        # replacement in — keep the staging slice for recovery
         raise RuntimeError(
-            f"upsert dynamic overwrite of {target} failed mid-write; the "
+            f"upsert commit of {target} failed mid-swap; the "
             f"merged partition slice is preserved at {staging}"
         ) from e
     sfs.delete(sp, True)

@@ -1055,13 +1055,23 @@ def x5_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("query_text"),
     )
-    lex = api.bm25_topk(docs, queries, k=10)
     emb = table(spark, sf_dir, "embeddings")
-    sem = api.topk_cosine_search(
-        emb, emb.filter(F.col("vec_id") < 3), k=10
-    ).select(
-        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
-    )
+    # the two retriever BUILDS are independent (each runs its own
+    # bounded eager jobs — idf collect, query broadcast) — overlap them
+    # so one build's job tail back-fills the other's (guide §2.6, r15
+    # optimization round); each branch's plan and rows are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        flex = pool.submit(api.bm25_topk, docs, queries, k=10)
+        fsem = pool.submit(
+            lambda: api.topk_cosine_search(
+                emb, emb.filter(F.col("vec_id") < 3), k=10
+            ).select(
+                "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+            )
+        )
+        lex, sem = flex.result(), fsem.result()
     return api.rrf_fuse([lex, sem], k0=60, k=10)
 
 
@@ -1131,12 +1141,23 @@ def x5b_hybrid_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("query_text"),
     )
-    lex = api.bm25_topk(docs, queries, k=10)
     emb = table(spark, sf_dir, "embeddings")
-    sem = api.ivfpq_topk_search(
-        emb, emb.filter(F.col("vec_id") < 3), k=10, rerank=_PQ_RERANK,
-        n_rows=_corpus_rows(sf_dir),
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    # overlap the two independent retriever builds (BM25's idf pass vs
+    # the IVF-PQ training collects) — guide §2.6, r15 optimization
+    # round; see x5_hybrid_rrf. Branch plans and rows are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        flex = pool.submit(api.bm25_topk, docs, queries, k=10)
+        fsem = pool.submit(
+            lambda: api.ivfpq_topk_search(
+                emb, emb.filter(F.col("vec_id") < 3), k=10,
+                rerank=_PQ_RERANK, n_rows=_corpus_rows(sf_dir),
+            ).select(
+                "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+            )
+        )
+        lex, sem = flex.result(), fsem.result()
     return api.rrf_fuse([lex, sem], k0=60, k=10)
 
 

@@ -1662,20 +1662,31 @@ def s17_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key skip their exchange the same way. The final
     per-priority aggregate hash-checks the join result against the
     plain-parquet oracle, proving the bucketed layout is lossless."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from engage_spark.io import write_bucketed
 
     ords = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
     li = table(spark, sf_dir, "lineitem")
-    write_bucketed(
-        spark, ords, "s17_orders_b", ["o_orderkey"], 8,
-        path=_scratch("s17_orders_b"),
-    )
-    write_bucketed(
-        spark, li, "s17_lineitem_b", ["l_orderkey"], 8,
-        path=_scratch("s17_lineitem_b"),
-    )
+    # the two layout writes are independent jobs against different
+    # tables/paths — submit them concurrently so the second write's
+    # tasks back-fill executors freed by the first one's tail (guide
+    # §2.6, r15 optimization round); the joined result is identical
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                write_bucketed, spark, ords, "s17_orders_b",
+                ["o_orderkey"], 8, path=_scratch("s17_orders_b"),
+            ),
+            pool.submit(
+                write_bucketed, spark, li, "s17_lineitem_b",
+                ["l_orderkey"], 8, path=_scratch("s17_lineitem_b"),
+            ),
+        ]
+        for f in futs:
+            f.result()
     o_b = spark.table("s17_orders_b")
     l_b = spark.table("s17_lineitem_b")
     return (

@@ -836,13 +836,15 @@ def test_upsert_dataset_rejects_duplicate_update_keys(spark, tmp_path):
 def test_upsert_preserves_staging_on_target_write_failure(
     spark, tmp_path, monkeypatch
 ):
-    """r9 ADVICE medium: the destructive target overwrite deletes the
-    target first — if it fails partway, the staging merge must SURVIVE
-    (and the error must name it) instead of being deleted in a finally,
-    or the dataset is unrecoverable."""
+    """r9 ADVICE medium: the destructive swap deletes the target first
+    — if it fails partway, the staging merge must SURVIVE (and the
+    error must name it) instead of being deleted in a finally, or the
+    dataset is unrecoverable. (r15: the commit is a directory rename
+    — `_swap_dirs` — rather than a second Spark write, so the failure
+    injects at that seam.)"""
     import pytest as _pytest
-    from pyspark.sql.readwriter import DataFrameWriter
 
+    import engage_spark.io as eio
     from engage_spark.io import upsert_dataset
 
     tgt = str(tmp_path / "tgt")
@@ -851,14 +853,10 @@ def test_upsert_preserves_staging_on_target_write_failure(
     ).write.parquet(tgt)
     updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
 
-    orig = DataFrameWriter.parquet
+    def boom(spark_, staging_, target_):
+        raise RuntimeError("injected swap failure")
 
-    def boom(self, path, *a, **kw):
-        if path == tgt:
-            raise RuntimeError("injected target write failure")
-        return orig(self, path, *a, **kw)
-
-    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    monkeypatch.setattr(eio, "_swap_dirs", boom)
     with _pytest.raises(RuntimeError, match="preserved at"):
         upsert_dataset(spark, tgt, updates, ["k"])
     monkeypatch.undo()
