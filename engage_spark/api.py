@@ -340,6 +340,25 @@ def embed_index_build(
     return {"n_vectors": e.count(), "bands": bands, "rows": rows}
 
 
+def _meta_row(spark, index_dir: str):
+    """The 1-row `meta` sidecar of a persisted index, read driver-side
+    via pyarrow (~10 ms) instead of a ~200 ms Spark collect job, with
+    the Spark read kept as the fallback on any failure — the sidecar
+    convention of stats.py / indexes.py (r15 optimization round, guide
+    §5: no distributed job for metadata-sized state). Returns an
+    attribute-access row exposing `__fields__` like a Spark Row."""
+    from engage_spark.versioning import _pa_read_small
+
+    rows = _pa_read_small(spark, f"{index_dir}/meta")
+    if rows:
+        import types
+
+        ns = types.SimpleNamespace(**rows[0])
+        ns.__fields__ = list(rows[0].keys())
+        return ns
+    return spark.read.parquet(f"{index_dir}/meta").collect()[0]
+
+
 def embed_index_query(
     index_dir: str,
     new_vectors: DataFrame,
@@ -356,7 +375,7 @@ def embed_index_query(
     minhash_index_query cap), and the cosine verify fetches stored
     vectors for banding survivors only (Arrow-vectorized)."""
     spark = new_vectors.sparkSession
-    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    meta = _meta_row(spark, index_dir)
     stored_bands = _without_tombstones(
         spark, index_dir, spark.read.parquet(f"{index_dir}/bands"), "vec_id"
     )
@@ -452,7 +471,7 @@ def embed_index_append(
     from engage_spark.queries.llm_similarity import nd_band_keys_column
 
     spark = new_vectors.sparkSession
-    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    meta = _meta_row(spark, index_dir)
     e = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
@@ -518,31 +537,49 @@ def bm25_topk(
         .groupBy("doc_id", "__dlen", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    row = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg("__dlen").alias("avgdl"),
-    ).collect()[0]  # bounded: 2 scalars
-    n_docs, avgdl = float(row["n"]), float(row["avgdl"] or 1.0)
+    # n_docs / avgdl as a broadcast ONE-ROW scalar join instead of an
+    # eager collect (r15 optimization round, guide §5): the collect was
+    # a separate blocking job that tokenized the whole corpus just to
+    # reduce it to 2 scalars, serialized before the query could even
+    # plan. The same aggregate rides the query plan now, so the
+    # rounded scores are bit-identical (identical float aggregation)
+    # and the scalar pass overlaps the posting-list pass inside one
+    # job. `avgdl` keeps the exact legacy fallback semantics:
+    # NULL (empty corpus) OR 0.0 (all-empty docs) -> 1.0.
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dlen").alias("__ad0"),
+    ).select(
+        "__n",
+        F.when(
+            F.col("__ad0").isNull() | (F.col("__ad0") == 0.0), F.lit(1.0)
+        ).otherwise(F.col("__ad0")).alias("__avgdl"),
+    )
     dfr = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
     if max_df_fraction is not None:
-        dfr = dfr.filter(F.col("df") <= F.lit(n_docs * max_df_fraction))
+        dfr = (
+            dfr.crossJoin(F.broadcast(stats))
+            .filter(F.col("df") <= F.col("__n") * F.lit(max_df_fraction))
+            .drop("__n", "__avgdl")
+        )
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         _ws_tokens(query_text_col).alias("__qtoks"),
     ).select("query_id", F.explode(F.array_distinct("__qtoks")).alias("term"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("__dlen") / F.lit(avgdl)
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dlen") / F.col("__avgdl")
     )
     contrib = (
         F.broadcast(qt)
         .join(tf, "term")
         .join(dfr, "term")
+        .crossJoin(F.broadcast(stats))
         .withColumn("__c", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
     )
     score = contrib.groupBy("query_id", "doc_id").agg(
@@ -1730,7 +1767,7 @@ def _ivfpq_load(spark, index_dir: str):
             np.array([cid for cid, _ in rows], dtype=np.int64),
             np.array([cs for _, cs in rows], dtype=np.float64),
         )
-    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    meta = _meta_row(spark, index_dir)
     # rerank is OPTIONAL meta (written by ivfpq_autotune_nprobe when
     # the recall target needed a wider exact-re-rank shortlist);
     # build-time metas carry only (nprobe, dim, n_rows)
@@ -2193,7 +2230,7 @@ def ivfpq_autotune_nprobe(
     "tuned_rerank", "initial_nprobe", "met_target",
     "rebuild_recommended", "trace": [{nprobe, rerank, recall_at_k,
     ann_s}]}."""
-    c_meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    c_meta = _meta_row(spark, index_dir)
     nlist = spark.read.parquet(f"{index_dir}/centroids").count()
     initial = int(c_meta.nprobe)
     initial_rerank = (
