@@ -819,6 +819,38 @@ def test_upsert_dataset_empties_partition_and_null_partition(spark, tmp_path):
     assert back.loc[back["k"] == 2, "part"].isna().all()
 
 
+def test_upsert_dataset_replaces_escaped_partition_dirs(spark, tmp_path):
+    """r15: the touched-partition commit renames staged partition dirs
+    over their targets, deleting the old dir by the name
+    `_hive_part_dir` computes — this pins that naming equality with
+    Spark's writer END TO END for hive-escaped values (slash, percent,
+    equals): a replaced partition must not leave its old file behind
+    (old + new rows would double-count), and an untouched escaped
+    partition must survive."""
+    from engage_spark.io import upsert_dataset
+
+    tgt = str(tmp_path / "esc")
+    base = spark.createDataFrame(
+        [(1, "a/b", 10), (2, "100%", 20), (3, "x=y", 30)],
+        "k long, part string, v long",
+    )
+    base.write.partitionBy("part").parquet(tgt)
+    updates = spark.createDataFrame(
+        [(1, "a/b", 11, False),      # replaces the slash partition
+         (2, "100%", 0, True)],      # empties the percent partition
+        "k long, part string, v long, is_delete boolean",
+    )
+    stats = upsert_dataset(
+        spark, tgt, updates, ["k"], partition_by=["part"],
+        delete_col="is_delete",
+    )
+    assert stats["emptied_partitions"] == 1
+    back = spark.read.parquet(tgt).orderBy("k").toPandas()
+    assert back["k"].tolist() == [1, 3]          # no duplicate k=1
+    assert back["v"].tolist() == [11, 30]
+    assert sorted(back["part"].tolist()) == ["a/b", "x=y"]
+
+
 def test_upsert_dataset_rejects_duplicate_update_keys(spark, tmp_path):
     import pytest as _pytest
 
