@@ -2936,10 +2936,19 @@ class maintenance_lease:
 
 def _hive_part_dir(col: str, val) -> str:
     """Hive partition directory name for one (column, value) pair:
-    NULL maps to __HIVE_DEFAULT_PARTITION__, and the characters Hive
-    escapes in partition values are %-encoded the same way Spark's
-    writer does (ExternalCatalogUtils.escapePathName semantics)."""
-    if val is None:
+    NULL and the empty string map to __HIVE_DEFAULT_PARTITION__
+    (ExternalCatalogUtils.getPartitionValueString), and the characters
+    Hive escapes in partition values are %-encoded the same way Spark's
+    writer does (escapePathName semantics).
+
+    `val` must already be the SPARK string form of the value — the
+    writer derives directory names from Cast(col, StringType) in the
+    session timezone, which diverges from Python str() for booleans
+    (true vs True), floats (1.0E-7 vs 1e-07) and timestamps. Callers
+    collect the cast alongside the typed value (`_collect_touched`);
+    passing a non-string here risks deleting the wrong old dir
+    (ADVICE r15)."""
+    if val is None or val == "":
         return f"{col}=__HIVE_DEFAULT_PARTITION__"
     s = str(val)
     out = []
@@ -2949,6 +2958,32 @@ def _hive_part_dir(col: str, val) -> str:
         else:
             out.append(ch)
     return f"{col}={''.join(out)}"
+
+
+_HIVE_STR_PREFIX = "__hive_str__"
+
+
+def _collect_touched(touched_df, partition_by, limit: int):
+    """Collect the touched-partition rows with Spark's own
+    Cast-to-string of each partition value riding along (aliased
+    __hive_str__<col>). The typed columns keep feeding the pruning
+    filter's eqNullSafe literals; the cast columns feed
+    `_hive_part_dir`, because the dynamic-partition writer names
+    directories from exactly this cast (session timezone) and Python
+    str() diverges for bool/float/timestamp values (ADVICE r15)."""
+    sel = list(partition_by) + [
+        F.col(c).cast("string").alias(_HIVE_STR_PREFIX + c)
+        for c in partition_by
+    ]
+    return touched_df.select(*sel).limit(limit).collect()
+
+
+def _touched_dir(row, partition_by) -> str:
+    """Relative hive dir for one collected touched row (see
+    `_collect_touched` for why the cast twin, not the typed value)."""
+    return "/".join(
+        _hive_part_dir(c, row[_HIVE_STR_PREFIX + c]) for c in partition_by
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4147,7 +4182,9 @@ def _upsert_stage_partitioned(
             .select(*partition_by)
         )
         touched_df = upd_parts.unionByName(matched).dropDuplicates()
-    touched = touched_df.limit(max_touched_partitions + 1).collect()
+    touched = _collect_touched(
+        touched_df, partition_by, max_touched_partitions + 1
+    )
     stats["touched_partitions"] = len(touched)
     if not touched:
         return {"stats": stats, "staging": None}
@@ -4196,8 +4233,7 @@ def _upsert_stage_partitioned(
             F.broadcast(ukeys), key_cond(tslice), "left_anti"
         )
         touched_dirs = {
-            "/".join(_hive_part_dir(c, row[c]) for c in partition_by)
-            for row in touched
+            _touched_dir(row, partition_by) for row in touched
         }
         old_names = [
             n for n in live_now
@@ -4521,7 +4557,9 @@ def _upsert_dataset_impl(
     # touching more partitions than the cap is a near-full rewrite, so
     # fall back to the whole-dataset merge instead of collecting an
     # unbounded tuple list / building a degenerate pruning expression
-    touched = touched_df.limit(max_touched_partitions + 1).collect()
+    touched = _collect_touched(
+        touched_df, partition_by, max_touched_partitions + 1
+    )
     stats["touched_partitions"] = len(touched)
     if not touched:
         return stats
@@ -4585,7 +4623,7 @@ def _upsert_dataset_impl(
         staged_dirs = {rel.rsplit("/", 1)[0] for rel in staged}
         emptied = 0
         for row in touched:
-            sub = "/".join(_hive_part_dir(c, row[c]) for c in partition_by)
+            sub = _touched_dir(row, partition_by)
             efs, ep = _hadoop_fs(spark, f"{target}/{sub}")
             if efs.exists(ep):
                 efs.delete(ep, True)

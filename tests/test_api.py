@@ -851,6 +851,50 @@ def test_upsert_dataset_replaces_escaped_partition_dirs(spark, tmp_path):
     assert sorted(back["part"].tolist()) == ["a/b", "x=y"]
 
 
+def test_upsert_dataset_nonstring_partition_dir_names(spark, tmp_path):
+    """ADVICE r15 (high): the rename commit deletes the old partition
+    dir by the name `_hive_part_dir` computes. Python str() diverges
+    from Spark's writer for non-string partition values — bool True vs
+    true, float 1e-07 vs 1.0E-7, timestamp fraction trimming — so the
+    old dir survived, the staged dir renamed in BESIDE it, and every
+    updated row silently duplicated. Pins the Cast-to-string fix for
+    all three types end to end."""
+    import datetime
+
+    from engage_spark.io import upsert_dataset
+
+    # expected read-back pval follows partition-dir TYPE INFERENCE:
+    # boolean dirs come back as the string Spark wrote ("true")
+    cases = [
+        ("flag boolean", [(1, True, 10), (2, False, 20)],
+         [(1, True, 11, False)], "true"),
+        ("eps double", [(1, 1e-07, 10), (2, 0.5, 20)],
+         [(1, 1e-07, 11, False)], 1e-07),
+        ("ts timestamp",
+         [(1, datetime.datetime(2030, 1, 1, 0, 0, 0, 500000), 10),
+          (2, datetime.datetime(2030, 6, 1), 20)],
+         [(1, datetime.datetime(2030, 1, 1, 0, 0, 0, 500000), 11, False)],
+         datetime.datetime(2030, 1, 1, 0, 0, 0, 500000)),
+    ]
+    for i, (pcol, base_rows, upd_rows, pval) in enumerate(cases):
+        pname = pcol.split()[0]
+        tgt = str(tmp_path / f"np{i}")
+        spark.createDataFrame(
+            base_rows, f"k long, {pcol}, v long"
+        ).write.partitionBy(pname).parquet(tgt)
+        upsert_dataset(
+            spark, tgt,
+            spark.createDataFrame(
+                upd_rows, f"k long, {pcol}, v long, is_delete boolean"
+            ),
+            ["k"], partition_by=[pname], delete_col="is_delete",
+        )
+        back = spark.read.parquet(tgt).orderBy("k").collect()
+        assert [r.k for r in back] == [1, 2], f"{pname}: duplicated rows"
+        assert back[0].v == 11, f"{pname}: stale value survived"
+        assert back[0][pname] == pval
+
+
 def test_upsert_dataset_rejects_duplicate_update_keys(spark, tmp_path):
     import pytest as _pytest
 
