@@ -173,6 +173,29 @@ R1_BASELINE = (
 )
 
 
+def emit_result(payload: dict, out_path: str | None = None) -> str:
+    """Print the one-line JSON contract to stdout AND persist the same
+    JSON to a file (default bench_out.json next to this script, or
+    $SPARK_GRAFT_BENCH_OUT). The stdout line is the driver contract and
+    stays byte-identical; the file exists so a truncated stdout capture
+    can never again lose the round's record (r15's PERF had n_common=0
+    because BENCH_r14's captured tail was cut mid-JSON). Returns the
+    serialized line."""
+    line = json.dumps(payload)
+    print(line)
+    path = out_path or os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json"),
+    )
+    try:
+        with open(path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:  # the file is belt-and-braces, never fatal
+        print(f"bench_out write failed: {e}", file=sys.stderr)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -263,7 +286,7 @@ def main() -> None:
     r1_ok = [n for n in r1_set if timings.get(n, -1.0) >= 0]
     baseline_subset = round(sum(timings[n] for n in r1_ok), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    emit_result({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
@@ -273,7 +296,7 @@ def main() -> None:
         "baseline_subset_n": len(r1_ok),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    })
     spark.stop()
 
 
