@@ -859,7 +859,14 @@ def embed_lsh_near_dup_pairs(
         nd_band_keys_column,
     )
 
-    e = df.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding"))
+    # r16: the embedding frame feeds THREE consumers (banding + both
+    # verify sides) — checkpoint once so the scan+project runs once
+    # and the verify joins read the materialization (min-of-4
+    # head-to-head: sf0.1 3.30 -> 2.81 s, sf1 8.43 -> 7.16 s; the
+    # candidate-cover semi-join variant measured worse at both scales)
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    ).localCheckpoint(eager=False)
     banded = e.select(
         "vec_id",
         F.posexplode(

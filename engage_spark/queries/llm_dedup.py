@@ -134,19 +134,21 @@ def _capped_bucket_pairs(
     streams through one task in ~240 MB.
 
     The sized frame feeds THREE consumers (self-join left/right +
-    star), and Spark's exchange reuse does not unify them — measured 3
-    WindowExec / 0 ReusedExchange, i.e. the whole upstream (text scan,
-    shingling, signature UDF, banding) re-ran three times. It
-    localCheckpoints once instead: ~26-byte rows, executor-local —
-    strictly cheaper than two extra corpus passes (measured at sf0.1:
-    x2_minhash 1.80 -> 1.48 s, x_embed_lsh_neardup_pairs 2.56 ->
-    1.81 s); a lost executor fails-and-retries the job, the standard
-    non-reliable-checkpoint trade for a batch query."""
+    star) with no exchange reuse (3 WindowExec / 0 ReusedExchange), so
+    in r15 it localCheckpointed here — the upstream then included the
+    full feature map (text scan, shingling, signature UDF) and re-ran
+    three times. r16 moved the checkpoint UP to the feature frame in
+    every caller (the verify rejoin needs it there anyway), after
+    which re-deriving keys+window from the checkpointed features three
+    times is CHEAPER than this second materialization barrier
+    (min-of-4 head-to-head, sized-ckpt on/off with features
+    checkpointed: x2 sf1 2.94 -> 2.45 s, embed sf1 9.2 -> 7.5 s and
+    far lower variance; sf0.1 within noise). Callers MUST keep their
+    feature frame checkpointed or the three-pass recompute returns."""
     w = Window.partitionBy(*key_cols)
     sized = (
         buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
         .withColumn("__hub", F.min(id_col).over(w))
-        .localCheckpoint(eager=False)
     )
     small = sized.filter(F.col("__bsz") <= cap)
     left = small.select(*key_cols, F.col(id_col).alias(out_a))
@@ -160,6 +162,22 @@ def _capped_bucket_pairs(
         (F.col("__bsz") > cap) & (F.col(id_col) != F.col("__hub"))
     ).select(F.col("__hub").alias(out_a), F.col(id_col).alias(out_b))
     return pairs.unionByName(star).dropDuplicates([out_a, out_b])
+
+
+def _jaccard_distinct(a: str, b: str) -> Column:
+    """Exact Jaccard of two DISTINCT (duplicate-free, null-free) hash
+    arrays, with |A∪B| by inclusion-exclusion instead of a second
+    set build: both verify sides come out of array_distinct over
+    non-null hashes, so size(array_union(a,b)) ==
+    size(a)+size(b)-size(array_intersect(a,b)) holds identically and
+    the division inputs — hence the rounded jaccard values — are
+    bit-identical to the array_union form (parity-checked both ways
+    at sf1 before landing; saves one hash-set pass per candidate
+    pair)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (
+        F.size(a) + F.size(b) - inter
+    ).cast("double")
 
 
 def _capped_pairs_sql(
@@ -246,13 +264,31 @@ def minhash_signature(hashes: Column) -> Column:
 
     @pandas_udf("array<long>")
     def _sig(col: pd.Series) -> pd.Series:
-        out = []
-        for h in col:
-            hv = np.asarray(h, dtype=np.uint64)[None, :]
-            # uint64 wrap-around is deterministic; % p restores range
-            sig = ((a_arr * hv + b_arr) % _MERSENNE_P).min(axis=1)
-            out.append(sig.astype(np.int64))
-        return pd.Series(out)
+        # r16: one flattened pass per hash function + segment-min via
+        # np.minimum.reduceat replaces the per-document Python loop —
+        # BIT-IDENTICAL (the same uint64 wrap-around multiply/add, the
+        # same % p, and integer min is order-independent), pinned by
+        # test_llm_ops' vectorized-parity case. Per-hash temporaries
+        # keep peak memory at one flat row per batch, not 32.
+        vals = [np.asarray(h, dtype=np.uint64) for h in col]
+        sizes = np.fromiter((v.size for v in vals), dtype=np.int64,
+                            count=len(vals))
+        if len(vals) == 0 or (sizes == 0).any():
+            # degenerate rows (empty shingle arrays) keep the legacy
+            # per-row behavior, including its error on empty input
+            out = []
+            for hv in vals:
+                sig = ((a_arr * hv[None, :] + b_arr) % _MERSENNE_P).min(axis=1)
+                out.append(sig.astype(np.int64))
+            return pd.Series(out)
+        flat = np.concatenate(vals)
+        starts = np.zeros(len(vals), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        sigs = np.empty((len(vals), _N_HASHES), dtype=np.int64)
+        for j in range(_N_HASHES):
+            hv = (a_arr[j, 0] * flat + b_arr[j, 0]) % _MERSENNE_P
+            sigs[:, j] = np.minimum.reduceat(hv, starts).astype(np.int64)
+        return pd.Series(list(sigs))
 
     return _sig(hashes)
 
@@ -322,7 +358,18 @@ def minhash_candidate_pairs(
     # Hash-Jaccard equals string-Jaccard except on 32-bit collisions
     # (P ~ |union|²/2³³ per pair — negligible); the string-exact ground
     # truth lives in x_ngram_jaccard_pairs, which is oracle-checked.
-    hashed = minhash_shingle_hashes(docs, id_col=id_col, text_col=text_col, n=n)
+    #
+    # r16: the hash frame feeds THREE consumers (banding + both verify
+    # sides); without the checkpoint the tokenize+shingle+xxhash corpus
+    # map re-ran per consumer — three full passes per query. One
+    # executor-local materialization replaces two recomputes (guide
+    # §5's localCheckpoint trade; head-to-head min-of-4 at sf0.1
+    # 1.92 -> 1.27 s and sf1 3.96 -> 3.27 s; a candidate-cover
+    # semi-join variant measured WORSE at sf1 — the ids barrier
+    # serializes the map pass behind candidate generation).
+    hashed = minhash_shingle_hashes(
+        docs, id_col=id_col, text_col=text_col, n=n
+    ).localCheckpoint(eager=False)
 
     # Shuffle hygiene at scale: the banding explode and the bucket
     # self-join move ONLY (doc_id, band, band_key) — 24 bytes/row —
@@ -336,9 +383,7 @@ def minhash_candidate_pairs(
     )
     sh_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("sh_a"))
     sh_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    ).cast("double")
+    jac = _jaccard_distinct("sh_a", "sh_b")
     return (
         cand.join(sh_a, on="doc_a")
         .join(sh_b, on="doc_b")
@@ -419,9 +464,12 @@ def simhash_near_pairs(
     simhash rejoins only for surviving candidate pairs, so the bucket
     shuffle carries (doc_id, chunk_idx, chunk) rows only.
     Returns (doc_a, doc_b, hamming)."""
+    # three consumers (chunk banding + both verify sides) of a frame
+    # whose upstream is the per-doc simhash pandas UDF: checkpoint the
+    # 16-byte rows once instead of running the UDF corpus pass thrice
     sh = with_simhash64(docs, token_hash_sql=token_hash_sql).select(
         "doc_id", "simhash"
-    )
+    ).localCheckpoint(eager=False)
     chunks = sh.select(
         "doc_id",
         F.posexplode(
@@ -615,9 +663,7 @@ def minhash_md5_pairs(
     cand, hashed = _mh32_cand(d, hot_bucket_cap)
     ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("__h").alias("ha"))
     hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("__h").alias("hb"))
-    jac = F.size(F.array_intersect("ha", "hb")) / F.size(
-        F.array_union("ha", "hb")
-    ).cast("double")
+    jac = _jaccard_distinct("ha", "hb")
     return (
         cand.join(ha, on="doc_a")
         .join(hb, on="doc_b")
@@ -643,6 +689,11 @@ def _mh32_cand(d: DataFrame, hot_bucket_cap: int = _HOT_BUCKET_CAP):
                 "s -> cast(conv(substr(md5(s),1,8),16,10) as bigint)))"
             ).alias("__h"),
         )
+        # three consumers (signature branch + both verify sides in
+        # minhash_md5_pairs, or + x2e's counts): one materialization
+        # replaces two tokenize+shingle+md5 corpus recomputes (the
+        # r16 checkpoint shape measured on the xxhash family)
+        .localCheckpoint(eager=False)
     )
     sig_cols = [
         F.array_min(

@@ -51,6 +51,41 @@ def test_minhash_finds_planted_near_dups(planted):
     assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated
 
 
+def test_minhash_signature_vectorized_matches_reference(spark):
+    """r16: the signature kernel flattened to per-hash-function passes
+    with segment mins (np.minimum.reduceat). The arithmetic is exact
+    integer math, so the vectorized result must be BIT-IDENTICAL to
+    the definition — min over shingle hashes of (a*h + b) mod p, with
+    uint64 wrap-around on the multiply — on ragged arrays including
+    size-1 segments."""
+    import numpy as np
+
+    from engage_spark.queries.llm_dedup import (
+        _COEFS,
+        _MERSENNE_P,
+        minhash_signature,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, rng.integers(0, 2**32, size=int(sz)).tolist())
+        for i, sz in enumerate([1, 2, 7, 31, 1, 400, 3])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, __h array<long>")
+    got = {
+        r.doc_id: list(r.sig)
+        for r in df.select(
+            "doc_id", minhash_signature(F.col("__h")).alias("sig")
+        ).collect()
+    }
+    for doc_id, hs in rows:
+        hv = np.asarray(hs, dtype=np.uint64)[None, :]
+        a = np.array([a for a, _ in _COEFS], dtype=np.uint64)[:, None]
+        b = np.array([b for _, b in _COEFS], dtype=np.uint64)[:, None]
+        ref = ((a * hv + b) % _MERSENNE_P).min(axis=1).astype(np.int64)
+        assert got[doc_id] == ref.tolist(), f"doc {doc_id}"
+
+
 def test_simhash_flags_near_dups_only(planted):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in
              simhash_near_pairs(planted, max_hamming=8).collect()}
