@@ -559,6 +559,14 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("df")
     )
     if max_df_fraction is not None:
+        # the stats scalar then feeds TWO broadcast sites (this filter
+        # + contrib) and physical exchange reuse does NOT unify them
+        # (verified: 2 BroadcastNestedLoopJoin / 0 ReusedExchange), so
+        # without a cache the corpus-tokenizing aggregate would run
+        # once per site — exactly the double pass the r15 scalar-join
+        # change removed (ADVICE r15). One-row frame; the default
+        # no-option path keeps its r15 plan untouched.
+        stats = stats.cache()
         dfr = (
             dfr.crossJoin(F.broadcast(stats))
             .filter(F.col("df") <= F.col("__n") * F.lit(max_df_fraction))
@@ -1097,6 +1105,7 @@ def topk_cosine_search(
     query_id_col: str | None = None,
     query_emb_col: str | None = None,
     exclude_self: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector
     (x3_topk_cosine_search's plan): broadcast the query set, score
@@ -1108,7 +1117,14 @@ def topk_cosine_search(
     `exclude_self=True` (default, the self-search case) drops rows
     where neighbor_id == query_id. When queries come from a DIFFERENT
     id namespace than the corpus, pass exclude_self=False — otherwise a
-    coincidental id collision silently drops a legitimate neighbor."""
+    coincidental id collision silently drops a legitimate neighbor.
+
+    The query set is this function's SMALL side: it collects to the
+    driver and rides into every scoring task as a dense matrix
+    (~n_queries x dim x 8 bytes of driver AND per-task memory).
+    `max_queries` (default 100k) enforces that contract with a loud
+    error instead of an opaque driver OOM; raise it only with the
+    memory to match, or batch the query set."""
     query_id_col = query_id_col or id_col
     query_emb_col = query_emb_col or emb_col
     q = queries.select(
@@ -1128,7 +1144,16 @@ def topk_cosine_search(
     # than the corpus itself and the measured wall of this query. Now
     # each corpus row crosses the Python boundary once; the exchange
     # stays partitions x queries x k.
-    qrows = q.collect()
+    # limit(cap+1) bounds the collect itself; one extra row is enough
+    # to tell "over the cap" from "exactly at it"
+    qrows = q.limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}: top-k cosine "
+            "collects queries to the driver and ships them to every "
+            "scoring task — batch the queries or raise max_queries "
+            "with driver/executor memory to match"
+        )
     qid_t = q.schema["query_id"].dataType.simpleString()
     nid_t = c.schema["neighbor_id"].dataType.simpleString()
     if not qrows:

@@ -30,14 +30,20 @@ Per-backend guarantees (README §versioning restates this):
     BOTH WIN. Inject a store whose put_if_absent maps to the
     backend's conditional put, or route through a lock service.
 
-What the seam covers: the LEASE (writer mutual exclusion) and VERSION
+What the seam covers: the LEASE (writer mutual exclusion), VERSION
 ALLOCATION (the per-version claim means even a failed lease cannot
 double-allocate a version — two writers claiming v both issue
 put_if_absent(".v<N>.claim"); exactly one wins, the loser re-reads and
-takes v+1). What it does NOT cover: data-file renames into the live
-root — those are PRE-COMMIT staging moves whose torn states heal via
-the manifest replay, because the log entry (written only after the
-claim) is the single commit point.
+takes v+1), and — since r16 (VERDICT r15 #3) — the DATA-PATH MOVES
+(`move` / `replace_dir` / `delete_dir`): the staged-file renames the
+MERGE and optimize commits perform. Those moves are PRE-COMMIT whose
+torn states heal via manifest/marker replay (the log entry, written
+only after the claim, stays the single commit point on versioned
+datasets; the non-versioned full-dir swap pins its destructive window
+with io's swap marker), so they need not be atomic — the seam exists
+because on S3-style stores a "rename" is a full copy+delete and a
+backend will want to substitute its own copy/commit primitive rather
+than silently paying a second data copy per MERGE.
 """
 
 from __future__ import annotations
@@ -66,6 +72,46 @@ class CommitStore:
         is rename-to-scratch + delete — on a backend without atomic
         rename, override with a conditional delete."""
         raise NotImplementedError
+
+    # ---- data-path movement (r16, VERDICT r15 #3): the staged-file
+    # renames the MERGE/optimize commits rely on, behind the same seam
+    # as the lock/claim primitives. These are PRE-COMMIT moves — a torn
+    # state heals via manifest/marker replay, so they need not be
+    # atomic — but on an object store a "rename" is copy+delete and a
+    # backend may want multipart copy, batching, or server-side copy
+    # instead; override there. The concrete defaults below are the
+    # Hadoop-FS behavior every path used before the seam existed.
+
+    def move(self, spark, src: str, dst: str) -> None:
+        """Move one staged file or directory to `dst` (parent dirs
+        created). Raises if the move is refused."""
+        from engage_spark.io import _hadoop_fs
+
+        sfs, sp = _hadoop_fs(spark, src)
+        dfs, dp = _hadoop_fs(spark, dst)
+        dfs.mkdirs(dp.getParent())
+        if not sfs.rename(sp, dp):
+            raise RuntimeError(f"move {src} -> {dst} refused")
+
+    def replace_dir(self, spark, src: str, dst: str) -> None:
+        """Replace the `dst` directory with `src` (the full-rewrite
+        swap). The destructive window between delete and move is the
+        CALLER's to pin (io._swap_dirs writes a marker first)."""
+        from engage_spark.io import _hadoop_fs
+
+        sfs, sp = _hadoop_fs(spark, src)
+        dfs, dp = _hadoop_fs(spark, dst)
+        dfs.delete(dp, True)
+        if not sfs.rename(sp, dp):
+            raise RuntimeError(f"rename {src} -> {dst} refused")
+
+    def delete_dir(self, spark, path: str) -> None:
+        """Recursively delete a directory (replaced partition dirs,
+        staging cleanup)."""
+        from engage_spark.io import _hadoop_fs
+
+        fs, p = _hadoop_fs(spark, path)
+        fs.delete(p, True)
 
 
 class HadoopCommitStore(CommitStore):

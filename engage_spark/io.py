@@ -2546,18 +2546,73 @@ def _staged_rel_files(spark: SparkSession, staging: str) -> list:
     return sorted(out)
 
 
+_SWAP_MARKER_SUFFIX = "__swap_marker"
+
+
 def _swap_dirs(spark: SparkSession, staging: str, target: str) -> None:
     """Commit a staged FULL rewrite: drop the target dir and rename the
     staging dir into its place — the staged bytes move once instead of
     being read back through Spark and rewritten (r15 optimization
     round, guide §1.2). Callers must have stashed the target's sidecar
     dirs first and are responsible for preserving the staging copy on
-    failure (it is the only full copy during the swap)."""
-    sfs, sp = _hadoop_fs(spark, staging)
-    tfs, tp = _hadoop_fs(spark, target)
-    tfs.delete(tp, True)
-    if not sfs.rename(sp, tp):
-        raise RuntimeError(f"rename {staging} -> {target} refused")
+    failure (it is the only full copy during the swap).
+
+    r16 (ADVICE r15): the destructive window — target deleted, staging
+    not yet renamed in — is pinned by a sibling marker file naming the
+    staging copy, written BEFORE the delete and removed after the swap
+    lands, so a hard process kill leaves a breadcrumb `_swap_recover`
+    rolls forward instead of a bare missing target. The replace itself
+    goes through the CommitStore seam (VERDICT r15 #3): Hadoop
+    delete+rename by default, substitutable on backends where rename
+    is a full copy."""
+    import json as _json
+
+    from engage_spark.commitstore import get_commit_store
+
+    store = get_commit_store()
+    marker = f"{target}{_SWAP_MARKER_SUFFIX}"
+    # a leftover marker here can only be stale (the upsert entry path
+    # heals pending swaps before staging a new one) — replace it
+    store.delete(spark, marker)
+    if not store.put_if_absent(
+        spark, marker, _json.dumps({"staging": staging}).encode()
+    ):
+        raise RuntimeError(
+            f"could not pin the swap of {target} (marker {marker} "
+            "refused); staging copy left untouched"
+        )
+    store.replace_dir(spark, staging, target)
+    store.delete(spark, marker)
+
+
+def _swap_recover(spark: SparkSession, target: str) -> bool:
+    """Roll a crashed `_swap_dirs` forward: if the swap marker exists,
+    the staged merged copy (if still present) replaces the target and
+    the marker clears. Idempotent in every crash window — marker
+    written / target deleted / staging renamed / marker not yet
+    removed. Returns True iff a pending swap was found. Called by the
+    upsert entry before reading or bootstrapping the target (a torn
+    swap leaves the target missing, which would otherwise silently
+    re-bootstrap from one batch)."""
+    import json as _json
+
+    from engage_spark.commitstore import get_commit_store
+
+    store = get_commit_store()
+    marker = f"{target}{_SWAP_MARKER_SUFFIX}"
+    raw = store.read(spark, marker)
+    if raw is None:
+        return False
+    try:
+        staging = _json.loads((raw or b"").decode() or "{}").get("staging")
+    except Exception:
+        staging = None
+    if staging:
+        sfs, sp = _hadoop_fs(spark, staging)
+        if sfs.exists(sp):
+            store.replace_dir(spark, staging, target)
+    store.delete(spark, marker)
+    return True
 
 
 def _optimize_commit(
@@ -2572,16 +2627,16 @@ def _optimize_commit(
     the `victims` they just wrote to the manifest (saves a read-back
     job); the recovery replay omits it and reads the manifest — the
     durable copy is still what crash recovery trusts."""
+    from engage_spark.commitstore import get_commit_store
+
+    store = get_commit_store()
     fs, root = _hadoop_fs(spark, path)
     sfs, sp = _hadoop_fs(spark, f"{path}/{_OPT_STAGING}")
     moved = 0
     for rel in _staged_rel_files(spark, f"{path}/{_OPT_STAGING}"):
         _, dst = _hadoop_fs(spark, f"{path}/{rel}")
         if not fs.exists(dst):
-            fs.mkdirs(dst.getParent())
-            fs.rename(
-                _hadoop_fs(spark, f"{path}/{_OPT_STAGING}/{rel}")[1], dst
-            )
+            store.move(spark, f"{path}/{_OPT_STAGING}/{rel}", f"{path}/{rel}")
         moved += 1
     if victims is None:
         victims = [
@@ -4300,16 +4355,18 @@ def _upsert_commit_partitioned(spark: SparkSession, target: str, st: dict):
         ).encode()
     )
     out.close()
+    from engage_spark.commitstore import get_commit_store
+
+    store = get_commit_store()
     for n in old_names:
         _retain_file(spark, target, n)
     for rel in staged:
         src_fs, src_p = _hadoop_fs(spark, f"{staging}/{rel}")
         dst_fs, dst_p = _hadoop_fs(spark, f"{target}/{rel}")
-        dst_fs.mkdirs(dst_p.getParent())
         if dst_fs.exists(dst_p):
             src_fs.delete(src_p, False)  # duplicate from a replay
         else:
-            src_fs.rename(src_p, dst_p)
+            store.move(spark, f"{staging}/{rel}", f"{target}/{rel}")
     # a touched partition that received no staged file back was
     # emptied by deletes — remove its (now file-less) directory
     staged_dirs = {rel.rsplit("/", 1)[0] for rel in staged}
@@ -4322,7 +4379,7 @@ def _upsert_commit_partitioned(spark: SparkSession, target: str, st: dict):
     for d in sorted(was_dirs - staged_dirs):
         efs, ep = _hadoop_fs(spark, f"{target}/{d}")
         if efs.exists(ep):
-            efs.delete(ep, True)
+            store.delete_dir(spark, f"{target}/{d}")
             emptied += 1
     st["stats"]["emptied_partitions"] = emptied
     _vlog_append_entry(
@@ -4407,6 +4464,11 @@ def _upsert_dataset_impl(
 
     key_cols = list(key_cols)
     partition_by = list(partition_by or [])
+    # a prior full-rewrite MERGE may have died inside _swap_dirs'
+    # destructive window; its marker rolls the staged copy forward
+    # BEFORE the bootstrap check below could mistake the missing
+    # target for "first write" and quietly re-seed it from one batch
+    _swap_recover(spark, target)
     vlog = version_log_enabled(spark, target)
     if vlog:
         # a prior partitioned MERGE may have crashed mid-commit;
@@ -4619,6 +4681,9 @@ def _upsert_dataset_impl(
         # this relies on is the same one the r14 versioned commit
         # (_upsert_commit_partitioned) and the emptied-dir deletion
         # below have always relied on.
+        from engage_spark.commitstore import get_commit_store
+
+        store = get_commit_store()
         staged = _staged_rel_files(spark, staging)
         staged_dirs = {rel.rsplit("/", 1)[0] for rel in staged}
         emptied = 0
@@ -4626,17 +4691,11 @@ def _upsert_dataset_impl(
             sub = _touched_dir(row, partition_by)
             efs, ep = _hadoop_fs(spark, f"{target}/{sub}")
             if efs.exists(ep):
-                efs.delete(ep, True)
+                store.delete_dir(spark, f"{target}/{sub}")
             if sub not in staged_dirs:
                 emptied += 1
         for rel in staged:
-            src_fs, src_p = _hadoop_fs(spark, f"{staging}/{rel}")
-            dst_fs, dst_p = _hadoop_fs(spark, f"{target}/{rel}")
-            dst_fs.mkdirs(dst_p.getParent())
-            if not src_fs.rename(src_p, dst_p):
-                raise RuntimeError(
-                    f"rename {staging}/{rel} -> {target}/{rel} refused"
-                )
+            store.move(spark, f"{staging}/{rel}", f"{target}/{rel}")
         stats["emptied_partitions"] = emptied
     except BaseException as e:
         # the swap deletes each touched partition before renaming its

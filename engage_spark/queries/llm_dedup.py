@@ -319,22 +319,25 @@ def minhash_band_rows(hashed: DataFrame) -> DataFrame:
     one xxhash64 key per band. 24 bytes/row; the hash arrays never
     enter the banding shuffle."""
     sigs = hashed.select("doc_id", minhash_signature(F.col("__h")).alias("sig"))
+    # r16: the band-key array compiles to ONE parsed SQL expression —
+    # the Column formulation cost ~45 py4j round trips per build (the
+    # lsh_bucket pathology r15 fixed in llm_similarity). Literal types
+    # match exactly: a bare integer parses as INT like F.lit(bi) did,
+    # so every xxhash64 seed/input — hence every band key — is
+    # identical (pinned by the band-key parity test).
+    keys = ", ".join(
+        "xxhash64({}, {})".format(
+            bi,
+            ", ".join(
+                f"element_at(sig, {bi * _BAND_ROWS + r + 1})"
+                for r in range(_BAND_ROWS)
+            ),
+        )
+        for bi in range(_N_HASHES // _BAND_ROWS)
+    )
     return sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(bi),
-                        *[
-                            F.element_at("sig", bi * _BAND_ROWS + r + 1)
-                            for r in range(_BAND_ROWS)
-                        ],
-                    )
-                    for bi in range(_N_HASHES // _BAND_ROWS)
-                ]
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(F.expr(f"array({keys})")).alias("band", "band_key"),
     )
 
 

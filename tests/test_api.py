@@ -2510,3 +2510,23 @@ def test_topk_cosine_tolerates_ragged_corpus_rows(spark):
     )
     with _pytest.raises(ValueError, match="mixed dimensions"):
         api.topk_cosine_search(corpus, bad_q, k=2)
+
+
+def test_topk_cosine_enforces_query_cap(spark):
+    """r16 (VERDICT r15 #6): the query set collects to the driver by
+    contract; over max_queries the call must fail loudly instead of
+    risking an opaque driver OOM — and the cap must not change results
+    when the query set is exactly at it."""
+    import pytest as _pytest
+
+    from engage_spark import api
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.limit(3)
+    with _pytest.raises(ValueError, match="max_queries"):
+        api.topk_cosine_search(corpus, queries, k=2, max_queries=2)
+    got = api.topk_cosine_search(corpus, queries, k=2, max_queries=3)
+    assert got.count() == 6  # 3 queries x k=2, cap boundary inclusive

@@ -262,3 +262,167 @@ def test_compact_spares_inflight_claims(spark, tmp_path):
     # and the in-flight claim still forces the next entry past it
     append_dataset(spark, _rows(spark, 500, 510), out)
     assert latest_version(spark, out) == tip + 2
+
+
+class CopyDeleteCommitStore(HadoopCommitStore):
+    """r16 fake store: an object-store-shaped backend where RENAME DOES
+    NOT EXIST — every data move is a full copy followed by a delete of
+    the source. Proves the MERGE/optimize commit sequences rely only
+    on the CommitStore contract, never on rename atomicity."""
+
+    def __init__(self):
+        self.moves = 0
+        self.replaces = 0
+
+    def _copy_delete(self, spark, src, dst):
+        from engage_spark.io import _hadoop_fs
+
+        sfs, sp = _hadoop_fs(spark, src)
+        dfs, dp = _hadoop_fs(spark, dst)
+        dfs.mkdirs(dp.getParent())
+        conf = spark._jsc.hadoopConfiguration()
+        ok = spark._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            sfs, sp, dfs, dp, True, conf
+        )
+        if not ok:
+            raise RuntimeError(f"copy {src} -> {dst} failed")
+
+    def move(self, spark, src, dst):
+        self.moves += 1
+        self._copy_delete(spark, src, dst)
+
+    def replace_dir(self, spark, src, dst):
+        from engage_spark.io import _hadoop_fs
+
+        self.replaces += 1
+        dfs, dp = _hadoop_fs(spark, dst)
+        dfs.delete(dp, True)
+        self._copy_delete(spark, src, dst)
+
+
+@pytest.fixture()
+def copydelete_store():
+    prev = set_commit_store(CopyDeleteCommitStore())
+    try:
+        yield get_commit_store()
+    finally:
+        set_commit_store(prev)
+
+
+def test_upsert_commits_hold_without_atomic_rename(
+    spark, tmp_path, copydelete_store
+):
+    """VERDICT r15 #3: the data-path commit is behind the seam — the
+    partitioned rename commit, the unpartitioned full swap, and the
+    versioned optimistic commit must all produce exact results on a
+    store whose moves are copy+delete."""
+    from engage_spark.io import upsert_dataset
+
+    # partitioned, non-versioned: per-partition replace + emptied dir
+    tgt = str(tmp_path / "cd_part")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, part string, v long",
+    ).write.partitionBy("part").parquet(tgt)
+    upsert_dataset(
+        spark, tgt,
+        spark.createDataFrame(
+            [(1, "a", 11, False), (3, "c", 0, True), (4, "d", 40, False)],
+            "k long, part string, v long, is_delete boolean",
+        ),
+        ["k"], partition_by=["part"], delete_col="is_delete",
+    )
+    back = {r.k: (r.part, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert back == {1: ("a", 11), 2: ("b", 20), 4: ("d", 40)}
+
+    # unpartitioned: full-dir swap through replace_dir + marker
+    tgt2 = str(tmp_path / "cd_flat")
+    spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string").write.parquet(tgt2)
+    upsert_dataset(
+        spark, tgt2,
+        spark.createDataFrame([(2, "Y"), (5, "z")], "k long, v string"),
+        ["k"],
+    )
+    back2 = {r.k: r.v for r in spark.read.parquet(tgt2).collect()}
+    assert back2 == {1: "x", 2: "Y", 5: "z"}
+
+    # versioned partitioned MERGE: optimistic stage/commit moves
+    tgt3 = str(tmp_path / "cd_vpart")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, part string, v long"
+    ).write.partitionBy("part").parquet(tgt3)
+    version_log_enable(spark, tgt3)
+    upsert_dataset(
+        spark, tgt3,
+        spark.createDataFrame(
+            [(1, "a", 99, False)], "k long, part string, v long, is_delete boolean"
+        ),
+        ["k"], partition_by=["part"], delete_col="is_delete",
+    )
+    v = latest_version(spark, tgt3)
+    now = {r.k: r.v for r in spark.read.parquet(tgt3).collect()}
+    assert now == {1: 99, 2: 20}
+    before = {r.k: r.v for r in read_version(spark, tgt3, v - 1).collect()}
+    assert before == {1: 10, 2: 20}
+    assert copydelete_store.moves > 0  # the seam actually carried the commit
+
+
+def test_swap_recover_rolls_crashed_swap_forward(spark, tmp_path):
+    """ADVICE r15: a hard kill inside _swap_dirs' destructive window
+    (target deleted, staging present) previously left NO breadcrumb at
+    the target. The marker + _swap_recover must roll the staged copy
+    forward in every crash window, and the upsert entry must heal
+    before its bootstrap check can mistake the missing target for a
+    first write."""
+    import json
+
+    from engage_spark.io import (
+        _SWAP_MARKER_SUFFIX,
+        _hadoop_fs,
+        _swap_recover,
+        upsert_dataset,
+    )
+
+    store = get_commit_store()
+
+    # window: marker written, target deleted, staging intact
+    tgt = str(tmp_path / "sw")
+    staging = tgt + "__upsert_staging_deadbeef"
+    spark.createDataFrame([(1, "merged"), (2, "rows")], "k long, v string")\
+        .write.parquet(staging)
+    marker = f"{tgt}{_SWAP_MARKER_SUFFIX}"
+    assert store.put_if_absent(
+        spark, marker, json.dumps({"staging": staging}).encode()
+    )
+    assert _swap_recover(spark, tgt) is True
+    back = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    assert back == {1: "merged", 2: "rows"}
+    assert store.read(spark, marker) is None
+    fs, sp = _hadoop_fs(spark, staging)
+    assert not fs.exists(sp)
+
+    # window: swap landed, crash before marker removal -> marker
+    # clears, target untouched
+    assert store.put_if_absent(
+        spark, marker, json.dumps({"staging": staging}).encode()
+    )
+    assert _swap_recover(spark, tgt) is True
+    assert {r.k: r.v for r in spark.read.parquet(tgt).collect()} == back
+    assert store.read(spark, marker) is None
+
+    # end to end: the upsert entry heals a torn swap before merging
+    tgt2 = str(tmp_path / "sw2")
+    staging2 = tgt2 + "__upsert_staging_cafebabe"
+    spark.createDataFrame([(7, "old-merged")], "k long, v string")\
+        .write.parquet(staging2)
+    assert store.put_if_absent(
+        spark, f"{tgt2}{_SWAP_MARKER_SUFFIX}",
+        json.dumps({"staging": staging2}).encode(),
+    )
+    upsert_dataset(
+        spark, tgt2,
+        spark.createDataFrame([(8, "new")], "k long, v string"), ["k"],
+    )
+    back2 = {r.k: r.v for r in spark.read.parquet(tgt2).collect()}
+    # NOT a one-row bootstrap: the healed swap's row survived the merge
+    assert back2 == {7: "old-merged", 8: "new"}

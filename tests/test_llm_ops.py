@@ -86,6 +86,50 @@ def test_minhash_signature_vectorized_matches_reference(spark):
         assert got[doc_id] == ref.tolist(), f"doc {doc_id}"
 
 
+def test_minhash_band_rows_sql_compile_parity(spark):
+    """r16: the 8 band-key xxhash64 expressions compile to one parsed
+    SQL string (py4j round-trip cut). The band keys must be identical
+    to the legacy Column formulation — int literal seeds, 1-based
+    element_at positions."""
+    from engage_spark.queries.llm_dedup import (
+        _BAND_ROWS,
+        _N_HASHES,
+        minhash_band_rows,
+        minhash_shingle_hashes,
+        minhash_signature,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i} eta theta")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    hashed = minhash_shingle_hashes(docs)
+    got = minhash_band_rows(hashed)
+    sigs = hashed.select(
+        "doc_id", minhash_signature(F.col("__h")).alias("sig")
+    )
+    legacy = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(bi),
+                        *[
+                            F.element_at("sig", bi * _BAND_ROWS + r + 1)
+                            for r in range(_BAND_ROWS)
+                        ],
+                    )
+                    for bi in range(_N_HASHES // _BAND_ROWS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    assert got.exceptAll(legacy).count() == 0
+    assert legacy.exceptAll(got).count() == 0
+
+
 def test_simhash_flags_near_dups_only(planted):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in
              simhash_near_pairs(planted, max_hamming=8).collect()}
@@ -1371,6 +1415,20 @@ def test_bm25_topk_semantics_and_pruning(spark):
         max_df_fraction=0.5,
     ).collect()
     assert sorted(r.doc_id for r in pruned) == [1, 2]  # docs 3,4 only match 'common'
+
+    # r16 (ADVICE r15): with pruning on, the 1-row stats scalar feeds
+    # TWO broadcast sites and exchange reuse does not unify them — the
+    # cache must be in the plan so the corpus aggregate runs once
+    plan = (
+        api.bm25_topk(
+            docs,
+            spark.createDataFrame([(12, "zebra")], "qid long, qtext string"),
+            id_col="id", text_col="body",
+            query_id_col="qid", query_text_col="qtext",
+            max_df_fraction=0.5,
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in plan
 
 
 def test_hybrid_retrieval_example_composes_end_to_end(spark, tmp_path):
