@@ -67,6 +67,8 @@ Reference parity note: covers no reference file — engine extension
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -849,6 +851,188 @@ def _merge_structs(prev, inc):
     return StructType(out)
 
 
+_PART_INT_RE = _re.compile(r"[+-]?\d+\Z")
+_PART_DBL_RE = _re.compile(r"[+-]?(\d+\.\d*|\.\d+)\Z")
+_PART_DATE_RE = _re.compile(r"\d{4}-\d{2}-\d{2}\Z")
+
+
+def _infer_part_type(values):
+    """Spark-parity partition-value type for one column's RAW (still
+    hive-escaped) dir values, or None when any value falls outside the
+    classes this classifier replicates exactly. Mirrors Spark's
+    inferPartitionColumnValue order (int → long → decimal → double →
+    date → string, null for the default-partition marker) for the
+    unambiguous subset and REFUSES the rest: integers beyond long
+    (Java infers decimal), exponent forms (BigDecimal scale ≤ 0 makes
+    "1e2" a decimal), anything digit/sign/space-led that missed the
+    strict regexes (Java's Double.parseDouble accepts hex floats,
+    d/f suffixes and padding; Cast-to-timestamp accepts many forms),
+    and date-invalid yyyy-mm-dd lookalikes resolve to string exactly
+    like the failed dateTry does."""
+    import datetime
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    classes: set = set()
+    for raw in values:
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            classes.add("null")
+            continue
+        if _PART_INT_RE.match(raw):
+            iv = int(raw)
+            if -(2**31) <= iv <= 2**31 - 1:
+                classes.add("int")
+            elif -(2**63) <= iv <= 2**63 - 1:
+                classes.add("long")
+            else:
+                return None  # Java infers DecimalType here
+            continue
+        if _PART_DBL_RE.match(raw):
+            classes.add("double")
+            continue
+        if _PART_DATE_RE.match(raw):
+            try:
+                datetime.date.fromisoformat(raw)
+                classes.add("date")
+            except ValueError:
+                classes.add("str")  # failed dateTry falls to string
+            continue
+        head = raw[:1]
+        if head.isdigit() or head in "+-" or head.isspace():
+            return None  # potentially numeric/temporal under Java parsing
+        classes.add("str")
+    nn = classes - {"null"}
+    if not nn:
+        return None  # all-null column: Spark special-cases, not worth it
+    if "str" in nn:
+        return StringType()  # Spark widens any mix with string to string
+    if nn == {"date"}:
+        return DateType()
+    if nn == {"int"}:
+        return IntegerType()
+    if nn <= {"int", "long"}:
+        return LongType()
+    if nn <= {"int", "long", "double"}:
+        return DoubleType()
+    return None  # e.g. date+numeric — let Spark's widening decide
+
+
+def _arrow_type_unambiguous(t) -> bool:
+    """True iff arrow type `t` maps to the SAME Spark type under
+    from_arrow_schema as Spark's own parquet footer inference would
+    produce. Timestamps are the known divergence (Spark-written INT96
+    reads back as tz-less ns in arrow, which converts to
+    TimestampNTZType while Spark infers TimestampType); unsigned ints
+    and other exotica are refused wholesale."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _arrow_type_unambiguous(t.value_type)
+    if pa.types.is_struct(t):
+        return all(_arrow_type_unambiguous(f.type) for f in t)
+    if pa.types.is_map(t):
+        return _arrow_type_unambiguous(t.key_type) and _arrow_type_unambiguous(
+            t.item_type
+        )
+    return (
+        pa.types.is_boolean(t)
+        or pa.types.is_int8(t)
+        or pa.types.is_int16(t)
+        or pa.types.is_int32(t)
+        or pa.types.is_int64(t)
+        or pa.types.is_float32(t)
+        or pa.types.is_float64(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_date32(t)
+        or pa.types.is_decimal128(t)
+    )
+
+
+def _schema_from_footer_and_dirs(pa_schema, added: list):
+    """Driver-side increment schema: the (single, identical) added
+    footer converted via Spark's arrow converter, plus partition
+    columns parsed from the added paths' hive layout. None whenever
+    ANY piece is outside the proven-parity subset — the caller then
+    runs the spark.read inference this fast path replaces."""
+    try:
+        if any(not _arrow_type_unambiguous(f.type) for f in pa_schema):
+            return None
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import (
+            ArrayType,
+            MapType,
+            StructField,
+            StructType,
+        )
+
+        def _as_nullable(dt):
+            # Spark file sources resolve their relation schema through
+            # asNullable — every field, array element and map value
+            # reads back nullable regardless of the footer's REQUIRED
+            # markers. The footer keeps them (arrow preserves
+            # required), so force parity here or a required-written
+            # column logs nullable=false where r15 logged true and
+            # the next _merge_structs sees a conflict (measured: the
+            # poisoned log made every later commit pay the full
+            # footer-merge recompute — s9 1.69 -> 2.33 s).
+            if isinstance(dt, StructType):
+                return StructType(
+                    [
+                        StructField(
+                            f.name, _as_nullable(f.dataType), True, f.metadata
+                        )
+                        for f in dt.fields
+                    ]
+                )
+            if isinstance(dt, ArrayType):
+                return ArrayType(_as_nullable(dt.elementType), True)
+            if isinstance(dt, MapType):
+                return MapType(
+                    _as_nullable(dt.keyType), _as_nullable(dt.valueType), True
+                )
+            return dt
+
+        data = _as_nullable(from_arrow_schema(pa_schema))
+        # partition columns: every added path must carry the same
+        # col= sequence; values accumulate per column
+        part_cols: list[str] = []
+        part_vals: dict[str, set] = {}
+        for rel in added:
+            segs = rel.split("/")[:-1]
+            cols = []
+            for seg in segs:
+                if "=" not in seg:
+                    return None
+                c, _, val = seg.partition("=")
+                cols.append(c)
+                part_vals.setdefault(c, set()).add(val)
+            if not part_cols:
+                part_cols = cols
+            elif cols != part_cols:
+                return None  # mixed layouts — let Spark sort it out
+        fields = list(data.fields)
+        taken = {f.name for f in fields}
+        for c in part_cols:
+            if c in taken:
+                return None  # partition col shadowing a data col
+            t = _infer_part_type(part_vals[c])
+            if t is None:
+                return None
+            fields.append(StructField(c, t, True))
+        return StructType(fields)
+    except Exception:  # noqa: BLE001 — fast path only, caller falls back
+        return None
+
+
 def _commit_schema_json(
     spark: SparkSession,
     path: str,
@@ -884,6 +1068,7 @@ def _commit_schema_json(
         # work belongs on the driver, not in a scheduled job.)
         paths = [f"{path}/{n}" for n in sorted(added)]
         merge = "true"
+        pa_schema = None
         if len(paths) <= 256:
             try:
                 import pyarrow.parquet as pq
@@ -891,21 +1076,40 @@ def _commit_schema_json(
                 pafs, pp = _pa_dir_for(spark, path)
                 footers: set = set()
                 for n in sorted(added):
-                    footers.add(
-                        str(pq.read_schema(f"{pp}/{n}", filesystem=pafs))
-                    )
+                    pa_schema = pq.read_schema(f"{pp}/{n}", filesystem=pafs)
+                    footers.add(str(pa_schema))
                     if len(footers) > 1:
                         break
                 if len(footers) == 1:
                     merge = "false"
+                else:
+                    pa_schema = None
             except Exception:  # noqa: BLE001 — probe is an optimization
-                pass
+                pa_schema = None
+        # r16 (VERDICT r15 #6): with one identical footer in hand, the
+        # increment schema can be BUILT driver-side — arrow footer →
+        # Spark fields via Spark's own converter, partition columns
+        # parsed from the added paths' hive dirs with a classifier
+        # that replicates Spark's partition-value inference for the
+        # unambiguous classes and REFUSES everything else (timestampy
+        # strings, >long integers, exponent forms, leading-sign/space
+        # strings, exotic arrow types) so any parity risk falls back
+        # to the spark.read inference below. Removes the last
+        # driver-blocking planning call per commit (~0.13 s × 2 per
+        # partitioned MERGE). Parity pinned by
+        # test_versioning's inference sweep.
         inc = (
-            spark.read.option("basePath", path)
-            .option("mergeSchema", merge)
-            .parquet(*paths)
-            .schema
+            _schema_from_footer_and_dirs(pa_schema, sorted(added))
+            if pa_schema is not None
+            else None
         )
+        if inc is None:
+            inc = (
+                spark.read.option("basePath", path)
+                .option("mergeSchema", merge)
+                .parquet(*paths)
+                .schema
+            )
         if prev_json is None:
             if not entries:
                 return _json.dumps(inc.jsonValue())  # init: added = all

@@ -3682,3 +3682,112 @@ def test_missing_file_detector_covers_local_permission_probe():
     assert _is_missing_file_error(shell_err)
     assert _is_missing_file_error(Exception("PATH_NOT_FOUND: /x"))
     assert not _is_missing_file_error(Exception("quota exceeded"))
+
+
+def test_commit_schema_fast_path_matches_spark_inference(spark, tmp_path):
+    """r16 (VERDICT r15 #6): the driver-side increment schema (one
+    arrow footer + hive-dir parse) must equal Spark's own inference
+    for every partition value class it claims — int, long, double,
+    string, date, NULL/__HIVE_DEFAULT_PARTITION__, hive-escaped
+    strings — and must REFUSE (return None → caller falls back) the
+    ambiguous classes: timestamp data columns, >long integers,
+    exponent forms, date-like strings with time parts."""
+    import glob
+    import os
+
+    from engage_spark.versioning import _schema_from_footer_and_dirs
+
+    import pyarrow.parquet as pq
+
+    seq = iter(range(1000))
+
+    def compare(df, part_col):
+        tgt = str(tmp_path / f"sc_{part_col}_{next(seq)}")
+        df.write.partitionBy(part_col).parquet(tgt)
+        files = sorted(
+            os.path.relpath(p, tgt)
+            for p in glob.glob(f"{tgt}/*/*.parquet")
+        )
+        footer = pq.read_schema(os.path.join(tgt, files[0]))
+        fast = _schema_from_footer_and_dirs(footer, files)
+        ref = (
+            spark.read.option("basePath", tgt)
+            .option("mergeSchema", "false")
+            .parquet(*[f"{tgt}/{f}" for f in files])
+            .schema
+        )
+        return fast, ref
+
+    import datetime
+
+    sweep = [
+        ("p int", [(1, 5), (2, 7)]),                      # int dirs
+        ("p long", [(1, 2**40), (2, 5)]),                 # long dirs (mixed int+long)
+        ("p double", [(1, 0.5), (2, 1.25)]),              # double dirs
+        ("p string", [(1, "en"), (2, "de")]),             # plain strings
+        ("p string", [(1, "a/b"), (2, "x=y"), (3, "pct%")]),  # escaped strings
+        ("p date", [(1, datetime.date(2030, 1, 15)), (2, datetime.date(2031, 2, 1))]),
+        ("p string", [(1, None), (2, "en")]),             # NULL partition + string
+        ("p int", [(1, None), (2, 7)]),                   # NULL partition + int
+    ]
+    for pcol, rows in sweep:
+        pname = pcol.split()[0]
+        df = spark.createDataFrame(
+            [(k, v, float(k), f"s{k}") for k, v in rows],
+            f"k long, {pcol}, x double, s string",
+        )
+        fast, ref = compare(df, pname)
+        assert fast is not None, f"fast path refused {pcol} {rows}"
+        assert fast == ref, f"{pcol} {rows}: {fast} != {ref}"
+
+    # data-column sweep on one partition layout: long/int/double/
+    # float/string/bool/date/array/binary all convert identically
+    df = spark.createDataFrame(
+        [(1, "en", 2, 0.5, 1.5, "t", True, datetime.date(2030, 1, 1),
+          [1, 2], bytearray(b"xy"))],
+        "k long, lang string, i int, d double, f float, s string, "
+        "b boolean, dt date, arr array<long>, bin binary",
+    )
+    fast, ref = compare(df, "lang")
+    assert fast is not None and fast == ref
+
+    # REQUIRED-written columns (spark.range output is non-nullable,
+    # array(id,id) has containsNull=false in the footer) must read
+    # back fully nullable, exactly like Spark's asNullable relation
+    # schema — the r16 fix for the poisoned-log regression
+    df_req = (
+        spark.range(0, 6)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("string").alias("lang"),
+            F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        )
+    )
+    fast, ref = compare(df_req, "lang")
+    assert fast is not None and fast == ref
+
+    # refusals: a timestamp DATA column is ambiguous through arrow
+    # (INT96 loses the tz distinction) — must fall back, not guess
+    df_ts = spark.createDataFrame(
+        [(1, "en", datetime.datetime(2030, 1, 1, 12, 0))],
+        "k long, lang string, ts timestamp",
+    )
+    fast, _ = compare(df_ts, "lang")
+    assert fast is None
+
+    # refusals: partition classes Java parses differently from the
+    # strict regexes — huge ints (decimal), exponent forms, padded
+    # numerics — must return None
+    from engage_spark.versioning import _infer_part_type
+
+    assert _infer_part_type({"123456789012345678901234567890"}) is None
+    assert _infer_part_type({"1e5"}) is None
+    assert _infer_part_type({" 15"}) is None
+    assert _infer_part_type({"-abc"}) is None
+    # digit-led strings ("100%") could be numeric/temporal under
+    # Java's looser parsers — refused, caller falls back
+    assert _infer_part_type({"100%25"}) is None
+    # date-invalid lookalike resolves to string exactly like Spark
+    from pyspark.sql.types import StringType
+
+    assert _infer_part_type({"2030-02-31"}) == StringType()
