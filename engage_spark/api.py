@@ -1547,33 +1547,71 @@ def _ivfpq_model(
     from engage_spark.queries.llm_similarity import (
         _ivfpq_coarse,
         _ivfpq_residual_batches,
+        _ivfpq_seed_residual_rows,
         _pq_codebooks,
+        ivf_params,
         pq_params,
     )
 
-    c_ids, c_mat, nprobe = _ivfpq_coarse(spark, e, n_rows, quantizer)
+    if quantizer == "seeded":
+        # r16: the coarse seed collect and the PQ seed collect were
+        # two sequential driver-blocking jobs over the same table —
+        # one OR-filtered pushdown scan now feeds both, and the PQ
+        # seeds' residuals compute in driver numpy against the
+        # (already driver-side, 6dp-rounded) centroids instead of a
+        # third scheduled mapInPandas job. Row-wise math identical to
+        # the kernel (parity-pinned; x3f/x5b hash-checked end to end).
+        s_ivf = ivf_params(n_rows)[2]
+        s_pq = pq_params(n_rows)
+        both = (
+            e.filter(
+                (F.col("vec_id") % s_ivf == 0) | (F.col("vec_id") % s_pq == 0)
+            )
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ivf_seeds = sorted(
+            (r.vec_id, r.embedding) for r in both if r.vec_id % s_ivf == 0
+        )
+        pq_seed_raw = [
+            (r.vec_id, r.embedding) for r in both if r.vec_id % s_pq == 0
+        ]
+        c_ids, c_mat, nprobe = _ivfpq_coarse(
+            spark, e, n_rows, quantizer, seeds=ivf_seeds
+        )
+        seed_rows = (
+            _ivfpq_seed_residual_rows(pq_seed_raw, c_mat)
+            if pq_seed_raw
+            else []
+        )
+    else:
+        c_ids, c_mat, nprobe = _ivfpq_coarse(spark, e, n_rows, quantizer)
+        seed_rows = None
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
     residuals = e.mapInPandas(
         _ivfpq_residual_batches(bc),
         "vec_id long, lid long, embedding array<double>",
     )
     # residual codebooks: same seed rule as flat PQ, but normalize=False
-    # — the residual must quantize as-is. The seed collect reads a
-    # pre-filtered residual frame (filter pushes into the parquet scan
-    # BEFORE the Arrow kernel), so seeding costs a ~K-row scan, not a
-    # full corpus residual pass.
-    seed_residuals = e.filter(
-        F.col("vec_id") % pq_params(n_rows) == 0
-    ).mapInPandas(
-        _ivfpq_residual_batches(bc),
-        "vec_id long, lid long, embedding array<double>",
-    )
+    # — the residual must quantize as-is. The driver-side seed rows
+    # cover the seeded quantizer; the kmeans path keeps the
+    # pre-filtered residual-frame seed scan (filter pushes into the
+    # parquet scan BEFORE the Arrow kernel).
+    seed_source = None
+    if seed_rows is None:
+        seed_source = e.filter(
+            F.col("vec_id") % pq_params(n_rows) == 0
+        ).mapInPandas(
+            _ivfpq_residual_batches(bc),
+            "vec_id long, lid long, embedding array<double>",
+        ).select("vec_id", "embedding")
     cb = _pq_codebooks(
         spark,
         residuals.select("vec_id", "embedding"),
         n_rows,
         normalize=False,
-        seed_source=seed_residuals.select("vec_id", "embedding"),
+        seed_source=seed_source,
+        seed_rows=seed_rows,
     )
     return c_ids, c_mat, nprobe, cb
 

@@ -779,6 +779,7 @@ def _pq_codebooks(
     n_rows: int,
     normalize: bool = True,
     seed_source: DataFrame | None = None,
+    seed_rows: list | None = None,
 ) -> dict:
     """Build the per-subspace codebooks: hash-stride seed subvectors
     (bounded collect, ~_PQ_KSUB rows) refined by ONE Lloyd step — the
@@ -793,15 +794,22 @@ def _pq_codebooks(
     for inputs that are themselves a full-corpus computation (x3f's
     residual frame), the caller passes a pre-filtered variant so the
     ~K-row seed collect doesn't trigger a full corpus pass (the
-    mapInPandas boundary blocks the id-filter pushdown).
+    mapInPandas boundary blocks the id-filter pushdown). seed_rows
+    (r16) goes one further: the caller already HOLDS the ~K seed
+    (vec_id, embedding) pairs driver-side — no seed job at all.
     Returns {m: (sorted cid array, (K_m, SUBDIM) float64 matrix)}."""
     stride = pq_params(n_rows)
-    src = seed_source if seed_source is not None else e
-    seeds = sorted(
-        (r.vec_id, r.embedding)
-        for r in src.filter(F.col("vec_id") % stride == 0)
-        .select("vec_id", "embedding").collect()
-    )
+    if seed_rows is not None:
+        seeds = sorted(
+            (int(i), v) for i, v in seed_rows if int(i) % stride == 0
+        )
+    else:
+        src = seed_source if seed_source is not None else e
+        seeds = sorted(
+            (r.vec_id, r.embedding)
+            for r in src.filter(F.col("vec_id") % stride == 0)
+            .select("vec_id", "embedding").collect()
+        )
     if not seeds:
         raise ValueError(
             "PQ codebook seeding found no vectors (empty corpus, or no "
@@ -991,6 +999,7 @@ def _ivfpq_coarse_kmeans(spark: SparkSession, e: DataFrame, n_rows: int):
 def _ivfpq_coarse(
     spark: SparkSession, e: DataFrame, n_rows: int,
     quantizer: str = "seeded",
+    seeds: list | None = None,
 ):
     """Coarse quantizer for the residual-PQ path: hash-stride seeds on
     the UNIT-SPHERE corpus refined by one Lloyd step (the x3c pattern,
@@ -1001,7 +1010,10 @@ def _ivfpq_coarse(
     through _elementwise_mean (one aggregate at any dim), rounded 6dp
     so both engines hold bit-identical centroids.
     quantizer="kmeans" swaps in the MLlib fit (_ivfpq_coarse_kmeans);
-    the default stays the DuckDB-oracle-able seeded path."""
+    the default stays the DuckDB-oracle-able seeded path. `seeds`
+    (r16): pre-collected (vec_id, embedding) seed rows — the caller
+    merged this collect into another seed scan (one job, not two);
+    must be exactly the sorted vec_id % stride == 0 set."""
     if quantizer == "kmeans":
         return _ivfpq_coarse_kmeans(spark, e, n_rows)
     if quantizer != "seeded":
@@ -1009,11 +1021,12 @@ def _ivfpq_coarse(
             f"unknown quantizer {quantizer!r}: 'seeded' or 'kmeans'"
         )
     nlist, nprobe, stride = ivf_params(n_rows)
-    seeds = sorted(
-        (r.vec_id, r.embedding)
-        for r in e.filter(F.col("vec_id") % stride == 0)
-        .select("vec_id", "embedding").collect()
-    )
+    if seeds is None:
+        seeds = sorted(
+            (r.vec_id, r.embedding)
+            for r in e.filter(F.col("vec_id") % stride == 0)
+            .select("vec_id", "embedding").collect()
+        )
     if not seeds:
         raise ValueError("IVF-PQ coarse seeding found no vectors")
     s_ids = np.array([i for i, _ in seeds], dtype=np.int64)
@@ -1078,6 +1091,27 @@ def _ivfpq_residual_batches(bc):
             })
 
     return gen
+
+
+def _ivfpq_seed_residual_rows(rows: list, c_mat):
+    """Driver-side twin of `_ivfpq_residual_batches` for the BOUNDED
+    PQ seed set (r16): the seed rows are already on the driver from
+    the merged seed collect, and every operation here is row-wise
+    (normalize, gemm row-dot vs the 6dp-ROUNDED centroids, first-min
+    argmin, subtract) in the same float64 order as the kernel — so
+    running it in driver numpy instead of scheduling a dedicated
+    mapInPandas job yields the same residuals (parity-pinned by
+    test_llm_ops on real embeddings; x3f/x5b stay hash-checked end to
+    end). Returns sorted [(vec_id, residual ndarray)]."""
+    rows = sorted(rows)
+    u = _pq_normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    )
+    sq = (c_mat * c_mat).sum(axis=1)
+    d = sq[None, :] - 2.0 * (u @ c_mat.T)
+    idx = np.argmin(d, axis=1)
+    res = u - c_mat[idx]
+    return [(rows[i][0], res[i]) for i in range(len(rows))]
 
 
 def _full_l2_sql(a: str, b: str, dim: int = _DIM) -> str:

@@ -130,6 +130,47 @@ def test_minhash_band_rows_sql_compile_parity(spark):
     assert legacy.exceptAll(got).count() == 0
 
 
+def test_ivfpq_seed_residuals_driver_twin_matches_kernel(spark, sf_dir):
+    """r16: the PQ seed residuals compute in driver numpy instead of a
+    scheduled mapInPandas job. Same row-wise float64 ops against the
+    same rounded centroids — the values must be BIT-identical to the
+    kernel's on real embeddings."""
+    import numpy as np
+
+    from engage_spark.io import table
+    from engage_spark.queries.llm_similarity import (
+        _corpus_rows,
+        _ivfpq_coarse,
+        _ivfpq_residual_batches,
+        _ivfpq_seed_residual_rows,
+        pq_params,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    n = _corpus_rows(sf_dir)
+    c_ids, c_mat, _ = _ivfpq_coarse(spark, e, n)
+    s_pq = pq_params(n)
+    raw = [
+        (r.vec_id, r.embedding)
+        for r in e.filter(F.col("vec_id") % s_pq == 0)
+        .select("vec_id", "embedding").collect()
+    ]
+    driver = dict(_ivfpq_seed_residual_rows(raw, c_mat))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    kernel = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in e.filter(F.col("vec_id") % s_pq == 0)
+        .mapInPandas(
+            _ivfpq_residual_batches(bc),
+            "vec_id long, lid long, embedding array<double>",
+        )
+        .collect()
+    }
+    assert set(driver) == set(kernel) and len(driver) > 0
+    for vid, res in driver.items():
+        assert np.array_equal(res, kernel[vid]), f"vec {vid} differs"
+
+
 def test_simhash_flags_near_dups_only(planted):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in
              simhash_near_pairs(planted, max_hamming=8).collect()}
